@@ -1,0 +1,505 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator battery (SURVEY.md §2.2): aggregation, joins of every
+  * flavor, windows, rollup/cube, set ops, scalar function families, pivot,
+  * subqueries — all standard Catalyst built-ins, each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB stance): dimension joins (`region`, `nation`,
+  * `customer` vs facts) are marked `broadcast(...)` so the plan is a
+  * BroadcastHashJoin rather than a shuffle; fact-fact joins keep their
+  * shuffle keys aligned with the grouping keys that follow, letting Spark
+  * reuse the exchange. Double aggregates go through the decimal-exact
+  * [[graft.ops.dsum]] family both for oracle parity and for deterministic
+  * results under any partitioning.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped scan→filter→agg (tests partial aggregation + pushdown).
+    "q10_agg_pricing" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q11_distinct_agg" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q12_join_agg" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val n = Tables.nation(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // 5-way star join with broadcast dims + a pushed-down date filter.
+    "q13_join_5way" -> ((s, d) => {
+      val r = Tables.region(s, d); val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(o("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                o("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name")
+    }),
+
+    "q14_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q15_anti_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val late = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      o.join(late, o("o_orderkey") === late("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "q16_outer_join_agg" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          dsum0(col("o_totalprice")).as("total"))
+        .orderBy("c_custkey")
+    }),
+
+    // Per-group top-k via ranking window, totally ordered tiebreak.
+    "q17_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Running-sum frame; decimal-exact prefix sums are order-deterministic.
+    "q18_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    "q19_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w).as("prev_date"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q20_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    "q21_cube" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      // cube on the fact side first, then broadcast-join the dim: avoids
+      // Spark 4's ambiguity check on cube-after-join, and at scale the cube
+      // shuffles narrow ints instead of carrying dim strings through Expand.
+      val cubed = c.cube("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
+      cubed.join(broadcast(n), cubed("c_nationkey") === n("n_nationkey"), "left")
+        .select(
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("n"), col("avg_bal"))
+        .orderBy("nation", "segment")
+    }),
+
+    "q22_topk_global" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    }),
+
+    "q23_setops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def keys(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select("o_custkey").distinct()
+      val a = keys(1997); val b = keys(1998)
+      a.intersect(b).withColumn("tag", lit("both"))
+        .unionByName(a.except(b).withColumn("tag", lit("only97")))
+        .unionByName(b.except(a).withColumn("tag", lit("only98")))
+        .select("tag", "o_custkey")
+        .orderBy("tag", "o_custkey")
+    }),
+
+    "q24_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus", "l_linenumber")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus", "l_linenumber")
+    }),
+
+    "q25_string_fns" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          replace(col("p_name"), lit(" "), lit("_")).as("snake_name"),
+          lpad(col("p_brand"), 12, "*").as("pad_brand"),
+          substring(col("p_type"), 1, 4).as("type4"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          reverse(col("p_name")).as("rev_name"))
+        .orderBy("p_partkey")
+    }),
+
+    "q26_date_fns" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_add(col("o_orderdate"), 5).as("plus5"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q27_math_fns" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 6).as("r_sqrt"),
+          round(log(col("l_quantity") + 1), 6).as("r_ln"),
+          round(pow(col("l_discount") + 1, 3), 6).as("r_pow"),
+          floor(col("l_tax") * 100).as("tax_pct"),
+          abs(col("l_quantity") - 25).as("dev25"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q28_case_buckets" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 100000, "low")
+            .when(col("o_totalprice") < 300000, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), davg(col("o_totalprice")).as("avg_price"))
+        .orderBy("bucket")
+    }),
+
+    "q29_json_fns" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // Scalar subquery: orders above the (decimal-exact) global mean price.
+    "q30_scalar_subquery" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val avgDf = o.agg(davg(col("o_totalprice")).as("global_avg"))
+      o.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("global_avg"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // HAVING against a second aggregate level (nations above mean cust count).
+    "q31_having" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val counts = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_cust"))
+      val mean = counts.agg((sum(col("n_cust")).cast("double") / count(lit(1))).as("mean_cust"))
+      counts.crossJoin(broadcast(mean))
+        .filter(col("n_cust") > col("mean_cust"))
+        .select("n_name", "n_cust")
+        .orderBy("n_name")
+    }),
+
+    "q32_conditional_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("purchases"),
+          count(when(col("event_type") === "signup", 1)).as("signups"),
+          dsum0(when(col("event_type") === "purchase", col("value"))).as("purchase_value"))
+        .orderBy("day")
+    }),
+
+    "q33_pivot" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .count()
+        .na.fill(0L, segs)
+        .orderBy("n_name")
+    }),
+
+    "q34_explode_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q10_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          ${oSum("l_quantity")} AS sum_qty,
+          ${oSum("l_extendedprice")} AS sum_base_price,
+          ${oSum("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+          ${oSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+          ${oAvg("l_quantity")} AS avg_qty,
+          count(*) AS count_order
+          FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+
+    "q11_distinct_agg" ->
+      s"""SELECT o_orderpriority,
+          count(DISTINCT o_custkey) AS n_custs,
+          count(*) AS n_orders,
+          ${oSum("o_totalprice")} AS total
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q12_join_agg" ->
+      s"""SELECT n_name, count(*) AS n_orders, ${oSum("o_totalprice")} AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""",
+
+    "q13_join_5way" ->
+      s"""SELECT r_name,
+          ${oSum("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+          count(*) AS n_lines
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1999-01-01'
+          GROUP BY r_name ORDER BY r_name""",
+
+    "q14_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+          ORDER BY c_custkey""",
+
+    "q15_anti_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_shipdate >= TIMESTAMP '2000-01-01')
+          ORDER BY o_orderkey""",
+
+    "q16_outer_join_agg" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+          ${oSum0("o_totalprice")} AS total
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q17_window_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q18_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+            PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+          FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    "q19_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+          lag(o_orderdate, 1) OVER w AS prev_date,
+          CAST(date_diff('day',
+            CAST(lag(o_orderdate, 1) OVER w AS DATE),
+            CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          ORDER BY o_custkey, o_orderkey""",
+
+    "q20_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          COALESCE(l_linestatus, 'ALL') AS ls,
+          count(*) AS n, ${oSum("l_quantity")} AS qty
+          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          ORDER BY rf, ls""",
+
+    "q21_cube" ->
+      s"""SELECT COALESCE(n_name, 'ALL') AS nation,
+          COALESCE(c_mktsegment, 'ALL') AS segment,
+          count(*) AS n, ${oAvg("c_acctbal")} AS avg_bal
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY CUBE(n_name, c_mktsegment)
+          ORDER BY nation, segment""",
+
+    "q22_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "q23_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+              b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+          SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+          UNION ALL
+          SELECT 'only97' AS tag, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+          UNION ALL
+          SELECT 'only98' AS tag, o_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+          ORDER BY tag, o_custkey""",
+
+    "q24_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem
+          ORDER BY l_returnflag, l_linestatus, l_linenumber""",
+
+    "q25_string_fns" ->
+      """SELECT p_partkey,
+          upper(p_name) AS up_name,
+          replace(p_name, ' ', '_') AS snake_name,
+          lpad(p_brand, 12, '*') AS pad_brand,
+          substr(p_type, 1, 4) AS type4,
+          CAST(length(p_name) AS INTEGER) AS name_len,
+          concat_ws('|', p_brand, p_type) AS brand_type,
+          reverse(p_name) AS rev_name
+          FROM part ORDER BY p_partkey""",
+
+    "q26_date_fns" ->
+      """SELECT o_orderkey,
+          CAST(year(o_orderdate) AS INTEGER) AS y,
+          CAST(quarter(o_orderdate) AS INTEGER) AS q,
+          CAST(month(o_orderdate) AS INTEGER) AS m,
+          CAST(day(o_orderdate) AS INTEGER) AS dom,
+          CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+          date_trunc('month', o_orderdate) AS month_start,
+          last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          CAST(o_orderdate AS DATE) + 5 AS plus5,
+          CAST(date_part('epoch', o_orderdate) AS BIGINT) AS epoch_s
+          FROM orders ORDER BY o_orderkey""",
+
+    "q27_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+          round(sqrt(l_extendedprice), 6) AS r_sqrt,
+          round(ln(l_quantity + 1), 6) AS r_ln,
+          round(pow(l_discount + 1, 3), 6) AS r_pow,
+          CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct,
+          abs(l_quantity - 25) AS dev25
+          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q28_case_buckets" ->
+      s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                      WHEN o_totalprice < 300000 THEN 'mid'
+                      ELSE 'high' END AS bucket,
+          count(*) AS n, ${oAvg("o_totalprice")} AS avg_price
+          FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    "q29_json_fns" ->
+      """SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+          FROM events ORDER BY event_id""",
+
+    "q30_scalar_subquery" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_totalprice > (SELECT ${oAvg("o_totalprice")} FROM orders)
+          ORDER BY o_orderkey""",
+
+    "q31_having" ->
+      """WITH counts AS (
+            SELECT n_name, count(*) AS n_cust
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name)
+          SELECT n_name, n_cust FROM counts
+          WHERE n_cust > (SELECT CAST(SUM(n_cust) AS DOUBLE)/count(*) FROM counts)
+          ORDER BY n_name""",
+
+    "q32_conditional_agg" ->
+      s"""SELECT date_trunc('day', ts) AS day,
+          count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+          count(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+          ${oSum0("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase_value
+          FROM events GROUP BY 1 ORDER BY day""",
+
+    "q33_pivot" ->
+      """SELECT n_name,
+          count(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS "AUTOMOBILE",
+          count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS "BUILDING",
+          count(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS "FURNITURE",
+          count(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS "HOUSEHOLD",
+          count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS "MACHINERY"
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""",
+
+    "q34_explode_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+            SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+          GROUP BY word ORDER BY n DESC, word LIMIT 50"""
+  )
+}
