@@ -31,7 +31,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (ops.CoreQueries.queries, ops.CoreQueries.oracles),
-      (ops.RelationalQueries.queries, ops.RelationalQueries.oracles)
+      (ops.RelationalQueries.queries, ops.RelationalQueries.oracles),
+      (ops.EventQueries.queries, ops.EventQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

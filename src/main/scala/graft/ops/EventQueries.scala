@@ -1,0 +1,186 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / event-stream operators over the `events` table, expressed
+  * as batch DataFrame programs (the streaming twins live in
+  * [[graft.streaming.StreamingPipelines]] and are exercised by ScalaTest —
+  * DuckDB cannot oracle a stream).
+  *
+  * Scale stance:
+  *  - as-of join uses the union + last(ignoreNulls) running-state trick —
+  *    one shuffle on (key), no per-row point lookups, no broadcast of the
+  *    fact side; this is the standard big-data as-of formulation.
+  *  - the range self-join buckets time into join keys so Spark gets an
+  *    equi-join (hash, parallel) instead of a theta-join nested loop.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Tumbling window aggregate via window() — start column == date_trunc.
+    "q80_tumbling_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(
+          col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Sliding window (1h every 30m): each event lands in exactly 2 windows.
+    "q81_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("n"), col("total_value"))
+        .orderBy("window_start")
+    }),
+
+    // Sessionization: 30-minute inactivity gap, per user. lag → gap flag →
+    // prefix-sum session id → per-session agg. One shuffle on user_id.
+    "q82_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val withGap = Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      withGap.groupBy("user_id", "session_id")
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // As-of join: latest order (by o_orderdate <= event ts) per purchase
+    // event, via union + running last(ignoreNulls) — the shuffle-once
+    // formulation that scales to fact-sized both sides.
+    "q83_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), col("ts"),
+          col("event_id"), lit(null).cast("bigint").as("o_key"))
+      // dedupe order side to one row per (cust, date): keep max orderkey,
+      // mirroring the oracle's ASOF tiebreak CTE.
+      val ordWin = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord = Tables.orders(s, d)
+        .withColumn("rn", row_number().over(ordWin)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+          lit(null).cast("bigint").as("event_id"), col("o_orderkey").as("o_key"))
+      val merged = ev.unionByName(ord)
+      // order rows sort before event rows at identical ts (is_event = 0 first)
+      val runW = Window.partitionBy(col("k"))
+        .orderBy(col("ts"), col("event_id").isNotNull.cast("int"), col("o_key"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      merged
+        .withColumn("asof_order", last(col("o_key"), ignoreNulls = true).over(runW))
+        .filter(col("event_id").isNotNull)
+        .select(col("event_id"), col("k").as("user_id"), col("asof_order"))
+        .orderBy("event_id")
+    }),
+
+    // Range self-join: pairs of events for the same user within 10 minutes,
+    // bucketed to an equi-join (bucket b joins b and b+1) — no theta join.
+    "q84_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val withB = e.withColumn("b", expr("us DIV 600000000"))
+      val left = withB.select(col("user_id").as("u"), col("event_id").as("id1"),
+        col("us").as("s1"), col("b"))
+      val right0 = withB.select(col("user_id").as("u"), col("event_id").as("id2"),
+        col("us").as("s2"), col("b"))
+      val right = right0.unionByName(right0.withColumn("b", col("b") - 1))
+      left.join(right, Seq("u", "b"))
+        .filter(col("s1") < col("s2") && col("s2") - col("s1") <= 600000000L)
+        .select(col("u").as("user_id"), col("id1"), col("id2"))
+        .distinct()
+        .orderBy("user_id", "id1", "id2")
+    }),
+
+    // Gap detection: per user, intervals with no events for > 2 hours.
+    "q85_gap_detect" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 7200L * 1000000L)
+        .select(col("user_id"), col("prev_ts").as("gap_start"),
+          col("ts").as("gap_end"),
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+        .orderBy("user_id", "gap_start")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q80_tumbling_window" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+          count(*) AS n, ${oSum("value")} AS total_value
+          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q81_sliding_window" ->
+      s"""WITH assigned AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events)
+          SELECT window_start, count(*) AS n, ${oSum("value")} AS total_value
+          FROM assigned GROUP BY 1 ORDER BY window_start""",
+
+    "q82_sessionize" ->
+      s"""WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          sessions AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM flagged)
+          SELECT user_id, session_id, min(ts) AS session_start,
+                 max(ts) AS session_end, count(*) AS n_events,
+                 ${oSum("value")} AS session_value
+          FROM sessions GROUP BY user_id, session_id
+          ORDER BY user_id, session_id""",
+
+    "q83_asof_join" ->
+      """WITH ord AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate)
+          SELECT e.event_id, e.user_id, o.o_orderkey AS asof_order
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+          ASOF LEFT JOIN ord o
+            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+          ORDER BY e.event_id""",
+
+    "q84_range_join" ->
+      """SELECT a.user_id, a.event_id AS id1, b.event_id AS id2
+          FROM events a JOIN events b
+            ON a.user_id = b.user_id
+           AND b.ts > a.ts
+           AND epoch_us(b.ts) - epoch_us(a.ts) <= 600 * 1000000
+          ORDER BY a.user_id, id1, id2""",
+
+    "q85_gap_detect" ->
+      """SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+                 epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+          FROM (SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events)
+          WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) > 7200000000
+          ORDER BY user_id, gap_start"""
+  )
+}
