@@ -32,7 +32,11 @@ object SparkEntry {
     Seq(
       (ops.CoreQueries.queries, ops.CoreQueries.oracles),
       (ops.RelationalQueries.queries, ops.RelationalQueries.oracles),
-      (ops.EventQueries.queries, ops.EventQueries.oracles)
+      (ops.EventQueries.queries, ops.EventQueries.oracles),
+      (ext.DedupQueries.queries, ext.DedupQueries.oracles),
+      (ext.SimilarityQueries.queries, ext.SimilarityQueries.oracles),
+      (ext.TextQueries.queries, ext.TextQueries.oracles),
+      (ext.Multimodal.queries, ext.Multimodal.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

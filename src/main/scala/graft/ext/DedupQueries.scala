@@ -1,0 +1,247 @@
+package graft.ext
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact hash,
+  * MinHash+LSH banding, SimHash fingerprints, n-gram Jaccard verification,
+  * and embedding near-dup via sign-LSH (random hyperplanes).
+  *
+  * The raw `documents` table has no duplicate texts, so every query plants
+  * duplicates deterministically: corpus = documents ∪ exact copies
+  * (doc_id+1M) ∪ first-word-dropped near copies (doc_id+2M). The same CTE is
+  * used in the DuckDB oracle, so the planted structure is verified too.
+  *
+  * 100 TB design notes:
+  *  - never O(n²): MinHash pairs come from band-bucket equi-joins (groups
+  *    are tiny); Jaccard verification is candidate-driven (cost ∝ pairs ×
+  *    shingles-per-doc, not corpus²); embedding pairs come from 12-bit
+  *    sign-LSH buckets.
+  *  - one MD5 per shingle, split into 8×16-bit minhash lanes — hashing is
+  *    the dominant cost at scale, so don't hash k times.
+  *  - SimHash contributions are computed once per VOCABULARY WORD and
+  *    broadcast-joined to (doc, word, count) — the per-word hash work is
+  *    O(|vocab|), not O(corpus tokens).
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 10)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", expr("slice(words, 2, size(words) - 1)")).as("text"))
+    docs.unionByName(copies).unionByName(near)
+  }
+
+  private val corpusSql =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         UNION ALL SELECT doc_id + 2000000 AS doc_id,
+                          array_to_string(str_split(text, ' ')[2:], ' ') AS text
+                   FROM documents WHERE len(str_split(text, ' ')) >= 10)"""
+
+  /** Distinct word-3-gram shingles per doc (shared by q41/q43). */
+  private def shingles(c: DataFrame): DataFrame =
+    c.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("words")) - 2)).as("pos"), col("words"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', element_at(words, pos), element_at(words, pos + 1), element_at(words, pos + 2))").as("shingle"))
+      .distinct()
+
+  private val shinglesSql =
+    """tok AS (SELECT doc_id, str_split(text, ' ') AS words FROM corpus
+               WHERE len(str_split(text, ' ')) >= 3),
+       posn AS (SELECT doc_id, words,
+                       unnest(generate_series(1, len(words) - 2)) AS pos FROM tok),
+       sh AS (SELECT DISTINCT doc_id,
+                     words[pos] || ' ' || words[pos+1] || ' ' || words[pos+2] AS shingle
+              FROM posn)"""
+
+  /** MinHash signature: one MD5 per shingle, 8 lanes of 4 hex chars. */
+  private def minhash(sh: DataFrame): DataFrame = {
+    val aggs = (0 until 8).map(i =>
+      min(substring(md5(col("shingle")), 1 + 4 * i, 4)).as(s"m$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val minhashSql = {
+    val lanes = (0 until 8).map(i =>
+      s"min(substr(md5(shingle), ${1 + 4 * i}, 4)) AS m$i").mkString(", ")
+    s"mh AS (SELECT doc_id, $lanes FROM sh GROUP BY doc_id)"
+  }
+
+  /** Band table: 4 bands of 2 lanes each. */
+  private def bandTable(mh: DataFrame): DataFrame =
+    mh.select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+
+  private val bandSql = (0 until 4).map(b =>
+    s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS bh FROM mh")
+    .mkString("bands AS (", " UNION ALL ", ")")
+
+  private def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("bh"), col("doc_id").as("id1"))
+    val b = bands.select(col("band"), col("bh"), col("doc_id").as("id2"))
+    a.join(b, Seq("band", "bh")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  private val pairsSql =
+    """pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+
+  def queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy, keep the smallest id as representative.
+    "q40_dedup_exact" -> ((s, d) => {
+      corpus(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+
+    // MinHash + LSH banding near-dup candidates.
+    "q41_minhash_lsh" -> ((s, d) =>
+      candidatePairs(bandTable(minhash(shingles(corpus(s, d)))))
+        .orderBy("id1", "id2")),
+
+    // SimHash 16-bit fingerprint per document (vocab-level hashing).
+    "q42_simhash" -> ((s, d) => {
+      val cnts = corpus(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      val bitCols = (0 until 16).map { j =>
+        val charIdx = j / 4 + 1
+        val div = 1 << (j % 4)
+        expr(s"2 * (((instr('0123456789abcdef', substring(md5(word), $charIdx, 1)) - 1) div $div) % 2) - 1").as(s"c$j")
+      }
+      val wb = cnts.select("word").distinct().select(col("word") +: bitCols: _*)
+      val sumCols = (0 until 16).map(j => sum(col("cnt") * col(s"c$j")).as(s"s$j"))
+      val sums = cnts.join(broadcast(wb), "word")
+        .groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+      sums.select(col("doc_id"),
+          (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact n-gram Jaccard, verified only on LSH candidate pairs.
+    "q43_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(corpus(s, d))
+      val pairs = candidatePairs(bandTable(minhash(sh)))
+      val shA = sh.select(col("doc_id").as("id1"), col("shingle"))
+      val shB = sh.select(col("doc_id").as("id2"), col("shingle"))
+      val inter = pairs.join(shA, "id1").join(shB, Seq("id2", "shingle"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.select(col("doc_id").as("id1"), col("c").as("ca")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("c").as("cb")), "id2")
+        .select(col("id1"), col("id2"),
+          (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
+    // Embedding near-dup: sign-LSH (2 bands × 12 hyperplane bits) →
+    // candidate pairs → exact cosine → global top-20.
+    "q44_embedding_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val sig = e.select(col("vec_id"), col("embedding"),
+        VectorOps.signBucket(col("embedding"), 0, 12, 64).as("band0"),
+        VectorOps.signBucket(col("embedding"), 12, 24, 64).as("band1"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+      val bands = sig.select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(array(
+            struct(lit(0).as("band"), col("band0").as("bh")),
+            struct(lit(1).as("band"), col("band1").as("bh")))).as("e2"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("e2.band").as("band"), col("e2.bh").as("bh"))
+      val l = bands.select(col("band"), col("bh"), col("vec_id").as("id1"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val r = bands.select(col("band"), col("bh"), col("vec_id").as("id2"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      l.join(r, Seq("band", "bh")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          (VectorOps.dotSeq(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+        .distinct()
+        .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
+        .limit(20)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      s"""WITH $corpusSql
+          SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+          FROM corpus GROUP BY md5(text) ORDER BY keep_id""",
+
+    "q41_minhash_lsh" ->
+      s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+          ORDER BY id1, id2""",
+
+    "q42_simhash" -> {
+      val bitExprs = (0 until 16).map { j =>
+        val charIdx = j / 4 + 1
+        val div = 1 << (j % 4)
+        s"2 * (((strpos('0123456789abcdef', substr(md5(word), $charIdx, 1)) - 1) // $div) % 2) - 1 AS c$j"
+      }.mkString(", ")
+      val sumExprs = (0 until 16).map(j => s"sum(cnt * c$j) AS s$j").mkString(", ")
+      val fpExpr = (0 until 16).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH $corpusSql,
+          wrds AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM corpus),
+          cnts AS (SELECT doc_id, word, count(*) AS cnt FROM wrds GROUP BY 1, 2),
+          wb AS (SELECT word, $bitExprs FROM (SELECT DISTINCT word FROM cnts)),
+          sums AS (SELECT doc_id, $sumExprs
+                   FROM cnts JOIN wb USING (word) GROUP BY doc_id)
+          SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash
+          FROM sums ORDER BY doc_id"""
+    },
+
+    "q43_ngram_jaccard" ->
+      s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql, $pairsSql,
+          inter AS (SELECT p.id1, p.id2, count(*) AS i
+                    FROM pairs p
+                    JOIN sh a ON a.doc_id = p.id1
+                    JOIN sh b ON b.doc_id = p.id2 AND b.shingle = a.shingle
+                    GROUP BY p.id1, p.id2),
+          sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id)
+          SELECT i1.id1, i1.id2, i1.i / (sa.c + sb.c - i1.i) AS jaccard
+          FROM inter i1
+          JOIN sizes sa ON sa.doc_id = i1.id1
+          JOIN sizes sb ON sb.doc_id = i1.id2
+          ORDER BY i1.id1, i1.id2""",
+
+    "q44_embedding_neardup" -> {
+      val b0 = VectorOps.oSignBucket("embedding", 0, 12, 64)
+      val b1 = VectorOps.oSignBucket("embedding", 12, 24, 64)
+      s"""WITH sig AS (SELECT vec_id, embedding, $b0 AS band0, $b1 AS band1,
+                              ${VectorOps.oNorm("embedding")} AS nrm
+                       FROM embeddings),
+          bands AS (SELECT vec_id, embedding, nrm, 0 AS band, band0 AS bh FROM sig
+                    UNION ALL
+                    SELECT vec_id, embedding, nrm, 1 AS band, band1 AS bh FROM sig),
+          cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+                          ${VectorOps.oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
+          SELECT id1, id2, cos_sim FROM cand
+          ORDER BY cos_sim DESC, id1, id2 LIMIT 20"""
+    }
+  )
+}

@@ -1,0 +1,126 @@
+package graft.ext
+
+import graft.Tables
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *  - q50: brute-force cosine top-k — the recall-1 baseline. The query set
+  *    is tiny and BROADCAST; the big side streams map-only (no shuffle of
+  *    the corpus), so this scales linearly with corpus size at 100 TB.
+  *  - q51: IVF-style ANN — assign every vector to its nearest of 16
+  *    deterministic pseudo-centroids (cells), probe the 4 cells nearest to
+  *    each query, search only those cells. The cell assignment is the
+  *    O(n·C) map-only pass; the search touches ~C/4 of the corpus. On a
+  *    real deployment centroids come from k-means and the assignment is
+  *    written bucketed-by-cell so probes prune at the file level.
+  *
+  * Norms are computed once per vector and carried, never recomputed inside
+  * pair scoring. All folds sequential-double (see [[VectorOps]]).
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+
+  private val normedSql =
+    s"n AS (SELECT vec_id, embedding, ${VectorOps.oNorm("embedding")} AS nrm FROM embeddings)"
+
+  def queries: Map[String, Q] = Map(
+    "q50_knn_brute" -> ((s, d) => {
+      val n = normed(s, d)
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val scored = n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos_sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos_sim")
+        .orderBy("qid", "rank")
+    }),
+
+    "q51_ivf_ann" -> ((s, d) => {
+      val n = normed(s, d)
+      val cent = n.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      // cell assignment: map-only pass against broadcast centroids
+      val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+      val assign = n.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+          (VectorOps.dotSeq(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
+        .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      // probe the 4 nearest cells per query
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val pw = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cent_id"))
+      val probes = q.crossJoin(broadcast(cent))
+        .select(col("qid"), col("qe"), col("qn"), col("cent_id"),
+          (VectorOps.dotSeq(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("pcos"))
+        .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 4)
+        .select(col("qid"), col("qe"), col("qn"), col("cent_id").as("cell"))
+      // search only probed cells
+      val rw = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+      probes.join(assign, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos_sim"))
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos_sim")
+        .orderBy("qid", "rank")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q50_knn_brute" ->
+      s"""WITH $normedSql,
+          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+          scored AS (SELECT q.qid, n.vec_id,
+                            ${VectorOps.oDot("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cos_sim
+                     FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+          ranked AS (SELECT qid, vec_id, cos_sim,
+                            row_number() OVER (PARTITION BY qid
+                                               ORDER BY cos_sim DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT qid, rank, vec_id, cos_sim FROM ranked
+          WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q51_ivf_ann" ->
+      s"""WITH $normedSql,
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+          ac AS (SELECT n.vec_id, n.embedding, n.nrm, cent.cent_id,
+                        ${VectorOps.oDot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) AS ccos
+                 FROM n CROSS JOIN cent),
+          assign AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+          pc AS (SELECT q.qid, q.qe, q.qn, cent.cent_id,
+                        ${VectorOps.oDot("q.qe", "cent.ce")} / (q.qn * cent.cn) AS pcos
+                 FROM q CROSS JOIN cent),
+          probes AS (SELECT qid, qe, qn, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY qid
+                                                    ORDER BY pcos DESC, cent_id) AS prn
+                       FROM pc) WHERE prn <= 4),
+          cand AS (SELECT p.qid, a.vec_id,
+                          ${VectorOps.oDot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cos_sim
+                   FROM probes p JOIN assign a ON a.cell = p.cell
+                   WHERE a.vec_id <> p.qid),
+          ranked AS (SELECT qid, vec_id, cos_sim,
+                            row_number() OVER (PARTITION BY qid
+                                               ORDER BY cos_sim DESC, vec_id) AS rank
+                     FROM cand)
+          SELECT qid, rank, vec_id, cos_sim FROM ranked
+          WHERE rank <= 5 ORDER BY qid, rank"""
+  )
+}

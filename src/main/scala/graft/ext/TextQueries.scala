@@ -1,0 +1,157 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.{davg, dsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language-ID
+  * (stopword heuristic), quality scoring, token counting, document
+  * fingerprinting, n-gram stats. All run as single scan → explode/groupBy
+  * pipelines — the shuffles are keyed on doc_id or the n-gram itself, both
+  * high-cardinality, so they parallelize cleanly at 100 TB.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val en = Seq("the", "and", "of", "to", "a", "in", "is")
+  private val de = Seq("der", "die", "das", "und", "ist", "nicht")
+  private val es = Seq("el", "la", "los", "que", "por", "una")
+  private val fr = Seq("le", "les", "des", "est", "dans", "pour")
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def queries: Map[String, Q] = Map(
+    // Language-ID confusion matrix: labeled lang × stopword-predicted lang.
+    "q60_lang_id" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      val scores = words.groupBy("doc_id", "lang").agg(
+        count(when(col("word").isin(en: _*), 1)).as("s_en"),
+        count(when(col("word").isin(de: _*), 1)).as("s_de"),
+        count(when(col("word").isin(es: _*), 1)).as("s_es"),
+        count(when(col("word").isin(fr: _*), 1)).as("s_fr"))
+      val pred = scores.withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+             col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+                col("s_de") > 0, "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und"))
+      pred.groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Quality scoring: length/word-shape/stopword-ratio heuristics.
+    "q61_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")))
+        .withColumn("n_stop",
+          size(filter(col("words"), w => w.isin((en ++ de ++ es ++ fr): _*))))
+        .withColumn("stop_ratio", col("n_stop") / col("n_words"))
+        .withColumn("avg_word_len",
+          (length(col("text")) - (col("n_words") - 1)) / col("n_words"))
+        .withColumn("quality_bucket",
+          when(col("n_words") < 30, "too_short")
+            .when(col("stop_ratio") > 0.15, "stopword_heavy")
+            .when(col("avg_word_len") > 5.5, "long_words")
+            .otherwise("ok"))
+        .select("doc_id", "n_words", "n_stop", "stop_ratio", "avg_word_len", "quality_bucket")
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace split vs a BPE-ish regex tokenizer.
+    "q62_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("re_tokens"),
+          size(array_distinct(split(col("text"), " "))).as("distinct_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprint: normalize → hash → group (content clustering).
+    "q63_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .select("keep_id", "fp", "n")
+        .orderBy("keep_id")
+    }),
+
+    // Corpus-level top word-bigrams.
+    "q64_top_bigrams" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 2)
+        .select(explode(sequence(lit(1), size(col("words")) - 1)).as("pos"), col("words"))
+        .select(expr("concat_ws(' ', element_at(words, pos), element_at(words, pos + 1))").as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(30)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q60_lang_id" ->
+      s"""WITH wrds AS (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS word
+                        FROM documents),
+          scores AS (SELECT doc_id, lang,
+                       count(CASE WHEN word IN ${inList(en)} THEN 1 END) AS s_en,
+                       count(CASE WHEN word IN ${inList(de)} THEN 1 END) AS s_de,
+                       count(CASE WHEN word IN ${inList(es)} THEN 1 END) AS s_es,
+                       count(CASE WHEN word IN ${inList(fr)} THEN 1 END) AS s_fr
+                     FROM wrds GROUP BY doc_id, lang),
+          pred AS (SELECT lang,
+                     CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                          WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                          WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                          WHEN s_fr > 0 THEN 'fr'
+                          ELSE 'und' END AS predicted
+                   FROM scores)
+          SELECT lang, predicted, count(*) AS n_docs FROM pred
+          GROUP BY lang, predicted ORDER BY lang, predicted""",
+
+    "q61_quality_score" ->
+      s"""SELECT doc_id,
+            CAST(len(str_split(text, ' ')) AS INTEGER) AS n_words,
+            CAST(len(list_filter(str_split(text, ' '),
+                 w -> w IN ${inList(en ++ de ++ es ++ fr)})) AS INTEGER) AS n_stop,
+            len(list_filter(str_split(text, ' '),
+                 w -> w IN ${inList(en ++ de ++ es ++ fr)})) / len(str_split(text, ' ')) AS stop_ratio,
+            (length(text) - (len(str_split(text, ' ')) - 1)) / len(str_split(text, ' ')) AS avg_word_len,
+            CASE WHEN len(str_split(text, ' ')) < 30 THEN 'too_short'
+                 WHEN len(list_filter(str_split(text, ' '),
+                      w -> w IN ${inList(en ++ de ++ es ++ fr)})) / len(str_split(text, ' ')) > 0.15
+                   THEN 'stopword_heavy'
+                 WHEN (length(text) - (len(str_split(text, ' ')) - 1)) / len(str_split(text, ' ')) > 5.5
+                   THEN 'long_words'
+                 ELSE 'ok' END AS quality_bucket
+          FROM documents ORDER BY doc_id""",
+
+    "q62_token_count" ->
+      """SELECT doc_id,
+            CAST(len(str_split(text, ' ')) AS INTEGER) AS ws_tokens,
+            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS re_tokens,
+            CAST(len(list_distinct(str_split(text, ' '))) AS INTEGER) AS distinct_tokens
+          FROM documents ORDER BY doc_id""",
+
+    "q63_fingerprint" ->
+      """WITH fps AS (SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM documents)
+          SELECT min(doc_id) AS keep_id, fp, count(*) AS n
+          FROM fps GROUP BY fp ORDER BY keep_id""",
+
+    "q64_top_bigrams" ->
+      """WITH tok AS (SELECT str_split(text, ' ') AS words FROM documents
+                      WHERE len(str_split(text, ' ')) >= 2),
+          posn AS (SELECT words, unnest(generate_series(1, len(words) - 1)) AS pos FROM tok),
+          bg AS (SELECT words[pos] || ' ' || words[pos+1] AS bigram FROM posn)
+          SELECT bigram, count(*) AS n FROM bg
+          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30"""
+  )
+}

@@ -24,6 +24,7 @@ def norm(df):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         if str(df[c].dtype) == "object":
             import datetime
+            df[c] = df[c].map(lambda v: bytes(v) if isinstance(v, (bytearray, memoryview)) else v)
             if df[c].map(lambda v: v is None or isinstance(v, datetime.date)).all() \
                     and df[c].notna().any():
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
