@@ -33,6 +33,7 @@ object SparkEntry {
       (ops.CoreQueries.queries, ops.CoreQueries.oracles),
       (ops.RelationalQueries.queries, ops.RelationalQueries.oracles),
       (ops.EventQueries.queries, ops.EventQueries.oracles),
+      (ops.ManifestFsQueries.queries, ops.ManifestFsQueries.oracles),
       (ext.DedupQueries.queries, ext.DedupQueries.oracles),
       (ext.SimilarityQueries.queries, ext.SimilarityQueries.oracles),
       (ext.TextQueries.queries, ext.TextQueries.oracles),

@@ -1,0 +1,81 @@
+package graft.manifest
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's core capability — inventory a storage location into a
+  * 5-column Parquet manifest — rebuilt on Spark.
+  *
+  * Schema per reference `/root/reference/src/main.rs:135-145` (README.md:61-67):
+  * Bucket, Key, FileName, Size, LastModified — all non-null, with the
+  * reference's sentinel semantics (missing key → "", missing size → 0,
+  * unparseable timestamp → epoch 0; src/main.rs:373,379,386) and
+  * FileName = substring after the LAST delimiter (src/main.rs:376-377).
+  *
+  * Two paths:
+  *  - [[fromDir]]: driver-side Hadoop FS listing → Dataset. Fine for
+  *    control-plane-sized listings (≤ ~1M objects).
+  *  - the `graft.sources.FsListSource` DataSource V2 table: listing work
+  *    itself is sharded across executors (one partition per top-level
+  *    child, the Spark analog of the reference's sequential
+  *    ListObjectsV2 loop at src/main.rs:187-257 — which this
+  *    parallelizes away). Use for bucket-scale inventories.
+  */
+object ManifestGen {
+  val schema: StructType = StructType(Seq(
+    StructField("Bucket", StringType, nullable = false),
+    StructField("Key", StringType, nullable = false),
+    StructField("FileName", StringType, nullable = false),
+    StructField("Size", LongType, nullable = false),
+    StructField("LastModified", TimestampType, nullable = false)))
+
+  case class ManifestEntry(Bucket: String, Key: String, FileName: String,
+                           Size: Long, LastModified: java.sql.Timestamp)
+
+  /** List `dir` (recursively) into a manifest DataFrame. Key is the
+    * scheme-less absolute path; Bucket is the listing root's basename —
+    * the local-FS analog of (bucket, key). */
+  def fromDir(spark: SparkSession, dir: String, delimiter: String = "/"): DataFrame = {
+    import spark.implicits._
+    val root = new Path(dir)
+    val fs = root.getFileSystem(new Configuration())
+    val bucket = root.getName
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      buf += ((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+    }
+    val listed = spark.createDataset(buf.toSeq)
+      .toDF("Key", "Size", "mtime_ms")
+    applyManifestSemantics(listed, bucket, delimiter)
+  }
+
+  /** Reference scalar semantics over a raw (Key, Size, mtime_ms) listing. */
+  def applyManifestSemantics(listed: DataFrame, bucket: String,
+                             delimiter: String): DataFrame =
+    listed.select(
+      lit(bucket).as("Bucket"),
+      coalesce(col("Key"), lit("")).as("Key"),
+      substring_index(coalesce(col("Key"), lit("")), delimiter, -1).as("FileName"),
+      coalesce(col("Size"), lit(0L)).as("Size"),
+      coalesce(timestamp_millis(col("mtime_ms")),
+        timestamp_millis(lit(0L))).as("LastModified"))
+
+  /** Write a manifest; mirrors the reference's Parquet sink
+    * (src/main.rs:156-165) but via Spark's writer — snappy, dictionary,
+    * column stats, streamed multipart on s3a:// (no temp-file staging or
+    * whole-file RAM buffering as in src/main.rs:327-329). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Read a manifest back, tolerating reference-written UINT_64 Size
+    * (Spark maps Parquet UINT_64 to DecimalType(20,0) — normalize). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.withColumn("Size", col("Size").cast(LongType))
+  }
+}

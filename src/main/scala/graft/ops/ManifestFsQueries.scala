@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.manifest.ManifestGen
+import graft.streaming.StreamingPipelines
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Live filesystem manifests (the reference's actual job) plus the
+  * streaming-engine query. The DuckDB oracles for q90/q91 use read_blob()
+  * over the t2 directory — they hardcode the sf0.01 path because oracle
+  * SQL has no parameter channel; at any other scale factor these two
+  * degrade to rows-only checks.
+  */
+object ManifestFsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val t2Dir = "/root/testdata/sf0.01"
+
+  def queries: Map[String, Q] = Map(
+    // Driver-side listing path (control-plane sized inventories).
+    "q90_manifest_fs" -> ((s, d) => {
+      ManifestGen.fromDir(s, d)
+        .select("Bucket", "Key", "FileName", "Size")
+        .orderBy("Key")
+    }),
+
+    // DSv2 scale path: executor-side sharded listing with prefix pushdown.
+    "q91_fslist_source" -> ((s, d) => {
+      s.read.format("graft.sources.FsListSource").option("path", d).load()
+        .filter(col("Key").startsWith(s"$d/c"))
+        .select("Bucket", "Key", "FileName", "Size")
+        .orderBy("Key")
+    }),
+
+    // Manifest write → read round-trip, then a query on the round-tripped
+    // manifest (exercises the Parquet sink + Size normalization on read).
+    "q92_manifest_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+      val m = ManifestGen.fromDir(s, d)
+      ManifestGen.write(m, out)
+      ManifestGen.read(s, out)
+        .groupBy("Bucket")
+        .agg(count(lit(1)).as("n_files"), sum(col("Size")).as("total_bytes"),
+          max(col("FileName")).as("max_name"))
+        .orderBy("Bucket")
+    }),
+
+    // Real Structured Streaming execution (file source → watermark →
+    // tumbling windows → memory sink), result equal to the batch twin q80.
+    "q86_stream_tumbling" -> ((s, d) => {
+      val agg = StreamingPipelines.tumblingCounts(StreamingPipelines.eventsStream(s, d))
+      StreamingPipelines.runToCompletion(s, agg)
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q90_manifest_fs" ->
+      s"""SELECT 'sf0.01' AS Bucket, filename AS Key,
+            str_split(filename, '/')[-1] AS FileName,
+            CAST(size AS BIGINT) AS Size
+          FROM read_blob('$t2Dir/*')
+          ORDER BY Key""",
+
+    "q91_fslist_source" ->
+      s"""SELECT 'sf0.01' AS Bucket, filename AS Key,
+            str_split(filename, '/')[-1] AS FileName,
+            CAST(size AS BIGINT) AS Size
+          FROM read_blob('$t2Dir/*')
+          WHERE filename LIKE '$t2Dir/c%'
+          ORDER BY Key""",
+
+    "q92_manifest_roundtrip" ->
+      s"""SELECT 'sf0.01' AS Bucket, CAST(count(*) AS BIGINT) AS n_files,
+            CAST(sum(size) AS BIGINT) AS total_bytes,
+            max(str_split(filename, '/')[-1]) AS max_name
+          FROM read_blob('$t2Dir/*')""",
+
+    "q86_stream_tumbling" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+          count(*) AS n, ${oSum("value")} AS total_value
+          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+  )
+}

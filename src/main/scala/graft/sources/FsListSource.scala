@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, StringStartsWith}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 "fslist": expose a filesystem listing as a table with the
+  * reference manifest schema. This is the scale path for manifest
+  * generation: where the reference pages ListObjectsV2 sequentially on one
+  * thread (/root/reference/src/main.rs:187-257, 1000 keys per round-trip),
+  * this source plans one InputPartition per top-level child of the root,
+  * and each EXECUTOR lists its shard — listing throughput scales with the
+  * cluster, not the page-size×RTT product.
+  *
+  * Pushdown: a `Key LIKE 'prefix%'` filter prunes whole shards whose path
+  * can't match (the DSv2 analog of the server-side `prefix` parameter in
+  * the List request, src/main.rs:190). Filters are still reported back as
+  * residual so Spark re-applies them — mirroring the reference's defensive
+  * client-side re-check (src/main.rs:210-219) and keeping correctness
+  * independent of pruning.
+  *
+  * Usage: spark.read.format("graft.sources.FsListSource")
+  *                  .option("path", dir).option("delimiter", "/").load()
+  */
+class FsListSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    graft.manifest.ManifestGen.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new FsListTable(properties.get("path"),
+      Option(properties.get("delimiter")).getOrElse("/"))
+}
+
+class FsListTable(path: String, delimiter: String) extends Table with SupportsRead {
+  require(path != null, "fslist requires .option(\"path\", ...)")
+  override def name(): String = s"fslist($path)"
+  override def schema(): StructType = graft.manifest.ManifestGen.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FsListScanBuilder(path, delimiter)
+}
+
+class FsListScanBuilder(path: String, delimiter: String)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var prefix: Option[String] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.collect { case f @ StringStartsWith("Key", p) => prefix = Some(p); f }
+    filters // all residual: Spark re-applies (defensive re-check semantics)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new FsListScan(path, delimiter, prefix)
+}
+
+class FsListScan(path: String, delimiter: String, prefix: Option[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = graft.manifest.ManifestGen.schema
+  override def toBatch: Batch = this
+
+  /** One shard per top-level child; shards whose path can't contain the
+    * pushed prefix are pruned at planning time. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    val bucket = root.getName
+    val children = fs.listStatus(root)
+    val shards = children.iterator.map(_.getPath).filter { p =>
+      prefix.forall { pre =>
+        val cp = p.toUri.getPath
+        // keep if this subtree could contain keys starting with `pre`
+        cp.startsWith(pre) || pre.startsWith(cp)
+      }
+    }.map(p => FsListPartition(p.toUri.getPath, bucket): InputPartition).toArray
+    if (shards.isEmpty) Array(FsListPartition(root.toUri.getPath, bucket))
+    else shards
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FsListReaderFactory(delimiter)
+}
+
+case class FsListPartition(shardPath: String, bucket: String) extends InputPartition
+
+class FsListReaderFactory(delimiter: String) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FsListReader(partition.asInstanceOf[FsListPartition], delimiter)
+}
+
+/** Executor-side recursive listing of one shard. */
+class FsListReader(p: FsListPartition, delimiter: String)
+    extends PartitionReader[InternalRow] {
+  private val fs = new Path(p.shardPath).getFileSystem(new Configuration())
+  private val it = {
+    val path = new Path(p.shardPath)
+    if (fs.getFileStatus(path).isDirectory) fs.listFiles(path, true)
+    else null
+  }
+  private var single = it == null // shard is a plain file
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (single) {
+      val st = fs.getFileStatus(new Path(p.shardPath))
+      current = toRow(st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
+      single = false
+      return true
+    }
+    if (it != null && it.hasNext) {
+      val st = it.next()
+      current = toRow(st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
+      true
+    } else false
+  }
+
+  private def toRow(key: String, size: Long, mtimeMs: Long): InternalRow = {
+    val k = if (key == null) "" else key
+    val fileName = {
+      val idx = k.lastIndexOf(delimiter)
+      if (delimiter.isEmpty || idx < 0) k else k.substring(idx + delimiter.length)
+    }
+    InternalRow(
+      UTF8String.fromString(p.bucket),
+      UTF8String.fromString(k),
+      UTF8String.fromString(fileName),
+      size,
+      mtimeMs * 1000L) // TimestampType micros
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

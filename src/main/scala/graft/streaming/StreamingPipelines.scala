@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.ops.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the events stream. The batch twins
+  * (q80/q82) are the DuckDB-verifiable semantics; these run the same logic
+  * through the streaming engine — file source → watermark → windowed /
+  * stateful aggregation → sink.
+  */
+object StreamingPipelines {
+
+  /** Streaming read of the events table (nanos ts normalized, as in
+    * [[graft.Tables.events]]). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling 1h windows with a 10-minute watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
+  /** Run a streaming aggregation to completion against the (finite) file
+    * source and return the final result table. Complete output mode makes
+    * the result equal to the batch aggregation — that is what the DuckDB
+    * oracle checks. */
+  def runToCompletion(spark: SparkSession, agg: DataFrame): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----
+
+  case class Ev(user_id: Long, tsMicros: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Long, total_value: Double)
+
+  /** Custom stateful operator: emit a session whenever a 30-minute gap is
+    * observed within a user's (event-time-ordered) stream. Demonstrates
+    * KeyValueGroupedDataset.flatMapGroupsWithState with explicit state;
+    * exercised by ScalaTest against the batch sessionization (q82). */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    val typed = events.select(col("user_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("value")).as[Ev]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.value))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            if (st == null) st = SessionState(e.tsMicros, e.tsMicros, 0L, 0.0)
+            else if (e.tsMicros - st.last > gapUs) {
+              out += SessionOut(uid, new java.sql.Timestamp(st.start / 1000), st.n, st.sum)
+              st = SessionState(e.tsMicros, e.tsMicros, 0L, 0.0)
+            }
+            st = st.copy(last = e.tsMicros, n = st.n + 1, sum = st.sum + e.value)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }.toDF()
+  }
+}
