@@ -1,0 +1,92 @@
+package graft
+
+import graft.ext.{DedupQueries, Multimodal, SimilarityQueries}
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the LLM-pipeline operators (beyond oracle parity). */
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotSeq matches a plain Scala fold") {
+    val df = Seq((Array(0.5f, -1.0f, 2.0f), Array(1.0f, 2.0f, 0.25f)))
+      .toDF("a", "b")
+    val got = df.select(VectorOps.dotSeq(col("a"), col("b"))).as[Double].head()
+    val want = Seq(0.5 * 1.0, -1.0 * 2.0, 2.0 * 0.25).foldLeft(0.0)(_ + _)
+    assert(got == want)
+  }
+
+  test("hyperplanes are deterministic and non-trivial") {
+    val h1 = VectorOps.hyperplane(3, 64)
+    val h2 = VectorOps.hyperplane(3, 64)
+    assert(h1.toSeq == h2.toSeq)
+    assert(h1.distinct.length > 10)
+    assert(h1.forall(v => v >= -127.5 && v <= 127.5))
+  }
+
+  test("exact dedup finds every planted duplicate group") {
+    val res = DedupQueries.queries("q40_dedup_exact")(spark, sf)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    // 500 originals, each duplicated exactly (+1M copy); near copies (+2M)
+    // differ in text so they form their own groups of 1
+    val groups = res.filter(_._2 >= 2)
+    assert(groups.length == 500)
+    assert(groups.forall(_._2 == 2))
+    assert(groups.forall(_._1 < 1000000))
+  }
+
+  test("minhash LSH recalls all exact-copy pairs") {
+    val pairs = DedupQueries.queries("q41_minhash_lsh")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    // identical texts share every band → every (id, id+1M) pair must appear
+    val docIds = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
+    val expected = docIds.map(id => (id, id + 1000000L)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+
+  test("jaccard on near-copies is high, on exact copies is 1.0") {
+    val jac = DedupQueries.queries("q43_ngram_jaccard")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    // (x, x+1M) is original vs exact copy; (x+1M, x+2M) also differs by 1M
+    // but is copy vs word-dropped near-dup — exclude by requiring id1 < 1M
+    val exact = jac.filter { case (a, b, _) => a < 1000000L && b == a + 1000000L }
+    assert(exact.nonEmpty && exact.forall(_._3 == 1.0))
+    val near = jac.filter { case (a, b, _) => b == a + 2000000L }
+    assert(near.nonEmpty && near.forall(_._3 > 0.7))
+  }
+
+  test("brute-force kNN self-consistency: scores sorted, no self-matches") {
+    val res = SimilarityQueries.queries("q50_knn_brute")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(res.length == 50) // 10 queries × top-5
+    res.groupBy(_._1).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      assert(rows.forall(_._3 != qid))
+    }
+  }
+
+  test("IVF ANN returns valid neighbors with bounded recall loss") {
+    val brute = SimilarityQueries.queries("q50_knn_brute")(spark, sf)
+      .filter(col("rank") === 1).select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    val ivf = SimilarityQueries.queries("q51_ivf_ann")(spark, sf)
+      .filter(col("rank") === 1).select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    assert(ivf.keySet == brute.keySet)
+    // 4-of-16 probes: at least some queries' true top-1 lives in a probed cell
+    val agree = brute.count { case (q, v) => ivf.get(q).contains(v) }
+    assert(agree >= 3, s"IVF top-1 agreed on only $agree/10 queries")
+  }
+
+  test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
+    val payload = "hello world".getBytes("UTF-8")
+    assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
+    val media = Tables.documents(spark, sf).limit(10)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val out = Multimodal.decodeAll(spark, media)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("doc_id", "byte_len", "width", "height", "n_frames", "fmt"))
+    val rows = out.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getInt(2) >= 64 && r.getInt(2) < 64 + 256))
+  }
+}

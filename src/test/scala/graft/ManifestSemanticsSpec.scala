@@ -1,0 +1,86 @@
+package graft
+
+import graft.manifest.ManifestGen
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+/** Reference scalar semantics (/root/reference/src/main.rs:361-390):
+  * FileName = after-last-delimiter, null sentinels, epoch-0 fallback. */
+class ManifestSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fileName(key: String, delim: String): String = {
+    val listed = Seq((key, 1L, 0L)).toDF("Key", "Size", "mtime_ms")
+    ManifestGen.applyManifestSemantics(listed, "b", delim)
+      .select("FileName").as[String].head()
+  }
+
+  test("FileName = substring after last delimiter") {
+    assert(fileName("a/b/c.txt", "/") == "c.txt")
+    assert(fileName("no-delim", "/") == "no-delim")        // absent → whole key
+    assert(fileName("trailing/", "/") == "")               // trailing → empty
+    assert(fileName("a//b", "/") == "b")
+    assert(fileName("xZZyZZz", "ZZ") == "z")               // multi-char delim
+  }
+
+  test("null sentinels: missing key → empty, missing size → 0, missing mtime → epoch 0") {
+    val listed = Seq((Option.empty[String], Option.empty[Long], Option.empty[Long]))
+      .toDF("Key", "Size", "mtime_ms")
+    val row = ManifestGen.applyManifestSemantics(listed, "b", "/").head()
+    assert(row.getString(1) == "")
+    assert(row.getLong(3) == 0L)
+    assert(row.getTimestamp(4).getTime == 0L)
+  }
+
+  test("property: FileName is a suffix of Key and contains no delimiter") {
+    val keyGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('/'))).map(_.mkString)
+    val keys = Gen.listOfN(100, keyGen).sample.get.distinct
+    // run through one Spark job instead of 100 (each fileName() is a job)
+    import spark.implicits._
+    val df = keys.map(k => (k, 1L, 0L)).toDF("Key", "Size", "mtime_ms")
+    val rows = ManifestGen.applyManifestSemantics(df, "b", "/")
+      .select("Key", "FileName").as[(String, String)].collect()
+    rows.foreach { case (key, fn) =>
+      assert(key.endsWith(fn), s"'$fn' not suffix of '$key'")
+      assert(!fn.contains("/"), s"'$fn' contains delimiter")
+    }
+  }
+
+  test("fromDir lists a real directory with exact sizes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_m").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "x.bin").toPath, Array.fill[Byte](123)(1))
+    val sub = new java.io.File(dir, "sub"); sub.mkdir()
+    java.nio.file.Files.write(new java.io.File(sub, "y.bin").toPath, Array.fill[Byte](7)(2))
+    val m = ManifestGen.fromDir(spark, dir.getAbsolutePath).orderBy("Key").collect()
+    assert(m.length == 2)
+    assert(m.map(_.getString(2)).toSet == Set("x.bin", "y.bin"))
+    assert(m.map(_.getLong(3)).sorted.toSeq == Seq(7L, 123L))
+    assert(m.forall(_.getString(0) == dir.getName))
+  }
+
+  test("manifest write → read round-trip preserves schema and rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    val m = ManifestGen.fromDir(spark, sf)
+    ManifestGen.write(m, out)
+    val back = ManifestGen.read(spark, out)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("Bucket", "Key", "FileName", "Size", "LastModified"))
+    assert(back.schema("Size").dataType == LongType)
+    assert(back.count() == m.count())
+    assert(back.orderBy("Key").collect().toSeq == m.orderBy("Key").collect().toSeq)
+  }
+
+  test("fslist DSv2 source matches driver-side listing and prunes by prefix") {
+    val viaDsv2 = spark.read.format("graft.sources.FsListSource")
+      .option("path", sf).load()
+    val viaDriver = ManifestGen.fromDir(spark, sf)
+    assert(viaDsv2.select("Key", "Size").orderBy("Key").collect().toSeq ==
+      viaDriver.select("Key", "Size").orderBy("Key").collect().toSeq)
+    // prefix filter prunes partitions AND returns correct rows
+    val pruned = viaDsv2.filter(col("Key").startsWith(s"$sf/l"))
+    assert(pruned.select("FileName").as[String].collect().toSet == Set("lineitem.parquet"))
+    val partitions = new graft.sources.FsListScan(sf, "/", Some(s"$sf/l")).planInputPartitions()
+    assert(partitions.length == 1, "planning should prune non-matching shards")
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.EventQueries
+import graft.streaming.StreamingPipelines
+import org.apache.spark.sql.functions._
+
+/** Streaming engine vs batch-twin equivalence (no DuckDB oracle exists for
+  * a stream, so the batch queries are the spec). */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling windows equal the batch aggregation") {
+    val streamed = StreamingPipelines.runToCompletion(spark,
+        StreamingPipelines.tumblingCounts(StreamingPipelines.eventsStream(spark, sf)))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type").collect()
+    val batch = EventQueries.queries("q80_tumbling_window")(spark, sf).collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("flatMapGroupsWithState sessionization agrees with batch session counts") {
+    // batch sessionization (oracle-verified q82): sessions per user
+    val batch = EventQueries.queries("q82_sessionize")(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("user_id").collect()
+    // stateful operator emits only CLOSED sessions; the final open session
+    // per user stays in state → expect exactly one fewer per user
+    val streamed = StreamingPipelines.sessionize(spark, Tables.events(spark, sf))
+      .groupBy("user_id").agg(count(lit(1)).as("n_closed"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("user_id").collect()
+    val batchMap = batch.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val streamMap = streamed.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(batchMap.keySet == streamMap.keySet)
+    batchMap.foreach { case (uid, (nSess, _)) =>
+      assert(streamMap(uid)._1 == nSess - 1,
+        s"user $uid: closed=${streamMap(uid)._1}, batch=$nSess")
+    }
+  }
+}
