@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential-fold dot product: Σ double(a_i) * double(b_i). */
-  def dotSeq(a: Column, b: Column): Column =
+  /** Sequential-fold dot product: Σ double(a_i) * double(b_i).
+    * Backed by the codegen'd [[DotProduct]] expression; semantically equal
+    * to the higher-order formulation in [[dotHof]] (asserted by tests). */
+  def dotSeq(a: Column, b: Column): Column = DotProduct.dot(a, b)
+
+  /** Reference formulation via built-in higher-order functions — same fold
+    * order, interpreted evaluation; kept for differential testing. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

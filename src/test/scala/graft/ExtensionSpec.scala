@@ -16,6 +16,23 @@ class ExtensionSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("codegen DotProduct is bit-identical to the higher-order fold on real data") {
+    val e = Tables.embeddings(spark, sf)
+    val mismatches = e.crossJoin(e.limit(20).select(col("embedding").as("e2")))
+      .select(VectorOps.dotSeq(col("embedding"), col("e2")).as("fast"),
+        VectorOps.dotHof(col("embedding"), col("e2")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("DotProduct handles float×double (hyperplane literal) arrays") {
+    val df = Seq(Tuple1(Array(1.5f, -2.0f))).toDF("a")
+    val plane = array(lit(2.0), lit(0.5))
+    val got = df.select(VectorOps.dotSeq(col("a"), plane)).as[Double].head()
+    assert(got == 1.5 * 2.0 + (-2.0) * 0.5)
+  }
+
   test("hyperplanes are deterministic and non-trivial") {
     val h1 = VectorOps.hyperplane(3, 64)
     val h2 = VectorOps.hyperplane(3, 64)
