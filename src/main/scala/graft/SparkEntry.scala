@@ -34,6 +34,7 @@ object SparkEntry {
       (ops.RelationalQueries.queries, ops.RelationalQueries.oracles),
       (ops.EventQueries.queries, ops.EventQueries.oracles),
       (ops.ManifestFsQueries.queries, ops.ManifestFsQueries.oracles),
+      (ops.MiscQueries.queries, ops.MiscQueries.oracles),
       (ext.DedupQueries.queries, ext.DedupQueries.oracles),
       (ext.SimilarityQueries.queries, ext.SimilarityQueries.oracles),
       (ext.TextQueries.queries, ext.TextQueries.oracles),

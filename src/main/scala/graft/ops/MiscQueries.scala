@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.Tables
+import graft.ext.MinHashAgg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Coverage completion for SURVEY §2.2: GROUPING SETS through the SQL
+  * surface, exact percentiles, sketch aggregates, struct/map scalar ops,
+  * and a custom mergeable UDAF (typed Aggregator).
+  */
+object MiscQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Arbitrary GROUPING SETS via the SQL surface (spark.sql + temp view).
+    "q35_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_gs")
+      s.sql(
+        s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   count(1) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM li_gs
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+            ORDER BY rf, ls""")
+    }),
+
+    // Exact percentiles — interpolation is bit-identical to quantile_cont.
+    "q36_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.37)").as("p37_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Sketch aggregates (HLL++, GK-quantiles): algorithms differ from
+    // DuckDB's, so no oracle — driver records a rows-only check. The
+    // ScalaTest suite asserts the estimates against exact values.
+    "q37_approx_sketches" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Struct construction/field access + map construction/lookup.
+    "q38_struct_map" -> ((s, d) => {
+      Tables.part(s, d)
+        .withColumn("info", struct(col("p_brand").as("brand"), col("p_size").as("sz")))
+        .withColumn("m", map_from_arrays(
+          array(lit("type"), lit("brand")),
+          array(col("p_type"), col("p_brand"))))
+        .select(
+          col("p_partkey"),
+          col("info.brand").as("info_brand"),
+          col("info.sz").as("info_sz"),
+          element_at(col("m"), "type").as("m_type"),
+          try_element_at(col("m"), lit("absent")).as("m_absent"))
+        .orderBy("p_partkey")
+    }),
+
+    // Custom mergeable UDAF: per-source MinHash signature computed by a
+    // typed Aggregator (partial states merge lane-wise — the property that
+    // lets it run as a distributed partial+final aggregate).
+    "q45_minhash_aggregator" -> ((s, d) => {
+      val sig = udaf(new MinHashAgg(), org.apache.spark.sql.Encoders.STRING)
+      val docs = Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(col("source"),
+          explode(sequence(lit(1), size(col("words")) - 2)).as("pos"), col("words"))
+        .select(col("source"),
+          expr("concat_ws(' ', element_at(words, pos), element_at(words, pos + 1), element_at(words, pos + 2))").as("shingle"))
+      docs.groupBy("source").agg(sig(col("shingle")).as("sig"))
+        .select(col("source") +:
+          (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+        .orderBy("source")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q35_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls,
+                count(1) AS n,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          ORDER BY rf, ls""",
+
+    "q36_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS p50_qty,
+                quantile_cont(l_quantity, 0.9) AS p90_qty,
+                quantile_cont(l_extendedprice, 0.37) AS p37_price
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // q37: intentionally no oracle (approx algorithms are engine-specific)
+
+    "q38_struct_map" ->
+      """SELECT p_partkey,
+                struct_pack(brand := p_brand, sz := p_size).brand AS info_brand,
+                struct_pack(brand := p_brand, sz := p_size).sz AS info_sz,
+                p_type AS m_type,
+                CAST(NULL AS VARCHAR) AS m_absent
+          FROM part ORDER BY p_partkey""",
+
+    "q45_minhash_aggregator" -> {
+      val lanes = (0 until 8).map(i =>
+        s"min(substr(md5(shingle), ${1 + 4 * i}, 4)) AS m$i").mkString(", ")
+      s"""WITH tok AS (SELECT source, str_split(text, ' ') AS words FROM documents
+                       WHERE len(str_split(text, ' ')) >= 3),
+          posn AS (SELECT source, words,
+                          unnest(generate_series(1, len(words) - 2)) AS pos FROM tok),
+          sh AS (SELECT source,
+                        words[pos] || ' ' || words[pos+1] || ' ' || words[pos+2] AS shingle
+                 FROM posn)
+          SELECT source, $lanes FROM sh GROUP BY source ORDER BY source"""
+    }
+  )
+}

@@ -6,6 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, StringStartsWith}
 import org.apache.spark.sql.types.StructType
@@ -87,6 +88,20 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String])
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FsListReaderFactory(delimiter)
+
+  /** The reference's live progress meter (objects scanned, src/main.rs:176-185)
+    * becomes a DSv2 custom metric: per-task counts roll up in the SQL UI. */
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new ObjectsListedMetric)
+}
+
+class ObjectsListedMetric extends CustomSumMetric {
+  override def name(): String = "objectsListed"
+  override def description(): String = "objects listed"
+}
+
+case class ObjectsListedTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "objectsListed"
 }
 
 case class FsListPartition(shardPath: String, bucket: String) extends InputPartition
@@ -107,20 +122,26 @@ class FsListReader(p: FsListPartition, delimiter: String)
   }
   private var single = it == null // shard is a plain file
   private var current: InternalRow = _
+  private var listed = 0L
 
   override def next(): Boolean = {
     if (single) {
       val st = fs.getFileStatus(new Path(p.shardPath))
       current = toRow(st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
       single = false
+      listed += 1
       return true
     }
     if (it != null && it.hasNext) {
       val st = it.next()
       current = toRow(st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
+      listed += 1
       true
     } else false
   }
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(ObjectsListedTaskMetric(listed))
 
   private def toRow(key: String, size: Long, mtimeMs: Long): InternalRow = {
     val k = if (key == null) "" else key

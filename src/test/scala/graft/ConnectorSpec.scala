@@ -1,0 +1,46 @@
+package graft
+
+import graft.manifest.{ManifestGen, ManifestMetrics, S3AConfig}
+import graft.sources.{FsListPartition, FsListReader}
+
+/** Connector-surface tests: dual-credential S3A config, retry budget,
+  * DSv2 custom metrics, run summary. */
+class ConnectorSpec extends SparkSpec {
+
+  test("per-bucket S3A config isolates source and dest credentials") {
+    S3AConfig.perBucket(spark, "src-bkt", Some("https://src.example"),
+      Some(S3AConfig.Credentials("AK1", "SK1")))
+    S3AConfig.perBucket(spark, "dst-bkt", Some("https://dst.example"),
+      Some(S3AConfig.Credentials("AK2", "SK2")))
+    val c = spark.sparkContext.hadoopConfiguration
+    assert(c.get("fs.s3a.bucket.src-bkt.endpoint") == "https://src.example")
+    assert(c.get("fs.s3a.bucket.dst-bkt.endpoint") == "https://dst.example")
+    assert(c.get("fs.s3a.bucket.src-bkt.access.key") == "AK1")
+    assert(c.get("fs.s3a.bucket.dst-bkt.access.key") == "AK2")
+    // default chain when no static creds: keys simply absent for that bucket
+    S3AConfig.perBucket(spark, "anon-bkt", Some("https://anon.example"), None)
+    assert(c.get("fs.s3a.bucket.anon-bkt.access.key") == null)
+  }
+
+  test("retry budget mirrors the reference defaults") {
+    S3AConfig.retry(spark)
+    val c = spark.sparkContext.hadoopConfiguration
+    assert(c.getInt("fs.s3a.attempts.maximum", -1) == 3)
+    assert(c.get("fs.s3a.retry.interval") == "100ms")
+  }
+
+  test("fslist reader reports objectsListed as a DSv2 custom metric") {
+    val reader = new FsListReader(FsListPartition(sf, "sf0.001"), "/")
+    var n = 0
+    while (reader.next()) n += 1
+    assert(n == 10) // 10 parquet tables in the fixture dir
+    val m = reader.currentMetricsValues()
+    assert(m.length == 1 && m.head.name == "objectsListed" && m.head.value == 10)
+  }
+
+  test("run summary renders the reference-style report") {
+    val s = ManifestMetrics.timedCount(ManifestGen.fromDir(spark, sf))
+    assert(s.objects == 10)
+    assert(s.render.matches("Scanned 10 objects in \\d+\\.\\d{2}s \\(\\d+ objects/sec\\)"))
+  }
+}
