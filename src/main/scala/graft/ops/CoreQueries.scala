@@ -41,7 +41,12 @@ object CoreQueries {
     }),
 
     "q02_prefix_filter" -> ((s, d) => {
+      // Key = source || '/' || …, so Key LIKE 'src1%' ⟺ source LIKE 'src1%'
+      // ('src1' contains no delimiter). The source-column predicate is the
+      // one Catalyst can push into the parquet scan; the Key predicate
+      // stays as the defensive re-check (reference src/main.rs:210-219).
       Tables.documents(s, d)
+        .filter(col("source").startsWith("src1"))
         .select(keyCol.as("Key"), col("n_chars").as("Size"))
         .filter(col("Key").startsWith("src1"))
         .orderBy("Key")
