@@ -65,6 +65,19 @@ object MiscQueries {
         .orderBy("p_partkey")
     }),
 
+    // Array higher-order functions: transform / filter / aggregate / sort.
+    "q39_array_hofs" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(filter(col("words"), w => length(w) > 4)).as("n_long"),
+          aggregate(transform(col("words"), w => length(w)), lit(0),
+            (acc, v) => acc + v).as("total_chars"),
+          array_join(slice(array_sort(array_distinct(col("words"))), 1, 5), ",").as("first5_sorted"))
+        .orderBy("doc_id")
+    }),
+
     // Custom mergeable UDAF: per-source MinHash signature computed by a
     // typed Aggregator (partial states merge lane-wise — the property that
     // lets it run as a distributed partial+final aggregate).
@@ -102,6 +115,14 @@ object MiscQueries {
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // q37: intentionally no oracle (approx algorithms are engine-specific)
+
+    "q39_array_hofs" ->
+      """SELECT doc_id,
+            CAST(len(list_filter(str_split(text, ' '), w -> length(w) > 4)) AS INTEGER) AS n_long,
+            CAST(list_reduce(list_transform(str_split(text, ' '), w -> CAST(length(w) AS INTEGER)),
+                 (acc, v) -> acc + v) AS INTEGER) AS total_chars,
+            array_to_string(list_sort(list_distinct(str_split(text, ' ')))[1:5], ',') AS first5_sorted
+          FROM documents ORDER BY doc_id""",
 
     "q38_struct_map" ->
       """SELECT p_partkey,
