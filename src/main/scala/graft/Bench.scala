@@ -24,7 +24,25 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Listing throughput — the reference's headline metric (objects/sec,
+    // /root/reference/src/main.rs:284-289; its sequential ceiling is
+    // ~6.7k-20k obj/s per BASELINE.md). Measured over a synthetic 5000-file
+    // tree via the sharded fslist DSv2 source.
+    val listingRate = try {
+      val tree = java.nio.file.Files.createTempDirectory("graft_bench_tree")
+      for (d <- 0 until 50) {
+        val dir = tree.resolve(f"shard$d%02d"); java.nio.file.Files.createDirectory(dir)
+        for (f <- 0 until 100)
+          java.nio.file.Files.createFile(dir.resolve(f"obj$f%04d"))
+      }
+      val listing = spark.read.format("graft.sources.FsListSource")
+        .option("path", tree.toString).load()
+      listing.count() // warm: codegen + dentry cache
+      val t0 = System.nanoTime()
+      val n = listing.count()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"listing_objects_per_sec":${listingRate.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,6 +45,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_._1).reduce(_ ++ _)
 
+  /** Sum of per-module sizes — equals `queries.size` iff names are unique. */
+  def moduleQueryCount: Int = modules.map(_._1.size).sum
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

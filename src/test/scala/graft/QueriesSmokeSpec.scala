@@ -12,6 +12,18 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(q.size >= 50)
   }
 
+  test("no module silently shadows another module's query names") {
+    assert(SparkEntry.queries.size == SparkEntry.moduleQueryCount,
+      "duplicate query name across modules")
+  }
+
+  test("graft_dot is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 0.5D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 1.0 * 3.0 + 2.0 * 0.5)
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

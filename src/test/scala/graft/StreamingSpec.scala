@@ -18,6 +18,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming sliding windows equal the batch aggregation") {
+    val streamed = StreamingPipelines.runToCompletion(spark,
+        StreamingPipelines.eventsStream(spark, sf)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n")))
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy("window_start").collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy("window_start").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("flatMapGroupsWithState sessionization agrees with batch session counts") {
     // batch sessionization (oracle-verified q82): sessions per user
     val batch = EventQueries.queries("q82_sessionize")(spark, sf)
