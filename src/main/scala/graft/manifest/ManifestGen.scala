@@ -41,13 +41,24 @@ object ManifestGen {
   def fromDir(spark: SparkSession, dir: String, delimiter: String = "/"): DataFrame = {
     import spark.implicits._
     val root = new Path(dir)
-    val fs = root.getFileSystem(new Configuration())
     val bucket = root.getName
-    val it = fs.listFiles(root, true)
+    val scheme = root.toUri.getScheme
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-    while (it.hasNext) {
-      val st = it.next()
-      buf += ((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+    if (scheme == null || scheme == "file") {
+      // java.nio walk: Hadoop's RawLocalFileSystem costs ~4ms/file (forks
+      // `ls` for permissions) — NIO is ~1000× faster for local trees
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(root.toUri.getPath))
+      try stream.filter(f => java.nio.file.Files.isRegularFile(f)).forEach { f =>
+        buf += ((f.toAbsolutePath.toString, java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis))
+      } finally stream.close()
+    } else {
+      val fs = root.getFileSystem(new Configuration())
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        buf += ((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+      }
     }
     val listed = spark.createDataset(buf.toSeq)
       .toDF("Key", "Size", "mtime_ms")

@@ -111,30 +111,77 @@ class FsListReaderFactory(delimiter: String) extends PartitionReaderFactory {
     new FsListReader(partition.asInstanceOf[FsListPartition], delimiter)
 }
 
-/** Executor-side recursive listing of one shard. */
+object FsListReader {
+  /** Hadoop Configuration construction parses XML resources (~100ms+);
+    * share one instance per executor JVM — FileSystem.get() then serves
+    * cached filesystems keyed by scheme. */
+  lazy val sharedConf = new Configuration()
+
+  private def isLocal(path: String): Boolean = {
+    val scheme = new java.net.URI(path).getScheme
+    scheme == null || scheme == "file"
+  }
+}
+
+/** Executor-side recursive listing of one shard.
+  *
+  * Local paths walk via java.nio: Hadoop's RawLocalFileSystem spends ~4ms
+  * PER FILE materializing permission info (it forks `ls`), which would cap
+  * listing at ~250 objects/sec/core — the NIO walk is ~1000× faster.
+  * Non-local schemes (s3a://, …) go through the Hadoop FileSystem, whose
+  * object-store listings are the batched LIST calls we want there.
+  */
 class FsListReader(p: FsListPartition, delimiter: String)
     extends PartitionReader[InternalRow] {
-  private val fs = new Path(p.shardPath).getFileSystem(new Configuration())
-  private val it = {
-    val path = new Path(p.shardPath)
-    if (fs.getFileStatus(path).isDirectory) fs.listFiles(path, true)
-    else null
-  }
-  private var single = it == null // shard is a plain file
-  private var current: InternalRow = _
+  import java.nio.file.{Files, Paths}
+
   private var listed = 0L
+  private var current: InternalRow = _
+
+  private val nioStream =
+    if (FsListReader.isLocal(p.shardPath)) Files.walk(Paths.get(new java.net.URI(p.shardPath).getPath match {
+      case "" => p.shardPath; case s => s
+    })) else null
+  private val nioIt =
+    if (nioStream != null) {
+      val jit = nioStream.filter(f => Files.isRegularFile(f)).iterator()
+      new Iterator[(String, Long, Long)] {
+        def hasNext: Boolean = jit.hasNext
+        def next(): (String, Long, Long) = {
+          val f = jit.next()
+          (f.toAbsolutePath.toString, Files.size(f),
+            Files.getLastModifiedTime(f).toMillis)
+        }
+      }
+    } else null
+
+  private lazy val fs = new Path(p.shardPath).getFileSystem(FsListReader.sharedConf)
+  private val hadoopIt =
+    if (nioIt != null) null
+    else {
+      val path = new Path(p.shardPath)
+      if (fs.getFileStatus(path).isDirectory) {
+        val jit = fs.listFiles(path, true)
+        new Iterator[(String, Long, Long)] {
+          def hasNext: Boolean = jit.hasNext
+          def next(): (String, Long, Long) = {
+            val st = jit.next()
+            (st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
+          }
+        }
+      } else {
+        val st = fs.getFileStatus(path)
+        Iterator((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+      }
+    }
+
+  private val it: Iterator[(String, Long, Long)] =
+    if (nioIt != null) nioIt else hadoopIt
 
   override def next(): Boolean = {
-    if (single) {
-      val st = fs.getFileStatus(new Path(p.shardPath))
-      current = toRow(st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
-      single = false
-      listed += 1
-      return true
-    }
-    if (it != null && it.hasNext) {
-      val st = it.next()
-      current = toRow(st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
+    if (it.hasNext) {
+      val (key, size, mtime) = it.next()
+      current = toRow(key, size, mtime)
       listed += 1
       true
     } else false
@@ -158,5 +205,5 @@ class FsListReader(p: FsListPartition, delimiter: String)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (nioStream != null) nioStream.close()
 }
