@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tables
 import graft.manifest.ManifestGen
 import graft.streaming.StreamingPipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -45,6 +46,37 @@ object ManifestFsQueries {
         .orderBy("Bucket")
     }),
 
+    // CSV sink + source round-trip: Spark's CSV writer emits Java
+    // Double.toString, which reparses to the identical double, so the
+    // aggregate over the round-tripped data must equal the original.
+    "q93_csv_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+        .csv(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // JSON-lines sink + source round-trip.
+    "q94_json_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+        .json(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Real Structured Streaming execution (file source → watermark →
     // tumbling windows → memory sink), result equal to the batch twin q80.
     "q86_stream_tumbling" -> ((s, d) => {
@@ -77,6 +109,15 @@ object ManifestFsQueries {
             CAST(sum(size) AS BIGINT) AS total_bytes,
             max(str_split(filename, '/')[-1]) AS max_name
           FROM read_blob('$t2Dir/*')""",
+
+    "q93_csv_roundtrip" ->
+      s"""SELECT o_orderpriority, count(*) AS n, ${oSum("o_totalprice")} AS total
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q94_json_roundtrip" ->
+      s"""SELECT o_orderstatus, count(*) AS n, ${oSum("o_totalprice")} AS total,
+                 min(o_orderkey) AS min_key
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q86_stream_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -65,6 +65,47 @@ object MiscQueries {
         .orderBy("p_partkey")
     }),
 
+    // Multiset (bag) semantics: EXCEPT ALL / INTERSECT ALL.
+    "q46_multiset_ops" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def bag(y: Int) = li.filter(year(col("l_shipdate")) === y)
+        .select("l_returnflag", "l_linenumber")
+      val a = bag(1997); val b = bag(1998)
+      a.exceptAll(b).withColumn("tag", lit("except_all"))
+        .unionByName(a.intersectAll(b).withColumn("tag", lit("intersect_all")))
+        .groupBy("tag", "l_returnflag", "l_linenumber")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("tag", "l_returnflag", "l_linenumber")
+    }),
+
+    // JSON parsing into typed structs (from_json), vs q29's path extraction.
+    "q47_from_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).as("p"))
+        .select(col("event_id"), col("p.k").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // Generator with ordinality (posexplode).
+    "q48_posexplode" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // Regex capture groups + match predicate.
+    "q65_regex_groups" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "^([a-z0-9]+) ([a-z0-9]+)", 2).as("second_word"),
+          col("text").rlike("spark").as("mentions_spark"))
+        .orderBy("doc_id")
+    }),
+
     // Array higher-order functions: transform / filter / aggregate / sort.
     "q39_array_hofs" -> ((s, d) => {
       Tables.documents(s, d)
@@ -115,6 +156,35 @@ object MiscQueries {
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // q37: intentionally no oracle (approx algorithms are engine-specific)
+
+    "q46_multiset_ops" ->
+      """WITH a AS (SELECT l_returnflag, l_linenumber FROM lineitem WHERE year(l_shipdate) = 1997),
+              b AS (SELECT l_returnflag, l_linenumber FROM lineitem WHERE year(l_shipdate) = 1998),
+          tagged AS (
+            SELECT 'except_all' AS tag, * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            UNION ALL
+            SELECT 'intersect_all' AS tag, * FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+          SELECT tag, l_returnflag, l_linenumber, count(*) AS n
+          FROM tagged GROUP BY 1, 2, 3 ORDER BY tag, l_returnflag, l_linenumber""",
+
+    "q47_from_json" ->
+      """SELECT event_id,
+            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+          FROM events ORDER BY event_id""",
+
+    "q48_posexplode" ->
+      """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents
+                      WHERE doc_id < 100),
+          posn AS (SELECT doc_id, words,
+                          unnest(generate_series(1, len(words))) AS p FROM tok)
+          SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos, words[p] AS word
+          FROM posn ORDER BY doc_id, pos""",
+
+    "q65_regex_groups" ->
+      """SELECT doc_id,
+            regexp_extract(text, '^([a-z0-9]+) ([a-z0-9]+)', 2) AS second_word,
+            regexp_matches(text, 'spark') AS mentions_spark
+          FROM documents ORDER BY doc_id""",
 
     "q39_array_hofs" ->
       """SELECT doc_id,
