@@ -154,6 +154,9 @@ object DedupQueries {
         .orderBy("id1", "id2")
     }),
 
+    // Spark ML MinHashLSH near-dup (no oracle — see mlMinhash scaladoc).
+    "q49_ml_minhash" -> ((s, d) => mlMinhash(s, d)),
+
     // Embedding near-dup: sign-LSH (2 bands × 12 hyperplane bits) →
     // candidate pairs → exact cosine → global top-20.
     "q44_embedding_neardup" -> ((s, d) => {
@@ -180,6 +183,35 @@ object DedupQueries {
         .limit(20)
     })
   )
+
+  /** Spark ML MinHashLSH variant of q41 (approxSimilarityJoin). The hash
+    * family is Spark-internal (seeded, deterministic run-to-run but not
+    * SQL-reproducible), so this query has no oracle — the ScalaTest suite
+    * asserts recall of the planted exact-copy pairs instead. */
+  private def mlMinhash(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+    // Fixed 50-original-doc cohort: the ML approxSimilarityJoin's candidate
+    // generation degrades on large same-vocabulary corpora (every doc shares
+    // minhashes with many others), so the demo is bounded — the scale path
+    // for near-dup is q41's banded LSH, which stays candidate-sparse.
+    val tok = corpus(s, d)
+      .filter(col("doc_id") % 1000000L < 50)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+    val cv = new CountVectorizer().setInputCol("words").setOutputCol("features")
+      .setBinary(true).setVocabSize(1 << 18)
+    val model = cv.fit(tok)
+    val vecs = model.transform(tok).select("doc_id", "features")
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val lshModel = lsh.fit(vecs)
+    lshModel.approxSimilarityJoin(vecs, vecs, 0.05, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("id1"), col("datasetB.doc_id").as("id2"),
+        col("jaccard_dist"))
+      .filter(col("id1") < col("id2"))
+      .distinct()
+      .orderBy("id1", "id2")
+  }
 
   def oracles: Map[String, String] = Map(
     "q40_dedup_exact" ->

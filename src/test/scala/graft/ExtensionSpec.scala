@@ -72,6 +72,16 @@ class ExtensionSpec extends SparkSpec {
     assert(near.nonEmpty && near.forall(_._3 > 0.7))
   }
 
+  test("Spark ML MinHashLSH recalls planted exact-copy pairs") {
+    val pairs = DedupQueries.queries("q49_ml_minhash")(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val docIds = Tables.documents(spark, sf).select("doc_id").as[Long]
+      .collect().filter(_ < 50)
+    val expected = docIds.map(id => (id, id + 1000000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing ${expected.diff(pairs).size} of ${expected.size} exact pairs")
+  }
+
   test("brute-force kNN self-consistency: scores sorted, no self-matches") {
     val res = SimilarityQueries.queries("q50_knn_brute")(spark, sf)
       .as[(Long, Int, Long, Double)].collect()

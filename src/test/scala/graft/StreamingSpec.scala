@@ -34,6 +34,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming dedup drops duplicate event_ids") {
+    // duplicate the stream by unioning it with itself, then streaming
+    // dropDuplicates must restore exactly the distinct id count
+    val base = StreamingPipelines.eventsStream(spark, sf)
+    val doubled = base.union(base).select("event_id", "event_type")
+    val deduped = doubled.dropDuplicates("event_id")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val got = StreamingPipelines.runToCompletion(spark, deduped)
+      .orderBy("event_type").collect()
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("flatMapGroupsWithState sessionization agrees with batch session counts") {
     // batch sessionization (oracle-verified q82): sessions per user
     val batch = EventQueries.queries("q82_sessionize")(spark, sf)
