@@ -38,7 +38,8 @@ object SparkEntry {
       (ext.DedupQueries.queries, ext.DedupQueries.oracles),
       (ext.SimilarityQueries.queries, ext.SimilarityQueries.oracles),
       (ext.TextQueries.queries, ext.TextQueries.oracles),
-      (ext.Multimodal.queries, ext.Multimodal.oracles)
+      (ext.Multimodal.queries, ext.Multimodal.oracles),
+      (ext.PipelineQueries.queries, ext.PipelineQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

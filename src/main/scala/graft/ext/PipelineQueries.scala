@@ -1,0 +1,153 @@
+package graft.ext
+
+import graft.Tables
+import graft.functions.VectorOps
+import graft.ops.{dsum, oSum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline operators: embedding quantization,
+  * corpus statistics, TF-IDF relevance, deterministic splits, and
+  * sequence packing. All shuffles key on doc/source/label — high
+  * cardinality, no driver-side state, so each op is a straight scan →
+  * (window|groupBy) pipeline at any corpus size.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // int8 scalar quantization of embeddings (the storage-shrink step
+    // before ANN indexing); exact int statistics of the quantized vector.
+    "q52_vector_quantize" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("q", transform(col("embedding"),
+          x => round(x.cast("double") * 127).cast("int")))
+        .select(
+          col("vec_id"),
+          aggregate(col("q"), lit(0), (acc, v) => acc + v).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
+        .orderBy("vec_id")
+    }),
+
+    // Norm distribution per label (embedding hygiene check before cosine
+    // search: catches unnormalized or degenerate vectors).
+    "q53_norm_stats" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), VectorOps.norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("nrm") * 1000000).cast("bigint")).cast("double")
+            / count(lit(1)) / 1000000).as("avg_norm"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm"))
+        .orderBy("label")
+    }),
+
+    // TF-IDF top-3 terms per document.
+    "q66_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "word").crossJoin(broadcast(n))
+        .withColumn("tfidf", round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "word", "tfidf")
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // Deterministic hash-based train/val/test split — reproducible at any
+    // cluster size, no RNG state (md5 of the stable key).
+    "q68_hash_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("hv",
+          expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"))
+        .withColumn("split",
+          when(col("hv") < 13, "train").when(col("hv") < 15, "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang", "split")
+    }),
+
+    // Sequence packing: assign docs (per source, in stable doc_id order) to
+    // 2048-token bins via prefix sums — the shuffle-free way to plan packed
+    // training sequences (one window per source shard).
+    "q69_sequence_packing" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .withColumn("tokens", size(split(col("text"), " ")).cast("bigint"))
+        .withColumn("cum_after", sum(col("tokens")).over(w))
+        .withColumn("bin", expr("(cum_after - tokens) div 2048"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+        .orderBy("source", "bin")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q52_vector_quantize" ->
+      """SELECT vec_id,
+            list_reduce(list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 127) AS INTEGER)), (a, b) -> a + b) AS q_sum,
+            list_min(list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 127) AS INTEGER))) AS q_min,
+            list_max(list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 127) AS INTEGER))) AS q_max
+          FROM embeddings ORDER BY vec_id""",
+
+    "q53_norm_stats" -> {
+      val nrm = VectorOps.oNorm("embedding")
+      s"""SELECT label, count(*) AS n,
+             CAST(SUM(CAST(round($nrm * 1000000) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1000000 AS avg_norm,
+             min($nrm) AS min_norm,
+             max($nrm) AS max_norm
+           FROM embeddings GROUP BY label ORDER BY label"""
+    },
+
+    "q66_tfidf" ->
+      """WITH tf AS (SELECT doc_id, word, count(*) AS tf FROM (
+                       SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+                     GROUP BY doc_id, word),
+          idf AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (SELECT tf.doc_id, tf.word,
+                            round(tf.tf * ln((n.n_docs + 1) / (idf.df + 1)), 6) AS tfidf
+                     FROM tf JOIN idf USING (word) CROSS JOIN n),
+          ranked AS (SELECT doc_id, word, tfidf,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY tfidf DESC, word) AS rnk
+                     FROM scored)
+          SELECT doc_id, rnk, word, tfidf FROM ranked WHERE rnk <= 3
+          ORDER BY doc_id, rnk""",
+
+    "q68_hash_split" ->
+      """WITH h AS (SELECT lang, n_chars,
+              strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS hv
+            FROM documents)
+          SELECT lang,
+                 CASE WHEN hv < 13 THEN 'train' WHEN hv < 15 THEN 'val'
+                      ELSE 'test' END AS split,
+                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM h GROUP BY 1, 2 ORDER BY lang, split""",
+
+    "q69_sequence_packing" ->
+      """WITH t AS (SELECT source, doc_id,
+              CAST(len(str_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+          c AS (SELECT source, doc_id, tokens,
+                       CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_after
+                FROM t)
+          SELECT source, (cum_after - tokens) // 2048 AS bin,
+                 count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+          FROM c GROUP BY 1, 2 ORDER BY source, bin"""
+  )
+}
