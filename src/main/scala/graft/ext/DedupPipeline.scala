@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-facing dedup API — what a pipeline actually calls: give it a corpus,
+  * get back the deduplicated corpus. Composes the verified building blocks
+  * (exact hash grouping; MinHash banding → Jaccard verification → survivor
+  * selection) from [[DedupQueries]]' operators.
+  *
+  * Survivor policy: keep the smallest id per duplicate cluster. Near-dup
+  * clustering is edge-based: a doc is dropped if it has a verified
+  * near-dup with a SMALLER id (union-find-free, one pass, deterministic —
+  * the standard choice at 100 TB where transitive closure is a separate
+  * offline job).
+  */
+object DedupPipeline {
+
+  /** Drop exact duplicates of `textCol`, keeping the row with min `idCol`
+    * per distinct text. One hash shuffle, no text comparison. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Drop near-duplicates: MinHash-band candidates, exact shingle-Jaccard
+    * verification at `threshold`, survivors keep the smallest id. */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+                threshold: Double = 0.9): DataFrame = {
+    val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val verified = jaccardOnCandidates(corpus)
+      .filter(col("jaccard") >= threshold)
+    val losers = verified.select(col("id2").as("__loser")).distinct()
+    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+  }
+
+  /** Candidate pairs (MinHash LSH bands) with exact Jaccard — exposed for
+    * reporting/threshold tuning. Expects columns (doc_id, text). */
+  def jaccardOnCandidates(corpus: DataFrame): DataFrame = {
+    val sh = DedupQueries.shinglesOf(corpus)
+    val pairs = DedupQueries.candidatePairsOf(sh)
+    val shA = sh.select(col("doc_id").as("id1"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("id2"), col("shingle"))
+    val inter = pairs.join(shA, "id1").join(shB, Seq("id2", "shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("id1"), col("c").as("ca")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("c").as("cb")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
+  }
+}

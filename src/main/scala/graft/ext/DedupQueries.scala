@@ -102,6 +102,11 @@ object DedupQueries {
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
 
+  /** Building blocks reused by [[DedupPipeline]]. */
+  private[ext] def shinglesOf(corpus: DataFrame): DataFrame = shingles(corpus)
+  private[ext] def candidatePairsOf(sh: DataFrame): DataFrame =
+    candidatePairs(bandTable(minhash(sh)))
+
   def queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy, keep the smallest id as representative.
     "q40_dedup_exact" -> ((s, d) => {

@@ -51,21 +51,37 @@ class FsListTable(path: String, delimiter: String) extends Table with SupportsRe
 }
 
 class FsListScanBuilder(path: String, delimiter: String)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var prefix: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = graft.manifest.ManifestGen.schema
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.collect { case f @ StringStartsWith("Key", p) => prefix = Some(p); f }
     filters // all residual: Spark re-applies (defensive re-check semantics)
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new FsListScan(path, delimiter, prefix)
+
+  /** Column pruning: a `SELECT Key, Size` manifest query must not pay for
+    * FileName extraction or timestamp conversion per object. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Per-partition limit pushdown: `LIMIT n` stops each shard's walk after
+    * n objects instead of listing the whole subtree (the DSv2 analog of
+    * stopping pagination early). Spark applies the global limit on top. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+
+  override def build(): Scan = new FsListScan(path, delimiter, prefix, required, limit)
 }
 
-class FsListScan(path: String, delimiter: String, prefix: Option[String])
+class FsListScan(path: String, delimiter: String, prefix: Option[String],
+                 required: StructType = graft.manifest.ManifestGen.schema,
+                 limit: Option[Int] = None)
     extends Scan with Batch {
-  override def readSchema(): StructType = graft.manifest.ManifestGen.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   /** One shard per top-level child; shards whose path can't contain the
@@ -87,7 +103,7 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FsListReaderFactory(delimiter)
+    new FsListReaderFactory(delimiter, required.fieldNames, limit)
 
   /** The reference's live progress meter (objects scanned, src/main.rs:176-185)
     * becomes a DSv2 custom metric: per-task counts roll up in the SQL UI. */
@@ -106,9 +122,11 @@ case class ObjectsListedTaskMetric(value: Long) extends CustomTaskMetric {
 
 case class FsListPartition(shardPath: String, bucket: String) extends InputPartition
 
-class FsListReaderFactory(delimiter: String) extends PartitionReaderFactory {
+class FsListReaderFactory(delimiter: String,
+                          fields: Array[String] = graft.manifest.ManifestGen.schema.fieldNames,
+                          limit: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FsListReader(partition.asInstanceOf[FsListPartition], delimiter)
+    new FsListReader(partition.asInstanceOf[FsListPartition], delimiter, fields, limit)
 }
 
 object FsListReader {
@@ -131,7 +149,9 @@ object FsListReader {
   * Non-local schemes (s3a://, …) go through the Hadoop FileSystem, whose
   * object-store listings are the batched LIST calls we want there.
   */
-class FsListReader(p: FsListPartition, delimiter: String)
+class FsListReader(p: FsListPartition, delimiter: String,
+                   fields: Array[String] = graft.manifest.ManifestGen.schema.fieldNames,
+                   limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
   import java.nio.file.{Files, Paths}
 
@@ -179,6 +199,7 @@ class FsListReader(p: FsListPartition, delimiter: String)
     if (nioIt != null) nioIt else hadoopIt
 
   override def next(): Boolean = {
+    if (limit.exists(listed >= _)) return false
     if (it.hasNext) {
       val (key, size, mtime) = it.next()
       current = toRow(key, size, mtime)
@@ -192,16 +213,17 @@ class FsListReader(p: FsListPartition, delimiter: String)
 
   private def toRow(key: String, size: Long, mtimeMs: Long): InternalRow = {
     val k = if (key == null) "" else key
-    val fileName = {
-      val idx = k.lastIndexOf(delimiter)
-      if (delimiter.isEmpty || idx < 0) k else k.substring(idx + delimiter.length)
+    val values: Array[Any] = fields.map {
+      case "Bucket" => UTF8String.fromString(p.bucket)
+      case "Key" => UTF8String.fromString(k)
+      case "FileName" =>
+        val idx = k.lastIndexOf(delimiter)
+        UTF8String.fromString(
+          if (delimiter.isEmpty || idx < 0) k else k.substring(idx + delimiter.length))
+      case "Size" => size
+      case "LastModified" => mtimeMs * 1000L // TimestampType micros
     }
-    InternalRow(
-      UTF8String.fromString(p.bucket),
-      UTF8String.fromString(k),
-      UTF8String.fromString(fileName),
-      size,
-      mtimeMs * 1000L) // TimestampType micros
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
   }
 
   override def get(): InternalRow = current

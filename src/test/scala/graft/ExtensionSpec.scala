@@ -82,6 +82,34 @@ class ExtensionSpec extends SparkSpec {
       s"missing ${expected.diff(pairs).size} of ${expected.size} exact pairs")
   }
 
+  test("DedupPipeline end-to-end: exact then near dedup shrink the corpus correctly") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val n = docs.count()
+    val withCopies = docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // exact dedup removes every planted copy, keeps originals (min id)
+    val exact = ext.DedupPipeline.exactDedup(withCopies, "doc_id", "text")
+    assert(exact.count() == n)
+    assert(exact.filter(col("doc_id") >= 1000000L).count() == 0)
+    // near dedup also removes first-word-dropped variants at 0.8
+    val near = docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 10)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", expr("slice(words, 2, size(words) - 1)")).as("text"))
+    val corpus2 = docs.unionByName(near)
+    val deduped = ext.DedupPipeline.nearDedup(corpus2, "doc_id", "text", 0.8)
+    assert(deduped.filter(col("doc_id") >= 2000000L).count() == 0,
+      "every near-copy has a verified smaller-id dup and must be dropped")
+    // some ORIGINAL docs are organically near-dup (small shared vocabulary);
+    // survivors = corpus - every doc with a verified smaller-id partner
+    val losers = ext.DedupPipeline
+      .jaccardOnCandidates(corpus2.select(col("doc_id"), col("text")))
+      .filter(col("jaccard") >= 0.8)
+      .select("id2").distinct().count()
+    assert(deduped.count() == corpus2.count() - losers)
+    assert(deduped.count() <= n)
+  }
+
   test("brute-force kNN self-consistency: scores sorted, no self-matches") {
     val res = SimilarityQueries.queries("q50_knn_brute")(spark, sf)
       .as[(Long, Int, Long, Double)].collect()

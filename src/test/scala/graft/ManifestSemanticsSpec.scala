@@ -83,4 +83,25 @@ class ManifestSemanticsSpec extends SparkSpec {
     val partitions = new graft.sources.FsListScan(sf, "/", Some(s"$sf/l")).planInputPartitions()
     assert(partitions.length == 1, "planning should prune non-matching shards")
   }
+
+  test("fslist DSv2 column pruning and limit pushdown") {
+    val viaDsv2 = spark.read.format("graft.sources.FsListSource")
+      .option("path", sf).load()
+    // pruning: a 2-column projection reads a 2-column schema from the scan
+    val pruned = viaDsv2.select("Key", "Size")
+    val scanSchema = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.schema.fieldNames.toSeq
+    assert(scanSchema == Seq("Key", "Size"), s"scan read $scanSchema")
+    assert(pruned.count() == 10)
+    // limit: each shard stops early; global limit still exact
+    assert(viaDsv2.limit(3).count() == 3)
+    // direct reader check: per-partition cap honored
+    val r = new graft.sources.FsListReader(
+      graft.sources.FsListPartition(sf, "b"), "/",
+      Array("Key"), Some(2))
+    var n = 0
+    while (r.next()) n += 1
+    assert(n == 2)
+    assert(r.get().numFields == 1)
+  }
 }
