@@ -65,6 +65,40 @@ object MiscQueries {
         .orderBy("p_partkey")
     }),
 
+    // collect_list/collect_set made deterministic: sort, then serialize.
+    "q55_collect" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          array_join(sort_array(collect_set(col("l_linenumber"))), ",").as("linenumbers"),
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Pearson correlation from exact decimal moment sums: built-in corr()
+    // is accumulation-order-dependent; the five moments are exact decimals
+    // (2-decimal inputs), so the final double formula is deterministic at
+    // any parallelism.
+    "q56_corr_moments" -> ((s, d) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum((x * y).cast("decimal(28,4)")).cast("double").as("sxy"),
+          sum((x * x).cast("decimal(28,4)")).cast("double").as("sxx"),
+          sum((y * y).cast("decimal(28,4)")).cast("double").as("syy"))
+        .select(
+          col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 8).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Multiset (bag) semantics: EXCEPT ALL / INTERSECT ALL.
     "q46_multiset_ops" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -156,6 +190,26 @@ object MiscQueries {
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // q37: intentionally no oracle (approx algorithms are engine-specific)
+
+    "q55_collect" ->
+      """SELECT l_returnflag,
+            array_to_string(list_sort(list(DISTINCT l_linenumber)), ',') AS linenumbers,
+            array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q56_corr_moments" ->
+      """WITH m AS (
+            SELECT l_returnflag, count(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+              CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+              CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+              CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag)
+          SELECT l_returnflag,
+                 round((n * sxy - sx * sy) /
+                   (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS corr_qty_price
+          FROM m ORDER BY l_returnflag""",
 
     "q46_multiset_ops" ->
       """WITH a AS (SELECT l_returnflag, l_linenumber FROM lineitem WHERE year(l_shipdate) = 1997),
