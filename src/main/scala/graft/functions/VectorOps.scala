@@ -71,9 +71,12 @@ object VectorOps {
     s"CASE WHEN ${oDot(emb, s"$w::DOUBLE[]")} > 0 THEN 1 ELSE 0 END"
   }
 
-  /** Pack sign bits [lo, hi) into an integer bucket id (both engines). */
+  /** Pack sign bits [lo, hi) into an integer bucket id. Single
+    * [[SignBucket]] expression (plane matrix as a referenced object) —
+    * semantically identical to summing per-plane [[signBit]]s but without
+    * the 24×64-literal codegen blowup. */
   def signBucket(emb: Column, lo: Int, hi: Int, dims: Int): Column =
-    (lo until hi).map(j => signBit(emb, j, dims) * lit(1 << (j - lo))).reduce(_ + _)
+    SignBucket(emb, (lo until hi).map(j => hyperplane(j, dims)).toArray)
 
   def oSignBucket(emb: String, lo: Int, hi: Int, dims: Int): String =
     (lo until hi).map(j => s"(${oSignBit(emb, j, dims)} * ${1 << (j - lo)})").mkString("(", " + ", ")")
