@@ -83,6 +83,13 @@ object ManifestGen {
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Partitioned manifest write: hive-style directories on the given
+    * columns so downstream scans prune whole partitions (SURVEY §7.4:
+    * "manifests partitioned by bucket/prefix on write"). At bucket scale,
+    * partition on (Bucket, top-level prefix). */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
   /** Read a manifest back, tolerating reference-written UINT_64 Size
     * (Spark maps Parquet UINT_64 to DecimalType(20,0) — normalize). */
   def read(spark: SparkSession, path: String): DataFrame = {

@@ -99,6 +99,26 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): complete daily spine over the
+    // event range, zero-filled counts — the gaps a plain groupBy can't emit.
+    "q57_recursive_cte" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("ev_rc")
+      s.sql(
+        """WITH RECURSIVE bounds AS (
+             SELECT min(date_trunc('day', ts)) AS mn, max(date_trunc('day', ts)) AS mx
+             FROM ev_rc),
+           spine(day) AS (
+             SELECT mn FROM bounds
+             UNION ALL
+             SELECT day + INTERVAL '1' DAY FROM spine, bounds WHERE day < mx),
+           counts AS (
+             SELECT date_trunc('day', ts) AS day, count(1) AS n
+             FROM ev_rc GROUP BY 1)
+           SELECT s.day, COALESCE(c.n, 0) AS n
+           FROM spine s LEFT JOIN counts c USING (day)
+           ORDER BY s.day""")
+    }),
+
     // Multiset (bag) semantics: EXCEPT ALL / INTERSECT ALL.
     "q46_multiset_ops" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -190,6 +210,21 @@ object MiscQueries {
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // q37: intentionally no oracle (approx algorithms are engine-specific)
+
+    "q57_recursive_cte" ->
+      """WITH RECURSIVE bounds AS (
+             SELECT min(date_trunc('day', ts)) AS mn, max(date_trunc('day', ts)) AS mx
+             FROM events),
+           spine(day) AS (
+             SELECT mn FROM bounds
+             UNION ALL
+             SELECT day + INTERVAL '1' DAY FROM spine, bounds WHERE day < mx),
+           counts AS (
+             SELECT date_trunc('day', ts) AS day, count(1) AS n
+             FROM events GROUP BY 1)
+           SELECT s.day, COALESCE(c.n, 0) AS n
+           FROM spine s LEFT JOIN counts c USING (day)
+           ORDER BY s.day""",
 
     "q55_collect" ->
       """SELECT l_returnflag,

@@ -84,6 +84,19 @@ class ManifestSemanticsSpec extends SparkSpec {
     assert(partitions.length == 1, "planning should prune non-matching shards")
   }
 
+  test("partitioned manifest write prunes partitions on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val m = ManifestGen.fromDir(spark, sf)
+      .withColumn("pfx", org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.col("FileName"), 1, 1))
+    ManifestGen.writePartitioned(m, out, Seq("pfx"))
+    val back = spark.read.parquet(out).filter(org.apache.spark.sql.functions.col("pfx") === "l")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(pfx"),
+      s"expected partition pruning in:\n${plan.take(800)}")
+    assert(back.count() == 1) // only lineitem.parquet starts with 'l'
+  }
+
   test("fslist DSv2 column pruning and limit pushdown") {
     val viaDsv2 = spark.read.format("graft.sources.FsListSource")
       .option("path", sf).load()
