@@ -34,6 +34,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-static join enriches events against a dimension") {
+    // static side: user_id → customer name (broadcastable dim)
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val joined = StreamingPipelines.eventsStream(spark, sf)
+      .join(dim, Seq("user_id"), "left")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val streamed = StreamingPipelines.runToCompletion(spark, joined)
+      .orderBy("c_mktsegment").collect()
+    val batch = Tables.events(spark, sf).join(dim, Seq("user_id"), "left")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("foreachBatch sink lands per-batch parquet output") {
+    val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    val q = StreamingPipelines.eventsStream(spark, sf)
+      .select("event_id", "event_type")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(s"$out/batch")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(s"$out/batch")
+    assert(landed.count() == Tables.events(spark, sf).count())
+  }
+
   test("streaming dedup drops duplicate event_ids") {
     // duplicate the stream by unioning it with itself, then streaming
     // dropDuplicates must restore exactly the distinct id count
