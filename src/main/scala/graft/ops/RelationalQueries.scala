@@ -115,15 +115,19 @@ object RelationalQueries {
     }),
 
     // Running-sum frame; decimal-exact prefix sums are order-deterministic.
+    // NOTE: (l_orderkey, l_linenumber) is NOT unique in this data — the
+    // window order adds l_quantity so any remaining ties are rows whose
+    // swap leaves every prefix sum unchanged; the output order adds
+    // running_qty for the same reason.
     "q18_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").as("running_qty"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     }),
 
     "q19_window_lag" -> ((s, d) => {
@@ -229,7 +233,9 @@ object RelationalQueries {
           round(pow(col("l_discount") + 1, 3), 6).as("r_pow"),
           floor(col("l_tax") * 100).as("tax_pct"),
           abs(col("l_quantity") - 25).as("dev25"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique — order by every output
+        // column so tied rows are full duplicates (order-invariant)
+        .orderBy("l_orderkey", "l_linenumber", "r_sqrt", "r_ln", "r_pow", "tax_pct", "dev25")
     }),
 
     "q28_case_buckets" -> ((s, d) => {
@@ -374,9 +380,10 @@ object RelationalQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
             PARTITION BY l_suppkey
-            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
-          FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+          FROM lineitem
+          ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""",
 
     "q19_window_lag" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
@@ -452,7 +459,8 @@ object RelationalQueries {
           round(pow(l_discount + 1, 3), 6) AS r_pow,
           CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct,
           abs(l_quantity - 25) AS dev25
-          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+          FROM lineitem
+          ORDER BY l_orderkey, l_linenumber, r_sqrt, r_ln, r_pow, tax_pct, dev25""",
 
     "q28_case_buckets" ->
       s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
