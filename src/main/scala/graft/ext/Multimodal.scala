@@ -66,6 +66,23 @@ object Multimodal {
       val media = Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       decodeAll(s, media).orderBy("doc_id")
+    }),
+
+    // Frame sampling: fixed-stride byte windows over the binary payload
+    // (the video-frame / audio-chunk extraction shape: explode an index,
+    // slice the blob, fingerprint each slice).
+    "q72_frame_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("frame_idx"), col("payload"))
+        .select(col("doc_id"), col("frame_idx"),
+          expr("substring(payload, frame_idx * 64 + 1, 64)").as("frame"))
+        .filter(octet_length(col("frame")) > 0)
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"),
+          octet_length(col("frame")).as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -87,6 +104,15 @@ object Multimodal {
             CAST(1 + ${hvSql(4)} % 8 AS INTEGER) AS n_frames,
             CASE ${hvSql(5)} % 3 WHEN 0 THEN 'rgb' WHEN 1 THEN 'gray'
                                  ELSE 'yuv' END AS fmt
-          FROM documents ORDER BY doc_id"""
+          FROM documents ORDER BY doc_id""",
+
+    "q72_frame_sample" ->
+      """SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+            md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5,
+            CAST(octet_length(encode(substr(text, frame_idx * 64 + 1, 64))) AS INTEGER) AS frame_len
+          FROM (SELECT doc_id, text, unnest(generate_series(0, 3)) AS frame_idx
+                FROM documents)
+          WHERE octet_length(encode(substr(text, frame_idx * 64 + 1, 64))) > 0
+          ORDER BY doc_id, frame_idx"""
   )
 }
