@@ -102,15 +102,22 @@ object MiscQueries {
     // Recursive CTE (Spark 4 WITH RECURSIVE): complete daily spine over the
     // event range, zero-filled counts — the gaps a plain groupBy can't emit.
     "q57_recursive_cte" -> ((s, d) => {
+      // prefetch the loop bounds driver-side: a recursive member that
+      // references a full-scan aggregate CTE re-executes the scan EVERY
+      // iteration in Spark (CTEs inline); two scalar literals instead
+      val b = Tables.events(s, d)
+        .agg(min(date_trunc("day", col("ts"))).as("mn"),
+          max(date_trunc("day", col("ts"))).as("mx")).head()
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val (mn, mx) = (fmt.format(b.getTimestamp(0)), fmt.format(b.getTimestamp(1)))
       Tables.events(s, d).createOrReplaceTempView("ev_rc")
       s.sql(
-        """WITH RECURSIVE bounds AS (
-             SELECT min(date_trunc('day', ts)) AS mn, max(date_trunc('day', ts)) AS mx
-             FROM ev_rc),
-           spine(day) AS (
-             SELECT mn FROM bounds
+        s"""WITH RECURSIVE spine(day) AS (
+             SELECT TIMESTAMP '$mn'
              UNION ALL
-             SELECT day + INTERVAL '1' DAY FROM spine, bounds WHERE day < mx),
+             SELECT day + INTERVAL '1' DAY FROM spine
+             WHERE day < TIMESTAMP '$mx'),
            counts AS (
              SELECT date_trunc('day', ts) AS day, count(1) AS n
              FROM ev_rc GROUP BY 1)
