@@ -1,0 +1,26 @@
+package graft.manifest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental inventory: diff two manifest snapshots into
+  * added / removed / changed / unchanged per Key — the operation downstream
+  * consumers run on successive runs of the reference tool. One full-outer
+  * hash join on Key; at bucket scale both sides are Key-partitioned
+  * manifests so the join co-partitions without extra shuffles.
+  */
+object ManifestDiff {
+
+  /** Inputs need (Key, Size) columns; any extra columns are ignored. */
+  def diff(oldM: DataFrame, newM: DataFrame): DataFrame = {
+    val o = oldM.select(col("Key"), col("Size").as("old_size"))
+    val n = newM.select(col("Key"), col("Size").as("new_size"))
+    o.join(n, Seq("Key"), "full_outer")
+      .select(col("Key"),
+        when(col("old_size").isNull, "added")
+          .when(col("new_size").isNull, "removed")
+          .when(col("old_size") =!= col("new_size"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_size"), col("new_size"))
+  }
+}

@@ -46,6 +46,19 @@ object ManifestFsQueries {
         .orderBy("Bucket")
     }),
 
+    // Incremental inventory: diff two (synthetically evolved) manifest
+    // snapshots derived deterministically from `documents` — full outer
+    // join, all four statuses exercised.
+    "q95_manifest_diff" -> ((s, d) => {
+      def keyCol = concat(col("source"), lit("/"), col("doc_id").cast("string"), lit(".txt"))
+      val docs = Tables.documents(s, d)
+      val oldM = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(keyCol.as("Key"), col("n_chars").as("Size"))
+      val newM = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(keyCol.as("Key"), (col("n_chars") + col("doc_id") % 3).as("Size"))
+      graft.manifest.ManifestDiff.diff(oldM, newM).orderBy("Key")
+    }),
+
     // CSV sink + source round-trip: Spark's CSV writer emits Java
     // Double.toString, which reparses to the identical double, so the
     // aggregate over the round-tripped data must equal the original.
@@ -109,6 +122,24 @@ object ManifestFsQueries {
             CAST(sum(size) AS BIGINT) AS total_bytes,
             max(str_split(filename, '/')[-1]) AS max_name
           FROM read_blob('$t2Dir/*')""",
+
+    "q95_manifest_diff" ->
+      """WITH oldm AS (
+            SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS Key,
+                   n_chars AS old_size
+            FROM documents WHERE doc_id % 7 <> 0),
+          newm AS (
+            SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS Key,
+                   n_chars + doc_id % 3 AS new_size
+            FROM documents WHERE doc_id % 5 <> 0)
+          SELECT Key,
+                 CASE WHEN old_size IS NULL THEN 'added'
+                      WHEN new_size IS NULL THEN 'removed'
+                      WHEN old_size <> new_size THEN 'changed'
+                      ELSE 'unchanged' END AS status,
+                 old_size, new_size
+          FROM oldm FULL OUTER JOIN newm USING (Key)
+          ORDER BY Key""",
 
     "q93_csv_roundtrip" ->
       s"""SELECT o_orderpriority, count(*) AS n, ${oSum("o_totalprice")} AS total
