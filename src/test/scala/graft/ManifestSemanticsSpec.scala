@@ -84,6 +84,17 @@ class ManifestSemanticsSpec extends SparkSpec {
     assert(partitions.length == 1, "planning should prune non-matching shards")
   }
 
+  test("manifest diff classifies added/removed/changed/unchanged") {
+    import org.apache.spark.sql.functions.col
+    val oldM = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("Key", "Size")
+    val newM = Seq(("b", 2L), ("c", 9L), ("d", 4L)).toDF("Key", "Size")
+    val d = graft.manifest.ManifestDiff.diff(oldM, newM)
+      .orderBy("Key").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d == Map("a" -> "removed", "b" -> "unchanged",
+      "c" -> "changed", "d" -> "added"))
+  }
+
   test("partitioned manifest write prunes partitions on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     val m = ManifestGen.fromDir(spark, sf)
