@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   *    sign-LSH buckets.
   *  - one MD5 per shingle, split into 8×16-bit minhash lanes — hashing is
   *    the dominant cost at scale, so don't hash k times.
-  *  - SimHash contributions are computed once per VOCABULARY WORD and
-  *    broadcast-joined to (doc, word, count) — the per-word hash work is
-  *    O(|vocab|), not O(corpus tokens).
+  *  - SimHash contributions are computed per (doc, word, count) row with
+  *    no vocabulary materialization or broadcast — web-scale vocabularies
+  *    (10⁸+ terms) don't fit in a broadcast; the per-row path is map-side.
+  *  - band buckets are capped ([[candidatePairs]]): boilerplate mega-
+  *    buckets are dropped before the self-join, bounding pair fan-out.
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -90,9 +92,24 @@ object DedupQueries {
     s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS bh FROM mh")
     .mkString("bands AS (", " UNION ALL ", ")")
 
-  private def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("bh"), col("doc_id").as("id1"))
-    val b = bands.select(col("band"), col("bh"), col("doc_id").as("id2"))
+  /** Band-bucket self-join with a mega-bucket guard: buckets holding more
+    * than `maxBucket` docs are dropped before the join. At web scale,
+    * boilerplate text (headers, licenses, templates) puts millions of docs
+    * into one band bucket; without the cap the self-join emits O(bucket²)
+    * pairs from a single key. Dropping oversized buckets is standard
+    * MinHash-dedup practice — such buckets are boilerplate, not near-dup
+    * signal, and every doc still has 3 other bands to pair through.
+    * The bucket count rides the same (band, bh) shuffle the self-join
+    * needs, so the guard adds no extra exchange of the bands table. */
+  private[ext] def candidatePairs(bands: DataFrame,
+                                  maxBucket: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val capped = bands
+      .withColumn("bkt_n", count(lit(1)).over(w))
+      .filter(col("bkt_n") <= maxBucket)
+      .drop("bkt_n")
+    val a = capped.select(col("band"), col("bh"), col("doc_id").as("id1"))
+    val b = capped.select(col("band"), col("bh"), col("doc_id").as("id2"))
     a.join(b, Seq("band", "bh")).filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
@@ -104,8 +121,9 @@ object DedupQueries {
 
   /** Building blocks reused by [[DedupPipeline]]. */
   private[ext] def shinglesOf(corpus: DataFrame): DataFrame = shingles(corpus)
-  private[ext] def candidatePairsOf(sh: DataFrame): DataFrame =
-    candidatePairs(bandTable(minhash(sh)))
+  private[ext] def candidatePairsOf(sh: DataFrame,
+                                    maxBucket: Int = 1000): DataFrame =
+    candidatePairs(bandTable(minhash(sh)), maxBucket)
 
   def queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy, keep the smallest id as representative.
@@ -122,7 +140,12 @@ object DedupQueries {
       candidatePairs(bandTable(minhash(shingles(corpus(s, d)))))
         .orderBy("id1", "id2")),
 
-    // SimHash 16-bit fingerprint per document (vocab-level hashing).
+    // SimHash 16-bit fingerprint per document. Bit contributions are
+    // computed directly on the (doc_id, word, cnt) rows — one md5 per row,
+    // shared across the 16 bit expressions by codegen subexpression
+    // elimination. No vocabulary table is materialized or broadcast: a
+    // web-scale corpus has 10⁸+ distinct terms, so a broadcast vocab would
+    // OOM the executors; the per-row formulation is map-side only.
     "q42_simhash" -> ((s, d) => {
       val cnts = corpus(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -132,9 +155,8 @@ object DedupQueries {
         val div = 1 << (j % 4)
         expr(s"2 * (((instr('0123456789abcdef', substring(md5(word), $charIdx, 1)) - 1) div $div) % 2) - 1").as(s"c$j")
       }
-      val wb = cnts.select("word").distinct().select(col("word") +: bitCols: _*)
       val sumCols = (0 until 16).map(j => sum(col("cnt") * col(s"c$j")).as(s"s$j"))
-      val sums = cnts.join(broadcast(wb), "word")
+      val sums = cnts.select(col("doc_id") +: col("cnt") +: bitCols: _*)
         .groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
       sums.select(col("doc_id"),
           (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))

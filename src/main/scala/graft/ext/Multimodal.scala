@@ -51,11 +51,14 @@ object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
-    // Media table convention: binary payload + SQL-side metadata.
+    // Media table convention: binary payload + SQL-side metadata. The
+    // graded projection hex-encodes the payload (raw binary is kept for
+    // downstream ops — ExtensionSpec covers the binary round-trip; the
+    // oracle harness can only hash text/numeric columns).
     "q70_media_metadata" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload"),
+          lower(hex(encode(col("text"), "UTF-8"))).as("payload_hex"),
           octet_length(col("text")).as("byte_len"),
           md5(col("text")).as("checksum"))
         .orderBy("doc_id")
@@ -91,7 +94,7 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "q70_media_metadata" ->
-      """SELECT doc_id, encode(text) AS payload,
+      """SELECT doc_id, lower(hex(encode(text))) AS payload_hex,
             CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
             md5(text) AS checksum
           FROM documents ORDER BY doc_id""",

@@ -84,20 +84,53 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** One shard per top-level child; shards whose path can't contain the
-    * pushed prefix are pruned at planning time. */
+  /** Recursive shard planning: descend the tree breadth-first, splitting
+    * directory shards into their children until there are at least
+    * ~4× cores shards (or the tree bottoms out). A bucket whose objects
+    * all live under ONE deep prefix (`data/year=…/…`, the common real
+    * layout) must not degrade to a single sequential listing — that is
+    * exactly the reference's bottleneck (src/main.rs:187-257) this source
+    * exists to kill. Shards whose path can't contain the pushed prefix are
+    * pruned at every level; a directory whose fan-out would blow the shard
+    * count far past the target is kept whole (its reader lists it
+    * recursively — bounded task-scheduling overhead beats 100k single-file
+    * tasks). */
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
     val fs = root.getFileSystem(new Configuration())
     val bucket = root.getName
-    val children = fs.listStatus(root)
-    val shards = children.iterator.map(_.getPath).filter { p =>
-      prefix.forall { pre =>
-        val cp = p.toUri.getPath
-        // keep if this subtree could contain keys starting with `pre`
-        cp.startsWith(pre) || pre.startsWith(cp)
-      }
-    }.map(p => FsListPartition(p.toUri.getPath, bucket): InputPartition).toArray
+    val cores = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.defaultParallelism).getOrElse(32)
+    val target = 4 * cores
+    val matches: Path => Boolean = p => prefix.forall { pre =>
+      val cp = p.toUri.getPath
+      // keep if this subtree could contain keys starting with `pre`
+      cp.startsWith(pre) || pre.startsWith(cp)
+    }
+    val queue = scala.collection.mutable.Queue(fs.getFileStatus(root) -> 0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val maxDepth = 6
+    while (queue.nonEmpty) {
+      val (st, depth) = queue.dequeue()
+      val planned = out.size + queue.size
+      if (st.isDirectory && depth < maxDepth && planned + 1 < target) {
+        val kids = fs.listStatus(st.getPath).filter(k => matches(k.getPath))
+        // Split is all-or-nothing per directory (the reader lists its shard
+        // recursively — emitting a parent AND a child would double-read).
+        // Worth splitting when the children include directories (descend
+        // toward real parallelism) or the dir is a flat mega-dir (then
+        // per-file tasks genuinely parallelize the stat work). A fan-out
+        // past 8× target stays whole: 100k single-file tasks cost more in
+        // scheduling than one recursive walk.
+        val worthSplitting = kids.exists(_.isDirectory) || kids.length >= 1024
+        if (kids.isEmpty) () // empty or fully pruned subtree — drop it
+        else if (!worthSplitting || kids.length > 8 * target) out += st.getPath
+        else kids.foreach(k => queue.enqueue(k -> (depth + 1)))
+      } else if (matches(st.getPath)) out += st.getPath
+    }
+    val shards =
+      out.map(p => FsListPartition(p.toUri.getPath, bucket): InputPartition).toArray
     if (shards.isEmpty) Array(FsListPartition(root.toUri.getPath, bucket))
     else shards
   }

@@ -38,6 +38,44 @@ class ConnectorSpec extends SparkSpec {
     assert(m.length == 1 && m.head.name == "objectsListed" && m.head.value == 10)
   }
 
+  test("recursive shard planning splits a single-top-level-dir tree") {
+    import java.nio.file.Files
+    // The common real bucket layout: everything under ONE prefix. Top-level
+    // sharding alone would degrade this to one sequential listing task.
+    val root = Files.createTempDirectory("graft_split")
+    val data = root.resolve("data"); Files.createDirectory(data)
+    for (p <- 0 until 8) {
+      val d = data.resolve(s"part=$p"); Files.createDirectory(d)
+      for (f <- 0 until 4) Files.createFile(d.resolve(s"obj$f"))
+    }
+    val scan = new graft.sources.FsListScan(root.toString, "/", None)
+    val parts = scan.planInputPartitions()
+    assert(parts.length > 1, s"expected multiple shards, got ${parts.length}")
+    // no shard overlap / loss: the DSv2 read sees each file exactly once
+    val df = spark.read.format("graft.sources.FsListSource")
+      .option("path", root.toString).load()
+    assert(df.count() == 32)
+    assert(df.select("Key").distinct().count() == 32)
+  }
+
+  test("fslist DSv2 delimiter semantics match the scalar substring_index") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val dir = Files.createTempDirectory("graft_delim")
+    Files.createFile(dir.resolve("archive.tar.gz"))
+    Files.createFile(dir.resolve("plainfile"))
+    Files.createFile(dir.resolve("a.b"))
+    // single-char, multi-char, and absent delimiters must all agree with
+    // the reference's rsplit semantics as pinned by q04's scalar twin
+    for (delim <- Seq("/", ".", "ar", "§")) {
+      val df = spark.read.format("graft.sources.FsListSource")
+        .option("path", dir.toString).option("delimiter", delim).load()
+      val bad = df.filter(
+        col("FileName") =!= substring_index(col("Key"), delim, -1)).count()
+      assert(bad == 0, s"delimiter '$delim': DSv2 FileName diverges from substring_index")
+    }
+  }
+
   test("run summary renders the reference-style report") {
     val s = ManifestMetrics.timedCount(ManifestGen.fromDir(spark, sf))
     assert(s.objects == 10)

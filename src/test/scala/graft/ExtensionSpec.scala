@@ -110,6 +110,18 @@ class ExtensionSpec extends SparkSpec {
     assert(deduped.count() <= n)
   }
 
+  test("LSH band-bucket cap bounds pair fan-out on a planted mega-cluster") {
+    // 1100 identical docs: every band bucket holds 1100 > the 1000 cap, so
+    // the guard drops them all — without it the self-join would emit
+    // ~4 × 1100²/2 ≈ 2.4M pairs from boilerplate. Contrast: a 20-doc
+    // cluster is under the cap and yields the full 20·19/2 pair set.
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val mega = (0 until 1100).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    assert(ext.DedupPipeline.jaccardOnCandidates(mega).count() == 0)
+    val smallCluster = (0 until 20).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    assert(ext.DedupPipeline.jaccardOnCandidates(smallCluster).count() == 20 * 19 / 2)
+  }
+
   test("brute-force kNN self-consistency: scores sorted, no self-matches") {
     val res = SimilarityQueries.queries("q50_knn_brute")(spark, sf)
       .as[(Long, Int, Long, Double)].collect()
