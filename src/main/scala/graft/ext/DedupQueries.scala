@@ -68,10 +68,14 @@ object DedupQueries {
                      words[pos] || ' ' || words[pos+1] || ' ' || words[pos+2] AS shingle
               FROM posn)"""
 
-  /** MinHash signature: one MD5 per shingle, 8 lanes of 4 hex chars. */
+  /** MinHash signature: one MD5 per shingle, 8 lanes of 4 hex chars.
+    * Uses the thread-local-digest [[graft.functions.FastMd5]] — hex output
+    * is identical to the built-in `md5`, so the DuckDB oracle is unchanged;
+    * the shingle hash is the dominant cost of q41/q43 at scale. */
   private def minhash(sh: DataFrame): DataFrame = {
+    val h = graft.functions.FastMd5.fastMd5(col("shingle"))
     val aggs = (0 until 8).map(i =>
-      min(substring(md5(col("shingle")), 1 + 4 * i, 4)).as(s"m$i"))
+      min(substring(h, 1 + 4 * i, 4)).as(s"m$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -150,10 +154,12 @@ object DedupQueries {
       val cnts = corpus(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      val h = graft.functions.FastMd5.fastMd5(col("word"))
       val bitCols = (0 until 16).map { j =>
-        val charIdx = j / 4 + 1
-        val div = 1 << (j % 4)
-        expr(s"2 * (((instr('0123456789abcdef', substring(md5(word), $charIdx, 1)) - 1) div $div) % 2) - 1").as(s"c$j")
+        // hex-digit value of char j/4, bit j%4 of it, mapped to ±1 —
+        // equivalent to the oracle's ((strpos(hex,c)-1) // 2^(j%4)) % 2
+        val v = conv(substring(h, j / 4 + 1, 1), 16, 10).cast("int")
+        (lit(2) * shiftright(v, j % 4).bitwiseAND(lit(1)) - lit(1)).as(s"c$j")
       }
       val sumCols = (0 until 16).map(j => sum(col("cnt") * col(s"c$j")).as(s"s$j"))
       val sums = cnts.select(col("doc_id") +: col("cnt") +: bitCols: _*)

@@ -21,8 +21,7 @@ class MinHashAgg extends Aggregator[String, Array[String], Array[String]] {
   override def zero: Array[String] = Array.fill(lanes)(sentinel)
 
   override def reduce(b: Array[String], shingle: String): Array[String] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(shingle.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = graft.functions.FastMd5.md5HexString(shingle)
     var i = 0
     while (i < lanes) {
       val chunk = h.substring(4 * i, 4 * i + 4)

@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotFunction)
+    e.injectFunction(GraftFunctions.fastMd5Function)
   }
 }
 
@@ -26,11 +27,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
     (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
 
+  private[functions] val fastMd5Function
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_fast_md5"),
+    new ExpressionInfo(classOf[FastMd5Expr].getName, "graft_fast_md5"),
+    (exprs: Seq[Expression]) => FastMd5Expr(exprs.head))
+
   /** Register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    val (_, info, builder) = dotFunction
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", builder, "scala_udf")
-    val _ = info // ExpressionInfo used by the extensions path
+    Seq(dotFunction, fastMd5Function).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "scala_udf")
+      val _ = info // ExpressionInfo used by the extensions path
+    }
   }
 }

@@ -110,6 +110,17 @@ class ExtensionSpec extends SparkSpec {
     assert(deduped.count() <= n)
   }
 
+  test("FastMd5 is byte-identical to the built-in md5 on real and edge inputs") {
+    import graft.functions.FastMd5
+    val docs = Tables.documents(spark, sf)
+      .select(col("text")).unionByName(
+        Seq("", "a", "héllo wörld ☃", "x" * 10000).toDF("text"))
+    val mismatches = docs
+      .filter(FastMd5.fastMd5(col("text")) =!= md5(col("text"))).count()
+    assert(mismatches == 0)
+    assert(FastMd5.md5HexString("") == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
   test("LSH band-bucket cap bounds pair fan-out on a planted mega-cluster") {
     // 1100 identical docs: every band bucket holds 1100 > the 1000 cap, so
     // the guard drops them all — without it the self-join would emit

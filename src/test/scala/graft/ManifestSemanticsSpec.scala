@@ -71,6 +71,21 @@ class ManifestSemanticsSpec extends SparkSpec {
     assert(back.orderBy("Key").collect().toSeq == m.orderBy("Key").collect().toSeq)
   }
 
+  test("reads back a reference-style UINT_64-Size manifest as LongType") {
+    // Fixture written with Parquet UINT_64 Size (DuckDB UBIGINT COPY),
+    // mirroring the reference's unsigned schema (src/main.rs:139). Spark
+    // surfaces UINT_64 as DecimalType(20,0); ManifestGen.read normalizes.
+    val path = getClass.getResource("/uint64_manifest.parquet").getPath
+    assert(spark.read.parquet(path).schema("Size").dataType ==
+      DecimalType(20, 0), "fixture must really carry Parquet UINT_64")
+    val df = ManifestGen.read(spark, path)
+    assert(df.schema("Size").dataType == LongType)
+    val sizes = df.orderBy("Key").select("Size").as[Long].collect().toSeq
+    assert(sizes == Seq(0L, 1000L, 2000L, 3000L, Long.MaxValue))
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("Bucket", "Key", "FileName", "Size", "LastModified"))
+  }
+
   test("fslist DSv2 source matches driver-side listing and prunes by prefix") {
     val viaDsv2 = spark.read.format("graft.sources.FsListSource")
       .option("path", sf).load()
