@@ -37,6 +37,20 @@ object DedupPipeline {
     df.join(losers, df(idCol) === losers("__loser"), "left_anti")
   }
 
+  /** Drop near-duplicates by CLUSTER: LSH candidate pairs become edges,
+    * connected components collapse each cluster onto its smallest id.
+    * Unlike [[nearDedup]]'s edge policy this takes the transitive closure
+    * (a~b, b~c ⇒ a,b,c one cluster even if a≁c directly). */
+  def clusterDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val pairs = DedupQueries.candidatePairsOf(DedupQueries.shinglesOf(corpus))
+    val comps = GraphOps.connectedComponents(
+      pairs, corpus.select(col("doc_id").as("id")))
+    val losers = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+  }
+
   /** Candidate pairs (MinHash LSH bands) with exact Jaccard — exposed for
     * reporting/threshold tuning. Expects columns (doc_id, text). */
   def jaccardOnCandidates(corpus: DataFrame): DataFrame = {

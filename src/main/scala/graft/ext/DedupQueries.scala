@@ -187,6 +187,17 @@ object DedupQueries {
         .orderBy("id1", "id2")
     }),
 
+    // Dedup clustering: LSH candidate pairs as edges → connected
+    // components → every doc labeled with its cluster's smallest id
+    // (the transitive-closure step edge-based dedup skips).
+    "q54_dedup_clusters" -> ((s, d) => {
+      val c = corpus(s, d)
+      val pairs = candidatePairsOf(shingles(c))
+      GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // Spark ML MinHashLSH near-dup (no oracle — see mlMinhash scaladoc).
     "q49_ml_minhash" -> ((s, d) => mlMinhash(s, d)),
 
@@ -277,6 +288,17 @@ object DedupQueries {
           SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash
           FROM sums ORDER BY doc_id"""
     },
+
+    "q54_dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $pairsSql,
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM corpus
+            UNION
+            SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+          SELECT id AS doc_id, min(r) AS cluster_id
+          FROM reach GROUP BY id ORDER BY doc_id""",
 
     "q43_ngram_jaccard" ->
       s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql, $pairsSql,

@@ -196,10 +196,89 @@ object MiscQueries {
         .select(col("source") +:
           (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
         .orderBy("source")
+    }),
+
+    // Unpivot / melt: wide measure columns → (measure, value) rows via the
+    // stack generator, then re-aggregate. The long shape is what feature
+    // stores and metric pipelines shuffle, so the melt must not
+    // materialize the wide row first.
+    "q58_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .selectExpr(
+          """stack(3, 'quantity', l_quantity,
+                      'extendedprice', l_extendedprice,
+                      'discount', l_discount) AS (measure, val)""")
+        .groupBy("measure")
+        .agg(dsum(col("val"), 4).as("total"), count(lit(1)).as("n"))
+        .orderBy("measure")
+    }),
+
+    // Distribution window functions: ntile / percent_rank / cume_dist.
+    // Ordering inside the frame is tiebroken by the unique key so the
+    // quartile assignment is total (deterministic cross-engine).
+    "q59_window_distribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Bloom pre-filter join: build a Bloom filter over the SMALL filtered
+    // dim's keys, prune the fact scan with it BEFORE the shuffle, then
+    // exact semi-join (false positives removed). At 100 TB this is the
+    // difference between shuffling the full fact table and shuffling the
+    // ~matching slice; the broadcast is O(bloom bits), never O(dim rows).
+    // (Spark's AQE injects the same shape as a runtime filter when stats
+    // allow; this is the explicit, always-on version.)
+    "q67_bloom_prefilter" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val bf = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+      Tables.lineitem(s, d)
+        .filter(mightContain(col("l_orderkey")))
+        .join(urgent.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q58_unpivot" ->
+      s"""WITH m AS (
+            SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT 'extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'discount', l_discount FROM lineitem)
+          SELECT measure, ${oSum("val", 4)} AS total, count(*) AS n
+          FROM m GROUP BY measure ORDER BY measure""",
+
+    "q59_window_distribution" ->
+      """SELECT o_orderkey, o_orderpriority,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cdist
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey)
+          ORDER BY o_orderkey""",
+
+    "q67_bloom_prefilter" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${oSum("l_quantity")} AS sum_qty
+          FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                               WHERE o_orderpriority = '1-URGENT')
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q35_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
                 COALESCE(l_linestatus, 'ALL') AS ls,

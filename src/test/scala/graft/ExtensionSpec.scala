@@ -110,6 +110,33 @@ class ExtensionSpec extends SparkSpec {
     assert(deduped.count() <= n)
   }
 
+  test("connected components: chains close transitively, isolated nodes self-label") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val comps = ext.GraphOps.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("clusterDedup keeps exactly one representative per near-dup cluster") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") < 50)
+    // chain: original → exact copy (+1M) → first-word-dropped (+2M);
+    // cluster closure must collapse all three onto the original id
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = docs.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 10)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", expr("slice(words, 2, size(words) - 1)")).as("text"))
+    val corpus = docs.unionByName(copies).unionByName(near)
+    val kept = ext.DedupPipeline.clusterDedup(corpus, "doc_id", "text")
+    assert(kept.filter(col("doc_id") >= 1000000L).count() == 0,
+      "every copy/near-copy is in its original's cluster and must drop")
+    assert(kept.count() <= docs.count())
+  }
+
   test("FastMd5 is byte-identical to the built-in md5 on real and edge inputs") {
     import graft.functions.FastMd5
     val docs = Tables.documents(spark, sf)
