@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import graft.functions.VectorOps
+import graft.ops.{davg, oAvg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -77,6 +78,40 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select("qid", "rank", "vec_id", "cos_sim")
         .orderBy("qid", "rank")
+    }),
+
+    // One Lloyd (k-means) refinement round — the training loop that
+    // produces q51's IVF centroids, with oracle parity: deterministic
+    // seeds (vec_id < 8), cosine assignment against broadcast centroids
+    // (map-only over the corpus), per-dimension decimal-exact means for
+    // the new centroids, then reassignment. The per-round cost is one
+    // corpus scan + one (cluster, dim)-keyed aggregate — at 100 TB the
+    // corpus never shuffles by row, only the 8×64 centroid matrix moves.
+    "q88_kmeans_refine" -> ((s, d) => {
+      val n = normed(s, d)
+      def assign(cent: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+        n.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+            (VectorOps.dotSeq(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("nrm"), col("cid").as("cluster"))
+      }
+      val cent0 = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val a1 = assign(cent0)
+      val dims = a1.join(n.select("vec_id", "embedding"), "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      val cent1 = dims
+        .groupBy("cluster", "dim").agg(davg(col("v").cast("double"), 8).as("m"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), x -> x.m)").as("ce"))
+        .select(col("cluster").as("cid"), col("ce"),
+          VectorOps.norm(col("ce")).as("cn"))
+      assign(cent1)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), davg(col("nrm"), 6).as("avg_nrm"))
+        .orderBy("cluster")
     })
   )
 
@@ -121,6 +156,35 @@ object SimilarityQueries {
                                                ORDER BY cos_sim DESC, vec_id) AS rank
                      FROM cand)
           SELECT qid, rank, vec_id, cos_sim FROM ranked
-          WHERE rank <= 5 ORDER BY qid, rank"""
+          WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q88_kmeans_refine" ->
+      s"""WITH $normedSql,
+          cent0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+          s1 AS (SELECT n.vec_id, n.nrm, c.cid,
+                        ${VectorOps.oDot("n.embedding", "c.ce")} / (n.nrm * c.cn) AS ccos
+                 FROM n CROSS JOIN cent0 c),
+          a1 AS (SELECT vec_id, nrm, cid AS cluster FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY ccos DESC, cid) AS rn
+                   FROM s1) WHERE rn = 1),
+          dims AS (SELECT a1.cluster,
+                          unnest(generate_series(0, len(n.embedding) - 1)) AS dim,
+                          unnest(n.embedding) AS v
+                   FROM a1 JOIN n USING (vec_id)),
+          cm AS (SELECT cluster, dim, ${oAvg("CAST(v AS DOUBLE)", 8)} AS m
+                 FROM dims GROUP BY 1, 2),
+          cent1 AS (SELECT cluster AS cid, list(m ORDER BY dim) AS ce
+                    FROM cm GROUP BY cluster),
+          cent1n AS (SELECT cid, ce, ${VectorOps.oNorm("ce")} AS cn FROM cent1),
+          s2 AS (SELECT n.vec_id, n.nrm, c.cid,
+                        ${VectorOps.oDot("n.embedding", "c.ce")} / (n.nrm * c.cn) AS ccos
+                 FROM n CROSS JOIN cent1n c),
+          a2 AS (SELECT vec_id, nrm, cid AS cluster FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY ccos DESC, cid) AS rn
+                   FROM s2) WHERE rn = 1)
+          SELECT cluster, count(*) AS n_members, ${oAvg("nrm", 6)} AS avg_nrm
+          FROM a2 GROUP BY cluster ORDER BY cluster"""
   )
 }

@@ -98,6 +98,15 @@ object ManifestFsQueries {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("total_value"))
         .orderBy("window_start", "event_type")
+    }),
+
+    // Stream-stream interval join (watermarked both sides, Append mode) —
+    // view→click funnel within 10 minutes; result equals the batch join.
+    "q87_stream_join" -> ((s, d) => {
+      val joined = StreamingPipelines.viewClickJoin(
+        StreamingPipelines.eventsStream(s, d))
+      StreamingPipelines.runAppendToCompletion(s, joined)
+        .orderBy("user_id", "view_id", "click_id")
     })
   )
 
@@ -153,6 +162,15 @@ object ManifestFsQueries {
     "q86_stream_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
           count(*) AS n, ${oSum("value")} AS total_value
-          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q87_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+          FROM events v JOIN events c
+            ON v.user_id = c.user_id
+           AND v.event_type = 'view' AND c.event_type = 'click'
+           AND c.ts > v.ts
+           AND epoch_us(c.ts) - epoch_us(v.ts) <= 600 * 1000000
+          ORDER BY v.user_id, view_id, click_id"""
   )
 }

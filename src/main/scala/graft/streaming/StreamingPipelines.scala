@@ -40,6 +40,39 @@ object StreamingPipelines {
     spark.table(name)
   }
 
+  /** Append-mode run to completion — for stream-stream joins, which only
+    * support Append output. The finite file source lands in one micro-batch,
+    * so no row is ever late against the watermark and the emitted set
+    * equals the batch join (what the oracle checks); the watermark still
+    * bounds join state in a genuinely unbounded deployment. */
+  def runAppendToCompletion(spark: SparkSession, df: DataFrame): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Stream-stream interval self-join: for every `view` event, the `click`
+    * events of the same user within the next 10 minutes. Both sides carry
+    * watermarks so the join state is evictable — the canonical funnel
+    * (impression → action) shape. */
+  def viewClickJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class Ev(user_id: Long, tsMicros: Long, value: Double)
