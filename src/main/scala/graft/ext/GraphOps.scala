@@ -9,20 +9,24 @@ import org.apache.spark.sql.functions._
   * id (the transitive closure the reference-style edge-based policy in
   * [[DedupPipeline.nearDedup]] deliberately skips).
   *
-  * Each round, every node takes the min of its own label and its
-  * neighbors' labels; convergence after D rounds where D = the largest
-  * component diameter. Dedup clusters are shallow (near-dups of a common
-  * ancestor), so D is small in practice; the loop is capped and each
-  * round is one shuffle-join + one aggregate. Labels only decrease, so
-  * the label sum is a monotone convergence witness — checking it is one
-  * scalar aggregate per round, no full-table comparison join. At extreme
-  * diameters the two-hop "large-star/small-star" contraction would halve
-  * the rounds; for dedup graphs the plain propagation wins on constant
-  * factors.
+  * Each round does (1) a neighbor-min step — every node takes the min of
+  * its own label and its neighbors' — and (2) a pointer-jumping step —
+  * label := label(label), which halves the remaining propagation distance
+  * (the path-doubling idea of Shiloach–Vishkin-style CC). Together they
+  * converge in O(log D) rounds for diameter D instead of D rounds, which
+  * matters on organic near-dup chains (at sf0.1 the candidate graph has
+  * chains dozens of hops long: plain propagation hits a 25-round cap,
+  * doubling finishes in ~5). Labels only decrease, so the label sum is a
+  * monotone convergence witness — one scalar aggregate per round, no
+  * full-table comparison join.
   *
-  * DataFrames are persisted per round and the previous round unpersisted,
-  * so lineage stays O(1) and re-execution doesn't recompute the whole
-  * history.
+  * Each round's labels are `localCheckpoint`ed: the self-join makes the
+  * label plan reference the previous round TWICE, so without lineage
+  * truncation the logical plan doubles per round and analysis/optimizer
+  * time goes exponential (measured: 1.9s → 22s by round 4 on sf0.1).
+  * Checkpointing pins each round to its materialized RDD, keeping every
+  * round's plan constant-size — the standard pattern for iterative
+  * DataFrame algorithms.
   */
 object GraphOps {
 
@@ -32,30 +36,47 @@ object GraphOps {
     * nodes map to themselves). Deterministic under any partitioning. */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 25): DataFrame = {
+    // pairs come in deduplicated with id1 < id2, so the symmetrized union
+    // is duplicate-free by construction — no distinct shuffle needed.
+    // Self-loops make every node its own neighbor: the per-round min can
+    // then be a plain join+aggregate over this one edge table, with no
+    // union against the (checkpointed) label table inside the loop.
     val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct()
-      .persist()
-    var labels = nodes.select(col("id"), col("id").as("comp")).persist()
+      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     var prev = labelSum(labels)
+    if (sys.env.contains("GRAFT_CC_DEBUG")) {
+      val t = System.nanoTime()
+      println(s"[graft-cc] edges=${sym.count()} symSec=${(System.nanoTime() - t) / 1e9}")
+    }
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .select(col("src").as("id"), col("comp"))
-      val next = labels.unionByName(nbrMin)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .persist()
+      val tRound = System.nanoTime()
+      val propagated = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("comp").as("comp"))
+        .withColumnRenamed("src", "id")
+      // pointer jumping: follow the label one hop (label(x) := label(label(x))).
+      // Every comp value is a node id (labels start as ids and only move to
+      // other nodes' ids via min), so the inner self-join is total.
+      val next = propagated.as("a")
+        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
+          col("a.comp") === col("b.cid"))
+        .select(col("a.id").as("id"), least(col("a.comp"), col("b.ccomp")).as("comp"))
+        .localCheckpoint()
       val cur = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = cur.compareTo(prev) == 0 // labels only decrease
       prev = cur
       i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[graft-cc] round=$i sum=$cur converged=$converged " +
+          s"sec=${(System.nanoTime() - tRound) / 1e9}")
     }
-    sym.unpersist()
     labels
   }
 }
