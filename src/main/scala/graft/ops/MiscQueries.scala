@@ -241,6 +241,7 @@ object MiscQueries {
       val bf = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
       val bfB = s.sparkContext.broadcast(bf)
       val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+        .withName("might_contain")
       Tables.lineitem(s, d)
         .filter(mightContain(col("l_orderkey")))
         .join(urgent.select("o_orderkey"),

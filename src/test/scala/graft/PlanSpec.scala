@@ -36,6 +36,28 @@ class PlanSpec extends SparkSpec {
       s"expected exchange reuse in:\n${p.take(2000)}")
   }
 
+  test("q67: bloom pre-filter sits below the semi-join, after the scan") {
+    val p = plan("q67_bloom_prefilter")
+    // the UDF filter must run on the fact scan BEFORE the join's exchange:
+    // in the plan string the filter appears deeper (later) than the join
+    val joinAt = p.indexOf("Join")
+    val filterAt = p.indexOf("might_contain")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      s"bloom filter must prune the scan below the join:\n${p.take(1500)}")
+  }
+
+  test("q42: simhash plan has no broadcast of a corpus-derived table") {
+    val p = plan("q42_simhash")
+    assert(!p.contains("BroadcastHashJoin"),
+      "simhash must be map-side per-row hashing, no vocab broadcast join")
+  }
+
+  test("q50: corpus side of brute-force kNN streams without an exchange") {
+    val p = plan("q50_knn_brute")
+    // query set broadcast; the corpus-side scan feeds the join directly
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
   test("bucketed co-located join runs without a shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
