@@ -43,7 +43,8 @@ object DedupPipeline {
     * (a~b, b~c ⇒ a,b,c one cluster even if a≁c directly). */
   def clusterDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val pairs = DedupQueries.candidatePairsOf(DedupQueries.shinglesOf(corpus))
+    // signatures only — the raw shingle stream skips the distinct shuffle
+    val pairs = DedupQueries.candidatePairsOf(DedupQueries.shinglesRawOf(corpus))
     val comps = GraphOps.connectedComponents(
       pairs, corpus.select(col("doc_id").as("id")))
     val losers = comps.filter(col("id") =!= col("comp"))

@@ -49,15 +49,23 @@ object DedupQueries {
                           array_to_string(str_split(text, ' ')[2:], ' ') AS text
                    FROM documents WHERE len(str_split(text, ' ')) >= 10)"""
 
-  /** Distinct word-3-gram shingles per doc (shared by q41/q43). */
-  private def shingles(c: DataFrame): DataFrame =
+  /** Raw word-3-gram shingle stream per doc — duplicates included. MinHash
+    * (a min over per-shingle hashes) is duplicate-insensitive, so the
+    * signature path aggregates this stream directly: the min is computed
+    * map-side per partition and only 8 lanes per doc cross the wire —
+    * cheaper than first materializing the distinct set (a full shuffle of
+    * every shingle occurrence). */
+  private def shinglesRaw(c: DataFrame): DataFrame =
     c.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("words")) - 2)).as("pos"), col("words"))
       .select(col("doc_id"),
         expr("concat_ws(' ', element_at(words, pos), element_at(words, pos + 1), element_at(words, pos + 2))").as("shingle"))
-      .distinct()
+
+  /** Distinct shingle SET per doc — what Jaccard set arithmetic needs
+    * (q43 reuses one distinct-shingle exchange across its branches). */
+  private def shingles(c: DataFrame): DataFrame = shinglesRaw(c).distinct()
 
   private val shinglesSql =
     """tok AS (SELECT doc_id, str_split(text, ' ') AS words FROM corpus
@@ -125,6 +133,7 @@ object DedupQueries {
 
   /** Building blocks reused by [[DedupPipeline]]. */
   private[ext] def shinglesOf(corpus: DataFrame): DataFrame = shingles(corpus)
+  private[ext] def shinglesRawOf(corpus: DataFrame): DataFrame = shinglesRaw(corpus)
   private[ext] def candidatePairsOf(sh: DataFrame,
                                     maxBucket: Int = 1000): DataFrame =
     candidatePairs(bandTable(minhash(sh)), maxBucket)
@@ -139,9 +148,10 @@ object DedupQueries {
         .orderBy("keep_id")
     }),
 
-    // MinHash + LSH banding near-dup candidates.
+    // MinHash + LSH banding near-dup candidates (signatures from the raw
+    // shingle stream — no distinct shuffle; min is duplicate-insensitive).
     "q41_minhash_lsh" -> ((s, d) =>
-      candidatePairs(bandTable(minhash(shingles(corpus(s, d)))))
+      candidatePairs(bandTable(minhash(shinglesRaw(corpus(s, d)))))
         .orderBy("id1", "id2")),
 
     // SimHash 16-bit fingerprint per document. Bit contributions are
@@ -192,7 +202,7 @@ object DedupQueries {
     // (the transitive-closure step edge-based dedup skips).
     "q54_dedup_clusters" -> ((s, d) => {
       val c = corpus(s, d)
-      val pairs = candidatePairsOf(shingles(c))
+      val pairs = candidatePairsOf(shinglesRaw(c))
       GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy("doc_id")
