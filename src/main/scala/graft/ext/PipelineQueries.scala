@@ -89,10 +89,34 @@ object PipelineQueries {
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
         .orderBy("source", "bin")
+    }),
+
+    // Stratified fixed-size sampling: at most K docs per stratum, chosen
+    // by deterministic hash order (seedless, cluster-size-independent —
+    // the reproducible eval-set carve-out). One window shuffle keyed on
+    // the stratum.
+    "q74_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select("lang", "rn", "doc_id")
+        .orderBy("lang", "rn")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q74_stratified_sample" ->
+      """SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS rn
+            FROM documents)
+          WHERE rn <= 50 ORDER BY lang, rn""",
+
     "q52_vector_quantize" ->
       """SELECT vec_id,
             list_reduce(list_transform(embedding,

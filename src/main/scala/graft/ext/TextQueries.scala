@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import graft.ops.{davg, dsum}
+import graft.ops.{davg, dsum, oAvg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -92,10 +92,50 @@ object TextQueries {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(30)
+    }),
+
+    // Bigram language-model scoring: train P(w2|w1) = c(w1,w2)/c(w1·) on
+    // the corpus itself, score each doc by its mean bigram log-probability
+    // — the perplexity-style quality filter of training-data curation.
+    // Each log-prob is rounded to 6 decimals BEFORE the decimal-exact mean
+    // (ln is ulp-unsafe cross-engine; rounded it is stable — q27
+    // precedent). Shuffles key on the bigram/context token — high
+    // cardinality, no broadcast of the (vocab-sized) model tables.
+    "q73_lm_score" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("words")) - 1)).as("pos"), col("words"))
+        .select(col("doc_id"),
+          expr("element_at(words, pos)").as("w1"),
+          expr("element_at(words, pos + 1)").as("w2"))
+      val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val ctxCnt = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+      bi.join(biCnt, Seq("w1", "w2")).join(ctxCnt, Seq("w1"))
+        .select(col("doc_id"),
+          round(log(col("cb").cast("double") / col("cu")), 6).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), davg(col("lp"), 6).as("lm_score"))
+        .orderBy("doc_id")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q73_lm_score" ->
+      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents
+                     WHERE len(str_split(text, ' ')) >= 2),
+          bi AS (SELECT doc_id, words[pos] AS w1, words[pos + 1] AS w2
+                 FROM (SELECT doc_id, words,
+                              unnest(generate_series(1, len(words) - 1)) AS pos
+                       FROM w)),
+          bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+          uc AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
+          p AS (SELECT doc_id, round(ln(CAST(cb AS DOUBLE) / cu), 6) AS lp
+                FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1))
+          SELECT doc_id, count(*) AS n_bigrams, ${oAvg("lp", 6)} AS lm_score
+          FROM p GROUP BY doc_id ORDER BY doc_id""",
+
     "q60_lang_id" ->
       s"""WITH wrds AS (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS word
                         FROM documents),

@@ -249,10 +249,27 @@ object MiscQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // Salted two-phase aggregation over a heavy-hitter key (3 distinct
+    // values of l_returnflag — every row funnels into 3 reducers without
+    // the salt). Identical result to the plain groupBy; the value rides
+    // as exact decimal so partial sums are order-independent.
+    "q75_salted_skew" -> ((s, d) => {
+      Salting.saltedCountSum(Tables.lineitem(s, d),
+          col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)"), buckets = 32)
+        .select(col("k").as("l_returnflag"), col("n"),
+          col("total").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q75_salted_skew" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${oSum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q58_unpivot" ->
       s"""WITH m AS (
             SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
