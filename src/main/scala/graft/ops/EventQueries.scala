@@ -21,6 +21,19 @@ object EventQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // RANGE window frame (value-based, vs q18's ROWS frame): trailing
+    // 1-hour event count per user. RANGE frames are peer-inclusive, so the
+    // count is deterministic even under timestamp ties.
+    "q76_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_trailing_1h"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Tumbling window aggregate via window() — start column == date_trunc.
     "q80_tumbling_window" -> ((s, d) => {
       Tables.events(s, d)
@@ -124,6 +137,13 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q76_range_frame" ->
+      """SELECT user_id, event_id,
+          count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                               AND CURRENT ROW) AS n_trailing_1h
+          FROM events ORDER BY user_id, event_id""",
+
     "q80_tumbling_window" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
           count(*) AS n, ${oSum("value")} AS total_value
