@@ -55,16 +55,17 @@ object DedupPipeline {
   /** Candidate pairs (MinHash LSH bands) with exact Jaccard — exposed for
     * reporting/threshold tuning. Expects columns (doc_id, text). */
   def jaccardOnCandidates(corpus: DataFrame): DataFrame = {
-    val sh = DedupQueries.shinglesOf(corpus)
-    val pairs = DedupQueries.candidatePairsOf(sh)
-    val shA = sh.select(col("doc_id").as("id1"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("id2"), col("shingle"))
-    val inter = pairs.join(shA, "id1").join(shB, Seq("id2", "shingle"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("doc_id").as("id1"), col("c").as("ca")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("c").as("cb")), "id2")
+    val pairs = DedupQueries.candidatePairsOf(DedupQueries.shinglesRawOf(corpus))
+    // candidate-bounded set intersection: |pairs| rows carrying two
+    // bounded shingle arrays, never |pairs|×|shingles/doc| exploded rows
+    val sets = DedupQueries.shinglesOf(corpus).groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("ss"))
+    pairs
+      .join(sets.select(col("doc_id").as("id1"), col("ss").as("sa")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("ss").as("sb")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sa"), col("sb"))).as("i"),
+        size(col("sa")).as("ca"), size(col("sb")).as("cb"))
       .select(col("id1"), col("id2"),
         (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
   }

@@ -180,18 +180,25 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // Exact n-gram Jaccard, verified only on LSH candidate pairs.
+    // Exact n-gram Jaccard, verified only on LSH candidate pairs. The
+    // intersection is computed per candidate pair on collected shingle-set
+    // ARRAYS (`array_intersect`), not by re-exploding the shingle table
+    // against the pairs — the exploded formulation shuffles
+    // |pairs|×|shingles/doc| rows (5.7M at sf0.1, unbounded at 100 TB);
+    // this one shuffles |pairs| rows carrying two bounded arrays. The
+    // per-doc set aggregate is computed once and its exchange reused for
+    // both join sides.
     "q43_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(corpus(s, d))
-      val pairs = candidatePairs(bandTable(minhash(sh)))
-      val shA = sh.select(col("doc_id").as("id1"), col("shingle"))
-      val shB = sh.select(col("doc_id").as("id2"), col("shingle"))
-      val inter = pairs.join(shA, "id1").join(shB, Seq("id2", "shingle"))
-        .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      inter
-        .join(sizes.select(col("doc_id").as("id1"), col("c").as("ca")), "id1")
-        .join(sizes.select(col("doc_id").as("id2"), col("c").as("cb")), "id2")
+      val c = corpus(s, d)
+      val pairs = candidatePairs(bandTable(minhash(shinglesRaw(c))))
+      val sets = shingles(c).groupBy("doc_id")
+        .agg(collect_list(col("shingle")).as("ss"))
+      pairs
+        .join(sets.select(col("doc_id").as("id1"), col("ss").as("sa")), "id1")
+        .join(sets.select(col("doc_id").as("id2"), col("ss").as("sb")), "id2")
+        .select(col("id1"), col("id2"),
+          size(array_intersect(col("sa"), col("sb"))).as("i"),
+          size(col("sa")).as("ca"), size(col("sb")).as("cb"))
         .select(col("id1"), col("id2"),
           (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
         .orderBy("id1", "id2")
