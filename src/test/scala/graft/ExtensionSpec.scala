@@ -120,6 +120,31 @@ class ExtensionSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connected components match brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 20 + trial * 15
+      val ids = (0 until n).map(_.toLong)
+      val es = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // brute force union-find
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ids.map(i => i -> {
+        // min id of the component = root under min-union
+        find(i)
+      }).toMap
+      val got = ext.GraphOps.connectedComponents(
+        es.toDF("id1", "id2"), ids.toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: CC mismatch")
+    }
+  }
+
   test("clusterDedup keeps exactly one representative per near-dup cluster") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter(col("doc_id") < 50)
