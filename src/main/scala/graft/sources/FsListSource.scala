@@ -109,7 +109,7 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
       cp.startsWith(pre) || pre.startsWith(cp)
     }
     val queue = scala.collection.mutable.Queue(fs.getFileStatus(root) -> 0)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     val maxDepth = 6
     while (queue.nonEmpty) {
       val (st, depth) = queue.dequeue()
@@ -118,20 +118,28 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
         val kids = fs.listStatus(st.getPath).filter(k => matches(k.getPath))
         // Split is all-or-nothing per directory (the reader lists its shard
         // recursively — emitting a parent AND a child would double-read).
-        // Worth splitting when the children include directories (descend
-        // toward real parallelism) or the dir is a flat mega-dir (then
-        // per-file tasks genuinely parallelize the stat work). A fan-out
-        // past 8× target stays whole: 100k single-file tasks cost more in
-        // scheduling than one recursive walk.
-        val worthSplitting = kids.exists(_.isDirectory) || kids.length >= 1024
+        // Directory children are enqueued for further descent; a FLAT dir
+        // (all files) is bundled round-robin into multi-path shards, so a
+        // 100k-file prefix parallelizes without 100k single-file tasks.
+        // A fan-out past 8× target is kept whole: materializing millions
+        // of child paths in the driver trades one bounded sequential walk
+        // for a planner OOM — the real fix for such prefixes is key-range
+        // sharding via the object-store SDK (start-after markers), which
+        // the Hadoop FS abstraction cannot express; documented gap.
         if (kids.isEmpty) () // empty or fully pruned subtree — drop it
-        else if (!worthSplitting || kids.length > 8 * target) out += st.getPath
-        else kids.foreach(k => queue.enqueue(k -> (depth + 1)))
-      } else if (matches(st.getPath)) out += st.getPath
+        else if (kids.length > 8 * target) out += Seq(st.getPath.toUri.getPath)
+        else if (kids.exists(_.isDirectory))
+          kids.foreach(k => queue.enqueue(k -> (depth + 1)))
+        else {
+          val groups = math.min(target, 1 + (kids.length - 1) / 64)
+          kids.iterator.zipWithIndex
+            .toSeq.groupBy(_._2 % groups).values
+            .foreach(g => out += g.map(_._1.getPath.toUri.getPath))
+        }
+      } else if (matches(st.getPath)) out += Seq(st.getPath.toUri.getPath)
     }
-    val shards =
-      out.map(p => FsListPartition(p.toUri.getPath, bucket): InputPartition).toArray
-    if (shards.isEmpty) Array(FsListPartition(root.toUri.getPath, bucket))
+    val shards = out.map(ps => FsListPartition(ps, bucket): InputPartition).toArray
+    if (shards.isEmpty) Array(FsListPartition(Seq(root.toUri.getPath), bucket))
     else shards
   }
 
@@ -153,7 +161,15 @@ case class ObjectsListedTaskMetric(value: Long) extends CustomTaskMetric {
   override def name(): String = "objectsListed"
 }
 
-case class FsListPartition(shardPath: String, bucket: String) extends InputPartition
+/** One listing shard: a bundle of roots the reader walks in sequence.
+  * Bundles come from flat-directory round-robin grouping; descent shards
+  * carry a single root. */
+case class FsListPartition(paths: Seq[String], bucket: String) extends InputPartition
+
+object FsListPartition {
+  def apply(path: String, bucket: String): FsListPartition =
+    FsListPartition(Seq(path), bucket)
+}
 
 class FsListReaderFactory(delimiter: String,
                           fields: Array[String] = graft.manifest.ManifestGen.schema.fieldNames,
@@ -190,14 +206,16 @@ class FsListReader(p: FsListPartition, delimiter: String,
 
   private var listed = 0L
   private var current: InternalRow = _
+  private val openStreams =
+    scala.collection.mutable.ArrayBuffer.empty[java.util.stream.Stream[_]]
 
-  private val nioStream =
-    if (FsListReader.isLocal(p.shardPath)) Files.walk(Paths.get(new java.net.URI(p.shardPath).getPath match {
-      case "" => p.shardPath; case s => s
-    })) else null
-  private val nioIt =
-    if (nioStream != null) {
-      val jit = nioStream.filter(f => Files.isRegularFile(f)).iterator()
+  private def walkOne(shardPath: String): Iterator[(String, Long, Long)] =
+    if (FsListReader.isLocal(shardPath)) {
+      val stream = Files.walk(Paths.get(new java.net.URI(shardPath).getPath match {
+        case "" => shardPath; case s => s
+      }))
+      openStreams += stream
+      val jit = stream.filter(f => Files.isRegularFile(f)).iterator()
       new Iterator[(String, Long, Long)] {
         def hasNext: Boolean = jit.hasNext
         def next(): (String, Long, Long) = {
@@ -206,13 +224,9 @@ class FsListReader(p: FsListPartition, delimiter: String,
             Files.getLastModifiedTime(f).toMillis)
         }
       }
-    } else null
-
-  private lazy val fs = new Path(p.shardPath).getFileSystem(FsListReader.sharedConf)
-  private val hadoopIt =
-    if (nioIt != null) null
-    else {
-      val path = new Path(p.shardPath)
+    } else {
+      val path = new Path(shardPath)
+      val fs = path.getFileSystem(FsListReader.sharedConf)
       if (fs.getFileStatus(path).isDirectory) {
         val jit = fs.listFiles(path, true)
         new Iterator[(String, Long, Long)] {
@@ -228,8 +242,8 @@ class FsListReader(p: FsListPartition, delimiter: String,
       }
     }
 
-  private val it: Iterator[(String, Long, Long)] =
-    if (nioIt != null) nioIt else hadoopIt
+  // lazy flatMap: each bundle root opens only when the previous is drained
+  private val it: Iterator[(String, Long, Long)] = p.paths.iterator.flatMap(walkOne)
 
   override def next(): Boolean = {
     if (limit.exists(listed >= _)) return false
@@ -260,5 +274,5 @@ class FsListReader(p: FsListPartition, delimiter: String,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = if (nioStream != null) nioStream.close()
+  override def close(): Unit = openStreams.foreach(_.close())
 }

@@ -58,6 +58,19 @@ class ConnectorSpec extends SparkSpec {
     assert(df.select("Key").distinct().count() == 32)
   }
 
+  test("flat directories bundle into multi-path shards instead of one walk") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_flat")
+    for (f <- 0 until 200) Files.createFile(dir.resolve(f"obj$f%04d"))
+    val parts = new graft.sources.FsListScan(dir.toString, "/", None)
+      .planInputPartitions()
+    assert(parts.length > 1, s"flat dir must parallelize, got ${parts.length} shard(s)")
+    val df = spark.read.format("graft.sources.FsListSource")
+      .option("path", dir.toString).load()
+    assert(df.count() == 200)
+    assert(df.select("Key").distinct().count() == 200)
+  }
+
   test("fslist DSv2 delimiter semantics match the scalar substring_index") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.{col, substring_index}
