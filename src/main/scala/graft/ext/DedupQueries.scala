@@ -232,9 +232,15 @@ object DedupQueries {
             struct(lit(1).as("band"), col("band1").as("bh")))).as("e2"))
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("e2.band").as("band"), col("e2.bh").as("bh"))
-      val l = bands.select(col("band"), col("bh"), col("vec_id").as("id1"),
+      // same mega-bucket guard as the MinHash bands: a hyperplane cell
+      // shared by >1000 vectors (near-identical embeddings — boilerplate
+      // again) would emit O(bucket²) pairs; drop it before the self-join
+      val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+      val capped = bands.withColumn("bkt_n", count(lit(1)).over(bw))
+        .filter(col("bkt_n") <= 1000).drop("bkt_n")
+      val l = capped.select(col("band"), col("bh"), col("vec_id").as("id1"),
         col("embedding").as("ea"), col("nrm").as("na"))
-      val r = bands.select(col("band"), col("bh"), col("vec_id").as("id2"),
+      val r = capped.select(col("band"), col("bh"), col("vec_id").as("id2"),
         col("embedding").as("eb"), col("nrm").as("nb"))
       l.join(r, Seq("band", "bh")).filter(col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
