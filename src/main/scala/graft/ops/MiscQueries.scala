@@ -251,6 +251,35 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Correlated scalar subquery (Catalyst decorrelates it into an
+    // aggregate + join): orders priced 1.5x above their own customer's
+    // decimal-exact average.
+    "q77_correlated_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("ord_corr")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM ord_corr o
+           WHERE o_totalprice > (
+             SELECT 1.5 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                        / count(o2.o_totalprice)
+             FROM ord_corr o2 WHERE o2.o_custkey = o.o_custkey)
+           ORDER BY o_orderkey""")
+    }),
+
+    // Value window functions over an unbounded frame:
+    // first_value / last_value / nth_value.
+    "q78_value_windows" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(w).as("last_key"),
+        nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+        .orderBy("o_orderkey")
+    }),
+
     // Salted two-phase aggregation over a heavy-hitter key (3 distinct
     // values of l_returnflag — every row funnels into 3 reducers without
     // the salt). Identical result to the plain groupBy; the value rides
@@ -266,6 +295,26 @@ object MiscQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q77_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+          WHERE o_totalprice > (
+            SELECT 1.5 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(o2.o_totalprice)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""",
+
+    "q78_value_windows" ->
+      """SELECT o_orderkey, o_orderpriority,
+                first_value(o_orderkey) OVER w AS first_key,
+                last_value(o_orderkey) OVER w AS last_key,
+                nth_value(o_orderkey, 3) OVER w AS third_key
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+          ORDER BY o_orderkey""",
+
     "q75_salted_skew" ->
       s"""SELECT l_returnflag, count(*) AS n, ${oSum("l_quantity")} AS sum_qty
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
