@@ -90,6 +90,25 @@ object ManifestFsQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Nested-struct parquet round-trip: write docs with a metadata struct,
+    // read back filtering/aggregating on nested fields only. Nested schema
+    // pruning keeps the (large) text column out of the scan entirely —
+    // the multimodal-metadata access pattern at 100 TB (PlanSpec asserts
+    // the pruned ReadSchema).
+    "q79_nested_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_nested").toString
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+          col("text"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("meta.lang") === "en")
+        .groupBy(col("meta.source").as("source"))
+        .agg(count(lit(1)).as("n"), sum(col("meta.n_chars")).as("total_chars"))
+        .orderBy("source")
+    }),
+
     // Real Structured Streaming execution (file source → watermark →
     // tumbling windows → memory sink), result equal to the batch twin q80.
     "q86_stream_tumbling" -> ((s, d) => {
@@ -158,6 +177,12 @@ object ManifestFsQueries {
       s"""SELECT o_orderstatus, count(*) AS n, ${oSum("o_totalprice")} AS total,
                  min(o_orderkey) AS min_key
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q79_nested_roundtrip" ->
+      """SELECT source, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM documents WHERE lang = 'en'
+          GROUP BY source ORDER BY source""",
 
     "q86_stream_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,

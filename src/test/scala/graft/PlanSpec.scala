@@ -58,6 +58,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q79: nested schema pruning keeps text out of the parquet scan") {
+    val p = plan("q79_nested_roundtrip")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("text"), "nested pruning must drop the text column")
+  }
+
   test("bucketed co-located join runs without a shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
