@@ -119,6 +119,21 @@ object ManifestFsQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // Streaming deduplication with bounded state
+    // (dropDuplicatesWithinWatermark): the stream doubled by self-union
+    // collapses back to one row per event_id; state for an id is evictable
+    // once the watermark passes it — the unbounded-stream-safe dedup.
+    "q89_stream_dedup" -> ((s, d) => {
+      val ev = StreamingPipelines.eventsStream(s, d)
+      val doubled = ev.unionByName(ev)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      StreamingPipelines.runAppendToCompletion(s, doubled)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
     // Stream-stream interval join (watermarked both sides, Append mode) —
     // view→click funnel within 10 minutes; result equals the batch join.
     "q87_stream_join" -> ((s, d) => {
@@ -188,6 +203,10 @@ object ManifestFsQueries {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
           count(*) AS n, ${oSum("value")} AS total_value
           FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q89_stream_dedup" ->
+      """SELECT event_type, count(*) AS n
+          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q87_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
