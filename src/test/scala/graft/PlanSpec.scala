@@ -58,6 +58,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q41: capped band table is computed once and reused for both join sides") {
+    val df = SparkEntry.queries("q41_minhash_lsh")(spark, sf)
+    df.collect() // AQE finalizes the plan during execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("reused"),
+      s"band self-join must reuse the bucket-cap exchange:\n${p.take(2000)}")
+  }
+
   test("q79: nested schema pruning keeps text out of the parquet scan") {
     val p = plan("q79_nested_roundtrip")
     assert(p.contains("ReadSchema"))
