@@ -90,6 +90,25 @@ object ManifestFsQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Hive-partitioned manifest write + partition-pruned read: the scan
+    // for one Bucket must touch only that partition's files (PlanSpec
+    // asserts the PartitionFilters) — the layout ManifestGen
+    // .writePartitioned uses so bucket/prefix queries skip the rest of a
+    // 100 TB manifest at the directory level.
+    "q96_partitioned_prune" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Tables.documents(s, d)
+        .select(col("source").as("Bucket"),
+          concat(col("source"), lit("/"), col("doc_id").cast("string"),
+            lit(".txt")).as("Key"),
+          col("n_chars").as("Size"))
+        .write.mode("overwrite").partitionBy("Bucket").parquet(out)
+      s.read.parquet(out)
+        .filter(col("Bucket") === "src1")
+        .agg(count(lit(1)).as("n"), sum(col("Size")).as("total_size"),
+          min(col("Key")).as("min_key"))
+    }),
+
     // Nested-struct parquet round-trip: write docs with a metadata struct,
     // read back filtering/aggregating on nested fields only. Nested schema
     // pruning keeps the (large) text column out of the scan entirely —
@@ -192,6 +211,11 @@ object ManifestFsQueries {
       s"""SELECT o_orderstatus, count(*) AS n, ${oSum("o_totalprice")} AS total,
                  min(o_orderkey) AS min_key
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q96_partitioned_prune" ->
+      """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_size,
+                min(source || '/' || CAST(doc_id AS VARCHAR) || '.txt') AS min_key
+          FROM documents WHERE source = 'src1'""",
 
     "q79_nested_roundtrip" ->
       """SELECT source, count(*) AS n,

@@ -162,6 +162,32 @@ class ExtensionSpec extends SparkSpec {
     assert(kept.count() <= docs.count())
   }
 
+  test("dedup pipeline composes at 7k docs with a planted boilerplate mega-cluster") {
+    // The documented production flow: exact dedup FIRST (collapses the
+    // identical boilerplate the band cap intentionally excludes from
+    // near-dup pairing), THEN cluster dedup for near-dups.
+    // prime modulus > any i*(k+3): two distinct ids can never agree on
+    // every token, so all 5000 texts are pairwise distinct
+    def words(i: Long) = (0 until 20)
+      .map(k => s"tok${(i * (k + 3) + k * 31) % 99991}").mkString(" ")
+    val distinct = (0L until 5000L).map(i => (i, words(i)))
+    val partners = (0L until 500L).map(i =>
+      (100000L + i, words(i).split(" ").drop(1).mkString(" ")))
+    val boiler = (0L until 1200L).map(i => (200000L + i, "all work and no play " * 4))
+    val corpus = (distinct ++ partners ++ boiler).toDF("doc_id", "text")
+    val exact = ext.DedupPipeline.exactDedup(corpus, "doc_id", "text")
+    // 5000 distinct + 500 partners (distinct text) + 1 boilerplate survivor
+    assert(exact.count() == 5501)
+    val deduped = ext.DedupPipeline.clusterDedup(exact, "doc_id", "text")
+    val partnersLeft = deduped.filter(
+      col("doc_id") >= 100000L && col("doc_id") < 200000L).count()
+    // 19-of-20-word partners share 17/18 shingles with their source; at
+    // 4 bands × 2 lanes a pair escapes all bands with p ≈ 1.4e-4 — allow
+    // a small deterministic tail
+    assert(partnersLeft <= 5, s"$partnersLeft near-dup partners survived")
+    assert(deduped.filter(col("doc_id") >= 200000L).count() == 1)
+  }
+
   test("FastMd5 is byte-identical to the built-in md5 on real and edge inputs") {
     import graft.functions.FastMd5
     val docs = Tables.documents(spark, sf)

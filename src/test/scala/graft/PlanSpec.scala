@@ -66,6 +66,12 @@ class PlanSpec extends SparkSpec {
       s"band self-join must reuse the bucket-cap exchange:\n${p.take(2000)}")
   }
 
+  test("q96: bucket filter becomes a partition filter, not a row filter") {
+    val p = plan("q96_partitioned_prune")
+    assert(p.contains("PartitionFilters") && p.contains("Bucket"),
+      s"expected directory-level pruning:\n${p.take(1500)}")
+  }
+
   test("q79: nested schema pruning keeps text out of the parquet scan") {
     val p = plan("q79_nested_roundtrip")
     assert(p.contains("ReadSchema"))
