@@ -46,8 +46,10 @@ object GraphOps {
       .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty node set
+    }
     var prev = labelSum(labels)
     if (sys.env.contains("GRAFT_CC_DEBUG")) {
       val t = System.nanoTime()

@@ -120,6 +120,12 @@ class ExtensionSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connected components handle an empty node set") {
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val nodes = Seq.empty[Long].toDF("id")
+    assert(ext.GraphOps.connectedComponents(empty, nodes).count() == 0)
+  }
+
   test("connected components match brute-force union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {
