@@ -143,7 +143,10 @@ object ManifestFsQueries {
     // collapses back to one row per event_id; state for an id is evictable
     // once the watermark passes it — the unbounded-stream-safe dedup.
     "q89_stream_dedup" -> ((s, d) => {
+      // project to the dedup key + watermark + output columns up front —
+      // state entries and the sink hold 3 columns, not the full event row
       val ev = StreamingPipelines.eventsStream(s, d)
+        .select("event_id", "ts", "event_type")
       val doubled = ev.unionByName(ev)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
