@@ -127,19 +127,22 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
         // sharding via the object-store SDK (start-after markers), which
         // the Hadoop FS abstraction cannot express; documented gap.
         if (kids.isEmpty) () // empty or fully pruned subtree — drop it
-        else if (kids.length > 8 * target) out += Seq(st.getPath.toUri.getPath)
+        else if (kids.length > 8 * target) out += Seq(st.getPath.toString)
         else if (kids.exists(_.isDirectory))
           kids.foreach(k => queue.enqueue(k -> (depth + 1)))
         else {
           val groups = math.min(target, 1 + (kids.length - 1) / 64)
           kids.iterator.zipWithIndex
             .toSeq.groupBy(_._2 % groups).values
-            .foreach(g => out += g.map(_._1.getPath.toUri.getPath))
+            .foreach(g => out += g.map(_._1.getPath.toString))
         }
-      } else if (matches(st.getPath)) out += Seq(st.getPath.toUri.getPath)
+        // shard paths keep their FULL URI (scheme + authority): a shard of
+        // an object-store listing (s3a://bucket/...) must route back to
+        // that store's FileSystem on the executor, not to the local walk
+      } else if (matches(st.getPath)) out += Seq(st.getPath.toString)
     }
     val shards = out.map(ps => FsListPartition(ps, bucket): InputPartition).toArray
-    if (shards.isEmpty) Array(FsListPartition(Seq(root.toUri.getPath), bucket))
+    if (shards.isEmpty) Array(FsListPartition(Seq(root.toString), bucket))
     else shards
   }
 
@@ -184,8 +187,10 @@ object FsListReader {
     * cached filesystems keyed by scheme. */
   lazy val sharedConf = new Configuration()
 
-  private def isLocal(path: String): Boolean = {
-    val scheme = new java.net.URI(path).getScheme
+  private[sources] def isLocal(path: String): Boolean = {
+    // Hadoop Path parsing (not raw java.net.URI): tolerates unescaped
+    // characters in file names
+    val scheme = new Path(path).toUri.getScheme
     scheme == null || scheme == "file"
   }
 }
@@ -211,7 +216,7 @@ class FsListReader(p: FsListPartition, delimiter: String,
 
   private def walkOne(shardPath: String): Iterator[(String, Long, Long)] =
     if (FsListReader.isLocal(shardPath)) {
-      val stream = Files.walk(Paths.get(new java.net.URI(shardPath).getPath match {
+      val stream = Files.walk(Paths.get(new Path(shardPath).toUri.getPath match {
         case "" => shardPath; case s => s
       }))
       openStreams += stream

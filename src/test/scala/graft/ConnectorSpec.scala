@@ -89,6 +89,29 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("fslist lists an object-store FileSystem end-to-end (mem:// scheme)") {
+    import org.apache.spark.sql.functions.col
+    MemFileSystem.objects.clear()
+    // flat object-store key space with implied directories
+    for (p <- 0 until 4; f <- 0 until 5)
+      MemFileSystem.objects.put(f"/data/part=$p/obj$f%02d.bin", (100L * f + p, 1700000000000L + f))
+    MemFileSystem.objects.put("/other/readme.txt", (7L, 1700000000000L))
+    val df = spark.read.format("graft.sources.FsListSource")
+      .option("path", "mem://bkt/data").load()
+    assert(df.count() == 20, "must list exactly the keys under the prefix")
+    val row = df.filter(col("Key") === "/data/part=1/obj03.bin").collect().head
+    assert(row.getString(0) == "data")           // Bucket = root dir name
+    assert(row.getString(2) == "obj03.bin")      // FileName after last '/'
+    assert(row.getLong(3) == 301L)               // Size from the store
+    // shard planning ran through the Hadoop-FS branch and kept schemes:
+    val parts = new graft.sources.FsListScan("mem://bkt/data", "/", None)
+      .planInputPartitions()
+    assert(parts.length > 1)
+    assert(parts.flatMap(_.asInstanceOf[graft.sources.FsListPartition].paths)
+      .forall(_.startsWith("mem://bkt/")),
+      "object-store shards must keep their scheme+authority")
+  }
+
   test("run summary renders the reference-style report") {
     val s = ManifestMetrics.timedCount(ManifestGen.fromDir(spark, sf))
     assert(s.objects == 10)
