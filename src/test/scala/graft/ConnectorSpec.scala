@@ -110,6 +110,11 @@ class ConnectorSpec extends SparkSpec {
     assert(parts.flatMap(_.asInstanceOf[graft.sources.FsListPartition].paths)
       .forall(_.startsWith("mem://bkt/")),
       "object-store shards must keep their scheme+authority")
+    // pushed prefix prunes whole shards at planning time
+    val pruned = new graft.sources.FsListScan(
+      "mem://bkt/data", "/", Some("/data/part=1")).planInputPartitions()
+    assert(pruned.flatMap(_.asInstanceOf[graft.sources.FsListPartition].paths)
+      .forall(_.contains("part=1")), "non-matching shards must be pruned")
   }
 
   test("run summary renders the reference-style report") {
