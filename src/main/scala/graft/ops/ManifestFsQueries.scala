@@ -90,6 +90,36 @@ object ManifestFsQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // ORC sink + source round-trip (the columnar alternative when the
+    // downstream stack is ORC-native); aggregate equality against the
+    // base table proves lossless round-tripping.
+    "q97_orc_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      Tables.part(s, d).write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("total_price"),
+          max(col("p_size")).as("max_size"))
+        .orderBy("p_brand")
+    }),
+
+    // Plain-text sink + source: serialize rows to delimited lines, read
+    // back with spark.read.text and re-parse — the lowest-common-
+    // denominator interchange path.
+    "q98_text_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_text").toString
+      Tables.documents(s, d)
+        .select(concat_ws("\t", col("doc_id"), col("lang"), col("n_chars")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(split(col("value"), "\t").as("f"))
+        .select(element_at(col("f"), 2).as("lang"),
+          element_at(col("f"), 3).cast("long").as("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // Hive-partitioned manifest write + partition-pruned read: the scan
     // for one Bucket must touch only that partition's files (PlanSpec
     // asserts the PartitionFilters) — the layout ManifestGen
@@ -214,6 +244,16 @@ object ManifestFsQueries {
       s"""SELECT o_orderstatus, count(*) AS n, ${oSum("o_totalprice")} AS total,
                  min(o_orderkey) AS min_key
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q97_orc_roundtrip" ->
+      s"""SELECT p_brand, count(*) AS n, ${oSum("p_retailprice")} AS total_price,
+                 CAST(max(p_size) AS INTEGER) AS max_size
+          FROM part GROUP BY p_brand ORDER BY p_brand""",
+
+    "q98_text_roundtrip" ->
+      """SELECT lang, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY lang ORDER BY lang""",
 
     "q96_partitioned_prune" ->
       """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_size,
