@@ -280,6 +280,20 @@ object MiscQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Map higher-order functions (transform_values / map_filter), the
+    // map-typed sibling of q39's array HOFs; result exploded to rows and
+    // totally ordered so the oracle compares first-principles SQL.
+    "q99_map_hofs" -> ((s, d) => {
+      Tables.part(s, d)
+        .withColumn("m", map_from_arrays(
+          array(lit("size"), lit("price")),
+          array(col("p_size").cast("double"), col("p_retailprice"))))
+        .withColumn("m2", expr("transform_values(m, (k, v) -> v * 2)"))
+        .withColumn("mf", expr("map_filter(m2, (k, v) -> v > 50)"))
+        .select(col("p_partkey"), explode(col("mf")).as(Seq("k", "v")))
+        .orderBy("p_partkey", "k")
+    }),
+
     // Salted two-phase aggregation over a heavy-hitter key (3 distinct
     // values of l_returnflag — every row funnels into 3 reducers without
     // the salt). Identical result to the plain groupBy; the value rides
@@ -295,6 +309,14 @@ object MiscQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q99_map_hofs" ->
+      """WITH kv AS (
+            SELECT p_partkey, 'size' AS k, CAST(p_size AS DOUBLE) * 2 AS v FROM part
+            UNION ALL
+            SELECT p_partkey, 'price' AS k, p_retailprice * 2 AS v FROM part)
+          SELECT p_partkey, k, v FROM kv WHERE v > 50
+          ORDER BY p_partkey, k""",
+
     "q77_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
           WHERE o_totalprice > (
