@@ -32,7 +32,7 @@ object Bench {
     // large enough that the walk, not per-job scheduling overhead,
     // dominates the measurement.
     val listingRate = try {
-      val tree = java.nio.file.Files.createTempDirectory("graft_bench_tree")
+      val tree = java.nio.file.Paths.get(ops.Scratch.dir("graft_bench_tree"))
       for (d <- 0 until 250) {
         val dir = tree.resolve(f"shard$d%03d"); java.nio.file.Files.createDirectory(dir)
         for (f <- 0 until 200)

@@ -37,16 +37,20 @@ object DedupPipeline {
     df.join(losers, df(idCol) === losers("__loser"), "left_anti")
   }
 
-  /** Drop near-duplicates by CLUSTER: LSH candidate pairs become edges,
-    * connected components collapse each cluster onto its smallest id.
-    * Unlike [[nearDedup]]'s edge policy this takes the transitive closure
-    * (a~b, b~c ⇒ a,b,c one cluster even if a≁c directly). */
-  def clusterDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Drop near-duplicates by CLUSTER: LSH candidates VERIFIED at
+    * `threshold` exact Jaccard become edges, connected components collapse
+    * each cluster onto its smallest id. Unlike [[nearDedup]]'s edge policy
+    * this takes the transitive closure (a~b, b~c ⇒ a,b,c one cluster even
+    * if a≁c directly). Verification matters: an unverified band collision
+    * would silently delete a genuinely distinct document. */
+  def clusterDedup(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.9): DataFrame = {
     val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // signatures only — the raw shingle stream skips the distinct shuffle
-    val pairs = DedupQueries.candidatePairsOf(DedupQueries.shinglesRawOf(corpus))
+    val edges = jaccardOnCandidates(corpus)
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2")
     val comps = GraphOps.connectedComponents(
-      pairs, corpus.select(col("doc_id").as("id")))
+      edges, corpus.select(col("doc_id").as("id")))
     val losers = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as("__loser"))
     df.join(losers, df(idCol) === losers("__loser"), "left_anti")
@@ -66,6 +70,7 @@ object DedupPipeline {
       .select(col("id1"), col("id2"),
         size(array_intersect(col("sa"), col("sb"))).as("i"),
         size(col("sa")).as("ca"), size(col("sb")).as("cb"))
+      .filter(col("i") > 0) // band collisions with zero shared shingles
       .select(col("id1"), col("id2"),
         (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
   }

@@ -104,6 +104,13 @@ object DedupQueries {
     s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS bh FROM mh")
     .mkString("bands AS (", " UNION ALL ", ")")
 
+  /** Oracle twin of the mega-bucket cap in [[candidatePairs]] — the cap is
+    * part of the operator's semantics, so the oracle applies it too. */
+  private val cappedBandsSql =
+    """bands_c AS (SELECT doc_id, band, bh FROM (
+         SELECT b.*, count(*) OVER (PARTITION BY band, bh) AS bkt_n
+         FROM bands b) WHERE bkt_n <= 1000)"""
+
   /** Band-bucket self-join with a mega-bucket guard: buckets holding more
     * than `maxBucket` docs are dropped before the join. At web scale,
     * boilerplate text (headers, licenses, templates) puts millions of docs
@@ -128,7 +135,7 @@ object DedupQueries {
 
   private val pairsSql =
     """pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                 FROM bands a JOIN bands b
+                 FROM bands_c a JOIN bands_c b
                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
 
   /** Building blocks reused by [[DedupPipeline]]. */
@@ -199,6 +206,10 @@ object DedupQueries {
         .select(col("id1"), col("id2"),
           size(array_intersect(col("sa"), col("sb"))).as("i"),
           size(col("sa")).as("ca"), size(col("sb")).as("cb"))
+        // a band collision CAN pair docs with zero shared shingles (lane
+        // minima concentrate near 0 on shingle-rich docs); drop them to
+        // match the oracle's inner join on shared shingles
+        .filter(col("i") > 0)
         .select(col("id1"), col("id2"),
           (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
         .orderBy("id1", "id2")
@@ -287,9 +298,9 @@ object DedupQueries {
           FROM corpus GROUP BY md5(text) ORDER BY keep_id""",
 
     "q41_minhash_lsh" ->
-      s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql
+      s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql
           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-          FROM bands a JOIN bands b
+          FROM bands_c a JOIN bands_c b
             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
           ORDER BY id1, id2""",
 
@@ -313,7 +324,7 @@ object DedupQueries {
     },
 
     "q54_dedup_clusters" ->
-      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $pairsSql,
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
           edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
                     UNION ALL SELECT id2, id1 FROM pairs),
           reach AS (
@@ -324,7 +335,7 @@ object DedupQueries {
           FROM reach GROUP BY id ORDER BY doc_id""",
 
     "q43_ngram_jaccard" ->
-      s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql, $pairsSql,
+      s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
           inter AS (SELECT p.id1, p.id2, count(*) AS i
                     FROM pairs p
                     JOIN sh a ON a.doc_id = p.id1
@@ -346,9 +357,12 @@ object DedupQueries {
           bands AS (SELECT vec_id, embedding, nrm, 0 AS band, band0 AS bh FROM sig
                     UNION ALL
                     SELECT vec_id, embedding, nrm, 1 AS band, band1 AS bh FROM sig),
+          bands_c AS (SELECT vec_id, embedding, nrm, band, bh FROM (
+                        SELECT b.*, count(*) OVER (PARTITION BY band, bh) AS bkt_n
+                        FROM bands b) WHERE bkt_n <= 1000),
           cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
                           ${VectorOps.oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
-                   FROM bands a JOIN bands b
+                   FROM bands_c a JOIN bands_c b
                      ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
           SELECT id1, id2, cos_sim FROM cand
           ORDER BY cos_sim DESC, id1, id2 LIMIT 20"""

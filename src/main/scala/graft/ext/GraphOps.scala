@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   * converge in O(log D) rounds for diameter D instead of D rounds, which
   * matters on organic near-dup chains (at sf0.1 the candidate graph has
   * chains dozens of hops long: plain propagation hits a 25-round cap,
-  * doubling finishes in ~5). Labels only decrease, so the label sum is a
-  * monotone convergence witness — one scalar aggregate per round, no
-  * full-table comparison join.
+  * doubling finishes in ~5). Convergence = no label changed this round,
+  * checked by an exact probe join of two checkpointed label tables (works
+  * for any orderable id type — numeric, string, UUID).
   *
   * Each round's labels are `localCheckpoint`ed: the self-join makes the
   * label plan reference the previous round TWICE, so without lineage
@@ -46,15 +46,6 @@ object GraphOps {
       .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s // empty node set
-    }
-    var prev = labelSum(labels)
-    if (sys.env.contains("GRAFT_CC_DEBUG")) {
-      val t = System.nanoTime()
-      println(s"[graft-cc] edges=${sym.count()} symSec=${(System.nanoTime() - t) / 1e9}")
-    }
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -70,13 +61,19 @@ object GraphOps {
           col("a.comp") === col("b.cid"))
         .select(col("a.id").as("id"), least(col("a.comp"), col("b.ccomp")).as("comp"))
         .localCheckpoint()
-      val cur = labelSum(next)
+      // exact, id-type-agnostic convergence: any label that changed this
+      // round? Both sides are checkpointed, so the probe join is cheap and
+      // short-circuits on the first changed row. (A numeric label-sum
+      // witness would silently mis-converge on string/UUID ids, whose
+      // decimal cast nulls out.)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .isEmpty
       labels = next
-      converged = cur.compareTo(prev) == 0 // labels only decrease
-      prev = cur
       i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[graft-cc] round=$i sum=$cur converged=$converged " +
+        println(s"[graft-cc] round=$i converged=$converged " +
           s"sec=${(System.nanoTime() - tRound) / 1e9}")
     }
     labels

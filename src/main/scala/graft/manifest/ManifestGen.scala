@@ -91,9 +91,20 @@ object ManifestGen {
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
   /** Read a manifest back, tolerating reference-written UINT_64 Size
-    * (Spark maps Parquet UINT_64 to DecimalType(20,0) — normalize). */
+    * (Spark maps Parquet UINT_64 to DecimalType(20,0) — normalize). A
+    * value past Long.MaxValue (the top half of the unsigned range) fails
+    * LOUDLY instead of nulling out — a silent null would make sums and
+    * filters undercount. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
-    df.withColumn("Size", col("Size").cast(LongType))
+    val size = df.schema("Size").dataType match {
+      case _: org.apache.spark.sql.types.DecimalType =>
+        when(col("Size") > lit(Long.MaxValue).cast("decimal(20,0)"),
+          raise_error(concat(lit("manifest Size exceeds signed 64-bit range: "),
+            col("Size").cast("string"))).cast(LongType))
+          .otherwise(col("Size").cast(LongType))
+      case _ => col("Size").cast(LongType)
+    }
+    df.withColumn("Size", size)
   }
 }

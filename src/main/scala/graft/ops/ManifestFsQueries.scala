@@ -36,7 +36,7 @@ object ManifestFsQueries {
     // Manifest write → read round-trip, then a query on the round-tripped
     // manifest (exercises the Parquet sink + Size normalization on read).
     "q92_manifest_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+      val out = Scratch.dir("graft_manifest")
       val m = ManifestGen.fromDir(s, d)
       ManifestGen.write(m, out)
       ManifestGen.read(s, out)
@@ -63,7 +63,7 @@ object ManifestFsQueries {
     // Double.toString, which reparses to the identical double, so the
     // aggregate over the round-tripped data must equal the original.
     "q93_csv_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val out = Scratch.dir("graft_csv")
       Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
         .write.mode("overwrite").option("header", "true").csv(out)
@@ -77,7 +77,7 @@ object ManifestFsQueries {
 
     // JSON-lines sink + source round-trip.
     "q94_json_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val out = Scratch.dir("graft_json")
       Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
         .write.mode("overwrite").json(out)
@@ -94,7 +94,7 @@ object ManifestFsQueries {
     // downstream stack is ORC-native); aggregate equality against the
     // base table proves lossless round-tripping.
     "q97_orc_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val out = Scratch.dir("graft_orc")
       Tables.part(s, d).write.mode("overwrite").orc(out)
       s.read.orc(out)
         .groupBy("p_brand")
@@ -107,7 +107,7 @@ object ManifestFsQueries {
     // back with spark.read.text and re-parse — the lowest-common-
     // denominator interchange path.
     "q98_text_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_text").toString
+      val out = Scratch.dir("graft_text")
       Tables.documents(s, d)
         .select(concat_ws("\t", col("doc_id"), col("lang"), col("n_chars")).as("value"))
         .write.mode("overwrite").text(out)
@@ -126,7 +126,7 @@ object ManifestFsQueries {
     // .writePartitioned uses so bucket/prefix queries skip the rest of a
     // 100 TB manifest at the directory level.
     "q96_partitioned_prune" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val out = Scratch.dir("graft_part")
       Tables.documents(s, d)
         .select(col("source").as("Bucket"),
           concat(col("source"), lit("/"), col("doc_id").cast("string"),
@@ -145,7 +145,7 @@ object ManifestFsQueries {
     // the multimodal-metadata access pattern at 100 TB (PlanSpec asserts
     // the pruned ReadSchema).
     "q79_nested_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_nested").toString
+      val out = Scratch.dir("graft_nested")
       Tables.documents(s, d)
         .select(col("doc_id"),
           struct(col("lang"), col("source"), col("n_chars")).as("meta"),

@@ -238,7 +238,10 @@ object MiscQueries {
     "q67_bloom_prefilter" -> ((s, d) => {
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
-      val bf = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
+      // size the filter from the actual dim cardinality: a fixed guess
+      // saturates at larger scale factors and the pre-filter stops pruning
+      val expected = math.max(1000L, urgent.count())
+      val bf = urgent.stat.bloomFilter("o_orderkey", expected, 0.01)
       val bfB = s.sparkContext.broadcast(bf)
       val mightContain = udf((k: Long) => bfB.value.mightContain(k))
         .withName("might_contain")

@@ -95,9 +95,19 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     * count far past the target is kept whole (its reader lists it
     * recursively — bounded task-scheduling overhead beats 100k single-file
     * tasks). */
+  /** The session's Hadoop configuration — this is where S3A credentials,
+    * endpoints, and per-bucket overrides live (spark.hadoop.* /
+    * [[graft.manifest.S3AConfig]]); a bare `new Configuration()` would
+    * silently ignore them. */
+  private def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(sessionHadoopConf())
     val bucket = root.getName
     val cores = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
@@ -146,8 +156,17 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     else shards
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FsListReaderFactory(delimiter, required.fieldNames, limit)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the filesystem-relevant config (credentials, endpoints,
+    // per-bucket overrides — all under fs.*) to the executors; a fresh
+    // Configuration there would lack everything set on the session
+    import scala.jdk.CollectionConverters._
+    val fsProps = sessionHadoopConf().iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs."))
+      .toMap
+    new FsListReaderFactory(delimiter, required.fieldNames, limit, fsProps)
+  }
 
   /** The reference's live progress meter (objects scanned, src/main.rs:176-185)
     * becomes a DSv2 custom metric: per-task counts roll up in the SQL UI. */
@@ -176,16 +195,26 @@ object FsListPartition {
 
 class FsListReaderFactory(delimiter: String,
                           fields: Array[String] = graft.manifest.ManifestGen.schema.fieldNames,
-                          limit: Option[Int] = None) extends PartitionReaderFactory {
+                          limit: Option[Int] = None,
+                          fsProps: Map[String, String] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FsListReader(partition.asInstanceOf[FsListPartition], delimiter, fields, limit)
+    new FsListReader(partition.asInstanceOf[FsListPartition], delimiter, fields,
+      limit, fsProps)
 }
 
 object FsListReader {
   /** Hadoop Configuration construction parses XML resources (~100ms+);
-    * share one instance per executor JVM — FileSystem.get() then serves
-    * cached filesystems keyed by scheme. */
-  lazy val sharedConf = new Configuration()
+    * cache one instance per distinct fs.* property set per executor JVM —
+    * FileSystem.get() then serves cached filesystems keyed by scheme. */
+  private val confCache =
+    new java.util.concurrent.ConcurrentHashMap[Map[String, String], Configuration]()
+  def confFor(fsProps: Map[String, String]): Configuration =
+    confCache.computeIfAbsent(fsProps, props => {
+      val c = new Configuration()
+      props.foreach { case (k, v) => c.set(k, v) }
+      c
+    })
 
   private[sources] def isLocal(path: String): Boolean = {
     // Hadoop Path parsing (not raw java.net.URI): tolerates unescaped
@@ -205,7 +234,8 @@ object FsListReader {
   */
 class FsListReader(p: FsListPartition, delimiter: String,
                    fields: Array[String] = graft.manifest.ManifestGen.schema.fieldNames,
-                   limit: Option[Int] = None)
+                   limit: Option[Int] = None,
+                   fsProps: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
   import java.nio.file.{Files, Paths}
 
@@ -231,7 +261,7 @@ class FsListReader(p: FsListPartition, delimiter: String,
       }
     } else {
       val path = new Path(shardPath)
-      val fs = path.getFileSystem(FsListReader.sharedConf)
+      val fs = path.getFileSystem(FsListReader.confFor(fsProps))
       if (fs.getFileStatus(path).isDirectory) {
         val jit = fs.listFiles(path, true)
         new Iterator[(String, Long, Long)] {

@@ -126,6 +126,16 @@ class ExtensionSpec extends SparkSpec {
     assert(ext.GraphOps.connectedComponents(empty, nodes).count() == 0)
   }
 
+  test("connected components work with string ids (web-corpus keys)") {
+    val edges = Seq(("u/a", "u/b"), ("u/b", "u/c"), ("x/1", "x/2"))
+      .toDF("id1", "id2")
+    val nodes = Seq("u/a", "u/b", "u/c", "x/1", "x/2", "lone").toDF("id")
+    val comps = ext.GraphOps.connectedComponents(edges, nodes)
+      .as[(String, String)].collect().toMap
+    assert(comps == Map("u/a" -> "u/a", "u/b" -> "u/a", "u/c" -> "u/a",
+      "x/1" -> "x/1", "x/2" -> "x/1", "lone" -> "lone"))
+  }
+
   test("connected components match brute-force union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {
@@ -162,7 +172,8 @@ class ExtensionSpec extends SparkSpec {
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat_ws(" ", expr("slice(words, 2, size(words) - 1)")).as("text"))
     val corpus = docs.unionByName(copies).unionByName(near)
-    val kept = ext.DedupPipeline.clusterDedup(corpus, "doc_id", "text")
+    // 0.8: a first-word-dropped copy of a 10-word doc sits at J = 7/8
+    val kept = ext.DedupPipeline.clusterDedup(corpus, "doc_id", "text", 0.8)
     assert(kept.filter(col("doc_id") >= 1000000L).count() == 0,
       "every copy/near-copy is in its original's cluster and must drop")
     assert(kept.count() <= docs.count())

@@ -86,6 +86,14 @@ class ManifestSemanticsSpec extends SparkSpec {
       Seq("Bucket", "Key", "FileName", "Size", "LastModified"))
   }
 
+  test("UINT_64 Size past the signed range fails loudly instead of nulling out") {
+    val path = getClass.getResource("/uint64_overflow.parquet").getPath
+    val ex = intercept[Exception] {
+      ManifestGen.read(spark, path).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("fslist DSv2 source matches driver-side listing and prunes by prefix") {
     val viaDsv2 = spark.read.format("graft.sources.FsListSource")
       .option("path", sf).load()
