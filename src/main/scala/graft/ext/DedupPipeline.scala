@@ -60,18 +60,6 @@ object DedupPipeline {
     * reporting/threshold tuning. Expects columns (doc_id, text). */
   def jaccardOnCandidates(corpus: DataFrame): DataFrame = {
     val pairs = DedupQueries.candidatePairsOf(DedupQueries.shinglesRawOf(corpus))
-    // candidate-bounded set intersection: |pairs| rows carrying two
-    // bounded shingle arrays, never |pairs|×|shingles/doc| exploded rows
-    val sets = DedupQueries.shinglesOf(corpus).groupBy("doc_id")
-      .agg(collect_list(col("shingle")).as("ss"))
-    pairs
-      .join(sets.select(col("doc_id").as("id1"), col("ss").as("sa")), "id1")
-      .join(sets.select(col("doc_id").as("id2"), col("ss").as("sb")), "id2")
-      .select(col("id1"), col("id2"),
-        size(array_intersect(col("sa"), col("sb"))).as("i"),
-        size(col("sa")).as("ca"), size(col("sb")).as("cb"))
-      .filter(col("i") > 0) // band collisions with zero shared shingles
-      .select(col("id1"), col("id2"),
-        (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
+    DedupQueries.jaccardOf(pairs, DedupQueries.shinglesOf(corpus))
   }
 }

@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Mega-bucket cap shared by the Spark operators AND the oracle SQL —
+    * one constant so impl and oracle can never drift. */
+  private[ext] val DefaultMaxBucket = 1000
+
   private def corpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -107,9 +111,9 @@ object DedupQueries {
   /** Oracle twin of the mega-bucket cap in [[candidatePairs]] — the cap is
     * part of the operator's semantics, so the oracle applies it too. */
   private val cappedBandsSql =
-    """bands_c AS (SELECT doc_id, band, bh FROM (
+    s"""bands_c AS (SELECT doc_id, band, bh FROM (
          SELECT b.*, count(*) OVER (PARTITION BY band, bh) AS bkt_n
-         FROM bands b) WHERE bkt_n <= 1000)"""
+         FROM bands b) WHERE bkt_n <= $DefaultMaxBucket)"""
 
   /** Band-bucket self-join with a mega-bucket guard: buckets holding more
     * than `maxBucket` docs are dropped before the join. At web scale,
@@ -121,7 +125,7 @@ object DedupQueries {
     * The bucket count rides the same (band, bh) shuffle the self-join
     * needs, so the guard adds no extra exchange of the bands table. */
   private[ext] def candidatePairs(bands: DataFrame,
-                                  maxBucket: Int = 1000): DataFrame = {
+                                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
     val capped = bands
       .withColumn("bkt_n", count(lit(1)).over(w))
@@ -142,8 +146,26 @@ object DedupQueries {
   private[ext] def shinglesOf(corpus: DataFrame): DataFrame = shingles(corpus)
   private[ext] def shinglesRawOf(corpus: DataFrame): DataFrame = shinglesRaw(corpus)
   private[ext] def candidatePairsOf(sh: DataFrame,
-                                    maxBucket: Int = 1000): DataFrame =
+                                    maxBucket: Int = DefaultMaxBucket): DataFrame =
     candidatePairs(bandTable(minhash(sh)), maxBucket)
+
+  /** Exact Jaccard over candidate pairs via collected shingle-set arrays
+    * (candidate-bounded shuffle; zero-intersection band collisions drop).
+    * The single implementation behind q43 AND
+    * [[DedupPipeline.jaccardOnCandidates]] — a semantic change lands in
+    * both or neither. */
+  private[ext] def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sets = sh.groupBy("doc_id").agg(collect_list(col("shingle")).as("ss"))
+    pairs
+      .join(sets.select(col("doc_id").as("id1"), col("ss").as("sa")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("ss").as("sb")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sa"), col("sb"))).as("i"),
+        size(col("sa")).as("ca"), size(col("sb")).as("cb"))
+      .filter(col("i") > 0)
+      .select(col("id1"), col("id2"),
+        (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
+  }
 
   def queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy, keep the smallest id as representative.
@@ -198,21 +220,7 @@ object DedupQueries {
     "q43_ngram_jaccard" -> ((s, d) => {
       val c = corpus(s, d)
       val pairs = candidatePairs(bandTable(minhash(shinglesRaw(c))))
-      val sets = shingles(c).groupBy("doc_id")
-        .agg(collect_list(col("shingle")).as("ss"))
-      pairs
-        .join(sets.select(col("doc_id").as("id1"), col("ss").as("sa")), "id1")
-        .join(sets.select(col("doc_id").as("id2"), col("ss").as("sb")), "id2")
-        .select(col("id1"), col("id2"),
-          size(array_intersect(col("sa"), col("sb"))).as("i"),
-          size(col("sa")).as("ca"), size(col("sb")).as("cb"))
-        // a band collision CAN pair docs with zero shared shingles (lane
-        // minima concentrate near 0 on shingle-rich docs); drop them to
-        // match the oracle's inner join on shared shingles
-        .filter(col("i") > 0)
-        .select(col("id1"), col("id2"),
-          (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
-        .orderBy("id1", "id2")
+      jaccardOf(pairs, shingles(c)).orderBy("id1", "id2")
     }),
 
     // Dedup clustering: LSH candidate pairs as edges → connected
@@ -244,11 +252,11 @@ object DedupQueries {
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("e2.band").as("band"), col("e2.bh").as("bh"))
       // same mega-bucket guard as the MinHash bands: a hyperplane cell
-      // shared by >1000 vectors (near-identical embeddings — boilerplate
+      // shared by >cap vectors (near-identical embeddings — boilerplate
       // again) would emit O(bucket²) pairs; drop it before the self-join
       val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
       val capped = bands.withColumn("bkt_n", count(lit(1)).over(bw))
-        .filter(col("bkt_n") <= 1000).drop("bkt_n")
+        .filter(col("bkt_n") <= DefaultMaxBucket).drop("bkt_n")
       val l = capped.select(col("band"), col("bh"), col("vec_id").as("id1"),
         col("embedding").as("ea"), col("nrm").as("na"))
       val r = capped.select(col("band"), col("bh"), col("vec_id").as("id2"),
@@ -359,7 +367,7 @@ object DedupQueries {
                     SELECT vec_id, embedding, nrm, 1 AS band, band1 AS bh FROM sig),
           bands_c AS (SELECT vec_id, embedding, nrm, band, bh FROM (
                         SELECT b.*, count(*) OVER (PARTITION BY band, bh) AS bkt_n
-                        FROM bands b) WHERE bkt_n <= 1000),
+                        FROM bands b) WHERE bkt_n <= $DefaultMaxBucket),
           cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
                           ${VectorOps.oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
                    FROM bands_c a JOIN bands_c b

@@ -62,9 +62,10 @@ object GraphOps {
         .select(col("a.id").as("id"), least(col("a.comp"), col("b.ccomp")).as("comp"))
         .localCheckpoint()
       // exact, id-type-agnostic convergence: any label that changed this
-      // round? Both sides are checkpointed, so the probe join is cheap and
-      // short-circuits on the first changed row. (A numeric label-sum
-      // witness would silently mis-converge on string/UUID ids, whose
+      // round? One equi-join of the two checkpointed label tables per
+      // round — same cost class as the round's own joins, paid O(log D)
+      // times. (A numeric label-sum witness would be a cheaper scalar
+      // aggregate but silently mis-converges on string/UUID ids, whose
       // decimal cast nulls out.)
       converged = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))

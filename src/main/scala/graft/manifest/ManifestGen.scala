@@ -53,7 +53,9 @@ object ManifestGen {
           java.nio.file.Files.getLastModifiedTime(f).toMillis))
       } finally stream.close()
     } else {
-      val fs = root.getFileSystem(new Configuration())
+      // session hadoopConfiguration, not a bare Configuration — that is
+      // where S3AConfig/spark.hadoop.* credentials and endpoints live
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
         val st = it.next()

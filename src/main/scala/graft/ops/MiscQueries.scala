@@ -236,8 +236,11 @@ object MiscQueries {
     // (Spark's AQE injects the same shape as a runtime filter when stats
     // allow; this is the explicit, always-on version.)
     "q67_bloom_prefilter" -> ((s, d) => {
+      // persist: the dim is scanned twice (count for sizing + filter
+      // build) — one parquet read, not two
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
+        .persist()
       // size the filter from the actual dim cardinality: a fixed guess
       // saturates at larger scale factors and the pre-filter stops pruning
       val expected = math.max(1000L, urgent.count())

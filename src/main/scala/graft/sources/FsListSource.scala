@@ -84,6 +84,16 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** The session's Hadoop configuration — this is where S3A credentials,
+    * endpoints, and per-bucket overrides live (spark.hadoop.* /
+    * [[graft.manifest.S3AConfig]]); a bare `new Configuration()` would
+    * silently ignore them. */
+  private def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   /** Recursive shard planning: descend the tree breadth-first, splitting
     * directory shards into their children until there are at least
     * ~4× cores shards (or the tree bottoms out). A bucket whose objects
@@ -95,16 +105,6 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     * count far past the target is kept whole (its reader lists it
     * recursively — bounded task-scheduling overhead beats 100k single-file
     * tasks). */
-  /** The session's Hadoop configuration — this is where S3A credentials,
-    * endpoints, and per-bucket overrides live (spark.hadoop.* /
-    * [[graft.manifest.S3AConfig]]); a bare `new Configuration()` would
-    * silently ignore them. */
-  private def sessionHadoopConf(): Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new Configuration())
-
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
     val fs = root.getFileSystem(sessionHadoopConf())
@@ -161,9 +161,10 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     // per-bucket overrides — all under fs.*) to the executors; a fresh
     // Configuration there would lack everything set on the session
     import scala.jdk.CollectionConverters._
+    val shipPrefixes = Seq("fs.", "hadoop.security.", "dfs.", "io.")
     val fsProps = sessionHadoopConf().iterator().asScala
       .map(e => e.getKey -> e.getValue)
-      .filter(_._1.startsWith("fs."))
+      .filter { case (k, _) => shipPrefixes.exists(k.startsWith) }
       .toMap
     new FsListReaderFactory(delimiter, required.fieldNames, limit, fsProps)
   }
@@ -205,8 +206,13 @@ class FsListReaderFactory(delimiter: String,
 
 object FsListReader {
   /** Hadoop Configuration construction parses XML resources (~100ms+);
-    * cache one instance per distinct fs.* property set per executor JVM —
-    * FileSystem.get() then serves cached filesystems keyed by scheme. */
+    * cache one instance per distinct shipped property set per executor
+    * JVM. Caveat shared with Spark's own Hadoop I/O: `FileSystem.get`
+    * caches by (scheme, authority, user) — a FileSystem built with one
+    * credential set is reused even if later scans ship changed props.
+    * Mid-application credential rotation therefore needs a provider that
+    * refreshes internally (e.g. an instance-profile/credential-provider
+    * chain), not static keys. */
   private val confCache =
     new java.util.concurrent.ConcurrentHashMap[Map[String, String], Configuration]()
   def confFor(fsProps: Map[String, String]): Configuration =

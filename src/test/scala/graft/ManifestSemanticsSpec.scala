@@ -91,7 +91,10 @@ class ManifestSemanticsSpec extends SparkSpec {
     val ex = intercept[Exception] {
       ManifestGen.read(spark, path).collect()
     }
-    assert(ex.getMessage != null)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exceeds signed 64-bit range")),
+      s"expected the overflow error, got: ${ex.getMessage}")
   }
 
   test("fslist DSv2 source matches driver-side listing and prunes by prefix") {
