@@ -257,6 +257,45 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
+    // VARIANT semi-structured type (Spark 4): parse_json into a variant
+    // column, typed extraction via variant_get — the modern schema-
+    // on-read path (binary-encoded, no per-access string re-parse like
+    // get_json_object).
+    "q05_variant_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    // SQL pipe syntax (Spark 4): the same relational program as chained
+    // |> stages — parser-level coverage that the SQL surface is current.
+    "q06_sql_pipe" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("ord_pipe")
+      s.sql(
+        """FROM ord_pipe
+           |> WHERE o_totalprice > 100000
+           |> AGGREGATE count(*) AS n,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              GROUP BY o_orderpriority
+           |> ORDER BY o_orderpriority""")
+    }),
+
+    // LATERAL correlated subquery: per-customer top order (the per-row
+    // dependent-join shape; Catalyst decorrelates to a ranked join).
+    "q07_lateral_topk" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("cust_lat")
+      Tables.orders(s, d).createOrReplaceTempView("ord_lat")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           FROM cust_lat c,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM ord_lat
+                    WHERE o_custkey = c.c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+           ORDER BY c.c_custkey""")
+    }),
+
     // Correlated scalar subquery (Catalyst decorrelates it into an
     // aggregate + join): orders priced 1.5x above their own customer's
     // decimal-exact average.
@@ -315,6 +354,25 @@ object MiscQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q05_variant_json" ->
+      """SELECT event_id,
+            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+          FROM events ORDER BY event_id""",
+
+    "q06_sql_pipe" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM orders WHERE o_totalprice > 100000
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q07_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          FROM customer c,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM orders o2
+                   WHERE o2.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+          ORDER BY c.c_custkey""",
+
     "q99_map_hofs" ->
       """WITH kv AS (
             SELECT p_partkey, 'size' AS k, CAST(p_size AS DOUBLE) * 2 AS v FROM part
