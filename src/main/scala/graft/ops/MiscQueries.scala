@@ -296,6 +296,19 @@ object MiscQueries {
            ORDER BY c.c_custkey""")
     }),
 
+    // Error-safe scalar functions (try_divide / try_cast /
+    // try_element_at): malformed input yields NULL instead of a task
+    // failure — at 100 TB one dirty row must never kill the job.
+    "q08_try_functions" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_quantity, l_linenumber - l_linenumber)").as("div0"),
+        expr("try_cast(l_returnflag AS INT)").as("bad_int"),
+        expr("try_cast(cast(l_linenumber AS STRING) AS INT)").as("good_int"),
+        expr("try_element_at(split(l_returnflag, ','), 99)").as("oob"))
+        .orderBy("l_orderkey", "l_linenumber", "good_int")
+    }),
+
     // Correlated scalar subquery (Catalyst decorrelates it into an
     // aggregate + join): orders priced 1.5x above their own customer's
     // decimal-exact average.
@@ -354,6 +367,15 @@ object MiscQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q08_try_functions" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_quantity / NULLIF(l_linenumber - l_linenumber, 0) AS div0,
+                TRY_CAST(l_returnflag AS INTEGER) AS bad_int,
+                TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS good_int,
+                str_split(l_returnflag, ',')[99] AS oob
+          FROM lineitem
+          ORDER BY l_orderkey, l_linenumber, good_int""",
+
     "q05_variant_json" ->
       """SELECT event_id,
             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
