@@ -101,10 +101,23 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     * layout) must not degrade to a single sequential listing — that is
     * exactly the reference's bottleneck (src/main.rs:187-257) this source
     * exists to kill. Shards whose path can't contain the pushed prefix are
-    * pruned at every level; a directory whose fan-out would blow the shard
-    * count far past the target is kept whole (its reader lists it
-    * recursively — bounded task-scheduling overhead beats 100k single-file
-    * tasks). */
+    * pruned at every level.
+    *
+    * A directory whose fan-out exceeds 8× target (the flat 10M-object
+    * mega-prefix — the reference tool's bread-and-butter input) is split
+    * into K HASH-SLICED shards of the SAME directory: each shard re-walks
+    * the listing but emits only the keys whose stable hash lands in its
+    * slice, so every object is emitted exactly once and the expensive
+    * per-object work (stat + row construction + downstream processing)
+    * spreads across K executors. The enumeration itself is repeated K
+    * times — the price of the Hadoop FS abstraction having no start-after
+    * marker; an SDK-level ListObjectsV2 paginator with `start-after` key
+    * ranges would walk each range once and remains the documented ideal.
+    * Hash slices beat lexicographic first-char ranges here because they
+    * balance perfectly with zero knowledge of the key distribution.
+    * Child statuses are streamed via listStatusIterator and abandoned at
+    * the threshold, so the planner never materializes a mega-directory's
+    * children (the OOM that whole-dir fallback used to guard against). */
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
     val fs = root.getFileSystem(sessionHadoopConf())
@@ -119,39 +132,51 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
       cp.startsWith(pre) || pre.startsWith(cp)
     }
     val queue = scala.collection.mutable.Queue(fs.getFileStatus(root) -> 0)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsListPartition]
     val maxDepth = 6
+    // round-robin bundles of file children: a 100k-file prefix
+    // parallelizes without 100k single-file tasks
+    def bundle(files: Seq[org.apache.hadoop.fs.FileStatus]): Unit =
+      if (files.nonEmpty) {
+        val groups = math.min(target, 1 + (files.length - 1) / 64)
+        files.iterator.zipWithIndex
+          .toSeq.groupBy(_._2 % groups).values
+          .foreach(g => out += FsListPartition(g.map(_._1.getPath.toString), bucket))
+      }
     while (queue.nonEmpty) {
       val (st, depth) = queue.dequeue()
       val planned = out.size + queue.size
       if (st.isDirectory && depth < maxDepth && planned + 1 < target) {
-        val kids = fs.listStatus(st.getPath).filter(k => matches(k.getPath))
-        // Split is all-or-nothing per directory (the reader lists its shard
-        // recursively — emitting a parent AND a child would double-read).
-        // Directory children are enqueued for further descent; a FLAT dir
-        // (all files) is bundled round-robin into multi-path shards, so a
-        // 100k-file prefix parallelizes without 100k single-file tasks.
-        // A fan-out past 8× target is kept whole: materializing millions
-        // of child paths in the driver trades one bounded sequential walk
-        // for a planner OOM — the real fix for such prefixes is key-range
-        // sharding via the object-store SDK (start-after markers), which
-        // the Hadoop FS abstraction cannot express; documented gap.
-        if (kids.isEmpty) () // empty or fully pruned subtree — drop it
-        else if (kids.length > 8 * target) out += Seq(st.getPath.toString)
-        else if (kids.exists(_.isDirectory))
-          kids.foreach(k => queue.enqueue(k -> (depth + 1)))
-        else {
-          val groups = math.min(target, 1 + (kids.length - 1) / 64)
-          kids.iterator.zipWithIndex
-            .toSeq.groupBy(_._2 % groups).values
-            .foreach(g => out += g.map(_._1.getPath.toString))
+        // stream children, stopping at the mega-dir threshold — never
+        // materialize an unbounded child list in the driver
+        val maxKids = 8 * target
+        val kit = fs.listStatusIterator(st.getPath)
+        val raw = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+        var overflow = false
+        while (kit.hasNext && !overflow) {
+          raw += kit.next()
+          if (raw.length > maxKids) overflow = true
+        }
+        if (overflow) {
+          val slices = math.min(16, target)
+          for (i <- 0 until slices)
+            out += FsListPartition(Seq(st.getPath.toString), bucket, Some((i, slices)))
+        } else {
+          // Split is all-or-nothing per directory (the reader lists its
+          // shard recursively — emitting a parent AND a child would
+          // double-read). Directory children are enqueued for further
+          // descent; file children are bundled round-robin.
+          val kids = raw.filter(k => matches(k.getPath))
+          val (dirs, files) = kids.partition(_.isDirectory)
+          dirs.foreach(k => queue.enqueue(k -> (depth + 1)))
+          bundle(files.toSeq)
         }
         // shard paths keep their FULL URI (scheme + authority): a shard of
         // an object-store listing (s3a://bucket/...) must route back to
         // that store's FileSystem on the executor, not to the local walk
-      } else if (matches(st.getPath)) out += Seq(st.getPath.toString)
+      } else if (matches(st.getPath)) out += FsListPartition(Seq(st.getPath.toString), bucket)
     }
-    val shards = out.map(ps => FsListPartition(ps, bucket): InputPartition).toArray
+    val shards = out.map(p => p: InputPartition).toArray
     if (shards.isEmpty) Array(FsListPartition(Seq(root.toString), bucket))
     else shards
   }
@@ -186,8 +211,12 @@ case class ObjectsListedTaskMetric(value: Long) extends CustomTaskMetric {
 
 /** One listing shard: a bundle of roots the reader walks in sequence.
   * Bundles come from flat-directory round-robin grouping; descent shards
-  * carry a single root. */
-case class FsListPartition(paths: Seq[String], bucket: String) extends InputPartition
+  * carry a single root. `slice = Some((i, n))` marks a hash-slice shard of
+  * a mega-directory: the reader walks the same root as its n-1 siblings
+  * but emits only keys with `floorMod(stableHash(key), n) == i` — together
+  * the n slices emit every key exactly once. */
+case class FsListPartition(paths: Seq[String], bucket: String,
+                           slice: Option[(Int, Int)] = None) extends InputPartition
 
 object FsListPartition {
   def apply(path: String, bucket: String): FsListPartition =
@@ -250,6 +279,16 @@ class FsListReader(p: FsListPartition, delimiter: String,
   private val openStreams =
     scala.collection.mutable.ArrayBuffer.empty[java.util.stream.Stream[_]]
 
+  /** keep = the shard's hash-slice predicate over the emitted key. For the
+    * local walk it runs BEFORE the per-file stat (size + mtime), so a
+    * slice shard pays enumeration for every key but stat only for its own
+    * slice — stat is the dominant per-object cost of the NIO walk. */
+  private val keep: String => Boolean = p.slice match {
+    case Some((idx, n)) => key =>
+      java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), n) == idx
+    case None => _ => true
+  }
+
   private def walkOne(shardPath: String): Iterator[(String, Long, Long)] =
     if (FsListReader.isLocal(shardPath)) {
       val stream = Files.walk(Paths.get(new Path(shardPath).toUri.getPath match {
@@ -257,14 +296,13 @@ class FsListReader(p: FsListPartition, delimiter: String,
       }))
       openStreams += stream
       val jit = stream.filter(f => Files.isRegularFile(f)).iterator()
-      new Iterator[(String, Long, Long)] {
+      new Iterator[java.nio.file.Path] {
         def hasNext: Boolean = jit.hasNext
-        def next(): (String, Long, Long) = {
-          val f = jit.next()
-          (f.toAbsolutePath.toString, Files.size(f),
-            Files.getLastModifiedTime(f).toMillis)
+        def next(): java.nio.file.Path = jit.next()
+      }.map(f => f.toAbsolutePath.toString -> f)
+        .collect { case (key, f) if keep(key) =>
+          (key, Files.size(f), Files.getLastModifiedTime(f).toMillis)
         }
-      }
     } else {
       val path = new Path(shardPath)
       val fs = path.getFileSystem(FsListReader.confFor(fsProps))
@@ -276,10 +314,11 @@ class FsListReader(p: FsListPartition, delimiter: String,
             val st = jit.next()
             (st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
           }
-        }
+        }.filter(t => keep(t._1))
       } else {
         val st = fs.getFileStatus(path)
         Iterator((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+          .filter(t => keep(t._1))
       }
     }
 

@@ -71,6 +71,59 @@ class ConnectorSpec extends SparkSpec {
     assert(df.select("Key").distinct().count() == 200)
   }
 
+  test("flat mega-directory splits into hash-slice shards with no double-reads") {
+    import java.nio.file.Files
+    // fan-out past 8×target (local[8] → target 32 → threshold 256): the
+    // old planner kept this whole — ONE sequential walk, the reference's
+    // exact bottleneck. It must now split into hash-slice shards that
+    // together emit every key exactly once.
+    val dir = Files.createTempDirectory("graft_mega")
+    for (f <- 0 until 300) Files.createFile(dir.resolve(f"obj$f%05d"))
+    val parts = new graft.sources.FsListScan(dir.toString, "/", None)
+      .planInputPartitions()
+    assert(parts.length > 1, s"mega-dir degraded to ${parts.length} shard(s)")
+    val fp = parts.map(_.asInstanceOf[FsListPartition])
+    assert(fp.forall(_.slice.isDefined), "mega-dir shards must be hash slices")
+    assert(fp.map(_.slice.get._1).distinct.length == fp.length, "slice ids must be distinct")
+    assert(fp.forall(_.slice.get._2 == fp.length), "each slice must know the full count")
+    val df = spark.read.format("graft.sources.FsListSource")
+      .option("path", dir.toString).load()
+    assert(df.count() == 300, "slices must cover every key")
+    assert(df.select("Key").distinct().count() == 300, "slices must not overlap")
+  }
+
+  test("mega-prefix on an object store splits into hash slices too") {
+    MemFileSystem.objects.clear()
+    for (f <- 0 until 300)
+      MemFileSystem.objects.put(f"/flat/o$f%05d", (f.toLong, 1700000000000L))
+    val parts = new graft.sources.FsListScan("mem://bkt/flat", "/", None)
+      .planInputPartitions()
+    assert(parts.length > 1)
+    assert(parts.forall(_.asInstanceOf[FsListPartition].slice.isDefined))
+    val df = spark.read.format("graft.sources.FsListSource")
+      .option("path", "mem://bkt/flat").load()
+    assert(df.count() == 300)
+    assert(df.select("Key").distinct().count() == 300)
+  }
+
+  test("mixed directory bundles file children instead of single-file shards") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_mixed")
+    val sub = dir.resolve("sub"); Files.createDirectory(sub)
+    for (f <- 0 until 100) Files.createFile(dir.resolve(f"obj$f%04d"))
+    for (f <- 0 until 5) Files.createFile(sub.resolve(s"s$f"))
+    val parts = new graft.sources.FsListScan(dir.toString, "/", None)
+      .planInputPartitions()
+    // 100 files bundle into ~2 groups-of-64 shards plus the subdir's —
+    // NOT 100 single-file tasks just because one subdirectory exists
+    assert(parts.length > 1 && parts.length <= 10,
+      s"mixed dir must bundle file children, got ${parts.length} shard(s)")
+    val df = spark.read.format("graft.sources.FsListSource")
+      .option("path", dir.toString).load()
+    assert(df.count() == 105)
+    assert(df.select("Key").distinct().count() == 105)
+  }
+
   test("fslist DSv2 delimiter semantics match the scalar substring_index") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.{col, substring_index}
