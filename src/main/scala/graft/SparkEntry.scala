@@ -39,7 +39,8 @@ object SparkEntry {
       (ext.SimilarityQueries.queries, ext.SimilarityQueries.oracles),
       (ext.TextQueries.queries, ext.TextQueries.oracles),
       (ext.Multimodal.queries, ext.Multimodal.oracles),
-      (ext.PipelineQueries.queries, ext.PipelineQueries.oracles)
+      (ext.PipelineQueries.queries, ext.PipelineQueries.oracles),
+      (ext.CurationQueries.queries, ext.CurationQueries.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

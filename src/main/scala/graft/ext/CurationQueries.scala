@@ -1,0 +1,199 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup: within-document
+  * repetition filtering (the Gopher-style quality gate), benchmark
+  * contamination detection (n-gram overlap against a held-out eval set),
+  * and PII redaction (regex scrub + audit counts).
+  *
+  * 100 TB design notes:
+  *  - repetition is a per-document scan → two partial-aggregating shuffles
+  *    keyed on (doc_id[, gram]) — high cardinality, embarrassingly
+  *    parallel.
+  *  - contamination joins corpus 8-grams against BENCHMARK 8-grams — the
+  *    bench side is the small one (eval suites are thousands of docs, the
+  *    corpus is billions), and boilerplate 8-grams shared by more than
+  *    [[CurationQueries.BenchGramCap]] benchmark docs are dropped before
+  *    the join (the stop-gram practice of decontamination pipelines;
+  *    without it one license header fans every corpus doc into every
+  *    bench doc). The cap rides the bench side's own aggregation — no
+  *    extra shuffle of the (huge) corpus side.
+  *  - redaction is map-only: regexp over each row, no shuffle at all.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Max distinct benchmark docs an 8-gram may appear in before it is
+    * considered boilerplate and excluded from contamination matching.
+    * Shared by the Spark operator AND the oracle SQL so the two can
+    * never drift. */
+  private[ext] val BenchGramCap = 100
+
+  /** Shared-count threshold: a (corpus doc, bench doc) pair with at least
+    * this many distinct common 8-grams is flagged as contaminated. */
+  private[ext] val ContaminationMinOverlap = 3
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** Distinct word-8-gram stream of (doc_id, text) rows. */
+  private def eightGrams(df: DataFrame): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 8)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("words")) - 7)).as("pos"), col("words"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', slice(words, pos, 8))").as("g"))
+      .distinct()
+
+  private val eightGramsSql =
+    """tok8 AS (SELECT doc_id, str_split(text, ' ') AS words FROM corpus
+                WHERE len(str_split(text, ' ')) >= 8),
+       g8 AS (SELECT DISTINCT doc_id,
+                     array_to_string(words[pos:pos+7], ' ') AS g
+              FROM (SELECT doc_id, words,
+                           unnest(generate_series(1, len(words) - 7)) AS pos
+                    FROM tok8))"""
+
+  def queries: Map[String, Q] = Map(
+    // Within-document repetition: fraction of word-3-gram occurrences
+    // that are repeats of an earlier 3-gram in the same doc — the
+    // boilerplate/spam signal the Gopher quality rules filter on.
+    "q100_repetition" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("words")) - 2)).as("pos"), col("words"))
+        .select(col("doc_id"),
+          expr("concat_ws(' ', slice(words, pos, 3))").as("g"))
+      // two-phase: (doc, gram) partial counts combine map-side, then the
+      // per-doc rollup reduces an already-shrunk stream
+      g.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          round(lit(1) - col("n_distinct") / col("n_grams"), 6).as("dup_ratio"))
+        .withColumn("verdict",
+          when(col("dup_ratio") > 0.2, "repetitive").otherwise("ok"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark contamination: corpus docs sharing >= ContaminationMinOverlap
+    // distinct 8-grams with a benchmark doc. Benchmark = docs with
+    // doc_id % 97 == 0; the corpus side plants a near-copy of each bench
+    // doc (first word dropped, doc_id + 3M) among the clean docs, so the
+    // detector must flag exactly the planted leaks and none of the
+    // organic text.
+    "q101_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val benchDocs = docs.filter(col("doc_id") % 97 === 0)
+      val planted = benchDocs
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", expr("slice(words, 2, size(words) - 1)")).as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0).unionByName(planted)
+      val bench8 = eightGrams(benchDocs)
+      // stop-gram cap on the bench side (rides its own aggregation)
+      val bw = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val benchCapped = bench8
+        .withColumn("bn", count(lit(1)).over(bw))
+        .filter(col("bn") <= BenchGramCap)
+        .select(col("g"), col("doc_id").as("bench_id"))
+      eightGrams(corpus)
+        .join(benchCapped, "g")
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= ContaminationMinOverlap)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+          max(col("overlap")).as("max_overlap"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction with audit counts: scrub emails/phone extensions,
+    // report how much was removed. The fixture corpus carries no PII, so
+    // each doc plants a deterministic contact line (mirrored in the
+    // oracle); map-only — the redaction itself never shuffles.
+    "q102_pii_redact" -> ((s, d) => {
+      val raw = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("raw"))
+      raw.select(col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).as("n_phones"),
+          length(regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>")).as("redacted_len"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q100_repetition" ->
+      """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents
+                      WHERE len(str_split(text, ' ')) >= 3),
+          g3 AS (SELECT doc_id, array_to_string(words[pos:pos+2], ' ') AS g
+                 FROM (SELECT doc_id, words,
+                              unnest(generate_series(1, len(words) - 2)) AS pos
+                       FROM tok)),
+          pc AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+          agg AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct
+                  FROM pc GROUP BY doc_id)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(n_grams AS BIGINT) AS n_grams,
+                 CAST(n_distinct AS BIGINT) AS n_distinct,
+                 round(1 - n_distinct / n_grams, 6) AS dup_ratio,
+                 CASE WHEN round(1 - n_distinct / n_grams, 6) > 0.2
+                      THEN 'repetitive' ELSE 'ok' END AS verdict
+          FROM agg ORDER BY doc_id""",
+
+    "q101_contamination" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+          planted AS (SELECT doc_id + 3000000 AS doc_id,
+                             array_to_string(str_split(text, ' ')[2:], ' ') AS text
+                      FROM bench WHERE len(str_split(text, ' ')) >= 10),
+          corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+                     UNION ALL SELECT doc_id, text FROM planted),
+          $eightGramsSql,
+          btok AS (SELECT doc_id, str_split(text, ' ') AS words FROM bench
+                   WHERE len(str_split(text, ' ')) >= 8),
+          b8 AS (SELECT DISTINCT doc_id,
+                        array_to_string(words[pos:pos+7], ' ') AS g
+                 FROM (SELECT doc_id, words,
+                              unnest(generate_series(1, len(words) - 7)) AS pos
+                       FROM btok)),
+          bcap AS (SELECT g, doc_id AS bench_id FROM (
+                     SELECT b.*, count(*) OVER (PARTITION BY g) AS bn FROM b8 b)
+                   WHERE bn <= $BenchGramCap),
+          hits AS (SELECT c.doc_id, p.bench_id, count(*) AS overlap
+                   FROM g8 c JOIN bcap p USING (g)
+                   GROUP BY 1, 2
+                   HAVING count(*) >= $ContaminationMinOverlap)
+          SELECT doc_id, CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+                 CAST(max(overlap) AS BIGINT) AS max_overlap
+          FROM hits GROUP BY doc_id ORDER BY doc_id""",
+
+    "q102_pii_redact" ->
+      """WITH raw AS (SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+              (CASE WHEN doc_id % 3 = 0
+                    THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE '' END) AS raw
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+                 CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INTEGER) AS n_phones,
+                 CAST(length(regexp_replace(regexp_replace(raw,
+                      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                      '555-[0-9]{4}', '<PHONE>', 'g')) AS INTEGER) AS redacted_len
+          FROM raw ORDER BY doc_id"""
+  )
+}
