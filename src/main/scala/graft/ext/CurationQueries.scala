@@ -39,15 +39,21 @@ object CurationQueries {
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "555-[0-9]{4}"
 
-  /** Distinct word-8-gram stream of (doc_id, text) rows. */
-  private def eightGrams(df: DataFrame): DataFrame =
+  /** Raw word-8-gram stream of (doc_id, text) rows — duplicates included;
+    * map-only. The corpus side joins this stream directly (no corpus-wide
+    * distinct shuffle) and dedups AFTER the join, where rows are
+    * match-bounded. */
+  private def eightGramsRaw(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 8)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("words")) - 7)).as("pos"), col("words"))
       .select(col("doc_id"),
         expr("concat_ws(' ', slice(words, pos, 8))").as("g"))
-      .distinct()
+
+  /** Distinct word-8-gram set per doc (the small benchmark side, where
+    * the stop-gram cap needs true per-gram doc counts). */
+  private def eightGrams(df: DataFrame): DataFrame = eightGramsRaw(df).distinct()
 
   private val eightGramsSql =
     """tok8 AS (SELECT doc_id, str_split(text, ' ') AS words FROM corpus
@@ -104,8 +110,12 @@ object CurationQueries {
         .withColumn("bn", count(lit(1)).over(bw))
         .filter(col("bn") <= BenchGramCap)
         .select(col("g"), col("doc_id").as("bench_id"))
-      eightGrams(corpus)
+      // corpus side: RAW gram stream into a map-side broadcast join — the
+      // only corpus-wide work is the scan itself; dedup to distinct
+      // (doc, bench, gram) triples happens post-join on match-bounded rows
+      eightGramsRaw(corpus)
         .join(benchCapped, "g")
+        .select("doc_id", "bench_id", "g").distinct()
         .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("overlap"))
         .filter(col("overlap") >= ContaminationMinOverlap)
         .groupBy("doc_id")
