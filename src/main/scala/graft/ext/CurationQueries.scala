@@ -124,6 +124,53 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental snapshot dedup: admit or reject each NEW document
+    // against the EXISTING corpus — the daily-increment pattern. The
+    // increment's minhash bands join only against the old corpus's bands
+    // (never old × old: the standing corpus was already deduped, so the
+    // incremental cost is |new| × band-collisions, not |corpus|²),
+    // candidates verify at exact 3-gram Jaccard >= 0.5, and boilerplate
+    // band buckets are capped by their OLD-side population with the same
+    // shared constant the batch dedup uses. The increment plants
+    // near-copies of old docs (must be rejected) and word-reversed docs
+    // (share no 3-grams — must be admitted).
+    "q103_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val newNear = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 10)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat_ws(" ", expr("slice(words, 2, size(words) - 1)")).as("text"))
+      val newFresh = docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text"))
+      val incoming = newNear.unionByName(newFresh)
+      val oldBands = DedupQueries.bandTable(
+        DedupQueries.minhash(DedupQueries.shinglesRawOf(docs)))
+      val newBands = DedupQueries.bandTable(
+        DedupQueries.minhash(DedupQueries.shinglesRawOf(incoming)))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+      val oldCapped = oldBands
+        .withColumn("bn", count(lit(1)).over(w))
+        .filter(col("bn") <= DedupQueries.DefaultMaxBucket).drop("bn")
+      val cands = newBands.select(col("band"), col("bh"), col("doc_id").as("id1"))
+        .join(oldCapped.select(col("band"), col("bh"), col("doc_id").as("id2")),
+          Seq("band", "bh"))
+        .select("id1", "id2").distinct()
+      val j = DedupQueries.jaccardOf(cands,
+        DedupQueries.shinglesOf(docs.unionByName(incoming)))
+      val dup = j.filter(col("jaccard") >= 0.5)
+        .groupBy(col("id1").as("new_id"))
+        .agg(min(col("id2")).as("best_old"), round(max(col("jaccard")), 6).as("max_j"))
+      incoming.select(col("doc_id").as("new_id"))
+        .join(dup, Seq("new_id"), "left")
+        .select(col("new_id"),
+          when(col("best_old").isNull, "admit").otherwise("duplicate").as("verdict"),
+          coalesce(col("best_old"), lit(-1L)).as("best_old"),
+          coalesce(col("max_j"), lit(0.0)).as("max_j"))
+        .orderBy("new_id")
+    }),
+
     // PII redaction with audit counts: scrub emails/phone extensions,
     // report how much was removed. The fixture corpus carries no PII, so
     // each doc plants a deterministic contact line (mirrored in the
@@ -190,6 +237,59 @@ object CurationQueries {
           SELECT doc_id, CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
                  CAST(max(overlap) AS BIGINT) AS max_overlap
           FROM hits GROUP BY doc_id ORDER BY doc_id""",
+
+    "q103_incremental_dedup" -> {
+      val lanes = (0 until 8).map(i =>
+        s"min(substr(md5(g), ${1 + 4 * i}, 4)) AS m$i").mkString(", ")
+      val bandSel = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS bh FROM mh")
+        .mkString(" UNION ALL ")
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+          newnear AS (SELECT doc_id + 4000000 AS doc_id,
+                             array_to_string(str_split(text, ' ')[2:], ' ') AS text
+                      FROM docs WHERE doc_id % 10 = 0
+                        AND len(str_split(text, ' ')) >= 10),
+          newfresh AS (SELECT doc_id + 5000000 AS doc_id,
+                              array_to_string(list_reverse(str_split(text, ' ')), ' ') AS text
+                       FROM docs WHERE doc_id % 10 = 5),
+          incoming AS (SELECT * FROM newnear UNION ALL SELECT * FROM newfresh),
+          allde AS (SELECT * FROM docs UNION ALL SELECT * FROM incoming),
+          tok AS (SELECT doc_id, str_split(text, ' ') AS words FROM allde
+                  WHERE len(str_split(text, ' ')) >= 3),
+          sh AS (SELECT DISTINCT doc_id,
+                        words[pos] || ' ' || words[pos+1] || ' ' || words[pos+2] AS g
+                 FROM (SELECT doc_id, words,
+                              unnest(generate_series(1, len(words) - 2)) AS pos
+                       FROM tok)),
+          mh AS (SELECT doc_id, $lanes FROM sh GROUP BY doc_id),
+          bands AS ($bandSel),
+          oldc AS (SELECT doc_id, band, bh FROM (
+                     SELECT b.*, count(*) OVER (PARTITION BY band, bh) AS bn
+                     FROM bands b WHERE doc_id < 4000000)
+                   WHERE bn <= ${DedupQueries.DefaultMaxBucket}),
+          cand AS (SELECT DISTINCT n.doc_id AS id1, o.doc_id AS id2
+                   FROM bands n JOIN oldc o USING (band, bh)
+                   WHERE n.doc_id >= 4000000),
+          inter AS (SELECT c.id1, c.id2, count(*) AS i
+                    FROM cand c
+                    JOIN sh a ON a.doc_id = c.id1
+                    JOIN sh b ON b.doc_id = c.id2 AND b.g = a.g
+                    GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          jac AS (SELECT i1.id1, i1.id2, i1.i / (sa.n + sb.n - i1.i) AS j
+                  FROM inter i1
+                  JOIN sizes sa ON sa.doc_id = i1.id1
+                  JOIN sizes sb ON sb.doc_id = i1.id2),
+          dup AS (SELECT id1 AS new_id, min(id2) AS best_old,
+                         round(max(j), 6) AS max_j
+                  FROM jac WHERE j >= 0.5 GROUP BY id1)
+          SELECT i.doc_id AS new_id,
+                 CASE WHEN d.best_old IS NULL THEN 'admit' ELSE 'duplicate' END AS verdict,
+                 CAST(coalesce(d.best_old, -1) AS BIGINT) AS best_old,
+                 coalesce(d.max_j, 0.0) AS max_j
+          FROM incoming i LEFT JOIN dup d ON d.new_id = i.doc_id
+          ORDER BY new_id"""
+    },
 
     "q102_pii_redact" ->
       """WITH raw AS (SELECT doc_id,

@@ -84,7 +84,7 @@ object DedupQueries {
     * Uses the thread-local-digest [[graft.functions.FastMd5]] — hex output
     * is identical to the built-in `md5`, so the DuckDB oracle is unchanged;
     * the shingle hash is the dominant cost of q41/q43 at scale. */
-  private def minhash(sh: DataFrame): DataFrame = {
+  private[ext] def minhash(sh: DataFrame): DataFrame = {
     val h = graft.functions.FastMd5.fastMd5(col("shingle"))
     val aggs = (0 until 8).map(i =>
       min(substring(h, 1 + 4 * i, 4)).as(s"m$i"))
@@ -98,7 +98,7 @@ object DedupQueries {
   }
 
   /** Band table: 4 bands of 2 lanes each. */
-  private def bandTable(mh: DataFrame): DataFrame =
+  private[ext] def bandTable(mh: DataFrame): DataFrame =
     mh.select(col("doc_id"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh"))): _*)).as("e"))

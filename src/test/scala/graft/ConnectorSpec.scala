@@ -106,6 +106,24 @@ class ConnectorSpec extends SparkSpec {
     assert(df.select("Key").distinct().count() == 300)
   }
 
+  test("planner abandons a mega-directory's paged listing at the threshold") {
+    MemFileSystem.objects.clear()
+    MemFileSystem.PageSize = 100
+    try {
+      for (f <- 0 until 500)
+        MemFileSystem.objects.put(f"/mega/k$f%05d", (1L, 0L))
+      MemFileSystem.pagesServed.set(0)
+      val parts = new graft.sources.FsListScan("mem://bkt/mega", "/", None)
+        .planInputPartitions()
+      assert(parts.forall(_.asInstanceOf[FsListPartition].slice.isDefined))
+      // threshold = 8×target (local[8] → 256): the planner must stop
+      // paging once the slice decision is made — 3 pages of 100, never
+      // the full 5-page listing of a (stand-in) mega-prefix
+      val pages = MemFileSystem.pagesServed.get
+      assert(pages == 3, s"planner consumed $pages pages (expected 3 of 5)")
+    } finally MemFileSystem.PageSize = 1000
+  }
+
   test("mixed directory bundles file children instead of single-file shards") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_mixed")

@@ -286,6 +286,26 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup rejects planted near-copies and admits fresh docs") {
+    val rows = ext.CurationQueries.queries("q103_incremental_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, verdict, best) = (r.getLong(0), r.getString(1), r.getLong(2))
+      if (id < 5000000L) { // planted near-copy of old doc (id - 4M)
+        assert(verdict == "duplicate", s"near-copy $id admitted")
+        // best_old = MIN matched old id — the source itself, or an even
+        // smaller ORGANIC near-dup of the source (the fixture contains a
+        // few, e.g. docs 0 and 50)
+        assert(best >= 0L && best <= id - 4000000L,
+          s"near-copy $id matched $best")
+        assert(r.getDouble(3) >= 0.5)
+      } else { // word-reversed doc: shares no 3-grams with any old doc
+        assert(verdict == "admit", s"fresh doc $id rejected (matched $best)")
+        assert(best == -1L)
+      }
+    }
+  }
+
   test("PII redaction counts and removes the planted contacts") {
     val rows = ext.CurationQueries.queries("q102_pii_redact")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -70,6 +70,24 @@ class MemFileSystem extends FileSystem {
     }
   }
 
+  /** Paged child iteration — the FileSystem-contract analog of
+    * ListObjectsV2's 1000-key pages. Serving the listing page-by-page
+    * (with a served-page counter) lets tests assert the CLIENT's paging
+    * behavior: the shard planner must abandon a mega-directory after its
+    * threshold instead of consuming every page of a 10M-key listing. */
+  override def listStatusIterator(f: Path): RemoteIterator[FileStatus] = {
+    val all = listStatus(f)
+    new RemoteIterator[FileStatus] {
+      private var i = 0
+      override def hasNext: Boolean = i < all.length
+      override def next(): FileStatus = {
+        if (!hasNext) throw new java.util.NoSuchElementException
+        if (i % MemFileSystem.PageSize == 0) MemFileSystem.pagesServed.incrementAndGet()
+        val s = all(i); i += 1; s
+      }
+    }
+  }
+
   override def getWorkingDirectory: Path = new Path(fsUri)
   override def setWorkingDirectory(newDir: Path): Unit = ()
 
@@ -93,4 +111,8 @@ class MemFileSystem extends FileSystem {
 object MemFileSystem {
   /** Flat key space: absolute key path → (size, mtime millis). */
   val objects = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  /** Listing page size (ListObjectsV2 default 1000; tests shrink it). */
+  @volatile var PageSize: Int = 1000
+  /** Pages served across all listStatusIterator calls since last reset. */
+  val pagesServed = new java.util.concurrent.atomic.AtomicInteger(0)
 }
