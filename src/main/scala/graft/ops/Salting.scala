@@ -22,15 +22,17 @@ object Salting {
     * `monotonically_increasing_id()` or `rand()`: a non-deterministic salt
     * feeding a shuffle is the classic recompute-after-fetch-failure hazard
     * (a retried map task re-salts its rows differently, so reducers see
-    * partials that double-count some rows and miss others). Hashing stable
-    * input columns keeps the fan-out (identical rows share a bucket, but a
-    * heavy KEY still spreads across buckets unless all its rows are
-    * bit-identical) while staying correct under task retry. */
+    * partials that double-count some rows and miss others). The salt here
+    * hashes the input partition id plus every input column: a recomputed
+    * partition has the same id and the same rows, so retries re-derive
+    * identical salts, while a heavy key spreads across buckets even when
+    * its rows are bit-identical (they land in many input partitions). */
   def saltedCountSum(df: DataFrame, key: Column, value: Column,
                      buckets: Int): DataFrame = {
     val partial = df
       .withColumn("__salt",
-        pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+        pmod(hash(spark_partition_id() +: df.columns.map(col).toIndexedSeq: _*),
+          lit(buckets)))
       .groupBy(key.as("k"), col("__salt"))
       .agg(count(lit(1)).as("pn"), sum(value).as("ps"))
     partial.groupBy(col("k"))
