@@ -25,6 +25,16 @@ object ManifestFsQueries {
 
   private val t2Dir = SfDirToken
 
+  /** Compaction rewrite shared by q105 and ConnectorSpec: range-partition
+    * on Key into `n` outputs and sort within each, so every output file
+    * covers a contiguous, disjoint Key range (file-level min/max stat
+    * pruning for downstream prefix queries). */
+  private[graft] def compact(s: SparkSession, fragDir: String,
+                             outDir: String, n: Int): Unit =
+    s.read.parquet(fragDir)
+      .repartitionByRange(n, col("Key")).sortWithinPartitions("Key")
+      .write.mode("overwrite").parquet(outDir)
+
   def queries: Map[String, Q] = Map(
     // Driver-side listing path (control-plane sized inventories).
     "q90_manifest_fs" -> ((s, d) => {
@@ -128,6 +138,46 @@ object ManifestFsQueries {
         .orderBy("lang")
     }),
 
+    // Schema evolution across parquet generations: an inventory written
+    // before a column existed reads together with the new generation via
+    // mergeSchema; missing values surface as nulls. At 100 TB manifests
+    // accrete columns over years — rewriting history per schema change is
+    // not an option.
+    "q104_schema_evolution" -> ((s, d) => {
+      val out = Scratch.dir("graft_evolve")
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$out/v1")
+      docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(col("n_chars")).as("n_with_chars"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("total_chars"))
+        .orderBy("lang")
+    }),
+
+    // Manifest compaction: the nightly-increment pathology leaves a
+    // manifest as thousands of tiny files; rewrite key-range-partitioned
+    // and sorted, so each output file covers a contiguous Key range and
+    // downstream prefix queries prune whole files on parquet min/max
+    // stats. The aggregate proves losslessness; ConnectorSpec asserts the
+    // file count collapses and the per-file key ranges are disjoint.
+    "q105_manifest_compaction" -> ((s, d) => {
+      val out = Scratch.dir("graft_compact")
+      Tables.documents(s, d)
+        .select(concat(col("source"), lit("/"), col("doc_id").cast("string"),
+            lit(".txt")).as("Key"),
+          col("n_chars").as("Size"))
+        .repartition(64) // fragmented state
+        .write.mode("overwrite").parquet(s"$out/frag")
+      compact(s, s"$out/frag", s"$out/compact", 4)
+      s.read.parquet(s"$out/compact")
+        .agg(count(lit(1)).as("n"), sum(col("Size")).as("total_size"),
+          min(col("Key")).as("min_key"), max(col("Key")).as("max_key"))
+    }),
+
     // Hive-partitioned manifest write + partition-pruned read: the scan
     // for one Bucket must touch only that partition's files (PlanSpec
     // asserts the PartitionFilters) — the layout ManifestGen
@@ -225,6 +275,25 @@ object ManifestFsQueries {
             CAST(sum(size) AS BIGINT) AS total_bytes,
             max(str_split(filename, '/')[-1]) AS max_name
           FROM read_blob('$t2Dir/*')""",
+
+    "q104_schema_evolution" ->
+      """WITH v1 AS (SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+                     FROM documents WHERE doc_id % 2 = 0),
+          v2 AS (SELECT doc_id, lang, n_chars
+                 FROM documents WHERE doc_id % 2 <> 0),
+          merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+          SELECT lang, count(*) AS n,
+                 count(n_chars) AS n_with_chars,
+                 CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars
+          FROM merged GROUP BY lang ORDER BY lang""",
+
+    "q105_manifest_compaction" ->
+      """WITH m AS (SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS Key,
+                           n_chars AS Size
+                    FROM documents)
+          SELECT count(*) AS n, CAST(sum(Size) AS BIGINT) AS total_size,
+                 min(Key) AS min_key, max(Key) AS max_key
+          FROM m""",
 
     "q95_manifest_diff" ->
       """WITH oldm AS (

@@ -188,6 +188,36 @@ class ConnectorSpec extends SparkSpec {
       .forall(_.contains("part=1")), "non-matching shards must be pruned")
   }
 
+  test("compaction collapses tiny files into disjoint sorted key ranges") {
+    import org.apache.spark.sql.functions._
+    val out = graft.ops.Scratch.dir("graft_compact_spec")
+    Tables.documents(spark, sf)
+      .select(concat(col("source"), lit("/"), col("doc_id").cast("string"),
+          lit(".txt")).as("Key"), col("n_chars").as("Size"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/frag")
+    graft.ops.ManifestFsQueries.compact(spark, s"$out/frag", s"$out/compact", 4)
+    val fragFiles = new java.io.File(s"$out/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val compactFiles = new java.io.File(s"$out/compact").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles == 16 && compactFiles <= 4,
+      s"expected <=4 compacted files, got $compactFiles (from $fragFiles)")
+    // losslessness + disjointness: per-file key ranges must not overlap
+    val ranges = spark.read.parquet(s"$out/compact")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("Key").as("lo"), max("Key").as("hi"), count(lit(1)).as("n"))
+      .orderBy("lo").collect()
+    assert(ranges.map(_.getLong(3)).sum ==
+      Tables.documents(spark, sf).count())
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getString(2) < b.getString(1),
+          s"overlapping file ranges: ${a.getString(2)} >= ${b.getString(1)}")
+      case _ => ()
+    }
+  }
+
   test("run summary renders the reference-style report") {
     val s = ManifestMetrics.timedCount(ManifestGen.fromDir(spark, sf))
     assert(s.objects == 10)
