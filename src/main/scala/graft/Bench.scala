@@ -55,14 +55,30 @@ object Bench {
       }.max
       best
     } catch { case _: Throwable => -1.0 }
+    // Flat mega-prefix listing: 50k objects in ONE directory — the layout
+    // that degrades the reference (and any whole-dir planner) to a single
+    // sequential walk. Exercises the hash-slice shard path end-to-end.
+    val flatRate = try {
+      val flat = java.nio.file.Paths.get(ops.Scratch.dir("graft_bench_flat"))
+      for (f <- 0 until 50000)
+        java.nio.file.Files.createFile(flat.resolve(f"o$f%05d"))
+      val listing = spark.read.format("graft.sources.FsListSource")
+        .option("path", flat.toString).load()
+      listing.count() // warm
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = listing.count()
+        n / ((System.nanoTime() - t0) / 1e9)
+      }.max
+    } catch { case _: Throwable => -1.0 }
     // Per-query detail line first, headline line LAST: the long detail
     // line is truncation-prone under tail-capture (round-1 recorded
     // "parsed": null), so it gets a distinct metric name and the compact
     // final line keeps "total" — a consumer grabbing the last (or any
     // first-matching) "metric":"total" line always gets the short,
     // parse-safe one.
-    println(s"""{"metric":"total_per_query","value":$total,"unit":"sec","queries":$qs,"listing_objects_per_sec":${listingRate.round},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"listing_objects_per_sec":${listingRate.round},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_per_query","value":$total,"unit":"sec","queries":$qs,"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -105,16 +105,18 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     *
     * A directory whose fan-out exceeds 8× target (the flat 10M-object
     * mega-prefix — the reference tool's bread-and-butter input) is split
-    * into K HASH-SLICED shards of the SAME directory: each shard re-walks
-    * the listing but emits only the keys whose stable hash lands in its
-    * slice, so every object is emitted exactly once and the expensive
-    * per-object work (stat + row construction + downstream processing)
-    * spreads across K executors. The enumeration itself is repeated K
-    * times — the price of the Hadoop FS abstraction having no start-after
-    * marker; an SDK-level ListObjectsV2 paginator with `start-after` key
-    * ranges would walk each range once and remains the documented ideal.
-    * Hash slices beat lexicographic first-char ranges here because they
-    * balance perfectly with zero knowledge of the key distribution.
+    * into K HASH-SLICED shards of the SAME directory: each shard re-reads
+    * the (stat-free) readdir stream but owns only the top-level entries
+    * whose stable name hash lands on its index, so every object is
+    * emitted exactly once and the expensive per-object work (stat + row
+    * construction + downstream processing) spreads across K executors
+    * while each file is stat'ed exactly once across all slices. The
+    * enumeration itself is repeated K times — the price of the Hadoop FS
+    * abstraction having no start-after marker; an SDK-level ListObjectsV2
+    * paginator with `start-after` key ranges would read each page once
+    * and remains the documented ideal. Hash slices beat lexicographic
+    * first-char ranges here because they balance perfectly with zero
+    * knowledge of the key distribution.
     * Child statuses are streamed via listStatusIterator and abandoned at
     * the threshold, so the planner never materializes a mega-directory's
     * children (the OOM that whole-dir fallback used to guard against). */
@@ -148,14 +150,34 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
       val planned = out.size + queue.size
       if (st.isDirectory && depth < maxDepth && planned + 1 < target) {
         // stream children, stopping at the mega-dir threshold — never
-        // materialize an unbounded child list in the driver
+        // materialize an unbounded child list in the driver. The local
+        // branch streams readdir via NIO: Hadoop's RawLocalFileSystem
+        // listStatusIterator materializes EVERY child status first
+        // (~700ms planning per action on a 50k-file dir); the NIO stream
+        // reads just past the threshold and stops.
         val maxKids = 8 * target
-        val kit = fs.listStatusIterator(st.getPath)
         val raw = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
         var overflow = false
-        while (kit.hasNext && !overflow) {
-          raw += kit.next()
-          if (raw.length > maxKids) overflow = true
+        if (FsListReader.isLocal(st.getPath.toString)) {
+          val dir = java.nio.file.Paths.get(st.getPath.toUri.getPath)
+          val ds = java.nio.file.Files.newDirectoryStream(dir)
+          try {
+            val kit = ds.iterator()
+            while (kit.hasNext && !overflow) {
+              val e = kit.next()
+              val a = java.nio.file.Files.readAttributes(e,
+                classOf[java.nio.file.attribute.BasicFileAttributes])
+              raw += new org.apache.hadoop.fs.FileStatus(a.size, a.isDirectory, 1,
+                64L << 20, a.lastModifiedTime.toMillis, new Path(e.toUri))
+              if (raw.length > maxKids) overflow = true
+            }
+          } finally ds.close()
+        } else {
+          val kit = fs.listStatusIterator(st.getPath)
+          while (kit.hasNext && !overflow) {
+            raw += kit.next()
+            if (raw.length > maxKids) overflow = true
+          }
         }
         if (overflow) {
           val slices = math.min(16, target)
@@ -211,10 +233,13 @@ case class ObjectsListedTaskMetric(value: Long) extends CustomTaskMetric {
 
 /** One listing shard: a bundle of roots the reader walks in sequence.
   * Bundles come from flat-directory round-robin grouping; descent shards
-  * carry a single root. `slice = Some((i, n))` marks a hash-slice shard of
-  * a mega-directory: the reader walks the same root as its n-1 siblings
-  * but emits only keys with `floorMod(stableHash(key), n) == i` — together
-  * the n slices emit every key exactly once. */
+  * carry a single root. `slice = Some((i, n))` marks a hash-slice shard
+  * of a mega-directory: the reader enumerates the same root as its n-1
+  * siblings but OWNS only the top-level entries whose stable name hash is
+  * i mod n (an owned subdirectory contributes its entire subtree).
+  * Entries partition exactly across the n slices, so together they emit
+  * every key exactly once — and a non-owned entry is skipped straight off
+  * the readdir/LIST stream without ever being stat'ed. */
 case class FsListPartition(paths: Seq[String], bucket: String,
                            slice: Option[(Int, Int)] = None) extends InputPartition
 
@@ -278,33 +303,80 @@ class FsListReader(p: FsListPartition, delimiter: String,
   private var current: InternalRow = _
   private val openStreams =
     scala.collection.mutable.ArrayBuffer.empty[java.util.stream.Stream[_]]
+  private val openCloseables =
+    scala.collection.mutable.ArrayBuffer.empty[java.io.Closeable]
 
-  /** keep = the shard's hash-slice predicate over the emitted key. For the
-    * local walk it runs BEFORE the per-file stat (size + mtime), so a
-    * slice shard pays enumeration for every key but stat only for its own
-    * slice — stat is the dominant per-object cost of the NIO walk. */
-  private val keep: String => Boolean = p.slice match {
-    case Some((idx, n)) => key =>
-      java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), n) == idx
-    case None => _ => true
+  /** Slice membership over a shard-root ENTRY NAME (one path segment).
+    * A slice owns the top-level entries whose stable hash lands on its
+    * index; an owned directory entry contributes its ENTIRE subtree.
+    * Hashing the entry (not each emitted key) is what makes the local
+    * walk cheap: non-owned entries are skipped straight off the readdir
+    * stream without ever being stat'ed — `Files.walk` would stat every
+    * file in every slice just to traverse. */
+  private def ownsEntry(name: String): Boolean = p.slice match {
+    case Some((idx, n)) =>
+      java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(name), n) == idx
+    case None => true
+  }
+
+  /** Full recursive NIO walk (no slicing) — `Files.walk` carries its own
+    * per-entry attributes, so emitting everything is one stat per file. */
+  private def nioWalkAll(root: java.nio.file.Path): Iterator[(String, Long, Long)] = {
+    val stream = Files.walk(root)
+    openStreams += stream
+    val jit = stream.filter(f => Files.isRegularFile(f)).iterator()
+    new Iterator[(String, Long, Long)] {
+      def hasNext: Boolean = jit.hasNext
+      def next(): (String, Long, Long) = {
+        val f = jit.next()
+        (f.toAbsolutePath.toString, Files.size(f),
+          Files.getLastModifiedTime(f).toMillis)
+      }
+    }
+  }
+
+  private def nioPath(shardPath: String): java.nio.file.Path =
+    Paths.get(new Path(shardPath).toUri.getPath match {
+      case "" => shardPath; case s => s
+    })
+
+  /** Sliced local walk: stream the root's readdir, keep owned entries
+    * only, and stat just those (owned dirs recurse via the full walk).
+    * One readdir pass per slice, one stat per owned object — the n
+    * slices of a flat mega-directory collectively stat each file exactly
+    * once. */
+  private def nioWalkSliced(root: java.nio.file.Path): Iterator[(String, Long, Long)] = {
+    val ds = Files.newDirectoryStream(root)
+    openCloseables += ds
+    import scala.jdk.CollectionConverters._
+    ds.iterator().asScala
+      .filter(e => ownsEntry(e.getFileName.toString))
+      .flatMap { e =>
+        val attrs = Files.readAttributes(e,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        if (attrs.isDirectory) nioWalkAll(e)
+        else Iterator((e.toAbsolutePath.toString, attrs.size(),
+          attrs.lastModifiedTime().toMillis))
+      }
+  }
+
+  /** Top-level path segment of `key` under the shard root (the entry the
+    * slice contract is defined over) — remote listings return a flat
+    * recursive stream, so the entry is recovered from the key. */
+  private def topSegment(rootPath: String, key: String): String = {
+    val root = if (rootPath.endsWith("/")) rootPath else rootPath + "/"
+    val rel = if (key.startsWith(root)) key.substring(root.length) else key
+    val i = rel.indexOf('/')
+    if (i < 0) rel else rel.substring(0, i)
   }
 
   private def walkOne(shardPath: String): Iterator[(String, Long, Long)] =
     if (FsListReader.isLocal(shardPath)) {
-      val stream = Files.walk(Paths.get(new Path(shardPath).toUri.getPath match {
-        case "" => shardPath; case s => s
-      }))
-      openStreams += stream
-      val jit = stream.filter(f => Files.isRegularFile(f)).iterator()
-      new Iterator[java.nio.file.Path] {
-        def hasNext: Boolean = jit.hasNext
-        def next(): java.nio.file.Path = jit.next()
-      }.map(f => f.toAbsolutePath.toString -> f)
-        .collect { case (key, f) if keep(key) =>
-          (key, Files.size(f), Files.getLastModifiedTime(f).toMillis)
-        }
+      val root = nioPath(shardPath)
+      if (p.slice.isDefined) nioWalkSliced(root) else nioWalkAll(root)
     } else {
       val path = new Path(shardPath)
+      val rootPath = path.toUri.getPath
       val fs = path.getFileSystem(FsListReader.confFor(fsProps))
       if (fs.getFileStatus(path).isDirectory) {
         val jit = fs.listFiles(path, true)
@@ -314,11 +386,13 @@ class FsListReader(p: FsListPartition, delimiter: String,
             val st = jit.next()
             (st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
           }
-        }.filter(t => keep(t._1))
+          // object-store listings carry size+mtime inline, so slice
+          // filtering here costs nothing beyond the (shared) LIST pages
+        }.filter(t => ownsEntry(topSegment(rootPath, t._1)))
       } else {
         val st = fs.getFileStatus(path)
         Iterator((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
-          .filter(t => keep(t._1))
+          .filter(t => ownsEntry(topSegment(rootPath, t._1)))
       }
     }
 
@@ -354,5 +428,8 @@ class FsListReader(p: FsListPartition, delimiter: String,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = openStreams.foreach(_.close())
+  override def close(): Unit = {
+    openStreams.foreach(_.close())
+    openCloseables.foreach(_.close())
+  }
 }

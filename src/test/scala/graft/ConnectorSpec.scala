@@ -92,6 +92,20 @@ class ConnectorSpec extends SparkSpec {
     assert(df.select("Key").distinct().count() == 300, "slices must not overlap")
   }
 
+  test("a subdirectory inside a sliced mega-dir is covered exactly once") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_mega_sub")
+    for (f <- 0 until 300) Files.createFile(dir.resolve(f"obj$f%05d"))
+    val sub = dir.resolve("nested"); Files.createDirectory(sub)
+    for (f <- 0 until 7) Files.createFile(sub.resolve(s"deep$f"))
+    val df = spark.read.format("graft.sources.FsListSource")
+      .option("path", dir.toString).load()
+    // the slice that owns the "nested" entry must emit its whole subtree;
+    // no other slice may touch it
+    assert(df.count() == 307)
+    assert(df.select("Key").distinct().count() == 307)
+  }
+
   test("mega-prefix on an object store splits into hash slices too") {
     MemFileSystem.objects.clear()
     for (f <- 0 until 300)

@@ -99,6 +99,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q101: benchmark side broadcasts; corpus side reaches the join unshuffled") {
+    val df = SparkEntry.queries("q101_contamination")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench set must broadcast:\n${p.take(1500)}")
+    // the corpus-side gram stream must hit the join map-side: every
+    // hash-partitioning exchange sits ABOVE the broadcast join (dedup and
+    // aggregation of match-bounded rows), none below it on the probe side
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    val probe = p.substring(joinAt)
+    val probeSide = probe.substring(probe.indexOf(":- "),
+      math.max(probe.indexOf("+- BroadcastExchange"), probe.indexOf(":- ") + 1))
+    assert(!probeSide.contains("Exchange hashpartitioning"),
+      s"corpus side must not shuffle before the join:\n${probeSide.take(1200)}")
+  }
+
+  test("q103: increment bands join old corpus bands, never old x old") {
+    val p = plan("q103_incremental_dedup")
+    assert(!p.contains("CartesianProduct"))
+    // exactly one band-bucket equi-join feeds the candidate set: the old
+    // side appears once (capped), so no old x old pair generation exists
+    assert(p.contains("bh"), s"band join missing:\n${p.take(800)}")
+  }
+
   test("salted aggregation equals plain aggregation") {
     // decimal value: double sums are accumulation-order-sensitive, which is
     // exactly why the engine aggregates doubles through decimals (dsl.scala)
