@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") // same default as Bench
     val reps = sys.env.getOrElse("GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,8 +33,11 @@ object BenchOne {
           val n = fn(spark, sfDir).count()
           ((System.nanoTime() - t0) / 1e9, n)
         }
-        val ts = times.map(t => "%.3f".formatLocal(java.util.Locale.ROOT, t._1))
-        println(s"""{"query":"$name","rows":${times.head._2},"sec":[${ts.mkString(",")}],"min":${ts.min}}""")
+        def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+        val ts = times.map(t => f(t._1))
+        // min over the NUMERIC timings (the formatted strings would
+        // compare lexicographically: "11.0" < "9.8")
+        println(s"""{"query":"$name","rows":${times.head._2},"sec":[${ts.mkString(",")}],"min":${f(times.map(_._1).min)}}""")
     }
     spark.stop()
   }

@@ -112,9 +112,15 @@ object CurationQueries {
         .select(col("g"), col("doc_id").as("bench_id"))
       // corpus side: RAW gram stream into a map-side broadcast join — the
       // only corpus-wide work is the scan itself; dedup to distinct
-      // (doc, bench, gram) triples happens post-join on match-bounded rows
+      // (doc, bench, gram) triples happens post-join on match-bounded
+      // rows. The broadcast is HINTED, not left to the size estimator:
+      // benchCapped sits behind a window aggregate whose stats inherit
+      // the full documents-scan estimate, so auto-broadcast would
+      // silently flip to a sort-merge join (shuffling the whole corpus
+      // gram stream) exactly when the corpus grows. The bench set itself
+      // is eval-suite sized — thousands of docs — and stays broadcastable.
       eightGramsRaw(corpus)
-        .join(benchCapped, "g")
+        .join(broadcast(benchCapped), "g")
         .select("doc_id", "bench_id", "g").distinct()
         .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("overlap"))
         .filter(col("overlap") >= ContaminationMinOverlap)

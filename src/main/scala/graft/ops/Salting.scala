@@ -23,16 +23,17 @@ object Salting {
     * feeding a shuffle is the classic recompute-after-fetch-failure hazard
     * (a retried map task re-salts its rows differently, so reducers see
     * partials that double-count some rows and miss others). The salt here
-    * hashes the input partition id plus every input column: a recomputed
-    * partition has the same id and the same rows, so retries re-derive
-    * identical salts, while a heavy key spreads across buckets even when
-    * its rows are bit-identical (they land in many input partitions). */
+    * hashes the input partition id plus the key and value columns only —
+    * a recomputed partition has the same id and the same rows, so retries
+    * re-derive identical salts; a heavy key spreads across buckets even
+    * when its rows are bit-identical (they land in many partitions); and
+    * rows wide with unrelated columns (or columns `hash` rejects, like
+    * maps) cost nothing extra. */
   def saltedCountSum(df: DataFrame, key: Column, value: Column,
                      buckets: Int): DataFrame = {
     val partial = df
       .withColumn("__salt",
-        pmod(hash(spark_partition_id() +: df.columns.map(col).toIndexedSeq: _*),
-          lit(buckets)))
+        pmod(hash(spark_partition_id(), key, value), lit(buckets)))
       .groupBy(key.as("k"), col("__salt"))
       .agg(count(lit(1)).as("pn"), sum(value).as("ps"))
     partial.groupBy(col("k"))

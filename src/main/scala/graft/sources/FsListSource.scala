@@ -154,8 +154,16 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
         // branch streams readdir via NIO: Hadoop's RawLocalFileSystem
         // listStatusIterator materializes EVERY child status first
         // (~700ms planning per action on a 50k-file dir); the NIO stream
-        // reads just past the threshold and stops.
+        // reads just past the threshold and stops. Only children that
+        // can MATCH the pushed prefix count toward (or are kept past)
+        // the threshold — a selective prefix over a mega-directory plans
+        // to its few matching children, not to whole-dir slices. A
+        // separate cap on TOTAL scanned entries bounds driver time when
+        // a selective prefix meets a 10M-child directory: past it, fall
+        // back to slices and let the residual filter prune rows.
         val maxKids = 8 * target
+        val maxScan = 64 * maxKids
+        var scanned = 0
         val raw = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
         var overflow = false
         if (FsListReader.isLocal(st.getPath.toString)) {
@@ -165,22 +173,37 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
             val kit = ds.iterator()
             while (kit.hasNext && !overflow) {
               val e = kit.next()
-              val a = java.nio.file.Files.readAttributes(e,
-                classOf[java.nio.file.attribute.BasicFileAttributes])
-              raw += new org.apache.hadoop.fs.FileStatus(a.size, a.isDirectory, 1,
-                64L << 20, a.lastModifiedTime.toMillis, new Path(e.toUri))
-              if (raw.length > maxKids) overflow = true
+              scanned += 1
+              val hp = new Path(e.toUri)
+              if (matches(hp)) {
+                val a = java.nio.file.Files.readAttributes(e,
+                  classOf[java.nio.file.attribute.BasicFileAttributes])
+                raw += new org.apache.hadoop.fs.FileStatus(a.size, a.isDirectory, 1,
+                  64L << 20, a.lastModifiedTime.toMillis, hp)
+              }
+              if (raw.length > maxKids || scanned > maxScan) overflow = true
             }
           } finally ds.close()
         } else {
           val kit = fs.listStatusIterator(st.getPath)
           while (kit.hasNext && !overflow) {
-            raw += kit.next()
-            if (raw.length > maxKids) overflow = true
+            val k = kit.next()
+            scanned += 1
+            if (matches(k.getPath)) raw += k
+            if (raw.length > maxKids || scanned > maxScan) overflow = true
           }
         }
         if (overflow) {
-          val slices = math.min(16, target)
+          // Remote slices each re-issue the full recursive LIST (K×
+          // amplification — nothing is shared; the win is parallelizing
+          // the per-object downstream work, and the SDK start-after
+          // paginator remains the documented ideal), so K stays small
+          // there. Local slices share nothing either, but a readdir
+          // re-scan is nearly free next to the per-file stat it skips,
+          // so K can track the core count.
+          val slices =
+            if (FsListReader.isLocal(st.getPath.toString)) math.min(16, target)
+            else math.min(4, target)
           for (i <- 0 until slices)
             out += FsListPartition(Seq(st.getPath.toString), bucket, Some((i, slices)))
         } else {
@@ -188,8 +211,7 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
           // shard recursively — emitting a parent AND a child would
           // double-read). Directory children are enqueued for further
           // descent; file children are bundled round-robin.
-          val kids = raw.filter(k => matches(k.getPath))
-          val (dirs, files) = kids.partition(_.isDirectory)
+          val (dirs, files) = raw.partition(_.isDirectory)
           dirs.foreach(k => queue.enqueue(k -> (depth + 1)))
           bundle(files.toSeq)
         }
@@ -386,8 +408,10 @@ class FsListReader(p: FsListPartition, delimiter: String,
             val st = jit.next()
             (st.getPath.toUri.getPath, st.getLen, st.getModificationTime)
           }
-          // object-store listings carry size+mtime inline, so slice
-          // filtering here costs nothing beyond the (shared) LIST pages
+          // object-store listings carry size+mtime inline, so the slice
+          // filter adds no per-object calls — but each slice DOES issue
+          // its own full recursive LIST (the planner bounds remote slice
+          // counts accordingly; see planInputPartitions)
         }.filter(t => ownsEntry(topSegment(rootPath, t._1)))
       } else {
         val st = fs.getFileStatus(path)

@@ -92,6 +92,24 @@ class ConnectorSpec extends SparkSpec {
     assert(df.select("Key").distinct().count() == 300, "slices must not overlap")
   }
 
+  test("selective prefix over a mega-directory plans to its matching children") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_mega_prefix")
+    for (f <- 0 until 300) Files.createFile(dir.resolve(f"obj$f%04d"))
+    for (f <- 0 until 3) Files.createFile(dir.resolve(s"special$f"))
+    // 303 raw children would overflow-slice without a prefix, but only
+    // the 3 matching ones count toward the threshold — the plan must be
+    // one small bundle, not K whole-dir slices re-enumerating everything
+    val parts = new graft.sources.FsListScan(dir.toString, "/",
+      Some(s"$dir/special")).planInputPartitions()
+    val fp = parts.map(_.asInstanceOf[FsListPartition])
+    assert(fp.forall(_.slice.isEmpty),
+      s"prefix-pruned mega-dir must not slice: ${fp.toSeq}")
+    val paths = fp.flatMap(_.paths)
+    assert(paths.length == 3 && paths.forall(_.contains("special")),
+      s"expected the 3 matching files, got: ${paths.toSeq}")
+  }
+
   test("a subdirectory inside a sliced mega-dir is covered exactly once") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_mega_sub")

@@ -100,19 +100,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q101: benchmark side broadcasts; corpus side reaches the join unshuffled") {
-    val df = SparkEntry.queries("q101_contamination")(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      s"bench set must broadcast:\n${p.take(1500)}")
-    // the corpus-side gram stream must hit the join map-side: every
-    // hash-partitioning exchange sits ABOVE the broadcast join (dedup and
-    // aggregation of match-bounded rows), none below it on the probe side
-    val joinAt = p.indexOf("BroadcastHashJoin")
-    val probe = p.substring(joinAt)
-    val probeSide = probe.substring(probe.indexOf(":- "),
-      math.max(probe.indexOf("+- BroadcastExchange"), probe.indexOf(":- ") + 1))
-    assert(!probeSide.contains("Exchange hashpartitioning"),
-      s"corpus side must not shuffle before the join:\n${probeSide.take(1200)}")
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // static plan (AQE off): the finalized adaptive plan hides operators
+    // inside QueryStageExec leaves, which tree traversal cannot cross
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q101_contamination")(spark, sf)
+        .queryExecution.executedPlan
+      val bhj = plan.collectFirst { case j: BroadcastHashJoinExec => j }
+      assert(bhj.isDefined, s"bench set must broadcast:\n${plan.toString.take(1200)}")
+      // the corpus-side gram stream must hit the join map-side: no
+      // shuffle exchange anywhere below the streamed (probe) side
+      val probeSide = if (bhj.get.buildSide == BuildLeft) bhj.get.right else bhj.get.left
+      val shuffles = probeSide.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"corpus side must not shuffle before the join:\n${probeSide.toString.take(1200)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q103: increment bands join old corpus bands, never old x old") {
