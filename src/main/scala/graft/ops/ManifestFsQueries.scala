@@ -245,6 +245,19 @@ object ManifestFsQueries {
     }),
 
     // Stream-stream interval join (watermarked both sides, Append mode) —
+    // Continuous inventory: the DSv2 listing as a micro-batch STREAM
+    // (mtime-watermark offsets) run to completion over the finite fixture
+    // dir — the streaming twin of q90's one-shot scan. The emitted set
+    // equals the batch listing, which is what the oracle checks.
+    "q106_stream_inventory" -> ((s, d) => {
+      val inv = s.readStream.format("graft.sources.FsListSource")
+        .option("path", d).load()
+      StreamingPipelines.runAppendToCompletion(s, inv)
+        .groupBy("Bucket")
+        .agg(count(lit(1)).as("n_objects"), sum(col("Size")).as("total_bytes"))
+        .orderBy("Bucket")
+    }),
+
     // view→click funnel within 10 minutes; result equals the batch join.
     "q87_stream_join" -> ((s, d) => {
       val joined = StreamingPipelines.viewClickJoin(
@@ -274,6 +287,12 @@ object ManifestFsQueries {
       s"""SELECT '$SfBucketToken' AS Bucket, CAST(count(*) AS BIGINT) AS n_files,
             CAST(sum(size) AS BIGINT) AS total_bytes,
             max(str_split(filename, '/')[-1]) AS max_name
+          FROM read_blob('$t2Dir/*')""",
+
+    "q106_stream_inventory" ->
+      s"""SELECT '$SfBucketToken' AS Bucket,
+            count(*) AS n_objects,
+            CAST(sum(size) AS BIGINT) AS total_bytes
           FROM read_blob('$t2Dir/*')""",
 
     "q104_schema_evolution" ->

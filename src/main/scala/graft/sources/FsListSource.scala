@@ -45,7 +45,7 @@ class FsListTable(path: String, delimiter: String) extends Table with SupportsRe
   override def name(): String = s"fslist($path)"
   override def schema(): StructType = graft.manifest.ManifestGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FsListScanBuilder(path, delimiter)
 }
@@ -84,11 +84,17 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Continuous inventory: the same listing as a micro-batch stream (see
+    * [[FsListMicroBatchStream]] for offset semantics and caveats). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FsListMicroBatchStream(path, delimiter, required, this)
+
   /** The session's Hadoop configuration — this is where S3A credentials,
     * endpoints, and per-bucket overrides live (spark.hadoop.* /
     * [[graft.manifest.S3AConfig]]); a bare `new Configuration()` would
     * silently ignore them. */
-  private def sessionHadoopConf(): Configuration =
+  private[sources] def sessionHadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
@@ -263,7 +269,8 @@ case class ObjectsListedTaskMetric(value: Long) extends CustomTaskMetric {
   * every key exactly once — and a non-owned entry is skipped straight off
   * the readdir/LIST stream without ever being stat'ed. */
 case class FsListPartition(paths: Seq[String], bucket: String,
-                           slice: Option[(Int, Int)] = None) extends InputPartition
+                           slice: Option[(Int, Int)] = None,
+                           mtimeRange: Option[(Long, Long)] = None) extends InputPartition
 
 object FsListPartition {
   def apply(path: String, bucket: String): FsListPartition =
@@ -420,8 +427,16 @@ class FsListReader(p: FsListPartition, delimiter: String,
       }
     }
 
-  // lazy flatMap: each bundle root opens only when the previous is drained
-  private val it: Iterator[(String, Long, Long)] = p.paths.iterator.flatMap(walkOne)
+  // lazy flatMap: each bundle root opens only when the previous is
+  // drained. Streaming shards carry an (start, end] mtime window — the
+  // micro-batch source's new-objects filter.
+  private val it: Iterator[(String, Long, Long)] = {
+    val base = p.paths.iterator.flatMap(walkOne)
+    p.mtimeRange match {
+      case Some((s, e)) => base.filter(t => t._3 > s && t._3 <= e)
+      case None => base
+    }
+  }
 
   override def next(): Boolean = {
     if (limit.exists(listed >= _)) return false

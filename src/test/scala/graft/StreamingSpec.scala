@@ -78,6 +78,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("fslist streams new objects as micro-batches (continuous inventory)") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_stream_inv")
+    def put(name: String, mtimeMs: Long): Unit = {
+      val p = Files.createFile(dir.resolve(name))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
+    }
+    for (f <- 0 until 5) put(s"gen1_$f", 1700000000000L)
+    val name = "graft_inv_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = spark.readStream.format("graft.sources.FsListSource")
+      .option("path", dir.toString).load()
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 5, "first batch must emit the initial objects")
+      for (f <- 0 until 3) put(s"gen2_$f", 1700000001000L)
+      q.processAllAvailable()
+      val rows = spark.table(name)
+      assert(rows.count() == 8, "second batch must emit exactly the new objects")
+      assert(rows.select("Key").distinct().count() == 8, "no object may be re-emitted")
+      // idle trigger: nothing new → nothing emitted
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 8)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization agrees with batch session counts") {
     // batch sessionization (oracle-verified q82): sessions per user
     val batch = EventQueries.queries("q82_sessionize")(spark, sf)
