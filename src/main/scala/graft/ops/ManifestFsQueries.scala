@@ -258,7 +258,8 @@ object ManifestFsQueries {
         .orderBy("Bucket")
     }),
 
-    // view→click funnel within 10 minutes; result equals the batch join.
+    // Stream-stream interval join: view→click funnel within 10 minutes,
+    // watermarked both sides, Append mode; result equals the batch join.
     "q87_stream_join" -> ((s, d) => {
       val joined = StreamingPipelines.viewClickJoin(
         StreamingPipelines.eventsStream(s, d))

@@ -1,9 +1,7 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.types.StructType
 
 /** Continuous inventory: the fslist listing as a Structured Streaming
   * micro-batch source. Each trigger emits the objects that appeared since
@@ -12,65 +10,60 @@ import org.apache.spark.sql.types.StructType
   * `writeStream` (the streaming twin of the reference's one-shot scan).
   *
   * Offset = high-water mark over object mtimes. A batch covers the range
-  * `(startMtime, endMtime]`; the end offset is probed by a driver-side
-  * walk at each trigger, and the batch's rows are produced by the SAME
-  * sharded executor listing as the batch source (slices, bundles, prefix
-  * pruning all apply), filtered to the mtime window per shard.
+  * `(startMtime, endMtime]`. The end offset is probed by a DISTRIBUTED
+  * aggregate over the sharded DSv2 listing itself (max LastModified) — a
+  * driver-side sequential walk here would re-introduce the exact
+  * bottleneck the sharded source exists to kill on a 10M-object prefix.
+  * The batch's rows are then produced by the same sharded executor
+  * listing (slices, bundles, prefix pruning all apply), filtered to the
+  * mtime window per shard.
   *
   * Polling-inventory semantics, documented plainly:
-  *  - each trigger re-lists (there is no change log on a filesystem /
-  *    object store; production systems with bucket event notifications
-  *    should ingest those instead — this source is the polling fallback);
+  *  - each trigger re-lists — twice (probe + batch); there is no change
+  *    log on a filesystem / object store. Production systems with bucket
+  *    event notifications should ingest those instead — this source is
+  *    the stateless polling fallback;
   *  - an object whose mtime lands exactly on a committed boundary ms
   *    AFTER that batch's probe ran can be missed, and copies that
   *    preserve old mtimes are never "new" — the mtime watermark trades
-  *    exactly-once for statelessness (no key log to keep). An inventory
-  *    snapshot heals on the next full batch run.
+  *    exactly-once for statelessness (no per-key log to keep). An
+  *    inventory snapshot heals on the next full batch run;
+  *  - a probe that fails mid-flight (e.g. an object deleted while a shard
+  *    walks) falls back to the current high-water mark: the trigger is a
+  *    no-op and the next one retries.
   */
-class FsListMicroBatchStream(path: String, delimiter: String,
-                             required: StructType, batchScan: FsListScan)
+class FsListMicroBatchStream(path: String, batchScan: FsListScan)
     extends MicroBatchStream {
 
-  private def maxMtime(): Long = {
-    val root = new Path(path)
-    if (FsListReader.isLocal(path)) {
-      import java.nio.file.{Files, Paths}
-      val stream = Files.walk(Paths.get(root.toUri.getPath))
-      try {
-        var mx = -1L
-        stream.filter(f => Files.isRegularFile(f)).forEach { f =>
-          val t = Files.getLastModifiedTime(f).toMillis
-          if (t > mx) mx = t
-        }
-        mx
-      } finally stream.close()
-    } else {
-      val fs = root.getFileSystem(batchScan.sessionHadoopConf())
-      var mx = -1L
-      val it = fs.listFiles(root, true)
-      while (it.hasNext) {
-        val t = it.next().getModificationTime
-        if (t > mx) mx = t
-      }
-      mx
-    }
+  /** Monotone high-water mark. Restart-durable via [[deserializeOffset]]:
+    * restoring the checkpointed offset bumps the mark BEFORE the first
+    * probe, so a post-restart probe over a shrunken directory (newest
+    * objects deleted) can never rewind the offset log and re-emit an
+    * mtime-preserving re-appearance of an already-emitted key. */
+  @volatile private var highWater = -1L
+  private def bump(v: Long): Unit = synchronized {
+    if (v > highWater) highWater = v
   }
+
+  private def probeMaxMtime(): Long =
+    try {
+      import org.apache.spark.sql.functions.{col, max, unix_millis}
+      val spark = org.apache.spark.sql.SparkSession.active
+      val row = spark.read.format("graft.sources.FsListSource")
+        .option("path", path).load()
+        .agg(max(unix_millis(col("LastModified")))).head()
+      if (row.isNullAt(0)) highWater else row.getLong(0)
+    } catch { case _: Exception => highWater }
 
   override def initialOffset(): Offset = FsListOffset(-1L)
 
-  override def latestOffset(): Offset = {
-    // monotone: never rewind past what a previous batch committed, even
-    // if the newest object was deleted between triggers
-    val probed = maxMtime()
-    val prev = committed
-    FsListOffset(math.max(probed, prev))
-  }
-
-  @volatile private var committed = -1L
+  override def latestOffset(): Offset =
+    FsListOffset(math.max(probeMaxMtime(), highWater))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FsListOffset].maxMtimeMs
     val e = end.asInstanceOf[FsListOffset].maxMtimeMs
+    bump(s)
     if (e <= s) Array.empty
     else batchScan.planInputPartitions().map {
       case p: FsListPartition => p.copy(mtimeRange = Some((s, e))): InputPartition
@@ -81,11 +74,14 @@ class FsListMicroBatchStream(path: String, delimiter: String,
   override def createReaderFactory(): PartitionReaderFactory =
     batchScan.createReaderFactory()
 
-  override def deserializeOffset(json: String): Offset =
-    FsListOffset(FsListOffset.parse(json))
+  override def deserializeOffset(json: String): Offset = {
+    val v = FsListOffset.parse(json)
+    bump(v)
+    FsListOffset(v)
+  }
 
   override def commit(end: Offset): Unit =
-    committed = math.max(committed, end.asInstanceOf[FsListOffset].maxMtimeMs)
+    bump(end.asInstanceOf[FsListOffset].maxMtimeMs)
 
   override def stop(): Unit = ()
 }

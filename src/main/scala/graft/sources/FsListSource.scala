@@ -88,7 +88,7 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     * [[FsListMicroBatchStream]] for offset semantics and caveats). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FsListMicroBatchStream(path, delimiter, required, this)
+    new FsListMicroBatchStream(path, this)
 
   /** The session's Hadoop configuration — this is where S3A credentials,
     * endpoints, and per-bucket overrides live (spark.hadoop.* /
@@ -121,8 +121,12 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     * abstraction having no start-after marker; an SDK-level ListObjectsV2
     * paginator with `start-after` key ranges would read each page once
     * and remains the documented ideal. Hash slices beat lexicographic
-    * first-char ranges here because they balance perfectly with zero
-    * knowledge of the key distribution.
+    * first-char ranges because DIRECT children balance evenly with zero
+    * knowledge of the name distribution; an owned subdirectory rides
+    * whole with its owning slice, so a mega-dir hiding one giant subtree
+    * degrades that slice toward the old whole-dir walk — the overflow
+    * trigger (>8×target direct children) makes the flat case the common
+    * one, and the worst case is never worse than pre-slicing behavior.
     * Child statuses are streamed via listStatusIterator and abandoned at
     * the threshold, so the planner never materializes a mega-directory's
     * children (the OOM that whole-dir fallback used to guard against). */
@@ -180,12 +184,21 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
             while (kit.hasNext && !overflow) {
               val e = kit.next()
               scanned += 1
-              val hp = new Path(e.toUri)
+              // string-built child path: `new Path(e.toUri)` would stat
+              // the entry (UnixPath.toUri probes for the directory form)
+              // — the prefix check must run before ANY attribute access
+              val hp = new Path(st.getPath,
+                new Path(null, null, e.getFileName.toString))
               if (matches(hp)) {
-                val a = java.nio.file.Files.readAttributes(e,
-                  classOf[java.nio.file.attribute.BasicFileAttributes])
-                raw += new org.apache.hadoop.fs.FileStatus(a.size, a.isDirectory, 1,
-                  64L << 20, a.lastModifiedTime.toMillis, hp)
+                // an entry can vanish between readdir and stat when the
+                // tree is mutated concurrently — skip it, don't fail the
+                // whole planning
+                try {
+                  val a = java.nio.file.Files.readAttributes(e,
+                    classOf[java.nio.file.attribute.BasicFileAttributes])
+                  raw += new org.apache.hadoop.fs.FileStatus(a.size, a.isDirectory, 1,
+                    64L << 20, a.lastModifiedTime.toMillis, hp)
+                } catch { case _: java.io.IOException => () }
               }
               if (raw.length > maxKids || scanned > maxScan) overflow = true
             }
@@ -349,19 +362,26 @@ class FsListReader(p: FsListPartition, delimiter: String,
   }
 
   /** Full recursive NIO walk (no slicing) — `Files.walk` carries its own
-    * per-entry attributes, so emitting everything is one stat per file. */
+    * per-entry attributes, so emitting everything is one stat per file.
+    * Best-effort under concurrent mutation: a file vanishing between
+    * enumeration and stat is skipped, and a subtree vanishing mid-walk
+    * truncates the walk (the inventory reflects some point-in-time view
+    * of a moving tree either way — failing the task buys nothing). */
   private def nioWalkAll(root: java.nio.file.Path): Iterator[(String, Long, Long)] = {
     val stream = Files.walk(root)
     openStreams += stream
     val jit = stream.filter(f => Files.isRegularFile(f)).iterator()
-    new Iterator[(String, Long, Long)] {
-      def hasNext: Boolean = jit.hasNext
-      def next(): (String, Long, Long) = {
+    new Iterator[Option[(String, Long, Long)]] {
+      def hasNext: Boolean =
+        try jit.hasNext
+        catch { case _: java.io.UncheckedIOException => false }
+      def next(): Option[(String, Long, Long)] = {
         val f = jit.next()
-        (f.toAbsolutePath.toString, Files.size(f),
-          Files.getLastModifiedTime(f).toMillis)
+        try Some((f.toAbsolutePath.toString, Files.size(f),
+          Files.getLastModifiedTime(f).toMillis))
+        catch { case _: java.io.IOException => None }
       }
-    }
+    }.flatten
   }
 
   private def nioPath(shardPath: String): java.nio.file.Path =
@@ -381,11 +401,14 @@ class FsListReader(p: FsListPartition, delimiter: String,
     ds.iterator().asScala
       .filter(e => ownsEntry(e.getFileName.toString))
       .flatMap { e =>
-        val attrs = Files.readAttributes(e,
-          classOf[java.nio.file.attribute.BasicFileAttributes])
-        if (attrs.isDirectory) nioWalkAll(e)
-        else Iterator((e.toAbsolutePath.toString, attrs.size(),
-          attrs.lastModifiedTime().toMillis))
+        // skip entries vanishing between readdir and stat (see nioWalkAll)
+        try {
+          val attrs = Files.readAttributes(e,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          if (attrs.isDirectory) nioWalkAll(e)
+          else Iterator((e.toAbsolutePath.toString, attrs.size(),
+            attrs.lastModifiedTime().toMillis))
+        } catch { case _: java.io.IOException => Iterator.empty }
       }
   }
 

@@ -121,11 +121,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q103: increment bands join old corpus bands, never old x old") {
-    val p = plan("q103_incremental_dedup")
-    assert(!p.contains("CartesianProduct"))
-    // exactly one band-bucket equi-join feeds the candidate set: the old
-    // side appears once (capped), so no old x old pair generation exists
-    assert(p.contains("bh"), s"band join missing:\n${p.take(800)}")
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q103_incremental_dedup")(spark, sf)
+        .queryExecution.executedPlan
+      assert(!plan.toString.contains("CartesianProduct"))
+      // exactly ONE join keyed on the band bucket feeds the candidate
+      // set (new × old): a second band join would mean old × old pair
+      // generation crept back in, zero would mean no candidates at all
+      val bandJoins = plan.collect {
+        case j: BaseJoinExec if j.leftKeys.exists(_.toString.contains("band")) => j
+      }
+      assert(bandJoins.length == 1,
+        s"expected exactly one band-bucket join, got ${bandJoins.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("salted aggregation equals plain aggregation") {
