@@ -76,9 +76,13 @@ object GraphOps {
     var converged = false
     while (!converged && i < maxIter) {
       val tRound = System.nanoTime()
+      // the self-loop row (dst == src) carries the node's OWN previous
+      // label through the same aggregate, so the convergence witness
+      // needs no extra join with the old label table later
       val propagated = sym.df.as("e").join(labels.df.as("l"),
           col("e.dst") === col("l.id"))
-        .groupBy(col("e.src")).agg(min("comp").as("comp"))
+        .groupBy(col("e.src")).agg(min("comp").as("comp"),
+          min(when(col("e.dst") === col("e.src"), col("l.comp"))).as("old_comp"))
         .withColumnRenamed("src", "id")
       // pointer jumping: follow the label one hop (label(x) := label(label(x))).
       // Every comp value is a node id (labels start as ids and only move to
@@ -86,17 +90,15 @@ object GraphOps {
       val next = pin(propagated.as("a")
         .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
           col("a.comp") === col("b.cid"))
-        .select(col("a.id").as("id"), least(col("a.comp"), col("b.ccomp")).as("comp")))
+        .select(col("a.id").as("id"),
+          least(col("a.comp"), col("b.ccomp")).as("comp"),
+          (least(col("a.comp"), col("b.ccomp")) =!= col("a.old_comp")).as("changed")))
       // exact, id-type-agnostic convergence: any label that changed this
-      // round? One equi-join of the two checkpointed label tables per
-      // round — same cost class as the round's own joins, paid O(log D)
-      // times. (A numeric label-sum witness would be a cheaper scalar
-      // aggregate but silently mis-converges on string/UUID ids, whose
-      // decimal cast nulls out.)
-      converged = next.df.as("n")
-        .join(labels.df.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
+      // round? A filter SCAN of the just-pinned (cached) round — no join,
+      // no shuffle, paid O(log D) times. (A numeric label-sum witness
+      // would be cheaper still but silently mis-converges on string/UUID
+      // ids, whose decimal cast nulls out.)
+      converged = next.df.filter(col("changed")).isEmpty
       // this round's `next` is materialized and the probe has run — the
       // previous round's blocks are dead; free them instead of letting
       // O(log D) label tables pile up in executor storage
@@ -108,6 +110,6 @@ object GraphOps {
           s"sec=${(System.nanoTime() - tRound) / 1e9}")
     }
     sym.free()
-    labels.df
+    labels.df.select("id", "comp")
   }
 }
