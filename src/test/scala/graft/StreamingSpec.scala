@@ -105,6 +105,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming inventory offset never rewinds after restart") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_offset")
+    val scan = new graft.sources.FsListScan(dir.toString, "/", None)
+    val stream = new graft.sources.FsListMicroBatchStream(dir.toString, scan)
+    // restore a checkpointed offset over a now-EMPTY directory (the
+    // newest objects were deleted while the stream was down): the probe
+    // sees nothing, but the restored high-water mark must hold — a
+    // rewound offset log would re-emit any mtime-preserving re-appearance
+    stream.deserializeOffset("""{"maxMtimeMs":1700000005000}""")
+    val latest = stream.latestOffset().asInstanceOf[graft.sources.FsListOffset]
+    assert(latest.maxMtimeMs == 1700000005000L, "offset must not rewind")
+    intercept[IllegalArgumentException] {
+      graft.sources.FsListOffset.parse("""{"bogus":1}""")
+    }
+  }
+
   test("flatMapGroupsWithState sessionization agrees with batch session counts") {
     // batch sessionization (oracle-verified q82): sessions per user
     val batch = EventQueries.queries("q82_sessionize")(spark, sf)
