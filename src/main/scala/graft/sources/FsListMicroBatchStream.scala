@@ -53,7 +53,14 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan)
         .option("path", path).load()
         .agg(max(unix_millis(col("LastModified")))).head()
       if (row.isNullAt(0)) highWater else row.getLong(0)
-    } catch { case _: Exception => highWater }
+    } catch {
+      // transient mid-stream failure (tree mutating, brief store error):
+      // no-op trigger, the next one retries. The FIRST probe propagates
+      // instead — a bad path or credentials must fail the query loudly,
+      // not surface as a silently-empty stream. (A restart restores the
+      // high-water mark before probing, so restarts count as mid-stream.)
+      case _: Exception if highWater >= 0 => highWater
+    }
 
   override def initialOffset(): Offset = FsListOffset(-1L)
 
