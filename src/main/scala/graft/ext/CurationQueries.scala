@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
 object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Max distinct benchmark docs an 8-gram may appear in before it is
     * considered boilerplate and excluded from contamination matching.
     * Shared by the Spark operator AND the oracle SQL so the two can
@@ -118,9 +120,24 @@ object CurationQueries {
       // the full documents-scan estimate, so auto-broadcast would
       // silently flip to a sort-merge join (shuffling the whole corpus
       // gram stream) exactly when the corpus grows. The bench set itself
-      // is eval-suite sized — thousands of docs — and stays broadcastable.
+      // is eval-suite sized — thousands of docs — and stays broadcastable;
+      // the GUARD below makes that an observable fact, not an assumption:
+      // a forced hint past the 8 GB broadcast limit hard-fails the job,
+      // so if the bench gram set ever outgrows the threshold the join
+      // degrades to an unhinted (sort-merge) join with a logged warning.
+      // The count is one extra pass over the SMALL side only.
+      val maxBroadcastGrams =
+        s.conf.get("graft.contamination.maxBroadcastGrams", "20000000").toLong
+      val benchSide =
+        if (benchCapped.count() <= maxBroadcastGrams) broadcast(benchCapped)
+        else {
+          CurationQueries.log.warn(
+            s"benchmark 8-gram set exceeds $maxBroadcastGrams rows; " +
+              "falling back to an unhinted join for contamination matching")
+          benchCapped
+        }
       eightGramsRaw(corpus)
-        .join(broadcast(benchCapped), "g")
+        .join(benchSide, "g")
         .select("doc_id", "bench_id", "g").distinct()
         .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("overlap"))
         .filter(col("overlap") >= ContaminationMinOverlap)

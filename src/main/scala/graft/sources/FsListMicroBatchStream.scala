@@ -30,7 +30,13 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   *    inventory snapshot heals on the next full batch run;
   *  - a probe that fails mid-flight (e.g. an object deleted while a shard
   *    walks) falls back to the current high-water mark: the trigger is a
-  *    no-op and the next one retries.
+  *    no-op (logged) and the next one retries. Persistent failures are
+  *    NOT silent: after [[FsListMicroBatchStream.MaxConsecutiveProbeFailures]]
+  *    consecutive failed probes the exception propagates and fails the
+  *    query — a deleted path or expired credentials must not look like an
+  *    idle stream forever;
+  *  - a pushed Key prefix scopes the probe too: the offset tracks only the
+  *    subscribed subset, and the probe listing is shard-pruned to it.
   */
 class FsListMicroBatchStream(path: String, batchScan: FsListScan)
     extends MicroBatchStream {
@@ -41,6 +47,7 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan)
     * objects deleted) can never rewind the offset log and re-emit an
     * mtime-preserving re-appearance of an already-emitted key. */
   @volatile private var highWater = -1L
+  @volatile private var consecutiveProbeFailures = 0
   private def bump(v: Long): Unit = synchronized {
     if (v > highWater) highWater = v
   }
@@ -49,9 +56,17 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan)
     try {
       import org.apache.spark.sql.functions.{col, max, unix_millis}
       val spark = org.apache.spark.sql.SparkSession.active
-      val row = spark.read.format("graft.sources.FsListSource")
+      val base = spark.read.format("graft.sources.FsListSource")
         .option("path", path).load()
-        .agg(max(unix_millis(col("LastModified")))).head()
+      // subscribe the probe to the same subset the batch scan reads: the
+      // startsWith pushes down as the shard-pruning prefix, so (a) the
+      // probe doesn't pay a full-tree listing for a narrow subscription
+      // and (b) out-of-prefix objects can't advance the offset and widen
+      // the boundary-mtime miss window for in-prefix objects
+      val scoped = batchScan.pushedPrefix
+        .map(pre => base.filter(col("Key").startsWith(pre))).getOrElse(base)
+      val row = scoped.agg(max(unix_millis(col("LastModified")))).head()
+      consecutiveProbeFailures = 0
       if (row.isNullAt(0)) highWater else row.getLong(0)
     } catch {
       // transient mid-stream failure (tree mutating, brief store error):
@@ -59,7 +74,17 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan)
       // instead — a bad path or credentials must fail the query loudly,
       // not surface as a silently-empty stream. (A restart restores the
       // high-water mark before probing, so restarts count as mid-stream.)
-      case _: Exception if highWater >= 0 => highWater
+      // A PERSISTENT failure (path deleted, credentials expired mid-run)
+      // must not degrade into an infinite silent no-op either: each
+      // swallowed failure is logged, and the cap rethrows.
+      case e: Exception
+          if highWater >= 0 &&
+            consecutiveProbeFailures + 1 < FsListMicroBatchStream.MaxConsecutiveProbeFailures =>
+        consecutiveProbeFailures += 1
+        FsListMicroBatchStream.log.warn(
+          s"fslist offset probe failed ($consecutiveProbeFailures consecutive, " +
+            s"no-op trigger; fails at ${FsListMicroBatchStream.MaxConsecutiveProbeFailures}): $e")
+        highWater
     }
 
   override def initialOffset(): Offset = FsListOffset(-1L)
@@ -91,6 +116,14 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan)
     bump(end.asInstanceOf[FsListOffset].maxMtimeMs)
 
   override def stop(): Unit = ()
+}
+
+object FsListMicroBatchStream {
+  /** A probe failing this many triggers in a row is treated as permanent
+    * (path deleted, credentials expired mid-run) and fails the query. */
+  private[graft] val MaxConsecutiveProbeFailures = 5
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[FsListMicroBatchStream])
 }
 
 case class FsListOffset(maxMtimeMs: Long) extends Offset {

@@ -84,6 +84,10 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** The pushed Key prefix, exposed so the micro-batch stream's offset
+    * probe can subscribe to the same subset the batch scan reads. */
+  private[sources] def pushedPrefix: Option[String] = prefix
+
   /** Continuous inventory: the same listing as a micro-batch stream (see
     * [[FsListMicroBatchStream]] for offset semantics and caveats). */
   override def toMicroBatchStream(checkpointLocation: String)

@@ -10,6 +10,16 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Run with AQE off (static plans traverse; finalized adaptive plans
+    * hide operators inside QueryStageExec leaves), restoring the PRIOR
+    * value — not a hardcoded "true" — so no config leaks into later
+    * tests even if the suite ever runs with AQE off. */
+  private def withAqeOff[T](body: => T): T = {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("q10: filter pushed to parquet scan and columns pruned") {
     val p = plan("q10_agg_pricing")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
@@ -103,10 +113,7 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    // static plan (AQE off): the finalized adaptive plan hides operators
-    // inside QueryStageExec leaves, which tree traversal cannot cross
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withAqeOff {
       val plan = SparkEntry.queries("q101_contamination")(spark, sf)
         .queryExecution.executedPlan
       val bhj = plan.collectFirst { case j: BroadcastHashJoinExec => j }
@@ -117,13 +124,12 @@ class PlanSpec extends SparkSpec {
       val shuffles = probeSide.collect { case e: ShuffleExchangeLike => e }
       assert(shuffles.isEmpty,
         s"corpus side must not shuffle before the join:\n${probeSide.toString.take(1200)}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("q103: increment bands join old corpus bands, never old x old") {
     import org.apache.spark.sql.execution.joins.BaseJoinExec
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    withAqeOff {
       val plan = SparkEntry.queries("q103_incremental_dedup")(spark, sf)
         .queryExecution.executedPlan
       assert(!plan.toString.contains("CartesianProduct"))
@@ -135,7 +141,7 @@ class PlanSpec extends SparkSpec {
       }
       assert(bandJoins.length == 1,
         s"expected exactly one band-bucket join, got ${bandJoins.length}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("salted aggregation equals plain aggregation") {

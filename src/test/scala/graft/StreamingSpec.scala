@@ -122,6 +122,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("persistent probe failures fail the stream instead of idling forever") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_probe_fail")
+    val scan = new graft.sources.FsListScan(dir.toString, "/", None)
+    val stream = new graft.sources.FsListMicroBatchStream(dir.toString, scan)
+    // mid-stream state (a successful history), then the path vanishes
+    stream.deserializeOffset("""{"maxMtimeMs":1700000005000}""")
+    Files.delete(dir)
+    val cap = graft.sources.FsListMicroBatchStream.MaxConsecutiveProbeFailures
+    // the first cap-1 failed probes are swallowed no-op triggers...
+    for (_ <- 1 until cap) {
+      val o = stream.latestOffset().asInstanceOf[graft.sources.FsListOffset]
+      assert(o.maxMtimeMs == 1700000005000L, "failed probe must hold the high-water mark")
+    }
+    // ...the cap-th consecutive failure propagates and fails the query
+    intercept[Exception] { stream.latestOffset() }
+  }
+
+  test("offset probe is scoped to the pushed Key prefix") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_probe_prefix")
+    def put(name: String, mtimeMs: Long): Unit = {
+      val p = Files.createFile(dir.resolve(name))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
+    }
+    put("a_in", 1700000001000L)
+    put("b_out", 1700000009000L) // newer, but OUTSIDE the subscription
+    val scan = new graft.sources.FsListScan(dir.toString, "/", Some(s"$dir/a"))
+    val stream = new graft.sources.FsListMicroBatchStream(dir.toString, scan)
+    val latest = stream.latestOffset().asInstanceOf[graft.sources.FsListOffset]
+    // an out-of-prefix object must not advance the offset (it would widen
+    // the boundary-mtime miss window for in-prefix objects)
+    assert(latest.maxMtimeMs == 1700000001000L,
+      s"offset must track only the subscribed prefix, got ${latest.maxMtimeMs}")
+  }
+
   test("flatMapGroupsWithState sessionization agrees with batch session counts") {
     // batch sessionization (oracle-verified q82): sessions per user
     val batch = EventQueries.queries("q82_sessionize")(spark, sf)
