@@ -272,8 +272,14 @@ object DedupQueries {
 
   /** Spark ML MinHashLSH variant of q41 (approxSimilarityJoin). The hash
     * family is Spark-internal (seeded, deterministic run-to-run but not
-    * SQL-reproducible), so this query has no oracle — the ScalaTest suite
-    * asserts recall of the planted exact-copy pairs instead. */
+    * SQL-reproducible), so this query has no oracle. To make the driver's
+    * rows-only fallback check carry signal anyway, the output is GATED on
+    * planted-pair recall: the recall of the planted exact-copy pairs
+    * (id, id+1M — identical feature vectors hash identically in every
+    * table, so 1.0 is the invariant, not a tuning target) is emitted as a
+    * column and the rows are filtered to recall = 1.0. A recall
+    * regression therefore collapses the output to 0 rows and fails the
+    * row check, instead of hiding behind "no oracle". */
   private def mlMinhash(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
     // Fixed 50-original-doc cohort: the ML approxSimilarityJoin's candidate
@@ -291,11 +297,21 @@ object DedupQueries {
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(8).setSeed(42L)
     val lshModel = lsh.fit(vecs)
-    lshModel.approxSimilarityJoin(vecs, vecs, 0.05, "jaccard_dist")
+    val pairs = lshModel.approxSimilarityJoin(vecs, vecs, 0.05, "jaccard_dist")
       .select(col("datasetA.doc_id").as("id1"), col("datasetB.doc_id").as("id2"),
         col("jaccard_dist"))
       .filter(col("id1") < col("id2"))
       .distinct()
+    // recall gate: every cohort original (id < 1M) has its exact copy at
+    // id+1M in the same cohort, so (id, id+1M) must all be recalled
+    val expected = tok.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("id1"), (col("doc_id") + 1000000L).as("id2"))
+    val recallDf = expected.join(pairs, Seq("id1", "id2"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+      .crossJoin(expected.agg(count(lit(1)).as("n_expected")))
+      .select((col("n_found") / col("n_expected")).as("recall"))
+    pairs.crossJoin(broadcast(recallDf))
+      .filter(col("recall") >= 1.0)
       .orderBy("id1", "id2")
   }
 

@@ -62,7 +62,18 @@ object GraphOps {
     * caller consumes it lazily; its blocks are reclaimed by the context
     * cleaner once the result is garbage-collected). */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(edges, nodes, maxIter)._1
+
+  /** As [[connectedComponents]], also returning the number of rounds the
+    * propagation ran. Rounds are the algorithm's structural health metric:
+    * path doubling keeps them O(log diameter), so a convergence regression
+    * (an edge-table change that breaks the self-loop witness, a pointer-
+    * jumping bug) shows up as a round-count blowup long before it shows up
+    * as wall-time on a loaded box — tests pin the cap on a known-diameter
+    * graph. */
+  def connectedComponentsWithRounds(edges: DataFrame, nodes: DataFrame,
+                                    maxIter: Int = 25): (DataFrame, Int) = {
     // pairs come in deduplicated with id1 < id2, so the symmetrized union
     // is duplicate-free by construction — no distinct shuffle needed.
     // Self-loops make every node its own neighbor: the per-round min can
@@ -110,6 +121,9 @@ object GraphOps {
           s"sec=${(System.nanoTime() - tRound) / 1e9}")
     }
     sym.free()
-    labels.df.select("id", "comp")
+    GraphOps.log.info(s"connected components: $i rounds, converged=$converged")
+    (labels.df.select("id", "comp"), i)
   }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(GraphOps.getClass)
 }

@@ -36,7 +36,14 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   *    query — a deleted path or expired credentials must not look like an
   *    idle stream forever;
   *  - a pushed Key prefix scopes the probe too: the offset tracks only the
-  *    subscribed subset, and the probe listing is shard-pruned to it.
+  *    subscribed subset, and the probe listing is shard-pruned to it. The
+  *    checkpointed offset does NOT record the prefix, so restarting a
+  *    checkpoint with a broadened/removed Key filter is unsupported (out-
+  *    of-prefix objects older than the scoped high-water mark would be
+  *    silently treated as already emitted) — consistent with Spark's
+  *    general rule that a streaming query's source definition must not
+  *    change across a checkpoint restart. Start a fresh checkpoint to
+  *    change the subscription.
   */
 class FsListMicroBatchStream(path: String, batchScan: FsListScan)
     extends MicroBatchStream {
@@ -47,7 +54,10 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan)
     * objects deleted) can never rewind the offset log and re-emit an
     * mtime-preserving re-appearance of an already-emitted key. */
   @volatile private var highWater = -1L
-  @volatile private var consecutiveProbeFailures = 0
+  // AtomicInteger rather than a volatile RMW: latestOffset is driver-side
+  // and effectively single-threaded in micro-batch execution, but the
+  // counter should not depend on that scheduling detail.
+  private val consecutiveProbeFailures = new java.util.concurrent.atomic.AtomicInteger(0)
   private def bump(v: Long): Unit = synchronized {
     if (v > highWater) highWater = v
   }
@@ -66,7 +76,7 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan)
       val scoped = batchScan.pushedPrefix
         .map(pre => base.filter(col("Key").startsWith(pre))).getOrElse(base)
       val row = scoped.agg(max(unix_millis(col("LastModified")))).head()
-      consecutiveProbeFailures = 0
+      consecutiveProbeFailures.set(0)
       if (row.isNullAt(0)) highWater else row.getLong(0)
     } catch {
       // transient mid-stream failure (tree mutating, brief store error):
@@ -79,10 +89,10 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan)
       // swallowed failure is logged, and the cap rethrows.
       case e: Exception
           if highWater >= 0 &&
-            consecutiveProbeFailures + 1 < FsListMicroBatchStream.MaxConsecutiveProbeFailures =>
-        consecutiveProbeFailures += 1
+            consecutiveProbeFailures.get + 1 < FsListMicroBatchStream.MaxConsecutiveProbeFailures =>
+        val n = consecutiveProbeFailures.incrementAndGet()
         FsListMicroBatchStream.log.warn(
-          s"fslist offset probe failed ($consecutiveProbeFailures consecutive, " +
+          s"fslist offset probe failed ($n consecutive, " +
             s"no-op trigger; fails at ${FsListMicroBatchStream.MaxConsecutiveProbeFailures}): $e")
         highWater
     }

@@ -136,6 +136,21 @@ class ExtensionSpec extends SparkSpec {
       "x/1" -> "x/1", "x/2" -> "x/1", "lone" -> "lone"))
   }
 
+  test("connected components converge in O(log D) rounds on a long chain") {
+    // a 64-hop chain: plain min-propagation needs 64 rounds (and would hit
+    // the 25-round cap); pointer jumping must close it in ~log2(64) + slack.
+    // This pins the doubling structure itself — a convergence regression
+    // (broken self-loop witness, jumping bug) blows up the ROUND COUNT
+    // deterministically, long before it is visible as wall time.
+    val n = 64
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
+    val nodes = (0 to n).map(_.toLong).toDF("id")
+    val (comps, rounds) = ext.GraphOps.connectedComponentsWithRounds(edges, nodes)
+    assert(rounds <= 10, s"path doubling regressed: $rounds rounds for a $n-hop chain")
+    assert(comps.filter(col("comp") =!= 0L).count() == 0,
+      "every chain node must collapse onto the smallest id")
+  }
+
   test("connected components match brute-force union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {
@@ -272,6 +287,48 @@ class ExtensionSpec extends SparkSpec {
       .select((col("doc_id") + 3000000L).as("d")).as[Long].collect().toSet
     assert(expected.subsetOf(hits),
       s"planted leaks missed: ${expected.diff(hits).take(5)}")
+  }
+
+  test("contamination broadcast guard: off = lazy plan, on = sort-merge fallback past cap") {
+    // default off: BUILDING the query must run no job beyond what ANY
+    // parquet consumer pays (spark.read.parquet schema inference submits
+    // one small footer job per build) — the old eager guard count() added
+    // a real scan+window-aggregate job on top. Jobs are counted via the
+    // public status tracker; builds submit synchronously, so a fixed
+    // post-build drain covers the async listener-bus hop.
+    def jobCount: Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    def buildJobs(b: => Unit): Int = {
+      val before = jobCount; b; Thread.sleep(1000); jobCount - before
+    }
+    val baseline = buildJobs { Tables.documents(spark, sf) }
+    val built = buildJobs { ext.CurationQueries.queries("q101_contamination")(spark, sf) }
+    assert(built <= baseline,
+      s"building q101 with the guard off ran $built job(s) vs $baseline for a bare read")
+    // guard on with an absurdly small cap: the hint must drop (graceful
+    // sort-merge fallback instead of a forced-broadcast hard failure) and
+    // the RESULT must be identical to the broadcast path
+    val base = ext.CurationQueries.queries("q101_contamination")(spark, sf).collect()
+    spark.conf.set("graft.contamination.broadcastGuard", "true")
+    spark.conf.set("graft.contamination.maxBroadcastGrams", "1")
+    // disable auto-broadcast so the only possible broadcast is OUR hint —
+    // at test scale the planner would otherwise broadcast the tiny sides
+    // on its own and mask whether the guard dropped the hint
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = ext.CurationQueries.queries("q101_contamination")(spark, sf)
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"guard must drop the broadcast hint past the cap:\n${plan.take(800)}")
+      assert(guarded.collect().toSeq == base.toSeq,
+        "guarded fallback must not change results")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset("graft.contamination.broadcastGuard")
+      spark.conf.unset("graft.contamination.maxBroadcastGrams")
+      spark.catalog.clearCache() // the guard's persisted bench side
+    }
   }
 
   test("repetition ratio is exact and bounded") {
