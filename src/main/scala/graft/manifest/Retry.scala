@@ -1,0 +1,33 @@
+package graft.manifest
+
+/** Call-level retry with the reference's budget: 3 attempts, exponential
+  * backoff from 100 ms (ExponentialBackoff::from_millis(100).take(3),
+  * /root/reference/src/main.rs:174, applied to every LIST page and upload
+  * call at src/main.rs:196-206, 331-356).
+  *
+  * Division of labor with the other retry layers, so nothing retries
+  * twice: S3A retries its own wire calls per [[S3AConfig.retry]]; Spark
+  * re-runs a failed TASK, which is the correct retry for a listing stream
+  * that dies mid-pagination (the stream has position, a call does not).
+  * This wrapper covers the remaining layer — single listing CALLS our code
+  * issues through bare FileSystem APIs (shard planning on the driver,
+  * stream OPENS on executors) where nothing below retries for schemes
+  * without S3A's machinery. */
+object Retry {
+  private val log = org.slf4j.LoggerFactory.getLogger(Retry.getClass)
+
+  def withRetries[T](attempts: Int = 3, baseIntervalMs: Long = 100)(body: => T): T = {
+    var n = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.io.IOException if n + 1 < attempts =>
+          n += 1
+          val backoff = baseIntervalMs * (1L << (n - 1))
+          log.warn(s"listing attempt $n/$attempts failed, retrying in ${backoff}ms: $e")
+          Thread.sleep(backoff)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

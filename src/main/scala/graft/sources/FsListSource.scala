@@ -122,9 +122,10 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     * construction + downstream processing) spreads across K executors
     * while each file is stat'ed exactly once across all slices. The
     * enumeration itself is repeated K times — the price of the Hadoop FS
-    * abstraction having no start-after marker; an SDK-level ListObjectsV2
-    * paginator with `start-after` key ranges would read each page once
-    * and remains the documented ideal. Hash slices beat lexicographic
+    * abstraction having no start-after marker. Stores that CAN serve
+    * start-after pagination register a [[RangedLister]]; the planner then
+    * emits key-range shards instead, which read each listing page exactly
+    * once between them (no re-walk). Hash slices beat lexicographic
     * first-char ranges because DIRECT children balance evenly with zero
     * knowledge of the name distribution; an owned subdirectory rides
     * whole with its owning slice, so a mega-dir hiding one giant subtree
@@ -208,27 +209,57 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
             }
           } finally ds.close()
         } else {
-          val kit = fs.listStatusIterator(st.getPath)
-          while (kit.hasNext && !overflow) {
-            val k = kit.next()
-            scanned += 1
-            if (matches(k.getPath)) raw += k
-            if (raw.length > maxKids || scanned > maxScan) overflow = true
-          }
+          // one LIST call's failure gets the reference's 3×/100ms retry
+          // budget (nothing below retries for non-S3A schemes; S3A has its
+          // own policy, and a stream dying MID-page is Spark task-retry
+          // territory on the executor side — see graft.manifest.Retry)
+          val (rRaw, rScanned, rOverflow) =
+            graft.manifest.Retry.withRetries() {
+              val acc = scala.collection.mutable.ArrayBuffer
+                .empty[org.apache.hadoop.fs.FileStatus]
+              var sc = 0
+              var ov = false
+              val kit = fs.listStatusIterator(st.getPath)
+              while (kit.hasNext && !ov) {
+                val k = kit.next()
+                sc += 1
+                if (matches(k.getPath)) acc += k
+                if (acc.length > maxKids || sc > maxScan) ov = true
+              }
+              (acc, sc, ov)
+            }
+          raw ++= rRaw; scanned = rScanned; overflow = rOverflow
         }
         if (overflow) {
-          // Remote slices each re-issue the full recursive LIST (K×
-          // amplification — nothing is shared; the win is parallelizing
-          // the per-object downstream work, and the SDK start-after
-          // paginator remains the documented ideal), so K stays small
-          // there. Local slices share nothing either, but a readdir
-          // re-scan is nearly free next to the per-file stat it skips,
-          // so K can track the core count.
-          val slices =
-            if (FsListReader.isLocal(st.getPath.toString)) math.min(16, target)
-            else math.min(4, target)
-          for (i <- 0 until slices)
-            out += FsListPartition(Seq(st.getPath.toString), bucket, Some((i, slices)))
+          // Prefer KEY-RANGE shards when the store can serve them
+          // ([[RangedLister]]): K (startAfter, endAt] ranges read each
+          // page of the listing exactly once between them — no re-walk —
+          // so K can track the core count even remotely.
+          val dirPath = st.getPath.toString
+          val ranged = RangedListers.forPath(dirPath).map { lister =>
+            lister.splitPoints(dirPath, math.min(16, target)).distinct.sorted
+          }.filter(_.nonEmpty)
+          ranged match {
+            case Some(points) =>
+              val los = None +: points.map(Option(_))
+              val his = points.map(Option(_)) :+ None
+              los.zip(his).foreach { case (lo, hi) =>
+                out += FsListPartition(Seq(dirPath), bucket,
+                  range = Some((lo, hi)))
+              }
+            case None =>
+              // Hash-slice fallback: each slice re-issues the full
+              // recursive LIST (K× amplification — nothing is shared; the
+              // win is parallelizing the per-object downstream work), so K
+              // stays small remotely. Local slices share nothing either,
+              // but a readdir re-scan is nearly free next to the per-file
+              // stat it skips, so K can track the core count.
+              val slices =
+                if (FsListReader.isLocal(dirPath)) math.min(16, target)
+                else math.min(4, target)
+              for (i <- 0 until slices)
+                out += FsListPartition(Seq(dirPath), bucket, Some((i, slices)))
+          }
         } else {
           // Split is all-or-nothing per directory (the reader lists its
           // shard recursively — emitting a parent AND a child would
@@ -284,10 +315,17 @@ case class ObjectsListedTaskMetric(value: Long) extends CustomTaskMetric {
   * i mod n (an owned subdirectory contributes its entire subtree).
   * Entries partition exactly across the n slices, so together they emit
   * every key exactly once — and a non-owned entry is skipped straight off
-  * the readdir/LIST stream without ever being stat'ed. */
+  * the readdir/LIST stream without ever being stat'ed.
+  * `range = Some((startAfter, endAt))` marks a KEY-RANGE shard instead:
+  * the reader enumerates startAfter < key <= endAt through the scheme's
+  * registered [[RangedLister]] — ranges chain over the planner's split
+  * points, so together they emit every key exactly once while reading
+  * each listing page exactly once (no per-slice re-walk). */
 case class FsListPartition(paths: Seq[String], bucket: String,
                            slice: Option[(Int, Int)] = None,
-                           mtimeRange: Option[(Long, Long)] = None) extends InputPartition
+                           mtimeRange: Option[(Long, Long)] = None,
+                           range: Option[(Option[String], Option[String])] = None)
+    extends InputPartition
 
 object FsListPartition {
   def apply(path: String, bucket: String): FsListPartition =
@@ -427,15 +465,28 @@ class FsListReader(p: FsListPartition, delimiter: String,
   }
 
   private def walkOne(shardPath: String): Iterator[(String, Long, Long)] =
-    if (FsListReader.isLocal(shardPath)) {
+    if (p.range.isDefined) {
+      // key-range shard: enumerate through the scheme's registered ranged
+      // lister (the planner only emits these when the driver had one; the
+      // executor must have the same library registration)
+      val (lo, hi) = p.range.get
+      val lister = RangedListers.forPath(shardPath).getOrElse(throw new IllegalStateException(
+        s"range shard for $shardPath but no RangedLister is registered " +
+          "for its scheme on this executor"))
+      lister.listRange(shardPath, lo, hi)
+    } else if (FsListReader.isLocal(shardPath)) {
       val root = nioPath(shardPath)
       if (p.slice.isDefined) nioWalkSliced(root) else nioWalkAll(root)
     } else {
       val path = new Path(shardPath)
       val rootPath = path.toUri.getPath
       val fs = path.getFileSystem(FsListReader.confFor(fsProps))
-      if (fs.getFileStatus(path).isDirectory) {
-        val jit = fs.listFiles(path, true)
+      // the OPEN of the listing gets the reference retry budget; a stream
+      // failing mid-pagination is retried by Spark at task granularity
+      // (the whole shard re-runs — a paginator has position, a call does
+      // not; see graft.manifest.Retry)
+      if (graft.manifest.Retry.withRetries() { fs.getFileStatus(path) }.isDirectory) {
+        val jit = graft.manifest.Retry.withRetries() { fs.listFiles(path, true) }
         new Iterator[(String, Long, Long)] {
           def hasNext: Boolean = jit.hasNext
           def next(): (String, Long, Long) = {
@@ -448,7 +499,7 @@ class FsListReader(p: FsListPartition, delimiter: String,
           // counts accordingly; see planInputPartitions)
         }.filter(t => ownsEntry(topSegment(rootPath, t._1)))
       } else {
-        val st = fs.getFileStatus(path)
+        val st = graft.manifest.Retry.withRetries() { fs.getFileStatus(path) }
         Iterator((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
           .filter(t => ownsEntry(topSegment(rootPath, t._1)))
       }

@@ -156,6 +156,97 @@ class ConnectorSpec extends SparkSpec {
     } finally MemFileSystem.PageSize = 1000
   }
 
+  test("ranged lister replaces hash slices: mega-prefix pages are read once across shards") {
+    MemFileSystem.objects.clear()
+    for (f <- 0 until 50000)
+      MemFileSystem.objects.put(f"/big/k$f%06d", (1L, 1700000000000L))
+    // register the SDK-paginator stand-in for mem:// — the planner must
+    // now emit key-range shards instead of hash slices
+    graft.sources.RangedListers.register("mem", MemRangedLister)
+    try {
+      val parts = new graft.sources.FsListScan("mem://bkt/big", "/", None)
+        .planInputPartitions()
+      val fp = parts.map(_.asInstanceOf[FsListPartition])
+      assert(fp.length > 1, "mega-prefix must fan out")
+      assert(fp.forall(p => p.range.isDefined && p.slice.isEmpty),
+        s"ranged shards must replace hash slices: ${fp.take(3).toSeq}")
+      // ranges chain across the keyspace: one open start, one open end
+      val bounds = fp.map(_.range.get)
+      assert(bounds.count(_._1.isEmpty) == 1 && bounds.count(_._2.isEmpty) == 1)
+      MemFileSystem.pagesServed.set(0)
+      val df = spark.read.format("graft.sources.FsListSource")
+        .option("path", "mem://bkt/big").load()
+      assert(df.count() == 50000, "ranges must cover every key")
+      // THE property hash slices can't have: each listing page served
+      // ~once across ALL shards (full listing = 50 pages; allow one
+      // partial page per range + the planner's abandoned probe page).
+      // K hash slices would serve ~K×50.
+      val pages = MemFileSystem.pagesServed.get
+      val fullListing = 50000 / MemFileSystem.PageSize
+      assert(pages <= fullListing + fp.length + 2,
+        s"$pages pages served for a $fullListing-page listing — shards re-walked it")
+      assert(pages >= fullListing, s"sanity: only $pages pages served")
+      assert(df.select("Key").distinct().count() == 50000,
+        "ranges must not overlap")
+    } finally {
+      graft.sources.RangedListers.unregister("mem")
+      MemFileSystem.objects.clear()
+    }
+  }
+
+  test("a 503-failing LIST is retried within the reference budget, then propagates") {
+    MemFileSystem.objects.clear()
+    for (f <- 0 until 20) MemFileSystem.objects.put(f"/r/k$f%02d", (1L, 1700000000000L))
+    // two injected 503s: the third attempt inside the retry budget succeeds
+    MemFileSystem.failListings.set(2)
+    MemFileSystem.listCalls.set(0)
+    val parts = new graft.sources.FsListScan("mem://bkt/r", "/", None)
+      .planInputPartitions()
+    assert(parts.nonEmpty)
+    assert(MemFileSystem.listCalls.get == 3, "2 failed + 1 successful LIST attempt")
+    assert(MemFileSystem.failListings.get == 0)
+    // end-to-end: a fresh read riding through 2 more 503s still sees all keys
+    MemFileSystem.failListings.set(2)
+    val df = spark.read.format("graft.sources.FsListSource")
+      .option("path", "mem://bkt/r").load()
+    assert(df.count() == 20)
+    // a persistent outage exhausts the 3-attempt budget and fails loudly
+    MemFileSystem.failListings.set(10)
+    try intercept[java.io.IOException] {
+      new graft.sources.FsListScan("mem://bkt/r", "/", None).planInputPartitions()
+    } finally MemFileSystem.failListings.set(0)
+  }
+
+  test("streamed write uploads bounded parts and materializes only on close") {
+    MemFileSystem.objects.clear()
+    MemFileSystem.contents.clear()
+    MemFileSystem.PartSize = 64 * 1024 // shrink the 5 MiB S3 minimum for the test
+    MemFileSystem.partsUploaded.set(0)
+    try {
+      val key = new org.apache.hadoop.fs.Path("mem://bkt/out/manifest.bin")
+      val fs = key.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(key, true)
+      // deliberately part-unaligned chunks with a position-checkable pattern
+      val chunk = Array.tabulate(7001)(i => (i % 251).toByte)
+      var written = 0
+      while (written < 300 * 1024) { out.write(chunk, 0, chunk.length); written += chunk.length }
+      assert(!MemFileSystem.objects.contains("/out/manifest.bin"),
+        "object must not be visible before close (multipart semantics)")
+      out.close()
+      val expectedParts = (written + MemFileSystem.PartSize - 1) / MemFileSystem.PartSize
+      assert(MemFileSystem.partsUploaded.get == expectedParts,
+        s"expected $expectedParts bounded parts for $written bytes")
+      assert(fs.getFileStatus(key).getLen == written)
+      // byte-exact read-back through the positioned-read surface
+      val in = fs.open(key, 4096)
+      val buf = new Array[Byte](written)
+      in.readFully(0L, buf)
+      in.close()
+      val bad = (0 until written).count(p => buf(p) != ((p % 7001) % 251).toByte)
+      assert(bad == 0, s"$bad corrupted bytes in read-back")
+    } finally MemFileSystem.PartSize = 5 * 1024 * 1024
+  }
+
   test("mixed directory bundles file children instead of single-file shards") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_mixed")

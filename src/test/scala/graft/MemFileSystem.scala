@@ -11,12 +11,20 @@ import org.apache.hadoop.util.Progressable
   * `Configuration` resolves it — exactly how `s3a://` registers).
   *
   * Models an object store, not a POSIX tree: a flat key space where
-  * "directories" exist only as key prefixes. Listing-related calls are
-  * implemented; mutations are unsupported. This exercises the exact
-  * non-local branch of [[graft.sources.FsListReader]] (getFileStatus +
-  * recursive listFiles) that an s3a:// deployment would hit — the wire
-  * protocol itself needs a real endpoint (documented gap), but the
-  * FileSystem-contract path is covered here.
+  * "directories" exist only as key prefixes. The surfaces a manifest job
+  * exercises are implemented with S3-shaped behavior so the CLIENT code
+  * paths run for real in tests:
+  *   - paged listing (ListObjectsV2-style pages with a served-page
+  *     counter, so tests can assert paging behavior);
+  *   - injectable 503-style listing failures ([[MemFileSystem.failListings]]),
+  *     so the retry budget executes instead of just being configured;
+  *   - part-buffered streaming writes ([[MemFileSystem.PartSize]] /
+  *     [[MemFileSystem.partsUploaded]]) — the multipart-upload shape: the
+  *     CLIENT buffer never exceeds one part, unlike the reference's
+  *     whole-manifest RAM staging (src/main.rs:327-329).
+  * Renames/deletes stay unsupported. The real wire protocol still needs a
+  * real endpoint (documented gap); the FileSystem-contract path an s3a://
+  * deployment would hit is covered here.
   */
 class MemFileSystem extends FileSystem {
   private var fsUri: URI = _
@@ -53,6 +61,13 @@ class MemFileSystem extends FileSystem {
   }
 
   override def listStatus(f: Path): Array[FileStatus] = {
+    // injectable transient outage: every listing surface funnels through
+    // here (listStatusIterator and listFiles both default to listStatus),
+    // so a positive failListings makes the NEXT n LIST calls throw the
+    // way a throttled store would
+    MemFileSystem.listCalls.incrementAndGet()
+    if (MemFileSystem.failListings.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      throw new java.io.IOException("mem: 503 Slow Down (injected)")
     val p = f.toUri.getPath
     val prefix = if (p.endsWith("/")) p else p + "/"
     val kids = MemFileSystem.objects.keys
@@ -91,28 +106,149 @@ class MemFileSystem extends FileSystem {
   override def getWorkingDirectory: Path = new Path(fsUri)
   override def setWorkingDirectory(newDir: Path): Unit = ()
 
-  override def open(f: Path, bufferSize: Int): FSDataInputStream =
-    throw new UnsupportedOperationException("mem: read-only listing store")
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val p = f.toUri.getPath
+    val bytes = MemFileSystem.contents.getOrElse(p,
+      throw new java.io.FileNotFoundException(s"mem: no content for $p"))
+    new FSDataInputStream(new MemFileSystem.SeekableBytes(bytes))
+  }
+
+  /** Part-buffered streaming write: bytes accumulate in a bounded client
+    * buffer and "upload" as a part each time it fills — the multipart
+    * shape (CreateMultipartUpload/UploadPart/Complete,
+    * reference src/main.rs:321-359) expressed through the FS contract.
+    * Tests assert the part count and that the object materializes only on
+    * close (no partial visibility), matching object-store semantics. */
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
                       bufferSize: Int, replication: Short, blockSize: Long,
-                      progress: Progressable): FSDataOutputStream =
-    throw new UnsupportedOperationException("mem: read-only listing store")
+                      progress: Progressable): FSDataOutputStream = {
+    val p = f.toUri.getPath
+    if (!overwrite && MemFileSystem.objects.contains(p))
+      throw new java.io.IOException(s"mem: $p exists and overwrite=false")
+    val out = new java.io.OutputStream {
+      private var partBuf = new java.io.ByteArrayOutputStream()
+      private val parts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      private var closed = false
+      private def uploadPart(): Unit = if (partBuf.size > 0) {
+        parts += partBuf.toByteArray
+        partBuf = new java.io.ByteArrayOutputStream()
+        MemFileSystem.partsUploaded.incrementAndGet()
+      }
+      override def write(b: Int): Unit = {
+        partBuf.write(b)
+        if (partBuf.size >= MemFileSystem.PartSize) uploadPart()
+      }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        var o = off; var l = len
+        while (l > 0) {
+          val n = math.min(MemFileSystem.PartSize - partBuf.size, l)
+          partBuf.write(b, o, n); o += n; l -= n
+          if (partBuf.size >= MemFileSystem.PartSize) uploadPart()
+        }
+      }
+      override def close(): Unit = if (!closed) {
+        closed = true
+        uploadPart() // final short part (CompleteMultipartUpload)
+        val whole = new Array[Byte](parts.iterator.map(_.length).sum)
+        var pos = 0
+        parts.foreach { pa =>
+          System.arraycopy(pa, 0, whole, pos, pa.length); pos += pa.length
+        }
+        MemFileSystem.contents.put(p, whole)
+        MemFileSystem.objects.put(p, (whole.length.toLong, System.currentTimeMillis()))
+      }
+    }
+    new FSDataOutputStream(out, null)
+  }
+
   override def append(f: Path, bufferSize: Int,
                       progress: Progressable): FSDataOutputStream =
-    throw new UnsupportedOperationException("mem: read-only listing store")
+    throw new UnsupportedOperationException("mem: append unsupported")
   override def rename(src: Path, dst: Path): Boolean =
-    throw new UnsupportedOperationException("mem: read-only listing store")
+    throw new UnsupportedOperationException("mem: rename unsupported")
   override def delete(f: Path, recursive: Boolean): Boolean =
-    throw new UnsupportedOperationException("mem: read-only listing store")
-  override def mkdirs(f: Path, permission: FsPermission): Boolean =
-    throw new UnsupportedOperationException("mem: read-only listing store")
+    throw new UnsupportedOperationException("mem: delete unsupported")
+  /** Object stores have no directories — creating one is a no-op. */
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = true
 }
 
 object MemFileSystem {
   /** Flat key space: absolute key path → (size, mtime millis). */
   val objects = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  /** Object bodies for keys written through [[MemFileSystem.create]]. */
+  val contents = scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
   /** Listing page size (ListObjectsV2 default 1000; tests shrink it). */
   @volatile var PageSize: Int = 1000
-  /** Pages served across all listStatusIterator calls since last reset. */
+  /** Pages served across all listings since last reset. */
   val pagesServed = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** How many upcoming LIST calls should fail with a 503-style error. */
+  val failListings = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** LIST calls observed (including injected failures) since last reset. */
+  val listCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Multipart part size (S3 minimum is 5 MiB; tests shrink it). */
+  @volatile var PartSize: Int = 5 * 1024 * 1024
+  /** Parts "uploaded" across all writes since last reset. */
+  val partsUploaded = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Seekable in-memory read stream (what FSDataInputStream requires). */
+  class SeekableBytes(data: Array[Byte]) extends java.io.ByteArrayInputStream(data)
+      with Seekable with PositionedReadable {
+    override def seek(newPos: Long): Unit = { pos = newPos.toInt }
+    override def getPos: Long = pos.toLong
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def read(position: Long, buffer: Array[Byte], offset: Int,
+                      length: Int): Int = {
+      if (position >= data.length) -1
+      else {
+        val n = math.min(length, data.length - position.toInt)
+        System.arraycopy(data, position.toInt, buffer, offset, n)
+        n
+      }
+    }
+    override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+                           length: Int): Unit =
+      if (read(position, buffer, offset, length) < length)
+        throw new java.io.EOFException("mem: read past end")
+    override def readFully(position: Long, buffer: Array[Byte]): Unit =
+      readFully(position, buffer, 0, buffer.length)
+  }
+}
+
+/** mem:// implementation of [[graft.sources.RangedLister]] — stands in for
+  * an SDK ListObjectsV2 paginator with StartAfter. A ranged request serves
+  * only its range's pages (StartAfter semantics: pages before the marker
+  * are never re-served), so K range shards collectively read each page of
+  * a mega-prefix once — the property the hash-slice fallback cannot have.
+  * Pages count into the same [[MemFileSystem.pagesServed]] counter as the
+  * FS-contract listing, letting tests assert that total directly. Split
+  * points come from the store's sorted key index (exact quantiles);
+  * vanilla S3 would derive them from an Inventory manifest or adaptive
+  * StartAfter probing — the index read is metadata, not a LIST page. */
+object MemRangedLister extends graft.sources.RangedLister {
+  private def keysUnder(dirPath: String): Vector[String] = {
+    val p = new Path(dirPath).toUri.getPath
+    val prefix = if (p.endsWith("/")) p else p + "/"
+    MemFileSystem.objects.keysIterator.filter(_.startsWith(prefix)).toVector.sorted
+  }
+
+  override def listRange(dirPath: String, startAfter: Option[String],
+                         endAt: Option[String]): Iterator[(String, Long, Long)] =
+    keysUnder(dirPath).iterator
+      .filter(k => startAfter.forall(k > _) && endAt.forall(k <= _))
+      .zipWithIndex
+      .map { case (k, i) =>
+        if (i % MemFileSystem.PageSize == 0) MemFileSystem.pagesServed.incrementAndGet()
+        val (len, mtime) = MemFileSystem.objects(k)
+        (k, len, mtime)
+      }
+
+  override def splitPoints(dirPath: String, n: Int): Seq[String] = {
+    val keys = keysUnder(dirPath)
+    if (keys.isEmpty || n <= 1) Seq.empty
+    else (1 until n)
+      .map(i => ((i.toLong * keys.length) / n).toInt)
+      .filter(_ >= 1) // degenerate quantiles when keys < n
+      .map(m => keys(m - 1))
+      .distinct
+  }
 }
