@@ -253,9 +253,13 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
               // win is parallelizing the per-object downstream work), so K
               // stays small remotely. Local slices share nothing either,
               // but a readdir re-scan is nearly free next to the per-file
-              // stat it skips, so K can track the core count.
+              // stat it skips — K tracks 2× cores (target/2), enough waves
+              // to balance stat work without multiplying the shared-nothing
+              // re-scan further (at 16 slices on 4 cores the re-scans
+              // dominate the walk; capped at 16 either way, so wide
+              // driver-scale runs are unchanged).
               val slices =
-                if (FsListReader.isLocal(dirPath)) math.min(16, target)
+                if (FsListReader.isLocal(dirPath)) math.min(16, math.max(2, target / 2))
                 else math.min(4, target)
               for (i <- 0 until slices)
                 out += FsListPartition(Seq(dirPath), bucket, Some((i, slices)))
