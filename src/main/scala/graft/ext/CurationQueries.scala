@@ -57,6 +57,41 @@ object CurationQueries {
     * the stop-gram cap needs true per-gram doc counts). */
   private def eightGrams(df: DataFrame): DataFrame = eightGramsRaw(df).distinct()
 
+  /** Guard-mode (opt-in) cache of the capped benchmark 8-gram side: ONE
+    * persisted instance per (session, data dir), reused across query
+    * builds — without this every build stacked a fresh MEMORY_AND_DISK
+    * entry that nothing ever unpersisted. The guard count is stored with
+    * the frame so later builds re-evaluate the broadcast-vs-fallback
+    * decision against the CURRENT cap conf without re-running the job. */
+  private val guardCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Long)]()
+
+  private def guardedBenchSide(s: SparkSession, d: String,
+                               benchCapped: DataFrame): DataFrame = {
+    val (cached, n) = guardCache.computeIfAbsent((s, d), _ => {
+      val c = benchCapped.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (c, c.count())
+    })
+    val maxBroadcastGrams =
+      s.conf.get("graft.contamination.maxBroadcastGrams", "20000000").toLong
+    if (n <= maxBroadcastGrams) broadcast(cached)
+    else {
+      log.warn(
+        s"benchmark 8-gram set has $n rows (> $maxBroadcastGrams); " +
+          "falling back to an unhinted join for contamination matching")
+      cached
+    }
+  }
+
+  /** Unpersist and drop every guard-mode cache entry — for tests and for
+    * long-lived sessions rotating to a new benchmark set. */
+  def clearGuardCache(): Unit = {
+    import scala.jdk.CollectionConverters._
+    guardCache.values.asScala.foreach(_._1.unpersist(blocking = false))
+    guardCache.clear()
+  }
+
   private val eightGramsSql =
     """tok8 AS (SELECT doc_id, str_split(text, ' ') AS words FROM corpus
                 WHERE len(str_split(text, ' ')) >= 8),
@@ -127,26 +162,15 @@ object CurationQueries {
       // pay nothing). An opt-in guard trades that hard failure for a
       // graceful sort-merge fallback: it persists the capped bench side
       // so its one guard count() and the join share a single computation
-      // of the window aggregate (the cache it leaves behind is
-      // eval-suite-bounded by the same argument that makes the broadcast
-      // safe; callers that care can clear it via the catalog).
+      // of the window aggregate, memoized per (session, data dir) so
+      // repeated builds reuse ONE cache entry instead of stacking a new
+      // MEMORY_AND_DISK table per build (see [[guardedBenchSide]] /
+      // [[clearGuardCache]]).
       val guardEnabled =
         s.conf.get("graft.contamination.broadcastGuard", "false").toBoolean
       val benchSide =
         if (!guardEnabled) broadcast(benchCapped)
-        else {
-          val maxBroadcastGrams =
-            s.conf.get("graft.contamination.maxBroadcastGrams", "20000000").toLong
-          val cached = benchCapped.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          if (cached.count() <= maxBroadcastGrams) broadcast(cached)
-          else {
-            CurationQueries.log.warn(
-              s"benchmark 8-gram set exceeds $maxBroadcastGrams rows; " +
-                "falling back to an unhinted join for contamination matching")
-            cached
-          }
-        }
+        else guardedBenchSide(s, d, benchCapped)
       eightGramsRaw(corpus)
         .join(benchSide, "g")
         .select("doc_id", "bench_id", "g").distinct()

@@ -297,11 +297,17 @@ object DedupQueries {
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(8).setSeed(42L)
     val lshModel = lsh.fit(vecs)
+    // The recall gate below consumes `pairs` TWICE (the semi-join count
+    // and the final output); localCheckpoint materializes the expensive
+    // approxSimilarityJoin once so both consumers read the pinned rows —
+    // the cohort is bounded (50 originals), so the pinned table is tiny
+    // and its blocks are reclaimed by the context cleaner with the result.
     val pairs = lshModel.approxSimilarityJoin(vecs, vecs, 0.05, "jaccard_dist")
       .select(col("datasetA.doc_id").as("id1"), col("datasetB.doc_id").as("id2"),
         col("jaccard_dist"))
       .filter(col("id1") < col("id2"))
       .distinct()
+      .localCheckpoint()
     // recall gate: every cohort original (id < 1M) has its exact copy at
     // id+1M in the same cohort, so (id, id+1M) must all be recalled
     val expected = tok.filter(col("doc_id") < 1000000L)

@@ -16,12 +16,22 @@ package graft.manifest
 object Retry {
   private val log = org.slf4j.LoggerFactory.getLogger(Retry.getClass)
 
+  /** Transient-fault shapes the budget covers: plain IOException, plus
+    * UncheckedIOException — Hadoop FS iterators and NIO streams surface
+    * mid-iteration faults wrapped unchecked, which would otherwise slip
+    * straight past an IOException-only guard. */
+  private def transientIo(e: Throwable): Boolean = e match {
+    case _: java.io.IOException => true
+    case u: java.io.UncheckedIOException => u.getCause != null
+    case _ => false
+  }
+
   def withRetries[T](attempts: Int = 3, baseIntervalMs: Long = 100)(body: => T): T = {
     var n = 0
     while (true) {
       try return body
       catch {
-        case e: java.io.IOException if n + 1 < attempts =>
+        case e: Exception if transientIo(e) && n + 1 < attempts =>
           n += 1
           val backoff = baseIntervalMs * (1L << (n - 1))
           log.warn(s"listing attempt $n/$attempts failed, retrying in ${backoff}ms: $e")

@@ -148,7 +148,11 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
       // keep if this subtree could contain keys starting with `pre`
       cp.startsWith(pre) || pre.startsWith(cp)
     }
-    val queue = scala.collection.mutable.Queue(fs.getFileStatus(root) -> 0)
+    // the root stat is a driver-side listing call like any other — a
+    // transient 503 on the very first request gets the same 3×/100ms
+    // budget the per-directory LIST calls below already have
+    val queue = scala.collection.mutable.Queue(
+      graft.manifest.Retry.withRetries() { fs.getFileStatus(root) } -> 0)
     val out = scala.collection.mutable.ArrayBuffer.empty[FsListPartition]
     val maxDepth = 6
     // round-robin bundles of file children: a 100k-file prefix
@@ -236,16 +240,33 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
           // page of the listing exactly once between them — no re-walk —
           // so K can track the core count even remotely.
           val dirPath = st.getPath.toString
+          // Scope the ranges to the pushed Key prefix when it narrows
+          // INSIDE this directory (ListObjectsV2 Prefix + StartAfter are
+          // independent parameters): split points are then quantiles of
+          // the MATCHING keyspace — points drawn from the whole directory
+          // would land ~all matching keys in one shard — and each shard's
+          // LIST never enumerates non-matching keys just to discard them
+          // on the residual filter.
+          val dirUriPath = st.getPath.toUri.getPath
+          val dirSlash =
+            if (dirUriPath.endsWith("/")) dirUriPath else dirUriPath + "/"
+          val effPrefix = prefix.filter(_.startsWith(dirSlash))
+          // No points + no prefix = the lister declined to split: hash
+          // slices still buy K-way per-object parallelism there. No
+          // points + a prefix = few matching keys: ONE prefix-scoped
+          // range shard lists just the matching pages — K whole-dir
+          // hash slices would re-walk everything to discard it.
           val ranged = RangedListers.forPath(dirPath).map { lister =>
-            lister.splitPoints(dirPath, math.min(16, target)).distinct.sorted
-          }.filter(_.nonEmpty)
+            lister.splitPoints(dirPath, effPrefix, math.min(16, target))
+              .distinct.sorted
+          }.filter(ps => ps.nonEmpty || effPrefix.isDefined)
           ranged match {
             case Some(points) =>
               val los = None +: points.map(Option(_))
               val his = points.map(Option(_)) :+ None
               los.zip(his).foreach { case (lo, hi) =>
                 out += FsListPartition(Seq(dirPath), bucket,
-                  range = Some((lo, hi)))
+                  range = Some((lo, hi)), rangePrefix = effPrefix)
               }
             case None =>
               // Hash-slice fallback: each slice re-issues the full
@@ -324,11 +345,15 @@ case class ObjectsListedTaskMetric(value: Long) extends CustomTaskMetric {
   * the reader enumerates startAfter < key <= endAt through the scheme's
   * registered [[RangedLister]] — ranges chain over the planner's split
   * points, so together they emit every key exactly once while reading
-  * each listing page exactly once (no per-slice re-walk). */
+  * each listing page exactly once (no per-slice re-walk). `rangePrefix`
+  * carries the pushed Key prefix into those LIST calls (the ListObjectsV2
+  * `Prefix` parameter riding next to `StartAfter`), so a selective filter
+  * over a mega-prefix lists only matching pages. */
 case class FsListPartition(paths: Seq[String], bucket: String,
                            slice: Option[(Int, Int)] = None,
                            mtimeRange: Option[(Long, Long)] = None,
-                           range: Option[(Option[String], Option[String])] = None)
+                           range: Option[(Option[String], Option[String])] = None,
+                           rangePrefix: Option[String] = None)
     extends InputPartition
 
 object FsListPartition {
@@ -477,7 +502,7 @@ class FsListReader(p: FsListPartition, delimiter: String,
       val lister = RangedListers.forPath(shardPath).getOrElse(throw new IllegalStateException(
         s"range shard for $shardPath but no RangedLister is registered " +
           "for its scheme on this executor"))
-      lister.listRange(shardPath, lo, hi)
+      lister.listRange(shardPath, p.rangePrefix, lo, hi)
     } else if (FsListReader.isLocal(shardPath)) {
       val root = nioPath(shardPath)
       if (p.slice.isDefined) nioWalkSliced(root) else nioWalkAll(root)

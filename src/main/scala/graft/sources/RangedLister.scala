@@ -32,14 +32,22 @@ package graft.sources
   */
 trait RangedLister {
   /** All keys under `dirPath` (recursive, lexicographic order) with
-    * startAfter < key <= endAt. Returns (keyPath, size, mtimeMs). */
-  def listRange(dirPath: String, startAfter: Option[String],
+    * startAfter < key <= endAt, and — when `prefix` is set — starting
+    * with that full-path key prefix. Prefix and markers are SEPARATE
+    * parameters, exactly like ListObjectsV2's `Prefix` + `StartAfter`:
+    * the store never enumerates keys outside the prefix, so a selective
+    * pushed filter pays LIST work proportional to the MATCHING subset,
+    * not the directory. Returns (keyPath, size, mtimeMs). */
+  def listRange(dirPath: String, prefix: Option[String],
+                startAfter: Option[String],
                 endAt: Option[String]): Iterator[(String, Long, Long)]
 
-  /** Up to n-1 ordered split keys partitioning `dirPath`'s keyspace into
-    * ~n balanced ranges. Returning fewer (even zero) is allowed — the
+  /** Up to n-1 ordered split keys partitioning the keyspace of `dirPath`
+    * (restricted to `prefix` when set — points drawn from the full
+    * directory would land ~all matching keys in one shard) into ~n
+    * balanced ranges. Returning fewer (even zero) is allowed — the
     * planner falls back to hash slices when no usable points come back. */
-  def splitPoints(dirPath: String, n: Int): Seq[String]
+  def splitPoints(dirPath: String, prefix: Option[String], n: Int): Seq[String]
 }
 
 /** JVM-wide scheme → lister registry. A range shard carries only its

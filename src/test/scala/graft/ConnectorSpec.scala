@@ -194,6 +194,60 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("range shards scope their LIST calls to the pushed Key prefix") {
+    MemFileSystem.objects.clear()
+    for (f <- 0 until 50000)
+      MemFileSystem.objects.put(f"/big/k$f%06d", (1L, 1700000000000L))
+    graft.sources.RangedListers.register("mem", MemRangedLister)
+    try {
+      // selective prefix: 10k of 50k keys match (/big/k04xxxx)
+      val pre = "/big/k04"
+      val parts = new graft.sources.FsListScan("mem://bkt/big", "/", Some(pre))
+        .planInputPartitions().map(_.asInstanceOf[FsListPartition])
+      assert(parts.length > 1, "matching subset is still mega — must fan out")
+      assert(parts.forall(p => p.range.isDefined && p.rangePrefix.contains(pre)),
+        s"range shards must carry the pushed prefix: ${parts.take(3).toSeq}")
+      // drain the shards through the real readers, counting pages served
+      MemFileSystem.pagesServed.set(0)
+      val factory = new graft.sources.FsListReaderFactory("/")
+      val keys = parts.flatMap { part =>
+        val r = factory.createReader(part)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        try { while (r.next()) buf += r.get().getUTF8String(1).toString }
+        finally r.close()
+        buf
+      }
+      assert(keys.length == 10000 && keys.distinct.length == 10000,
+        s"prefix-scoped ranges must cover the matching keys once: ${keys.length}")
+      assert(keys.forall(_.startsWith(pre)))
+      // THE property this buys: LIST work proportional to the MATCHING
+      // subset (10 pages + one partial per shard), never the 50-page
+      // directory — unscoped ranges served the full listing and relied
+      // on the residual filter to discard 80% of it
+      val pages = MemFileSystem.pagesServed.get
+      val matchingPages = 10000 / MemFileSystem.PageSize
+      assert(pages <= matchingPages + parts.length,
+        s"$pages pages served for a $matchingPages-page matching subset")
+      // a prefix matching FEW keys plans prefix-scoped range shard(s),
+      // not whole-dir hash slices (the lister has no points to return)
+      val tiny = new graft.sources.FsListScan("mem://bkt/big", "/", Some("/big/k00041"))
+        .planInputPartitions().map(_.asInstanceOf[FsListPartition])
+      assert(tiny.nonEmpty && tiny.forall(p => p.range.isDefined && p.slice.isEmpty),
+        s"selective prefix must not degrade to hash slices: ${tiny.take(3).toSeq}")
+      val tinyKeys = tiny.flatMap { part =>
+        val r = factory.createReader(part)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        try { while (r.next()) buf += r.get().getUTF8String(1).toString }
+        finally r.close()
+        buf
+      }
+      assert(tinyKeys.toSet == (0 until 10).map(i => f"/big/k00041$i").toSet)
+    } finally {
+      graft.sources.RangedListers.unregister("mem")
+      MemFileSystem.objects.clear()
+    }
+  }
+
   test("a 503-failing LIST is retried within the reference budget, then propagates") {
     MemFileSystem.objects.clear()
     for (f <- 0 until 20) MemFileSystem.objects.put(f"/r/k$f%02d", (1L, 1700000000000L))
@@ -215,6 +269,46 @@ class ConnectorSpec extends SparkSpec {
     try intercept[java.io.IOException] {
       new graft.sources.FsListScan("mem://bkt/r", "/", None).planInputPartitions()
     } finally MemFileSystem.failListings.set(0)
+  }
+
+  test("a 503 on the planner's very first root stat rides the same retry budget") {
+    MemFileSystem.objects.clear()
+    for (f <- 0 until 5) MemFileSystem.objects.put(f"/s/k$f", (1L, 1700000000000L))
+    // two injected stat failures: the third attempt succeeds and planning
+    // proceeds — before the fix a single transient 503 here failed planning
+    MemFileSystem.failStats.set(2)
+    try {
+      val parts = new graft.sources.FsListScan("mem://bkt/s", "/", None)
+        .planInputPartitions()
+      assert(parts.nonEmpty)
+      assert(MemFileSystem.failStats.get == 0)
+    } finally MemFileSystem.failStats.set(0)
+    // persistent stat outage still propagates after the budget
+    MemFileSystem.failStats.set(10)
+    try intercept[java.io.IOException] {
+      new graft.sources.FsListScan("mem://bkt/s", "/", None).planInputPartitions()
+    } finally MemFileSystem.failStats.set(0)
+  }
+
+  test("retry budget also covers UncheckedIOException-wrapped transient faults") {
+    // Hadoop FS iterators and NIO streams surface mid-iteration faults as
+    // UncheckedIOException; the budget must treat them like the checked kind
+    var calls = 0
+    val out = graft.manifest.Retry.withRetries(baseIntervalMs = 1) {
+      calls += 1
+      if (calls < 3) throw new java.io.UncheckedIOException(
+        new java.io.IOException("mem: 503 (wrapped)"))
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    // a cause-less unchecked wrapper or a non-IO fault is NOT retried
+    var hard = 0
+    intercept[IllegalArgumentException] {
+      graft.manifest.Retry.withRetries(baseIntervalMs = 1) {
+        hard += 1; throw new IllegalArgumentException("not transient")
+      }
+    }
+    assert(hard == 1)
   }
 
   test("streamed write uploads bounded parts and materializes only on close") {

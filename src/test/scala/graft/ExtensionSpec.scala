@@ -327,7 +327,29 @@ class ExtensionSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
       spark.conf.unset("graft.contamination.broadcastGuard")
       spark.conf.unset("graft.contamination.maxBroadcastGrams")
-      spark.catalog.clearCache() // the guard's persisted bench side
+      ext.CurationQueries.clearGuardCache() // the guard's persisted bench side
+    }
+  }
+
+  test("contamination guard reuses one cached bench side across builds") {
+    // repeated guard-on builds must not stack a new MEMORY_AND_DISK entry
+    // each time: the persisted bench side is memoized per (session, dir)
+    spark.conf.set("graft.contamination.broadcastGuard", "true")
+    try {
+      def cachedCount: Int =
+        spark.sparkContext.getPersistentRDDs.size
+      ext.CurationQueries.queries("q101_contamination")(spark, sf).count()
+      val afterFirst = cachedCount
+      // two more full build+run cycles: storage footprint must not grow
+      ext.CurationQueries.queries("q101_contamination")(spark, sf).count()
+      ext.CurationQueries.queries("q101_contamination")(spark, sf).count()
+      // <= not ==: the context cleaner may reap unrelated (GC'd) entries
+      // between probes, so only GROWTH is a failure
+      assert(cachedCount <= afterFirst,
+        s"guard-on rebuilds grew persisted storage: $afterFirst -> $cachedCount")
+    } finally {
+      spark.conf.unset("graft.contamination.broadcastGuard")
+      ext.CurationQueries.clearGuardCache()
     }
   }
 

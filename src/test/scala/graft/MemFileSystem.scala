@@ -49,6 +49,11 @@ class MemFileSystem extends FileSystem {
     new FileStatus(0, true, 1, 64L << 20, 0L, qualify(keyPath))
 
   override def getFileStatus(f: Path): FileStatus = {
+    // injectable transient HEAD/stat outage — the planner's very first
+    // call is a root getFileStatus, which must ride the same retry
+    // budget as the LIST calls
+    if (MemFileSystem.failStats.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      throw new java.io.IOException("mem: 503 Slow Down on stat (injected)")
     val p = f.toUri.getPath
     MemFileSystem.objects.get(p) match {
       case Some((len, mtime)) => fileStatus(p, len, mtime)
@@ -183,6 +188,8 @@ object MemFileSystem {
   val pagesServed = new java.util.concurrent.atomic.AtomicInteger(0)
   /** How many upcoming LIST calls should fail with a 503-style error. */
   val failListings = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** How many upcoming stat (getFileStatus) calls should fail 503-style. */
+  val failStats = new java.util.concurrent.atomic.AtomicInteger(0)
   /** LIST calls observed (including injected failures) since last reset. */
   val listCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   /** Multipart part size (S3 minimum is 5 MiB; tests shrink it). */
@@ -225,15 +232,20 @@ object MemFileSystem {
   * vanilla S3 would derive them from an Inventory manifest or adaptive
   * StartAfter probing — the index read is metadata, not a LIST page. */
 object MemRangedLister extends graft.sources.RangedLister {
-  private def keysUnder(dirPath: String): Vector[String] = {
+  private def keysUnder(dirPath: String, keyPrefix: Option[String]): Vector[String] = {
     val p = new Path(dirPath).toUri.getPath
     val prefix = if (p.endsWith("/")) p else p + "/"
-    MemFileSystem.objects.keysIterator.filter(_.startsWith(prefix)).toVector.sorted
+    // Prefix is a first-class request parameter (ListObjectsV2 `Prefix`):
+    // the store serves only matching keys, so pages are pages OF THE
+    // MATCHING SUBSET — a selective prefix never pays whole-dir LIST work
+    val eff = keyPrefix.filter(_.startsWith(prefix)).getOrElse(prefix)
+    MemFileSystem.objects.keysIterator.filter(_.startsWith(eff)).toVector.sorted
   }
 
-  override def listRange(dirPath: String, startAfter: Option[String],
+  override def listRange(dirPath: String, prefix: Option[String],
+                         startAfter: Option[String],
                          endAt: Option[String]): Iterator[(String, Long, Long)] =
-    keysUnder(dirPath).iterator
+    keysUnder(dirPath, prefix).iterator
       .filter(k => startAfter.forall(k > _) && endAt.forall(k <= _))
       .zipWithIndex
       .map { case (k, i) =>
@@ -242,8 +254,9 @@ object MemRangedLister extends graft.sources.RangedLister {
         (k, len, mtime)
       }
 
-  override def splitPoints(dirPath: String, n: Int): Seq[String] = {
-    val keys = keysUnder(dirPath)
+  override def splitPoints(dirPath: String, prefix: Option[String],
+                           n: Int): Seq[String] = {
+    val keys = keysUnder(dirPath, prefix)
     if (keys.isEmpty || n <= 1) Seq.empty
     else (1 until n)
       .map(i => ((i.toLong * keys.length) / n).toInt)
