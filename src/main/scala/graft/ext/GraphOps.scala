@@ -52,6 +52,20 @@ object GraphOps {
     Pinned(df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
+  /** [[pin]] fused with the convergence witness: counts rows whose
+    * `flagIdx` column is true DURING the materializing action, via an
+    * accumulator, so each round runs ONE job instead of a count plus a
+    * separate probe scan. Accumulator updates inside an ACTION are
+    * applied exactly once per successful task (restarted tasks do not
+    * double-count), so the witness is exact under task retry. */
+  private def pinCountingFlag(df: DataFrame, flagIdx: Int): (Pinned, Long) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    val acc = df.sparkSession.sparkContext.longAccumulator("graft-cc-changed")
+    rdd.foreach(r => if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) acc.add(1))
+    (Pinned(df.sparkSession.createDataFrame(rdd, df.schema), rdd), acc.value)
+  }
+
   /** Connected components of the undirected graph given by `edges`
     * (columns id1, id2) over `nodes` (column id). Returns (id, comp)
     * where comp = the smallest id reachable from the node (isolated
@@ -98,18 +112,20 @@ object GraphOps {
       // pointer jumping: follow the label one hop (label(x) := label(label(x))).
       // Every comp value is a node id (labels start as ids and only move to
       // other nodes' ids via min), so the inner self-join is total.
-      val next = pin(propagated.as("a")
+      // exact, id-type-agnostic convergence: any label that changed this
+      // round? The `changed` flags are COUNTED by an accumulator inside
+      // the same action that materializes the round's checkpoint — one
+      // job per round, no separate probe scan. (A numeric label-sum
+      // witness would be cheaper still but silently mis-converges on
+      // string/UUID ids, whose decimal cast nulls out.)
+      val (next, nChanged) = pinCountingFlag(propagated.as("a")
         .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
           col("a.comp") === col("b.cid"))
         .select(col("a.id").as("id"),
           least(col("a.comp"), col("b.ccomp")).as("comp"),
-          (least(col("a.comp"), col("b.ccomp")) =!= col("a.old_comp")).as("changed")))
-      // exact, id-type-agnostic convergence: any label that changed this
-      // round? A filter SCAN of the just-pinned (cached) round — no join,
-      // no shuffle, paid O(log D) times. (A numeric label-sum witness
-      // would be cheaper still but silently mis-converges on string/UUID
-      // ids, whose decimal cast nulls out.)
-      converged = next.df.filter(col("changed")).isEmpty
+          (least(col("a.comp"), col("b.ccomp")) =!= col("a.old_comp")).as("changed")),
+        flagIdx = 2)
+      converged = nChanged == 0L
       // this round's `next` is materialized and the probe has run — the
       // previous round's blocks are dead; free them instead of letting
       // O(log D) label tables pile up in executor storage

@@ -32,6 +32,31 @@ object SimilarityQueries {
   private val normedSql =
     s"n AS (SELECT vec_id, embedding, ${VectorOps.oNorm("embedding")} AS nrm FROM embeddings)"
 
+  /** Semantic-dedup corpus: embeddings ∪ planted scaled copies
+    * (vec_id + 100k, every 10th vector, elements ×2). A scaled copy has
+    * cosine exactly ~1.0 with its original (same direction), so it is a
+    * semantic duplicate by construction; the organic table's max pairwise
+    * cosine is ~0.53, so a 0.99 threshold isolates exactly the planted
+    * structure. ×2 is chosen because it is exact in float32 — both
+    * engines produce bit-identical copies. */
+  private def semCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+    base.unionByName(planted)
+  }
+
+  private val semCorpusSql =
+    """emb AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + 100000 AS vec_id,
+                      list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding
+               FROM embeddings WHERE vec_id % 10 = 0)"""
+
+  /** Cosine threshold above which two vectors count as semantic dups. */
+  private val SemDupThreshold = 0.99
+
   def queries: Map[String, Q] = Map(
     "q50_knn_brute" -> ((s, d) => {
       val n = normed(s, d)
