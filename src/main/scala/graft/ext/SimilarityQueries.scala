@@ -58,6 +58,39 @@ object SimilarityQueries {
   private val SemDupThreshold = 0.99
 
   def queries: Map[String, Q] = Map(
+    // Semantic dedup over embeddings: sign-LSH banded candidate generation
+    // (a positive scalar multiple lands on the same side of every random
+    // hyperplane, so planted copies collide in ALL bands — recall 1.0 by
+    // construction), exact cosine >= 0.99 on candidates only, survivor =
+    // smaller vec_id. At 100 TB the corpus shuffles once on (band, bh);
+    // no all-pairs path exists; the mega-bucket cap bounds the worst cell.
+    "q107_semantic_dedup" -> ((s, d) => {
+      val e = semCorpus(s, d)
+      val sig = e.select(col("vec_id"), col("embedding"),
+        VectorOps.signBucket(col("embedding"), 0, 12, 64).as("band0"),
+        VectorOps.signBucket(col("embedding"), 12, 24, 64).as("band1"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+      val bands = sig.select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(array(
+            struct(lit(0).as("band"), col("band0").as("bh")),
+            struct(lit(1).as("band"), col("band1").as("bh")))).as("e2"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("e2.band").as("band"), col("e2.bh").as("bh"))
+      val bw = Window.partitionBy(col("band"), col("bh"))
+      val capped = bands.withColumn("bkt_n", count(lit(1)).over(bw))
+        .filter(col("bkt_n") <= DedupQueries.DefaultMaxBucket).drop("bkt_n")
+      val l = capped.select(col("band"), col("bh"), col("vec_id").as("survivor_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val r = capped.select(col("band"), col("bh"), col("vec_id").as("removed_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      l.join(r, Seq("band", "bh")).filter(col("survivor_id") < col("removed_id"))
+        .select(col("survivor_id"), col("removed_id"),
+          (VectorOps.dotSeq(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+        .filter(col("cos_sim") >= SemDupThreshold)
+        .distinct()
+        .orderBy("survivor_id", "removed_id")
+    }),
+
     "q50_knn_brute" -> ((s, d) => {
       val n = normed(s, d)
       val q = n.filter(col("vec_id") < 10)
@@ -141,6 +174,28 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q107_semantic_dedup" -> {
+      val b0 = VectorOps.oSignBucket("embedding", 0, 12, 64)
+      val b1 = VectorOps.oSignBucket("embedding", 12, 24, 64)
+      s"""WITH $semCorpusSql,
+          sig AS (SELECT vec_id, embedding, $b0 AS band0, $b1 AS band1,
+                         ${VectorOps.oNorm("embedding")} AS nrm
+                  FROM emb),
+          bands AS (SELECT vec_id, embedding, nrm, 0 AS band, band0 AS bh FROM sig
+                    UNION ALL
+                    SELECT vec_id, embedding, nrm, 1 AS band, band1 AS bh FROM sig),
+          bands_c AS (SELECT vec_id, embedding, nrm, band, bh FROM (
+                        SELECT b.*, count(*) OVER (PARTITION BY band, bh) AS bkt_n
+                        FROM bands b) WHERE bkt_n <= ${DedupQueries.DefaultMaxBucket}),
+          cand AS (SELECT DISTINCT a.vec_id AS survivor_id, b.vec_id AS removed_id,
+                          ${VectorOps.oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+                   FROM bands_c a JOIN bands_c b
+                     ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
+          SELECT survivor_id, removed_id, cos_sim FROM cand
+          WHERE cos_sim >= $SemDupThreshold
+          ORDER BY survivor_id, removed_id"""
+    },
+
     "q50_knn_brute" ->
       s"""WITH $normedSql,
           q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),

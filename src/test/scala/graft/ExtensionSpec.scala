@@ -265,6 +265,22 @@ class ExtensionSpec extends SparkSpec {
     assert(agree >= 3, s"IVF top-1 agreed on only $agree/10 queries")
   }
 
+  test("semantic dedup isolates exactly the planted scaled copies") {
+    import spark.implicits._
+    val res = SimilarityQueries.queries("q107_semantic_dedup")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    // the planted corpus scales every 10th vector by +2.0 — same direction,
+    // so sign-LSH collides in every band and cosine is ~1.0; the organic
+    // table's max pairwise cosine is far below the 0.99 threshold
+    val expected = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id")).as[Long].collect()
+      .map(v => (v, v + 100000L)).toSet
+    assert(res.map(r => (r._1, r._2)).toSet == expected,
+      s"got ${res.length} pairs, expected ${expected.size} planted pairs")
+    assert(res.forall(_._3 >= 0.999), "planted copies must score ~1.0")
+  }
+
   test("contamination detector flags exactly the planted leaks") {
     import spark.implicits._
     val hits = ext.CurationQueries.queries("q101_contamination")(spark, sf)
