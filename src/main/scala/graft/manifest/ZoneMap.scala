@@ -1,0 +1,48 @@
+package graft.manifest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps over a parquet directory: a per-file (min, max)
+  * stats manifest for one key column, and a pruned read that plans only
+  * the files whose zone overlaps a range predicate.
+  *
+  * This is the manifest idea (reference: src/main.rs writes Key/Size/mtime
+  * per object) extended with COLUMN stats, the way Delta/Iceberg manifests
+  * drive data skipping: the stats table is one row per file — control-plane
+  * sized at any data scale — so overlap filtering is a driver-side planning
+  * step and the data-plane job opens only surviving files. Spark's own
+  * parquet reader skips row groups via pushed footers but still opens every
+  * file; at 100 TB with thousands of files behind a high-latency store,
+  * file-level planning off a manifest is the difference between O(files)
+  * and O(matching files) opens.
+  */
+object ZoneMap {
+
+  /** One row per parquet file under `dir`: (file, kmin, kmax) for `keyCol`.
+    * Built by scanning ONLY the key column (columnar projection), grouped
+    * on the file-constant `_metadata.file_path`, so the build reads one
+    * column of each file once — the writer-side cost of maintaining stats.
+    * In a production writer these rows are recorded at write time (the
+    * footer already holds them); recomputing here keeps the demo
+    * self-contained without a custom parquet footer reader. */
+  def statsManifest(s: SparkSession, dir: String, keyCol: String): DataFrame =
+    s.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file"), col(keyCol))
+      .groupBy("file")
+      .agg(min(col(keyCol)).as("kmin"), max(col(keyCol)).as("kmax"))
+
+  /** Read only the files whose [kmin, kmax] zone intersects [lo, hi].
+    * The stats manifest is collected driver-side — one row per file, the
+    * same control-plane footprint as Spark's own FileIndex — and the
+    * returned frame still needs the exact row-level predicate applied by
+    * the caller (zones admit whole files, not rows). */
+  def prunedRead(s: SparkSession, dir: String, keyCol: String,
+                 lo: Long, hi: Long): DataFrame = {
+    val files = statsManifest(s, dir, keyCol)
+      .filter(col("kmax") >= lo && col("kmin") <= hi)
+      .select("file").collect().map(_.getString(0)).sorted
+    if (files.isEmpty) s.read.parquet(dir).filter(lit(false))
+    else s.read.parquet(files.toIndexedSeq: _*)
+  }
+}

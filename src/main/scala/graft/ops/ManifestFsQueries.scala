@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.manifest.ManifestGen
+import graft.manifest.{ManifestGen, ZoneMap}
 import graft.streaming.StreamingPipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -265,6 +265,46 @@ object ManifestFsQueries {
         StreamingPipelines.eventsStream(s, d))
       StreamingPipelines.runAppendToCompletion(s, joined)
         .orderBy("user_id", "view_id", "click_id")
+    }),
+
+    // Stream-static enrichment: the events STREAM joined per-micro-batch to
+    // a broadcast static dimension (customer), then aggregated per segment.
+    // The canonical streaming-ETL shape: the dim never shuffles the stream
+    // (broadcast hash join inside each batch), join state is zero (static
+    // side is not stateful), and the only stateful op is the final agg.
+    // At 100 TB/day the stream side stays map-only until the segment agg.
+    "q108_stream_static_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = StreamingPipelines.eventsStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      StreamingPipelines.runToCompletion(s, enriched)
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
+    // Manifest-with-column-stats data skipping (zone maps): compact the
+    // documents table into disjoint doc_id ranges, record a per-FILE
+    // (min, max) stats manifest — the Delta/Iceberg planning pattern built
+    // on the reference's manifest concept — then answer a selective range
+    // query by reading ONLY the files whose zone overlaps the predicate.
+    // The stats manifest is control-plane sized (one row per file at any
+    // data scale), so the overlap filter is a driver-side plan step, not a
+    // data-plane job; the pruned read touches 1 of 8 files here
+    // (ConnectorSpec pins the file-skipping). Result is pruning-invariant,
+    // which is exactly what the oracle on the base table checks.
+    "q109_zonemap_skipping" -> ((s, d) => {
+      val out = Scratch.dir("graft_zonemap")
+      Tables.documents(s, d)
+        .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(out)
+      val pruned = ZoneMap.prunedRead(s, out, "doc_id", lo = 0L, hi = 59L)
+      pruned.filter(col("doc_id").between(0, 59))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
     })
   )
 
@@ -379,6 +419,21 @@ object ManifestFsQueries {
            AND v.event_type = 'view' AND c.event_type = 'click'
            AND c.ts > v.ts
            AND epoch_us(c.ts) - epoch_us(v.ts) <= 600 * 1000000
-          ORDER BY v.user_id, view_id, click_id"""
+          ORDER BY v.user_id, view_id, click_id""",
+
+    "q108_stream_static_join" ->
+      s"""SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+            ${oSum("e.value")} AS total_value
+          FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
+
+    // Pruning-invariance is the contract: the zone-mapped read plus the
+    // residual predicate must equal the same predicate on the base table.
+    "q109_zonemap_skipping" ->
+      """SELECT lang, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM documents WHERE doc_id BETWEEN 0 AND 59
+          GROUP BY lang ORDER BY lang"""
   )
 }

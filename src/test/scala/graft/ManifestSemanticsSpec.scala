@@ -110,6 +110,33 @@ class ManifestSemanticsSpec extends SparkSpec {
     assert(partitions.length == 1, "planning should prune non-matching shards")
   }
 
+  test("zone-map stats manifest skips non-overlapping files, result pruning-invariant") {
+    val out = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    Tables.documents(spark, sf)
+      .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(out)
+    val stats = graft.manifest.ZoneMap.statsManifest(spark, out, "doc_id").collect()
+    assert(stats.length == 8, "one stats row per file")
+    // disjoint ranges (the compaction contract zone maps rely on)
+    val zones = stats.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(zones.sliding(2).forall(p => p.length < 2 || p(0)._2 < p(1)._1))
+    // a range hitting 1 of 8 zones plans exactly the overlapping file(s)
+    val hi = zones.head._2
+    val prunedFiles = graft.manifest.ZoneMap
+      .prunedRead(spark, out, "doc_id", 0L, hi)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(prunedFiles == 1, s"expected 1 file planned, got $prunedFiles")
+    // pruning-invariance: pruned read + residual predicate == base table
+    val viaZones = graft.manifest.ZoneMap.prunedRead(spark, out, "doc_id", 0L, hi)
+      .filter(col("doc_id").between(0L, hi)).select("doc_id").as[Long].collect().toSet
+    val base = Tables.documents(spark, sf)
+      .filter(col("doc_id").between(0L, hi)).select("doc_id").as[Long].collect().toSet
+    assert(viaZones == base)
+    // empty-overlap edge: no file qualifies, schema preserved, zero rows
+    val none = graft.manifest.ZoneMap.prunedRead(spark, out, "doc_id", -100L, -1L)
+    assert(none.count() == 0 && none.columns.contains("text"))
+  }
+
   test("manifest diff classifies added/removed/changed/unchanged") {
     import org.apache.spark.sql.functions.col
     val oldM = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("Key", "Size")
