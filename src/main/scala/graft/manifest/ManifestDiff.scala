@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object ManifestDiff {
 
+  /** MERGE/upsert — the apply half of [[diff]]: fold a changeset into a
+    * snapshot. Upserted Keys take the changeset's Size (insert-or-replace),
+    * deleted Keys drop, everything else carries over. One full-outer join
+    * plus one anti join, both keyed on Key, so the whole merge rides a
+    * single hash partitioning of the snapshot — at inventory scale this is
+    * how successive reference-tool runs maintain a canonical manifest
+    * without rewriting unchanged partitions' data.
+    * Inputs need (Key, Size); `deletes` needs Key. */
+  def merge(snapshot: DataFrame, upserts: DataFrame,
+            deletes: DataFrame): DataFrame = {
+    val s = snapshot.select(col("Key"), col("Size").as("old_size"))
+    val u = upserts.select(col("Key"), col("Size").as("new_size"))
+    s.join(u, Seq("Key"), "full_outer")
+      .select(col("Key"), coalesce(col("new_size"), col("old_size")).as("Size"))
+      .join(deletes.select(col("Key")), Seq("Key"), "left_anti")
+  }
+
   /** Inputs need (Key, Size) columns; any extra columns are ignored. */
   def diff(oldM: DataFrame, newM: DataFrame): DataFrame = {
     val o = oldM.select(col("Key"), col("Size").as("old_size"))

@@ -77,6 +77,43 @@ object ManifestFsQueries {
       graft.manifest.ManifestDiff.diff(oldM, newM).orderBy("Key")
     }),
 
+    // MERGE/upsert on an inventory snapshot: apply a changeset (upserts +
+    // deletes) to a manifest — the apply half of q95's diff. Plan shape:
+    // one full-outer + one anti join, both Key-keyed, one shuffle chain.
+    "q111_manifest_merge" -> ((s, d) => {
+      def keyCol = concat(col("source"), lit("/"), col("doc_id").cast("string"), lit(".txt"))
+      val docs = Tables.documents(s, d)
+      val snapshot = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(keyCol.as("Key"), col("n_chars").as("Size"))
+      val upserts = docs.filter(col("doc_id") % 5 === 0)
+        .select(keyCol.as("Key"), (col("n_chars") + lit(100)).as("Size"))
+      val deletes = docs.filter(col("doc_id") % 11 === 0).select(keyCol.as("Key"))
+      graft.manifest.ManifestDiff.merge(snapshot, upserts, deletes)
+        .orderBy("Key")
+    }),
+
+    // Bucketed co-located join as a GRADED query (PlanSpec separately pins
+    // the no-shuffle plan): both fact tables written bucketed on the join
+    // key, so the join consumes the on-disk hash partitioning instead of
+    // exchanging — at 100 TB this is the difference between a join that
+    // moves both tables and one that moves nothing.
+    "q110_bucketed_join" -> ((s, d) => {
+      val wh = Scratch.dir("graft_bkt_wh")
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li").saveAsTable("graft_li_bkt")
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/o").saveAsTable("graft_o_bkt")
+      s.table("graft_li_bkt")
+        .join(s.table("graft_o_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // CSV sink + source round-trip: Spark's CSV writer emits Java
     // Double.toString, which reparses to the identical double, so the
     // aggregate over the round-tripped data must equal the original.
@@ -426,6 +463,32 @@ object ManifestFsQueries {
             ${oSum("e.value")} AS total_value
           FROM events e JOIN customer c ON e.user_id = c.c_custkey
           GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
+
+    "q111_manifest_merge" ->
+      """WITH snap AS (
+            SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS Key,
+                   n_chars AS old_size
+            FROM documents WHERE doc_id % 7 <> 0),
+          ups AS (
+            SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS Key,
+                   n_chars + 100 AS new_size
+            FROM documents WHERE doc_id % 5 = 0),
+          dels AS (
+            SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS Key
+            FROM documents WHERE doc_id % 11 = 0),
+          merged AS (
+            SELECT Key, coalesce(new_size, old_size) AS Size
+            FROM snap FULL OUTER JOIN ups USING (Key))
+          SELECT Key, Size FROM merged
+          WHERE Key NOT IN (SELECT Key FROM dels)
+          ORDER BY Key""",
+
+    "q110_bucketed_join" ->
+      s"""SELECT o.o_orderpriority, count(*) AS n_items,
+            ${oSum("l.l_quantity")} AS sum_qty,
+            ${oSum("l.l_extendedprice")} AS sum_price
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1 ORDER BY o_orderpriority""",
 
     // Pruning-invariance is the contract: the zone-mapped read plus the
     // residual predicate must equal the same predicate on the base table.

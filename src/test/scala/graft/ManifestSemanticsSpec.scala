@@ -148,6 +148,15 @@ class ManifestSemanticsSpec extends SparkSpec {
       "c" -> "changed", "d" -> "added"))
   }
 
+  test("manifest merge: upsert replaces, insert adds, delete wins over upsert") {
+    val snap = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("Key", "Size")
+    val ups  = Seq(("b", 20L), ("d", 4L), ("e", 5L)).toDF("Key", "Size")
+    val dels = Seq(Tuple1("c"), Tuple1("e")).toDF("Key")
+    val m = graft.manifest.ManifestDiff.merge(snap, ups, dels)
+      .orderBy("Key").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(m.toSeq == Seq("a" -> 1L, "b" -> 20L, "d" -> 4L))
+  }
+
   test("partitioned manifest write prunes partitions on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     val m = ManifestGen.fromDir(spark, sf)
