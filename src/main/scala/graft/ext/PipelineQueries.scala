@@ -95,6 +95,41 @@ object PipelineQueries {
     // by deterministic hash order (seedless, cluster-size-independent —
     // the reproducible eval-set carve-out). One window shuffle keyed on
     // the stratum.
+    // Temperature-based domain mixing (alpha = 0.5): per-language quotas
+    // proportional to sqrt(n_lang) — the standard multilingual rebalancing
+    // that upsamples low-resource domains relative to proportional — then
+    // a deterministic md5-ordered carve of each quota. Cross-engine float
+    // hygiene: sqrt weights are snapped to DECIMAL(18,6) (identical IEEE
+    // sqrt, identical rounding in both engines), the weight total is an
+    // exact decimal sum, and the quota division runs in doubles built from
+    // those exact decimals — bit-identical in Spark and DuckDB. Stats and
+    // quotas are control-plane sized (one row per domain) and broadcast;
+    // the carve is one md5-ordered window per domain. At 100 TB you would
+    // replace the exact per-domain sort with an md5-threshold filter
+    // (accept iff hash < quota/n) and tolerate +-epsilon on the quota;
+    // the exact-window form is the auditable spec of that fast path.
+    "q112_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_l"))
+        .withColumn("w", sqrt(col("n_l").cast("double"))
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+      val wTot = stats.agg(sum(col("w")).as("w_tot"))
+      val quotas = stats.crossJoin(broadcast(wTot))
+        .select(col("lang"), col("n_l"),
+          floor(lit(200.0) * col("w").cast("double") / col("w_tot").cast("double"))
+            .cast("long").as("quota"))
+      val rw = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs.withColumn("rn", row_number().over(rw))
+        .join(broadcast(quotas), "lang")
+        .filter(col("rn") <= col("quota"))
+        .groupBy("lang")
+        .agg(first(col("n_l")).as("n_l"), first(col("quota")).as("quota"),
+          count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+        .orderBy("lang")
+    }),
+
     "q74_stratified_sample" -> ((s, d) => {
       val w = Window.partitionBy(col("lang"))
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
@@ -108,6 +143,28 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q112_temperature_mix" ->
+      """WITH stats AS (
+            SELECT lang, count(*) AS n_l,
+                   CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(18,6)) AS w
+            FROM documents GROUP BY lang),
+          quotas AS (
+            SELECT lang, n_l,
+                   CAST(floor(200.0 * CAST(w AS DOUBLE)
+                        / CAST((SELECT sum(w) FROM stats) AS DOUBLE)) AS BIGINT) AS quota
+            FROM stats),
+          ranked AS (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS rn
+            FROM documents)
+          SELECT r.lang, q.n_l, q.quota, count(*) AS n_sampled,
+                 CAST(sum(r.n_chars) AS BIGINT) AS sampled_chars
+          FROM ranked r JOIN quotas q USING (lang)
+          WHERE r.rn <= q.quota
+          GROUP BY 1, 2, 3 ORDER BY lang""",
+
     "q74_stratified_sample" ->
       """SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id FROM (
             SELECT lang, doc_id,

@@ -126,4 +126,46 @@ object StreamingPipelines {
           out.iterator
       }.toDF()
   }
+
+  /** Continuous inventory maintenance: fold each micro-batch of a listing
+    * stream (the reference tool's output, arriving incrementally) into a
+    * canonical manifest snapshot via [[graft.manifest.ManifestDiff.merge]].
+    * A re-listed Key (object overwritten with a newer mtime) upserts its
+    * new Size; unchanged keys carry over without rewriting.
+    *
+    * Snapshots are versioned dirs `v0, v1, …` under `root`: a parquet dir
+    * cannot be overwritten while it is the read side of the merge, so each
+    * batch writes `v(n+1)` from `v(n)` and then retires `v(n-1)` — at most
+    * two versions ever exist, and the previous version stays readable
+    * until the new one is fully committed (the same
+    * write-new-then-swap-pointer discipline table formats use; a real
+    * deployment would commit the pointer to a catalog instead of a
+    * volatile field). Usable directly as a `foreachBatch` sink. */
+  final class ManifestMaintainer(spark: SparkSession, root: String)
+      extends ((DataFrame, Long) => Unit) with Serializable {
+    @volatile private var version: Int = -1
+
+    /** The latest committed snapshot (None before the first batch). */
+    def current(): Option[DataFrame] =
+      if (version < 0) None else Some(spark.read.parquet(s"$root/v$version"))
+
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val updates = batch.select(col("Key"), col("Size"))
+      val next = current() match {
+        case None => updates
+        case Some(snap) =>
+          graft.manifest.ManifestDiff.merge(snap, updates, updates.limit(0).select("Key"))
+      }
+      val v = version + 1
+      next.write.mode("overwrite").parquet(s"$root/v$v")
+      version = v // commit: readers switch to the new snapshot
+      val retired = new java.io.File(s"$root/v${v - 2}")
+      if (retired.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); val _ = f.delete()
+        }
+        rm(retired)
+      }
+    }
+  }
 }

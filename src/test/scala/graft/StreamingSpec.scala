@@ -105,6 +105,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch manifest maintenance folds batches into one snapshot") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_maintain_src")
+    val snapRoot = Files.createTempDirectory("graft_maintain_snap").toString
+    def put(name: String, mtimeMs: Long, bytes: Int = 0): Unit = {
+      val p = dir.resolve(name)
+      Files.write(p, Array.fill[Byte](bytes)('x'))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
+    }
+    for (f <- 0 until 4) put(s"obj$f", 1700000000000L, bytes = f)
+    val maintainer = new graft.streaming.StreamingPipelines
+      .ManifestMaintainer(spark, snapRoot)
+    val q = spark.readStream.format("graft.sources.FsListSource")
+      .option("path", dir.toString).load()
+      .writeStream.outputMode("append").foreachBatch(maintainer).start()
+    try {
+      q.processAllAvailable()
+      val s1 = maintainer.current().get.collect()
+        .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+      assert(s1 == Map("obj0" -> 0L, "obj1" -> 1L, "obj2" -> 2L, "obj3" -> 3L))
+      // second wave: two new objects AND an overwrite of obj1 (newer
+      // mtime, bigger size) — the maintainer must upsert, not append
+      put("obj4", 1700000001000L, bytes = 40)
+      put("obj1", 1700000001000L, bytes = 11)
+      q.processAllAvailable()
+      val s2 = maintainer.current().get.collect()
+        .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+      assert(s2 == Map("obj0" -> 0L, "obj1" -> 11L, "obj2" -> 2L,
+        "obj3" -> 3L, "obj4" -> 40L))
+      // at most two snapshot versions on disk (older ones retired)
+      val versions = new java.io.File(snapRoot).list().count(_.startsWith("v"))
+      assert(versions <= 2, s"expected <= 2 retained versions, got $versions")
+    } finally q.stop()
+  }
+
   test("streaming inventory offset never rewinds after restart") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_offset")
