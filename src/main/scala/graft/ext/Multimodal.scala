@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column convention: media payloads travel as opaque `binary`
@@ -71,6 +72,42 @@ object Multimodal {
       decodeAll(s, media).orderBy("doc_id")
     }),
 
+    // Perceptual-hash near-dup over media payloads: the image-dedup shape.
+    // A real pipeline computes a 64-bit pHash from decoded pixels (similar
+    // images → small Hamming distance); the codec-free stand-in derives a
+    // 60-bit hash from the payload digest and PLANTS near-copies whose
+    // hash differs in exactly one bit (doc_id % 10, id + 200000) — what a
+    // re-encoded image's pHash looks like. Matching machinery is the real
+    // thing and is decoder-agnostic: 4×15-bit Hamming LSH bands (k bit
+    // flips leave ≥ 4−k bands intact, so 1-flip copies collide in 3 of
+    // 4), mega-bucket cap, candidates-only bit_count verification at
+    // Hamming ≤ 4. One shuffle on (band, value); no all-pairs path.
+    "q113_phash_neardup" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("phash"))
+      val planted = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          expr("phash ^ (CAST(1 AS BIGINT) << CAST(doc_id % 15 AS INT))").as("phash"))
+      val corpus = base.unionByName(planted)
+      val bands = corpus.select(col("doc_id"), col("phash"),
+          explode(expr("array(0, 1, 2, 3)")).as("band"))
+        .withColumn("bv", expr("(phash >> (band * 15)) & 32767"))
+      val bw = Window.partitionBy("band", "bv")
+      val capped = bands.withColumn("bkt_n", count(lit(1)).over(bw))
+        .filter(col("bkt_n") <= DedupQueries.DefaultMaxBucket).drop("bkt_n")
+      val l = capped.select(col("band"), col("bv"),
+        col("doc_id").as("id1"), col("phash").as("p1"))
+      val r = capped.select(col("band"), col("bv"),
+        col("doc_id").as("id2"), col("phash").as("p2"))
+      l.join(r, Seq("band", "bv")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          expr("bit_count(p1 ^ p2)").cast("int").as("hamming"))
+        .filter(col("hamming") <= 4)
+        .distinct()
+        .orderBy("id1", "id2")
+    }),
+
     // Frame sampling: fixed-stride byte windows over the binary payload
     // (the video-frame / audio-chunk extraction shape: explode an index,
     // slice the blob, fingerprint each slice).
@@ -108,6 +145,27 @@ object Multimodal {
             CASE ${hvSql(5)} % 3 WHEN 0 THEN 'rgb' WHEN 1 THEN 'gray'
                                  ELSE 'yuv' END AS fmt
           FROM documents ORDER BY doc_id""",
+
+    "q113_phash_neardup" ->
+      s"""WITH base AS (SELECT doc_id,
+                   ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash
+            FROM documents),
+          planted AS (SELECT doc_id + 200000 AS doc_id,
+                   xor(phash, (CAST(1 AS BIGINT) << CAST(doc_id % 15 AS INTEGER))) AS phash
+            FROM base WHERE doc_id % 10 = 0),
+          corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+          bands AS (SELECT doc_id, phash, band,
+                   (phash >> (band * 15)) & 32767 AS bv
+            FROM corpus, (SELECT unnest([0, 1, 2, 3]) AS band)),
+          capped AS (SELECT doc_id, phash, band, bv FROM (
+                   SELECT b.*, count(*) OVER (PARTITION BY band, bv) AS bkt_n
+                   FROM bands b) WHERE bkt_n <= ${DedupQueries.DefaultMaxBucket}),
+          cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+          SELECT id1, id2, hamming FROM cand
+          WHERE hamming <= 4 ORDER BY id1, id2""",
 
     "q72_frame_sample" ->
       """SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,

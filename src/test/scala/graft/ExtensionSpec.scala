@@ -281,6 +281,21 @@ class ExtensionSpec extends SparkSpec {
     assert(res.forall(_._3 >= 0.999), "planted copies must score ~1.0")
   }
 
+  test("phash near-dup finds exactly the planted one-bit-flipped copies") {
+    import spark.implicits._
+    val res = Multimodal.queries("q113_phash_neardup")(spark, sf)
+      .as[(Long, Long, Int)].collect()
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long].collect()
+      .map(v => (v, v + 200000L)).toSet
+    assert(res.map(r => (r._1, r._2)).toSet == expected,
+      s"got ${res.length} pairs, expected ${expected.size} planted")
+    // one flipped bit -> Hamming exactly 1; organic pairs (~30 bits apart)
+    // must not survive the <= 4 gate
+    assert(res.forall(_._3 == 1))
+  }
+
   test("contamination detector flags exactly the planted leaks") {
     import spark.implicits._
     val hits = ext.CurationQueries.queries("q101_contamination")(spark, sf)
