@@ -56,6 +56,38 @@ class PlanSpec extends SparkSpec {
       s"bloom filter must prune the scan below the join:\n${p.take(1500)}")
   }
 
+  test("q110 graded plan: the join consumes bucketing, no hash exchange") {
+    val df = SparkEntry.queries("q110_bucketed_join")(spark, sf)
+    df.collect() // builds the bucketed tables (memoized) and finalizes AQE
+    val p = df.queryExecution.executedPlan.toString
+    // the aggregate above the join may exchange on o_orderpriority; the
+    // JOIN KEYS must never re-shuffle (the scan's bucketing covers them)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join inputs must not re-shuffle:\n${p.take(2000)}")
+    // at fixture scale AQE may rightly downgrade to broadcast; what must
+    // hold at every scale is bucketed scans + no join-key exchange (the
+    // AQE-off sort-merge shape is pinned by the dedicated test below)
+    assert(p.contains("Bucketed: true"), "scans must consume the bucketing")
+  }
+
+  test("q112: domain quotas broadcast; the corpus is not shuffled twice") {
+    val df = SparkEntry.queries("q112_temperature_mix")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"control-plane quota table must broadcast:\n${p.take(1500)}")
+  }
+
+  test("q113: phash candidates ride one band-keyed join, capped table reused") {
+    val df = SparkEntry.queries("q113_phash_neardup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("reused"),
+      s"capped band table must be computed once:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q42: simhash plan has no broadcast of a corpus-derived table") {
     val p = plan("q42_simhash")
     assert(!p.contains("BroadcastHashJoin"),
