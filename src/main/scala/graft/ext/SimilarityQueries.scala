@@ -138,6 +138,43 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Top principal component by distributed power iteration — the PCA
+    // kernel of embedding whitening/compression. Each round is ONE
+    // map-only pass over the corpus: s_i = x_i·v − mu·v (row-local fold
+    // against the broadcast-literal direction), then a (dim)-keyed
+    // partial aggregate of x_ij·s_i — the corpus never row-shuffles; only
+    // 64 (dim, sum) cells move, so the round is scan-bound at 100 TB.
+    // Centering never materializes centered vectors: w = Σ x s − mu Σ s.
+    // The 64-double direction vector is driver-collected per round
+    // (control-plane, like q88's centroids). Cross-engine float hygiene:
+    // row folds are sequential doubles (DotProduct ≡ list_reduce), sums
+    // decimal-exact, and all driver scalar math uses the same operation
+    // order the oracle's unrolled SQL performs — bit-identical loadings.
+    "q114_power_iteration" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val mu = e.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(davg(col("x").cast("double"), 9).as("m"))
+        .orderBy("dim").collect().map(_.getDouble(1))
+      var v = Array.tabulate(Dims)(i => if (i == 0) 1.0 else 0.0)
+      for (_ <- 0 until PowerIterRounds) {
+        val muDotV = mu.zip(v).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+        val vLit = array(v.toIndexedSeq.map(lit): _*)
+        val scored = e.select(col("embedding"),
+          (VectorOps.dotSeq(col("embedding"), vLit) - lit(muDotV)).as("s"))
+        val a = scored
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")), col("s"))
+          .groupBy("dim").agg(graft.ops.dsum(col("x").cast("double") * col("s"), 6).as("a"))
+          .orderBy("dim").collect().map(_.getDouble(1))
+        val sSum = scored.agg(graft.ops.dsum(col("s"), 6)).collect()(0).getDouble(0)
+        val w = a.indices.map(j => a(j) - mu(j) * sSum).toArray
+        val nrm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+        v = w.map(_ / nrm)
+      }
+      import s.implicits._
+      v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+        .toDF("dim", "loading").orderBy("dim")
+    }),
+
     // One Lloyd (k-means) refinement round — the training loop that
     // produces q51's IVF centroids, with oracle parity: deterministic
     // seeds (vec_id < 8), cosine assignment against broadcast centroids
@@ -173,7 +210,52 @@ object SimilarityQueries {
     })
   )
 
+  /** Power-iteration rounds for q114. Two is enough to demonstrate the
+    * loop (the oracle unrolls the same count); production would iterate
+    * to a convergence tolerance. */
+  private val PowerIterRounds = 2
+  private val Dims = 64
+
+  /** Unrolled DuckDB twin of one power-iteration round: direction list in
+    * CTE `$prev`, produces `v$k`. Mirrors the Spark/driver math op-for-op
+    * (same folds, same decimal scales, same scalar operation order). */
+  private def powerIterSql(k: Int, prev: String): String = {
+    import graft.ops.oSum
+    s"""md$k AS (SELECT ${VectorOps.oDot("(SELECT ml FROM mul)", s"(SELECT vl FROM $prev)")} AS mdv),
+        s$k AS (SELECT vec_id, embedding,
+                  ${VectorOps.oDot("embedding", s"(SELECT vl FROM $prev)")} - (SELECT mdv FROM md$k) AS s
+                FROM x),
+        a$k AS (SELECT dim, ${oSum("CAST(v AS DOUBLE) * s", 6)} AS a
+                FROM (SELECT s, unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                             unnest(embedding) AS v
+                      FROM s$k)
+                GROUP BY dim),
+        ss$k AS (SELECT ${oSum("s", 6)} AS ss FROM s$k),
+        w$k AS (SELECT a$k.dim, a$k.a - mu.m * (SELECT ss FROM ss$k) AS w
+                FROM a$k JOIN mu USING (dim)),
+        n$k AS (SELECT ${VectorOps.oNorm("list(w ORDER BY dim)")} AS nrm FROM w$k),
+        v$k AS (SELECT list(w / (SELECT nrm FROM n$k) ORDER BY dim) AS vl FROM w$k)"""
+  }
+
   def oracles: Map[String, String] = Map(
+    "q114_power_iteration" -> {
+      val iters = (1 to PowerIterRounds)
+        .map(k => powerIterSql(k, if (k == 1) "v0" else s"v${k - 1}"))
+        .mkString(",\n")
+      s"""WITH x AS (SELECT vec_id, embedding FROM embeddings),
+          mu AS (SELECT dim, ${oAvg("CAST(v AS DOUBLE)", 9)} AS m
+                 FROM (SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                              unnest(embedding) AS v
+                       FROM x)
+                 GROUP BY dim),
+          mul AS (SELECT list(m ORDER BY dim) AS ml FROM mu),
+          v0 AS (SELECT list_transform(range(0, $Dims),
+                   i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END) AS vl),
+          $iters
+          SELECT dim, w / (SELECT nrm FROM n$PowerIterRounds) AS loading
+          FROM w$PowerIterRounds ORDER BY dim"""
+    },
+
     "q107_semantic_dedup" -> {
       val b0 = VectorOps.oSignBucket("embedding", 0, 12, 64)
       val b1 = VectorOps.oSignBucket("embedding", 12, 24, 64)

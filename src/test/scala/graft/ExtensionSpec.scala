@@ -281,6 +281,27 @@ class ExtensionSpec extends SparkSpec {
     assert(res.forall(_._3 >= 0.999), "planted copies must score ~1.0")
   }
 
+  test("power iteration yields a unit direction with higher variance than the seed") {
+    import spark.implicits._
+    val load = SimilarityQueries.queries("q114_power_iteration")(spark, sf)
+      .orderBy("dim").as[(Int, Double)].collect().map(_._2)
+    assert(math.abs(load.map(x => x * x).sum - 1.0) < 1e-9, "loadings must be unit-norm")
+    val rows = Tables.embeddings(spark, sf)
+      .select("embedding").as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
+    val n = rows.length
+    val dims = rows.head.length
+    val mu = Array.tabulate(dims)(j => rows.map(_(j)).sum / n)
+    def varAlong(v: Array[Double]): Double = {
+      val s = rows.map(r => r.indices.map(j => (r(j) - mu(j)) * v(j)).sum)
+      s.map(x => x * x).sum / n
+    }
+    val seed = Array.tabulate(dims)(i => if (i == 0) 1.0 else 0.0)
+    // the Rayleigh quotient is non-decreasing under power iteration and
+    // strictly grows unless the seed is already the top eigenvector
+    assert(varAlong(load) > varAlong(seed),
+      s"learned direction must beat the seed: ${varAlong(load)} vs ${varAlong(seed)}")
+  }
+
   test("phash near-dup finds exactly the planted one-bit-flipped copies") {
     import spark.implicits._
     val res = Multimodal.queries("q113_phash_neardup")(spark, sf)
