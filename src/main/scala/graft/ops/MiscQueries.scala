@@ -303,6 +303,27 @@ object MiscQueries {
            ORDER BY c.c_custkey""")
     }),
 
+    // Modern SQL session surface (Spark 4): a session VARIABLE feeding a
+    // named-PARAMETER query, with a lateral column alias reusing a
+    // just-computed projection. The oracle inlines the same constants —
+    // variables/parameters are session mechanics, not semantics.
+    "q115_sql_session" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("ord_sess")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_min_price DOUBLE DEFAULT 0.0")
+      s.sql("SET VARIABLE graft_min_price = 150000.0")
+      s.sql(
+        """SELECT o_orderpriority,
+                  count(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                  total / n AS avg_price -- lateral column alias
+           FROM ord_sess
+           WHERE o_totalprice > graft_min_price
+             AND year(o_orderdate) >= :min_year
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority""",
+        Map("min_year" -> 1994))
+    }),
+
     // Error-safe scalar functions (try_divide / try_cast /
     // try_element_at): malformed input yields NULL instead of a task
     // failure — at 100 TB one dirty row must never kill the job.
@@ -374,6 +395,14 @@ object MiscQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q115_sql_session" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+          FROM orders
+          WHERE o_totalprice > 150000.0 AND year(o_orderdate) >= 1994
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q08_try_functions" ->
       """SELECT l_orderkey, l_linenumber,
                 l_quantity / NULLIF(l_linenumber - l_linenumber, 0) AS div0,
