@@ -138,12 +138,22 @@ object StreamingPipelines {
     * batch writes `v(n+1)` from `v(n)` and then retires `v(n-1)` — at most
     * two versions ever exist, and the previous version stays readable
     * until the new one is fully committed (the same
-    * write-new-then-swap-pointer discipline table formats use; a real
-    * deployment would commit the pointer to a catalog instead of a
-    * volatile field). Usable directly as a `foreachBatch` sink. */
+    * write-new-then-swap-pointer discipline table formats use). The
+    * committed version is also persisted to `root/_CURRENT` (written to a
+    * temp file and atomically renamed), so a maintainer constructed over
+    * an existing root RESUMES from the last committed snapshot — paired
+    * with the stream's checkpointed offsets, a restart re-merges only the
+    * batches the checkpoint replays, not the whole history. Usable
+    * directly as a `foreachBatch` sink. */
   final class ManifestMaintainer(spark: SparkSession, root: String)
       extends ((DataFrame, Long) => Unit) with Serializable {
-    @volatile private var version: Int = -1
+    private val marker = java.nio.file.Paths.get(root, "_CURRENT")
+
+    @volatile private var version: Int = {
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toInt
+      else -1
+    }
 
     /** The latest committed snapshot (None before the first batch). */
     def current(): Option[DataFrame] =
@@ -158,6 +168,11 @@ object StreamingPipelines {
       }
       val v = version + 1
       next.write.mode("overwrite").parquet(s"$root/v$v")
+      val tmp = java.nio.file.Paths.get(root, "_CURRENT.tmp")
+      java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       version = v // commit: readers switch to the new snapshot
       val retired = new java.io.File(s"$root/v${v - 2}")
       if (retired.exists()) {

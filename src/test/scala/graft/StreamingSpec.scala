@@ -138,6 +138,13 @@ class StreamingSpec extends SparkSpec {
       // at most two snapshot versions on disk (older ones retired)
       val versions = new java.io.File(snapRoot).list().count(_.startsWith("v"))
       assert(versions <= 2, s"expected <= 2 retained versions, got $versions")
+      // restart: a NEW maintainer over the same root resumes the committed
+      // snapshot from the _CURRENT pointer instead of starting empty
+      val resumed = new graft.streaming.StreamingPipelines
+        .ManifestMaintainer(spark, snapRoot)
+      val s3 = resumed.current().get.collect()
+        .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+      assert(s3 == s2, "restarted maintainer must resume the committed snapshot")
     } finally q.stop()
   }
 
