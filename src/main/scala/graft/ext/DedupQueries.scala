@@ -234,6 +234,48 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact substring dedup via WINNOWING (the MOSS fingerprinting
+    // algorithm): pairs of docs sharing verbatim character runs — the
+    // exact-substring axis of dedup, complementary to word-gram Jaccard
+    // (q43, tokenization-sensitive) and MinHash (q41, approximate).
+    // Every 40-char window is a candidate, but only windows that are the
+    // MINIMUM of their 10-window neighborhood are kept as fingerprints —
+    // content-defined anchors, so two documents sharing any run of
+    // ≥ 40+10−1 chars are GUARANTEED a common fingerprint regardless of
+    // alignment, while the deduped/joined set shrinks ~10×. Selection
+    // compares raw substrings (UTF-8 order, identical both engines);
+    // md5 runs on the selected ~1/10 only. The fingerprint self-join is
+    // mega-bucket-capped and hash-keyed; n_shared counts distinct shared
+    // fingerprints. At 100 TB the winnow is one per-doc window pass
+    // (rows co-located with their document), and only fingerprints —
+    // not windows — cross the wire.
+    "q116_substring_dedup" -> ((s, d) => {
+      // winnow selection via a per-doc window min (rows frame). A map-only
+      // per-row formulation (array_min over the 10-window neighborhood
+      // recomputed from text) was measured 5× SLOWER: the window's one
+      // doc_id exchange+sort is far cheaper than 10× substring recompute
+      // per position.
+      val sub = corpus(s, d).filter(length(col("text")) >= 40)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, length(text) - 39)")).as("pos"), col("text"))
+        .select(col("doc_id"), col("pos"),
+          expr("substring(text, pos, 40)").as("w"))
+      val ww = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos").rowsBetween(-9, 0)
+      val fp = sub.withColumn("wmin", min(col("w")).over(ww))
+        .filter(col("w") === col("wmin"))
+        .select(col("doc_id"), md5(col("w")).as("h"))
+        .distinct()
+      val bw = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      val capped = fp.withColumn("n_docs", count(lit(1)).over(bw))
+        .filter(col("n_docs") <= DefaultMaxBucket).drop("n_docs")
+      val l = capped.select(col("h"), col("doc_id").as("id1"))
+      val r = capped.select(col("h"), col("doc_id").as("id2"))
+      l.join(r, "h").filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+        .orderBy("id1", "id2")
+    }),
+
     // Spark ML MinHashLSH near-dup (no oracle — see mlMinhash scaladoc).
     "q49_ml_minhash" -> ((s, d) => mlMinhash(s, d)),
 
@@ -363,6 +405,24 @@ object DedupQueries {
             SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst)
           SELECT id AS doc_id, min(r) AS cluster_id
           FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "q116_substring_dedup" ->
+      s"""WITH $corpusSql,
+          sub AS (SELECT doc_id, pos, substr(text, pos, 40) AS w
+                  FROM (SELECT doc_id, text,
+                               unnest(generate_series(1, len(text) - 39)) AS pos
+                        FROM corpus WHERE len(text) >= 40)),
+          fp AS (SELECT DISTINCT doc_id, md5(w) AS h FROM (
+                   SELECT doc_id, w,
+                          min(w) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS wmin
+                   FROM sub) WHERE w = wmin),
+          capped AS (SELECT doc_id, h FROM (
+                       SELECT f.*, count(*) OVER (PARTITION BY h) AS n_docs
+                       FROM fp f) WHERE n_docs <= $DefaultMaxBucket)
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+          FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 ORDER BY id1, id2""",
 
     "q43_ngram_jaccard" ->
       s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,

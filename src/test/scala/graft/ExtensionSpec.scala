@@ -302,6 +302,21 @@ class ExtensionSpec extends SparkSpec {
       s"learned direction must beat the seed: ${varAlong(load)} vs ${varAlong(seed)}")
   }
 
+  test("winnowing substring dedup catches every planted exact copy (guarantee length)") {
+    import spark.implicits._
+    val pairs = DedupQueries.queries("q116_substring_dedup")(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // winnowing guarantee: a shared run of >= 40+10-1 chars yields a
+    // shared fingerprint, so every doc of >= 49 chars MUST pair with its
+    // planted identical copy (+1M) regardless of window alignment
+    val expected = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 49)
+      .select(col("doc_id")).as[Long].collect()
+      .map(v => (v, v + 1000000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missed planted exact copies: ${expected.diff(pairs).take(5)}")
+  }
+
   test("phash near-dup finds exactly the planted one-bit-flipped copies") {
     import spark.implicits._
     val res = Multimodal.queries("q113_phash_neardup")(spark, sf)

@@ -157,6 +157,23 @@ class ManifestSemanticsSpec extends SparkSpec {
     assert(m.toSeq == Seq("a" -> 1L, "b" -> 20L, "d" -> 4L))
   }
 
+  test("property: merge keyset = (snapshot ∪ upserts) \\ deletes, upsert value wins") {
+    val keyGen = Gen.listOfN(40, Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(6)))
+    val keys = keyGen.sample.get.distinct
+    val third = math.max(keys.size / 3, 1)
+    val (snapKeys, upsKeys, delKeys) =
+      (keys.take(2 * third), keys.drop(third), keys.filter(_.hashCode % 3 == 0))
+    import spark.implicits._
+    val snap = snapKeys.map(k => (k, 1L)).toDF("Key", "Size")
+    val ups = upsKeys.map(k => (k, 2L)).toDF("Key", "Size")
+    val dels = delKeys.map(Tuple1(_)).toDF("Key")
+    val got = graft.manifest.ManifestDiff.merge(snap, ups, dels)
+      .as[(String, Long)].collect().toMap
+    val expected = (snapKeys.map(_ -> 1L).toMap ++ upsKeys.map(_ -> 2L).toMap)
+      .removedAll(delKeys)
+    assert(got == expected)
+  }
+
   test("partitioned manifest write prunes partitions on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     val m = ManifestGen.fromDir(spark, sf)
