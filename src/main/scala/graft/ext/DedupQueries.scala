@@ -234,36 +234,46 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // Exact substring dedup via WINNOWING (the MOSS fingerprinting
-    // algorithm): pairs of docs sharing verbatim character runs — the
+    // Exact substring dedup via winnowing-style content-defined
+    // fingerprints: pairs of docs sharing verbatim character runs — the
     // exact-substring axis of dedup, complementary to word-gram Jaccard
     // (q43, tokenization-sensitive) and MinHash (q41, approximate).
-    // Every 40-char window is a candidate, but only windows that are the
-    // MINIMUM of their 10-window neighborhood are kept as fingerprints —
-    // content-defined anchors, so two documents sharing any run of
-    // ≥ 40+10−1 chars are GUARANTEED a common fingerprint regardless of
-    // alignment, while the deduped/joined set shrinks ~10×. Selection
-    // compares raw substrings (UTF-8 order, identical both engines);
-    // md5 runs on the selected ~1/10 only. The fingerprint self-join is
-    // mega-bucket-capped and hash-keyed; n_shared counts distinct shared
-    // fingerprints. At 100 TB the winnow is one per-doc window pass
-    // (rows co-located with their document), and only fingerprints —
-    // not windows — cross the wire.
+    // Every 40-char window is a candidate; a window is kept as a
+    // fingerprint iff it is the minimum of its TRAILING 10-window frame
+    // OR of its LEADING 10-window frame. The two-sided rule makes the
+    // anchors alignment-free with a provable guarantee: in any shared run
+    // of ≥ 19 windows (= 58 chars), let q be the position of the run's
+    // minimal window — either ≥ 9 shared windows follow q (q's leading
+    // frame lies inside the run) or ≥ 9 precede it (q's trailing frame
+    // does); that frame's min is the run min itself, so BOTH documents
+    // select the identical fingerprint. (A trailing-only rule has no such
+    // guarantee: a lexicographically increasing stretch selects nothing.)
+    // Selection compares raw substrings (UTF-8 order, identical in both
+    // engines); md5 runs on the selected ~1/5 only. The fingerprint
+    // self-join is mega-bucket-capped and hash-keyed; n_shared counts
+    // distinct shared fingerprints. Wire cost, honestly: the winnow sorts
+    // the per-position window stream within doc partitions (one exchange
+    // of ~40× the corpus bytes); only fingerprints enter the distinct and
+    // the join. At 100 TB you bound that exchange by sharding the corpus
+    // and winnowing per shard with this same plan.
     "q116_substring_dedup" -> ((s, d) => {
-      // winnow selection via a per-doc window min (rows frame). A map-only
-      // per-row formulation (array_min over the 10-window neighborhood
-      // recomputed from text) was measured 5× SLOWER: the window's one
-      // doc_id exchange+sort is far cheaper than 10× substring recompute
-      // per position.
+      // winnow selection via per-doc window mins (two rows frames over ONE
+      // partition+sort — Spark fuses same-spec frames into one Window
+      // exec). A map-only per-row formulation (array_min over the
+      // neighborhood recomputed from text) was measured 5× SLOWER: the
+      // one doc_id exchange+sort beats 10× substring recompute per
+      // position.
       val sub = corpus(s, d).filter(length(col("text")) >= 40)
         .select(col("doc_id"),
           explode(expr("sequence(1, length(text) - 39)")).as("pos"), col("text"))
         .select(col("doc_id"), col("pos"),
           expr("substring(text, pos, 40)").as("w"))
-      val ww = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos").rowsBetween(-9, 0)
-      val fp = sub.withColumn("wmin", min(col("w")).over(ww))
-        .filter(col("w") === col("wmin"))
+      val base = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val fp = sub
+        .withColumn("tmin", min(col("w")).over(base.rowsBetween(-9, 0)))
+        .withColumn("lmin", min(col("w")).over(base.rowsBetween(0, 9)))
+        .filter(col("w") === col("tmin") || col("w") === col("lmin"))
         .select(col("doc_id"), md5(col("w")).as("h"))
         .distinct()
       val bw = org.apache.spark.sql.expressions.Window.partitionBy("h")
@@ -281,36 +291,62 @@ object DedupQueries {
 
     // Embedding near-dup: sign-LSH (2 bands × 12 hyperplane bits) →
     // candidate pairs → exact cosine → global top-20.
-    "q44_embedding_neardup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val sig = e.select(col("vec_id"), col("embedding"),
-        VectorOps.signBucket(col("embedding"), 0, 12, 64).as("band0"),
-        VectorOps.signBucket(col("embedding"), 12, 24, 64).as("band1"),
-        VectorOps.norm(col("embedding")).as("nrm"))
-      val bands = sig.select(col("vec_id"), col("embedding"), col("nrm"),
-          explode(array(
-            struct(lit(0).as("band"), col("band0").as("bh")),
-            struct(lit(1).as("band"), col("band1").as("bh")))).as("e2"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("e2.band").as("band"), col("e2.bh").as("bh"))
-      // same mega-bucket guard as the MinHash bands: a hyperplane cell
-      // shared by >cap vectors (near-identical embeddings — boilerplate
-      // again) would emit O(bucket²) pairs; drop it before the self-join
-      val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-      val capped = bands.withColumn("bkt_n", count(lit(1)).over(bw))
-        .filter(col("bkt_n") <= DefaultMaxBucket).drop("bkt_n")
-      val l = capped.select(col("band"), col("bh"), col("vec_id").as("id1"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val r = capped.select(col("band"), col("bh"), col("vec_id").as("id2"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      l.join(r, Seq("band", "bh")).filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          (VectorOps.dotSeq(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
-        .distinct()
+    "q44_embedding_neardup" -> ((s, d) =>
+      signLshCosineCandidates(Tables.embeddings(s, d))
         .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
-        .limit(20)
-    })
+        .limit(20))
   )
+
+  /** Sign-LSH cosine candidate machinery shared by q44 and
+    * [[SimilarityQueries]]' q107 (one implementation, one cap, one
+    * banding — a change lands in both or neither): 2×12-bit hyperplane
+    * bands, mega-bucket guard (a cell shared by >cap near-identical
+    * vectors would emit O(bucket²) pairs), one (band, bh)-keyed
+    * self-join, exact cosine on candidates only. Input needs
+    * (vec_id, embedding); returns DISTINCT (id1, id2, cos_sim). */
+  private[ext] def signLshCosineCandidates(vecs: DataFrame): DataFrame = {
+    val sig = vecs.select(col("vec_id"), col("embedding"),
+      VectorOps.signBucket(col("embedding"), 0, 12, 64).as("band0"),
+      VectorOps.signBucket(col("embedding"), 12, 24, 64).as("band1"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val bands = sig.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(
+          struct(lit(0).as("band"), col("band0").as("bh")),
+          struct(lit(1).as("band"), col("band1").as("bh")))).as("e2"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("e2.band").as("band"), col("e2.bh").as("bh"))
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val capped = bands.withColumn("bkt_n", count(lit(1)).over(bw))
+      .filter(col("bkt_n") <= DefaultMaxBucket).drop("bkt_n")
+    val l = capped.select(col("band"), col("bh"), col("vec_id").as("id1"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val r = capped.select(col("band"), col("bh"), col("vec_id").as("id2"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    l.join(r, Seq("band", "bh")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (VectorOps.dotSeq(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[signLshCosineCandidates]]: WITH-fragment defining
+    * `cand(id1, id2, cos_sim)` over the vectors CTE/table `src`. */
+  private[ext] def oSignLshCandSql(src: String): String = {
+    val b0 = VectorOps.oSignBucket("embedding", 0, 12, 64)
+    val b1 = VectorOps.oSignBucket("embedding", 12, 24, 64)
+    s"""sig AS (SELECT vec_id, embedding, $b0 AS band0, $b1 AS band1,
+                       ${VectorOps.oNorm("embedding")} AS nrm
+                FROM $src),
+        bands AS (SELECT vec_id, embedding, nrm, 0 AS band, band0 AS bh FROM sig
+                  UNION ALL
+                  SELECT vec_id, embedding, nrm, 1 AS band, band1 AS bh FROM sig),
+        bands_c AS (SELECT vec_id, embedding, nrm, band, bh FROM (
+                      SELECT b.*, count(*) OVER (PARTITION BY band, bh) AS bkt_n
+                      FROM bands b) WHERE bkt_n <= $DefaultMaxBucket),
+        cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+                        ${VectorOps.oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+                 FROM bands_c a JOIN bands_c b
+                   ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)"""
+  }
 
   /** Spark ML MinHashLSH variant of q41 (approxSimilarityJoin). The hash
     * family is Spark-internal (seeded, deterministic run-to-run but not
@@ -415,8 +451,10 @@ object DedupQueries {
           fp AS (SELECT DISTINCT doc_id, md5(w) AS h FROM (
                    SELECT doc_id, w,
                           min(w) OVER (PARTITION BY doc_id ORDER BY pos
-                                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS wmin
-                   FROM sub) WHERE w = wmin),
+                                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS tmin,
+                          min(w) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS lmin
+                   FROM sub) WHERE w = tmin OR w = lmin),
           capped AS (SELECT doc_id, h FROM (
                        SELECT f.*, count(*) OVER (PARTITION BY h) AS n_docs
                        FROM fp f) WHERE n_docs <= $DefaultMaxBucket)
@@ -438,24 +476,9 @@ object DedupQueries {
           JOIN sizes sb ON sb.doc_id = i1.id2
           ORDER BY i1.id1, i1.id2""",
 
-    "q44_embedding_neardup" -> {
-      val b0 = VectorOps.oSignBucket("embedding", 0, 12, 64)
-      val b1 = VectorOps.oSignBucket("embedding", 12, 24, 64)
-      s"""WITH sig AS (SELECT vec_id, embedding, $b0 AS band0, $b1 AS band1,
-                              ${VectorOps.oNorm("embedding")} AS nrm
-                       FROM embeddings),
-          bands AS (SELECT vec_id, embedding, nrm, 0 AS band, band0 AS bh FROM sig
-                    UNION ALL
-                    SELECT vec_id, embedding, nrm, 1 AS band, band1 AS bh FROM sig),
-          bands_c AS (SELECT vec_id, embedding, nrm, band, bh FROM (
-                        SELECT b.*, count(*) OVER (PARTITION BY band, bh) AS bkt_n
-                        FROM bands b) WHERE bkt_n <= $DefaultMaxBucket),
-          cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
-                          ${VectorOps.oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
-                   FROM bands_c a JOIN bands_c b
-                     ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
+    "q44_embedding_neardup" ->
+      s"""WITH ${oSignLshCandSql("embeddings")}
           SELECT id1, id2, cos_sim FROM cand
           ORDER BY cos_sim DESC, id1, id2 LIMIT 20"""
-    }
   )
 }

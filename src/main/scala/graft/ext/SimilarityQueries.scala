@@ -62,34 +62,16 @@ object SimilarityQueries {
     // (a positive scalar multiple lands on the same side of every random
     // hyperplane, so planted copies collide in ALL bands — recall 1.0 by
     // construction), exact cosine >= 0.99 on candidates only, survivor =
-    // smaller vec_id. At 100 TB the corpus shuffles once on (band, bh);
-    // no all-pairs path exists; the mega-bucket cap bounds the worst cell.
-    "q107_semantic_dedup" -> ((s, d) => {
-      val e = semCorpus(s, d)
-      val sig = e.select(col("vec_id"), col("embedding"),
-        VectorOps.signBucket(col("embedding"), 0, 12, 64).as("band0"),
-        VectorOps.signBucket(col("embedding"), 12, 24, 64).as("band1"),
-        VectorOps.norm(col("embedding")).as("nrm"))
-      val bands = sig.select(col("vec_id"), col("embedding"), col("nrm"),
-          explode(array(
-            struct(lit(0).as("band"), col("band0").as("bh")),
-            struct(lit(1).as("band"), col("band1").as("bh")))).as("e2"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("e2.band").as("band"), col("e2.bh").as("bh"))
-      val bw = Window.partitionBy(col("band"), col("bh"))
-      val capped = bands.withColumn("bkt_n", count(lit(1)).over(bw))
-        .filter(col("bkt_n") <= DedupQueries.DefaultMaxBucket).drop("bkt_n")
-      val l = capped.select(col("band"), col("bh"), col("vec_id").as("survivor_id"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val r = capped.select(col("band"), col("bh"), col("vec_id").as("removed_id"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      l.join(r, Seq("band", "bh")).filter(col("survivor_id") < col("removed_id"))
-        .select(col("survivor_id"), col("removed_id"),
-          (VectorOps.dotSeq(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+    // smaller vec_id. The band/cap/self-join machinery is
+    // [[DedupQueries.signLshCosineCandidates]], shared with q44. At
+    // 100 TB the corpus shuffles once on (band, bh); no all-pairs path
+    // exists; the mega-bucket cap bounds the worst cell.
+    "q107_semantic_dedup" -> ((s, d) =>
+      DedupQueries.signLshCosineCandidates(semCorpus(s, d))
         .filter(col("cos_sim") >= SemDupThreshold)
-        .distinct()
-        .orderBy("survivor_id", "removed_id")
-    }),
+        .select(col("id1").as("survivor_id"), col("id2").as("removed_id"),
+          col("cos_sim"))
+        .orderBy("survivor_id", "removed_id")),
 
     "q50_knn_brute" -> ((s, d) => {
       val n = normed(s, d)
@@ -161,11 +143,18 @@ object SimilarityQueries {
         val vLit = array(v.toIndexedSeq.map(lit): _*)
         val scored = e.select(col("embedding"),
           (VectorOps.dotSeq(col("embedding"), vLit) - lit(muDotV)).as("s"))
-        val a = scored
+        // Σs rides the SAME aggregation job as the per-dim sums: every dim
+        // group contains each row exactly once, so any group's dsum(s)
+        // equals the global Σs with identical decimal rounding — one
+        // corpus pass per round, not two
+        val rows = scored
           .select(posexplode(col("embedding")).as(Seq("dim", "x")), col("s"))
-          .groupBy("dim").agg(graft.ops.dsum(col("x").cast("double") * col("s"), 6).as("a"))
-          .orderBy("dim").collect().map(_.getDouble(1))
-        val sSum = scored.agg(graft.ops.dsum(col("s"), 6)).collect()(0).getDouble(0)
+          .groupBy("dim").agg(
+            graft.ops.dsum(col("x").cast("double") * col("s"), 6).as("a"),
+            graft.ops.dsum(col("s"), 6).as("ss"))
+          .orderBy("dim").collect()
+        val a = rows.map(_.getDouble(1))
+        val sSum = rows.head.getDouble(2)
         val w = a.indices.map(j => a(j) - mu(j) * sSum).toArray
         val nrm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
         v = w.map(_ / nrm)
@@ -256,27 +245,12 @@ object SimilarityQueries {
           FROM w$PowerIterRounds ORDER BY dim"""
     },
 
-    "q107_semantic_dedup" -> {
-      val b0 = VectorOps.oSignBucket("embedding", 0, 12, 64)
-      val b1 = VectorOps.oSignBucket("embedding", 12, 24, 64)
+    "q107_semantic_dedup" ->
       s"""WITH $semCorpusSql,
-          sig AS (SELECT vec_id, embedding, $b0 AS band0, $b1 AS band1,
-                         ${VectorOps.oNorm("embedding")} AS nrm
-                  FROM emb),
-          bands AS (SELECT vec_id, embedding, nrm, 0 AS band, band0 AS bh FROM sig
-                    UNION ALL
-                    SELECT vec_id, embedding, nrm, 1 AS band, band1 AS bh FROM sig),
-          bands_c AS (SELECT vec_id, embedding, nrm, band, bh FROM (
-                        SELECT b.*, count(*) OVER (PARTITION BY band, bh) AS bkt_n
-                        FROM bands b) WHERE bkt_n <= ${DedupQueries.DefaultMaxBucket}),
-          cand AS (SELECT DISTINCT a.vec_id AS survivor_id, b.vec_id AS removed_id,
-                          ${VectorOps.oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
-                   FROM bands_c a JOIN bands_c b
-                     ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
-          SELECT survivor_id, removed_id, cos_sim FROM cand
+          ${DedupQueries.oSignLshCandSql("emb")}
+          SELECT id1 AS survivor_id, id2 AS removed_id, cos_sim FROM cand
           WHERE cos_sim >= $SemDupThreshold
-          ORDER BY survivor_id, removed_id"""
-    },
+          ORDER BY survivor_id, removed_id""",
 
     "q50_knn_brute" ->
       s"""WITH $normedSql,

@@ -112,7 +112,10 @@ object ManifestFsQueries {
     "q110_bucketed_join" -> ((s, d) => {
       val (liTbl, oTbl) = bucketedTables.computeIfAbsent((s, d), _ => {
         val wh = Scratch.dir("graft_bkt_wh")
-        val tag = java.lang.Integer.toHexString(d.hashCode)
+        // full-content hash, not String.hashCode: two datasets colliding
+        // on hashCode would silently clobber each other's catalog tables
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
         val (li, o) = (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
         Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
           .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")

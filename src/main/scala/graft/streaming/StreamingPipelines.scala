@@ -155,7 +155,11 @@ object StreamingPipelines {
       else -1
     }
 
-    /** The latest committed snapshot (None before the first batch). */
+    /** The latest committed snapshot (None before the first batch).
+      * VALIDITY WINDOW: the returned frame is lazy and reads the current
+      * version's directory, which is retired two commits later — consume
+      * it (or `.cache()` + materialize) before the next two batches, or
+      * re-call `current()` for a fresh handle. */
     def current(): Option[DataFrame] =
       if (version < 0) None else Some(spark.read.parquet(s"$root/v$version"))
 

@@ -306,11 +306,12 @@ class ExtensionSpec extends SparkSpec {
     import spark.implicits._
     val pairs = DedupQueries.queries("q116_substring_dedup")(spark, sf)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
-    // winnowing guarantee: a shared run of >= 40+10-1 chars yields a
-    // shared fingerprint, so every doc of >= 49 chars MUST pair with its
-    // planted identical copy (+1M) regardless of window alignment
+    // two-sided winnowing guarantee: a shared run of >= 19 windows
+    // (= 58 chars) yields a shared fingerprint, so every doc of >= 58
+    // chars MUST pair with its planted identical copy (+1M) regardless
+    // of window alignment
     val expected = Tables.documents(spark, sf)
-      .filter(length(col("text")) >= 49)
+      .filter(length(col("text")) >= 58)
       .select(col("doc_id")).as[Long].collect()
       .map(v => (v, v + 1000000L)).toSet
     assert(expected.subsetOf(pairs),

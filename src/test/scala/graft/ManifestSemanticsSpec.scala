@@ -158,7 +158,10 @@ class ManifestSemanticsSpec extends SparkSpec {
   }
 
   test("property: merge keyset = (snapshot ∪ upserts) \\ deletes, upsert value wins") {
-    val keyGen = Gen.listOfN(40, Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(6)))
+    // nonEmptyListOf, not suchThat(_.nonEmpty): a failing suchThat makes
+    // sample return None intermittently
+    val keyGen = Gen.listOfN(40,
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6)))
     val keys = keyGen.sample.get.distinct
     val third = math.max(keys.size / 3, 1)
     val (snapKeys, upsKeys, delKeys) =
