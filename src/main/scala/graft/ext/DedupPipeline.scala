@@ -62,4 +62,30 @@ object DedupPipeline {
     val pairs = DedupQueries.candidatePairsOf(DedupQueries.shinglesRawOf(corpus))
     DedupQueries.jaccardOf(pairs, DedupQueries.shinglesOf(corpus))
   }
+
+  /** Drop SEMANTIC duplicates over an embedding column: sign-LSH banded
+    * candidates (q107's machinery), exact cosine ≥ `threshold`, survivors
+    * keep the smallest id. Expects `idCol` orderable and `embCol` an
+    * Array[Float]. Edge-based survivor policy, like [[nearDedup]]. */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+                    threshold: Double = 0.99): DataFrame = {
+    val vecs = df.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val losers = DedupQueries.signLshCosineCandidates(vecs)
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id2").as("__loser")).distinct()
+    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+  }
+
+  /** Drop docs sharing a verbatim character run with a smaller-id doc:
+    * two-sided winnowing fingerprints (q116's machinery — shared runs of
+    * ≥ 58 chars are guaranteed to collide), at least `minShared` shared
+    * fingerprints to count as a duplicate. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     minShared: Long = 1L): DataFrame = {
+    val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val losers = DedupQueries.winnowedSubstringPairs(corpus)
+      .filter(col("n_shared") >= minShared)
+      .select(col("id2").as("__loser")).distinct()
+    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+  }
 }

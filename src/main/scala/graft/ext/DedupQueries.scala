@@ -256,35 +256,8 @@ object DedupQueries {
     // of ~40× the corpus bytes); only fingerprints enter the distinct and
     // the join. At 100 TB you bound that exchange by sharding the corpus
     // and winnowing per shard with this same plan.
-    "q116_substring_dedup" -> ((s, d) => {
-      // winnow selection via per-doc window mins (two rows frames over ONE
-      // partition+sort — Spark fuses same-spec frames into one Window
-      // exec). A map-only per-row formulation (array_min over the
-      // neighborhood recomputed from text) was measured 5× SLOWER: the
-      // one doc_id exchange+sort beats 10× substring recompute per
-      // position.
-      val sub = corpus(s, d).filter(length(col("text")) >= 40)
-        .select(col("doc_id"),
-          explode(expr("sequence(1, length(text) - 39)")).as("pos"), col("text"))
-        .select(col("doc_id"), col("pos"),
-          expr("substring(text, pos, 40)").as("w"))
-      val base = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val fp = sub
-        .withColumn("tmin", min(col("w")).over(base.rowsBetween(-9, 0)))
-        .withColumn("lmin", min(col("w")).over(base.rowsBetween(0, 9)))
-        .filter(col("w") === col("tmin") || col("w") === col("lmin"))
-        .select(col("doc_id"), md5(col("w")).as("h"))
-        .distinct()
-      val bw = org.apache.spark.sql.expressions.Window.partitionBy("h")
-      val capped = fp.withColumn("n_docs", count(lit(1)).over(bw))
-        .filter(col("n_docs") <= DefaultMaxBucket).drop("n_docs")
-      val l = capped.select(col("h"), col("doc_id").as("id1"))
-      val r = capped.select(col("h"), col("doc_id").as("id2"))
-      l.join(r, "h").filter(col("id1") < col("id2"))
-        .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
-        .orderBy("id1", "id2")
-    }),
+    "q116_substring_dedup" -> ((s, d) =>
+      winnowedSubstringPairs(corpus(s, d)).orderBy("id1", "id2")),
 
     // Spark ML MinHashLSH near-dup (no oracle — see mlMinhash scaladoc).
     "q49_ml_minhash" -> ((s, d) => mlMinhash(s, d)),
@@ -296,6 +269,38 @@ object DedupQueries {
         .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
         .limit(20))
   )
+
+  /** Two-sided winnowing fingerprint pairs — q116's machinery, also
+    * behind [[DedupPipeline.substringDedup]]. Expects (doc_id, text);
+    * returns (id1, id2, n_shared) with id1 < id2.
+    *
+    * Winnow selection via per-doc window mins (two rows frames over ONE
+    * partition+sort — Spark fuses same-spec frames into one Window exec).
+    * A map-only per-row formulation (array_min over the neighborhood
+    * recomputed from text) was measured 5× SLOWER: the one doc_id
+    * exchange+sort beats 10× substring recompute per position. */
+  private[ext] def winnowedSubstringPairs(docs: DataFrame): DataFrame = {
+    val sub = docs.filter(length(col("text")) >= 40)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 39)")).as("pos"), col("text"))
+      .select(col("doc_id"), col("pos"),
+        expr("substring(text, pos, 40)").as("w"))
+    val base = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val fp = sub
+      .withColumn("tmin", min(col("w")).over(base.rowsBetween(-9, 0)))
+      .withColumn("lmin", min(col("w")).over(base.rowsBetween(0, 9)))
+      .filter(col("w") === col("tmin") || col("w") === col("lmin"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+      .distinct()
+    val bw = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val capped = fp.withColumn("n_docs", count(lit(1)).over(bw))
+      .filter(col("n_docs") <= DefaultMaxBucket).drop("n_docs")
+    val l = capped.select(col("h"), col("doc_id").as("id1"))
+    val r = capped.select(col("h"), col("doc_id").as("id2"))
+    l.join(r, "h").filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+  }
 
   /** Sign-LSH cosine candidate machinery shared by q44 and
     * [[SimilarityQueries]]' q107 (one implementation, one cap, one

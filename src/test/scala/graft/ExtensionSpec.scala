@@ -176,6 +176,27 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup and substringDedup drop planted copies, keep originals") {
+    // semantic: scaled copies (same direction, cosine ~1) must drop
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val scaled = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+    val sem = ext.DedupPipeline.semanticDedup(
+      emb.unionByName(scaled), "vec_id", "embedding")
+    assert(sem.count() == emb.count())
+    assert(sem.filter(col("vec_id") >= 100000L).count() == 0)
+    // substring: identical copies share every fingerprint and must drop
+    val docs = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 58).select("doc_id", "text")
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val sub = ext.DedupPipeline.substringDedup(
+      docs.unionByName(copies), "doc_id", "text")
+    assert(sub.filter(col("doc_id") >= 1000000L).count() == 0,
+      "every verbatim copy must be dropped")
+    assert(sub.count() <= docs.count())
+  }
+
   test("clusterDedup keeps exactly one representative per near-dup cluster") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .filter(col("doc_id") < 50)
