@@ -130,6 +130,27 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // RAG/embedding-prep chunking: overlapping fixed-size word windows
+    // (32 words, stride 24 → 8-word overlap) with stable provenance
+    // (doc_id, chunk_idx) and a content hash per chunk — the shape every
+    // retrieval pipeline feeds its embedder. Pure explode + slice:
+    // map-side only, no shuffle until the final order; at 100 TB this is
+    // a scan-bound pass emitting ~len/stride rows per doc.
+    "q117_doc_chunking" -> ((s, d) => {
+      val (size_, stride) = (32, 24)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), col("words"),
+          explode(expr(s"sequence(0, greatest(size(words) - 1, 0), $stride)")).as("off"))
+        .select(col("doc_id"), (col("off") / stride).cast("int").as("chunk_idx"),
+          expr(s"slice(words, off + 1, $size_)").as("cw"))
+        .filter(size(col("cw")) > 0)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("cw")).as("n_words"),
+          md5(concat_ws(" ", col("cw"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q74_stratified_sample" -> ((s, d) => {
       val w = Window.partitionBy(col("lang"))
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
@@ -143,6 +164,20 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q117_doc_chunking" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+          c AS (SELECT doc_id,
+                       CAST(off / 24 AS INTEGER) AS chunk_idx,
+                       words[off + 1 : off + 32] AS cw
+                FROM (SELECT doc_id, words,
+                             unnest(generate_series(0, greatest(len(words) - 1, 0), 24)) AS off
+                      FROM w))
+          SELECT doc_id, chunk_idx,
+                 CAST(len(cw) AS INTEGER) AS n_words,
+                 md5(array_to_string(cw, ' ')) AS chunk_md5
+          FROM c WHERE len(cw) > 0
+          ORDER BY doc_id, chunk_idx""",
+
     "q112_temperature_mix" ->
       """WITH stats AS (
             SELECT lang, count(*) AS n_l,
