@@ -35,6 +35,11 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   *    consecutive failed probes the exception propagates and fails the
   *    query — a deleted path or expired credentials must not look like an
   *    idle stream forever;
+  *  - `.option("maxObjectsPerTrigger", n)` bounds each batch: the probe
+  *    advances the watermark to the ~n-th new mtime (quantile cutoff)
+  *    instead of the max, so an initial 10M-object backfill drains as a
+  *    sequence of bounded batches rather than one giant one. Approximate
+  *    and mtime-granular; see [[probeMaxMtime]];
   *  - a pushed Key prefix scopes the probe too: the offset tracks only the
   *    subscribed subset, and the probe listing is shard-pruned to it. The
   *    checkpointed offset does NOT record the prefix, so restarting a
@@ -45,7 +50,8 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   *    change across a checkpoint restart. Start a fresh checkpoint to
   *    change the subscription.
   */
-class FsListMicroBatchStream(path: String, batchScan: FsListScan)
+class FsListMicroBatchStream(path: String, batchScan: FsListScan,
+                             maxPerTrigger: Option[Long] = None)
     extends MicroBatchStream {
 
   /** Monotone high-water mark. Restart-durable via [[deserializeOffset]]:
@@ -64,7 +70,7 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan)
 
   private def probeMaxMtime(): Long =
     try {
-      import org.apache.spark.sql.functions.{col, max, unix_millis}
+      import org.apache.spark.sql.functions.{col, count, expr, lit, max, unix_millis}
       val spark = org.apache.spark.sql.SparkSession.active
       val base = spark.read.format("graft.sources.FsListSource")
         .option("path", path).load()
@@ -75,9 +81,39 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan)
       // the boundary-mtime miss window for in-prefix objects
       val scoped = batchScan.pushedPrefix
         .map(pre => base.filter(col("Key").startsWith(pre))).getOrElse(base)
-      val row = scoped.agg(max(unix_millis(col("LastModified")))).head()
+      val probed = maxPerTrigger match {
+        case None =>
+          val row = scoped.agg(max(unix_millis(col("LastModified")))).head()
+          if (row.isNullAt(0)) highWater else row.getLong(0)
+        case Some(n) =>
+          // bounded trigger: advance the watermark only ~n objects past
+          // the current mark. The cutoff is the n/backlog quantile of the
+          // NEW objects' mtimes, so a 10M-object backfill drains as many
+          // bounded batches instead of one. Approximate and mtime-
+          // granular (every object sharing the cutoff mtime rides along
+          // — same granularity the offset itself has), and progress is
+          // guaranteed: the quantile of a non-empty backlog is at least
+          // its minimum mtime. Costs one extra listing per throttled
+          // trigger; store-notification ingestion remains the production
+          // path for latency-sensitive pipelines.
+          val fresh = scoped
+            .select(unix_millis(col("LastModified")).as("mt"))
+            .filter(col("mt") > highWater)
+          val stats = fresh.agg(count(lit(1)), max(col("mt"))).head()
+          val backlog = stats.getLong(0)
+          if (backlog == 0L) highWater
+          else if (backlog <= n) stats.getLong(1)
+          else {
+            val frac = n.toDouble / backlog
+            val cut = fresh
+              .agg(expr(s"percentile_approx(mt, $frac, 10000)")).head().getLong(0)
+            FsListMicroBatchStream.log.info(
+              s"fslist bounded trigger: backlog=$backlog, emitting mtimes <= $cut (~$n objects)")
+            cut
+          }
+      }
       consecutiveProbeFailures.set(0)
-      if (row.isNullAt(0)) highWater else row.getLong(0)
+      probed
     } catch {
       // transient mid-stream failure (tree mutating, brief store error):
       // no-op trigger, the next one retries. The FIRST probe propagates
@@ -105,6 +141,13 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FsListOffset].maxMtimeMs
     val e = end.asInstanceOf[FsListOffset].maxMtimeMs
+    // bump the END at plan time, not just at commit: the engine may probe
+    // the next trigger's latestOffset before committing this batch, and a
+    // bounded-trigger probe computed against a stale mark would re-derive
+    // the same cutoff and stall the drain. Safe for restarts: a replayed
+    // batch arrives through the offset log with explicit (start, end),
+    // never through latestOffset.
+    bump(e)
     bump(s)
     if (e <= s) Array.empty
     else batchScan.planInputPartitions().map {

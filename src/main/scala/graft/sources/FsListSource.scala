@@ -37,20 +37,25 @@ class FsListSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new FsListTable(properties.get("path"),
-      Option(properties.get("delimiter")).getOrElse("/"))
+      Option(properties.get("delimiter")).getOrElse("/"),
+      Option(properties.get("maxObjectsPerTrigger")).map(_.toLong))
 }
 
-class FsListTable(path: String, delimiter: String) extends Table with SupportsRead {
+class FsListTable(path: String, delimiter: String,
+                  maxPerTrigger: Option[Long] = None)
+    extends Table with SupportsRead {
   require(path != null, "fslist requires .option(\"path\", ...)")
+  require(maxPerTrigger.forall(_ > 0), "maxObjectsPerTrigger must be positive")
   override def name(): String = s"fslist($path)"
   override def schema(): StructType = graft.manifest.ManifestGen.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FsListScanBuilder(path, delimiter)
+    new FsListScanBuilder(path, delimiter, maxPerTrigger)
 }
 
-class FsListScanBuilder(path: String, delimiter: String)
+class FsListScanBuilder(path: String, delimiter: String,
+                        maxPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var prefix: Option[String] = None
@@ -74,12 +79,14 @@ class FsListScanBuilder(path: String, delimiter: String)
     * stopping pagination early). Spark applies the global limit on top. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
-  override def build(): Scan = new FsListScan(path, delimiter, prefix, required, limit)
+  override def build(): Scan =
+    new FsListScan(path, delimiter, prefix, required, limit, maxPerTrigger)
 }
 
 class FsListScan(path: String, delimiter: String, prefix: Option[String],
                  required: StructType = graft.manifest.ManifestGen.schema,
-                 limit: Option[Int] = None)
+                 limit: Option[Int] = None,
+                 maxPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -92,7 +99,7 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     * [[FsListMicroBatchStream]] for offset semantics and caveats). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FsListMicroBatchStream(path, this)
+    new FsListMicroBatchStream(path, this, maxPerTrigger)
 
   /** The session's Hadoop configuration — this is where S3A credentials,
     * endpoints, and per-bucket overrides live (spark.hadoop.* /

@@ -148,6 +148,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxObjectsPerTrigger drains a backlog in bounded batches") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_bounded")
+    for (f <- 0 until 6) {
+      val p = Files.createFile(dir.resolve(s"obj$f"))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(1700000000000L + f * 1000))
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.Set.empty[String]
+    val q = spark.readStream.format("graft.sources.FsListSource")
+      .option("path", dir.toString)
+      .option("maxObjectsPerTrigger", "2").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val keys = b.select("Key").collect().map(_.getString(0))
+        if (keys.nonEmpty) { batchSizes += keys.length.toLong; seen ++= keys }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.size == 6, s"all objects must be emitted exactly once, got $seen")
+      assert(batchSizes.length >= 2,
+        s"a 6-object backlog at maxObjectsPerTrigger=2 must take several batches: $batchSizes")
+      assert(batchSizes.forall(_ <= 4),
+        s"each batch must stay near the bound (mtime-granular): $batchSizes")
+    } finally q.stop()
+  }
+
   test("streaming inventory offset never rewinds after restart") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_offset")
