@@ -315,6 +315,20 @@ object ManifestFsQueries {
         .orderBy("Bucket")
     }),
 
+    // The bounded-trigger drain path as a graded query: same continuous
+    // inventory as q106, but the backlog is forced through
+    // maxObjectsPerTrigger=3 micro-batches (the sf dir holds ~10 files,
+    // so several bounded batches run). The emitted UNION must equal the
+    // one-shot listing — throttling changes batch boundaries, never rows.
+    "q118_stream_inventory_bounded" -> ((s, d) => {
+      val inv = s.readStream.format("graft.sources.FsListSource")
+        .option("path", d).option("maxObjectsPerTrigger", "3").load()
+      StreamingPipelines.runAppendToCompletion(s, inv)
+        .groupBy("Bucket")
+        .agg(count(lit(1)).as("n_objects"), sum(col("Size")).as("total_bytes"))
+        .orderBy("Bucket")
+    }),
+
     // Stream-stream interval join: view→click funnel within 10 minutes,
     // watermarked both sides, Append mode; result equals the batch join.
     "q87_stream_join" -> ((s, d) => {
@@ -388,6 +402,12 @@ object ManifestFsQueries {
           FROM read_blob('$t2Dir/*')""",
 
     "q106_stream_inventory" ->
+      s"""SELECT '$SfBucketToken' AS Bucket,
+            count(*) AS n_objects,
+            CAST(sum(size) AS BIGINT) AS total_bytes
+          FROM read_blob('$t2Dir/*')""",
+
+    "q118_stream_inventory_bounded" ->
       s"""SELECT '$SfBucketToken' AS Bucket,
             count(*) AS n_objects,
             CAST(sum(size) AS BIGINT) AS total_bytes
