@@ -26,15 +26,22 @@ object DedupPipeline {
       .drop("__rn")
   }
 
+  /** Edge-based survivor policy shared by every dedup entry point: given
+    * verified duplicate pairs with id1 < id2, every id2 (the larger id of
+    * some verified pair) is dropped. One place to fix the policy. */
+  private def dropLosers(df: DataFrame, idCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("id2").as("__loser")).distinct()
+    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+  }
+
   /** Drop near-duplicates: MinHash-band candidates, exact shingle-Jaccard
     * verification at `threshold`, survivors keep the smallest id. */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
                 threshold: Double = 0.9): DataFrame = {
     val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val verified = jaccardOnCandidates(corpus)
-      .filter(col("jaccard") >= threshold)
-    val losers = verified.select(col("id2").as("__loser")).distinct()
-    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+    dropLosers(df, idCol,
+      jaccardOnCandidates(corpus).filter(col("jaccard") >= threshold))
   }
 
   /** Drop near-duplicates by CLUSTER: LSH candidates VERIFIED at
@@ -51,9 +58,8 @@ object DedupPipeline {
       .select("id1", "id2")
     val comps = GraphOps.connectedComponents(
       edges, corpus.select(col("doc_id").as("id")))
-    val losers = comps.filter(col("id") =!= col("comp"))
-      .select(col("id").as("__loser"))
-    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+    dropLosers(df, idCol, comps.filter(col("id") =!= col("comp"))
+      .select(col("comp").as("id1"), col("id").as("id2")))
   }
 
   /** Candidate pairs (MinHash LSH bands) with exact Jaccard — exposed for
@@ -66,26 +72,46 @@ object DedupPipeline {
   /** Drop SEMANTIC duplicates over an embedding column: sign-LSH banded
     * candidates (q107's machinery), exact cosine ≥ `threshold`, survivors
     * keep the smallest id. Expects `idCol` orderable and `embCol` an
-    * Array[Float]. Edge-based survivor policy, like [[nearDedup]]. */
+    * Array[Float]. Edge-based survivor policy, like [[nearDedup]].
+    *
+    * Zero-norm embeddings (failed embedding calls padded with zeros)
+    * yield NaN cosine, and both Spark and DuckDB order NaN above every
+    * number — without a guard a zero vector would "duplicate" everything
+    * in its bucket; NaN pairs are excluded, zero vectors always survive.
+    *
+    * `maxBucket`: a hyperplane cell holding more members than this is
+    * skipped, bounding the self-join at O(cap²) per cell. More than
+    * `maxBucket` near-identical vectors therefore dedup only partially —
+    * raise the cap (cost grows quadratically per cell) or run exact
+    * dedup on the embedding bytes first, which collapses exact copies
+    * before LSH ever sees them. */
   def semanticDedup(df: DataFrame, idCol: String, embCol: String,
-                    threshold: Double = 0.99): DataFrame = {
+                    threshold: Double = 0.99,
+                    maxBucket: Int = DedupQueries.DefaultMaxBucket): DataFrame = {
     val vecs = df.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-    val losers = DedupQueries.signLshCosineCandidates(vecs)
-      .filter(col("cos_sim") >= threshold)
-      .select(col("id2").as("__loser")).distinct()
-    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+    dropLosers(df, idCol,
+      DedupQueries.signLshCosineCandidates(vecs, maxBucket)
+        .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold))
   }
 
   /** Drop docs sharing a verbatim character run with a smaller-id doc:
-    * two-sided winnowing fingerprints (q116's machinery — shared runs of
-    * ≥ 58 chars are guaranteed to collide), at least `minShared` shared
-    * fingerprints to count as a duplicate. */
+    * two-sided winnowing fingerprints (q116's machinery), at least
+    * `minShared` shared fingerprints to count as a duplicate.
+    *
+    * Shared runs of ≥ 58 chars are guaranteed to collide UNLESS the
+    * fingerprint is shared by more than `maxBucket` docs — such
+    * mega-buckets (boilerplate headers, licenses) are skipped to bound
+    * the self-join, so a cluster of >`maxBucket` documents sharing ONLY
+    * boilerplate dedups partially. Whole-document copies are better
+    * collapsed by [[exactDedup]] first; raise the cap only when a
+    * >`maxBucket` boilerplate cluster genuinely must pair (cost is
+    * O(cap²) per fingerprint). */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
-                     minShared: Long = 1L): DataFrame = {
+                     minShared: Long = 1L,
+                     maxBucket: Int = DedupQueries.DefaultMaxBucket): DataFrame = {
     val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val losers = DedupQueries.winnowedSubstringPairs(corpus)
-      .filter(col("n_shared") >= minShared)
-      .select(col("id2").as("__loser")).distinct()
-    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+    dropLosers(df, idCol,
+      DedupQueries.winnowedSubstringPairs(corpus, maxBucket)
+        .filter(col("n_shared") >= minShared))
   }
 }

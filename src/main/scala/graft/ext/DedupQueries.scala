@@ -279,7 +279,8 @@ object DedupQueries {
     * A map-only per-row formulation (array_min over the neighborhood
     * recomputed from text) was measured 5× SLOWER: the one doc_id
     * exchange+sort beats 10× substring recompute per position. */
-  private[ext] def winnowedSubstringPairs(docs: DataFrame): DataFrame = {
+  private[ext] def winnowedSubstringPairs(
+      docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sub = docs.filter(length(col("text")) >= 40)
       .select(col("doc_id"),
         explode(expr("sequence(1, length(text) - 39)")).as("pos"), col("text"))
@@ -295,7 +296,7 @@ object DedupQueries {
       .distinct()
     val bw = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val capped = fp.withColumn("n_docs", count(lit(1)).over(bw))
-      .filter(col("n_docs") <= DefaultMaxBucket).drop("n_docs")
+      .filter(col("n_docs") <= maxBucket).drop("n_docs")
     val l = capped.select(col("h"), col("doc_id").as("id1"))
     val r = capped.select(col("h"), col("doc_id").as("id2"))
     l.join(r, "h").filter(col("id1") < col("id2"))
@@ -309,7 +310,8 @@ object DedupQueries {
     * vectors would emit O(bucket²) pairs), one (band, bh)-keyed
     * self-join, exact cosine on candidates only. Input needs
     * (vec_id, embedding); returns DISTINCT (id1, id2, cos_sim). */
-  private[ext] def signLshCosineCandidates(vecs: DataFrame): DataFrame = {
+  private[ext] def signLshCosineCandidates(
+      vecs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = vecs.select(col("vec_id"), col("embedding"),
       VectorOps.signBucket(col("embedding"), 0, 12, 64).as("band0"),
       VectorOps.signBucket(col("embedding"), 12, 24, 64).as("band1"),
@@ -322,7 +324,7 @@ object DedupQueries {
         col("e2.band").as("band"), col("e2.bh").as("bh"))
     val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
     val capped = bands.withColumn("bkt_n", count(lit(1)).over(bw))
-      .filter(col("bkt_n") <= DefaultMaxBucket).drop("bkt_n")
+      .filter(col("bkt_n") <= maxBucket).drop("bkt_n")
     val l = capped.select(col("band"), col("bh"), col("vec_id").as("id1"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val r = capped.select(col("band"), col("bh"), col("vec_id").as("id2"),

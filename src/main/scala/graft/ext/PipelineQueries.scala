@@ -138,10 +138,12 @@ object PipelineQueries {
     // a scan-bound pass emitting ~len/stride rows per doc.
     "q117_doc_chunking" -> ((s, d) => {
       val (size_, stride) = (32, 24)
+      // offsets stop at len - overlap - 1: a later chunk would be fully
+      // contained in its predecessor (duplicate content to the embedder)
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .select(col("doc_id"), col("words"),
-          explode(expr(s"sequence(0, greatest(size(words) - 1, 0), $stride)")).as("off"))
+          explode(expr(s"sequence(0, greatest(size(words) - ${size_ - stride + 1}, 0), $stride)")).as("off"))
         .select(col("doc_id"), (col("off") / stride).cast("int").as("chunk_idx"),
           expr(s"slice(words, off + 1, $size_)").as("cw"))
         .filter(size(col("cw")) > 0)
@@ -170,7 +172,7 @@ object PipelineQueries {
                        CAST(off / 24 AS INTEGER) AS chunk_idx,
                        words[off + 1 : off + 32] AS cw
                 FROM (SELECT doc_id, words,
-                             unnest(generate_series(0, greatest(len(words) - 1, 0), 24)) AS off
+                             unnest(generate_series(0, greatest(len(words) - 9, 0), 24)) AS off
                       FROM w))
           SELECT doc_id, chunk_idx,
                  CAST(len(cw) AS INTEGER) AS n_words,

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 
 /** Continuous inventory: the fslist listing as a Structured Streaming
   * micro-batch source. Each trigger emits the objects that appeared since
@@ -35,11 +35,13 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   *    consecutive failed probes the exception propagates and fails the
   *    query — a deleted path or expired credentials must not look like an
   *    idle stream forever;
-  *  - `.option("maxObjectsPerTrigger", n)` bounds each batch: the probe
-  *    advances the watermark to the ~n-th new mtime (quantile cutoff)
-  *    instead of the max, so an initial 10M-object backfill drains as a
-  *    sequence of bounded batches rather than one giant one. Approximate
-  *    and mtime-granular; see [[probeMaxMtime]];
+  *  - `.option("maxObjectsPerTrigger", n)` bounds each batch via
+  *    [[SupportsAdmissionControl]]: the probe advances the watermark to
+  *    the exact n-th new mtime instead of the max, so an initial
+  *    10M-object backfill drains as a sequence of bounded batches rather
+  *    than one giant one (mtime-granular; see [[probeMaxMtime]]), and
+  *    `Trigger.AvailableNow` drains the FULL backlog before stopping
+  *    because [[reportLatestOffset]] exposes the true end;
   *  - a pushed Key prefix scopes the probe too: the offset tracks only the
   *    subscribed subset, and the probe listing is shard-pruned to it. The
   *    checkpointed offset does NOT record the prefix, so restarting a
@@ -52,7 +54,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   */
 class FsListMicroBatchStream(path: String, batchScan: FsListScan,
                              maxPerTrigger: Option[Long] = None)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   /** Monotone high-water mark. Restart-durable via [[deserializeOffset]]:
     * restoring the checkpointed offset bumps the mark BEFORE the first
@@ -68,9 +70,17 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan,
     if (v > highWater) highWater = v
   }
 
-  private def probeMaxMtime(): Long =
+  /** Probe the next end offset. `sinceMs` is the current start mark;
+    * `bound` caps the batch at ~bound objects past it (None = take all).
+    * Either form is ONE distributed listing: unbounded probes a plain
+    * max-mtime aggregate; bounded takes the per-shard top-`bound` mtimes
+    * (TakeOrdered — `bound` rows reach the driver, and `bound` is the
+    * user's own per-trigger size) and returns their max, i.e. the exact
+    * `bound`-th new mtime. Mtime-granular like the offset itself: every
+    * object sharing the cutoff mtime rides along. */
+  private def probeMaxMtime(sinceMs: Long, bound: Option[Long]): Long =
     try {
-      import org.apache.spark.sql.functions.{col, count, expr, lit, max, unix_millis}
+      import org.apache.spark.sql.functions.{col, max, unix_millis}
       val spark = org.apache.spark.sql.SparkSession.active
       val base = spark.read.format("graft.sources.FsListSource")
         .option("path", path).load()
@@ -81,36 +91,18 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan,
       // the boundary-mtime miss window for in-prefix objects
       val scoped = batchScan.pushedPrefix
         .map(pre => base.filter(col("Key").startsWith(pre))).getOrElse(base)
-      val probed = maxPerTrigger match {
+      val probed = bound match {
         case None =>
           val row = scoped.agg(max(unix_millis(col("LastModified")))).head()
-          if (row.isNullAt(0)) highWater else row.getLong(0)
+          if (row.isNullAt(0)) sinceMs else math.max(row.getLong(0), sinceMs)
         case Some(n) =>
-          // bounded trigger: advance the watermark only ~n objects past
-          // the current mark. The cutoff is the n/backlog quantile of the
-          // NEW objects' mtimes, so a 10M-object backfill drains as many
-          // bounded batches instead of one. Approximate and mtime-
-          // granular (every object sharing the cutoff mtime rides along
-          // — same granularity the offset itself has), and progress is
-          // guaranteed: the quantile of a non-empty backlog is at least
-          // its minimum mtime. Costs one extra listing per throttled
-          // trigger; store-notification ingestion remains the production
-          // path for latency-sensitive pipelines.
-          val fresh = scoped
+          val cap = math.min(n, Int.MaxValue.toLong).toInt
+          val row = scoped
             .select(unix_millis(col("LastModified")).as("mt"))
-            .filter(col("mt") > highWater)
-          val stats = fresh.agg(count(lit(1)), max(col("mt"))).head()
-          val backlog = stats.getLong(0)
-          if (backlog == 0L) highWater
-          else if (backlog <= n) stats.getLong(1)
-          else {
-            val frac = n.toDouble / backlog
-            val cut = fresh
-              .agg(expr(s"percentile_approx(mt, $frac, 10000)")).head().getLong(0)
-            FsListMicroBatchStream.log.info(
-              s"fslist bounded trigger: backlog=$backlog, emitting mtimes <= $cut (~$n objects)")
-            cut
-          }
+            .filter(col("mt") > sinceMs)
+            .orderBy(col("mt")).limit(cap)
+            .agg(max(col("mt"))).head()
+          if (row.isNullAt(0)) sinceMs else row.getLong(0)
       }
       consecutiveProbeFailures.set(0)
       probed
@@ -124,31 +116,53 @@ class FsListMicroBatchStream(path: String, batchScan: FsListScan,
       // must not degrade into an infinite silent no-op either: each
       // swallowed failure is logged, and the cap rethrows.
       case e: Exception
-          if highWater >= 0 &&
+          if sinceMs >= 0 &&
             consecutiveProbeFailures.get + 1 < FsListMicroBatchStream.MaxConsecutiveProbeFailures =>
         val n = consecutiveProbeFailures.incrementAndGet()
         FsListMicroBatchStream.log.warn(
           s"fslist offset probe failed ($n consecutive, " +
             s"no-op trigger; fails at ${FsListMicroBatchStream.MaxConsecutiveProbeFailures}): $e")
-        highWater
+        sinceMs
     }
 
   override def initialOffset(): Offset = FsListOffset(-1L)
 
+  /** Admission control: the engine drives batch sizing through
+    * [[latestOffset(Offset, ReadLimit)]] and learns the TRUE backlog end
+    * from [[reportLatestOffset]] — which is what makes
+    * `Trigger.AvailableNow` correct under `maxObjectsPerTrigger`: the
+    * wrapper pins the full-backlog offset as its target and keeps
+    * triggering bounded batches until it is reached, instead of stopping
+    * after the first under-reported latestOffset. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = math.max(start.asInstanceOf[FsListOffset].maxMtimeMs, highWater)
+    val bound = limit match {
+      case r: ReadMaxRows => Some(r.maxRows())
+      case _ => None
+    }
+    FsListOffset(math.max(probeMaxMtime(s, bound), s))
+  }
+
+  /** The true high end of the backlog, regardless of the read limit. */
+  override def reportLatestOffset(): Offset =
+    FsListOffset(math.max(probeMaxMtime(highWater, None), highWater))
+
+  /** Unused once [[SupportsAdmissionControl]] is implemented — the engine
+    * calls the two-argument form. */
   override def latestOffset(): Offset =
-    FsListOffset(math.max(probeMaxMtime(), highWater))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this source")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FsListOffset].maxMtimeMs
     val e = end.asInstanceOf[FsListOffset].maxMtimeMs
-    // bump the END at plan time, not just at commit: the engine may probe
-    // the next trigger's latestOffset before committing this batch, and a
-    // bounded-trigger probe computed against a stale mark would re-derive
-    // the same cutoff and stall the drain. Safe for restarts: a replayed
-    // batch arrives through the offset log with explicit (start, end),
-    // never through latestOffset.
+    // keep the mark current from plan time (commit also bumps, later):
+    // the high-water mark is the defensive floor for probes and restart
+    // monotonicity, and end >= start so bumping the end covers both
     bump(e)
-    bump(s)
     if (e <= s) Array.empty
     else batchScan.planInputPartitions().map {
       case p: FsListPartition => p.copy(mtimeRange = Some((s, e))): InputPartition

@@ -177,6 +177,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the FULL backlog under maxObjectsPerTrigger") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_avnow")
+    for (f <- 0 until 7) {
+      val p = Files.createFile(dir.resolve(s"obj$f"))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(1700000000000L + f * 1000))
+    }
+    val name = "graft_avnow_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // an under-reporting latestOffset would make AvailableNow stop after
+    // ~3 objects and report clean completion — reportLatestOffset pins
+    // the true end, so the query must emit all 7 before terminating
+    val q = spark.readStream.format("graft.sources.FsListSource")
+      .option("path", dir.toString)
+      .option("maxObjectsPerTrigger", "3").load()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow query must terminate")
+      assert(spark.table(name).select("Key").distinct().count() == 7,
+        "the full backlog must drain before AvailableNow stops")
+    } finally q.stop()
+  }
+
   test("streaming inventory offset never rewinds after restart") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_offset")
@@ -187,7 +211,8 @@ class StreamingSpec extends SparkSpec {
     // sees nothing, but the restored high-water mark must hold — a
     // rewound offset log would re-emit any mtime-preserving re-appearance
     stream.deserializeOffset("""{"maxMtimeMs":1700000005000}""")
-    val latest = stream.latestOffset().asInstanceOf[graft.sources.FsListOffset]
+    val latest = stream.latestOffset(stream.initialOffset(),
+        stream.getDefaultReadLimit).asInstanceOf[graft.sources.FsListOffset]
     assert(latest.maxMtimeMs == 1700000005000L, "offset must not rewind")
     intercept[IllegalArgumentException] {
       graft.sources.FsListOffset.parse("""{"bogus":1}""")
@@ -205,11 +230,14 @@ class StreamingSpec extends SparkSpec {
     val cap = graft.sources.FsListMicroBatchStream.MaxConsecutiveProbeFailures
     // the first cap-1 failed probes are swallowed no-op triggers...
     for (_ <- 1 until cap) {
-      val o = stream.latestOffset().asInstanceOf[graft.sources.FsListOffset]
+      val o = stream.latestOffset(stream.initialOffset(),
+        stream.getDefaultReadLimit).asInstanceOf[graft.sources.FsListOffset]
       assert(o.maxMtimeMs == 1700000005000L, "failed probe must hold the high-water mark")
     }
     // ...the cap-th consecutive failure propagates and fails the query
-    intercept[Exception] { stream.latestOffset() }
+    intercept[Exception] {
+      stream.latestOffset(stream.initialOffset(), stream.getDefaultReadLimit)
+    }
   }
 
   test("offset probe is scoped to the pushed Key prefix") {
@@ -224,7 +252,8 @@ class StreamingSpec extends SparkSpec {
     put("b_out", 1700000009000L) // newer, but OUTSIDE the subscription
     val scan = new graft.sources.FsListScan(dir.toString, "/", Some(s"$dir/a"))
     val stream = new graft.sources.FsListMicroBatchStream(dir.toString, scan)
-    val latest = stream.latestOffset().asInstanceOf[graft.sources.FsListOffset]
+    val latest = stream.latestOffset(stream.initialOffset(),
+      stream.getDefaultReadLimit).asInstanceOf[graft.sources.FsListOffset]
     // an out-of-prefix object must not advance the offset (it would widen
     // the boundary-mtime miss window for in-prefix objects)
     assert(latest.maxMtimeMs == 1700000001000L,
