@@ -37,6 +37,7 @@ object SparkEntry {
       (ops.MiscQueries.queries, ops.MiscQueries.oracles),
       (ext.DedupQueries.queries, ext.DedupQueries.oracles),
       (ext.SimilarityQueries.queries, ext.SimilarityQueries.oracles),
+      (ext.GraphQueries.queries, ext.GraphQueries.oracles),
       (ext.TextQueries.queries, ext.TextQueries.oracles),
       (ext.Multimodal.queries, ext.Multimodal.oracles),
       (ext.PipelineQueries.queries, ext.PipelineQueries.oracles),

@@ -1,0 +1,99 @@
+package graft.ext
+
+import graft.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over a relationship graph derived from the
+  * fact tables — the web-graph/citation-style quality signal a curation
+  * pipeline feeds into document scoring (link-based quality weighting).
+  *
+  * q120 runs [[PageRankRounds]] damped PageRank rounds over the bipartite
+  * customer↔supplier trade graph (distinct (cust, supp) pairs from
+  * orders ⋈ lineitem, both directions, so every node has out-degree ≥ 1
+  * and no dangling-mass correction is needed for the demo).
+  *
+  * 100 TB design: the per-round cost is the Pregel-style message pass —
+  * edges ⋈ ranks shuffles on src, the contribution aggregate shuffles on
+  * dst; the edge table (the big side) carries its out-degree and can be
+  * pre-partitioned by src so every round reuses one exchange. The rank
+  * vector is |V| rows — orders of magnitude smaller than |E|. Nothing is
+  * ever collected to the driver; rounds are a fixed unrolled count here
+  * (production iterates to an L1-delta tolerance with the same plan).
+  *
+  * Cross-engine exactness: the recurrence runs in FIXED-POINT integer
+  * arithmetic — ranks in nano-rank units (1e9 = rank 1.0), contributions
+  * by truncating integer division (`DIV` ≡ DuckDB `//` for positives),
+  * damping as (85·Σ) DIV 100 — so every round is bit-exact in both
+  * engines with no float anywhere until the final display cast. Decimal
+  * casts (the q114 pattern) were tried first and are NOT enough here: a
+  * quotient like 1/1024 is exactly representable and ends in …5 at the
+  * cut digit, where Spark's decimal cast (HALF_UP) and DuckDB's
+  * (half-even) disagree, and double-space round() diverges too (Spark
+  * rounds via exact BigDecimal, DuckDB in float arithmetic). The 1e-9
+  * quantization error per edge is irrelevant to a ranking operator.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Unrolled PageRank rounds; enough to demonstrate convergence behavior
+    * while keeping the oracle CTE chain readable. */
+  private[ext] val PageRankRounds = 3
+
+  def queries: Map[String, Q] = Map(
+    "q120_pagerank" -> ((s, d) => {
+      val ebase = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("supp"))
+        .distinct()
+      val e = ebase.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(ebase.select(col("supp").as("src"), col("cust").as("dst")))
+      val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ew = e.join(od, "src")
+      val nodes = od.select(col("src").as("node"))
+      var ranks = nodes.withColumn("r", lit(1000000000L))
+      for (_ <- 1 to PageRankRounds) {
+        val contrib = ew.join(ranks, col("src") === col("node"))
+          .groupBy("dst").agg(sum(expr("r DIV outdeg")).as("cs"))
+        ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            expr("150000000 + (85 * coalesce(cs, 0)) DIV 100").as("r"))
+      }
+      ranks.select(col("node"), (col("r").cast("double") / lit(1e9)).as("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    })
+  )
+
+  /** One unrolled DuckDB PageRank round: nano-rank integers in CTE `$prev`
+    * (column r), produces `r$k`. `//` is DuckDB's integer division —
+    * truncating for positives exactly like Spark's `DIV`. */
+  private def prRoundSql(k: Int, prev: String): String =
+    s"""c$k AS (SELECT dst, sum(r // outdeg) AS cs
+                FROM ew JOIN $prev ON ew.src = $prev.node GROUP BY dst),
+        r$k AS (SELECT node, 150000000 + (85 * coalesce(cs, 0)) // 100 AS r
+                FROM nodes LEFT JOIN c$k ON c$k.dst = nodes.node)"""
+
+  def oracles: Map[String, String] = Map(
+    "q120_pagerank" -> {
+      val rounds = (1 to PageRankRounds)
+        .map(k => prRoundSql(k, if (k == 1) "r0" else s"r${k - 1}"))
+        .mkString(",\n")
+      s"""WITH ebase AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
+                                's' || CAST(l_suppkey AS VARCHAR) AS supp
+                         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          e AS (SELECT cust AS src, supp AS dst FROM ebase
+                UNION ALL
+                SELECT supp AS src, cust AS dst FROM ebase),
+          od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+          ew AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+          nodes AS (SELECT src AS node FROM od),
+          r0 AS (SELECT node, 1000000000 AS r FROM nodes),
+          $rounds
+          SELECT node, CAST(r AS DOUBLE) / 1e9 AS pr FROM r$PageRankRounds
+          ORDER BY pr DESC, node LIMIT 20"""
+    }
+  )
+}

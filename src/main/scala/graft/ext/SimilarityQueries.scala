@@ -120,6 +120,61 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Hybrid retrieval with reciprocal-rank fusion — the RAG serving shape:
+    // a lexical retriever and a vector retriever each produce a ranking per
+    // query; RRF fuses them without score calibration. Lexical side is an
+    // inverted-index join: distinct (doc, term) postings, df-weighted with
+    // INTEGER weights (wt = N − df, rarer ⇒ heavier — idf-flavored but
+    // exact, so the score sum is order-independent without decimal help),
+    // stop terms (df > N/10) dropped before the join exactly like q101's
+    // stop-gram cap — without it one ubiquitous term fans every query into
+    // every document. At 100 TB the posting join shuffles on TERM (the
+    // inverted-index sharding), the query side is tiny, and the semantic
+    // side is q50's broadcast-queries map-only scan; the fuse is a
+    // (qid, doc)-keyed outer join of two top-k-able rank lists.
+    "q119_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val words = docs.select(col("doc_id"),
+        explode(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("w"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val terms = words.groupBy("w").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 10 <= col("n_docs"))
+        .select(col("w"), (col("n_docs") - col("df")).as("wt"))
+      val qWords = words.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"), col("w"))
+      val lex = qWords.join(terms, "w").join(words, "w")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(sum(col("wt")).as("lex_score"))
+      val lw = Window.partitionBy("qid").orderBy(col("lex_score").desc, col("doc_id"))
+      val lexRank = lex.withColumn("lex_rank", row_number().over(lw))
+        .select("qid", "doc_id", "lex_rank")
+      val n = normed(s, d)
+      val q = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val sem = n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos_sim"))
+      val sw = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("doc_id"))
+      val semRank = sem.withColumn("sem_rank", row_number().over(sw))
+        .select("qid", "doc_id", "sem_rank")
+      // RRF: 1/(60+rank) per list, absent ⇒ 0. Integer ranks make each term
+      // a deterministic IEEE division; the two-term sum has a fixed order.
+      val fused = lexRank.join(semRank, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)))
+      val fw = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(fw))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("doc_id"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(0)).as("sem_rank"),
+          col("rrf"))
+        .orderBy("qid", "rank")
+    }),
+
     // Top principal component by distributed power iteration — the PCA
     // kernel of embedding whitening/compression. Each round is ONE
     // map-only pass over the corpus: s_i = x_i·v − mu·v (row-local fold
@@ -251,6 +306,47 @@ object SimilarityQueries {
           SELECT id1 AS survivor_id, id2 AS removed_id, cos_sim FROM cand
           WHERE cos_sim >= $SemDupThreshold
           ORDER BY survivor_id, removed_id""",
+
+    "q119_hybrid_rrf" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+          words AS (SELECT DISTINCT doc_id, w
+                    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM docs)
+                    WHERE w <> ''),
+          nd AS (SELECT count(*) AS n_docs FROM docs),
+          terms AS (SELECT w, (SELECT n_docs FROM nd) - df AS wt
+                    FROM (SELECT w, count(*) AS df FROM words GROUP BY w)
+                    WHERE df * 10 <= (SELECT n_docs FROM nd)),
+          qw AS (SELECT doc_id AS qid, w FROM words WHERE doc_id % 50 = 0),
+          lex AS (SELECT qw.qid, words.doc_id, sum(wt) AS lex_score
+                  FROM qw JOIN terms USING (w) JOIN words USING (w)
+                  WHERE words.doc_id <> qw.qid GROUP BY 1, 2),
+          lr AS (SELECT qid, doc_id,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY lex_score DESC, doc_id) AS lex_rank
+                 FROM lex),
+          $normedSql,
+          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+          sem AS (SELECT q.qid, n.vec_id AS doc_id,
+                         ${VectorOps.oDot("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cos_sim
+                  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+          sr AS (SELECT qid, doc_id,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos_sim DESC, doc_id) AS sem_rank
+                 FROM sem),
+          fused AS (SELECT coalesce(lr.qid, sr.qid) AS qid,
+                           coalesce(lr.doc_id, sr.doc_id) AS doc_id,
+                           lex_rank, sem_rank,
+                           coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), CAST(0 AS DOUBLE))
+                             + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem_rank), CAST(0 AS DOUBLE)) AS rrf
+                    FROM lr FULL OUTER JOIN sr
+                      ON lr.qid = sr.qid AND lr.doc_id = sr.doc_id)
+          SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id,
+                 CAST(coalesce(lex_rank, 0) AS INTEGER) AS lex_rank,
+                 CAST(coalesce(sem_rank, 0) AS INTEGER) AS sem_rank, rrf
+          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                             ORDER BY rrf DESC, doc_id) AS rank
+                FROM fused)
+          WHERE rank <= 5 ORDER BY qid, rank""",
 
     "q50_knn_brute" ->
       s"""WITH $normedSql,

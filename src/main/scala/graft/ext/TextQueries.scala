@@ -3,6 +3,7 @@ package graft.ext
 import graft.Tables
 import graft.ops.{davg, dsum, oAvg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language-ID
@@ -118,10 +119,92 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), davg(col("lp"), 6).as("lm_score"))
         .orderBy("doc_id")
+    }),
+
+    // One BPE tokenizer-training round at corpus scale: count adjacent
+    // symbol pairs over the WORD-TYPE table (the first groupBy collapses
+    // the corpus to its vocabulary — the standard BPE trick that makes
+    // every later round vocabulary-sized, not corpus-sized), pick the
+    // argmax pair (count desc, pair asc tie-break), apply the merge
+    // greedily, recount. Output: the chosen merge + top-20 pairs after it.
+    //
+    // Merge application is a LITERAL string replace, exact by
+    // construction: each symbol is rendered as " <sym>;" — the leading
+    // space and trailing ';' bound both ends (';' is outside the corpus
+    // alphabet, pinned by TextAnalysisSpec), and replace()'s left-to-right
+    // non-overlapping scan IS greedy BPE. A lookaround regex would need
+    // PCRE (DuckDB's RE2 has none); a fold over the symbol array has no
+    // DuckDB init-value twin — the delimited-string form works identically
+    // in both engines. At 100 TB: one corpus shuffle on word, then
+    // vocabulary-sized pair aggregations; the merge pair is a broadcast
+    // scalar.
+    "q121_bpe_merge" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val sym0 = words.select(
+        regexp_replace(col("word"), "(.)", " $1;").as("symstr"), col("n"))
+      def pairCounts(df: DataFrame): DataFrame =
+        df.withColumn("syms",
+            expr("filter(transform(split(symstr, ';'), x -> trim(x)), x -> x <> '')"))
+          .filter(size(col("syms")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("pair"),
+            col("n"))
+          .groupBy("pair").agg(sum(col("n")).as("cnt"))
+      val top1 = pairCounts(sym0).orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair").as("mp"))
+      val merged = sym0.crossJoin(broadcast(top1))
+        .select(expr(
+          "replace(symstr, ' ' || replace(mp, ' ', '; ') || ';', " +
+            "' ' || replace(mp, ' ', '') || ';')").as("symstr"),
+          col("n"))
+      val w = Window.orderBy(col("cnt").desc, col("pair"))
+      pairCounts(merged).crossJoin(broadcast(top1))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("pair"), col("cnt"), col("mp").as("first_merge"))
+        .orderBy("rank")
     })
   )
 
+  /** DuckDB twin of the q121 pair-count stage: adjacent symbol pairs of
+    * `$src.symstr`, weighted by word-type count `n`, as CTE `$out`. */
+  private def oPairCounts(src: String, out: String): String =
+    s"""$out AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+          SELECT list_element(syms, i) || ' ' || list_element(syms, i + 1) AS pair, n
+          FROM (SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i
+                FROM (SELECT syms, n FROM (
+                        SELECT list_filter(list_transform(str_split(symstr, ';'),
+                                                          x -> trim(x)),
+                                           x -> x <> '') AS syms, n
+                        FROM $src)
+                      WHERE len(syms) >= 2)))
+        GROUP BY pair)"""
+
   def oracles: Map[String, String] = Map(
+    "q121_bpe_merge" ->
+      s"""WITH w AS (SELECT word, count(*) AS n
+                     FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+                     WHERE word <> '' GROUP BY word),
+          s0 AS (SELECT regexp_replace(word, '(.)', ' ${"\\1"};', 'g') AS symstr, n FROM w),
+          ${oPairCounts("s0", "p0")},
+          top1 AS (SELECT pair AS mp FROM p0 ORDER BY cnt DESC, pair LIMIT 1),
+          m AS (SELECT replace(symstr,
+                               ' ' || replace((SELECT mp FROM top1), ' ', '; ') || ';',
+                               ' ' || replace((SELECT mp FROM top1), ' ', '') || ';') AS symstr,
+                       n
+                FROM s0),
+          ${oPairCounts("m", "p1")}
+          SELECT CAST(rank AS INTEGER) AS rank, pair, cnt,
+                 (SELECT mp FROM top1) AS first_merge
+          FROM (SELECT pair, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+                FROM p1)
+          WHERE rank <= 20 ORDER BY rank""",
+
     "q73_lm_score" ->
       s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents
                      WHERE len(str_split(text, ' ')) >= 2),

@@ -484,6 +484,73 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF fuses lexical and semantic ranks consistently") {
+    val res = ext.SimilarityQueries.queries("q119_hybrid_rrf")(spark, sf)
+      .as[(Long, Int, Long, Int, Int, Double)].collect()
+    val byQ = res.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    res.foreach { case (qid, _, docId, lr, sr, rrf) =>
+      assert(docId != qid)
+      // every fused row was retrieved by at least one side, and the RRF
+      // score recomputes exactly from the two ranks
+      assert(lr > 0 || sr > 0)
+      val want = (if (lr > 0) 1.0 / (60 + lr) else 0.0) +
+        (if (sr > 0) 1.0 / (60 + sr) else 0.0)
+      assert(rrf == want, s"q$qid d$docId: rrf $rrf != $want from ($lr, $sr)")
+    }
+    byQ.values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._6)
+      assert(byRank.zip(byRank.tail).forall(p => p._1 >= p._2),
+        "rrf not non-increasing in rank")
+    }
+  }
+
+  test("PageRank ranks stay above the teleport floor and come out sorted") {
+    val res = ext.GraphQueries.queries("q120_pagerank")(spark, sf)
+      .as[(String, Double)].collect()
+    assert(res.length == 20)
+    assert(res.forall { case (node, _) => node.matches("[cs][0-9]+") })
+    // 0.15 is the damped teleport floor; a top-20 node must exceed it
+    assert(res.forall(_._2 > 0.15))
+    assert(res.zip(res.tail).forall(p => p._1._2 >= p._2._2))
+  }
+
+  test("BPE merge replace is exactly greedy left-to-right") {
+    // identical-symbol run: " l; l; l;" merges the FIRST pair only
+    // (greedy non-overlapping), adjacent disjoint pairs both merge
+    val df = Seq(" l; l; l;", " a; b; a; b;", " x; ab; b;").toDF("symstr")
+    val got = df.select(expr(
+      "replace(symstr, ' ' || replace('l l', ' ', '; ') || ';', " +
+        "' ' || replace('l l', ' ', '') || ';')").as("l"),
+      expr("replace(symstr, ' ' || replace('a b', ' ', '; ') || ';', " +
+        "' ' || replace('a b', ' ', '') || ';')").as("ab"))
+      .as[(String, String)].collect()
+    assert(got(0)._1 == " ll; l;")
+    assert(got(1)._2 == " ab; ab;")
+    // boundary safety: "x ab b" must NOT merge inside the multi-char
+    // symbol "ab" — delimiters bound both symbol ends
+    assert(got(2)._2 == " x; ab; b;")
+  }
+
+  test("BPE corpus alphabet never contains the symbol delimiter") {
+    val n = Tables.documents(spark, sf)
+      .filter(col("text").contains(";") || col("text").contains("|")).count()
+    assert(n == 0, "documents.text contains the BPE delimiter — q121's " +
+      "literal-replace representation would be ambiguous")
+  }
+
+  test("BPE first merge disappears from the post-merge pair counts") {
+    val rows = ext.TextQueries.queries("q121_bpe_merge")(spark, sf).collect()
+    assert(rows.length == 20)
+    val firstMerge = rows.head.getString(3)
+    assert(rows.forall(_.getString(3) == firstMerge))
+    // every adjacent occurrence of the chosen pair was merged, so the
+    // pair itself can no longer appear in the recount
+    assert(!rows.map(_.getString(1)).contains(firstMerge))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall(p => p._1 >= p._2))
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
