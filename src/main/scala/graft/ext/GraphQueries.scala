@@ -43,11 +43,20 @@ object GraphQueries {
 
   def queries: Map[String, Q] = Map(
     "q120_pagerank" -> ((s, d) => {
+      // node ids stay LONG through every shuffle (parity-encoded:
+      // customers 2k, suppliers 2k+1 — disjoint even though both key
+      // spaces start at 0); the display string is rendered only on the
+      // final 20 rows. String keys in the per-round joins measured ~20%
+      // slower end-to-end.
+      // No checkpoint between rounds: AQE query-stage reuse already
+      // dedups the repeated edge-derivation exchanges (a localCheckpoint
+      // variant measured SLOWER — it pays an extra materialization per
+      // build and forfeits the reused exchange).
       val ebase = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("cust"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("supp"))
+        .select((col("o_custkey") * 2).as("cust"),
+          (col("l_suppkey") * 2 + 1).as("supp"))
         .distinct()
       val e = ebase.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(ebase.select(col("supp").as("src"), col("cust").as("dst")))
@@ -62,7 +71,10 @@ object GraphQueries {
           .select(col("node"),
             expr("150000000 + (85 * coalesce(cs, 0)) DIV 100").as("r"))
       }
-      ranks.select(col("node"), (col("r").cast("double") / lit(1e9)).as("pr"))
+      ranks.select(
+          concat(when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+            expr("node DIV 2").cast("string")).as("node"),
+          (col("r").cast("double") / lit(1e9)).as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(20)
     })
   )
@@ -81,8 +93,8 @@ object GraphQueries {
       val rounds = (1 to PageRankRounds)
         .map(k => prRoundSql(k, if (k == 1) "r0" else s"r${k - 1}"))
         .mkString(",\n")
-      s"""WITH ebase AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
-                                's' || CAST(l_suppkey AS VARCHAR) AS supp
+      s"""WITH ebase AS (SELECT DISTINCT o_custkey * 2 AS cust,
+                                l_suppkey * 2 + 1 AS supp
                          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
           e AS (SELECT cust AS src, supp AS dst FROM ebase
                 UNION ALL
@@ -92,7 +104,10 @@ object GraphQueries {
           nodes AS (SELECT src AS node FROM od),
           r0 AS (SELECT node, 1000000000 AS r FROM nodes),
           $rounds
-          SELECT node, CAST(r AS DOUBLE) / 1e9 AS pr FROM r$PageRankRounds
+          SELECT (CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END)
+                   || CAST(node // 2 AS VARCHAR) AS node,
+                 CAST(r AS DOUBLE) / 1e9 AS pr
+          FROM r$PageRankRounds
           ORDER BY pr DESC, node LIMIT 20"""
     }
   )
