@@ -175,6 +175,50 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Product-quantization ANN with asymmetric distance computation — the
+    // memory-compression scale path that complements q51's IVF: the corpus
+    // is stored as M=8 one-byte codes (64 float dims → 8 bytes), queries
+    // score candidates by summing M precomputed LUT entries instead of a
+    // 64-dim float kernel. Encode is a one-time map-only indexing pass
+    // against the broadcast codebook (16 centroids × 8 subspaces); the
+    // search never touches raw corpus vectors. At 100 TB the codes table
+    // is ~1000× smaller than the embeddings and the LUT is
+    // queries × 8 × 16 rows — broadcast by construction.
+    // Cross-engine exactness: LUT distances are floor-quantized to
+    // integer micro-units (floor is rounding-mode-free, unlike decimal
+    // casts — the q120 lesson), so the ADC sum is exact integer
+    // arithmetic, exactly like production PQ's uint8/16 SIMD LUTs.
+    "q122_pq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      def subs(df: DataFrame, outId: String): DataFrame =
+        df.select(col("vec_id").as(outId),
+          explode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"m -> struct(m AS m, slice(embedding, m * $PqSubDim + 1, $PqSubDim) AS sub))")).as("x"))
+          .select(col(outId), col("x.m").as("m"), col("x.sub").as("sub"))
+      val cb = subs(e.filter(col("vec_id") < 16), "k")
+        .select(col("m"), col("k"), col("sub").as("cent"))
+      val encw = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("k"))
+      val codes = subs(e, "vec_id")
+        .join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("k"),
+          VectorOps.l2sq(col("sub"), col("cent")).as("dist"))
+        .withColumn("rn", row_number().over(encw)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("k").as("code"))
+      val lut = subs(e.filter(col("vec_id") < 10), "qid")
+        .join(broadcast(cb), "m")
+        .select(col("qid"), col("m"), col("k").as("code"),
+          floor(VectorOps.l2sq(col("sub"), col("cent")) * lit(1e6)).as("dq"))
+      val rw = Window.partitionBy("qid").orderBy(col("adc_dist"), col("vec_id"))
+      codes.join(broadcast(lut), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id").agg(sum(col("dq")).as("micro"))
+        .select(col("qid"), col("vec_id"),
+          (col("micro").cast("double") / lit(1e6)).as("adc_dist"))
+        .withColumn("rank", row_number().over(rw)).filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "adc_dist")
+        .orderBy("qid", "rank")
+    }),
+
     // Top principal component by distributed power iteration — the PCA
     // kernel of embedding whitening/compression. Each round is ONE
     // map-only pass over the corpus: s_i = x_i·v − mu·v (row-local fold
@@ -259,6 +303,11 @@ object SimilarityQueries {
     * to a convergence tolerance. */
   private val PowerIterRounds = 2
   private val Dims = 64
+
+  /** PQ geometry for q122: M subspaces × SubDim dims (M·SubDim = Dims),
+    * 16 codebook entries per subspace (vec_id < 16, the q51 convention). */
+  private val PqM = 8
+  private val PqSubDim = 8
 
   /** Unrolled DuckDB twin of one power-iteration round: direction list in
     * CTE `$prev`, produces `v$k`. Mirrors the Spark/driver math op-for-op
@@ -359,6 +408,36 @@ object SimilarityQueries {
                                                ORDER BY cos_sim DESC, vec_id) AS rank
                      FROM scored)
           SELECT qid, rank, vec_id, cos_sim FROM ranked
+          WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q122_pq_adc" ->
+      s"""WITH x AS (SELECT vec_id, embedding FROM embeddings),
+          subs AS (SELECT vec_id, m,
+                          embedding[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sub
+                   FROM (SELECT vec_id, embedding,
+                                unnest(generate_series(0, ${PqM - 1})) AS m
+                         FROM x)),
+          cb AS (SELECT m, vec_id AS k, sub AS cent FROM subs WHERE vec_id < 16),
+          enc AS (SELECT vec_id, m, k AS code FROM (
+                    SELECT s.vec_id, s.m, cb.k,
+                           row_number() OVER (PARTITION BY s.vec_id, s.m
+                                              ORDER BY ${VectorOps.oL2sq("s.sub", "cb.cent")}, cb.k) AS rn
+                    FROM subs s JOIN cb ON cb.m = s.m)
+                  WHERE rn = 1),
+          lut AS (SELECT s.vec_id AS qid, s.m, cb.k AS code,
+                         CAST(floor(${VectorOps.oL2sq("s.sub", "cb.cent")} * 1e6) AS BIGINT) AS dq
+                  FROM subs s JOIN cb ON cb.m = s.m
+                  WHERE s.vec_id < 10),
+          adc AS (SELECT lut.qid, enc.vec_id,
+                         CAST(sum(dq) AS DOUBLE) / 1e6 AS adc_dist
+                  FROM enc JOIN lut ON lut.m = enc.m AND lut.code = enc.code
+                  WHERE enc.vec_id <> lut.qid
+                  GROUP BY 1, 2)
+          SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, adc_dist FROM (
+            SELECT qid, vec_id, adc_dist,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc_dist, vec_id) AS rank
+            FROM adc)
           WHERE rank <= 5 ORDER BY qid, rank""",
 
     "q51_ivf_ann" ->

@@ -36,6 +36,23 @@ object VectorOps {
   def cosineWithNorms(dot: Column, na: Column, nb: Column): Column =
     dot / (na * nb)
 
+  /** Squared L2 distance via the same sequential fold (PQ codebooks use
+    * L2 geometry; the square root is monotone and never needed). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        diff * diff
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** DuckDB twin of [[l2sq]]. */
+  def oL2sq(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
+
   /** DuckDB twin of [[dotSeq]] for oracle SQL. */
   def oDot(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"

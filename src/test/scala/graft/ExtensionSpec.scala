@@ -515,6 +515,30 @@ class ExtensionSpec extends SparkSpec {
     assert(res.zip(res.tail).forall(p => p._1._2 >= p._2._2))
   }
 
+  test("PQ-ADC returns a full, sorted, self-excluding top-5 per query") {
+    val res = ext.SimilarityQueries.queries("q122_pq_adc")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = res.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    res.foreach { case (qid, _, vecId, dist) =>
+      assert(vecId != qid)
+      assert(dist >= 0.0)
+    }
+    byQ.values.foreach { rows =>
+      val d = rows.sortBy(_._2).map(_._4)
+      assert(d.zip(d.tail).forall(p => p._1 <= p._2), "adc_dist not sorted")
+    }
+  }
+
+  test("l2sq matches a plain Scala fold") {
+    val df = Seq((Array(0.5f, -1.0f, 2.0f), Array(1.0f, 2.0f, 0.25f)))
+      .toDF("a", "b")
+    val got = df.select(VectorOps.l2sq(col("a"), col("b"))).as[Double].head()
+    val want = Seq(0.5 - 1.0, -1.0 - 2.0, 2.0 - 0.25)
+      .foldLeft(0.0)((acc, x) => acc + x * x)
+    assert(got == want)
+  }
+
   test("BPE merge replace is exactly greedy left-to-right") {
     // identical-symbol run: " l; l; l;" merges the FIRST pair only
     // (greedy non-overlapping), adjacent disjoint pairs both merge
