@@ -100,6 +100,35 @@ object ManifestFsQueries {
         .orderBy("Key")
     }),
 
+    // Time travel over the versioned snapshot store: commit v0 (the base
+    // inventory) and v1 (after an upsert changeset) through
+    // [[StreamingPipelines.ManifestMaintainer]] — the write-new-then-
+    // swap-pointer discipline with ≤2-version retention — then read BOTH
+    // versions back via the asOf() API and diff them. This grades the
+    // version-pointer machinery (atomic _CURRENT swap, retention window)
+    // that q106's continuous maintenance relies on, in a batch-checkable
+    // form: the diff of two committed versions must equal the changeset
+    // that separates them. At 100 TB the diff is one Key-partitioned
+    // full-outer join of two manifest snapshots (the q95 shape); the
+    // commits are full-snapshot writes here and partition-aligned
+    // incremental writes in a production table format.
+    "q124_manifest_timetravel" -> ((s, d) => {
+      def keyCol = concat(col("source"), lit("/"), col("doc_id").cast("string"), lit(".txt"))
+      val docs = Tables.documents(s, d)
+      val base = docs.select(keyCol.as("Key"), col("n_chars").as("Size"))
+      val changeset = docs.filter(col("doc_id") % 10 === 0)
+        .select(keyCol.as("Key"), (col("n_chars") + lit(100)).as("Size"))
+      val m = new StreamingPipelines.ManifestMaintainer(s, Scratch.dir("graft_tt"))
+      m(base, 0L)      // commit v0
+      m(changeset, 1L) // commit v1 = merge(v0, changeset)
+      graft.manifest.ManifestDiff.diff(m.asOf(0), m.asOf(1))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("old_size")).as("total_old"),
+          sum(col("new_size")).as("total_new"))
+        .orderBy("status")
+    }),
+
     // Bucketed co-located join as a GRADED query (PlanSpec separately pins
     // the no-shuffle plan): both fact tables written bucketed on the join
     // key, so the join consumes the on-disk hash partitioning instead of
@@ -329,6 +358,23 @@ object ManifestFsQueries {
         .orderBy("Bucket")
     }),
 
+    // The flatMapGroupsWithState custom-state operator GRADED through the
+    // real streaming engine (it was previously only ScalaTest-pinned
+    // against its batch twin q82). Append mode with NoTimeout over a
+    // finite source emits exactly the CLOSED sessions — a session closes
+    // when a later event of the same user reveals a 30-minute gap; each
+    // user's final session stays in state forever. The oracle mirrors
+    // that semantics exactly: gaps-and-islands sessionization minus each
+    // user's last session, with the per-session value sum folded in the
+    // operator's (ts, value) event order via list_reduce (the Scala
+    // foldLeft and the SQL sequential fold are the same op chain).
+    "q123_stream_sessionize" -> ((s, d) => {
+      val sess = StreamingPipelines.sessionize(
+        s, StreamingPipelines.eventsStream(s, d))
+      StreamingPipelines.runAppendToCompletion(s, sess)
+        .orderBy("user_id", "session_start")
+    }),
+
     // Stream-stream interval join: view→click funnel within 10 minutes,
     // watermarked both sides, Append mode; result equals the batch join.
     "q87_stream_join" -> ((s, d) => {
@@ -489,6 +535,31 @@ object ManifestFsQueries {
       """SELECT event_type, count(*) AS n
           FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "q123_stream_sessionize" ->
+      """WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+          sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged),
+          agg AS (
+            SELECT user_id, session_id,
+                   make_timestamp(epoch_us(min(ts)) // 1000 * 1000) AS session_start,
+                   count(*) AS n_events,
+                   list_reduce(list(value ORDER BY ts, value), (a, b) -> a + b) AS total_value
+            FROM sessions GROUP BY user_id, session_id)
+          SELECT user_id, session_start, n_events, total_value FROM (
+            SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid
+            FROM agg)
+          WHERE session_id < last_sid
+          ORDER BY user_id, session_start""",
+
     "q87_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
           FROM events v JOIN events c
@@ -503,6 +574,17 @@ object ManifestFsQueries {
             ${oSum("e.value")} AS total_value
           FROM events e JOIN customer c ON e.user_id = c.c_custkey
           GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
+
+    "q124_manifest_timetravel" ->
+      """WITH labeled AS (
+            SELECT CASE WHEN doc_id % 10 = 0 THEN 'changed' ELSE 'unchanged' END AS status,
+                   n_chars AS old_size,
+                   CASE WHEN doc_id % 10 = 0 THEN n_chars + 100 ELSE n_chars END AS new_size
+            FROM documents)
+          SELECT status, count(*) AS n,
+                 CAST(sum(old_size) AS BIGINT) AS total_old,
+                 CAST(sum(new_size) AS BIGINT) AS total_new
+          FROM labeled GROUP BY status ORDER BY status""",
 
     "q111_manifest_merge" ->
       """WITH snap AS (

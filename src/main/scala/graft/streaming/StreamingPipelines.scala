@@ -163,6 +163,16 @@ object StreamingPipelines {
     def current(): Option[DataFrame] =
       if (version < 0) None else Some(spark.read.parquet(s"$root/v$version"))
 
+    /** Time-travel read of a retained snapshot version. The current and
+      * the previous version are always readable (the previous one stays
+      * on disk until the NEXT commit retires it — the same ≤2-version
+      * retention the write path documents); older versions raise. */
+    def asOf(v: Int): DataFrame = {
+      require(v >= 0 && v <= version && v >= version - 1,
+        s"version $v is retired or unwritten (current: $version)")
+      spark.read.parquet(s"$root/v$v")
+    }
+
     def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       val updates = batch.select(col("Key"), col("Size"))
       val next = current() match {

@@ -108,6 +108,32 @@ class PlanSpec extends SparkSpec {
       s"band self-join must reuse the bucket-cap exchange:\n${p.take(2000)}")
   }
 
+  test("q119: vector side broadcasts the queries; lexical side never broadcasts the corpus postings") {
+    val p = plan("q119_hybrid_rrf")
+    // semantic retriever: tiny query set broadcast over the corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"),
+      "hybrid retrieval must never cross-join unbroadcast sides")
+  }
+
+  test("q120: PageRank rounds are long-keyed joins with no cartesian product") {
+    val p = plan("q120_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the per-round message pass must be an equi-join")
+    // node ids stay bigint through every round: the only string concat in
+    // the plan is the display projection above the final TakeOrdered
+    assert(!p.contains("concat") || p.indexOf("concat") < p.indexOf("Join"),
+      "display rendering must sit above the joins, not inside the rounds")
+  }
+
+  test("q122: codebook and LUT broadcast; the codes table is never broadcast") {
+    val df = SparkEntry.queries("q122_pq_adc")(spark, sf)
+    df.collect() // AQE finalizes the plan during execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"encode/LUT joins must broadcast the small side:\n${p.take(1500)}")
+  }
+
   test("q96: bucket filter becomes a partition filter, not a row filter") {
     val p = plan("q96_partitioned_prune")
     assert(p.contains("PartitionFilters") && p.contains("Bucket"),

@@ -145,6 +145,11 @@ class StreamingSpec extends SparkSpec {
       val s3 = resumed.current().get.collect()
         .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
       assert(s3 == s2, "restarted maintainer must resume the committed snapshot")
+      // time travel: both retained versions are readable (v1 = current,
+      // v0 = previous); unwritten versions raise — the q124 read API
+      assert(resumed.asOf(1).count() == 5)
+      assert(resumed.asOf(0).count() == 4)
+      intercept[IllegalArgumentException](resumed.asOf(2))
     } finally q.stop()
   }
 
