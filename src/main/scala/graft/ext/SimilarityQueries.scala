@@ -123,19 +123,29 @@ object SimilarityQueries {
     // Hybrid retrieval with reciprocal-rank fusion — the RAG serving shape:
     // a lexical retriever and a vector retriever each produce a ranking per
     // query; RRF fuses them without score calibration. Lexical side is an
-    // inverted-index join: distinct (doc, term) postings, df-weighted with
-    // INTEGER weights (wt = N − df, rarer ⇒ heavier — idf-flavored but
-    // exact, so the score sum is order-independent without decimal help),
-    // stop terms (df > N/10) dropped before the join exactly like q101's
-    // stop-gram cap — without it one ubiquitous term fans every query into
-    // every document. At 100 TB the posting join shuffles on TERM (the
-    // inverted-index sharding), the query side is tiny, and the semantic
-    // side is q50's broadcast-queries map-only scan; the fuse is a
-    // (qid, doc)-keyed outer join of two top-k-able rank lists.
+    // inverted-index join over word-BIGRAM postings (phrase indexing),
+    // df-weighted with INTEGER weights (wt = N − df, rarer ⇒ heavier —
+    // idf-flavored but exact, so the score sum is order-independent
+    // without decimal help), stop terms (df > N/10) dropped before the
+    // join like q101's stop-gram cap. Bigrams, not unigrams, because
+    // postings must be DISCRIMINATIVE to bound the join: this fixture's
+    // synthetic 31-word unigram vocabulary has median df ≈ 0.8N (every
+    // unigram is a stop word — a unigram variant both emptied the cap'd
+    // term list AND fanned to ~15M posting pairs uncapped), while its
+    // ~900 bigrams sit at median df ≈ 0.06N; real Zipfian corpora put
+    // most MASS in such a head too, which is why production phrase/
+    // shingle indexes exist. At 100 TB the posting join shuffles on TERM
+    // (the inverted-index sharding), the query side is tiny, and the
+    // semantic side is q50's broadcast-queries map-only scan; the fuse is
+    // a (qid, doc)-keyed outer join of two top-k-able rank lists.
     "q119_hybrid_rrf" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val words = docs.select(col("doc_id"),
-        explode(array_distinct(filter(split(col("text"), " "), w => w =!= ""))).as("w"))
+      val words = docs.withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("w"))
+        .distinct()
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val terms = words.groupBy("w").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nDocs))
@@ -358,9 +368,10 @@ object SimilarityQueries {
 
     "q119_hybrid_rrf" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents),
-          words AS (SELECT DISTINCT doc_id, w
-                    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM docs)
-                    WHERE w <> ''),
+          words AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] AS w
+                    FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                          FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM docs)
+                          WHERE len(ws) >= 2)),
           nd AS (SELECT count(*) AS n_docs FROM docs),
           terms AS (SELECT w, (SELECT n_docs FROM nd) - df AS wt
                     FROM (SELECT w, count(*) AS df FROM words GROUP BY w)

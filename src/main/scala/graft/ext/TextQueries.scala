@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import graft.ops.{davg, dsum, oAvg}
+import graft.ops.{davg, dsum, oAvg, oSum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -121,6 +121,57 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Full BM25 ranking (k1=1.2, b=0.75): the production lexical scorer —
+    // true term frequencies, document-length normalization against the
+    // corpus mean, and the BM25+ log-idf. q119's fusion uses integer
+    // overlap weights; this is the real thing. Terms are word BIGRAMS
+    // (phrase postings) with stop terms (df > N/10) dropped before the
+    // posting join — same discriminativeness rationale as q119: this
+    // fixture's 31-word unigram vocabulary is ALL stop words (a unigram
+    // variant measured 17s at sf0.1 from ~15M posting pairs; the bigram
+    // index is ~1.3s). At 100 TB the posting join shuffles on TERM, doc
+    // stats ride the posting rows, and the corpus statistics (N, avgdl)
+    // are one broadcast scalar row. Float hygiene: idf is ln rounded to
+    // 6dp (q73's ulp-safe pattern), each per-term score is rounded to 6dp
+    // before the decimal-exact per-document sum — order-independent and
+    // engine-identical.
+    "q125_bm25" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("w"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val na = dl.agg(count(lit(1)).as("n_docs"), davg(col("dl"), 6).as("avgdl"))
+      val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(na))
+        .filter(col("df") * 10 <= col("n_docs") * 9)
+        .select(col("w"),
+          round(log(((col("n_docs") - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6).as("idf"),
+          col("avgdl"))
+      // query terms come from the ALREADY-AGGREGATED tf table (distinct
+      // per (doc, term) by construction) — not from the raw posting
+      // stream, which would re-shuffle the whole corpus for a distinct
+      val qt = tf.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"), col("w"))
+      val term = qt.join(idf, "w").join(tf, "w")
+        .join(dl, "doc_id")
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id"),
+          round(col("idf") * ((col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double")
+              + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))),
+            6).as("ts"))
+      val scored = term.groupBy("qid", "doc_id").agg(dsum(col("ts"), 6).as("score"))
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select("qid", "rank", "doc_id", "score")
+        .orderBy("qid", "rank")
+    }),
+
     // One BPE tokenizer-training round at corpus scale: count adjacent
     // symbol pairs over the WORD-TYPE table (the first groupBy collapses
     // the corpus to its vocabulary — the standard BPE trick that makes
@@ -185,6 +236,40 @@ object TextQueries {
         GROUP BY pair)"""
 
   def oracles: Map[String, String] = Map(
+    "q125_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS w
+                        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                              FROM (SELECT doc_id, str_split(text, ' ') AS ws
+                                    FROM documents)
+                              WHERE len(ws) >= 2)),
+          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+          tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+          na AS (SELECT count(*) AS n_docs, ${oAvg("CAST(dl AS DOUBLE)", 6)} AS avgdl FROM dl),
+          idf AS (SELECT w,
+                         round(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+                                  / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
+                         avgdl
+                  FROM (SELECT w, count(*) AS df FROM tf GROUP BY w), na
+                  WHERE df * 10 <= n_docs),
+          qt AS (SELECT doc_id AS qid, w FROM tf WHERE doc_id % 50 = 0),
+          term AS (SELECT qt.qid, tf.doc_id,
+                          round(idf * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                            / (CAST(tf AS DOUBLE)
+                              + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE) * (CAST(dl.dl AS DOUBLE) / avgdl)))),
+                            6) AS ts
+                   FROM qt JOIN idf USING (w) JOIN tf USING (w)
+                   JOIN dl ON dl.doc_id = tf.doc_id
+                   WHERE tf.doc_id <> qt.qid),
+          scored AS (SELECT qid, doc_id, ${oSum("ts", 6)} AS score
+                     FROM term GROUP BY qid, doc_id)
+          SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
+            SELECT qid, doc_id, score,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, doc_id) AS rank
+            FROM scored)
+          WHERE rank <= 10 ORDER BY qid, rank""",
+
     "q121_bpe_merge" ->
       s"""WITH w AS (SELECT word, count(*) AS n
                      FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)

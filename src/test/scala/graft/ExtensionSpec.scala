@@ -503,6 +503,12 @@ class ExtensionSpec extends SparkSpec {
       assert(byRank.zip(byRank.tail).forall(p => p._1 >= p._2),
         "rrf not non-increasing in rank")
     }
+    // BOTH retrievers must actually contribute — the lexical side once
+    // degenerated to empty (a df cap tuned for Zipfian corpora emptied
+    // this fixture's 31-word vocabulary) and the fusion silently became
+    // pure semantic ranking while still hash-matching its oracle
+    assert(res.exists(_._4 > 0), "lexical retriever contributed no rank")
+    assert(res.exists(_._5 > 0), "semantic retriever contributed no rank")
   }
 
   test("PageRank ranks stay above the teleport floor and come out sorted") {
@@ -513,6 +519,21 @@ class ExtensionSpec extends SparkSpec {
     // 0.15 is the damped teleport floor; a top-20 node must exceed it
     assert(res.forall(_._2 > 0.15))
     assert(res.zip(res.tail).forall(p => p._1._2 >= p._2._2))
+  }
+
+  test("BM25 returns positive, descending top-10s excluding the query doc") {
+    val res = ext.TextQueries.queries("q125_bm25")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = res.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 10))
+    res.foreach { case (qid, _, docId, score) =>
+      assert(docId != qid)
+      assert(score > 0.0, s"BM25 score must be positive, got $score")
+    }
+    byQ.values.foreach { rows =>
+      val s = rows.sortBy(_._2).map(_._4)
+      assert(s.zip(s.tail).forall(p => p._1 >= p._2), "scores not descending")
+    }
   }
 
   test("PQ-ADC returns a full, sorted, self-excluding top-5 per query") {
