@@ -248,10 +248,62 @@ object CurationQueries {
           length(regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
             PhoneRe, "<PHONE>")).as("redacted_len"))
         .orderBy("doc_id")
+    }),
+
+    // Entity resolution (record linkage): match dirty records back to a
+    // deduplicated entity dictionary by blocked fuzzy join — the
+    // cross-source curation step that unifies near-identical metadata.
+    // Dictionary = DISTINCT part names (64 entities, min-key as entity
+    // id); dirty records = every 5th part row with its 3rd character
+    // dropped (a planted typo at edit distance 1). Blocking on the
+    // 2-char name prefix (which the typo provably preserves) bounds the
+    // candidate pairs — the ER answer to an all-pairs levenshtein, same
+    // role as LSH bands in q41. Best match = (min levenshtein, min
+    // entity id). At 100 TB the record side is fact-sized and the entity
+    // dictionary is broadcast; levenshtein runs only inside blocks.
+    // All-integer scoring (edit distance), no float hygiene needed.
+    "q126_entity_resolution" -> ((s, d) => {
+      val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+      val entities = parts.groupBy("p_name")
+        .agg(min(col("p_partkey")).as("entity_id"))
+        .select(col("entity_id"), col("p_name").as("ent_name"),
+          substring(col("p_name"), 1, 2).as("blk"))
+      val dirty = parts.filter(col("p_partkey") % 5 === 0)
+        .select((col("p_partkey") + 1000000L).as("rec_id"),
+          concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)")).as("rec_name"))
+        .withColumn("blk", substring(col("rec_name"), 1, 2))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("rec_id").orderBy(col("lev"), col("entity_id"))
+      dirty.join(broadcast(entities), "blk")
+        .select(col("rec_id"), col("rec_name"), col("entity_id"), col("ent_name"),
+          levenshtein(col("rec_name"), col("ent_name")).as("lev"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("rec_id"), col("rec_name"),
+          col("entity_id").as("matched_entity"),
+          col("ent_name").as("matched_name"), col("lev"))
+        .orderBy("rec_id")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q126_entity_resolution" ->
+      """WITH parts AS (SELECT p_partkey, p_name FROM part),
+          entities AS (SELECT min(p_partkey) AS entity_id, p_name AS ent_name,
+                              substr(p_name, 1, 2) AS blk
+                       FROM parts GROUP BY p_name),
+          dirty AS (SELECT p_partkey + 1000000 AS rec_id,
+                           substr(p_name, 1, 2) || substr(p_name, 4) AS rec_name
+                    FROM parts WHERE p_partkey % 5 = 0),
+          cand AS (SELECT d.rec_id, d.rec_name, e.entity_id, e.ent_name,
+                          levenshtein(d.rec_name, e.ent_name) AS lev
+                   FROM dirty d JOIN entities e ON substr(d.rec_name, 1, 2) = e.blk),
+          best AS (SELECT *, row_number() OVER (PARTITION BY rec_id
+                                                ORDER BY lev, entity_id) AS rn
+                   FROM cand)
+          SELECT rec_id, rec_name, entity_id AS matched_entity,
+                 ent_name AS matched_name, CAST(lev AS INTEGER) AS lev
+          FROM best WHERE rn = 1 ORDER BY rec_id""",
+
     "q100_repetition" ->
       """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents
                       WHERE len(str_split(text, ' ')) >= 3),

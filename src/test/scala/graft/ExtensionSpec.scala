@@ -521,6 +521,20 @@ class ExtensionSpec extends SparkSpec {
     assert(res.zip(res.tail).forall(p => p._1._2 >= p._2._2))
   }
 
+  test("entity resolution matches every dirty record within edit distance 1") {
+    val res = ext.CurationQueries.queries("q126_entity_resolution")(spark, sf)
+      .as[(Long, String, Long, String, Int)].collect()
+    assert(res.nonEmpty)
+    // the planted typo (3rd char dropped) preserves the 2-char blocking
+    // prefix, so the true entity is always in the block at distance <= 1 —
+    // the best match can never be worse
+    res.foreach { case (recId, recName, _, matchedName, lev) =>
+      assert(lev <= 1, s"rec $recId '$recName' matched '$matchedName' at $lev")
+    }
+    // every dirty record resolves exactly once
+    assert(res.map(_._1).distinct.length == res.length)
+  }
+
   test("BM25 returns positive, descending top-10s excluding the query doc") {
     val res = ext.TextQueries.queries("q125_bm25")(spark, sf)
       .as[(Long, Int, Long, Double)].collect()
