@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotFunction)
     e.injectFunction(GraftFunctions.fastMd5Function)
+    e.injectFunction(GraftFunctions.topKFunction)
   }
 }
 
@@ -33,9 +34,16 @@ object GraftFunctions {
     new ExpressionInfo(classOf[FastMd5Expr].getName, "graft_fast_md5"),
     (exprs: Seq[Expression]) => FastMd5Expr(exprs.head))
 
+  private[functions] val topKFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_topk"),
+    new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+    (exprs: Seq[Expression]) =>
+      TopKAgg(exprs.head, exprs(1), exprs(2)).toAggregateExpression())
+
   /** Register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    Seq(dotFunction, fastMd5Function).foreach { case (id, info, builder) =>
+    Seq(dotFunction, fastMd5Function, topKFunction).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "scala_udf")
       val _ = info // ExpressionInfo used by the extensions path

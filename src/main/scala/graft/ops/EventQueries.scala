@@ -133,10 +133,35 @@ object EventQueries {
           col("ts").as("gap_end"),
           (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
         .orderBy("user_id", "gap_start")
+    }),
+
+    // Per-group top-k through the native bounded-heap aggregate
+    // ([[graft.functions.TopKAgg]], a TypedImperativeAggregate) instead
+    // of the window sort: each map task keeps a ≤k min-heap per group and
+    // only k·groups entries shuffle — the q17/q22 shape without moving
+    // the corpus. The oracle is the window formulation, which is exactly
+    // the semantic claim: same rows, radically different physical cost.
+    // PlanSpec pins the partial/final ObjectHashAggregate pair.
+    "q127_topk_aggregate" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(graft.functions.TopKAgg.topk(col("value"), col("event_id"), 5).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("idx", "e")))
+        .select(col("event_type"), (col("idx") + 1).cast("int").as("rank"),
+          col("e.id").as("event_id"), col("e.score").as("value"))
+        .orderBy("event_type", "rank")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q127_topk_aggregate" ->
+      """SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rank
+            FROM events)
+          WHERE rank <= 5 ORDER BY event_type, rank""",
+
     "q76_range_frame" ->
       """SELECT user_id, event_id,
           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)

@@ -610,6 +610,53 @@ class ExtensionSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall(p => p._1 >= p._2))
   }
 
+  test("TopKAgg heap bounds size, orders (score desc, id asc), handles NaN as greatest") {
+    val h = new graft.functions.TopKAgg.Heap(3)
+    Seq((1.0, 10L), (5.0, 2L), (3.0, 7L), (4.0, 1L), (0.5, 99L)).foreach {
+      case (s, i) => h.insert(s, i)
+    }
+    assert(h.sortedDesc.toSeq == Seq((5.0, 2L), (4.0, 1L), (3.0, 7L)))
+    // ties break on smaller id; NaN sorts greatest (Double total order)
+    val t = new graft.functions.TopKAgg.Heap(3)
+    Seq((2.0, 5L), (2.0, 3L), (Double.NaN, 8L), (2.0, 4L)).foreach {
+      case (s, i) => t.insert(s, i)
+    }
+    val res = t.sortedDesc.toSeq
+    assert(res.head._2 == 8L && res.head._1.isNaN)
+    assert(res.tail == Seq((2.0, 3L), (2.0, 4L)))
+    // merge respects the bound and global order
+    val a = new graft.functions.TopKAgg.Heap(2)
+    val b = new graft.functions.TopKAgg.Heap(2)
+    Seq((1.0, 1L), (9.0, 2L)).foreach { case (s, i) => a.insert(s, i) }
+    Seq((8.0, 3L), (0.5, 4L)).foreach { case (s, i) => b.insert(s, i) }
+    a.mergeFrom(b)
+    assert(a.sortedDesc.toSeq == Seq((9.0, 2L), (8.0, 3L)))
+  }
+
+  test("TopKAgg equals the window formulation on real data and works from SQL") {
+    val ev = Tables.events(spark, sf)
+    val viaAgg = ops.EventQueries.queries("q127_topk_aggregate")(spark, sf)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    val viaWindow = ev
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("event_type"), col("rank"), col("event_id"), col("value"))
+      .orderBy("event_type", "rank")
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(viaAgg == viaWindow)
+    // SQL surface via extension registration
+    graft.functions.GraftFunctions.register(spark)
+    ev.createOrReplaceTempView("topk_events")
+    val viaSql = spark.sql(
+      """SELECT event_type, e.id FROM (
+           SELECT event_type, graft_topk(value, event_id, 5) AS top
+           FROM topk_events GROUP BY event_type)
+         LATERAL VIEW explode(top) AS e
+         ORDER BY event_type, e.score DESC, e.id""").count()
+    assert(viaSql == viaAgg.length)
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))

@@ -134,6 +134,18 @@ class PlanSpec extends SparkSpec {
       s"encode/LUT joins must broadcast the small side:\n${p.take(1500)}")
   }
 
+  test("q127: top-k heap aggregates partially on the map side — no window sort") {
+    val p = plan("q127_topk_aggregate")
+    // TypedImperativeAggregate rides ObjectHashAggregate with a
+    // partial + final pair: only k entries per (partition, group) shuffle
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected object hash aggregation:\n${p.take(1500)}")
+    assert(p.contains("partial_graft_topk") || p.contains("partial graft_topk")
+      || p.split("ObjectHashAggregate").length > 2,
+      s"expected a partial aggregation stage:\n${p.take(1500)}")
+    assert(!p.contains("Window"), "top-k must not fall back to a window sort")
+  }
+
   test("q96: bucket filter becomes a partition filter, not a row filter") {
     val p = plan("q96_partitioned_prune")
     assert(p.contains("PartitionFilters") && p.contains("Bucket"),
