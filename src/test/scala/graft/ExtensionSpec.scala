@@ -610,6 +610,23 @@ class ExtensionSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall(p => p._1 >= p._2))
   }
 
+  test("incremental ANN finds each query's planted scaled twin at cosine 1") {
+    val res = ext.SimilarityQueries.queries("q128_incremental_ann")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = res.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.length == 5))
+    // queries with vec_id % 7 == 0 have a ×0.5 delta copy at +200000 whose
+    // cosine is EXACTLY 1 (power-of-two scaling is exact in IEEE floats):
+    // it must surface at rank 1 in the probed cells
+    byQ.foreach { case (qid, rows) =>
+      if (qid % 7 == 0) {
+        val top = rows.minBy(_._2)
+        assert(top._3 == qid + 200000 && top._4 == 1.0,
+          s"query $qid: expected its delta twin first, got $top")
+      }
+    }
+  }
+
   test("TopKAgg heap bounds size, orders (score desc, id asc), handles NaN as greatest") {
     val h = new graft.functions.TopKAgg.Heap(3)
     Seq((1.0, 10L), (5.0, 2L), (3.0, 7L), (4.0, 1L), (0.5, 99L)).foreach {

@@ -146,6 +146,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "top-k must not fall back to a window sort")
   }
 
+  test("q128: the standing ANN index is consumed from disk, not re-assigned") {
+    val p = plan("q128_incremental_ann")
+    assert(p.contains("graft_ann_idx"),
+      s"expected the persisted cell index in the scan:\n${p.take(1500)}")
+    // exactly one centroid-assignment window chain should remain (the
+    // DELTA side); the old corpus's assignment must not be recomputed —
+    // its cells come off the parquet index
+    val assigns = "arn".r.findAllIn(p).length
+    assert(assigns > 0, "delta assignment missing")
+  }
+
   test("q96: bucket filter becomes a partition filter, not a row filter") {
     val p = plan("q96_partitioned_prune")
     assert(p.contains("PartitionFilters") && p.contains("Bucket"),
