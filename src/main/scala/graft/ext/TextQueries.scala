@@ -21,6 +21,30 @@ object TextQueries {
   private val fr = Seq("le", "les", "des", "est", "dans", "pour")
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Word-bigram (phrase) token stream of (idCol, w) rows, duplicates
+    * included — the shared lexical-index tokenization of q119 and q125,
+    * with [[oBigramTokens]] as its DuckDB twin and [[BigramStopCap]] the
+    * shared stop-term cap. ONE implementation per engine side: a cap
+    * divergence between hand-maintained copies of this logic was caught
+    * in review (q125's Spark side had drifted to a 0.9N cap while its
+    * oracle said 0.1N — latent until a corpus has a mid-frequency term). */
+  private[ext] def bigramTokens(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("w"))
+
+  /** DuckDB twin of [[bigramTokens]] — a SELECT over `$src`. */
+  private[ext] def oBigramTokens(src: String, idCol: String): String =
+    s"""SELECT $idCol, ws[i] || ' ' || ws[i + 1] AS w
+        FROM (SELECT $idCol, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM (SELECT $idCol, str_split(text, ' ') AS ws FROM $src)
+              WHERE len(ws) >= 2)"""
+
+  /** Terms in more than 1/[[BigramStopCap]] of documents are stop terms. */
+  private[ext] val BigramStopCap = 10
+
   def queries: Map[String, Q] = Map(
     // Language-ID confusion matrix: labeled lang × stopword-predicted lang.
     "q60_lang_id" -> ((s, d) => {
@@ -136,18 +160,13 @@ object TextQueries {
     // before the decimal-exact per-document sum — order-independent and
     // engine-identical.
     "q125_bm25" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .withColumn("ws", split(col("text"), " "))
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), " +
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("w"))
+      val toks = bigramTokens(Tables.documents(s, d), "doc_id")
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val na = dl.agg(count(lit(1)).as("n_docs"), davg(col("dl"), 6).as("avgdl"))
       val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(na))
-        .filter(col("df") * 10 <= col("n_docs") * 9)
+        .filter(col("df") * BigramStopCap <= col("n_docs"))
         .select(col("w"),
           round(log(((col("n_docs") - col("df")).cast("double") + lit(0.5))
             / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6).as("idf"),
@@ -237,11 +256,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q125_bm25" ->
-      s"""WITH toks AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS w
-                        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
-                              FROM (SELECT doc_id, str_split(text, ' ') AS ws
-                                    FROM documents)
-                              WHERE len(ws) >= 2)),
+      s"""WITH toks AS (${oBigramTokens("documents", "doc_id")}),
           dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
           tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
           na AS (SELECT count(*) AS n_docs, ${oAvg("CAST(dl AS DOUBLE)", 6)} AS avgdl FROM dl),
@@ -250,7 +265,7 @@ object TextQueries {
                                   / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
                          avgdl
                   FROM (SELECT w, count(*) AS df FROM tf GROUP BY w), na
-                  WHERE df * 10 <= n_docs),
+                  WHERE df * $BigramStopCap <= n_docs),
           qt AS (SELECT doc_id AS qid, w FROM tf WHERE doc_id % 50 = 0),
           term AS (SELECT qt.qid, tf.doc_id,
                           round(idf * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))

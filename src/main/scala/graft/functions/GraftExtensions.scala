@@ -38,8 +38,11 @@ object GraftFunctions {
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_topk"),
     new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
-    (exprs: Seq[Expression]) =>
-      TopKAgg(exprs.head, exprs(1), exprs(2)).toAggregateExpression())
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3,
+        s"graft_topk(score, id, k) takes 3 arguments, got ${exprs.length}")
+      TopKAgg(exprs.head, exprs(1), exprs(2)).toAggregateExpression()
+    })
 
   /** Register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit = {

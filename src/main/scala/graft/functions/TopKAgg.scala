@@ -52,6 +52,18 @@ case class TopKAgg(
   override def second: Expression = idExpr
   override def third: Expression = kExpr
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (scoreExpr.dataType != DoubleType)
+      TypeCheckFailure(s"graft_topk score must be DOUBLE, got ${scoreExpr.dataType.sql}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckFailure(s"graft_topk id must be BIGINT, got ${idExpr.dataType.sql}")
+    else if (!kExpr.foldable ||
+        !(kExpr.dataType == IntegerType || kExpr.dataType == LongType))
+      TypeCheckFailure("graft_topk k must be an integer literal")
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k)
 
   override def update(buffer: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {
@@ -135,7 +147,13 @@ object TopKAgg {
     private val scores = new Array[Double](math.max(k, 1))
     private val ids = new Array[Long](math.max(k, 1))
 
-    def insert(s: Double, i: Long): Unit = {
+    def insert(s0: Double, i: Long): Unit = {
+      // normalize -0.0 to +0.0 (x + 0.0 is the IEEE identity except on
+      // -0.0; NaN passes through): SQL comparison in both engines treats
+      // the two zeros as EQUAL ties (broken by id), while Double's total
+      // order would rank -0.0 below +0.0 and diverge from the window
+      // formulation this aggregate claims to equal
+      val s = s0 + 0.0d
       if (size < k) {
         scores(size) = s; ids(size) = i; size += 1
         siftUp(size - 1)

@@ -108,9 +108,12 @@ class PlanSpec extends SparkSpec {
       s"band self-join must reuse the bucket-cap exchange:\n${p.take(2000)}")
   }
 
-  test("q119: vector side broadcasts the queries; lexical side never broadcasts the corpus postings") {
+  test("q119: query sides broadcast and no cartesian product exists") {
     val p = plan("q119_hybrid_rrf")
-    // semantic retriever: tiny query set broadcast over the corpus scan
+    // semantic retriever: tiny query set broadcast over the corpus scan.
+    // (At fixture scale Catalyst may size-broadcast the postings table
+    // too, so "postings never broadcast" is not assertable here — the
+    // production posting join is term-keyed by the stats, not by a pin.)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"),
       "hybrid retrieval must never cross-join unbroadcast sides")
@@ -150,11 +153,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("q128_incremental_ann")
     assert(p.contains("graft_ann_idx"),
       s"expected the persisted cell index in the scan:\n${p.take(1500)}")
-    // exactly one centroid-assignment window chain should remain (the
-    // DELTA side); the old corpus's assignment must not be recomputed —
-    // its cells come off the parquet index
-    val assigns = "arn".r.findAllIn(p).length
-    assert(assigns > 0, "delta assignment missing")
+    // exactly TWO broadcast-centroid passes may exist: the DELTA
+    // assignment and the query probes. A third means the old corpus's
+    // assignment is being recomputed instead of read off the index —
+    // the regression this pin exists to catch.
+    val centroidPasses = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(centroidPasses == 2,
+      s"expected 2 centroid passes (delta assign + probes), got $centroidPasses:\n${p.take(2000)}")
   }
 
   test("q96: bucket filter becomes a partition filter, not a row filter") {
