@@ -674,6 +674,23 @@ class ExtensionSpec extends SparkSpec {
     assert(viaSql == viaAgg.length)
   }
 
+  test("graft_topk rejects bad arguments at analysis time, not mid-job") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("topk_neg_events")
+    // wrong score type (string) must fail analysis with the typed message
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT graft_topk(event_type, event_id, 5) FROM topk_neg_events").collect())
+    assert(e1.getMessage.contains("graft_topk score must be DOUBLE"), e1.getMessage)
+    // wrong arity fails in the builder, not with IndexOutOfBounds
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT graft_topk(value, event_id) FROM topk_neg_events").collect())
+    assert(e2.getMessage.contains("3 arguments"), e2.getMessage)
+    // non-literal k fails the foldability check
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT graft_topk(value, event_id, CAST(user_id AS INT)) FROM topk_neg_events").collect())
+    assert(e3.getMessage.contains("integer literal"), e3.getMessage)
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
