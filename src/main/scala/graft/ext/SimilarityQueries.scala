@@ -264,34 +264,31 @@ object SimilarityQueries {
     // integer micro-units (floor is rounding-mode-free, unlike decimal
     // casts — the q120 lesson), so the ADC sum is exact integer
     // arithmetic, exactly like production PQ's uint8/16 SIMD LUTs.
-    "q122_pq_adc" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      def subs(df: DataFrame, outId: String): DataFrame =
-        df.select(col("vec_id").as(outId),
-          explode(expr(s"transform(sequence(0, ${PqM - 1}), " +
-            s"m -> struct(m AS m, slice(embedding, m * $PqSubDim + 1, $PqSubDim) AS sub))")).as("x"))
-          .select(col(outId), col("x.m").as("m"), col("x.sub").as("sub"))
-      val cb = subs(e.filter(col("vec_id") < 16), "k")
-        .select(col("m"), col("k"), col("sub").as("cent"))
-      val encw = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("k"))
-      val codes = subs(e, "vec_id")
-        .join(broadcast(cb), "m")
-        .select(col("vec_id"), col("m"), col("k"),
-          VectorOps.l2sq(col("sub"), col("cent")).as("dist"))
-        .withColumn("rn", row_number().over(encw)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("k").as("code"))
-      val lut = subs(e.filter(col("vec_id") < 10), "qid")
-        .join(broadcast(cb), "m")
-        .select(col("qid"), col("m"), col("k").as("code"),
-          floor(VectorOps.l2sq(col("sub"), col("cent")) * lit(1e6)).as("dq"))
-      val rw = Window.partitionBy("qid").orderBy(col("adc_dist"), col("vec_id"))
-      codes.join(broadcast(lut), Seq("m", "code"))
-        .filter(col("vec_id") =!= col("qid"))
-        .groupBy("qid", "vec_id").agg(sum(col("dq")).as("micro"))
-        .select(col("qid"), col("vec_id"),
-          (col("micro").cast("double") / lit(1e6)).as("adc_dist"))
-        .withColumn("rank", row_number().over(rw)).filter(col("rank") <= 5)
+    "q122_pq_adc" -> ((s, d) =>
+      pqAdcRanked(s, d)
+        .filter(col("rank") <= 5)
         .select("qid", "rank", "vec_id", "adc_dist")
+        .orderBy("qid", "rank")),
+
+    // The ANN serving CASCADE: coarse quantized search (q122's PQ-ADC)
+    // proposes top-[[AdcRerankPool]] candidates per query, then the exact
+    // full-precision cosine re-scores ONLY those — the retrieve-cheap /
+    // rerank-expensive two-stage shape every production vector store
+    // runs. At 100 TB stage 1 touches 8-byte codes and stage 2 touches
+    // 20 raw vectors per query instead of the corpus; the rerank join is
+    // candidate-bounded by construction.
+    "q129_adc_rerank" -> ((s, d) => {
+      val cand = pqAdcRanked(s, d).filter(col("rank") <= AdcRerankPool)
+        .select("qid", "vec_id")
+      val n = normed(s, d)
+      val q = n.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+      val rw = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      cand.join(n, "vec_id").join(broadcast(q), "qid")
+        .select(col("qid"), col("vec_id"),
+          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos_sim"))
+        .withColumn("rank", row_number().over(rw)).filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos_sim")
         .orderBy("qid", "rank")
     }),
 
@@ -385,6 +382,42 @@ object SimilarityQueries {
   private val PqM = 8
   private val PqSubDim = 8
 
+  /** Stage-1 candidate pool per query for q129's exact rerank. */
+  private val AdcRerankPool = 20
+
+  /** q122's PQ-ADC scoring, unlimited: every (query, candidate) in the
+    * probed code space with its floor-quantized asymmetric distance and
+    * per-query rank. Shared by q122 (top-5) and q129 (top-20 → exact
+    * rerank) so the two stages can never drift. */
+  private def pqAdcRanked(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def subs(df: DataFrame, outId: String): DataFrame =
+      df.select(col("vec_id").as(outId),
+        explode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+          s"m -> struct(m AS m, slice(embedding, m * $PqSubDim + 1, $PqSubDim) AS sub))")).as("x"))
+        .select(col(outId), col("x.m").as("m"), col("x.sub").as("sub"))
+    val cb = subs(e.filter(col("vec_id") < 16), "k")
+      .select(col("m"), col("k"), col("sub").as("cent"))
+    val encw = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("k"))
+    val codes = subs(e, "vec_id")
+      .join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("k"),
+        VectorOps.l2sq(col("sub"), col("cent")).as("dist"))
+      .withColumn("rn", row_number().over(encw)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+    val lut = subs(e.filter(col("vec_id") < 10), "qid")
+      .join(broadcast(cb), "m")
+      .select(col("qid"), col("m"), col("k").as("code"),
+        floor(VectorOps.l2sq(col("sub"), col("cent")) * lit(1e6)).as("dq"))
+    val rw = Window.partitionBy("qid").orderBy(col("adc_dist"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum(col("dq")).as("micro"))
+      .select(col("qid"), col("vec_id"),
+        (col("micro").cast("double") / lit(1e6)).as("adc_dist"))
+      .withColumn("rank", row_number().over(rw))
+  }
+
   /** Unrolled DuckDB twin of one power-iteration round: direction list in
     * CTE `$prev`, produces `v$k`. Mirrors the Spark/driver math op-for-op
     * (same folds, same decimal scales, same scalar operation order). */
@@ -405,6 +438,36 @@ object SimilarityQueries {
         n$k AS (SELECT ${VectorOps.oNorm("list(w ORDER BY dim)")} AS nrm FROM w$k),
         v$k AS (SELECT list(w / (SELECT nrm FROM n$k) ORDER BY dim) AS vl FROM w$k)"""
   }
+
+  /** DuckDB twin of [[pqAdcRanked]]: CTE chain ending in `adcranked`
+    * (qid, vec_id, adc_dist, rank). Shared by the q122 and q129 oracles. */
+  private def oPqAdcCtes: String =
+    s"""x AS (SELECT vec_id, embedding FROM embeddings),
+        subs AS (SELECT vec_id, m,
+                        embedding[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sub
+                 FROM (SELECT vec_id, embedding,
+                              unnest(generate_series(0, ${PqM - 1})) AS m
+                       FROM x)),
+        cb AS (SELECT m, vec_id AS k, sub AS cent FROM subs WHERE vec_id < 16),
+        enc AS (SELECT vec_id, m, k AS code FROM (
+                  SELECT s.vec_id, s.m, cb.k,
+                         row_number() OVER (PARTITION BY s.vec_id, s.m
+                                            ORDER BY ${VectorOps.oL2sq("s.sub", "cb.cent")}, cb.k) AS rn
+                  FROM subs s JOIN cb ON cb.m = s.m)
+                WHERE rn = 1),
+        lut AS (SELECT s.vec_id AS qid, s.m, cb.k AS code,
+                       CAST(floor(${VectorOps.oL2sq("s.sub", "cb.cent")} * 1e6) AS BIGINT) AS dq
+                FROM subs s JOIN cb ON cb.m = s.m
+                WHERE s.vec_id < 10),
+        adc AS (SELECT lut.qid, enc.vec_id,
+                       CAST(sum(dq) AS DOUBLE) / 1e6 AS adc_dist
+                FROM enc JOIN lut ON lut.m = enc.m AND lut.code = enc.code
+                WHERE enc.vec_id <> lut.qid
+                GROUP BY 1, 2),
+        adcranked AS (SELECT qid, vec_id, adc_dist,
+                             row_number() OVER (PARTITION BY qid
+                                                ORDER BY adc_dist, vec_id) AS rank
+                      FROM adc)"""
 
   def oracles: Map[String, String] = Map(
     "q114_power_iteration" -> {
@@ -520,33 +583,26 @@ object SimilarityQueries {
           WHERE rank <= 5 ORDER BY qid, rank""",
 
     "q122_pq_adc" ->
-      s"""WITH x AS (SELECT vec_id, embedding FROM embeddings),
-          subs AS (SELECT vec_id, m,
-                          embedding[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS sub
-                   FROM (SELECT vec_id, embedding,
-                                unnest(generate_series(0, ${PqM - 1})) AS m
-                         FROM x)),
-          cb AS (SELECT m, vec_id AS k, sub AS cent FROM subs WHERE vec_id < 16),
-          enc AS (SELECT vec_id, m, k AS code FROM (
-                    SELECT s.vec_id, s.m, cb.k,
-                           row_number() OVER (PARTITION BY s.vec_id, s.m
-                                              ORDER BY ${VectorOps.oL2sq("s.sub", "cb.cent")}, cb.k) AS rn
-                    FROM subs s JOIN cb ON cb.m = s.m)
-                  WHERE rn = 1),
-          lut AS (SELECT s.vec_id AS qid, s.m, cb.k AS code,
-                         CAST(floor(${VectorOps.oL2sq("s.sub", "cb.cent")} * 1e6) AS BIGINT) AS dq
-                  FROM subs s JOIN cb ON cb.m = s.m
-                  WHERE s.vec_id < 10),
-          adc AS (SELECT lut.qid, enc.vec_id,
-                         CAST(sum(dq) AS DOUBLE) / 1e6 AS adc_dist
-                  FROM enc JOIN lut ON lut.m = enc.m AND lut.code = enc.code
-                  WHERE enc.vec_id <> lut.qid
-                  GROUP BY 1, 2)
-          SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, adc_dist FROM (
-            SELECT qid, vec_id, adc_dist,
+      s"""WITH $oPqAdcCtes
+          SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, adc_dist
+          FROM adcranked
+          WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q129_adc_rerank" ->
+      s"""WITH $oPqAdcCtes,
+          cand AS (SELECT qid, vec_id FROM adcranked WHERE rank <= $AdcRerankPool),
+          nv AS (SELECT vec_id, embedding, ${VectorOps.oNorm("embedding")} AS nrm
+                 FROM embeddings),
+          rer AS (SELECT c.qid, c.vec_id,
+                         ${VectorOps.oDot("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos_sim
+                  FROM cand c
+                  JOIN nv n ON n.vec_id = c.vec_id
+                  JOIN nv q ON q.vec_id = c.qid)
+          SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cos_sim FROM (
+            SELECT qid, vec_id, cos_sim,
                    row_number() OVER (PARTITION BY qid
-                                      ORDER BY adc_dist, vec_id) AS rank
-            FROM adc)
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM rer)
           WHERE rank <= 5 ORDER BY qid, rank""",
 
     "q51_ivf_ann" ->

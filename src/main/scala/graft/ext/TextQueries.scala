@@ -161,8 +161,10 @@ object TextQueries {
     // engine-identical.
     "q125_bm25" -> ((s, d) => {
       val toks = bigramTokens(Tables.documents(s, d), "doc_id")
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      // dl = Σ tf per doc — derived from the aggregated tf table, so the
+      // raw posting stream is shuffled exactly once (into tf)
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val na = dl.agg(count(lit(1)).as("n_docs"), davg(col("dl"), 6).as("avgdl"))
       val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(na))
@@ -257,8 +259,8 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q125_bm25" ->
       s"""WITH toks AS (${oBigramTokens("documents", "doc_id")}),
-          dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
           tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
           na AS (SELECT count(*) AS n_docs, ${oAvg("CAST(dl AS DOUBLE)", 6)} AS avgdl FROM dl),
           idf AS (SELECT w,
                          round(ln((CAST(n_docs - df AS DOUBLE) + 0.5)

@@ -627,6 +627,26 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("ADC rerank cascade: exact scores on candidates, bounded recall loss") {
+    val rerank = ext.SimilarityQueries.queries("q129_adc_rerank")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    val exact = ext.SimilarityQueries.queries("q50_knn_brute")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rerank.groupBy(_._1).size == 10 && rerank.length == 50)
+    // stage 2 uses the SAME exact kernel as brute force: any (qid, vec)
+    // pair surfaced by both must carry an identical cosine
+    val exactByPair = exact.map(r => (r._1, r._3) -> r._4).toMap
+    rerank.foreach { case (qid, _, vecId, cos) =>
+      exactByPair.get((qid, vecId)).foreach(e =>
+        assert(e == cos, s"rerank cosine differs from exact for ($qid, $vecId)"))
+    }
+    // the coarse 16-entry codebook loses candidates (recall@5 measured
+    // 0.56 on this fixture); pin a floor so a candidate-generation
+    // regression (e.g. an encode bug collapsing cells) is caught
+    val recall = rerank.count(r => exactByPair.contains((r._1, r._3))) / 50.0
+    assert(recall >= 0.4, s"cascade recall@5 collapsed to $recall")
+  }
+
   test("TopKAgg heap bounds size, orders (score desc, id asc), handles NaN as greatest") {
     val h = new graft.functions.TopKAgg.Heap(3)
     Seq((1.0, 10L), (5.0, 2L), (3.0, 7L), (4.0, 1L), (0.5, 99L)).foreach {
