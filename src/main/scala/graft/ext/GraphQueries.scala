@@ -76,8 +76,66 @@ object GraphQueries {
             expr("node DIV 2").cast("string")).as("node"),
           (col("r").cast("double") / lit(1e9)).as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // Triangle counting over the supplier co-occurrence graph (edge =
+    // two suppliers served the same order), the classic O(m^{3/2})
+    // degree-ordered formulation: orient every edge from the π-smaller
+    // endpoint (π = (degree, id) — ties broken by id), enumerate wedges
+    // only at each edge's tail, and close each wedge against the
+    // oriented edge list. Every triangle is counted exactly once, at
+    // its π-smallest corner, and the wedge fan-out at any node is
+    // bounded by its OUT-degree under π — the heavy hub that would
+    // generate deg² wedges undirected generates almost none, because
+    // nearly all its edges point INTO it. π is carried as one long
+    // (deg << 32 | id): pure map-side arithmetic, no global rank
+    // window over the node set.
+    // Scale: the co-occurrence self-join fans out quadratically only
+    // within one order's supplier set (bounded by order size, ≤7 here);
+    // wedge and closure joins shuffle on node keys, never the raw
+    // lineitem stream.
+    "q132_triangle_count" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("u"), col("b.sk").as("v"))
+        .distinct()
+      triangleCounts(edges)
+        .withColumnRenamed("node", "supplier")
+        .orderBy(col("n_triangles").desc, col("supplier")).limit(20)
     })
   )
+
+  /** Degree-ordered per-node triangle participation over an undirected
+    * simple graph given as distinct (u, v) edges with u < v. Returns
+    * (node, n_triangles) for every node in ≥1 triangle; each triangle
+    * credits all three corners. See q132's header for the π-orientation
+    * argument; node ids must fit in 32 bits (π-keys pack deg << 32 | id).
+    */
+  private[graft] def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionByName(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val pk = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(expr("shiftleft(du, 32) + u").as("pu"),
+        expr("shiftleft(dv, 32) + v").as("pv"))
+    val e = pk.select(
+      when(col("pu") < col("pv"), col("pu")).otherwise(col("pv")).as("src"),
+      when(col("pu") < col("pv"), col("pv")).otherwise(col("pu")).as("dst"))
+    val wedges = e.as("x").join(e.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tris = wedges.join(e,
+      wedges("b") === e("src") && wedges("c") === e("dst"))
+    // π-keys drop back to raw node ids (low 32 bits) for display
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("p"))
+      .select((col("p") % (1L << 32)).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 
   /** One unrolled DuckDB PageRank round: nano-rank integers in CTE `$prev`
     * (column r), produces `r$k`. `//` is DuckDB's integer division —
@@ -109,6 +167,34 @@ object GraphQueries {
                  CAST(r AS DOUBLE) / 1e9 AS pr
           FROM r$PageRankRounds
           ORDER BY pr DESC, node LIMIT 20"""
-    }
+    },
+
+    "q132_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          edges AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+                    FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+          deg AS (SELECT n, count(*) AS deg FROM (
+                    SELECT u AS n FROM edges
+                    UNION ALL SELECT v FROM edges) GROUP BY n),
+          pk AS (SELECT du.deg * 4294967296 + u AS pu,
+                        dv.deg * 4294967296 + v AS pv
+                 FROM edges
+                 JOIN deg du ON du.n = u
+                 JOIN deg dv ON dv.n = v),
+          e AS (SELECT CASE WHEN pu < pv THEN pu ELSE pv END AS src,
+                       CASE WHEN pu < pv THEN pv ELSE pu END AS dst
+                FROM pk),
+          wedges AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+                     FROM e x JOIN e y
+                       ON x.src = y.src AND x.dst < y.dst),
+          tris AS (SELECT a, b, c FROM wedges
+                   JOIN e ON wedges.b = e.src AND wedges.c = e.dst)
+          SELECT p % 4294967296 AS supplier, count(*) AS n_triangles
+          FROM (SELECT a AS p FROM tris
+                UNION ALL SELECT b FROM tris
+                UNION ALL SELECT c FROM tris)
+          GROUP BY supplier
+          ORDER BY n_triangles DESC, supplier LIMIT 20"""
   )
 }

@@ -150,6 +150,59 @@ object EventQueries {
         .select(col("event_type"), (col("idx") + 1).cast("int").as("rank"),
           col("e.id").as("event_id"), col("e.score").as("value"))
         .orderBy("event_type", "rank")
+    }),
+
+    // Ordered funnel conversion: users who viewed, then clicked strictly
+    // after their first view, then purchased strictly after that first
+    // qualifying click. Each stage is one per-user min-timestamp
+    // aggregate joined back to the raw stream — three shuffles, all on
+    // user_id, so the exchanges line up and AQE reuses the partitioning.
+    // Per-user state is one timestamp per stage: at 100 TB the stage
+    // tables are |users| rows, orders of magnitude below the event
+    // stream, and nothing ever sorts the full stream (the window-based
+    // funnel formulation would).
+    "q130_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      def stage(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stage(t1, "1_view")
+        .unionByName(stage(t2, "2_click"))
+        .unionByName(stage(t3, "3_purchase"))
+        .orderBy("stage")
+    }),
+
+    // Weekly cohort retention: users grouped by the ISO week of their
+    // first event; each later active week lands in (cohort_week,
+    // week_no) and the cell counts distinct active users. The weekly
+    // activity set is deduped to (user, week) BEFORE the cohort join, so
+    // the join input is |users|×|weeks| not |events|, and the final
+    // count is a plain count (the distinct already happened map-side of
+    // the join). date_trunc('week') is Monday-based in both engines;
+    // cohort and activity weeks are both Mondays, so the day difference
+    // is an exact multiple of 7 and integer DIV is safe.
+    "q131_retention_cohorts" -> ((s, d) => {
+      val e = Tables.events(s, d).select("user_id", "ts")
+      val cohorts = e.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+      val weekly = e
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      weekly.join(cohorts, "user_id")
+        .select(col("cohort_week"),
+          expr("datediff(wk, cohort_week) DIV 7").as("week_no"))
+        .groupBy("cohort_week", "week_no")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_no")
     })
   )
 
@@ -218,6 +271,39 @@ object EventQueries {
            AND b.ts > a.ts
            AND epoch_us(b.ts) - epoch_us(a.ts) <= 600 * 1000000
           ORDER BY a.user_id, id1, id2""",
+
+    // epoch_us() in the stage comparisons mirrors Spark's ns→µs
+    // truncation of events.ts (Tables.events): floor-to-µs is monotone,
+    // so µs(min(ns)) = min(µs) and the strict > lands identically.
+    "q130_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+          t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY 1),
+          t2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN t1 USING (user_id)
+                 WHERE event_type = 'click' AND epoch_us(ts) > epoch_us(t1)
+                 GROUP BY 1),
+          t3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN t2 USING (user_id)
+                 WHERE event_type = 'purchase' AND epoch_us(ts) > epoch_us(t2)
+                 GROUP BY 1)
+          SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+          UNION ALL SELECT '2_click', count(*) FROM t2
+          UNION ALL SELECT '3_purchase', count(*) FROM t3
+          ORDER BY stage""",
+
+    "q131_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, ts FROM events),
+          cohorts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM e GROUP BY 1),
+          weekly AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+            FROM e)
+          SELECT cohort_week,
+                 date_diff('day', cohort_week, wk) // 7 AS week_no,
+                 count(*) AS n_active
+          FROM weekly JOIN cohorts USING (user_id)
+          GROUP BY 1, 2 ORDER BY cohort_week, week_no""",
 
     "q85_gap_detect" ->
       """SELECT user_id, prev_ts AS gap_start, ts AS gap_end,

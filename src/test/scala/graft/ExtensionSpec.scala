@@ -521,6 +521,38 @@ class ExtensionSpec extends SparkSpec {
     assert(res.zip(res.tail).forall(p => p._1._2 >= p._2._2))
   }
 
+  test("triangleCounts on K4 + pendant: 3 per clique corner, pendant absent") {
+    // K4 on {1,2,3,4} has 4 triangles, every corner in exactly 3; the
+    // pendant edge (4,5) creates no triangle so node 5 must not appear
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = ext.GraphQueries.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("funnel stages are non-increasing and bounded by distinct viewers") {
+    val res = ops.EventQueries.queries("q130_funnel")(spark, sf)
+      .as[(String, Long)].collect().sortBy(_._1).map(_._2)
+    assert(res.length == 3)
+    assert(res(0) >= res(1) && res(1) >= res(2), res.mkString(","))
+    val viewers = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(res(0) == viewers)
+  }
+
+  test("retention week-0 cell equals the cohort's size") {
+    val res = ops.EventQueries.queries("q131_retention_cohorts")(spark, sf)
+      .as[(java.sql.Date, Long, Long)].collect()
+    // every user is active in their own first week, so week_no=0 rows
+    // must partition the user population by cohort
+    val week0 = res.filter(_._2 == 0L).map(_._3).sum
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(week0 == users)
+    assert(res.forall(_._2 >= 0L))
+  }
+
   test("entity resolution matches every dirty record within edit distance 1") {
     val res = ext.CurationQueries.queries("q126_entity_resolution")(spark, sf)
       .as[(Long, String, Long, String, Int)].collect()
