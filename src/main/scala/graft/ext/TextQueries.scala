@@ -45,6 +45,9 @@ object TextQueries {
   /** Terms in more than 1/[[BigramStopCap]] of documents are stop terms. */
   private[ext] val BigramStopCap = 10
 
+  /** q134's merge-table size: ranks applied in priority order at encode. */
+  private[ext] val EncodeMerges = 8
+
   def queries: Map[String, Q] = Map(
     // Language-ID confusion matrix: labeled lang × stopword-predicted lang.
     "q60_lang_id" -> ((s, d) => {
@@ -217,15 +220,6 @@ object TextQueries {
         .groupBy("word").agg(count(lit(1)).as("n"))
       val sym0 = words.select(
         regexp_replace(col("word"), "(.)", " $1;").as("symstr"), col("n"))
-      def pairCounts(df: DataFrame): DataFrame =
-        df.withColumn("syms",
-            expr("filter(transform(split(symstr, ';'), x -> trim(x)), x -> x <> '')"))
-          .filter(size(col("syms")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("pair"),
-            col("n"))
-          .groupBy("pair").agg(sum(col("n")).as("cnt"))
       val top1 = pairCounts(sym0).orderBy(col("cnt").desc, col("pair")).limit(1)
         .select(col("pair").as("mp"))
       val merged = sym0.crossJoin(broadcast(top1))
@@ -239,8 +233,94 @@ object TextQueries {
         .filter(col("rank") <= 20)
         .select(col("rank"), col("pair"), col("cnt"), col("mp").as("first_merge"))
         .orderBy("rank")
+    }),
+
+    // BPE ENCODE — the apply half of q121's training round: a fixed
+    // priority-ranked merge table (top-[[EncodeMerges]] pairs of the
+    // initial pair counts; a trained tokenizer's merge list is exactly
+    // such a ranked artifact) applied to every word type in priority
+    // order. Each merge is one literal `replace` on the ` sym;`
+    // rendering — greedy left-to-right non-overlapping by construction
+    // (q121's argument) — and each rank arrives as a one-row broadcast,
+    // so the whole encode is [[EncodeMerges]] chained map-only passes
+    // over the word-type table: no shuffle after the merge table is
+    // built, which is the production shape (merge table = model file,
+    // corpus pass = map-only). Output: the most frequent word types with
+    // their post-merge tokenization and compression.
+    "q134_bpe_encode" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val sym0 = words.select(col("word"), col("n"),
+        regexp_replace(col("word"), "(.)", " $1;").as("symstr"))
+      val rw = Window.orderBy(col("cnt").desc, col("pair"))
+      val ranked = pairCounts(sym0.select("symstr", "n"))
+        .withColumn("r", row_number().over(rw))
+        .filter(col("r") <= EncodeMerges)
+      var enc = sym0
+      for (i <- 1 to EncodeMerges) {
+        val mi = ranked.filter(col("r") === i).select(col("pair").as("mp"))
+        enc = enc.crossJoin(broadcast(mi))
+          .select(col("word"), col("n"), expr(
+            "replace(symstr, ' ' || replace(mp, ' ', '; ') || ';', " +
+              "' ' || replace(mp, ' ', '') || ';')").as("symstr"))
+      }
+      enc
+        .withColumn("syms",
+          expr("filter(transform(split(symstr, ';'), x -> trim(x)), x -> x <> '')"))
+        .select(col("word"), col("n"),
+          length(col("word")).cast("long").as("n_chars"),
+          size(col("syms")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("syms")).as("encoding"))
+        .orderBy(col("n").desc, col("word")).limit(30)
+    }),
+
+    // Hashed linear quality classifier (the fastText-style serving
+    // shape): token → 12-bit feature bucket (md5 slice), bucket →
+    // integer weight in [−2048, 2047] derived from a second md5 slice —
+    // a deterministic stand-in for trained weights that keeps the
+    // fixture self-contained; production swaps the weight EXPRESSION
+    // for a broadcast weight-vector lookup, the plan is identical.
+    // Score = (Σ token weights) DIV n_tokens, all integer (the q120
+    // lesson: no cross-engine float). One explode + one doc_id
+    // aggregate: map-side partial aggregation collapses each doc's
+    // tokens before the shuffle, so the exchange carries |docs| rows,
+    // not |tokens| — embarrassingly parallel at any corpus size.
+    "q136_quality_classifier" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val scored = toks
+        .withColumn("m", md5(col("tok")))
+        .withColumn("wgt", expr(
+          "(instr('0123456789abcdef', substring(md5(substring(m, 1, 3)), 1, 1)) - 1) * 256 + " +
+            "(instr('0123456789abcdef', substring(md5(substring(m, 1, 3)), 2, 1)) - 1) * 16 + " +
+            "(instr('0123456789abcdef', substring(md5(substring(m, 1, 3)), 3, 1)) - 1) - 2048"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("w_total"))
+      scored
+        .select(col("doc_id"), col("n_tokens"),
+          expr("w_total DIV n_tokens").as("score_fp"),
+          (expr("w_total DIV n_tokens") > 0).as("keep"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Adjacent-symbol pair counts over a ` sym;`-rendered word-type table
+    * (symstr, n), weighted by word-type count — the counting stage of
+    * q121's BPE training round, shared with q134's merge-table build.
+    * Extra input columns pass through untouched (they are dropped by the
+    * aggregate's projection). */
+  private def pairCounts(df: DataFrame): DataFrame =
+    df.withColumn("syms",
+        expr("filter(transform(split(symstr, ';'), x -> trim(x)), x -> x <> '')"))
+      .filter(size(col("syms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("pair"),
+        col("n"))
+      .groupBy("pair").agg(sum(col("n")).as("cnt"))
 
   /** DuckDB twin of the q121 pair-count stage: adjacent symbol pairs of
     * `$src.symstr`, weighted by word-type count `n`, as CTE `$out`. */
@@ -306,6 +386,54 @@ object TextQueries {
                        row_number() OVER (ORDER BY cnt DESC, pair) AS rank
                 FROM p1)
           WHERE rank <= 20 ORDER BY rank""",
+
+    "q134_bpe_encode" -> {
+      val encSteps = (1 to EncodeMerges).map { i =>
+        s"""e$i AS (SELECT word, n,
+                           replace(symstr,
+                                   ' ' || replace(mp, ' ', '; ') || ';',
+                                   ' ' || replace(mp, ' ', '') || ';') AS symstr
+                    FROM e${i - 1}
+                    CROSS JOIN (SELECT pair AS mp FROM ranked WHERE r = $i))"""
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT word, count(*) AS n
+                     FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+                     WHERE word <> '' GROUP BY word),
+          e0 AS (SELECT word, n,
+                        regexp_replace(word, '(.)', ' ${"\\1"};', 'g') AS symstr
+                 FROM w),
+          s0 AS (SELECT symstr, n FROM e0),
+          ${oPairCounts("s0", "p0")},
+          ranked AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS r
+                     FROM p0),
+          $encSteps
+          SELECT word, CAST(n AS BIGINT) AS n,
+                 CAST(length(word) AS BIGINT) AS n_chars,
+                 CAST(len(syms) AS BIGINT) AS n_tokens,
+                 array_to_string(syms, ' ') AS encoding
+          FROM (SELECT word, n,
+                       list_filter(list_transform(str_split(symstr, ';'),
+                                                  x -> trim(x)),
+                                   x -> x <> '') AS syms
+                FROM e$EncodeMerges)
+          ORDER BY n DESC, word LIMIT 30"""
+    },
+
+    "q136_quality_classifier" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+                       FROM documents),
+          wgts AS (SELECT doc_id,
+                          (strpos('0123456789abcdef', substr(md5(substr(md5(tok), 1, 3)), 1, 1)) - 1) * 256
+                          + (strpos('0123456789abcdef', substr(md5(substr(md5(tok), 1, 3)), 2, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef', substr(md5(substr(md5(tok), 1, 3)), 3, 1)) - 1)
+                          - 2048 AS wgt
+                   FROM toks WHERE tok <> ''),
+          agg AS (SELECT doc_id, count(*) AS n_tokens,
+                         CAST(sum(wgt) AS BIGINT) AS w_total
+                  FROM wgts GROUP BY doc_id)
+          SELECT doc_id, n_tokens, w_total // n_tokens AS score_fp,
+                 (w_total // n_tokens) > 0 AS keep
+          FROM agg ORDER BY doc_id""",
 
     "q73_lm_score" ->
       s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents

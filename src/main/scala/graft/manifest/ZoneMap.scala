@@ -45,4 +45,50 @@ object ZoneMap {
     if (files.isEmpty) s.read.parquet(dir).filter(lit(false))
     else s.read.parquet(files.toIndexedSeq: _*)
   }
+
+  /** Bit-interleaved Z-value of two non-negative integer columns
+    * (`a` in the odd bit positions, `b` in the even), `bits` bits per
+    * dimension — the write-time clustering key for multi-dimension
+    * skipping (q135). Pure arithmetic expression: codegen-friendly,
+    * no UDF. Values must fit in `bits` bits. */
+  def zvalue(a: String, b: String, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map(i => expr(
+      s"shiftleft(shiftright($a, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright($b, $i) & 1, ${2 * i})")).reduce(_ + _)
+
+  /** Multi-column stats manifest: one row per file with (min_c, max_c)
+    * for every key column — the manifest shape that makes MULTI-dimension
+    * skipping possible when the layout clusters several columns at once
+    * (e.g. a Z-order sort, q135). Still one scan of just the key columns. */
+  def statsManifestMulti(s: SparkSession, dir: String,
+                         keyCols: Seq[String]): DataFrame = {
+    val aggs = keyCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    s.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file") +: keyCols.map(col): _*)
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose per-column zones ALL intersect the box (conjunction of
+    * per-dimension range predicates). Driver-side planning, like
+    * [[prunedRead]]. */
+  def boxFiles(s: SparkSession, dir: String,
+               box: Seq[(String, Long, Long)]): Seq[String] = {
+    val keep = box.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+    statsManifestMulti(s, dir, box.map(_._1))
+      .filter(keep).select("file")
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Read only the files surviving [[boxFiles]]; callers still apply the
+    * exact row-level box predicate (zones admit whole files). */
+  def prunedReadBox(s: SparkSession, dir: String,
+                    box: Seq[(String, Long, Long)]): DataFrame = {
+    val files = boxFiles(s, dir, box)
+    if (files.isEmpty) s.read.parquet(dir).filter(lit(false))
+    else s.read.parquet(files: _*)
+  }
 }

@@ -422,6 +422,41 @@ object ManifestFsQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang")
+    }),
+
+    // Z-ORDER layout + MULTI-dimension zone-map skipping — q109's
+    // single-key compaction generalized to two clustering columns: rows
+    // sort by the bit-interleaved (l_partkey, l_suppkey) Z-value, so a
+    // z-contiguous file occupies a small RECTANGLE of the key plane and
+    // its per-file (min, max) zones are tight in BOTH columns — a box
+    // predicate on either dimension (or both) prunes files, which no
+    // single-column sort can offer for its non-sort dimension
+    // (ManifestSemanticsSpec pins exactly that comparison). The Z-value
+    // exists only at write time (dropped before the sink); reads plan
+    // off the multi-column stats manifest, driver-side, one row per
+    // file. 16 bits per dimension covers these keys through sf1; wider
+    // keys widen the interleave (21+21+21 in a 63-bit long) — the
+    // technique is bit-width-agnostic.
+    "q135_zorder_skipping" -> ((s, d) => {
+      val out = Scratch.dir("graft_zorder")
+      val z = ZoneMap.zvalue("l_partkey", "l_suppkey", 16)
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice")
+        .withColumn("z", z)
+        .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(out)
+      val pruned = ZoneMap.prunedReadBox(s, out,
+        Seq(("l_partkey", 16L, 40L), ("l_suppkey", 2L, 4L)))
+      pruned
+        .filter(col("l_partkey").between(16, 40) &&
+          col("l_suppkey").between(2, 4))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+        .orderBy("l_partkey", "l_suppkey")
     })
   )
 
@@ -619,6 +654,16 @@ object ManifestFsQueries {
             CAST(sum(n_chars) AS BIGINT) AS total_chars,
             min(doc_id) AS min_id, max(doc_id) AS max_id
           FROM documents WHERE doc_id BETWEEN 0 AND 59
-          GROUP BY lang ORDER BY lang"""
+          GROUP BY lang ORDER BY lang""",
+
+    // Pruning-invariance again: Z-layout + zones + residual box == box
+    // predicate on the base table.
+    "q135_zorder_skipping" ->
+      s"""SELECT l_partkey, l_suppkey, count(*) AS n,
+            ${oSum("l_quantity")} AS sum_qty,
+            min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+          FROM lineitem
+          WHERE l_partkey BETWEEN 16 AND 40 AND l_suppkey BETWEEN 2 AND 4
+          GROUP BY l_partkey, l_suppkey ORDER BY l_partkey, l_suppkey"""
   )
 }

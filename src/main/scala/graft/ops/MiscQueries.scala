@@ -49,6 +49,40 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Count-min sketch heavy-hitter estimation, built WITHOUT a custom
+    // aggregate: the sketch IS a groupBy — every (lane, cell) count is a
+    // cell of the 4×4096 grid, so map-side partial aggregation is the
+    // sketch merge (cell-wise add, commutative → the estimate is
+    // independent of partitioning/order, unlike HLL's engine-specific
+    // layout, which is why q37 has no oracle and this does). The four
+    // 12-bit lanes are disjoint slices of ONE md5 per key. Probes (a
+    // fixed key set) join the control-plane-sized sketch and take the
+    // min across lanes; exact counts ride the same filtered scan for
+    // the overestimate-bound demo (CMS never underestimates — pinned in
+    // ExtensionSpec alongside the estimate's accuracy).
+    "q133_cms_heavy_hitters" -> ((s, d) => {
+      def hex3(off: Int): String =
+        (0 until 3).map(i =>
+          s"(instr('0123456789abcdef', substring(m, ${off + i}, 1)) - 1) * ${math.pow(16, 2 - i).toInt}")
+          .mkString("(", " + ", ")")
+      val cellsOf = (1 to 4).map(r => hex3(1 + 3 * (r - 1))).mkString(", ")
+      val lanes = Tables.lineitem(s, d)
+        .select(md5(col("l_partkey").cast("string")).as("m"))
+        .select(posexplode(expr(s"array($cellsOf)")).as(Seq("lane", "cell")))
+      val sketch = lanes.groupBy("lane", "cell").agg(count(lit(1)).as("c"))
+      val probes = Tables.lineitem(s, d)
+        .filter(col("l_partkey") <= 32)
+        .groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
+        .withColumn("m", md5(col("l_partkey").cast("string")))
+        .select(col("l_partkey"), col("exact_n"),
+          posexplode(expr(s"array($cellsOf)")).as(Seq("lane", "cell")))
+      probes.join(sketch, Seq("lane", "cell"))
+        .groupBy("l_partkey", "exact_n")
+        .agg(min(col("c")).as("cms_est"))
+        .select("l_partkey", "cms_est", "exact_n")
+        .orderBy("l_partkey")
+    }),
+
     // Struct construction/field access + map construction/lookup.
     "q38_struct_map" -> ((s, d) => {
       Tables.part(s, d)
@@ -394,7 +428,33 @@ object MiscQueries {
     })
   )
 
+  /** DuckDB twin of q133's md5-slice cell: 12-bit value of the 3 hex
+    * digits at `off` in column `m` (strpos ↔ Spark instr, 1-based). */
+  private def oHex3(off: Int): String =
+    (0 until 3).map(i =>
+      s"(strpos('0123456789abcdef', substr(m, ${off + i}, 1)) - 1) * ${math.pow(16, 2 - i).toInt}")
+      .mkString("(", " + ", ")")
+
   def oracles: Map[String, String] = Map(
+    "q133_cms_heavy_hitters" -> {
+      val laneCell = (1 to 4).map(r =>
+        s"SELECT m, ${r - 1} AS lane, ${oHex3(1 + 3 * (r - 1))} AS cell FROM m")
+        .mkString("\n UNION ALL ")
+      s"""WITH m AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS m FROM lineitem),
+          lanes AS ($laneCell),
+          sketch AS (SELECT lane, cell, count(*) AS c FROM lanes GROUP BY 1, 2),
+          probes AS (SELECT l_partkey, count(*) AS exact_n,
+                            md5(CAST(l_partkey AS VARCHAR)) AS m
+                     FROM lineitem WHERE l_partkey <= 32 GROUP BY 1),
+          pl AS (${(1 to 4).map(r =>
+            s"SELECT l_partkey, exact_n, ${r - 1} AS lane, ${oHex3(1 + 3 * (r - 1))} AS cell FROM probes")
+            .mkString("\n UNION ALL ")})
+          SELECT l_partkey, CAST(min(c) AS BIGINT) AS cms_est,
+                 CAST(exact_n AS BIGINT) AS exact_n
+          FROM pl JOIN sketch USING (lane, cell)
+          GROUP BY l_partkey, exact_n ORDER BY l_partkey"""
+    },
+
     "q115_sql_session" ->
       """SELECT o_orderpriority, count(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,

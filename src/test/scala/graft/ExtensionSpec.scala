@@ -553,6 +553,48 @@ class ExtensionSpec extends SparkSpec {
     assert(res.forall(_._2 >= 0L))
   }
 
+  test("CMS estimates never underestimate and are tight on this fixture") {
+    val res = ops.MiscQueries.queries("q133_cms_heavy_hitters")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(res.nonEmpty)
+    // the one-sided CMS error bound: est >= exact, always
+    res.foreach { case (k, est, exact) =>
+      assert(est >= exact, s"partkey $k: est $est < exact $exact")
+    }
+    // 4 lanes × 4096 cells over ≤ ~2k distinct keys: collisions in all
+    // four lanes at once are rare — most probes should be exact
+    val exactHits = res.count { case (_, est, exact) => est == exact }
+    assert(exactHits * 2 > res.length,
+      s"only $exactHits/${res.length} probes exact — hashing suspect")
+  }
+
+  test("BPE encode: concatenating a word's tokens reproduces the word") {
+    val res = ext.TextQueries.queries("q134_bpe_encode")(spark, sf)
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(res.length > 0 && res.length <= 30)
+    res.foreach { case (word, _, nChars, nToks, enc) =>
+      assert(enc.replace(" ", "") == word, s"'$enc' !~ '$word'")
+      assert(nToks >= 1 && nToks <= nChars)
+    }
+    // at least one frequent word must actually compress (a merge applied)
+    assert(res.exists { case (_, _, nChars, nToks, _) => nToks < nChars },
+      "no word compressed — merge table not applied?")
+  }
+
+  test("quality classifier scores are bounded and keep matches the sign") {
+    val res = ext.TextQueries.queries("q136_quality_classifier")(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(res.length == docs, "every doc must be scored")
+    res.foreach { case (id, n, score, keep) =>
+      assert(n > 0)
+      assert(score >= -2048 && score <= 2047, s"doc $id score $score")
+      assert(keep == (score > 0))
+    }
+    // hash-derived weights are ~uniform, so both classes must appear
+    assert(res.exists(_._4) && res.exists(!_._4))
+  }
+
   test("entity resolution matches every dirty record within edit distance 1") {
     val res = ext.CurationQueries.queries("q126_entity_resolution")(spark, sf)
       .as[(Long, String, Long, String, Int)].collect()

@@ -137,6 +137,36 @@ class ManifestSemanticsSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.contains("text"))
   }
 
+  test("Z-order layout prunes on BOTH dimensions; a single-column sort cannot") {
+    import graft.manifest.ZoneMap
+    // 64×64 grid, 6 bits per dim → z < 4096; 16 z-range files each cover
+    // a 256-value z run = a 16×16 RECTANGLE of the (a, b) plane
+    val grid = spark.range(64).select(col("id").as("a"))
+      .crossJoin(spark.range(64).select(col("id").as("b")))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zgrid").toString
+    grid.withColumn("z", ZoneMap.zvalue("a", "b", 6))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z").drop("z")
+      .write.mode("overwrite").parquet(zDir)
+    // a narrow box on EITHER single dimension prunes to ≤ a quarter
+    val aOnly = ZoneMap.boxFiles(spark, zDir, Seq(("a", 0L, 15L), ("b", 0L, 63L)))
+    val bOnly = ZoneMap.boxFiles(spark, zDir, Seq(("a", 0L, 63L), ("b", 16L, 31L)))
+    assert(aOnly.size <= 4, s"a-box planned ${aOnly.size} of 16 files")
+    assert(bOnly.size <= 4, s"b-box planned ${bOnly.size} of 16 files")
+    // both dims together: the intersection rectangle
+    val both = ZoneMap.boxFiles(spark, zDir, Seq(("a", 0L, 15L), ("b", 16L, 31L)))
+    assert(both.size <= 2, s"2-d box planned ${both.size} of 16 files")
+    // the same data sorted by a alone: the b-only box prunes NOTHING
+    val aDir = java.nio.file.Files.createTempDirectory("graft_asort").toString
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(aDir)
+    val bOnLinear = ZoneMap.boxFiles(spark, aDir, Seq(("b", 16L, 31L)))
+    assert(bOnLinear.size == 16, "a-sorted layout must not prune a b-box")
+    // pruning-invariance of the box read
+    val viaZ = ZoneMap.prunedReadBox(spark, zDir, Seq(("a", 0L, 15L), ("b", 16L, 31L)))
+      .filter(col("a") <= 15 && col("b").between(16, 31)).count()
+    assert(viaZ == 16L * 16L)
+  }
+
   test("manifest diff classifies added/removed/changed/unchanged") {
     import org.apache.spark.sql.functions.col
     val oldM = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("Key", "Size")
