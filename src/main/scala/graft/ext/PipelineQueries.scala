@@ -63,6 +63,28 @@ object PipelineQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // Weighted sampling without RNG state: PRIORITY sampling — each doc
+    // gets priority = H / w where H is a 32-bit md5 slice of its stable
+    // id (a seedless uniform draw) and w = n_chars its weight; the k
+    // smallest priorities are the sample, so inclusion probability is
+    // ∝ weight for k ≪ N. Deterministic, partitioning-independent, and
+    // restart-stable — the properties a 100 TB curation pipeline needs
+    // from its sampler (q68's unweighted split, weighted). Priorities
+    // are computed map-side; the only ordered step is the global top-k,
+    // which Spark executes as per-partition top-k + a k-row merge
+    // (TakeOrderedAndProject), never a full sort.
+    "q137_weighted_sample" -> ((s, d) => {
+      val h32 = (0 until 8).map(i =>
+        s"(instr('0123456789abcdef', substring(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)")
+        .mkString("(", " + ", ")")
+      Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .withColumn("m", md5(col("doc_id").cast("string")))
+        .withColumn("pr", expr(s"$h32 DIV n_chars"))
+        .select("doc_id", "n_chars", "pr")
+        .orderBy(col("pr"), col("doc_id")).limit(100)
+    }),
+
     // Deterministic hash-based train/val/test split — reproducible at any
     // cluster size, no RNG state (md5 of the stable key).
     "q68_hash_split" -> ((s, d) => {
@@ -166,6 +188,16 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q137_weighted_sample" -> {
+      val h32 = (0 until 8).map(i =>
+        s"(strpos('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)")
+        .mkString("(", " + ", ")")
+      s"""SELECT doc_id, n_chars, $h32 // n_chars AS pr
+          FROM (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS m
+                FROM documents WHERE n_chars > 0)
+          ORDER BY pr, doc_id LIMIT 100"""
+    },
+
     "q117_doc_chunking" ->
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
           c AS (SELECT doc_id,

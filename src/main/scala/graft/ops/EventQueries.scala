@@ -203,6 +203,36 @@ object EventQueries {
         .groupBy("cohort_week", "week_no")
         .agg(count(lit(1)).as("n_active"))
         .orderBy("cohort_week", "week_no")
+    }),
+
+    // Type-2 slowly-changing dimension build: collapse each user's
+    // event-type stream into state VERSIONS — consecutive equal states
+    // become one row with [valid_from, valid_to) validity, valid_to =
+    // the next version's start, NULL marks the current version. The
+    // q82 gaps-and-islands machinery applied to state-change detection
+    // instead of inactivity gaps: lag flags the change, a running sum
+    // numbers the versions, lead closes the intervals. One shuffle on
+    // user_id; the three windows share the same partitioning.
+    "q139_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, d)
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+            .otherwise(0))
+      val versions = flagged
+        .withColumn("version", sum(col("chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "version")
+        .agg(min(col("event_type")).as("state"),
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val wv = Window.partitionBy("user_id").orderBy("version")
+      versions
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "version")
     })
   )
 
@@ -304,6 +334,34 @@ object EventQueries {
                  count(*) AS n_active
           FROM weekly JOIN cohorts USING (user_id)
           GROUP BY 1, 2 ORDER BY cohort_week, week_no""",
+
+    // ordering mirrors Spark's µs view of ts (epoch_us) with event_id
+    // as the deterministic tie-break, like q82
+    "q139_scd2_intervals" ->
+      """WITH flagged AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id)),
+          versions AS (
+            SELECT user_id, version, min(event_type) AS state,
+                   min(ts) AS valid_from, count(*) AS n_events
+            FROM (SELECT user_id, event_type, ts,
+                         CAST(SUM(chg) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS version
+                  FROM flagged)
+            GROUP BY user_id, version)
+          SELECT user_id, version, state, valid_from, n_events,
+                 lead(valid_from) OVER wv AS valid_to,
+                 (lead(valid_from) OVER wv IS NULL) AS is_current
+          FROM versions
+          WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+          ORDER BY user_id, version""",
 
     "q85_gap_detect" ->
       """SELECT user_id, prev_ts AS gap_start, ts AS gap_end,

@@ -83,6 +83,20 @@ object MiscQueries {
         .orderBy("l_partkey")
     }),
 
+    // Data-quality constraint sweep (the "expectations" op a pipeline
+    // runs before promoting a snapshot): referential integrity by
+    // anti-join, key uniqueness by count-vs-distinct, domain and
+    // null-rate checks by filtered counts — one violation count per
+    // declared constraint. Each check is an independent aggregate over
+    // its own scan (parquet pruning keeps each to the columns it
+    // needs); the dim side of the FK anti-joins broadcasts. All-zero
+    // violations on this fixture IS the assertion — the oracle proves
+    // the checks compute the same emptiness, and ExtensionSpec proves
+    // they fire on planted corruption.
+    "q138_dq_checks" -> ((s, d) =>
+      dqChecks(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.lineitem(s, d))),
+
     // Struct construction/field access + map construction/lookup.
     "q38_struct_map" -> ((s, d) => {
       Tables.part(s, d)
@@ -428,6 +442,32 @@ object MiscQueries {
     })
   )
 
+  /** q138's constraint sweep over caller-supplied tables, so the spec can
+    * plant corruption and watch each check fire (the all-zero graded
+    * result alone can't distinguish "checks pass" from "checks dead"). */
+  private[graft] def dqChecks(orders: DataFrame, customer: DataFrame,
+                              lineitem: DataFrame): DataFrame = {
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    counted("1_orders_fk_customer",
+        orders.join(customer,
+          orders("o_custkey") === customer("c_custkey"), "left_anti"))
+      .unionByName(counted("2_lineitem_fk_orders",
+        lineitem.join(orders,
+          lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")))
+      .unionByName(orders
+        .agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("n_violations"))
+        .select(lit("3_orderkey_unique").as("check_name"),
+          col("n_violations")))
+      .unionByName(counted("4_quantity_domain",
+        lineitem.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
+      .unionByName(counted("5_orderdate_not_null",
+        orders.filter(col("o_orderdate").isNull)))
+      .orderBy("check_name")
+  }
+
   /** DuckDB twin of q133's md5-slice cell: 12-bit value of the 3 hex
     * digits at `off` in column `m` (strpos ↔ Spark instr, 1-based). */
   private def oHex3(off: Int): String =
@@ -436,6 +476,27 @@ object MiscQueries {
       .mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
+    "q138_dq_checks" ->
+      """SELECT '1_orders_fk_customer' AS check_name,
+                (SELECT count(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                  AS n_violations
+          UNION ALL
+          SELECT '2_lineitem_fk_orders',
+                (SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          UNION ALL
+          SELECT '3_orderkey_unique',
+                (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+          UNION ALL
+          SELECT '4_quantity_domain',
+                (SELECT count(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50)
+          UNION ALL
+          SELECT '5_orderdate_not_null',
+                (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+          ORDER BY check_name""",
+
     "q133_cms_heavy_hitters" -> {
       val laneCell = (1 to 4).map(r =>
         s"SELECT m, ${r - 1} AS lane, ${oHex3(1 + 3 * (r - 1))} AS cell FROM m")

@@ -595,6 +595,64 @@ class ExtensionSpec extends SparkSpec {
     assert(res.exists(_._4) && res.exists(!_._4))
   }
 
+  test("DQ checks fire one count per planted corruption, zero elsewhere") {
+    import java.sql.Date
+    val orders = Seq(
+      (1L, 10L, Date.valueOf("1995-01-01")),
+      (2L, 10L, Date.valueOf("1995-01-02")),
+      (2L, 11L, Date.valueOf("1995-01-03")),            // dup orderkey
+      (3L, 99L, Date.valueOf("1995-01-04")),            // dangling custkey
+      (4L, 11L, null.asInstanceOf[Date]))               // null orderdate
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val customer = Seq(10L, 11L).toDF("c_custkey")
+    val lineitem = Seq(
+      (1L, 5.0), (2L, 99.0),                            // qty out of domain
+      (77L, 3.0))                                       // dangling orderkey
+      .toDF("l_orderkey", "l_quantity")
+    val got = ops.MiscQueries.dqChecks(orders, customer, lineitem)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "1_orders_fk_customer" -> 1L, "2_lineitem_fk_orders" -> 1L,
+      "3_orderkey_unique" -> 1L, "4_quantity_domain" -> 1L,
+      "5_orderdate_not_null" -> 1L))
+    // and the graded fixture is clean: all five checks report zero
+    val clean = ops.MiscQueries.queries("q138_dq_checks")(spark, sf)
+      .as[(String, Long)].collect()
+    assert(clean.length == 5 && clean.forall(_._2 == 0L))
+  }
+
+  test("weighted sample prefers long documents") {
+    val sample = ext.PipelineQueries.queries("q137_weighted_sample")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(sample.length == 100)
+    // priorities are sorted and distinct docs only
+    assert(sample.map(_._1).distinct.length == 100)
+    val sampleAvg = sample.map(_._2).sum.toDouble / sample.length
+    val corpusAvg = Tables.documents(spark, sf)
+      .agg(avg(col("n_chars"))).as[Double].head()
+    assert(sampleAvg > corpusAvg,
+      s"weighted sample avg $sampleAvg not above corpus avg $corpusAvg")
+  }
+
+  test("SCD2 versions alternate states and tile each user's timeline") {
+    val res = ops.EventQueries.queries("q139_scd2_intervals")(spark, sf)
+      .select("user_id", "version", "state", "valid_from", "valid_to")
+      .as[(Long, Long, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect()
+    assert(res.nonEmpty)
+    res.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      // exactly one open (current) version per user, and it is the last
+      assert(sorted.count(_._5.isEmpty) == 1 && sorted.last._5.isEmpty)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 != b._3, s"user ${a._1}: consecutive equal states")
+          assert(a._5.contains(b._4), s"user ${a._1}: interval gap")
+        case _ =>
+      }
+    }
+  }
+
   test("entity resolution matches every dirty record within edit distance 1") {
     val res = ext.CurationQueries.queries("q126_entity_resolution")(spark, sf)
       .as[(Long, String, Long, String, Int)].collect()
