@@ -91,22 +91,38 @@ object GraphQueries {
     // (deg << 32 | id): pure map-side arithmetic, no global rank
     // window over the node set.
     // Scale: the co-occurrence self-join fans out quadratically only
-    // within one order's supplier set (bounded by order size, ≤7 here);
-    // wedge and closure joins shuffle on node keys, never the raw
-    // lineitem stream.
+    // within one order's supplier set (bounded by order size, ≤7 here),
+    // and the raw co-occurrence graph is then SPARSIFIED to its
+    // [[TriangleEdgeBudget]] heaviest edges (count-desc, (u, v)
+    // tie-break — deterministic at the cutoff) before any wedge is
+    // enumerated. Without the backbone the graph saturates — at sf0.1
+    // the 1000 suppliers share ~450k of the ~500k possible edges and
+    // Σdeg² ≈ 8×10⁸ wedges (measured: 22.8s); the fixed edge budget
+    // bounds wedge work at ANY scale, the same cap discipline as the
+    // LSH mega-bucket guards. The top-k itself is
+    // TakeOrderedAndProject — per-partition heaps + a k-row merge,
+    // never a full sort of the edge list. Wedge and closure joins then
+    // shuffle only backbone-sized inputs.
     "q132_triangle_count" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
       val edges = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-        .select(col("a.sk").as("u"), col("b.sk").as("v"))
-        .distinct()
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("u"), col("v"))
+        .limit(TriangleEdgeBudget)
+        .select("u", "v")
       triangleCounts(edges)
         .withColumnRenamed("node", "supplier")
         .orderBy(col("n_triangles").desc, col("supplier")).limit(20)
     })
   )
+
+  /** q132's co-occurrence backbone size: the heaviest edges kept before
+    * wedge enumeration. */
+  private[ext] val TriangleEdgeBudget = 5000
 
   /** Degree-ordered per-node triangle participation over an undirected
     * simple graph given as distinct (u, v) edges with u < v. Returns
@@ -170,10 +186,13 @@ object GraphQueries {
     },
 
     "q132_triangle_count" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
                      FROM lineitem),
-          edges AS (SELECT DISTINCT a.sk AS u, b.sk AS v
-                    FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+          edges AS (SELECT u, v FROM (
+                      SELECT a.sk AS u, b.sk AS v, count(*) AS c
+                      FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+                      GROUP BY 1, 2)
+                    ORDER BY c DESC, u, v LIMIT $TriangleEdgeBudget),
           deg AS (SELECT n, count(*) AS deg FROM (
                     SELECT u AS n FROM edges
                     UNION ALL SELECT v FROM edges) GROUP BY n),

@@ -162,6 +162,28 @@ class PlanSpec extends SparkSpec {
       s"expected 2 centroid passes (delta assign + probes), got $centroidPasses:\n${p.take(2000)}")
   }
 
+  test("q132: triangle joins are all hash equi-joins, no cartesian product") {
+    val p = withAqeOff { plan("q132_triangle_count") }
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/closure joins must stay equi-joins:\n${p.take(2000)}")
+  }
+
+  test("q137: global weighted top-k is TakeOrdered, never a full sort") {
+    val p = plan("q137_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + k-row merge:\n${p.take(1500)}")
+  }
+
+  test("q134: encode corpus passes are one-row broadcasts over the word table") {
+    val p = withAqeOff { plan("q134_bpe_encode") }
+    // each of the EncodeMerges ranked merges arrives as a broadcast
+    // nested-loop (1-row cross) join — the corpus side never shuffles
+    // between merge applications
+    val bcasts = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bcasts == 8, s"expected 8 one-row merge broadcasts, got $bcasts")
+  }
+
   test("q96: bucket filter becomes a partition filter, not a row filter") {
     val p = plan("q96_partitioned_prune")
     assert(p.contains("PartitionFilters") && p.contains("Bucket"),
