@@ -282,10 +282,49 @@ object CurationQueries {
           col("entity_id").as("matched_entity"),
           col("ent_name").as("matched_name"), col("lev"))
         .orderBy("rec_id")
+    }),
+
+    // Novelty scoring — the inverse of q100's repetition and q101's
+    // contamination: how much of each document's distinct 8-gram set
+    // appears NOWHERE else in the corpus (df = 1)? High-novelty docs
+    // carry information no other doc has (what a curation pass wants to
+    // keep); near-zero novelty means boilerplate. Two shuffles, both on
+    // the gram: the df aggregate and the join back to each doc's gram
+    // set; the per-doc ratio aggregate reuses the doc_id partitioning.
+    // The ratio is fixed-point basis points via truncating DIV — no
+    // cross-engine float.
+    "q141_novelty_score" -> ((s, d) => {
+      val grams = eightGrams(Tables.documents(s, d).select("doc_id", "text"))
+      val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_grams"), col("n_unique"),
+          expr("(n_unique * 10000) DIV n_grams").as("novelty_bp"))
+        .orderBy("doc_id")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q141_novelty_score" ->
+      """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents
+                      WHERE len(str_split(text, ' ')) >= 8),
+          g8 AS (SELECT DISTINCT doc_id,
+                        array_to_string(words[pos:pos+7], ' ') AS g
+                 FROM (SELECT doc_id, words,
+                              unnest(generate_series(1, len(words) - 7)) AS pos
+                       FROM tok)),
+          dfreq AS (SELECT g, count(*) AS df FROM g8 GROUP BY g),
+          agg AS (SELECT doc_id, count(*) AS n_grams,
+                         sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+                  FROM g8 JOIN dfreq USING (g) GROUP BY doc_id)
+          SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                 CAST(n_unique AS BIGINT) AS n_unique,
+                 CAST(n_unique * 10000 AS BIGINT) // CAST(n_grams AS BIGINT)
+                   AS novelty_bp
+          FROM agg ORDER BY doc_id""",
+
     "q126_entity_resolution" ->
       """WITH parts AS (SELECT p_partkey, p_name FROM part),
           entities AS (SELECT min(p_partkey) AS entity_id, p_name AS ent_name,

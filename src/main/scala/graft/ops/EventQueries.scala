@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *  - the range self-join buckets time into join keys so Spark gets an
   *    equi-join (hash, parallel) instead of a theta-join nested loop.
   */
+/** q140's typed row (stable field order for the Encoder). */
+case class UserEvent(user_id: Long, us: Long, event_type: String,
+                     event_id: Long)
+
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -233,6 +237,37 @@ object EventQueries {
         .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
         .withColumn("is_current", col("valid_to").isNull)
         .orderBy("user_id", "version")
+    }),
+
+    // The TYPED Dataset escape hatch: KeyValueGroupedDataset.mapGroups
+    // over case-class rows — per-user profile computed in plain Scala
+    // (sort the user's events, walk once). This is the API for
+    // per-group logic Catalyst can't express; here the logic IS
+    // window-expressible on purpose, so the oracle proves the typed
+    // path computes exactly what the declarative one would. Per-group
+    // state is one user's events (bounded); the groupByKey shuffle is
+    // the same exchange a window would need. Columnar loss (no codegen
+    // inside mapGroups) is the documented price — q140 is the seam's
+    // correctness witness, not the recommended default.
+    "q140_typed_mapgroups" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("event_id"))
+        .as[UserEvent]
+        .groupByKey(_.user_id)
+        .mapGroups { (uid, it) =>
+          val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+          val maxGap =
+            if (evs.length < 2) None
+            else Some(evs.iterator.zip(evs.iterator.drop(1))
+              .map { case (a, b) => b.us - a.us }.max)
+          (uid, evs.length.toLong, maxGap,
+            evs.head.event_type, evs.last.event_type)
+        }
+        .toDF("user_id", "n_events", "max_gap_us", "first_type", "last_type")
+        .orderBy("user_id")
     })
   )
 
@@ -362,6 +397,21 @@ object EventQueries {
           FROM versions
           WINDOW wv AS (PARTITION BY user_id ORDER BY version)
           ORDER BY user_id, version""",
+
+    "q140_typed_mapgroups" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type, event_id
+                    FROM events),
+          g AS (SELECT user_id, us, event_type,
+                       us - lag(us) OVER w AS gap,
+                       row_number() OVER w AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n_events
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+          SELECT user_id, CAST(max(n_events) AS BIGINT) AS n_events,
+                 max(gap) AS max_gap_us,
+                 max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                 max(CASE WHEN rn = n_events THEN event_type END) AS last_type
+          FROM g GROUP BY user_id ORDER BY user_id""",
 
     "q85_gap_detect" ->
       """SELECT user_id, prev_ts AS gap_start, ts AS gap_end,

@@ -653,6 +653,32 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("typed mapGroups profile covers every user and respects gap bounds") {
+    val res = ops.EventQueries.queries("q140_typed_mapgroups")(spark, sf)
+      .as[(Long, Long, Option[Long], String, String)].collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(res.length == users)
+    assert(res.map(_._2).sum == Tables.events(spark, sf).count())
+    res.foreach { case (uid, n, gap, first, last) =>
+      assert(gap.isEmpty == (n == 1), s"user $uid: gap/none mismatch")
+      gap.foreach(g => assert(g >= 0, s"user $uid: negative gap $g"))
+      assert(first.nonEmpty && last.nonEmpty)
+    }
+  }
+
+  test("novelty scores are valid basis points with unique <= total") {
+    val res = ext.CurationQueries.queries("q141_novelty_score")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(res.nonEmpty)
+    res.foreach { case (id, nGrams, nUnique, bp) =>
+      assert(nGrams > 0 && nUnique >= 0 && nUnique <= nGrams, s"doc $id")
+      assert(bp >= 0 && bp <= 10000, s"doc $id: $bp bp")
+      assert(bp == nUnique * 10000 / nGrams)
+    }
+    // random-text fixture: some docs must carry unique content
+    assert(res.exists(_._3 > 0))
+  }
+
   test("entity resolution matches every dirty record within edit distance 1") {
     val res = ext.CurationQueries.queries("q126_entity_resolution")(spark, sf)
       .as[(Long, String, Long, String, Int)].collect()
