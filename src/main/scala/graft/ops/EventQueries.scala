@@ -268,6 +268,36 @@ object EventQueries {
         }
         .toDF("user_id", "n_events", "max_gap_us", "first_type", "last_type")
         .orderBy("user_id")
+    }),
+
+    // Time-series regularization: project each sampled user's events
+    // onto a dense hourly grid between their first and last activity
+    // (sequence + explode — no generator UDF), left-join the real
+    // hourly aggregate, and FORWARD-FILL gaps with the last observed
+    // hourly total (last(_, ignoreNulls) over a ROWS frame). Downstream
+    // models need the regular grid; the fill is the standard
+    // last-observation-carried-forward. The grid explode is map-side;
+    // the join and the fill window share the user_id partitioning. The
+    // user sample (id % 7) bounds the output, the same budget idea as
+    // the LSH caps.
+    "q142_gap_fill" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+      val hourly = e.groupBy("user_id", "h")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("hour_value"))
+      val grid = e.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("hour_value"), ignoreNulls = true).over(w).as("filled_value"))
+        .orderBy("user_id", "h")
     })
   )
 
@@ -412,6 +442,28 @@ object EventQueries {
                  max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
                  max(CASE WHEN rn = n_events THEN event_type END) AS last_type
           FROM g GROUP BY user_id ORDER BY user_id""",
+
+    "q142_gap_fill" ->
+      s"""WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+                     FROM events WHERE user_id % 7 = 0),
+          hourly AS (SELECT user_id, h, count(*) AS n_events,
+                            ${oSum("value")} AS hour_value
+                     FROM e GROUP BY 1, 2),
+          grid AS (SELECT user_id,
+                          unnest(generate_series(h0, h1,
+                                                 INTERVAL '1 hour')) AS h
+                   FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+                         FROM e GROUP BY 1)),
+          joined AS (SELECT g.user_id, g.h,
+                            coalesce(n_events, 0) AS n_events, hour_value
+                     FROM grid g LEFT JOIN hourly
+                       ON hourly.user_id = g.user_id AND hourly.h = g.h)
+          SELECT user_id, h, CAST(n_events AS BIGINT) AS n_events,
+                 last_value(hour_value IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_value
+          FROM joined ORDER BY user_id, h""",
 
     "q85_gap_detect" ->
       """SELECT user_id, prev_ts AS gap_start, ts AS gap_end,

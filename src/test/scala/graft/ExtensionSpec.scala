@@ -679,6 +679,27 @@ class ExtensionSpec extends SparkSpec {
     assert(res.exists(_._3 > 0))
   }
 
+  test("gap-fill emits a dense hourly grid with values carried forward") {
+    val res = ops.EventQueries.queries("q142_gap_fill")(spark, sf)
+      .as[(Long, java.sql.Timestamp, Long, Option[Double])].collect()
+    assert(res.nonEmpty)
+    res.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2.getTime)
+      // grid density: every consecutive pair is exactly one hour apart
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2.getTime - a._2.getTime == 3600L * 1000L,
+            s"user ${a._1}: grid hole between ${a._2} and ${b._2}")
+        case _ =>
+      }
+      // endpoints hold real events, and the fill never leaves a hole
+      assert(sorted.head._3 > 0 && sorted.last._3 > 0)
+      assert(sorted.forall(_._4.nonEmpty), "filled_value must carry forward")
+    }
+    // the fill actually fired: some grid hours have zero events
+    assert(res.exists(_._3 == 0L), "fixture has no gaps to fill?")
+  }
+
   test("entity resolution matches every dirty record within edit distance 1") {
     val res = ext.CurationQueries.queries("q126_entity_resolution")(spark, sf)
       .as[(Long, String, Long, String, Int)].collect()
