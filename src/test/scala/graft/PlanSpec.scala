@@ -252,6 +252,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-join splits a pathological partition at runtime") {
+    // one key holds ~90% of the left side — the shape that stalls a
+    // 1000-executor shuffle join on one straggler task. With the skew
+    // thresholds scaled down to fixture size, AQE must mark and split
+    // the hot partition; at 100 TB the same mechanism fires at the
+    // default thresholds. Confs restored afterwards.
+    val keep = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(200000).selectExpr(
+        "CASE WHEN id < 180000 THEN 0 ELSE id % 100 END AS k", "id AS v")
+      val right = spark.range(100).selectExpr("id AS k", "id * 10 AS w")
+      // the inspected frame must be the one EXECUTED: collect() drives
+      // this df's own QueryExecution (count()/foreach() build separate
+      // ones and would leave this adaptive plan un-finalized)
+      val agg = left.join(right, "k").agg(count(lit(1)).as("n"))
+      assert(agg.collect().head.getLong(0) == 200000L)
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected a skew-split join in the adaptive plan:\n${p.take(2000)}")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     // decimal value: double sums are accumulation-order-sensitive, which is
     // exactly why the engine aggregates doubles through decimals (dsl.scala)
