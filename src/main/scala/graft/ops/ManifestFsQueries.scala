@@ -312,6 +312,25 @@ object ManifestFsQueries {
         .orderBy("window_start", "event_type")
     }),
 
+    // The native bounded-heap aggregate ([[graft.functions.TopKAgg]],
+    // q127) driven through the REAL streaming engine: per-micro-batch
+    // partial heaps merge into the state store via the aggregate's own
+    // serialize/merge path — the proof that the custom
+    // TypedImperativeAggregate is streaming-safe, not just batch-safe.
+    // Complete mode over the finite source makes the final table equal
+    // the batch q127, which is exactly what the shared oracle checks.
+    "q143_stream_topk" -> ((s, d) => {
+      val agg = StreamingPipelines.eventsStream(s, d)
+        .groupBy("event_type")
+        .agg(graft.functions.TopKAgg.topk(col("value"), col("event_id"), 5)
+          .as("top"))
+      StreamingPipelines.runToCompletion(s, agg)
+        .select(col("event_type"), posexplode(col("top")).as(Seq("idx", "e")))
+        .select(col("event_type"), (col("idx") + 1).cast("int").as("rank"),
+          col("e.id").as("event_id"), col("e.score").as("value"))
+        .orderBy("event_type", "rank")
+    }),
+
     // Streaming deduplication with bounded state
     // (dropDuplicatesWithinWatermark): the stream doubled by self-union
     // collapses back to one row per event_id; state for an id is evictable
@@ -569,6 +588,15 @@ object ManifestFsQueries {
     "q89_stream_dedup" ->
       """SELECT event_type, count(*) AS n
           FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // q127's oracle verbatim — the streaming run must equal the batch one
+    "q143_stream_topk" ->
+      """SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rank
+            FROM events)
+          WHERE rank <= 5 ORDER BY event_type, rank""",
 
     "q123_stream_sessionize" ->
       """WITH flagged AS (

@@ -34,6 +34,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("TopKAgg heap state merges across MULTIPLE micro-batches") {
+    // the graded q143 sees the single events file in one micro-batch;
+    // this pin splits the source 4 ways and throttles to one file per
+    // trigger, so the final heap is the result of state-store merges
+    // across four batches — it must still equal the batch top-k
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_files").toString
+    Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .groupBy("event_type")
+      .agg(graft.functions.TopKAgg.topk(col("value"), col("event_id"), 5).as("top"))
+    val got = StreamingPipelines.runToCompletion(spark, stream)
+      .select(col("event_type"), posexplode(col("top")).as(Seq("idx", "e")))
+      .select(col("event_type"), col("e.id"), col("e.score"))
+      .orderBy("event_type", "idx").collect()
+    val want = EventQueries.queries("q127_topk_aggregate")(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("stream-static join enriches events against a dimension") {
     // static side: user_id → customer name (broadcastable dim)
     val dim = Tables.customer(spark, sf)
