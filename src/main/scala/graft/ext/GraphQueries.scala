@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.Tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over a relationship graph derived from the
@@ -117,12 +117,61 @@ object GraphQueries {
       triangleCounts(edges)
         .withColumnRenamed("node", "supplier")
         .orderBy(col("n_triangles").desc, col("supplier")).limit(20)
+    }),
+
+    // Multi-source BFS over the q120 trade graph: distance-from-any-
+    // seed-supplier (s_nationkey % 5 = 3 — a nation cohort non-empty at
+    // every fixture scale) in [[BfsRounds]] Bellman-Ford-style relaxation
+    // rounds — each round is ONE edges ⋈ dist join plus a min-aggregate
+    // (the Pregel message pass again, integer distances so every round
+    // is bit-exact cross-engine, the q120 discipline). The distance
+    // vector is |V| rows; edges carry the big side and can be
+    // pre-partitioned by src so all rounds reuse one exchange. Output
+    // is the per-distance census with lexicographic witness nodes.
+    "q144_multisource_bfs" -> ((s, d) => {
+      val ebase = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cust"),
+          (col("l_suppkey") * 2 + 1).as("supp"))
+        .distinct()
+      val e = ebase.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(ebase.select(col("supp").as("src"), col("cust").as("dst")))
+      val nodes = e.select(col("src").as("node")).distinct()
+      val sources = Tables.supplier(s, d)
+        .filter(col("s_nationkey") % 5 === 3)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      var dist = nodes
+        .join(sources.withColumn("z", lit(0L)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("z"), lit(BfsInf)).as("dist"))
+      for (_ <- 1 to BfsRounds) {
+        val relax = e.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        dist = dist.unionByName(relax)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+      }
+      def render(c: String): Column = concat(
+        when(col(c) % 2 === 0, lit("c")).otherwise(lit("s")),
+        expr(s"CAST($c DIV 2 AS STRING)"))
+      dist.groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("lo"), max(col("node")).as("hi"))
+        .select(col("dist"), col("n_nodes"),
+          render("lo").as("first_node"), render("hi").as("last_node"))
+        .orderBy("dist")
     })
   )
 
   /** q132's co-occurrence backbone size: the heaviest edges kept before
     * wedge enumeration. */
   private[ext] val TriangleEdgeBudget = 5000
+
+  /** q144's unrolled frontier-relaxation rounds. */
+  private[ext] val BfsRounds = 3
+
+  /** q144's unreached-distance sentinel (the trade graph's diameter is
+    * far below it; survives min() intact for never-relaxed nodes). */
+  private[ext] val BfsInf = 999L
 
   /** Degree-ordered per-node triangle participation over an undirected
     * simple graph given as distinct (u, v) edges with u < v. Returns
@@ -162,7 +211,41 @@ object GraphQueries {
         r$k AS (SELECT node, 150000000 + (85 * coalesce(cs, 0)) // 100 AS r
                 FROM nodes LEFT JOIN c$k ON c$k.dst = nodes.node)"""
 
+  /** One unrolled DuckDB BFS relaxation round over CTE `$prev` → `d$k`. */
+  private def bfsRoundSql(k: Int, prev: String): String =
+    s"""d$k AS (SELECT node, min(dist) AS dist FROM (
+          SELECT node, dist FROM $prev
+          UNION ALL
+          SELECT e.dst AS node, $prev.dist + 1 AS dist
+          FROM e JOIN $prev ON e.src = $prev.node)
+        GROUP BY node)"""
+
   def oracles: Map[String, String] = Map(
+    "q144_multisource_bfs" -> {
+      val rounds = (1 to BfsRounds)
+        .map(k => bfsRoundSql(k, s"d${k - 1}")).mkString(",\n")
+      s"""WITH ebase AS (SELECT DISTINCT o_custkey * 2 AS cust,
+                                l_suppkey * 2 + 1 AS supp
+                         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          e AS (SELECT cust AS src, supp AS dst FROM ebase
+                UNION ALL
+                SELECT supp AS src, cust AS dst FROM ebase),
+          nodes AS (SELECT DISTINCT src AS node FROM e),
+          srcs AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node
+                   FROM supplier WHERE s_nationkey % 5 = 3),
+          d0 AS (SELECT nodes.node,
+                        CASE WHEN srcs.node IS NOT NULL
+                             THEN 0 ELSE $BfsInf END AS dist
+                 FROM nodes LEFT JOIN srcs ON srcs.node = nodes.node),
+          $rounds
+          SELECT dist, count(*) AS n_nodes,
+                 (CASE WHEN min(node) % 2 = 0 THEN 'c' ELSE 's' END)
+                   || CAST(min(node) // 2 AS VARCHAR) AS first_node,
+                 (CASE WHEN max(node) % 2 = 0 THEN 'c' ELSE 's' END)
+                   || CAST(max(node) // 2 AS VARCHAR) AS last_node
+          FROM d$BfsRounds GROUP BY dist ORDER BY dist"""
+    },
+
     "q120_pagerank" -> {
       val rounds = (1 to PageRankRounds)
         .map(k => prRoundSql(k, if (k == 1) "r0" else s"r${k - 1}"))

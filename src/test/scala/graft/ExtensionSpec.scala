@@ -700,6 +700,26 @@ class ExtensionSpec extends SparkSpec {
     assert(res.exists(_._3 == 0L), "fixture has no gaps to fill?")
   }
 
+  test("BFS census partitions the node set into contiguous waves") {
+    val res = ext.GraphQueries.queries("q144_multisource_bfs")(spark, sf)
+      .as[(Long, Long, String, String)].collect().sortBy(_._1)
+    assert(res.nonEmpty && res.head._1 == 0L, "seed wave must exist at dist 0")
+    // contiguous distances: a wave at k implies a wave at k-1
+    val reached = res.map(_._1).filter(_ < 999L)
+    assert(reached.sameElements(reached.indices.map(_.toLong)))
+    res.foreach { case (_, n, lo, hi) =>
+      assert(n > 0 && lo.matches("[cs][0-9]+") && hi.matches("[cs][0-9]+"))
+    }
+    // census completeness: waves partition every trade-graph node
+    val e = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("n"), (col("l_suppkey") * 2 + 1).as("m"))
+    val nV = e.select(col("n")).unionByName(e.select(col("m").as("n")))
+      .distinct().count()
+    assert(res.map(_._2).sum == nV)
+  }
+
   test("entity resolution matches every dirty record within edit distance 1") {
     val res = ext.CurationQueries.queries("q126_entity_resolution")(spark, sf)
       .as[(Long, String, Long, String, Int)].collect()
