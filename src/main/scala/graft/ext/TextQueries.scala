@@ -239,14 +239,19 @@ object TextQueries {
     // priority-ranked merge table (top-[[EncodeMerges]] pairs of the
     // initial pair counts; a trained tokenizer's merge list is exactly
     // such a ranked artifact) applied to every word type in priority
-    // order. Each merge is one literal `replace` on the ` sym;`
-    // rendering — greedy left-to-right non-overlapping by construction
-    // (q121's argument) — and each rank arrives as a one-row broadcast,
-    // so the whole encode is [[EncodeMerges]] chained map-only passes
-    // over the word-type table: no shuffle after the merge table is
-    // built, which is the production shape (merge table = model file,
-    // corpus pass = map-only). Output: the most frequent word types with
-    // their post-merge tokenization and compression.
+    // order. The merge table is COLLECTED to the driver once — it is a
+    // model artifact, control-plane sized like q57's bound prefetch —
+    // and each merge is one literal `replace` on the ` sym;` rendering
+    // (greedy left-to-right non-overlapping by q121's argument), so
+    // the whole encode is [[EncodeMerges]] fused map-only expressions
+    // over ONE word-type aggregation. The earlier one-row-broadcast-
+    // per-rank formulation recomputed the corpus aggregate and the
+    // global rank window once per merge (~9 redundant corpus passes —
+    // review catch), and annihilated the table outright when fewer
+    // than [[EncodeMerges]] pairs existed (empty crossJoin); the
+    // driver fold does neither. lit() patterns, not string-spliced
+    // SQL, so no escaping hazard. Output: the most frequent word
+    // types with their post-merge tokenization and compression.
     "q134_bpe_encode" -> ((s, d) => {
       val words = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
@@ -254,17 +259,14 @@ object TextQueries {
         .groupBy("word").agg(count(lit(1)).as("n"))
       val sym0 = words.select(col("word"), col("n"),
         regexp_replace(col("word"), "(.)", " $1;").as("symstr"))
-      val rw = Window.orderBy(col("cnt").desc, col("pair"))
-      val ranked = pairCounts(sym0.select("symstr", "n"))
-        .withColumn("r", row_number().over(rw))
-        .filter(col("r") <= EncodeMerges)
-      var enc = sym0
-      for (i <- 1 to EncodeMerges) {
-        val mi = ranked.filter(col("r") === i).select(col("pair").as("mp"))
-        enc = enc.crossJoin(broadcast(mi))
-          .select(col("word"), col("n"), expr(
-            "replace(symstr, ' ' || replace(mp, ' ', '; ') || ';', " +
-              "' ' || replace(mp, ' ', '') || ';')").as("symstr"))
+      val merges: Seq[String] = pairCounts(sym0.select("symstr", "n"))
+        .orderBy(col("cnt").desc, col("pair")).limit(EncodeMerges)
+        .select("pair").collect().map(_.getString(0)).toSeq
+      val enc = merges.foldLeft(sym0) { (df, mp) =>
+        df.select(col("word"), col("n"),
+          call_function("replace", col("symstr"),
+            lit(" " + mp.replace(" ", "; ") + ";"),
+            lit(" " + mp.replace(" ", "") + ";")).as("symstr"))
       }
       enc
         .withColumn("syms",
@@ -388,13 +390,19 @@ object TextQueries {
           WHERE rank <= 20 ORDER BY rank""",
 
     "q134_bpe_encode" -> {
+      // LEFT JOIN ON TRUE + CASE, not CROSS JOIN: a missing rank i must
+      // be a no-op, not annihilate the table (mirrors the Spark fold,
+      // which simply has fewer merges to apply)
       val encSteps = (1 to EncodeMerges).map { i =>
         s"""e$i AS (SELECT word, n,
-                           replace(symstr,
-                                   ' ' || replace(mp, ' ', '; ') || ';',
-                                   ' ' || replace(mp, ' ', '') || ';') AS symstr
+                           CASE WHEN mp IS NULL THEN symstr
+                                ELSE replace(symstr,
+                                             ' ' || replace(mp, ' ', '; ') || ';',
+                                             ' ' || replace(mp, ' ', '') || ';')
+                           END AS symstr
                     FROM e${i - 1}
-                    CROSS JOIN (SELECT pair AS mp FROM ranked WHERE r = $i))"""
+                    LEFT JOIN (SELECT pair AS mp FROM ranked WHERE r = $i)
+                      ON TRUE)"""
       }.mkString(",\n")
       s"""WITH w AS (SELECT word, count(*) AS n
                      FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)

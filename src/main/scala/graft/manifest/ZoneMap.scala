@@ -50,7 +50,15 @@ object ZoneMap {
     * (`a` in the odd bit positions, `b` in the even), `bits` bits per
     * dimension — the write-time clustering key for multi-dimension
     * skipping (q135). Pure arithmetic expression: codegen-friendly,
-    * no UDF. Values must fit in `bits` bits. */
+    * no UDF.
+    *
+    * PRECONDITION: values must fit in `bits` bits — higher bits are
+    * silently ignored (value 2^bits + k interleaves like k), which
+    * makes z-runs stop being rectangles and quietly destroys the
+    * pruning benefit (results stay correct via the residual filter,
+    * the LAYOUT degrades). Callers size `bits` to the key domain with
+    * headroom: 2×31 bits fits in a positive long, so there is no
+    * reason to run close to the domain edge. */
   def zvalue(a: String, b: String, bits: Int): org.apache.spark.sql.Column =
     (0 until bits).map(i => expr(
       s"shiftleft(shiftright($a, $i) & 1, ${2 * i + 1}) + " +

@@ -17,10 +17,6 @@ import org.apache.spark.sql.functions._
   *  - the range self-join buckets time into join keys so Spark gets an
   *    equi-join (hash, parallel) instead of a theta-join nested loop.
   */
-/** q140's typed row (stable field order for the Encoder). */
-case class UserEvent(user_id: Long, us: Long, event_type: String,
-                     event_id: Long)
-
 object EventQueries {
   type Q = (SparkSession, String) => DataFrame
 
@@ -475,3 +471,7 @@ object EventQueries {
           ORDER BY user_id, gap_start"""
   )
 }
+
+/** q140's typed row (stable field order for the Encoder). */
+case class UserEvent(user_id: Long, us: Long, event_type: String,
+                     event_id: Long)

@@ -453,12 +453,14 @@ object ManifestFsQueries {
     // (ManifestSemanticsSpec pins exactly that comparison). The Z-value
     // exists only at write time (dropped before the sink); reads plan
     // off the multi-column stats manifest, driver-side, one row per
-    // file. 16 bits per dimension covers these keys through sf1; wider
-    // keys widen the interleave (21+21+21 in a 63-bit long) — the
-    // technique is bit-width-agnostic.
+    // file. 21 bits per dimension (z < 2^42) covers keys to ~2M —
+    // partkey reaches 200k at sf1, so 16 bits would silently alias
+    // above sf0.1 (zvalue ignores high bits; see its precondition) —
+    // and two 31-bit dims still fit a positive long, so headroom is
+    // free. The technique is bit-width-agnostic.
     "q135_zorder_skipping" -> ((s, d) => {
       val out = Scratch.dir("graft_zorder")
-      val z = ZoneMap.zvalue("l_partkey", "l_suppkey", 16)
+      val z = ZoneMap.zvalue("l_partkey", "l_suppkey", 21)
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice")

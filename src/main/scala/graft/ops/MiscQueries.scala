@@ -476,15 +476,20 @@ object MiscQueries {
       .mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
+    // NOT EXISTS, not NOT IN: the Spark side is a left_anti join, and
+    // NOT IN diverges from it under NULL keys (UNKNOWN rows drop out;
+    // a NULL in the subquery suppresses every violation)
     "q138_dq_checks" ->
       """SELECT '1_orders_fk_customer' AS check_name,
-                (SELECT count(*) FROM orders
-                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                (SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
                   AS n_violations
           UNION ALL
           SELECT '2_lineitem_fk_orders',
-                (SELECT count(*) FROM lineitem
-                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                (SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
           UNION ALL
           SELECT '3_orderkey_unique',
                 (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)

@@ -156,11 +156,15 @@ class ManifestSemanticsSpec extends SparkSpec {
     val both = ZoneMap.boxFiles(spark, zDir, Seq(("a", 0L, 15L), ("b", 16L, 31L)))
     assert(both.size <= 2, s"2-d box planned ${both.size} of 16 files")
     // the same data sorted by a alone: the b-only box prunes NOTHING
+    // (compare against the layout's ACTUAL file count — range
+    // partitioning samples boundaries and may write fewer files)
     val aDir = java.nio.file.Files.createTempDirectory("graft_asort").toString
     grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
       .write.mode("overwrite").parquet(aDir)
+    val aFiles = ZoneMap.statsManifestMulti(spark, aDir, Seq("b")).count()
     val bOnLinear = ZoneMap.boxFiles(spark, aDir, Seq(("b", 16L, 31L)))
-    assert(bOnLinear.size == 16, "a-sorted layout must not prune a b-box")
+    assert(bOnLinear.size.toLong == aFiles,
+      "a-sorted layout must not prune a b-box")
     // pruning-invariance of the box read
     val viaZ = ZoneMap.prunedReadBox(spark, zDir, Seq(("a", 0L, 15L), ("b", 16L, 31L)))
       .filter(col("a") <= 15 && col("b").between(16, 31)).count()

@@ -175,13 +175,14 @@ class PlanSpec extends SparkSpec {
       s"expected per-partition top-k + k-row merge:\n${p.take(1500)}")
   }
 
-  test("q134: encode corpus passes are one-row broadcasts over the word table") {
+  test("q134: encode is join-free — literal merges over ONE word aggregate") {
     val p = withAqeOff { plan("q134_bpe_encode") }
-    // each of the EncodeMerges ranked merges arrives as a broadcast
-    // nested-loop (1-row cross) join — the corpus side never shuffles
-    // between merge applications
-    val bcasts = "BroadcastNestedLoopJoin".r.findAllIn(p).length
-    assert(bcasts == 8, s"expected 8 one-row merge broadcasts, got $bcasts")
+    // the merge table is a driver-side artifact; applying it must not
+    // join (the old per-rank broadcast shape recomputed the corpus
+    // aggregate per merge) and the only exchange is the word groupBy
+    assert(!p.contains("Join"), s"encode must be join-free:\n${p.take(1500)}")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly the word-agg exchange, got $exchanges")
   }
 
   test("q96: bucket filter becomes a partition filter, not a row filter") {
