@@ -74,9 +74,7 @@ object PipelineQueries {
     // which Spark executes as per-partition top-k + a k-row merge
     // (TakeOrderedAndProject), never a full sort.
     "q137_weighted_sample" -> ((s, d) => {
-      val h32 = (0 until 8).map(i =>
-        s"(instr('0123456789abcdef', substring(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)")
-        .mkString("(", " + ", ")")
+      val h32 = graft.ops.md5Bits32("m")
       Tables.documents(s, d)
         .filter(col("n_chars") > 0)
         .withColumn("m", md5(col("doc_id").cast("string")))
@@ -189,9 +187,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "q137_weighted_sample" -> {
-      val h32 = (0 until 8).map(i =>
-        s"(strpos('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)")
-        .mkString("(", " + ", ")")
+      val h32 = graft.ops.oMd5Bits32("m")
       s"""SELECT doc_id, n_chars, $h32 // n_chars AS pr
           FROM (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS m
                 FROM documents WHERE n_chars > 0)

@@ -478,6 +478,46 @@ object ManifestFsQueries {
           min(col("l_orderkey")).as("min_ok"),
           max(col("l_orderkey")).as("max_ok"))
         .orderBy("l_partkey", "l_suppkey")
+    }),
+
+    // Snapshot reconciliation by COMMUTATIVE bucket digests — the
+    // anti-entropy / Merkle-leaf pattern: to compare two 100 TB
+    // snapshot replicas you ship 64 (count, Σ row-hash) digests per
+    // side, not the rows; only buckets whose digests disagree need a
+    // row-level diff (q95's job, now scoped to ~1/64 of the keyspace
+    // per differing bucket). The row hash is a 32-bit md5 slice of
+    // (key, payload); Σ over a bucket is order/partition-independent
+    // (the q133 additivity argument), so the digest is deterministic
+    // on any cluster. v1 plants deletes (id % 101 = 5), updates
+    // (id % 97 = 3), and inserts (id % 103 = 7, re-keyed); the query
+    // reports exactly the disagreeing buckets.
+    "q145_digest_reconcile" -> ((s, d) => {
+      val v0 = Tables.documents(s, d).select("doc_id", "text")
+      val v1 = v0.filter(col("doc_id") % 101 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v0.filter(col("doc_id") % 103 === 7)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      def digest(df: DataFrame): DataFrame =
+        df.withColumn("m",
+            md5(concat_ws(":", col("doc_id").cast("string"), col("text"))))
+          .select((col("doc_id") % 64).as("bucket"),
+            expr(md5Bits32("m")).as("h"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+      val d0 = digest(v0).select(col("bucket"),
+        col("n").as("n0"), col("hsum").as("h0"))
+      val d1 = digest(v1).select(col("bucket"),
+        col("n").as("n1"), col("hsum").as("h1"))
+      d0.join(d1, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n0"), lit(0L)).as("n0"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          (coalesce(col("h1"), lit(0L)) - coalesce(col("h0"), lit(0L)))
+            .as("hsum_delta"))
+        .filter(col("n0") =!= col("n1") || col("hsum_delta") =!= 0)
+        .orderBy("bucket")
     })
   )
 
@@ -685,6 +725,35 @@ object ManifestFsQueries {
             min(doc_id) AS min_id, max(doc_id) AS max_id
           FROM documents WHERE doc_id BETWEEN 0 AND 59
           GROUP BY lang ORDER BY lang""",
+
+    "q145_digest_reconcile" -> {
+      val h32 = oMd5Bits32("m")
+      s"""WITH v0 AS (SELECT doc_id, text FROM documents),
+          v1 AS (SELECT doc_id,
+                        CASE WHEN doc_id % 97 = 3 THEN text || ' v2'
+                             ELSE text END AS text
+                 FROM v0 WHERE doc_id % 101 <> 5
+                 UNION ALL
+                 SELECT doc_id + 5000000, text FROM v0 WHERE doc_id % 103 = 7),
+          d0 AS (SELECT bucket, count(*) AS n0, CAST(sum(h) AS BIGINT) AS h0
+                 FROM (SELECT doc_id % 64 AS bucket, $h32 AS h
+                       FROM (SELECT doc_id, text,
+                                    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS m
+                             FROM v0))
+                 GROUP BY bucket),
+          d1 AS (SELECT bucket, count(*) AS n1, CAST(sum(h) AS BIGINT) AS h1
+                 FROM (SELECT doc_id % 64 AS bucket, $h32 AS h
+                       FROM (SELECT doc_id, text,
+                                    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS m
+                             FROM v1))
+                 GROUP BY bucket)
+          SELECT bucket, coalesce(n0, 0) AS n0, coalesce(n1, 0) AS n1,
+                 coalesce(h1, 0) - coalesce(h0, 0) AS hsum_delta
+          FROM d0 FULL OUTER JOIN d1 USING (bucket)
+          WHERE coalesce(n0, 0) <> coalesce(n1, 0)
+             OR coalesce(h1, 0) - coalesce(h0, 0) <> 0
+          ORDER BY bucket"""
+    },
 
     // Pruning-invariance again: Z-layout + zones + residual box == box
     // predicate on the base table.

@@ -39,4 +39,19 @@ package object ops {
   /** DuckDB twin of [[dsum0]]. */
   def oSum0(x: String, scale: Int = 2): String =
     s"CAST(COALESCE(SUM(CAST($x AS DECIMAL(18,$scale))),0) AS DOUBLE)"
+
+  /** 32-bit integer from the first 8 hex digits of md5 column `m` — the
+    * seedless uniform draw shared by q137 (priority sampling) and q145
+    * (reconciliation digests). Spark-side SQL fragment; `m` must name a
+    * lowercase-hex md5 column in scope. */
+  def md5Bits32(m: String): String =
+    (0 until 8).map(i =>
+      s"(instr('0123456789abcdef', substring($m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+
+  /** DuckDB twin of [[md5Bits32]] (strpos ↔ instr, substr ↔ substring). */
+  def oMd5Bits32(m: String): String =
+    (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substr($m, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
 }

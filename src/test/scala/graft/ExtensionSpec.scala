@@ -720,6 +720,23 @@ class ExtensionSpec extends SparkSpec {
     assert(res.map(_._2).sum == nV)
   }
 
+  test("digest reconciliation flags exactly the buckets with planted changes") {
+    val got = ops.ManifestFsQueries.queries("q145_digest_reconcile")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val ids = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
+    val expected =
+      (ids.filter(_ % 101 == 5).map(_ % 64) ++      // deletes
+        ids.filter(_ % 97 == 3).map(_ % 64) ++       // updates
+        ids.filter(_ % 103 == 7).map(i => (i + 5000000L) % 64)) // inserts
+        .toSet
+    assert(got.map(_._1).toSet == expected,
+      s"flagged ${got.map(_._1).toSet} vs planted $expected")
+    // a digest row must actually disagree in count or hash sum
+    got.foreach { case (b, n0, n1, delta) =>
+      assert(n0 != n1 || delta != 0L, s"bucket $b flagged without difference")
+    }
+  }
+
   test("entity resolution matches every dirty record within edit distance 1") {
     val res = ext.CurationQueries.queries("q126_entity_resolution")(spark, sf)
       .as[(Long, String, Long, String, Int)].collect()
