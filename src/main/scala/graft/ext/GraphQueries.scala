@@ -145,7 +145,14 @@ object GraphQueries {
         .join(sources.withColumn("z", lit(0L)), Seq("node"), "left")
         .select(col("node"), coalesce(col("z"), lit(BfsInf)).as("dist"))
       for (_ <- 1 to BfsRounds) {
-        val relax = e.join(dist, col("src") === col("node"))
+        // frontier discipline: only REACHED nodes relax. Provably
+        // result-identical (an unreached node's candidate is
+        // sentinel+1, which never beats the neighbor's own sentinel in
+        // the min) but the round-1 join shrinks from |E| ⋈ |V| to
+        // |E| ⋈ |seeds| — the oracle keeps the unfiltered form as the
+        // semantic spec.
+        val relax = e.join(dist.filter(col("dist") < BfsInf),
+            col("src") === col("node"))
           .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
         dist = dist.unionByName(relax)
           .groupBy("node").agg(min(col("dist")).as("dist"))
