@@ -213,27 +213,8 @@ object EventQueries {
     // instead of inactivity gaps: lag flags the change, a running sum
     // numbers the versions, lead closes the intervals. One shuffle on
     // user_id; the three windows share the same partitioning.
-    "q139_scd2_intervals" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val flagged = Tables.events(s, d)
-        .select("user_id", "event_id", "event_type", "ts")
-        .withColumn("chg",
-          when(lag(col("event_type"), 1).over(w).isNull ||
-            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
-            .otherwise(0))
-      val versions = flagged
-        .withColumn("version", sum(col("chg")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "version")
-        .agg(min(col("event_type")).as("state"),
-          min(col("ts")).as("valid_from"),
-          count(lit(1)).as("n_events"))
-      val wv = Window.partitionBy("user_id").orderBy("version")
-      versions
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
-        .withColumn("is_current", col("valid_to").isNull)
-        .orderBy("user_id", "version")
-    }),
+    "q139_scd2_intervals" -> ((s, d) =>
+      scd2Versions(s, d).orderBy("user_id", "version")),
 
     // The TYPED Dataset escape hatch: KeyValueGroupedDataset.mapGroups
     // over case-class rows — per-user profile computed in plain Scala
@@ -266,6 +247,32 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // Temporal (interval-containment) join — USING the q139 dimension:
+    // enrich each purchase event with the state version active at its
+    // timestamp (ts ∈ [valid_from, valid_to), NULL valid_to = open).
+    // The join is equi on user_id with the containment as a residual —
+    // per-user version lists are bounded, so the residual scan inside a
+    // hash-join row group is O(versions-per-user), not a theta join
+    // (the fact-fact analogue would time-bucket like q84). Every
+    // purchase matches exactly ONE version because the versions tile
+    // each user's timeline from their first event (spec-pinned on q139
+    // and re-checked by the oracle equality here).
+    "q146_temporal_join" -> ((s, d) => {
+      val versions = scd2Versions(s, d)
+        .select(col("user_id").as("vu"), col("version"), col("state"),
+          col("valid_from"), col("valid_to"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+        .join(versions,
+          col("user_id") === col("vu") &&
+            col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("version"),
+          col("state"), col("valid_from"))
+        .orderBy("event_id")
+    }),
+
     // Time-series regularization: project each sampled user's events
     // onto a dense hourly grid between their first and last activity
     // (sequence + explode — no generator UDF), left-join the real
@@ -296,6 +303,31 @@ object EventQueries {
         .orderBy("user_id", "h")
     })
   )
+
+  /** q139's type-2 SCD version table (also consumed by q146): per user,
+    * state-change islands as versioned [valid_from, valid_to) intervals,
+    * valid_to lead-closed, NULL = current. Three windows, one user_id
+    * partitioning. */
+  private def scd2Versions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(s, d)
+      .select("user_id", "event_id", "event_type", "ts")
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+          .otherwise(0))
+    val versions = flagged
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "version")
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy("user_id").orderBy("version")
+    versions
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 
   def oracles: Map[String, String] = Map(
     "q127_topk_aggregate" ->
@@ -423,6 +455,41 @@ object EventQueries {
           FROM versions
           WINDOW wv AS (PARTITION BY user_id ORDER BY version)
           ORDER BY user_id, version""",
+
+    // same CTE chain as q139; containment compared in epoch_us (the
+    // Spark side sees µs-truncated ts on both join inputs)
+    "q146_temporal_join" ->
+      """WITH flagged AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id)),
+          versions AS (
+            SELECT user_id, version, min(event_type) AS state,
+                   min(ts) AS valid_from
+            FROM (SELECT user_id, event_type, ts,
+                         CAST(SUM(chg) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS version
+                  FROM flagged)
+            GROUP BY user_id, version),
+          closed AS (
+            SELECT user_id, version, state, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY version) AS valid_to
+            FROM versions)
+          SELECT e.event_id, e.user_id, v.version, v.state, v.valid_from
+          FROM (SELECT user_id, event_id, ts FROM events
+                WHERE event_type = 'purchase') e
+          JOIN closed v
+            ON v.user_id = e.user_id
+           AND epoch_us(e.ts) >= epoch_us(v.valid_from)
+           AND (v.valid_to IS NULL OR epoch_us(e.ts) < epoch_us(v.valid_to))
+          ORDER BY e.event_id""",
 
     "q140_typed_mapgroups" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type, event_id

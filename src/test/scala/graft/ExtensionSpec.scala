@@ -737,6 +737,15 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("temporal join enriches every purchase with exactly one version") {
+    val res = ops.EventQueries.queries("q146_temporal_join")(spark, sf)
+      .select("event_id").as[Long].collect()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(res.length.toLong == purchases, "containment must be total")
+    assert(res.distinct.length == res.length, "containment must be unique")
+  }
+
   test("entity resolution matches every dirty record within edit distance 1") {
     val res = ext.CurationQueries.queries("q126_entity_resolution")(spark, sf)
       .as[(Long, String, Long, String, Int)].collect()
