@@ -737,6 +737,24 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("incremental SCD2 apply equals the full rebuild, and the stitch fires") {
+    val inc = ops.EventQueries.queries("q147_scd2_incremental")(spark, sf)
+      .collect()
+    val full = ops.EventQueries.queries("q139_scd2_intervals")(spark, sf)
+      .collect()
+    assert(inc.toSeq == full.toSeq)
+    // the boundary stitch must actually exercise a merge: at least one
+    // version interval spans the cutoff (its events came from BOTH the
+    // old slice and the delta, so a broken stitch would split it)
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val spanning = inc.count { r =>
+      val from = r.getAs[java.sql.Timestamp]("valid_from")
+      val to = Option(r.getAs[java.sql.Timestamp]("valid_to"))
+      from.before(cutoff) && to.forall(_.after(cutoff))
+    }
+    assert(spanning > 0, "no version spans the cutoff — stitch untested")
+  }
+
   test("temporal join enriches every purchase with exactly one version") {
     val res = ops.EventQueries.queries("q146_temporal_join")(spark, sf)
       .select("event_id").as[Long].collect()
