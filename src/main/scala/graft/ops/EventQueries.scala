@@ -348,7 +348,7 @@ object EventQueries {
     * boundary-stitch an incremental SCD2 apply needs). `weight` counts
     * events per row (1 for raw events; n_events when re-islanding
     * pre-compressed versions). */
-  private def scd2VersionsOf(events: DataFrame,
+  private[graft] def scd2VersionsOf(events: DataFrame,
                              weight: Column = lit(1L)): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val flagged = events
@@ -469,8 +469,6 @@ object EventQueries {
           FROM weekly JOIN cohorts USING (user_id)
           GROUP BY 1, 2 ORDER BY cohort_week, week_no""",
 
-    // ordering mirrors Spark's µs view of ts (epoch_us) with event_id
-    // as the deterministic tie-break, like q82
     // the FULL REBUILD over all events — incremental apply must equal it
     "q147_scd2_incremental" ->
       """WITH flagged AS (
@@ -498,6 +496,8 @@ object EventQueries {
           WINDOW wv AS (PARTITION BY user_id ORDER BY version)
           ORDER BY user_id, version""",
 
+    // ordering mirrors Spark's µs view of ts (epoch_us) with event_id
+    // as the deterministic tie-break, like q82
     "q139_scd2_intervals" ->
       """WITH flagged AS (
             SELECT user_id, event_id, event_type, ts,

@@ -743,16 +743,24 @@ class ExtensionSpec extends SparkSpec {
     val full = ops.EventQueries.queries("q139_scd2_intervals")(spark, sf)
       .collect()
     assert(inc.toSeq == full.toSeq)
-    // the boundary stitch must actually exercise a merge: at least one
-    // version interval spans the cutoff (its events came from BOTH the
-    // old slice and the delta, so a broken stitch would split it)
-    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
-    val spanning = inc.count { r =>
-      val from = r.getAs[java.sql.Timestamp]("valid_from")
-      val to = Option(r.getAs[java.sql.Timestamp]("valid_to"))
-      from.before(cutoff) && to.forall(_.after(cutoff))
-    }
-    assert(spanning > 0, "no version spans the cutoff — stitch untested")
+    // the boundary stitch must actually MERGE at least one same-state
+    // pair: if it did, the composed version count is strictly below the
+    // sum of the two sides' counts (an interval-straddles-the-cutoff
+    // check would be vacuous — any open current version from an
+    // old-only user straddles it). Cutoff parsed as the same UTC
+    // instant the query uses (session TZ is UTC; Timestamp.valueOf
+    // would read the JVM-local wall clock instead).
+    val cutoffUtc = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-15T00:00:00Z"))
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "ts")
+    val nOld = ops.EventQueries
+      .scd2VersionsOf(ev.filter(col("ts") < lit(cutoffUtc))).count()
+    val nDelta = ops.EventQueries
+      .scd2VersionsOf(ev.filter(col("ts") >= lit(cutoffUtc))).count()
+    assert(inc.length < nOld + nDelta,
+      s"composed ${inc.length} vs $nOld + $nDelta — no boundary pair merged, " +
+        "the stitch path went unexercised")
   }
 
   test("temporal join enriches every purchase with exactly one version") {
