@@ -147,6 +147,25 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
+    // listagg (Spark 4 WITHIN GROUP ordered string aggregation) — the
+    // SQL-standard within-group concat, deterministic via the WITHIN
+    // GROUP order over a pre-deduped subquery. NOTE: the natural
+    // `listagg(DISTINCT x, ',') WITHIN GROUP (ORDER BY x)` throws a
+    // ClassCastException (AttributeReference -> SortOrder) in Spark
+    // 4.1's analyzer; dedup-then-aggregate sidesteps it and shuffles
+    // only the two small distinct columns anyway.
+    "q148_listagg" -> ((s, d) => {
+      Tables.part(s, d)
+        .createOrReplaceTempView("part_lagg")
+      s.sql(
+        """SELECT p_brand,
+                  listagg(p_type, ',') WITHIN GROUP (ORDER BY p_type) AS types,
+                  count(1) AS n_types
+           FROM (SELECT DISTINCT p_brand, p_type FROM part_lagg)
+           GROUP BY p_brand
+           ORDER BY p_brand""")
+    }),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE): complete daily spine over the
     // event range, zero-filled counts — the gaps a plain groupBy can't emit.
     "q57_recursive_cte" -> ((s, d) => {
@@ -476,6 +495,13 @@ object MiscQueries {
       .mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
+    "q148_listagg" ->
+      """SELECT p_brand,
+                string_agg(p_type, ',' ORDER BY p_type) AS types,
+                count(*) AS n_types
+          FROM (SELECT DISTINCT p_brand, p_type FROM part)
+          GROUP BY p_brand ORDER BY p_brand""",
+
     // NOT EXISTS, not NOT IN: the Spark side is a left_anti join, and
     // NOT IN diverges from it under NULL keys (UNKNOWN rows drop out;
     // a NULL in the subquery suppresses every violation)
