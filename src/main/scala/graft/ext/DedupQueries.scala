@@ -168,6 +168,67 @@ object DedupQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    // EXACT set-similarity join by PREFIX FILTERING (the PPJoin family)
+    // — the recall-1.0 counterpart to q41's probabilistic LSH bands:
+    // for Jaccard ≥ t, any qualifying pair MUST share a token among
+    // each side's (|s| − ⌈t·|s|⌉ + 1) rarest tokens (global order =
+    // ascending document frequency, tie by token), so joining only on
+    // those prefixes loses nothing and the exact verification runs on
+    // candidates alone. All arithmetic is integer: prefix length uses
+    // ⌈3s/5⌉ = (3s+4) DIV 5 for t = 0.6, and the threshold test is
+    // 8·|A∩B| ≥ 3·(|A|+|B|) ⟺ J ≥ 0.6 — no cross-engine float.
+    // Tokens are the shared 3-word shingles, NOT bigrams: this
+    // fixture's 31-word vocabulary gives bigrams a median df around
+    // 0.06·N, and prefix filtering prunes nothing when every "rare"
+    // token still appears in hundreds of docs (a bigram draft measured
+    // 13M candidate pairs / 56s at sf0.1; 3-shingles measure 319k).
+    // Shingles are content-anchored windows, so the planted edit
+    // (drop the first two words, id + 7M) shifts positions but keeps
+    // every remaining window — J = (n−6)/(n−4) style, well above 0.6
+    // at the ≥12-word floor. Two further exact prunes: the PPJoin
+    // length filter (J ≥ 0.6 ⟹ 3·max(sz) ≤ 5·min(sz)) rides the
+    // candidate join's ON clause, and the verification joins the
+    // candidate list against per-doc collected shingle arrays
+    // (candidate-bounded shuffle, the q43 pattern) instead of
+    // re-exploding the token stream. ExtensionSpec pins EQUALITY with
+    // a brute-force all-pairs join at sf0.001 — recall AND precision
+    // 1.0, the property that separates this from q41/q43.
+    "q149_prefix_jaccard_join" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val planted = base.filter(col("doc_id") % 89 === 2)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 12)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat_ws(" ", expr("slice(ws, 3, size(ws) - 2)")).as("text"))
+      val toks = shingles(base.unionByName(planted))
+        .withColumnRenamed("shingle", "w")
+      val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df"), col("w"))
+      val prefix = toks.join(dfreq, "w").join(sizes, "doc_id")
+        .withColumn("pos", row_number().over(pw))
+        .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) DIV 5") + 1)
+        .select(col("doc_id"), col("w"), col("sz"))
+      val cands = prefix.as("a").join(prefix.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") * 3 <= col("b.sz") * 5 &&
+            col("b.sz") * 3 <= col("a.sz") * 5)
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+        .distinct()
+      val sets = toks.groupBy("doc_id").agg(collect_list(col("w")).as("ss"))
+      cands
+        .join(sets.select(col("doc_id").as("id1"), col("ss").as("sa")), "id1")
+        .join(sets.select(col("doc_id").as("id2"), col("ss").as("sb")), "id2")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .filter(col("inter") * 8 >= (col("sz1") + col("sz2")) * 3)
+        .select(col("id1"), col("id2"), col("inter"),
+          (col("sz1") + col("sz2") - col("inter")).as("union_sz"),
+          expr("(inter * 10000) DIV (sz1 + sz2 - inter)").as("jacc_bp"))
+        .orderBy("id1", "id2")
+    }),
+
     // Exact dedup: hash-groupBy, keep the smallest id as representative.
     "q40_dedup_exact" -> ((s, d) => {
       corpus(s, d)
@@ -411,6 +472,50 @@ object DedupQueries {
       s"""WITH $corpusSql
           SELECT min(doc_id) AS keep_id, count(*) AS n_copies
           FROM corpus GROUP BY md5(text) ORDER BY keep_id""",
+
+    "q149_prefix_jaccard_join" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+          planted AS (SELECT doc_id + 7000000 AS doc_id,
+                             array_to_string(ws[3:len(ws)], ' ') AS text
+                      FROM (SELECT doc_id, str_split(text, ' ') AS ws
+                            FROM base WHERE doc_id % 89 = 2)
+                      WHERE len(ws) >= 12),
+          pcorpus AS (SELECT doc_id, text FROM base
+                      UNION ALL SELECT doc_id, text FROM planted),
+          ptok AS (SELECT doc_id, str_split(text, ' ') AS words FROM pcorpus
+                   WHERE len(str_split(text, ' ')) >= 3),
+          pposn AS (SELECT doc_id, words,
+                           unnest(generate_series(1, len(words) - 2)) AS pos
+                    FROM ptok),
+          toks AS (SELECT DISTINCT doc_id,
+                          words[pos] || ' ' || words[pos+1] || ' ' ||
+                            words[pos+2] AS w
+                   FROM pposn),
+          dfreq AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+          pre AS (SELECT doc_id, w, sz FROM (
+                    SELECT t.doc_id, t.w, s.sz,
+                           row_number() OVER (PARTITION BY t.doc_id
+                                              ORDER BY df, t.w) AS pos
+                    FROM toks t JOIN dfreq USING (w)
+                    JOIN sizes s ON s.doc_id = t.doc_id)
+                  WHERE pos <= sz - (3 * sz + 4) // 5 + 1),
+          cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                           a.sz AS sz1, b.sz AS sz2
+                    FROM pre a JOIN pre b
+                      ON a.w = b.w AND a.doc_id < b.doc_id
+                     AND a.sz * 3 <= b.sz * 5 AND b.sz * 3 <= a.sz * 5),
+          ij AS (SELECT id1, id2, sz1, sz2, count(*) AS inter
+                 FROM cands
+                 JOIN toks ta ON ta.doc_id = id1
+                 JOIN toks tb ON tb.doc_id = id2 AND tb.w = ta.w
+                 GROUP BY id1, id2, sz1, sz2)
+          SELECT id1, id2, CAST(inter AS BIGINT) AS inter,
+                 CAST(sz1 + sz2 - inter AS BIGINT) AS union_sz,
+                 CAST(inter * 10000 AS BIGINT)
+                   // CAST(sz1 + sz2 - inter AS BIGINT) AS jacc_bp
+          FROM ij WHERE inter * 8 >= (sz1 + sz2) * 3
+          ORDER BY id1, id2""",
 
     "q41_minhash_lsh" ->
       s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql

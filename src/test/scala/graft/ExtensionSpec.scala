@@ -339,6 +339,39 @@ class ExtensionSpec extends SparkSpec {
       s"missed planted exact copies: ${expected.diff(pairs).take(5)}")
   }
 
+  test("prefix-filtered Jaccard join equals brute-force all-pairs (lossless)") {
+    import spark.implicits._
+    val got = DedupQueries.queries("q149_prefix_jaccard_join")(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // brute force, independently in Scala: rebuild the q149 corpus
+    // (base ∪ first-two-words-dropped planted copies at +7M), distinct
+    // 3-word shingle sets, ALL pairs, integer threshold
+    // 8·|A∩B| ≥ 3·(|A|+|B|). Prefix filtering claims exactness, so the
+    // sets must be EQUAL — recall 1.0 and precision 1.0, not just the
+    // planted subset.
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id").as[Long], col("text").as[String]).collect()
+    val planted = base.collect { case (id, text) if id % 89 == 2 =>
+      val ws = text.split(" ")
+      if (ws.length >= 12) Some((id + 7000000L, ws.drop(2).mkString(" ")))
+      else None
+    }.flatten
+    val sets = (base ++ planted).collect { case (id, text)
+      if text.split(" ").length >= 3 =>
+        id -> text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }
+    val want = (for {
+      i <- sets.indices.iterator; j <- sets.indices.iterator
+      (id1, s1) = sets(i); (id2, s2) = sets(j)
+      if id1 < id2
+      inter = (s1 & s2).size
+      if 8L * inter >= 3L * (s1.size + s2.size)
+    } yield (id1, id2)).toSet
+    assert(got == want,
+      s"spurious=${got.diff(want).take(5)} missed=${want.diff(got).take(5)}")
+    assert(want.exists(_._2 >= 7000000L), "planted near-copies must qualify")
+  }
+
   test("phash near-dup finds exactly the planted one-bit-flipped copies") {
     import spark.implicits._
     val res = Multimodal.queries("q113_phash_neardup")(spark, sf)
