@@ -85,6 +85,47 @@ object PipelineQueries {
 
     // Deterministic hash-based train/val/test split — reproducible at any
     // cluster size, no RNG state (md5 of the stable key).
+    // LEAKAGE-SAFE train/val/test split: q68 hashes the doc id, which
+    // tears duplicate clusters across splits — the canonical train/test
+    // contamination bug (a test doc's near-copy sits in train). The fix
+    // is to hash the CLUSTER key, so membership is a function of the
+    // group and a cluster can never span splits. This query runs both
+    // policies over a corpus with planted duplicate triples and reports,
+    // per (policy, split), the doc/group counts plus the policy-level
+    // count of clusters torn across >1 split — structurally 0 for
+    // group_hash, observably >0 for doc_hash (spec-pinned). Scale: split
+    // assignment is map-side (a hash of a column already on the row);
+    // the audit aggregations ride one (policy, gkey) shuffle. With
+    // near-dup (not just exact) clusters, gkey would be q54's connected-
+    // component label — same machinery downstream.
+    "q153_cluster_safe_split" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val dups = base.filter(col("doc_id") % 7 === 5)
+      val corpus = base
+        .unionByName(dups.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(dups.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .withColumn("gkey", md5(col("text")))
+      val docP = corpus.withColumn("policy", lit("doc_hash"))
+        .withColumn("hv", expr(
+          "instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), 1, 1)) - 1"))
+      val grpP = corpus.withColumn("policy", lit("group_hash"))
+        .withColumn("hv", expr(
+          "instr('0123456789abcdef', substring(md5(gkey), 1, 1)) - 1"))
+      val sp = docP.unionByName(grpP)
+        .withColumn("split",
+          when(col("hv") < 13, "train").when(col("hv") < 15, "val").otherwise("test"))
+      val perSplit = sp.groupBy("policy", "split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("gkey")).as("n_groups"))
+      val spans = sp.select("policy", "gkey", "split").distinct()
+        .groupBy("policy", "gkey")
+        .agg(countDistinct(col("split")).as("ns"))
+        .groupBy("policy")
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("spanning_groups"))
+      perSplit.join(broadcast(spans), "policy")
+        .select("policy", "split", "n_docs", "n_groups", "spanning_groups")
+        .orderBy("policy", "split")
+    }),
+
     "q68_hash_split" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("hv",
@@ -274,6 +315,43 @@ object PipelineQueries {
                      FROM scored)
           SELECT doc_id, rnk, word, tfidf FROM ranked WHERE rnk <= 3
           ORDER BY doc_id, rnk""",
+
+    "q153_cluster_safe_split" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+          corpus AS (SELECT doc_id, text FROM base
+                     UNION ALL SELECT doc_id + 1000000, text FROM base
+                               WHERE doc_id % 7 = 5
+                     UNION ALL SELECT doc_id + 2000000, text FROM base
+                               WHERE doc_id % 7 = 5),
+          g AS (SELECT doc_id, md5(text) AS gkey FROM corpus),
+          pol AS (SELECT 'doc_hash' AS policy, doc_id, gkey,
+                         strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                           AS hv
+                  FROM g
+                  UNION ALL
+                  SELECT 'group_hash', doc_id, gkey,
+                         strpos('0123456789abcdef',
+                                substr(md5(gkey), 1, 1)) - 1
+                  FROM g),
+          sp AS (SELECT policy, doc_id, gkey,
+                        CASE WHEN hv < 13 THEN 'train'
+                             WHEN hv < 15 THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM pol),
+          per AS (SELECT policy, split, count(*) AS n_docs,
+                         count(DISTINCT gkey) AS n_groups
+                  FROM sp GROUP BY policy, split),
+          spans AS (SELECT policy,
+                           CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS spanning_groups
+                    FROM (SELECT policy, gkey,
+                                 count(DISTINCT split) AS ns
+                          FROM sp GROUP BY policy, gkey)
+                    GROUP BY policy)
+          SELECT p.policy, p.split, p.n_docs, p.n_groups, s.spanning_groups
+          FROM per p JOIN spans s USING (policy)
+          ORDER BY p.policy, p.split""",
 
     "q68_hash_split" ->
       """WITH h AS (SELECT lang, n_chars,

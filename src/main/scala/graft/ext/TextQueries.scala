@@ -49,6 +49,40 @@ object TextQueries {
   private[ext] val EncodeMerges = 8
 
   def queries: Map[String, Q] = Map(
+    // Collocation mining by pointwise mutual information — the classic
+    // phrase-discovery pass (word2vec's phrase pre-join, terminology
+    // extraction). PMI = log P(a,b)/(P(a·)P(·b)) is monotone in the
+    // integer cross-ratio n_ab·N / (n_a·n_b), so ranking happens in
+    // exact fixed-point basis points (×10000, truncating DIV) — no
+    // cross-engine log/float. All probabilities come from ONE bigram
+    // count table: marginals are re-aggregations of the (a,b) counts
+    // (vocab²-bounded, broadcast back), N is a one-row crossJoin, and
+    // the min-support n_ab ≥ 5 filter kills the hapax pairs that
+    // saturate PMI. The only ordered step is the global top-20, which
+    // runs as TakeOrderedAndProject (per-partition heads + a 20-row
+    // merge), never a full sort.
+    "q152_pmi_collocations" -> ((s, d) => {
+      val ws = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val cab = ws.select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      val ca = cab.groupBy("a").agg(sum(col("n_ab")).as("n_a"))
+      val cb = cab.groupBy("b").agg(sum(col("n_ab")).as("n_b"))
+      val n = cab.agg(sum(col("n_ab")).as("n_total"))
+      cab.filter(col("n_ab") >= 5)
+        .join(broadcast(ca), "a").join(broadcast(cb), "b")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_bp", expr("(n_ab * n_total * 10000) DIV (n_a * n_b)"))
+        .select("a", "b", "n_ab", "pmi_bp")
+        .orderBy(col("pmi_bp").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // Language-ID confusion matrix: labeled lang × stopword-predicted lang.
     "q60_lang_id" -> ((s, d) => {
       val words = Tables.documents(s, d)
@@ -339,6 +373,23 @@ object TextQueries {
         GROUP BY pair)"""
 
   def oracles: Map[String, String] = Map(
+    "q152_pmi_collocations" ->
+      """WITH ws AS (SELECT str_split(text, ' ') AS w FROM documents
+                     WHERE len(str_split(text, ' ')) >= 2),
+          big AS (SELECT w[i] AS a, w[i+1] AS b
+                  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                        FROM ws)),
+          cab AS (SELECT a, b, count(*) AS n_ab FROM big GROUP BY a, b),
+          ca AS (SELECT a, sum(n_ab) AS n_a FROM cab GROUP BY a),
+          cb AS (SELECT b, sum(n_ab) AS n_b FROM cab GROUP BY b),
+          tot AS (SELECT sum(n_ab) AS n_total FROM cab)
+          SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+                 CAST((n_ab * n_total * 10000) // (n_a * n_b) AS BIGINT)
+                   AS pmi_bp
+          FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+          WHERE n_ab >= 5
+          ORDER BY pmi_bp DESC, a, b LIMIT 20""",
+
     "q125_bm25" ->
       s"""WITH toks AS (${oBigramTokens("documents", "doc_id")}),
           tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),

@@ -21,6 +21,49 @@ object EventQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // Peak concurrency by SWEEP LINE: each event opens a 30-minute
+    // interval; +1/−1 endpoint deltas, a running sum, and the maximum of
+    // that sum is the peak number of simultaneously-open intervals per
+    // event_type (capacity planning's core query). Ordering (us, delta)
+    // makes ends sort before starts at a shared instant, so touching
+    // half-open intervals never double-count; the default peer-inclusive
+    // RANGE frame keeps the cumulative deterministic under full ties.
+    // Scale: the prefix sum is TWO-LEVEL — within-day running sums ride a
+    // (type, day) partitioning (parallel across days, the big-table
+    // work), and each day's carry-in is the cumulative of the tiny
+    // per-day delta totals (types × days rows) joined back. A single
+    // per-type window would serialize the whole sweep through one task at
+    // 100 TB; prefix-sum decomposition is exact, so the two formulations
+    // agree bit-for-bit. The peak extraction is one struct-max aggregate
+    // (peak, then earliest instant at peak), not a second window pass.
+    "q151_peak_concurrency" -> ((s, d) => {
+      val dayUs = 86400L * 1000000L
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val deltas = ev.select(col("event_type"), col("us"), lit(1L).as("delta"))
+        .unionByName(ev.select(col("event_type"),
+          (col("us") + 1800L * 1000000L).as("us"), lit(-1L).as("delta")))
+        .withColumn("day", expr(s"us DIV ${dayUs}L"))
+      val wDay = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("us"), col("delta"))
+      val wCarry = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carries = deltas.groupBy("event_type", "day")
+        .agg(sum(col("delta")).as("day_total"))
+        .withColumn("carry",
+          coalesce(sum(col("day_total")).over(wCarry), lit(0L)))
+        .select("event_type", "day", "carry")
+      deltas
+        .withColumn("run_in_day", sum(col("delta")).over(wDay))
+        .join(broadcast(carries), Seq("event_type", "day"))
+        .withColumn("run", col("carry") + col("run_in_day"))
+        .groupBy("event_type")
+        .agg(max(struct(col("run"), (lit(0L) - col("us")).as("nus"))).as("m"))
+        .select(col("event_type"), col("m.run").as("peak_n"),
+          (lit(0L) - col("m.nus")).as("first_peak_us"))
+        .orderBy("event_type")
+    }),
+
     // RANGE window frame (value-based, vs q18's ROWS frame): trailing
     // 1-hour event count per user. RANGE frames are peer-inclusive, so the
     // count is deterministic even under timestamp ties.
@@ -371,6 +414,32 @@ object EventQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q151_peak_concurrency" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+          deltas AS (SELECT event_type, us, 1 AS delta FROM ev
+                     UNION ALL
+                     SELECT event_type, us + 1800 * 1000000, -1 FROM ev),
+          d2 AS (SELECT event_type, us, delta,
+                        us // 86400000000 AS day FROM deltas),
+          carries AS (SELECT event_type, day,
+                             COALESCE(sum(sum(delta)) OVER (
+                               PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS carry
+                      FROM d2 GROUP BY event_type, day),
+          runs AS (SELECT d.event_type, d.us,
+                          c.carry + sum(d.delta) OVER (
+                            PARTITION BY d.event_type, d.day
+                            ORDER BY d.us, d.delta) AS run
+                   FROM d2 d JOIN carries c USING (event_type, day)),
+          peaks AS (SELECT event_type, max(run) AS peak_n
+                    FROM runs GROUP BY event_type)
+          SELECT r.event_type, CAST(p.peak_n AS BIGINT) AS peak_n,
+                 min(r.us) AS first_peak_us
+          FROM runs r
+          JOIN peaks p ON r.event_type = p.event_type AND r.run = p.peak_n
+          GROUP BY r.event_type, p.peak_n ORDER BY r.event_type""",
+
     "q127_topk_aggregate" ->
       """SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, value FROM (
             SELECT event_type, event_id, value,

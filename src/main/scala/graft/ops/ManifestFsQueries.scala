@@ -4,6 +4,7 @@ import graft.Tables
 import graft.manifest.{ManifestGen, ZoneMap}
 import graft.streaming.StreamingPipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Live filesystem manifests (the reference's actual job) plus the
@@ -250,6 +251,71 @@ object ManifestFsQueries {
     // downstream prefix queries prune whole files on parquet min/max
     // stats. The aggregate proves losslessness; ConnectorSpec asserts the
     // file count collapses and the per-file key ranges are disjoint.
+    // CDC changelog apply (the Debezium/Delta-CDF consume shape): a
+    // keyed changelog of INSERT/UPDATE/DELETE ops with per-key sequence
+    // numbers collapses to final table state by last-writer-wins —
+    // one struct-max aggregate per key picks the highest-seq op (seq is
+    // unique per key, so the winner is deterministic and ARRIVAL ORDER
+    // IS IRRELEVANT — the property that lets a 100 TB backfill replay
+    // shuffled partitions), tombstones drop after the reduction, and
+    // the op count rides the same aggregate. No window sort: the plan
+    // is one hash aggregation on key with map-side partials. The
+    // changelog here is derived deterministically from orders (insert
+    // for every key, update for md5-digit h1 < 6, delete for h2 < 4).
+    "q154_cdc_apply" -> ((s, d) => {
+      val hx = (i: Int) => expr(
+        s"instr('0123456789abcdef', substring(md5(cast(key AS string)), $i, 1)) - 1")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("key"),
+          floor(col("o_totalprice") * 100).as("v"))
+        .withColumn("h1", hx(1)).withColumn("h2", hx(2))
+      val log = base
+        .select(col("key"), lit(0L).as("seq"), lit("I").as("op"),
+          col("v").as("value"))
+        .unionByName(base.filter(col("h1") < 6)
+          .select(col("key"), lit(1L).as("seq"), lit("U").as("op"),
+            (col("v") + 1111L).as("value")))
+        .unionByName(base.filter(col("h2") < 4)
+          .select(col("key"), lit(2L).as("seq"), lit("D").as("op"),
+            lit(null).cast("long").as("value")))
+      log.groupBy("key")
+        .agg(max(struct(col("seq"), col("op"), col("value"))).as("last"),
+          count(lit(1)).as("n_ops"))
+        .filter(col("last.op") =!= "D")
+        .select(col("key"), col("last.value").as("value"),
+          col("last.seq").as("last_seq"), col("n_ops"))
+        .orderBy("key")
+    }),
+
+    // Compaction PLANNING (the decide half of q105's physical rewrite):
+    // greedy next-fit bin packing of a fragmented file inventory into
+    // target-size output groups, the planner inside every lakehouse
+    // OPTIMIZE/compact command. Files are modeled from orders (one file
+    // per order, bytes = price in cents via floor — double CAST rounds
+    // in DuckDB but truncates in Spark, floor is identical in both),
+    // partitioned by o_orderpriority (compaction never crosses table
+    // partitions). The bin id is a running-sum bucket:
+    // bin = (Σ sizes of earlier files) DIV target — one window over the
+    // per-partition key order, so the plan is a single hash-partitioned
+    // sort per table partition, never a global sort, and the assignment
+    // is deterministic (unique key order) and independent of input file
+    // layout — exactly what a restartable 100 TB compaction job needs.
+    "q150_compaction_binpack" -> ((s, d) => {
+      val target = 1000000000L // 1e9 "bytes" per output group
+      val w = Window.partitionBy(col("pri")).orderBy(col("key"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority").as("pri"),
+          col("o_orderkey").as("key"),
+          floor(col("o_totalprice") * 100).as("bytes"))
+        .withColumn("cum", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("bin_id", expr(s"cum DIV ${target}L"))
+        .groupBy("pri", "bin_id")
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+          min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+        .orderBy("pri", "bin_id")
+    }),
+
     "q105_manifest_compaction" -> ((s, d) => {
       val out = Scratch.dir("graft_compact")
       Tables.documents(s, d)
@@ -565,6 +631,46 @@ object ManifestFsQueries {
                  count(n_chars) AS n_with_chars,
                  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars
           FROM merged GROUP BY lang ORDER BY lang""",
+
+    "q154_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS key,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS v,
+                   strpos('0123456789abcdef',
+                          substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1
+                     AS h1,
+                   strpos('0123456789abcdef',
+                          substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1
+                     AS h2
+                 FROM orders),
+          changelog AS (
+            SELECT key, 0 AS seq, 'I' AS op, v AS value FROM base
+            UNION ALL
+            SELECT key, 1, 'U', v + 1111 FROM base WHERE h1 < 6
+            UNION ALL
+            SELECT key, 2, 'D', CAST(NULL AS BIGINT) FROM base WHERE h2 < 4),
+          ranked AS (SELECT key, value, seq, op,
+                            count(*) OVER (PARTITION BY key) AS n_ops,
+                            row_number() OVER (PARTITION BY key
+                                               ORDER BY seq DESC) AS rn
+                     FROM changelog)
+          SELECT key, value, CAST(seq AS BIGINT) AS last_seq, n_ops
+          FROM ranked WHERE rn = 1 AND op <> 'D' ORDER BY key""",
+
+    "q150_compaction_binpack" ->
+      """WITH f AS (SELECT o_orderpriority AS pri, o_orderkey AS key,
+                           CAST(floor(o_totalprice * 100) AS BIGINT) AS bytes
+                    FROM orders),
+          binned AS (SELECT pri, key, bytes,
+                            COALESCE(sum(bytes) OVER (
+                              PARTITION BY pri ORDER BY key
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                              // 1000000000 AS bin_id
+                     FROM f)
+          SELECT pri, CAST(bin_id AS BIGINT) AS bin_id,
+                 count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+                 min(key) AS min_key, max(key) AS max_key
+          FROM binned GROUP BY pri, bin_id ORDER BY pri, bin_id""",
 
     "q105_manifest_compaction" ->
       """WITH m AS (SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS Key,

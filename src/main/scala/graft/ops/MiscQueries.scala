@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.ext.MinHashAgg
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Coverage completion for SURVEY §2.2: GROUPING SETS through the SQL
@@ -13,6 +14,39 @@ object MiscQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // ANALYZE-style optimizer statistics: exact NDV, min/max, and an
+    // 8-bucket EQUI-DEPTH histogram for a column — the stats a
+    // cost-based optimizer (and the q109/q135 zone-map planner) feeds
+    // on. The histogram is computed at VALUE granularity: per-distinct-
+    // value counts first (one hash aggregate over the rows — the only
+    // full-data pass), then a prefix sum over the far smaller distinct-
+    // value table assigns each value group bucket
+    // (cum_before · k) DIV N + 1 — an explicit integer formula rather
+    // than ntile, so remainder semantics can't diverge cross-engine,
+    // and a heavy value never straddles buckets (compressed-histogram
+    // convention). The ordered window runs over distinct values, not
+    // rows — at 100 TB that's the difference between sorting the table
+    // and sorting its value domain (and the domain window could itself
+    // be two-leveled like q151 if the domain were huge).
+    "q155_analyze_stats" -> ((s, d) => {
+      val byV = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") * 100).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("cnt"))
+      val tot = byV.agg(sum(col("cnt")).as("n_rows_total"),
+        count(lit(1)).as("ndv"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byV
+        .withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("bucket", expr("(cum * 8) DIV n_rows_total + 1"))
+        .groupBy("bucket", "ndv")
+        .agg(min(col("c")).as("lo"), max(col("c")).as("hi"),
+          sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_values"))
+        .select("bucket", "lo", "hi", "n_rows", "n_values", "ndv")
+        .orderBy("bucket")
+    }),
+
     // Arbitrary GROUPING SETS via the SQL surface (spark.sql + temp view).
     "q35_grouping_sets" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("li_gs")
@@ -495,6 +529,24 @@ object MiscQueries {
       .mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
+    "q155_analyze_stats" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+                    FROM lineitem),
+          byv AS (SELECT c, count(*) AS cnt FROM v GROUP BY c),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows_total,
+                         count(*) AS ndv FROM byv),
+          b AS (SELECT c, cnt,
+                       COALESCE(sum(cnt) OVER (ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cum
+                FROM byv)
+          SELECT CAST((cum * 8) // n_rows_total + 1 AS BIGINT) AS bucket,
+                 min(c) AS lo, max(c) AS hi,
+                 CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 count(*) AS n_values, ndv
+          FROM b CROSS JOIN tot
+          GROUP BY bucket, ndv ORDER BY bucket""",
+
     "q148_listagg" ->
       """SELECT p_brand,
                 string_agg(p_type, ',' ORDER BY p_type) AS types,

@@ -995,6 +995,132 @@ class ExtensionSpec extends SparkSpec {
     assert(e3.getMessage.contains("integer literal"), e3.getMessage)
   }
 
+  test("compaction bins are contiguous key ranges that conserve files and respect the target") {
+    val target = 1000000000L
+    val res = ops.ManifestFsQueries.queries("q150_compaction_binpack")(spark, sf)
+      .collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(res.map(_.getLong(2)).sum == nOrders, "every file lands in a bin")
+    // next-fit bound: a bin exceeds the target only via its last file
+    val maxFile = Tables.orders(spark, sf)
+      .select(floor(col("o_totalprice") * 100)).as[Long].collect().max
+    assert(res.forall(_.getLong(3) < target + maxFile),
+      "bin bytes bounded by target + one file")
+    // within each partition: bin ids dense from 0, key ranges disjoint+ordered
+    res.groupBy(_.getString(0)).foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4),
+          "bin key ranges must be disjoint and ordered")
+        case _ =>
+      }
+    }
+  }
+
+  test("two-level peak-concurrency prefix sum equals the single-window sweep") {
+    val res = ops.EventQueries.queries("q151_peak_concurrency")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent single-pass sweep in Scala: same endpoint deltas, one
+    // global sort per type, peers collapsed (RANGE-frame semantics).
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)].collect()
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      val deltas = rows.map(r => (r._2, 1L)) ++ rows.map(r => (r._2 + 1800L * 1000000L, -1L))
+      // group peers by (us, delta); cumulative after each peer group
+      val groups = deltas.groupBy(identity).toSeq
+        .map { case ((us, dl), g) => (us, dl, dl * g.size) }
+        .sortBy(g => (g._1, g._2))
+      var cum = 0L
+      var peak = Long.MinValue
+      var peakUs = 0L
+      groups.foreach { case (us, _, d) =>
+        cum += d
+        if (cum > peak) { peak = cum; peakUs = us }
+      }
+      (t, peak, peakUs)
+    }.toSet
+    assert(res.toSet == want, s"got=${res.toSet.diff(want)} want=${want.diff(res.toSet)}")
+  }
+
+  test("PMI top-20 equals a brute-force recomputation") {
+    val got = ext.TextQueries.queries("q152_pmi_collocations")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val texts = Tables.documents(spark, sf).select("text").as[String].collect()
+    val bigrams = texts.flatMap { t =>
+      val ws = t.split(" ")
+      if (ws.length >= 2) ws.init.zip(ws.tail) else Array.empty[(String, String)]
+    }
+    val cab = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ca = cab.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val cb = cab.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val n = cab.values.sum
+    val want = cab.toSeq.filter(_._2 >= 5)
+      .map { case ((a, b), nab) =>
+        (a, b, nab, nab * n * 10000L / (ca(a) * cb(b))) }
+      .sortBy { case (a, b, _, p) => (-p, a, b) }
+      .take(20)
+    assert(got.toSeq == want, s"got=${got.toSeq.take(3)} want=${want.take(3)}")
+  }
+
+  test("cluster-hash split never tears a duplicate group; doc-hash split does") {
+    val res = ext.PipelineQueries.queries("q153_cluster_safe_split")(spark, sf)
+      .collect()
+    val byPolicy = res.groupBy(_.getString(0))
+    assert(byPolicy("group_hash").forall(_.getLong(4) == 0L),
+      "group-hash policy must never span a group across splits")
+    assert(byPolicy("doc_hash").forall(_.getLong(4) > 0L),
+      "doc-hash policy must observably tear groups on this fixture")
+    // both policies partition the same corpus
+    assert(byPolicy("group_hash").map(_.getLong(2)).sum ==
+      byPolicy("doc_hash").map(_.getLong(2)).sum)
+  }
+
+  test("CDC apply equals a per-key replay of the changelog") {
+    val got = ops.ManifestFsQueries.queries("q154_cdc_apply")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100))
+      .as[(Long, Long)].collect()
+    def hex(k: Long, i: Int): Int = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(m.charAt(i - 1))
+    }
+    val want = orders.flatMap { case (k, v) =>
+      val updated = hex(k, 1) < 6
+      val deleted = hex(k, 2) < 4
+      val nOps = 1L + (if (updated) 1L else 0L) + (if (deleted) 1L else 0L)
+      if (deleted) None
+      else if (updated) Some((k, v + 1111L, 1L, nOps))
+      else Some((k, v, 0L, nOps))
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq,
+      s"got=${got.take(3).toSeq} want=${want.take(3).toSeq}")
+  }
+
+  test("equi-depth stats: buckets tile the domain and conserve rows and NDV") {
+    val res = ops.MiscQueries.queries("q155_analyze_stats")(spark, sf).collect()
+    val cents = Tables.lineitem(spark, sf)
+      .select(floor(col("l_extendedprice") * 100)).as[Long].collect()
+    assert(res.map(_.getLong(3)).sum == cents.length, "rows conserved")
+    assert(res.map(_.getLong(4)).sum == cents.distinct.length, "NDV conserved")
+    assert(res.forall(_.getLong(5) == cents.distinct.length), "global ndv column")
+    val sorted = res.sortBy(_.getLong(0))
+    sorted.foreach(r => assert(r.getLong(1) <= r.getLong(2), "lo <= hi"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) < b.getLong(1),
+        "bucket value ranges must be disjoint and ordered")
+      case _ =>
+    }
+    // equi-depth within value-group granularity: no bucket may hold more
+    // than N/8 rows PLUS one straddling value group's worth
+    val maxGroup = cents.groupBy(identity).values.map(_.size).max
+    assert(sorted.forall(_.getLong(3) <= cents.length / 8 + maxGroup))
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
