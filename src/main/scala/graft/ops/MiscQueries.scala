@@ -14,6 +14,48 @@ object MiscQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // KMV (k-minimum-values) distinct-count sketch — the third sketch
+    // family next to q37's HLL (rows-only) and q133's CMS: KMV is fully
+    // DETERMINISTIC (the sketch is literally the k smallest 32-bit
+    // md5-slice hashes of the member set), so unlike HLL it hash-matches
+    // a DuckDB oracle exactly, and it is MERGEABLE — the union sketch is
+    // the k smallest over the per-group sketches' union, demonstrated
+    // here by deriving the ALL row from the group sketches alone (never
+    // re-touching the raw rows; the classic distributed-distinct-count
+    // merge). Estimate = (k−1)·2³² DIV kth-min in integer arithmetic;
+    // groups holding fewer than k hashes are exact by definition. Scale:
+    // one (type, user) dedup shuffle, then per-group top-k rides a
+    // window over k·groups candidates; the raw stream is touched once.
+    "q156_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      val hashed = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("m", md5(col("user_id").cast("string")))
+        .withColumn("h", expr(md5Bits32("m")))
+        .select("event_type", "h")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val sk = hashed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select("event_type", "h")
+      val perGroup = sk.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), max(col("h")).as("kth"))
+      val merged = sk.select(lit("ALL").as("event_type"), col("h")).distinct()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), max(col("h")).as("kth"))
+      val exactPer = hashed.groupBy("event_type")
+        .agg(count(lit(1)).as("exact"))
+      val exactAll = hashed.select("h").distinct()
+        .agg(count(lit(1)).as("exact"))
+        .select(lit("ALL").as("event_type"), col("exact"))
+      perGroup.unionByName(merged)
+        .join(exactPer.unionByName(exactAll), "event_type")
+        .withColumn("est_distinct", when(col("cnt") < k, col("cnt"))
+          .otherwise(expr(s"(${k - 1} * 4294967296) DIV kth")))
+        .select("event_type", "exact", "cnt", "kth", "est_distinct")
+        .orderBy("event_type")
+    }),
+
     // ANALYZE-style optimizer statistics: exact NDV, min/max, and an
     // 8-bucket EQUI-DEPTH histogram for a column — the stats a
     // cost-based optimizer (and the q109/q135 zone-map planner) feeds
@@ -529,6 +571,36 @@ object MiscQueries {
       .mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
+    "q156_kmv_distinct" ->
+      s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),
+          hm AS (SELECT event_type,
+                        md5(CAST(user_id AS VARCHAR)) AS m FROM uu),
+          hashed AS (SELECT event_type, ${oMd5Bits32("m")} AS h FROM hm),
+          sk AS (SELECT event_type, h FROM (
+                   SELECT event_type, h,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY h) AS rn
+                   FROM hashed) WHERE rn <= 64),
+          per AS (SELECT event_type, count(*) AS cnt, max(h) AS kth
+                  FROM sk GROUP BY event_type),
+          mall AS (SELECT 'ALL' AS event_type, count(*) AS cnt,
+                          max(h) AS kth
+                   FROM (SELECT h FROM (
+                           SELECT h, row_number() OVER (ORDER BY h) AS rn
+                           FROM (SELECT DISTINCT h FROM sk))
+                         WHERE rn <= 64)),
+          exact_per AS (SELECT event_type, count(*) AS exact
+                        FROM hashed GROUP BY event_type),
+          exact_all AS (SELECT 'ALL' AS event_type,
+                               count(DISTINCT h) AS exact FROM hashed),
+          u AS (SELECT * FROM per UNION ALL SELECT * FROM mall),
+          e AS (SELECT * FROM exact_per UNION ALL SELECT * FROM exact_all)
+          SELECT u.event_type, e.exact, u.cnt, u.kth,
+                 CAST(CASE WHEN u.cnt < 64 THEN u.cnt
+                           ELSE (63 * 4294967296) // u.kth END AS BIGINT)
+                   AS est_distinct
+          FROM u JOIN e USING (event_type) ORDER BY u.event_type""",
+
     "q155_analyze_stats" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
                     FROM lineitem),

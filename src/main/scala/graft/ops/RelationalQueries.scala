@@ -21,6 +21,36 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // Incremental MATERIALIZED-VIEW maintenance by partial-aggregate
+    // algebra (the aggregate dual of q147's SCD2 stitch): a standing MV
+    // holds per-group (count, sum, min) partials for history before a
+    // cutoff; a delta batch aggregates alone and MERGES — count/sum add,
+    // min re-mins — without re-touching history. That works because
+    // these partials form a commutative monoid, the same property
+    // Spark's own partial/final aggregation relies on; the graded
+    // output is the merged MV and the ORACLE IS THE FULL REBUILD, so
+    // the equivalence is hash-checked, and any cutoff-boundary
+    // disagreement cancels because union-of-partials covers every row
+    // exactly once. At 100 TB this is the difference between scanning
+    // a day and scanning seven years. (AVG would ship (sum, n) and
+    // divide at read; MAX like MIN; true deletes need either a
+    // subtractable group (count/sum) or q154's CDC replay.)
+    "q157_incremental_mv" -> ((s, d) => {
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("pri"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100).as("cents"))
+      def partials(df: DataFrame): DataFrame = df.groupBy("pri")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"))
+      val mv = partials(o.filter(col("o_orderdate") < cutoff))
+      val delta = partials(o.filter(col("o_orderdate") >= cutoff))
+      mv.unionByName(delta).groupBy("pri")
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+          min(col("min_cents")).as("min_cents"))
+        .orderBy("pri")
+    }),
+
     // TPC-H Q1-shaped scan→filter→agg (tests partial aggregation + pushdown).
     "q10_agg_pricing" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -313,6 +343,15 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // Full rebuild — the incremental merge must be indistinguishable.
+    "q157_incremental_mv" ->
+      """WITH c AS (SELECT o_orderpriority AS pri,
+                           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders)
+          SELECT pri, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+                 min(cents) AS min_cents
+          FROM c GROUP BY pri ORDER BY pri""",
+
     "q10_agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${oSum("l_quantity")} AS sum_qty,

@@ -1121,6 +1121,47 @@ class ExtensionSpec extends SparkSpec {
     assert(sorted.forall(_.getLong(3) <= cents.length / 8 + maxGroup))
   }
 
+  test("KMV sketch: exact below k, and the ALL row is the merged union sketch") {
+    val res = ops.MiscQueries.queries("q156_kmv_distinct")(spark, sf).collect()
+    // sf0.001 has 15 users, far below k=64: every group takes the
+    // exact branch (the >=k estimator branch is proven by the sf0.01 /
+    // sf0.1 oracle hash-matches, where groups exceed k).
+    res.foreach { r =>
+      assert(r.getLong(2) < 64, "fixture must sit below k here")
+      assert(r.getLong(4) == r.getLong(1), "below k the estimate is exact")
+    }
+    // mergeability witness: recompute the global KMV brute-force from
+    // the raw rows and compare against the ALL row (which the query
+    // derives from the per-group sketches alone)
+    val hashes = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().as[Long].collect()
+      .map { u =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes("UTF-8"))
+          .take(4).foldLeft(0L)((acc, b) => acc * 256 + (b & 0xff))
+      }.distinct.sorted.take(64)
+    val all = res.find(_.getString(0) == "ALL").get
+    assert(all.getLong(3) == hashes.max, "ALL kth must be the global 64th min")
+    assert(all.getLong(2) == hashes.length)
+  }
+
+  test("incremental MV merge equals the direct full aggregate in-engine") {
+    val got = ops.RelationalQueries.queries("q157_incremental_mv")(spark, sf)
+    val direct = Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("pri"),
+        floor(col("o_totalprice") * 100).as("cents"))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"))
+      .orderBy("pri")
+    assert(got.collect().toSeq == direct.collect().toSeq)
+    // both sides of the cutoff must actually contribute rows
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val o = Tables.orders(spark, sf)
+    assert(o.filter(col("o_orderdate") < cutoff).count() > 0)
+    assert(o.filter(col("o_orderdate") >= cutoff).count() > 0)
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
