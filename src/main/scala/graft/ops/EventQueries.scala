@@ -64,6 +64,69 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Robust anomaly detection by MEDIAN + MAD — the outlier screen that
+    // survives the outliers themselves (mean/stddev do not): per
+    // event_type, the lower median of value-in-cents, the median
+    // absolute deviation from it, and the count of points beyond 5·MAD.
+    // Everything is integer: lower median = the value at ordered rank
+    // ⌈n/2⌉ under a TOTAL order (value, event_id), so ties can't make
+    // the rank ambiguous cross-engine, and the flag is d > 5·mad with
+    // no 1.4826 float scaling. Two ordered windows per group — the
+    // same per-key sweep shape as q82's sessionize, keyed on a
+    // high-cardinality-safe column set at scale (here the type).
+    "q159_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).as("v"))
+      val wv = Window.partitionBy(col("event_type"))
+        .orderBy(col("v"), col("event_id"))
+      val wt = Window.partitionBy(col("event_type"))
+      val med = ev
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("med", max(when(col("rn") === expr("(n + 1) DIV 2"),
+          col("v"))).over(wt))
+        .withColumn("d", abs(col("v") - col("med")))
+      val wd = Window.partitionBy(col("event_type"))
+        .orderBy(col("d"), col("event_id"))
+      med
+        .withColumn("rd", row_number().over(wd))
+        .withColumn("mad", max(when(col("rd") === expr("(n + 1) DIV 2"),
+          col("d"))).over(wt))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("d") > col("mad") * 5, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // Complex-event-processing by REGEX OVER ENCODED SEQUENCES (the
+    // poor man's MATCH_RECOGNIZE, and the scalable one): each user's
+    // event history becomes a compact string — one char per event
+    // (v/c/p/s/e initials are distinct in this taxonomy), ordered by
+    // the total (ts, event_id) key — and pattern counting is then a
+    // per-row regexp over that string: here 'vc*p', a view followed by
+    // any clicks then a purchase (non-overlapping matches, identical
+    // left-to-right greedy semantics in java.util.regex and RE2 for an
+    // alternation-free pattern — the q121 RE2 constraint). One shuffle
+    // on user_id; sequences are session-sized, so the regex runs
+    // map-side over millions of short strings, which is exactly how
+    // CEP over 100 TB of clickstream should execute.
+    "q160_event_pattern" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), substring(col("event_type"), 1, 1).as("c"))
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"), col("c")))),
+          x => x.getField("c")), "").as("seq"))
+        .select(col("user_id"), length(col("seq")).cast("long").as("seq_len"),
+          size(expr("regexp_extract_all(seq, 'vc*p', 0)")).cast("long")
+            .as("n_funnels"))
+        .orderBy("user_id")
+    }),
+
     // RANGE window frame (value-based, vs q18's ROWS frame): trailing
     // 1-hour event count per user. RANGE frames are peer-inclusive, so the
     // count is deterministic even under timestamp ties.
@@ -414,6 +477,46 @@ object EventQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q159_mad_outliers" ->
+      """WITH ev AS (SELECT event_type, event_id,
+                            CAST(floor(value * 100) AS BIGINT) AS v
+                     FROM events),
+          r AS (SELECT event_type, event_id, v,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY v, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM ev),
+          m AS (SELECT event_type, event_id, v, n,
+                       max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                         OVER (PARTITION BY event_type) AS med
+                FROM r),
+          dd AS (SELECT event_type, event_id, n, med,
+                        abs(v - med) AS d FROM m),
+          r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                              ORDER BY d, event_id) AS rd
+                 FROM dd),
+          m2 AS (SELECT event_type, n, med, d,
+                        max(CASE WHEN rd = (n + 1) // 2 THEN d END)
+                          OVER (PARTITION BY event_type) AS mad
+                 FROM r2)
+          SELECT event_type, count(*) AS n, max(med) AS med,
+                 max(mad) AS mad,
+                 CAST(sum(CASE WHEN d > mad * 5 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_outliers
+          FROM m2 GROUP BY event_type ORDER BY event_type""",
+
+    "q160_event_pattern" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                           substr(event_type, 1, 1) AS c
+                    FROM events),
+          s AS (SELECT user_id,
+                       string_agg(c, '' ORDER BY us, event_id) AS seq
+                FROM e GROUP BY user_id)
+          SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+                 CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+                   AS n_funnels
+          FROM s ORDER BY user_id""",
+
     "q151_peak_concurrency" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
           deltas AS (SELECT event_type, us, 1 AS delta FROM ev

@@ -14,6 +14,32 @@ object MiscQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // SKYLINE (Pareto frontier) — the preference-query operator: parts
+    // that are non-dominated under (minimize price, maximize size). The
+    // naive formulation is an O(n²) dominance anti-join; the 2-D
+    // skyline collapses to two window maxima: p is dominated iff some
+    // part is strictly cheaper with ≥ size (prefix max over the price
+    // order, RANGE-bounded to exclude price peers) or equally priced
+    // with > size (max within the price peer group). Both windows ride
+    // ONE sort of (price, size) — no pair ever materializes. The
+    // global-ordered window serializes per price domain at the extreme;
+    // q151's two-level prefix-sum trick applies verbatim if the domain
+    // were 100 TB-wide (per-range partial maxima, then carry-in).
+    "q158_skyline" -> ((s, d) => {
+      val wBefore = Window.orderBy(col("cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wPeers = Window.partitionBy(col("cents"))
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          floor(col("p_retailprice") * 100).as("cents"),
+          col("p_size").cast("long").as("sz"))
+        .withColumn("best_cheaper", coalesce(max(col("sz")).over(wBefore), lit(-1L)))
+        .withColumn("best_peer", max(col("sz")).over(wPeers))
+        .filter(col("sz") > col("best_cheaper") && col("sz") === col("best_peer"))
+        .select("p_partkey", "p_name", "cents", "sz")
+        .orderBy("cents", "p_partkey")
+    }),
+
     // KMV (k-minimum-values) distinct-count sketch — the third sketch
     // family next to q37's HLL (rows-only) and q133's CMS: KMV is fully
     // DETERMINISTIC (the sketch is literally the k smallest 32-bit
@@ -571,6 +597,21 @@ object MiscQueries {
       .mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
+    "q158_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+                           CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,
+                           CAST(p_size AS BIGINT) AS sz
+                    FROM part),
+          m AS (SELECT p_partkey, p_name, cents, sz,
+                       COALESCE(max(sz) OVER (ORDER BY cents
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), -1) AS best_cheaper,
+                       max(sz) OVER (PARTITION BY cents) AS best_peer
+                FROM p)
+          SELECT p_partkey, p_name, cents, sz
+          FROM m WHERE sz > best_cheaper AND sz = best_peer
+          ORDER BY cents, p_partkey""",
+
     "q156_kmv_distinct" ->
       s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),
           hm AS (SELECT event_type,

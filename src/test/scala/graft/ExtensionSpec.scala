@@ -1162,6 +1162,57 @@ class ExtensionSpec extends SparkSpec {
     assert(o.filter(col("o_orderdate") >= cutoff).count() > 0)
   }
 
+  test("2-D skyline equals the brute-force dominance check") {
+    val got = ops.MiscQueries.queries("q158_skyline")(spark, sf)
+      .select("p_partkey").as[Long].collect().toSet
+    val pts = Tables.part(spark, sf)
+      .select(col("p_partkey"), floor(col("p_retailprice") * 100),
+        col("p_size").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val want = pts.filter { case (k, c, sz) =>
+      !pts.exists { case (k2, c2, sz2) =>
+        k2 != k && c2 <= c && sz2 >= sz && (c2 < c || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    assert(got == want, s"spurious=${got.diff(want)} missed=${want.diff(got)}")
+    assert(got.nonEmpty && got.size < pts.length, "frontier must be a proper subset")
+  }
+
+  test("MAD outlier screen matches a direct Scala recomputation") {
+    val got = ops.EventQueries.queries("q159_mad_outliers")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), floor(col("value") * 100))
+      .as[(String, Long, Long)].collect()
+    def lowerMedian(xs: Seq[(Long, Long)]): Long = { // (sortKey value, tiebreak id)
+      val sorted = xs.sortBy(identity).map(_._1)
+      sorted((sorted.length + 1) / 2 - 1)
+    }
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      val med = lowerMedian(rows.map(r => (r._3, r._2)).toSeq)
+      val ds = rows.map(r => (math.abs(r._3 - med), r._2)).toSeq
+      val mad = lowerMedian(ds)
+      (t, rows.size.toLong, med, mad, ds.count(_._1 > 5 * mad).toLong)
+    }.toSet
+    assert(got == want, s"got=${got.diff(want)} want=${want.diff(got)}")
+  }
+
+  test("event-pattern counts equal a per-user Scala regex replay") {
+    val got = ops.EventQueries.queries("q160_event_pattern")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        substring(col("event_type"), 1, 1))
+      .as[(Long, Long, Long, String)].collect()
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4).mkString
+      (u, seq.length.toLong, "vc*p".r.findAllIn(seq).size.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want, s"got=${got.take(3).toSeq} want=${want.take(3)}")
+    assert(want.exists(_._3 > 0), "at least one user must complete the pattern")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
