@@ -64,6 +64,26 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Native session_window — the BUILT-IN session operator next to
+    // q82's manual gaps-and-islands formulation (same 30-minute gap
+    // semantics: a session absorbs the next event iff it lands strictly
+    // inside previous-event + gap, and the window's end extends to
+    // last-event + gap). Having both graded proves the declarative
+    // operator and the hand-rolled one agree; streaming reuses this
+    // exact operator with watermarked state. Bounds are emitted as
+    // epoch-µs integers so the ns→µs truncation of the events fixture
+    // can't smuggle sub-µs drift into the comparison.
+    "q164_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .select(
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("user_id"), col("n_events"), col("session_value"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // Robust anomaly detection by MEDIAN + MAD — the outlier screen that
     // survives the outliers themselves (mean/stddev do not): per
     // event_type, the lower median of value-in-cents, the median
@@ -477,6 +497,29 @@ object EventQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q164_session_window" ->
+      s"""WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sid
+            FROM flagged)
+          SELECT min(epoch_us(ts)) AS start_us,
+                 max(epoch_us(ts)) + 1800 * 1000000 AS end_us,
+                 user_id, count(*) AS n_events,
+                 ${oSum("value")} AS session_value
+          FROM sessions GROUP BY user_id, sid
+          ORDER BY user_id, start_us""",
+
     "q159_mad_outliers" ->
       """WITH ev AS (SELECT event_type, event_id,
                             CAST(floor(value * 100) AS BIGINT) AS v

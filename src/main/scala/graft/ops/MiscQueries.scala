@@ -14,6 +14,80 @@ object MiscQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // Cost-based-optimizer JOIN CARDINALITY ESTIMATION, shown against
+    // ground truth: for each candidate equi-join the standard
+    // containment formula est = |L|·|R| DIV max(ndv_L, ndv_R) — the
+    // exact formula Catalyst's CBO (and every System-R descendant)
+    // uses — next to the join's ACTUAL row count. The estimates run on
+    // control-plane-sized stats (q155's ANALYZE outputs: a count and an
+    // NDV per side), so join ORDER decisions never touch data; the
+    // actuals are the audit. Emitting both makes the estimator's bias
+    // measurable — on FK joins (orders⋈customer) containment is exact,
+    // on skewed keys it under-counts, which is precisely the lesson a
+    // CBO's plans inherit at 100 TB.
+    "q161_join_cardinality" -> ((s, d) => {
+      def edge(name: String, l: DataFrame, r: DataFrame,
+               lk: String, rk: String): DataFrame = {
+        val ls = l.agg(count(lit(1)).as("n_left"),
+          countDistinct(col(lk)).as("ndv_left"))
+        val rs = r.agg(count(lit(1)).as("n_right"),
+          countDistinct(col(rk)).as("ndv_right"))
+        val actual = l.join(r, l(lk) === r(rk))
+          .agg(count(lit(1)).as("actual_rows"))
+        ls.crossJoin(rs).crossJoin(actual)
+          .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+            col("ndv_left"), col("ndv_right"),
+            expr("(n_left * n_right) DIV greatest(ndv_left, ndv_right)")
+              .as("est_rows"),
+            col("actual_rows"))
+      }
+      edge("customer_nation", Tables.customer(s, d), Tables.nation(s, d),
+          "c_nationkey", "n_nationkey")
+        .unionByName(edge("orders_customer", Tables.orders(s, d),
+          Tables.customer(s, d), "o_custkey", "c_custkey"))
+        .unionByName(edge("lineitem_orders", Tables.lineitem(s, d),
+          Tables.orders(s, d), "l_orderkey", "o_orderkey"))
+        .orderBy("join_name")
+    }),
+
+    // BITMAP-INDEX set algebra — audience overlap the way OLAP engines
+    // actually compute it: each audience (customers who placed an order
+    // at priority p) becomes a compressed membership bitmap, 63 members
+    // per row — (word = key DIV 63, bits = bit_or of 1 << (key % 63);
+    // 63 not 64 because DuckDB's BIGINT << rejects bit 63, and keeping
+    // the sign bit clear costs one lane of 64) —
+    // and pairwise overlap is Σ bit_count(bits_a & bits_b) over an
+    // equi-join on word. The bitmap build is one aggregate whose output
+    // is |keyspace|/64 rows; the overlap join touches bitmaps, never
+    // members — the 64× compression is why bitmap indexes beat
+    // distinct-joins for audience intersection at scale. An exact
+    // distinct-join overlap rides alongside as the in-row audit (the
+    // two MUST agree; the spec pins it, the oracle hashes both).
+    "q162_bitmap_overlap" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("seg"), col("o_custkey").as("k"))
+        .distinct()
+      val bm = m
+        .withColumn("word", expr("k DIV 63"))
+        .withColumn("bit", expr("shiftleft(1L, cast(k % 63 AS int))"))
+        .groupBy("seg", "word")
+        .agg(expr("bit_or(bit)").as("bits"))
+      val a = bm.select(col("seg").as("seg_a"), col("word"), col("bits").as("ba"))
+      val b = bm.select(col("seg").as("seg_b"), col("word"), col("bits").as("bb"))
+      val bitmapOverlap = a.join(b, Seq("word"))
+        .filter(col("seg_a") < col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(sum(expr("cast(bit_count(ba & bb) AS bigint)")).as("overlap_bitmap"))
+      val ma = m.select(col("seg").as("seg_a"), col("k"))
+      val mb = m.select(col("seg").as("seg_b"), col("k"))
+      val exactOverlap = ma.join(mb, Seq("k"))
+        .filter(col("seg_a") < col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(count(lit(1)).as("overlap_exact"))
+      bitmapOverlap.join(exactOverlap, Seq("seg_a", "seg_b"))
+        .orderBy("seg_a", "seg_b")
+    }),
+
     // SKYLINE (Pareto frontier) — the preference-query operator: parts
     // that are non-dominated under (minimize price, maximize size). The
     // naive formulation is an O(n²) dominance anti-join; the 2-D
@@ -597,6 +671,58 @@ object MiscQueries {
       .mkString("(", " + ", ")")
 
   def oracles: Map[String, String] = Map(
+    "q161_join_cardinality" ->
+      """WITH edges AS (
+            SELECT 'customer_nation' AS join_name,
+                   (SELECT count(*) FROM customer) AS n_left,
+                   (SELECT count(*) FROM nation) AS n_right,
+                   (SELECT count(DISTINCT c_nationkey) FROM customer) AS ndv_left,
+                   (SELECT count(DISTINCT n_nationkey) FROM nation) AS ndv_right,
+                   (SELECT count(*) FROM customer JOIN nation
+                      ON c_nationkey = n_nationkey) AS actual_rows
+            UNION ALL
+            SELECT 'orders_customer',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM customer),
+                   (SELECT count(DISTINCT o_custkey) FROM orders),
+                   (SELECT count(DISTINCT c_custkey) FROM customer),
+                   (SELECT count(*) FROM orders JOIN customer
+                      ON o_custkey = c_custkey)
+            UNION ALL
+            SELECT 'lineitem_orders',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+                   (SELECT count(DISTINCT o_orderkey) FROM orders),
+                   (SELECT count(*) FROM lineitem JOIN orders
+                      ON l_orderkey = o_orderkey))
+          SELECT join_name, n_left, n_right, ndv_left, ndv_right,
+                 CAST((n_left * n_right) // greatest(ndv_left, ndv_right)
+                      AS BIGINT) AS est_rows,
+                 actual_rows
+          FROM edges ORDER BY join_name""",
+
+    "q162_bitmap_overlap" ->
+      """WITH m AS (SELECT DISTINCT o_orderpriority AS seg,
+                           o_custkey AS k FROM orders),
+          bm AS (SELECT seg, k // 63 AS word,
+                        bit_or(1::BIGINT << CAST(k % 63 AS INTEGER)) AS bits
+                 FROM m GROUP BY seg, word),
+          bo AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+                        CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT)
+                          AS overlap_bitmap
+                 FROM bm a JOIN bm b
+                   ON a.word = b.word AND a.seg < b.seg
+                 GROUP BY a.seg, b.seg),
+          eo AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+                        count(*) AS overlap_exact
+                 FROM m a JOIN m b ON a.k = b.k AND a.seg < b.seg
+                 GROUP BY a.seg, b.seg)
+          SELECT bo.seg_a, bo.seg_b, bo.overlap_bitmap, eo.overlap_exact
+          FROM bo JOIN eo
+            ON bo.seg_a = eo.seg_a AND bo.seg_b = eo.seg_b
+          ORDER BY bo.seg_a, bo.seg_b""",
+
     "q158_skyline" ->
       """WITH p AS (SELECT p_partkey, p_name,
                            CAST(floor(p_retailprice * 100) AS BIGINT) AS cents,

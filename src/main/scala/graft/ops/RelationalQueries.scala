@@ -21,6 +21,27 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // Market-basket FREQUENT-PAIR mining: co-occurrence support counts
+    // for parts ordered together, the support-counting core of Apriori/
+    // FP-growth. The pair generation is a self-join WITHIN the order —
+    // fan-out is bounded by the per-order item count (≤ 7 lineitems ⇒
+    // ≤ 21 pairs per order), so the pair stream is linear in the fact
+    // table at any scale, in contrast to the global self-joins that
+    // dedup (q41) must band and cap. One (orderkey) shuffle feeds the
+    // pair join; the global top-20 is TakeOrderedAndProject with a
+    // (support, p1, p2) total order, so the cut is deterministic.
+    "q163_frequent_pairs" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("oid"), col("l_partkey").as("pid"))
+        .distinct()
+      val a = items.select(col("oid"), col("pid").as("p1"))
+      val b = items.select(col("oid"), col("pid").as("p2"))
+      a.join(b, Seq("oid")).filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("p1"), col("p2"))
+        .limit(20)
+    }),
+
     // Incremental MATERIALIZED-VIEW maintenance by partial-aggregate
     // algebra (the aggregate dual of q147's SCD2 stitch): a standing MV
     // holds per-group (count, sum, min) partials for history before a
@@ -343,6 +364,15 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q163_frequent_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS oid,
+                               l_partkey AS pid FROM lineitem)
+          SELECT a.pid AS p1, b.pid AS p2, count(*) AS support
+          FROM items a JOIN items b
+            ON a.oid = b.oid AND a.pid < b.pid
+          GROUP BY p1, p2
+          ORDER BY support DESC, p1, p2 LIMIT 20""",
+
     // Full rebuild — the incremental merge must be indistinguishable.
     "q157_incremental_mv" ->
       """WITH c AS (SELECT o_orderpriority AS pri,

@@ -1213,6 +1213,61 @@ class ExtensionSpec extends SparkSpec {
     assert(want.exists(_._3 > 0), "at least one user must complete the pattern")
   }
 
+  test("join-cardinality estimates follow the containment formula; FK joins are exact") {
+    val rows = ops.MiscQueries.queries("q161_join_cardinality")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    rows.foreach { case (_, (nl, nr, dl, dr, est, _)) =>
+      assert(est == nl * nr / math.max(dl, dr), "containment formula")
+    }
+    // FK joins: every child row matches exactly one parent, so the
+    // actual cardinality is the child count — and with full containment
+    // the estimate is exact too
+    val (cn, oc) = (rows("customer_nation"), rows("orders_customer"))
+    assert(cn._6 == cn._1 && oc._6 == oc._1, "FK actuals = child count")
+    assert(cn._5 == cn._6 && oc._5 == oc._6, "containment estimate exact on FKs")
+  }
+
+  test("bitmap overlap equals the exact distinct-join overlap on every pair") {
+    val rows = ops.MiscQueries.queries("q162_bitmap_overlap")(spark, sf).collect()
+    assert(rows.length == 10, "5 priorities -> 10 unordered pairs")
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(3),
+      s"bitmap vs exact mismatch on ${r.getString(0)}/${r.getString(1)}"))
+    assert(rows.exists(_.getLong(2) > 0), "audiences must actually overlap")
+  }
+
+  test("frequent pairs equal a brute-force basket recount") {
+    val got = ops.RelationalQueries.queries("q163_frequent_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().distinct
+    val want = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, o) => (p._1, p._2, o.size.toLong) }
+      .toSeq.sortBy { case (p1, p2, n) => (-n, p1, p2) }.take(20)
+    assert(got.toSeq == want, s"got=${got.take(3).toSeq} want=${want.take(3)}")
+  }
+
+  test("native session_window agrees with the manual gaps-and-islands sessionizer") {
+    val native = ops.EventQueries.queries("q164_session_window")(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val manual = ops.EventQueries.queries("q82_sessionize")(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native == manual,
+      s"native=${native.diff(manual).take(3)} manual=${manual.diff(native).take(3)}")
+    // window bounds: end = last event + gap, so end - start >= gap
+    val bad = ops.EventQueries.queries("q164_session_window")(spark, sf)
+      .filter(col("end_us") - col("start_us") < 1800L * 1000000L).count()
+    assert(bad == 0)
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
