@@ -64,6 +64,61 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // TIME-WEIGHTED average (the metrics/finance TWAP): a sampled value
+    // is piecewise-constant until the next observation, so the honest
+    // mean weights each reading by its holding duration, not its count
+    // — the difference between "average of samples" and "average over
+    // time" that burst-prone telemetry makes material. Weights are the
+    // µs gaps from lead() under the total (ts, event_id) order; the
+    // last reading has no duration and drops out; the aggregate is
+    // Σ(cents·µs) DIV Σ(µs), all 64-bit integer (max |Σ| ≈ 1e5 cents ×
+    // µs-per-decade ≈ 3e19/user — bounded here; a 100 TB deploy would
+    // bucket per day first, q151-style, which also caps the products).
+    // One user_id shuffle shared by the window and the aggregate.
+    "q165_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100).as("cents"))
+        .withColumn("dur", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dur").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur")).as("total_us"),
+          sum(col("cents") * col("dur")).as("wsum"))
+        .withColumn("twap_cents", expr("wsum DIV total_us"))
+        .select("user_id", "n_intervals", "total_us", "twap_cents")
+        .orderBy("user_id")
+    }),
+
+    // First-order MARKOV transition matrix over the event taxonomy —
+    // the sequence-mining dual of q160's pattern regex: per user the
+    // (state → next state) pairs come from lead() under the total
+    // (ts, event_id) order (map-side after one user_id shuffle), and
+    // the global matrix normalizes counts to fixed-point basis points
+    // per source state (cnt·10000 DIV row_total — truncating integer,
+    // no float probabilities). The matrix is |states|² rows — control-
+    // plane-sized regardless of corpus scale, the property that makes
+    // transition models cheap to maintain incrementally (q157's merge
+    // algebra applies to the counts verbatim).
+    "q166_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("src").agg(sum(col("n")).as("row_total"))
+      pairs.join(broadcast(totals), "src")
+        .withColumn("prob_bp", expr("(n * 10000) DIV row_total"))
+        .select("src", "dst", "n", "prob_bp")
+        .orderBy("src", "dst")
+    }),
+
     // Native session_window — the BUILT-IN session operator next to
     // q82's manual gaps-and-islands formulation (same 30-minute gap
     // semantics: a session absorbs the next event iff it lands strictly
@@ -497,6 +552,36 @@ object EventQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q165_time_weighted_avg" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                            CAST(floor(value * 100) AS BIGINT) AS cents
+                     FROM events),
+          gaps AS (SELECT user_id, cents,
+                          lead(us) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id) - us AS dur
+                   FROM ev)
+          SELECT user_id, count(*) AS n_intervals,
+                 CAST(sum(dur) AS BIGINT) AS total_us,
+                 CAST(sum(cents * dur) // sum(dur) AS BIGINT) AS twap_cents
+          FROM gaps WHERE dur IS NOT NULL
+          GROUP BY user_id ORDER BY user_id""",
+
+    "q166_markov_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                            event_type AS src
+                     FROM events),
+          pairs AS (SELECT src,
+                           lead(src) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id) AS dst
+                    FROM ev),
+          cnt AS (SELECT src, dst, count(*) AS n FROM pairs
+                  WHERE dst IS NOT NULL GROUP BY src, dst),
+          tot AS (SELECT src, sum(n) AS row_total FROM cnt GROUP BY src)
+          SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+                 CAST((c.n * 10000) // t.row_total AS BIGINT) AS prob_bp
+          FROM cnt c JOIN tot t ON c.src = t.src
+          ORDER BY c.src, c.dst""",
+
     "q164_session_window" ->
       s"""WITH flagged AS (
             SELECT user_id, ts, event_id, value,

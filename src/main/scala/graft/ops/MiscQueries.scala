@@ -14,6 +14,41 @@ object MiscQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // Categorical COLUMN PROFILING — the data-profiling sweep every
+    // ingestion pipeline runs before schema decisions: per column its
+    // row count, exact NDV, dominant value with its share, and Gini
+    // impurity 1 − Σp² as a concentration measure — in fixed-point
+    // basis points with a single truncating DIV per metric
+    // ((Σcnt²)·10⁴ DIV n², not a per-value division, so truncation
+    // error doesn't accumulate; n²·10⁴ needs BIGINT headroom, fine to
+    // ~10⁸ rows — beyond that, profile per-partition partials and
+    // merge counts first, q157-style). The dominant value uses a
+    // row_number under the total (cnt desc, value desc) order — an
+    // explicit tie-break where arg_max would be nondeterministic.
+    // Each profile is one hash aggregate over the column + a ranking
+    // over its value domain; three columns union into one report.
+    "q167_column_profile" -> ((s, d) => {
+      def profile(tbl: String, cname: String, df: DataFrame): DataFrame = {
+        val counts = df.select(col(cname).cast("string").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("cnt"))
+        val wr = Window.orderBy(col("cnt").desc, col("v").desc)
+        counts
+          .withColumn("rn", row_number().over(wr))
+          .agg(sum(col("cnt")).as("n"), count(lit(1)).as("ndv"),
+            max(when(col("rn") === 1, col("v"))).as("top_value"),
+            max(when(col("rn") === 1, col("cnt"))).as("top_cnt"),
+            sum(col("cnt") * col("cnt")).as("ss"))
+          .select(lit(tbl).as("tbl"), lit(cname).as("col_name"),
+            col("n"), col("ndv"), col("top_value"),
+            expr("(top_cnt * 10000) DIV n").as("top_share_bp"),
+            expr("10000 - (ss * 10000) DIV (n * n)").as("gini_bp"))
+      }
+      profile("documents", "lang", Tables.documents(s, d))
+        .unionByName(profile("documents", "source", Tables.documents(s, d)))
+        .unionByName(profile("events", "event_type", Tables.events(s, d)))
+        .orderBy("tbl", "col_name")
+    }),
+
     // Cost-based-optimizer JOIN CARDINALITY ESTIMATION, shown against
     // ground truth: for each candidate equi-join the standard
     // containment formula est = |L|·|R| DIV max(ndv_L, ndv_R) — the
@@ -670,7 +705,28 @@ object MiscQueries {
       s"(strpos('0123456789abcdef', substr(m, ${off + i}, 1)) - 1) * ${math.pow(16, 2 - i).toInt}")
       .mkString("(", " + ", ")")
 
+  /** One column's DuckDB profile — the q167 oracle template. */
+  private def oProfile(tbl: String, c: String): String =
+    s"""SELECT '$tbl' AS tbl, '$c' AS col_name,
+          CAST(sum(cnt) AS BIGINT) AS n, count(*) AS ndv,
+          max(CASE WHEN rn = 1 THEN v END) AS top_value,
+          CAST((max(CASE WHEN rn = 1 THEN cnt END) * 10000) // sum(cnt)
+               AS BIGINT) AS top_share_bp,
+          CAST(10000 - (sum(cnt * cnt) * 10000) // (sum(cnt) * sum(cnt))
+               AS BIGINT) AS gini_bp
+        FROM (SELECT v, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, v DESC) AS rn
+              FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt
+                    FROM $tbl GROUP BY v))"""
+
   def oracles: Map[String, String] = Map(
+    "q167_column_profile" ->
+      s"""SELECT * FROM (
+            ${oProfile("documents", "lang")}
+            UNION ALL ${oProfile("documents", "source")}
+            UNION ALL ${oProfile("events", "event_type")})
+          ORDER BY tbl, col_name""",
+
     "q161_join_cardinality" ->
       """WITH edges AS (
             SELECT 'customer_nation' AS join_name,

@@ -21,6 +21,31 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // TRENDING by exponential time decay — recency-weighted popularity
+    // with integer halving: a lineitem's weight is 2²⁰ >> (age_days
+    // DIV 30), i.e. halves every 30 days from the corpus's newest
+    // order date, floors at 2⁻²⁰ of full weight after ~5 years. Shifts
+    // are the exact-arithmetic stand-in for exp(−λt): cross-engine
+    // bit-identical, and — like q157's partials — the decayed score is
+    // a plain SUM, so yesterday's scores merge with today's delta by
+    // shifting old totals right once per elapsed halving period, which
+    // is how a 100 TB trending pipeline avoids rescanning history.
+    // The reference date is a one-row broadcast; top-20 is
+    // TakeOrderedAndProject under a (score, partkey) total order.
+    "q168_decayed_trending" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      val ref = o.agg(max(col("od")).as("ref"))
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .crossJoin(broadcast(ref))
+        .withColumn("halvings", least(expr("datediff(ref, od) DIV 30"), lit(20)))
+        .withColumn("wt", expr("shiftright(1048576L, cast(halvings AS int))"))
+        .groupBy("l_partkey")
+        .agg(sum(col("wt")).as("score"), count(lit(1)).as("n_lines"))
+        .orderBy(col("score").desc, col("l_partkey")).limit(20)
+    }),
+
     // Market-basket FREQUENT-PAIR mining: co-occurrence support counts
     // for parts ordered together, the support-counting core of Apriori/
     // FP-growth. The pair generation is a self-join WITHIN the order —
@@ -364,6 +389,20 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q168_decayed_trending" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+                    FROM orders),
+          ref AS (SELECT max(od) AS ref FROM o),
+          j AS (SELECT l_partkey,
+                       least(date_diff('day', od, ref) // 30, 20) AS h
+                FROM lineitem JOIN o ON l_orderkey = o_orderkey
+                CROSS JOIN ref)
+          SELECT l_partkey,
+                 CAST(sum(1048576 >> CAST(h AS INTEGER)) AS BIGINT) AS score,
+                 count(*) AS n_lines
+          FROM j GROUP BY l_partkey
+          ORDER BY score DESC, l_partkey LIMIT 20""",
+
     "q163_frequent_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS oid,
                                l_partkey AS pid FROM lineitem)

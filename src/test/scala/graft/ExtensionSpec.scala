@@ -1268,6 +1268,73 @@ class ExtensionSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("time-weighted average equals a per-user Scala replay") {
+    val got = ops.EventQueries.queries("q165_time_weighted_avg")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        floor(col("value") * 100))
+      .as[(Long, Long, Long, Long)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val s = rows.sortBy(r => (r._3, r._2))
+      val gaps = s.zip(s.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      if (gaps.isEmpty) None
+      else {
+        val tot = gaps.map(_._2).sum
+        val wsum = gaps.map { case (c, d) => c * d }.sum
+        Some((u, gaps.length.toLong, tot, wsum / tot))
+      }
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want, s"got=${got.take(2).toSeq} want=${want.take(2)}")
+  }
+
+  test("Markov matrix is row-stochastic in bp and conserves transitions") {
+    val rows = ops.EventQueries.queries("q166_markov_transitions")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (src, out) =>
+      val bp = out.map(_._4).sum
+      // truncating DIV loses < 1bp per destination
+      assert(bp <= 10000 && bp > 10000 - out.length,
+        s"row $src sums to $bp over ${out.length} destinations")
+    }
+    val perUser = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).select("n").as[Long].collect()
+    assert(rows.map(_._3).sum == perUser.map(_ - 1).sum,
+      "every consecutive pair is exactly one transition")
+  }
+
+  test("column profile matches a direct recount on documents.lang") {
+    val row = ops.MiscQueries.queries("q167_column_profile")(spark, sf)
+      .filter(col("col_name") === "lang").collect().head
+    val langs = Tables.documents(spark, sf).select("lang").as[String].collect()
+    val counts = langs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = langs.length.toLong
+    val (topV, topC) = counts.toSeq.maxBy { case (v, c) => (c, v) }
+    assert(row.getLong(2) == n && row.getLong(3) == counts.size)
+    assert(row.getString(4) == topV)
+    assert(row.getLong(5) == topC * 10000 / n)
+    val ss = counts.values.map(c => c * c).sum
+    assert(row.getLong(6) == 10000 - ss * 10000 / (n * n))
+  }
+
+  test("decayed trending equals a brute-force decay replay") {
+    val got = ops.RelationalQueries.queries("q168_decayed_trending")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")))
+      .as[(Long, java.sql.Date)].collect().toMap
+    val ref = o.values.map(_.toLocalDate).max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .as[(Long, Long)].collect()
+    val want = li.map { case (ok, pk) =>
+      val days = java.time.temporal.ChronoUnit.DAYS
+        .between(o(ok).toLocalDate, ref)
+      (pk, 1048576L >> math.min(days / 30, 20L).toInt)
+    }.groupBy(_._1).map { case (pk, ws) => (pk, ws.map(_._2).sum, ws.length.toLong) }
+      .toSeq.sortBy { case (pk, sc, _) => (-sc, pk) }.take(20)
+    assert(got.toSeq == want, s"got=${got.take(3).toSeq} want=${want.take(3)}")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
