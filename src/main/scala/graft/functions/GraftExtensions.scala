@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.dotFunction)
     e.injectFunction(GraftFunctions.fastMd5Function)
     e.injectFunction(GraftFunctions.topKFunction)
+    e.injectFunction(GraftFunctions.kmvFunction)
   }
 }
 
@@ -44,9 +45,19 @@ object GraftFunctions {
       TopKAgg(exprs.head, exprs(1), exprs(2)).toAggregateExpression()
     })
 
+  private[functions] val kmvFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_kmv"),
+    new ExpressionInfo(classOf[KMVAgg].getName, "graft_kmv"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"graft_kmv(hash, k) takes 2 arguments, got ${exprs.length}")
+      KMVAgg(exprs.head, exprs(1)).toAggregateExpression()
+    })
+
   /** Register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    Seq(dotFunction, fastMd5Function, topKFunction).foreach { case (id, info, builder) =>
+    Seq(dotFunction, fastMd5Function, topKFunction, kmvFunction).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "scala_udf")
       val _ = info // ExpressionInfo used by the extensions path

@@ -14,6 +14,29 @@ object MiscQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // The NATIVE KMV aggregate ([[graft.functions.KMVAgg]], SQL
+    // `graft_kmv`) doing q156's job without q156's plan: the RAW
+    // (type, user) stream feeds the aggregate directly — no distinct()
+    // pre-shuffle, no ranking window — because duplicate hashes
+    // collapse inside each map task's ≤k buffer and partial sketches
+    // merge by set-union-truncate through ObjectHashAggregate's
+    // partial/final machinery (PlanSpec pins the shape: partial+final
+    // ObjectHashAggregate, no Window, no pre-join distinct exchange).
+    // The ORACLE IS the declarative window formulation — the two must
+    // be indistinguishable, which is the same native-vs-declarative
+    // contract q127/q143 pin for the top-k heap.
+    "q169_kmv_aggregate" -> ((s, d) => {
+      val hashed = Tables.events(s, d)
+        .select(col("event_type"),
+          md5(col("user_id").cast("string")).as("m"))
+        .withColumn("h", expr(md5Bits32("m")))
+      hashed.groupBy("event_type")
+        .agg(graft.functions.KMVAgg.kmv(col("h"), 64).as("sk"))
+        .select(col("event_type"), col("sk.cnt").as("cnt"),
+          col("sk.kth").as("kth"), col("sk.est").as("est_distinct"))
+        .orderBy("event_type")
+    }),
+
     // Categorical COLUMN PROFILING — the data-profiling sweep every
     // ingestion pipeline runs before schema decisions: per column its
     // row count, exact NDV, dominant value with its share, and Gini
@@ -720,6 +743,25 @@ object MiscQueries {
                     FROM $tbl GROUP BY v))"""
 
   def oracles: Map[String, String] = Map(
+    // The declarative window-formulation KMV — native graft_kmv must
+    // be indistinguishable from it.
+    "q169_kmv_aggregate" ->
+      s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),
+          hm AS (SELECT event_type,
+                        md5(CAST(user_id AS VARCHAR)) AS m FROM uu),
+          hashed AS (SELECT DISTINCT event_type,
+                            ${oMd5Bits32("m")} AS h FROM hm),
+          sk AS (SELECT event_type, h FROM (
+                   SELECT event_type, h,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY h) AS rn
+                   FROM hashed) WHERE rn <= 64)
+          SELECT event_type, count(*) AS cnt, max(h) AS kth,
+                 CAST(CASE WHEN count(*) < 64 THEN count(*)
+                           ELSE (63 * 4294967296) // max(h) END AS BIGINT)
+                   AS est_distinct
+          FROM sk GROUP BY event_type ORDER BY event_type""",
+
     "q167_column_profile" ->
       s"""SELECT * FROM (
             ${oProfile("documents", "lang")}

@@ -1335,6 +1335,46 @@ class ExtensionSpec extends SparkSpec {
     assert(got.toSeq == want, s"got=${got.take(3).toSeq} want=${want.take(3)}")
   }
 
+  test("native graft_kmv equals the declarative q156 sketch per group, from SQL too") {
+    val native = ops.MiscQueries.queries("q169_kmv_aggregate")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val declarative = ops.MiscQueries.queries("q156_kmv_distinct")(spark, sf)
+      .filter(col("event_type") =!= "ALL")
+      .select("event_type", "cnt", "kth", "est_distinct")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(native.toSeq == declarative.toSeq)
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, sf)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("m"))
+      .withColumn("h", expr(graft.ops.md5Bits32("m")))
+      .createOrReplaceTempView("kmv_events")
+    val viaSql = spark.sql(
+      """SELECT event_type, graft_kmv(h, 64).cnt AS cnt,
+                graft_kmv(h, 64).est AS est
+         FROM kmv_events GROUP BY event_type ORDER BY event_type""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(viaSql.toSeq == native.map(r => (r._1, r._2, r._4)).toSeq)
+    // bad arity fails at analysis, not at runtime
+    val e = intercept[Exception](spark.sql(
+      "SELECT graft_kmv(h) FROM kmv_events").collect())
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
+  }
+
+  test("KMV sketch buffers merge by set-union-truncate with duplicate collapse") {
+    val a = new graft.functions.KMVAgg.Sketch(4)
+    val b = new graft.functions.KMVAgg.Sketch(4)
+    Seq(10L, 20L, 30L, 40L, 50L).foreach(a.insert)   // keeps 10,20,30,40
+    Seq(5L, 20L, 35L, 60L).foreach(b.insert)         // keeps 5,20,35,60
+    a.mergeFrom(b)
+    // union = {5,10,20,30,35,40,60} -> 4 smallest = 5,10,20,30 (20 once)
+    assert(a.values.toSeq == Seq(5L, 10L, 20L, 30L))
+    assert(a.kth == 30L && a.size == 4)
+    val empty = new graft.functions.KMVAgg.Sketch(4)
+    a.mergeFrom(empty)
+    assert(a.values.toSeq == Seq(5L, 10L, 20L, 30L), "empty merge is identity")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))

@@ -149,6 +149,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "top-k must not fall back to a window sort")
   }
 
+  test("q169: KMV aggregate needs neither a distinct pre-shuffle nor a window") {
+    val p = plan("q169_kmv_aggregate")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected object hash aggregation:\n${p.take(1500)}")
+    assert(p.contains("partial_graft_kmv") || p.contains("partial graft_kmv")
+      || p.split("ObjectHashAggregate").length > 2,
+      s"expected a partial aggregation stage:\n${p.take(1500)}")
+    assert(!p.contains("Window"), "KMV must not fall back to the window ranking")
+    // the raw stream feeds the aggregate: exactly ONE hash exchange
+    // (the final-aggregation shuffle on event_type) — a second would be
+    // the distinct() the native sketch exists to remove. The orderBy's
+    // rangepartitioning presentation exchange doesn't count.
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected one hash exchange (final agg only), got $hashExchanges:\n${p.take(2000)}")
+  }
+
   test("q128: the standing ANN index is consumed from disk, not re-assigned") {
     val p = plan("q128_incremental_ann")
     assert(p.contains("graft_ann_idx"),
