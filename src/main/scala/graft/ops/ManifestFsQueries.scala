@@ -397,6 +397,29 @@ object ManifestFsQueries {
         .orderBy("event_type", "rank")
     }),
 
+    // The native KMV sketch ([[graft.functions.KMVAgg]], q169) driven
+    // through the REAL streaming engine, the q143 contract applied to
+    // the second TypedImperativeAggregate: per-micro-batch partial
+    // sketches merge into the state store via the aggregate's own
+    // serialize/set-union path — distinct-count-over-a-stream with k
+    // longs of state per group, the streaming cardinality shape that
+    // HLL serves in production but KMV serves DETERMINISTICALLY, so
+    // Complete mode over the finite source must equal batch q169
+    // exactly (shared oracle; StreamingSpec additionally forces a
+    // multi-batch run so the cross-batch merge path is what's tested).
+    "q170_stream_kmv" -> ((s, d) => {
+      val agg = StreamingPipelines.eventsStream(s, d)
+        .select(col("event_type"),
+          md5(col("user_id").cast("string")).as("m"))
+        .withColumn("h", expr(graft.ops.md5Bits32("m")))
+        .groupBy("event_type")
+        .agg(graft.functions.KMVAgg.kmv(col("h"), 64).as("sk"))
+      StreamingPipelines.runToCompletion(s, agg)
+        .select(col("event_type"), col("sk.cnt").as("cnt"),
+          col("sk.kth").as("kth"), col("sk.est").as("est_distinct"))
+        .orderBy("event_type")
+    }),
+
     // Streaming deduplication with bounded state
     // (dropDuplicatesWithinWatermark): the stream doubled by self-union
     // collapses back to one row per event_id; state for an id is evictable
@@ -732,6 +755,25 @@ object ManifestFsQueries {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
           count(*) AS n, ${oSum("value")} AS total_value
           FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    // Same declarative KMV formulation as the batch q169 oracle — the
+    // streamed sketch must be indistinguishable from it.
+    "q170_stream_kmv" ->
+      s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),
+          hm AS (SELECT event_type,
+                        md5(CAST(user_id AS VARCHAR)) AS m FROM uu),
+          hashed AS (SELECT DISTINCT event_type,
+                            ${graft.ops.oMd5Bits32("m")} AS h FROM hm),
+          sk AS (SELECT event_type, h FROM (
+                   SELECT event_type, h,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY h) AS rn
+                   FROM hashed) WHERE rn <= 64)
+          SELECT event_type, count(*) AS cnt, max(h) AS kth,
+                 CAST(CASE WHEN count(*) < 64 THEN count(*)
+                           ELSE (63 * 4294967296) // max(h) END AS BIGINT)
+                   AS est_distinct
+          FROM sk GROUP BY event_type ORDER BY event_type""",
 
     "q89_stream_dedup" ->
       """SELECT event_type, count(*) AS n

@@ -21,6 +21,34 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM) — the join
+    // variant every sentinel-free data model eventually needs: NULL
+    // keys match EACH OTHER instead of silently dropping. Both sides
+    // here carry planted NULL keys (md5-digit < 2 nullifies the
+    // bucketed key), and the pair count per key is computed the
+    // scale-correct way: aggregate each side to per-key COUNTS FIRST,
+    // then null-safe-join the two tiny count tables and multiply —
+    // the NULL bucket (the classic skew cell: every null on one side
+    // × every null on the other) never materializes row-wise, because
+    // n_left·n_right is its cardinality. Spark plans <=> as a hash
+    // join on a null-tolerant key, not a nested loop.
+    "q171_nullsafe_join" -> ((s, d) => {
+      def hx(c: String) = expr(
+        s"instr('0123456789abcdef', substring(md5(cast($c AS string)), 1, 1)) - 1")
+      val ca = Tables.orders(s, d)
+        .withColumn("k", when(hx("o_orderkey") < 2, lit(null))
+          .otherwise(col("o_custkey") % 100).cast("long"))
+        .groupBy("k").agg(count(lit(1)).as("n_left"))
+      val cb = Tables.customer(s, d)
+        .withColumn("k", when(hx("c_custkey") < 2, lit(null))
+          .otherwise(col("c_custkey") % 100).cast("long"))
+        .groupBy("k").agg(count(lit(1)).as("n_right"))
+      ca.join(cb, ca("k") <=> cb("k"))
+        .select(ca("k").as("k"), col("n_left"), col("n_right"),
+          (col("n_left") * col("n_right")).as("n_pairs"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // TRENDING by exponential time decay — recency-weighted popularity
     // with integer halving: a lineitem's weight is 2²⁰ >> (age_days
     // DIV 30), i.e. halves every 30 days from the corpus's newest
@@ -389,6 +417,24 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q171_nullsafe_join" ->
+      """WITH ca AS (SELECT CASE WHEN strpos('0123456789abcdef',
+                             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                             - 1 < 2
+                           THEN NULL ELSE o_custkey % 100 END AS k,
+                           count(*) AS n_left
+                    FROM orders GROUP BY k),
+          cb AS (SELECT CASE WHEN strpos('0123456789abcdef',
+                             substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1))
+                             - 1 < 2
+                           THEN NULL ELSE c_custkey % 100 END AS k,
+                           count(*) AS n_right
+                 FROM customer GROUP BY k)
+          SELECT ca.k, ca.n_left, cb.n_right,
+                 CAST(ca.n_left * cb.n_right AS BIGINT) AS n_pairs
+          FROM ca JOIN cb ON ca.k IS NOT DISTINCT FROM cb.k
+          ORDER BY ca.k ASC NULLS FIRST""",
+
     "q168_decayed_trending" ->
       """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
                     FROM orders),

@@ -1375,6 +1375,29 @@ class ExtensionSpec extends SparkSpec {
     assert(a.values.toSeq == Seq(5L, 10L, 20L, 30L), "empty merge is identity")
   }
 
+  test("null-safe join matches NULL keys; a plain equi-join drops them") {
+    val res = ops.RelationalQueries.queries("q171_nullsafe_join")(spark, sf)
+      .collect()
+    val nullRow = res.filter(_.isNullAt(0))
+    assert(nullRow.length == 1, "exactly one NULL-key row must match")
+    assert(nullRow.head.getLong(3) ==
+      nullRow.head.getLong(1) * nullRow.head.getLong(2))
+    res.foreach(r => assert(r.getLong(3) == r.getLong(1) * r.getLong(2)))
+    // contrast: the same frames under === lose the NULL bucket
+    def hx(c: String) = expr(
+      s"instr('0123456789abcdef', substring(md5(cast($c AS string)), 1, 1)) - 1")
+    val ca = Tables.orders(spark, sf)
+      .withColumn("k", when(hx("o_orderkey") < 2, lit(null))
+        .otherwise(col("o_custkey") % 100).cast("long"))
+      .groupBy("k").agg(count(lit(1)).as("n_left"))
+    val cb = Tables.customer(spark, sf)
+      .withColumn("k", when(hx("c_custkey") < 2, lit(null))
+        .otherwise(col("c_custkey") % 100).cast("long"))
+      .groupBy("k").agg(count(lit(1)).as("n_right"))
+    val plain = ca.join(cb, ca("k") === cb("k")).count()
+    assert(plain == res.length - 1, "=== must drop exactly the NULL row")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))

@@ -57,6 +57,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("KMVAgg sketch state merges across MULTIPLE micro-batches") {
+    // the q143 contract for the second TypedImperativeAggregate: split
+    // the source 4 ways, one file per trigger — the final sketch is
+    // built from state-store set-union merges across four batches and
+    // must equal the batch q169 result exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_files").toString
+    Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("m"))
+      .withColumn("h", expr(graft.ops.md5Bits32("m")))
+      .groupBy("event_type")
+      .agg(graft.functions.KMVAgg.kmv(col("h"), 64).as("sk"))
+    val got = StreamingPipelines.runToCompletion(spark, stream)
+      .select(col("event_type"), col("sk.cnt"), col("sk.kth"), col("sk.est"))
+      .orderBy("event_type").collect()
+    val want = ops.MiscQueries.queries("q169_kmv_aggregate")(spark, sf)
+      .collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
   test("stream-static join enriches events against a dimension") {
     // static side: user_id → customer name (broadcastable dim)
     val dim = Tables.customer(spark, sf)
