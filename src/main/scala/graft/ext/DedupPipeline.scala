@@ -62,6 +62,17 @@ object DedupPipeline {
       .select(col("comp").as("id1"), col("id").as("id2")))
   }
 
+  /** EXACT set-similarity self-join: every pair with 3-word-shingle
+    * Jaccard ≥ tNum/tDen, by PPJoin prefix filtering — recall AND
+    * precision 1.0, the lossless alternative to the banded
+    * [[jaccardOnCandidates]] when probabilistic misses are not
+    * acceptable (legal dedup, contamination audits). Cost grows as the
+    * threshold drops; below ~1/2 prefer the LSH path. Expects
+    * (doc_id, text); returns (id1, id2, inter, union_sz, jacc_bp). */
+  def exactJaccardJoin(corpus: DataFrame,
+                       tNum: Int = 3, tDen: Int = 5): DataFrame =
+    DedupQueries.prefixJaccardPairs(corpus, tNum, tDen)
+
   /** Candidate pairs (MinHash LSH bands) with exact Jaccard — exposed for
     * reporting/threshold tuning. Expects columns (doc_id, text). */
   def jaccardOnCandidates(corpus: DataFrame): DataFrame = {

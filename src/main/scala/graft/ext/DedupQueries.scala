@@ -149,6 +149,48 @@ object DedupQueries {
                                     maxBucket: Int = DefaultMaxBucket): DataFrame =
     candidatePairs(bandTable(minhash(sh)), maxBucket)
 
+  /** EXACT set-similarity self-join by PPJoin prefix filtering (the q149
+    * operator, generalized to a rational threshold tNum/tDen): for
+    * J ≥ t a qualifying pair must share a token among each side's
+    * (sz − ⌈t·sz⌉ + 1) rarest 3-word shingles (global df-ascending
+    * order, tie by token), so joining only prefixes is LOSSLESS; the
+    * PPJoin length filter (tDen·min ≥ tNum·max) rides the join's ON
+    * clause, and verification joins candidates against collected
+    * per-doc shingle arrays. All arithmetic is integer:
+    * ⌈t·s⌉ = (tNum·s + tDen − 1) DIV tDen and the threshold test is
+    * i·(tNum+tDen) ≥ tNum·(s1+s2) ⟺ J ≥ t. Expects (doc_id, text).
+    * Cost grows as the threshold drops (prefixes lengthen) — below
+    * t ≈ 0.5 prefer the banded LSH path, which trades recall for it. */
+  private[ext] def prefixJaccardPairs(corpus: DataFrame,
+                                      tNum: Int, tDen: Int): DataFrame = {
+    val toks = shingles(corpus).withColumnRenamed("shingle", "w")
+    val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("w"))
+    val prefix = toks.join(dfreq, "w").join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(pw))
+      .filter(col("pos") <=
+        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("doc_id"), col("w"), col("sz"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * tNum <= col("b.sz") * tDen &&
+          col("b.sz") * tNum <= col("a.sz") * tDen)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .distinct()
+    val sets = toks.groupBy("doc_id").agg(collect_list(col("w")).as("ss"))
+    cands
+      .join(sets.select(col("doc_id").as("id1"), col("ss").as("sa")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("ss").as("sb")), "id2")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("inter") * (tNum + tDen) >= (col("sz1") + col("sz2")) * tNum)
+      .select(col("id1"), col("id2"), col("inter"),
+        (col("sz1") + col("sz2") - col("inter")).as("union_sz"),
+        expr("(inter * 10000) DIV (sz1 + sz2 - inter)").as("jacc_bp"))
+  }
+
   /** Exact Jaccard over candidate pairs via collected shingle-set arrays
     * (candidate-bounded shuffle; zero-intersection band collisions drop).
     * The single implementation behind q43 AND
@@ -200,32 +242,7 @@ object DedupQueries {
         .filter(size(col("ws")) >= 12)
         .select((col("doc_id") + 7000000L).as("doc_id"),
           concat_ws(" ", expr("slice(ws, 3, size(ws) - 2)")).as("text"))
-      val toks = shingles(base.unionByName(planted))
-        .withColumnRenamed("shingle", "w")
-      val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
-      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pw = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("df"), col("w"))
-      val prefix = toks.join(dfreq, "w").join(sizes, "doc_id")
-        .withColumn("pos", row_number().over(pw))
-        .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) DIV 5") + 1)
-        .select(col("doc_id"), col("w"), col("sz"))
-      val cands = prefix.as("a").join(prefix.as("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
-            col("a.sz") * 3 <= col("b.sz") * 5 &&
-            col("b.sz") * 3 <= col("a.sz") * 5)
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          col("a.sz").as("sz1"), col("b.sz").as("sz2"))
-        .distinct()
-      val sets = toks.groupBy("doc_id").agg(collect_list(col("w")).as("ss"))
-      cands
-        .join(sets.select(col("doc_id").as("id1"), col("ss").as("sa")), "id1")
-        .join(sets.select(col("doc_id").as("id2"), col("ss").as("sb")), "id2")
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .filter(col("inter") * 8 >= (col("sz1") + col("sz2")) * 3)
-        .select(col("id1"), col("id2"), col("inter"),
-          (col("sz1") + col("sz2") - col("inter")).as("union_sz"),
-          expr("(inter * 10000) DIV (sz1 + sz2 - inter)").as("jacc_bp"))
+      prefixJaccardPairs(base.unionByName(planted), 3, 5)
         .orderBy("id1", "id2")
     }),
 

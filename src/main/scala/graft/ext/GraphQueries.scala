@@ -104,19 +104,34 @@ object GraphQueries {
     // never a full sort of the edge list. Wedge and closure joins then
     // shuffle only backbone-sized inputs.
     "q132_triangle_count" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("u"), col("v"))
-        .limit(TriangleEdgeBudget)
-        .select("u", "v")
-      triangleCounts(edges)
+      triangleCounts(supplierBackbone(s, d))
         .withColumnRenamed("node", "supplier")
         .orderBy(col("n_triangles").desc, col("supplier")).limit(20)
+    }),
+
+    // TWO-HOP reach over the same backbone — the friends-of-friends
+    // aggregate (recommendation candidate pools, influence radii):
+    // distinct suppliers within ≤ 2 edges of each node. One adjacency
+    // self-join on the shared hop node produces the 2-paths; union with
+    // the 1-hop edges and a distinct collapses multiplicity (a node
+    // reachable both directly and through a wedge counts once); self-
+    // pairs are excluded in the join condition, never post-hoc. All
+    // joins shuffle backbone-sized inputs only — the q132 edge budget
+    // is what bounds Σdeg², exactly as it bounds the wedge count there.
+    "q173_two_hop_reach" -> ((s, d) => {
+      // the 5000-row backbone feeds FOUR plan branches (two adjacency
+      // directions × the x/y self-join) — localCheckpoint materializes
+      // the heavy co-occurrence aggregation once instead of per branch
+      val bb = supplierBackbone(s, d).localCheckpoint()
+      val adj = bb.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(bb.select(col("v").as("src"), col("u").as("dst")))
+      val two = adj.as("x").join(adj.as("y"),
+          col("x.dst") === col("y.src") && col("x.src") =!= col("y.dst"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      adj.unionByName(two).distinct()
+        .groupBy("src").agg(count(lit(1)).as("reach_2hop"))
+        .select(col("src").as("supplier"), col("reach_2hop"))
+        .orderBy(col("reach_2hop").desc, col("supplier")).limit(20)
     }),
 
     // Multi-source BFS over the q120 trade graph: distance-from-any-
@@ -168,6 +183,22 @@ object GraphQueries {
         .orderBy("dist")
     })
   )
+
+  /** The q132 supplier co-occurrence backbone, shared with q173: the
+    * [[TriangleEdgeBudget]] heaviest co-order edges (count desc,
+    * deterministic (u, v) tie-break) via TakeOrderedAndProject. */
+  private[graft] def supplierBackbone(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("u"), col("v"))
+      .limit(TriangleEdgeBudget)
+      .select("u", "v")
+  }
 
   /** q132's co-occurrence backbone size: the heaviest edges kept before
     * wedge enumeration. */
@@ -274,6 +305,26 @@ object GraphQueries {
           FROM r$PageRankRounds
           ORDER BY pr DESC, node LIMIT 20"""
     },
+
+    "q173_two_hop_reach" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          edges AS (SELECT u, v FROM (
+                      SELECT a.sk AS u, b.sk AS v, count(*) AS c
+                      FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+                      GROUP BY 1, 2)
+                    ORDER BY c DESC, u, v LIMIT $TriangleEdgeBudget),
+          adj AS (SELECT u AS src, v AS dst FROM edges
+                  UNION ALL SELECT v, u FROM edges),
+          two AS (SELECT x.src AS src, y.dst AS dst
+                  FROM adj x JOIN adj y
+                    ON x.dst = y.src AND x.src <> y.dst),
+          reach AS (SELECT DISTINCT src, dst FROM (
+                      SELECT src, dst FROM adj
+                      UNION ALL SELECT src, dst FROM two))
+          SELECT src AS supplier, count(*) AS reach_2hop
+          FROM reach GROUP BY src
+          ORDER BY reach_2hop DESC, supplier LIMIT 20""",
 
     "q132_triangle_count" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk

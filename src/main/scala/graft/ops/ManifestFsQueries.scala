@@ -251,6 +251,47 @@ object ManifestFsQueries {
     // downstream prefix queries prune whole files on parquet min/max
     // stats. The aggregate proves losslessness; ConnectorSpec asserts the
     // file count collapses and the per-file key ranges are disjoint.
+    // RLE LAYOUT ADVISOR — the storage-layout question behind q105's
+    // compaction and q135's Z-order: which sort order makes a column
+    // run-length-encode well? For each candidate order the advisor
+    // counts VALUE RUNS per column (1 at every position whose value
+    // differs from its predecessor under that order) — runs are what
+    // parquet's RLE/dictionary pages and min-max skipping key off, so
+    // rows DIV runs is the compressibility signal a table optimizer
+    // ranks orders by. o_orderkey is unique, so both candidate orders
+    // are TOTAL and run counts are deterministic cross-engine (a
+    // lineitem draft hit exactly this: its (orderkey, linenumber)
+    // "key" has fixture duplicates, making runs tie-order-dependent).
+    // At fleet scale runs are counted per file (they don't cross row
+    // groups), making the window per-partition — the q151 split again.
+    "q172_rle_layout_advisor" -> ((s, d) => {
+      def runs(name: String,
+               ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
+        val w = Window.orderBy(ord: _*)
+        def flag(c: String) = when(lag(col(c), 1).over(w).isNull ||
+          lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderstatus"))
+          .withColumn("f_pri", flag("o_orderpriority"))
+          .withColumn("f_st", flag("o_orderstatus"))
+          .agg(sum(col("f_pri")).as("r_pri"), sum(col("f_st")).as("r_st"),
+            count(lit(1)).as("n_rows"))
+          .select(lit(name).as("sort_order"), col("r_pri"), col("r_st"),
+            col("n_rows"))
+      }
+      runs("by_orderkey", Seq(col("o_orderkey")))
+        .unionByName(runs("by_priority",
+          Seq(col("o_orderpriority"), col("o_orderkey"))))
+        .select(col("sort_order"), expr(
+          """stack(2, 'o_orderpriority', r_pri, 'o_orderstatus', r_st)
+             AS (column_name, n_runs)"""),
+          col("n_rows"))
+        .withColumn("rows_per_run", expr("n_rows DIV n_runs"))
+        .select("sort_order", "column_name", "n_runs", "rows_per_run")
+        .orderBy("sort_order", "column_name")
+    }),
+
     // CDC changelog apply (the Debezium/Delta-CDF consume shape): a
     // keyed changelog of INSERT/UPDATE/DELETE ops with per-key sequence
     // numbers collapses to final table state by last-writer-wins —
@@ -654,6 +695,45 @@ object ManifestFsQueries {
                  count(n_chars) AS n_with_chars,
                  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars
           FROM merged GROUP BY lang ORDER BY lang""",
+
+    "q172_rle_layout_advisor" ->
+      """WITH natural_f AS (
+            SELECT CASE WHEN lag(o_orderpriority) OVER wn IS NULL
+                          OR lag(o_orderpriority) OVER wn <> o_orderpriority
+                        THEN 1 ELSE 0 END AS f_pri,
+                   CASE WHEN lag(o_orderstatus) OVER wn IS NULL
+                          OR lag(o_orderstatus) OVER wn <> o_orderstatus
+                        THEN 1 ELSE 0 END AS f_st
+            FROM orders
+            WINDOW wn AS (ORDER BY o_orderkey)),
+          flag_f AS (
+            SELECT CASE WHEN lag(o_orderpriority) OVER wf IS NULL
+                          OR lag(o_orderpriority) OVER wf <> o_orderpriority
+                        THEN 1 ELSE 0 END AS f_pri,
+                   CASE WHEN lag(o_orderstatus) OVER wf IS NULL
+                          OR lag(o_orderstatus) OVER wf <> o_orderstatus
+                        THEN 1 ELSE 0 END AS f_st
+            FROM orders
+            WINDOW wf AS (ORDER BY o_orderpriority, o_orderkey)),
+          packed AS (
+            SELECT 'by_orderkey' AS sort_order,
+                   CAST(sum(f_pri) AS BIGINT) AS r_pri,
+                   CAST(sum(f_st) AS BIGINT) AS r_st,
+                   count(*) AS n_rows
+            FROM natural_f
+            UNION ALL
+            SELECT 'by_priority',
+                   CAST(sum(f_pri) AS BIGINT), CAST(sum(f_st) AS BIGINT),
+                   count(*)
+            FROM flag_f),
+          unpacked AS (
+            SELECT sort_order, 'o_orderpriority' AS column_name,
+                   r_pri AS n_runs, n_rows FROM packed
+            UNION ALL
+            SELECT sort_order, 'o_orderstatus', r_st, n_rows FROM packed)
+          SELECT sort_order, column_name, n_runs,
+                 CAST(n_rows // n_runs AS BIGINT) AS rows_per_run
+          FROM unpacked ORDER BY sort_order, column_name""",
 
     "q154_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey AS key,

@@ -372,6 +372,20 @@ class ExtensionSpec extends SparkSpec {
     assert(want.exists(_._2 >= 7000000L), "planted near-copies must qualify")
   }
 
+  test("exactJaccardJoin generalizes the threshold (1/2) and stays lossless") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"),        // 4 shingles
+      (2L, "b c d e f"),          // drop first word: 3 shingles, all shared -> J = 3/4
+      (3L, "x y z w v"),          // unrelated
+      (4L, "a b c q r s")         // shares only "a b c" -> J = 1/7
+    ).toDF("doc_id", "text")
+    val got = ext.DedupPipeline.exactJaccardJoin(corpus, 1, 2)
+      .select("id1", "id2", "jacc_bp").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 7500L)),
+      s"expected exactly the (1,2) pair at J=0.75, got $got")
+  }
+
   test("phash near-dup finds exactly the planted one-bit-flipped copies") {
     import spark.implicits._
     val res = Multimodal.queries("q113_phash_neardup")(spark, sf)
@@ -1396,6 +1410,41 @@ class ExtensionSpec extends SparkSpec {
       .groupBy("k").agg(count(lit(1)).as("n_right"))
     val plain = ca.join(cb, ca("k") === cb("k")).count()
     assert(plain == res.length - 1, "=== must drop exactly the NULL row")
+  }
+
+  test("RLE advisor: sorting by a column collapses its runs to its NDV") {
+    val res = ops.ManifestFsQueries.queries("q172_rle_layout_advisor")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val ndvPri = Tables.orders(spark, sf)
+      .select("o_orderpriority").distinct().count()
+    assert(res(("by_priority", "o_orderpriority"))._1 == ndvPri,
+      "runs under the column's own sort == its NDV")
+    assert(res(("by_orderkey", "o_orderpriority"))._1 > 10 * ndvPri,
+      "natural order must leave the column fragmented")
+    // replay one cell: runs of o_orderstatus under the natural order
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val want = 1L + rows.zip(rows.tail).count { case (a, b) => a._2 != b._2 }
+    assert(res(("by_orderkey", "o_orderstatus"))._1 == want)
+  }
+
+  test("two-hop reach equals a brute-force neighborhood expansion") {
+    import scala.jdk.CollectionConverters._
+    val got = ext.GraphQueries.queries("q173_two_hop_reach")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = ext.GraphQueries.supplierBackbone(spark, sf)
+      .as[(Long, Long)].collect()
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.Set[Long]]().asScala
+    def add(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set[Long]()) += b
+    edges.foreach { case (u, v) => add(u, v); add(v, u) }
+    val want = adj.map { case (n, n1) =>
+      val n2 = n1.flatMap(m => adj(m)) - n
+      (n, (n1 ++ n2).size.toLong)
+    }.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+    assert(got.toSeq == want, s"got=${got.take(3).toSeq} want=${want.take(3)}")
   }
 
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
