@@ -102,6 +102,39 @@ object CurationQueries {
                     FROM tok8))"""
 
   def queries: Map[String, Q] = Map(
+    // GOLDEN-RECORD SURVIVORSHIP — the master-data-management merge that
+    // follows entity resolution (q126 finds the cluster; this builds its
+    // one surviving record): per entity and PER FIELD, the latest
+    // non-null version wins — partial updates (a version touching only
+    // lang, another only source) merge instead of clobbering, which is
+    // what separates field-level survivorship from q154's whole-row
+    // last-writer-wins. Each field is one filtered struct-max
+    // (max over (ts, value) where value non-null — ts is unique per
+    // entity version, so the winner is deterministic); all fields and
+    // the version count ride a single hash aggregate on entity.
+    "q176_golden_record" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v0 = docs.select(col("doc_id").as("entity"), lit(0L).as("ts"),
+        col("lang"), col("source"), col("n_chars"))
+      val v1 = docs.filter(col("doc_id") % 4 === 1)
+        .select(col("doc_id").as("entity"), lit(1L).as("ts"),
+          lit("xx").as("lang"), lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_chars"))
+      val v2 = docs.filter(col("doc_id") % 6 === 2)
+        .select(col("doc_id").as("entity"), lit(2L).as("ts"),
+          lit(null).cast("string").as("lang"),
+          concat(col("source"), lit("_v2")).as("source"),
+          (col("n_chars") + 5).as("n_chars"))
+      def latest(c: String) =
+        max(when(col(c).isNotNull, struct(col("ts"), col(c).as("v"))))
+          .getField("v")
+      v0.unionByName(v1).unionByName(v2)
+        .groupBy("entity")
+        .agg(latest("lang").as("lang"), latest("source").as("source"),
+          latest("n_chars").as("n_chars"), count(lit(1)).as("n_versions"))
+        .orderBy("entity")
+    }),
+
     // Within-document repetition: fraction of word-3-gram occurrences
     // that are repeats of an earlier 3-gram in the same doc — the
     // boilerplate/spam signal the Gopher quality rules filter on.
@@ -307,6 +340,25 @@ object CurationQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q176_golden_record" ->
+      """WITH v AS (
+            SELECT doc_id AS entity, 0 AS ts, lang, source, n_chars
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, 'xx', NULL, NULL FROM documents
+            WHERE doc_id % 4 = 1
+            UNION ALL
+            SELECT doc_id, 2, NULL, source || '_v2', n_chars + 5
+            FROM documents WHERE doc_id % 6 = 2)
+          SELECT entity,
+                 arg_max(lang, ts) FILTER (WHERE lang IS NOT NULL) AS lang,
+                 arg_max(source, ts) FILTER (WHERE source IS NOT NULL)
+                   AS source,
+                 CAST(arg_max(n_chars, ts) FILTER (WHERE n_chars IS NOT NULL)
+                      AS BIGINT) AS n_chars,
+                 count(*) AS n_versions
+          FROM v GROUP BY entity ORDER BY entity""",
+
     "q141_novelty_score" ->
       """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents
                       WHERE len(str_split(text, ' ')) >= 8),

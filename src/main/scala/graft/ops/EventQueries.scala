@@ -64,6 +64,29 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // LONGEST ACTIVITY STREAK — gaps-and-islands on the DATE axis (the
+    // engagement metric every product dashboard carries): distinct
+    // active days per user, then day − row_number is constant exactly
+    // within a consecutive-day run, so one subtraction turns streaks
+    // into group keys — no iteration, no self-join. Day arithmetic is
+    // epoch-µs DIV 86400e6 (integer, cross-engine exact); one user_id
+    // shuffle carries the dedup, the island window, and both rollups.
+    "q175_longest_streak" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .distinct()
+      val wd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("isl", col("day") - row_number().over(wd))
+        .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    }),
+
     // TIME-WEIGHTED average (the metrics/finance TWAP): a sampled value
     // is piecewise-constant until the next observation, so the honest
     // mean weights each reading by its holding duration, not its count
@@ -551,7 +574,47 @@ object EventQueries {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** The gaps-and-islands twin of native session_window, shared by the
+    * batch q164 and the streaming q174 (same operator, same oracle). */
+  private[ops] val sessionWindowOracle: String =
+    s"""WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           >= 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+          FROM flagged)
+        SELECT min(epoch_us(ts)) AS start_us,
+               max(epoch_us(ts)) + 1800 * 1000000 AS end_us,
+               user_id, count(*) AS n_events,
+               ${oSum("value")} AS session_value
+        FROM sessions GROUP BY user_id, sid
+        ORDER BY user_id, start_us"""
+
   def oracles: Map[String, String] = Map(
+    "q175_longest_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+          isl AS (SELECT user_id, day,
+                         day - row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY day) AS isl
+                  FROM days),
+          runs AS (SELECT user_id, isl, count(*) AS len
+                   FROM isl GROUP BY user_id, isl)
+          SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                 CAST(max(len) AS BIGINT) AS longest_streak,
+                 count(*) AS n_streaks
+          FROM runs GROUP BY user_id ORDER BY user_id""",
+
     "q165_time_weighted_avg" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
                             CAST(floor(value * 100) AS BIGINT) AS cents
@@ -582,28 +645,7 @@ object EventQueries {
           FROM cnt c JOIN tot t ON c.src = t.src
           ORDER BY c.src, c.dst""",
 
-    "q164_session_window" ->
-      s"""WITH flagged AS (
-            SELECT user_id, ts, event_id, value,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                             >= 1800 * 1000000
-                        THEN 1 ELSE 0 END AS new_session
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-          sessions AS (
-            SELECT user_id, ts, value,
-                   SUM(new_session) OVER (PARTITION BY user_id
-                     ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS sid
-            FROM flagged)
-          SELECT min(epoch_us(ts)) AS start_us,
-                 max(epoch_us(ts)) + 1800 * 1000000 AS end_us,
-                 user_id, count(*) AS n_events,
-                 ${oSum("value")} AS session_value
-          FROM sessions GROUP BY user_id, sid
-          ORDER BY user_id, start_us""",
+    "q164_session_window" -> sessionWindowOracle,
 
     "q159_mad_outliers" ->
       """WITH ev AS (SELECT event_type, event_id,

@@ -461,6 +461,24 @@ object ManifestFsQueries {
         .orderBy("event_type")
     }),
 
+    // Native session_window through the REAL streaming engine — q164's
+    // operator with streaming state: per-micro-batch partial sessions
+    // merge (and MERGE ADJACENT SESSIONS when a later batch bridges a
+    // gap) in the session-window state store. Complete mode over the
+    // finite source must equal the batch q164 exactly — same oracle.
+    "q174_stream_session_window" -> ((s, d) => {
+      val agg = StreamingPipelines.eventsStream(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.ops.dsum(col("value")).as("session_value"))
+      StreamingPipelines.runToCompletion(s, agg)
+        .select(
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("user_id"), col("n_events"), col("session_value"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // Streaming deduplication with bounded state
     // (dropDuplicatesWithinWatermark): the stream doubled by self-union
     // collapses back to one row per event_id; state for an id is evictable
@@ -838,6 +856,8 @@ object ManifestFsQueries {
 
     // Same declarative KMV formulation as the batch q169 oracle — the
     // streamed sketch must be indistinguishable from it.
+    "q174_stream_session_window" -> EventQueries.sessionWindowOracle,
+
     "q170_stream_kmv" ->
       s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),
           hm AS (SELECT event_type,

@@ -1447,6 +1447,49 @@ class ExtensionSpec extends SparkSpec {
     assert(got.toSeq == want, s"got=${got.take(3).toSeq} want=${want.take(3)}")
   }
 
+  test("streaming session_window equals the batch q164 operator") {
+    val streamed = ops.ManifestFsQueries
+      .queries("q174_stream_session_window")(spark, sf).collect()
+    val batch = ops.EventQueries.queries("q164_session_window")(spark, sf)
+      .collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("longest streak equals a per-user Scala islands replay") {
+    val got = ops.EventQueries.queries("q175_longest_streak")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000"))
+      .as[(Long, Long)].collect().distinct
+    val want = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      val lens = sorted.zipWithIndex
+        .groupBy { case (d2, i) => d2 - i }.values.map(_.size.toLong)
+      (u, sorted.length.toLong, lens.max, lens.size.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want, s"got=${got.take(2).toSeq} want=${want.take(2)}")
+  }
+
+  test("golden record: latest non-null wins per FIELD, not per row") {
+    val res = ext.CurationQueries.queries("q176_golden_record")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect()
+    docs.foreach { case (id, lang, source, nchars) =>
+      val (gl, gs, gn, nv) = res(id)
+      val hasV1 = id % 4 == 1
+      val hasV2 = id % 6 == 2
+      assert(nv == 1 + (if (hasV1) 1 else 0) + (if (hasV2) 1 else 0))
+      // lang: v1 sets 'xx' at ts 1, v2's lang is NULL so never clobbers
+      assert(gl == (if (hasV1) "xx" else lang))
+      // source: only v2 updates it; v1's NULL must not erase v0
+      assert(gs == (if (hasV2) source + "_v2" else source))
+      assert(gn == (if (hasV2) nchars + 5 else nchars))
+    }
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
