@@ -64,6 +64,58 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // AUTOCORRELATION of an aggregated time series — the seasonality
+    // probe (does last hour predict this hour?) over per-type hourly
+    // value sums: raw lag products r_k = Σ x_t·x_{t+k} for k = 0..3,
+    // all in integer cents² (Σ bounded well inside BIGINT at any
+    // fixture scale: hours × (hourly cents)² ≈ 1e17 at sf10). The
+    // series is first reduced by one (type, hour) aggregate — the only
+    // full-data pass — and the lag products ride lead() windows over
+    // the hours-per-type table, which is calendar-sized, not
+    // event-sized; normalization (÷ r_0) is left to the reader because
+    // it needs no distributed work and stays float-free here.
+    "q177_autocorrelation" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(sum(floor(col("value") * 100)).as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val lagged = hourly
+        .withColumn("x1", lead(col("x"), 1).over(w))
+        .withColumn("x2", lead(col("x"), 2).over(w))
+        .withColumn("x3", lead(col("x"), 3).over(w))
+      def term(k: Int): DataFrame = {
+        val xc = if (k == 0) col("x") else col(s"x$k")
+        lagged.filter(xc.isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("x") * xc).as("sxy"))
+          .select(col("event_type"), lit(k.toLong).as("lag"),
+            col("n_terms"), col("sxy"))
+      }
+      term(0).unionByName(term(1)).unionByName(term(2)).unionByName(term(3))
+        .orderBy("event_type", "lag")
+    }),
+
+    // DATA FRESHNESS report — the operational staleness monitor every
+    // ingestion pipeline dashboards: per event_type, its newest event
+    // and how many whole minutes it trails the globally newest event
+    // (integer epoch-µs arithmetic; the global max is a one-row
+    // broadcast). Map-side maxima, one tiny crossJoin — the query cost
+    // is one scan regardless of scale.
+    "q178_freshness_report" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(max(unix_micros(col("ts"))).as("newest_us"),
+          count(lit(1)).as("n_events"))
+      val global = perType.agg(max(col("newest_us")).as("global_us"))
+      perType.crossJoin(broadcast(global))
+        .withColumn("minutes_behind",
+          expr("(global_us - newest_us) DIV 60000000"))
+        .select("event_type", "n_events", "newest_us", "minutes_behind")
+        .orderBy("event_type")
+    }),
+
     // LONGEST ACTIVITY STREAK — gaps-and-islands on the DATE axis (the
     // engagement metric every product dashboard carries): distinct
     // active days per user, then day − row_number is constant exactly
@@ -600,6 +652,46 @@ object EventQueries {
         ORDER BY user_id, start_us"""
 
   def oracles: Map[String, String] = Map(
+    "q177_autocorrelation" ->
+      """WITH hourly AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS x
+            FROM events GROUP BY 1, 2),
+          lagged AS (
+            SELECT event_type, x,
+                   lead(x, 1) OVER w AS x1,
+                   lead(x, 2) OVER w AS x2,
+                   lead(x, 3) OVER w AS x3
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+          terms AS (
+            SELECT event_type, 0 AS lag, count(*) AS n_terms,
+                   CAST(sum(x * x) AS BIGINT) AS sxy
+            FROM lagged GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 1, count(*), CAST(sum(x * x1) AS BIGINT)
+            FROM lagged WHERE x1 IS NOT NULL GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 2, count(*), CAST(sum(x * x2) AS BIGINT)
+            FROM lagged WHERE x2 IS NOT NULL GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 3, count(*), CAST(sum(x * x3) AS BIGINT)
+            FROM lagged WHERE x3 IS NOT NULL GROUP BY event_type)
+          SELECT event_type, CAST(lag AS BIGINT) AS lag, n_terms, sxy
+          FROM terms ORDER BY event_type, lag""",
+
+    "q178_freshness_report" ->
+      """WITH pt AS (SELECT event_type,
+                            max(epoch_us(ts)) AS newest_us,
+                            count(*) AS n_events
+                     FROM events GROUP BY event_type),
+          g AS (SELECT max(newest_us) AS global_us FROM pt)
+          SELECT event_type, n_events, newest_us,
+                 CAST((global_us - newest_us) // 60000000 AS BIGINT)
+                   AS minutes_behind
+          FROM pt CROSS JOIN g ORDER BY event_type""",
+
     "q175_longest_streak" ->
       """WITH days AS (SELECT DISTINCT user_id,
                               epoch_us(ts) // 86400000000 AS day

@@ -1490,6 +1490,38 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("autocorrelation lag products equal a Scala series replay") {
+    val got = ops.EventQueries.queries("q177_autocorrelation")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val hourly = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000"),
+        floor(col("value") * 100))
+      .as[(String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case ((t, h), rs) => (t, h, rs.map(_._3).sum) }
+      .groupBy(_._1).map { case (t, rs) => t -> rs.toSeq.sortBy(_._2).map(_._3) }
+    hourly.foreach { case (t, xs) =>
+      for (k <- 0 to 3) {
+        val pairs = xs.dropRight(k).zip(xs.drop(k))
+        val (n, sxy) = got((t, k.toLong))
+        assert(n == pairs.length.toLong, s"$t lag $k n")
+        assert(sxy == pairs.map { case (a, b) => a * b }.sum, s"$t lag $k sxy")
+      }
+    }
+  }
+
+  test("freshness report: exactly one type is current, others trail it") {
+    val res = ops.EventQueries.queries("q178_freshness_report")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(res.count(_._4 == 0L) >= 1, "the globally newest type trails by 0")
+    val globalMax = res.map(_._3).max
+    res.foreach { case (_, _, newest, behind) =>
+      assert(behind == (globalMax - newest) / 60000000L)
+    }
+    assert(res.map(_._2).sum == Tables.events(spark, sf).count())
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
