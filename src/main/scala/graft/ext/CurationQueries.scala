@@ -138,6 +138,33 @@ object CurationQueries {
     // Within-document repetition: fraction of word-3-gram occurrences
     // that are repeats of an earlier 3-gram in the same doc — the
     // boilerplate/spam signal the Gopher quality rules filter on.
+    // TOKENIZER VOCABULARY COVERAGE — the OOV-rate filter every
+    // tokenizer-bound pipeline runs before training: build the vocab as
+    // the corpus's top-16 tokens by frequency (count desc, token asc —
+    // a total order, so the cut is deterministic), then score every doc
+    // by its out-of-vocabulary TOKEN rate in basis points and gate at
+    // ≤ 3000. Scale shape: the vocab is a TakeOrderedAndProject over
+    // the wordcount aggregate (partial top-k per partition, k rows to
+    // the driver-side sort), then broadcasts into a map-side probe —
+    // the corpus stream shuffles once, keyed on doc_id, with partial
+    // aggregation. Rates are truncating-DIV fixed point (no float).
+    "q180_oov_rate" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val vocab = words.groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(16)
+        .select(col("word"), lit(1).as("in_vocab"))
+      words.join(broadcast(vocab), Seq("word"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 10000) DIV n_tokens").as("oov_bp"),
+          when(expr("(n_oov * 10000) DIV n_tokens") <= 3000, 1L)
+            .otherwise(0L).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     "q100_repetition" -> ((s, d) => {
       val g = Tables.documents(s, d)
         .withColumn("words", split(col("text"), " "))
@@ -394,6 +421,24 @@ object CurationQueries {
           SELECT rec_id, rec_name, entity_id AS matched_entity,
                  ent_name AS matched_name, CAST(lev AS INTEGER) AS lev
           FROM best WHERE rn = 1 ORDER BY rec_id""",
+
+    "q180_oov_rate" ->
+      """WITH w AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+                    FROM documents),
+          vocab AS (SELECT word FROM (
+                      SELECT word, count(*) AS c FROM w GROUP BY word
+                      ORDER BY c DESC, word LIMIT 16)),
+          per AS (SELECT w.doc_id, count(*) AS n_tokens,
+                         count(*) FILTER (WHERE v.word IS NULL) AS n_oov
+                  FROM w LEFT JOIN vocab v ON w.word = v.word
+                  GROUP BY w.doc_id)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(n_oov AS BIGINT) AS n_oov,
+                 CAST(n_oov * 10000 AS BIGINT) // CAST(n_tokens AS BIGINT)
+                   AS oov_bp,
+                 CAST(CASE WHEN (n_oov * 10000) // n_tokens <= 3000
+                           THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM per ORDER BY doc_id""",
 
     "q100_repetition" ->
       """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents

@@ -191,6 +191,54 @@ object DedupQueries {
         expr("(inter * 10000) DIV (sz1 + sz2 - inter)").as("jacc_bp"))
   }
 
+  /** EXACT containment self-join (the asymmetric dual of
+    * [[prefixJaccardPairs]]): pairs where C(A→B) = |A∩B| / |A| ≥
+    * tNum/tDen — doc A's shingle set is (nearly) a subset of B's. This
+    * is the quote / boilerplate-wrapper / superset-duplication detector:
+    * Jaccard misses a short doc embedded in a long one (the union term
+    * drowns it), containment is exactly that relation. Prefix filtering
+    * is one-sided here: a qualifying pair must share a token among A's
+    * (szA − ⌈t·szA⌉ + 1) globally-rarest tokens (if all of A's prefix
+    * missed B, more than szA − ⌈t·szA⌉ tokens of A are outside B and
+    * C < t), but B is unbounded — so A-prefixes probe the FULL token
+    * table. The only other exact prune is the length bound
+    * tDen·szB ≥ tNum·szA (B must be able to hold ⌈t·szA⌉ shared
+    * tokens). Verification = collected-array intersection on candidates
+    * (the q43 pattern). All integer: ⌈t·s⌉ = (tNum·s + tDen − 1) DIV
+    * tDen; test = inter·tDen ≥ tNum·szA. Cost is Σ_{w ∈ prefixes}
+    * df(w): df-ascending prefix ordering keeps probed tokens the rare
+    * ones, and at 100 TB the df join that ranks them is the same
+    * exchange [[prefixJaccardPairs]] already pays. */
+  private[ext] def containmentPairs(corpus: DataFrame,
+                                    tNum: Int, tDen: Int): DataFrame = {
+    val toks = shingles(corpus).withColumnRenamed("shingle", "w")
+    val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("w"))
+    val prefix = toks.join(dfreq, "w").join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(pw))
+      .filter(col("pos") <=
+        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("doc_id"), col("w"), col("sz"))
+    val full = toks.join(sizes, "doc_id")
+    val cands = prefix.as("a").join(full.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.sz") * tDen >= col("a.sz") * tNum)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sz").as("sz1"))
+      .distinct()
+    val sets = toks.groupBy("doc_id").agg(collect_list(col("w")).as("ss"))
+    cands
+      .join(sets.select(col("doc_id").as("id1"), col("ss").as("sa")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("ss").as("sb")), "id2")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("inter") * tDen >= col("sz1") * tNum)
+      .select(col("id1").as("contained_id"), col("id2").as("container_id"),
+        col("inter"), col("sz1").as("contained_sz"),
+        expr("(inter * 10000) DIV sz1").as("containment_bp"))
+  }
+
   /** Exact Jaccard over candidate pairs via collected shingle-set arrays
     * (candidate-bounded shuffle; zero-intersection band collisions drop).
     * The single implementation behind q43 AND
@@ -244,6 +292,26 @@ object DedupQueries {
           concat_ws(" ", expr("slice(ws, 3, size(ws) - 2)")).as("text"))
       prefixJaccardPairs(base.unionByName(planted), 3, 5)
         .orderBy("id1", "id2")
+    }),
+
+    // EXACT CONTAINMENT join — the asymmetric dedup axis Jaccard can't
+    // see: a short doc quoted inside a long one has tiny J (the union
+    // is the long doc) but containment 1.0. Planted structure: word-
+    // prefix halves (id + 8M) — the shingle windows of words[1..k] are
+    // a subset of the full doc's windows, so containment is exactly
+    // 10000 bp by construction, recall is structural. Threshold 9/10;
+    // candidates from A-side prefix filtering probing the full token
+    // table (see containmentPairs — one-sided is what keeps it exact
+    // with an unbounded container side).
+    "q179_containment_join" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val planted = base.filter(col("doc_id") % 97 === 3)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 16)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          concat_ws(" ", expr("slice(ws, 1, size(ws) DIV 2)")).as("text"))
+      containmentPairs(base.unionByName(planted), 9, 10)
+        .orderBy("contained_id", "container_id")
     }),
 
     // Exact dedup: hash-groupBy, keep the smallest id as representative.
@@ -533,6 +601,53 @@ object DedupQueries {
                    // CAST(sz1 + sz2 - inter AS BIGINT) AS jacc_bp
           FROM ij WHERE inter * 8 >= (sz1 + sz2) * 3
           ORDER BY id1, id2""",
+
+    "q179_containment_join" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+          planted AS (SELECT doc_id + 8000000 AS doc_id,
+                             array_to_string(ws[1:len(ws) // 2], ' ') AS text
+                      FROM (SELECT doc_id, str_split(text, ' ') AS ws
+                            FROM base WHERE doc_id % 97 = 3)
+                      WHERE len(ws) >= 16),
+          ccorpus AS (SELECT doc_id, text FROM base
+                      UNION ALL SELECT doc_id, text FROM planted),
+          ctok AS (SELECT doc_id, str_split(text, ' ') AS words FROM ccorpus
+                   WHERE len(str_split(text, ' ')) >= 3),
+          cposn AS (SELECT doc_id, words,
+                           unnest(generate_series(1, len(words) - 2)) AS pos
+                    FROM ctok),
+          toks AS (SELECT DISTINCT doc_id,
+                          words[pos] || ' ' || words[pos+1] || ' ' ||
+                            words[pos+2] AS w
+                   FROM cposn),
+          dfreq AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+          pre AS (SELECT doc_id, w, sz FROM (
+                    SELECT t.doc_id, t.w, s.sz,
+                           row_number() OVER (PARTITION BY t.doc_id
+                                              ORDER BY df, t.w) AS pos
+                    FROM toks t JOIN dfreq USING (w)
+                    JOIN sizes s ON s.doc_id = t.doc_id)
+                  WHERE pos <= sz - (9 * sz + 9) // 10 + 1),
+          fullt AS (SELECT t.doc_id, t.w, s.sz
+                    FROM toks t JOIN sizes s ON s.doc_id = t.doc_id),
+          cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                           a.sz AS sz1
+                    FROM pre a JOIN fullt b
+                      ON a.w = b.w AND a.doc_id != b.doc_id
+                     AND b.sz * 10 >= a.sz * 9),
+          ij AS (SELECT id1, id2, sz1, count(*) AS inter
+                 FROM cands
+                 JOIN toks ta ON ta.doc_id = id1
+                 JOIN toks tb ON tb.doc_id = id2 AND tb.w = ta.w
+                 GROUP BY id1, id2, sz1)
+          SELECT id1 AS contained_id, id2 AS container_id,
+                 CAST(inter AS BIGINT) AS inter,
+                 CAST(sz1 AS BIGINT) AS contained_sz,
+                 CAST(inter * 10000 AS BIGINT) // CAST(sz1 AS BIGINT)
+                   AS containment_bp
+          FROM ij WHERE inter * 10 >= sz1 * 9
+          ORDER BY contained_id, container_id""",
 
     "q41_minhash_lsh" ->
       s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql

@@ -116,6 +116,37 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // DISTRIBUTION DRIFT between two snapshots — the monitoring op every
+    // production pipeline runs before promoting a new data drop: split
+    // events into two cohorts (even/odd epoch-day — balanced and
+    // deterministic), compare the event_type distributions in fixed-point
+    // basis points, and append a __TOTAL__ row carrying the L1 drift
+    // (= 2×TVD in bp). Integer DIV throughout — PSI's logarithm never
+    // enters, so the stat is cross-engine exact. One event_type-keyed
+    // aggregate with map-side partials over the full data; the totals are
+    // a one-row broadcast; the summary row folds over the control-plane-
+    // sized per-type table.
+    "q181_drift_report" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .withColumn("is_a", (expr("unix_micros(ts) DIV 86400000000") % 2 === 0))
+        .groupBy("event_type")
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+      val totals = counts.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+      val per = counts.crossJoin(broadcast(totals))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          expr("(n_a * 10000) DIV tot_a").as("rate_a_bp"),
+          expr("(n_b * 10000) DIV tot_b").as("rate_b_bp"),
+          abs(expr("(n_a * 10000) DIV tot_a - (n_b * 10000) DIV tot_b"))
+            .as("drift_bp"))
+      val summary = per.agg(sum("n_a").as("n_a"), sum("n_b").as("n_b"),
+          sum("rate_a_bp").as("rate_a_bp"), sum("rate_b_bp").as("rate_b_bp"),
+          sum("drift_bp").as("drift_bp"))
+        .select(lit("__TOTAL__").as("event_type"), col("n_a"), col("n_b"),
+          col("rate_a_bp"), col("rate_b_bp"), col("drift_bp"))
+      per.unionByName(summary).orderBy("event_type")
+    }),
+
     // LONGEST ACTIVITY STREAK — gaps-and-islands on the DATE axis (the
     // engagement metric every product dashboard carries): distinct
     // active days per user, then day − row_number is constant exactly
@@ -691,6 +722,31 @@ object EventQueries {
                  CAST((global_us - newest_us) // 60000000 AS BIGINT)
                    AS minutes_behind
           FROM pt CROSS JOIN g ORDER BY event_type""",
+
+    "q181_drift_report" ->
+      """WITH counts AS (
+            SELECT event_type,
+                   count(*) FILTER (WHERE (epoch_us(ts) // 86400000000) % 2 = 0)
+                     AS n_a,
+                   count(*) FILTER (WHERE (epoch_us(ts) // 86400000000) % 2 != 0)
+                     AS n_b
+            FROM events GROUP BY event_type),
+          totals AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM counts),
+          per AS (
+            SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST((n_a * 10000) // tot_a AS BIGINT) AS rate_a_bp,
+                   CAST((n_b * 10000) // tot_b AS BIGINT) AS rate_b_bp,
+                   CAST(abs((n_a * 10000) // tot_a - (n_b * 10000) // tot_b)
+                        AS BIGINT) AS drift_bp
+            FROM counts CROSS JOIN totals)
+          SELECT * FROM per
+          UNION ALL
+          SELECT '__TOTAL__', CAST(sum(n_a) AS BIGINT),
+                 CAST(sum(n_b) AS BIGINT), CAST(sum(rate_a_bp) AS BIGINT),
+                 CAST(sum(rate_b_bp) AS BIGINT), CAST(sum(drift_bp) AS BIGINT)
+          FROM per
+          ORDER BY event_type""",
 
     "q175_longest_streak" ->
       """WITH days AS (SELECT DISTINCT user_id,

@@ -372,6 +372,47 @@ class ExtensionSpec extends SparkSpec {
     assert(want.exists(_._2 >= 7000000L), "planted near-copies must qualify")
   }
 
+  test("containment join equals brute-force all-pairs (lossless, asymmetric)") {
+    import spark.implicits._
+    val got = DedupQueries.queries("q179_containment_join")(spark, sf)
+      .select("contained_id", "container_id", "containment_bp")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: rebuild the q179 corpus (base ∪ word-prefix halves at
+    // +8M), distinct 3-shingle sets, ALL ordered pairs, integer test
+    // 10·|A∩B| ≥ 9·|A|. One-sided prefix probing claims exactness, so
+    // the sets must be EQUAL — including the directedness (A⊆B does not
+    // imply B⊆A).
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id").as[Long], col("text").as[String]).collect()
+    val planted = base.collect { case (id, text) if id % 97 == 3 =>
+      val ws = text.split(" ")
+      if (ws.length >= 16) Some((id + 8000000L, ws.take(ws.length / 2).mkString(" ")))
+      else None
+    }.flatten
+    val sets = (base ++ planted).collect { case (id, text)
+      if text.split(" ").length >= 3 =>
+        id -> text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }
+    val want = (for {
+      i <- sets.indices.iterator; j <- sets.indices.iterator
+      (id1, s1) = sets(i); (id2, s2) = sets(j)
+      if id1 != id2
+      inter = (s1 & s2).size
+      if 10L * inter >= 9L * s1.size
+    } yield (id1, id2, 10000L * inter / s1.size)).toSet
+    assert(got == want,
+      s"spurious=${got.diff(want).take(5)} missed=${want.diff(got).take(5)}")
+    // the planted halves are true subsets: containment exactly 10000 bp,
+    // and the pair is directed (half contained in base, never reverse)
+    val plantedPairs = got.filter(_._1 >= 8000000L)
+    assert(plantedPairs.nonEmpty, "planted halves must be detected")
+    assert(plantedPairs.forall { case (a, b, bp) =>
+      bp == 10000L || b != a - 8000000L })
+    assert(planted.forall { case (pid, _) =>
+      got.exists(p => p._1 == pid && p._2 == pid - 8000000L && p._3 == 10000L) },
+      "every planted half must be found contained in its source at 1.0")
+  }
+
   test("exactJaccardJoin generalizes the threshold (1/2) and stays lossless") {
     import spark.implicits._
     val corpus = Seq(
@@ -1487,6 +1528,47 @@ class ExtensionSpec extends SparkSpec {
       // source: only v2 updates it; v1's NULL must not erase v0
       assert(gs == (if (hasV2) source + "_v2" else source))
       assert(gn == (if (hasV2) nchars + 5 else nchars))
+    }
+  }
+
+  test("oov rate equals a Scala replay and the gate carries signal") {
+    import spark.implicits._
+    val got = ext.CurationQueries.queries("q180_oov_rate")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as[Long], col("text").as[String]).collect()
+    val freq = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val vocab = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(16)
+      .map(_._1).toSet
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ")
+      val oov = ws.count(w => !vocab.contains(w))
+      val bp = oov.toLong * 10000 / ws.length
+      assert(got(id) == ((ws.length.toLong, oov.toLong, bp,
+        if (bp <= 3000) 1L else 0L)), s"doc $id")
+    }
+    // degeneracy guard (the q119 lesson): the gate must separate docs —
+    // both kept and dropped docs exist, and rates genuinely vary
+    val rates = got.values.map(_._3)
+    assert(rates.min < rates.max, "OOV rates are constant — vocab degenerate")
+    assert(got.values.exists(_._4 == 1L) && got.values.exists(_._4 == 0L),
+      "the kept gate must fire both ways on the fixture")
+  }
+
+  test("drift report: totals row is consistent and cohorts partition events") {
+    val rows = ops.EventQueries.queries("q181_drift_report")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val (tot, per) = rows.partition(_._1 == "__TOTAL__")
+    assert(tot.length == 1)
+    assert(tot.head._2 == per.map(_._2).sum && tot.head._3 == per.map(_._3).sum)
+    assert(tot.head._6 == per.map(_._6).sum, "__TOTAL__ drift = L1 sum")
+    assert(tot.head._2 + tot.head._3 == Tables.events(spark, sf).count(),
+      "cohorts must partition the event stream")
+    per.foreach { case (_, _, _, ra, rb, drift) =>
+      assert(drift == math.abs(ra - rb))
     }
   }
 
