@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators beyond dedup: within-document
@@ -138,6 +139,40 @@ object CurationQueries {
     // Within-document repetition: fraction of word-3-gram occurrences
     // that are repeats of an earlier 3-gram in the same doc — the
     // boilerplate/spam signal the Gopher quality rules filter on.
+    // PER-SUBGROUP ADAPTIVE QUALITY THRESHOLD — a fixed global cutoff
+    // over-filters whichever language scores low (the classic curation
+    // bias); the production fix is a PER-LANG percentile threshold.
+    // Scale shape: the exact p25 is computed WITHOUT sorting documents —
+    // scores live in the bounded fixed-point domain [0, 10000] bp, so an
+    // aggregate to (lang, score) counts (map-side partials, ≤ langs ×
+    // 10001 rows) plus a window over that control-plane-sized histogram
+    // yields the exact rank-⌈N/4⌉ threshold; docs then probe the ~5-row
+    // threshold table by broadcast. Score = lexical diversity
+    // (distinct/total tokens, truncating DIV).
+    "q185_adaptive_threshold" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"),
+          expr("(size(array_distinct(ws)) * 10000) DIV size(ws)").as("score_bp"))
+      val hist = scored.groupBy("lang", "score_bp").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("lang").orderBy("score_bp")
+      val thr = hist
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+        .filter(col("cum") >= expr("(n + 3) DIV 4") &&
+          col("cum") - col("c") < expr("(n + 3) DIV 4"))
+        .select(col("lang"), col("score_bp").as("threshold_bp"),
+          col("n").as("n_docs"))
+      scored.join(broadcast(thr), "lang")
+        .groupBy(col("lang"), col("n_docs"), col("threshold_bp"))
+        .agg(sum(when(col("score_bp") >= col("threshold_bp"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("score_bp") >= col("threshold_bp"), 0L)
+            .otherwise(1L)).as("n_dropped"))
+        .select("lang", "n_docs", "threshold_bp", "n_kept", "n_dropped")
+        .orderBy("lang")
+    }),
+
     // TOKENIZER VOCABULARY COVERAGE — the OOV-rate filter every
     // tokenizer-bound pipeline runs before training: build the vocab as
     // the corpus's top-16 tokens by frequency (count desc, token asc —
@@ -421,6 +456,31 @@ object CurationQueries {
           SELECT rec_id, rec_name, entity_id AS matched_entity,
                  ent_name AS matched_name, CAST(lev AS INTEGER) AS lev
           FROM best WHERE rn = 1 ORDER BY rec_id""",
+
+    "q185_adaptive_threshold" ->
+      """WITH scored AS (
+            SELECT doc_id, lang,
+                   (len(list_distinct(str_split(text, ' '))) * 10000)
+                     // len(str_split(text, ' ')) AS score_bp
+            FROM documents),
+          hist AS (SELECT lang, score_bp, count(*) AS c
+                   FROM scored GROUP BY 1, 2),
+          cum AS (SELECT lang, score_bp, c,
+                         sum(c) OVER (PARTITION BY lang
+                                      ORDER BY score_bp) AS cum,
+                         sum(c) OVER (PARTITION BY lang) AS n
+                  FROM hist),
+          thr AS (SELECT lang, score_bp AS threshold_bp, n FROM cum
+                  WHERE cum >= (n + 3) // 4 AND cum - c < (n + 3) // 4)
+          SELECT s.lang, CAST(t.n AS BIGINT) AS n_docs,
+                 CAST(t.threshold_bp AS BIGINT) AS threshold_bp,
+                 CAST(count(*) FILTER (WHERE s.score_bp >= t.threshold_bp)
+                      AS BIGINT) AS n_kept,
+                 CAST(count(*) FILTER (WHERE s.score_bp < t.threshold_bp)
+                      AS BIGINT) AS n_dropped
+          FROM scored s JOIN thr t USING (lang)
+          GROUP BY s.lang, t.n, t.threshold_bp
+          ORDER BY s.lang""",
 
     "q180_oov_rate" ->
       """WITH w AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word

@@ -14,6 +14,29 @@ object MiscQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // MODERN SQL SURFACE in one statement — the analyst-ergonomics
+    // features Spark 4 and DuckDB both ship: an inline VALUES dim
+    // table, GROUP BY ALL (group by every non-aggregate select item),
+    // SELECT * EXCEPT (drop a column without re-listing the rest), and
+    // ORDER BY ALL. Semantics are plain agg+join — the point is that
+    // the sugar resolves identically in both engines. Money in integer
+    // cents (floor of the double product is IEEE-identical).
+    "q182_sql_modern" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("ord_modern")
+      s.sql(
+        """WITH status_dim AS (
+             SELECT * FROM VALUES ('O', 'open'), ('F', 'filled'), ('P', 'partial')
+               AS s(o_orderstatus, status_name)),
+           agg AS (
+             SELECT o.o_orderstatus, d.status_name,
+                    CAST(year(o.o_orderdate) AS INT) AS yr,
+                    count(*) AS n_orders,
+                    sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+             FROM ord_modern o JOIN status_dim d USING (o_orderstatus)
+             GROUP BY ALL)
+           SELECT * EXCEPT (o_orderstatus) FROM agg ORDER BY ALL""")
+    }),
+
     // The NATIVE KMV aggregate ([[graft.functions.KMVAgg]], SQL
     // `graft_kmv`) doing q156's job without q156's plan: the RAW
     // (type, user) stream feeds the aggregate directly — no distinct()
@@ -743,6 +766,21 @@ object MiscQueries {
                     FROM $tbl GROUP BY v))"""
 
   def oracles: Map[String, String] = Map(
+    "q182_sql_modern" ->
+      """WITH status_dim AS (
+            SELECT * FROM (VALUES ('O', 'open'), ('F', 'filled'),
+                                  ('P', 'partial'))
+              s(o_orderstatus, status_name)),
+          agg AS (
+            SELECT o.o_orderstatus, d.status_name,
+                   CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o JOIN status_dim d USING (o_orderstatus)
+            GROUP BY ALL)
+          SELECT * EXCLUDE (o_orderstatus) FROM agg ORDER BY ALL""",
+
     // The declarative window-formulation KMV — native graft_kmv must
     // be indistinguishable from it.
     "q169_kmv_aggregate" ->

@@ -21,6 +21,87 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // EXACT MEDIAN WITHOUT A GLOBAL SORT — the two-pass histogram
+    // narrowing that replaces sort-based rank selection at scale: a
+    // sort of 100 TB is a full-data range exchange; this plan touches
+    // the data twice with MAP-SIDE-combining aggregates only. Pass 1
+    // aggregates (flag, cents DIV 100k) — ~105 $1000-buckets — and a
+    // window over that CONTROL-PLANE-SIZED table locates each flag's
+    // bucket containing rank ⌈(N+1)/2⌉ plus the residual rank inside
+    // it; the ~3-row result is driver-collected (the q134 model-
+    // artifact precedent) and inlined as literal predicates. Pass 2
+    // sorts ONLY the ~1/100th of rows in the chosen buckets (the
+    // PlanSpec pin: the Window's subtree contains the bucket filter —
+    // no full-table sort exists anywhere). Prices in integer cents;
+    // lower median at rank (N+1) DIV 2.
+    "q183_scalable_median" -> ((s, d) => {
+      val cents = Tables.lineitem(s, d).select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val hist = cents.groupBy(col("l_returnflag"),
+          expr("cents DIV 100000").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("l_returnflag").orderBy("bucket")
+      val located = hist
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(Window.partitionBy("l_returnflag")))
+        .withColumn("k", expr("(n + 1) DIV 2"))
+        .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+        .select(col("l_returnflag"), col("bucket"),
+          (col("k") - (col("cum") - col("c"))).as("rank_in_bucket"), col("n"))
+        .collect()
+      val picks = located.map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val bucketPred = picks.map { case (f, b, _, _) =>
+        col("l_returnflag") === f && expr("cents DIV 100000") === b
+      }.reduce(_ || _)
+      val rankPred = picks.map { case (f, _, rk, _) =>
+        col("l_returnflag") === f && col("rn") === rk
+      }.reduce(_ || _)
+      val nCol = coalesce(picks.map { case (f, _, _, n) =>
+        when(col("l_returnflag") === f, lit(n))
+      } :+ lit(-1L): _*)
+      cents.filter(bucketPred)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("cents")))
+        .filter(rankPred)
+        .select(col("l_returnflag"), nCol.as("n_rows"),
+          col("cents").as("median_cents"))
+        .orderBy("l_returnflag")
+    }),
+
+    // GDPR DELETION SWEEP — right-to-be-forgotten propagation: a
+    // delete-request cohort (customer keys ≡ 7 mod 1000) cascades
+    // through the FK chain customer → orders → lineitem, and the sweep
+    // reports per-table delete/retain counts BEFORE any destructive
+    // write (the audit artifact a compliance pipeline logs). Shapes:
+    // the request set is dimension-sized → broadcast left_outer marker
+    // joins; the orders→lineitem cascade keys on l_orderkey — a
+    // shuffle join at 100 TB, with the marker aggregated map-side.
+    "q184_deletion_sweep" -> ((s, d) => {
+      val del = Tables.customer(s, d)
+        .filter(col("c_custkey") % 1000 === 7)
+        .select(col("c_custkey").as("del_key"))
+      val cust = Tables.customer(s, d)
+        .agg(sum(when(col("c_custkey") % 1000 === 7, 1L).otherwise(0L)).as("n_delete"),
+          sum(when(col("c_custkey") % 1000 === 7, 0L).otherwise(1L)).as("n_retain"))
+        .select(lit("customer").as("table_name"), col("n_delete"), col("n_retain"))
+      val ordersMarked = Tables.orders(s, d)
+        .join(broadcast(del), col("o_custkey") === col("del_key"), "left_outer")
+      val ords = ordersMarked
+        .agg(sum(when(col("del_key").isNotNull, 1L).otherwise(0L)).as("n_delete"),
+          sum(when(col("del_key").isNotNull, 0L).otherwise(1L)).as("n_retain"))
+        .select(lit("orders").as("table_name"), col("n_delete"), col("n_retain"))
+      val delOrders = ordersMarked.filter(col("del_key").isNotNull)
+        .select(col("o_orderkey").as("del_okey"))
+      val lines = Tables.lineitem(s, d)
+        .join(delOrders, col("l_orderkey") === col("del_okey"), "left_outer")
+        .agg(sum(when(col("del_okey").isNotNull, 1L).otherwise(0L)).as("n_delete"),
+          sum(when(col("del_okey").isNotNull, 0L).otherwise(1L)).as("n_retain"))
+        .select(lit("lineitem").as("table_name"), col("n_delete"), col("n_retain"))
+      cust.unionByName(ords).unionByName(lines).orderBy("table_name")
+    }),
+
     // NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM) — the join
     // variant every sentinel-free data model eventually needs: NULL
     // keys match EACH OTHER instead of silently dropping. Both sides
@@ -417,6 +498,41 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q183_scalable_median" ->
+      """WITH c AS (SELECT l_returnflag,
+                           CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+                    FROM lineitem),
+          r AS (SELECT l_returnflag, cents,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY cents) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM c)
+          SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                 cents AS median_cents
+          FROM r WHERE rn = (n + 1) // 2
+          ORDER BY l_returnflag""",
+
+    "q184_deletion_sweep" ->
+      """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 1000 = 7),
+          delo AS (SELECT o_orderkey FROM orders
+                   WHERE o_custkey IN (SELECT c_custkey FROM del))
+          SELECT 'customer' AS table_name,
+                 CAST((SELECT count(*) FROM del) AS BIGINT) AS n_delete,
+                 CAST((SELECT count(*) FROM customer) -
+                      (SELECT count(*) FROM del) AS BIGINT) AS n_retain
+          UNION ALL
+          SELECT 'lineitem',
+                 CAST((SELECT count(*) FROM lineitem
+                       WHERE l_orderkey IN (SELECT o_orderkey FROM delo)) AS BIGINT),
+                 CAST((SELECT count(*) FROM lineitem
+                       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo)) AS BIGINT)
+          UNION ALL
+          SELECT 'orders',
+                 CAST((SELECT count(*) FROM delo) AS BIGINT),
+                 CAST((SELECT count(*) FROM orders) -
+                      (SELECT count(*) FROM delo) AS BIGINT)
+          ORDER BY table_name""",
+
     "q171_nullsafe_join" ->
       """WITH ca AS (SELECT CASE WHEN strpos('0123456789abcdef',
                              substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))

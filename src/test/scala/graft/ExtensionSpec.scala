@@ -1531,6 +1531,84 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("modern SQL sugar resolves to the explicit aggregation") {
+    import spark.implicits._
+    val got = ops.MiscQueries.queries("q182_sql_modern")(spark, sf)
+      .as[(String, Int, Long, Long)].collect().toSeq
+    val want = Tables.orders(spark, sf)
+      .withColumn("status_name",
+        when(col("o_orderstatus") === "O", "open")
+          .when(col("o_orderstatus") === "F", "filled")
+          .when(col("o_orderstatus") === "P", "partial"))
+      .filter(col("status_name").isNotNull)
+      .groupBy(col("status_name"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .orderBy("status_name", "yr", "n_orders", "cents")
+      .as[(String, Int, Long, Long)].collect().toSeq
+    assert(got == want, "GROUP BY ALL / * EXCEPT / ORDER BY ALL must equal the explicit form")
+  }
+
+  test("two-pass histogram median equals sort-based rank selection") {
+    val got = ops.RelationalQueries.queries("q183_scalable_median")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import spark.implicits._
+    val byFlag = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as[String],
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as[Long])
+      .collect().groupBy(_._1)
+    assert(got.keySet == byFlag.keySet)
+    byFlag.foreach { case (f, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val k = (sorted.length + 1) / 2
+      assert(got(f) == ((sorted.length.toLong, sorted(k - 1))), s"flag $f")
+    }
+  }
+
+  test("deletion sweep conserves rows and cascades exactly the FK closure") {
+    import spark.implicits._
+    val rows = ops.RelationalQueries.queries("q184_deletion_sweep")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val custKeys = Tables.customer(spark, sf)
+      .select(col("c_custkey").as[Long]).collect()
+    val delCust = custKeys.filter(_ % 1000 == 7).toSet
+    assert(rows("customer") == ((delCust.size.toLong,
+      custKeys.length.toLong - delCust.size)))
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as[Long], col("o_custkey").as[Long]).collect()
+    val delOrders = orders.collect { case (ok, ck) if delCust(ck) => ok }.toSet
+    assert(rows("orders") == ((delOrders.size.toLong,
+      orders.length.toLong - delOrders.size)))
+    val lineKeys = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as[Long]).collect()
+    val nDelLines = lineKeys.count(delOrders)
+    assert(rows("lineitem") == ((nDelLines.toLong,
+      lineKeys.length.toLong - nDelLines)))
+    assert(delOrders.nonEmpty && nDelLines > 0, "the cascade must reach all tables")
+  }
+
+  test("adaptive thresholds are exact per-lang p25 and genuinely adapt") {
+    import spark.implicits._
+    val got = ext.CurationQueries.queries("q185_adaptive_threshold")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val scored = Tables.documents(spark, sf)
+      .select(col("lang").as[String], col("text").as[String]).collect()
+      .map { case (l, t) =>
+        val ws = t.split(" ")
+        l -> ws.distinct.length.toLong * 10000 / ws.length
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    scored.foreach { case (lang, ss) =>
+      val k = ((ss.length + 3) / 4) - 1
+      val thr = ss(k)
+      val kept = ss.count(_ >= thr).toLong
+      assert(got(lang) == ((ss.length.toLong, thr, kept, ss.length - kept)),
+        s"lang $lang")
+    }
+    assert(got.values.map(_._2).toSet.size >= 2,
+      "thresholds must differ across langs — otherwise the op is a global cutoff")
+  }
+
   test("oov rate equals a Scala replay and the gate carries signal") {
     import spark.implicits._
     val got = ext.CurationQueries.queries("q180_oov_rate")(spark, sf)

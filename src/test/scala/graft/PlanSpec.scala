@@ -202,6 +202,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly the word-agg exchange, got $exchanges")
   }
 
+  test("q183: the window sort sees only chosen buckets, never the full table") {
+    val p = withAqeOff { plan("q183_scalable_median") }
+    // pass 2's plan: Scan → Filter(literal bucket predicate) → ... →
+    // Window. The bucket filter MUST sit in the window's subtree (plan
+    // strings print parents first, so its index is after "Window") —
+    // that is the no-full-sort claim made concrete. The scan reads only
+    // the two columns involved.
+    assert(p.contains("Window"))
+    val fi = p.indexOf("div 100000")
+    assert(fi >= 0, s"literal bucket filter missing:\n${p.take(1500)}")
+    assert(p.indexOf("Window") < fi,
+      "the bucket filter must sit BELOW the window sort")
+    assert(p.contains("struct<l_extendedprice:double,l_returnflag:string>"),
+      "scan must be pruned to the two participating columns")
+  }
+
   test("q96: bucket filter becomes a partition filter, not a row filter") {
     val p = plan("q96_partitioned_prune")
     assert(p.contains("PartitionFilters") && p.contains("Bucket"),
