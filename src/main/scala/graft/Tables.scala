@@ -1,5 +1,12 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md /
@@ -19,17 +26,120 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-    * Read the physical INT64 via an explicit schema and truncate ns → µs
-    * (integer DIV keeps full precision; a double divide would lose bits at
-    * 1e18-scale nanos), matching DuckDB's ns→µs truncation on the same file.
+  /** Resolved time unit + footer-stats span (in micros) for one events file. */
+  private[graft] final case class TsContract(unit: TimeUnit, spanMicros: Long, file: String)
+
+  private val tsContractCache = new ConcurrentHashMap[String, TsContract]()
+
+  /** Read the `ts` column's Parquet logical type annotation and min/max
+    * statistics straight from the footer (no data scan). The fixture has
+    * flipped between TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across driver
+    * regenerations, so the unit MUST come from the file, never be assumed.
     */
+  private[graft] def eventsTsContract(s: SparkSession, path: String): TsContract =
+    tsContractCache.computeIfAbsent(path, { p =>
+      val conf = s.sessionState.newHadoopConf()
+      val hp   = new Path(p)
+      val fs   = hp.getFileSystem(conf)
+      // `events.parquet` may be a single file (driver fixture) or a
+      // Spark-written directory (test fixtures) — footer-read the first part.
+      val file: Path =
+        if (fs.getFileStatus(hp).isDirectory)
+          fs.listStatus(hp).map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+            .sortBy(_.getName).headOption
+            .getOrElse(sys.error(s"events contract: no parquet part files under $p"))
+        else hp
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        import scala.jdk.CollectionConverters._
+        val tsField = schema.getFields.asScala.find(_.getName == "ts")
+          .getOrElse(sys.error(s"events contract: $file has no `ts` column"))
+        val unit = tsField.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+          case other =>
+            sys.error(
+              s"events contract: $file column `ts` is not a Parquet TIMESTAMP " +
+                s"(logical type: $other). Refusing to guess the unit.")
+        }
+        val divisor = unit match {
+          case TimeUnit.NANOS  => 1000000000L
+          case TimeUnit.MICROS => 1000000L
+          case TimeUnit.MILLIS => 1000L
+        }
+        var minV = Long.MaxValue
+        var maxV = Long.MinValue
+        for (rg <- reader.getFooter.getBlocks.asScala) {
+          rg.getColumns.asScala.find(_.getPath.toDotString == "ts").foreach { cc =>
+            val st = cc.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  minV = math.min(minV, mn); maxV = math.max(maxV, mx)
+                case _ => // non-INT64 stats: skip, span guard degrades to no-op
+              }
+            }
+          }
+        }
+        val spanMicros =
+          if (minV == Long.MaxValue) Long.MaxValue // no stats → can't check span
+          else ((maxV - minV) / divisor) * 1000000L + (((maxV - minV) % divisor) * 1000000L) / divisor
+        TsContract(unit, spanMicros, file.toString)
+      } finally reader.close()
+    })
+
+  private val MinPlausibleSpanMicros = 24L * 3600 * 1000000      // 1 day
+  private val MaxPlausibleSpanMicros = 50L * 365 * 24 * 3600 * 1000000 // 50 years
+
+  /** `events.ts` loader, timestamp-unit-aware. Branches on the footer's
+    * logical type: µs/ms files go through Spark's native timestamp reader;
+    * ns files (which Spark's vectorized reader rejects) read the physical
+    * INT64 via an explicit schema and truncate ns → µs with integer DIV
+    * (a double divide would lose bits at 1e18-scale nanos), matching
+    * DuckDB's truncation on the same file.
+    *
+    * Contract guard (round-7 lesson): the resolved timeline span — computed
+    * from footer min/max stats in the RESOLVED unit, no scan — must be
+    * days-to-decades. A unit misread inflates or collapses the span by
+    * 1000×, so this fails with one loud error naming the file and unit
+    * instead of producing dozens of confidently wrong query results.
+    */
+  /** Contract resolution + loud span guard, shared by the batch loader and
+    * the streaming source. Returns the unit to read `ts` with, or fails
+    * with one clear error if the footer contradicts plausibility.
+    */
+  private[graft] def checkedEventsContract(s: SparkSession, path: String): TsContract = {
+    val c = eventsTsContract(s, path)
+    if (c.spanMicros != Long.MaxValue &&
+        (c.spanMicros < MinPlausibleSpanMicros || c.spanMicros > MaxPlausibleSpanMicros)) {
+      sys.error(
+        f"events contract violation: ${c.file} declares ts as TIMESTAMP(${c.unit}) " +
+          f"but the footer-stats span in that unit is ${c.spanMicros / 1000000.0}%.1f s " +
+          "— expected between 1 day and 50 years. The fixture's unit or encoding " +
+          "changed; fix Tables.eventsTsContract's interpretation, don't trust results.")
+    }
+    c
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val path = s"$d/events.parquet"
+    checkedEventsContract(s, path).unit match {
+      case TimeUnit.NANOS =>
+        s.read
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+          .parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        // MICROS / MILLIS: Spark's native timestamp reader handles these.
+        // Explicit TimestampType schema (session TZ is UTC everywhere) so an
+        // isAdjustedToUTC=false file doesn't flip the column to TIMESTAMP_NTZ
+        // via inferTimestampNTZ and change downstream function semantics.
+        s.read
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+          .parquet(path)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -295,14 +295,23 @@ object MiscQueries {
     }),
 
     // Sketch aggregates (HLL++, GK-quantiles): algorithms differ from
-    // DuckDB's, so no oracle — driver records a rows-only check. The
-    // ScalaTest suite asserts the estimates against exact values.
+    // DuckDB's, so no oracle — driver records a rows-only check. To make
+    // that check carry signal, the exact values ride the same aggregate
+    // and each row self-reports `*_within_tol` (HLL default rsd 5% → 15%
+    // = 3σ budget; GK accuracy 1000 → 5% value budget): sketch drift
+    // flips a visible boolean, and ExtensionSpec pins both columns true.
     "q37_approx_sketches" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+        .withColumn("parts_within_tol",
+          abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * lit(0.15) + lit(1))
+        .withColumn("median_within_tol",
+          abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * lit(0.05) + lit(1e-6))
         .orderBy("l_returnflag")
     }),
 

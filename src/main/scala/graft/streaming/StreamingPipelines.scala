@@ -12,14 +12,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingPipelines {
 
-  /** Streaming read of the events table (nanos ts normalized, as in
-    * [[graft.Tables.events]]). */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** Streaming read of the events table — timestamp-unit-aware via the same
+    * footer-resolved contract (and span guard) as [[graft.Tables.events]]:
+    * the unit is a plan-time property, so resolving it once on the driver
+    * before `readStream` keeps every micro-batch consistent.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val unit = graft.Tables.checkedEventsContract(spark, s"$sfDir/events.parquet").unit
+    unit match {
+      case TimeUnit.NANOS =>
+        spark.readStream
+          .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => // MICROS / MILLIS read natively; pin TimestampType (not NTZ)
+        spark.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+    }
+  }
 
   /** Tumbling 1h windows with a 10-minute watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =

@@ -656,6 +656,17 @@ class ExtensionSpec extends SparkSpec {
       s"only $exactHits/${res.length} probes exact — hashing suspect")
   }
 
+  test("q37 sketch rows self-report within-tolerance against exact values") {
+    val res = ops.MiscQueries.queries("q37_approx_sketches")(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getAs[Boolean]("parts_within_tol"),
+        s"HLL drift: ${r.getAs[Long]("approx_parts")} vs ${r.getAs[Long]("exact_parts")}")
+      assert(r.getAs[Boolean]("median_within_tol"),
+        s"GK drift: ${r.getAs[Double]("approx_median")} vs ${r.getAs[Double]("exact_median")}")
+    }
+  }
+
   test("BPE encode: concatenating a word's tokens reproduces the word") {
     val res = ext.TextQueries.queries("q134_bpe_encode")(spark, sf)
       .as[(String, Long, Long, Long, String)].collect()

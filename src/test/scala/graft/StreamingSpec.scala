@@ -332,4 +332,93 @@ class StreamingSpec extends SparkSpec {
         s"user $uid: closed=${streamMap(uid)._1}, batch=$nSess")
     }
   }
+
+  // ------------------------------------------------------------------
+  // Events data-contract tests (round-7 lesson: the fixture's ts unit
+  // flipped from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and a silent
+  // assumption produced 25 wrong answers). These pin: (a) batch AND
+  // streaming results are identical on micros- and nanos-typed copies
+  // of the same data; (b) a mangled fixture fails loudly.
+  // ------------------------------------------------------------------
+
+  /** Write an events file with an explicit Parquet TIMESTAMP(`unit`)
+    * annotation on `ts`. `tsScale` multiplies the micros value into the
+    * target unit's raw encoding (1000 for a true nanos file, 1 to mangle).
+    */
+  private def writeEventsFile(path: String, unit: org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit,
+      rows: Array[org.apache.spark.sql.Row], tsScale: Long): Unit = {
+    import org.apache.parquet.schema.{Types, LogicalTypeAnnotation => LTA}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64).as(LTA.timestampType(false, unit)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LTA.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .optional(BINARY).as(LTA.stringType()).named("props")
+      .named("events")
+    val writer = ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(spark.sessionState.newHadoopConf())
+      .withType(schema)
+      .build()
+    val gf = new SimpleGroupFactory(schema)
+    try rows.foreach { r =>
+      val g = gf.newGroup()
+      g.add("event_id", r.getLong(0))
+      g.add("ts", r.getLong(1) * tsScale)
+      g.add("user_id", r.getLong(2))
+      g.add("event_type", r.getString(3))
+      g.add("value", r.getDouble(4))
+      if (!r.isNullAt(5)) g.add("props", r.getString(5))
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  private lazy val eventsRawRows: Array[org.apache.spark.sql.Row] =
+    Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .collect()
+
+  test("events contract: batch queries identical on micros- and nanos-typed fixtures") {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val base = java.nio.file.Files.createTempDirectory("ev-contract").toString
+    val usDir = s"$base/us"; val nsDir = s"$base/ns"
+    new java.io.File(usDir).mkdirs(); new java.io.File(nsDir).mkdirs()
+    writeEventsFile(s"$usDir/events.parquet", TimeUnit.MICROS, eventsRawRows, 1L)
+    writeEventsFile(s"$nsDir/events.parquet", TimeUnit.NANOS, eventsRawRows, 1000L)
+    for (q <- Seq("q80_tumbling_window", "q82_sessionize", "q164_session_window")) {
+      val a = EventQueries.queries(q)(spark, usDir).collect()
+      val b = EventQueries.queries(q)(spark, nsDir).collect()
+      assert(a.nonEmpty && a.toSeq == b.toSeq, s"$q diverges between µs and ns fixtures")
+    }
+  }
+
+  test("events contract: streaming source identical on micros- and nanos-typed fixtures") {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val base = java.nio.file.Files.createTempDirectory("ev-contract-stream").toString
+    val usDir = s"$base/us"; val nsDir = s"$base/ns"
+    new java.io.File(usDir).mkdirs(); new java.io.File(nsDir).mkdirs()
+    writeEventsFile(s"$usDir/events.parquet", TimeUnit.MICROS, eventsRawRows, 1L)
+    writeEventsFile(s"$nsDir/events.parquet", TimeUnit.NANOS, eventsRawRows, 1000L)
+    def run(dir: String) = StreamingPipelines.runToCompletion(spark,
+        StreamingPipelines.tumblingCounts(StreamingPipelines.eventsStream(spark, dir)))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("ws", "event_type").collect()
+    val a = run(usDir); val b = run(nsDir)
+    assert(a.nonEmpty && a.toSeq == b.toSeq, "streaming diverges between µs and ns fixtures")
+  }
+
+  test("events contract: a unit-mangled fixture fails loudly, not silently") {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val dir = java.nio.file.Files.createTempDirectory("ev-mangled").toString
+    // micros-scale raw values annotated as NANOS: the resolved span
+    // collapses 1000× (days → minutes) — exactly round 7's failure mode
+    writeEventsFile(s"$dir/events.parquet", TimeUnit.NANOS, eventsRawRows, 1L)
+    val e = intercept[RuntimeException] { Tables.events(spark, dir) }
+    assert(e.getMessage.contains("events contract violation"),
+      s"expected a loud contract error, got: ${e.getMessage}")
+  }
 }
