@@ -92,22 +92,12 @@ object Tables {
   private val MinPlausibleSpanMicros = 24L * 3600 * 1000000      // 1 day
   private val MaxPlausibleSpanMicros = 50L * 365 * 24 * 3600 * 1000000 // 50 years
 
-  /** `events.ts` loader, timestamp-unit-aware. Branches on the footer's
-    * logical type: µs/ms files go through Spark's native timestamp reader;
-    * ns files (which Spark's vectorized reader rejects) read the physical
-    * INT64 via an explicit schema and truncate ns → µs with integer DIV
-    * (a double divide would lose bits at 1e18-scale nanos), matching
-    * DuckDB's truncation on the same file.
-    *
-    * Contract guard (round-7 lesson): the resolved timeline span — computed
-    * from footer min/max stats in the RESOLVED unit, no scan — must be
-    * days-to-decades. A unit misread inflates or collapses the span by
-    * 1000×, so this fails with one loud error naming the file and unit
-    * instead of producing dozens of confidently wrong query results.
-    */
   /** Contract resolution + loud span guard, shared by the batch loader and
-    * the streaming source. Returns the unit to read `ts` with, or fails
-    * with one clear error if the footer contradicts plausibility.
+    * the streaming source. The resolved timeline span — footer min/max
+    * stats in the RESOLVED unit, no data scan — must be days-to-decades: a
+    * unit misread inflates or collapses it 1000×, so this fails with one
+    * loud error naming the file and unit instead of producing dozens of
+    * confidently wrong query results (the round-7 lesson).
     */
   private[graft] def checkedEventsContract(s: SparkSession, path: String): TsContract = {
     val c = eventsTsContract(s, path)

@@ -198,6 +198,10 @@ object TextQueries {
     // engine-identical.
     "q125_bm25" -> ((s, d) => {
       val toks = bigramTokens(Tables.documents(s, d), "doc_id")
+      // tf feeds five consumers (dl, corpus stats, idf, query terms, the
+      // posting join); AQE exchange reuse collapses the repeated subtree
+      // at runtime (a localCheckpoint variant measured the same steady
+      // state with a worse cold pass — reuse was already happening).
       val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       // dl = Σ tf per doc — derived from the aggregated tf table, so the
       // raw posting stream is shuffled exactly once (into tf)

@@ -26,14 +26,29 @@ object Retry {
     case _ => false
   }
 
-  def withRetries[T](attempts: Int = 3, baseIntervalMs: Long = 100)(body: => T): T = {
+  /** `throttleKey` opts a call site into [[AdaptiveThrottle]] AIMD pacing
+    * (key = store authority): each attempt first pays the key's current
+    * pacing delay, throttle-shaped failures raise it, successes decay it.
+    * `None` keeps the bare reference-equivalent budget.
+    */
+  def withRetries[T](attempts: Int = 3, baseIntervalMs: Long = 100,
+      throttleKey: Option[String] = None)(body: => T): T = {
     var n = 0
     while (true) {
-      try return body
-      catch {
+      throttleKey.foreach(AdaptiveThrottle.pauseBeforeCall)
+      try {
+        val r = body
+        throttleKey.foreach(AdaptiveThrottle.onSuccess)
+        return r
+      } catch {
         case e: Exception if transientIo(e) && n + 1 < attempts =>
           n += 1
-          val backoff = baseIntervalMs * (1L << (n - 1))
+          val throttled = throttleKey.isDefined && AdaptiveThrottle.throttleShaped(e)
+          if (throttled) throttleKey.foreach(AdaptiveThrottle.onThrottle)
+          // back off at least the (possibly just-raised) pacing delay: the
+          // per-call exponential budget and the fleet-level brake compose
+          val backoff = math.max(baseIntervalMs * (1L << (n - 1)),
+            if (throttled) AdaptiveThrottle.currentDelayMs(throttleKey.get).toLong else 0L)
           log.warn(s"listing attempt $n/$attempts failed, retrying in ${backoff}ms: $e")
           Thread.sleep(backoff)
       }

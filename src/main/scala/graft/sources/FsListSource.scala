@@ -158,8 +158,9 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     // the root stat is a driver-side listing call like any other — a
     // transient 503 on the very first request gets the same 3×/100ms
     // budget the per-directory LIST calls below already have
+    val planTk = FsListReader.throttleKeyFor(root)
     val queue = scala.collection.mutable.Queue(
-      graft.manifest.Retry.withRetries() { fs.getFileStatus(root) } -> 0)
+      graft.manifest.Retry.withRetries(throttleKey = planTk) { fs.getFileStatus(root) } -> 0)
     val out = scala.collection.mutable.ArrayBuffer.empty[FsListPartition]
     val maxDepth = 6
     // round-robin bundles of file children: a 100k-file prefix
@@ -225,7 +226,7 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
           // own policy, and a stream dying MID-page is Spark task-retry
           // territory on the executor side — see graft.manifest.Retry)
           val (rRaw, rScanned, rOverflow) =
-            graft.manifest.Retry.withRetries() {
+            graft.manifest.Retry.withRetries(throttleKey = planTk) {
               val acc = scala.collection.mutable.ArrayBuffer
                 .empty[org.apache.hadoop.fs.FileStatus]
               var sc = 0
@@ -306,7 +307,26 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
         // that store's FileSystem on the executor, not to the local walk
       } else if (matches(st.getPath)) out += FsListPartition(Seq(st.getPath.toString), bucket)
     }
-    val shards = out.map(p => p: InputPartition).toArray
+    // Coalesce plain shards down to the target: a wide-but-shallow tree
+    // (e.g. 250 directories at one level) otherwise emits one task per
+    // directory, and task DISPATCH — ~1ms each through the scheduler —
+    // then dominates the walk itself (measured: 250×200-file shards list
+    // at ~140k obj/s, the same tree in ~target merged shards at ~2× that;
+    // planning and walking are single-digit ms). Round-robin by index
+    // keeps neighbors apart, so similarly-sized siblings spread evenly.
+    // Slice/range shards are never merged — their fan-out was chosen
+    // deliberately, and a merged slice would re-walk its directory.
+    val (plain, special) = out.partition(p => p.slice.isEmpty && p.range.isEmpty)
+    // 2× cores (not the 4× planning target): enough shards that work
+    // stealing still balances uneven subtrees, few enough that dispatch
+    // stops being the listing's critical path.
+    val mergeTarget = math.max(2, target / 2)
+    val merged: Seq[FsListPartition] =
+      if (plain.length > mergeTarget)
+        plain.zipWithIndex.groupBy(_._2 % mergeTarget).values.toSeq
+          .map(g => FsListPartition(g.map(_._1).flatMap(_.paths).toSeq, bucket))
+      else plain.toSeq
+    val shards = (merged ++ special).map(p => p: InputPartition).toArray
     if (shards.isEmpty) Array(FsListPartition(Seq(root.toString), bucket))
     else shards
   }
@@ -402,6 +422,17 @@ object FsListReader {
     val scheme = new Path(path).toUri.getScheme
     scheme == null || scheme == "file"
   }
+
+  /** AIMD pacing scope for [[graft.manifest.AdaptiveThrottle]]: one
+    * governor per (scheme, authority) = per store/bucket per JVM. Local
+    * paths opt out — nothing throttles the local FS, and the pacing sleep
+    * would only slow the NIO fast path.
+    */
+  private[sources] def throttleKeyFor(p: Path): Option[String] = {
+    val u = p.toUri
+    Option(u.getScheme).filter(_ != "file")
+      .map(s => s + "://" + Option(u.getAuthority).getOrElse(""))
+  }
 }
 
 /** Executor-side recursive listing of one shard.
@@ -439,27 +470,69 @@ class FsListReader(p: FsListPartition, delimiter: String,
     case None => true
   }
 
-  /** Full recursive NIO walk (no slicing) — `Files.walk` carries its own
-    * per-entry attributes, so emitting everything is one stat per file.
+  /** Full recursive NIO walk (no slicing), ONE `readAttributes` per entry.
+    * The previous `Files.walk`-based walk cost 3-4 stat syscalls per file
+    * (the walker's internal classification, then `isRegularFile`, then
+    * `size` + `getLastModifiedTime` separately); at hundreds of thousands
+    * of objects per second the walk IS the syscall count, so the manual
+    * DFS reads each entry's attributes exactly once and branches on them.
+    * Symlinks are classified NOFOLLOW (same as `Files.walk`'s default) —
+    * no cycle risk, and object-store trees have no links anyway.
     * Best-effort under concurrent mutation: a file vanishing between
     * enumeration and stat is skipped, and a subtree vanishing mid-walk
-    * truncates the walk (the inventory reflects some point-in-time view
-    * of a moving tree either way — failing the task buys nothing). */
+    * truncates that directory (the inventory reflects some point-in-time
+    * view of a moving tree either way — failing the task buys nothing). */
   private def nioWalkAll(root: java.nio.file.Path): Iterator[(String, Long, Long)] = {
-    val stream = Files.walk(root)
-    openStreams += stream
-    val jit = stream.filter(f => Files.isRegularFile(f)).iterator()
-    new Iterator[Option[(String, Long, Long)]] {
-      def hasNext: Boolean =
-        try jit.hasNext
-        catch { case _: java.io.UncheckedIOException => false }
-      def next(): Option[(String, Long, Long)] = {
-        val f = jit.next()
-        try Some((f.toAbsolutePath.toString, Files.size(f),
-          Files.getLastModifiedTime(f).toMillis))
-        catch { case _: java.io.IOException => None }
-      }
-    }.flatten
+    import java.nio.file.LinkOption
+    import java.nio.file.attribute.BasicFileAttributes
+    def attrsOf(p: java.nio.file.Path): Option[BasicFileAttributes] =
+      try Some(Files.readAttributes(p, classOf[BasicFileAttributes],
+        LinkOption.NOFOLLOW_LINKS))
+      catch { case _: java.io.IOException => None }
+    attrsOf(root) match {
+      case None => Iterator.empty
+      case Some(a) if !a.isDirectory =>
+        // bundle paths are type-agnostic: a plain-file shard emits itself
+        if (a.isRegularFile)
+          Iterator((root.toAbsolutePath.toString, a.size, a.lastModifiedTime.toMillis))
+        else Iterator.empty
+      case Some(_) =>
+        final case class Frame(ds: java.nio.file.DirectoryStream[java.nio.file.Path],
+                               it: java.util.Iterator[java.nio.file.Path])
+        val stack = scala.collection.mutable.Stack.empty[Frame]
+        def push(d: java.nio.file.Path): Unit =
+          try {
+            val ds = Files.newDirectoryStream(d)
+            openCloseables += ds // safety net if the reader closes mid-walk
+            stack.push(Frame(ds, ds.iterator()))
+          } catch { case _: java.io.IOException => () }
+        push(root)
+        new Iterator[Option[(String, Long, Long)]] {
+          def hasNext: Boolean = {
+            while (stack.nonEmpty) {
+              val f = stack.top
+              val more =
+                try f.it.hasNext
+                catch { case _: java.io.UncheckedIOException => false }
+              if (more) return true
+              try f.ds.close() catch { case _: java.io.IOException => () }
+              stack.pop()
+            }
+            false
+          }
+          def next(): Option[(String, Long, Long)] = {
+            val e =
+              try stack.top.it.next()
+              catch { case _: java.io.UncheckedIOException => return None }
+            attrsOf(e) match {
+              case Some(a) if a.isDirectory => push(e); None
+              case Some(a) if a.isRegularFile =>
+                Some((e.toAbsolutePath.toString, a.size, a.lastModifiedTime.toMillis))
+              case _ => None
+            }
+          }
+        }.flatten
+    }
   }
 
   private def nioPath(shardPath: String): java.nio.file.Path =
@@ -520,9 +593,12 @@ class FsListReader(p: FsListPartition, delimiter: String,
       // the OPEN of the listing gets the reference retry budget; a stream
       // failing mid-pagination is retried by Spark at task granularity
       // (the whole shard re-runs — a paginator has position, a call does
-      // not; see graft.manifest.Retry)
-      if (graft.manifest.Retry.withRetries() { fs.getFileStatus(path) }.isDirectory) {
-        val jit = graft.manifest.Retry.withRetries() { fs.listFiles(path, true) }
+      // not; see graft.manifest.Retry). The per-store throttle key adds
+      // AIMD pacing on 503s — each executor's shards collectively slow
+      // down instead of hammering a throttling prefix at full rate.
+      val tk = FsListReader.throttleKeyFor(path)
+      if (graft.manifest.Retry.withRetries(throttleKey = tk) { fs.getFileStatus(path) }.isDirectory) {
+        val jit = graft.manifest.Retry.withRetries(throttleKey = tk) { fs.listFiles(path, true) }
         new Iterator[(String, Long, Long)] {
           def hasNext: Boolean = jit.hasNext
           def next(): (String, Long, Long) = {
@@ -535,7 +611,7 @@ class FsListReader(p: FsListPartition, delimiter: String,
           // counts accordingly; see planInputPartitions)
         }.filter(t => ownsEntry(topSegment(rootPath, t._1)))
       } else {
-        val st = graft.manifest.Retry.withRetries() { fs.getFileStatus(path) }
+        val st = graft.manifest.Retry.withRetries(throttleKey = tk) { fs.getFileStatus(path) }
         Iterator((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
           .filter(t => ownsEntry(topSegment(rootPath, t._1)))
       }

@@ -311,6 +311,61 @@ class ConnectorSpec extends SparkSpec {
     assert(hard == 1)
   }
 
+  test("AIMD throttle governor: 503s raise pacing, successes decay it back") {
+    import graft.manifest.AdaptiveThrottle
+    val k = "mem://aimd-unit"
+    AdaptiveThrottle.reset(k)
+    assert(AdaptiveThrottle.currentDelayMs(k) == 0.0)
+    AdaptiveThrottle.onThrottle(k)
+    assert(AdaptiveThrottle.currentDelayMs(k) == AdaptiveThrottle.MinActiveDelayMs)
+    AdaptiveThrottle.onThrottle(k)
+    assert(AdaptiveThrottle.currentDelayMs(k) == 2 * AdaptiveThrottle.MinActiveDelayMs)
+    (0 until 20).foreach(_ => AdaptiveThrottle.onThrottle(k))
+    assert(AdaptiveThrottle.currentDelayMs(k) == AdaptiveThrottle.MaxDelayMs,
+      "multiplicative increase must cap at the ceiling")
+    // decay is gradual (×0.9 per success), then snaps to zero below 1 ms
+    var steps = 0
+    while (AdaptiveThrottle.currentDelayMs(k) > 0 && steps < 500) {
+      AdaptiveThrottle.onSuccess(k); steps += 1
+    }
+    assert(AdaptiveThrottle.currentDelayMs(k) == 0.0, "decay must reach zero")
+    assert(steps > 10, s"decay must be gradual, not a reset (took $steps steps)")
+    // only throttle-shaped faults engage the governor
+    assert(AdaptiveThrottle.throttleShaped(new java.io.IOException("503 Slow Down")))
+    assert(AdaptiveThrottle.throttleShaped(new java.io.IOException("HTTP 429 Too Many Requests")))
+    assert(!AdaptiveThrottle.throttleShaped(new java.io.IOException("connection reset")))
+    AdaptiveThrottle.reset(k)
+  }
+
+  test("throttled LISTs raise the per-store pacing delay; clean runs decay it") {
+    import graft.manifest.AdaptiveThrottle
+    val k = "mem://bkt" // FsListReader.throttleKeyFor scope: scheme://authority
+    AdaptiveThrottle.reset(k)
+    MemFileSystem.objects.clear()
+    for (f <- 0 until 10) MemFileSystem.objects.put(f"/aimd/k$f", (1L, 1700000000000L))
+    MemFileSystem.failListings.set(2)
+    try {
+      val parts = new graft.sources.FsListScan("mem://bkt/aimd", "/", None)
+        .planInputPartitions()
+      assert(parts.nonEmpty)
+      assert(AdaptiveThrottle.throttleCount(k) >= 2,
+        "both injected 503s must register with the governor")
+      val braked = AdaptiveThrottle.currentDelayMs(k)
+      assert(braked > 0.0, "pacing delay must be raised after throttles")
+      // subsequent clean listings pay the (decaying) pace and drift back up
+      // to full speed — the multiplicative-decrease half of AIMD
+      (0 until 3).foreach { _ =>
+        assert(new graft.sources.FsListScan("mem://bkt/aimd", "/", None)
+          .planInputPartitions().nonEmpty)
+      }
+      assert(AdaptiveThrottle.currentDelayMs(k) < braked,
+        "successes must decay the pacing delay")
+    } finally {
+      MemFileSystem.failListings.set(0)
+      AdaptiveThrottle.reset(k)
+    }
+  }
+
   test("streamed write uploads bounded parts and materializes only on close") {
     MemFileSystem.objects.clear()
     MemFileSystem.contents.clear()
