@@ -398,10 +398,159 @@ object CurationQueries {
         .select(col("doc_id"), col("n_grams"), col("n_unique"),
           expr("(n_unique * 10000) DIV n_grams").as("novelty_bp"))
         .orderBy("doc_id")
+    }),
+
+    // Deterministic seeded corpus shuffle — the training-order primitive:
+    // epoch order must be (a) uniform, (b) reproducible from a seed, (c)
+    // computable WITHOUT a global sort state (any worker can place any
+    // doc). Rank = md5(doc_id ':' seed): changing the seed permutes the
+    // corpus wholesale, same seed always replays the same order. The
+    // top-K head per seed is graded (TakeOrderedAndProject — no global
+    // sort materializes; a full epoch would range-partition by the same
+    // hash). Two seeds in one result pin seed-sensitivity.
+    "q186_seeded_shuffle" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      // per-seed top-64 head: TakeOrderedAndProject per branch — no
+      // global sort materializes; the union is 128 rows, so the ranking
+      // window below is control-plane-sized at any corpus scale (and
+      // seed is a real 2-valued column AFTER the union, so the window
+      // keeps a partition key instead of folding to one partition)
+      Seq(42, 7).map { sd =>
+        docs.select(lit(sd).as("seed"), col("doc_id"),
+            md5(concat(col("doc_id").cast("string"), lit(s":$sd"))).as("h"))
+          .orderBy("h").limit(64)
+      }.reduce(_ unionAll _)
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("seed").orderBy("h")).cast("long"))
+        .drop("h")
+        .orderBy("seed", "pos")
+    }),
+
+    // Source-mixture sampling — the data-mixing step of a training
+    // pipeline: per-source target weights (epochs), where w=2.5 means
+    // "2 full copies + half the docs get a third", w=0 drops the source.
+    // The fractional part is decided per-doc by a DETERMINISTIC uniform
+    // draw (first 5 md5 hex digits of the doc id as an integer in
+    // [0, 16^5)), compared against an integer threshold — exact in both
+    // engines, no float, and stable under re-runs (critical: a retry
+    // that re-samples would break epoch bookkeeping). Map-only per doc +
+    // one per-source aggregate; at 100 TB this IS the plan.
+    "q187_mixture_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          expr(s"($MixDrawExpr)").as("u"),
+          expr(MixFloorCase).as("w_floor"),
+          expr(MixThreshCase).as("u_thresh"))
+        .select(col("source"),
+          (col("w_floor") + when(col("u") < col("u_thresh"), 1L).otherwise(0L)).as("n_copies"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_copies")).as("n_copies"))
+        .withColumn("rate_bp", expr("(n_copies * 10000) DIV n_docs"))
+        .orderBy("source")
+    }),
+
+    // Sequence packing (concat-and-chunk): documents become one token
+    // stream per source, chunked into fixed-length training sequences —
+    // each doc's placement is (first sequence, offset, how many chunk
+    // boundaries it straddles), all from ONE prefix sum over the
+    // per-source doc order. Per-source windows are the scale path:
+    // packing is per-shard in production, so the window key is the shard
+    // and no global single-partition sort exists. Token counts reuse
+    // q62's whitespace tokenization.
+    "q188_sequence_pack" -> ((s, d) => {
+      val L = SeqPackLen
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          expr(s"cum_before DIV $L").as("seq_id"),
+          expr(s"cum_before % $L").as("start_off"),
+          expr(s"((cum_before + n_tok - 1) DIV $L) - (cum_before DIV $L)").as("n_straddles"))
+        .orderBy("doc_id")
     })
   )
 
+  /** Fixed training-sequence length (tokens) for q188's packing. */
+  private[ext] val SeqPackLen = 2048
+
+  /** Integer uniform draw in [0, 16^5) from the first 5 hex digits of
+    * md5(doc_id ':mix') — identical arithmetic in Spark SQL and DuckDB
+    * (both have md5/substring/instr), the q133 portable-hash trick. */
+  private[ext] val MixDrawExpr: String =
+    (1 to 5).map(i =>
+      s"(instr('0123456789abcdef', substring(md5(concat(cast(doc_id as string), ':mix')), $i, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
+      .mkString(" + ")
+
+  /** Per-source mixture weights, split into exact integer pieces: the
+    * whole-copy floor and the 16^5-scaled fractional threshold. Literals
+    * are inlined into BOTH the Spark plan and the oracle SQL from these
+    * single definitions, so the two sides cannot drift. */
+  private[ext] val MixWeights: Seq[(String, Double)] =
+    Seq("src0" -> 2.5, "src1" -> 0.0, "src2" -> 1.5)
+  private[ext] val MixDefaultWeight = 0.8
+  private def floorOf(wt: Double): Long = math.floor(wt).toLong
+  private def threshOf(wt: Double): Long = math.round((wt - math.floor(wt)) * 1048576)
+  private[ext] val MixFloorCase: String =
+    MixWeights.map { case (src, wt) => s"WHEN '$src' THEN ${floorOf(wt)}L" }
+      .mkString("CASE source ", " ", s" ELSE ${floorOf(MixDefaultWeight)}L END")
+  private[ext] val MixThreshCase: String =
+    MixWeights.map { case (src, wt) => s"WHEN '$src' THEN ${threshOf(wt)}L" }
+      .mkString("CASE source ", " ", s" ELSE ${threshOf(MixDefaultWeight)}L END")
+  private[ext] val MixFloorCaseSql: String =
+    MixWeights.map { case (src, wt) => s"WHEN '$src' THEN ${floorOf(wt)}" }
+      .mkString("CASE source ", " ", s" ELSE ${floorOf(MixDefaultWeight)} END")
+  private[ext] val MixThreshCaseSql: String =
+    MixWeights.map { case (src, wt) => s"WHEN '$src' THEN ${threshOf(wt)}" }
+      .mkString("CASE source ", " ", s" ELSE ${threshOf(MixDefaultWeight)} END")
+
   def oracles: Map[String, String] = Map(
+    "q186_seeded_shuffle" ->
+      """WITH h AS (
+            SELECT 42 AS seed, doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':42') AS h FROM documents
+            UNION ALL
+            SELECT 7, doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':7') FROM documents),
+          r AS (SELECT seed, doc_id,
+                       row_number() OVER (PARTITION BY seed ORDER BY h) AS pos
+                FROM h)
+          SELECT seed, doc_id, CAST(pos AS BIGINT) AS pos
+          FROM r WHERE pos <= 64 ORDER BY seed, pos""",
+
+    "q187_mixture_sample" ->
+      s"""WITH u AS (SELECT source, ($MixDrawExpr) AS u,
+                  $MixFloorCaseSql AS w_floor,
+                  $MixThreshCaseSql AS u_thresh
+             FROM documents),
+          c AS (SELECT source,
+                       w_floor + CASE WHEN u < u_thresh THEN 1 ELSE 0 END
+                         AS n_copies
+                FROM u)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_copies) AS BIGINT) AS n_copies,
+                 CAST(sum(n_copies) * 10000 // count(*) AS BIGINT) AS rate_bp
+          FROM c GROUP BY source ORDER BY source""",
+
+    "q188_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+          c AS (SELECT doc_id, source, n_tok,
+                       COALESCE(sum(n_tok) OVER (PARTITION BY source
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum_before
+                FROM t)
+          SELECT doc_id, source, n_tok,
+                 CAST(cum_before // $SeqPackLen AS BIGINT) AS seq_id,
+                 CAST(cum_before % $SeqPackLen AS BIGINT) AS start_off,
+                 CAST(((cum_before + n_tok - 1) // $SeqPackLen)
+                      - (cum_before // $SeqPackLen) AS BIGINT) AS n_straddles
+          FROM c ORDER BY doc_id""",
+
     "q176_golden_record" ->
       """WITH v AS (
             SELECT doc_id AS entity, 0 AS ts, lang, source, n_chars

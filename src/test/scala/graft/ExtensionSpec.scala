@@ -667,6 +667,47 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("seeded shuffle: reproducible per seed, different across seeds") {
+    val run1 = ext.CurationQueries.queries("q186_seeded_shuffle")(spark, sf).collect()
+    val run2 = ext.CurationQueries.queries("q186_seeded_shuffle")(spark, sf).collect()
+    assert(run1.toSeq == run2.toSeq, "same seed must replay the same order")
+    val bySeed = run1.groupBy(_.getInt(0)).view.mapValues(_.map(r => r.getLong(1)).toSeq)
+    assert(bySeed.keySet == Set(42, 7))
+    bySeed.values.foreach(order => assert(order.length == 64))
+    assert(bySeed(42) != bySeed(7), "different seeds must permute differently")
+  }
+
+  test("mixture sampling hits each source's target rate deterministically") {
+    val res = ext.CurationQueries.queries("q187_mixture_sample")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(res("src1")._3 == 0L, "weight-0 source must be dropped entirely")
+    // rate_bp ≈ weight × 10000; per-source n is small at sf0.001, so only
+    // bound loosely — the driver's oracle pins the exact values
+    assert(res("src0")._4 >= 20000 && res("src0")._4 <= 30000, s"src0: ${res("src0")}")
+    assert(res("src2")._4 >= 10000 && res("src2")._4 <= 20000, s"src2: ${res("src2")}")
+    res.values.foreach { case (src, nDocs, nCopies, rateBp) =>
+      assert(rateBp == nCopies * 10000 / nDocs, s"$src bookkeeping")
+    }
+  }
+
+  test("sequence packing: offsets are a consistent token-stream layout") {
+    val L = 2048L
+    val res = ext.CurationQueries.queries("q188_sequence_pack")(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(res.nonEmpty)
+    res.groupBy(_._2).values.foreach { docs =>
+      val ordered = docs.sortBy(_._1)
+      // first doc of every source starts at sequence 0, offset 0
+      assert(ordered.head._4 == 0L && ordered.head._5 == 0L)
+      var cum = 0L
+      ordered.foreach { case (id, _, nTok, seqId, startOff, straddles) =>
+        assert(seqId == cum / L && startOff == cum % L, s"doc $id placement")
+        assert(straddles == (cum + nTok - 1) / L - cum / L, s"doc $id straddle")
+        cum += nTok
+      }
+    }
+  }
+
   test("BPE encode: concatenating a word's tokens reproduces the word") {
     val res = ext.TextQueries.queries("q134_bpe_encode")(spark, sf)
       .as[(String, Long, Long, Long, String)].collect()
