@@ -18,13 +18,48 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
-  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** Columns every query layer assumes per table. The full events incident
+    * (round 7) generalized: a driver-side fixture regeneration that drops
+    * or renames a column should fail HERE with one error naming table and
+    * column, not as N obscure analysis errors downstream. Plan-time only —
+    * `spark.read.parquet` resolves the schema from footers, no data scan —
+    * and deliberately a SUBSET check: added columns are fine.
+    */
+  private val RequiredCols: Map[String, Seq[String]] = Map(
+    "region"    -> Seq("r_regionkey", "r_name"),
+    "nation"    -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer"  -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+    "supplier"  -> Seq("s_suppkey", "s_name", "s_nationkey"),
+    "part"      -> Seq("p_partkey", "p_name"),
+    "orders"    -> Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+    "lineitem"  -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding"))
+
+  private val schemaChecked = new ConcurrentHashMap[String, Boolean]()
+
+  private def checked(s: SparkSession, d: String, name: String): DataFrame = {
+    val df = load(s, d, name)
+    schemaChecked.computeIfAbsent(s"$d/$name", { _ =>
+      val have = df.schema.fieldNames.toSet
+      val missing = RequiredCols.getOrElse(name, Nil).filterNot(have)
+      require(missing.isEmpty,
+        s"testdata contract violation: $d/$name.parquet is missing " +
+          s"column(s) ${missing.mkString(", ")} (found: ${have.toSeq.sorted.mkString(", ")}). " +
+          "The fixture's schema changed; update the queries/oracles deliberately.")
+      true
+    })
+    df
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = checked(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = checked(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = checked(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = checked(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = checked(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = checked(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = checked(s, d, "lineitem")
 
   /** Resolved time unit + footer-stats span (in micros) for one events file. */
   private[graft] final case class TsContract(unit: TimeUnit, spanMicros: Long, file: String)
@@ -54,6 +89,14 @@ object Tables {
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
         import scala.jdk.CollectionConverters._
+        // explicit-schema reads return NULLS for absent columns instead of
+        // failing, so column presence must be checked here, off the footer
+        val have = schema.getFields.asScala.map(_.getName).toSet
+        val missing = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+          .filterNot(have)
+        require(missing.isEmpty,
+          s"testdata contract violation: $file is missing column(s) " +
+            s"${missing.mkString(", ")} (found: ${have.toSeq.sorted.mkString(", ")})")
         val tsField = schema.getFields.asScala.find(_.getName == "ts")
           .getOrElse(sys.error(s"events contract: $file has no `ts` column"))
         val unit = tsField.getLogicalTypeAnnotation match {
@@ -131,6 +174,6 @@ object Tables {
           .parquet(path)
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame = checked(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = checked(s, d, "embeddings")
 }

@@ -411,6 +411,18 @@ class StreamingSpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq, "streaming diverges between µs and ns fixtures")
   }
 
+  test("table contract: a fixture with a dropped column fails loudly at load") {
+    val dir = java.nio.file.Files.createTempDirectory("tbl-mangled").toString
+    // a "documents" fixture missing the text column — the generalized
+    // round-7 failure shape (driver regenerates, schema silently differs)
+    spark.range(5).selectExpr("id AS doc_id", "'en' AS lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] { Tables.documents(spark, dir) }
+    assert(e.getMessage.contains("testdata contract violation") &&
+      e.getMessage.contains("text"),
+      s"expected a loud schema error naming the column, got: ${e.getMessage}")
+  }
+
   test("events contract: a unit-mangled fixture fails loudly, not silently") {
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     val dir = java.nio.file.Files.createTempDirectory("ev-mangled").toString
