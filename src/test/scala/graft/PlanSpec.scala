@@ -322,6 +322,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q187: mixture sampling is map-side + ONE aggregate exchange") {
+    withAqeOff {
+      val p = plan("q187_mixture_sample")
+      val exchanges = "Exchange (?!SinglePartition)".r.findAllIn(p).length
+      // one hash exchange for the per-source aggregate; the final
+      // orderBy adds a range exchange over the 20-row result
+      assert(exchanges <= 2, s"expected <=2 exchanges, plan:\n${p.take(1500)}")
+      assert(!p.contains("Join"), "the draw is computed in place, no join")
+    }
+  }
+
+  test("q188: sequence packing is ONE per-source window, no global sort of docs") {
+    withAqeOff {
+      val p = plan("q188_sequence_pack")
+      // the packing window partitions by source — a missing partition key
+      // would appear as Window with an empty PARTITION BY (global sort)
+      assert(p.contains("Window"), "prefix sum must be a window")
+      val windowLine = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+      assert(windowLine.contains("source"),
+        s"window must partition by source, got: $windowLine")
+    }
+  }
+
+  test("q186: per-seed heads are TakeOrdered, not a global sort of the corpus") {
+    withAqeOff {
+      val p = plan("q186_seeded_shuffle")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"expected top-k pushdown, plan:\n${p.take(1500)}")
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     // decimal value: double sums are accumulation-order-sensitive, which is
     // exactly why the engine aggregates doubles through decimals (dsl.scala)
