@@ -470,8 +470,40 @@ object CurationQueries {
           expr(s"cum_before % $L").as("start_off"),
           expr(s"((cum_before + n_tok - 1) DIV $L) - (cum_before DIV $L)").as("n_straddles"))
         .orderBy("doc_id")
+    }),
+
+    // Length-bucketed batching — the padding-efficiency dual of q188's
+    // packing (packing concatenates; bucketing groups LIKE lengths so a
+    // padded batch wastes little): docs bin by next power-of-2 token
+    // length, and each bucket reports its batch count (batch=32) and the
+    // exact padding waste against the bucket cap in basis points. The
+    // waste column is what a dataloader tuner reads to pick bucket
+    // boundaries. Map-side binning + one aggregate — at 100 TB this IS
+    // the plan (same shape as q187).
+    "q190_length_buckets" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("bucket_cap", expr(LenBucketCase))
+        .groupBy("bucket_cap")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"))
+        .select(col("bucket_cap"), col("n_docs"),
+          expr("(n_docs + 31) DIV 32").as("n_batches"),
+          expr("((n_docs * bucket_cap - sum_tok) * 10000) DIV (n_docs * bucket_cap)").as("waste_bp"))
+        .orderBy("bucket_cap")
     })
   )
+
+  /** Power-of-2 bucket boundaries for q190, as an integer CASE ladder
+    * shared verbatim by the Spark plan and the oracle (a float
+    * pow/ceil(log2) bucket could round differently across engines at
+    * exact powers of two). Docs longer than the top boundary land in the
+    * overflow cap. */
+  private[ext] val LenBucketBounds = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+  private[ext] val LenBucketOverflow = 4096L
+  private[ext] val LenBucketCase: String =
+    LenBucketBounds.map(b => s"WHEN n_tok <= $b THEN $b")
+      .mkString("CASE ", " ", s" ELSE $LenBucketOverflow END")
 
   /** Fixed training-sequence length (tokens) for q188's packing. */
   private[ext] val SeqPackLen = 2048
@@ -550,6 +582,20 @@ object CurationQueries {
                  CAST(((cum_before + n_tok - 1) // $SeqPackLen)
                       - (cum_before // $SeqPackLen) AS BIGINT) AS n_straddles
           FROM c ORDER BY doc_id""",
+
+    "q190_length_buckets" ->
+      s"""WITH t AS (SELECT CAST(len(str_split(text, ' ')) AS BIGINT)
+                       AS n_tok FROM documents),
+          b AS (SELECT n_tok, $LenBucketCase AS bucket_cap FROM t),
+          agg AS (SELECT bucket_cap, count(*) AS n_docs,
+                         sum(n_tok) AS sum_tok
+                  FROM b GROUP BY bucket_cap)
+          SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+                 CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST((n_docs + 31) // 32 AS BIGINT) AS n_batches,
+                 CAST((n_docs * bucket_cap - sum_tok) * 10000
+                      // (n_docs * bucket_cap) AS BIGINT) AS waste_bp
+          FROM agg ORDER BY bucket_cap""",
 
     "q176_golden_record" ->
       """WITH v AS (

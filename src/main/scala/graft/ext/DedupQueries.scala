@@ -413,7 +413,47 @@ object DedupQueries {
     "q44_embedding_neardup" -> ((s, d) =>
       signLshCosineCandidates(Tables.embeddings(s, d))
         .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
-        .limit(20))
+        .limit(20)),
+
+    // Dedup threshold-sweep — the tuning curve every dedup deployment
+    // needs BEFORE committing a threshold: exact pair counts (and docs
+    // touched) at each candidate Jaccard cutoff, from ONE exact PPJoin
+    // pass at the lowest threshold in the sweep (τ=0.5 — pairs at every
+    // higher τ are a subset, so one pass prices the whole curve; below
+    // 0.5 the banded-LSH path is the right tool, see prefixJaccardPairs).
+    // Planted copies at three mutation strengths (drop 1 word / ~1/8 /
+    // ~1/3 of leading words → J ≈ .97/.88/.67) make the curve fall where
+    // it should; zero-pair thresholds still emit a row (left join against
+    // the literal τ table) so the curve's domain is fixed.
+    "q189_dedup_threshold_sweep" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val ws = base.withColumn("ws", split(col("text"), " "))
+        .filter(col("doc_id") % 89 === 2 && size(col("ws")) >= 12)
+      val planted = Seq(
+        (7100000L, "2", "size(ws) - 1"),
+        (7200000L, "2 + size(ws) DIV 8", "size(ws)"),
+        (7300000L, "2 + size(ws) DIV 3", "size(ws)")).map { case (off, from, len) =>
+        ws.select((col("doc_id") + off).as("doc_id"),
+          concat_ws(" ", expr(s"slice(ws, $from, $len)")).as("text"))
+      }.reduce(_ unionByName _)
+      val pairs = prefixJaccardPairs(base.unionByName(planted), 1, 2)
+      val taus = Seq(5000, 6000, 7000, 8000, 9000, 9500)
+      val tausDf = pairs.sparkSession.range(1)
+        .select(explode(array(taus.map(lit(_)): _*)).as("tau_bp"))
+      val tagged = pairs
+        .withColumn("tau_bp", explode(array(taus.map(lit(_)): _*)))
+        .filter(col("jacc_bp") >= col("tau_bp"))
+      val nPairs = tagged.groupBy("tau_bp").agg(count(lit(1)).as("n_pairs"))
+      val nDocs = tagged
+        .select(col("tau_bp"), explode(array(col("id1"), col("id2"))).as("doc"))
+        .groupBy("tau_bp").agg(countDistinct(col("doc")).as("n_docs"))
+      tausDf.join(nPairs, Seq("tau_bp"), "left")
+        .join(nDocs, Seq("tau_bp"), "left")
+        .select(col("tau_bp"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("tau_bp")
+    })
   )
 
   /** Two-sided winnowing fingerprint pairs — q116's machinery, also
@@ -601,6 +641,70 @@ object DedupQueries {
                    // CAST(sz1 + sz2 - inter AS BIGINT) AS jacc_bp
           FROM ij WHERE inter * 8 >= (sz1 + sz2) * 3
           ORDER BY id1, id2""",
+
+    "q189_dedup_threshold_sweep" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+          seed AS (SELECT doc_id, str_split(text, ' ') AS ws FROM base
+                   WHERE doc_id % 89 = 2 AND len(str_split(text, ' ')) >= 12),
+          planted AS (
+            SELECT doc_id + 7100000 AS doc_id,
+                   array_to_string(ws[2:len(ws)], ' ') AS text FROM seed
+            UNION ALL
+            SELECT doc_id + 7200000,
+                   array_to_string(ws[(2 + len(ws) // 8):len(ws)], ' ')
+            FROM seed
+            UNION ALL
+            SELECT doc_id + 7300000,
+                   array_to_string(ws[(2 + len(ws) // 3):len(ws)], ' ')
+            FROM seed),
+          pcorpus AS (SELECT doc_id, text FROM base
+                      UNION ALL SELECT doc_id, text FROM planted),
+          ptok AS (SELECT doc_id, str_split(text, ' ') AS words FROM pcorpus
+                   WHERE len(str_split(text, ' ')) >= 3),
+          pposn AS (SELECT doc_id, words,
+                           unnest(generate_series(1, len(words) - 2)) AS pos
+                    FROM ptok),
+          toks AS (SELECT DISTINCT doc_id,
+                          words[pos] || ' ' || words[pos+1] || ' ' ||
+                            words[pos+2] AS w
+                   FROM pposn),
+          dfreq AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+          pre AS (SELECT doc_id, w, sz FROM (
+                    SELECT t.doc_id, t.w, s.sz,
+                           row_number() OVER (PARTITION BY t.doc_id
+                                              ORDER BY df, t.w) AS pos
+                    FROM toks t JOIN dfreq USING (w)
+                    JOIN sizes s ON s.doc_id = t.doc_id)
+                  WHERE pos <= sz - (1 * sz + 1) // 2 + 1),
+          cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                           a.sz AS sz1, b.sz AS sz2
+                    FROM pre a JOIN pre b
+                      ON a.w = b.w AND a.doc_id < b.doc_id
+                     AND a.sz * 1 <= b.sz * 2 AND b.sz * 1 <= a.sz * 2),
+          ij AS (SELECT id1, id2, sz1, sz2, count(*) AS inter
+                 FROM cands
+                 JOIN toks ta ON ta.doc_id = id1
+                 JOIN toks tb ON tb.doc_id = id2 AND tb.w = ta.w
+                 GROUP BY id1, id2, sz1, sz2),
+          pairs AS (SELECT id1, id2,
+                           CAST(inter * 10000 AS BIGINT)
+                             // CAST(sz1 + sz2 - inter AS BIGINT) AS jacc_bp
+                    FROM ij WHERE inter * 3 >= (sz1 + sz2) * 1),
+          taus AS (SELECT unnest([5000, 6000, 7000, 8000, 9000, 9500])
+                            AS tau_bp),
+          tagged AS (SELECT tau_bp, id1, id2 FROM taus
+                     JOIN pairs ON jacc_bp >= tau_bp),
+          np AS (SELECT tau_bp, count(*) AS n_pairs FROM tagged
+                 GROUP BY tau_bp),
+          nd AS (SELECT tau_bp, count(DISTINCT doc) AS n_docs
+                 FROM (SELECT tau_bp, unnest([id1, id2]) AS doc FROM tagged)
+                 GROUP BY tau_bp)
+          SELECT t.tau_bp,
+                 CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+                 CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+          FROM taus t LEFT JOIN np USING (tau_bp) LEFT JOIN nd USING (tau_bp)
+          ORDER BY t.tau_bp""",
 
     "q179_containment_join" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents),

@@ -708,6 +708,35 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("dedup threshold sweep: curve is monotone and catches planted strata") {
+    val res = ext.DedupQueries.queries("q189_dedup_threshold_sweep")(spark, sf)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(res.map(_._1).toSeq == Seq(5000, 6000, 7000, 8000, 9000, 9500))
+    // raising the threshold can only remove pairs/docs, never add
+    res.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, s"curve must be non-increasing: $p1->$p2 / $d1->$d2")
+    }
+    // the drop-one-word plantings (J ~ 0.97) must survive the top cutoff
+    assert(res.last._2 > 0, "near-identical planted pairs missing at tau=0.95")
+    // the drop-a-third plantings (J ~ 0.67) must separate 0.6 from 0.8
+    val byTau = res.map(r => r._1 -> r._2).toMap
+    assert(byTau(6000) > byTau(8000), "mid-strength plantings must fall out by 0.8")
+  }
+
+  test("length buckets conserve docs and report sane padding waste") {
+    val res = ext.CurationQueries.queries("q190_length_buckets")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(res.map(_._2).sum == Tables.documents(spark, sf).count(),
+      "every doc lands in exactly one bucket")
+    res.foreach { case (cap, nDocs, nBatches, wasteBp) =>
+      assert(nBatches == (nDocs + 31) / 32, s"bucket $cap batch math")
+      assert(wasteBp >= 0 && wasteBp < 10000, s"bucket $cap waste $wasteBp")
+    }
+    // caps ascend and are the declared ladder values
+    val caps = res.map(_._1).sorted.toSeq
+    assert(caps == res.map(_._1).toSeq.sorted && caps.distinct == caps)
+  }
+
   test("BPE encode: concatenating a word's tokens reproduces the word") {
     val res = ext.TextQueries.queries("q134_bpe_encode")(spark, sf)
       .as[(String, Long, Long, Long, String)].collect()
