@@ -737,6 +737,49 @@ class ExtensionSpec extends SparkSpec {
     assert(caps == res.map(_._1).toSeq.sorted && caps.distinct == caps)
   }
 
+  test("SamplingPipeline: mixture sampling emits exact deterministic copies") {
+    val docs = Tables.documents(spark, sf)
+    val out = ext.SamplingPipeline.mixtureSample(
+      docs, "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.0), defaultWeight = 1.0)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    val inSrc = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("src1"), "weight-0 source must vanish")
+    // default weight 1.0 → exactly one copy of every other source
+    inSrc.keys.filterNot(Set("src0", "src1")).foreach { s =>
+      assert(bySrc(s) == inSrc(s), s"source $s must pass through 1:1")
+    }
+    // w=2.5 → between 2x and 3x, deterministic across runs
+    assert(bySrc("src0") >= 2 * inSrc("src0") && bySrc("src0") <= 3 * inSrc("src0"))
+    val again = ext.SamplingPipeline.mixtureSample(
+      docs, "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.0), defaultWeight = 1.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again == bySrc, "same salt must reproduce the same sample")
+    // copy indices are dense 1..n per row
+    val idx = out.filter(col("source") === "src0").groupBy("doc_id")
+      .agg(max("copy_idx").as("mx"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    idx.foreach { case (id, mx, n) => assert(mx == n, s"doc $id copies not dense") }
+  }
+
+  test("SamplingPipeline: epoch order is seed-stable and packing matches q188") {
+    val docs = Tables.documents(spark, sf)
+    val o1 = ext.SamplingPipeline.epochOrder(docs, "doc_id", 42)
+      .orderBy("epoch_order").select("doc_id").as[Long].collect()
+    val o2 = ext.SamplingPipeline.epochOrder(docs, "doc_id", 42)
+      .orderBy("epoch_order").select("doc_id").as[Long].collect()
+    val o3 = ext.SamplingPipeline.epochOrder(docs, "doc_id", 7)
+      .orderBy("epoch_order").select("doc_id").as[Long].collect()
+    assert(o1.toSeq == o2.toSeq && o1.toSeq != o3.toSeq)
+    val packed = ext.SamplingPipeline.packSequences(
+      docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      "doc_id", "source", "n_tok")
+      .select("doc_id", "source", "n_tok", "seq_id", "start_off", "n_straddles")
+      .orderBy("doc_id").collect()
+    val graded = ext.CurationQueries.queries("q188_sequence_pack")(spark, sf).collect()
+    assert(packed.toSeq == graded.toSeq, "API and graded query must agree")
+  }
+
   test("BPE encode: concatenating a word's tokens reproduces the word") {
     val res = ext.TextQueries.queries("q134_bpe_encode")(spark, sf)
       .as[(String, Long, Long, Long, String)].collect()
