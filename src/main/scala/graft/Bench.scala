@@ -110,8 +110,11 @@ object Bench {
       "\"" + k + "\":{\"gate\":" + fmt(g) + ",\"min\":" +
         fmt(results.getOrElse(k, -1.0)) + "}"
     }.mkString("{", ",", "}")
+    // a gated query that vanished from the suite (rename/drop) counts as
+    // BREACHED — a silent gate is worse than a red one (results.get(k)
+    // is None then, and forall on None is true)
     val breached = gates.collect {
-      case (k, g) if results.getOrElse(k, 0.0) > g => "\"" + k + "\""
+      case (k, g) if results.get(k).forall(_ > g) => "\"" + k + "\""
     }.toSeq.sorted.mkString("[", ",", "]")
     // every individual pass, first line: the min hides contention; a judge
     // reading the artifact can see a loaded box directly in a pass spread

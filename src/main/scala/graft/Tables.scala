@@ -64,27 +64,52 @@ object Tables {
   /** Resolved time unit + footer-stats span (in micros) for one events file. */
   private[graft] final case class TsContract(unit: TimeUnit, spanMicros: Long, file: String)
 
+  /** Per-part-file footer stats (micros): building block of [[TsContract]]. */
+  private final case class FileTsStats(unit: TimeUnit, minMicros: Long,
+      maxMicros: Long, spanMicros: Long, file: String)
+
   private val tsContractCache = new ConcurrentHashMap[String, TsContract]()
 
   /** Read the `ts` column's Parquet logical type annotation and min/max
     * statistics straight from the footer (no data scan). The fixture has
     * flipped between TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across driver
     * regenerations, so the unit MUST come from the file, never be assumed.
+    *
+    * Directory fixtures footer-read EVERY part: the span guard needs the
+    * global min/max (a ts-sorted write gives each part a tiny span — the
+    * first part alone would trip a false violation), and a mixed-unit
+    * directory must fail loudly rather than decide off part-00000.
     */
   private[graft] def eventsTsContract(s: SparkSession, path: String): TsContract =
     tsContractCache.computeIfAbsent(path, { p =>
       val conf = s.sessionState.newHadoopConf()
       val hp   = new Path(p)
       val fs   = hp.getFileSystem(conf)
-      // `events.parquet` may be a single file (driver fixture) or a
-      // Spark-written directory (test fixtures) — footer-read the first part.
-      val file: Path =
-        if (fs.getFileStatus(hp).isDirectory)
-          fs.listStatus(hp).map(_.getPath)
+      val files: Seq[Path] =
+        if (fs.getFileStatus(hp).isDirectory) {
+          val parts = fs.listStatus(hp).map(_.getPath)
             .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-            .sortBy(_.getName).headOption
-            .getOrElse(sys.error(s"events contract: no parquet part files under $p"))
-        else hp
+            .sortBy(_.getName).toSeq
+          if (parts.isEmpty) sys.error(s"events contract: no parquet part files under $p")
+          parts
+        } else Seq(hp)
+      val perFile = files.map(f => oneFileContract(conf, f))
+      val units = perFile.map(_.unit).distinct
+      require(units.size == 1,
+        s"events contract: $p mixes ts units across part files (${units.mkString(", ")})")
+      // combine to the global span: per-file spans were computed from each
+      // footer's min/max in the SAME resolved unit, already in micros
+      if (perFile.exists(_.spanMicros == Long.MaxValue))
+        TsContract(units.head, Long.MaxValue, perFile.head.file)
+      else {
+        val mins = perFile.map(_.minMicros).min
+        val maxs = perFile.map(_.maxMicros).max
+        TsContract(units.head, maxs - mins, perFile.head.file)
+      }
+    })
+
+  private def oneFileContract(conf: org.apache.hadoop.conf.Configuration,
+                              file: Path): FileTsStats = {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
@@ -99,8 +124,17 @@ object Tables {
             s"${missing.mkString(", ")} (found: ${have.toSeq.sorted.mkString(", ")})")
         val tsField = schema.getFields.asScala.find(_.getName == "ts")
           .getOrElse(sys.error(s"events contract: $file has no `ts` column"))
+        val isInt96 = tsField.isPrimitive &&
+          tsField.asPrimitiveType().getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
         val unit = tsField.getLogicalTypeAnnotation match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+          case null if isInt96 =>
+            // legacy Spark/Hive INT96 timestamps carry no annotation;
+            // Spark's native reader handles them, so route to the
+            // TIMESTAMP-schema branch. Footer stats are binary → the span
+            // guard degrades to a no-op for these files.
+            return FileTsStats(TimeUnit.MICROS, 0L, 0L, Long.MaxValue, file.toString)
           case other =>
             sys.error(
               s"events contract: $file column `ts` is not a Parquet TIMESTAMP " +
@@ -125,12 +159,16 @@ object Tables {
             }
           }
         }
-        val spanMicros =
-          if (minV == Long.MaxValue) Long.MaxValue // no stats → can't check span
-          else ((maxV - minV) / divisor) * 1000000L + (((maxV - minV) % divisor) * 1000000L) / divisor
-        TsContract(unit, spanMicros, file.toString)
+        if (minV == Long.MaxValue) // no stats → span guard degrades to no-op
+          FileTsStats(unit, 0L, 0L, Long.MaxValue, file.toString)
+        else {
+          def toMicros(v: Long): Long =
+            (v / divisor) * 1000000L + ((v % divisor) * 1000000L) / divisor
+          FileTsStats(unit, toMicros(minV), toMicros(maxV),
+            toMicros(maxV) - toMicros(minV), file.toString)
+        }
       } finally reader.close()
-    })
+    }
 
   private val MinPlausibleSpanMicros = 24L * 3600 * 1000000      // 1 day
   private val MaxPlausibleSpanMicros = 50L * 365 * 24 * 3600 * 1000000 // 50 years

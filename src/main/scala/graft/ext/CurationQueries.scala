@@ -486,57 +486,40 @@ object CurationQueries {
         .withColumn("bucket_cap", expr(LenBucketCase))
         .groupBy("bucket_cap")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("sum_tok"))
+          sum(col("n_tok")).as("sum_tok"),
+          max(col("n_tok")).as("max_tok"))
+        // pad target: the bucket cap, except the overflow bucket pads to
+        // its longest doc (as a real dataloader would) — keeps waste_bp
+        // non-negative even when docs exceed the top boundary
         .select(col("bucket_cap"), col("n_docs"),
           expr("(n_docs + 31) DIV 32").as("n_batches"),
-          expr("((n_docs * bucket_cap - sum_tok) * 10000) DIV (n_docs * bucket_cap)").as("waste_bp"))
+          expr("((n_docs * greatest(bucket_cap, max_tok) - sum_tok) * 10000)" +
+            " DIV (n_docs * greatest(bucket_cap, max_tok))").as("waste_bp"))
         .orderBy("bucket_cap")
     })
   )
 
-  /** Power-of-2 bucket boundaries for q190, as an integer CASE ladder
-    * shared verbatim by the Spark plan and the oracle (a float
-    * pow/ceil(log2) bucket could round differently across engines at
-    * exact powers of two). Docs longer than the top boundary land in the
-    * overflow cap. */
-  private[ext] val LenBucketBounds = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
-  private[ext] val LenBucketOverflow = 4096L
-  private[ext] val LenBucketCase: String =
-    LenBucketBounds.map(b => s"WHEN n_tok <= $b THEN $b")
-      .mkString("CASE ", " ", s" ELSE $LenBucketOverflow END")
+  /** q190's bucket ladder — [[SamplingPipeline]]'s canonical boundaries
+    * rendered once as an integer CASE expression (a float pow/ceil(log2)
+    * bucket could round differently across engines at exact powers of
+    * two). Docs longer than the top boundary land in the overflow cap. */
+  private[ext] val LenBucketCase: String = SamplingPipeline.ladderExpr(
+    "n_tok", SamplingPipeline.DefaultBucketBounds, SamplingPipeline.DefaultOverflowCap)
 
   /** Fixed training-sequence length (tokens) for q188's packing. */
   private[ext] val SeqPackLen = 2048
 
-  /** Integer uniform draw in [0, 16^5) from the first 5 hex digits of
-    * md5(doc_id ':mix') — identical arithmetic in Spark SQL and DuckDB
-    * (both have md5/substring/instr), the q133 portable-hash trick. */
-  private[ext] val MixDrawExpr: String =
-    (1 to 5).map(i =>
-      s"(instr('0123456789abcdef', substring(md5(concat(cast(doc_id as string), ':mix')), $i, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
-      .mkString(" + ")
-
-  /** Per-source mixture weights, split into exact integer pieces: the
-    * whole-copy floor and the 16^5-scaled fractional threshold. Literals
-    * are inlined into BOTH the Spark plan and the oracle SQL from these
-    * single definitions, so the two sides cannot drift. */
+  /** q187's fixed demo weights. The draw / CASE expressions come from
+    * [[SamplingPipeline]] — THE single definition shared by the Spark
+    * plan, the user API, and the oracle SQL, so none can drift. */
   private[ext] val MixWeights: Seq[(String, Double)] =
     Seq("src0" -> 2.5, "src1" -> 0.0, "src2" -> 1.5)
   private[ext] val MixDefaultWeight = 0.8
-  private def floorOf(wt: Double): Long = math.floor(wt).toLong
-  private def threshOf(wt: Double): Long = math.round((wt - math.floor(wt)) * 1048576)
-  private[ext] val MixFloorCase: String =
-    MixWeights.map { case (src, wt) => s"WHEN '$src' THEN ${floorOf(wt)}L" }
-      .mkString("CASE source ", " ", s" ELSE ${floorOf(MixDefaultWeight)}L END")
-  private[ext] val MixThreshCase: String =
-    MixWeights.map { case (src, wt) => s"WHEN '$src' THEN ${threshOf(wt)}L" }
-      .mkString("CASE source ", " ", s" ELSE ${threshOf(MixDefaultWeight)}L END")
-  private[ext] val MixFloorCaseSql: String =
-    MixWeights.map { case (src, wt) => s"WHEN '$src' THEN ${floorOf(wt)}" }
-      .mkString("CASE source ", " ", s" ELSE ${floorOf(MixDefaultWeight)} END")
-  private[ext] val MixThreshCaseSql: String =
-    MixWeights.map { case (src, wt) => s"WHEN '$src' THEN ${threshOf(wt)}" }
-      .mkString("CASE source ", " ", s" ELSE ${threshOf(MixDefaultWeight)} END")
+  private[ext] val MixDrawExpr: String = SamplingPipeline.drawExpr("doc_id", "mix")
+  private[ext] val (mixFloorCase, mixThreshCase) =
+    SamplingPipeline.weightCases("source", MixWeights, MixDefaultWeight)
+  private[ext] def MixFloorCase: String = mixFloorCase
+  private[ext] def MixThreshCase: String = mixThreshCase
 
   def oracles: Map[String, String] = Map(
     "q186_seeded_shuffle" ->
@@ -554,8 +537,8 @@ object CurationQueries {
 
     "q187_mixture_sample" ->
       s"""WITH u AS (SELECT source, ($MixDrawExpr) AS u,
-                  $MixFloorCaseSql AS w_floor,
-                  $MixThreshCaseSql AS u_thresh
+                  $mixFloorCase AS w_floor,
+                  $mixThreshCase AS u_thresh
              FROM documents),
           c AS (SELECT source,
                        w_floor + CASE WHEN u < u_thresh THEN 1 ELSE 0 END
@@ -588,13 +571,14 @@ object CurationQueries {
                        AS n_tok FROM documents),
           b AS (SELECT n_tok, $LenBucketCase AS bucket_cap FROM t),
           agg AS (SELECT bucket_cap, count(*) AS n_docs,
-                         sum(n_tok) AS sum_tok
+                         sum(n_tok) AS sum_tok, max(n_tok) AS max_tok
                   FROM b GROUP BY bucket_cap)
           SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
                  CAST(n_docs AS BIGINT) AS n_docs,
                  CAST((n_docs + 31) // 32 AS BIGINT) AS n_batches,
-                 CAST((n_docs * bucket_cap - sum_tok) * 10000
-                      // (n_docs * bucket_cap) AS BIGINT) AS waste_bp
+                 CAST((n_docs * greatest(bucket_cap, max_tok) - sum_tok) * 10000
+                      // (n_docs * greatest(bucket_cap, max_tok)) AS BIGINT)
+                   AS waste_bp
           FROM agg ORDER BY bucket_cap""",
 
     "q176_golden_record" ->

@@ -19,6 +19,45 @@ import org.apache.spark.sql.functions._
   */
 object SamplingPipeline {
 
+  /** Escape a data-derived string for embedding in a SQL string literal —
+    * source names and salts come from user corpora, where a quote is
+    * plausible input, not programmer error. */
+  private[ext] def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** Integer uniform draw in [0, 16^5) from the first 5 md5 hex digits of
+    * `idCol` + salt — identical arithmetic in Spark SQL and DuckDB (both
+    * have md5/substring/instr). THE single definition: the graded queries'
+    * oracles and this API both build from here, so the two sides cannot
+    * drift (the four-hand-maintained-copies lesson in DETERMINISM.md). */
+  private[ext] def drawExpr(idCol: String, salt: String): String =
+    (1 to 5).map(i =>
+      s"(instr('0123456789abcdef', substring(md5(concat(cast($idCol as string), ':${sqlLit(salt)}')), $i, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
+      .mkString(" + ")
+
+  private[ext] def floorOf(w: Double): Long = math.floor(w).toLong
+  private[ext] def threshOf(w: Double): Long = math.round((w - math.floor(w)) * 1048576)
+
+  /** Per-source weight split into integer pieces as CASE expressions
+    * (whole-copy floor, 16^5-scaled fractional threshold) — valid in both
+    * Spark SQL and DuckDB. */
+  private[ext] def weightCases(sourceCol: String, weights: Seq[(String, Double)],
+                               default: Double): (String, String) = {
+    def cases(f: Double => Long) = weights.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '${sqlLit(s)}' THEN ${f(w)}" }
+      .mkString(s"CASE $sourceCol ", " ", s" ELSE ${f(default)} END")
+    (cases(floorOf), cases(threshOf))
+  }
+
+  /** Ascending bucket ladder as a CASE expression, shared with oracles. */
+  private[ext] def ladderExpr(tokCol: String, bounds: Seq[Long], overflow: Long): String =
+    bounds.map(b => s"WHEN $tokCol <= $b THEN $b")
+      .mkString("CASE ", " ", s" ELSE $overflow END")
+
+  /** Canonical power-of-2 bucket boundaries (q190 + lengthBucket default). */
+  private[ext] val DefaultBucketBounds =
+    Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+  private[ext] val DefaultOverflowCap = 4096L
+
   /** A deterministic epoch-order column: sorting by it yields a uniform,
     * seed-reproducible permutation (different seeds → different orders).
     * No position is materialized — at scale the ORDER is what a
@@ -41,19 +80,10 @@ object SamplingPipeline {
                     salt: String = "mix"): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
       "mixture weights must be in [0, 100]")
-    def floorOf(w: Double) = math.floor(w).toLong
-    def threshOf(w: Double) = math.round((w - math.floor(w)) * 1048576)
-    val floorCase = weights.toSeq.sortBy(_._1)
-      .map { case (s, w) => s"WHEN '$s' THEN ${floorOf(w)}L" }
-      .mkString(s"CASE $sourceCol ", " ", s" ELSE ${floorOf(defaultWeight)}L END")
-    val threshCase = weights.toSeq.sortBy(_._1)
-      .map { case (s, w) => s"WHEN '$s' THEN ${threshOf(w)}L" }
-      .mkString(s"CASE $sourceCol ", " ", s" ELSE ${threshOf(defaultWeight)}L END")
-    val draw = (1 to 5).map(i =>
-      s"(instr('0123456789abcdef', substring(md5(concat(cast($idCol as string), ':$salt')), $i, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
-      .mkString(" + ")
+    val (floorCase, threshCase) = weightCases(sourceCol, weights.toSeq, defaultWeight)
+    val draw = drawExpr(idCol, salt)
     df.withColumn("__n_copies",
-        expr(floorCase) + when(expr(s"($draw)") < expr(threshCase), 1L).otherwise(0L))
+        expr(floorCase).cast("long") + when(expr(s"($draw)") < expr(threshCase), 1L).otherwise(0L))
       .filter(col("__n_copies") > 0)
       .withColumn("copy_idx", explode(expr("sequence(1, __n_copies)")))
       .drop("__n_copies")
@@ -81,12 +111,11 @@ object SamplingPipeline {
     * batching. Boundaries must ascend. `q190_length_buckets` grades the
     * per-bucket batch/waste accounting this feeds. */
   def lengthBucket(df: DataFrame, tokCol: String,
-                   bounds: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L),
-                   overflowCap: Long = 4096L): DataFrame = {
+                   bounds: Seq[Long] = DefaultBucketBounds,
+                   overflowCap: Long = DefaultOverflowCap): DataFrame = {
     require(bounds.nonEmpty && bounds == bounds.sorted && bounds.last < overflowCap,
       "bucket bounds must ascend below the overflow cap")
-    val ladder = bounds.map(b => s"WHEN $tokCol <= $b THEN ${b}L")
-      .mkString("CASE ", " ", s" ELSE ${overflowCap}L END")
-    df.withColumn("bucket_cap", expr(ladder))
+    df.withColumn("bucket_cap",
+      expr(ladderExpr(tokCol, bounds, overflowCap)).cast("long"))
   }
 }

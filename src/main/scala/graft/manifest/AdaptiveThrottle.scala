@@ -44,10 +44,14 @@ object AdaptiveThrottle {
 
   /** A failure that means "slow down" rather than "broken": HTTP 503/429
     * shapes as surfaced through IOException messages by FileSystem impls.
+    * The status codes must stand alone as numbers — digit lookarounds keep
+    * object names and byte counts ("part-00503.parquet", request ids) from
+    * engaging the brake on ordinary transient errors.
     */
+  private val StatusCodeRe = "(?<![0-9])(503|429)(?![0-9])".r
   def throttleShaped(e: Throwable): Boolean = {
     val m = Option(e.getMessage).getOrElse("").toLowerCase
-    m.contains("503") || m.contains("429") || m.contains("slow down") ||
+    StatusCodeRe.findFirstIn(m).isDefined || m.contains("slow down") ||
       m.contains("slowdown") || m.contains("throttl") ||
       m.contains("too many requests")
   }
@@ -59,15 +63,24 @@ object AdaptiveThrottle {
     d
   }
 
+  // delayMs updates are read-modify-write and the whole point is correct
+  // behavior under concurrent executor task threads — synchronize on the
+  // per-key State (uncontended in the common no-throttle path: onSuccess
+  // on a zero delay is one volatile read + lock of a thread-local-hot
+  // monitor; the code inside never blocks).
   def onThrottle(key: String): Unit = {
     val s = state(key)
     s.throttles.incrementAndGet()
-    s.delayMs = math.min(MaxDelayMs, math.max(MinActiveDelayMs, s.delayMs * 2))
+    s.synchronized {
+      s.delayMs = math.min(MaxDelayMs, math.max(MinActiveDelayMs, s.delayMs * 2))
+    }
   }
 
   def onSuccess(key: String): Unit = {
     val s = state(key)
-    s.delayMs = if (s.delayMs < 1.0) 0.0 else s.delayMs * 0.9
+    s.synchronized {
+      s.delayMs = if (s.delayMs < 1.0) 0.0 else s.delayMs * 0.9
+    }
   }
 
   def currentDelayMs(key: String): Double = state(key).delayMs

@@ -41,10 +41,15 @@ object Retry {
         throttleKey.foreach(AdaptiveThrottle.onSuccess)
         return r
       } catch {
-        case e: Exception if transientIo(e) && n + 1 < attempts =>
-          n += 1
+        case e: Exception if transientIo(e) =>
+          // register EVERY throttle-shaped failure with the governor —
+          // including the budget-exhausting final one, which is the
+          // strongest slow-down signal the store can send (a retry storm
+          // that fails all attempts must still raise the fleet brake)
           val throttled = throttleKey.isDefined && AdaptiveThrottle.throttleShaped(e)
           if (throttled) throttleKey.foreach(AdaptiveThrottle.onThrottle)
+          if (n + 1 >= attempts) throw e
+          n += 1
           // back off at least the (possibly just-raised) pacing delay: the
           // per-call exponential budget and the fleet-level brake compose
           val backoff = math.max(baseIntervalMs * (1L << (n - 1)),

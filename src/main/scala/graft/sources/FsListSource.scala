@@ -209,12 +209,23 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
               if (matches(hp)) {
                 // an entry can vanish between readdir and stat when the
                 // tree is mutated concurrently — skip it, don't fail the
-                // whole planning
+                // whole planning. NOFOLLOW classification keeps the
+                // symlink policy consistent with the executor walk:
+                // link-to-file is listed (as a file), link-to-dir is
+                // never followed (cycle safety), dangling links skipped.
                 try {
                   val a = java.nio.file.Files.readAttributes(e,
-                    classOf[java.nio.file.attribute.BasicFileAttributes])
-                  raw += new org.apache.hadoop.fs.FileStatus(a.size, a.isDirectory, 1,
-                    64L << 20, a.lastModifiedTime.toMillis, hp)
+                    classOf[java.nio.file.attribute.BasicFileAttributes],
+                    java.nio.file.LinkOption.NOFOLLOW_LINKS)
+                  if (a.isSymbolicLink) {
+                    val t = java.nio.file.Files.readAttributes(e,
+                      classOf[java.nio.file.attribute.BasicFileAttributes])
+                    if (t.isRegularFile)
+                      raw += new org.apache.hadoop.fs.FileStatus(t.size, false, 1,
+                        64L << 20, t.lastModifiedTime.toMillis, hp)
+                  } else
+                    raw += new org.apache.hadoop.fs.FileStatus(a.size, a.isDirectory, 1,
+                      64L << 20, a.lastModifiedTime.toMillis, hp)
                 } catch { case _: java.io.IOException => () }
               }
               if (raw.length > maxKids || scanned > maxScan) overflow = true
@@ -492,9 +503,17 @@ class FsListReader(p: FsListPartition, delimiter: String,
     attrsOf(root) match {
       case None => Iterator.empty
       case Some(a) if !a.isDirectory =>
-        // bundle paths are type-agnostic: a plain-file shard emits itself
+        // bundle paths are type-agnostic: a plain-file shard emits itself;
+        // a symlink shard emits its target if that is a regular file
         if (a.isRegularFile)
           Iterator((root.toAbsolutePath.toString, a.size, a.lastModifiedTime.toMillis))
+        else if (a.isSymbolicLink)
+          (try {
+            val t = Files.readAttributes(root, classOf[BasicFileAttributes])
+            if (t.isRegularFile)
+              Iterator((root.toAbsolutePath.toString, t.size, t.lastModifiedTime.toMillis))
+            else Iterator.empty
+          } catch { case _: java.io.IOException => Iterator.empty })
         else Iterator.empty
       case Some(_) =>
         final case class Frame(ds: java.nio.file.DirectoryStream[java.nio.file.Path],
@@ -528,6 +547,18 @@ class FsListReader(p: FsListPartition, delimiter: String,
               case Some(a) if a.isDirectory => push(e); None
               case Some(a) if a.isRegularFile =>
                 Some((e.toAbsolutePath.toString, a.size, a.lastModifiedTime.toMillis))
+              case Some(a) if a.isSymbolicLink =>
+                // parity with the previous Files.walk + isRegularFile
+                // behavior: a link to a FILE is emitted (with the
+                // target's size/mtime); a link to a directory is NOT
+                // followed (no cycle risk — Files.walk's default too)
+                try {
+                  val t = Files.readAttributes(e,
+                    classOf[BasicFileAttributes]) // follows the link
+                  if (t.isRegularFile)
+                    Some((e.toAbsolutePath.toString, t.size, t.lastModifiedTime.toMillis))
+                  else None
+                } catch { case _: java.io.IOException => None } // dangling link
               case _ => None
             }
           }
@@ -552,13 +583,25 @@ class FsListReader(p: FsListPartition, delimiter: String,
     ds.iterator().asScala
       .filter(e => ownsEntry(e.getFileName.toString))
       .flatMap { e =>
-        // skip entries vanishing between readdir and stat (see nioWalkAll)
+        // skip entries vanishing between readdir and stat (see nioWalkAll);
+        // symlink policy matches nioWalkAll: link-to-file emitted with
+        // target stats, link-to-dir never followed
         try {
           val attrs = Files.readAttributes(e,
-            classOf[java.nio.file.attribute.BasicFileAttributes])
+            classOf[java.nio.file.attribute.BasicFileAttributes],
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)
           if (attrs.isDirectory) nioWalkAll(e)
-          else Iterator((e.toAbsolutePath.toString, attrs.size(),
-            attrs.lastModifiedTime().toMillis))
+          else if (attrs.isRegularFile)
+            Iterator((e.toAbsolutePath.toString, attrs.size(),
+              attrs.lastModifiedTime().toMillis))
+          else if (attrs.isSymbolicLink) {
+            val t = Files.readAttributes(e,
+              classOf[java.nio.file.attribute.BasicFileAttributes])
+            if (t.isRegularFile)
+              Iterator((e.toAbsolutePath.toString, t.size(),
+                t.lastModifiedTime().toMillis))
+            else Iterator.empty
+          } else Iterator.empty
         } catch { case _: java.io.IOException => Iterator.empty }
       }
   }

@@ -334,7 +334,49 @@ class ConnectorSpec extends SparkSpec {
     assert(AdaptiveThrottle.throttleShaped(new java.io.IOException("503 Slow Down")))
     assert(AdaptiveThrottle.throttleShaped(new java.io.IOException("HTTP 429 Too Many Requests")))
     assert(!AdaptiveThrottle.throttleShaped(new java.io.IOException("connection reset")))
+    // status codes embedded in object names / byte counts must NOT brake
+    assert(!AdaptiveThrottle.throttleShaped(new java.io.IOException(
+      "connection reset reading s3a://bkt/data/part-00503.parquet")))
+    assert(!AdaptiveThrottle.throttleShaped(new java.io.IOException(
+      "premature EOF at byte 14290 of object o4290")))
     AdaptiveThrottle.reset(k)
+  }
+
+  test("a budget-exhausting 503 storm still raises the fleet brake") {
+    import graft.manifest.{AdaptiveThrottle, Retry}
+    val k = "mem://storm"
+    AdaptiveThrottle.reset(k)
+    intercept[java.io.IOException] {
+      Retry.withRetries(attempts = 3, baseIntervalMs = 1, throttleKey = Some(k)) {
+        throw new java.io.IOException("503 Slow Down (persistent)")
+      }
+    }
+    // all 3 attempts were throttle-shaped — including the final rethrown
+    // one, the strongest signal (it exhausted the whole budget)
+    assert(AdaptiveThrottle.throttleCount(k) == 3,
+      s"got ${AdaptiveThrottle.throttleCount(k)} registered throttles")
+    assert(AdaptiveThrottle.currentDelayMs(k) > 0)
+    AdaptiveThrottle.reset(k)
+  }
+
+  test("local walk emits symlink-to-file targets, skips dir links and dangling links") {
+    val root = java.nio.file.Files.createTempDirectory("symlink-walk")
+    val sub = java.nio.file.Files.createDirectory(root.resolve("sub"))
+    java.nio.file.Files.writeString(sub.resolve("real.txt"), "abc")
+    java.nio.file.Files.writeString(root.resolve("target.bin"), "0123456789")
+    java.nio.file.Files.createSymbolicLink(root.resolve("link.bin"), root.resolve("target.bin"))
+    java.nio.file.Files.createSymbolicLink(root.resolve("dirlink"), sub)
+    java.nio.file.Files.createSymbolicLink(root.resolve("dangling"), root.resolve("gone"))
+    val rows = spark.read.format("graft.sources.FsListSource")
+      .option("path", root.toString).load()
+      .select("FileName", "Size").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.contains("real.txt") && rows.contains("target.bin"))
+    assert(rows.get("link.bin").contains(10L),
+      s"symlink-to-file must be emitted with the TARGET's size, got $rows")
+    // a directory symlink is not followed (cycle safety), dangling skipped
+    assert(!rows.contains("dangling"))
+    assert(rows.size == 3, s"unexpected rows: $rows")
   }
 
   test("throttled LISTs raise the per-store pacing delay; clean runs decay it") {

@@ -423,6 +423,27 @@ class StreamingSpec extends SparkSpec {
       s"expected a loud schema error naming the column, got: ${e.getMessage}")
   }
 
+  test("events contract: a ts-sorted multi-part directory passes the span guard") {
+    // each part then covers a small slice of the timeline — the guard
+    // must combine footer stats ACROSS parts, not judge part-00000 alone
+    val dir = java.nio.file.Files.createTempDirectory("ev-multipart").toString
+    // µs output (not Spark's default INT96) so each part carries usable
+    // INT64 footer stats and the cross-part combine is really exercised
+    val prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try Tables.events(spark, sf)
+      // explicit N disables AQE coalescing: 4 ts-ranged parts, each
+      // covering only a slice of the timeline
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+      .write.parquet(s"$dir/events.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+    val parts = new java.io.File(s"$dir/events.parquet")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts > 1, s"fixture must be multi-part to exercise the combine (got $parts)")
+    val n = Tables.events(spark, dir).count()
+    assert(n == Tables.events(spark, sf).count())
+  }
+
   test("events contract: a unit-mangled fixture fails loudly, not silently") {
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     val dir = java.nio.file.Files.createTempDirectory("ev-mangled").toString
