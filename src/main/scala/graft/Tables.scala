@@ -39,9 +39,22 @@ object Tables {
 
   private val schemaChecked = new ConcurrentHashMap[String, Boolean]()
 
+  /** Cache key for per-fixture contract verdicts: path PLUS the root
+    * status's (mtime, length), so a fixture regenerated mid-session at
+    * the same path (the documented driver workflow) re-validates instead
+    * of silently reusing a stale verdict. One stat per load — noise next
+    * to the query it fronts. A replaced part file updates the directory
+    * mtime on every fs the driver uses, and single-file fixtures change
+    * length and/or mtime on rewrite. */
+  private def fixtureKey(s: SparkSession, path: String): String = {
+    val hp = new Path(path)
+    val st = hp.getFileSystem(s.sessionState.newHadoopConf()).getFileStatus(hp)
+    s"$path@${st.getModificationTime}:${st.getLen}"
+  }
+
   private def checked(s: SparkSession, d: String, name: String): DataFrame = {
     val df = load(s, d, name)
-    schemaChecked.computeIfAbsent(s"$d/$name", { _ =>
+    schemaChecked.computeIfAbsent(fixtureKey(s, s"$d/$name.parquet"), { _ =>
       val have = df.schema.fieldNames.toSet
       val missing = RequiredCols.getOrElse(name, Nil).filterNot(have)
       require(missing.isEmpty,
@@ -81,7 +94,10 @@ object Tables {
     * directory must fail loudly rather than decide off part-00000.
     */
   private[graft] def eventsTsContract(s: SparkSession, path: String): TsContract =
-    tsContractCache.computeIfAbsent(path, { p =>
+    // keyed on (path, mtime, length) — see fixtureKey: a regenerated
+    // events fixture must re-resolve its unit, not reuse the old verdict
+    tsContractCache.computeIfAbsent(fixtureKey(s, path), { _ =>
+      val p = path
       val conf = s.sessionState.newHadoopConf()
       val hp   = new Path(p)
       val fs   = hp.getFileSystem(conf)

@@ -334,8 +334,11 @@ class FsListScan(path: String, delimiter: String, prefix: Option[String],
     val mergeTarget = math.max(2, target / 2)
     val merged: Seq[FsListPartition] =
       if (plain.length > mergeTarget)
-        plain.zipWithIndex.groupBy(_._2 % mergeTarget).values.toSeq
-          .map(g => FsListPartition(g.map(_._1).flatMap(_.paths).toSeq, bucket))
+        // sort groups by residue so partition composition/order is
+        // deterministic across runs (groupBy hands back a HashMap)
+        plain.zipWithIndex.groupBy(_._2 % mergeTarget).toSeq.sortBy(_._1)
+          .map { case (_, g) =>
+            FsListPartition(g.map(_._1).flatMap(_.paths).toSeq, bucket) }
       else plain.toSeq
     val shards = (merged ++ special).map(p => p: InputPartition).toArray
     if (shards.isEmpty) Array(FsListPartition(Seq(root.toString), bucket))
@@ -530,9 +533,17 @@ class FsListReader(p: FsListPartition, delimiter: String,
           def hasNext: Boolean = {
             while (stack.nonEmpty) {
               val f = stack.top
+              // DirectoryStream iterators surface mid-iteration I/O
+              // errors as DirectoryIteratorException (not the
+              // UncheckedIOException Files.walk wrapped them in) —
+              // treat both as end-of-directory, preserving the
+              // best-effort-under-concurrent-mutation contract above.
               val more =
                 try f.it.hasNext
-                catch { case _: java.io.UncheckedIOException => false }
+                catch {
+                  case _: java.io.UncheckedIOException => false
+                  case _: java.nio.file.DirectoryIteratorException => false
+                }
               if (more) return true
               try f.ds.close() catch { case _: java.io.IOException => () }
               stack.pop()
@@ -542,7 +553,10 @@ class FsListReader(p: FsListPartition, delimiter: String,
           def next(): Option[(String, Long, Long)] = {
             val e =
               try stack.top.it.next()
-              catch { case _: java.io.UncheckedIOException => return None }
+              catch {
+                case _: java.io.UncheckedIOException => return None
+                case _: java.nio.file.DirectoryIteratorException => return None
+              }
             attrsOf(e) match {
               case Some(a) if a.isDirectory => push(e); None
               case Some(a) if a.isRegularFile =>

@@ -423,6 +423,23 @@ class StreamingSpec extends SparkSpec {
       s"expected a loud schema error naming the column, got: ${e.getMessage}")
   }
 
+  test("table contract: a fixture regenerated at the same path re-validates") {
+    // the contract caches key on (path, mtime, length) — a driver
+    // regeneration at the SAME path must re-run the guard, not reuse
+    // the first load's verdict
+    val dir = java.nio.file.Files.createTempDirectory("tbl-regen").toString
+    val docs = s"$dir/documents.parquet"
+    spark.range(5).selectExpr("id AS doc_id", "'t' AS text", "'en' AS lang",
+      "'web' AS source", "1 AS n_chars").write.parquet(docs)
+    assert(Tables.documents(spark, dir).count() == 5) // caches the verdict
+    // regenerate in place with a mangled schema (text dropped)
+    spark.range(3).selectExpr("id AS doc_id", "'en' AS lang")
+      .write.mode("overwrite").parquet(docs)
+    val e = intercept[IllegalArgumentException] { Tables.documents(spark, dir) }
+    assert(e.getMessage.contains("testdata contract violation"),
+      s"stale cached verdict bypassed the guard: ${e.getMessage}")
+  }
+
   test("events contract: a ts-sorted multi-part directory passes the span guard") {
     // each part then covers a small slice of the timeline — the guard
     // must combine footer stats ACROSS parts, not judge part-00000 alone
