@@ -405,7 +405,9 @@ object DedupQueries {
     "q116_substring_dedup" -> ((s, d) =>
       winnowedSubstringPairs(corpus(s, d)).orderBy("id1", "id2")),
 
-    // Spark ML MinHashLSH near-dup (no oracle — see mlMinhash scaladoc).
+    // Spark ML MinHashLSH near-dup, exact-verified: the dump is the
+    // relationally recomputed pair set (brute-force-matchable), so the
+    // oracle hash-grades it even though LSH candidates are engine-specific.
     "q49_ml_minhash" -> ((s, d) => mlMinhash(s, d)),
 
     // Embedding near-dup: sign-LSH (2 bands × 12 hyperplane bits) →
@@ -543,14 +545,16 @@ object DedupQueries {
 
   /** Spark ML MinHashLSH variant of q41 (approxSimilarityJoin). The hash
     * family is Spark-internal (seeded, deterministic run-to-run but not
-    * SQL-reproducible), so this query has no oracle. To make the driver's
-    * rows-only fallback check carry signal anyway, the output is GATED on
-    * planted-pair recall: the recall of the planted exact-copy pairs
-    * (id, id+1M — identical feature vectors hash identically in every
-    * table, so 1.0 is the invariant, not a tuning target) is emitted as a
-    * column and the rows are filtered to recall = 1.0. A recall
-    * regression therefore collapses the output to 0 rows and fails the
-    * row check, instead of hiding behind "no oracle". */
+    * SQL-reproducible) — so the CANDIDATE set is not the graded surface.
+    * Instead the dump is the exact-verified pair set: candidates
+    * re-verified by a relational distinct-word Jaccard (one BIGINT
+    * division, bit-identical to the DuckDB twin) at the same 0.05
+    * distance threshold, plus a `recall` column measured against the
+    * full brute-force truth over the bounded cohort. Since verified ⊆
+    * truth by construction, recall = 1.0 iff the dump EQUALS the
+    * brute-force oracle — any LSH candidate miss fails both the recall
+    * gate and the hash. This upgrades q49 from rows-only to fully
+    * hash-graded while still exercising the ML LSH index end to end. */
   private def mlMinhash(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
     // Fixed 50-original-doc cohort: the ML approxSimilarityJoin's candidate
@@ -568,27 +572,49 @@ object DedupQueries {
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(8).setSeed(42L)
     val lshModel = lsh.fit(vecs)
-    // The recall gate below consumes `pairs` TWICE (the semi-join count
-    // and the final output); localCheckpoint materializes the expensive
-    // approxSimilarityJoin once so both consumers read the pinned rows —
-    // the cohort is bounded (50 originals), so the pinned table is tiny
-    // and its blocks are reclaimed by the context cleaner with the result.
-    val pairs = lshModel.approxSimilarityJoin(vecs, vecs, 0.05, "jaccard_dist")
-      .select(col("datasetA.doc_id").as("id1"), col("datasetB.doc_id").as("id2"),
-        col("jaccard_dist"))
+    // Candidate pairs from the ML LSH index (seed-fixed, so deterministic
+    // per run — but the hash family is engine-specific, so candidates are
+    // NOT the graded bytes). localCheckpoint materializes the expensive
+    // approxSimilarityJoin once for its two consumers (verify join +
+    // recall count); the cohort is bounded (50 originals), so the pinned
+    // table is tiny and reclaimed by the context cleaner with the result.
+    val cand = lshModel.approxSimilarityJoin(vecs, vecs, 0.05, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("id1"), col("datasetB.doc_id").as("id2"))
       .filter(col("id1") < col("id2"))
       .distinct()
       .localCheckpoint()
-    // recall gate: every cohort original (id < 1M) has its exact copy at
-    // id+1M in the same cohort, so (id, id+1M) must all be recalled
-    val expected = tok.filter(col("doc_id") < 1000000L)
-      .select(col("doc_id").as("id1"), (col("doc_id") + 1000000L).as("id2"))
-    val recallDf = expected.join(pairs, Seq("id1", "id2"), "left_semi")
+    // Exact verification, relationally: distinct-word Jaccard recomputed
+    // from the token sets with a single integer division ((u - i) / u,
+    // both BIGINT) so the dumped distance is bit-identical to DuckDB's —
+    // the graded output carries no MLlib numerics at all.
+    val toks = tok.select(col("doc_id"), explode(col("words")).as("w")).distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    def exactPairs(onlyCand: Option[DataFrame]): DataFrame = {
+      val t1 = toks.select(col("doc_id").as("id1"), col("w"))
+      val t2 = toks.select(col("doc_id").as("id2"), col("w"))
+      val joined = t1.join(t2, Seq("w")).filter(col("id1") < col("id2"))
+      val scoped = onlyCand.fold(joined)(c => joined.join(c, Seq("id1", "id2"), "left_semi"))
+      scoped.groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+        .withColumn("u", col("sz1") + col("sz2") - col("i"))
+        // strict <, matching approxSimilarityJoin's `dist < threshold`
+        .withColumn("jaccard_dist", (col("u") - col("i")) / col("u"))
+        .filter(col("jaccard_dist") < 0.05)
+        .select("id1", "id2", "jaccard_dist")
+    }
+    val verified = exactPairs(Some(cand))
+    // Recall gate vs the FULL brute-force truth over the same cohort
+    // (≤150 docs — the all-pairs surface is demo-sized by construction;
+    // the scale path for near-dup stays q41's banded LSH). A candidate
+    // miss shows up twice: recall < 1.0 AND a pair absent vs the
+    // brute-force oracle — the hash catches either.
+    val truth = exactPairs(None)
+    val recallDf = truth.join(verified, Seq("id1", "id2"), "left_semi")
       .agg(count(lit(1)).as("n_found"))
-      .crossJoin(expected.agg(count(lit(1)).as("n_expected")))
-      .select((col("n_found") / col("n_expected")).as("recall"))
-    pairs.crossJoin(broadcast(recallDf))
-      .filter(col("recall") >= 1.0)
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .select((col("n_found") / col("n_true")).as("recall"))
+    verified.crossJoin(broadcast(recallDf))
       .orderBy("id1", "id2")
   }
 
@@ -827,6 +853,32 @@ object DedupQueries {
     "q44_embedding_neardup" ->
       s"""WITH ${oSignLshCandSql("embeddings")}
           SELECT id1, id2, cos_sim FROM cand
-          ORDER BY cos_sim DESC, id1, id2 LIMIT 20"""
+          ORDER BY cos_sim DESC, id1, id2 LIMIT 20""",
+
+    // q49: brute-force distinct-word Jaccard over the bounded ML cohort.
+    // The Spark side dumps LSH candidates exact-verified at the same
+    // threshold with the same single-BIGINT-division distance, so equal
+    // output ⟺ the LSH index recalled every true pair (recall = 1.0).
+    "q49_ml_minhash" ->
+      s"""WITH $corpusSql,
+          cohort AS (SELECT doc_id, text FROM corpus
+                     WHERE doc_id % 1000000 < 50
+                       AND len(str_split(text, ' ')) >= 3),
+          mltoks AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS w
+                     FROM cohort),
+          mlsizes AS (SELECT doc_id, count(*) AS sz FROM mltoks GROUP BY doc_id),
+          mlinter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                      FROM mltoks a
+                      JOIN mltoks b ON a.w = b.w AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+          mlpairs AS (SELECT id1, id2,
+                             (s1.sz + s2.sz - 2 * i) / (s1.sz + s2.sz - i)
+                               AS jaccard_dist
+                      FROM mlinter
+                      JOIN mlsizes s1 ON s1.doc_id = id1
+                      JOIN mlsizes s2 ON s2.doc_id = id2)
+          SELECT id1, id2, jaccard_dist, CAST(1.0 AS DOUBLE) AS recall
+          FROM mlpairs WHERE jaccard_dist < 0.05
+          ORDER BY id1, id2"""
   )
 }

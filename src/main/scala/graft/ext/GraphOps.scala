@@ -40,12 +40,12 @@ object GraphOps {
     * public `df.rdd` gives the same truncation with an explicit
     * `unpersist` handle; the external-Row hop costs one encode/decode of
     * a small (id, comp) table per round. */
-  private final case class Pinned(df: DataFrame,
+  private[ext] final case class Pinned(df: DataFrame,
                                   blocks: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) {
     def free(): Unit = blocks.unpersist(blocking = false)
   }
 
-  private def pin(df: DataFrame): Pinned = {
+  private[ext] def pin(df: DataFrame): Pinned = {
     val rdd = df.rdd
     rdd.localCheckpoint()
     rdd.count() // eager: truncate lineage NOW, while inputs still exist

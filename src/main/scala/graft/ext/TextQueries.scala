@@ -344,8 +344,59 @@ object TextQueries {
           expr("w_total DIV n_tokens").as("score_fp"),
           (expr("w_total DIV n_tokens") > 0).as("keep"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // The REAL multi-round BPE training loop — [[trainBpe]] iterating
+    // q121's single round [[EncodeMerges]] times: count pairs over the
+    // vocabulary, argmax (count desc, pair asc), apply the merge, recount.
+    // This closes the last "one round of X" placeholder in the text
+    // stack: q121 demos the round, q134 demos the apply-side, q191
+    // grades the composed trainer. Oracle = the same rounds unrolled as
+    // SQL CTEs (the q114 power-iteration pattern).
+    "q191_bpe_train" -> ((s, d) =>
+      trainBpe(Tables.documents(s, d), EncodeMerges))
   )
+
+  /** Multi-round BPE trainer: iterates q121's training round `nMerges`
+    * times over the word-TYPE table and returns the ranked merge table
+    * (rank, pair, cnt) — the model artifact a tokenizer ships.
+    *
+    * Scale shape: ONE corpus-sized shuffle builds the word-type
+    * vocabulary; every round after that is vocabulary-sized (pair
+    * count + argmax + literal-replace merge, q121's argument). Each
+    * round's symbol table is pinned via [[GraphOps.pin]] — the
+    * iterative-DataFrame lineage-truncation pattern — so round k's plan
+    * never re-derives rounds 1..k-1, and the previous round's blocks
+    * are freed explicitly (O(1) storage in rounds, not O(n)). Only the
+    * 1-row argmax crosses to the driver per round: the merge table is
+    * control-plane sized by definition (q134's collect argument). */
+  def trainBpe(docs: DataFrame, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    var cur = GraphOps.pin(words.select(
+      regexp_replace(col("word"), "(.)", " $1;").as("symstr"), col("n")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (k <- 1 to nMerges) {
+      val top = pairCounts(cur.df)
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (top.nonEmpty && merges.length == k - 1) {
+        val mp = top(0).getString(0)
+        merges += ((k, mp, top(0).getLong(1)))
+        val next = GraphOps.pin(cur.df.select(
+          call_function("replace", col("symstr"),
+            lit(" " + mp.replace(" ", "; ") + ";"),
+            lit(" " + mp.replace(" ", "") + ";")).as("symstr"),
+          col("n")))
+        cur.free()
+        cur = next
+      }
+    }
+    cur.free()
+    s.createDataFrame(merges.toSeq).toDF("rank", "pair", "cnt")
+  }
 
   /** Adjacent-symbol pair counts over a ` sym;`-rendered word-type table
     * (symstr, n), weighted by word-type count — the counting stage of
@@ -364,8 +415,8 @@ object TextQueries {
 
   /** DuckDB twin of the q121 pair-count stage: adjacent symbol pairs of
     * `$src.symstr`, weighted by word-type count `n`, as CTE `$out`. */
-  private def oPairCounts(src: String, out: String): String =
-    s"""$out AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+  private def oPairCounts(src: String, out: String, mat: Boolean = false): String =
+    s"""$out AS ${if (mat) "MATERIALIZED " else ""}(SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
           SELECT list_element(syms, i) || ' ' || list_element(syms, i + 1) AS pair, n
           FROM (SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i
                 FROM (SELECT syms, n FROM (
@@ -568,6 +619,34 @@ object TextQueries {
           posn AS (SELECT words, unnest(generate_series(1, len(words) - 1)) AS pos FROM tok),
           bg AS (SELECT words[pos] || ' ' || words[pos+1] AS bigram FROM posn)
           SELECT bigram, count(*) AS n FROM bg
-          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30"""
+          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""",
+
+    // q191: the trainer's rounds unrolled as CTEs — pair-count → argmax
+    // → literal merge, EncodeMerges times (the q114 power-iteration
+    // oracle pattern). Every round CTE is MATERIALIZED: each s$i is
+    // referenced twice (p$i+1 and s$i+1), so DuckDB's default inlining
+    // would expand the chain 2^rounds times — the SQL analogue of the
+    // lineage blowup GraphOps.pin prevents on the Spark side.
+    "q191_bpe_train" -> {
+      val rounds = (1 to EncodeMerges).map { i =>
+        s"""${oPairCounts(s"s${i - 1}", s"p$i", mat = true)},
+            t$i AS MATERIALIZED (SELECT pair AS mp, cnt FROM p$i
+                    ORDER BY cnt DESC, pair LIMIT 1),
+            s$i AS MATERIALIZED (SELECT replace(symstr,
+                                   ' ' || replace((SELECT mp FROM t$i), ' ', '; ') || ';',
+                                   ' ' || replace((SELECT mp FROM t$i), ' ', '') || ';')
+                             AS symstr, n
+                    FROM s${i - 1})"""
+      }.mkString(",\n")
+      val sel = (1 to EncodeMerges).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS rank, mp AS pair, cnt FROM t$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH w AS MATERIALIZED (SELECT word, count(*) AS n
+                     FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+                     WHERE word <> '' GROUP BY word),
+          s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', ' ${"\\1"};', 'g') AS symstr, n FROM w),
+          $rounds
+          SELECT rank, pair, cnt FROM ($sel) ORDER BY rank"""
+    }
   )
 }

@@ -294,26 +294,19 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
-    // Sketch aggregates (HLL++, GK-quantiles): algorithms differ from
-    // DuckDB's, so no oracle — driver records a rows-only check. To make
-    // that check carry signal, the exact values ride the same aggregate
-    // and each row self-reports `*_within_tol` (HLL default rsd 5% → 15%
-    // = 3σ budget; GK accuracy 1000 → 5% value budget): sketch drift
-    // flips a visible boolean, and ExtensionSpec pins both columns true.
-    "q37_approx_sketches" -> ((s, d) => {
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
-        .withColumn("parts_within_tol",
-          abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * lit(0.15) + lit(1))
-        .withColumn("median_within_tol",
-          abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * lit(0.05) + lit(1e-6))
-        .orderBy("l_returnflag")
-    }),
+    // Sketch aggregates (HLL++, GK-quantiles): the approx ESTIMATES are
+    // engine-specific bytes, so the graded dump keeps only deterministic
+    // columns — the exact values plus the within-tolerance booleans (HLL
+    // default rsd 5% → 15% = 3σ budget; GK accuracy 1000 → 5% value
+    // budget). The oracle recomputes the exact columns and asserts the
+    // booleans literally TRUE, making the sketches fully hash-gradeable:
+    // sketch drift past tolerance flips a boolean and fails the hash.
+    // The raw estimates stay observable via [[approxSketchesFull]],
+    // which ExtensionSpec pins row by row.
+    "q37_approx_sketches" -> ((s, d) =>
+      approxSketchesFull(s, d).select(
+        "l_returnflag", "exact_parts", "exact_median",
+        "parts_within_tol", "median_within_tol")),
 
     // Count-min sketch heavy-hitter estimation, built WITHOUT a custom
     // aggregate: the sketch IS a groupBy — every (lane, cell) count is a
@@ -753,6 +746,25 @@ object MiscQueries {
       .orderBy("check_name")
   }
 
+  /** q37's full sketch-vs-exact row set, INCLUDING the engine-specific
+    * approx estimates (HLL++ distinct count, GK median). The graded
+    * q37 dump projects only the deterministic columns of this frame so
+    * the DuckDB oracle can hash-match it; ExtensionSpec reads this full
+    * version to pin the raw estimates against their tolerance budgets. */
+  def approxSketchesFull(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+      .withColumn("parts_within_tol",
+        abs(col("approx_parts") - col("exact_parts")) <= col("exact_parts") * lit(0.15) + lit(1))
+      .withColumn("median_within_tol",
+        abs(col("approx_median") - col("exact_median")) <= abs(col("exact_median")) * lit(0.05) + lit(1e-6))
+      .orderBy("l_returnflag")
+
   /** DuckDB twin of q133's md5-slice cell: 12-bit value of the 3 hex
     * digits at `off` in column `m` (strpos ↔ Spark instr, 1-based). */
   private def oHex3(off: Int): String =
@@ -1094,7 +1106,18 @@ object MiscQueries {
                 quantile_cont(l_extendedprice, 0.37) AS p37_price
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
-    // q37: intentionally no oracle (approx algorithms are engine-specific)
+    // q37: the dump holds only deterministic columns (exact values +
+    // tolerance booleans) — the oracle recomputes the exact columns and
+    // pins the booleans literally TRUE. A sketch drifting past its
+    // budget flips the boolean and fails the hash, so the approx
+    // aggregates are fully gradeable without dumping their bytes.
+    "q37_approx_sketches" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS exact_parts,
+                quantile_cont(l_extendedprice, 0.5) AS exact_median,
+                TRUE AS parts_within_tol,
+                TRUE AS median_within_tol
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q57_recursive_cte" ->
       """WITH RECURSIVE bounds AS (
