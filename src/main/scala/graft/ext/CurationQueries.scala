@@ -496,6 +496,33 @@ object CurationQueries {
           expr("((n_docs * greatest(bucket_cap, max_tok) - sum_tok) * 10000)" +
             " DIV (n_docs * greatest(bucket_cap, max_tok))").as("waste_bp"))
         .orderBy("bucket_cap")
+    }),
+
+    // END-TO-END sampling composition — the pipeline the brief actually
+    // describes, as ONE query driving all four [[SamplingPipeline]]
+    // stages in sequence: seeded epoch shuffle → mixture replication →
+    // per-shard sequence packing (in epoch order, each copy its own
+    // pack unit) → length bucketing. Grading the composition pins that
+    // the stages' working columns (`epoch_order`, `copy_idx`, `__cum`,
+    // `bucket_cap`) compose without collisions and that the per-copy
+    // pack key (epoch_order:doc_id:copy_idx) is the deterministic total
+    // order a resumable dataloader needs. Same scale shape as the
+    // stages separately: map-only until the one per-shard pack window.
+    "q192_sampling_pipeline" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val ordered = SamplingPipeline.epochOrder(base, "doc_id", 42)
+      val mixed = SamplingPipeline.mixtureSample(ordered, "doc_id", "source",
+        MixWeights.toMap, MixDefaultWeight)
+      val keyed = mixed.withColumn("pack_key",
+        concat_ws(":", col("epoch_order"), col("doc_id").cast("string"),
+          col("copy_idx").cast("string")))
+      val packed = SamplingPipeline.packSequences(
+        keyed, "pack_key", "source", "n_tok", SeqPackLen)
+      SamplingPipeline.lengthBucket(packed, "n_tok")
+        .select("doc_id", "copy_idx", "source", "n_tok",
+          "seq_id", "start_off", "n_straddles", "bucket_cap")
+        .orderBy("doc_id", "copy_idx")
     })
   )
 
@@ -580,6 +607,39 @@ object CurationQueries {
                       // (n_docs * greatest(bucket_cap, max_tok)) AS BIGINT)
                    AS waste_bp
           FROM agg ORDER BY bucket_cap""",
+
+    // q192: the four stages unrolled — every constant and CASE comes
+    // from the same SamplingPipeline definitions the Spark side uses.
+    "q192_sampling_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+                  md5(CAST(doc_id AS VARCHAR) || ':42') AS epoch_order,
+                  ($MixDrawExpr) AS u,
+                  $mixFloorCase AS w_floor,
+                  $mixThreshCase AS u_thresh
+             FROM documents),
+          c AS (SELECT *, w_floor + CASE WHEN u < u_thresh THEN 1 ELSE 0 END
+                            AS n_copies
+                FROM t),
+          x AS (SELECT doc_id, source, n_tok, epoch_order,
+                       unnest(generate_series(1, CAST(n_copies AS BIGINT)))
+                         AS copy_idx
+                FROM c WHERE n_copies > 0),
+          k AS (SELECT *, epoch_order || ':' || CAST(doc_id AS VARCHAR)
+                            || ':' || CAST(copy_idx AS VARCHAR) AS pack_key
+                FROM x),
+          p AS (SELECT *, COALESCE(sum(n_tok) OVER (PARTITION BY source
+                            ORDER BY pack_key
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum
+                FROM k)
+          SELECT doc_id, CAST(copy_idx AS BIGINT) AS copy_idx, source, n_tok,
+                 CAST(cum // $SeqPackLen AS BIGINT) AS seq_id,
+                 CAST(cum % $SeqPackLen AS BIGINT) AS start_off,
+                 CAST(((cum + n_tok - 1) // $SeqPackLen)
+                      - (cum // $SeqPackLen) AS BIGINT) AS n_straddles,
+                 CAST($LenBucketCase AS BIGINT) AS bucket_cap
+          FROM p ORDER BY doc_id, copy_idx""",
 
     "q176_golden_record" ->
       """WITH v AS (

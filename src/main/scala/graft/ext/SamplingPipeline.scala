@@ -53,10 +53,11 @@ object SamplingPipeline {
     bounds.map(b => s"WHEN $tokCol <= $b THEN $b")
       .mkString("CASE ", " ", s" ELSE $overflow END")
 
-  /** Canonical power-of-2 bucket boundaries (q190 + lengthBucket default). */
-  private[ext] val DefaultBucketBounds =
+  /** Canonical power-of-2 bucket boundaries (q190 + lengthBucket default).
+    * Public: callers batching by length need the ladder to size pads. */
+  val DefaultBucketBounds: Seq[Long] =
     Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
-  private[ext] val DefaultOverflowCap = 4096L
+  val DefaultOverflowCap: Long = 4096L
 
   /** A deterministic epoch-order column: sorting by it yields a uniform,
     * seed-reproducible permutation (different seeds → different orders).
