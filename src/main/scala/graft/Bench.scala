@@ -31,24 +31,57 @@ object Bench {
     val results = passResults.head.map { case (name, _) =>
       name -> passResults.map(_(name)).min
     }
-    // Per-query wall-time budgets (seconds, sf0.1, 32 cpus) for the
-    // queries that have historically been contention-sensitive. The
-    // artifact reports measured-vs-gate so a regression is visible in the
-    // bench line itself, not only by diffing rounds. Budgets are set
-    // against THIS harness's methodology (min of 2 in-suite passes, which
-    // carries a JIT/GC warm-up tail); quiet-box steady-state minima run
-    // 25-60% below each gate (see NOTES_ROUND8.md for both numbers).
+    // Per-query wall-time budgets (seconds, sf0.1, 32 cpus): EVERY query
+    // whose in-suite min-of-2 exceeds ~1s is gated, so a regression in
+    // any non-trivial query is visible in the bench line itself, not only
+    // by diffing rounds. Methodology: gate = 1.5 × the best recorded
+    // in-suite minimum (rounds 8-9) + 0.5s headroom — listing/query rates
+    // on this box drift 30-50% with fs-cache and load state (round-9's
+    // full pass ran ~1.3× round-8's total with identical code), so the
+    // headroom absorbs box drift while still flagging any ≥2× slowdown.
+    // q49's budget reflects its round-9 semantics (exact verification +
+    // brute-force recall truth on top of the LSH join, so it is
+    // hash-gradeable — not comparable to the round-8 candidates-only 2.0).
     val gates: Map[String, Double] = Map(
-      "q152_pmi_collocations"   -> 4.0,
-      "q149_prefix_jaccard_join"-> 4.0,
-      "q125_bm25"               -> 5.0,
-      "q43_ngram_jaccard"       -> 4.0,
-      "q49_ml_minhash"          -> 2.0,
-      "q93_csv_roundtrip"       -> 1.0,
-      "q87_stream_join"         -> 2.5,
-      "q119_hybrid_rrf"         -> 4.0,
-      "q132_triangle_count"     -> 4.0,
-      "q54_dedup_clusters"      -> 5.0)
+      "q101_contamination"          -> 2.7,
+      "q105_manifest_compaction"    -> 2.1,
+      "q114_power_iteration"        -> 3.0,
+      "q116_substring_dedup"        -> 11.5,
+      "q118_stream_inventory_bounded" -> 2.3,
+      "q119_hybrid_rrf"             -> 4.8,
+      "q120_pagerank"               -> 6.7,
+      "q121_bpe_merge"              -> 2.1,
+      "q122_pq_adc"                 -> 3.1,
+      "q123_stream_sessionize"      -> 2.2,
+      "q125_bm25"                   -> 6.5,
+      "q129_adc_rerank"             -> 3.6,
+      "q132_triangle_count"         -> 5.0,
+      "q133_cms_heavy_hitters"      -> 3.4,
+      "q134_bpe_encode"             -> 2.6,
+      "q135_zorder_skipping"        -> 3.3,
+      "q141_novelty_score"          -> 2.5,
+      "q144_multisource_bfs"        -> 8.3,
+      "q147_scd2_incremental"       -> 2.3,
+      "q149_prefix_jaccard_join"    -> 5.0,
+      "q152_pmi_collocations"       -> 1.6,
+      "q155_analyze_stats"          -> 2.5,
+      "q163_frequent_pairs"         -> 4.2,
+      "q172_rle_layout_advisor"     -> 2.1,
+      "q173_two_hop_reach"          -> 3.6,
+      "q174_stream_session_window"  -> 2.7,
+      "q179_containment_join"       -> 5.1,
+      "q191_bpe_train"              -> 3.1,
+      "q41_minhash_lsh"             -> 3.4,
+      "q43_ngram_jaccard"           -> 4.3,
+      "q49_ml_minhash"              -> 5.0,
+      "q54_dedup_clusters"          -> 5.9,
+      "q66_tfidf"                   -> 2.4,
+      "q67_bloom_prefilter"         -> 2.4,
+      "q86_stream_tumbling"         -> 2.1,
+      "q87_stream_join"             -> 3.0,
+      "q88_kmeans_refine"           -> 2.3,
+      "q89_stream_dedup"            -> 2.8,
+      "q93_csv_roundtrip"           -> 1.4)
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v)
