@@ -157,9 +157,18 @@ object Bench {
       .mkString("[", ",", "]")
     val listJson = listingTries.map(r => s"${r.round}").mkString("[", ",", "]")
     val flatJson = flatTries.map(r => s"${r.round}").mkString("[", ",", "]")
+    // AdaptiveThrottle governor telemetry: throttle count + peak pacing
+    // delay per store authority. Local-path benches opt out of pacing, so
+    // this is {} here — the field exists so a real-store run's artifact
+    // shows the brake engaging without extra instrumentation.
+    val throttleJson = manifest.AdaptiveThrottle.snapshot().toSeq.sortBy(_._1)
+      .map { case (k, st) =>
+        "\"" + k + "\":{\"throttles\":" + st.throttles +
+          ",\"peak_delay_ms\":" + fmt(st.peakDelayMs) + "}"
+      }.mkString("{", ",", "}")
     println(s"""{"metric":"per_pass_detail","unit":"sec",$method,"per_pass_queries":$passJson,"listing_tries_objects_per_sec":$listJson,"listing_flat_tries_objects_per_sec":$flatJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total_per_query","value":$total,"unit":"sec",$method,"queries":$qs,"gates":$gatesJson,"gates_breached":$breached,"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$method,"n_queries":${results.size},"gates_breached":$breached,"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_per_query","value":$total,"unit":"sec",$method,"queries":$qs,"gates":$gatesJson,"gates_breached":$breached,"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$method,"n_queries":${results.size},"gates_breached":$breached,"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,8 +32,15 @@ import java.util.concurrent.ConcurrentHashMap
 object AdaptiveThrottle {
   final class State {
     @volatile var delayMs: Double = 0.0
+    @volatile var peakDelayMs: Double = 0.0
     val throttles = new java.util.concurrent.atomic.AtomicLong(0)
   }
+
+  /** One authority's observable governor state — what a run report needs
+    * to show the brake engaging: how often the store pushed back and how
+    * hard the governor braked at worst. */
+  final case class ThrottleStat(throttles: Long, peakDelayMs: Double,
+                                currentDelayMs: Double)
 
   private val states = new ConcurrentHashMap[String, State]()
   private def state(key: String): State =
@@ -73,6 +80,7 @@ object AdaptiveThrottle {
     s.throttles.incrementAndGet()
     s.synchronized {
       s.delayMs = math.min(MaxDelayMs, math.max(MinActiveDelayMs, s.delayMs * 2))
+      s.peakDelayMs = math.max(s.peakDelayMs, s.delayMs)
     }
   }
 
@@ -85,6 +93,21 @@ object AdaptiveThrottle {
 
   def currentDelayMs(key: String): Double = state(key).delayMs
   def throttleCount(key: String): Long    = state(key).throttles.get()
+
+  /** This JVM's per-authority governor telemetry, throttled authorities
+    * only. Local-mode runs see the whole fleet here (one JVM); on a real
+    * cluster each executor reports its own view — which is also the
+    * governor's decision scope, so the numbers stay meaningful per node.
+    */
+  def snapshot(): Map[String, ThrottleStat] = {
+    import scala.jdk.CollectionConverters._
+    states.entrySet().iterator().asScala
+      .map(e => e.getKey ->
+        ThrottleStat(e.getValue.throttles.get(), e.getValue.peakDelayMs,
+          e.getValue.delayMs))
+      .filter(_._2.throttles > 0)
+      .toMap
+  }
 
   /** Test hook. */
   def reset(key: String): Unit = states.remove(key)

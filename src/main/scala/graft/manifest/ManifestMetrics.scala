@@ -9,17 +9,32 @@ import org.apache.spark.sql.DataFrame
   * this helper times a materialization and renders the same summary line.
   */
 object ManifestMetrics {
-  final case class RunSummary(objects: Long, elapsedSec: Double) {
+  final case class RunSummary(objects: Long, elapsedSec: Double,
+      throttle: Map[String, AdaptiveThrottle.ThrottleStat] = Map.empty) {
     def objectsPerSec: Double = if (elapsedSec > 0) objects / elapsedSec else 0.0
-    def render: String =
-      f"Scanned $objects%d objects in $elapsedSec%.2fs ($objectsPerSec%.0f objects/sec)"
+    def render: String = {
+      val base =
+        f"Scanned $objects%d objects in $elapsedSec%.2fs ($objectsPerSec%.0f objects/sec)"
+      if (throttle.isEmpty) base
+      else base + throttle.toSeq.sortBy(_._1).map { case (auth, st) =>
+        f"; throttled by $auth ${st.throttles}%d× (peak pacing ${st.peakDelayMs}%.0f ms)"
+      }.mkString
+    }
   }
 
   /** Materialize a manifest DataFrame and report the reference-style
-    * summary. */
+    * summary, including any [[AdaptiveThrottle]] governor activity THIS
+    * run provoked (throttle-count delta per authority; peak pacing delay
+    * is the governor's lifetime high-water mark) — a deployment sees the
+    * brake engage in the run report itself. */
   def timedCount(manifest: DataFrame): RunSummary = {
+    val before = AdaptiveThrottle.snapshot()
     val t0 = System.nanoTime()
     val n = manifest.count()
-    RunSummary(n, (System.nanoTime() - t0) / 1e9)
+    val runThrottle = AdaptiveThrottle.snapshot().flatMap { case (k, st) =>
+      val d = st.throttles - before.get(k).map(_.throttles).getOrElse(0L)
+      if (d > 0) Some(k -> st.copy(throttles = d)) else None
+    }
+    RunSummary(n, (System.nanoTime() - t0) / 1e9, runThrottle)
   }
 }

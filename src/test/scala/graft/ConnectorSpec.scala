@@ -359,6 +359,31 @@ class ConnectorSpec extends SparkSpec {
     AdaptiveThrottle.reset(k)
   }
 
+  test("throttle telemetry: snapshot and RunSummary surface count + peak delay") {
+    import graft.manifest.{AdaptiveThrottle, ManifestMetrics}
+    val k = "mem://telemetry"
+    AdaptiveThrottle.reset(k)
+    assert(!AdaptiveThrottle.snapshot().contains(k),
+      "an authority with zero throttles must not appear in the snapshot")
+    (0 until 3).foreach(_ => AdaptiveThrottle.onThrottle(k))
+    AdaptiveThrottle.onSuccess(k) // decays current, must NOT lower the peak
+    val st = AdaptiveThrottle.snapshot()(k)
+    assert(st.throttles == 3)
+    assert(st.peakDelayMs == 4 * AdaptiveThrottle.MinActiveDelayMs,
+      s"peak must be the high-water mark, got ${st.peakDelayMs}")
+    assert(st.currentDelayMs < st.peakDelayMs, "decay lowers current, not peak")
+    AdaptiveThrottle.onThrottle(k)
+    val summary = ManifestMetrics.RunSummary(10, 1.0, AdaptiveThrottle.snapshot())
+    assert(summary.render.contains("throttled by mem://telemetry") &&
+      summary.render.contains("4×"), s"render missing telemetry: ${summary.render}")
+    // timedCount delta: a quiet run after the storm reports no throttles
+    val quiet = ManifestMetrics.timedCount(
+      spark.range(5).toDF("id"))
+    assert(quiet.throttle.isEmpty,
+      s"a run with no new throttles must report none, got ${quiet.throttle}")
+    AdaptiveThrottle.reset(k)
+  }
+
   test("local walk emits symlink-to-file targets, skips dir links and dangling links") {
     val root = java.nio.file.Files.createTempDirectory("symlink-walk")
     val sub = java.nio.file.Files.createDirectory(root.resolve("sub"))
