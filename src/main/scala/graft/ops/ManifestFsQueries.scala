@@ -26,6 +26,12 @@ object ManifestFsQueries {
 
   private val t2Dir = SfDirToken
 
+  /** Spark 4 bundles the avro datasource CLASSES in spark-sql, but this
+    * image ships no spark-avro module/service registration, so
+    * `format("avro")` fails provider lookup with a deploy hint — the
+    * fully qualified FileFormat class resolves directly instead. */
+  private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
   /** One bucketed-table layout per (session, dataset) — see q110. Table
     * names carry the dataset hash so the same session can hold layouts for
     * several datasets without clobbering; the map value is the (lineitem,
@@ -206,6 +212,24 @@ object ManifestFsQueries {
         .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("total_price"),
           max(col("p_size")).as("max_size"))
         .orderBy("p_brand")
+    }),
+
+    // Avro sink + source round-trip — the row-oriented interchange format
+    // of the streaming/Kafka world (Spark 4 bundles the avro datasource
+    // in spark-sql). Same proof shape as q97: the oracle aggregates the
+    // ORIGINAL parquet table, so equality holds iff the avro hop
+    // preserved every row — including the timestamp-micros logical type
+    // (max o_orderdate) and the double→cents integerization. DuckDB
+    // reads no avro; it never needs to.
+    "q193_avro_roundtrip" -> ((s, d) => {
+      val out = Scratch.dir("graft_avro")
+      Tables.orders(s, d).write.mode("overwrite").format(AvroFmt).save(out)
+      s.read.format(AvroFmt).load(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          max(col("o_orderdate")).as("last_order"))
+        .orderBy("o_orderstatus")
     }),
 
     // Plain-text sink + source: serialize rows to delimited lines, read
@@ -832,6 +856,13 @@ object ManifestFsQueries {
       s"""SELECT p_brand, count(*) AS n, ${oSum("p_retailprice")} AS total_price,
                  CAST(max(p_size) AS INTEGER) AS max_size
           FROM part GROUP BY p_brand ORDER BY p_brand""",
+
+    "q193_avro_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents,
+                max(o_orderdate) AS last_order
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q98_text_roundtrip" ->
       """SELECT lang, count(*) AS n,
