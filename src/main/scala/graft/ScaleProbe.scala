@@ -50,7 +50,8 @@ object ScaleProbe {
       "q149_prefix_jaccard_join" -> "PPJoin exact similarity join",
       "q54_dedup_clusters" -> "LSH + connected components",
       "q132_triangle_count" -> "co-occurrence backbone triangles",
-      "q119_hybrid_rrf" -> "hybrid lexical+semantic RRF",
+      "q119_hybrid_rrf" -> "hybrid lexical+semantic RRF (brute-force vectors)",
+      "q194_hybrid_rrf_ivf" -> "hybrid RRF, IVF-routed vectors",
       "q164_session_window" -> "event sessionization",
       "q116_substring_dedup" -> "winnowing substring dedup")
 
@@ -61,7 +62,13 @@ object ScaleProbe {
       "q119_hybrid_rrf" -> ("demo query set scales with the corpus " +
         "(doc_id % 50), so the brute-force semantic branch's asymptote " +
         "is quadratic in corpus growth; a production deployment holds " +
-        "the query set fixed (linear) or routes through the q51 IVF index"),
+        "the query set fixed (linear) or routes through the q51 IVF " +
+        "index — q194 below is exactly that routing"),
+      "q194_hybrid_rrf_ivf" -> ("the IVF-routed fix for q119's caveat: " +
+        "per-query vector work is the 4 probed cells, not the whole " +
+        "index; slower at 1x (index build overhead on a 2k-vector " +
+        "corpus) and flatter-scaling — the cell count is the knob a " +
+        "production index grows with sqrt(N)"),
       "q132_triangle_count" -> ("the 5000-edge backbone cap bounds wedge " +
         "work at any scale by design — the probe measures the capped plan"),
       "q164_session_window" -> ("10x events = 10x users over the same " +
@@ -135,7 +142,10 @@ object ScaleProbe {
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "").distinct()
         .orderBy("w").collect().map(_.getString(0))
-      val vExpr = vocab.map(w => s"'$w'").mkString("array(", ", ", ")")
+      // data-derived words into a SQL literal: escape (regenerated
+      // fixtures could plausibly carry quotes — sqlLit's whole argument)
+      val vExpr = vocab.map(w => s"'${ext.SamplingPipeline.sqlLit(w)}'")
+        .mkString("array(", ", ", ")")
       val nDocs1x = spark.read.parquet(s"$base/documents.parquet").count()
       spark.range(nDocs1x * Factor)
         .withColumn("grp", pmod(col("id"), lit(Factor)))

@@ -22,7 +22,7 @@ object SamplingPipeline {
   /** Escape a data-derived string for embedding in a SQL string literal —
     * source names and salts come from user corpora, where a quote is
     * plausible input, not programmer error. */
-  private[ext] def sqlLit(s: String): String = s.replace("'", "''")
+  private[graft] def sqlLit(s: String): String = s.replace("'", "''")
 
   /** Integer uniform draw in [0, 16^5) from the first 5 md5 hex digits of
     * `idCol` + salt — identical arithmetic in Spark SQL and DuckDB (both

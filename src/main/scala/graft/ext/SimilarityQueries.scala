@@ -161,6 +161,64 @@ object SimilarityQueries {
     // (the inverted-index sharding), the query side is tiny, and the
     // semantic side is q50's broadcast-queries map-only scan; the fuse is
     // a (qid, doc)-keyed outer join of two top-k-able rank lists.
+    // Hybrid retrieval, PRODUCTION shape — q119's RRF fuse with the
+    // semantic retriever routed through the q51 IVF cell index instead
+    // of brute force: per-query vector work drops from ALL N vectors to
+    // the 4 probed cells' members. The cell count is the scale knob
+    // (production grows it ~√N, making per-query work O(√N·dim)); this
+    // is the named fix for the SCALE_r9 q119 caveat — the demo query
+    // set still grows with the corpus, but each query's cost no longer
+    // scans the whole index. Lexical branch and fuse are identical to
+    // q119, so the two queries differ ONLY in the retriever routing.
+    "q194_hybrid_rrf_ivf" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val words = TextQueries.bigramTokens(docs, "doc_id").distinct()
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val terms = words.groupBy("w").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * TextQueries.BigramStopCap <= col("n_docs"))
+        .select(col("w"), (col("n_docs") - col("df")).as("wt"))
+      val qWords = words.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("qid"), col("w"))
+      val lex = qWords.join(terms, "w").join(words, "w")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(sum(col("wt")).as("lex_score"))
+      val lw = Window.partitionBy("qid").orderBy(col("lex_score").desc, col("doc_id"))
+      val lexRank = lex.withColumn("lex_rank", row_number().over(lw))
+        .select("qid", "doc_id", "lex_rank")
+      val n = normed(s, d)
+      val cent = n.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val assign = cellAssign(n, cent)
+      val q = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val pw = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cent_id"))
+      val probes = q.crossJoin(broadcast(cent))
+        .select(col("qid"), col("qe"), col("qn"), col("cent_id"),
+          (VectorOps.dotSeq(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("pcos"))
+        .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 4)
+        .select(col("qid"), col("qe"), col("qn"), col("cent_id").as("cell"))
+      val rw = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("doc_id"))
+      val semRank = probes.join(assign, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos_sim"))
+        .withColumn("sem_rank", row_number().over(rw))
+        .select("qid", "doc_id", "sem_rank")
+      val fused = lexRank.join(semRank, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)))
+      val fw = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(fw))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("doc_id"),
+          coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+          coalesce(col("sem_rank"), lit(0)).as("sem_rank"),
+          col("rrf"))
+        .orderBy("qid", "rank")
+    }),
+
     "q119_hybrid_rrf" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val words = TextQueries.bigramTokens(docs, "doc_id").distinct()
@@ -516,6 +574,64 @@ object SimilarityQueries {
           sem AS (SELECT q.qid, n.vec_id AS doc_id,
                          ${VectorOps.oDot("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cos_sim
                   FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+          sr AS (SELECT qid, doc_id,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos_sim DESC, doc_id) AS sem_rank
+                 FROM sem),
+          fused AS (SELECT coalesce(lr.qid, sr.qid) AS qid,
+                           coalesce(lr.doc_id, sr.doc_id) AS doc_id,
+                           lex_rank, sem_rank,
+                           coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), CAST(0 AS DOUBLE))
+                             + coalesce(CAST(1.0 AS DOUBLE) / (60 + sem_rank), CAST(0 AS DOUBLE)) AS rrf
+                    FROM lr FULL OUTER JOIN sr
+                      ON lr.qid = sr.qid AND lr.doc_id = sr.doc_id)
+          SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id,
+                 CAST(coalesce(lex_rank, 0) AS INTEGER) AS lex_rank,
+                 CAST(coalesce(sem_rank, 0) AS INTEGER) AS sem_rank, rrf
+          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                             ORDER BY rrf DESC, doc_id) AS rank
+                FROM fused)
+          WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // q194: q119's lexical branch + fuse verbatim; the semantic branch
+    // goes through q51's IVF CTEs with q119's query set.
+    "q194_hybrid_rrf_ivf" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+          words AS (SELECT DISTINCT doc_id, w
+                    FROM (${TextQueries.oBigramTokens("docs", "doc_id")})),
+          nd AS (SELECT count(*) AS n_docs FROM docs),
+          terms AS (SELECT w, (SELECT n_docs FROM nd) - df AS wt
+                    FROM (SELECT w, count(*) AS df FROM words GROUP BY w)
+                    WHERE df * ${TextQueries.BigramStopCap} <= (SELECT n_docs FROM nd)),
+          qw AS (SELECT doc_id AS qid, w FROM words WHERE doc_id % 50 = 0),
+          lex AS (SELECT qw.qid, words.doc_id, sum(wt) AS lex_score
+                  FROM qw JOIN terms USING (w) JOIN words USING (w)
+                  WHERE words.doc_id <> qw.qid GROUP BY 1, 2),
+          lr AS (SELECT qid, doc_id,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY lex_score DESC, doc_id) AS lex_rank
+                 FROM lex),
+          $normedSql,
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+          ac AS (SELECT n.vec_id, n.embedding, n.nrm, cent.cent_id,
+                        ${VectorOps.oDot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) AS ccos
+                 FROM n CROSS JOIN cent),
+          assign AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+          pc AS (SELECT q.qid, q.qe, q.qn, cent.cent_id,
+                        ${VectorOps.oDot("q.qe", "cent.ce")} / (q.qn * cent.cn) AS pcos
+                 FROM q CROSS JOIN cent),
+          probes AS (SELECT qid, qe, qn, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY qid
+                                                    ORDER BY pcos DESC, cent_id) AS prn
+                       FROM pc) WHERE prn <= 4),
+          sem AS (SELECT p.qid, a.vec_id AS doc_id,
+                         ${VectorOps.oDot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cos_sim
+                  FROM probes p JOIN assign a ON a.cell = p.cell
+                  WHERE a.vec_id <> p.qid),
           sr AS (SELECT qid, doc_id,
                         row_number() OVER (PARTITION BY qid
                                            ORDER BY cos_sim DESC, doc_id) AS sem_rank
