@@ -39,17 +39,25 @@ object Tables {
 
   private val schemaChecked = new ConcurrentHashMap[String, Boolean]()
 
-  /** Cache key for per-fixture contract verdicts: path PLUS the root
-    * status's (mtime, length), so a fixture regenerated mid-session at
-    * the same path (the documented driver workflow) re-validates instead
-    * of silently reusing a stale verdict. One stat per load — noise next
-    * to the query it fronts. A replaced part file updates the directory
-    * mtime on every fs the driver uses, and single-file fixtures change
-    * length and/or mtime on rewrite. */
+  /** Cache key for per-fixture contract verdicts: path PLUS a change
+    * fingerprint, so a fixture regenerated mid-session at the same path
+    * (the documented driver workflow) re-validates instead of silently
+    * reusing a stale verdict. Single files key on (mtime, length). A
+    * DIRECTORY's own length is a filesystem constant and its mtime can
+    * have coarse granularity (1 s on several filesystems — a fast
+    * in-place regeneration would collide), so directories key on the
+    * children's (name, length, mtime) set instead: one listStatus per
+    * load, noise next to the query it fronts. */
   private def fixtureKey(s: SparkSession, path: String): String = {
     val hp = new Path(path)
-    val st = hp.getFileSystem(s.sessionState.newHadoopConf()).getFileStatus(hp)
-    s"$path@${st.getModificationTime}:${st.getLen}"
+    val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(hp)
+    if (st.isDirectory) {
+      val kids = fs.listStatus(hp)
+        .map(c => s"${c.getPath.getName}:${c.getLen}:${c.getModificationTime}")
+        .sorted.mkString(",")
+      s"$path@dir:${kids.hashCode}:${kids.length}"
+    } else s"$path@${st.getModificationTime}:${st.getLen}"
   }
 
   private def checked(s: SparkSession, d: String, name: String): DataFrame = {

@@ -252,10 +252,7 @@ object TextQueries {
     // vocabulary-sized pair aggregations; the merge pair is a broadcast
     // scalar.
     "q121_bpe_merge" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("word").agg(count(lit(1)).as("n"))
+      val words = wordTypes(Tables.documents(s, d))
       val sym0 = words.select(
         regexp_replace(col("word"), "(.)", " $1;").as("symstr"), col("n"))
       val top1 = pairCounts(sym0).orderBy(col("cnt").desc, col("pair")).limit(1)
@@ -291,10 +288,7 @@ object TextQueries {
     // SQL, so no escaping hazard. Output: the most frequent word
     // types with their post-merge tokenization and compression.
     "q134_bpe_encode" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("word").agg(count(lit(1)).as("n"))
+      val words = wordTypes(Tables.documents(s, d))
       val sym0 = words.select(col("word"), col("n"),
         regexp_replace(col("word"), "(.)", " $1;").as("symstr"))
       val merges: Seq[String] = pairCounts(sym0.select("symstr", "n"))
@@ -372,17 +366,17 @@ object TextQueries {
     * control-plane sized by definition (q134's collect argument). */
   def trainBpe(docs: DataFrame, nMerges: Int): DataFrame = {
     val s = docs.sparkSession
-    val words = docs
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("n"))
-    var cur = GraphOps.pin(words.select(
+    var cur = GraphOps.pin(wordTypes(docs).select(
       regexp_replace(col("word"), "(.)", " $1;").as("symstr"), col("n")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    for (k <- 1 to nMerges) {
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
       val top = pairCounts(cur.df)
         .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
-      if (top.nonEmpty && merges.length == k - 1) {
+      if (top.isEmpty) exhausted = true // no adjacent pairs left: stop —
+        // further rounds would re-run the identical empty aggregate
+      else {
         val mp = top(0).getString(0)
         merges += ((k, mp, top(0).getLong(1)))
         val next = GraphOps.pin(cur.df.select(
@@ -392,11 +386,22 @@ object TextQueries {
           col("n")))
         cur.free()
         cur = next
+        k += 1
       }
     }
     cur.free()
     s.createDataFrame(merges.toSeq).toDF("rank", "pair", "cnt")
   }
+
+  /** THE word-type (vocabulary) table: whitespace words with corpus
+    * counts. Single definition shared by q121, q134, and [[trainBpe]] —
+    * the BPE prefix-property pin (trainBpe round 1 == q121's
+    * first_merge) holds exactly as long as all three consume the same
+    * tokenization, so there is one copy to edit. */
+  private def wordTypes(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
 
   /** Adjacent-symbol pair counts over a ` sym;`-rendered word-type table
     * (symstr, n), weighted by word-type count — the counting stage of

@@ -13,11 +13,16 @@ object ManifestMetrics {
       throttle: Map[String, AdaptiveThrottle.ThrottleStat] = Map.empty) {
     def objectsPerSec: Double = if (elapsedSec > 0) objects / elapsedSec else 0.0
     def render: String = {
-      val base =
-        f"Scanned $objects%d objects in $elapsedSec%.2fs ($objectsPerSec%.0f objects/sec)"
+      // Locale.ROOT throughout: log consumers parse this line, and the
+      // f-interpolator localizes digits under non-ASCII default locales
+      // (the same convention Bench's artifact formatting follows)
+      val L = java.util.Locale.ROOT
+      val base = "Scanned %d objects in %.2fs (%.0f objects/sec)"
+        .formatLocal(L, objects, elapsedSec, objectsPerSec)
       if (throttle.isEmpty) base
       else base + throttle.toSeq.sortBy(_._1).map { case (auth, st) =>
-        f"; throttled by $auth ${st.throttles}%d× (peak pacing ${st.peakDelayMs}%.0f ms)"
+        "; throttled by %s %d× (peak pacing %.0f ms)"
+          .formatLocal(L, auth, st.throttles, st.peakDelayMs)
       }.mkString
     }
   }
