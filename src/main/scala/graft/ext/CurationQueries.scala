@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -498,6 +498,55 @@ object CurationQueries {
         .orderBy("bucket_cap")
     }),
 
+    // Quality-filter ABLATION MATRIX — the analysis a pipeline runs
+    // before choosing its filter stack: apply K candidate filters to
+    // every doc in one pass and report the pairwise agreement matrix
+    // (both pass / only-first / only-second / neither). Two filters
+    // that agree on ~everything are redundant; one that kills what the
+    // others keep needs a human look. All four filters are integer-
+    // deterministic: word-count bounds, distinct-word diversity, avg
+    // word length (length(text)*10 DIV n_words), and q180's top-16
+    // vocab coverage. Plan: one broadcast vocab probe + one doc_id
+    // aggregate, then the 6-pair matrix is ONE global aggregate (24
+    // map-side sums) unpivoted by stack — the matrix never shuffles
+    // doc-grained rows by filter pair.
+    "q195_filter_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("nw", size(col("words")).cast("long"))
+      val vocab = docs.select(explode(col("words")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(16)
+        .select(col("word"), lit(1L).as("inv"))
+      val cov = docs.select(col("doc_id"), explode(col("words")).as("word"))
+        .join(broadcast(vocab), Seq("word"), "left")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tok"),
+          sum(coalesce(col("inv"), lit(0L))).as("n_inv"))
+      val flags = docs.join(cov, "doc_id")
+        .select(
+          (col("nw") >= 20 && col("nw") <= 1000).as("f_len"),
+          (size(array_distinct(col("words"))).cast("long") * 2 >= col("nw")).as("f_div"),
+          expr("length(text) * 10 DIV nw BETWEEN 30 AND 90").as("f_wlen"),
+          (col("n_inv") * 10 >= col("n_tok") * 8).as("f_vocab"))
+      val fs = Seq("f_len", "f_div", "f_wlen", "f_vocab")
+      val pairs = for { i <- fs.indices; j <- fs.indices if i < j }
+        yield (fs(i), fs(j))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val aggCols = pairs.flatMap { case (a, b) => Seq(
+        cnt(col(a) && col(b)).as(s"${a}__${b}__both"),
+        cnt(col(a) && !col(b)).as(s"${a}__${b}__f1"),
+        cnt(!col(a) && col(b)).as(s"${a}__${b}__f2"),
+        cnt(!col(a) && !col(b)).as(s"${a}__${b}__neither"))
+      }
+      val one = flags.agg(aggCols.head, aggCols.tail: _*)
+      val stackArgs = pairs.map { case (a, b) =>
+        s"'$a', '$b', ${a}__${b}__both, ${a}__${b}__f1, ${a}__${b}__f2, ${a}__${b}__neither"
+      }.mkString(", ")
+      one.select(expr(s"stack(${pairs.size}, $stackArgs) AS " +
+          "(f1, f2, n_both, n_f1_only, n_f2_only, n_neither)"))
+        .orderBy("f1", "f2")
+    }),
+
     // END-TO-END sampling composition — the pipeline the brief actually
     // describes, as ONE query driving all four [[SamplingPipeline]]
     // stages in sequence: seeded epoch shuffle → mixture replication →
@@ -607,6 +656,38 @@ object CurationQueries {
                       // (n_docs * greatest(bucket_cap, max_tok)) AS BIGINT)
                    AS waste_bp
           FROM agg ORDER BY bucket_cap""",
+
+    // q195: same flags, 6 pair-aggregates unioned.
+    "q195_filter_matrix" -> {
+      val fs = Seq("f_len", "f_div", "f_wlen", "f_vocab")
+      val fpairs = for { i <- fs.indices; j <- fs.indices if i < j }
+        yield (fs(i), fs(j))
+      val rows = fpairs.map { case (a, b) =>
+        s"""SELECT '$a' AS f1, '$b' AS f2,
+              CAST(sum(CASE WHEN $a AND $b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+              CAST(sum(CASE WHEN $a AND NOT $b THEN 1 ELSE 0 END) AS BIGINT) AS n_f1_only,
+              CAST(sum(CASE WHEN NOT $a AND $b THEN 1 ELSE 0 END) AS BIGINT) AS n_f2_only,
+              CAST(sum(CASE WHEN NOT $a AND NOT $b THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+            FROM flags"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT doc_id, text, str_split(text, ' ') AS words,
+                            CAST(len(str_split(text, ' ')) AS BIGINT) AS nw
+                     FROM documents),
+          w AS (SELECT doc_id, unnest(words) AS word FROM d),
+          vocab AS (SELECT word FROM (SELECT word, count(*) AS c FROM w
+                                      GROUP BY word
+                                      ORDER BY c DESC, word LIMIT 16)),
+          cov AS (SELECT w.doc_id, count(*) AS n_tok, count(v.word) AS n_inv
+                  FROM w LEFT JOIN vocab v ON w.word = v.word
+                  GROUP BY w.doc_id),
+          flags AS (SELECT (nw BETWEEN 20 AND 1000) AS f_len,
+                           (len(list_distinct(words)) * 2 >= nw) AS f_div,
+                           (length(text) * 10 // nw BETWEEN 30 AND 90) AS f_wlen,
+                           (n_inv * 10 >= n_tok * 8) AS f_vocab
+                    FROM d JOIN cov USING (doc_id))
+          $rows
+          ORDER BY f1, f2"""
+    },
 
     // q192: the four stages unrolled — every constant and CASE comes
     // from the same SamplingPipeline definitions the Spark side uses.

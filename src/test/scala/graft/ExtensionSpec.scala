@@ -1079,6 +1079,24 @@ class ExtensionSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall(p => p._1 >= p._2))
   }
 
+  test("q195 filter matrix: cells partition the corpus and marginals agree") {
+    val rows = ext.CurationQueries.queries("q195_filter_matrix")(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rows.length == 6, "4 filters give 6 unordered pairs")
+    val nDocs = Tables.documents(spark, sf).count()
+    rows.foreach { case (f1, f2, both, a, b, neither) =>
+      assert(both + a + b + neither == nDocs,
+        s"($f1,$f2) cells must partition the corpus")
+    }
+    // a filter's pass count must be identical from every pair it appears in
+    val marginals = rows.flatMap { case (f1, f2, both, a, b, _) =>
+      Seq(f1 -> (both + a), f2 -> (both + b)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    marginals.foreach { case (f, counts) =>
+      assert(counts.length == 1, s"$f marginal disagrees across pairs: $counts")
+    }
+  }
+
   test("BPE trainer: round k's merge table is round k-1's plus one merge") {
     val docs = Tables.documents(spark, sf)
     val t3 = ext.TextQueries.trainBpe(docs, 3)

@@ -353,6 +353,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q192: composed sampling keeps q188's per-shard window discipline") {
+    withAqeOff {
+      val p = plan("q192_sampling_pipeline")
+      assert(!p.contains("Join"), "composition must stay join-free")
+      val windowLine = p.linesIterator.find(_.contains("windowspecdefinition")).getOrElse("")
+      assert(windowLine.contains("source"),
+        s"pack window must partition by source, got: $windowLine")
+    }
+  }
+
+  test("q194: centroid tables broadcast; no cartesian against the corpus") {
+    withAqeOff {
+      val p = plan("q194_hybrid_rrf_ivf")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"centroids/probes must broadcast:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"),
+        "vector side must never cartesian against the corpus")
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     // decimal value: double sums are accumulation-order-sensitive, which is
     // exactly why the engine aggregates doubles through decimals (dsl.scala)
