@@ -498,6 +498,43 @@ object CurationQueries {
         .orderBy("bucket_cap")
     }),
 
+    // MIXTURE REWEIGHTING round (the DoReMi-family loop): update
+    // per-source sampling weights multiplicatively from a per-source
+    // proxy score — sources scoring above the corpus mean gain weight,
+    // below lose it, clamped then renormalized to Σ=10000 bp. One round
+    // of the loop that sits between epochs: score → reweight → feed the
+    // new weights to mixtureSample (q187) for the next epoch. ALL
+    // integer arithmetic (the exp() of the textbook update is a float
+    // cross-engine hazard; a first-order 1+η·advantage step in basis
+    // points is deterministic and is what the clamp makes safe). Plan:
+    // one map-side doc score + one per-source aggregate; the 20-row
+    // weight table does its clamp/normalize as control-plane arithmetic.
+    "q196_mixture_reweight" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("source"),
+          expr("size(array_distinct(split(text, ' '))) * 10000L DIV size(split(text, ' '))")
+            .as("score_bp"))
+      val perSrc = scored.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("score_bp")).as("sum_bp"))
+        .withColumn("src_score_bp", expr("sum_bp DIV n_docs"))
+      val global = perSrc.agg(
+        expr("sum(sum_bp) DIV sum(n_docs)").as("corpus_score_bp"),
+        count(lit(1)).as("n_sources"))
+      val raw = perSrc.crossJoin(broadcast(global))
+        .withColumn("old_w_bp", expr("10000 DIV n_sources"))
+        .withColumn("advantage_bp", col("src_score_bp") - col("corpus_score_bp"))
+        // first-order multiplicative step, clamped to [1/4x, 4x]
+        .withColumn("raw_w_bp", expr(
+          "greatest(old_w_bp DIV 4, least(old_w_bp * 4, " +
+            "(old_w_bp * (10000 + advantage_bp)) DIV 10000))"))
+      val total = raw.agg(sum(col("raw_w_bp")).as("tot"))
+      raw.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("src_score_bp"),
+          col("old_w_bp"), col("advantage_bp"),
+          expr("(raw_w_bp * 10000) DIV tot").as("new_w_bp"))
+        .orderBy("source")
+    }),
+
     // Quality-filter ABLATION MATRIX — the analysis a pipeline runs
     // before choosing its filter stack: apply K candidate filters to
     // every doc in one pass and report the pairwise agreement matrix
@@ -656,6 +693,35 @@ object CurationQueries {
                       // (n_docs * greatest(bucket_cap, max_tok)) AS BIGINT)
                    AS waste_bp
           FROM agg ORDER BY bucket_cap""",
+
+    // q196: same integer update unrolled.
+    "q196_mixture_reweight" ->
+      """WITH scored AS (SELECT source,
+                  (len(list_distinct(str_split(text, ' '))) * 10000)
+                    // len(str_split(text, ' ')) AS score_bp
+             FROM documents),
+          per_src AS (SELECT source, count(*) AS n_docs,
+                             sum(score_bp) AS sum_bp
+                      FROM scored GROUP BY source),
+          g AS (SELECT sum(sum_bp) // sum(n_docs) AS corpus_score_bp,
+                       count(*) AS n_sources
+                FROM per_src),
+          raw AS (SELECT source, n_docs, sum_bp // n_docs AS src_score_bp,
+                         10000 // n_sources AS old_w_bp,
+                         (sum_bp // n_docs) - corpus_score_bp AS advantage_bp,
+                         greatest((10000 // n_sources) // 4,
+                           least((10000 // n_sources) * 4,
+                             ((10000 // n_sources) *
+                              (10000 + (sum_bp // n_docs) - corpus_score_bp))
+                               // 10000)) AS raw_w_bp
+                  FROM per_src, g),
+          t AS (SELECT sum(raw_w_bp) AS tot FROM raw)
+          SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(src_score_bp AS BIGINT) AS src_score_bp,
+                 CAST(old_w_bp AS BIGINT) AS old_w_bp,
+                 CAST(advantage_bp AS BIGINT) AS advantage_bp,
+                 CAST((raw_w_bp * 10000) // tot AS BIGINT) AS new_w_bp
+          FROM raw, t ORDER BY source""",
 
     // q195: same flags, 6 pair-aggregates unioned.
     "q195_filter_matrix" -> {
