@@ -348,7 +348,39 @@ object TextQueries {
     // grades the composed trainer. Oracle = the same rounds unrolled as
     // SQL CTEs (the q114 power-iteration pattern).
     "q191_bpe_train" -> ((s, d) =>
-      trainBpe(Tables.documents(s, d), EncodeMerges))
+      trainBpe(Tables.documents(s, d), EncodeMerges)),
+
+    // The tokenizer EVAL curve — train (q191's loop) then apply the
+    // merges cumulatively and report corpus token totals per merge
+    // count: the artifact that decides how many merges a tokenizer is
+    // worth. Every apply step is a literal replace over the word-TYPE
+    // table (vocabulary-sized, q121's argument) and each curve point is
+    // one tiny aggregate; the baseline (0 merges = characters) rides
+    // the same union. Grades the train→apply COMPOSITION end to end.
+    "q197_bpe_compression" -> ((s, d) => {
+      val merges = trainBpe(Tables.documents(s, d), EncodeMerges)
+        .orderBy("rank").select("pair").collect().map(_.getString(0)).toSeq
+      val sym0 = wordTypes(Tables.documents(s, d)).select(
+        regexp_replace(col("word"), "(.)", " $1;").as("symstr"), col("n"))
+      val frames = merges.scanLeft(sym0) { (df, mp) =>
+        df.select(call_function("replace", col("symstr"),
+          lit(" " + mp.replace(" ", "; ") + ";"),
+          lit(" " + mp.replace(" ", "") + ";")).as("symstr"), col("n"))
+      }
+      val curve = frames.zipWithIndex.map { case (df, k) =>
+        df.select(col("n"),
+            expr("size(filter(transform(split(symstr, ';'), x -> trim(x)), x -> x <> ''))")
+              .cast("long").as("n_syms"))
+          .agg(sum(col("n") * col("n_syms")).as("total_tokens"))
+          .select(lit(k).as("n_merges"), col("total_tokens"))
+      }.reduce(_ unionByName _)
+      val base = curve.filter(col("n_merges") === 0)
+        .select(col("total_tokens").as("base_tokens"))
+      curve.crossJoin(broadcast(base))
+        .select(col("n_merges"), col("total_tokens"),
+          expr("(total_tokens * 10000) DIV base_tokens").as("compression_bp"))
+        .orderBy("n_merges")
+    })
   )
 
   /** Multi-round BPE trainer: iterates q121's training round `nMerges`
@@ -633,25 +665,52 @@ object TextQueries {
     // would expand the chain 2^rounds times — the SQL analogue of the
     // lineage blowup GraphOps.pin prevents on the Spark side.
     "q191_bpe_train" -> {
-      val rounds = (1 to EncodeMerges).map { i =>
-        s"""${oPairCounts(s"s${i - 1}", s"p$i", mat = true)},
-            t$i AS MATERIALIZED (SELECT pair AS mp, cnt FROM p$i
-                    ORDER BY cnt DESC, pair LIMIT 1),
-            s$i AS MATERIALIZED (SELECT replace(symstr,
-                                   ' ' || replace((SELECT mp FROM t$i), ' ', '; ') || ';',
-                                   ' ' || replace((SELECT mp FROM t$i), ' ', '') || ';')
-                             AS symstr, n
-                    FROM s${i - 1})"""
-      }.mkString(",\n")
       val sel = (1 to EncodeMerges).map(i =>
         s"SELECT CAST($i AS INTEGER) AS rank, mp AS pair, cnt FROM t$i")
         .mkString("\nUNION ALL ")
-      s"""WITH w AS MATERIALIZED (SELECT word, count(*) AS n
-                     FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
-                     WHERE word <> '' GROUP BY word),
-          s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', ' ${"\\1"};', 'g') AS symstr, n FROM w),
-          $rounds
+      s"""WITH $oBpeTrainCtes
           SELECT rank, pair, cnt FROM ($sel) ORDER BY rank"""
+    },
+
+    // q197: the same training chain, read out as the compression curve —
+    // per merge count, the corpus token total over the word-TYPE table
+    // (Σ n × symbols(word)), bp-normalized against the 0-merge (char)
+    // baseline.
+    "q197_bpe_compression" -> {
+      val counts = (0 to EncodeMerges).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS n_merges,
+               CAST(sum(n * len(list_filter(list_transform(str_split(symstr, ';'),
+                                                           x -> trim(x)),
+                                            x -> x <> ''))) AS BIGINT)
+                 AS total_tokens
+            FROM s$k""").mkString("\nUNION ALL ")
+      s"""WITH $oBpeTrainCtes,
+          tc AS ($counts),
+          base AS (SELECT total_tokens AS base_tokens FROM tc WHERE n_merges = 0)
+          SELECT n_merges, total_tokens,
+                 CAST((total_tokens * 10000) // base_tokens AS BIGINT)
+                   AS compression_bp
+          FROM tc, base ORDER BY n_merges"""
     }
   )
+
+  /** The unrolled BPE training chain (w, s0, then p$i/t$i/s$i per round)
+    * shared by the q191 and q197 oracles — one copy of the round SQL. */
+  private def oBpeTrainCtes: String = {
+    val rounds = (1 to EncodeMerges).map { i =>
+      s"""${oPairCounts(s"s${i - 1}", s"p$i", mat = true)},
+          t$i AS MATERIALIZED (SELECT pair AS mp, cnt FROM p$i
+                  ORDER BY cnt DESC, pair LIMIT 1),
+          s$i AS MATERIALIZED (SELECT replace(symstr,
+                                 ' ' || replace((SELECT mp FROM t$i), ' ', '; ') || ';',
+                                 ' ' || replace((SELECT mp FROM t$i), ' ', '') || ';')
+                           AS symstr, n
+                  FROM s${i - 1})"""
+    }.mkString(",\n")
+    s"""w AS MATERIALIZED (SELECT word, count(*) AS n
+                   FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+                   WHERE word <> '' GROUP BY word),
+        s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', ' ${"\\1"};', 'g') AS symstr, n FROM w),
+        $rounds"""
+  }
 }

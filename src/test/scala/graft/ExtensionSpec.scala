@@ -1079,6 +1079,18 @@ class ExtensionSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall(p => p._1 >= p._2))
   }
 
+  test("q197 compression curve: starts at 10000 bp and never increases") {
+    val rows = ext.TextQueries.queries("q197_bpe_compression")(spark, sf)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 to 8))
+    assert(rows.head._3 == 10000L, "0 merges = the character baseline")
+    // every merge strictly reduces or holds the token total (a merge
+    // can only fuse adjacent symbols, never add one)
+    rows.map(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"token total rose after a merge: $a -> $b")
+    }
+  }
+
   test("q196 reweighting: weights renormalize and move with the advantage sign") {
     val rows = ext.CurationQueries.queries("q196_mixture_reweight")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
