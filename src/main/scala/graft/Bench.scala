@@ -72,6 +72,7 @@ object Bench {
       "q179_containment_join"       -> 5.1,
       "q191_bpe_train"              -> 3.1,
       "q194_hybrid_rrf_ivf"         -> 5.8,
+      "q195_filter_matrix"          -> 2.1,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,
       "q43_ngram_jaccard"           -> 4.3,
