@@ -53,7 +53,9 @@ object ScaleProbe {
       "q119_hybrid_rrf" -> "hybrid lexical+semantic RRF (brute-force vectors)",
       "q194_hybrid_rrf_ivf" -> "hybrid RRF, IVF-routed vectors",
       "q164_session_window" -> "event sessionization",
-      "q116_substring_dedup" -> "winnowing substring dedup")
+      "q116_substring_dedup" -> "winnowing substring dedup",
+      "q41_minhash_lsh" -> "banded MinHash LSH near-dup (the dedup scale path)",
+      "q179_containment_join" -> "asymmetric containment join")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job

@@ -498,6 +498,30 @@ object CurationQueries {
         .orderBy("bucket_cap")
     }),
 
+    // q187's mixture sampling THROUGH THE STREAMING ENGINE — the
+    // property that makes deterministic sampling production-safe,
+    // graded rather than claimed: because every draw is md5(id:salt)
+    // arithmetic (no rand(), no state), a streamed corpus samples
+    // IDENTICALLY to the batch pass — the oracle is q187's, verbatim.
+    // In a real deployment this is the resumable-ingest guarantee: a
+    // micro-batch that retries, or a corpus that arrives over weeks,
+    // draws the same copies the one-shot batch job would have.
+    "q198_stream_mixture" -> ((s, d) => {
+      val docs = graft.streaming.StreamingPipelines.documentsStream(s, d)
+      val agg = docs
+        .select(col("source"),
+          expr(s"($MixDrawExpr)").as("u"),
+          expr(MixFloorCase).as("w_floor"),
+          expr(MixThreshCase).as("u_thresh"))
+        .select(col("source"),
+          (col("w_floor") + when(col("u") < col("u_thresh"), 1L).otherwise(0L)).as("n_copies"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_copies")).as("n_copies"))
+      graft.streaming.StreamingPipelines.runToCompletion(s, agg)
+        .withColumn("rate_bp", expr("(n_copies * 10000) DIV n_docs"))
+        .orderBy("source")
+    }),
+
     // MIXTURE REWEIGHTING round (the DoReMi-family loop): update
     // per-source sampling weights multiplicatively from a per-source
     // proxy score — sources scoring above the corpus mean gain weight,
@@ -693,6 +717,22 @@ object CurationQueries {
                       // (n_docs * greatest(bucket_cap, max_tok)) AS BIGINT)
                    AS waste_bp
           FROM agg ORDER BY bucket_cap""",
+
+    // q198: streamed sampling must be indistinguishable from batch —
+    // the oracle IS q187's.
+    "q198_stream_mixture" ->
+      s"""WITH u AS (SELECT source, ($MixDrawExpr) AS u,
+                  $mixFloorCase AS w_floor,
+                  $mixThreshCase AS u_thresh
+             FROM documents),
+          c AS (SELECT source,
+                       w_floor + CASE WHEN u < u_thresh THEN 1 ELSE 0 END
+                         AS n_copies
+                FROM u)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_copies) AS BIGINT) AS n_copies,
+                 CAST(sum(n_copies) * 10000 // count(*) AS BIGINT) AS rate_bp
+          FROM c GROUP BY source ORDER BY source""",
 
     // q196: same integer update unrolled.
     "q196_mixture_reweight" ->

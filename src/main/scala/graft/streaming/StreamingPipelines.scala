@@ -35,6 +35,16 @@ object StreamingPipelines {
     }
   }
 
+  /** Streaming read of the documents table — schema footer-resolved (and
+    * contract-checked) through the same batch loader chokepoint, so a
+    * regenerated fixture fails loudly here too. */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = graft.Tables.documents(spark, sfDir).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
+
   /** Tumbling 1h windows with a 10-minute watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

@@ -333,6 +333,17 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed mixture sampling is row-identical to the batch pass") {
+    // the deterministic-draw property graded by q198: no rand(), no
+    // state — a streamed corpus must sample exactly what batch q187 does
+    val streamRows = ext.CurationQueries.queries("q198_stream_mixture")(spark, sf)
+      .collect().toSeq
+    val batchRows = ext.CurationQueries.queries("q187_mixture_sample")(spark, sf)
+      .collect().toSeq
+    assert(streamRows.nonEmpty && streamRows == batchRows,
+      s"stream/batch divergence: ${streamRows.diff(batchRows)}")
+  }
+
   // ------------------------------------------------------------------
   // Events data-contract tests (round-7 lesson: the fixture's ts unit
   // flipped from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and a silent
