@@ -73,6 +73,7 @@ object Bench {
       "q191_bpe_train"              -> 3.1,
       "q194_hybrid_rrf_ivf"         -> 5.8,
       "q195_filter_matrix"          -> 2.1,
+      "q198_stream_mixture"         -> 2.0,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,
       "q43_ngram_jaccard"           -> 4.3,
