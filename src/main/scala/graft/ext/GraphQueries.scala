@@ -181,6 +181,58 @@ object GraphQueries {
         .select(col("dist"), col("n_nodes"),
           render("lo").as("first_node"), render("hi").as("last_node"))
         .orderBy("dist")
+    }),
+
+    // HITS (hubs & authorities) over the DIRECTED customer→supplier
+    // trade graph — the link-analysis dual of q120's PageRank: a
+    // supplier's authority is the summed hub weight of the customers
+    // buying from it; a customer's hub weight is the summed authority
+    // of its suppliers. [[HitsRounds]] unrolled mutual-reinforcement
+    // rounds; after each half-step scores are renormalized to
+    // micro-units by the step's max (the power-iteration normalization
+    // that stops the recurrence growing without bound). Everything is
+    // FIXED-POINT integer arithmetic — exact bigint sums, truncating
+    // DIV against a broadcast one-row max — so every round is bit-exact
+    // cross-engine (the q120 discipline; see its header for why decimal
+    // and double rounding are NOT enough).
+    // Scale: each half-step is one edges ⋈ scores shuffle keyed on the
+    // join side plus a partial-aggregating groupBy — the Pregel message
+    // pass. The score vectors are |V| rows; the max is a one-row
+    // aggregate broadcast back (never a driver collect). Edges can be
+    // pre-partitioned once on cust (and a supp-keyed copy kept) so all
+    // rounds reuse two exchanges.
+    "q202_hits" -> ((s, d) => {
+      val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      var h = e.select(col("cust")).distinct().withColumn("h", lit(1000000L))
+      var a: DataFrame = h // placeholder; HitsRounds >= 1 always reassigns
+      for (_ <- 1 to HitsRounds) {
+        val araw = e.join(h, "cust")
+          .groupBy("supp").agg(sum(col("h")).as("ar"))
+        val amax = araw.agg(max(col("ar")).as("am"))
+        a = araw.crossJoin(broadcast(amax))
+          .select(col("supp"), expr("(ar * 1000000) DIV am").as("a"))
+        val hraw = e.join(a, "supp")
+          .groupBy("cust").agg(sum(col("a")).as("hr"))
+        val hmax = hraw.agg(max(col("hr")).as("hm"))
+        h = hraw.crossJoin(broadcast(hmax))
+          .select(col("cust"), expr("(hr * 1000000) DIV hm").as("h"))
+      }
+      val hubs = h.select(
+          concat(lit("c"), col("cust").cast("string")).as("node"),
+          lit("hub").as("kind"),
+          (col("h").cast("double") / 1e6).as("score"))
+        .orderBy(col("score").desc, col("node")).limit(10)
+      val auths = a.select(
+          concat(lit("s"), col("supp").cast("string")).as("node"),
+          lit("authority").as("kind"),
+          (col("a").cast("double") / 1e6).as("score"))
+        .orderBy(col("score").desc, col("node")).limit(10)
+      hubs.unionByName(auths)
+        .orderBy(col("kind"), col("score").desc, col("node"))
     })
   )
 
@@ -206,6 +258,9 @@ object GraphQueries {
 
   /** q144's unrolled frontier-relaxation rounds. */
   private[ext] val BfsRounds = 3
+
+  /** q202's unrolled HITS mutual-reinforcement rounds. */
+  private[ext] val HitsRounds = 2
 
   /** q144's unreached-distance sentinel (the trade graph's diameter is
     * far below it; survives min() intact for never-relaxed nodes). */
@@ -248,6 +303,23 @@ object GraphQueries {
                 FROM ew JOIN $prev ON ew.src = $prev.node GROUP BY dst),
         r$k AS (SELECT node, 150000000 + (85 * coalesce(cs, 0)) // 100 AS r
                 FROM nodes LEFT JOIN c$k ON c$k.dst = nodes.node)"""
+
+  /** One unrolled DuckDB HITS round over hub CTE `$prevH` → `a$k`, `h$k`.
+    * MATERIALIZED is required: every intermediate is referenced twice
+    * (by its max subquery and the next half-step), so default inlining
+    * would double the chain per round — the SQL analogue of the lineage
+    * blowup [[GraphOps.pin]] prevents (the q191 lesson). */
+  private def hitsRoundSql(k: Int, prevH: String): String =
+    s"""ar$k AS MATERIALIZED (SELECT supp, CAST(sum(h) AS BIGINT) AS ar
+                FROM e JOIN $prevH USING (cust) GROUP BY supp),
+        a$k AS MATERIALIZED (SELECT supp,
+                  (ar * 1000000) // (SELECT max(ar) FROM ar$k) AS a
+                FROM ar$k),
+        hr$k AS MATERIALIZED (SELECT cust, CAST(sum(a) AS BIGINT) AS hr
+                FROM e JOIN a$k USING (supp) GROUP BY cust),
+        h$k AS MATERIALIZED (SELECT cust,
+                  (hr * 1000000) // (SELECT max(hr) FROM hr$k) AS h
+                FROM hr$k)"""
 
   /** One unrolled DuckDB BFS relaxation round over CTE `$prev` → `d$k`. */
   private def bfsRoundSql(k: Int, prev: String): String =
@@ -304,6 +376,27 @@ object GraphQueries {
                  CAST(r AS DOUBLE) / 1e9 AS pr
           FROM r$PageRankRounds
           ORDER BY pr DESC, node LIMIT 20"""
+    },
+
+    "q202_hits" -> {
+      val rounds = (1 to HitsRounds)
+        .map(k => hitsRoundSql(k, if (k == 1) "h0" else s"h${k - 1}"))
+        .mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+              SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          h0 AS (SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS h FROM e),
+          $rounds,
+          hubs AS (SELECT 'c' || CAST(cust AS VARCHAR) AS node,
+                          'hub' AS kind, CAST(h AS DOUBLE) / 1e6 AS score
+                   FROM h$HitsRounds ORDER BY score DESC, node LIMIT 10),
+          auths AS (SELECT 's' || CAST(supp AS VARCHAR) AS node,
+                           'authority' AS kind,
+                           CAST(a AS DOUBLE) / 1e6 AS score
+                    FROM a$HitsRounds ORDER BY score DESC, node LIMIT 10)
+          SELECT node, kind, score FROM hubs
+          UNION ALL SELECT node, kind, score FROM auths
+          ORDER BY kind, score DESC, node"""
     },
 
     "q173_two_hop_reach" ->

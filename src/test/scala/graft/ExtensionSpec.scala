@@ -609,6 +609,23 @@ class ExtensionSpec extends SparkSpec {
     assert(res.zip(res.tail).forall(p => p._1._2 >= p._2._2))
   }
 
+  test("HITS scores are max-normalized, sorted within kind, split 10/10") {
+    val res = ext.GraphQueries.queries("q202_hits")(spark, sf)
+      .as[(String, String, Double)].collect()
+    assert(res.length == 20)
+    val (auths, hubs) = res.partition(_._2 == "authority")
+    assert(auths.length == 10 && hubs.length == 10)
+    assert(auths.forall(_._1.matches("s[0-9]+")))
+    assert(hubs.forall(_._1.matches("c[0-9]+")))
+    // fixed-point max-normalization: scores in (0,1], per-kind argmax
+    // carries exactly 1.0 and must appear in its own top-10
+    assert(res.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+    assert(auths.head._3 == 1.0 && hubs.head._3 == 1.0)
+    Seq(auths, hubs).foreach { g =>
+      assert(g.map(_._3).zip(g.map(_._3).tail).forall(p => p._1 >= p._2))
+    }
+  }
+
   test("triangleCounts on K4 + pendant: 3 per clique corner, pendant absent") {
     // K4 on {1,2,3,4} has 4 triangles, every corner in exactly 3; the
     // pendant edge (4,5) creates no triangle so node 5 must not appear
