@@ -41,6 +41,7 @@ object SparkEntry {
       (ext.TextQueries.queries, ext.TextQueries.oracles),
       (ext.Multimodal.queries, ext.Multimodal.oracles),
       (ext.PipelineQueries.queries, ext.PipelineQueries.oracles),
+      (ext.SelectionQueries.queries, ext.SelectionQueries.oracles),
       (ext.CurationQueries.queries, ext.CurationQueries.oracles)
     )
 

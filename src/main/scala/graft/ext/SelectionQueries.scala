@@ -1,0 +1,237 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-SELECTION operators — the stage between curation (what is clean)
+  * and sampling (what order to train on): deciding WHICH documents a
+  * training run should prefer, and summarizing what a corpus contains so
+  * the mixture designer can decide at all.
+  *
+  *  - q199: DSIR-style importance weighting (Xie et al. 2023, "Data
+  *    Selection for Language Models via Importance Resampling"): score
+  *    every raw document by how target-like its hashed-unigram profile
+  *    is — weight = Σ_b n(d,b)·(ln p_target(b) − ln p_raw(b)) over
+  *    [[SelectionQueries.DsirBuckets]] hash buckets — and keep the top
+  *    [[SelectionQueries.DsirKeep]]. The bucket profiles are two global
+  *    aggregates; per-document scoring is one (doc, bucket) aggregate
+  *    joined against the broadcast-sized bucket table.
+  *  - q200: per-label embedding centroids + the pairwise cosine matrix
+  *    between them — the source-affinity map a mixture designer reads
+  *    before re-weighting domains (and the cheap first look at whether
+  *    two corpus slices are near-duplicates wholesale).
+  *  - q203: the corpus report card — per source: doc/token volume,
+  *    language mix (share + entropy), exact-duplicate count, mean
+  *    length. One pass over the corpus, two shuffles.
+  *
+  * Cross-engine exactness: every aggregate that would sum doubles is
+  * fixed-point — per-row doubles are quantized to micro-units
+  * (`CAST(round(x·1e6) AS BIGINT)`) and summed as exact integers (or
+  * DECIMAL(38,0) where products would overflow bigint), so accumulation
+  * order can never change a hash-compared result. Per-row `ln`/`sqrt`
+  * stay in doubles (deterministic given identical inputs) and displayed
+  * values round at 1e-6 — the q66/q120 discipline.
+  *
+  * 100 TB notes: q199 is two corpus-wide token aggregates (bucket-keyed,
+  * 64 groups — partial aggregation collapses them map-side) plus one
+  * (doc_id, bucket) aggregate; nothing is ever all-pairs and the bucket
+  * table joins broadcast. q200 reduces the corpus to (labels × dims)
+  * fixed-point sums before any pair math — the pair join is over a
+  * label-count-sized table, never over vectors. q203 is two
+  * partial-aggregating shuffles keyed on (source[, lang]).
+  */
+object SelectionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hashed-unigram feature buckets for DSIR scoring. */
+  private[ext] val DsirBuckets = 64
+
+  /** Documents kept by the q199 importance-resampling top-k. */
+  private[ext] val DsirKeep = 100
+
+  def queries: Map[String, Q] = Map(
+    // DSIR importance weighting: target = the English slice, raw = the
+    // whole corpus. Add-one smoothing over the bucket alphabet on both
+    // profiles; the per-bucket log-ratio is quantized once (micro-nats,
+    // bigint) so each document's weight is an EXACT integer dot product
+    // n(d,·)·λ — order-independent, hash-stable. Top-k selection is
+    // orderBy+limit = TakeOrderedAndProject (per-partition heaps + a
+    // k-row merge), never a global sort.
+    "q199_dsir_importance" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("word"))
+        .withColumn("m", md5(col("word")))
+        .withColumn("b", expr(s"${graft.ops.md5Bits32("m")} % $DsirBuckets"))
+      val prof = tok.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      val totals = tok.agg(
+        count(lit(1)).as("rr"),
+        count(when(col("lang") === "en", 1)).as("tt"))
+      val lam = prof.crossJoin(broadcast(totals))
+        .select(col("b"),
+          expr(s"""CAST(round((ln((ct + 1.0) / (tt + $DsirBuckets.0))
+                              - ln((cr + 1.0) / (rr + $DsirBuckets.0))) * 1000000)
+                   AS BIGINT)""").as("lam_fp"))
+      val docb = tok.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n_db"))
+      docb.join(broadcast(lam), "b")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("n_db") * col("lam_fp")).as("w_fp"))
+        .select(col("doc_id"), col("lang"),
+          (col("w_fp").cast("double") / 1e6).as("weight"))
+        .orderBy(col("weight").desc, col("doc_id")).limit(DsirKeep)
+    }),
+
+    // Label-centroid cosine matrix. Cosine is invariant to the positive
+    // per-group scaling of a mean, so the centroid never needs the
+    // divide: the fixed-point component SUMS are the centroid up to
+    // scale, and dot/norms run over them in exact DECIMAL(38,0)
+    // (s_fp products reach ~1e16·dims — past bigint at production group
+    // sizes). Only the final cosine divides in doubles.
+    "q200_label_centroids" -> ((s, d) => {
+      val comp = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(sum(expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+          .as("s_fp"))
+      val nrm = comp.groupBy("label")
+        .agg(sum(expr(
+          "CAST(s_fp AS DECIMAL(19,0)) * CAST(s_fp AS DECIMAL(19,0))")).as("n2"))
+        .select(col("label"), sqrt(col("n2").cast("double")).as("nn"))
+      val pairs = comp.as("a")
+        .join(comp.as("b"),
+          col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(expr(
+          "CAST(a.s_fp AS DECIMAL(19,0)) * CAST(b.s_fp AS DECIMAL(19,0))"))
+          .as("dot"))
+      pairs
+        .join(nrm.select(col("label").as("label_a"), col("nn").as("na")), "label_a")
+        .join(nrm.select(col("label").as("label_b"), col("nn").as("nb")), "label_b")
+        .select(col("label_a"), col("label_b"),
+          round(col("dot").cast("double") / (col("na") * col("nb")), 6)
+            .as("cos_sim"))
+        .orderBy("label_a", "label_b")
+    }),
+
+    // Corpus report card, one row per source: volume (docs, tokens),
+    // language composition (English share + Shannon entropy of the lang
+    // mix, micro-nat fixed point), exact-duplicate pressure (docs minus
+    // distinct text hashes), mean length. The per-(source, lang) census
+    // feeds the entropy; everything else rides one source-keyed
+    // aggregate of map-side row features.
+    "q203_corpus_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_tok"), md5(col("text")).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          count(when(col("lang") === "en", 1)).as("n_en"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("h")).as("n_distinct"))
+      val ent = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("tot", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        .select(col("source"), expr(
+          """CAST(round(-(CAST(c AS DOUBLE) / tot)
+                        * ln(CAST(c AS DOUBLE) / tot) * 1000000)
+             AS BIGINT)""").as("e_fp"))
+        .groupBy("source").agg(sum(col("e_fp")).as("ent_fp"))
+      base.join(ent, "source")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          (col("n_en").cast("double") / col("n_docs")).as("pct_en"),
+          (col("sum_chars").cast("double") / col("n_docs")).as("mean_chars"),
+          (col("n_docs") - col("n_distinct")).as("dup_docs"),
+          (col("ent_fp").cast("double") / 1e6).as("lang_entropy"))
+        .orderBy("source")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q199_dsir_importance" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+                              unnest(str_split(text, ' ')) AS word
+                       FROM documents),
+          tokb AS (SELECT doc_id, lang,
+                          (${graft.ops.oMd5Bits32("md5(word)")}) % $DsirBuckets AS b
+                   FROM tok),
+          prof AS (SELECT b, count(*) AS cr,
+                          count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+                   FROM tokb GROUP BY b),
+          totals AS (SELECT count(*) AS rr,
+                            count(CASE WHEN lang = 'en' THEN 1 END) AS tt
+                     FROM tokb),
+          lam AS (SELECT b,
+                         CAST(round((ln((ct + 1.0) / (tt + $DsirBuckets.0))
+                                     - ln((cr + 1.0) / (rr + $DsirBuckets.0)))
+                                    * 1000000) AS BIGINT) AS lam_fp
+                  FROM prof CROSS JOIN totals),
+          docb AS (SELECT doc_id, lang, b, count(*) AS n_db
+                   FROM tokb GROUP BY doc_id, lang, b)
+          SELECT doc_id, lang,
+                 CAST(CAST(SUM(n_db * lam_fp) AS BIGINT) AS DOUBLE) / 1e6
+                   AS weight
+          FROM docb JOIN lam USING (b)
+          GROUP BY doc_id, lang
+          ORDER BY weight DESC, doc_id LIMIT $DsirKeep""",
+
+    "q200_label_centroids" ->
+      """WITH px AS (SELECT label,
+                            unnest(generate_series(1, len(embedding))) AS pos,
+                            embedding
+                     FROM embeddings),
+          comp AS (SELECT label, pos,
+                          CAST(SUM(CAST(round(
+                                 CAST(embedding[pos] AS DOUBLE) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS s_fp
+                   FROM px GROUP BY label, pos),
+          nrm AS (SELECT label,
+                         sqrt(CAST(SUM(CAST(s_fp AS DECIMAL(19,0))
+                                       * CAST(s_fp AS DECIMAL(19,0)))
+                                   AS DOUBLE)) AS nn
+                  FROM comp GROUP BY label),
+          pairs AS (SELECT a.label AS label_a, b.label AS label_b,
+                           SUM(CAST(a.s_fp AS DECIMAL(19,0))
+                               * CAST(b.s_fp AS DECIMAL(19,0))) AS dot
+                    FROM comp a JOIN comp b
+                      ON a.pos = b.pos AND a.label < b.label
+                    GROUP BY a.label, b.label)
+          SELECT label_a, label_b,
+                 round(CAST(dot AS DOUBLE) / (na.nn * nb.nn), 6) AS cos_sim
+          FROM pairs
+          JOIN nrm na ON na.label = label_a
+          JOIN nrm nb ON nb.label = label_b
+          ORDER BY label_a, label_b""",
+
+    "q203_corpus_report" ->
+      """WITH base AS (SELECT source,
+                              count(*) AS n_docs,
+                              CAST(SUM(len(str_split(text, ' '))) AS BIGINT)
+                                AS total_tokens,
+                              count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+                              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                              count(DISTINCT md5(text)) AS n_distinct
+                       FROM documents GROUP BY source),
+          lc AS (SELECT source, lang, count(*) AS c
+                 FROM documents GROUP BY source, lang),
+          ent AS (SELECT source,
+                         CAST(SUM(CAST(round(
+                                -(CAST(c AS DOUBLE) / tot)
+                                * ln(CAST(c AS DOUBLE) / tot) * 1000000)
+                              AS BIGINT)) AS BIGINT) AS ent_fp
+                  FROM (SELECT source, lang, c,
+                               SUM(c) OVER (PARTITION BY source) AS tot
+                        FROM lc)
+                  GROUP BY source)
+          SELECT source, n_docs, total_tokens,
+                 CAST(n_en AS DOUBLE) / n_docs AS pct_en,
+                 CAST(sum_chars AS DOUBLE) / n_docs AS mean_chars,
+                 n_docs - n_distinct AS dup_docs,
+                 CAST(ent_fp AS DOUBLE) / 1e6 AS lang_entropy
+          FROM base JOIN ent USING (source)
+          ORDER BY source"""
+  )
+}

@@ -609,6 +609,50 @@ class ExtensionSpec extends SparkSpec {
     assert(res.zip(res.tail).forall(p => p._1._2 >= p._2._2))
   }
 
+  test("DSIR importance enriches the English target slice in its top-k") {
+    val res = ext.SelectionQueries.queries("q199_dsir_importance")(spark, sf)
+      .as[(Long, String, Double)].collect()
+    assert(res.length == 100)
+    // sorted by weight desc (doc_id tiebreak)
+    assert(res.zip(res.tail).forall(p => p._1._3 >= p._2._3))
+    val docs = Tables.documents(spark, sf)
+    val corpusShare =
+      docs.filter(col("lang") === "en").count().toDouble / docs.count()
+    val topShare = res.count(_._2 == "en") / res.length.toDouble
+    // target = the English profile, so English docs must be over-
+    // represented among the kept top-k vs their corpus base rate
+    assert(topShare > corpusShare,
+      s"top-k en share $topShare <= corpus share $corpusShare")
+  }
+
+  test("label-centroid matrix covers every unordered label pair, |cos| <= 1") {
+    val res = ext.SelectionQueries.queries("q200_label_centroids")(spark, sf)
+      .as[(Int, Int, Double)].collect()
+    val labels = Tables.embeddings(spark, sf)
+      .select("label").distinct().as[Int].collect().sorted
+    val want = (for (a <- labels; b <- labels if a < b) yield (a, b)).toSet
+    assert(res.map(r => (r._1, r._2)).toSet == want)
+    assert(res.forall(r => math.abs(r._3) <= 1.0))
+    // random-ish fixture directions: no two label centroids coincide
+    assert(res.forall(r => r._3 < 0.999))
+  }
+
+  test("corpus report card censuses are consistent and entropy bounded") {
+    val res = ext.SelectionQueries.queries("q203_corpus_report")(spark, sf)
+      .as[(String, Long, Long, Double, Double, Long, Double)].collect()
+    val docs = Tables.documents(spark, sf)
+    assert(res.map(_._2).sum == docs.count(), "source census must partition")
+    res.foreach { case (src, nDocs, totTok, pctEn, meanChars, dups, ent) =>
+      assert(nDocs > 0 && totTok > 0 && meanChars > 0, src)
+      assert(pctEn >= 0.0 && pctEn <= 1.0, src)
+      assert(dups >= 0 && dups < nDocs, src)
+      // Shannon entropy over <= 5 languages, in nats
+      assert(ent >= -1e-9 && ent <= math.log(5) + 1e-9, s"$src entropy $ent")
+    }
+    // the language mix is non-trivial somewhere
+    assert(res.exists(_._7 > 0.5))
+  }
+
   test("HITS scores are max-normalized, sorted within kind, split 10/10") {
     val res = ext.GraphQueries.queries("q202_hits")(spark, sf)
       .as[(String, String, Double)].collect()

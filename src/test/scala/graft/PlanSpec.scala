@@ -353,6 +353,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q199: bucket tables broadcast; DSIR scoring has no cartesian") {
+    withAqeOff {
+      val p = plan("q199_dsir_importance")
+      // λ (64 rows) and the totals row must broadcast over the doc-
+      // bucket aggregate; top-k is TakeOrdered, never a global sort
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    }
+  }
+
+  test("q200: centroid pair math joins component sums, never raw vectors") {
+    withAqeOff {
+      val p = plan("q200_label_centroids")
+      assert(!p.contains("CartesianProduct"))
+      // the pair join keys on pos (equi) — the embedding column must be
+      // reduced away below it: no join operator may carry `embedding`
+      val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+      assert(joinLines.nonEmpty && joinLines.forall(!_.contains("embedding")),
+        joinLines.mkString("\n"))
+    }
+  }
+
   test("q192: composed sampling keeps q188's per-shard window discipline") {
     withAqeOff {
       val p = plan("q192_sampling_pipeline")
