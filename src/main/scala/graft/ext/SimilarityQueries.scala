@@ -101,6 +101,42 @@ object SimilarityQueries {
           col("cos_sim"))
         .orderBy("survivor_id", "removed_id")),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means
+    // cells — assign every vector to its nearest centroid (the q51 cell
+    // map, broadcast centroids, map-only), then prune near-duplicates
+    // ONLY within each cell: a vector is removed iff a lower-id
+    // cell-mate sits above the cosine threshold; its keeper is the
+    // smallest such id. Complements q107's sign-LSH route: LSH bands
+    // bound recall probabilistically, cells bound PAIR WORK structurally
+    // (cell population caps the quadratic surface; K grows with the
+    // corpus so cells stay constant-sized). The planted ×2 copies land
+    // in their original's cell deterministically — a positive scalar
+    // multiple has the SAME cosine to every centroid (dot and norm both
+    // scale by exactly 2 in IEEE doubles), so recall on the planted
+    // structure is 1.0 by construction.
+    "q201_semdedup" -> ((s, d) => {
+      val n = semCorpus(s, d).select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+      val cent = n.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val assign = cellAssign(n, cent)
+      val a = assign.select(col("cell"), col("vec_id").as("ka"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = assign.select(col("cell"), col("vec_id").as("kb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("cell")).filter(col("ka") < col("kb"))
+        .select(col("cell"), col("ka"), col("kb"),
+          (VectorOps.dotSeq(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("cos"))
+        .filter(col("cos") >= SemDupThreshold)
+      val w = Window.partitionBy(col("kb")).orderBy(col("ka"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("kb").as("removed_id"), col("ka").as("keeper_id"),
+          col("cell"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy("removed_id")
+    }),
+
     "q50_knn_brute" -> ((s, d) => {
       val n = normed(s, d)
       val q = n.filter(col("vec_id") < 10)
@@ -650,6 +686,32 @@ object SimilarityQueries {
                                              ORDER BY rrf DESC, doc_id) AS rank
                 FROM fused)
           WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q201_semdedup" ->
+      s"""WITH $semCorpusSql,
+          n AS (SELECT vec_id, embedding,
+                       ${VectorOps.oNorm("embedding")} AS nrm FROM emb),
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                   FROM n WHERE vec_id < 16),
+          ac AS (SELECT n.vec_id, n.embedding, n.nrm, cent.cent_id,
+                        ${VectorOps.oDot("n.embedding", "cent.ce")}
+                          / (n.nrm * cent.cn) AS ccos
+                 FROM n CROSS JOIN cent),
+          assign AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1),
+          pairs AS (SELECT a.cell, a.vec_id AS ka, b.vec_id AS kb,
+                           ${VectorOps.oDot("a.embedding", "b.embedding")}
+                             / (a.nrm * b.nrm) AS cos
+                    FROM assign a JOIN assign b
+                      ON a.cell = b.cell AND a.vec_id < b.vec_id),
+          sel AS (SELECT cell, ka, kb, cos,
+                         row_number() OVER (PARTITION BY kb ORDER BY ka) AS rn
+                  FROM pairs WHERE cos >= $SemDupThreshold)
+          SELECT kb AS removed_id, ka AS keeper_id, cell,
+                 round(cos, 6) AS cos_sim
+          FROM sel WHERE rn = 1 ORDER BY removed_id""",
 
     "q50_knn_brute" ->
       s"""WITH $normedSql,

@@ -609,6 +609,22 @@ class ExtensionSpec extends SparkSpec {
     assert(res.zip(res.tail).forall(p => p._1._2 >= p._2._2))
   }
 
+  test("SemDeDup removes exactly the planted copies, keeper = original") {
+    val res = ext.SimilarityQueries.queries("q201_semdedup")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val planted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0).select("vec_id").as[Long]
+      .collect().map(_ + 100000L).toSet
+    assert(res.map(_._1).toSet == planted,
+      "removed set must be the planted scaled copies, nothing else")
+    // keeper is the copy's own original (the only >=0.99 partner), and
+    // the measured cosine is ~1.0 (scalar multiples share direction)
+    res.foreach { case (removed, keeper, _, cos) =>
+      assert(keeper == removed - 100000L, s"$removed kept by $keeper")
+      assert(cos > 0.9999, s"$removed cos $cos")
+    }
+  }
+
   test("DSIR importance enriches the English target slice in its top-k") {
     val res = ext.SelectionQueries.queries("q199_dsir_importance")(spark, sf)
       .as[(Long, String, Double)].collect()
