@@ -57,6 +57,53 @@ object SimilarityQueries {
     * exit.) */
   def clearIndexCache(): Unit = annIndexCache.clear()
 
+  /** q50's brute-force cosine top-k per query (qid < 10, self excluded):
+    * (qid, rank, vec_id, cos_sim), unordered. The query side broadcasts;
+    * the corpus streams through once; the per-query top-k is a bounded
+    * window. Shared by q50 and the q204 truth side. */
+  private def bruteTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val n = normed(s, d)
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos_sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos_sim")
+  }
+
+  /** q51's IVF route: 16 seed centroids, 4-probe cell search, top-k per
+    * query: (qid, rank, vec_id, cos_sim), unordered. Shared by q51 and
+    * the q204 system side. */
+  private def ivfTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val n = normed(s, d)
+    val cent = n.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // cell assignment: map-only pass against broadcast centroids
+    val assign = cellAssign(n, cent)
+    // probe the 4 nearest cells per query
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qe"), col("qn"), col("cent_id"),
+        (VectorOps.dotSeq(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("pcos"))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 4)
+      .select(col("qid"), col("qe"), col("qn"), col("cent_id").as("cell"))
+    // search only probed cells
+    val rw = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(assign, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos_sim")
+  }
+
   private val normedSql =
     s"n AS (SELECT vec_id, embedding, ${VectorOps.oNorm("embedding")} AS nrm FROM embeddings)"
 
@@ -137,46 +184,44 @@ object SimilarityQueries {
         .orderBy("removed_id")
     }),
 
-    "q50_knn_brute" -> ((s, d) => {
-      val n = normed(s, d)
-      val q = n.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val scored = n.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos_sim"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("qid", "rank", "vec_id", "cos_sim")
-        .orderBy("qid", "rank")
-    }),
+    "q50_knn_brute" -> ((s, d) =>
+      bruteTopK(s, d, 5).orderBy("qid", "rank")),
 
-    "q51_ivf_ann" -> ((s, d) => {
-      val n = normed(s, d)
-      val cent = n.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-      // cell assignment: map-only pass against broadcast centroids
-      val assign = cellAssign(n, cent)
-      // probe the 4 nearest cells per query
-      val q = n.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val pw = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cent_id"))
-      val probes = q.crossJoin(broadcast(cent))
-        .select(col("qid"), col("qe"), col("qn"), col("cent_id"),
-          (VectorOps.dotSeq(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("pcos"))
-        .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 4)
-        .select(col("qid"), col("qe"), col("qn"), col("cent_id").as("cell"))
-      // search only probed cells
-      val rw = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
-      probes.join(assign, "cell")
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos_sim"))
-        .withColumn("rank", row_number().over(rw))
-        .filter(col("rank") <= 5)
-        .select("qid", "rank", "vec_id", "cos_sim")
-        .orderBy("qid", "rank")
+    "q51_ivf_ann" -> ((s, d) =>
+      ivfTopK(s, d, 5).orderBy("qid", "rank")),
+
+    // Retrieval-quality EVAL for the ANN stack: nDCG@5 of the q51 IVF
+    // route against q50's brute-force truth, per query. Graded
+    // relevance = 6 − brute rank (top truth hit worth 5, fifth worth
+    // 1); a system hit outside the truth top-5 contributes 0. Gains are
+    // quantized to micro-units per row and summed as exact integers
+    // (the q66 fixed-point discipline), so per-query DCG/IDCG are
+    // hash-stable. This is the measurement a pipeline runs when tuning
+    // the probe count / cell count trade-off — recall@k (q49) tells you
+    // WHAT was missed, nDCG tells you how much the RANKING suffered.
+    // Scale: truth is the expensive side (brute force) but runs over
+    // the same bounded query set; everything downstream is top-k-sized.
+    "q204_ann_ndcg" -> ((s, d) => {
+      val truth = bruteTopK(s, d, 5)
+        .select(col("qid"), col("vec_id"), col("rank").as("rt"),
+          (lit(6) - col("rank")).as("rel"))
+      val sys = ivfTopK(s, d, 5)
+        .select(col("qid"), col("vec_id"), col("rank").as("rs"))
+      val dcg = sys
+        .join(truth.select(col("qid"), col("vec_id"), col("rel")),
+          Seq("qid", "vec_id"), "left")
+        .select(col("qid"), expr(
+          "CAST(round(coalesce(rel, 0) / log2(rs + 1.0) * 1000000) AS BIGINT)")
+          .as("g_fp"))
+        .groupBy("qid").agg(sum(col("g_fp")).as("dcg_fp"))
+      val idcg = truth
+        .select(col("qid"), expr(
+          "CAST(round(rel / log2(rt + 1.0) * 1000000) AS BIGINT)").as("g_fp"))
+        .groupBy("qid").agg(sum(col("g_fp")).as("idcg_fp"))
+      dcg.join(idcg, "qid")
+        .select(col("qid"),
+          round(col("dcg_fp").cast("double") / col("idcg_fp"), 6).as("ndcg"))
+        .orderBy("qid")
     }),
 
     // Hybrid retrieval with reciprocal-rank fusion — the RAG serving shape:
@@ -811,6 +856,56 @@ object SimilarityQueries {
                      FROM cand)
           SELECT qid, rank, vec_id, cos_sim FROM ranked
           WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q204_ann_ndcg" ->
+      s"""WITH $normedSql,
+          bq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+                 FROM n WHERE vec_id < 10),
+          bs AS (SELECT bq.qid, n.vec_id,
+                        ${VectorOps.oDot("bq.qe", "n.embedding")} / (bq.qn * n.nrm) AS cos_sim
+                 FROM n CROSS JOIN bq WHERE n.vec_id <> bq.qid),
+          bt AS (SELECT qid, vec_id, rank, 6 - rank AS rel FROM (
+                   SELECT qid, vec_id,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY cos_sim DESC, vec_id) AS rank
+                   FROM bs) WHERE rank <= 5),
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+          ac AS (SELECT n.vec_id, n.embedding, n.nrm, cent.cent_id,
+                        ${VectorOps.oDot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) AS ccos
+                 FROM n CROSS JOIN cent),
+          assign AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1),
+          pc AS (SELECT bq.qid, bq.qe, bq.qn, cent.cent_id,
+                        ${VectorOps.oDot("bq.qe", "cent.ce")} / (bq.qn * cent.cn) AS pcos
+                 FROM bq CROSS JOIN cent),
+          probes AS (SELECT qid, qe, qn, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY qid
+                                                    ORDER BY pcos DESC, cent_id) AS prn
+                       FROM pc) WHERE prn <= 4),
+          cand AS (SELECT p.qid, a.vec_id,
+                          ${VectorOps.oDot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cos_sim
+                   FROM probes p JOIN assign a ON a.cell = p.cell
+                   WHERE a.vec_id <> p.qid),
+          st AS (SELECT qid, vec_id, rank FROM (
+                   SELECT qid, vec_id,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY cos_sim DESC, vec_id) AS rank
+                   FROM cand) WHERE rank <= 5),
+          dcg AS (SELECT st.qid,
+                         CAST(SUM(CAST(round(coalesce(bt.rel, 0)
+                                / log2(st.rank + 1.0) * 1000000) AS BIGINT))
+                           AS BIGINT) AS dcg_fp
+                  FROM st LEFT JOIN bt
+                    ON bt.qid = st.qid AND bt.vec_id = st.vec_id
+                  GROUP BY st.qid),
+          idcg AS (SELECT qid,
+                          CAST(SUM(CAST(round(rel / log2(rank + 1.0) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS idcg_fp
+                   FROM bt GROUP BY qid)
+          SELECT qid, round(CAST(dcg_fp AS DOUBLE) / idcg_fp, 6) AS ndcg
+          FROM dcg JOIN idcg USING (qid) ORDER BY qid""",
 
     "q88_kmeans_refine" ->
       s"""WITH $normedSql,

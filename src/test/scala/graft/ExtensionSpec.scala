@@ -609,6 +609,19 @@ class ExtensionSpec extends SparkSpec {
     assert(res.zip(res.tail).forall(p => p._1._2 >= p._2._2))
   }
 
+  test("ANN nDCG@5 is bounded, covers every query, and discriminates") {
+    val res = ext.SimilarityQueries.queries("q204_ann_ndcg")(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(res.map(_._1).toSeq == (0L until 10L))
+    assert(res.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    // 4/16-probe IVF on this fixture: most queries perfect, some not —
+    // the metric must actually separate the two (an all-1.0 nDCG would
+    // mean the eval is vacuous; an all-low one that the index is broken)
+    assert(res.exists(_._2 == 1.0), "no perfectly-ranked query")
+    assert(res.exists(_._2 < 1.0), "eval never observed an IVF miss")
+    assert(res.forall(_._2 > 0.5), "a query lost most of its ranking")
+  }
+
   test("SemDeDup removes exactly the planted copies, keeper = original") {
     val res = ext.SimilarityQueries.queries("q201_semdedup")(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
