@@ -74,6 +74,8 @@ object Bench {
       "q194_hybrid_rrf_ivf"         -> 5.8,
       "q195_filter_matrix"          -> 2.1,
       "q198_stream_mixture"         -> 2.0,
+      "q199_dsir_importance"        -> 3.3,
+      "q202_hits"                   -> 5.6,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,
       "q43_ngram_jaccard"           -> 4.3,

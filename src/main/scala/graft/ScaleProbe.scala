@@ -55,7 +55,10 @@ object ScaleProbe {
       "q164_session_window" -> "event sessionization",
       "q116_substring_dedup" -> "winnowing substring dedup",
       "q41_minhash_lsh" -> "banded MinHash LSH near-dup (the dedup scale path)",
-      "q179_containment_join" -> "asymmetric containment join")
+      "q179_containment_join" -> "asymmetric containment join",
+      "q199_dsir_importance" -> "DSIR hashed-unigram importance scoring",
+      "q201_semdedup" -> "SemDeDup cell-scoped semantic dedup",
+      "q202_hits" -> "HITS hubs/authorities over the trade graph")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -74,7 +77,16 @@ object ScaleProbe {
       "q132_triangle_count" -> ("the 5000-edge backbone cap bounds wedge " +
         "work at any scale by design — the probe measures the capped plan"),
       "q164_session_window" -> ("10x events = 10x users over the same " +
-        "window; per-user session state is constant by construction"))
+        "window; per-user session state is constant by construction"),
+      "q201_semdedup" -> ("the 16 seed cells are FIXED here, so 10x " +
+        "vectors grow each cell 10x and the within-cell pair surface " +
+        "~100x — the cell count is the scale knob (production grows K " +
+        "with N, holding cell population and pair work per cell " +
+        "constant), same discipline as q51/q194's IVF cells"),
+      "q202_hits" -> ("orders replicate with fresh customers but SHARED " +
+        "suppliers, so supplier in-degree grows 10x: the probe measures " +
+        "linear edge-volume scaling with growing per-key aggregation " +
+        "fan-in — the skewed side a real web graph presents"))
 
     def timeQuery(name: String, dir: String): Double =
       (1 to 2).map { _ =>
@@ -195,6 +207,24 @@ object ScaleProbe {
         li.withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOk))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$genDir/lineitem.parquet")
+    }
+
+    if (!done("orders")) {
+      // order keys offset in lockstep with lineitem so the join keys
+      // line up; customer keys offset too (10x customers, 1x-shaped
+      // per-customer order counts — the events discipline). Suppliers
+      // are shared across copies (lineitem keeps l_suppkey), so
+      // supplier-side degree grows 10x: edge volume scales, per-key
+      // supplier state grows — the honest worst side for graph probes.
+      val ord = spark.read.parquet(s"$base/orders.parquet")
+      val maxOk = spark.read.parquet(s"$base/lineitem.parquet")
+        .agg(max("l_orderkey")).head().getLong(0) + 1
+      val maxCust = ord.agg(max("o_custkey")).head().getLong(0) + 1
+      (0 until Factor).map { k =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * maxOk))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * maxCust))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$genDir/orders.parquet")
     }
   }
 }

@@ -472,6 +472,33 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Packing-efficiency report — the metric a pipeline reads when
+    // tuning MaxSeqLen: per source, sequences produced (= ceil of the
+    // token total), fill rate (only the final partial sequence is
+    // waste under concat-and-chunk), and how many documents get CUT
+    // across a sequence boundary (context loss, the cost side of
+    // packing). Drives [[SamplingPipeline.packSequences]] for the
+    // per-doc straddle flags; the report itself is one source-keyed
+    // aggregate over its output.
+    "q206_packing_report" -> ((s, d) => {
+      val L = SeqPackLen
+      val packed = SamplingPipeline.packSequences(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "doc_id", "source", "n_tok", L)
+      packed.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tok"),
+          sum(when(col("n_straddles") > 0, 1L).otherwise(0L)).as("cut_docs"))
+        .select(col("source"), col("n_docs"), col("total_tok"),
+          expr(s"(total_tok + ${L - 1}) DIV $L").as("n_seqs"),
+          expr(s"(total_tok * 10000) DIV (((total_tok + ${L - 1}) DIV $L) * $L)")
+            .as("fill_bp"),
+          col("cut_docs"),
+          expr("(cut_docs * 10000) DIV n_docs").as("cut_rate_bp"))
+        .orderBy("source")
+    }),
+
     // Length-bucketed batching — the padding-efficiency dual of q188's
     // packing (packing concatenates; bucketing groups LIKE lengths so a
     // padded batch wastes little): docs bin by next power-of-2 token
@@ -702,6 +729,32 @@ object CurationQueries {
                  CAST(((cum_before + n_tok - 1) // $SeqPackLen)
                       - (cum_before // $SeqPackLen) AS BIGINT) AS n_straddles
           FROM c ORDER BY doc_id""",
+
+    "q206_packing_report" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+          c AS (SELECT doc_id, source, n_tok,
+                       COALESCE(sum(n_tok) OVER (PARTITION BY source
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum_before
+                FROM t),
+          s AS (SELECT source, count(*) AS n_docs,
+                       CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+                       CAST(SUM(CASE WHEN ((cum_before + n_tok - 1) // $SeqPackLen)
+                                      > (cum_before // $SeqPackLen)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS cut_docs
+                FROM c GROUP BY source)
+          SELECT source, n_docs, total_tok,
+                 CAST((total_tok + ${SeqPackLen - 1}) // $SeqPackLen AS BIGINT)
+                   AS n_seqs,
+                 CAST(total_tok * 10000
+                      // (((total_tok + ${SeqPackLen - 1}) // $SeqPackLen)
+                         * $SeqPackLen) AS BIGINT) AS fill_bp,
+                 cut_docs,
+                 CAST(cut_docs * 10000 // n_docs AS BIGINT) AS cut_rate_bp
+          FROM s ORDER BY source""",
 
     "q190_length_buckets" ->
       s"""WITH t AS (SELECT CAST(len(str_split(text, ' ')) AS BIGINT)

@@ -207,6 +207,11 @@ object GraphQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
+      // No localCheckpoint on the edge table: as with q120, AQE
+      // query-stage reuse already dedups the repeated edge-derivation
+      // exchanges across the 2x2 per-round joins, and a checkpoint
+      // variant measured SLOWER (4.1s vs 3.4s min-of-3 at sf0.1) — it
+      // pays a materialization and forfeits the reused exchange.
       var h = e.select(col("cust")).distinct().withColumn("h", lit(1000000L))
       var a: DataFrame = h // placeholder; HitsRounds >= 1 always reassigns
       for (_ <- 1 to HitsRounds) {

@@ -64,18 +64,21 @@ object SelectionQueries {
           explode(split(col("text"), " ")).as("word"))
         .withColumn("m", md5(col("word")))
         .withColumn("b", expr(s"${graft.ops.md5Bits32("m")} % $DsirBuckets"))
-      val prof = tok.groupBy("b").agg(
-        count(lit(1)).as("cr"),
-        count(when(col("lang") === "en", 1)).as("ct"))
-      val totals = tok.agg(
-        count(lit(1)).as("rr"),
-        count(when(col("lang") === "en", 1)).as("tt"))
+      // ONE pass over the token stream: the (doc, bucket) histogram.
+      // Map-side combine collapses it to <= 64 rows per doc before the
+      // shuffle; the bucket profile and its totals then fold over the
+      // histogram (corpus-docs x 64 rows, then 64), never re-reading
+      // the corpus — the exchange is reused across both consumers.
+      val docb = tok.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n_db"))
+      val prof = docb.groupBy("b").agg(
+        sum(col("n_db")).as("cr"),
+        coalesce(sum(when(col("lang") === "en", col("n_db"))), lit(0L)).as("ct"))
+      val totals = prof.agg(sum(col("cr")).as("rr"), sum(col("ct")).as("tt"))
       val lam = prof.crossJoin(broadcast(totals))
         .select(col("b"),
           expr(s"""CAST(round((ln((ct + 1.0) / (tt + $DsirBuckets.0))
                               - ln((cr + 1.0) / (rr + $DsirBuckets.0))) * 1000000)
                    AS BIGINT)""").as("lam_fp"))
-      val docb = tok.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n_db"))
       docb.join(broadcast(lam), "b")
         .groupBy("doc_id", "lang")
         .agg(sum(col("n_db") * col("lam_fp")).as("w_fp"))

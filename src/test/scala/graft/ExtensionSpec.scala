@@ -638,6 +638,42 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("dedup funnel stages shrink monotonically and kill all planted copies") {
+    val res = ext.DedupQueries.queries("q205_dedup_funnel")(spark, sf)
+      .as[(Int, String, Long, Long)].collect()
+    assert(res.map(r => (r._1, r._2)).toSeq ==
+      Seq((0, "raw"), (1, "exact"), (2, "near")))
+    val Seq(raw, exact, near) = res.toSeq
+    val n = Tables.documents(spark, sf).count()
+    val nLong = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 10).count()
+    // planted corpus: originals + N exact copies + near-dups of the >=10-word docs
+    assert(raw._3 == 2 * n + nLong)
+    // every +1M exact copy dies at stage 1
+    assert(exact._3 <= raw._3 - n)
+    // stage 2 removes more (the long drop-first-word plants verify >= 0.9)
+    assert(near._3 < exact._3)
+    // tokens shrink with docs at every stage
+    assert(raw._4 > exact._4 && exact._4 > near._4)
+  }
+
+  test("packing report: ceil sequences, bounded fill, straddles observed") {
+    val res = ext.CurationQueries.queries("q206_packing_report")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(res.map(_._2).sum == Tables.documents(spark, sf).count())
+    res.foreach { case (src, nDocs, tok, nSeqs, fill, cut, cutBp) =>
+      assert(nSeqs == (tok + 2047) / 2048, src)
+      assert(fill > 0 && fill <= 10000, src)
+      assert(cut >= 0 && cut <= nDocs, src)
+      assert(cutBp == cut * 10000 / nDocs, src)
+    }
+    // a partial tail sequence exists somewhere (fill < 100%)
+    assert(res.exists(_._5 < 10000), "no partial tail anywhere?")
+    // a doc can only straddle if its source spills past one sequence
+    // (at sf0.001 every source fits in one; sf0.1 exercises cuts)
+    res.filter(_._4 == 1).foreach(r => assert(r._6 == 0, r._1))
+  }
+
   test("DSIR importance enriches the English target slice in its top-k") {
     val res = ext.SelectionQueries.queries("q199_dsir_importance")(spark, sf)
       .as[(Long, String, Double)].collect()
