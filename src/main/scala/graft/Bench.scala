@@ -76,6 +76,7 @@ object Bench {
       "q198_stream_mixture"         -> 2.0,
       "q199_dsir_importance"        -> 3.3,
       "q202_hits"                   -> 5.6,
+      "q205_dedup_funnel"           -> 4.3,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,
       "q43_ngram_jaccard"           -> 4.3,

@@ -75,24 +75,36 @@ object SimilarityQueries {
       .select("qid", "rank", "vec_id", "cos_sim")
   }
 
+  /** The 16 seed centroids over the normed corpus. */
+  private def seedCentroids(n: DataFrame): DataFrame =
+    n.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+
+  /** Per-query probed cells: the `maxProbes` nearest centroids per qid
+    * (qid < 10), with the probe rank `prn` attached — map-only against
+    * the broadcast centroid table. Shared by [[ivfTopK]] (fixed probe
+    * count) and q207 (the probe-count sweep). */
+  private def probedCells(n: DataFrame, cent: DataFrame,
+                          maxProbes: Int): DataFrame = {
+    val pw = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cent_id"))
+    n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cent))
+      .select(col("qid"), col("qe"), col("qn"), col("cent_id"),
+        (VectorOps.dotSeq(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("pcos"))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= maxProbes)
+      .select(col("qid"), col("qe"), col("qn"), col("cent_id").as("cell"), col("prn"))
+  }
+
   /** q51's IVF route: 16 seed centroids, 4-probe cell search, top-k per
     * query: (qid, rank, vec_id, cos_sim), unordered. Shared by q51 and
     * the q204 system side. */
   private def ivfTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     val n = normed(s, d)
-    val cent = n.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val cent = seedCentroids(n)
     // cell assignment: map-only pass against broadcast centroids
     val assign = cellAssign(n, cent)
-    // probe the 4 nearest cells per query
-    val q = n.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val pw = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(cent))
-      .select(col("qid"), col("qe"), col("qn"), col("cent_id"),
-        (VectorOps.dotSeq(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("pcos"))
-      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 4)
-      .select(col("qid"), col("qe"), col("qn"), col("cent_id").as("cell"))
+    val probes = probedCells(n, cent, 4).drop("prn")
     // search only probed cells
     val rw = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("vec_id"))
     probes.join(assign, "cell")
@@ -482,6 +494,46 @@ object SimilarityQueries {
     // the new centroids, then reassignment. The per-round cost is one
     // corpus scan + one (cluster, dim)-keyed aggregate — at 100 TB the
     // corpus never shuffles by row, only the 8×64 centroid matrix moves.
+    // IVF probe-count sweep — recall@5 vs probes ∈ {1,2,4,8}, the tuning
+    // curve for the q51/q194 route (more probed cells = more vector
+    // comparisons = higher recall; the production question is where the
+    // curve flattens). ONE pass prices the whole curve (the q189
+    // discipline): cell candidates are materialized once at the MAX
+    // probe count with the probe rank attached, the sweep explodes each
+    // candidate only into the probe budgets that would have seen it
+    // (prn <= p), and per-(qid, p) top-5 + a truth semi-join score
+    // every budget simultaneously. Recall arithmetic is pure integer.
+    "q207_ivf_probe_sweep" -> ((s, d) => {
+      val ps = Seq(1, 2, 4, 8)
+      val n = normed(s, d)
+      val cent = seedCentroids(n)
+      val assign = cellAssign(n, cent)
+      val cand = probedCells(n, cent, ps.max).join(assign, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("prn"), col("vec_id"),
+          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("cos_sim"))
+      val swept = cand
+        .withColumn("p", explode(array(ps.map(lit(_)): _*)))
+        .filter(col("prn") <= col("p"))
+      val rw = Window.partitionBy("qid", "p")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val sysTop = swept.withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 5)
+      val truth = bruteTopK(s, d, 5).select(col("qid"), col("vec_id"))
+      val truthN = truth.agg(count(lit(1)).as("n_truth"))
+      val hits = sysTop.join(truth, Seq("qid", "vec_id"))
+        .groupBy("p").agg(count(lit(1)).as("n_hits"))
+      n.sparkSession.range(1)
+        .select(explode(array(ps.map(lit(_)): _*)).as("p"))
+        .join(hits, Seq("p"), "left")
+        .crossJoin(broadcast(truthN))
+        .select(col("p").as("probes"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("(coalesce(n_hits, 0) * 10000) DIV n_truth").as("recall_bp"))
+        .orderBy("probes")
+    }),
+
     "q88_kmeans_refine" -> ((s, d) => {
       val n = normed(s, d)
       def assign(cent: DataFrame): DataFrame = {
@@ -856,6 +908,55 @@ object SimilarityQueries {
                      FROM cand)
           SELECT qid, rank, vec_id, cos_sim FROM ranked
           WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q207_ivf_probe_sweep" ->
+      s"""WITH $normedSql,
+          bq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+                 FROM n WHERE vec_id < 10),
+          bs AS (SELECT bq.qid, n.vec_id,
+                        ${VectorOps.oDot("bq.qe", "n.embedding")} / (bq.qn * n.nrm) AS cos_sim
+                 FROM n CROSS JOIN bq WHERE n.vec_id <> bq.qid),
+          bt AS (SELECT qid, vec_id FROM (
+                   SELECT qid, vec_id,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY cos_sim DESC, vec_id) AS rank
+                   FROM bs) WHERE rank <= 5),
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+          ac AS (SELECT n.vec_id, n.embedding, n.nrm, cent.cent_id,
+                        ${VectorOps.oDot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) AS ccos
+                 FROM n CROSS JOIN cent),
+          assign AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1),
+          pc AS (SELECT bq.qid, bq.qe, bq.qn, cent.cent_id,
+                        ${VectorOps.oDot("bq.qe", "cent.ce")} / (bq.qn * cent.cn) AS pcos
+                 FROM bq CROSS JOIN cent),
+          probes AS (SELECT qid, qe, qn, cent_id AS cell, prn FROM (
+                       SELECT *, row_number() OVER (PARTITION BY qid
+                                                    ORDER BY pcos DESC, cent_id) AS prn
+                       FROM pc) WHERE prn <= 8),
+          cand AS (SELECT p.qid, p.prn, a.vec_id,
+                          ${VectorOps.oDot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cos_sim
+                   FROM probes p JOIN assign a ON a.cell = p.cell
+                   WHERE a.vec_id <> p.qid),
+          budgets AS (SELECT unnest([1, 2, 4, 8]) AS p),
+          swept AS (SELECT b.p, c.qid, c.vec_id, c.cos_sim
+                    FROM budgets b JOIN cand c ON c.prn <= b.p),
+          systop AS (SELECT p, qid, vec_id FROM (
+                       SELECT p, qid, vec_id,
+                              row_number() OVER (PARTITION BY qid, p
+                                                 ORDER BY cos_sim DESC, vec_id) AS rank
+                       FROM swept) WHERE rank <= 5),
+          tn AS (SELECT count(*) AS n_truth FROM bt),
+          hits AS (SELECT p, count(*) AS n_hits
+                   FROM systop JOIN bt USING (qid, vec_id) GROUP BY p)
+          SELECT b.p AS probes,
+                 CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+                 CAST(coalesce(hits.n_hits, 0) * 10000 // tn.n_truth AS BIGINT)
+                   AS recall_bp
+          FROM budgets b LEFT JOIN hits ON hits.p = b.p CROSS JOIN tn
+          ORDER BY probes""",
 
     "q204_ann_ndcg" ->
       s"""WITH $normedSql,

@@ -609,6 +609,20 @@ class ExtensionSpec extends SparkSpec {
     assert(res.zip(res.tail).forall(p => p._1._2 >= p._2._2))
   }
 
+  test("IVF probe sweep: recall climbs monotonically with probe budget") {
+    val res = ext.SimilarityQueries.queries("q207_ivf_probe_sweep")(spark, sf)
+      .as[(Int, Long, Long)].collect()
+    assert(res.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // 10 queries x top-5 truth rows
+    res.foreach { case (p, hits, bp) =>
+      assert(hits >= 0 && hits <= 50, s"p=$p")
+      assert(bp == hits * 10000 / 50, s"p=$p")
+    }
+    val hs = res.map(_._2)
+    assert(hs.zip(hs.tail).forall(x => x._1 <= x._2), hs.mkString(","))
+    assert(hs.last > hs.head, "the probe knob must actually buy recall")
+  }
+
   test("ANN nDCG@5 is bounded, covers every query, and discriminates") {
     val res = ext.SimilarityQueries.queries("q204_ann_ndcg")(spark, sf)
       .as[(Long, Double)].collect()
