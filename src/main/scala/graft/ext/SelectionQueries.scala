@@ -119,6 +119,46 @@ object SelectionQueries {
         .orderBy("label_a", "label_b")
     }),
 
+    // q203's corpus report THROUGH THE STREAMING ENGINE — the census a
+    // continuously-ingesting corpus maintains live. The streaming stage
+    // is ONE (source, lang) aggregate in Complete mode (count/sum are
+    // streaming-legal; the exact-duplicate column needs a distinct and
+    // stays batch-only in q203); the per-source rollup and entropy run
+    // as batch arithmetic over the ~100-row census the stream emits.
+    // Because every aggregate is deterministic integer arithmetic, the
+    // streamed census equals the batch pass row-for-row — the same
+    // resumable-ingest guarantee q198 grades for sampling, here for
+    // reporting.
+    "q208_stream_corpus_report" -> ((s, d) => {
+      val docs = graft.streaming.StreamingPipelines.documentsStream(s, d)
+      val agg = docs.groupBy("source", "lang").agg(
+        count(lit(1)).as("c"),
+        sum(size(split(col("text"), " "))).as("tok"),
+        sum(col("n_chars")).as("chars"))
+      val census = graft.streaming.StreamingPipelines.runToCompletion(s, agg)
+      // join-free rollup (the streamed memory table must not self-join):
+      // window the per-source total onto each census row, then ONE
+      // aggregate carries counts, sums, and the entropy fold together
+      census
+        .withColumn("tot", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        .withColumn("e_fp", expr(
+          """CAST(round(-(CAST(c AS DOUBLE) / tot)
+                        * ln(CAST(c AS DOUBLE) / tot) * 1000000)
+             AS BIGINT)"""))
+        .groupBy("source").agg(
+          sum(col("c")).as("n_docs"),
+          sum(col("tok")).as("total_tokens"),
+          coalesce(sum(when(col("lang") === "en", col("c"))), lit(0L)).as("n_en"),
+          sum(col("chars")).as("sum_chars"),
+          sum(col("e_fp")).as("ent_fp"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          (col("n_en").cast("double") / col("n_docs")).as("pct_en"),
+          (col("sum_chars").cast("double") / col("n_docs")).as("mean_chars"),
+          (col("ent_fp").cast("double") / 1e6).as("lang_entropy"))
+        .orderBy("source")
+    }),
+
     // Corpus report card, one row per source: volume (docs, tokens),
     // language composition (English share + Shannon entropy of the lang
     // mix, micro-nat fixed point), exact-duplicate pressure (docs minus
@@ -208,6 +248,32 @@ object SelectionQueries {
           JOIN nrm na ON na.label = label_a
           JOIN nrm nb ON nb.label = label_b
           ORDER BY label_a, label_b""",
+
+    "q208_stream_corpus_report" ->
+      """WITH base AS (SELECT source,
+                              count(*) AS n_docs,
+                              CAST(SUM(len(str_split(text, ' '))) AS BIGINT)
+                                AS total_tokens,
+                              count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+                              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                       FROM documents GROUP BY source),
+          lc AS (SELECT source, lang, count(*) AS c
+                 FROM documents GROUP BY source, lang),
+          ent AS (SELECT source,
+                         CAST(SUM(CAST(round(
+                                -(CAST(c AS DOUBLE) / tot)
+                                * ln(CAST(c AS DOUBLE) / tot) * 1000000)
+                              AS BIGINT)) AS BIGINT) AS ent_fp
+                  FROM (SELECT source, lang, c,
+                               SUM(c) OVER (PARTITION BY source) AS tot
+                        FROM lc)
+                  GROUP BY source)
+          SELECT source, n_docs, total_tokens,
+                 CAST(n_en AS DOUBLE) / n_docs AS pct_en,
+                 CAST(sum_chars AS DOUBLE) / n_docs AS mean_chars,
+                 CAST(ent_fp AS DOUBLE) / 1e6 AS lang_entropy
+          FROM base JOIN ent USING (source)
+          ORDER BY source""",
 
     "q203_corpus_report" ->
       """WITH base AS (SELECT source,

@@ -344,6 +344,23 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch divergence: ${streamRows.diff(batchRows)}")
   }
 
+  test("streamed corpus report equals the batch report on shared columns") {
+    // q208 streams the (source, lang) census; q203 computes it in batch.
+    // Deterministic integer aggregates must make the two row-identical
+    // on every column both produce (q203 additionally reports dup_docs,
+    // which needs a distinct and is batch-only).
+    val shared = Seq("source", "n_docs", "total_tokens", "pct_en",
+      "mean_chars", "lang_entropy")
+    val streamRows = ext.SelectionQueries
+      .queries("q208_stream_corpus_report")(spark, sf)
+      .select(shared.map(col): _*).collect().toSeq
+    val batchRows = ext.SelectionQueries
+      .queries("q203_corpus_report")(spark, sf)
+      .select(shared.map(col): _*).collect().toSeq
+    assert(streamRows.nonEmpty && streamRows == batchRows,
+      s"stream/batch divergence: ${streamRows.diff(batchRows)}")
+  }
+
   // ------------------------------------------------------------------
   // Events data-contract tests (round-7 lesson: the fixture's ts unit
   // flipped from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and a silent
