@@ -78,6 +78,7 @@ object Bench {
       "q202_hits"                   -> 5.6,
       "q205_dedup_funnel"           -> 4.3,
       "q208_stream_corpus_report"   -> 2.0,
+      "q210_lsh_eval"               -> 10.7,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,
       "q43_ngram_jaccard"           -> 4.3,

@@ -457,6 +457,29 @@ object DedupQueries {
         .orderBy("tau_bp")
     }),
 
+    // LSH candidate-quality EVAL — the banded MinHash route (q41) scored
+    // against EXACT ground truth (the lossless PPJoin self-join at
+    // J >= 1/2, q149's machinery on the same corpus): recall = how much
+    // of the true >=τ pair set the bands surface; precision = what
+    // fraction of surfaced candidates are true — i.e. how much exact
+    // verification work each candidate costs. The dedup-side twin of
+    // q207's ANN probe sweep: q189 tunes the THRESHOLD, this grades the
+    // CANDIDATE GENERATOR itself. All-integer metrics; both sides are
+    // existing bounded machinery (banded buckets / prefix filtering) —
+    // nothing here is all-pairs.
+    "q210_lsh_eval" -> ((s, d) => {
+      val c = corpus(s, d)
+      val truth = prefixJaccardPairs(c, 1, 2).select("id1", "id2")
+      val cand = candidatePairs(bandTable(minhash(shinglesRaw(c))))
+      val hit = cand.join(truth, Seq("id1", "id2"))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_cand"), col("n_truth"), col("n_hit"),
+          expr("(n_hit * 10000) DIV n_truth").as("recall_bp"),
+          expr("(n_hit * 10000) DIV n_cand").as("precision_bp"))
+    }),
+
     // Dedup FUNNEL report — drives the [[DedupPipeline]] user API end to
     // end over the planted corpus and reports per-stage survival (docs
     // and tokens): raw → exactDedup → nearDedup(0.9). This is the
@@ -694,6 +717,40 @@ object DedupQueries {
                    // CAST(sz1 + sz2 - inter AS BIGINT) AS jacc_bp
           FROM ij WHERE inter * 8 >= (sz1 + sz2) * 3
           ORDER BY id1, id2""",
+
+    "q210_lsh_eval" ->
+      s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql,
+          $cappedBandsSql, $pairsSql,
+          dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+          pre AS (SELECT doc_id, shingle, sz FROM (
+                    SELECT t.doc_id, t.shingle, s.sz,
+                           row_number() OVER (PARTITION BY t.doc_id
+                                              ORDER BY df, t.shingle) AS pos
+                    FROM sh t JOIN dfreq USING (shingle)
+                    JOIN sizes s ON s.doc_id = t.doc_id)
+                  WHERE pos <= sz - (1 * sz + 1) // 2 + 1),
+          tcands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                            a.sz AS sz1, b.sz AS sz2
+                     FROM pre a JOIN pre b
+                       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      AND a.sz * 1 <= b.sz * 2 AND b.sz * 1 <= a.sz * 2),
+          tij AS (SELECT id1, id2, sz1, sz2, count(*) AS inter
+                  FROM tcands
+                  JOIN sh ta ON ta.doc_id = id1
+                  JOIN sh tb ON tb.doc_id = id2 AND tb.shingle = ta.shingle
+                  GROUP BY id1, id2, sz1, sz2),
+          truth AS (SELECT id1, id2 FROM tij
+                    WHERE inter * 3 >= (sz1 + sz2) * 1),
+          hit AS (SELECT p.id1 FROM pairs p JOIN truth
+                  ON truth.id1 = p.id1 AND truth.id2 = p.id2),
+          m AS (SELECT (SELECT count(*) FROM pairs) AS n_cand,
+                       (SELECT count(*) FROM truth) AS n_truth,
+                       (SELECT count(*) FROM hit) AS n_hit)
+          SELECT n_cand, n_truth, n_hit,
+                 CAST(n_hit * 10000 // n_truth AS BIGINT) AS recall_bp,
+                 CAST(n_hit * 10000 // n_cand AS BIGINT) AS precision_bp
+          FROM m""",
 
     "q205_dedup_funnel" -> {
       val lanes = (0 until 8)

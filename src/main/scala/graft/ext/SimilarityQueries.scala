@@ -534,6 +534,25 @@ object SimilarityQueries {
         .orderBy("probes")
     }),
 
+    // ANN index HEALTH report — the cell-population census an index
+    // operator monitors: a skewed cell map means probe latency variance
+    // (hot cells scan more) and is the trigger for re-training
+    // centroids (q88's Lloyd round). balance_bp = 10000 means the cell
+    // holds exactly its fair 1/16 share. One map-only assignment pass +
+    // one 16-group aggregate; the totals row broadcasts back.
+    "q209_ann_index_stats" -> ((s, d) => {
+      val n = normed(s, d)
+      val cent = seedCentroids(n)
+      val cells = cellAssign(n, cent)
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val tot = cells.agg(sum(col("n_vecs")).as("n_total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          expr("(n_vecs * 10000) DIV n_total").as("share_bp"),
+          expr("(n_vecs * 16 * 10000) DIV n_total").as("balance_bp"))
+        .orderBy("cell")
+    }),
+
     "q88_kmeans_refine" -> ((s, d) => {
       val n = normed(s, d)
       def assign(cent: DataFrame): DataFrame = {
@@ -957,6 +976,23 @@ object SimilarityQueries {
                    AS recall_bp
           FROM budgets b LEFT JOIN hits ON hits.p = b.p CROSS JOIN tn
           ORDER BY probes""",
+
+    "q209_ann_index_stats" ->
+      s"""WITH $normedSql,
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+          ac AS (SELECT n.vec_id, cent.cent_id,
+                        ${VectorOps.oDot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) AS ccos
+                 FROM n CROSS JOIN cent),
+          assign AS (SELECT vec_id, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1),
+          cells AS (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY cell),
+          tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM cells)
+          SELECT cell, n_vecs,
+                 CAST(n_vecs * 10000 // n_total AS BIGINT) AS share_bp,
+                 CAST(n_vecs * 16 * 10000 // n_total AS BIGINT) AS balance_bp
+          FROM cells CROSS JOIN tot ORDER BY cell""",
 
     "q204_ann_ndcg" ->
       s"""WITH $normedSql,

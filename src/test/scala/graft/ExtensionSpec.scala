@@ -609,6 +609,37 @@ class ExtensionSpec extends SparkSpec {
     assert(res.zip(res.tail).forall(p => p._1._2 >= p._2._2))
   }
 
+  test("ANN index stats census the whole corpus with exact integer shares") {
+    val res = ext.SimilarityQueries.queries("q209_ann_index_stats")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(res.map(_._1).toSeq == (0L until 16L), "every seed cell populated")
+    val total = Tables.embeddings(spark, sf).count()
+    assert(res.map(_._2).sum == total, "cells must partition the corpus")
+    res.foreach { case (cell, n, share, bal) =>
+      assert(n > 0, s"cell $cell")
+      assert(share == n * 10000 / total, s"cell $cell")
+      assert(bal == n * 16 * 10000 / total, s"cell $cell")
+    }
+    // the census must show real imbalance (it is why the report exists)
+    assert(res.map(_._4).max > 10000 && res.map(_._4).min < 10000)
+  }
+
+  test("LSH eval: near-perfect recall, verification cost visible in precision") {
+    val Array((nCand, nTruth, nHit, recall, precision)) =
+      ext.DedupQueries.queries("q210_lsh_eval")(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect()
+    assert(nHit <= math.min(nCand, nTruth))
+    assert(recall == nHit * 10000 / nTruth)
+    assert(precision == nHit * 10000 / nCand)
+    // 4x2 banding at the planted corpus's J-distribution: recall is
+    // near-perfect (measured 10000 bp at sf0.001, 9998 at sf0.1)...
+    assert(recall >= 9900, s"recall $recall")
+    // ...but candidates are NOT free — false positives exist, which is
+    // exactly the verification cost the metric prices
+    assert(precision < 10000, s"precision $precision")
+    assert(nTruth > 100, "truth set too small to grade against")
+  }
+
   test("IVF probe sweep: recall climbs monotonically with probe budget") {
     val res = ext.SimilarityQueries.queries("q207_ivf_probe_sweep")(spark, sf)
       .as[(Int, Long, Long)].collect()
