@@ -380,6 +380,87 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Canonical-document selection — the decision step AFTER clustering
+    // that every production dedup actually ships: within each q54
+    // near-dup cluster keep ONE representative (longest member in words,
+    // ties to the smallest doc_id — so a planted exact copy always loses
+    // to its original) and account for what was demoted. Emits only
+    // multi-member clusters: cluster id, the canonical doc, its length,
+    // and the total words dropped with the demoted members — the
+    // token-loss ledger a curation run reports.
+    // Scale: rides q54's components (pointer-jumping, O(log D) rounds);
+    // the argmax is a per-cluster row_number window over |docs| rows
+    // keyed by cluster — one shuffle, bounded state per key. All
+    // integer arithmetic, bit-exact cross-engine.
+    "q212_canonical_docs" -> ((s, d) => {
+      val c = corpus(s, d)
+      val pairs = candidatePairsOf(shinglesRaw(c))
+      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val sized = c.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_words").desc, col("doc_id"))
+      comp.join(sized, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
+          max(when(col("rn") === 1, col("n_words"))).as("kept_words"),
+          sum(when(col("rn") > 1, col("n_words")).otherwise(lit(0)))
+            .cast("long").as("dropped_words"))
+        .filter(col("n_members") > 1)
+        .orderBy("cluster_id")
+    }),
+
+    // Normalization-sensitivity ladder — how many exact duplicates each
+    // canonicalization level exposes, the audit every exact-dedup
+    // deployment runs before picking its fingerprint key (raw md5 vs
+    // casefold vs punctuation-strip vs whitespace-collapse; the q63
+    // chain, unbundled level by level). The corpus plants one mutation
+    // class per level: verbatim copies (raw catches), uppercased copies
+    // (casefold), punctuation-appended copies (punct-strip), and
+    // double-spaced copies (ws-collapse) — so the dup counts climb
+    // strictly down the ladder and each step's marginal catch is
+    // attributable to exactly one rule.
+    // Scale: ONE corpus pass computes all four fingerprints map-side
+    // (stack → (level, fp)); the only shuffle is the (level, fp) count
+    // with map-side partial aggregation — no joins, no pair work ever.
+    "q214_norm_sensitivity" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val c = docs
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            upper(col("text")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit("!!")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            expr("replace(text, ' ', '  ')").as("text")))
+      val lvl = c.select(col("doc_id"), expr(
+        """stack(4,
+             0, md5(text),
+             1, md5(lower(text)),
+             2, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '')),
+             3, md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ''), ' +', ' ')))) AS (level, fp)"""))
+      lvl.groupBy("level", "fp").agg(count(lit(1)).as("n"))
+        .groupBy("level").agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n") > 1, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_dup_groups"),
+          sum(col("n") - 1).cast("long").as("n_dup_docs"))
+        .withColumn("level_name",
+          expr("""CASE level WHEN 0 THEN 'raw' WHEN 1 THEN 'casefold'
+                  WHEN 2 THEN 'nopunct' ELSE 'collapse' END"""))
+        .select("level", "level_name", "n_groups", "n_dup_groups", "n_dup_docs")
+        .orderBy("level")
+    }),
+
     // Exact substring dedup via winnowing-style content-defined
     // fingerprints: pairs of docs sharing verbatim character runs — the
     // exact-substring axis of dedup, complementary to word-gram Jaccard
@@ -956,6 +1037,61 @@ object DedupQueries {
             SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst)
           SELECT id AS doc_id, min(r) AS cluster_id
           FROM reach GROUP BY id ORDER BY doc_id""",
+
+    "q214_norm_sensitivity" ->
+      s"""WITH c AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents
+                      WHERE doc_id % 5 = 0
+            UNION ALL SELECT doc_id + 2000000, upper(text) FROM documents
+                      WHERE doc_id % 10 = 0
+            UNION ALL SELECT doc_id + 3000000, text || '!!' FROM documents
+                      WHERE doc_id % 10 = 3
+            UNION ALL SELECT doc_id + 4000000, replace(text, ' ', '  ')
+                      FROM documents WHERE doc_id % 10 = 7),
+          lv AS (
+            SELECT doc_id, 0 AS level, md5(text) AS fp FROM c
+            UNION ALL SELECT doc_id, 1, md5(lower(text)) FROM c
+            UNION ALL SELECT doc_id, 2,
+              md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) FROM c
+            UNION ALL SELECT doc_id, 3,
+              md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) FROM c),
+          grp AS (SELECT level, fp, count(*) AS n FROM lv GROUP BY 1, 2)
+          SELECT level,
+                 CASE level WHEN 0 THEN 'raw' WHEN 1 THEN 'casefold'
+                      WHEN 2 THEN 'nopunct' ELSE 'collapse' END AS level_name,
+                 count(*) AS n_groups,
+                 CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_groups,
+                 CAST(sum(n - 1) AS BIGINT) AS n_dup_docs
+          FROM grp GROUP BY level ORDER BY level""",
+
+    // q212: q54's recursive clustering + per-cluster longest-member argmax.
+    "q212_canonical_docs" ->
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM corpus
+            UNION
+            SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+          comp AS (SELECT id AS doc_id, min(r) AS cluster_id
+                   FROM reach GROUP BY id),
+          sized AS (SELECT doc_id,
+                      CAST(len(str_split(text, ' ')) AS INTEGER) AS n_words
+                    FROM corpus),
+          ranked AS (SELECT cluster_id, c.doc_id, n_words,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY n_words DESC, c.doc_id) AS rn
+                     FROM comp c JOIN sized s ON s.doc_id = c.doc_id)
+          SELECT cluster_id, count(*) AS n_members,
+                 max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+                 max(CASE WHEN rn = 1 THEN n_words END) AS kept_words,
+                 CAST(sum(CASE WHEN rn > 1 THEN n_words ELSE 0 END) AS BIGINT)
+                   AS dropped_words
+          FROM ranked GROUP BY cluster_id HAVING count(*) > 1
+          ORDER BY cluster_id""",
 
     "q116_substring_dedup" ->
       s"""WITH $corpusSql,

@@ -238,6 +238,59 @@ object GraphQueries {
         .orderBy(col("score").desc, col("node")).limit(10)
       hubs.unionByName(auths)
         .orderBy(col("kind"), col("score").desc, col("node"))
+    }),
+
+    // Synchronous label propagation (community detection) over the q132
+    // supplier backbone — the cheap communities pass a curation pipeline
+    // runs to group near-boilerplate SOURCES before sampling (the graph
+    // dual of q54's connected components: LPA splits a connected blob
+    // into dense cores instead of one giant component). Every node
+    // starts labeled with itself; each of [[LpaRounds]] synchronous
+    // rounds relabels every node with its neighbors' PLURALITY label —
+    // count desc, label asc, so the argmax is total and the whole
+    // recurrence is integer-deterministic cross-engine (the q120
+    // discipline; no scores, no floats at all).
+    // Scale: a round is one adj ⋈ labels shuffle keyed on dst plus a
+    // (node, label) count and a per-node top-1 window — the Pregel
+    // message pass again. Label vector is |V| rows; adjacency is the
+    // big side and can be pre-partitioned once so every round reuses
+    // its exchange. Synchronous (not async sweep) so rounds are
+    // order-free and the result is partitioning-independent.
+    "q211_label_propagation" -> ((s, d) => {
+      // backbone feeds 2 directions × LpaRounds plan branches —
+      // materialize the heavy co-occurrence aggregation once (q173's
+      // rationale). The OUTPUT is the per-round convergence census
+      // (communities left, largest community, its label) rather than the
+      // final labeling: on a dense backbone plurality labels coalesce
+      // fast, and the trajectory — how fast structure collapses — is the
+      // operator's production signal (it is how you pick the round
+      // budget before communities merge past usefulness).
+      val bb = supplierBackbone(s, d).localCheckpoint()
+      val adj = bb.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(bb.select(col("v").as("src"), col("u").as("dst")))
+      var lab = adj.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      val rounds = (1 to LpaRounds).map { k =>
+        val msgs = adj.join(lab, col("dst") === col("node"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("c").desc, col("lbl"))
+        lab = msgs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("src").as("node"), col("lbl"))
+        // census: |communities| rows reduce to ONE via a broadcast
+        // one-row aggregate — no global window, no driver collect
+        val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("n"))
+        val agg1 = sizes.agg(count(lit(1)).as("n_communities"),
+          max(col("n")).as("largest_size"))
+        sizes.crossJoin(broadcast(agg1))
+          .groupBy("n_communities", "largest_size")
+          .agg(min(when(col("n") === col("largest_size"), col("lbl")))
+            .as("top_community"))
+          .select(lit(k).as("round"), col("n_communities"),
+            col("largest_size"), col("top_community"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
     })
   )
 
@@ -266,6 +319,9 @@ object GraphQueries {
 
   /** q202's unrolled HITS mutual-reinforcement rounds. */
   private[ext] val HitsRounds = 2
+
+  /** q211's synchronous label-propagation rounds. */
+  private[ext] val LpaRounds = 3
 
   /** q144's unreached-distance sentinel (the trade graph's diameter is
     * far below it; survives min() intact for never-relaxed nodes). */
@@ -325,6 +381,23 @@ object GraphQueries {
         h$k AS MATERIALIZED (SELECT cust,
                   (hr * 1000000) // (SELECT max(hr) FROM hr$k) AS h
                 FROM hr$k)"""
+
+  /** One unrolled DuckDB label-propagation round over CTE `$prev` → `l$k`.
+    * MATERIALIZED for the q202 reason: each label table feeds the next
+    * round's join; default inlining would double the chain per round. */
+  private def lpaRoundSql(k: Int, prev: String): String =
+    s"""m$k AS MATERIALIZED (SELECT a.src, l.lbl, count(*) AS c
+                FROM adj a JOIN $prev l ON l.node = a.dst GROUP BY 1, 2),
+        l$k AS MATERIALIZED (SELECT src AS node, lbl FROM (
+                  SELECT m$k.*, row_number() OVER (
+                    PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM m$k)
+                WHERE rn = 1),
+        s$k AS MATERIALIZED (SELECT lbl, count(*) AS n FROM l$k GROUP BY lbl),
+        c$k AS (SELECT $k AS round, count(*) AS n_communities,
+                  max(n) AS largest_size,
+                  min(CASE WHEN n = (SELECT max(n) FROM s$k) THEN lbl END)
+                    AS top_community
+                FROM s$k)"""
 
   /** One unrolled DuckDB BFS relaxation round over CTE `$prev` → `d$k`. */
   private def bfsRoundSql(k: Int, prev: String): String =
@@ -402,6 +475,24 @@ object GraphQueries {
           SELECT node, kind, score FROM hubs
           UNION ALL SELECT node, kind, score FROM auths
           ORDER BY kind, score DESC, node"""
+    },
+
+    "q211_label_propagation" -> {
+      val rounds = (1 to LpaRounds)
+        .map(k => lpaRoundSql(k, s"l${k - 1}")).mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          edges AS (SELECT u, v FROM (
+                      SELECT a.sk AS u, b.sk AS v, count(*) AS c
+                      FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+                      GROUP BY 1, 2)
+                    ORDER BY c DESC, u, v LIMIT $TriangleEdgeBudget),
+          adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM edges
+                  UNION ALL SELECT v, u FROM edges),
+          l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM adj),
+          $rounds
+          ${(1 to LpaRounds).map(k => s"SELECT * FROM c$k").mkString(" UNION ALL ")}
+          ORDER BY round"""
     },
 
     "q173_two_hop_reach" ->

@@ -534,6 +534,53 @@ object SimilarityQueries {
         .orderBy("probes")
     }),
 
+    // Matryoshka truncation sweep (Kusupati et al. 2022) — recall@5 of
+    // brute-force cosine at PREFIX dimensionalities {8, 16, 32, 64} vs
+    // the full-width truth: the tuning curve for serving truncated
+    // embeddings (4× less memory/bandwidth per halving if the head of
+    // the vector carries the signal). ONE queries×corpus pass prices
+    // the whole curve (the q189/q207 discipline): prefix slices and
+    // their norms are computed once per vector map-side, each pair
+    // explodes into its |dims| (m, cos_m) rows, and per-(qid, m) top-5
+    // + a truth self-join score every width simultaneously. The m=64
+    // row is the recall-10000 anchor by construction. Recall arithmetic
+    // is pure integer; cosines ride the sequential-fold [[VectorOps]]
+    // kernels so the sweep hash-grades cross-engine.
+    "q213_matryoshka_recall" -> ((s, d) => {
+      val ms = Seq(8, 16, 32, 64)
+      val pre = ms.foldLeft(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))) { (acc, m) =>
+        acc.withColumn(s"e$m", slice(col("embedding"), 1, m))
+          .withColumn(s"n$m", VectorOps.norm(col(s"e$m")))
+      }
+      val q = pre.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid") +:
+          ms.flatMap(m => Seq(col(s"e$m").as(s"qe$m"), col(s"n$m").as(s"qn$m"))): _*)
+      val scored = pre.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          explode(array(ms.map(m => struct(lit(m).as("m"),
+            (VectorOps.dotSeq(col(s"qe$m"), col(s"e$m")) /
+              (col(s"qn$m") * col(s"n$m"))).as("cos"))): _*)).as("mc"))
+        .select(col("qid"), col("vec_id"), col("mc.m").as("m"), col("mc.cos").as("cos"))
+      val rw = Window.partitionBy("qid", "m")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val top = scored.withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 5)
+      val truth = top.filter(col("m") === ms.max).select(col("qid"), col("vec_id"))
+      val truthN = truth.agg(count(lit(1)).as("n_truth"))
+      val hits = top.join(truth, Seq("qid", "vec_id"))
+        .groupBy("m").agg(count(lit(1)).as("n_hits"))
+      pre.sparkSession.range(1)
+        .select(explode(array(ms.map(lit(_)): _*)).as("m"))
+        .join(hits, Seq("m"), "left")
+        .crossJoin(broadcast(truthN))
+        .select(col("m").as("dims"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("(coalesce(n_hits, 0) * 10000) DIV n_truth").as("recall_bp"))
+        .orderBy("dims")
+    }),
+
     // ANN index HEALTH report — the cell-population census an index
     // operator monitors: a skewed cell map means probe latency variance
     // (hot cells scan more) and is the trigger for re-training
@@ -976,6 +1023,38 @@ object SimilarityQueries {
                    AS recall_bp
           FROM budgets b LEFT JOIN hits ON hits.p = b.p CROSS JOIN tn
           ORDER BY probes""",
+
+    "q213_matryoshka_recall" -> {
+      val ms = Seq(8, 16, 32, 64)
+      val preCols = ms.map(m =>
+        s"embedding[1:$m] AS e$m, ${VectorOps.oNorm(s"embedding[1:$m]")} AS n$m")
+        .mkString(", ")
+      val qCols = ms.map(m => s"e$m AS qe$m, n$m AS qn$m").mkString(", ")
+      val scoredSql = ms.map(m =>
+        s"""SELECT q.qid, p.vec_id, $m AS m,
+              ${VectorOps.oDot(s"q.qe$m", s"p.e$m")} / (q.qn$m * p.n$m) AS cos
+            FROM pre p CROSS JOIN q WHERE p.vec_id <> q.qid""")
+        .mkString("\n UNION ALL ")
+      s"""WITH pre AS (SELECT vec_id, $preCols FROM embeddings),
+          q AS (SELECT vec_id AS qid, $qCols FROM pre WHERE vec_id < 10),
+          scored AS ($scoredSql),
+          top5 AS (SELECT m, qid, vec_id FROM (
+                     SELECT m, qid, vec_id,
+                            row_number() OVER (PARTITION BY qid, m
+                                               ORDER BY cos DESC, vec_id) AS rank
+                     FROM scored) WHERE rank <= 5),
+          truth AS (SELECT qid, vec_id FROM top5 WHERE m = ${ms.max}),
+          tn AS (SELECT count(*) AS n_truth FROM truth),
+          hits AS (SELECT m, count(*) AS n_hits
+                   FROM top5 JOIN truth USING (qid, vec_id) GROUP BY m),
+          dm AS (SELECT unnest([${ms.mkString(", ")}]) AS m)
+          SELECT dm.m AS dims,
+                 CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+                 CAST(coalesce(hits.n_hits, 0) * 10000 // tn.n_truth AS BIGINT)
+                   AS recall_bp
+          FROM dm LEFT JOIN hits ON hits.m = dm.m CROSS JOIN tn
+          ORDER BY dims"""
+    },
 
     "q209_ann_index_stats" ->
       s"""WITH $normedSql,

@@ -2057,6 +2057,60 @@ class ExtensionSpec extends SparkSpec {
     assert(res.map(_._2).sum == Tables.events(spark, sf).count())
   }
 
+  test("label propagation census: communities only coalesce, never split") {
+    val rows = ext.GraphQueries.queries("q211_label_propagation")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1 to 3), "one census row per round")
+    // synchronous plurality-label rounds on a connected dense backbone:
+    // community count is non-increasing, the largest community only grows
+    rows.sliding(2).foreach { case Array((_, nc1, ls1), (_, nc2, ls2)) =>
+      assert(nc2 <= nc1, s"communities split: $nc1 -> $nc2")
+      assert(ls2 >= ls1, s"largest community shrank: $ls1 -> $ls2")
+    }
+    assert(rows.forall { case (_, nc, ls) => nc >= 1 && ls >= 1 })
+  }
+
+  test("canonical selection: every canonical is an original, never a copy") {
+    val rows = ext.DedupQueries.queries("q212_canonical_docs")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cluster, n, canonical, kept, dropped) =>
+      assert(n >= 2, "only multi-member clusters are emitted")
+      // the longest-member-then-smallest-id rule must always pick the
+      // base document: planted exact copies (+1M) tie on length but
+      // carry a larger id; planted near copies (+2M) are one word short
+      assert(canonical < 1000000L, s"cluster $cluster kept copy $canonical")
+      assert(kept >= 1 && dropped >= 0)
+    }
+  }
+
+  test("matryoshka recall climbs with width and anchors at 10000 bp") {
+    val rows = ext.SimilarityQueries.queries("q213_matryoshka_recall")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(8, 16, 32, 64))
+    rows.sliding(2).foreach { case Array((_, _, r1), (_, _, r2)) =>
+      assert(r2 >= r1, s"recall fell with more dims: $r1 -> $r2")
+    }
+    assert(rows.last._3 == 10000L, "full width recalls itself exactly")
+    assert(rows.head._3 < 10000L, "8-dim prefix must actually lose recall")
+  }
+
+  test("normalization ladder: each level catches exactly its mutation class") {
+    val rows = ext.DedupQueries.queries("q214_norm_sensitivity")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).toSeq == Seq("raw", "casefold", "nopunct", "collapse"))
+    // planted: exact copies at every 5th doc, uppercased at %10=0,
+    // '!!'-suffixed at %10=3, double-spaced at %10=7 — so each level
+    // catches its own class ON TOP of everything the previous level saw
+    rows.sliding(2).foreach { case Array((_, a, g1, _, d1), (_, b, g2, _, d2)) =>
+      assert(g2 < g1, s"$b must merge strictly more groups than $a")
+      assert(d2 > d1, s"$b must expose strictly more dup docs than $a")
+    }
+    val (_, _, _, rawDupGroups, rawDupDocs) = rows.head
+    assert(rawDupGroups == rawDupDocs, "raw dups are 1:1 planted exact copies")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
