@@ -93,6 +93,10 @@ object CurationQueries {
     guardCache.clear()
   }
 
+  /** q216's boilerplate guard: grams present in more than this many
+    * sources are dropped before the source-pair self-join. */
+  private[ext] val SourceGramCap = 16
+
   private val eightGramsSql =
     """tok8 AS (SELECT doc_id, str_split(text, ' ') AS words FROM corpus
                 WHERE len(str_split(text, ' ')) >= 8),
@@ -287,6 +291,48 @@ object CurationQueries {
     // shared constant the batch dedup uses. The increment plants
     // near-copies of old docs (must be rejected) and word-reversed docs
     // (share no 3-grams — must be admitted).
+    // CROSS-SOURCE overlap matrix — which feeds are re-crawls of each
+    // other: distinct word-8-gram sets per SOURCE, pairwise shared-gram
+    // counts, and a containment share against the smaller side (the
+    // q179 containment axis lifted from doc pairs to source pairs).
+    // This is the audit run before source-level mixture weighting
+    // (q187/q196): two sources with high containment are one source for
+    // sampling purposes, and double-weighting them silently skews the
+    // mix. Grams present in only one source carry no pair signal and
+    // grams in more than [[SourceGramCap]] sources are boilerplate;
+    // both are dropped BEFORE the self-join, so the per-gram pair
+    // fan-out is bounded by the cap squared — the same guard discipline
+    // as the LSH mega-bucket cap, applied at source granularity.
+    // Scale: the (source, gram) distinct is the corpus-sized shuffle
+    // (map-side partial); the self-join then moves only multi-source
+    // grams; per-source set sizes are a tiny broadcast.
+    "q216_source_overlap" -> ((s, d) => {
+      val sg = Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 8)
+        .select(col("source"),
+          explode(sequence(lit(1), size(col("words")) - 7)).as("pos"),
+          col("words"))
+        .select(col("source"),
+          expr("concat_ws(' ', slice(words, pos, 8))").as("g"))
+        .distinct()
+      val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val capped = sg.withColumn("ns", count(lit(1)).over(w))
+        .filter(col("ns") >= 2 && col("ns") <= SourceGramCap)
+      capped.select(col("g"), col("source").as("src_a"))
+        .join(capped.select(col("g"), col("source").as("src_b")), Seq("g"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("sz").as("sz_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("sz").as("sz_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          expr("(n_shared * 10000) DIV least(sz_a, sz_b)").as("containment_bp"))
+        .orderBy("src_a", "src_b")
+    }),
+
     "q103_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val newNear = docs.filter(col("doc_id") % 10 === 0)
@@ -1022,6 +1068,31 @@ object CurationQueries {
           SELECT doc_id, CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
                  CAST(max(overlap) AS BIGINT) AS max_overlap
           FROM hits GROUP BY doc_id ORDER BY doc_id""",
+
+    "q216_source_overlap" ->
+      s"""WITH sg AS (SELECT DISTINCT source,
+                        array_to_string(words[pos:pos+7], ' ') AS g
+                      FROM (SELECT source, words,
+                              unnest(generate_series(1, len(words) - 7)) AS pos
+                            FROM (SELECT source, str_split(text, ' ') AS words
+                                  FROM documents
+                                  WHERE len(str_split(text, ' ')) >= 8))),
+          sizes AS (SELECT source, count(*) AS sz FROM sg GROUP BY source),
+          capped AS (SELECT source, g FROM (
+                       SELECT sg.*, count(*) OVER (PARTITION BY g) AS ns
+                       FROM sg) WHERE ns >= 2 AND ns <= $SourceGramCap),
+          pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                           count(*) AS n_shared
+                    FROM capped a JOIN capped b
+                      ON a.g = b.g AND a.source < b.source
+                    GROUP BY 1, 2)
+          SELECT src_a, src_b, n_shared,
+                 CAST((n_shared * 10000) // least(sa.sz, sb.sz) AS BIGINT)
+                   AS containment_bp
+          FROM pairs
+          JOIN sizes sa ON sa.source = src_a
+          JOIN sizes sb ON sb.source = src_b
+          ORDER BY src_a, src_b""",
 
     "q103_incremental_dedup" -> {
       val lanes = (0 until 8).map(i =>

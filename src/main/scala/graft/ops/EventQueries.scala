@@ -116,6 +116,63 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // EWMA ANOMALY detection — the volume-spike monitor every ingestion
+    // pipeline runs per stream: a per-type exponentially-weighted moving
+    // average of the daily event count (α = 1/4, integer recursion
+    // s' = (x + 3s) DIV 4 seeded with day 1's count), flagging any day
+    // whose count exceeds 2× the running average of its HISTORY (the
+    // pre-update EWMA, so a spike can't mask itself). The recursion is
+    // genuinely sequential, so it runs as an ordered-array fold: per
+    // type, collect the (day, cnt) series sorted by day and aggregate()
+    // it with a struct accumulator — the DuckDB twin is the same fold
+    // via list_reduce, and every step is integer, so the whole
+    // trajectory is bit-exact cross-engine.
+    // Scale: the daily rollup is the only big aggregation (map-side
+    // partial count riding one (type, day) shuffle); the fold state is
+    // one struct and the folded array is |days in retention| per type —
+    // the q177 series contract (time dimension bounded by the retention
+    // window, never by corpus size). No window over the raw stream, no
+    // driver collect.
+    "q215_ewma_anomaly" -> ((s, d) => {
+      val dayUs = 86400L * 1000000L
+      val rolled = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) DIV ${dayUs}L").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      // planted ×3 burst on day 15 of the window — the fixture's daily
+      // volume is deliberately flat, so without a planted spike the
+      // detector's fire path would never be exercised by the oracle
+      // (the q214 planted-mutation discipline). One-row broadcast min.
+      val d0 = rolled.agg(min(col("day")).as("d0"))
+      val daily = rolled.crossJoin(broadcast(d0))
+        .select(col("event_type"), col("day"),
+          when(col("day") === col("d0") + 14, col("cnt") * 3)
+            .otherwise(col("cnt")).as("cnt"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("sr"),
+          count(lit(1)).as("n_days"))
+        .withColumn("a", expr(
+          """transform(sr, e -> named_struct(
+               'ewma', e.cnt, 'n_anom', CAST(0 AS BIGINT),
+               'first_anom', CAST(-1 AS BIGINT), 'day', e.day, 'cnt', e.cnt))"""))
+        .withColumn("f", expr(
+          """aggregate(slice(a, 2, size(a) - 1), element_at(a, 1),
+               (acc, x) -> named_struct(
+                 'ewma', (x.cnt + 3 * acc.ewma) DIV 4,
+                 'n_anom', acc.n_anom +
+                   IF(x.cnt > 2 * acc.ewma, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+                 'first_anom', CASE
+                   WHEN acc.first_anom >= 0 THEN acc.first_anom
+                   WHEN x.cnt > 2 * acc.ewma THEN x.day
+                   ELSE CAST(-1 AS BIGINT) END,
+                 'day', x.day, 'cnt', x.cnt))"""))
+        .select(col("event_type"), col("n_days"),
+          col("f.ewma").as("final_ewma"),
+          col("f.n_anom").as("n_anomalies"),
+          col("f.first_anom").as("first_anom_day"))
+        .orderBy("event_type")
+    }),
+
     // DISTRIBUTION DRIFT between two snapshots — the monitoring op every
     // production pipeline runs before promoting a new data drop: split
     // events into two cohorts (even/odd epoch-day — balanced and
@@ -722,6 +779,48 @@ object EventQueries {
                  CAST((global_us - newest_us) // 60000000 AS BIGINT)
                    AS minutes_behind
           FROM pt CROSS JOIN g ORDER BY event_type""",
+
+    // q215 oracle: the SAME integer recursion as the Spark array fold,
+    // unrolled as a recursive CTE over the per-type day index (the
+    // q120/q191 discipline). A list_reduce twin with a struct
+    // accumulator was tried first and is a LANDMINE in DuckDB 1.0: on a
+    // multi-group batch the fold silently mis-evaluates the comparison
+    // for some groups (click fired in a prefix-slice probe but not in
+    // the full-list fold, same data) — the recursion is the trustworthy
+    // sequential formulation.
+    "q215_ewma_anomaly" ->
+      """WITH RECURSIVE rolled AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS day,
+                              count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+          d0 AS (SELECT min(day) AS d0 FROM rolled),
+          daily AS (SELECT event_type, day,
+                           CASE WHEN day = d0 + 14 THEN cnt * 3
+                                ELSE cnt END AS cnt
+                    FROM rolled CROSS JOIN d0),
+          idx AS (SELECT event_type, day, cnt,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY day) AS i
+                  FROM daily),
+          nn AS (SELECT event_type, count(*) AS n_days FROM idx GROUP BY 1),
+          ew AS (
+            SELECT event_type, i, cnt AS ewma,
+                   0::BIGINT AS n_anom, (-1)::BIGINT AS first_anom
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT x.event_type, x.i, (x.cnt + 3 * e.ewma) // 4,
+                   e.n_anom +
+                     CASE WHEN x.cnt > 2 * e.ewma THEN 1 ELSE 0 END,
+                   CASE WHEN e.first_anom >= 0 THEN e.first_anom
+                        WHEN x.cnt > 2 * e.ewma THEN x.day
+                        ELSE -1::BIGINT END
+            FROM ew e JOIN idx x
+              ON x.event_type = e.event_type AND x.i = e.i + 1)
+          SELECT e.event_type, nn.n_days, ewma AS final_ewma,
+                 n_anom AS n_anomalies, first_anom AS first_anom_day
+          FROM ew e JOIN nn
+            ON nn.event_type = e.event_type AND e.i = nn.n_days
+          ORDER BY e.event_type""",
 
     "q181_drift_report" ->
       """WITH counts AS (

@@ -2111,6 +2111,65 @@ class ExtensionSpec extends SparkSpec {
     assert(rawDupGroups == rawDupDocs, "raw dups are 1:1 planted exact copies")
   }
 
+  test("EWMA anomaly trajectory equals a Scala replay; the spike fires") {
+    val rows = ops.EventQueries.queries("q215_ewma_anomaly")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // replay the integer recursion from the raw events (spike planting
+    // included) — at tiny scales organic day-over-day jumps also fire,
+    // so the pin is the full trajectory, not a fixed anomaly count
+    val dayUs = 86400L * 1000000L
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), (unix_micros(col("ts")) / dayUs).cast("long").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val d0 = raw.map(_._2).min
+    val want = raw.groupBy(_._1).map { case (t, es) =>
+      val daily = es.groupBy(_._2).map { case (day, xs) =>
+        (day, if (day == d0 + 14) xs.length.toLong * 3 else xs.length.toLong)
+      }.toSeq.sortBy(_._1)
+      var e = daily.head._2; var nAnom = 0L; var first = -1L
+      daily.tail.foreach { case (day, cnt) =>
+        if (cnt > 2 * e) { nAnom += 1; if (first < 0) first = day }
+        e = (cnt + 3 * e) / 4
+      }
+      t -> ((daily.length.toLong, e, nAnom, first))
+    }
+    rows.foreach { case (t, nDays, ewma, nAnom, firstDay) =>
+      assert(want(t) == ((nDays, ewma, nAnom, firstDay)), s"$t: ${want(t)}")
+    }
+    // a x3 burst over a flat baseline fires for most types; at tiny
+    // scales a type can dodge it (1-digit daily counts), but the
+    // detector must observably fire SOMEWHERE
+    assert(rows.map(_._4).sum >= 1L, "no anomaly fired anywhere")
+  }
+
+  test("source overlap: containment bounded and a pair replays brute-force") {
+    val rows = ext.CurationQueries.queries("q216_source_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, shared, bp) =>
+      assert(a < b, "pairs are canonical (src_a < src_b)")
+      assert(shared >= 1 && bp >= 0 && bp <= 10000)
+    }
+    assert(rows.map(p => (p._1, p._2)).distinct.length == rows.length)
+    // replay the heaviest pair brute-force: distinct 8-gram sets per
+    // side, intersect, drop grams present in >SourceGramCap sources
+    val (sa, sb, shared, _) = rows.maxBy(_._3)
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+    def grams(src: String): Set[String] = docs.filter(_.getString(0) == src)
+      .flatMap { r =>
+        val w = r.getString(1).split(" ")
+        if (w.length < 8) Seq.empty
+        else w.sliding(8).map(_.mkString(" ")).toSeq
+      }.toSet
+    val bySource = docs.map(_.getString(0)).distinct
+      .map(s0 => s0 -> grams(s0)).toMap
+    val inter = (bySource(sa) intersect bySource(sb))
+      .filter(g => bySource.values.count(_.contains(g)) <= 16)
+    assert(inter.size.toLong == shared,
+      s"pair ($sa,$sb): brute-force ${inter.size} vs reported $shared")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
