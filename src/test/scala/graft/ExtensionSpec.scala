@@ -2170,6 +2170,44 @@ class ExtensionSpec extends SparkSpec {
       s"pair ($sa,$sb): brute-force ${inter.size} vs reported $shared")
   }
 
+  test("native aggregates are partition-count invariant (merge correctness)") {
+    // a TypedImperativeAggregate that is correct single-partition but
+    // wrong in merge() produces answers that DRIFT with the physical
+    // partitioning — the distributed failure mode local tests miss. Pin
+    // all three natives (TopK heap, KMV sketch, MinHash lanes) to be
+    // bit-identical across 1 / 7 / 32 input partitions.
+    val parts = Seq(1, 7, 32)
+    def results(n: Int): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+      val ev = Tables.events(spark, sf).repartition(n)
+      val top = ev.groupBy("event_type")
+        .agg(graft.functions.TopKAgg.topk(col("value"), col("event_id"), 5).as("top"))
+        .select(col("event_type"), expr("to_json(top)").as("j"))
+        .orderBy("event_type").collect().toSeq
+      val kmv = ev
+        .select(col("event_type"), md5(col("user_id").cast("string")).as("m"))
+        .withColumn("h", expr(graft.ops.md5Bits32("m")))
+        .groupBy("event_type")
+        .agg(graft.functions.KMVAgg.kmv(col("h"), 64).as("sk"))
+        .select(col("event_type"), col("sk.cnt"), col("sk.kth"), col("sk.est"))
+        .orderBy("event_type").collect().toSeq
+      val sig = udaf(new graft.ext.MinHashAgg(),
+        org.apache.spark.sql.Encoders.STRING)
+      val mh = Tables.documents(spark, sf).repartition(n)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source").agg(sig(col("w")).as("sig"))
+        .select(col("source"), expr("to_json(sig)").as("j"))
+        .orderBy("source").collect().toSeq
+      (top, kmv, mh)
+    }
+    val base = results(parts.head)
+    parts.tail.foreach { n =>
+      val got = results(n)
+      assert(got._1 == base._1, s"TopKAgg drifted at $n partitions")
+      assert(got._2 == base._2, s"KMVAgg drifted at $n partitions")
+      assert(got._3 == base._3, s"MinHashAgg drifted at $n partitions")
+    }
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
