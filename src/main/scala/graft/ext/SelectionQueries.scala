@@ -58,6 +58,47 @@ object SelectionQueries {
     // n(d,·)·λ — order-independent, hash-stable. Top-k selection is
     // orderBy+limit = TakeOrderedAndProject (per-partition heaps + a
     // k-row merge), never a global sort.
+    // TOKEN-BUDGET allocation — the greedy curriculum fill that turns a
+    // per-source quality ranking into a concrete training manifest:
+    // rank sources by a deterministic priority (share of docs meeting
+    // the q61 length bar, in basis points), then walk the ranking
+    // filling a fixed token budget (60% of the corpus here) — top
+    // sources taken in full, the source straddling the budget boundary
+    // taken partially, the tail excluded. This is the allocation step
+    // every "data budget" paper assumes and every run config needs
+    // spelled out; its output is directly consumable as q187 mixture
+    // input (taken_tokens / src_tokens is the per-source rate).
+    // Scale: per-source stats are one corpus pass with map-side partial
+    // aggregation; the cumulative walk is a window over |sources| rows —
+    // the control plane (thousands at most), NOT corpus-sized, so the
+    // unpartitioned window is deliberate and safe. All integer.
+    "q217_token_budget" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("source").agg(
+          sum(col("toks")).as("src_tokens"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("toks") >= 30, 1L).otherwise(0L)).as("n_ok"))
+        .withColumn("priority_bp", expr("(n_ok * 10000) DIV n_docs"))
+      val tot = per.agg(sum(col("src_tokens")).as("tt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("priority_bp").desc, col("source"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      per.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(tt * 6) DIV 10"))
+        .withColumn("cum_prev",
+          coalesce(sum(col("src_tokens")).over(w), lit(0L)))
+        .withColumn("taken_tokens", expr(
+          "greatest(CAST(0 AS BIGINT), least(src_tokens, budget - cum_prev))"))
+        .withColumn("status",
+          when(col("taken_tokens") === col("src_tokens"), "full")
+            .when(col("taken_tokens") > 0, "partial")
+            .otherwise("excluded"))
+        .select("source", "priority_bp", "src_tokens", "taken_tokens", "status")
+        .orderBy(col("priority_bp").desc, col("source"))
+    }),
+
     "q199_dsir_importance" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -194,6 +235,31 @@ object SelectionQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q217_token_budget" ->
+      """WITH per AS (SELECT source,
+              CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS src_tokens,
+              count(*) AS n_docs,
+              CAST(sum(CASE WHEN len(str_split(text, ' ')) >= 30
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+            FROM documents GROUP BY source),
+          pr AS (SELECT *, (n_ok * 10000) // n_docs AS priority_bp FROM per),
+          tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tt FROM pr),
+          cum AS (SELECT pr.*, (tt * 6) // 10 AS budget,
+                    coalesce(sum(src_tokens) OVER (
+                      ORDER BY priority_bp DESC, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_prev
+                  FROM pr CROSS JOIN tot)
+          SELECT source, priority_bp, src_tokens,
+                 CAST(greatest(0, least(src_tokens, budget - cum_prev))
+                   AS BIGINT) AS taken_tokens,
+                 CASE WHEN greatest(0, least(src_tokens, budget - cum_prev))
+                        = src_tokens THEN 'full'
+                      WHEN greatest(0, least(src_tokens, budget - cum_prev))
+                        > 0 THEN 'partial'
+                      ELSE 'excluded' END AS status
+          FROM cum ORDER BY priority_bp DESC, source""",
+
     "q199_dsir_importance" ->
       s"""WITH tok AS (SELECT doc_id, lang,
                               unnest(str_split(text, ' ')) AS word

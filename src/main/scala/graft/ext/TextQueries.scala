@@ -49,6 +49,47 @@ object TextQueries {
   private[ext] val EncodeMerges = 8
 
   def queries: Map[String, Q] = Map(
+    // Vocabulary-growth curve (Heaps' law checkpoints) — how fast the
+    // distinct BIGRAM-type vocabulary grows as the corpus is ingested
+    // in doc_id order, measured at the 10/25/50/100% document
+    // checkpoints: the tokenizer-budget question (is the phrase
+    // vocabulary saturating, or does doubling the corpus keep minting
+    // new types?) answered with exact integers instead of a fitted
+    // exponent. Bigram types, not unigrams: the fixture's closed word
+    // vocabulary saturates in the first checkpoint, while the
+    // combinatorial space keeps growing — which is also the unit a
+    // BPE-style tokenizer actually budgets for. Each type reduces to
+    // its FIRST-appearance doc; vocab at a checkpoint is then one
+    // filtered count — no per-checkpoint rescan of the corpus.
+    // Scale: one corpus explode into a word-keyed min aggregate
+    // (map-side partial min); checkpoints are a 4-row broadcast the
+    // word table fans against. The fixture's doc_ids are dense so the
+    // cutoff is (n_docs·pct) DIV 100 directly; production ids would
+    // take the cutoff from an id quantile instead — same plan.
+    "q218_vocab_growth" -> ((s, d) => {
+      val pcts = Seq(10, 25, 50, 100)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val wordMin = bigramTokens(Tables.documents(s, d), "doc_id")
+        .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+      val docToks = docs.select(col("doc_id"),
+        size(col("words")).cast("long").as("toks"))
+      val cps = nd.select(explode(array(pcts.map(lit(_)): _*)).as("pct"), col("nd"))
+        .withColumn("cutoff", expr("(nd * pct) DIV 100"))
+        .select("pct", "cutoff")
+      val vocab = wordMin.crossJoin(broadcast(cps))
+        .filter(col("first_doc") < col("cutoff"))
+        .groupBy("pct", "cutoff").agg(count(lit(1)).as("vocab"))
+      val toks = docToks.crossJoin(broadcast(cps))
+        .filter(col("doc_id") < col("cutoff"))
+        .groupBy("pct").agg(sum(col("toks")).as("n_tokens"))
+      vocab.join(toks, "pct")
+        .select(col("pct"), col("cutoff").as("n_docs_cut"),
+          col("n_tokens"), col("vocab"))
+        .orderBy("pct")
+    }),
+
     // Collocation mining by pointwise mutual information — the classic
     // phrase-discovery pass (word2vec's phrase pre-join, terminology
     // extraction). PMI = log P(a,b)/(P(a·)P(·b)) is monotone in the
@@ -465,6 +506,25 @@ object TextQueries {
         GROUP BY pair)"""
 
   def oracles: Map[String, String] = Map(
+    "q218_vocab_growth" ->
+      s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
+          cps AS (SELECT pct, (nd * pct) // 100 AS cutoff
+                  FROM (SELECT unnest([10, 25, 50, 100]) AS pct)
+                  CROSS JOIN nd),
+          wm AS (SELECT w, min(doc_id) AS first_doc FROM (
+                   ${oBigramTokens("documents", "doc_id")})
+                 GROUP BY w),
+          dt AS (SELECT doc_id,
+                        CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+                 FROM documents),
+          vocab AS (SELECT pct, cutoff, count(*) AS vocab
+                    FROM wm CROSS JOIN cps WHERE first_doc < cutoff
+                    GROUP BY 1, 2),
+          tk AS (SELECT pct, CAST(sum(toks) AS BIGINT) AS n_tokens
+                 FROM dt CROSS JOIN cps WHERE doc_id < cutoff GROUP BY pct)
+          SELECT vocab.pct, cutoff AS n_docs_cut, n_tokens, vocab
+          FROM vocab JOIN tk ON tk.pct = vocab.pct
+          ORDER BY vocab.pct""",
     "q152_pmi_collocations" ->
       """WITH ws AS (SELECT str_split(text, ' ') AS w FROM documents
                      WHERE len(str_split(text, ' ')) >= 2),

@@ -173,6 +173,35 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // K-ANONYMITY census — the privacy audit run before events are
+    // released as training data: treat (event_type, weekday, value
+    // bucket) as the quasi-identifier an adversary could observe, count
+    // DISTINCT users per combination, and report the risk histogram —
+    // combinations identifying exactly one user (k=1, the
+    // re-identification risk), small cohorts (k 2-4), and safe crowds
+    // (k ≥ 5, the conventional release bar). n_user_slots sums k over a
+    // band's combos, so the three bands partition the (combo, user)
+    // incidence exactly.
+    // Scale: one shuffle keyed on the quasi-tuple with a partial
+    // distinct on user (Spark expands (tuple, user) then counts — both
+    // stages map-side combine); the band rollup is 3 rows. All integer.
+    "q219_k_anonymity" -> ((s, d) => {
+      val k = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) DIV 86400000000) % 7").as("weekday"),
+          expr("CAST(floor(value / 50) AS BIGINT)").as("value_bucket"),
+          col("user_id"))
+        .groupBy("event_type", "weekday", "value_bucket")
+        .agg(countDistinct(col("user_id")).as("k"))
+      k.withColumn("risk_band",
+          when(col("k") === 1, "k1_unique")
+            .when(col("k") <= 4, "k2_4_small")
+            .otherwise("k5plus_safe"))
+        .groupBy("risk_band")
+        .agg(count(lit(1)).as("n_combos"), sum(col("k")).as("n_user_slots"))
+        .orderBy("risk_band")
+    }),
+
     // DISTRIBUTION DRIFT between two snapshots — the monitoring op every
     // production pipeline runs before promoting a new data drop: split
     // events into two cohorts (even/odd epoch-day — balanced and
@@ -779,6 +808,20 @@ object EventQueries {
                  CAST((global_us - newest_us) // 60000000 AS BIGINT)
                    AS minutes_behind
           FROM pt CROSS JOIN g ORDER BY event_type""",
+
+    "q219_k_anonymity" ->
+      """WITH k AS (SELECT event_type,
+                           (epoch_us(ts) // 86400000000) % 7 AS weekday,
+                           CAST(floor(value / 50) AS BIGINT) AS value_bucket,
+                           count(DISTINCT user_id) AS k
+                    FROM events GROUP BY 1, 2, 3),
+          banded AS (SELECT CASE WHEN k = 1 THEN 'k1_unique'
+                                 WHEN k <= 4 THEN 'k2_4_small'
+                                 ELSE 'k5plus_safe' END AS risk_band, k
+                     FROM k)
+          SELECT risk_band, count(*) AS n_combos,
+                 CAST(sum(k) AS BIGINT) AS n_user_slots
+          FROM banded GROUP BY risk_band ORDER BY risk_band""",
 
     // q215 oracle: the SAME integer recursion as the Spark array fold,
     // unrolled as a recursive CTE over the per-type day index (the

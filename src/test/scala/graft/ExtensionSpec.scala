@@ -2208,6 +2208,59 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("token budget: greedy fill is exact, prefix-shaped, single partial") {
+    val rows = ext.SelectionQueries.queries("q217_token_budget")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val total = rows.map(_._3).sum
+    val budget = total * 6 / 10
+    assert(rows.map(_._4).sum == budget, "taken tokens must equal the budget exactly")
+    // in priority order the statuses must be full* partial? excluded*
+    val statuses = rows.map(_._5).toSeq
+    assert(statuses.count(_ == "partial") <= 1)
+    val pattern = statuses.dropWhile(_ == "full").dropWhile(_ == "partial")
+    assert(pattern.forall(_ == "excluded"), s"non-prefix allocation: $statuses")
+    rows.foreach { case (src, _, toks, taken, st) =>
+      assert(taken >= 0 && taken <= toks, s"$src overdrawn")
+      assert((st == "full") == (taken == toks) || toks == 0)
+      assert((st == "excluded") == (taken == 0L) || toks == 0)
+    }
+  }
+
+  test("vocab growth: checkpoints nest and the tail equals a full replay") {
+    val rows = ext.TextQueries.queries("q218_vocab_growth")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(10, 25, 50, 100))
+    rows.sliding(2).foreach { case Array((_, d1, t1, v1), (_, d2, t2, v2)) =>
+      assert(d2 > d1 && t2 > t1, "checkpoints must strictly widen")
+      assert(v2 >= v1, "a bigram type cannot un-appear")
+    }
+    // brute-force the final checkpoint: every doc counted, every bigram
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val allBigrams = docs.flatMap { t =>
+      val w = t.split(" ")
+      if (w.length < 2) Seq.empty else w.sliding(2).map(_.mkString(" ")).toSeq
+    }.toSet
+    assert(rows.last._4 == allBigrams.size.toLong, "full-corpus vocab mismatch")
+    assert(rows.last._3 == docs.map(_.split(" ").length.toLong).sum)
+  }
+
+  test("k-anonymity bands partition the quasi-identifier incidence exactly") {
+    val rows = ops.EventQueries.queries("q219_k_anonymity")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val combos = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) DIV 86400000000) % 7"),
+        expr("CAST(floor(value / 50) AS BIGINT)"),
+        col("user_id")).distinct().collect()
+      .groupBy(r => (r.get(0), r.get(1), r.get(2)))
+    assert(rows.map(_._2).sum == combos.size.toLong, "combo census mismatch")
+    assert(rows.map(_._3).sum == combos.values.map(_.length.toLong).sum,
+      "user-slot incidence mismatch")
+    val byBand = rows.map(r => r._1 -> r._2).toMap
+    val wantK1 = combos.values.count(_.length == 1).toLong
+    assert(byBand.getOrElse("k1_unique", 0L) == wantK1, "k=1 band mismatch")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
