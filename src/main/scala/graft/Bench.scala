@@ -79,6 +79,10 @@ object Bench {
       "q205_dedup_funnel"           -> 4.3,
       "q208_stream_corpus_report"   -> 2.0,
       "q210_lsh_eval"               -> 10.7,
+      "q211_label_propagation"      -> 5.9,
+      "q212_canonical_docs"         -> 6.0,
+      "q214_norm_sensitivity"       -> 2.1,
+      "q216_source_overlap"         -> 2.6,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,
       "q43_ngram_jaccard"           -> 4.3,

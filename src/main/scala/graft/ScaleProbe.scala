@@ -58,7 +58,11 @@ object ScaleProbe {
       "q179_containment_join" -> "asymmetric containment join",
       "q199_dsir_importance" -> "DSIR hashed-unigram importance scoring",
       "q201_semdedup" -> "SemDeDup cell-scoped semantic dedup",
-      "q202_hits" -> "HITS hubs/authorities over the trade graph")
+      "q202_hits" -> "HITS hubs/authorities over the trade graph",
+      "q211_label_propagation" -> "synchronous label propagation (community census)",
+      "q212_canonical_docs" -> "cluster-then-select canonical docs",
+      "q216_source_overlap" -> "cross-source 8-gram overlap matrix",
+      "q221_bm25_mrr" -> "known-item BM25 eval on the doubled corpus")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -86,7 +90,16 @@ object ScaleProbe {
       "q202_hits" -> ("orders replicate with fresh customers but SHARED " +
         "suppliers, so supplier in-degree grows 10x: the probe measures " +
         "linear edge-volume scaling with growing per-key aggregation " +
-        "fan-in — the skewed side a real web graph presents"))
+        "fan-in — the skewed side a real web graph presents"),
+      "q211_label_propagation" -> ("rounds run over the q132 " +
+        "edge-budgeted backbone, so adjacency volume is capped by " +
+        "design — the probe measures the capped plan plus the |V|-sized " +
+        "label vector work"),
+      "q216_source_overlap" -> ("the source count is fixed (20) while " +
+        "gram streams grow 10x, so the pair matrix is constant and the " +
+        "probe measures the linear (source, gram) distinct + capped " +
+        "self-join; production source counts grow the matrix, bounded " +
+        "by the per-gram source cap"))
 
     def timeQuery(name: String, dir: String): Double =
       (1 to 2).map { _ =>

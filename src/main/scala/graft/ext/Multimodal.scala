@@ -111,6 +111,46 @@ object Multimodal {
     // Frame sampling: fixed-stride byte windows over the binary payload
     // (the video-frame / audio-chunk extraction shape: explode an index,
     // slice the blob, fingerprint each slice).
+    // CLIP-REUSE detection — cross-media shared-segment discovery at
+    // FRAME granularity (which videos contain the same footage), the
+    // partial-overlap case q113's whole-media pHash can't see: sample
+    // fixed-stride frames (the q72 extraction shape), fingerprint each,
+    // and join media on shared frame fingerprints. Planted "re-edits"
+    // (every 7th doc, first frame overwritten, the rest intact) must
+    // surface as pairs sharing exactly their surviving frames. The
+    // overwritten frame is IDENTICAL across all re-edits — a
+    // boilerplate mega-bucket by construction — and is killed by the
+    // [[ClipFrameCap]] guard before the join, exercising the same cap
+    // discipline as the LSH band buckets at a cap the fixture actually
+    // crosses.
+    // Scale: frames-per-media is a constant (sampling stride), the join
+    // is fingerprint-keyed with bounded buckets, pair counts aggregate
+    // map-side — never all-pairs across media.
+    "q223_clip_reuse" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val reedits = docs
+        .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 129)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("x" * 64), expr("substring(text, 65)")).as("text"))
+      val corpus = docs.unionByName(reedits)
+      val frames = corpus
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("frame_idx"), col("text"))
+        .select(col("doc_id"),
+          expr("substring(text, frame_idx * 64 + 1, 64)").as("frame"))
+        .filter(length(col("frame")) === 64)
+        .select(col("doc_id"), md5(col("frame")).as("fh"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fh")
+      val capped = frames.withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") <= ClipFrameCap).drop("n")
+      capped.select(col("fh"), col("doc_id").as("id1"))
+        .join(capped.select(col("fh"), col("doc_id").as("id2")), Seq("fh"))
+        .filter(col("id1") < col("id2"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared_frames"))
+        .orderBy("id1", "id2")
+    }),
+
     "q72_frame_sample" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -126,10 +166,40 @@ object Multimodal {
     })
   )
 
+  /** q223's boilerplate-frame guard: a frame fingerprint shared by more
+    * than this many media is template footage (here: the re-edits' common
+    * overwritten frame), not reuse signal — dropped before the join. Set
+    * BELOW the re-edit count at every fixture scale so the guard is
+    * exercised, not just present. */
+  private[ext] val ClipFrameCap = 50
+
   private def hvSql(i: Int) =
     s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1)"
 
   def oracles: Map[String, String] = Map(
+    "q223_clip_reuse" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 5000000 AS doc_id,
+                   repeat('x', 64) || substr(text, 65) AS text
+            FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 129),
+          frames AS (SELECT DISTINCT doc_id, md5(frame) AS fh FROM (
+                       SELECT doc_id,
+                              substr(text, frame_idx * 64 + 1, 64) AS frame
+                       FROM (SELECT doc_id, text,
+                               unnest(generate_series(0, 3)) AS frame_idx
+                             FROM corpus))
+                     WHERE length(frame) = 64),
+          capped AS (SELECT doc_id, fh FROM (
+                       SELECT f.*, count(*) OVER (PARTITION BY fh) AS n
+                       FROM frames f) WHERE n <= $ClipFrameCap)
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 count(*) AS n_shared_frames
+          FROM capped a JOIN capped b
+            ON a.fh = b.fh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 ORDER BY id1, id2""",
+
     "q70_media_metadata" ->
       """SELECT doc_id, lower(hex(encode(text))) AS payload_hex,
             CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

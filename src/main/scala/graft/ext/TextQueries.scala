@@ -45,6 +45,79 @@ object TextQueries {
   /** Terms in more than 1/[[BigramStopCap]] of documents are stop terms. */
   private[ext] val BigramStopCap = 10
 
+  /** BM25 (k1=1.2, b=0.75) top-k per query over a (doc_id, text) corpus,
+    * query docs selected by `queryPred` over doc_id: (qid, rank, doc_id,
+    * score). Shared by q125 (graded ranking) and q221 (known-item eval) —
+    * ONE implementation per engine side, [[oBm25Ctes]] is the twin.
+    *
+    * Plan notes (measured on q125): tf feeds five consumers (dl, corpus
+    * stats, idf, query terms, the posting join); AQE exchange reuse
+    * collapses the repeated subtree at runtime (a localCheckpoint variant
+    * measured the same steady state with a worse cold pass). dl derives
+    * from the aggregated tf table so the raw posting stream is shuffled
+    * exactly once; query terms come from the already-aggregated tf table,
+    * never a re-shuffle of the raw stream; corpus stats broadcast. */
+  private[ext] def bm25TopK(corpus: DataFrame, queryPred: org.apache.spark.sql.Column,
+                            k: Int): DataFrame = {
+    val toks = bigramTokens(corpus, "doc_id")
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val na = dl.agg(count(lit(1)).as("n_docs"), davg(col("dl"), 6).as("avgdl"))
+    val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(na))
+      .filter(col("df") * BigramStopCap <= col("n_docs"))
+      .select(col("w"),
+        round(log(((col("n_docs") - col("df")).cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6).as("idf"),
+        col("avgdl"))
+    val qt = tf.filter(queryPred)
+      .select(col("doc_id").as("qid"), col("w"))
+    val term = qt.join(idf, "w").join(tf, "w")
+      .join(dl, "doc_id")
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        round(col("idf") * ((col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))),
+          6).as("ts"))
+    val scored = term.groupBy("qid", "doc_id").agg(dsum(col("ts"), 6).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "score")
+  }
+
+  /** DuckDB twin of [[bm25TopK]]: the CTE chain `toks … ranked` over
+    * corpus source `$src` with query predicate `$qtWhere` (over tf's
+    * doc_id). The caller selects from `ranked` (qid, doc_id, score,
+    * rank). */
+  private def oBm25Ctes(src: String, qtWhere: String): String =
+    s"""toks AS (${oBigramTokens(src, "doc_id")}),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+        dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        na AS (SELECT count(*) AS n_docs, ${oAvg("CAST(dl AS DOUBLE)", 6)} AS avgdl FROM dl),
+        idf AS (SELECT w,
+                       round(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
+                                / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
+                       avgdl
+                FROM (SELECT w, count(*) AS df FROM tf GROUP BY w), na
+                WHERE df * $BigramStopCap <= n_docs),
+        qt AS (SELECT doc_id AS qid, w FROM tf WHERE $qtWhere),
+        term AS (SELECT qt.qid, tf.doc_id,
+                        round(idf * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                          / (CAST(tf AS DOUBLE)
+                            + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                              + CAST(0.75 AS DOUBLE) * (CAST(dl.dl AS DOUBLE) / avgdl)))),
+                          6) AS ts
+                 FROM qt JOIN idf USING (w) JOIN tf USING (w)
+                 JOIN dl ON dl.doc_id = tf.doc_id
+                 WHERE tf.doc_id <> qt.qid),
+        scored AS (SELECT qid, doc_id, ${oSum("ts", 6)} AS score
+                   FROM term GROUP BY qid, doc_id),
+        ranked AS (SELECT qid, doc_id, score,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY score DESC, doc_id) AS rank
+                   FROM scored)"""
+
   /** q134's merge-table size: ranks applied in priority order at encode. */
   private[ext] val EncodeMerges = 8
 
@@ -237,42 +310,47 @@ object TextQueries {
     // 6dp (q73's ulp-safe pattern), each per-term score is rounded to 6dp
     // before the decimal-exact per-document sum — order-independent and
     // engine-identical.
-    "q125_bm25" -> ((s, d) => {
-      val toks = bigramTokens(Tables.documents(s, d), "doc_id")
-      // tf feeds five consumers (dl, corpus stats, idf, query terms, the
-      // posting join); AQE exchange reuse collapses the repeated subtree
-      // at runtime (a localCheckpoint variant measured the same steady
-      // state with a worse cold pass — reuse was already happening).
-      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      // dl = Σ tf per doc — derived from the aggregated tf table, so the
-      // raw posting stream is shuffled exactly once (into tf)
-      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-      val na = dl.agg(count(lit(1)).as("n_docs"), davg(col("dl"), 6).as("avgdl"))
-      val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(na))
-        .filter(col("df") * BigramStopCap <= col("n_docs"))
-        .select(col("w"),
-          round(log(((col("n_docs") - col("df")).cast("double") + lit(0.5))
-            / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6).as("idf"),
-          col("avgdl"))
-      // query terms come from the ALREADY-AGGREGATED tf table (distinct
-      // per (doc, term) by construction) — not from the raw posting
-      // stream, which would re-shuffle the whole corpus for a distinct
-      val qt = tf.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("qid"), col("w"))
-      val term = qt.join(idf, "w").join(tf, "w")
-        .join(dl, "doc_id")
-        .filter(col("doc_id") =!= col("qid"))
-        .select(col("qid"), col("doc_id"),
-          round(col("idf") * ((col("tf").cast("double") * lit(2.2))
-            / (col("tf").cast("double")
-              + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))),
-            6).as("ts"))
-      val scored = term.groupBy("qid", "doc_id").agg(dsum(col("ts"), 6).as("score"))
-      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
-        .select("qid", "rank", "doc_id", "score")
-        .orderBy("qid", "rank")
+    "q125_bm25" -> ((s, d) =>
+      bm25TopK(Tables.documents(s, d), col("doc_id") % 50 === 0, 10)
+        .orderBy("qid", "rank")),
+
+    // KNOWN-ITEM retrieval eval — the self-labeling quality gate for the
+    // lexical index: plant a near-copy (+2M, first word dropped — the
+    // q54-corpus mutation) of every 25th long-enough doc, query BM25
+    // with the ORIGINAL, and ask whether its copy tops the ranking.
+    // MRR@10 in exact ppm (1e6 DIV rank — integer, no float means),
+    // plus hit@1 / hit@10 counts. This completes the eval suite: q204
+    // grades the vector route with nDCG, q210 grades the dedup LSH,
+    // q221 grades the lexical route — each against a truth the corpus
+    // itself defines. Shares ALL machinery with q125 via [[bm25TopK]]
+    // (one implementation per engine side, the bigramTokens rule).
+    // Scale: identical plan shape to q125 on the augmented corpus; the
+    // eval join is queries-sized.
+    "q221_bm25_mrr" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val copies = docs
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 10)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", expr("slice(words, 2, size(words) - 1)")).as("text"))
+      val corpus = docs.unionByName(copies)
+      val ranked = bm25TopK(corpus,
+        col("doc_id") % 25 === 0 && col("doc_id") < 2000000L, 10)
+      // eligible queries: those whose planted copy exists
+      val expected = copies.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") - 2000000L).as("qid"), col("doc_id").as("hit_id"))
+      val found = ranked.join(expected,
+        ranked("qid") === expected("qid") && ranked("doc_id") === expected("hit_id"))
+        .select(expected("qid"), col("rank"))
+      expected.join(found, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("rank"), lit(0)).as("rank"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rank") === 1, 1L).otherwise(0L)).as("n_hit1"),
+          sum(when(col("rank") >= 1, 1L).otherwise(0L)).as("n_hit10"),
+          expr("sum(IF(rank >= 1, 1000000 DIV rank, CAST(0 AS BIGINT)))")
+            .as("rr_sum_ppm"))
+        .select(col("n_queries"), col("n_hit1"), col("n_hit10"),
+          expr("rr_sum_ppm DIV n_queries").as("mrr_ppm"))
     }),
 
     // One BPE tokenizer-training round at corpus scale: count adjacent
@@ -543,34 +621,36 @@ object TextQueries {
           ORDER BY pmi_bp DESC, a, b LIMIT 20""",
 
     "q125_bm25" ->
-      s"""WITH toks AS (${oBigramTokens("documents", "doc_id")}),
-          tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
-          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-          na AS (SELECT count(*) AS n_docs, ${oAvg("CAST(dl AS DOUBLE)", 6)} AS avgdl FROM dl),
-          idf AS (SELECT w,
-                         round(ln((CAST(n_docs - df AS DOUBLE) + 0.5)
-                                  / (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) AS idf,
-                         avgdl
-                  FROM (SELECT w, count(*) AS df FROM tf GROUP BY w), na
-                  WHERE df * $BigramStopCap <= n_docs),
-          qt AS (SELECT doc_id AS qid, w FROM tf WHERE doc_id % 50 = 0),
-          term AS (SELECT qt.qid, tf.doc_id,
-                          round(idf * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
-                            / (CAST(tf AS DOUBLE)
-                              + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
-                                + CAST(0.75 AS DOUBLE) * (CAST(dl.dl AS DOUBLE) / avgdl)))),
-                            6) AS ts
-                   FROM qt JOIN idf USING (w) JOIN tf USING (w)
-                   JOIN dl ON dl.doc_id = tf.doc_id
-                   WHERE tf.doc_id <> qt.qid),
-          scored AS (SELECT qid, doc_id, ${oSum("ts", 6)} AS score
-                     FROM term GROUP BY qid, doc_id)
-          SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
-            SELECT qid, doc_id, score,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY score DESC, doc_id) AS rank
-            FROM scored)
-          WHERE rank <= 10 ORDER BY qid, rank""",
+      s"""WITH ${oBm25Ctes("documents", "doc_id % 50 = 0")}
+          SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score
+          FROM ranked WHERE rank <= 10 ORDER BY qid, rank""",
+
+    "q221_bm25_mrr" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id,
+                   array_to_string(str_split(text, ' ')[2:], ' ') AS text
+            FROM documents WHERE len(str_split(text, ' ')) >= 10),
+          ${oBm25Ctes("corpus", "doc_id % 25 = 0 AND doc_id < 2000000")},
+          expected AS (SELECT doc_id - 2000000 AS qid, doc_id AS hit_id
+                       FROM corpus
+                       WHERE doc_id >= 2000000 AND doc_id % 25 = 0),
+          found AS (SELECT e.qid, r.rank
+                    FROM ranked r JOIN expected e
+                      ON r.qid = e.qid AND r.doc_id = e.hit_id
+                    WHERE r.rank <= 10),
+          rr AS (SELECT e.qid, coalesce(f.rank, 0) AS rank
+                 FROM expected e LEFT JOIN found f ON f.qid = e.qid)
+          SELECT count(*) AS n_queries,
+                 CAST(sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hit1,
+                 CAST(sum(CASE WHEN rank >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hit10,
+                 CAST(CAST(sum(CASE WHEN rank >= 1 THEN 1000000 // rank
+                                    ELSE 0 END) AS BIGINT)
+                      // count(*) AS BIGINT) AS mrr_ppm
+          FROM rr""",
 
     "q121_bpe_merge" ->
       s"""WITH w AS (SELECT word, count(*) AS n

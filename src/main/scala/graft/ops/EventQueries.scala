@@ -139,37 +139,58 @@ object EventQueries {
         .groupBy(col("event_type"),
           expr(s"unix_micros(ts) DIV ${dayUs}L").as("day"))
         .agg(count(lit(1)).as("cnt"))
-      // planted ×3 burst on day 15 of the window — the fixture's daily
-      // volume is deliberately flat, so without a planted spike the
-      // detector's fire path would never be exercised by the oracle
-      // (the q214 planted-mutation discipline). One-row broadcast min.
+      ewmaAnomalies(rolled)
+    }),
+
+    // STREAMING twin of q215 — the same volume-spike monitor fed by the
+    // micro-batched events source: the daily census runs as a
+    // Complete-mode streaming aggregation (state = types × days rows,
+    // bounded by the retention window), and the sequential EWMA fold
+    // runs over the drained census exactly as in batch (the q208
+    // resumable-ingest guarantee, for monitoring: ingest the stream,
+    // get the batch answer). Graded against the SAME oracle as q215 —
+    // equality proves the streamed rollup lost nothing.
+    "q220_stream_ewma" -> ((s, d) => {
+      val dayUs = 86400L * 1000000L
+      val ev = graft.streaming.StreamingPipelines.eventsStream(s, d)
+        .groupBy(col("event_type"),
+          expr(s"unix_micros(ts) DIV ${dayUs}L").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val census = graft.streaming.StreamingPipelines.runToCompletion(s, ev)
+      ewmaAnomalies(census)
+    }),
+
+    // TREND slope per stream — the least-squares daily-volume trend in
+    // EXACT integer arithmetic: slope = (n·Σxy − Σx·Σy) / (n·Σx² −
+    // (Σx)²) over (x = day − first day, y = daily count), emitted in
+    // ppm-of-events-per-day via one truncating DIV at the end — the
+    // complement to q215's spike detector (is the stream drifting, not
+    // just spiking). Classification thresholds are integer too, so the
+    // verdict column is bit-exact cross-engine.
+    // Scale: the daily rollup is the only corpus-sized work (map-side
+    // partial counts); the regression is one aggregate over types×days
+    // rows. x is re-based at day 1 so the moment sums stay far from
+    // bigint overflow at any calendar span.
+    "q222_trend_slope" -> ((s, d) => {
+      val rolled = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
       val d0 = rolled.agg(min(col("day")).as("d0"))
-      val daily = rolled.crossJoin(broadcast(d0))
-        .select(col("event_type"), col("day"),
-          when(col("day") === col("d0") + 14, col("cnt") * 3)
-            .otherwise(col("cnt")).as("cnt"))
-      daily.groupBy("event_type")
-        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("sr"),
-          count(lit(1)).as("n_days"))
-        .withColumn("a", expr(
-          """transform(sr, e -> named_struct(
-               'ewma', e.cnt, 'n_anom', CAST(0 AS BIGINT),
-               'first_anom', CAST(-1 AS BIGINT), 'day', e.day, 'cnt', e.cnt))"""))
-        .withColumn("f", expr(
-          """aggregate(slice(a, 2, size(a) - 1), element_at(a, 1),
-               (acc, x) -> named_struct(
-                 'ewma', (x.cnt + 3 * acc.ewma) DIV 4,
-                 'n_anom', acc.n_anom +
-                   IF(x.cnt > 2 * acc.ewma, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
-                 'first_anom', CASE
-                   WHEN acc.first_anom >= 0 THEN acc.first_anom
-                   WHEN x.cnt > 2 * acc.ewma THEN x.day
-                   ELSE CAST(-1 AS BIGINT) END,
-                 'day', x.day, 'cnt', x.cnt))"""))
-        .select(col("event_type"), col("n_days"),
-          col("f.ewma").as("final_ewma"),
-          col("f.n_anom").as("n_anomalies"),
-          col("f.first_anom").as("first_anom_day"))
+      rolled.crossJoin(broadcast(d0))
+        .select(col("event_type"), (col("day") - col("d0")).as("x"), col("cnt").as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n").as("n_days"),
+          expr("((n * sxy - sx * sy) * 1000000) DIV (n * sxx - sx * sx)")
+            .as("slope_ppm"))
+        .withColumn("trend",
+          when(col("slope_ppm") > 100000L, "rising")
+            .when(col("slope_ppm") < -100000L, "falling")
+            .otherwise("flat"))
         .orderBy("event_type")
     }),
 
@@ -711,6 +732,46 @@ object EventQueries {
     * user, state-change islands as versioned [valid_from, valid_to)
     * intervals, valid_to lead-closed, NULL = current. Three windows,
     * one user_id partitioning. */
+  /** q215/q220's shared fold: given the per-(event_type, day) count
+    * census, plant the ×3 burst on day 15 of the window (the fixture's
+    * daily volume is deliberately flat, so without a planted spike the
+    * detector's fire path would never be exercised by the oracle — the
+    * q214 planted-mutation discipline; one-row broadcast min), then run
+    * the integer EWMA recursion s' = (x + 3s) DIV 4 per type as an
+    * ordered-array fold with a struct accumulator, flagging days whose
+    * count exceeds 2× the PRE-update average. Bit-exact cross-engine:
+    * the struct sort key is the distinct day, every step is integer. */
+  private def ewmaAnomalies(rolled: DataFrame): DataFrame = {
+    val d0 = rolled.agg(min(col("day")).as("d0"))
+    val daily = rolled.crossJoin(broadcast(d0))
+      .select(col("event_type"), col("day"),
+        when(col("day") === col("d0") + 14, col("cnt") * 3)
+          .otherwise(col("cnt")).as("cnt"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("sr"),
+        count(lit(1)).as("n_days"))
+      .withColumn("a", expr(
+        """transform(sr, e -> named_struct(
+             'ewma', e.cnt, 'n_anom', CAST(0 AS BIGINT),
+             'first_anom', CAST(-1 AS BIGINT), 'day', e.day, 'cnt', e.cnt))"""))
+      .withColumn("f", expr(
+        """aggregate(slice(a, 2, size(a) - 1), element_at(a, 1),
+             (acc, x) -> named_struct(
+               'ewma', (x.cnt + 3 * acc.ewma) DIV 4,
+               'n_anom', acc.n_anom +
+                 IF(x.cnt > 2 * acc.ewma, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+               'first_anom', CASE
+                 WHEN acc.first_anom >= 0 THEN acc.first_anom
+                 WHEN x.cnt > 2 * acc.ewma THEN x.day
+                 ELSE CAST(-1 AS BIGINT) END,
+               'day', x.day, 'cnt', x.cnt))"""))
+      .select(col("event_type"), col("n_days"),
+        col("f.ewma").as("final_ewma"),
+        col("f.n_anom").as("n_anomalies"),
+        col("f.first_anom").as("first_anom_day"))
+      .orderBy("event_type")
+  }
+
   private def scd2Versions(s: SparkSession, d: String): DataFrame =
     scd2VersionsOf(Tables.events(s, d)
       .select("user_id", "event_id", "event_type", "ts"))
@@ -768,6 +829,43 @@ object EventQueries {
         FROM sessions GROUP BY user_id, sid
         ORDER BY user_id, start_us"""
 
+  /** q215/q220 shared oracle (identical semantics: the streamed census
+    * must equal the batch rollup).
+    */
+  private val ewmaOracleSql: String =
+      """WITH RECURSIVE rolled AS (SELECT event_type,
+                                    epoch_us(ts) // 86400000000 AS day,
+                              count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+          d0 AS (SELECT min(day) AS d0 FROM rolled),
+          daily AS (SELECT event_type, day,
+                           CASE WHEN day = d0 + 14 THEN cnt * 3
+                                ELSE cnt END AS cnt
+                    FROM rolled CROSS JOIN d0),
+          idx AS (SELECT event_type, day, cnt,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY day) AS i
+                  FROM daily),
+          nn AS (SELECT event_type, count(*) AS n_days FROM idx GROUP BY 1),
+          ew AS (
+            SELECT event_type, i, cnt AS ewma,
+                   0::BIGINT AS n_anom, (-1)::BIGINT AS first_anom
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT x.event_type, x.i, (x.cnt + 3 * e.ewma) // 4,
+                   e.n_anom +
+                     CASE WHEN x.cnt > 2 * e.ewma THEN 1 ELSE 0 END,
+                   CASE WHEN e.first_anom >= 0 THEN e.first_anom
+                        WHEN x.cnt > 2 * e.ewma THEN x.day
+                        ELSE -1::BIGINT END
+            FROM ew e JOIN idx x
+              ON x.event_type = e.event_type AND x.i = e.i + 1)
+          SELECT e.event_type, nn.n_days, ewma AS final_ewma,
+                 n_anom AS n_anomalies, first_anom AS first_anom_day
+          FROM ew e JOIN nn
+            ON nn.event_type = e.event_type AND e.i = nn.n_days
+          ORDER BY e.event_type"""
+
   def oracles: Map[String, String] = Map(
     "q177_autocorrelation" ->
       """WITH hourly AS (
@@ -809,6 +907,30 @@ object EventQueries {
                    AS minutes_behind
           FROM pt CROSS JOIN g ORDER BY event_type""",
 
+    "q222_trend_slope" ->
+      """WITH rolled AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS day,
+                              count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+          d0 AS (SELECT min(day) AS d0 FROM rolled),
+          xy AS (SELECT event_type, day - d0 AS x, cnt AS y
+                 FROM rolled CROSS JOIN d0),
+          mom AS (SELECT event_type, count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM xy GROUP BY event_type)
+          SELECT event_type, n AS n_days,
+                 ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+                   AS slope_ppm,
+                 CASE WHEN ((n * sxy - sx * sy) * 1000000)
+                        // (n * sxx - sx * sx) > 100000 THEN 'rising'
+                      WHEN ((n * sxy - sx * sy) * 1000000)
+                        // (n * sxx - sx * sx) < -100000 THEN 'falling'
+                      ELSE 'flat' END AS trend
+          FROM mom ORDER BY event_type""",
+
     "q219_k_anonymity" ->
       """WITH k AS (SELECT event_type,
                            (epoch_us(ts) // 86400000000) % 7 AS weekday,
@@ -831,39 +953,10 @@ object EventQueries {
     // for some groups (click fired in a prefix-slice probe but not in
     // the full-list fold, same data) — the recursion is the trustworthy
     // sequential formulation.
-    "q215_ewma_anomaly" ->
-      """WITH RECURSIVE rolled AS (SELECT event_type,
-                              epoch_us(ts) // 86400000000 AS day,
-                              count(*) AS cnt
-                       FROM events GROUP BY 1, 2),
-          d0 AS (SELECT min(day) AS d0 FROM rolled),
-          daily AS (SELECT event_type, day,
-                           CASE WHEN day = d0 + 14 THEN cnt * 3
-                                ELSE cnt END AS cnt
-                    FROM rolled CROSS JOIN d0),
-          idx AS (SELECT event_type, day, cnt,
-                         row_number() OVER (PARTITION BY event_type
-                                            ORDER BY day) AS i
-                  FROM daily),
-          nn AS (SELECT event_type, count(*) AS n_days FROM idx GROUP BY 1),
-          ew AS (
-            SELECT event_type, i, cnt AS ewma,
-                   0::BIGINT AS n_anom, (-1)::BIGINT AS first_anom
-            FROM idx WHERE i = 1
-            UNION ALL
-            SELECT x.event_type, x.i, (x.cnt + 3 * e.ewma) // 4,
-                   e.n_anom +
-                     CASE WHEN x.cnt > 2 * e.ewma THEN 1 ELSE 0 END,
-                   CASE WHEN e.first_anom >= 0 THEN e.first_anom
-                        WHEN x.cnt > 2 * e.ewma THEN x.day
-                        ELSE -1::BIGINT END
-            FROM ew e JOIN idx x
-              ON x.event_type = e.event_type AND x.i = e.i + 1)
-          SELECT e.event_type, nn.n_days, ewma AS final_ewma,
-                 n_anom AS n_anomalies, first_anom AS first_anom_day
-          FROM ew e JOIN nn
-            ON nn.event_type = e.event_type AND e.i = nn.n_days
-          ORDER BY e.event_type""",
+    "q215_ewma_anomaly" -> ewmaOracleSql,
+
+    "q220_stream_ewma" -> ewmaOracleSql,
+
 
     "q181_drift_report" ->
       """WITH counts AS (

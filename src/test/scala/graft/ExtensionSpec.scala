@@ -2261,6 +2261,62 @@ class ExtensionSpec extends SparkSpec {
     assert(byBand.getOrElse("k1_unique", 0L) == wantK1, "k=1 band mismatch")
   }
 
+  test("known-item MRR: BM25 finds every planted near-copy, mostly at rank 1") {
+    val Array(r) = ext.TextQueries.queries("q221_bm25_mrr")(spark, sf).collect()
+    val (n, h1, h10, mrr) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0)
+    // the copy differs from its query by one dropped word — a lexical
+    // index that can't put it in the top 10 of a 2x corpus is broken
+    assert(h10 == n, s"copies escaped the top 10: $h10/$n")
+    assert(h1 <= h10 && h1 * 2 > n, s"rank-1 hits collapsed: $h1/$n")
+    assert(mrr >= 500000L && mrr <= 1000000L, s"mrr out of range: $mrr")
+    // consistency: mrr is bounded below by the perfect-hit share
+    assert(mrr >= (h1 * 1000000L) / n - 1)
+  }
+
+  test("trend slope equals exact integer OLS replay; labels match slopes") {
+    val rows = ops.EventQueries.queries("q222_trend_slope")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val dayUs = 86400L * 1000000L
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), (unix_micros(col("ts")) / dayUs).cast("long").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val d0 = raw.map(_._2).min
+    rows.foreach { case (t, nDays, slope, trend) =>
+      val daily = raw.filter(_._1 == t).groupBy(_._2)
+        .map { case (day, xs) => (day - d0, xs.length.toLong) }.toSeq
+      val n = daily.length.toLong
+      val sx = daily.map(_._1).sum; val sy = daily.map(_._2).sum
+      val sxy = daily.map(p => p._1 * p._2).sum
+      val sxx = daily.map(p => p._1 * p._1).sum
+      val want = ((n * sxy - sx * sy) * 1000000L) / (n * sxx - sx * sx)
+      assert(nDays == n && slope == want, s"$t: got $slope want $want")
+      val wantTrend = if (want > 100000L) "rising"
+        else if (want < -100000L) "falling" else "flat"
+      assert(trend == wantTrend, s"$t: $trend vs $wantTrend at slope $want")
+    }
+  }
+
+  test("clip reuse: every planted re-edit pairs with its base, never with " +
+       "another re-edit") {
+    val rows = ext.Multimodal.queries("q223_clip_reuse")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val planted = rows.filter { case (a, b, _) => b == a + 5000000L }
+    val eligible = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 129)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every eligible base must surface paired with its re-edit (they
+    // share at least frame 1, chars 65..128, untouched by the overwrite)
+    assert(planted.map(_._1).toSet == eligible,
+      s"planted coverage: ${planted.length} pairs vs ${eligible.size} eligible")
+    planted.foreach { case (a, _, n) => assert(n >= 1, s"base $a shares 0 frames") }
+    // the overwritten frame is identical across ALL re-edits; if the
+    // boilerplate cap failed, re-edit x re-edit pairs would flood out
+    assert(!rows.exists(_._1 >= 5000000L), "re-edit x re-edit pair escaped the cap")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
