@@ -160,6 +160,51 @@ object EventQueries {
       ewmaAnomalies(census)
     }),
 
+    // NEAREST-tolerance join — the merge_asof(direction='nearest')
+    // semantics q83's backward as-of can't express: align every error
+    // event to its closest same-user purchase within ±6 hours (the
+    // fixture's per-user event spacing is hours, so a minutes-scale
+    // tolerance would leave the match path untested),
+    // whichever side it falls on (ties prefer the earlier event, then
+    // the smaller id — total order). Sensor/beacon alignment is the
+    // production shape.
+    // Scale: no per-user sort, no unbounded window — candidates come
+    // from a (user, time-bucket) equi-join with the right side exploded
+    // into its 3 adjacent tolerance-width buckets (any event within ±T
+    // is provably in them), so the join fans out by per-user density in
+    // a 3T window, never by history length. The best-candidate pick is
+    // a per-left-row bounded window.
+    "q224_nearest_join" -> ((s, d) => {
+      val tolUs = 21600L * 1000000L
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("eid"), col("user_id"), col("us").as("eus"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("us").as("pus"))
+      val errB = err.withColumn("b", expr(s"eus DIV ${tolUs}L"))
+      val purB = pur.select(col("pid"), col("user_id"), col("pus"),
+        explode(array(expr(s"pus DIV ${tolUs}L - 1"),
+          expr(s"pus DIV ${tolUs}L"),
+          expr(s"pus DIV ${tolUs}L + 1"))).as("b"))
+      val cand = errB.join(purB, Seq("user_id", "b"))
+        .withColumn("delta", col("pus") - col("eus"))
+        .filter(abs(col("delta")) <= tolUs)
+        .select("eid", "pid", "delta").distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("eid")
+        .orderBy(abs(col("delta")), col("delta"), col("pid"))
+      val best = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("eid", "pid", "delta")
+      err.join(best, Seq("eid"), "left")
+        .select(col("eid").as("error_id"),
+          coalesce(col("pid"), lit(-1L)).as("nearest_purchase_id"),
+          coalesce(col("delta"), lit(0L)).as("delta_us"),
+          when(col("pid").isNull, lit("none"))
+            .when(col("delta") <= 0, lit("backward"))
+            .otherwise(lit("forward")).as("direction"))
+        .orderBy("error_id")
+    }),
+
     // TREND slope per stream — the least-squares daily-volume trend in
     // EXACT integer arithmetic: slope = (n·Σxy − Σx·Σy) / (n·Σx² −
     // (Σx)²) over (x = day − first day, y = daily count), emitted in
@@ -906,6 +951,36 @@ object EventQueries {
                  CAST((global_us - newest_us) // 60000000 AS BIGINT)
                    AS minutes_behind
           FROM pt CROSS JOIN g ORDER BY event_type""",
+
+    "q224_nearest_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                            epoch_us(ts) AS us FROM events),
+          err AS (SELECT event_id AS eid, user_id, us AS eus
+                  FROM ev WHERE event_type = 'error'),
+          pur AS (SELECT event_id AS pid, user_id, us AS pus
+                  FROM ev WHERE event_type = 'purchase'),
+          purb AS (SELECT pid, user_id, pus,
+                          unnest([pus // 21600000000 - 1, pus // 21600000000,
+                                  pus // 21600000000 + 1]) AS b
+                   FROM pur),
+          cand AS (SELECT DISTINCT eid, pid, pus - eus AS delta
+                   FROM (SELECT eid, user_id, eus,
+                                eus // 21600000000 AS b FROM err) e
+                   JOIN purb USING (user_id, b)
+                   WHERE abs(pus - eus) <= 21600000000),
+          best AS (SELECT eid, pid, delta FROM (
+                     SELECT cand.*, row_number() OVER (
+                       PARTITION BY eid
+                       ORDER BY abs(delta), delta, pid) AS rn
+                     FROM cand) WHERE rn = 1)
+          SELECT err.eid AS error_id,
+                 coalesce(pid, -1) AS nearest_purchase_id,
+                 coalesce(delta, 0) AS delta_us,
+                 CASE WHEN pid IS NULL THEN 'none'
+                      WHEN delta <= 0 THEN 'backward'
+                      ELSE 'forward' END AS direction
+          FROM err LEFT JOIN best USING (eid)
+          ORDER BY error_id""",
 
     "q222_trend_slope" ->
       """WITH rolled AS (SELECT event_type,

@@ -342,6 +342,54 @@ object MiscQueries {
         .orderBy("l_partkey")
     }),
 
+    // CMS WIDTH sweep — the sketch-memory tuning curve q133 needs before
+    // deployment: count-min overestimate vs width ∈ {16, 256, 4096},
+    // priced from ONE sketch pass (the q189/q207/q213 discipline). The
+    // trick: a lane's width-16^k cell is the k-hex-digit PREFIX of its
+    // width-4096 cell, so the smaller sketches are pure re-aggregations
+    // of the 4096 sketch (cell DIV 16^(3−k)) — the corpus is hashed
+    // once, and each width's counters are exact as if built directly.
+    // Probes are the same low-key partkeys as q133 (exact counts known);
+    // error = est − exact ≥ 0 always (CMS never underestimates), and the
+    // curve must fall as width grows. All integer.
+    "q225_cms_width_sweep" -> ((s, d) => {
+      def hex3(off: Int): String =
+        (0 until 3).map(i =>
+          s"(instr('0123456789abcdef', substring(m, ${off + i}, 1)) - 1) * ${math.pow(16, 2 - i).toInt}")
+          .mkString("(", " + ", ")")
+      val cellsOf = (1 to 4).map(r => hex3(1 + 3 * (r - 1))).mkString(", ")
+      val widthOfK = "CASE k WHEN 1 THEN 16 WHEN 2 THEN 256 ELSE 4096 END"
+      val cellkOfK = "CASE k WHEN 1 THEN cell DIV 256 WHEN 2 THEN cell DIV 16 ELSE cell END"
+      val sketch = Tables.lineitem(s, d)
+        .select(md5(col("l_partkey").cast("string")).as("m"))
+        .select(posexplode(expr(s"array($cellsOf)")).as(Seq("lane", "cell")))
+        .groupBy("lane", "cell").agg(count(lit(1)).as("c"))
+      val skk = sketch
+        .select(col("lane"), col("cell"), col("c"),
+          explode(array(lit(1), lit(2), lit(3))).as("k"))
+        .withColumn("cellk", expr(cellkOfK))
+        .groupBy("k", "lane", "cellk").agg(sum(col("c")).as("c"))
+      val probes = Tables.lineitem(s, d)
+        .filter(col("l_partkey") <= 32)
+        .groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
+        .withColumn("m", md5(col("l_partkey").cast("string")))
+        .select(col("l_partkey"), col("exact_n"),
+          posexplode(expr(s"array($cellsOf)")).as(Seq("lane", "cell")))
+        .select(col("l_partkey"), col("exact_n"), col("lane"), col("cell"),
+          explode(array(lit(1), lit(2), lit(3))).as("k"))
+        .withColumn("cellk", expr(cellkOfK))
+      probes.join(skk, Seq("k", "lane", "cellk"))
+        .groupBy("k", "l_partkey", "exact_n").agg(min(col("c")).as("est"))
+        .groupBy("k").agg(count(lit(1)).as("n_probes"),
+          sum(col("est") - col("exact_n")).as("total_overest"),
+          max(col("est") - col("exact_n")).as("max_overest"),
+          sum(col("exact_n")).as("sum_exact"))
+        .select(expr(widthOfK).as("width"), col("n_probes"),
+          col("total_overest"), col("max_overest"),
+          expr("(total_overest * 1000000) DIV sum_exact").as("mean_overest_ppm"))
+        .orderBy("width")
+    }),
+
     // Data-quality constraint sweep (the "expectations" op a pipeline
     // runs before promoting a snapshot): referential integrity by
     // anti-join, key uniqueness by count-vs-distinct, domain and
@@ -975,6 +1023,46 @@ object MiscQueries {
           SELECT '5_orderdate_not_null',
                 (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
           ORDER BY check_name""",
+
+    "q225_cms_width_sweep" -> {
+      val laneCell = (1 to 4).map(r =>
+        s"SELECT m, ${r - 1} AS lane, ${oHex3(1 + 3 * (r - 1))} AS cell FROM m")
+        .mkString("\n UNION ALL ")
+      val probeCell = (1 to 4).map(r =>
+        s"SELECT l_partkey, exact_n, ${r - 1} AS lane, ${oHex3(1 + 3 * (r - 1))} AS cell FROM probes")
+        .mkString("\n UNION ALL ")
+      s"""WITH m AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS m FROM lineitem),
+          lanes AS ($laneCell),
+          sketch AS (SELECT lane, cell, count(*) AS c FROM lanes GROUP BY 1, 2),
+          ks AS (SELECT unnest([1, 2, 3]) AS k),
+          skk AS (SELECT k, lane,
+                         CASE k WHEN 1 THEN cell // 256
+                                WHEN 2 THEN cell // 16 ELSE cell END AS cellk,
+                         CAST(sum(c) AS BIGINT) AS c
+                  FROM sketch CROSS JOIN ks GROUP BY 1, 2, 3),
+          probes AS (SELECT l_partkey,
+                            CAST(count(*) AS BIGINT) AS exact_n,
+                            md5(CAST(l_partkey AS VARCHAR)) AS m
+                     FROM lineitem WHERE l_partkey <= 32 GROUP BY l_partkey),
+          pcell AS ($probeCell),
+          pk AS (SELECT k, lane,
+                        CASE k WHEN 1 THEN cell // 256
+                               WHEN 2 THEN cell // 16 ELSE cell END AS cellk,
+                        l_partkey, exact_n
+                 FROM pcell CROSS JOIN ks),
+          est AS (SELECT k, l_partkey, exact_n, min(c) AS est
+                  FROM pk JOIN skk USING (k, lane, cellk)
+                  GROUP BY 1, 2, 3),
+          agg AS (SELECT k, count(*) AS n_probes,
+                         CAST(sum(est - exact_n) AS BIGINT) AS total_overest,
+                         CAST(max(est - exact_n) AS BIGINT) AS max_overest,
+                         CAST(sum(exact_n) AS BIGINT) AS sum_exact
+                  FROM est GROUP BY k)
+          SELECT CASE k WHEN 1 THEN 16 WHEN 2 THEN 256 ELSE 4096 END AS width,
+                 n_probes, total_overest, max_overest,
+                 (total_overest * 1000000) // sum_exact AS mean_overest_ppm
+          FROM agg ORDER BY width"""
+    },
 
     "q133_cms_heavy_hitters" -> {
       val laneCell = (1 to 4).map(r =>

@@ -2317,6 +2317,48 @@ class ExtensionSpec extends SparkSpec {
     assert(!rows.exists(_._1 >= 5000000L), "re-edit x re-edit pair escaped the cap")
   }
 
+  test("nearest join equals a brute-force per-user scan with the tie rule") {
+    val rows = ops.EventQueries.queries("q224_nearest_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val tol = 21600L * 1000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purByUser = ev.filter(_._3 == "purchase").groupBy(_._2)
+    val errs = ev.filter(_._3 == "error")
+    assert(rows.length == errs.length)
+    val got = rows.map(r => r._1 -> r).toMap
+    errs.foreach { case (eid, user, _, eus) =>
+      val cands = purByUser.getOrElse(user, Array.empty)
+        .map { case (pid, _, _, pus) => (pid, pus - eus) }
+        .filter { case (_, d) => math.abs(d) <= tol }
+      val want =
+        if (cands.isEmpty) (eid, -1L, 0L, "none")
+        else {
+          val (pid, d) = cands.minBy { case (p, dd) => (math.abs(dd), dd, p) }
+          (eid, pid, d, if (d <= 0) "backward" else "forward")
+        }
+      assert(got(eid) == want, s"error $eid: ${got(eid)} vs $want")
+    }
+    // both directions must actually occur at this tolerance
+    assert(rows.exists(_._4 == "backward") && rows.exists(_._4 == "forward"))
+  }
+
+  test("CMS width sweep: error falls monotonically as the sketch widens") {
+    val rows = ops.MiscQueries.queries("q225_cms_width_sweep")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(16, 256, 4096))
+    assert(rows.map(_._2).distinct.length == 1, "same probe set at every width")
+    rows.foreach { case (wd, _, tot, mx, _) =>
+      assert(tot >= 0 && mx >= 0, s"width $wd: CMS underestimated")
+    }
+    rows.sliding(2).foreach { case Array((_, _, t1, m1, _), (_, _, t2, m2, _)) =>
+      assert(t2 <= t1 && m2 <= m1, "wider sketch must not overestimate more")
+    }
+    assert(rows.head._3 > 0, "width 16 must actually collide on this fixture")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
