@@ -83,6 +83,7 @@ object Bench {
       "q212_canonical_docs"         -> 6.0,
       "q214_norm_sensitivity"       -> 2.1,
       "q216_source_overlap"         -> 2.6,
+      "q225_cms_width_sweep"        -> 3.5,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,
       "q43_ngram_jaccard"           -> 4.3,

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.fastMd5Function)
     e.injectFunction(GraftFunctions.topKFunction)
     e.injectFunction(GraftFunctions.kmvFunction)
+    e.injectFunction(GraftFunctions.bitmapFunction)
   }
 }
 
@@ -55,9 +56,20 @@ object GraftFunctions {
       KMVAgg(exprs.head, exprs(1)).toAggregateExpression()
     })
 
+  private[functions] val bitmapFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bitmap"),
+    new ExpressionInfo(classOf[BitmapAgg].getName, "graft_bitmap"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        s"graft_bitmap(id, nBits) takes 2 arguments, got ${exprs.length}")
+      BitmapAgg(exprs.head, exprs(1)).toAggregateExpression()
+    })
+
   /** Register graft functions on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    Seq(dotFunction, fastMd5Function, topKFunction, kmvFunction).foreach { case (id, info, builder) =>
+    Seq(dotFunction, fastMd5Function, topKFunction, kmvFunction,
+        bitmapFunction).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "scala_udf")
       val _ = info // ExpressionInfo used by the extensions path

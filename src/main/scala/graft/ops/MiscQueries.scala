@@ -48,6 +48,42 @@ object MiscQueries {
     // The ORACLE IS the declarative window formulation — the two must
     // be indistinguishable, which is the same native-vs-declarative
     // contract q127/q143 pin for the top-k heap.
+    // Native EXACT audience overlap — [[graft.functions.BitmapAgg]]
+    // (the third TypedImperativeAggregate) builds one fixed-domain user
+    // bitmap per event type with map-side OR partials (duplicates
+    // collapse in the buffer; only domain/64 longs per group cross the
+    // wire — constant in row count, unlike q162's declarative route
+    // which must distinct() the membership stream first). Pairwise
+    // intersections then run on the bitmap WORDS with codegen'd
+    // higher-order functions (zip_with + bit_count) — set algebra
+    // without ever re-scanning events. Exact counts, exact Jaccard bp;
+    // the oracle recomputes both from the raw distinct memberships.
+    // Membership is VALUE-QUALIFIED (an event worth >= 190) — on this
+    // fixture every user touches every type, so the unqualified
+    // audiences would be wall-to-wall 10000 bp; the high-value slice
+    // gives each audience ~half the users and the overlap matrix real
+    // structure to grade.
+    "q226_bitmap_aggregate" -> ((s, d) => {
+      val bm = Tables.events(s, d)
+        .filter(col("value") >= 190.0)
+        .groupBy("event_type")
+        .agg(graft.functions.BitmapAgg.bitmap(col("user_id"), 65536).as("b"))
+        .select(col("event_type"), col("b.cnt").as("n_users"), col("b.bits").as("bits"))
+      val a = bm.select(col("event_type").as("t1"),
+        col("n_users").as("n_users_1"), col("bits").as("b1"))
+      val b = bm.select(col("event_type").as("t2"),
+        col("n_users").as("n_users_2"), col("bits").as("b2"))
+      a.join(b, col("t1") < col("t2"))
+        .withColumn("n_both", expr(
+          """aggregate(zip_with(b1, b2, (x, y) -> CAST(bit_count(x & y) AS BIGINT)),
+               CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+        .select(col("t1"), col("t2"), col("n_users_1"), col("n_users_2"),
+          col("n_both"),
+          expr("(n_both * 10000) DIV (n_users_1 + n_users_2 - n_both)")
+            .as("jaccard_bp"))
+        .orderBy("t1", "t2")
+    }),
+
     "q169_kmv_aggregate" -> ((s, d) => {
       val hashed = Tables.events(s, d)
         .select(col("event_type"),
@@ -907,8 +943,30 @@ object MiscQueries {
                  actual_rows
           FROM edges ORDER BY join_name""",
 
+    "q226_bitmap_aggregate" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events
+                       WHERE value >= 190.0),
+          cnt AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1),
+          dom AS (SELECT ca.event_type AS t1, cb.event_type AS t2,
+                         ca.n_users AS n_users_1, cb.n_users AS n_users_2
+                  FROM cnt ca JOIN cnt cb
+                    ON ca.event_type < cb.event_type),
+          inter AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                           count(*) AS n_both
+                    FROM tu a JOIN tu b
+                      ON a.user_id = b.user_id AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+          SELECT dom.t1, dom.t2, n_users_1, n_users_2,
+                 CAST(coalesce(n_both, 0) AS BIGINT) AS n_both,
+                 (coalesce(n_both, 0) * 10000)
+                   // (n_users_1 + n_users_2 - coalesce(n_both, 0))
+                   AS jaccard_bp
+          FROM dom LEFT JOIN inter
+            ON inter.t1 = dom.t1 AND inter.t2 = dom.t2
+          ORDER BY dom.t1, dom.t2""",
+
     "q162_bitmap_overlap" ->
-      """WITH m AS (SELECT DISTINCT o_orderpriority AS seg,
+"""WITH m AS (SELECT DISTINCT o_orderpriority AS seg,
                            o_custkey AS k FROM orders),
           bm AS (SELECT seg, k // 63 AS word,
                         bit_or(1::BIGINT << CAST(k % 63 AS INTEGER)) AS bits

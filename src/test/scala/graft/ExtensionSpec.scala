@@ -2359,6 +2359,43 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.head._3 > 0, "width 16 must actually collide on this fixture")
   }
 
+  test("BitmapAgg: exact counts across partitionings, SQL surface, domain guard") {
+    val ev = Tables.events(spark, sf).filter(col("value") >= 190.0)
+    val want = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the native bitmap is EXACT and merge is word-wise OR — the count
+    // must match countDistinct at any physical partitioning
+    Seq(1, 7, 32).foreach { n =>
+      val got = ev.repartition(n).groupBy("event_type")
+        .agg(graft.functions.BitmapAgg.bitmap(col("user_id"), 65536).as("b"))
+        .select(col("event_type"), col("b.cnt"))
+        .orderBy("event_type").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == want, s"bitmap count drifted at $n partitions")
+    }
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    ev.createOrReplaceTempView("bmev")
+    val viaSql = spark.sql(
+      """SELECT event_type, graft_bitmap(user_id, 65536).cnt AS n
+         FROM bmev GROUP BY event_type ORDER BY event_type""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql == want)
+    // out-of-domain ids fail loudly, never fold into a wrong bucket
+    val e = intercept[Exception] {
+      Tables.events(spark, sf)
+        .groupBy("event_type")
+        .agg(graft.functions.BitmapAgg.bitmap(col("user_id") + 70000L, 65536))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("outside declared domain"))), s"wrong failure: $e")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
