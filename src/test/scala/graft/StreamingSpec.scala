@@ -81,6 +81,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
   }
 
+  test("BitmapAgg bitmap state ORs across MULTIPLE micro-batches") {
+    // the q143/q170 contract for the third TypedImperativeAggregate:
+    // split the source 4 ways, one file per trigger — the final bitmap
+    // is built from state-store word-OR merges across four batches and
+    // its exact count must equal the batch countDistinct
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm_files").toString
+    Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .filter(col("value") >= 190.0)
+      .groupBy("event_type")
+      .agg(graft.functions.BitmapAgg.bitmap(col("user_id"), 65536).as("b"))
+    val got = StreamingPipelines.runToCompletion(spark, stream)
+      .select(col("event_type"), col("b.cnt"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Tables.events(spark, sf).filter(col("value") >= 190.0)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("stream-static join enriches events against a dimension") {
     // static side: user_id → customer name (broadcastable dim)
     val dim = Tables.customer(spark, sf)
