@@ -396,6 +396,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q226: bitmap aggregate partially aggregates map-side, no distinct shuffle") {
+    withAqeOff {
+      val p = plan("q226_bitmap_aggregate")
+      // the whole point of the native bitmap: ObjectHashAggregate with a
+      // partial phase, and NO expand/distinct pre-shuffle of memberships
+      assert(p.contains("ObjectHashAggregate"),
+        s"expected ObjectHashAggregate:\n${p.take(1500)}")
+      assert(p.contains("partial_graft_bitmap") || p.contains("partial graft_bitmap")
+        || p.toLowerCase.contains("partial"),
+        "bitmap must aggregate partially on the map side")
+      assert(!p.contains("Expand"), "no distinct-expand of the membership stream")
+    }
+  }
+
+  test("q216: per-source sizes broadcast; overlap join is gram-keyed, no cartesian") {
+    withAqeOff {
+      val p = plan("q216_source_overlap")
+      assert(p.contains("BroadcastExchange"), "sizes tables must broadcast")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q224: nearest join is a bucket equi-join, never a cartesian or range join") {
+    withAqeOff {
+      val p = plan("q224_nearest_join")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"candidate generation must stay an equi-join:\n${p.take(1500)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"), "expected a hash/merge equi-join")
+    }
+  }
+
+  test("q213: prefix norms computed once; corpus scanned a bounded number of times") {
+    withAqeOff {
+      val p = plan("q213_matryoshka_recall")
+      assert(!p.contains("CartesianProduct"),
+        "query side must broadcast against the corpus, never cartesian")
+      // the pair pass broadcasts the 10-query side
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     // decimal value: double sums are accumulation-order-sensitive, which is
     // exactly why the engine aggregates doubles through decimals (dsl.scala)
