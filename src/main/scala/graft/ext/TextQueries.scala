@@ -121,6 +121,11 @@ object TextQueries {
   /** q134's merge-table size: ranks applied in priority order at encode. */
   private[ext] val EncodeMerges = 8
 
+  /** q229's boilerplate bar: a chunk in more than this many documents is
+    * template text, not content. Far below the planted footer's df
+    * (n_docs/3) and far above organic chunk df at every fixture scale. */
+  private[ext] val BoilerplateDocCap = 10
+
   def queries: Map[String, Q] = Map(
     // Vocabulary-growth curve (Heaps' law checkpoints) — how fast the
     // distinct BIGRAM-type vocabulary grows as the corpus is ingested
@@ -161,6 +166,52 @@ object TextQueries {
         .select(col("pct"), col("cutoff").as("n_docs_cut"),
           col("n_tokens"), col("vocab"))
         .orderBy("pct")
+    }),
+
+    // Paragraph-level boilerplate fraction — the CCNet/Dolma-style
+    // chunk-dedup audit, the third dedup granularity after whole-doc
+    // (q40) and character runs (q116): split every doc into
+    // non-overlapping 8-word chunks, count how many documents each
+    // chunk appears in, and report per source what share of its chunk
+    // mass is boilerplate (a chunk in > [[BoilerplateDocCap]] docs).
+    // A fixed 16-word header planted on every 3rd doc is the ground
+    // truth: planted as a PREFIX so it always aligns with the chunk
+    // grid (fixed-stride chunking is alignment-sensitive — a footer
+    // planted at the tail lands mid-chunk for most doc lengths and
+    // dilutes into unique chunks; measured before switching), giving
+    // exactly two boilerplate chunks per planted doc. Trailing
+    // sub-8-word tails are dropped (both engines, by the same DIV).
+    // Scale: one corpus pass explodes chunks; the chunk-df aggregate is
+    // chunk-keyed with map-side partials; the df table joins back on
+    // the same key — no pair work, ever. (This is the REMOVAL side's
+    // audit: production drops flagged chunks in the same pass.)
+    "q229_boilerplate_fraction" -> ((s, d) => {
+      val header = "subscribe to our newsletter for updates and follow " +
+        "us on all social media channels today friends"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 3 === 0, concat(lit(header + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val chunks = docs
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(0, CAST(size(ws) DIV 8 AS INT) - 1),
+               i -> concat_ws(' ', slice(ws, i * 8 + 1, 8)))""")).as("chunk"))
+      val df = chunks.select(col("doc_id"), col("chunk")).distinct()
+        .groupBy("chunk").agg(count(lit(1)).as("n_docs_with"))
+      chunks.join(df, "chunk")
+        .withColumn("is_boiler",
+          when(col("n_docs_with") > BoilerplateDocCap, 1L).otherwise(0L))
+        .groupBy("source").agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("is_boiler")).as("n_boiler_chunks"),
+          countDistinct(when(col("is_boiler") === 1, col("doc_id"))).as("n_docs_with_boiler"))
+        .withColumn("boiler_bp", expr("(n_boiler_chunks * 10000) DIV n_chunks"))
+        .select("source", "n_docs", "n_chunks", "n_boiler_chunks",
+          "n_docs_with_boiler", "boiler_bp")
+        .orderBy("source")
     }),
 
     // Collocation mining by pointwise mutual information — the classic
@@ -584,6 +635,35 @@ object TextQueries {
         GROUP BY pair)"""
 
   def oracles: Map[String, String] = Map(
+    "q229_boilerplate_fraction" ->
+      s"""WITH docs AS (SELECT doc_id, source,
+              CASE WHEN doc_id % 3 = 0
+                   THEN 'subscribe to our newsletter for updates and follow us on all social media channels today friends ' || text
+                   ELSE text END AS text
+            FROM documents),
+          chunks AS (SELECT doc_id, source,
+                            array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ') AS chunk
+                     FROM (SELECT doc_id, source, ws,
+                             unnest(generate_series(0, len(ws) // 8 - 1)) AS i
+                           FROM (SELECT doc_id, source,
+                                   str_split(text, ' ') AS ws FROM docs)
+                           WHERE len(ws) >= 8)),
+          df AS (SELECT chunk, count(*) AS n_docs_with FROM (
+                   SELECT DISTINCT doc_id, chunk FROM chunks) GROUP BY chunk),
+          j AS (SELECT c.doc_id, c.source, c.chunk,
+                       CASE WHEN n_docs_with > $BoilerplateDocCap
+                            THEN 1 ELSE 0 END AS is_boiler
+                FROM chunks c JOIN df USING (chunk))
+          SELECT source,
+                 count(DISTINCT doc_id) AS n_docs,
+                 count(*) AS n_chunks,
+                 CAST(sum(is_boiler) AS BIGINT) AS n_boiler_chunks,
+                 count(DISTINCT CASE WHEN is_boiler = 1 THEN doc_id END)
+                   AS n_docs_with_boiler,
+                 (CAST(sum(is_boiler) AS BIGINT) * 10000) // count(*)
+                   AS boiler_bp
+          FROM j GROUP BY source ORDER BY source""",
+
     "q218_vocab_growth" ->
       s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
           cps AS (SELECT pct, (nd * pct) // 100 AS cutoff

@@ -160,6 +160,35 @@ object EventQueries {
       ewmaAnomalies(census)
     }),
 
+    // EXACT per-group multi-quantile report (p50/p90/p99) WITHOUT
+    // sorting the stream — the latency-SLO table, by the q183/q185
+    // bounded-histogram discipline: quantize values to cents (floor of
+    // value·100 + 0.5 — floor is rounding-mode-free cross-engine, the
+    // q122 trick; HALF_UP round() is a documented landmine), build the
+    // per-(type, cent) histogram, cumulative-sum it, and pick each
+    // quantile as the smallest cent whose cumulative count reaches
+    // ⌈k%·n⌉ (integer comparison cum·100 ≥ n·k — no float rank).
+    // Scale: the histogram is domain-bounded (cents of a bounded-range
+    // metric), so the cumulative window runs over |domain| rows per
+    // group, never |events|; the raw stream is touched once, map-side
+    // partial counts.
+    "q228_latency_quantiles" -> ((s, d) => {
+      val h = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+      val n = h.groupBy("event_type").agg(sum(col("c")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("cents")
+      val cum = h.withColumn("cum", sum(col("c")).over(w))
+        .join(broadcast(n), "event_type")
+      def q(k: Int) =
+        min(when(col("cum") * 100 >= col("n") * k, col("cents"))).as(s"p$k")
+      cum.groupBy("event_type")
+        .agg(q(50), q(90), q(99), max(col("n")).as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // NEAREST-tolerance join — the merge_asof(direction='nearest')
     // semantics q83's backward as-of can't express: align every error
     // event to its closest same-user purchase within ±6 hours (the
@@ -951,6 +980,25 @@ object EventQueries {
                  CAST((global_us - newest_us) // 60000000 AS BIGINT)
                    AS minutes_behind
           FROM pt CROSS JOIN g ORDER BY event_type""",
+
+    "q228_latency_quantiles" ->
+      """WITH h AS (SELECT event_type,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+          n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                FROM h GROUP BY 1),
+          cum AS (SELECT h.event_type, cents,
+                         CAST(sum(c) OVER (PARTITION BY h.event_type
+                                           ORDER BY cents) AS BIGINT) AS cum,
+                         n
+                  FROM h JOIN n USING (event_type))
+          SELECT event_type,
+                 min(CASE WHEN cum * 100 >= n * 50 THEN cents END) AS p50,
+                 min(CASE WHEN cum * 100 >= n * 90 THEN cents END) AS p90,
+                 min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS p99,
+                 max(n) AS n_events
+          FROM cum GROUP BY event_type ORDER BY event_type""",
 
     "q224_nearest_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,

@@ -2396,6 +2396,42 @@ class ExtensionSpec extends SparkSpec {
       .exists(_.contains("outside declared domain"))), s"wrong failure: $e")
   }
 
+  test("latency quantiles equal an exact sorted-rank replay") {
+    val rows = ops.EventQueries.queries("q228_latency_quantiles")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val cents = Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    rows.foreach { case (t, p50, p90, p99, n) =>
+      val v = cents(t)
+      assert(n == v.length.toLong)
+      def rank(k: Int): Long = v((k * v.length + 99) / 100 - 1) // ceil(k% · n)
+      assert((p50, p90, p99) == ((rank(50), rank(90), rank(99))),
+        s"$t: got ($p50,$p90,$p99) want (${rank(50)},${rank(90)},${rank(99)})")
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
+  test("boilerplate fraction: each planted doc contributes exactly 2 chunks") {
+    val rows = ext.TextQueries.queries("q229_boilerplate_fraction")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val plantedPerSource = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.foreach { case (src, nDocs, nChunks, nBoiler, nDocsWith, bp) =>
+      // the 16-word header is chunk-grid ALIGNED (prefix planting), so
+      // each planted doc carries exactly its 2 header chunks and no
+      // organic chunk crosses the df cap on this corpus
+      assert(nDocsWith == plantedPerSource.getOrElse(src, 0L),
+        s"$src: flagged docs $nDocsWith vs planted ${plantedPerSource.get(src)}")
+      assert(nBoiler == 2 * nDocsWith, s"$src: $nBoiler boiler chunks for $nDocsWith docs")
+      assert(bp == nBoiler * 10000 / nChunks && nDocs > 0)
+    }
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
