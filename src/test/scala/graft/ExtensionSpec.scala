@@ -2432,6 +2432,24 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("k-core: peeling converged, cores nest, and some node was peeled") {
+    val rows = ext.GraphQueries.queries("q230_kcore")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq == Seq(4, 8, 16))
+    rows.foreach { case (k, n, e, conv) =>
+      assert(conv, s"$k-core did not converge within the round budget")
+      assert((n == 0) == (e == 0L), s"$k-core node/edge emptiness disagrees")
+    }
+    // a (k+1)-core is a subgraph of the k-core
+    rows.sliding(2).foreach { case Array((_, n1, e1, _), (_, n2, e2, _)) =>
+      assert(n2 <= n1 && e2 <= e1, "cores must nest")
+    }
+    // peeling must actually fire: the 4-core already drops someone
+    val rawNodes = Tables.orders(spark, sf).select("o_custkey").distinct().count() +
+      Tables.supplier(spark, sf).select("s_suppkey").distinct().count()
+    assert(rows.head._2 < rawNodes, "no node was ever peeled")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
