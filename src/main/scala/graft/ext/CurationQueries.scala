@@ -481,6 +481,38 @@ object CurationQueries {
     // engines, no float, and stable under re-runs (critical: a retry
     // that re-samples would break epoch bookkeeping). Map-only per doc +
     // one per-source aggregate; at 100 TB this IS the plan.
+    // REPETITION-exposure report — what the trainer actually experiences
+    // under q187's mixture weights: per source, docs sampled, total
+    // draws, the worst per-doc copy count, tokens drawn, and the share
+    // of drawn tokens that are REPEATS (copy 2+ of a doc) in basis
+    // points. Upweighting a source past 1.0 buys volume by repetition;
+    // this is the ledger that prices it (the memorization-risk signal a
+    // data-mixing review asks for, dual to q196's weight update). Same
+    // deterministic draw as q187 — the report describes exactly the
+    // sample the pipeline would emit, not a re-roll.
+    // Scale: map-only per-doc arithmetic + one source-keyed aggregate.
+    "q232_effective_epochs" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          (expr(MixFloorCase).cast("long") +
+            when(expr(s"($MixDrawExpr)") < expr(MixThreshCase), 1L)
+              .otherwise(0L)).as("nc"))
+      per.groupBy("source").agg(
+          count(lit(1)).as("n_docs_in"),
+          sum(when(col("nc") > 0, 1L).otherwise(0L)).as("n_docs_sampled"),
+          sum(col("nc")).as("n_draws"),
+          max(col("nc")).as("max_copies"),
+          sum(col("toks") * col("nc")).as("tokens_drawn"),
+          sum(col("toks") * greatest(col("nc") - 1, lit(0L))).as("rt"))
+        .withColumn("repeat_bp", expr(
+          """CASE WHEN tokens_drawn = 0 THEN CAST(0 AS BIGINT)
+             ELSE (rt * 10000) DIV tokens_drawn END"""))
+        .select("source", "n_docs_in", "n_docs_sampled", "n_draws",
+          "max_copies", "tokens_drawn", "repeat_bp")
+        .orderBy("source")
+    }),
+
     "q187_mixture_sample" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("source"),
@@ -744,6 +776,28 @@ object CurationQueries {
                 FROM h)
           SELECT seed, doc_id, CAST(pos AS BIGINT) AS pos
           FROM r WHERE pos <= 64 ORDER BY seed, pos""",
+
+    "q232_effective_epochs" ->
+      s"""WITH per AS (SELECT source,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS toks,
+                  CAST($mixFloorCase AS BIGINT) +
+                    CASE WHEN ($MixDrawExpr) < $mixThreshCase
+                         THEN 1 ELSE 0 END AS nc
+             FROM documents),
+          agg AS (SELECT source,
+                  count(*) AS n_docs_in,
+                  CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_docs_sampled,
+                  CAST(sum(nc) AS BIGINT) AS n_draws,
+                  CAST(max(nc) AS BIGINT) AS max_copies,
+                  CAST(sum(toks * nc) AS BIGINT) AS tokens_drawn,
+                  CAST(sum(toks * greatest(nc - 1, 0)) AS BIGINT) AS rt
+             FROM per GROUP BY source)
+          SELECT source, n_docs_in, n_docs_sampled, n_draws, max_copies,
+                 tokens_drawn,
+                 CASE WHEN tokens_drawn = 0 THEN 0
+                      ELSE (rt * 10000) // tokens_drawn END AS repeat_bp
+          FROM agg ORDER BY source""",
 
     "q187_mixture_sample" ->
       s"""WITH u AS (SELECT source, ($MixDrawExpr) AS u,

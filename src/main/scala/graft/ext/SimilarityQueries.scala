@@ -534,6 +534,44 @@ object SimilarityQueries {
         .orderBy("probes")
     }),
 
+    // Two-stage retrieval CASCADE — the standard serving topology
+    // (cheap wide recall, expensive narrow precision) as one graded
+    // query: BM25 retrieves top-20 per query (q125's machinery via the
+    // shared bm25TopK), then every candidate WITH an embedding is
+    // re-scored by exact cosine against the query vector and the final
+    // top-5 ranks rerankable candidates by cosine ahead of
+    // vector-less ones in lexical order. The PARTIALLY-embedded corpus
+    // is the deliberate hard case (at sf0.1 only 2/5 of docs carry
+    // vectors): the cascade must degrade per-candidate, not per-query.
+    // Scale: stage-2 cost is |queries|·20 lookups against the vector
+    // table — the whole point of cascading; the vector side joins on
+    // its key, no scan of the embedding corpus beyond the join.
+    "q231_rerank_cascade" -> ((s, d) => {
+      val cand = TextQueries.bm25TopK(
+        Tables.documents(s, d).select("doc_id", "text"),
+        col("doc_id") % 50 === 0, 20)
+      val n = normed(s, d)
+      val qv = n.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+      val cv = n.select(col("vec_id").as("doc_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      val up = cand.join(qv, Seq("qid"), "left").join(cv, Seq("doc_id"), "left")
+        .withColumn("cos",
+          when(col("qe").isNotNull && col("ce").isNotNull,
+            VectorOps.dotSeq(col("qe"), col("ce")) / (col("qn") * col("cn"))))
+        .select(col("qid"), col("doc_id"), col("rank"), col("cos"))
+      val w = Window.partitionBy("qid").orderBy(
+        when(col("cos").isNotNull, 0).otherwise(1),
+        when(col("cos").isNotNull, -col("cos")).otherwise(lit(0.0)),
+        col("rank"), col("doc_id"))
+      up.withColumn("final_rank", row_number().over(w))
+        .filter(col("final_rank") <= 5)
+        .select(col("qid"), col("final_rank"), col("doc_id"),
+          when(col("cos").isNotNull, "rerank").otherwise("lexical").as("stage"),
+          col("cos").as("cos_sim"))
+        .orderBy("qid", "final_rank")
+    }),
+
     // Matryoshka truncation sweep (Kusupati et al. 2022) — recall@5 of
     // brute-force cosine at PREFIX dimensionalities {8, 16, 32, 64} vs
     // the full-width truth: the tuning curve for serving truncated
@@ -1023,6 +1061,31 @@ object SimilarityQueries {
                    AS recall_bp
           FROM budgets b LEFT JOIN hits ON hits.p = b.p CROSS JOIN tn
           ORDER BY probes""",
+
+    "q231_rerank_cascade" ->
+      s"""WITH ${TextQueries.oBm25Ctes("documents", "doc_id % 50 = 0")},
+          cand AS (SELECT qid, doc_id, rank FROM ranked WHERE rank <= 20),
+          nv AS (SELECT vec_id, embedding,
+                        ${VectorOps.oNorm("embedding")} AS nrm FROM embeddings),
+          up AS (SELECT c.qid, c.doc_id, c.rank,
+                        CASE WHEN q.vec_id IS NOT NULL AND v.vec_id IS NOT NULL
+                             THEN ${VectorOps.oDot("q.embedding", "v.embedding")}
+                                  / (q.nrm * v.nrm)
+                        END AS cos
+                 FROM cand c
+                 LEFT JOIN nv q ON q.vec_id = c.qid
+                 LEFT JOIN nv v ON v.vec_id = c.doc_id),
+          fr AS (SELECT qid, doc_id, cos,
+                        row_number() OVER (PARTITION BY qid ORDER BY
+                          CASE WHEN cos IS NOT NULL THEN 0 ELSE 1 END,
+                          CASE WHEN cos IS NOT NULL THEN -cos ELSE 0.0 END,
+                          rank, doc_id) AS final_rank
+                 FROM up)
+          SELECT qid, CAST(final_rank AS INTEGER) AS final_rank, doc_id,
+                 CASE WHEN cos IS NOT NULL THEN 'rerank'
+                      ELSE 'lexical' END AS stage,
+                 cos AS cos_sim
+          FROM fr WHERE final_rank <= 5 ORDER BY qid, final_rank""",
 
     "q213_matryoshka_recall" -> {
       val ms = Seq(8, 16, 32, 64)

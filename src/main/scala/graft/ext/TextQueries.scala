@@ -90,7 +90,7 @@ object TextQueries {
     * corpus source `$src` with query predicate `$qtWhere` (over tf's
     * doc_id). The caller selects from `ranked` (qid, doc_id, score,
     * rank). */
-  private def oBm25Ctes(src: String, qtWhere: String): String =
+  private[ext] def oBm25Ctes(src: String, qtWhere: String): String =
     s"""toks AS (${oBigramTokens(src, "doc_id")}),
         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),

@@ -2450,6 +2450,50 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.head._2 < rawNodes, "no node was ever peeled")
   }
 
+  test("rerank cascade: rerankable candidates lead, cosine order within them") {
+    val rows = ext.SimilarityQueries.queries("q231_rerank_cascade")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1 to ordered.length), s"$qid rank gap")
+      // stage blocks: every rerank row precedes every lexical row
+      val stages = ordered.map(_._4).toSeq
+      assert(stages.dropWhile(_ == "rerank").forall(_ == "lexical"),
+        s"$qid interleaved stages: $stages")
+      // cosine monotone within the rerank block
+      val cs = ordered.filter(_._4 == "rerank").flatMap(_._5)
+      assert(cs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"$qid rerank block out of cosine order")
+      assert(ordered.filter(_._4 == "lexical").forall(_._5.isEmpty))
+    }
+  }
+
+  test("effective epochs: repetition ledger matches the q187 sample exactly") {
+    val rows = ext.CurationQueries.queries("q232_effective_epochs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val bySrc = rows.map(r => r._1 -> r).toMap
+    // weight 2.5 → floor 2 every doc, bernoulli third copy: all sampled,
+    // repeats guaranteed; weight 0 → nothing; default 0.8 → no repeats
+    val (_, in0, samp0, _, max0, _, rep0) = bySrc("src0")
+    assert(samp0 == in0 && max0 == 3 && rep0 > 0, s"src0: ${bySrc("src0")}")
+    assert(bySrc("src1") == (("src1", bySrc("src1")._2, 0L, 0L, 0L, 0L, 0L)))
+    rows.filterNot(r => r._1 == "src0" || r._1 == "src1" || r._1 == "src2")
+      .foreach { case (src, in, samp, draws, maxC, _, rep) =>
+        assert(maxC <= 1 && rep == 0L && samp == draws && samp <= in,
+          s"$src: sub-1 weight must never repeat")
+      }
+    // the draw is q187's draw, not a re-roll: per-source totals agree
+    val q187 = ext.CurationQueries.queries("q187_mixture_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    rows.foreach { case (src, _, _, draws, _, _, _) =>
+      assert(q187(src) == draws, s"$src: draws $draws vs q187 ${q187(src)}")
+    }
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
