@@ -160,6 +160,67 @@ object EventQueries {
       ewmaAnomalies(census)
     }),
 
+    // ANONYMIZATION generalization curve — the enforcement companion to
+    // q219's census: how much coarsening the value dimension buys in
+    // k-anonymity, priced from ONE pass (the q189/q207/q213/q225
+    // discipline). For bucket widths {25, 50, 100, 200}, the
+    // quasi-identifier (type, weekday, floor(value/width)) is evaluated
+    // simultaneously by exploding each event into its 4 width rows;
+    // per width the report counts total combos, re-identifying k=1
+    // combos, and the bp share of USERS sitting in safe (k ≥ 5) crowds.
+    // The curve must trade combo count down and safety up as width
+    // grows — the release decision is where it crosses policy.
+    "q233_anonymization_curve" -> ((s, d) => {
+      val ws = Seq(25, 50, 100, 200)
+      val k = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) DIV 86400000000) % 7").as("weekday"),
+          col("value"), col("user_id"))
+        .select(col("event_type"), col("weekday"), col("user_id"), col("value"),
+          explode(array(ws.map(lit(_)): _*)).as("width"))
+        .withColumn("vb", expr("CAST(floor(value / width) AS BIGINT)"))
+        .groupBy("width", "event_type", "weekday", "vb")
+        .agg(countDistinct(col("user_id")).as("k"))
+      k.groupBy("width").agg(
+          count(lit(1)).as("n_combos"),
+          sum(when(col("k") === 1, 1L).otherwise(0L)).as("n_k1"),
+          sum(col("k")).as("n_slots"),
+          sum(when(col("k") >= 5, col("k")).otherwise(0L)).as("safe_slots"))
+        .select(col("width"), col("n_combos"), col("n_k1"),
+          expr("(safe_slots * 10000) DIV n_slots").as("safe_bp"))
+        .orderBy("width")
+    }),
+
+    // SKEW diagnosis report — the pre-join audit that decides whether a
+    // key needs salting (q75's remedy; this is the detector): per
+    // supplier key, lineitem row counts reduce to an exact integer Gini
+    // concentration index (×1e6: Σ(2i−n−1)·x_i over sorted counts,
+    // divided by n·Σx — truncating DIV) plus the top-3 heaviest keys
+    // and their bp share. The rank window runs over |keys| rows — the
+    // CONTROL PLANE (suppliers), never the fact table; at 100 TB the
+    // per-key counts are one map-side-combined aggregate.
+    "q234_skew_report" -> ((s, d) => {
+      val cnts = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("x"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"), col("k"))
+      val ranked = cnts.withColumn("i", row_number().over(w))
+      val tot = cnts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        max(col("x")).as("max_x"))
+      val gini = ranked.crossJoin(broadcast(tot))
+        .agg(sum((lit(2) * col("i") - col("n") - 1) * col("x")).as("num"),
+          max(col("n") * col("sx")).as("den"))
+        .select(expr("(num * 1000000) DIV den").as("gini_ppm"))
+      val top = ranked.crossJoin(broadcast(tot))
+        .withColumn("r", col("n") - col("i") + 1)
+        .filter(col("r") <= 3)
+        .select(col("r"), col("k"), col("x"),
+          expr("(x * 10000) DIV sx").as("share_bp"))
+      top.crossJoin(broadcast(gini))
+        .select(col("r").as("rank"), col("k").as("heavy_key"),
+          col("x").as("n_rows"), col("share_bp"), col("gini_ppm"))
+        .orderBy("rank")
+    }),
+
     // EXACT per-group multi-quantile report (p50/p90/p99) WITHOUT
     // sorting the stream — the latency-SLO table, by the q183/q185
     // bounded-histogram discipline: quantize values to cents (floor of
@@ -980,6 +1041,38 @@ object EventQueries {
                  CAST((global_us - newest_us) // 60000000 AS BIGINT)
                    AS minutes_behind
           FROM pt CROSS JOIN g ORDER BY event_type""",
+
+    "q233_anonymization_curve" ->
+      """WITH ex AS (SELECT event_type,
+                           (epoch_us(ts) // 86400000000) % 7 AS weekday,
+                           value, user_id, unnest([25, 50, 100, 200]) AS width
+                    FROM events),
+          k AS (SELECT width, event_type, weekday,
+                       CAST(floor(value / width) AS BIGINT) AS vb,
+                       count(DISTINCT user_id) AS k
+                FROM ex GROUP BY 1, 2, 3, 4)
+          SELECT width, count(*) AS n_combos,
+                 CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_k1,
+                 (CAST(sum(CASE WHEN k >= 5 THEN k ELSE 0 END) AS BIGINT)
+                   * 10000) // CAST(sum(k) AS BIGINT) AS safe_bp
+          FROM k GROUP BY width ORDER BY width""",
+
+    "q234_skew_report" ->
+      """WITH cnts AS (SELECT l_suppkey AS k, count(*) AS x
+                      FROM lineitem GROUP BY 1),
+          ranked AS (SELECT k, x,
+                            row_number() OVER (ORDER BY x, k) AS i
+                     FROM cnts),
+          tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx
+                  FROM cnts),
+          gini AS (SELECT (CAST(sum((2 * i - n - 1) * x) AS BIGINT)
+                            * 1000000) // max(n * sx) AS gini_ppm
+                   FROM ranked CROSS JOIN tot)
+          SELECT CAST(n - i + 1 AS BIGINT) AS rank, k AS heavy_key,
+                 x AS n_rows, (x * 10000) // sx AS share_bp, gini_ppm
+          FROM ranked CROSS JOIN tot CROSS JOIN gini
+          WHERE n - i + 1 <= 3
+          ORDER BY rank""",
 
     "q228_latency_quantiles" ->
       """WITH h AS (SELECT event_type,

@@ -2494,6 +2494,38 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("anonymization curve: coarsening only ever helps") {
+    val rows = ops.EventQueries.queries("q233_anonymization_curve")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(25, 50, 100, 200))
+    rows.sliding(2).foreach { case Array((_, c1, k1a, s1), (_, c2, k1b, s2)) =>
+      assert(c2 < c1, "wider buckets must merge combos")
+      assert(k1b <= k1a, "coarsening cannot create re-identifying combos")
+      assert(s2 >= s1, "safe share cannot fall as buckets widen")
+    }
+    rows.foreach { case (_, _, _, safe) => assert(safe >= 0 && safe <= 10000) }
+  }
+
+  test("skew report: Gini equals an exact replay and shares rank correctly") {
+    val rows = ops.EventQueries.queries("q234_skew_report")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) >= p(1)),
+      "heavy keys must come in count order")
+    val counts = Tables.lineitem(spark, sf).groupBy("l_suppkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = counts.sortBy(p => (p._2, p._1))
+    val n = sorted.length.toLong
+    val sx = sorted.map(_._2).sum
+    val num = sorted.zipWithIndex.map { case ((_, x), idx) =>
+      (2L * (idx + 1) - n - 1) * x
+    }.sum
+    val wantGini = num * 1000000L / (n * sx)
+    assert(rows.head._5 == wantGini, s"gini ${rows.head._5} vs $wantGini")
+    assert(rows.head._2 == sorted.last._1 && rows.head._3 == sorted.last._2,
+      "rank-1 heavy key must be the true max")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
