@@ -61,7 +61,20 @@ case class BitmapAgg(
     else if (!nBitsExpr.foldable ||
         !(nBitsExpr.dataType == IntegerType || nBitsExpr.dataType == LongType))
       TypeCheckFailure("graft_bitmap nBits must be an integer literal")
-    else TypeCheckSuccess
+    else {
+      // the declared domain is a buffer-size contract: validate it at
+      // ANALYSIS time — a negative nBits would otherwise underflow
+      // nWords through the unsigned shift and allocate a huge buffer
+      // per group instead of failing loudly
+      val n = nBitsExpr.eval(InternalRow.empty) match {
+        case i: Int => i.toLong
+        case l: Long => l
+      }
+      if (n <= 0 || n > (1L << 30))
+        TypeCheckFailure(
+          s"graft_bitmap nBits must be in (0, 2^30], got $n")
+      else TypeCheckSuccess
+    }
   }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](nWords)

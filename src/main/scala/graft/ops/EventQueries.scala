@@ -204,8 +204,7 @@ object EventQueries {
         .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("x"))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"), col("k"))
       val ranked = cnts.withColumn("i", row_number().over(w))
-      val tot = cnts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        max(col("x")).as("max_x"))
+      val tot = cnts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
       val gini = ranked.crossJoin(broadcast(tot))
         .agg(sum((lit(2) * col("i") - col("n") - 1) * col("x")).as("num"),
           max(col("n") * col("sx")).as("den"))
@@ -277,10 +276,14 @@ object EventQueries {
         explode(array(expr(s"pus DIV ${tolUs}L - 1"),
           expr(s"pus DIV ${tolUs}L"),
           expr(s"pus DIV ${tolUs}L + 1"))).as("b"))
+      // no distinct: the 3 exploded buckets per purchase are DISTINCT
+      // values and each error carries one bucket, so a (eid, pid) pair
+      // can match at most once — a dedup here would be a pure extra
+      // shuffle of the largest intermediate (review finding)
       val cand = errB.join(purB, Seq("user_id", "b"))
         .withColumn("delta", col("pus") - col("eus"))
         .filter(abs(col("delta")) <= tolUs)
-        .select("eid", "pid", "delta").distinct()
+        .select("eid", "pid", "delta")
       val w = org.apache.spark.sql.expressions.Window.partitionBy("eid")
         .orderBy(abs(col("delta")), col("delta"), col("pid"))
       val best = cand.withColumn("rn", row_number().over(w))
@@ -1104,7 +1107,7 @@ object EventQueries {
                           unnest([pus // 21600000000 - 1, pus // 21600000000,
                                   pus // 21600000000 + 1]) AS b
                    FROM pur),
-          cand AS (SELECT DISTINCT eid, pid, pus - eus AS delta
+          cand AS (SELECT eid, pid, pus - eus AS delta
                    FROM (SELECT eid, user_id, eus,
                                 eus // 21600000000 AS b FROM err) e
                    JOIN purb USING (user_id, b)

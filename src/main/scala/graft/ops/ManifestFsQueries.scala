@@ -502,19 +502,7 @@ object ManifestFsQueries {
       val bm = StreamingPipelines.runToCompletion(s, agg)
         .select(col("event_type"), col("b.cnt").as("n_users"), col("b.bits").as("bits"))
         .localCheckpoint()
-      val a = bm.select(col("event_type").as("t1"),
-        col("n_users").as("n_users_1"), col("bits").as("b1"))
-      val b = bm.select(col("event_type").as("t2"),
-        col("n_users").as("n_users_2"), col("bits").as("b2"))
-      a.join(b, col("t1") < col("t2"))
-        .withColumn("n_both", expr(
-          """aggregate(zip_with(b1, b2, (x, y) -> CAST(bit_count(x & y) AS BIGINT)),
-               CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
-        .select(col("t1"), col("t2"), col("n_users_1"), col("n_users_2"),
-          col("n_both"),
-          expr("(n_both * 10000) DIV (n_users_1 + n_users_2 - n_both)")
-            .as("jaccard_bp"))
-        .orderBy("t1", "t2")
+      MiscQueries.bitmapOverlapMatrix(bm)
     }),
 
     // Native session_window through the REAL streaming engine — q164's
@@ -922,27 +910,7 @@ object ManifestFsQueries {
     "q174_stream_session_window" -> EventQueries.sessionWindowOracle,
 
     // q227: the streamed bitmap must equal batch q226 — same oracle.
-    "q227_stream_bitmap" ->
-      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events
-                       WHERE value >= 190.0),
-          cnt AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1),
-          dom AS (SELECT ca.event_type AS t1, cb.event_type AS t2,
-                         ca.n_users AS n_users_1, cb.n_users AS n_users_2
-                  FROM cnt ca JOIN cnt cb
-                    ON ca.event_type < cb.event_type),
-          inter AS (SELECT a.event_type AS t1, b.event_type AS t2,
-                           count(*) AS n_both
-                    FROM tu a JOIN tu b
-                      ON a.user_id = b.user_id AND a.event_type < b.event_type
-                    GROUP BY 1, 2)
-          SELECT dom.t1, dom.t2, n_users_1, n_users_2,
-                 CAST(coalesce(n_both, 0) AS BIGINT) AS n_both,
-                 (coalesce(n_both, 0) * 10000)
-                   // (n_users_1 + n_users_2 - coalesce(n_both, 0))
-                   AS jaccard_bp
-          FROM dom LEFT JOIN inter
-            ON inter.t1 = dom.t1 AND inter.t2 = dom.t2
-          ORDER BY dom.t1, dom.t2""",
+    "q227_stream_bitmap" -> MiscQueries.bitmapOverlapOracleSql,
 
     "q170_stream_kmv" ->
       s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -63,26 +63,8 @@ object MiscQueries {
     // audiences would be wall-to-wall 10000 bp; the high-value slice
     // gives each audience ~half the users and the overlap matrix real
     // structure to grade.
-    "q226_bitmap_aggregate" -> ((s, d) => {
-      val bm = Tables.events(s, d)
-        .filter(col("value") >= 190.0)
-        .groupBy("event_type")
-        .agg(graft.functions.BitmapAgg.bitmap(col("user_id"), 65536).as("b"))
-        .select(col("event_type"), col("b.cnt").as("n_users"), col("b.bits").as("bits"))
-      val a = bm.select(col("event_type").as("t1"),
-        col("n_users").as("n_users_1"), col("bits").as("b1"))
-      val b = bm.select(col("event_type").as("t2"),
-        col("n_users").as("n_users_2"), col("bits").as("b2"))
-      a.join(b, col("t1") < col("t2"))
-        .withColumn("n_both", expr(
-          """aggregate(zip_with(b1, b2, (x, y) -> CAST(bit_count(x & y) AS BIGINT)),
-               CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
-        .select(col("t1"), col("t2"), col("n_users_1"), col("n_users_2"),
-          col("n_both"),
-          expr("(n_both * 10000) DIV (n_users_1 + n_users_2 - n_both)")
-            .as("jaccard_bp"))
-        .orderBy("t1", "t2")
-    }),
+    "q226_bitmap_aggregate" -> ((s, d) =>
+      bitmapOverlapMatrix(qualifiedAudienceBitmaps(Tables.events(s, d)))),
 
     "q169_kmv_aggregate" -> ((s, d) => {
       val hashed = Tables.events(s, d)
@@ -356,22 +338,7 @@ object MiscQueries {
     // the overestimate-bound demo (CMS never underestimates — pinned in
     // ExtensionSpec alongside the estimate's accuracy).
     "q133_cms_heavy_hitters" -> ((s, d) => {
-      def hex3(off: Int): String =
-        (0 until 3).map(i =>
-          s"(instr('0123456789abcdef', substring(m, ${off + i}, 1)) - 1) * ${math.pow(16, 2 - i).toInt}")
-          .mkString("(", " + ", ")")
-      val cellsOf = (1 to 4).map(r => hex3(1 + 3 * (r - 1))).mkString(", ")
-      val lanes = Tables.lineitem(s, d)
-        .select(md5(col("l_partkey").cast("string")).as("m"))
-        .select(posexplode(expr(s"array($cellsOf)")).as(Seq("lane", "cell")))
-      val sketch = lanes.groupBy("lane", "cell").agg(count(lit(1)).as("c"))
-      val probes = Tables.lineitem(s, d)
-        .filter(col("l_partkey") <= 32)
-        .groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
-        .withColumn("m", md5(col("l_partkey").cast("string")))
-        .select(col("l_partkey"), col("exact_n"),
-          posexplode(expr(s"array($cellsOf)")).as(Seq("lane", "cell")))
-      probes.join(sketch, Seq("lane", "cell"))
+      cmsProbes(s, d).join(cmsSketch(s, d), Seq("lane", "cell"))
         .groupBy("l_partkey", "exact_n")
         .agg(min(col("c")).as("cms_est"))
         .select("l_partkey", "cms_est", "exact_n")
@@ -389,28 +356,14 @@ object MiscQueries {
     // error = est − exact ≥ 0 always (CMS never underestimates), and the
     // curve must fall as width grows. All integer.
     "q225_cms_width_sweep" -> ((s, d) => {
-      def hex3(off: Int): String =
-        (0 until 3).map(i =>
-          s"(instr('0123456789abcdef', substring(m, ${off + i}, 1)) - 1) * ${math.pow(16, 2 - i).toInt}")
-          .mkString("(", " + ", ")")
-      val cellsOf = (1 to 4).map(r => hex3(1 + 3 * (r - 1))).mkString(", ")
       val widthOfK = "CASE k WHEN 1 THEN 16 WHEN 2 THEN 256 ELSE 4096 END"
       val cellkOfK = "CASE k WHEN 1 THEN cell DIV 256 WHEN 2 THEN cell DIV 16 ELSE cell END"
-      val sketch = Tables.lineitem(s, d)
-        .select(md5(col("l_partkey").cast("string")).as("m"))
-        .select(posexplode(expr(s"array($cellsOf)")).as(Seq("lane", "cell")))
-        .groupBy("lane", "cell").agg(count(lit(1)).as("c"))
-      val skk = sketch
+      val skk = cmsSketch(s, d)
         .select(col("lane"), col("cell"), col("c"),
           explode(array(lit(1), lit(2), lit(3))).as("k"))
         .withColumn("cellk", expr(cellkOfK))
         .groupBy("k", "lane", "cellk").agg(sum(col("c")).as("c"))
-      val probes = Tables.lineitem(s, d)
-        .filter(col("l_partkey") <= 32)
-        .groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
-        .withColumn("m", md5(col("l_partkey").cast("string")))
-        .select(col("l_partkey"), col("exact_n"),
-          posexplode(expr(s"array($cellsOf)")).as(Seq("lane", "cell")))
+      val probes = cmsProbes(s, d)
         .select(col("l_partkey"), col("exact_n"), col("lane"), col("cell"),
           explode(array(lit(1), lit(2), lit(3))).as("k"))
         .withColumn("cellk", expr(cellkOfK))
@@ -870,6 +823,96 @@ object MiscQueries {
               FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt
                     FROM $tbl GROUP BY v))"""
 
+
+
+  /** q133/q225 shared CMS machinery — ONE definition of the lane/cell
+    * derivation (3 hex digits per lane of the key md5, width 4096) on
+    * both engine sides, so the width-sweep's prefix-reaggregation trick
+    * can never drift from the heavy-hitter sketch it prices. */
+  private def cmsHex3(off: Int): String =
+    (0 until 3).map(i =>
+      s"(instr('0123456789abcdef', substring(m, ${off + i}, 1)) - 1) * ${math.pow(16, 2 - i).toInt}")
+      .mkString("(", " + ", ")")
+  private def cmsCellsOf: String =
+    (1 to 4).map(r => cmsHex3(1 + 3 * (r - 1))).mkString(", ")
+
+  /** The (lane, cell) → count base sketch over lineitem part keys. */
+  private def cmsSketch(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(md5(col("l_partkey").cast("string")).as("m"))
+      .select(posexplode(expr(s"array($cmsCellsOf)")).as(Seq("lane", "cell")))
+      .groupBy("lane", "cell").agg(count(lit(1)).as("c"))
+
+  /** The low-key probe set with exact counts and per-lane cells. */
+  private def cmsProbes(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_partkey") <= 32)
+      .groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
+      .withColumn("m", md5(col("l_partkey").cast("string")))
+      .select(col("l_partkey"), col("exact_n"),
+        posexplode(expr(s"array($cmsCellsOf)")).as(Seq("lane", "cell")))
+
+  /** DuckDB twins of [[cmsSketch]]/[[cmsProbes]]' lane expansion. */
+  private def oCmsLaneCell: String = (1 to 4).map(r =>
+    s"SELECT m, ${r - 1} AS lane, ${oHex3(1 + 3 * (r - 1))} AS cell FROM m")
+    .mkString("\n UNION ALL ")
+  private def oCmsProbeCell: String = (1 to 4).map(r =>
+    s"SELECT l_partkey, exact_n, ${r - 1} AS lane, ${oHex3(1 + 3 * (r - 1))} AS cell FROM probes")
+    .mkString("\n UNION ALL ")
+
+  /** q226/q227 shared: value-qualified (an event worth >= 190) per-type
+    * audience bitmaps over the 65536-user domain — ONE definition so the
+    * batch query and its streaming twin can never diverge (the
+    * ewmaOracleSql discipline). Works on any events-shaped frame,
+    * batch or streaming. */
+  private[ops] def qualifiedAudienceBitmaps(events: DataFrame): DataFrame =
+    events.filter(col("value") >= 190.0)
+      .groupBy("event_type")
+      .agg(graft.functions.BitmapAgg.bitmap(col("user_id"), 65536).as("b"))
+      .select(col("event_type"), col("b.cnt").as("n_users"), col("b.bits").as("bits"))
+
+  /** q226/q227 shared: (event_type, n_users, bits) → the pairwise exact
+    * overlap matrix via codegen'd word algebra. */
+  private[ops] def bitmapOverlapMatrix(bm: DataFrame): DataFrame = {
+    val a = bm.select(col("event_type").as("t1"),
+      col("n_users").as("n_users_1"), col("bits").as("b1"))
+    val b = bm.select(col("event_type").as("t2"),
+      col("n_users").as("n_users_2"), col("bits").as("b2"))
+    a.join(b, col("t1") < col("t2"))
+      .withColumn("n_both", expr(
+        """aggregate(zip_with(b1, b2, (x, y) -> CAST(bit_count(x & y) AS BIGINT)),
+             CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+      .select(col("t1"), col("t2"), col("n_users_1"), col("n_users_2"),
+        col("n_both"),
+        expr("(n_both * 10000) DIV (n_users_1 + n_users_2 - n_both)")
+          .as("jaccard_bp"))
+      .orderBy("t1", "t2")
+  }
+
+  /** q226/q227 shared oracle (identical semantics: the streamed bitmaps
+    * must equal the batch ones). */
+  private[ops] val bitmapOverlapOracleSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events
+                     WHERE value >= 190.0),
+        cnt AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1),
+        dom AS (SELECT ca.event_type AS t1, cb.event_type AS t2,
+                       ca.n_users AS n_users_1, cb.n_users AS n_users_2
+                FROM cnt ca JOIN cnt cb
+                  ON ca.event_type < cb.event_type),
+        inter AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                         count(*) AS n_both
+                  FROM tu a JOIN tu b
+                    ON a.user_id = b.user_id AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+        SELECT dom.t1, dom.t2, n_users_1, n_users_2,
+               CAST(coalesce(n_both, 0) AS BIGINT) AS n_both,
+               (coalesce(n_both, 0) * 10000)
+                 // (n_users_1 + n_users_2 - coalesce(n_both, 0))
+                 AS jaccard_bp
+        FROM dom LEFT JOIN inter
+          ON inter.t1 = dom.t1 AND inter.t2 = dom.t2
+        ORDER BY dom.t1, dom.t2"""
+
   def oracles: Map[String, String] = Map(
     "q182_sql_modern" ->
       """WITH status_dim AS (
@@ -943,27 +986,7 @@ object MiscQueries {
                  actual_rows
           FROM edges ORDER BY join_name""",
 
-    "q226_bitmap_aggregate" ->
-      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events
-                       WHERE value >= 190.0),
-          cnt AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1),
-          dom AS (SELECT ca.event_type AS t1, cb.event_type AS t2,
-                         ca.n_users AS n_users_1, cb.n_users AS n_users_2
-                  FROM cnt ca JOIN cnt cb
-                    ON ca.event_type < cb.event_type),
-          inter AS (SELECT a.event_type AS t1, b.event_type AS t2,
-                           count(*) AS n_both
-                    FROM tu a JOIN tu b
-                      ON a.user_id = b.user_id AND a.event_type < b.event_type
-                    GROUP BY 1, 2)
-          SELECT dom.t1, dom.t2, n_users_1, n_users_2,
-                 CAST(coalesce(n_both, 0) AS BIGINT) AS n_both,
-                 (coalesce(n_both, 0) * 10000)
-                   // (n_users_1 + n_users_2 - coalesce(n_both, 0))
-                   AS jaccard_bp
-          FROM dom LEFT JOIN inter
-            ON inter.t1 = dom.t1 AND inter.t2 = dom.t2
-          ORDER BY dom.t1, dom.t2""",
+    "q226_bitmap_aggregate" -> bitmapOverlapOracleSql,
 
     "q162_bitmap_overlap" ->
 """WITH m AS (SELECT DISTINCT o_orderpriority AS seg,
@@ -1083,12 +1106,8 @@ object MiscQueries {
           ORDER BY check_name""",
 
     "q225_cms_width_sweep" -> {
-      val laneCell = (1 to 4).map(r =>
-        s"SELECT m, ${r - 1} AS lane, ${oHex3(1 + 3 * (r - 1))} AS cell FROM m")
-        .mkString("\n UNION ALL ")
-      val probeCell = (1 to 4).map(r =>
-        s"SELECT l_partkey, exact_n, ${r - 1} AS lane, ${oHex3(1 + 3 * (r - 1))} AS cell FROM probes")
-        .mkString("\n UNION ALL ")
+      val laneCell = oCmsLaneCell
+      val probeCell = oCmsProbeCell
       s"""WITH m AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS m FROM lineitem),
           lanes AS ($laneCell),
           sketch AS (SELECT lane, cell, count(*) AS c FROM lanes GROUP BY 1, 2),
@@ -1123,18 +1142,14 @@ object MiscQueries {
     },
 
     "q133_cms_heavy_hitters" -> {
-      val laneCell = (1 to 4).map(r =>
-        s"SELECT m, ${r - 1} AS lane, ${oHex3(1 + 3 * (r - 1))} AS cell FROM m")
-        .mkString("\n UNION ALL ")
+      val laneCell = oCmsLaneCell
       s"""WITH m AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS m FROM lineitem),
           lanes AS ($laneCell),
           sketch AS (SELECT lane, cell, count(*) AS c FROM lanes GROUP BY 1, 2),
           probes AS (SELECT l_partkey, count(*) AS exact_n,
                             md5(CAST(l_partkey AS VARCHAR)) AS m
                      FROM lineitem WHERE l_partkey <= 32 GROUP BY 1),
-          pl AS (${(1 to 4).map(r =>
-            s"SELECT l_partkey, exact_n, ${r - 1} AS lane, ${oHex3(1 + 3 * (r - 1))} AS cell FROM probes")
-            .mkString("\n UNION ALL ")})
+          pl AS ($oCmsProbeCell)
           SELECT l_partkey, CAST(min(c) AS BIGINT) AS cms_est,
                  CAST(exact_n AS BIGINT) AS exact_n
           FROM pl JOIN sketch USING (lane, cell)

@@ -2394,6 +2394,18 @@ class ExtensionSpec extends SparkSpec {
       if (t == null) Seq.empty else t +: causes(t.getCause)
     assert(causes(e).exists(c => Option(c.getMessage)
       .exists(_.contains("outside declared domain"))), s"wrong failure: $e")
+    // a non-positive domain fails at ANALYSIS, before any buffer is
+    // allocated (a negative nBits would otherwise underflow the word
+    // count through the unsigned shift — review finding)
+    Seq(-100, 0).foreach { bad =>
+      val a = intercept[Exception] {
+        Tables.events(spark, sf).groupBy("event_type")
+          .agg(graft.functions.BitmapAgg.bitmap(col("user_id"), bad))
+          .collect()
+      }
+      assert(causes(a).exists(c => Option(c.getMessage)
+        .exists(_.contains("nBits must be in"))), s"nBits=$bad: $a")
+    }
   }
 
   test("latency quantiles equal an exact sorted-rank replay") {

@@ -403,9 +403,8 @@ class PlanSpec extends SparkSpec {
       // partial phase, and NO expand/distinct pre-shuffle of memberships
       assert(p.contains("ObjectHashAggregate"),
         s"expected ObjectHashAggregate:\n${p.take(1500)}")
-      assert(p.contains("partial_graft_bitmap") || p.contains("partial graft_bitmap")
-        || p.toLowerCase.contains("partial"),
-        "bitmap must aggregate partially on the map side")
+      assert(p.contains("partial_graft_bitmap"),
+        s"bitmap must aggregate partially on the map side:\n${p.take(1500)}")
       assert(!p.contains("Expand"), "no distinct-expand of the membership stream")
     }
   }
