@@ -2538,6 +2538,25 @@ class ExtensionSpec extends SparkSpec {
       "rank-1 heavy key must be the true max")
   }
 
+  test("weighted SSSP: seeds at zero, every node accounted, real spread") {
+    val rows = ext.GraphQueries.queries("q235_weighted_sssp")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length >= 3, "weighted distances must spread across deciles")
+    rows.filter(_._1 >= 0).foreach { case (dec, _, minD, _, _) =>
+      assert(minD / 10 == dec, s"decile $dec holds out-of-band min $minD")
+    }
+    // decile 0 holds the seeds (min_dist 0) and possibly strong-link
+    // neighbors (a ≥12-order link costs ≤9 — inside the first decile)
+    val seeds = Tables.supplier(spark, sf)
+      .filter(col("s_nationkey") % 5 === 3).count()
+    val d0 = rows.find(_._1 == 0L).get
+    assert(d0._3 == 0L && d0._2 >= seeds, s"seed decile: $d0 vs $seeds seeds")
+    // census completeness: every trade-graph node lands in exactly one row
+    val nNodes = Tables.orders(spark, sf).select("o_custkey").distinct().count() +
+      Tables.lineitem(spark, sf).select("l_suppkey").distinct().count()
+    assert(rows.map(_._2).sum == nNodes, "distance census must partition V")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
