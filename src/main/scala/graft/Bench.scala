@@ -84,7 +84,8 @@ object Bench {
       "q214_norm_sensitivity"       -> 2.1,
       "q216_source_overlap"         -> 2.6,
       "q225_cms_width_sweep"        -> 3.5,
-      "q230_kcore"                  -> 9.0,
+      "q230_kcore"                  -> 11.2,
+      "q235_weighted_sssp"          -> 6.7,
       "q231_rerank_cascade"         -> 6.6,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,
