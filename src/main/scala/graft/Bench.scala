@@ -4,6 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Box-load discipline (round-9 verdict item 6): identical code has
+    // measured 30-50% drift with box load, and one round-9 mid-round run
+    // overlapped sbt compiles. Record the 1-minute load average AT START
+    // in the artifact itself so a hot-box run is visible in the record,
+    // not reconstructed from notes. The run proceeds either way (refusing
+    // would break unattended driver runs) — `box_load_ok` is the flag a
+    // reader checks before treating a breach as a regression.
+    val boxLoad: Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable =>
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .getSystemLoadAverage
+      }
+    val boxLoadOk = boxLoad >= 0 && boxLoad <= cpus.toInt / 4.0
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -163,9 +178,19 @@ object Bench {
     // a gated query that vanished from the suite (rename/drop) counts as
     // BREACHED — a silent gate is worse than a red one (results.get(k)
     // is None then, and forall on None is true)
-    val breached = gates.collect {
-      case (k, g) if results.get(k).forall(_ > g) => "\"" + k + "\""
-    }.toSeq.sorted.mkString("[", ",", "]")
+    val queryBreaches = gates.collect {
+      case (k, g) if results.get(k).forall(_ > g) => k
+    }.toSeq
+    // Listing-rate gate (round-9 verdict item 3): the headline
+    // reference-beating number (436-546k obj/s across rounds vs the
+    // reference's 6.7k-20k ceiling) was unguarded drift. Floor = 300k —
+    // the same 1.5× headroom logic as the query gates, inverted
+    // (best recorded min 436k / 1.45 ≈ 300k), so a real listing
+    // regression fails the artifact loudly while fs-cache drift passes.
+    val ListingFloor = 300000.0
+    val allBreaches = queryBreaches ++
+      (if (listingRate < ListingFloor) Seq("listing_rate") else Nil)
+    val breached = allBreaches.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // every individual pass, first line: the min hides contention; a judge
     // reading the artifact can see a loaded box directly in a pass spread
     // (e.g. pass1 4.5s / pass2 1.9s = external load, not a regression)
@@ -183,9 +208,55 @@ object Bench {
         "\"" + k + "\":{\"throttles\":" + st.throttles +
           ",\"peak_delay_ms\":" + fmt(st.peakDelayMs) + "}"
       }.mkString("{", ",", "}")
+    val boxJson = s""""box_load_1m":${fmt(boxLoad)},"box_load_ok":$boxLoadOk,"cpus":$cpus"""
     println(s"""{"metric":"per_pass_detail","unit":"sec",$method,"per_pass_queries":$passJson,"listing_tries_objects_per_sec":$listJson,"listing_flat_tries_objects_per_sec":$flatJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total_per_query","value":$total,"unit":"sec",$method,"queries":$qs,"gates":$gatesJson,"gates_breached":$breached,"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$method,"n_queries":${results.size},"gates_breached":$breached,"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_per_query","value":$total,"unit":"sec",$method,"queries":$qs,"gates":$gatesJson,"gates_breached":$breached,"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,$boxJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$method,"n_queries":${results.size},"gates_breached":$breached,"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,$boxJson,"sf":"$sfDir"}""")
+    // Builder-owned COMPLETE artifact (round-9 verdict item 2): the
+    // driver's tail-capture truncates the per-query map (r8 and r9 each
+    // lost ~190 of the per-query timings), so cross-round regression
+    // detection required archaeology. Every run writes the full record —
+    // per-pass timings, min-of-N, every gate, listing tries, throttle,
+    // box load, methodology — to a file that gets committed with the
+    // round, making every timing diffable against the previous round's
+    // gates in one place. Path override: SPARK_GRAFT_BENCH_OUT.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full_r10.json")
+    val methodology =
+      "per query: min of " + passes + " full-suite passes at sf0.1, " +
+        "local[" + cpus + "], shuffle.partitions=" + cpus + "; " +
+        "gate = 1.5 x best recorded quiet-box min + 0.5s headroom " +
+        "(absorbs the measured 30-50% box drift, flags >=2x slowdowns); " +
+        "listing = best of 3 timed counts over a 50k-file tree (and a " +
+        "50k-object flat dir), floor " + ListingFloor.round + " obj/s; " +
+        "box_load_1m is /proc/loadavg at start - treat breaches on a " +
+        "box_load_ok=false run as suspect, re-run on a quiet box"
+    val fullJson =
+      s"""{
+         |"schema":"graft-bench-full/1",
+         |"sf":"$sfDir",
+         |$method,
+         |"methodology":"$methodology",
+         |$boxJson,
+         |"total_sec":${fmt(total)},
+         |"n_queries":${results.size},
+         |"queries_min":$qs,
+         |"per_pass":$passJson,
+         |"gates":$gatesJson,
+         |"gates_breached":$breached,
+         |"listing_objects_per_sec":${listingRate.round},
+         |"listing_flat_objects_per_sec":${flatRate.round},
+         |"listing_floor_objects_per_sec":${ListingFloor.round},
+         |"listing_tries":$listJson,
+         |"listing_flat_tries":$flatJson,
+         |"throttle":$throttleJson
+         |}""".stripMargin
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
+      println(s"""{"metric":"bench_full_path","path":"$fullPath"}""")
+    } catch { case e: Throwable =>
+      println(s"""{"metric":"bench_full_path","error":"${e.getClass.getSimpleName}"}""")
+    }
     spark.stop()
   }
 }

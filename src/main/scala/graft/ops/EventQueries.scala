@@ -322,9 +322,16 @@ object EventQueries {
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
+        // Denominator guard: a type active on a SINGLE day has
+        // n·Σx² = (Σx)² (one x value), so the OLS slope is undefined —
+        // Spark DIV would yield NULL ("flat" by accident) while DuckDB //
+        // raises division-by-zero, so without the guard the engines
+        // diverge on that fixture shape. Slope 0 is the honest answer:
+        // one day of data carries no trend.
         .select(col("event_type"), col("n").as("n_days"),
-          expr("((n * sxy - sx * sy) * 1000000) DIV (n * sxx - sx * sx)")
-            .as("slope_ppm"))
+          expr("""CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+                  ELSE ((n * sxy - sx * sy) * 1000000) DIV (n * sxx - sx * sx)
+                  END""").as("slope_ppm"))
         .withColumn("trend",
           when(col("slope_ppm") > 100000L, "rising")
             .when(col("slope_ppm") < -100000L, "falling")
@@ -1139,16 +1146,17 @@ object EventQueries {
                          CAST(sum(y) AS BIGINT) AS sy,
                          CAST(sum(x * y) AS BIGINT) AS sxy,
                          CAST(sum(x * x) AS BIGINT) AS sxx
-                  FROM xy GROUP BY event_type)
-          SELECT event_type, n AS n_days,
-                 ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
-                   AS slope_ppm,
-                 CASE WHEN ((n * sxy - sx * sy) * 1000000)
-                        // (n * sxx - sx * sx) > 100000 THEN 'rising'
-                      WHEN ((n * sxy - sx * sy) * 1000000)
-                        // (n * sxx - sx * sx) < -100000 THEN 'falling'
+                  FROM xy GROUP BY event_type),
+          sl AS (SELECT event_type, n,
+                        CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+                             ELSE ((n * sxy - sx * sy) * 1000000)
+                                    // (n * sxx - sx * sx) END AS slope_ppm
+                 FROM mom)
+          SELECT event_type, n AS n_days, slope_ppm,
+                 CASE WHEN slope_ppm > 100000 THEN 'rising'
+                      WHEN slope_ppm < -100000 THEN 'falling'
                       ELSE 'flat' END AS trend
-          FROM mom ORDER BY event_type""",
+          FROM sl ORDER BY event_type""",
 
     "q219_k_anonymity" ->
       """WITH k AS (SELECT event_type,

@@ -2290,7 +2290,8 @@ class ExtensionSpec extends SparkSpec {
       val sx = daily.map(_._1).sum; val sy = daily.map(_._2).sum
       val sxy = daily.map(p => p._1 * p._2).sum
       val sxx = daily.map(p => p._1 * p._1).sum
-      val want = ((n * sxy - sx * sy) * 1000000L) / (n * sxx - sx * sx)
+      val den = n * sxx - sx * sx // 0 ⇔ single active day ⇒ slope 0 by contract
+      val want = if (den == 0L) 0L else ((n * sxy - sx * sy) * 1000000L) / den
       assert(nDays == n && slope == want, s"$t: got $slope want $want")
       val wantTrend = if (want > 100000L) "rising"
         else if (want < -100000L) "falling" else "flat"
@@ -2555,6 +2556,68 @@ class ExtensionSpec extends SparkSpec {
     val nNodes = Tables.orders(spark, sf).select("o_custkey").distinct().count() +
       Tables.lineitem(spark, sf).select("l_suppkey").distinct().count()
     assert(rows.map(_._2).sum == nNodes, "distance census must partition V")
+  }
+
+  test("bitmap agg: a typed NULL nBits literal fails cleanly at analysis") {
+    // CAST(NULL AS INT) is foldable IntegerType but evals to null — it
+    // must hit the dedicated TypeCheckFailure, not a MatchError deep in
+    // checkInputDataTypes (round-9 advice finding)
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("bmev_nullbits")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_bitmap(user_id, CAST(NULL AS INT)) FROM bmev_nullbits""")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("non-null integer literal"))), s"wrong failure: $e")
+    assert(!causes(e).exists(_.isInstanceOf[MatchError]), s"MatchError leaked: $e")
+  }
+
+  test("trend slope: a single-active-day stream reports slope 0 flat, not NULL") {
+    // one day of data has n·Σx² = (Σx)², the undefined-OLS shape the
+    // round-9 advice flagged: Spark DIV yields NULL and DuckDB raises,
+    // so the guarded contract (slope 0, trend flat) is pinned here
+    val dir = ops.Scratch.dir("graft_oneday_events")
+    val day0 = 86400L * 1000000L * 20000L
+    val rows = (1L to 6L).map(i =>
+      (i, day0 + i * 1000000L, i % 3, if (i % 2 == 0) "click" else "view",
+        i.toDouble, "{}"))
+    import spark.implicits._
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ops.EventQueries.queries("q222_trend_slope")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(("click", 1L, 0L, "flat"), ("view", 1L, 0L, "flat")))
+  }
+
+  test("clip reuse cap bites on a corpus with fewer re-edits than the ceiling") {
+    // 29 eligible re-edits — BELOW the static ClipFrameCap of 50, the
+    // shape where a fixed constant lets the shared overwritten frame
+    // survive and flood re-edit×re-edit pairs (round-9 advice). The
+    // derived cap (n_re − 1 = 28) must still kill it.
+    val dir = ops.Scratch.dir("graft_small_docs")
+    import spark.implicits._
+    val docs = (0L until 200L).map { i =>
+      val text = (f"d$i%05d " * 40).trim // 239 chars; every 64-char frame carries the id
+      (i, text, "en", "spec", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = ext.Multimodal.queries("q223_clip_reuse")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val eligible = (0L until 200L).filter(_ % 7 == 0).toSet // 29 ids
+    assert(eligible.size == 29)
+    val planted = rows.filter { case (a, b, _) => b == a + 5000000L }
+    assert(planted.map(_._1).toSet == eligible,
+      s"planted coverage: ${planted.length} pairs vs ${eligible.size} eligible")
+    assert(!rows.exists(_._1 >= 5000000L),
+      "re-edit x re-edit pair escaped the derived cap")
   }
 
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
