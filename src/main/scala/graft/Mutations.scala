@@ -1,0 +1,49 @@
+package graft
+
+/** Oracle-SENSITIVITY mutation seam.
+  *
+  * 234/234 hash-green proves the engine AGREES with the DuckDB oracle; it
+  * does not prove the comparison would NOTICE a bug (the q49 `<` vs `<=`
+  * landmine was caught by luck of scale coverage, not by design). Each
+  * knob here plants one classic defect — off-by-one rank, dropped fold
+  * element, miscounted intersection, `&` vs `|` — at the exact production
+  * line where that bug would occur, and `MutationSpec` asserts the
+  * driver-style result hash CHANGES while the knob is on: the proof that
+  * the correctness harness goes red for that defect class instead of
+  * silently passing.
+  *
+  * Discipline:
+  *  - every knob is OFF by default and nothing under src/main ever
+  *    enables one — the seam is reachable only through [[withMutation]];
+  *  - knobs are read ONCE at query-construction time, so the production
+  *    plan is a compile-time constant expression (zero per-row cost and
+  *    no codegen difference when off);
+  *  - [[withMutation]] restores the off state even if the body throws,
+  *    so a failing spec cannot leak a mutation into later suites (test
+  *    suites share one forked JVM, run sequentially).
+  */
+object Mutations {
+  @volatile private var active: String = ""
+
+  /** Knob registry — a spec asking for an unknown knob is a spec typo
+    * and must fail loudly, not silently test nothing. */
+  private[graft] val Known: Set[String] = Set(
+    "q183_rank_off_by_one",     // median rank k -> k + 1
+    "q228_rank_off_by_one",     // quantile ceil-rank admits the previous row
+    "q215_skip_first_fold_day", // EWMA fold starts one day late
+    "q149_intersect_off_by_one", // PPJoin verify undercounts |A∩B| by 1
+    "q226_or_instead_of_and")   // bitmap overlap counts x|y, not x&y
+
+  /** Test hook: run `body` with exactly one knob enabled. */
+  private[graft] def withMutation[T](name: String)(body: => T): T = {
+    require(Known(name), s"unknown mutation knob: $name")
+    active = name
+    try body finally { active = "" }
+  }
+
+  /** Read by the instrumented queries at plan-construction time. */
+  private[graft] def on(name: String): Boolean = {
+    require(Known(name), s"unknown mutation knob: $name")
+    active == name
+  }
+}

@@ -32,7 +32,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val genDir = args.lift(0).getOrElse("/tmp/graft_scale10x")
-    val outJson = args.lift(1).getOrElse("SCALE_r9.json")
+    val outJson = args.lift(1).getOrElse("SCALE_r10.json")
     val base = "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -62,7 +62,13 @@ object ScaleProbe {
       "q211_label_propagation" -> "synchronous label propagation (community census)",
       "q212_canonical_docs" -> "cluster-then-select canonical docs",
       "q216_source_overlap" -> "cross-source 8-gram overlap matrix",
-      "q221_bm25_mrr" -> "known-item BM25 eval on the doubled corpus")
+      "q221_bm25_mrr" -> "known-item BM25 eval on the doubled corpus",
+      // the 4 heaviest round-9 queries, absent from SCALE_r9 (round-9
+      // verdict item 4)
+      "q210_lsh_eval" -> "LSH candidate eval: PPJoin truth + banded MinHash candidates",
+      "q230_kcore" -> "k-core decomposition by iterated peeling (k in {4,8,16})",
+      "q231_rerank_cascade" -> "BM25 top-20 then exact-cosine rerank cascade",
+      "q235_weighted_sssp" -> "weighted SSSP (min-plus Bellman-Ford) decile census")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -99,7 +105,25 @@ object ScaleProbe {
         "gram streams grow 10x, so the pair matrix is constant and the " +
         "probe measures the linear (source, gram) distinct + capped " +
         "self-join; production source counts grow the matrix, bounded " +
-        "by the per-gram source cap"))
+        "by the per-gram source cap"),
+      "q210_lsh_eval" -> ("both legs share ONE distinct-shingle subtree " +
+        "(the round-10 fix for its gate breach); grouped vocabulary " +
+        "keeps prefix-token df and band-bucket sizes at 1x levels, so " +
+        "candidate and truth pair surfaces grow linearly with docs"),
+      "q230_kcore" -> ("orders replicate with shared suppliers, so edge " +
+        "volume grows 10x and supplier-side degree grows 10x; each peel " +
+        "round is a degree aggregate + two semi-joins over the shrinking " +
+        "edge set — the probe measures the pinned-round Pregel shape " +
+        "under growing per-key fan-in"),
+      "q231_rerank_cascade" -> ("the query set scales with the corpus " +
+        "(doc_id % 50) but group-suffixed vocabulary keeps per-query " +
+        "posting matches at 1x density, so the BM25 leg grows linearly; " +
+        "the rerank leg is bounded at 20 candidates per query by " +
+        "construction"),
+      "q235_weighted_sssp" -> ("relaxation rounds move edge-sized " +
+        "frontier joins; 10x edges with supplier-side degree 10x (shared " +
+        "suppliers) — the same honest skew as q202; the decile census is " +
+        "node-sized"))
 
     def timeQuery(name: String, dir: String): Double =
       (1 to 2).map { _ =>
@@ -110,7 +134,8 @@ object ScaleProbe {
 
     // warm both fixtures (page cache + footers) so the probe measures
     // query work, not first-touch I/O
-    for (d <- Seq(base, genDir); t <- Seq("documents", "embeddings", "events", "lineitem"))
+    for (d <- Seq(base, genDir);
+         t <- Seq("documents", "embeddings", "events", "lineitem", "orders", "supplier"))
       spark.read.parquet(s"$d/$t.parquet").count()
 
     val rows = probes.map { case (name, what) =>
@@ -220,6 +245,15 @@ object ScaleProbe {
         li.withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOk))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$genDir/lineitem.parquet")
+    }
+
+    if (!done("supplier")) {
+      // suppliers are SHARED across copies (lineitem keeps l_suppkey),
+      // so the supplier dim is the 1x table verbatim — q235's seed set
+      // (s_nationkey % 5 = 3) stays fixed while reachable edge volume
+      // grows 10x, the honest construction for a frontier algorithm
+      spark.read.parquet(s"$base/supplier.parquet")
+        .write.mode("overwrite").parquet(s"$genDir/supplier.parquet")
     }
 
     if (!done("orders")) {

@@ -189,10 +189,16 @@ object DedupQueries {
         col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .distinct()
     val sets = toks.groupBy("doc_id").agg(collect_list(col("w")).as("ss"))
+    // [[graft.Mutations]]: undercount |A∩B| by one (a boundary-token
+    // miscount in the verify step — the bug class the driver hash must
+    // catch on every emitted pair)
+    val interCol = size(array_intersect(col("sa"), col("sb"))).cast("long")
     cands
       .join(sets.select(col("doc_id").as("id1"), col("ss").as("sa")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("ss").as("sb")), "id2")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("inter",
+        if (graft.Mutations.on("q149_intersect_off_by_one")) interCol - 1
+        else interCol)
       .filter(col("inter") * (tNum + tDen) >= (col("sz1") + col("sz2")) * tNum)
       .select(col("id1"), col("id2"), col("inter"),
         (col("sz1") + col("sz2") - col("inter")).as("union_sz"),

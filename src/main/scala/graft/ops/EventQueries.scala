@@ -242,8 +242,12 @@ object EventQueries {
         .partitionBy("event_type").orderBy("cents")
       val cum = h.withColumn("cum", sum(col("c")).over(w))
         .join(broadcast(n), "event_type")
+      // [[graft.Mutations]]: the off-by-one variant admits the PREVIOUS
+      // distinct cents row into each quantile's candidate set
+      val cumLhs = if (graft.Mutations.on("q228_rank_off_by_one"))
+        col("cum") * 100 + 100 else col("cum") * 100
       def q(k: Int) =
-        min(when(col("cum") * 100 >= col("n") * k, col("cents"))).as(s"p$k")
+        min(when(cumLhs >= col("n") * k, col("cents"))).as(s"p$k")
       cum.groupBy("event_type")
         .agg(q(50), q(90), q(99), max(col("n")).as("n_events"))
         .orderBy("event_type")
@@ -900,8 +904,12 @@ object EventQueries {
              'ewma', e.cnt, 'n_anom', CAST(0 AS BIGINT),
              'first_anom', CAST(-1 AS BIGINT), 'day', e.day, 'cnt', e.cnt))"""))
       .withColumn("f", expr(
-        """aggregate(slice(a, 2, size(a) - 1), element_at(a, 1),
-             (acc, x) -> named_struct(
+        // [[graft.Mutations]]: start the fold one day late (skip day 2)
+        (if (graft.Mutations.on("q215_skip_first_fold_day"))
+          """aggregate(slice(a, 3, greatest(size(a) - 2, 0)), element_at(a, 1),"""
+        else
+          """aggregate(slice(a, 2, size(a) - 1), element_at(a, 1),""") +
+        """  (acc, x) -> named_struct(
                'ewma', (x.cnt + 3 * acc.ewma) DIV 4,
                'n_anom', acc.n_anom +
                  IF(x.cnt > 2 * acc.ewma, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),

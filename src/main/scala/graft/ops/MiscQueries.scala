@@ -878,9 +878,13 @@ object MiscQueries {
       col("n_users").as("n_users_1"), col("bits").as("b1"))
     val b = bm.select(col("event_type").as("t2"),
       col("n_users").as("n_users_2"), col("bits").as("b2"))
+    // [[graft.Mutations]]: `|` where `&` belongs — the one-character
+    // bitwise typo the overlap hash must flag
+    val bothOp =
+      if (graft.Mutations.on("q226_or_instead_of_and")) "|" else "&"
     a.join(b, col("t1") < col("t2"))
       .withColumn("n_both", expr(
-        """aggregate(zip_with(b1, b2, (x, y) -> CAST(bit_count(x & y) AS BIGINT)),
+        s"""aggregate(zip_with(b1, b2, (x, y) -> CAST(bit_count(x $bothOp y) AS BIGINT)),
              CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
       .select(col("t1"), col("t2"), col("n_users_1"), col("n_users_2"),
         col("n_both"),

@@ -44,7 +44,9 @@ object RelationalQueries {
       val located = hist
         .withColumn("cum", sum("c").over(w))
         .withColumn("n", sum("c").over(Window.partitionBy("l_returnflag")))
-        .withColumn("k", expr("(n + 1) DIV 2"))
+        .withColumn("k", expr(// [[graft.Mutations]]: off-by-one rank seed
+          if (graft.Mutations.on("q183_rank_off_by_one")) "(n + 1) DIV 2 + 1"
+          else "(n + 1) DIV 2"))
         .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
         .select(col("l_returnflag"), col("bucket"),
           (col("k") - (col("cum") - col("c"))).as("rank_in_bucket"), col("n"))

@@ -2620,6 +2620,35 @@ class ExtensionSpec extends SparkSpec {
       "re-edit x re-edit pair escaped the derived cap")
   }
 
+  test("ImageIoCodec really decodes PNG/JPEG payloads; non-images route to the stub") {
+    import java.awt.image.BufferedImage
+    def imageBytes(w: Int, h: Int, gray: Boolean, format: String): Array[Byte] = {
+      val t = if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_INT_RGB
+      val img = new BufferedImage(w, h, t)
+      img.setRGB(0, 0, 0x123456) // non-trivial pixel so encoders don't elide
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (1L, imageBytes(100, 50, gray = false, "png"), 100, 50, "rgb"),
+      (2L, imageBytes(32, 64, gray = true, "png"), 32, 64, "gray"),
+      (3L, imageBytes(48, 48, gray = false, "jpg"), 48, 48, "rgb"))
+    import spark.implicits._
+    val media = (payloads.map { case (id, b, _, _, _) => (id, b) } :+
+      ((4L, "definitely not an image".getBytes("UTF-8"))))
+      .toDF("doc_id", "payload")
+    val out = ext.Multimodal.decodeAllImageIo(spark, media)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    payloads.foreach { case (id, _, w, h, fmt) =>
+      assert(out(id) == ((w, h, 1, fmt)), s"doc $id: got ${out(id)}")
+    }
+    // the non-image payload neither crashes nor silently fakes: the
+    // deterministic fallback is flagged in the fmt namespace
+    assert(out(4L)._4.startsWith("stub_"), s"fallback not flagged: ${out(4L)}")
+  }
+
   test("FakeCodec decode is deterministic and plumbs through mapPartitions") {
     val payload = "hello world".getBytes("UTF-8")
     assert(Multimodal.FakeCodec.decode(payload) == Multimodal.FakeCodec.decode(payload))
