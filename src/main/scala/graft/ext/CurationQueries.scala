@@ -107,6 +107,46 @@ object CurationQueries {
                     FROM tok8))"""
 
   def queries: Map[String, Q] = Map(
+    // CORPUS SNAPSHOT DIFF — the crawl-over-crawl CDC a curation team
+    // publishes between corpus drops: classify every doc across two
+    // snapshots as added / removed / changed / unchanged (content
+    // equality by text hash, not mtime) and account the TOKEN delta per
+    // class — the number that prices re-tokenization, re-dedup and
+    // re-embedding work for the incremental pipeline (only added+changed
+    // docs re-enter it). Snapshots derive deterministically from the
+    // fixture: A drops doc_id ≡ 7 (mod 10) ("added later"), B drops
+    // ≡ 5 (mod 17) ("removed") and appends a revision marker to ≡ 3
+    // (mod 13) ("changed"); the residue classes overlap, so the
+    // precedence (added/removed outrank changed) is exercised, not
+    // assumed.
+    // Scale: ONE full-outer hash join on doc_id — the canonical CDC
+    // exchange — with md5/token counts computed map-side and the class
+    // rollup aggregating to 4 rows; no sort, no second scan.
+    "q238_corpus_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val a = docs.filter(col("doc_id") % 10 =!= 7)
+      val b = docs.filter(col("doc_id") % 17 =!= 5)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      def sig(df: DataFrame, h: String, t: String): DataFrame =
+        df.select(col("doc_id"), md5(col("text")).as(h),
+          size(split(col("text"), " ")).cast("long").as(t))
+      sig(a, "ha", "ta").join(sig(b, "hb", "tb"), Seq("doc_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("ta"), lit(0L))).as("tokens_a"),
+          sum(coalesce(col("tb"), lit(0L))).as("tokens_b"),
+          sum(coalesce(col("tb"), lit(0L)) - coalesce(col("ta"), lit(0L)))
+            .as("token_delta"))
+        .orderBy("change_type")
+    }),
+
     // GOLDEN-RECORD SURVIVORSHIP — the master-data-management merge that
     // follows entity resolution (q126 finds the cluster; this builds its
     // one surviving record): per entity and PER FIELD, the latest
@@ -764,6 +804,30 @@ object CurationQueries {
   private[ext] def MixThreshCase: String = mixThreshCase
 
   def oracles: Map[String, String] = Map(
+    "q238_corpus_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+          b AS (SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 3 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 5),
+          sa AS (SELECT doc_id, md5(text) AS ha,
+                        CAST(len(str_split(text, ' ')) AS BIGINT) AS ta FROM a),
+          sb AS (SELECT doc_id, md5(text) AS hb,
+                        CAST(len(str_split(text, ' ')) AS BIGINT) AS tb FROM b),
+          j AS (SELECT ha, ta, hb, tb
+                FROM sa FULL OUTER JOIN sb ON sa.doc_id = sb.doc_id),
+          c AS (SELECT CASE WHEN ha IS NULL THEN 'added'
+                            WHEN hb IS NULL THEN 'removed'
+                            WHEN ha <> hb THEN 'changed'
+                            ELSE 'unchanged' END AS change_type, ta, tb
+                FROM j)
+          SELECT change_type, count(*) AS n_docs,
+                 CAST(sum(coalesce(ta, 0)) AS BIGINT) AS tokens_a,
+                 CAST(sum(coalesce(tb, 0)) AS BIGINT) AS tokens_b,
+                 CAST(sum(coalesce(tb, 0) - coalesce(ta, 0)) AS BIGINT)
+                   AS token_delta
+          FROM c GROUP BY change_type ORDER BY change_type""",
+
     "q186_seeded_shuffle" ->
       """WITH h AS (
             SELECT 42 AS seed, doc_id,

@@ -588,6 +588,80 @@ object DedupQueries {
           expr("(n_hit * 10000) DIV n_cand").as("precision_bp"))
     }),
 
+    // BAND-LAYOUT sweep — the OTHER LSH tuning knob (q189 tunes the
+    // verify threshold, q210 grades the default generator; this prices
+    // the banding itself): from ONE 8-lane MinHash signature pass,
+    // derive candidate pairs under three band layouts — 2 bands × 4
+    // lanes, 4 × 2 (the production default), 8 × 1 — and score each
+    // against the KNOWN planted truth (q189's three mutation strengths,
+    // J ≈ .97/.88/.67 by construction, so no exact-join truth leg is
+    // needed). Theory says recall at J under (b, r) is 1−(1−J^r)^b:
+    // wide bands (4 lanes) should lose the weak J ≈ .67 family, 1-lane
+    // bands should catch nearly everything while paying in candidate
+    // volume — n_cand is the price column. Domain is fixed (layouts ×
+    // families via left joins), so zero-hit cells still emit rows.
+    // Scale: the signature pass is the q41 cost; the three layouts ride
+    // ONE (layout, band, bh)-keyed exchange (layout is part of the key,
+    // so the union costs one shuffle, not three) with the mega-bucket
+    // cap bounding every self-join bucket.
+    "q236_band_layout_sweep" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val ws = base.withColumn("ws", split(col("text"), " "))
+        .filter(col("doc_id") % 89 === 2 && size(col("ws")) >= 12)
+      val planted = Seq(
+        (7100000L, "2", "size(ws) - 1"),
+        (7200000L, "2 + size(ws) DIV 8", "size(ws)"),
+        (7300000L, "2 + size(ws) DIV 3", "size(ws)")).map { case (off, from, len) =>
+        ws.select((col("doc_id") + off).as("doc_id"),
+          concat_ws(" ", expr(s"slice(ws, $from, $len)")).as("text"))
+      }.reduce(_ unionByName _)
+      val mh = minhash(shingles(base.unionByName(planted)))
+      val layouts = Seq(("2x4", 2, 4), ("4x2", 4, 2), ("8x1", 8, 1))
+      val bandsAll = layouts.map { case (lbl, b, r) =>
+        mh.select(col("doc_id"), lit(lbl).as("layout"),
+          explode(array((0 until b).map(i =>
+            struct(lit(i).as("band"),
+              concat((0 until r).map(j => col(s"m${i * r + j}")): _*).as("bh"))): _*)).as("e"))
+          .select(col("doc_id"), col("layout"),
+            col("e.band").as("band"), col("e.bh").as("bh"))
+      }.reduce(_ unionByName _)
+      val bw = org.apache.spark.sql.expressions.Window
+        .partitionBy("layout", "band", "bh")
+      val capped = bandsAll.withColumn("n", count(lit(1)).over(bw))
+        .filter(col("n") <= DefaultMaxBucket).drop("n")
+      val pairs = capped
+        .select(col("layout"), col("band"), col("bh"), col("doc_id").as("id1"))
+        .join(capped.select(col("layout"), col("band"), col("bh"),
+          col("doc_id").as("id2")), Seq("layout", "band", "bh"))
+        .filter(col("id1") < col("id2"))
+        .select("layout", "id1", "id2").distinct()
+      val nCand = pairs.groupBy("layout").agg(count(lit(1)).as("n_cand"))
+      val fams = Seq((7100000L, "drop_1"), (7200000L, "drop_8th"), (7300000L, "drop_3rd"))
+      val truth = fams.map { case (off, fam) =>
+        ws.select(col("doc_id").as("id1"), (col("doc_id") + off).as("id2"),
+          lit(fam).as("family"))
+      }.reduce(_ unionByName _)
+      val hits = pairs.join(truth, Seq("id1", "id2"))
+        .groupBy("layout", "family").agg(count(lit(1)).as("n_hit"))
+      val nP = truth.groupBy("family").agg(count(lit(1)).as("n_planted"))
+      val dom = s.range(1).select(explode(array(layouts.map { case (l, b, r) =>
+          struct(lit(l).as("layout"), lit(b).as("n_bands"), lit(r).as("rows_per_band"))
+        }: _*)).as("e"))
+        .select(col("e.layout").as("layout"), col("e.n_bands").as("n_bands"),
+          col("e.rows_per_band").as("rows_per_band"))
+        .crossJoin(s.range(1).select(
+          explode(array(fams.map(f => lit(f._2)): _*)).as("family")))
+      dom.join(broadcast(nP), Seq("family"))
+        .join(hits, Seq("layout", "family"), "left")
+        .join(broadcast(nCand), Seq("layout"), "left")
+        .select(col("layout"), col("n_bands"), col("rows_per_band"),
+          col("family"), col("n_planted"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("(coalesce(n_hit, 0) * 10000) DIV n_planted").as("recall_bp"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+        .orderBy("layout", "family")
+    }),
+
     // Dedup FUNNEL report — drives the [[DedupPipeline]] user API end to
     // end over the planted corpus and reports per-stage survival (docs
     // and tokens): raw → exactDedup → nearDedup(0.9). This is the
@@ -825,6 +899,77 @@ object DedupQueries {
                    // CAST(sz1 + sz2 - inter AS BIGINT) AS jacc_bp
           FROM ij WHERE inter * 8 >= (sz1 + sz2) * 3
           ORDER BY id1, id2""",
+
+    "q236_band_layout_sweep" -> {
+      val lanes = (0 until 8)
+        .map(i => s"min(substr(md5(shingle), ${1 + 4 * i}, 4)) AS m$i")
+        .mkString(", ")
+      val layoutArms = Seq(("2x4", 2, 4), ("4x2", 4, 2), ("8x1", 8, 1))
+        .flatMap { case (lbl, b, r) =>
+          (0 until b).map { i =>
+            val bh = (0 until r).map(j => s"m${i * r + j}").mkString(" || ")
+            s"SELECT doc_id, '$lbl' AS layout, $i AS band, $bh AS bh FROM mh"
+          }
+        }.mkString("\n            UNION ALL ")
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+          seed AS (SELECT doc_id, str_split(text, ' ') AS ws FROM base
+                   WHERE doc_id % 89 = 2 AND len(str_split(text, ' ')) >= 12),
+          planted AS (
+            SELECT doc_id + 7100000 AS doc_id,
+                   array_to_string(ws[2:len(ws)], ' ') AS text FROM seed
+            UNION ALL
+            SELECT doc_id + 7200000,
+                   array_to_string(ws[(2 + len(ws) // 8):len(ws)], ' ')
+            FROM seed
+            UNION ALL
+            SELECT doc_id + 7300000,
+                   array_to_string(ws[(2 + len(ws) // 3):len(ws)], ' ')
+            FROM seed),
+          pcorpus AS (SELECT doc_id, text FROM base
+                      UNION ALL SELECT doc_id, text FROM planted),
+          ptok AS (SELECT doc_id, str_split(text, ' ') AS words FROM pcorpus
+                   WHERE len(str_split(text, ' ')) >= 3),
+          pposn AS (SELECT doc_id, words,
+                           unnest(generate_series(1, len(words) - 2)) AS pos
+                    FROM ptok),
+          sh AS (SELECT DISTINCT doc_id,
+                        words[pos] || ' ' || words[pos+1] || ' ' ||
+                          words[pos+2] AS shingle
+                 FROM pposn),
+          mh AS (SELECT doc_id, $lanes FROM sh GROUP BY doc_id),
+          bands AS (
+            $layoutArms),
+          capped AS (SELECT doc_id, layout, band, bh FROM (
+                       SELECT b.*, count(*) OVER (PARTITION BY layout, band, bh) AS n
+                       FROM bands b) WHERE n <= $DefaultMaxBucket),
+          pairs AS (SELECT DISTINCT a.layout, a.doc_id AS id1, b.doc_id AS id2
+                    FROM capped a JOIN capped b
+                      ON a.layout = b.layout AND a.band = b.band
+                     AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          ncand AS (SELECT layout, count(*) AS n_cand FROM pairs GROUP BY layout),
+          truth AS (
+            SELECT doc_id AS id1, doc_id + 7100000 AS id2, 'drop_1' AS family FROM seed
+            UNION ALL SELECT doc_id, doc_id + 7200000, 'drop_8th' FROM seed
+            UNION ALL SELECT doc_id, doc_id + 7300000, 'drop_3rd' FROM seed),
+          np AS (SELECT family, count(*) AS n_planted FROM truth GROUP BY family),
+          hits AS (SELECT layout, family, count(*) AS n_hit
+                   FROM pairs JOIN truth
+                     ON pairs.id1 = truth.id1 AND pairs.id2 = truth.id2
+                   GROUP BY 1, 2),
+          dom AS (SELECT l.layout, l.n_bands, l.rows_per_band, f.family
+                  FROM (VALUES ('2x4', 2, 4), ('4x2', 4, 2), ('8x1', 8, 1))
+                         l(layout, n_bands, rows_per_band),
+                       (VALUES ('drop_1'), ('drop_8th'), ('drop_3rd')) f(family))
+          SELECT dom.layout, dom.n_bands, dom.rows_per_band, dom.family,
+                 np.n_planted,
+                 CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+                 CAST(coalesce(hits.n_hit, 0) * 10000 // np.n_planted AS BIGINT)
+                   AS recall_bp,
+                 CAST(coalesce(ncand.n_cand, 0) AS BIGINT) AS n_cand
+          FROM dom JOIN np USING (family)
+          LEFT JOIN hits ON hits.layout = dom.layout AND hits.family = dom.family
+          LEFT JOIN ncand ON ncand.layout = dom.layout
+          ORDER BY dom.layout, dom.family""" },
 
     "q210_lsh_eval" ->
       s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql,

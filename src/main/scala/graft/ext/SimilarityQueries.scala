@@ -638,6 +638,50 @@ object SimilarityQueries {
         .orderBy("cell")
     }),
 
+    // INDEX REBALANCE PLAN — the maintenance-action list an IVF operator
+    // derives from q209's census: a cell holding over 1.5× its fair
+    // share is SPLIT (hot cells dominate probe latency — splitting puts
+    // a centroid where the data is), a cell under half its share is
+    // MERGED away (probes that read it waste a seek per query), the
+    // rest KEEP. cells_after (split→2, merge→0, keep→1) sums to the
+    // capacity the next q88 re-training round is sized for. Thresholds
+    // are integer bp on the SAME balance_bp q209 publishes, so the plan
+    // can never disagree with the census it claims to act on.
+    // The organic index is too healthy to exercise the plan (measured
+    // balance 6400-13440 bp at sf0.01 — all keep), so the fixture
+    // PLANTS the production failure mode: a duplicate cohort one corpus
+    // in size, all landing in vector 0's cell (a crawler re-ingesting a
+    // mirrored site). The hot cell must come out split, the halved
+    // organic shares push the thin cells under the merge line, and the
+    // mid cells keep — all three actions exercised at every scale.
+    // Scale: identical cost shape to q209 — one map-only assignment
+    // pass, one K-group aggregate, a one-row broadcast total; the plan
+    // itself is control-plane-sized (K rows).
+    "q237_ivf_rebalance_plan" -> ((s, d) => {
+      val n = normed(s, d)
+      val v0 = n.filter(col("vec_id") === 0)
+        .select(col("embedding").as("e0"), col("nrm").as("n0"))
+      val hot = n.crossJoin(broadcast(v0))
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("e0").as("embedding"), col("n0").as("nrm"))
+      val corpus = n.unionByName(hot)
+      val cent = seedCentroids(n) // centroids stay the ORGANIC seeds
+      val cells = cellAssign(corpus, cent)
+        .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      val tot = cells.agg(sum(col("n_vecs")).as("n_total"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("balance_bp", expr("(n_vecs * 16 * 10000) DIV n_total"))
+        .withColumn("action",
+          when(col("balance_bp") > 15000, "split")
+            .when(col("balance_bp") < 5000, "merge")
+            .otherwise("keep"))
+        .withColumn("cells_after",
+          when(col("action") === "split", 2L)
+            .when(col("action") === "merge", 0L).otherwise(1L))
+        .select("cell", "n_vecs", "balance_bp", "action", "cells_after")
+        .orderBy("cell")
+    }),
+
     "q88_kmeans_refine" -> ((s, d) => {
       val n = normed(s, d)
       def assign(cent: DataFrame): DataFrame = {
@@ -1135,6 +1179,36 @@ object SimilarityQueries {
                  CAST(n_vecs * 10000 // n_total AS BIGINT) AS share_bp,
                  CAST(n_vecs * 16 * 10000 // n_total AS BIGINT) AS balance_bp
           FROM cells CROSS JOIN tot ORDER BY cell""",
+
+    "q237_ivf_rebalance_plan" ->
+      s"""WITH $normedSql,
+          hot AS (SELECT n.vec_id + 1000000 AS vec_id, v0.e0 AS embedding,
+                         v0.n0 AS nrm
+                  FROM n CROSS JOIN (SELECT embedding AS e0, nrm AS n0
+                                     FROM n WHERE vec_id = 0) v0),
+          pc AS (SELECT vec_id, embedding, nrm FROM n
+                 UNION ALL SELECT vec_id, embedding, nrm FROM hot),
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+          ac AS (SELECT pc.vec_id, cent.cent_id,
+                        ${VectorOps.oDot("pc.embedding", "cent.ce")} / (pc.nrm * cent.cn) AS ccos
+                 FROM pc CROSS JOIN cent),
+          assign AS (SELECT vec_id, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1),
+          cells AS (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY cell),
+          tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM cells),
+          plan AS (SELECT cell, n_vecs,
+                          CAST(n_vecs * 16 * 10000 // n_total AS BIGINT) AS balance_bp
+                   FROM cells CROSS JOIN tot)
+          SELECT cell, n_vecs, balance_bp,
+                 CASE WHEN balance_bp > 15000 THEN 'split'
+                      WHEN balance_bp < 5000 THEN 'merge'
+                      ELSE 'keep' END AS action,
+                 CAST(CASE WHEN balance_bp > 15000 THEN 2
+                           WHEN balance_bp < 5000 THEN 0
+                           ELSE 1 END AS BIGINT) AS cells_after
+          FROM plan ORDER BY cell""",
 
     "q204_ann_ndcg" ->
       s"""WITH $normedSql,

@@ -232,25 +232,32 @@ object EventQueries {
     // metric), so the cumulative window runs over |domain| rows per
     // group, never |events|; the raw stream is touched once, map-side
     // partial counts.
-    "q228_latency_quantiles" -> ((s, d) => {
-      val h = Tables.events(s, d)
+    "q228_latency_quantiles" -> ((s, d) =>
+      latencyQuantilesOf(Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("c")))),
+
+    // STREAMING twin of q228 — the p50/p90/p99 latency monitor fed by
+    // the real engine: the bounded cent histogram is the streaming
+    // STATE (state size = types × distinct cents, never event count —
+    // exactly why the histogram formulation was chosen for the batch
+    // query), run to completion in Complete mode, then the SAME
+    // ceil-rank machinery reads the final census. Graded against q228's
+    // oracle verbatim (the q215/q220 discipline: streamed rollup ==
+    // batch answer proves the ingest lost nothing). localCheckpoint
+    // breaks the memory-sink lineage before the machinery's self-join
+    // (census feeds both the per-type total and the cumulative window —
+    // the q208 conflicting-refs landmine); the pinned copy is
+    // control-plane-sized.
+    "q239_stream_latency_quantiles" -> ((s, d) => {
+      val agg = graft.streaming.StreamingPipelines.eventsStream(s, d)
         .select(col("event_type"),
           expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
         .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
-      val n = h.groupBy("event_type").agg(sum(col("c")).as("n"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("cents")
-      val cum = h.withColumn("cum", sum(col("c")).over(w))
-        .join(broadcast(n), "event_type")
-      // [[graft.Mutations]]: the off-by-one variant admits the PREVIOUS
-      // distinct cents row into each quantile's candidate set
-      val cumLhs = if (graft.Mutations.on("q228_rank_off_by_one"))
-        col("cum") * 100 + 100 else col("cum") * 100
-      def q(k: Int) =
-        min(when(cumLhs >= col("n") * k, col("cents"))).as(s"p$k")
-      cum.groupBy("event_type")
-        .agg(q(50), q(90), q(99), max(col("n")).as("n_events"))
-        .orderBy("event_type")
+      latencyQuantilesOf(
+        graft.streaming.StreamingPipelines.runToCompletion(s, agg)
+          .localCheckpoint())
     }),
 
     // NEAREST-tolerance join — the merge_asof(direction='nearest')
@@ -890,6 +897,50 @@ object EventQueries {
     * ordered-array fold with a struct accumulator, flagging days whose
     * count exceeds 2× the PRE-update average. Bit-exact cross-engine:
     * the struct sort key is the distinct day, every step is integer. */
+  /** q228/q239 shared oracle (identical semantics: the streamed census
+    * must equal the batch one). */
+  private val latencyQuantilesOracleSql: String =
+    """WITH h AS (SELECT event_type,
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                         count(*) AS c
+                  FROM events GROUP BY 1, 2),
+        n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+              FROM h GROUP BY 1),
+        cum AS (SELECT h.event_type, cents,
+                       CAST(sum(c) OVER (PARTITION BY h.event_type
+                                         ORDER BY cents) AS BIGINT) AS cum,
+                       n
+                FROM h JOIN n USING (event_type))
+        SELECT event_type,
+               min(CASE WHEN cum * 100 >= n * 50 THEN cents END) AS p50,
+               min(CASE WHEN cum * 100 >= n * 90 THEN cents END) AS p90,
+               min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS p99,
+               max(n) AS n_events
+        FROM cum GROUP BY event_type ORDER BY event_type"""
+
+  /** q228/q239 shared: (event_type, cents, c) histogram → exact
+    * per-type p50/p90/p99 by ceil-rank over the cumulative census (ONE
+    * definition so the batch query and its streaming twin can never
+    * diverge — the ewmaAnomalies discipline). The histogram domain is
+    * bounded (distinct cent values), so no stream sort exists anywhere:
+    * quantiles read a window over the control-plane-sized census. */
+  private def latencyQuantilesOf(h: DataFrame): DataFrame = {
+    val n = h.groupBy("event_type").agg(sum(col("c")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("cents")
+    val cum = h.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(n), "event_type")
+    // [[graft.Mutations]]: the off-by-one variant admits the PREVIOUS
+    // distinct cents row into each quantile's candidate set
+    val cumLhs = if (graft.Mutations.on("q228_rank_off_by_one"))
+      col("cum") * 100 + 100 else col("cum") * 100
+    def q(k: Int) =
+      min(when(cumLhs >= col("n") * k, col("cents"))).as(s"p$k")
+    cum.groupBy("event_type")
+      .agg(q(50), q(90), q(99), max(col("n")).as("n_events"))
+      .orderBy("event_type")
+  }
+
   private def ewmaAnomalies(rolled: DataFrame): DataFrame = {
     val d0 = rolled.agg(min(col("day")).as("d0"))
     val daily = rolled.crossJoin(broadcast(d0))
@@ -1092,24 +1143,11 @@ object EventQueries {
           WHERE n - i + 1 <= 3
           ORDER BY rank""",
 
-    "q228_latency_quantiles" ->
-      """WITH h AS (SELECT event_type,
-                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-                           count(*) AS c
-                    FROM events GROUP BY 1, 2),
-          n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
-                FROM h GROUP BY 1),
-          cum AS (SELECT h.event_type, cents,
-                         CAST(sum(c) OVER (PARTITION BY h.event_type
-                                           ORDER BY cents) AS BIGINT) AS cum,
-                         n
-                  FROM h JOIN n USING (event_type))
-          SELECT event_type,
-                 min(CASE WHEN cum * 100 >= n * 50 THEN cents END) AS p50,
-                 min(CASE WHEN cum * 100 >= n * 90 THEN cents END) AS p90,
-                 min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS p99,
-                 max(n) AS n_events
-          FROM cum GROUP BY event_type ORDER BY event_type""",
+    "q228_latency_quantiles" -> latencyQuantilesOracleSql,
+
+    // the streamed census must equal the batch one — same oracle,
+    // verbatim (the q215/q220 discipline)
+    "q239_stream_latency_quantiles" -> latencyQuantilesOracleSql,
 
     "q224_nearest_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,

@@ -2558,6 +2558,82 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.map(_._2).sum == nNodes, "distance census must partition V")
   }
 
+  test("band layout sweep: recall climbs as bands narrow; candidates price it") {
+    val rows = ext.DedupQueries.queries("q236_band_layout_sweep")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.length == 9, "3 layouts x 3 families, zero-hit cells included")
+    val byLayout = rows.groupBy(_._1)
+    // the strongest family (drop 1 word, J ~ .97) must be fully recalled
+    // under every layout — its band-collision probability is ~1
+    rows.filter(_._4 == "drop_1").foreach { r =>
+      assert(r._7 == 10000L, s"drop_1 recall under ${r._1}: ${r._7}")
+    }
+    // per family, recall is monotone non-decreasing as rows-per-band
+    // shrinks (theory: 1-(1-J^r)^b) — and the weak family must actually
+    // SPREAD across layouts, or the sweep prices nothing
+    Seq("drop_1", "drop_8th", "drop_3rd").foreach { fam =>
+      val curve = Seq("2x4", "4x2", "8x1")
+        .map(l => rows.find(r => r._1 == l && r._4 == fam).get._7)
+      assert(curve == curve.sorted, s"$fam recall not monotone: $curve")
+    }
+    val weak = Seq("2x4", "4x2", "8x1")
+      .map(l => rows.find(r => r._1 == l && r._4 == "drop_3rd").get._7)
+    assert(weak.head < weak.last, s"weak family flat across layouts: $weak")
+    // candidate volume is the price: monotone in band narrowness too
+    val cands = Seq("2x4", "4x2", "8x1").map(l => byLayout(l).head._8)
+    assert(cands == cands.sorted && cands.head < cands.last,
+      s"candidate price not monotone: $cands")
+  }
+
+  test("ivf rebalance plan: planted hot cell splits, plan is threshold-consistent") {
+    val rows = ext.SimilarityQueries.queries("q237_ivf_rebalance_plan")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(rows.length == 16)
+    // census completeness: organic + planted cohort = 2x the corpus
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum == 2 * nVecs)
+    // every action agrees with the thresholds it claims to act on
+    rows.foreach { case (cell, _, bp, action, after) =>
+      val want = if (bp > 15000) "split" else if (bp < 5000) "merge" else "keep"
+      assert(action == want, s"cell $cell: $action at $bp bp")
+      val wantAfter = action match {
+        case "split" => 2L; case "merge" => 0L; case _ => 1L }
+      assert(after == wantAfter)
+    }
+    // the planted mirror cohort makes exactly one hot cell — it splits
+    assert(rows.count(_._4 == "split") == 1, "planted hot cell must split")
+    assert(rows.exists(_._4 == "merge"),
+      "halved organic shares must push thin cells under the merge line")
+  }
+
+  test("corpus snapshot diff classes partition the id union; deltas replay") {
+    val rows = ext.CurationQueries.queries("q238_corpus_snapshot_diff")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val added = docs.filter { case (id, _) => id % 10 == 7 && id % 17 != 5 }
+    val removed = docs.filter { case (id, _) => id % 17 == 5 && id % 10 != 7 }
+    val changed = docs.filter { case (id, _) =>
+      id % 13 == 3 && id % 10 != 7 && id % 17 != 5 }
+    val union = docs.count { case (id, _) => id % 10 != 7 || id % 17 != 5 }
+    assert(rows.values.map(_._2).sum == union, "classes must partition A ∪ B ids")
+    // an added doc that is ALSO ≡3 (mod 13) carries B's revision marker,
+    // so its B-side token count is one higher than the fixture text's
+    assert(rows("added")._2 == added.length && rows("added")._3 == 0L &&
+      rows("added")._5 == added.map { case (id, t) =>
+        if (id % 13 == 3) t + 1 else t }.sum)
+    assert(rows("removed")._2 == removed.length && rows("removed")._4 == 0L &&
+      rows("removed")._5 == -removed.map(_._2).sum)
+    // the revision marker appends exactly one token per changed doc
+    assert(rows("changed")._2 == changed.length &&
+      rows("changed")._5 == changed.length.toLong)
+    assert(rows("unchanged")._5 == 0L)
+  }
+
   test("bitmap agg: a typed NULL nBits literal fails cleanly at analysis") {
     // CAST(NULL AS INT) is foldable IntegerType but evals to null — it
     // must hit the dedicated TypeCheckFailure, not a MatchError deep in

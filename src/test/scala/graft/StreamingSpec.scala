@@ -515,6 +515,17 @@ class StreamingSpec extends SparkSpec {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("streamed latency quantiles equal the batch census exactly") {
+    // the q239 contract: the cent histogram is the streaming state, so
+    // the final Complete-mode census must reproduce q228's batch
+    // quantiles bit-for-bit — resumable ingest loses nothing
+    val streamed = EventQueries.queries("q239_stream_latency_quantiles")(spark, sf)
+      .collect()
+    val batch = EventQueries.queries("q228_latency_quantiles")(spark, sf)
+      .collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("events contract: a unit-mangled fixture fails loudly, not silently") {
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     val dir = java.nio.file.Files.createTempDirectory("ev-mangled").toString
