@@ -379,6 +379,138 @@ object EventQueries {
         .orderBy("risk_band")
     }),
 
+    // L-DIVERSITY census — the attack k-anonymity misses: a combo can
+    // hold 50 users and still leak if they all share ONE sensitive
+    // value (homogeneity attack — the adversary learns the value
+    // without re-identifying anyone). Quasi-identifier = (event_type,
+    // weekday), deliberately coarser than q219's so combos are crowds;
+    // sensitive attribute = the $50 value bucket. Per combo: l =
+    // distinct sensitive values, dominant_bp = the largest bucket's
+    // share of the combo's rows. Banded rollup (l=1 homogeneous /
+    // 2-4 low / ≥5 diverse) + each band's worst dominant share — the
+    // release decision reads max_dominant_bp, not just l.
+    // The organic feed is uniformly diverse (every combo l ≥ 5 at every
+    // scale — the census would be one dead row), so the fixture PLANTS
+    // the two production failure modes the audit exists to catch, both
+    // in-query on both engine sides (the q215/q242 discipline): a STUCK
+    // field (signup × weekday 0 logs a constant — l = 1, the
+    // homogeneity leak) and a coarsely QUANTIZED feed (signup ×
+    // weekday 1 collapses to 3 buckets — l ∈ 2..4).
+    // Scale: one shuffle keyed on (type, weekday, bucket) — counts
+    // combine map-side — then two control-plane-sized rollups. Integer.
+    "q240_l_diversity" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) DIV 86400000000) % 7").as("weekday"),
+          expr("CAST(floor(value / 50) AS BIGINT)").as("sens0"))
+        .withColumn("sens", expr(
+          """CASE WHEN event_type = 'signup' AND weekday = 0 THEN CAST(0 AS BIGINT)
+                  WHEN event_type = 'signup' AND weekday = 1 THEN sens0 % 3
+                  ELSE sens0 END"""))
+        .groupBy("event_type", "weekday", "sens")
+        .agg(count(lit(1)).as("c"))
+      val combos = cells.groupBy("event_type", "weekday")
+        .agg(count(lit(1)).as("l"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("dom"))
+        .withColumn("dominant_bp", expr("(dom * 10000) DIV n_rows"))
+      combos.withColumn("band",
+          when(col("l") === 1, "l1_homogeneous")
+            .when(col("l") <= 4, "l2_4_low")
+            .otherwise("l5plus_diverse"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_combos"), min(col("l")).as("min_l"),
+          max(col("dominant_bp")).as("max_dominant_bp"))
+        .orderBy("band")
+    }),
+
+    // TOUCH ATTRIBUTION — the conversion-credit assignment every
+    // marketing/event pipeline runs: attribute each purchase to the
+    // same user's first AND last touch (click or view) in the strictly
+    // preceding 7 days; purchases with no touch in the window report
+    // channel 'none'. Ties resolve totally: first = earliest ts then
+    // smallest event_id, last = latest ts then largest event_id.
+    // Scale: the q224 discipline — candidates come from a (user,
+    // 7-day-bucket) equi-join with touches exploded into 2 adjacent
+    // buckets (any touch within the backward window is provably in
+    // them), so fan-out is per-user density in 14 days, never history
+    // length; the best-candidate picks are bounded per-purchase
+    // windows, and the report is a 2×channels rollup.
+    "q241_touch_attribution" -> ((s, d) => {
+      val winUs = 7L * 86400L * 1000000L
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("us").as("pus"), expr(s"us DIV ${winUs}L").as("b"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("tid"), col("user_id"),
+          col("event_type").as("channel"), col("us").as("tus"))
+        .withColumn("b", explode(array(expr(s"tus DIV ${winUs}L"),
+          expr(s"tus DIV ${winUs}L + 1"))))
+      val cand = pur.join(touch, Seq("user_id", "b"))
+        .filter(col("tus") < col("pus") && col("pus") - col("tus") <= winUs)
+        .select("pid", "tid", "channel", "tus")
+        // a touch whose two buckets BOTH meet the same purchase (b and
+        // b+1 collide when the purchase sits in the touch's own bucket)
+        // must count once
+        .distinct()
+      def pick(model: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+        cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("pid"), lit(model).as("model"), col("channel"))
+      val first = pick("first_touch",
+        org.apache.spark.sql.expressions.Window.partitionBy("pid")
+          .orderBy(col("tus"), col("tid")))
+      val last = pick("last_touch",
+        org.apache.spark.sql.expressions.Window.partitionBy("pid")
+          .orderBy(col("tus").desc, col("tid").desc))
+      val models = pur.select("pid")
+        .crossJoin(pur.sparkSession.range(1).select(explode(
+          array(lit("first_touch"), lit("last_touch"))).as("model")))
+      models.join(first.unionByName(last), Seq("pid", "model"), "left")
+        .groupBy(col("model"), coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("model", "channel")
+    }),
+
+    // SEASONAL-RESIDUAL anomalies — the spike q215's EWMA can't see:
+    // a count that is normal for a Monday is anomalous for a Sunday.
+    // Per type, the day-of-week baseline is the truncating-integer mean
+    // of that weekday's daily counts; a day is flagged when its count
+    // exceeds 1.5× its weekday baseline (integer cross-multiply — no
+    // floats). A ×3+50 burst is planted on day d0+10 inside the query
+    // (the q215 discipline) — the additive term keeps the plant above
+    // its own baseline drag even at the smallest fixture, where a
+    // low-count day tripled can still sit under 1.5× a baseline set by
+    // larger weekday siblings (the first spec run caught exactly that).
+    // Baselines include the planted day; both engines agree because the
+    // oracle replays the identical transformation.
+    // Scale: the daily rollup is the only corpus-sized aggregate
+    // (map-side partials); baselines and flags live on the types×days
+    // control plane.
+    "q242_seasonal_residual" -> ((s, d) => {
+      val rolled = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val d0 = rolled.agg(min(col("day")).as("d0"))
+      val daily = rolled.crossJoin(broadcast(d0))
+        .select(col("event_type"), col("day"),
+          when(col("day") === col("d0") + 10, col("cnt") * 3 + 50)
+            .otherwise(col("cnt")).as("cnt"))
+        .withColumn("dow", expr("day % 7"))
+      val base = daily.groupBy("event_type", "dow")
+        .agg(expr("sum(cnt) DIV count(*)").as("baseline"))
+      daily.join(base, Seq("event_type", "dow"))
+        .withColumn("flagged", col("cnt") * 2 > col("baseline") * 3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          min(when(col("flagged"), col("day"))).as("first_flagged_day"),
+          max(col("cnt") - col("baseline")).as("max_residual"))
+        .orderBy("event_type")
+    }),
+
     // DISTRIBUTION DRIFT between two snapshots — the monitoring op every
     // production pipeline runs before promoting a new data drop: split
     // events into two cohorts (even/odd epoch-day — balanced and
@@ -1217,6 +1349,83 @@ object EventQueries {
           SELECT risk_band, count(*) AS n_combos,
                  CAST(sum(k) AS BIGINT) AS n_user_slots
           FROM banded GROUP BY risk_band ORDER BY risk_band""",
+
+    "q240_l_diversity" ->
+      """WITH raw AS (SELECT event_type,
+                             (epoch_us(ts) // 86400000000) % 7 AS weekday,
+                             CAST(floor(value / 50) AS BIGINT) AS sens0
+                      FROM events),
+          cells AS (SELECT event_type, weekday,
+                           CASE WHEN event_type = 'signup' AND weekday = 0
+                                  THEN CAST(0 AS BIGINT)
+                                WHEN event_type = 'signup' AND weekday = 1
+                                  THEN sens0 % 3
+                                ELSE sens0 END AS sens,
+                           count(*) AS c
+                    FROM raw GROUP BY 1, 2, 3),
+          combos AS (SELECT event_type, weekday,
+                            CAST(count(*) AS BIGINT) AS l,
+                            CAST(sum(c) AS BIGINT) AS n_rows,
+                            CAST(max(c) AS BIGINT) AS dom
+                     FROM cells GROUP BY 1, 2),
+          banded AS (SELECT CASE WHEN l = 1 THEN 'l1_homogeneous'
+                                 WHEN l <= 4 THEN 'l2_4_low'
+                                 ELSE 'l5plus_diverse' END AS band,
+                            l, (dom * 10000) // n_rows AS dominant_bp
+                     FROM combos)
+          SELECT band, count(*) AS n_combos, min(l) AS min_l,
+                 CAST(max(dominant_bp) AS BIGINT) AS max_dominant_bp
+          FROM banded GROUP BY band ORDER BY band""",
+
+    "q241_touch_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                            epoch_us(ts) AS us FROM events),
+          pur AS (SELECT event_id AS pid, user_id, us AS pus FROM ev
+                  WHERE event_type = 'purchase'),
+          touch AS (SELECT event_id AS tid, user_id,
+                           event_type AS channel, us AS tus FROM ev
+                    WHERE event_type IN ('click', 'view')),
+          cand AS (SELECT pid, tid, channel, tus
+                   FROM pur JOIN touch USING (user_id)
+                   WHERE tus < pus AND pus - tus <= 604800000000),
+          fst AS (SELECT pid, 'first_touch' AS model, channel FROM (
+                    SELECT *, row_number() OVER (PARTITION BY pid
+                                                 ORDER BY tus, tid) AS rn
+                    FROM cand) WHERE rn = 1),
+          lst AS (SELECT pid, 'last_touch' AS model, channel FROM (
+                    SELECT *, row_number() OVER (PARTITION BY pid
+                                                 ORDER BY tus DESC, tid DESC) AS rn
+                    FROM cand) WHERE rn = 1),
+          att AS (SELECT * FROM fst UNION ALL SELECT * FROM lst),
+          dom AS (SELECT pid, model FROM pur,
+                       (VALUES ('first_touch'), ('last_touch')) m(model))
+          SELECT dom.model, coalesce(att.channel, 'none') AS channel,
+                 count(*) AS n_purchases
+          FROM dom LEFT JOIN att ON att.pid = dom.pid AND att.model = dom.model
+          GROUP BY 1, 2 ORDER BY dom.model, channel""",
+
+    "q242_seasonal_residual" ->
+      """WITH rolled AS (SELECT event_type,
+                                epoch_us(ts) // 86400000000 AS day,
+                                count(*) AS cnt
+                         FROM events GROUP BY 1, 2),
+          d0 AS (SELECT min(day) AS d0 FROM rolled),
+          daily AS (SELECT event_type, day,
+                           CAST(CASE WHEN day = d0 + 10 THEN cnt * 3 + 50
+                                     ELSE cnt END AS BIGINT) AS cnt,
+                           day % 7 AS dow
+                    FROM rolled CROSS JOIN d0),
+          base AS (SELECT event_type, dow,
+                          CAST(sum(cnt) // count(*) AS BIGINT) AS baseline
+                   FROM daily GROUP BY 1, 2)
+          SELECT event_type, count(*) AS n_days,
+                 CAST(sum(CASE WHEN cnt * 2 > baseline * 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_flagged,
+                 min(CASE WHEN cnt * 2 > baseline * 3 THEN day END)
+                   AS first_flagged_day,
+                 CAST(max(cnt - baseline) AS BIGINT) AS max_residual
+          FROM daily JOIN base USING (event_type, dow)
+          GROUP BY event_type ORDER BY event_type""",
 
     // q215 oracle: the SAME integer recursion as the Spark array fold,
     // unrolled as a recursive CTE over the per-type day index (the

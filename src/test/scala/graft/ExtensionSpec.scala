@@ -2634,6 +2634,83 @@ class ExtensionSpec extends SparkSpec {
     assert(rows("unchanged")._5 == 0L)
   }
 
+  test("l-diversity census: planted stuck/quantized feeds land in their bands") {
+    val rows = ops.EventQueries.queries("q240_l_diversity")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("l1_homogeneous", "l2_4_low", "l5plus_diverse"),
+      s"all three bands must be exercised, got ${rows.keySet}")
+    // the stuck field is TOTALLY homogeneous: l = 1 and one value owns
+    // 100% of the combo's rows
+    assert(rows("l1_homogeneous")._3 == 1L &&
+      rows("l1_homogeneous")._4 == 10000L)
+    assert(rows("l2_4_low")._3 >= 2L && rows("l2_4_low")._3 <= 4L)
+    assert(rows("l5plus_diverse")._3 >= 5L)
+    // bands partition the combo census: types x weekdays present in data
+    val nCombos = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) DIV 86400000000) % 7").as("wd"))
+      .distinct().count()
+    assert(rows.values.map(_._2).sum == nCombos)
+  }
+
+  test("touch attribution equals a brute-force per-purchase replay") {
+    val rows = ops.EventQueries.queries("q241_touch_attribution")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val winUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val touchByUser = ev.filter(e => e._3 == "click" || e._3 == "view").groupBy(_._2)
+    val want = collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    ev.filter(_._3 == "purchase").foreach { case (_, user, _, pus) =>
+      val cands = touchByUser.getOrElse(user, Array.empty)
+        .filter { case (_, _, _, tus) => tus < pus && pus - tus <= winUs }
+      if (cands.isEmpty) {
+        want(("first_touch", "none")) += 1; want(("last_touch", "none")) += 1
+      } else {
+        val first = cands.minBy { case (tid, _, _, tus) => (tus, tid) }
+        val last = cands.maxBy { case (tid, _, _, tus) => (tus, tid) }
+        want(("first_touch", first._3)) += 1
+        want(("last_touch", last._3)) += 1
+      }
+    }
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == want.toMap)
+    // both models attribute every purchase exactly once
+    val nPur = ev.count(_._3 == "purchase").toLong
+    Seq("first_touch", "last_touch").foreach { m =>
+      assert(rows.filter(_._1 == m).map(_._3).sum == nPur)
+    }
+  }
+
+  test("seasonal residual flags the planted burst against its weekday baseline") {
+    val rows = ops.EventQueries.queries("q242_seasonal_residual")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val d0 = daily.map(_._2).min
+    rows.foreach { case (t, nDays, nFlagged, firstDay, maxRes) =>
+      val counts = daily.filter(_._1 == t).groupBy(_._2)
+        .map { case (day, xs) =>
+          (day, if (day == d0 + 10) xs.length.toLong * 3 + 50 else xs.length.toLong) }
+        .toSeq.sortBy(_._1)
+      assert(nDays == counts.length.toLong)
+      val base = counts.groupBy(_._1 % 7)
+        .map { case (dow, xs) => dow -> xs.map(_._2).sum / xs.length }
+      val flagged = counts.filter { case (day, c) => c * 2 > base(day % 7) * 3 }
+      assert(nFlagged == flagged.length.toLong, s"$t: $nFlagged vs $flagged")
+      // the planted x3+50 burst must be among the flags (the additive
+      // term dominates small-fixture baselines, the factor large ones)
+      assert(flagged.exists(_._1 == d0 + 10), s"$t: planted burst not flagged")
+      assert(firstDay == flagged.map(_._1).min)
+      assert(maxRes == counts.map { case (day, c) => c - base(day % 7) }.max)
+    }
+  }
+
   test("bitmap agg: a typed NULL nBits literal fails cleanly at analysis") {
     // CAST(NULL AS INT) is foldable IntegerType but evals to null — it
     // must hit the dedicated TypeCheckFailure, not a MatchError deep in
