@@ -78,6 +78,57 @@ object GraphQueries {
         .orderBy(col("pr").desc, col("node")).limit(20)
     }),
 
+    // PERSONALIZED PageRank — influence FROM a trusted seed set rather
+    // than global importance: teleport mass lands only on the seeds
+    // (q235's cohort — suppliers with s_nationkey % 5 = 3), so a node
+    // ranks by how reachable it is from trust, the primitive behind
+    // seed-based quality propagation in corpus curation (trust flows
+    // from vetted domains; harmonic/PPR variants rank the crawl).
+    // Same fixed-point integer discipline as q120: init 10⁹ on each
+    // seed and 0 elsewhere, round r' = seed·150000000 + (85·Σ r/outdeg)
+    // DIV 100 — every round bit-exact cross-engine, and non-seed nodes
+    // unreachable from the seeds stay EXACTLY 0 (a float formulation
+    // would leak epsilon mass everywhere). Top-20 by rank with a seed
+    // flag; unlike q120's global ranks, customers trading with trusted
+    // suppliers outrank globally-popular but untrusted ones.
+    // Scale: identical shape to q120 — per-round edge-keyed
+    // contribution shuffle + node-sized rank table; AQE stage reuse
+    // dedups the repeated edge derivation (the q120 measurement).
+    "q243_personalized_pagerank" -> ((s, d) => {
+      val ebase = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cust"),
+          (col("l_suppkey") * 2 + 1).as("supp"))
+        .distinct()
+      val e = ebase.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(ebase.select(col("supp").as("src"), col("cust").as("dst")))
+      val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val ew = e.join(od, "src")
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") % 5 === 3)
+        .select((col("s_suppkey") * 2 + 1).as("node"), lit(1).as("is_seed"))
+      val nodes = od.select(col("src").as("node"))
+        .join(seeds, Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      var ranks = nodes.withColumn("r",
+        expr("CAST(is_seed AS BIGINT) * 1000000000"))
+      for (_ <- 1 to PageRankRounds) {
+        val contrib = ew.join(ranks, col("src") === col("node"))
+          .groupBy("dst").agg(sum(expr("r DIV outdeg")).as("cs"))
+        ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), col("is_seed"),
+            expr("CAST(is_seed AS BIGINT) * 150000000 + (85 * coalesce(cs, 0)) DIV 100")
+              .as("r"))
+      }
+      ranks.select(
+          concat(when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+            expr("node DIV 2").cast("string")).as("node"),
+          col("is_seed"),
+          (col("r").cast("double") / lit(1e9)).as("ppr"))
+        .orderBy(col("ppr").desc, col("node")).limit(20)
+    }),
+
     // Triangle counting over the supplier co-occurrence graph (edge =
     // two suppliers served the same order), the classic O(m^{3/2})
     // degree-ordered formulation: orient every edge from the π-smaller
@@ -597,6 +648,41 @@ object GraphQueries {
                  CAST(r AS DOUBLE) / 1e9 AS pr
           FROM r$PageRankRounds
           ORDER BY pr DESC, node LIMIT 20"""
+    },
+
+    "q243_personalized_pagerank" -> {
+      def round(k: Int, prev: String): String =
+        s"""c$k AS (SELECT dst, sum(r // outdeg) AS cs
+                    FROM ew JOIN $prev ON ew.src = $prev.node GROUP BY dst),
+            r$k AS (SELECT node, is_seed,
+                           CAST(is_seed AS BIGINT) * 150000000
+                             + (85 * coalesce(cs, 0)) // 100 AS r
+                    FROM nodes LEFT JOIN c$k ON c$k.dst = nodes.node)"""
+      val rounds = (1 to PageRankRounds)
+        .map(k => round(k, if (k == 1) "r0" else s"r${k - 1}"))
+        .mkString(",\n")
+      s"""WITH ebase AS (SELECT DISTINCT o_custkey * 2 AS cust,
+                                l_suppkey * 2 + 1 AS supp
+                         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          e AS (SELECT cust AS src, supp AS dst FROM ebase
+                UNION ALL
+                SELECT supp AS src, cust AS dst FROM ebase),
+          od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+          ew AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+          sd AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node, 1 AS is_seed
+                 FROM supplier WHERE s_nationkey % 5 = 3),
+          nodes AS MATERIALIZED (
+            SELECT od.src AS node, CAST(coalesce(sd.is_seed, 0) AS INTEGER) AS is_seed
+            FROM od LEFT JOIN sd ON sd.node = od.src),
+          r0 AS (SELECT node, is_seed,
+                        CAST(is_seed AS BIGINT) * 1000000000 AS r FROM nodes),
+          $rounds
+          SELECT (CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END)
+                   || CAST(node // 2 AS VARCHAR) AS node,
+                 is_seed,
+                 CAST(r AS DOUBLE) / 1e9 AS ppr
+          FROM r$PageRankRounds
+          ORDER BY ppr DESC, node LIMIT 20"""
     },
 
     "q202_hits" -> {

@@ -144,6 +144,35 @@ object TextQueries {
     // word table fans against. The fixture's doc_ids are dense so the
     // cutoff is (n_docs·pct) DIV 100 directly; production ids would
     // take the cutoff from an id quantile instead — same plan.
+    // VOCABULARY HEALTH report card — the one-row corpus diagnostic a
+    // tokenizer team reads before training: type and token volume,
+    // type-token ratio, hapax/dis-legomena shares (the long-tail mass
+    // that blows up vocab size without earning merges), and how much of
+    // the token stream the top-10 types absorb (the stop-word ceiling
+    // on compression). All integer basis points — no Zipf log-log fit,
+    // so the card is bit-exact cross-engine.
+    // Scale: ONE word-keyed count aggregate over the corpus (map-side
+    // combine), then type-level rollups; the top-10 mass is
+    // TakeOrderedAndProject over the type table, never a token sort.
+    "q244_vocab_health" -> ((s, d) => {
+      val freq = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = freq.agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      val top10 = freq.orderBy(col("c").desc, col("w")).limit(10)
+        .agg(sum(col("c")).as("top10_tokens"))
+      tot.crossJoin(top10)
+        .select(col("n_types"), col("n_tokens"),
+          expr("(n_types * 10000) DIV n_tokens").as("type_token_bp"),
+          col("n_hapax"),
+          expr("(n_hapax * 10000) DIV n_types").as("hapax_share_bp"),
+          col("n_dis"),
+          expr("(top10_tokens * 10000) DIV n_tokens").as("top10_mass_bp"))
+    }),
+
     "q218_vocab_growth" -> ((s, d) => {
       val pcts = Seq(10, 25, 50, 100)
       val docs = Tables.documents(s, d)
@@ -663,6 +692,27 @@ object TextQueries {
                  (CAST(sum(is_boiler) AS BIGINT) * 10000) // count(*)
                    AS boiler_bp
           FROM j GROUP BY source ORDER BY source""",
+
+    "q244_vocab_health" ->
+      """WITH freq AS (SELECT w, count(*) AS c FROM (
+                         SELECT unnest(str_split(text, ' ')) AS w
+                         FROM documents) WHERE w <> '' GROUP BY w),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+                         CAST(sum(c) AS BIGINT) AS n_tokens,
+                         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_hapax,
+                         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_dis
+                  FROM freq),
+          t10 AS (SELECT CAST(sum(c) AS BIGINT) AS top10_tokens FROM (
+                    SELECT c FROM freq ORDER BY c DESC, w LIMIT 10))
+          SELECT n_types, n_tokens,
+                 CAST(n_types * 10000 // n_tokens AS BIGINT) AS type_token_bp,
+                 n_hapax,
+                 CAST(n_hapax * 10000 // n_types AS BIGINT) AS hapax_share_bp,
+                 n_dis,
+                 CAST(top10_tokens * 10000 // n_tokens AS BIGINT) AS top10_mass_bp
+          FROM tot CROSS JOIN t10""",
 
     "q218_vocab_growth" ->
       s"""WITH nd AS (SELECT count(*) AS nd FROM documents),

@@ -511,6 +511,34 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // FUNNEL TIME-TO-CONVERT quantiles — how LONG conversion takes, the
+    // dimension q130's count funnel drops: per user, the first view and
+    // the first purchase strictly after it; latency in whole minutes,
+    // cohorted by the weekday the journey STARTED (time-to-convert is
+    // routinely day-of-week-shaped). Quantiles ride the q228 ceil-rank
+    // histogram machinery — latency minutes are a bounded domain
+    // (retention window), so the per-cohort census is control-plane-
+    // sized and nothing sorts the user stream.
+    // Scale: two map-side-combining min-aggregates on user_id ride ONE
+    // shuffle each; the (cohort, minutes) census aggregates map-side.
+    "q245_funnel_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("vus"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("us") > col("vus"))
+        .groupBy("user_id").agg(min(col("us")).as("pus"), min(col("vus")).as("vus"))
+      val h = conv
+        .select(expr("CAST((vus DIV 86400000000) % 7 AS STRING)").as("start_weekday"),
+          expr("(pus - vus) DIV 60000000").as("cents"))
+        .groupBy("start_weekday", "cents").agg(count(lit(1)).as("c"))
+      latencyQuantilesOf(h, "start_weekday")
+        .withColumnsRenamed(Map("p50" -> "p50_min", "p90" -> "p90_min",
+          "p99" -> "p99_min", "n_events" -> "n_users"))
+    }),
+
     // DISTRIBUTION DRIFT between two snapshots — the monitoring op every
     // production pipeline runs before promoting a new data drop: split
     // events into two cohorts (even/odd epoch-day — balanced and
@@ -1050,27 +1078,29 @@ object EventQueries {
                max(n) AS n_events
         FROM cum GROUP BY event_type ORDER BY event_type"""
 
-  /** q228/q239 shared: (event_type, cents, c) histogram → exact
-    * per-type p50/p90/p99 by ceil-rank over the cumulative census (ONE
-    * definition so the batch query and its streaming twin can never
-    * diverge — the ewmaAnomalies discipline). The histogram domain is
-    * bounded (distinct cent values), so no stream sort exists anywhere:
-    * quantiles read a window over the control-plane-sized census. */
-  private def latencyQuantilesOf(h: DataFrame): DataFrame = {
-    val n = h.groupBy("event_type").agg(sum(col("c")).as("n"))
+  /** q228/q239/q245 shared: a (key, cents, c) histogram → exact
+    * per-key p50/p90/p99 by ceil-rank over the cumulative census (ONE
+    * definition so the batch query, its streaming twin, and the funnel
+    * variant can never diverge — the ewmaAnomalies discipline). The
+    * histogram domain is bounded (distinct cent values), so no stream
+    * sort exists anywhere: quantiles read a window over the
+    * control-plane-sized census. */
+  private def latencyQuantilesOf(h: DataFrame,
+                                 key: String = "event_type"): DataFrame = {
+    val n = h.groupBy(key).agg(sum(col("c")).as("n"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("cents")
+      .partitionBy(key).orderBy("cents")
     val cum = h.withColumn("cum", sum(col("c")).over(w))
-      .join(broadcast(n), "event_type")
+      .join(broadcast(n), key)
     // [[graft.Mutations]]: the off-by-one variant admits the PREVIOUS
     // distinct cents row into each quantile's candidate set
     val cumLhs = if (graft.Mutations.on("q228_rank_off_by_one"))
       col("cum") * 100 + 100 else col("cum") * 100
     def q(k: Int) =
       min(when(cumLhs >= col("n") * k, col("cents"))).as(s"p$k")
-    cum.groupBy("event_type")
+    cum.groupBy(key)
       .agg(q(50), q(90), q(99), max(col("n")).as("n_events"))
-      .orderBy("event_type")
+      .orderBy(key)
   }
 
   private def ewmaAnomalies(rolled: DataFrame): DataFrame = {
@@ -1403,6 +1433,32 @@ object EventQueries {
                  count(*) AS n_purchases
           FROM dom LEFT JOIN att ON att.pid = dom.pid AND att.model = dom.model
           GROUP BY 1, 2 ORDER BY dom.model, channel""",
+
+    "q245_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+          fv AS (SELECT user_id, min(us) AS vus FROM ev
+                 WHERE event_type = 'view' GROUP BY user_id),
+          conv AS (SELECT ev.user_id, min(us) AS pus, min(vus) AS vus
+                   FROM ev JOIN fv USING (user_id)
+                   WHERE event_type = 'purchase' AND us > vus
+                   GROUP BY ev.user_id),
+          h AS (SELECT CAST((vus // 86400000000) % 7 AS VARCHAR) AS start_weekday,
+                       (pus - vus) // 60000000 AS cents,
+                       count(*) AS c
+                FROM conv GROUP BY 1, 2),
+          n AS (SELECT start_weekday, CAST(sum(c) AS BIGINT) AS n
+                FROM h GROUP BY 1),
+          cum AS (SELECT h.start_weekday, cents,
+                         CAST(sum(c) OVER (PARTITION BY h.start_weekday
+                                           ORDER BY cents) AS BIGINT) AS cum,
+                         n
+                  FROM h JOIN n USING (start_weekday))
+          SELECT start_weekday,
+                 min(CASE WHEN cum * 100 >= n * 50 THEN cents END) AS p50_min,
+                 min(CASE WHEN cum * 100 >= n * 90 THEN cents END) AS p90_min,
+                 min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS p99_min,
+                 max(n) AS n_users
+          FROM cum GROUP BY start_weekday ORDER BY start_weekday""",
 
     "q242_seasonal_residual" ->
       """WITH rolled AS (SELECT event_type,

@@ -2634,6 +2634,81 @@ class ExtensionSpec extends SparkSpec {
     assert(rows("unchanged")._5 == 0L)
   }
 
+  test("personalized pagerank equals an exact integer replay; trust stays with seeds") {
+    val rows = ext.GraphQueries.queries("q243_personalized_pagerank")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length == 20)
+    // exact integer replay of the 3 fixed-point rounds
+    val edges = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val outdeg = e.groupBy(_._1).map { case (n, xs) => n -> xs.length.toLong }
+    val seeds = Tables.supplier(spark, sf).filter(col("s_nationkey") % 5 === 3)
+      .select((col("s_suppkey") * 2 + 1)).collect().map(_.getLong(0)).toSet
+    var r = outdeg.keys.map(n => n -> (if (seeds(n)) 1000000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val cs = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      e.foreach { case (s, dst) => cs(dst) += r(s) / outdeg(s) }
+      r = r.keys.map(n =>
+        n -> ((if (seeds(n)) 150000000L else 0L) + 85L * cs(n) / 100L)).toMap
+    }
+    val want = r.toSeq.map { case (n, v) =>
+      (s"${if (n % 2 == 0) "c" else "s"}${n / 2}", v.toDouble / 1e9) }
+      .sortBy { case (name, v) => (-v, name) }.take(20)
+    assert(rows.map(x => (x._1, x._3)).toSeq == want)
+    // every node unreachable from the seeds holds EXACTLY zero mass —
+    // so the whole top-20 is trust-reachable (teleport goes only to seeds)
+    assert(rows.forall(_._3 > 0.0))
+  }
+
+  test("vocab health card equals a brute-force frequency replay") {
+    val row = ext.TextQueries.queries("q244_vocab_health")(spark, sf)
+      .collect().head
+    val freq = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nTypes = freq.length.toLong
+    val nTokens = freq.map(_._2).sum
+    val top10 = freq.sortBy { case (w, c) => (-c, w) }.take(10).map(_._2).sum
+    assert(row.getLong(0) == nTypes && row.getLong(1) == nTokens)
+    assert(row.getLong(2) == nTypes * 10000 / nTokens)
+    assert(row.getLong(3) == freq.count(_._2 == 1L).toLong)
+    assert(row.getLong(5) == freq.count(_._2 == 2L).toLong)
+    assert(row.getLong(6) == top10 * 10000 / nTokens)
+  }
+
+  test("funnel latency quantiles equal a sorted-rank replay per cohort") {
+    val rows = ops.EventQueries.queries("q245_funnel_latency")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val lats = byUser.toSeq.flatMap { case (_, xs) =>
+      val views = xs.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val vus = views.min
+        val purs = xs.filter(e => e._2 == "purchase" && e._3 > vus).map(_._3)
+        if (purs.isEmpty) None
+        else Some(((vus / 86400000000L % 7).toString, (purs.min - vus) / 60000000L))
+      }
+    }
+    assert(rows.nonEmpty && rows.map(_._5).sum == lats.length.toLong)
+    rows.foreach { case (wd, p50, p90, p99, n) =>
+      val v = lats.filter(_._1 == wd).map(_._2).sorted
+      assert(n == v.length.toLong)
+      def rank(k: Int): Long = v((k * v.length + 99) / 100 - 1)
+      assert((p50, p90, p99) == ((rank(50), rank(90), rank(99))),
+        s"cohort $wd: got ($p50,$p90,$p99)")
+    }
+  }
+
   test("l-diversity census: planted stuck/quantized feeds land in their bands") {
     val rows = ops.EventQueries.queries("q240_l_diversity")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
