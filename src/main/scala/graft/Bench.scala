@@ -103,6 +103,7 @@ object Bench {
       "q235_weighted_sssp"          -> 6.7,
       "q239_stream_latency_quantiles" -> 2.3,
       "q243_personalized_pagerank"  -> 5.7,
+      "q248_clustering_coefficient" -> 4.0,
       "q231_rerank_cascade"         -> 6.6,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,

@@ -3,6 +3,7 @@ package graft.ext
 import graft.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over a relationship graph derived from the
@@ -449,6 +450,67 @@ object GraphQueries {
             (col("n_core_edges") === col("n_prev_edges")).as("converged"))
       }
       perK.reduce(_ unionByName _).orderBy("k")
+    }),
+
+    // LOCAL CLUSTERING COEFFICIENT census — the cohesion metric the
+    // triangle COUNT (q132) doesn't give: a hub with 50 triangles over
+    // 1000 possible wedges is sparse; a 5-degree node with 10 is a
+    // clique. Per node, coeff = 2·tri / (deg·(deg−1)) in truncating
+    // bp; the census bands nodes (deg < 2 undefined / 0 / (0, 2500] /
+    // (2500, 5000] / (5000, 10000]) — the shape a community-detection
+    // pass reads before choosing its algorithm.
+    // The graph is the co-occurrence graph sparsified PER NODE: each
+    // supplier keeps its [[KnnDegreeCap]] heaviest co-order edges
+    // (count desc, neighbor-id tie-break) and an undirected edge
+    // survives if EITHER endpoint kept it — the union-kNN backbone.
+    // q132's GLOBAL edge budget would be degenerate here: below sf0.1
+    // the co-occurrence graph is literally complete (every supplier
+    // pair shares an order), a global top-5000 keeps all of it, and
+    // every coefficient is 10000 — a one-row dead census. Per-node
+    // capping bounds degree at ANY corpus scale (≤ 2·cap), so the
+    // census stays informative and Σdeg² stays O(|V|·cap²).
+    // Scale: the per-node top-k is a bounded window over the node-
+    // keyed directed edge list (never the raw fact table); wedge work
+    // rides the π-ordered triangleCounts machinery; the band rollup is
+    // control-plane-sized.
+    "q248_clustering_coefficient" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val co = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("cu"), col("b.sk").as("cv"))
+        .agg(count(lit(1)).as("c"))
+      val dir = co.select(col("cu").as("n"), col("cv").as("nbr"), col("c"))
+        .unionByName(co.select(col("cv").as("n"), col("cu").as("nbr"), col("c")))
+      val wk = Window.partitionBy(col("n"))
+        .orderBy(col("c").desc, col("nbr"))
+      val bb = dir.withColumn("rk", row_number().over(wk))
+        .filter(col("rk") <= KnnDegreeCap)
+        .select(least(col("n"), col("nbr")).as("u"),
+          greatest(col("n"), col("nbr")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      val deg = bb.select(col("u").as("node"))
+        .unionByName(bb.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val withTri = deg.join(triangleCounts(bb), Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_triangles"), lit(0L)).as("tri"))
+        .withColumn("coeff_bp", expr(
+          "CASE WHEN deg < 2 THEN CAST(0 AS BIGINT) " +
+            "ELSE (2 * tri * 10000) DIV (deg * (deg - 1)) END"))
+      withTri.withColumn("band",
+          when(col("deg") < 2, "b0_deg_lt_2")
+            .when(col("coeff_bp") === 0, "b1_zero")
+            .when(col("coeff_bp") <= 2500, "b2_low")
+            .when(col("coeff_bp") <= 5000, "b3_mid")
+            .otherwise("b4_high"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("tri")).as("sum_triangles"),
+          min(col("coeff_bp")).as("min_coeff_bp"),
+          max(col("coeff_bp")).as("max_coeff_bp"))
+        .orderBy("band")
     })
   )
 
@@ -471,6 +533,10 @@ object GraphQueries {
   /** q132's co-occurrence backbone size: the heaviest edges kept before
     * wedge enumeration. */
   private[ext] val TriangleEdgeBudget = 5000
+
+  /** q248: per-node heaviest-edge cap for the union-kNN backbone —
+    * bounds any node's degree at ≤ 2·cap regardless of corpus scale. */
+  private[ext] val KnnDegreeCap = 8
 
   /** q144's unrolled frontier-relaxation rounds. */
   private[ext] val BfsRounds = 3
@@ -824,6 +890,62 @@ object GraphQueries {
                 UNION ALL SELECT b FROM tris
                 UNION ALL SELECT c FROM tris)
           GROUP BY supplier
-          ORDER BY n_triangles DESC, supplier LIMIT 20"""
+          ORDER BY n_triangles DESC, supplier LIMIT 20""",
+
+    "q248_clustering_coefficient" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          co AS (SELECT a.sk AS cu, b.sk AS cv, count(*) AS c
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+                 GROUP BY 1, 2),
+          dir AS (SELECT cu AS n, cv AS nbr, c FROM co
+                  UNION ALL SELECT cv, cu, c FROM co),
+          pick AS (SELECT n, nbr FROM (
+                     SELECT n, nbr,
+                            row_number() OVER (PARTITION BY n
+                                               ORDER BY c DESC, nbr) AS rk
+                     FROM dir) WHERE rk <= $KnnDegreeCap),
+          edges AS (SELECT DISTINCT least(n, nbr) AS u,
+                                    greatest(n, nbr) AS v
+                    FROM pick),
+          deg AS (SELECT n, count(*) AS deg FROM (
+                    SELECT u AS n FROM edges
+                    UNION ALL SELECT v FROM edges) GROUP BY n),
+          pk AS (SELECT du.deg * 4294967296 + u AS pu,
+                        dv.deg * 4294967296 + v AS pv
+                 FROM edges
+                 JOIN deg du ON du.n = u
+                 JOIN deg dv ON dv.n = v),
+          e AS (SELECT CASE WHEN pu < pv THEN pu ELSE pv END AS src,
+                       CASE WHEN pu < pv THEN pv ELSE pu END AS dst
+                FROM pk),
+          wedges AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+                     FROM e x JOIN e y
+                       ON x.src = y.src AND x.dst < y.dst),
+          tris AS (SELECT a, b, c FROM wedges
+                   JOIN e ON wedges.b = e.src AND wedges.c = e.dst),
+          tcnt AS (SELECT p % 4294967296 AS node,
+                          CAST(count(*) AS BIGINT) AS tri
+                   FROM (SELECT a AS p FROM tris
+                         UNION ALL SELECT b FROM tris
+                         UNION ALL SELECT c FROM tris)
+                   GROUP BY node),
+          pern AS (SELECT deg.n AS node, CAST(deg AS BIGINT) AS deg,
+                          coalesce(tri, 0) AS tri,
+                          CASE WHEN deg < 2 THEN CAST(0 AS BIGINT)
+                               ELSE (2 * coalesce(tri, 0) * 10000)
+                                    // (deg * (deg - 1)) END AS coeff_bp
+                   FROM deg LEFT JOIN tcnt ON tcnt.node = deg.n),
+          banded AS (SELECT CASE WHEN deg < 2 THEN 'b0_deg_lt_2'
+                                 WHEN coeff_bp = 0 THEN 'b1_zero'
+                                 WHEN coeff_bp <= 2500 THEN 'b2_low'
+                                 WHEN coeff_bp <= 5000 THEN 'b3_mid'
+                                 ELSE 'b4_high' END AS band,
+                            tri, coeff_bp
+                     FROM pern)
+          SELECT band, count(*) AS n_nodes,
+                 CAST(sum(tri) AS BIGINT) AS sum_triangles,
+                 min(coeff_bp) AS min_coeff_bp, max(coeff_bp) AS max_coeff_bp
+          FROM banded GROUP BY band ORDER BY band"""
   )
 }

@@ -223,6 +223,48 @@ object PipelineQueries {
         .filter(col("rn") <= 50)
         .select("lang", "rn", "doc_id")
         .orderBy("lang", "rn")
+    }),
+
+    // NEYMAN-STYLE SAMPLE ALLOCATION — the eval-set budgeting step
+    // q74 (equal per-stratum) and q112 (temperature) don't cover:
+    // allocate a fixed budget B = 10000 across source strata
+    // proportional to N_h·D_h, where D_h is the stratum's dispersion —
+    // high-variance strata earn more samples (the Neyman optimum).
+    // Dispersion is the MEAN ABSOLUTE DEVIATION of n_chars (integer-
+    // exact both engines; σ would drag sqrt-of-bigint float error into
+    // the graded bytes — the q112 DECIMAL pin exists because of
+    // exactly that landmine). Fractional seats resolve by LARGEST
+    // REMAINDER with a (remainder desc, source asc) total order, so
+    // Σ alloc = B exactly — an allocator that over/under-shoots its
+    // budget is a bug, not a rounding detail.
+    // Scale: two passes over documents (means, then deviations — the
+    // per-stratum mean joins back as a broadcast of |strata| rows);
+    // the seat arithmetic and rank window run on the strata table —
+    // control-plane-sized. No global sort, no collect.
+    "q249_neyman_allocation" -> ((s, d) => {
+      val b = 10000L
+      val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+      val mu = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"))
+        .withColumn("mean_chars", expr("sx DIV n_docs"))
+      val mad = docs.join(broadcast(mu), "source")
+        .groupBy(col("source"), col("n_docs"), col("mean_chars"))
+        .agg(sum(abs(col("n_chars") - col("mean_chars"))).as("sdev"))
+        .withColumn("mad_chars", expr("sdev DIV n_docs"))
+        .withColumn("weight", col("n_docs") * col("mad_chars"))
+      val tot = mad.agg(sum(col("weight")).as("w"))
+      val seats = mad.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($b * weight) DIV w"))
+        .withColumn("rem", expr(s"($b * weight) % w"))
+      val wnd = Window.orderBy(col("rem").desc, col("source"))
+      val short = seats.agg((lit(b) - sum(col("base"))).as("extra"))
+      seats.crossJoin(broadcast(short))
+        .withColumn("rk", row_number().over(wnd))
+        .select(col("source"), col("n_docs"), col("mean_chars"),
+          col("mad_chars"), col("weight"),
+          (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+            .as("alloc"))
+        .orderBy("source")
     })
   )
 
@@ -372,6 +414,36 @@ object PipelineQueries {
                 FROM t)
           SELECT source, (cum_after - tokens) // 2048 AS bin,
                  count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
-          FROM c GROUP BY 1, 2 ORDER BY source, bin"""
+          FROM c GROUP BY 1, 2 ORDER BY source, bin""",
+
+    "q249_neyman_allocation" ->
+      """WITH mu AS (SELECT source, count(*) AS n_docs,
+                            CAST(sum(n_chars) AS BIGINT) AS sx,
+                            CAST(sum(n_chars) // count(*) AS BIGINT)
+                              AS mean_chars
+                     FROM documents GROUP BY source),
+          mad AS (SELECT d.source, mu.n_docs, mu.mean_chars,
+                         CAST(sum(abs(d.n_chars - mu.mean_chars))
+                              // mu.n_docs AS BIGINT) AS mad_chars
+                  FROM documents d JOIN mu ON mu.source = d.source
+                  GROUP BY 1, 2, 3),
+          wt AS (SELECT source, n_docs, mean_chars, mad_chars,
+                        n_docs * mad_chars AS weight
+                 FROM mad),
+          tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM wt),
+          seats AS (SELECT wt.*, (10000 * weight) // w AS base,
+                           (10000 * weight) % w AS rem
+                    FROM wt CROSS JOIN tot),
+          short AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS extra
+                    FROM seats),
+          ranked AS (SELECT seats.*,
+                            row_number() OVER (ORDER BY rem DESC, source)
+                              AS rk
+                     FROM seats)
+          SELECT source, n_docs, mean_chars, mad_chars,
+                 CAST(weight AS BIGINT) AS weight,
+                 CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                      AS BIGINT) AS alloc
+          FROM ranked CROSS JOIN short ORDER BY source"""
   )
 }

@@ -539,6 +539,110 @@ object EventQueries {
           "p99" -> "p99_min", "n_events" -> "n_users"))
     }),
 
+    // T-CLOSENESS census — the third rung of the privacy ladder (q219
+    // k-anonymity: crowd size; q240 l-diversity: value variety; this:
+    // value DISTRIBUTION). A combo can be k-large and l-diverse and
+    // still leak: if its sensitive-value distribution differs sharply
+    // from the global one, membership in the combo itself is
+    // informative (skewness attack). Per quasi-combo (event_type,
+    // weekday — q240's grain, SAME planted stuck/quantized fixture so
+    // the ladder audits one corpus), t = total-variation distance
+    // between the combo's $50-bucket distribution and the global
+    // distribution, in integer bp: both distributions are first fixed
+    // to bp (count·10000 DIV total — identical truncation both
+    // engines), then t_bp = Σ|p_bp − g_bp| DIV 2 over ALL global
+    // buckets (a bucket the combo never emits still contributes its
+    // global mass). Banded release report: t ≤ 1000 close / ≤ 3000
+    // moderate / else far.
+    // Scale: one (type, weekday, bucket) shuffle with map-side partial
+    // counts is the only full-data pass; the distance matrix is
+    // combos × global-buckets — both control-plane-sized (weekday
+    // grain × a domain-bounded bucket axis) — built from a broadcast
+    // cross join, never a per-event explode.
+    "q246_t_closeness" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) DIV 86400000000) % 7").as("weekday"),
+          expr("CAST(floor(value / 50) AS BIGINT)").as("sens0"))
+        .withColumn("sens", expr(
+          """CASE WHEN event_type = 'signup' AND weekday = 0 THEN CAST(0 AS BIGINT)
+                  WHEN event_type = 'signup' AND weekday = 1 THEN sens0 % 3
+                  ELSE sens0 END"""))
+        .groupBy("event_type", "weekday", "sens")
+        .agg(count(lit(1)).as("c"))
+      val combos = cells.groupBy("event_type", "weekday")
+        .agg(sum(col("c")).as("n_rows"))
+      val global = cells.groupBy("sens").agg(sum(col("c")).as("g"))
+      val totalN = global.agg(sum(col("g")).as("nn"))
+      val gBp = global.crossJoin(broadcast(totalN))
+        .select(col("sens"), expr("(g * 10000) DIV nn").as("g_bp"))
+      val t = combos.crossJoin(broadcast(gBp))
+        .join(cells, Seq("event_type", "weekday", "sens"), "left")
+        .select(col("event_type"), col("weekday"),
+          abs(expr("(coalesce(c, 0) * 10000) DIV n_rows - g_bp")).as("dev"))
+        .groupBy("event_type", "weekday")
+        .agg(expr("sum(dev) DIV 2").as("t_bp"))
+      t.withColumn("band",
+          when(col("t_bp") <= 1000, "t1_close")
+            .when(col("t_bp") <= 3000, "t2_moderate")
+            .otherwise("t3_far"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_combos"), min(col("t_bp")).as("min_t_bp"),
+          max(col("t_bp")).as("max_t_bp"))
+        .orderBy("band")
+    }),
+
+    // CUSUM CHANGEPOINT detection — the sustained-shift monitor q215's
+    // EWMA structurally misses: EWMA adapts to a level shift within a
+    // few days and stops flagging, while the cumulative sum keeps
+    // integrating the drift until it alarms. Two-sided tabular CUSUM
+    // over per-type daily counts with a planted 8-day ×2 level shift
+    // (days d0+20..d0+27 — sustained, unlike q215's one-day ×3 spike):
+    // reference μ = truncating mean of the planted series, slack
+    // k = μ DIV 10, threshold h = μ DIV 2; S⁺ ← max(0, S⁺ + x − μ − k),
+    // S⁻ ← max(0, S⁻ + μ − x − k), alarm when either exceeds h, both
+    // reset on alarm (the classic restart so one shift yields a
+    // bounded alarm train, not a saturated statistic). Genuinely
+    // sequential → the q215 ordered-array fold, every step integer so
+    // the trajectory is bit-exact cross-engine.
+    // Scale: the daily rollup is the only big pass (map-side partial
+    // counts on one (type, day) shuffle); the folded array is
+    // retention-window-sized per type, the q177/q215 series contract.
+    "q247_cusum_changepoint" -> ((s, d) => {
+      val rolled = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val d0 = rolled.agg(min(col("day")).as("d0"))
+      val daily = rolled.crossJoin(broadcast(d0))
+        .select(col("event_type"), col("day"),
+          when(col("day").between(col("d0") + 20, col("d0") + 27),
+            col("cnt") * 2).otherwise(col("cnt")).as("cnt"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("sr"),
+          count(lit(1)).as("n_days"), sum(col("cnt")).as("tot"))
+        .withColumn("mu", expr("tot DIV n_days"))
+        .withColumn("f", expr(
+          """aggregate(sr,
+               named_struct('spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),
+                 'n_alarms', CAST(0 AS BIGINT), 'first_alarm', CAST(-1 AS BIGINT)),
+               (acc, x) -> CASE WHEN
+                   greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10) > mu DIV 2
+                   OR greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10) > mu DIV 2
+                 THEN named_struct('spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),
+                   'n_alarms', acc.n_alarms + 1,
+                   'first_alarm', IF(acc.first_alarm >= 0, acc.first_alarm, x.day))
+                 ELSE named_struct(
+                   'spos', greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10),
+                   'sneg', greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10),
+                   'n_alarms', acc.n_alarms, 'first_alarm', acc.first_alarm) END)"""))
+        .select(col("event_type"), col("n_days"), col("mu"),
+          col("f.n_alarms").as("n_alarms"),
+          col("f.first_alarm").as("first_alarm_day"),
+          col("f.spos").as("final_spos"), col("f.sneg").as("final_sneg"))
+        .orderBy("event_type")
+    }),
+
     // DISTRIBUTION DRIFT between two snapshots — the monitoring op every
     // production pipeline runs before promoting a new data drop: split
     // events into two cohorts (even/odd epoch-day — balanced and
@@ -1459,6 +1563,107 @@ object EventQueries {
                  min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS p99_min,
                  max(n) AS n_users
           FROM cum GROUP BY start_weekday ORDER BY start_weekday""",
+
+    "q246_t_closeness" ->
+      """WITH raw AS (SELECT event_type,
+                             (epoch_us(ts) // 86400000000) % 7 AS weekday,
+                             CAST(floor(value / 50) AS BIGINT) AS sens0
+                      FROM events),
+          cells AS (SELECT event_type, weekday,
+                           CASE WHEN event_type = 'signup' AND weekday = 0
+                                  THEN CAST(0 AS BIGINT)
+                                WHEN event_type = 'signup' AND weekday = 1
+                                  THEN sens0 % 3
+                                ELSE sens0 END AS sens,
+                           count(*) AS c
+                    FROM raw GROUP BY 1, 2, 3),
+          combos AS (SELECT event_type, weekday,
+                            CAST(sum(c) AS BIGINT) AS n_rows
+                     FROM cells GROUP BY 1, 2),
+          gl AS (SELECT sens, CAST(sum(c) AS BIGINT) AS g FROM cells
+                 GROUP BY sens),
+          nn AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM gl),
+          gbp AS (SELECT sens, (g * 10000) // nn AS g_bp
+                  FROM gl CROSS JOIN nn),
+          t AS (SELECT combos.event_type, combos.weekday,
+                       CAST(sum(abs((coalesce(c, 0) * 10000) // n_rows - g_bp))
+                            // 2 AS BIGINT) AS t_bp
+                FROM combos CROSS JOIN gbp
+                LEFT JOIN cells
+                  ON cells.event_type = combos.event_type
+                 AND cells.weekday = combos.weekday
+                 AND cells.sens = gbp.sens
+                GROUP BY 1, 2),
+          banded AS (SELECT CASE WHEN t_bp <= 1000 THEN 't1_close'
+                                 WHEN t_bp <= 3000 THEN 't2_moderate'
+                                 ELSE 't3_far' END AS band, t_bp
+                     FROM t)
+          SELECT band, count(*) AS n_combos, min(t_bp) AS min_t_bp,
+                 max(t_bp) AS max_t_bp
+          FROM banded GROUP BY band ORDER BY band""",
+
+    "q247_cusum_changepoint" ->
+      """WITH RECURSIVE rolled AS (SELECT event_type,
+                                          epoch_us(ts) // 86400000000 AS day,
+                                          count(*) AS cnt
+                                   FROM events GROUP BY 1, 2),
+          d0 AS (SELECT min(day) AS d0 FROM rolled),
+          daily AS (SELECT event_type, day,
+                           CAST(CASE WHEN day BETWEEN d0 + 20 AND d0 + 27
+                                     THEN cnt * 2 ELSE cnt END AS BIGINT) AS cnt
+                    FROM rolled CROSS JOIN d0),
+          idx AS (SELECT event_type, day, cnt,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY day) AS i
+                  FROM daily),
+          mm AS (SELECT event_type, count(*) AS n_days,
+                        CAST(sum(cnt) // count(*) AS BIGINT) AS mu
+                 FROM idx GROUP BY 1),
+          cu AS (
+            SELECT x.event_type, x.i,
+                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
+                        THEN 0::BIGINT
+                        ELSE greatest(0, x.cnt - mu - mu // 10) END AS spos,
+                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
+                        THEN 0::BIGINT
+                        ELSE greatest(0, mu - x.cnt - mu // 10) END AS sneg,
+                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
+                        THEN 1::BIGINT ELSE 0::BIGINT END AS n_alarms,
+                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
+                        THEN x.day ELSE -1::BIGINT END AS first_alarm
+            FROM idx x JOIN mm ON mm.event_type = x.event_type
+            WHERE x.i = 1
+            UNION ALL
+            SELECT x.event_type, x.i,
+                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
+                        THEN 0::BIGINT
+                        ELSE greatest(0, e.spos + x.cnt - mu - mu // 10) END,
+                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
+                        THEN 0::BIGINT
+                        ELSE greatest(0, e.sneg + mu - x.cnt - mu // 10) END,
+                   e.n_alarms +
+                     CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
+                            OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
+                          THEN 1 ELSE 0 END,
+                   CASE WHEN e.first_alarm >= 0 THEN e.first_alarm
+                        WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
+                        THEN x.day ELSE -1::BIGINT END
+            FROM cu e
+            JOIN idx x ON x.event_type = e.event_type AND x.i = e.i + 1
+            JOIN mm ON mm.event_type = x.event_type)
+          SELECT c.event_type, mm.n_days, mm.mu, c.n_alarms,
+                 c.first_alarm AS first_alarm_day,
+                 c.spos AS final_spos, c.sneg AS final_sneg
+          FROM cu c JOIN mm ON mm.event_type = c.event_type
+                            AND c.i = mm.n_days
+          ORDER BY c.event_type""",
 
     "q242_seasonal_residual" ->
       """WITH rolled AS (SELECT event_type,

@@ -754,6 +754,40 @@ object MiscQueries {
         .select(col("k").as("l_returnflag"), col("n"),
           col("total").cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // BENFORD FIRST-DIGIT audit — the fabricated-data detector auditors
+    // run on financial columns (q138 checks constraints; this checks the
+    // DISTRIBUTION): organically-grown multiplicative quantities follow
+    // log10(1+1/d) first-digit mass, and a synthesized or truncated feed
+    // snaps away from it. Per column (l_extendedprice, o_totalprice),
+    // amounts quantize to cents by the q228 floor trick (floor is
+    // rounding-mode-free; both engines floor the SAME IEEE product), the
+    // leading digit is the first character of the integer's decimal
+    // string (no float log10 near-power-of-ten edge), and the report
+    // carries observed count, observed bp (truncating), the Benford
+    // expectation in bp as a shared CASE literal, and |obs − exp|.
+    // Scale: two map-side digit extractions, each reduced by a 9-row
+    // aggregate; the totals are one-row broadcasts. All integer.
+    "q250_benford_audit" -> ((s, d) => {
+      val expBp = """CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+                     WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792
+                     WHEN 6 THEN 669 WHEN 7 THEN 580 WHEN 8 THEN 512
+                     ELSE 458 END"""
+      def branch(df: DataFrame, colName: String): DataFrame = {
+        val digits = df
+          .select(expr(s"CAST(substring(CAST(CAST(floor($colName * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum(col("n")).as("nn"))
+        digits.crossJoin(broadcast(tot))
+          .select(lit(colName).as("col_name"), col("digit"), col("n"),
+            expr("(n * 10000) DIV nn").as("obs_bp"),
+            expr(expBp).cast("long").as("exp_bp"))
+          .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+      }
+      branch(Tables.lineitem(s, d), "l_extendedprice")
+        .unionByName(branch(Tables.orders(s, d), "o_totalprice"))
+        .orderBy("col_name", "digit")
     })
   )
 
@@ -1375,6 +1409,32 @@ object MiscQueries {
                         words[pos] || ' ' || words[pos+1] || ' ' || words[pos+2] AS shingle
                  FROM posn)
           SELECT source, $lanes FROM sh GROUP BY source ORDER BY source"""
-    }
+    },
+
+    "q250_benford_audit" ->
+      """WITH src AS (
+            SELECT 'l_extendedprice' AS col_name,
+                   CAST(substr(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM lineitem
+            UNION ALL
+            SELECT 'o_totalprice',
+                   CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT)
+            FROM orders),
+          digits AS (SELECT col_name, digit, count(*) AS n
+                     FROM src GROUP BY 1, 2),
+          tot AS (SELECT col_name, CAST(sum(n) AS BIGINT) AS nn
+                  FROM digits GROUP BY 1),
+          rep AS (SELECT d.col_name, d.digit, d.n,
+                         (d.n * 10000) // t.nn AS obs_bp,
+                         CAST(CASE d.digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+                              WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792
+                              WHEN 6 THEN 669 WHEN 7 THEN 580 WHEN 8 THEN 512
+                              ELSE 458 END AS BIGINT) AS exp_bp
+                  FROM digits d JOIN tot t USING (col_name))
+          SELECT col_name, digit, n, obs_bp, exp_bp,
+                 abs(obs_bp - exp_bp) AS dev_bp
+          FROM rep ORDER BY col_name, digit"""
   )
 }

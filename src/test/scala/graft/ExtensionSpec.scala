@@ -2889,4 +2889,158 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.length == 10)
     assert(rows.forall(r => r.getInt(2) >= 64 && r.getInt(2) < 64 + 256))
   }
+
+  test("t-closeness census equals an exact integer TVD replay") {
+    val rows = ops.EventQueries.queries("q246_t_closeness")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) DIV 86400000000) % 7").as("wd"),
+        expr("CAST(floor(value / 50) AS BIGINT)").as("s0"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the q240 plant, replayed: stuck field / quantized feed
+    val planted = ev.map { case (t, wd, s0) =>
+      val s = if (t == "signup" && wd == 0) 0L
+        else if (t == "signup" && wd == 1) s0 % 3 else s0
+      (t, wd, s)
+    }
+    val n = planted.length.toLong
+    val gBp = planted.groupBy(_._3)
+      .map { case (sens, xs) => sens -> xs.length.toLong * 10000L / n }
+    val tBp = planted.groupBy(p => (p._1, p._2)).map { case (_, xs) =>
+      val nr = xs.length.toLong
+      val cnt = xs.groupBy(_._3).map { case (sv, ys) => sv -> ys.length.toLong }
+      gBp.map { case (sv, g) =>
+        math.abs(cnt.getOrElse(sv, 0L) * 10000L / nr - g) }.sum / 2
+    }.toSeq
+    val want = tBp.groupBy(t =>
+        if (t <= 1000) "t1_close" else if (t <= 3000) "t2_moderate" else "t3_far")
+      .map { case (b, xs) => b -> ((xs.length.toLong, xs.min, xs.max)) }
+    assert(rows == want)
+    // all three bands live at the spec scale; the planted stuck field
+    // puts its combo far from the global distribution
+    assert(rows.keySet == Set("t1_close", "t2_moderate", "t3_far"))
+    assert(rows("t3_far")._3 >= 3000L)
+  }
+
+  test("CUSUM changepoint equals an exact sequential fold and alarms inside the planted shift") {
+    val rows = ops.EventQueries.queries("q247_cusum_changepoint")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    val daily0 = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val d0 = daily0.map(_._2).min
+    val want = daily0.groupBy(_._1).map { case (t, xs) =>
+      val counts = xs.groupBy(_._2).map { case (day, ys) =>
+        val c = ys.length.toLong
+        (day, if (day >= d0 + 20 && day <= d0 + 27) c * 2 else c)
+      }.toSeq.sortBy(_._1)
+      val mu = counts.map(_._2).sum / counts.length
+      val (k, h) = (mu / 10, mu / 2)
+      var (sp, sn, na, fa) = (0L, 0L, 0L, -1L)
+      counts.foreach { case (day, c) =>
+        val (p1, n1) = (math.max(0L, sp + c - mu - k), math.max(0L, sn + mu - c - k))
+        if (p1 > h || n1 > h) {
+          sp = 0L; sn = 0L; na += 1; if (fa < 0) fa = day
+        } else { sp = p1; sn = n1 }
+      }
+      t -> ((counts.length.toLong, mu, na, fa, sp, sn))
+    }
+    assert(rows == want)
+    // every type alarms, and the first alarm lands no later than the
+    // tail of the planted 8-day x2 shift (noise may fire earlier; a
+    // sustained doubling may NOT go unflagged)
+    rows.foreach { case (t, (_, _, na, fa, _, _)) =>
+      assert(na > 0L && fa >= d0 && fa <= d0 + 27, s"$t: n=$na first=$fa")
+    }
+  }
+
+  test("clustering coefficient census equals a brute-force union-kNN replay") {
+    val rows = ext.GraphQueries.queries("q248_clustering_coefficient")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val co = li.toSeq.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val sks = xs.map(_._2).distinct
+      for (a <- sks; b <- sks if a < b) yield (a, b)
+    }.groupBy(identity).map { case (e, n) => e -> n.size.toLong }
+    val dir = co.toSeq.flatMap { case ((u, v), c) => Seq((u, v, c), (v, u, c)) }
+    val picked = dir.groupBy(_._1).values.flatMap { xs =>
+      xs.sortBy { case (_, nbr, c) => (-c, nbr) }.take(8)
+        .map { case (nn, nbr, _) => (math.min(nn, nbr), math.max(nn, nbr)) }
+    }.toSet
+    val adj = picked.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (nn, xs) => nn -> xs.map(_._2).toSet }
+    val want = adj.toSeq.map { case (nn, nbrs) =>
+      val deg = nbrs.size.toLong
+      val tri = nbrs.toSeq.map(m => (nbrs & adj(m)).size.toLong).sum / 2
+      val coeff = if (deg < 2) 0L else 2L * tri * 10000L / (deg * (deg - 1))
+      val band = if (deg < 2) "b0_deg_lt_2" else if (coeff == 0) "b1_zero"
+        else if (coeff <= 2500) "b2_low" else if (coeff <= 5000) "b3_mid"
+        else "b4_high"
+      (band, tri, coeff)
+    }.groupBy(_._1).map { case (b, xs) =>
+      b -> ((xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).min, xs.map(_._3).max))
+    }
+    assert(rows == want)
+  }
+
+  test("Neyman allocation spends the budget exactly and matches a largest-remainder replay") {
+    val rows = ext.PipelineQueries.queries("q249_neyman_allocation")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._6).sum == 10000L, "allocation must spend the budget exactly")
+    val docs = Tables.documents(spark, sf).select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val stats = docs.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val nd = xs.length.toLong
+      val mean = xs.map(_._2).sum / nd
+      val mad = xs.map(x => math.abs(x._2 - mean)).sum / nd
+      (src, nd, mean, mad, nd * mad)
+    }
+    val w = stats.map(_._5).sum
+    val seats = stats.map { case (src, nd, mean, mad, wt) =>
+      (src, nd, mean, mad, wt, 10000L * wt / w, 10000L * wt % w)
+    }
+    val extra = 10000L - seats.map(_._6).sum
+    val bump = seats.sortBy { case (src, _, _, _, _, _, rem) => (-rem, src) }
+      .take(extra.toInt).map(_._1).toSet
+    val want = seats.map { case (src, nd, mean, mad, wt, base, _) =>
+      (src, nd, mean, mad, wt, base + (if (bump(src)) 1L else 0L))
+    }.sortBy(_._1)
+    assert(rows.toSeq == want)
+  }
+
+  test("Benford audit digits partition each column and match a direct replay") {
+    val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 9))
+    val exp = Map(1 -> 3010L, 2 -> 1761L, 3 -> 1249L, 4 -> 969L, 5 -> 792L,
+      6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+    def digitsOf(vals: Array[Double]): Map[Long, Long] =
+      vals.map(v => math.floor(v * 100).toLong.toString.charAt(0).asDigit.toLong)
+        .groupBy(identity).map { case (dg, xs) => dg -> xs.length.toLong }
+    val cols = Map(
+      "l_extendedprice" -> Tables.lineitem(spark, sf)
+        .select(col("l_extendedprice")).collect().map(_.getDouble(0)),
+      "o_totalprice" -> Tables.orders(spark, sf)
+        .select(col("o_totalprice")).collect().map(_.getDouble(0)))
+    cols.foreach { case (cn, vals) =>
+      val got = rows.filter(_._1 == cn)
+      assert(got.map(_._3).sum == vals.length.toLong,
+        s"$cn: digit counts must partition the column")
+      val dg = digitsOf(vals)
+      got.foreach { case (_, digit, n, obsBp, expBp, devBp) =>
+        assert(n == dg(digit))
+        assert(obsBp == n * 10000L / vals.length)
+        assert(expBp == exp(digit.toInt) && devBp == math.abs(obsBp - expBp))
+      }
+    }
+  }
 }
