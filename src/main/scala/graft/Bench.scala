@@ -104,6 +104,8 @@ object Bench {
       "q239_stream_latency_quantiles" -> 2.3,
       "q243_personalized_pagerank"  -> 5.7,
       "q248_clustering_coefficient" -> 4.0,
+      "q251_stream_cusum"           -> 2.4,
+      "q255_dedup_impact"           -> 7.0,
       "q231_rerank_cascade"         -> 6.6,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,

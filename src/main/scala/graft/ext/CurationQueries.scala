@@ -778,6 +778,42 @@ object CurationQueries {
         .select("doc_id", "copy_idx", "source", "n_tok",
           "seq_id", "start_off", "n_straddles", "bucket_cap")
         .orderBy("doc_id", "copy_idx")
+    }),
+
+    // PARETO MASS-COVERAGE report — the concentration audit q234 runs
+    // on join keys, applied to corpus governance: per source, how few
+    // documents carry 80% of the characters (k80), and what share of
+    // mass the top 1% of documents owns. A source where 3 docs carry
+    // 80% is a scrape of one template; a flat source spreads risk. k80
+    // is the smallest desc-sorted prefix whose cumulative chars reach
+    // 80% (integer comparison cum·100 ≥ total·80 — no float rank);
+    // top-1% count is ceil(n/100) = (n + 99) DIV 100.
+    // Scale: one (source)-keyed window over docs sorted (n_chars desc,
+    // doc_id) — the q69 per-source cumulative discipline (per-source
+    // linear, parallel across sources; a skewed mega-source would ride
+    // the q151 two-level prefix-sum split, unneeded at fixture shape);
+    // the report rows are one aggregate over the cumulated table.
+    "q252_pareto_mass" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val cum = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+      val tot = cum.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      cum.join(broadcast(tot), "source")
+        .groupBy(col("source"), col("n_docs"), col("total_chars"))
+        .agg(
+          min(when(col("cum") * 100 >= col("total_chars") * 80, col("rk")))
+            .as("k80_docs"),
+          sum(when(col("rk") <= expr("(n_docs + 99) DIV 100"), col("n_chars"))
+            .otherwise(lit(0L))).as("top1_chars"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("k80_docs"),
+          expr("(k80_docs * 10000) DIV n_docs").as("k80_docs_bp"),
+          expr("(top1_chars * 10000) DIV total_chars").as("top1pct_share_bp"))
+        .orderBy("source")
     })
   )
 
@@ -1278,6 +1314,29 @@ object CurationQueries {
                  CAST(length(regexp_replace(regexp_replace(raw,
                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
                       '555-[0-9]{4}', '<PHONE>', 'g')) AS INTEGER) AS redacted_len
-          FROM raw ORDER BY doc_id"""
+          FROM raw ORDER BY doc_id""",
+
+    "q252_pareto_mass" ->
+      """WITH cum AS (SELECT source, doc_id, n_chars,
+                            row_number() OVER w AS rk,
+                            CAST(sum(n_chars) OVER w AS BIGINT) AS cum
+                      FROM documents
+                      WINDOW w AS (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id)),
+          tot AS (SELECT source, count(*) AS n_docs,
+                         CAST(sum(n_chars) AS BIGINT) AS total_chars
+                  FROM documents GROUP BY source),
+          rep AS (SELECT c.source, t.n_docs, t.total_chars,
+                         min(CASE WHEN c.cum * 100 >= t.total_chars * 80
+                                  THEN c.rk END) AS k80_docs,
+                         CAST(sum(CASE WHEN c.rk <= (t.n_docs + 99) // 100
+                                       THEN c.n_chars ELSE 0 END) AS BIGINT)
+                           AS top1_chars
+                  FROM cum c JOIN tot t USING (source)
+                  GROUP BY 1, 2, 3)
+          SELECT source, n_docs, total_chars, k80_docs,
+                 (k80_docs * 10000) // n_docs AS k80_docs_bp,
+                 (top1_chars * 10000) // total_chars AS top1pct_share_bp
+          FROM rep ORDER BY source"""
   )
 }

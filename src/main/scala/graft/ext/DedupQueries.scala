@@ -687,6 +687,47 @@ object DedupQueries {
         .unionByName(stat(c1, 1, "exact"))
         .unionByName(stat(c2, 2, "near"))
         .orderBy("stage_no")
+    }),
+
+    // DEDUP IMPACT BY SOURCE — the composition-shift audit run before
+    // shipping a deduped corpus: dedup is not composition-neutral (a
+    // scrape-heavy source loses most of its mass; a clean source
+    // gains relative share), and a mixture tuned on raw shares (q187/
+    // q196) silently retargets after dedup unless this delta is
+    // priced. Per source: raw corpus docs vs docs surviving cluster
+    // collapse (one representative per q54 cluster — the cluster's
+    // smallest id, which IS the component label, so survivorship is
+    // doc_id = cluster_id, no extra argmax pass), both as bp shares
+    // of their corpus, and the share delta. Synthetic corpus members
+    // (+1M copies, +2M near-dups) attribute to their base document's
+    // source via doc_id % 1M — copies charge the source that scraped
+    // them.
+    // Scale: rides q54's machinery unchanged (banded LSH candidates,
+    // pointer-jumping CC); the attribution join keys on doc id against
+    // the documents table and the report is a |sources|-row rollup.
+    "q255_dedup_impact" -> ((s, d) => {
+      val c = corpus(s, d)
+      val pairs = candidatePairsOf(shinglesRaw(c))
+      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val ds = comp
+        .withColumn("base_id", col("doc_id") % 1000000L)
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("base_id"), col("source")), "base_id")
+      val raw = ds.groupBy("source").agg(count(lit(1)).as("raw_docs"))
+      val kept = ds.filter(col("doc_id") === col("cluster_id"))
+        .groupBy("source").agg(count(lit(1)).as("kept_docs"))
+      val rTot = raw.agg(sum(col("raw_docs")).as("rn"))
+      val kTot = kept.agg(sum(col("kept_docs")).as("kn"))
+      raw.join(kept, Seq("source"), "left")
+        .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+        .crossJoin(broadcast(rTot)).crossJoin(broadcast(kTot))
+        .select(col("source"), col("raw_docs"), col("kept_docs"),
+          expr("(raw_docs * 10000) DIV rn").as("raw_share_bp"),
+          expr("(kept_docs * 10000) DIV kn").as("kept_share_bp"),
+          expr("(kept_docs * 10000) DIV kn - (raw_docs * 10000) DIV rn")
+            .as("delta_bp"))
+        .orderBy("source")
     })
   )
 
@@ -1328,6 +1369,34 @@ object DedupQueries {
                       JOIN mlsizes s2 ON s2.doc_id = id2)
           SELECT id1, id2, jaccard_dist, CAST(1.0 AS DOUBLE) AS recall
           FROM mlpairs WHERE jaccard_dist < 0.05
-          ORDER BY id1, id2"""
+          ORDER BY id1, id2""",
+
+    // q255: q54's recursive clustering + per-source raw vs surviving shares.
+    "q255_dedup_impact" ->
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM corpus
+            UNION
+            SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+          cc AS (SELECT id AS doc_id, min(r) AS cluster_id
+                 FROM reach GROUP BY id),
+          ds AS (SELECT c.doc_id, c.cluster_id, d.source
+                 FROM cc c JOIN documents d ON d.doc_id = c.doc_id % 1000000),
+          raw AS (SELECT source, count(*) AS raw_docs FROM ds GROUP BY source),
+          kept AS (SELECT source, count(*) AS kept_docs FROM ds
+                   WHERE doc_id = cluster_id GROUP BY source),
+          rt AS (SELECT CAST(sum(raw_docs) AS BIGINT) AS rn FROM raw),
+          kt AS (SELECT CAST(sum(kept_docs) AS BIGINT) AS kn FROM kept)
+          SELECT r.source, r.raw_docs,
+                 CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+                 (r.raw_docs * 10000) // rn AS raw_share_bp,
+                 (coalesce(k.kept_docs, 0) * 10000) // kn AS kept_share_bp,
+                 (coalesce(k.kept_docs, 0) * 10000) // kn
+                   - (r.raw_docs * 10000) // rn AS delta_bp
+          FROM raw r LEFT JOIN kept k USING (source)
+          CROSS JOIN rt CROSS JOIN kt
+          ORDER BY r.source"""
   )
 }

@@ -579,6 +579,73 @@ object TextQueries {
         .select(col("n_merges"), col("total_tokens"),
           expr("(total_tokens * 10000) DIV base_tokens").as("compression_bp"))
         .orderBy("n_merges")
+    }),
+
+    // LEXICAL CONCENTRATION audit — the diversity lens q244's TTR
+    // misses: two sources can share a type/token ratio while one
+    // spreads mass evenly and the other is 40% a single word. Per
+    // source: Gini–Simpson diversity 1 − Σp² in integer bp (each
+    // term's p is first fixed to bp — c·10000 DIV N — then weighted by
+    // its count and renormalized, identical truncation both engines;
+    // no float Σp² whose summation order could drift), plus the
+    // dominant word and its bp share — the release report reads both
+    // (low diversity + a stopword dominant is prose; low diversity +
+    // a content-word dominant is a template scrape).
+    // Scale: ONE (source, word) posting shuffle with map-side partial
+    // counts — the q125/q66 discipline; the Σ over types and the
+    // dominant-word argmax are per-source aggregates over the posting
+    // table, and the struct-max argmax needs no second window pass.
+    "q253_lexical_diversity" -> ((s, d) => {
+      val posting = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds three branches; materialize the shuffle once
+      val totals = posting.groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          max(col("c")).as("top_c"))
+      val dom = posting.join(broadcast(totals.select("source", "top_c")), "source")
+        .filter(col("c") === col("top_c"))
+        .groupBy("source").agg(max(col("word")).as("top_word"))
+      val conc = posting.join(broadcast(totals.select("source", "n_tokens")), "source")
+        .groupBy("source")
+        .agg(sum(expr("(c * 10000 DIV n_tokens) * c")).as("conc_num"))
+      totals.join(conc, "source").join(dom, "source")
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("10000 - conc_num DIV n_tokens").as("simpson_bp"),
+          col("top_word"),
+          expr("(top_c * 10000) DIV n_tokens").as("top_share_bp"))
+        .orderBy("source")
+    }),
+
+    // WORD BURSTINESS — the Church–Gale dispersion statistic TF-IDF
+    // and PMI don't expose: a word's variance-to-mean ratio of
+    // per-document counts (zeros included). Function words hover near
+    // VMR ≈ 1 (Poisson-ish scatter); topical/template words are
+    // BURSTY — absent almost everywhere, dense where they land. For
+    // the 20 heaviest words (count desc, word tie-break):
+    // vmr_c = 100·(N·Σc² − (Σc)²) DIV (N·Σc) — the ×100 fixed-point
+    // VMR, exact in BIGINT (N·Σc²·100 ≲ 1.4e18 at sf10; the bound is
+    // documented, not hoped).
+    // Scale: one (doc, word) shuffle for per-doc counts, one word-
+    // keyed rollup for the moments (both map-side combined), and the
+    // top-20 is TakeOrderedAndProject — per-partition heaps, never a
+    // full sort of the vocabulary.
+    "q254_word_burstiness" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val perDoc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      perDoc.groupBy("word")
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("tot"),
+          sum(col("c") * col("c")).as("s2"))
+        .crossJoin(broadcast(n))
+        .select(col("word"), col("df"), col("tot"),
+          expr("((n_docs * s2 - tot * tot) * 100) DIV (n_docs * tot)")
+            .as("vmr_c"))
+        .orderBy(col("tot").desc, col("word")).limit(20)
     })
   )
 
@@ -961,7 +1028,44 @@ object TextQueries {
                  CAST((total_tokens * 10000) // base_tokens AS BIGINT)
                    AS compression_bp
           FROM tc, base ORDER BY n_merges"""
-    }
+    },
+
+    "q253_lexical_diversity" ->
+      """WITH posting AS (SELECT source, word, count(*) AS c FROM (
+                            SELECT source, unnest(str_split(text, ' ')) AS word
+                            FROM documents)
+                          WHERE word <> '' GROUP BY 1, 2),
+          totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                            count(*) AS n_types, CAST(max(c) AS BIGINT) AS top_c
+                     FROM posting GROUP BY source),
+          dom AS (SELECT p.source, max(p.word) AS top_word
+                  FROM posting p JOIN totals t USING (source)
+                  WHERE p.c = t.top_c GROUP BY p.source),
+          conc AS (SELECT p.source,
+                          CAST(sum((p.c * 10000 // t.n_tokens) * p.c)
+                               AS BIGINT) AS conc_num
+                   FROM posting p JOIN totals t USING (source)
+                   GROUP BY p.source)
+          SELECT t.source, t.n_tokens, t.n_types,
+                 10000 - conc.conc_num // t.n_tokens AS simpson_bp,
+                 dom.top_word,
+                 (t.top_c * 10000) // t.n_tokens AS top_share_bp
+          FROM totals t JOIN conc USING (source) JOIN dom USING (source)
+          ORDER BY t.source""",
+
+    "q254_word_burstiness" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+          perdoc AS (SELECT doc_id, word, count(*) AS c FROM (
+                       SELECT doc_id, unnest(str_split(text, ' ')) AS word
+                       FROM documents)
+                     WHERE word <> '' GROUP BY 1, 2),
+          mom AS (SELECT word, count(*) AS df, CAST(sum(c) AS BIGINT) AS tot,
+                         CAST(sum(c * c) AS BIGINT) AS s2
+                  FROM perdoc GROUP BY word)
+          SELECT word, df, tot,
+                 ((n_docs * s2 - tot * tot) * 100) // (n_docs * tot) AS vmr_c
+          FROM mom CROSS JOIN n
+          ORDER BY tot DESC, word LIMIT 20"""
   )
 
   /** The unrolled BPE training chain (w, s0, then p$i/t$i/s$i per round)

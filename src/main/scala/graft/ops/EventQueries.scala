@@ -609,38 +609,25 @@ object EventQueries {
     // counts on one (type, day) shuffle); the folded array is
     // retention-window-sized per type, the q177/q215 series contract.
     "q247_cusum_changepoint" -> ((s, d) => {
-      val rolled = Tables.events(s, d)
+      cusumAlarms(Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt")))
+    }),
+
+    // STREAMING twin of q247 — the sustained-shift monitor fed by the
+    // micro-batched events source, by exactly the q220 discipline: the
+    // daily census runs as a Complete-mode streaming aggregation
+    // (state = types × days, retention-bounded), and the sequential
+    // CUSUM fold runs over the drained census exactly as in batch.
+    // Graded against the SAME oracle as q247 — equality proves the
+    // streamed rollup lost nothing.
+    "q251_stream_cusum" -> ((s, d) => {
+      val ev = graft.streaming.StreamingPipelines.eventsStream(s, d)
         .groupBy(col("event_type"),
           expr("unix_micros(ts) DIV 86400000000").as("day"))
         .agg(count(lit(1)).as("cnt"))
-      val d0 = rolled.agg(min(col("day")).as("d0"))
-      val daily = rolled.crossJoin(broadcast(d0))
-        .select(col("event_type"), col("day"),
-          when(col("day").between(col("d0") + 20, col("d0") + 27),
-            col("cnt") * 2).otherwise(col("cnt")).as("cnt"))
-      daily.groupBy("event_type")
-        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("sr"),
-          count(lit(1)).as("n_days"), sum(col("cnt")).as("tot"))
-        .withColumn("mu", expr("tot DIV n_days"))
-        .withColumn("f", expr(
-          """aggregate(sr,
-               named_struct('spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),
-                 'n_alarms', CAST(0 AS BIGINT), 'first_alarm', CAST(-1 AS BIGINT)),
-               (acc, x) -> CASE WHEN
-                   greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10) > mu DIV 2
-                   OR greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10) > mu DIV 2
-                 THEN named_struct('spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),
-                   'n_alarms', acc.n_alarms + 1,
-                   'first_alarm', IF(acc.first_alarm >= 0, acc.first_alarm, x.day))
-                 ELSE named_struct(
-                   'spos', greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10),
-                   'sneg', greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10),
-                   'n_alarms', acc.n_alarms, 'first_alarm', acc.first_alarm) END)"""))
-        .select(col("event_type"), col("n_days"), col("mu"),
-          col("f.n_alarms").as("n_alarms"),
-          col("f.first_alarm").as("first_alarm_day"),
-          col("f.spos").as("final_spos"), col("f.sneg").as("final_sneg"))
-        .orderBy("event_type")
+      cusumAlarms(graft.streaming.StreamingPipelines.runToCompletion(s, ev))
     }),
 
     // DISTRIBUTION DRIFT between two snapshots — the monitoring op every
@@ -1302,6 +1289,106 @@ object EventQueries {
   /** q215/q220 shared oracle (identical semantics: the streamed census
     * must equal the batch rollup).
     */
+  /** q247/q251's shared CUSUM machinery over a (event_type, day, cnt)
+    * census — ONE definition so the batch and streamed variants can
+    * never diverge (the ewmaAnomalies discipline). Plants the 8-day ×2
+    * level shift, derives μ/slack/threshold from the planted series,
+    * and runs the genuinely-sequential two-sided fold as an
+    * ordered-array aggregate — all integer, bit-exact cross-engine. */
+  private def cusumAlarms(rolled: DataFrame): DataFrame = {
+    val d0 = rolled.agg(min(col("day")).as("d0"))
+    val daily = rolled.crossJoin(broadcast(d0))
+      .select(col("event_type"), col("day"),
+        when(col("day").between(col("d0") + 20, col("d0") + 27),
+          col("cnt") * 2).otherwise(col("cnt")).as("cnt"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("sr"),
+        count(lit(1)).as("n_days"), sum(col("cnt")).as("tot"))
+      .withColumn("mu", expr("tot DIV n_days"))
+      .withColumn("f", expr(
+        """aggregate(sr,
+             named_struct('spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),
+               'n_alarms', CAST(0 AS BIGINT), 'first_alarm', CAST(-1 AS BIGINT)),
+             (acc, x) -> CASE WHEN
+                 greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10) > mu DIV 2
+                 OR greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10) > mu DIV 2
+               THEN named_struct('spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),
+                 'n_alarms', acc.n_alarms + 1,
+                 'first_alarm', IF(acc.first_alarm >= 0, acc.first_alarm, x.day))
+               ELSE named_struct(
+                 'spos', greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10),
+                 'sneg', greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10),
+                 'n_alarms', acc.n_alarms, 'first_alarm', acc.first_alarm) END)"""))
+      .select(col("event_type"), col("n_days"), col("mu"),
+        col("f.n_alarms").as("n_alarms"),
+        col("f.first_alarm").as("first_alarm_day"),
+        col("f.spos").as("final_spos"), col("f.sneg").as("final_sneg"))
+      .orderBy("event_type")
+  }
+
+  private val cusumOracleSql: String =
+      """WITH RECURSIVE rolled AS (SELECT event_type,
+                                          epoch_us(ts) // 86400000000 AS day,
+                                          count(*) AS cnt
+                                   FROM events GROUP BY 1, 2),
+          d0 AS (SELECT min(day) AS d0 FROM rolled),
+          daily AS (SELECT event_type, day,
+                           CAST(CASE WHEN day BETWEEN d0 + 20 AND d0 + 27
+                                     THEN cnt * 2 ELSE cnt END AS BIGINT) AS cnt
+                    FROM rolled CROSS JOIN d0),
+          idx AS (SELECT event_type, day, cnt,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY day) AS i
+                  FROM daily),
+          mm AS (SELECT event_type, count(*) AS n_days,
+                        CAST(sum(cnt) // count(*) AS BIGINT) AS mu
+                 FROM idx GROUP BY 1),
+          cu AS (
+            SELECT x.event_type, x.i,
+                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
+                        THEN 0::BIGINT
+                        ELSE greatest(0, x.cnt - mu - mu // 10) END AS spos,
+                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
+                        THEN 0::BIGINT
+                        ELSE greatest(0, mu - x.cnt - mu // 10) END AS sneg,
+                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
+                        THEN 1::BIGINT ELSE 0::BIGINT END AS n_alarms,
+                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
+                        THEN x.day ELSE -1::BIGINT END AS first_alarm
+            FROM idx x JOIN mm ON mm.event_type = x.event_type
+            WHERE x.i = 1
+            UNION ALL
+            SELECT x.event_type, x.i,
+                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
+                        THEN 0::BIGINT
+                        ELSE greatest(0, e.spos + x.cnt - mu - mu // 10) END,
+                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
+                        THEN 0::BIGINT
+                        ELSE greatest(0, e.sneg + mu - x.cnt - mu // 10) END,
+                   e.n_alarms +
+                     CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
+                            OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
+                          THEN 1 ELSE 0 END,
+                   CASE WHEN e.first_alarm >= 0 THEN e.first_alarm
+                        WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
+                        THEN x.day ELSE -1::BIGINT END
+            FROM cu e
+            JOIN idx x ON x.event_type = e.event_type AND x.i = e.i + 1
+            JOIN mm ON mm.event_type = x.event_type)
+          SELECT c.event_type, mm.n_days, mm.mu, c.n_alarms,
+                 c.first_alarm AS first_alarm_day,
+                 c.spos AS final_spos, c.sneg AS final_sneg
+          FROM cu c JOIN mm ON mm.event_type = c.event_type
+                            AND c.i = mm.n_days
+          ORDER BY c.event_type"""
+
   private val ewmaOracleSql: String =
       """WITH RECURSIVE rolled AS (SELECT event_type,
                                     epoch_us(ts) // 86400000000 AS day,
@@ -1602,68 +1689,8 @@ object EventQueries {
                  max(t_bp) AS max_t_bp
           FROM banded GROUP BY band ORDER BY band""",
 
-    "q247_cusum_changepoint" ->
-      """WITH RECURSIVE rolled AS (SELECT event_type,
-                                          epoch_us(ts) // 86400000000 AS day,
-                                          count(*) AS cnt
-                                   FROM events GROUP BY 1, 2),
-          d0 AS (SELECT min(day) AS d0 FROM rolled),
-          daily AS (SELECT event_type, day,
-                           CAST(CASE WHEN day BETWEEN d0 + 20 AND d0 + 27
-                                     THEN cnt * 2 ELSE cnt END AS BIGINT) AS cnt
-                    FROM rolled CROSS JOIN d0),
-          idx AS (SELECT event_type, day, cnt,
-                         row_number() OVER (PARTITION BY event_type
-                                            ORDER BY day) AS i
-                  FROM daily),
-          mm AS (SELECT event_type, count(*) AS n_days,
-                        CAST(sum(cnt) // count(*) AS BIGINT) AS mu
-                 FROM idx GROUP BY 1),
-          cu AS (
-            SELECT x.event_type, x.i,
-                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
-                        THEN 0::BIGINT
-                        ELSE greatest(0, x.cnt - mu - mu // 10) END AS spos,
-                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
-                        THEN 0::BIGINT
-                        ELSE greatest(0, mu - x.cnt - mu // 10) END AS sneg,
-                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
-                        THEN 1::BIGINT ELSE 0::BIGINT END AS n_alarms,
-                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
-                        THEN x.day ELSE -1::BIGINT END AS first_alarm
-            FROM idx x JOIN mm ON mm.event_type = x.event_type
-            WHERE x.i = 1
-            UNION ALL
-            SELECT x.event_type, x.i,
-                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
-                        THEN 0::BIGINT
-                        ELSE greatest(0, e.spos + x.cnt - mu - mu // 10) END,
-                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
-                        THEN 0::BIGINT
-                        ELSE greatest(0, e.sneg + mu - x.cnt - mu // 10) END,
-                   e.n_alarms +
-                     CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
-                            OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
-                          THEN 1 ELSE 0 END,
-                   CASE WHEN e.first_alarm >= 0 THEN e.first_alarm
-                        WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
-                        THEN x.day ELSE -1::BIGINT END
-            FROM cu e
-            JOIN idx x ON x.event_type = e.event_type AND x.i = e.i + 1
-            JOIN mm ON mm.event_type = x.event_type)
-          SELECT c.event_type, mm.n_days, mm.mu, c.n_alarms,
-                 c.first_alarm AS first_alarm_day,
-                 c.spos AS final_spos, c.sneg AS final_sneg
-          FROM cu c JOIN mm ON mm.event_type = c.event_type
-                            AND c.i = mm.n_days
-          ORDER BY c.event_type""",
+    "q247_cusum_changepoint" -> cusumOracleSql,
+    "q251_stream_cusum" -> cusumOracleSql,
 
     "q242_seasonal_residual" ->
       """WITH rolled AS (SELECT event_type,

@@ -3016,6 +3016,110 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.toSeq == want)
   }
 
+  test("streamed CUSUM equals the batch CUSUM row for row") {
+    val batch = ops.EventQueries.queries("q247_cusum_changepoint")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val streamed = ops.EventQueries.queries("q251_stream_cusum")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      "the streamed census must lose nothing vs the batch rollup")
+  }
+
+  test("Pareto mass report matches a per-source sorted-prefix replay") {
+    val rows = ext.CurationQueries.queries("q252_pareto_mass")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3).toLong, r.getLong(4),
+          r.getLong(5)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).map { case (src, xs) =>
+      val sorted = xs.sortBy { case (_, id, nc) => (-nc, id) }.map(_._3)
+      val total = sorted.sum
+      val cums = sorted.scanLeft(0L)(_ + _).tail
+      val k80 = cums.indexWhere(c => c * 100 >= total * 80) + 1L
+      val t1 = ((xs.length + 99) / 100)
+      val top1 = sorted.take(t1).sum
+      src -> ((xs.length.toLong, total, k80, k80 * 10000L / xs.length,
+        top1 * 10000L / total))
+    }
+    assert(rows == want)
+    // k80 is a valid prefix and the top-1% share can never fall below
+    // uniform mass
+    rows.foreach { case (src, (n, _, k80, _, top1Bp)) =>
+      assert(k80 >= 1 && k80 <= n, s"$src: k80=$k80 of $n")
+      assert(top1Bp * n >= 10000L * ((n + 99) / 100) - n,
+        s"$src: top1pct below uniform")
+    }
+  }
+
+  test("lexical diversity equals an integer Simpson replay") {
+    val rows = ext.TextQueries.queries("q253_lexical_diversity")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getLong(5)))).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+    val want = toks.toSeq.groupBy(_._1).map { case (src, xs) =>
+      val counts = xs.groupBy(_._2).map { case (w, ys) => w -> ys.length.toLong }
+      val n = xs.length.toLong
+      val conc = counts.values.map(c => (c * 10000L / n) * c).sum
+      val topC = counts.values.max
+      val topW = counts.filter(_._2 == topC).keys.max
+      src -> ((n, counts.size.toLong, 10000L - conc / n, topW,
+        topC * 10000L / n))
+    }
+    assert(rows == want)
+  }
+
+  test("word burstiness matches an exact moment replay and function words sit near VMR 1") {
+    val rows = ext.TextQueries.queries("q254_word_burstiness")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = docs.length.toLong
+    val perWord = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, xs) => (w, xs.length.toLong) }
+    }.groupBy(_._1)
+    rows.foreach { case (w, df, tot, vmr) =>
+      val cs = perWord(w).map(_._2)
+      assert(df == cs.length.toLong && tot == cs.sum)
+      val s2 = cs.map(c => c * c).sum
+      assert(vmr == (nDocs * s2 - tot * tot) * 100L / (nDocs * tot), s"word $w")
+    }
+    // the top-20 is descending by total count with word tie-break
+    assert(rows.map(r => (-r._3, r._1)).sorted.map(_._2).toSeq == rows.map(_._1).toSeq)
+  }
+
+  test("dedup impact is consistent with q54's clusters and spends every doc once") {
+    val impact = ext.DedupQueries.queries("q255_dedup_impact")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val clusters = ext.DedupQueries.queries("q54_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = clusters.groupBy { case (id, _) => srcOf(id % 1000000L) }
+      .map { case (src, xs) =>
+        src -> ((xs.length.toLong, xs.count { case (id, cl) => id == cl }.toLong))
+      }
+    assert(impact.view.mapValues(v => (v._1, v._2)).toMap == want)
+    // raw counts partition the corpus; kept counts partition the clusters
+    assert(impact.values.map(_._1).sum == clusters.length.toLong)
+    assert(impact.values.map(_._2).sum ==
+      clusters.map(_._2).distinct.length.toLong)
+    // shares reconcile against the replayed totals (truncating bp)
+    val (rn, kn) = (clusters.length.toLong, clusters.map(_._2).distinct.length.toLong)
+    impact.foreach { case (src, (raw, kept, rawBp, keptBp, deltaBp)) =>
+      assert(rawBp == raw * 10000L / rn && keptBp == kept * 10000L / kn)
+      assert(deltaBp == keptBp - rawBp, src)
+    }
+  }
+
   test("Benford audit digits partition each column and match a direct replay") {
     val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
