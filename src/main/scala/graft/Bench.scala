@@ -106,6 +106,8 @@ object Bench {
       "q248_clustering_coefficient" -> 4.0,
       "q251_stream_cusum"           -> 2.4,
       "q255_dedup_impact"           -> 7.0,
+      "q258_degree_assortativity"   -> 3.4,
+      "q259_tokenizer_fertility"    -> 2.0,
       "q231_rerank_cascade"         -> 6.6,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,

@@ -474,23 +474,7 @@ object GraphQueries {
     // rides the π-ordered triangleCounts machinery; the band rollup is
     // control-plane-sized.
     "q248_clustering_coefficient" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val co = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("cu"), col("b.sk").as("cv"))
-        .agg(count(lit(1)).as("c"))
-      val dir = co.select(col("cu").as("n"), col("cv").as("nbr"), col("c"))
-        .unionByName(co.select(col("cv").as("n"), col("cu").as("nbr"), col("c")))
-      val wk = Window.partitionBy(col("n"))
-        .orderBy(col("c").desc, col("nbr"))
-      val bb = dir.withColumn("rk", row_number().over(wk))
-        .filter(col("rk") <= KnnDegreeCap)
-        .select(least(col("n"), col("nbr")).as("u"),
-          greatest(col("n"), col("nbr")).as("v"))
-        .distinct()
-        .localCheckpoint()
+      val bb = knnBackbone(s, d).localCheckpoint()
       val deg = bb.select(col("u").as("node"))
         .unionByName(bb.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -511,6 +495,42 @@ object GraphQueries {
           min(col("coeff_bp")).as("min_coeff_bp"),
           max(col("coeff_bp")).as("max_coeff_bp"))
         .orderBy("band")
+    }),
+
+    // DEGREE ASSORTATIVITY — do hubs link to hubs (r > 0, social-style)
+    // or to leaves (r < 0, internet-style)? The one-number structural
+    // fingerprint that picks between graph algorithms (e.g. hub-
+    // percolation robustness). Newman's r over the symmetrized q248
+    // union-kNN backbone: every undirected edge contributes both
+    // orientations, so Σj = Σk and r = (M·Σjk − (Σj)²) /
+    // (M·Σj² − (Σj)²). The three moments are EXACT BIGINTs (degree ≤
+    // 2·cap, so M·Σjk ≲ 1e15 at sf10); only the final ratio is a
+    // double — one division of two exact integers, deterministic to
+    // the bit on both engines (the q56 exact-moments discipline).
+    // Scale: two node-keyed joins decorate edges with endpoint degrees
+    // (degree table is |V| rows), then ONE one-row moment aggregate.
+    "q258_degree_assortativity" -> ((s, d) => {
+      val bb = knnBackbone(s, d).localCheckpoint()
+      val deg = bb.select(col("u").as("node"))
+        .unionByName(bb.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val dd = bb
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      dd.agg(count(lit(1)).as("n_edges"),
+          sum(col("du") + col("dv")).as("sj"),
+          sum(col("du") * col("du") + col("dv") * col("dv")).as("sj2"),
+          (sum(col("du") * col("dv")) * 2).as("sjk"))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+        .select(col("n_nodes"), col("n_edges"),
+          expr("2 * n_edges * sjk - sj * sj").as("num"),
+          expr("2 * n_edges * sj2 - sj * sj").as("den"))
+        .select(col("n_nodes"), col("n_edges"), col("num"), col("den"),
+          // a regular graph has zero degree variance — r is undefined;
+          // a pinned 0.0 beats NaN-vs-NULL cross-engine drift
+          when(col("den") === 0L, lit(0.0))
+            .otherwise(col("num").cast("double") / col("den").cast("double"))
+            .as("assortativity_r"))
     })
   )
 
@@ -534,9 +554,52 @@ object GraphQueries {
     * wedge enumeration. */
   private[ext] val TriangleEdgeBudget = 5000
 
-  /** q248: per-node heaviest-edge cap for the union-kNN backbone —
+  /** q248/q258: per-node heaviest-edge cap for the union-kNN backbone —
     * bounds any node's degree at ≤ 2·cap regardless of corpus scale. */
   private[ext] val KnnDegreeCap = 8
+
+  /** DuckDB twin of [[knnBackbone]] — yields the `edges` CTE. */
+  private val oKnnBackboneCtes: String =
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+              FROM lineitem),
+          co AS (SELECT a.sk AS cu, b.sk AS cv, count(*) AS c
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+                 GROUP BY 1, 2),
+          dir AS (SELECT cu AS n, cv AS nbr, c FROM co
+                  UNION ALL SELECT cv, cu, c FROM co),
+          pick AS (SELECT n, nbr FROM (
+                     SELECT n, nbr,
+                            row_number() OVER (PARTITION BY n
+                                               ORDER BY c DESC, nbr) AS rk
+                     FROM dir) WHERE rk <= $KnnDegreeCap),
+          edges AS (SELECT DISTINCT least(n, nbr) AS u,
+                                    greatest(n, nbr) AS v
+                    FROM pick)"""
+
+  /** The q248/q258 union-kNN supplier backbone: each supplier keeps its
+    * [[KnnDegreeCap]] heaviest co-order edges (count desc, neighbor-id
+    * tie-break); an undirected edge survives if EITHER endpoint kept it.
+    * Unlike [[supplierBackbone]]'s global budget (degenerate below sf0.1
+    * where the co-occurrence graph is complete), per-node capping keeps
+    * the graph sparse at every corpus scale. */
+  private[graft] def knnBackbone(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val co = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("cu"), col("b.sk").as("cv"))
+      .agg(count(lit(1)).as("c"))
+    val dir = co.select(col("cu").as("n"), col("cv").as("nbr"), col("c"))
+      .unionByName(co.select(col("cv").as("n"), col("cu").as("nbr"), col("c")))
+    val wk = Window.partitionBy(col("n"))
+      .orderBy(col("c").desc, col("nbr"))
+    dir.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= KnnDegreeCap)
+      .select(least(col("n"), col("nbr")).as("u"),
+        greatest(col("n"), col("nbr")).as("v"))
+      .distinct()
+  }
 
   /** q144's unrolled frontier-relaxation rounds. */
   private[ext] val BfsRounds = 3
@@ -893,21 +956,7 @@ object GraphQueries {
           ORDER BY n_triangles DESC, supplier LIMIT 20""",
 
     "q248_clustering_coefficient" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-                     FROM lineitem),
-          co AS (SELECT a.sk AS cu, b.sk AS cv, count(*) AS c
-                 FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
-                 GROUP BY 1, 2),
-          dir AS (SELECT cu AS n, cv AS nbr, c FROM co
-                  UNION ALL SELECT cv, cu, c FROM co),
-          pick AS (SELECT n, nbr FROM (
-                     SELECT n, nbr,
-                            row_number() OVER (PARTITION BY n
-                                               ORDER BY c DESC, nbr) AS rk
-                     FROM dir) WHERE rk <= $KnnDegreeCap),
-          edges AS (SELECT DISTINCT least(n, nbr) AS u,
-                                    greatest(n, nbr) AS v
-                    FROM pick),
+      s"""WITH $oKnnBackboneCtes,
           deg AS (SELECT n, count(*) AS deg FROM (
                     SELECT u AS n FROM edges
                     UNION ALL SELECT v FROM edges) GROUP BY n),
@@ -946,6 +995,30 @@ object GraphQueries {
           SELECT band, count(*) AS n_nodes,
                  CAST(sum(tri) AS BIGINT) AS sum_triangles,
                  min(coeff_bp) AS min_coeff_bp, max(coeff_bp) AS max_coeff_bp
-          FROM banded GROUP BY band ORDER BY band"""
+          FROM banded GROUP BY band ORDER BY band""",
+
+    "q258_degree_assortativity" ->
+      s"""WITH $oKnnBackboneCtes,
+          deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+                    SELECT u AS n FROM edges
+                    UNION ALL SELECT v FROM edges) GROUP BY n),
+          dd AS (SELECT du.deg AS du, dv.deg AS dv
+                 FROM edges
+                 JOIN deg du ON du.n = edges.u
+                 JOIN deg dv ON dv.n = edges.v),
+          mom AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                         CAST(sum(du + dv) AS BIGINT) AS sj,
+                         CAST(sum(du * du + dv * dv) AS BIGINT) AS sj2,
+                         CAST(2 * sum(du * dv) AS BIGINT) AS sjk
+                  FROM dd),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+          SELECT n_nodes, n_edges,
+                 CAST(2 * n_edges * sjk - sj * sj AS BIGINT) AS num,
+                 CAST(2 * n_edges * sj2 - sj * sj AS BIGINT) AS den,
+                 CASE WHEN 2 * n_edges * sj2 - sj * sj = 0 THEN 0.0
+                      ELSE CAST(2 * n_edges * sjk - sj * sj AS DOUBLE)
+                           / CAST(2 * n_edges * sj2 - sj * sj AS DOUBLE)
+                 END AS assortativity_r
+          FROM mom CROSS JOIN nn"""
   )
 }

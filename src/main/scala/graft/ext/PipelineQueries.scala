@@ -265,6 +265,50 @@ object PipelineQueries {
           (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
             .as("alloc"))
         .orderBy("source")
+    }),
+
+    // SPLIT BALANCE audit — the two-sample Kolmogorov–Smirnov check run
+    // AFTER q68's hash split and BEFORE training: val and test must
+    // look like train on the covariates that matter (here n_chars), or
+    // eval numbers measure the split, not the model. The KS D statistic
+    // is integerized: at every distinct n_chars value the CDF gap is
+    // compared via the cross-multiplied |cumA·nB − cumB·nA| (EXACT — no
+    // per-point truncation can reorder the argmax), the max converts to
+    // bp once at the end, and the witness value where the gap peaks is
+    // tie-broken to the smallest n_chars. BIGINT bound: nA·nB·10⁴
+    // ≲ 6e18 at sf10 — documented, not hoped.
+    // Scale: one map-side split labeling + one (split, n_chars) rollup;
+    // everything after runs on the value grid (distinct n_chars —
+    // domain-bounded, the q228 histogram contract), windows included.
+    "q257_split_balance" -> ((s, d) => {
+      val h = Tables.documents(s, d)
+        .withColumn("hv",
+          expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"))
+        .withColumn("split",
+          when(col("hv") < 13, "train").when(col("hv") < 15, "val").otherwise("test"))
+      val cnt = h.groupBy("split", "n_chars").agg(count(lit(1)).as("c"))
+      val grid = h.select("n_chars").distinct()
+      val wv = Window.partitionBy(col("split")).orderBy(col("n_chars"))
+      val cum = grid.crossJoin(cnt.select(col("split")).distinct())
+        .join(cnt, Seq("split", "n_chars"), "left")
+        .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(wv))
+        .select("split", "n_chars", "cum")
+      val tot = h.groupBy("split").agg(count(lit(1)).as("n"))
+      def side(sp: String, pfx: String) = cum
+        .filter(col("split") === sp)
+        .crossJoin(broadcast(tot.filter(col("split") === sp)
+          .select(col("n").as(s"n_$pfx"))))
+        .select(col("n_chars"), col("cum").as(s"cum_$pfx"), col(s"n_$pfx"))
+      def ks(spB: String) = side("train", "a").join(side(spB, "b"), "n_chars")
+        .select(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+            .as("gap"),
+          col("n_chars"), col("n_a"), col("n_b"))
+        .agg(max(struct(col("gap"), (lit(0L) - col("n_chars")).as("neg"))).as("m"),
+          max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+        .select(lit(s"train_vs_$spB").as("pair"), col("n_a"), col("n_b"),
+          expr("(m.gap * 10000) DIV (n_a * n_b)").as("ks_bp"),
+          (lit(0L) - col("m.neg")).as("at_chars"))
+      ks("val").unionByName(ks("test")).orderBy("pair")
     })
   )
 
@@ -444,6 +488,45 @@ object PipelineQueries {
                  CAST(weight AS BIGINT) AS weight,
                  CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END
                       AS BIGINT) AS alloc
-          FROM ranked CROSS JOIN short ORDER BY source"""
+          FROM ranked CROSS JOIN short ORDER BY source""",
+
+    "q257_split_balance" ->
+      """WITH h AS (SELECT n_chars,
+                           CASE WHEN hv < 13 THEN 'train'
+                                WHEN hv < 15 THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM (SELECT n_chars,
+                                 strpos('0123456789abcdef',
+                                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                                   AS hv
+                          FROM documents)),
+          cnt AS (SELECT split, n_chars, count(*) AS c FROM h GROUP BY 1, 2),
+          grid AS (SELECT DISTINCT n_chars FROM h),
+          sp AS (SELECT DISTINCT split FROM h),
+          cum AS (SELECT sp.split, grid.n_chars,
+                         CAST(sum(coalesce(cnt.c, 0)) OVER (
+                             PARTITION BY sp.split ORDER BY grid.n_chars)
+                           AS BIGINT) AS cum
+                  FROM grid CROSS JOIN sp
+                  LEFT JOIN cnt ON cnt.split = sp.split
+                               AND cnt.n_chars = grid.n_chars),
+          tot AS (SELECT split, count(*) AS n FROM h GROUP BY split),
+          ks AS (SELECT 'train_vs_' || b.split AS pair,
+                        ta.n AS n_a, tb.n AS n_b,
+                        abs(a.cum * tb.n - b.cum * ta.n) AS gap,
+                        a.n_chars
+                 FROM cum a
+                 JOIN cum b ON b.n_chars = a.n_chars AND b.split <> 'train'
+                 JOIN tot ta ON ta.split = 'train'
+                 JOIN tot tb ON tb.split = b.split
+                 WHERE a.split = 'train'),
+          best AS (SELECT pair, n_a, n_b, gap, n_chars,
+                          row_number() OVER (PARTITION BY pair
+                                             ORDER BY gap DESC, n_chars) AS rn
+                   FROM ks)
+          SELECT pair, n_a, n_b,
+                 (gap * 10000) // (n_a * n_b) AS ks_bp,
+                 n_chars AS at_chars
+          FROM best WHERE rn = 1 ORDER BY pair"""
   )
 }

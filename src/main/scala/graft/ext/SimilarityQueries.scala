@@ -707,6 +707,69 @@ object SimilarityQueries {
         .groupBy("cluster")
         .agg(count(lit(1)).as("n_members"), davg(col("nrm"), 6).as("avg_nrm"))
         .orderBy("cluster")
+    }),
+
+    // SCALAR-QUANTIZATION recall sweep — the storage rung between q213's
+    // Matryoshka truncation (fewer dims) and q122's PQ (codebooks):
+    // keep every dim, shrink every value to b bits. For b ∈ {2,4,6,8},
+    // base vectors quantize per-dim to round-half-up integers in
+    // [−(2^(b−1)−1), 2^(b−1)−1] (floor(x·s + 0.5) — floor is the
+    // rounding-mode-free cross-engine rounding, the q228/q122 trick)
+    // and dequantize to q/s; queries stay fp32 — the asymmetric-distance
+    // deployment shape. Recall@5 of each rung against the fp truth in
+    // one pass: every (query, base) pair scores all four rungs plus
+    // truth from ONE broadcast cross join (the q189/q213 one-pass-
+    // prices-the-curve discipline).
+    // Scale: the q50 bounded-cohort contract — the demo query set is
+    // 10 vectors, so the cross join is |base|×10 with a broadcast
+    // small side; production swaps the scorer for the q51/q194 IVF
+    // route, the eval harness is unchanged.
+    "q256_sq_recall" -> ((s, d) => {
+      val bits = Seq(2, 4, 6, 8)
+      def scale(b: Int): Int = (1 << (b - 1)) - 1
+      val pre = bits.foldLeft(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            VectorOps.norm(col("embedding")).as("nf"))) { (acc, b) =>
+        val s0 = scale(b)
+        acc.withColumn(s"r$b", expr(
+            s"transform(embedding, x -> floor(CAST(x AS DOUBLE) * $s0 + 0.5) / $s0)"))
+          .withColumn(s"n$b", VectorOps.norm(col(s"r$b")))
+      }
+      val q = pre.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nf").as("qn"))
+      val scored = pre.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          explode(array(
+            struct(lit(0).as("b"),
+              (VectorOps.dotSeq(col("qe"), col("embedding")) /
+                (col("qn") * col("nf"))).as("cos")) +:
+            bits.map(b => struct(lit(b).as("b"),
+              // a vector can quantize to all-zero at low bit widths
+              // (|x| < 1/2s) — a pinned -2 sorts below every real
+              // cosine on BOTH engines instead of NaN-vs-NULL drift
+              when(col(s"n$b") === 0.0, lit(-2.0))
+                .otherwise(VectorOps.dotSeq(col("qe"), col(s"r$b")) /
+                  (col("qn") * col(s"n$b"))).as("cos"))): _*)).as("bc"))
+        .select(col("qid"), col("vec_id"), col("bc.b").as("b"),
+          col("bc.cos").as("cos"))
+      val rw = Window.partitionBy("qid", "b")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val top = scored.withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 5)
+      val truth = top.filter(col("b") === 0).select(col("qid"), col("vec_id"))
+      val truthN = truth.agg(count(lit(1)).as("n_truth"))
+      val hits = top.filter(col("b") =!= 0).join(truth, Seq("qid", "vec_id"))
+        .groupBy("b").agg(count(lit(1)).as("n_hits"))
+      pre.sparkSession.range(1)
+        .select(explode(array(bits.map(lit(_)): _*)).as("b"))
+        .join(hits, Seq("b"), "left")
+        .crossJoin(broadcast(truthN))
+        .select(col("b").as("bits"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("(coalesce(n_hits, 0) * 10000) DIV n_truth").as("recall_bp"))
+        .orderBy("bits")
     })
   )
 
@@ -1287,6 +1350,52 @@ object SimilarityQueries {
                                                 ORDER BY ccos DESC, cid) AS rn
                    FROM s2) WHERE rn = 1)
           SELECT cluster, count(*) AS n_members, ${oAvg("nrm", 6)} AS avg_nrm
-          FROM a2 GROUP BY cluster ORDER BY cluster"""
+          FROM a2 GROUP BY cluster ORDER BY cluster""",
+
+    "q256_sq_recall" -> {
+      val bits = Seq(2, 4, 6, 8)
+      def scale(b: Int): Int = (1 << (b - 1)) - 1
+      val preCols = bits.map { b =>
+        val s0 = scale(b)
+        s"""list_transform(embedding,
+              x -> floor(CAST(x AS DOUBLE) * $s0 + 0.5) / $s0) AS r$b"""
+      }.mkString(", ")
+      val normCols = bits.map(b =>
+        s"${VectorOps.oNorm(s"r$b")} AS n$b").mkString(", ")
+      val scoredSql = (s"""SELECT q.qid, p.vec_id, 0 AS b,
+              ${VectorOps.oDot("q.qe", "p.embedding")} / (q.qn * p.nf) AS cos
+            FROM pre p CROSS JOIN q WHERE p.vec_id <> q.qid""" +:
+        bits.map(b =>
+          s"""SELECT q.qid, p.vec_id, $b AS b,
+                CASE WHEN p.n$b = 0 THEN -2.0
+                     ELSE ${VectorOps.oDot("q.qe", s"p.r$b")} / (q.qn * p.n$b)
+                END AS cos
+              FROM pre p CROSS JOIN q WHERE p.vec_id <> q.qid"""))
+        .mkString("\n UNION ALL ")
+      s"""WITH pre0 AS (SELECT vec_id, embedding,
+                              ${VectorOps.oNorm("embedding")} AS nf, $preCols
+                        FROM embeddings),
+          pre AS (SELECT *, $normCols FROM pre0),
+          q AS (SELECT vec_id AS qid, embedding AS qe, nf AS qn
+                FROM pre WHERE vec_id < 10),
+          scored AS ($scoredSql),
+          top5 AS (SELECT b, qid, vec_id FROM (
+                     SELECT b, qid, vec_id,
+                            row_number() OVER (PARTITION BY qid, b
+                                               ORDER BY cos DESC, vec_id) AS rank
+                     FROM scored) WHERE rank <= 5),
+          truth AS (SELECT qid, vec_id FROM top5 WHERE b = 0),
+          tn AS (SELECT count(*) AS n_truth FROM truth),
+          hits AS (SELECT b, count(*) AS n_hits
+                   FROM top5 JOIN truth USING (qid, vec_id)
+                   WHERE b <> 0 GROUP BY b),
+          dm AS (SELECT unnest([${bits.mkString(", ")}]) AS b)
+          SELECT dm.b AS bits,
+                 CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+                 CAST(coalesce(hits.n_hits, 0) * 10000 // tn.n_truth AS BIGINT)
+                   AS recall_bp
+          FROM dm LEFT JOIN hits ON hits.b = dm.b CROSS JOIN tn
+          ORDER BY bits"""
+    }
   )
 }

@@ -487,19 +487,7 @@ object TextQueries {
     // SQL, so no escaping hazard. Output: the most frequent word
     // types with their post-merge tokenization and compression.
     "q134_bpe_encode" -> ((s, d) => {
-      val words = wordTypes(Tables.documents(s, d))
-      val sym0 = words.select(col("word"), col("n"),
-        regexp_replace(col("word"), "(.)", " $1;").as("symstr"))
-      val merges: Seq[String] = pairCounts(sym0.select("symstr", "n"))
-        .orderBy(col("cnt").desc, col("pair")).limit(EncodeMerges)
-        .select("pair").collect().map(_.getString(0)).toSeq
-      val enc = merges.foldLeft(sym0) { (df, mp) =>
-        df.select(col("word"), col("n"),
-          call_function("replace", col("symstr"),
-            lit(" " + mp.replace(" ", "; ") + ";"),
-            lit(" " + mp.replace(" ", "") + ";")).as("symstr"))
-      }
-      enc
+      bpeEncodedTypes(Tables.documents(s, d))
         .withColumn("syms",
           expr("filter(transform(split(symstr, ';'), x -> trim(x)), x -> x <> '')"))
         .select(col("word"), col("n"),
@@ -646,6 +634,38 @@ object TextQueries {
           expr("((n_docs * s2 - tot * tot) * 100) DIV (n_docs * tot)")
             .as("vmr_c"))
         .orderBy(col("tot").desc, col("word")).limit(20)
+    }),
+
+    // TOKENIZER FERTILITY by language — the per-cohort cost metric a
+    // multilingual tokenizer review reads: average BPE tokens per word
+    // (fertility) and characters per token, per lang, under the SAME
+    // global q134 merge table (a shared tokenizer serves every
+    // language; per-lang training would hide exactly the imbalance
+    // this measures). A high-fertility language pays more sequence
+    // length per word of content — the q217 token-budget lens, priced
+    // per language. Centi-fixed-point integers throughout.
+    // Scale: the encode stage is per word TYPE (vocabulary-sized, the
+    // q134 contract); the per-(lang, word) counts ride one posting
+    // shuffle; the final rollup is |langs| rows.
+    "q259_tokenizer_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val enc = bpeEncodedTypes(docs)
+        .select(col("word"),
+          expr("size(filter(transform(split(symstr, ';'), x -> trim(x)), x -> x <> ''))")
+            .cast("long").as("toks"))
+      val perLang = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      perLang.join(enc, "word")
+        .groupBy("lang")
+        .agg(sum(col("n")).as("n_words"),
+          sum(col("n") * col("toks")).as("n_tokens"),
+          sum(col("n") * length(col("word")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          expr("(n_tokens * 100) DIV n_words").as("fertility_c"),
+          expr("(n_chars * 100) DIV n_tokens").as("chars_per_token_c"))
+        .orderBy("lang")
     })
   )
 
@@ -700,6 +720,25 @@ object TextQueries {
     docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** q134/q259's shared encode stage: the corpus word-type table with
+    * each type's symbol string after applying the [[EncodeMerges]]
+    * highest-ranked merges from one global pair-count pass. The merge
+    * list is control-plane (≤ [[EncodeMerges]] rows collected); the
+    * encode itself is a map-side replace chain over |types| rows. */
+  private def bpeEncodedTypes(docs: DataFrame): DataFrame = {
+    val sym0 = wordTypes(docs).select(col("word"), col("n"),
+      regexp_replace(col("word"), "(.)", " $1;").as("symstr"))
+    val merges: Seq[String] = pairCounts(sym0.select("symstr", "n"))
+      .orderBy(col("cnt").desc, col("pair")).limit(EncodeMerges)
+      .select("pair").collect().map(_.getString(0)).toSeq
+    merges.foldLeft(sym0) { (df, mp) =>
+      df.select(col("word"), col("n"),
+        call_function("replace", col("symstr"),
+          lit(" " + mp.replace(" ", "; ") + ";"),
+          lit(" " + mp.replace(" ", "") + ";")).as("symstr"))
+    }
+  }
 
   /** Adjacent-symbol pair counts over a ` sym;`-rendered word-type table
     * (symstr, n), weighted by word-type count — the counting stage of
@@ -869,32 +908,8 @@ object TextQueries {
                 FROM p1)
           WHERE rank <= 20 ORDER BY rank""",
 
-    "q134_bpe_encode" -> {
-      // LEFT JOIN ON TRUE + CASE, not CROSS JOIN: a missing rank i must
-      // be a no-op, not annihilate the table (mirrors the Spark fold,
-      // which simply has fewer merges to apply)
-      val encSteps = (1 to EncodeMerges).map { i =>
-        s"""e$i AS (SELECT word, n,
-                           CASE WHEN mp IS NULL THEN symstr
-                                ELSE replace(symstr,
-                                             ' ' || replace(mp, ' ', '; ') || ';',
-                                             ' ' || replace(mp, ' ', '') || ';')
-                           END AS symstr
-                    FROM e${i - 1}
-                    LEFT JOIN (SELECT pair AS mp FROM ranked WHERE r = $i)
-                      ON TRUE)"""
-      }.mkString(",\n")
-      s"""WITH w AS (SELECT word, count(*) AS n
-                     FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
-                     WHERE word <> '' GROUP BY word),
-          e0 AS (SELECT word, n,
-                        regexp_replace(word, '(.)', ' ${"\\1"};', 'g') AS symstr
-                 FROM w),
-          s0 AS (SELECT symstr, n FROM e0),
-          ${oPairCounts("s0", "p0")},
-          ranked AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS r
-                     FROM p0),
-          $encSteps
+    "q134_bpe_encode" ->
+      s"""WITH $oEncodeCtes
           SELECT word, CAST(n AS BIGINT) AS n,
                  CAST(length(word) AS BIGINT) AS n_chars,
                  CAST(len(syms) AS BIGINT) AS n_tokens,
@@ -904,8 +919,28 @@ object TextQueries {
                                                   x -> trim(x)),
                                    x -> x <> '') AS syms
                 FROM e$EncodeMerges)
-          ORDER BY n DESC, word LIMIT 30"""
-    },
+          ORDER BY n DESC, word LIMIT 30""",
+
+    "q259_tokenizer_fertility" ->
+      s"""WITH $oEncodeCtes,
+          enc AS (SELECT word,
+                         CAST(len(list_filter(list_transform(
+                             str_split(symstr, ';'), x -> trim(x)),
+                             x -> x <> '')) AS BIGINT) AS toks
+                  FROM e$EncodeMerges),
+          pl AS (SELECT lang, word, count(*) AS n FROM (
+                   SELECT lang, unnest(str_split(text, ' ')) AS word
+                   FROM documents)
+                 WHERE word <> '' GROUP BY 1, 2)
+          SELECT pl.lang, CAST(sum(pl.n) AS BIGINT) AS n_words,
+                 CAST(sum(pl.n * enc.toks) AS BIGINT) AS n_tokens,
+                 CAST(sum(pl.n * enc.toks) * 100 // sum(pl.n) AS BIGINT)
+                   AS fertility_c,
+                 CAST(sum(pl.n * length(pl.word)) * 100
+                      // sum(pl.n * enc.toks) AS BIGINT)
+                   AS chars_per_token_c
+          FROM pl JOIN enc USING (word)
+          GROUP BY pl.lang ORDER BY pl.lang""",
 
     "q136_quality_classifier" ->
       """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
@@ -1070,6 +1105,37 @@ object TextQueries {
 
   /** The unrolled BPE training chain (w, s0, then p$i/t$i/s$i per round)
     * shared by the q191 and q197 oracles — one copy of the round SQL. */
+  /** DuckDB twin of [[bpeEncodedTypes]] — the q134/q259 shared encode
+    * chain: global word types, the ONE-pass merge ranking, and the
+    * e0..e[[EncodeMerges]] replace ladder. LEFT JOIN ON TRUE + CASE,
+    * not CROSS JOIN: a missing rank i must be a no-op, not annihilate
+    * the table (mirrors the Spark fold, which simply has fewer merges
+    * to apply). */
+  private def oEncodeCtes: String = {
+    val encSteps = (1 to EncodeMerges).map { i =>
+      s"""e$i AS (SELECT word, n,
+                         CASE WHEN mp IS NULL THEN symstr
+                              ELSE replace(symstr,
+                                           ' ' || replace(mp, ' ', '; ') || ';',
+                                           ' ' || replace(mp, ' ', '') || ';')
+                         END AS symstr
+                  FROM e${i - 1}
+                  LEFT JOIN (SELECT pair AS mp FROM ranked WHERE r = $i)
+                    ON TRUE)"""
+    }.mkString(",\n")
+    s"""w AS (SELECT word, count(*) AS n
+                     FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+                     WHERE word <> '' GROUP BY word),
+          e0 AS (SELECT word, n,
+                        regexp_replace(word, '(.)', ' ${"\\1"};', 'g') AS symstr
+                 FROM w),
+          s0 AS (SELECT symstr, n FROM e0),
+          ${oPairCounts("s0", "p0")},
+          ranked AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS r
+                     FROM p0),
+          $encSteps"""
+  }
+
   private def oBpeTrainCtes: String = {
     val rounds = (1 to EncodeMerges).map { i =>
       s"""${oPairCounts(s"s${i - 1}", s"p$i", mat = true)},

@@ -630,6 +630,43 @@ object EventQueries {
       cusumAlarms(graft.streaming.StreamingPipelines.runToCompletion(s, ev))
     }),
 
+    // TRIMMED MEAN — the robust-location companion to q159's MAD
+    // outlier flags: the mean with the top and bottom 1% of ranked
+    // values discarded, so a fat tail moves the raw mean but not the
+    // trimmed one (shift_c IS the tail-mass diagnostic). Rank-trimming
+    // without sorting the stream, by the q183/q228 bounded-histogram
+    // discipline: per (type, cent) counts, one cumulative window over
+    // the DOMAIN (cents, never events), and each histogram row keeps
+    // kept = max(0, min(cum, n−t) − max(cum−c, t)) of its mass — the
+    // exact overlap of its rank interval with the kept band, so ties
+    // straddling the trim boundary are split exactly, not dropped
+    // whole. All integer; trim count t = n DIV 100 per side.
+    // Scale: one map-side-combined (type, cent) rollup is the only
+    // full-data pass; windows and rollups run on the bounded histogram.
+    "q260_trimmed_mean" -> ((s, d) => {
+      val h = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cent"))
+        .groupBy("event_type", "cent").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("cent")
+      val tot = h.groupBy("event_type")
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("cent")).as("sc"))
+      h.withColumn("cum", sum(col("c")).over(w))
+        .join(broadcast(tot), "event_type")
+        .withColumn("t", expr("n DIV 100"))
+        .withColumn("kept", expr(
+          "greatest(CAST(0 AS BIGINT), least(cum, n - t) - greatest(cum - c, t))"))
+        .groupBy(col("event_type"), col("n"), col("sc"), col("t"))
+        .agg(sum(col("kept")).as("kept_n"),
+          sum(col("kept") * col("cent")).as("kept_sum"))
+        .select(col("event_type"), col("n").as("n_events"),
+          col("t").as("n_trim_each"),
+          expr("sc DIV n").as("raw_mean_c"),
+          expr("kept_sum DIV kept_n").as("trimmed_mean_c"),
+          expr("kept_sum DIV kept_n - sc DIV n").as("shift_c"))
+        .orderBy("event_type")
+    }),
+
     // DISTRIBUTION DRIFT between two snapshots — the monitoring op every
     // production pipeline runs before promoting a new data drop: split
     // events into two cohorts (even/odd epoch-day — balanced and
@@ -1691,6 +1728,30 @@ object EventQueries {
 
     "q247_cusum_changepoint" -> cusumOracleSql,
     "q251_stream_cusum" -> cusumOracleSql,
+
+    "q260_trimmed_mean" ->
+      """WITH h AS (SELECT event_type,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+          tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                         CAST(sum(c * cent) AS BIGINT) AS sc
+                  FROM h GROUP BY 1),
+          cum AS (SELECT h.event_type, cent, c,
+                         CAST(sum(c) OVER (PARTITION BY h.event_type
+                                           ORDER BY cent) AS BIGINT) AS cum,
+                         n, sc, n // 100 AS t
+                  FROM h JOIN tot ON tot.event_type = h.event_type),
+          kept AS (SELECT event_type, n, sc, t,
+                          greatest(0, least(cum, n - t) - greatest(cum - c, t))
+                            AS k, cent
+                   FROM cum)
+          SELECT event_type, max(n) AS n_events, max(t) AS n_trim_each,
+                 max(sc // n) AS raw_mean_c,
+                 CAST(sum(k * cent) // sum(k) AS BIGINT) AS trimmed_mean_c,
+                 CAST(sum(k * cent) // sum(k) - max(sc // n) AS BIGINT)
+                   AS shift_c
+          FROM kept GROUP BY event_type ORDER BY event_type""",
 
     "q242_seasonal_residual" ->
       """WITH rolled AS (SELECT event_type,

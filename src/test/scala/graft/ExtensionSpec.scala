@@ -3120,6 +3120,147 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("SQ recall sweep matches a brute-force quantize-and-rank replay") {
+    val rows = ext.SimilarityQueries.queries("q256_sq_recall")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val fp = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def quant(v: Array[Double], s0: Int): Array[Double] =
+      v.map(x => math.floor(x * s0 + 0.5) / s0)
+    val qids = vecs.map(_._1).filter(_ < 10)
+    def top5(score: Long => Double, qid: Long): Set[(Long, Long)] =
+      fp.keys.filter(_ != qid).toSeq
+        .map(id => (id, score(id)))
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+        .map(p => (qid, p._1)).toSet
+    val truth = qids.flatMap { qid =>
+      val (qe, qn) = (fp(qid), norm(fp(qid)))
+      top5(id => dot(qe, fp(id)) / (qn * norm(fp(id))), qid)
+    }.toSet
+    rows.foreach { case (bits, nHits, recallBp) =>
+      val s0 = (1 << (bits - 1)) - 1
+      val rq = fp.view.mapValues(v => quant(v, s0)).toMap
+      val cand = qids.flatMap { qid =>
+        val (qe, qn) = (fp(qid), norm(fp(qid)))
+        top5(id => { val n = norm(rq(id))
+          if (n == 0.0) -2.0 else dot(qe, rq(id)) / (qn * n) }, qid)
+      }.toSet
+      assert(nHits == (cand & truth).size.toLong, s"bits=$bits")
+      assert(recallBp == nHits * 10000L / truth.size)
+    }
+  }
+
+  test("split balance KS matches an exact cross-multiplied CDF replay") {
+    val rows = ext.PipelineQueries.queries("q257_split_balance")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def splitOf(id: Long): String = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val hv = "0123456789abcdef".indexOf(h.charAt(0))
+      if (hv < 13) "train" else if (hv < 15) "val" else "test"
+    }
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (splitOf(r.getLong(0)), r.getLong(1)))
+    val grid = docs.map(_._2).distinct.sorted
+    def cdf(sp: String): (Long, Map[Long, Long]) = {
+      val vals = docs.filter(_._1 == sp).map(_._2)
+      var c = 0L
+      val m = grid.map { v => c += vals.count(_ == v); v -> c }.toMap
+      (vals.length.toLong, m)
+    }
+    val (na, ca) = cdf("train")
+    Seq("val", "test").foreach { sp =>
+      val (nb, cb) = cdf(sp)
+      val gaps = grid.map(v => (math.abs(ca(v) * nb - cb(v) * na), v))
+      val best = gaps.maxBy { case (g, v) => (g, -v) }
+      val got = rows(s"train_vs_$sp")
+      assert(got == ((na, nb, best._1 * 10000L / (na * nb), best._2)), sp)
+    }
+  }
+
+  test("degree assortativity equals exact-moment replay on the union-kNN backbone") {
+    val row = ext.GraphQueries.queries("q258_degree_assortativity")(spark, sf)
+      .collect().head
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val co = li.toSeq.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val sks = xs.map(_._2).distinct
+      for (a <- sks; b <- sks if a < b) yield (a, b)
+    }.groupBy(identity).map { case (e, n) => e -> n.size.toLong }
+    val picked = co.toSeq.flatMap { case ((u, v), c) => Seq((u, v, c), (v, u, c)) }
+      .groupBy(_._1).values.flatMap { xs =>
+        xs.toSeq.sortBy { case (_, nbr, c) => (-c, nbr) }.take(8)
+          .map { case (nn, nbr, _) => (math.min(nn, nbr), math.max(nn, nbr)) }
+      }.toSet
+    val deg = picked.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (nn, xs) => nn -> xs.size.toLong }
+    val e = picked.size.toLong
+    val sj = picked.toSeq.map { case (u, v) => deg(u) + deg(v) }.sum
+    val sj2 = picked.toSeq.map { case (u, v) => deg(u) * deg(u) + deg(v) * deg(v) }.sum
+    val sjk = 2L * picked.toSeq.map { case (u, v) => deg(u) * deg(v) }.sum
+    val (num, den) = (2 * e * sjk - sj * sj, 2 * e * sj2 - sj * sj)
+    assert(row.getLong(0) == deg.size.toLong && row.getLong(1) == e)
+    assert(row.getLong(2) == num && row.getLong(3) == den)
+    val want = if (den == 0) 0.0 else num.toDouble / den.toDouble
+    assert(row.getDouble(4) == want)
+  }
+
+  test("tokenizer fertility rows reconcile on both ratios against the corpus") {
+    val rows = ext.TextQueries.queries("q259_tokenizer_fertility")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val perLang = Tables.documents(spark, sf).select(col("lang"), col("text"))
+      .collect().flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => (r.getString(0), w)))
+      .groupBy(_._1).map { case (lang, xs) =>
+        lang -> ((xs.length.toLong, xs.map(_._2.length.toLong).sum))
+      }
+    assert(rows.keySet == perLang.keySet)
+    rows.foreach { case (lang, (nWords, nTokens, fertC, cptC)) =>
+      val (wantWords, wantChars) = perLang(lang)
+      assert(nWords == wantWords, s"$lang words")
+      // 8 merges can halve a word at best; tokens stay within [words, chars]
+      assert(nTokens >= nWords && nTokens <= wantChars, s"$lang tokens")
+      assert(fertC == nTokens * 100L / nWords, s"$lang fertility")
+      // the chars-per-token ratio must reconcile against the corpus's
+      // own character mass — pins n_tokens through a second identity
+      assert(cptC == wantChars * 100L / nTokens, s"$lang cpt")
+    }
+  }
+
+  test("trimmed mean equals a sort-and-slice replay") {
+    val rows = ops.EventQueries.queries("q260_trimmed_mean")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val want = ev.toSeq.groupBy(_._1).map { case (t, xs) =>
+      val cents = xs.map(x => math.floor(x._2 * 100 + 0.5).toLong).sorted
+      val n = cents.length.toLong
+      val tr = n / 100
+      val kept = cents.slice(tr.toInt, (n - tr).toInt)
+      val (raw, trm) = (cents.sum / n, kept.sum / kept.length)
+      t -> ((n, tr, raw, trm, trm - raw))
+    }
+    assert(rows == want)
+    // trimming must never move the mean past the untrimmed extremes
+    rows.foreach { case (t, (_, _, raw, trm, _)) =>
+      val v = ev.filter(_._1 == t).map(_._2)
+      assert(trm >= math.floor(v.min * 100 + 0.5).toLong &&
+        trm <= math.floor(v.max * 100 + 0.5).toLong, t)
+    }
+  }
+
   test("Benford audit digits partition each column and match a direct replay") {
     val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
