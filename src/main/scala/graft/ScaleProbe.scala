@@ -68,7 +68,10 @@ object ScaleProbe {
       "q210_lsh_eval" -> "LSH candidate eval: PPJoin truth + banded MinHash candidates",
       "q230_kcore" -> "k-core decomposition by iterated peeling (k in {4,8,16})",
       "q231_rerank_cascade" -> "BM25 top-20 then exact-cosine rerank cascade",
-      "q235_weighted_sssp" -> "weighted SSSP (min-plus Bellman-Ford) decile census")
+      "q235_weighted_sssp" -> "weighted SSSP (min-plus Bellman-Ford) decile census",
+      // the heaviest round-10 continuation queries
+      "q255_dedup_impact" -> "per-source dedup composition shift (LSH + CC + attribution)",
+      "q248_clustering_coefficient" -> "union-kNN backbone clustering coefficients")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -123,7 +126,15 @@ object ScaleProbe {
       "q235_weighted_sssp" -> ("relaxation rounds move edge-sized " +
         "frontier joins; 10x edges with supplier-side degree 10x (shared " +
         "suppliers) — the same honest skew as q202; the decile census is " +
-        "node-sized"))
+        "node-sized"),
+      "q255_dedup_impact" -> ("rides q54's LSH+CC machinery (grouped " +
+        "vocabulary keeps bucket sizes at 1x density) plus a doc-keyed " +
+        "source-attribution join; the report rollup is |sources| rows"),
+      "q248_clustering_coefficient" -> ("per-node top-8 capping bounds " +
+        "degree at any scale, so wedge work grows with |V|, not |V|^2; " +
+        "10x orders over SHARED suppliers keep |V| fixed and raise " +
+        "co-occurrence counts — the probe measures the count aggregate " +
+        "plus a constant-size backbone's triangle work"))
 
     def timeQuery(name: String, dir: String): Double =
       (1 to 2).map { _ =>

@@ -188,20 +188,7 @@ object Multimodal {
     // is fingerprint-keyed with bounded buckets, pair counts aggregate
     // map-side — never all-pairs across media.
     "q223_clip_reuse" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val reedits = docs
-        .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 129)
-        .select((col("doc_id") + 5000000L).as("doc_id"),
-          concat(lit("x" * 64), expr("substring(text, 65)")).as("text"))
-      val corpus = docs.unionByName(reedits)
-      val frames = corpus
-        .select(col("doc_id"),
-          explode(sequence(lit(0), lit(3))).as("frame_idx"), col("text"))
-        .select(col("doc_id"),
-          expr("substring(text, frame_idx * 64 + 1, 64)").as("frame"))
-        .filter(length(col("frame")) === 64)
-        .select(col("doc_id"), md5(col("frame")).as("fh"))
-        .distinct()
+      val (frames, reedits) = reeditFrames(s, d)
       // Scale-independent cap: the template frame's bucket size equals
       // the re-edit count, so a fixed constant only bites on fixtures
       // with more re-edits than the constant. Derive the cap from the
@@ -221,6 +208,30 @@ object Multimodal {
         .filter(col("id1") < col("id2"))
         .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared_frames"))
         .orderBy("id1", "id2")
+    }),
+
+    // FRAME INVERTED-INDEX census — the health report of the store
+    // q223 queries: per frame fingerprint, how many media carry it,
+    // banded (unique / pair / reused 3-10 / template >10). The census
+    // is what JUSTIFIES q223's mega-bucket cap: the planted template
+    // frame shows up as the b4 band's max_df — the reader sees exactly
+    // what the cap kills and how big it is before any pair join runs.
+    // Same reeditFrames construction as q223 (one definition per
+    // engine side), NO cap here — the census prices the raw index.
+    // Scale: frames-per-media constant, one fh-keyed count with
+    // map-side combine, then a 4-row band rollup.
+    "q264_frame_index" -> ((s, d) => {
+      val (frames, _) = reeditFrames(s, d)
+      frames.groupBy("fh").agg(count(lit(1)).as("df"))
+        .withColumn("band",
+          when(col("df") === 1, "b1_unique")
+            .when(col("df") === 2, "b2_pair")
+            .when(col("df") <= 10, "b3_reused")
+            .otherwise("b4_template"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_frames"), sum(col("df")).as("n_postings"),
+          max(col("df")).as("max_df"))
+        .orderBy("band")
     }),
 
     "q72_frame_sample" -> ((s, d) => {
@@ -247,12 +258,31 @@ object Multimodal {
     * than a tuned constant; this value is the production ceiling. */
   private[ext] val ClipFrameCap = 50
 
-  private def hvSql(i: Int) =
-    s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1)"
+  /** q223/q264's shared corpus + frame-fingerprint table: documents plus
+    * the planted re-edits (every 7th doc, first 64-byte frame overwritten
+    * by an identical template), fixed-stride 64-byte frames fingerprinted
+    * and deduped per media. Returns (frames, reedits). */
+  private def reeditFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val reedits = docs
+      .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 129)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(lit("x" * 64), expr("substring(text, 65)")).as("text"))
+    val corpus = docs.unionByName(reedits)
+    val frames = corpus
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("frame_idx"), col("text"))
+      .select(col("doc_id"),
+        expr("substring(text, frame_idx * 64 + 1, 64)").as("frame"))
+      .filter(length(col("frame")) === 64)
+      .select(col("doc_id"), md5(col("frame")).as("fh"))
+      .distinct()
+    (frames, reedits)
+  }
 
-  def oracles: Map[String, String] = Map(
-    "q223_clip_reuse" ->
-      s"""WITH corpus AS (
+  /** DuckDB twin of [[reeditFrames]] — yields `corpus` and `frames`. */
+  private val oReeditFramesCtes: String =
+    """corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
             SELECT doc_id + 5000000 AS doc_id,
@@ -264,7 +294,14 @@ object Multimodal {
                        FROM (SELECT doc_id, text,
                                unnest(generate_series(0, 3)) AS frame_idx
                              FROM corpus))
-                     WHERE length(frame) = 64),
+                     WHERE length(frame) = 64)"""
+
+  private def hvSql(i: Int) =
+    s"(strpos('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1)"
+
+  def oracles: Map[String, String] = Map(
+    "q223_clip_reuse" ->
+      s"""WITH $oReeditFramesCtes,
           nre AS (SELECT count(*) AS n_re FROM corpus
                   WHERE doc_id >= 5000000),
           capped AS (SELECT doc_id, fh FROM (
@@ -276,6 +313,20 @@ object Multimodal {
           FROM capped a JOIN capped b
             ON a.fh = b.fh AND a.doc_id < b.doc_id
           GROUP BY 1, 2 ORDER BY id1, id2""",
+
+    "q264_frame_index" ->
+      s"""WITH $oReeditFramesCtes,
+          posting AS (SELECT fh, CAST(count(*) AS BIGINT) AS df
+                      FROM frames GROUP BY fh),
+          banded AS (SELECT CASE WHEN df = 1 THEN 'b1_unique'
+                                 WHEN df = 2 THEN 'b2_pair'
+                                 WHEN df <= 10 THEN 'b3_reused'
+                                 ELSE 'b4_template' END AS band, df
+                     FROM posting)
+          SELECT band, count(*) AS n_frames,
+                 CAST(sum(df) AS BIGINT) AS n_postings,
+                 max(df) AS max_df
+          FROM banded GROUP BY band ORDER BY band""",
 
     "q70_media_metadata" ->
       """SELECT doc_id, lower(hex(encode(text))) AS payload_hex,

@@ -644,27 +644,91 @@ object EventQueries {
     // Scale: one map-side-combined (type, cent) rollup is the only
     // full-data pass; windows and rollups run on the bounded histogram.
     "q260_trimmed_mean" -> ((s, d) => {
-      val h = Tables.events(s, d)
+      trimmedMeanOf(Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cent"))
+        .groupBy("event_type", "cent").agg(count(lit(1)).as("c")))
+    }),
+
+    // STREAMING twin of q260 — the robust-location monitor fed by the
+    // real engine: the bounded cent histogram IS the streaming state
+    // (the q239 discipline), run to completion in Complete mode, then
+    // the SAME shared trimmedMeanOf machinery reads the final census.
+    // Graded against q260's oracle verbatim; localCheckpoint breaks the
+    // memory-sink lineage before the machinery's self-join (census
+    // feeds both the totals and the cumulative window — the q208
+    // conflicting-refs landmine).
+    "q265_stream_trimmed_mean" -> ((s, d) => {
+      val agg = graft.streaming.StreamingPipelines.eventsStream(s, d)
         .select(col("event_type"),
           expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cent"))
         .groupBy("event_type", "cent").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("event_type").orderBy("cent")
-      val tot = h.groupBy("event_type")
-        .agg(sum(col("c")).as("n"), sum(col("c") * col("cent")).as("sc"))
-      h.withColumn("cum", sum(col("c")).over(w))
-        .join(broadcast(tot), "event_type")
-        .withColumn("t", expr("n DIV 100"))
-        .withColumn("kept", expr(
-          "greatest(CAST(0 AS BIGINT), least(cum, n - t) - greatest(cum - c, t))"))
-        .groupBy(col("event_type"), col("n"), col("sc"), col("t"))
-        .agg(sum(col("kept")).as("kept_n"),
-          sum(col("kept") * col("cent")).as("kept_sum"))
-        .select(col("event_type"), col("n").as("n_events"),
-          col("t").as("n_trim_each"),
-          expr("sc DIV n").as("raw_mean_c"),
-          expr("kept_sum DIV kept_n").as("trimmed_mean_c"),
-          expr("kept_sum DIV kept_n - sc DIV n").as("shift_c"))
-        .orderBy("event_type")
+      trimmedMeanOf(
+        graft.streaming.StreamingPipelines.runToCompletion(s, agg)
+          .localCheckpoint())
+    }),
+
+    // WILSON LOWER-BOUND ranking — the experiment readout that never
+    // crowns a tiny lucky arm: 20 user-hash arms, per-arm conversion
+    // (any purchase), ranked by the Wilson score interval's lower bound
+    // at z = 2 — chosen because z² = 4 keeps every intermediate an
+    // EXACT integer-derived double: LB = (x + 2 − 2·√(x(n−x)/n + 1)) /
+    // (n + 4), one correctly-rounded sqrt and one division of exact
+    // values, bit-identical cross-engine (the q56/q258 exact-moments
+    // discipline; a float z like 1.96 would smear rounding across the
+    // whole expression).
+    // Scale: one (arm, user) rollup with map-side combine is the only
+    // full-data pass; the ranking window runs over 20 control-plane
+    // rows.
+    "q262_wilson_bound" -> ((s, d) => {
+      // success = a HIGH-VALUE purchase (≥ $99): the fixture's users all
+      // purchase eventually, so plain conversion is a dead 100% readout;
+      // the rare event splits arms genuinely and gives Wilson shrinkage
+      // something to rank
+      val u = Tables.events(s, d)
+        .select((col("user_id") % 20).as("arm"), col("user_id"),
+          when(col("event_type") === "purchase" && col("value") >= 99, 1L)
+            .otherwise(0L).as("p"))
+        .groupBy("arm", "user_id").agg(max(col("p")).as("purchased"))
+      val st = u.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("purchased")).as("x"))
+        .withColumn("rate_bp", expr("(x * 10000) DIV n"))
+        .withColumn("wilson_lb", expr(
+          """(CAST(x AS DOUBLE) + 2.0
+              - 2.0 * sqrt(CAST(x AS DOUBLE) * CAST(n - x AS DOUBLE)
+                           / CAST(n AS DOUBLE) + 1.0))
+             / CAST(n + 4 AS DOUBLE)"""))
+      val w = Window.orderBy(col("wilson_lb").desc, col("arm"))
+      st.withColumn("lb_rank", row_number().over(w).cast("long"))
+        .select("lb_rank", "arm", "n", "x", "rate_bp", "wilson_lb")
+        .orderBy("lb_rank")
+    }),
+
+    // DAU/WAU STICKINESS — the engagement ratio product dashboards
+    // lead with: per day, distinct daily actives over distinct
+    // trailing-7-day actives, in bp. The sliding-window DISTINCT is
+    // the trap (a naive 7-day self-join re-scans history); instead
+    // every (user, day) contributes itself to the 7 window-ends it can
+    // appear in (bounded ×7 explode — the q224/q241 bucket discipline
+    // applied to windows), one distinct collapses multi-day users per
+    // window, and both censuses are map-side-combined counts. Days
+    // without a full trailing window are excluded, not reported as
+    // artificially sticky partial windows.
+    "q263_stickiness" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("wday"))
+        .distinct()
+        .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+      val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("dmax"))
+      dau.join(wau, "day").crossJoin(broadcast(bounds))
+        .filter(col("day") >= col("d0") + 6 && col("day") <= col("dmax"))
+        .select(col("day"), col("dau"), col("wau"),
+          expr("(dau * 10000) DIV wau").as("stickiness_bp"))
+        .orderBy("day")
     }),
 
     // DISTRIBUTION DRIFT between two snapshots — the monitoring op every
@@ -1326,6 +1390,31 @@ object EventQueries {
   /** q215/q220 shared oracle (identical semantics: the streamed census
     * must equal the batch rollup).
     */
+  /** q260/q265's shared trimmed-mean machinery over a (event_type,
+    * cent, c) census — ONE definition so batch and streamed variants
+    * can never diverge. Each histogram row keeps the exact overlap of
+    * its rank interval with the kept band, so ties straddling a trim
+    * boundary split exactly. */
+  private def trimmedMeanOf(h: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("cent")
+    val tot = h.groupBy("event_type")
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("cent")).as("sc"))
+    h.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(tot), "event_type")
+      .withColumn("t", expr("n DIV 100"))
+      .withColumn("kept", expr(
+        "greatest(CAST(0 AS BIGINT), least(cum, n - t) - greatest(cum - c, t))"))
+      .groupBy(col("event_type"), col("n"), col("sc"), col("t"))
+      .agg(sum(col("kept")).as("kept_n"),
+        sum(col("kept") * col("cent")).as("kept_sum"))
+      .select(col("event_type"), col("n").as("n_events"),
+        col("t").as("n_trim_each"),
+        expr("sc DIV n").as("raw_mean_c"),
+        expr("kept_sum DIV kept_n").as("trimmed_mean_c"),
+        expr("kept_sum DIV kept_n - sc DIV n").as("shift_c"))
+      .orderBy("event_type")
+  }
+
   /** q247/q251's shared CUSUM machinery over a (event_type, day, cnt)
     * census — ONE definition so the batch and streamed variants can
     * never diverge (the ewmaAnomalies discipline). Plants the 8-day ×2
@@ -1362,6 +1451,30 @@ object EventQueries {
         col("f.spos").as("final_spos"), col("f.sneg").as("final_sneg"))
       .orderBy("event_type")
   }
+
+  private val trimmedMeanOracleSql: String =
+      """WITH h AS (SELECT event_type,
+                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+          tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                         CAST(sum(c * cent) AS BIGINT) AS sc
+                  FROM h GROUP BY 1),
+          cum AS (SELECT h.event_type, cent, c,
+                         CAST(sum(c) OVER (PARTITION BY h.event_type
+                                           ORDER BY cent) AS BIGINT) AS cum,
+                         n, sc, n // 100 AS t
+                  FROM h JOIN tot ON tot.event_type = h.event_type),
+          kept AS (SELECT event_type, n, sc, t,
+                          greatest(0, least(cum, n - t) - greatest(cum - c, t))
+                            AS k, cent
+                   FROM cum)
+          SELECT event_type, max(n) AS n_events, max(t) AS n_trim_each,
+                 max(sc // n) AS raw_mean_c,
+                 CAST(sum(k * cent) // sum(k) AS BIGINT) AS trimmed_mean_c,
+                 CAST(sum(k * cent) // sum(k) - max(sc // n) AS BIGINT)
+                   AS shift_c
+          FROM kept GROUP BY event_type ORDER BY event_type"""
 
   private val cusumOracleSql: String =
       """WITH RECURSIVE rolled AS (SELECT event_type,
@@ -1729,29 +1842,45 @@ object EventQueries {
     "q247_cusum_changepoint" -> cusumOracleSql,
     "q251_stream_cusum" -> cusumOracleSql,
 
-    "q260_trimmed_mean" ->
-      """WITH h AS (SELECT event_type,
-                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent,
-                           count(*) AS c
+    "q260_trimmed_mean" -> trimmedMeanOracleSql,
+    "q265_stream_trimmed_mean" -> trimmedMeanOracleSql,
+
+    "q262_wilson_bound" ->
+      """WITH u AS (SELECT user_id % 20 AS arm, user_id,
+                           max(CASE WHEN event_type = 'purchase'
+                                     AND value >= 99
+                                    THEN 1 ELSE 0 END) AS purchased
                     FROM events GROUP BY 1, 2),
-          tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
-                         CAST(sum(c * cent) AS BIGINT) AS sc
-                  FROM h GROUP BY 1),
-          cum AS (SELECT h.event_type, cent, c,
-                         CAST(sum(c) OVER (PARTITION BY h.event_type
-                                           ORDER BY cent) AS BIGINT) AS cum,
-                         n, sc, n // 100 AS t
-                  FROM h JOIN tot ON tot.event_type = h.event_type),
-          kept AS (SELECT event_type, n, sc, t,
-                          greatest(0, least(cum, n - t) - greatest(cum - c, t))
-                            AS k, cent
-                   FROM cum)
-          SELECT event_type, max(n) AS n_events, max(t) AS n_trim_each,
-                 max(sc // n) AS raw_mean_c,
-                 CAST(sum(k * cent) // sum(k) AS BIGINT) AS trimmed_mean_c,
-                 CAST(sum(k * cent) // sum(k) - max(sc // n) AS BIGINT)
-                   AS shift_c
-          FROM kept GROUP BY event_type ORDER BY event_type""",
+          st AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(purchased) AS BIGINT) AS x
+                 FROM u GROUP BY arm),
+          wl AS (SELECT arm, n, x, (x * 10000) // n AS rate_bp,
+                        (CAST(x AS DOUBLE) + 2.0
+                         - 2.0 * sqrt(CAST(x AS DOUBLE) * CAST(n - x AS DOUBLE)
+                                      / CAST(n AS DOUBLE) + 1.0))
+                        / CAST(n + 4 AS DOUBLE) AS wilson_lb
+                 FROM st)
+          SELECT row_number() OVER (ORDER BY wilson_lb DESC, arm) AS lb_rank,
+                 arm, n, x, rate_bp, wilson_lb
+          FROM wl ORDER BY lb_rank""",
+
+    "q263_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+          dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                  FROM ud GROUP BY day),
+          contrib AS (SELECT DISTINCT user_id, wday FROM (
+                        SELECT user_id,
+                               unnest(generate_series(day, day + 6)) AS wday
+                        FROM ud)),
+          wau AS (SELECT wday AS day, CAST(count(*) AS BIGINT) AS wau
+                  FROM contrib GROUP BY wday),
+          bounds AS (SELECT min(day) AS d0, max(day) AS dmax FROM ud)
+          SELECT day, dau, wau, (dau * 10000) // wau AS stickiness_bp
+          FROM dau JOIN wau USING (day) CROSS JOIN bounds
+          WHERE day >= d0 + 6 AND day <= dmax
+          ORDER BY day""",
 
     "q242_seasonal_residual" ->
       """WITH rolled AS (SELECT event_type,

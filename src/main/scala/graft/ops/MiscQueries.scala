@@ -756,6 +756,67 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
+    // KMV SET-OPERATION estimates — the sketch algebra a federation
+    // layer runs when only sketches travel: per event_type audience,
+    // a K=64 minimum-values sketch over the md5-derived 32-bit user
+    // hash; pairwise UNION by merging sketches (smallest K of the
+    // merged distinct values — exactly the sketch the union's stream
+    // would have produced) and INTERSECTION by inclusion–exclusion.
+    // Every estimate is integer ((K−1)·2³² DIV h_K; a sketch holding
+    // fewer than K values IS exact and says so), and the report prices
+    // the estimator against the exact intersection in bp error —
+    // sketches you can't error-audit are sketches you can't ship.
+    // Scale: the only corpus passes are the (type, user) distinct and
+    // a types-per-user pair expansion (≤ |types|² per user, map-side
+    // combined); sketches are K-length arrays on a |types|-row control
+    // plane, and the pair matrix is |types|² rows.
+    "q261_kmv_set_ops" -> ((s, d) => {
+      val k = 64
+      val maxH = 1L << 32
+      // membership unit = USER-DAY, not user: the fixture's users touch
+      // every event type eventually, so user-level audiences are all
+      // identical (a dead eval); within one day the type sets genuinely
+      // partially overlap, which is what sketch set-ops must price
+      val uh = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .distinct()
+        .withColumn("m",
+          md5(concat(col("user_id").cast("string"), lit(":"),
+            col("day").cast("string"))))
+        .withColumn("h", expr(md5Bits32("m")))
+      def estExpr(ar: String, n: String): String =
+        s"CASE WHEN $n < $k THEN $n ELSE (${k - 1}L * ${maxH}L) DIV element_at($ar, $k) END"
+      val sk = uh.groupBy("event_type")
+        .agg(expr(s"slice(array_sort(collect_set(h)), 1, $k)").as("ar"),
+          count(lit(1)).as("n_exact"))
+      val pairs = sk.select(col("event_type").as("type_a"),
+          col("ar").as("ar_a"), col("n_exact").as("exact_a"))
+        .crossJoin(broadcast(sk.select(col("event_type").as("type_b"),
+          col("ar").as("ar_b"), col("n_exact").as("exact_b"))))
+        .filter(col("type_a") < col("type_b"))
+        .withColumn("ar_u",
+          expr(s"slice(array_sort(array_union(ar_a, ar_b)), 1, $k)"))
+        .withColumn("n_u", size(col("ar_u")).cast("long"))
+        .withColumn("est_a", expr(estExpr("ar_a", "size(ar_a)")))
+        .withColumn("est_b", expr(estExpr("ar_b", "size(ar_b)")))
+        .withColumn("est_union", expr(estExpr("ar_u", "n_u")))
+        .withColumn("est_inter",
+          expr("greatest(CAST(0 AS BIGINT), est_a + est_b - est_union)"))
+      val inter = uh.select(col("event_type").as("type_a"), col("user_id"), col("day"))
+        .join(uh.select(col("event_type").as("type_b"), col("user_id"), col("day")),
+          Seq("user_id", "day"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_inter"))
+      pairs.join(inter, Seq("type_a", "type_b"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+          col("exact_inter"), col("est_inter"),
+          expr("(abs(est_inter - exact_inter) * 10000) DIV greatest(exact_inter, 1)")
+            .as("err_bp"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // BENFORD FIRST-DIGIT audit — the fabricated-data detector auditors
     // run on financial columns (q138 checks constraints; this checks the
     // DISTRIBUTION): organically-grown multiplicative quantities follow
@@ -1409,6 +1470,47 @@ object MiscQueries {
                         words[pos] || ' ' || words[pos+1] || ' ' || words[pos+2] AS shingle
                  FROM posn)
           SELECT source, $lanes FROM sh GROUP BY source ORDER BY source"""
+    },
+
+    "q261_kmv_set_ops" -> {
+      def est(ar: String): String =
+        s"""CASE WHEN len($ar) < 64 THEN CAST(len($ar) AS BIGINT)
+                 ELSE CAST((63 * 4294967296) // $ar[64] AS BIGINT) END"""
+      s"""WITH uh AS (SELECT DISTINCT event_type, user_id,
+                             epoch_us(ts) // 86400000000 AS day
+                      FROM events),
+          hh AS (SELECT event_type, ${graft.ops.oMd5Bits32("m")} AS h
+                 FROM (SELECT event_type,
+                              md5(CAST(user_id AS VARCHAR) || ':' ||
+                                  CAST(day AS VARCHAR)) AS m FROM uh)),
+          sk AS (SELECT event_type,
+                        (list_sort(list(DISTINCT h)))[1:64] AS ar,
+                        CAST(count(*) AS BIGINT) AS n_exact
+                 FROM hh GROUP BY 1),
+          pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                           a.ar AS ar_a, b.ar AS ar_b,
+                           a.n_exact AS exact_a, b.n_exact AS exact_b,
+                           (list_sort(list_distinct(a.ar || b.ar)))[1:64] AS ar_u
+                    FROM sk a CROSS JOIN sk b
+                    WHERE a.event_type < b.event_type),
+          est AS (SELECT type_a, type_b, exact_a, exact_b,
+                         greatest(0, ${est("ar_a")} + ${est("ar_b")}
+                                     - ${est("ar_u")}) AS est_inter
+                  FROM pairs),
+          inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                           CAST(count(*) AS BIGINT) AS exact_inter
+                    FROM uh a JOIN uh b ON a.user_id = b.user_id
+                                       AND a.day = b.day
+                                       AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+          SELECT e.type_a, e.type_b, e.exact_a, e.exact_b,
+                 CAST(coalesce(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+                 CAST(e.est_inter AS BIGINT) AS est_inter,
+                 CAST((abs(e.est_inter - coalesce(i.exact_inter, 0)) * 10000)
+                      // greatest(coalesce(i.exact_inter, 0), 1) AS BIGINT)
+                   AS err_bp
+          FROM est e LEFT JOIN inter i USING (type_a, type_b)
+          ORDER BY e.type_a, e.type_b"""
     },
 
     "q250_benford_audit" ->

@@ -3261,6 +3261,124 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("KMV set-operation estimates match an exact sketch replay") {
+    val rows = ops.MiscQueries.queries("q261_kmv_set_ops")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(key: String): Long = {
+      val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val ud = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = ud.toSeq.groupBy(_._1)
+      .map { case (t, xs) => t -> xs.map(x => (x._2, x._3)).toSet }
+    def sketch(keys: Set[(Long, Long)]): Seq[Long] =
+      keys.toSeq.map { case (u, dd) => h32(s"$u:$dd") }.distinct.sorted.take(64)
+    def est(ar: Seq[Long]): Long =
+      if (ar.length < 64) ar.length.toLong else 63L * (1L << 32) / ar(63)
+    val types = byType.keys.toSeq.sorted
+    for (a <- types; b <- types if a < b) {
+      val (sa, sb) = (byType(a), byType(b))
+      val (ska, skb) = (sketch(sa), sketch(sb))
+      val sku = (ska ++ skb).distinct.sorted.take(64)
+      val estInter = math.max(0L, est(ska) + est(skb) - est(sku))
+      val exactInter = (sa & sb).size.toLong
+      val want = (sa.size.toLong, sb.size.toLong, exactInter, estInter,
+        math.abs(estInter - exactInter) * 10000L / math.max(exactInter, 1L))
+      assert(rows((a, b)) == want, s"$a x $b")
+    }
+    // the fixture's per-day audiences must genuinely PARTIALLY overlap —
+    // a fully-shared universe would make the whole eval vacuous
+    rows.values.foreach { case (ea, eb, inter, _, _) =>
+      assert(inter > 0 && inter < math.min(ea, eb))
+    }
+  }
+
+  test("Wilson lower-bound ranking matches the closed form and penalizes small samples") {
+    val rows = ops.EventQueries.queries("q262_wilson_bound")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byArm = ev.toSeq.groupBy(_._1).map { case (u, xs) =>
+      (u % 20, u, xs.exists(x => x._2 == "purchase" && x._3 >= 99))
+    }.groupBy(_._1)
+    val want = byArm.map { case (arm, xs) =>
+      val n = xs.size.toLong
+      val x = xs.count(_._3).toLong
+      val lb = (x.toDouble + 2.0 -
+        2.0 * math.sqrt(x.toDouble * (n - x).toDouble / n.toDouble + 1.0)) /
+        (n + 4).toDouble
+      (arm, n, x, x * 10000L / n, lb)
+    }.toSeq.sortBy { case (arm, _, _, _, lb) => (-lb, arm) }
+      .zipWithIndex
+      .map { case ((arm, n, x, bp, lb), i) => (i + 1L, arm, n, x, bp, lb) }
+    assert(rows.toSeq == want)
+    // at equal observed rates, the larger sample must never rank lower
+    for (Seq(hi, lo) <- rows.toSeq.sliding(2) if hi._5 == lo._5 && hi._5 == 10000L)
+      assert(hi._3 >= lo._3 || hi._6 == lo._6)
+  }
+
+  test("stickiness equals a brute-force trailing-window replay") {
+    val rows = ops.EventQueries.queries("q263_stickiness")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (d0, dmax) = (ud.map(_._2).min, ud.map(_._2).max)
+    val want = (d0 + 6 to dmax).map { day =>
+      val dau = ud.count(_._2 == day).toLong
+      val wau = ud.filter(x => x._2 >= day - 6 && x._2 <= day)
+        .map(_._1).distinct.length.toLong
+      day -> ((dau, wau, dau * 10000L / wau))
+    }.filter(_._2._1 > 0).toMap
+    // every reported day matches; the query additionally drops days with
+    // no activity at all (no dau row) — same set on this fixture
+    assert(rows == want)
+    rows.values.foreach { case (dau, wau, bp) =>
+      assert(dau <= wau && bp <= 10000L)
+    }
+  }
+
+  test("frame index census bands partition the index and expose the template bucket") {
+    val rows = ext.Multimodal.queries("q264_frame_index")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = docs ++ docs.filter { case (id, t) => id % 7 == 0 && t.length >= 129 }
+      .map { case (id, t) => (id + 5000000L, "x" * 64 + t.substring(64)) }
+    val frames = corpus.flatMap { case (id, t) =>
+      (0 to 3).map(i => t.drop(i * 64).take(64)).filter(_.length == 64)
+        .distinct.map(f => (id, f))
+    }
+    val df = frames.map(_._2).groupBy(identity).map { case (_, xs) => xs.size.toLong }
+    def band(d: Long) = if (d == 1) "b1_unique" else if (d == 2) "b2_pair"
+      else if (d <= 10) "b3_reused" else "b4_template"
+    val want = df.toSeq.groupBy(band)
+      .map { case (b, xs) => b -> ((xs.length.toLong, xs.sum, xs.max)) }
+    assert(rows == want)
+    // the planted re-edit template frame IS the biggest bucket: one
+    // fingerprint shared by every re-edit
+    val nRe = docs.count { case (id, t) => id % 7 == 0 && t.length >= 129 }.toLong
+    if (nRe > 10) assert(rows("b4_template")._3 == nRe)
+  }
+
+  test("streamed trimmed mean equals the batch trimmed mean row for row") {
+    val batch = ops.EventQueries.queries("q260_trimmed_mean")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val streamed = ops.EventQueries.queries("q265_stream_trimmed_mean")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("Benford audit digits partition each column and match a direct replay") {
     val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
