@@ -636,6 +636,64 @@ object TextQueries {
         .orderBy(col("tot").desc, col("word")).limit(20)
     }),
 
+    // SCORE-DECILE gains table — the classifier eval ROC curves hide
+    // from a pipeline owner: rank the corpus by a score, cut into ten
+    // EXACT rank deciles, and report each decile's positive share and
+    // the cumulative lift over the base rate (a useful ranker front-
+    // loads positives: lift ≫ 10000 in decile 0, → 10000 by decile 9).
+    // Score = en-stopword share in bp (the q61 signal family). The
+    // fixture's lang label is TEXT-INDEPENDENT (measured: 'the'
+    // appears in ~72% of docs of every lang), so any honest text score
+    // is liftless against it — a dead eval. The label is therefore
+    // PLANTED as a calibrated-classifier coin (the q240/q242 in-query
+    // plant discipline): pos iff the doc's md5 hex digit (0..15) falls
+    // below score_bp DIV 312 — the coin's bias is monotone in the
+    // score, which is exactly the property a gains table exists to
+    // surface, and the whole plant is deterministic on both engines.
+    // Deciles WITHOUT a global document sort: the (score, pos) census
+    // is domain-bounded (≤ 10001 score values × 2), a total order
+    // (score desc, pos asc) makes every cell's rank interval exact,
+    // and the q260 overlap trick splits boundary ties exactly — ties
+    // resolve negatives-first, so the reported lift is the
+    // CONSERVATIVE reading of tied scores on both engines.
+    // Scale: one corpus pass builds the census; everything after —
+    // cumulative, decile explode (×10), 10-row lift window — runs on
+    // the bounded census. BIGINT bound: cum_pos·n·10⁴ ≲ 4e15 at sf1.
+    "q269_score_deciles" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(col("words"), w => w.isin(en: _*))).cast("long"))
+        .withColumn("score_bp", expr("(n_stop * 10000) DIV n_words"))
+        .withColumn("hv", expr(
+          "instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1"))
+        .select((col("hv") < expr("score_bp DIV 312")).as("pos"),
+          col("score_bp"))
+        .groupBy("score_bp", "pos").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("score_bp").desc, col("pos"))
+      val tot = cells.agg(sum(col("c")).as("n"),
+        sum(when(col("pos"), col("c")).otherwise(0L)).as("npos"))
+      val dec = cells.withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("pos"), col("c"), col("cum"), col("n"), col("npos"),
+          explode(expr("sequence(0, 9)")).as("decile"))
+        .withColumn("kept", expr(
+          """greatest(CAST(0 AS BIGINT),
+               least(cum, ((decile + 1) * n) DIV 10)
+               - greatest(cum - c, (decile * n) DIV 10))"""))
+        .groupBy(col("decile"), col("n"), col("npos"))
+        .agg(sum(col("kept")).as("n_docs"),
+          sum(when(col("pos"), col("kept")).otherwise(0L)).as("n_pos"))
+      val wd = Window.orderBy("decile")
+      dec.withColumn("cum_n", sum(col("n_docs")).over(wd))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wd))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          expr("(n_pos * 10000) DIV n_docs").as("pos_bp"),
+          expr("(cum_pos * n * 10000) DIV (cum_n * greatest(npos, 1))").as("cum_lift_bp"))
+        .orderBy("decile")
+    }),
+
     // TOKENIZER FERTILITY by language — the per-cohort cost metric a
     // multilingual tokenizer review reads: average BPE tokens per word
     // (fertility) and characters per token, per lang, under the SAME
@@ -1064,6 +1122,51 @@ object TextQueries {
                    AS compression_bp
           FROM tc, base ORDER BY n_merges"""
     },
+
+    "q269_score_deciles" ->
+      s"""WITH cells AS (
+            SELECT pos, score_bp, count(*) AS c FROM (
+              SELECT (strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                       < score_bp // 312 AS pos,
+                     score_bp
+              FROM (SELECT doc_id,
+                           (CAST(len(list_filter(str_split(text, ' '),
+                                w -> w IN ${inList(en)})) AS BIGINT) * 10000)
+                             // len(str_split(text, ' ')) AS score_bp
+                    FROM documents))
+            GROUP BY 1, 2),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                         CAST(sum(CASE WHEN pos THEN c ELSE 0 END) AS BIGINT)
+                           AS npos
+                  FROM cells),
+          cum AS (SELECT pos, c, score_bp,
+                         CAST(sum(c) OVER (ORDER BY score_bp DESC, pos)
+                              AS BIGINT) AS cum
+                  FROM cells),
+          dec AS (SELECT cum.pos, cum.c, cum.cum, tot.n, tot.npos,
+                         d.decile,
+                         greatest(0, least(cum.cum, ((d.decile + 1) * tot.n) // 10)
+                                     - greatest(cum.cum - cum.c,
+                                                (d.decile * tot.n) // 10))
+                           AS kept
+                  FROM cum CROSS JOIN tot
+                  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS decile) d),
+          per AS (SELECT decile, n, npos,
+                         CAST(sum(kept) AS BIGINT) AS n_docs,
+                         CAST(sum(CASE WHEN pos THEN kept ELSE 0 END)
+                              AS BIGINT) AS n_pos
+                  FROM dec GROUP BY 1, 2, 3),
+          fin AS (SELECT decile, n_docs, n_pos, n, npos,
+                         CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT)
+                           AS cum_n,
+                         CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT)
+                           AS cum_pos
+                  FROM per)
+          SELECT CAST(decile AS INTEGER) AS decile, n_docs, n_pos,
+                 (n_pos * 10000) // n_docs AS pos_bp,
+                 (cum_pos * n * 10000) // (cum_n * greatest(npos, 1)) AS cum_lift_bp
+          FROM fin ORDER BY decile""",
 
     "q253_lexical_diversity" ->
       """WITH posting AS (SELECT source, word, count(*) AS c FROM (

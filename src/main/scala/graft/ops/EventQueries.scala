@@ -731,6 +731,113 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    // COHORT LTV curve — the revenue companion to q131's retention
+    // counts: per signup cohort (epoch week of first event), weekly and
+    // cumulative purchase revenue in exact cents, normalized per cohort
+    // member (truncating DIV) — the curve a growth team reads to price
+    // acquisition. Offsets with zero purchases simply don't emit a row
+    // (the cumulative is still exact at every emitted offset).
+    // Scale: the cohort assignment is one user-keyed min-aggregate, the
+    // revenue rollup one (cohort, offset) aggregate with map-side
+    // combine; the cumulative window runs over the calendar-sized
+    // (cohort × offset) table, never events.
+    "q266_cohort_ltv" -> ((s, d) => {
+      val weekUs = 604800000000L
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      val cohort = ev.groupBy("user_id")
+        .agg(expr(s"min(us) DIV ${weekUs}L").as("cw"))
+      val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .withColumn("off", expr(s"us DIV ${weekUs}L - cw"))
+        .groupBy("cw", "off")
+        .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("week_cents"))
+      val w = Window.partitionBy("cw").orderBy("off")
+      rev.withColumn("cum_cents", sum(col("week_cents")).over(w))
+        .join(broadcast(sizes), "cw")
+        .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+          col("n_users"), col("week_cents"), col("cum_cents"),
+          expr("cum_cents DIV n_users").as("ltv_per_user_c"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // POINT-IN-TIME feature extraction — the leakage-safe feature-store
+    // materialization every churn model needs: features computed ONLY
+    // from events at or before a cutoff (newest event − 7 days), label
+    // = any activity after it. Computing features over the full table
+    // and a label over its tail is THE classic leakage bug; here the
+    // cutoff is a one-row broadcast and the filter is explicit on both
+    // engine sides. Features: recency (days since last pre-cutoff
+    // event), total events, 14-day frequency, purchase cents.
+    // Scale: two filtered user-keyed aggregates with map-side combine;
+    // the label side reduces to a distinct user list before the join.
+    "q268_pit_features" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      val cut = ev.agg((max(col("us")) - lit(7L * dayUs)).as("cut"))
+      val pre = ev.crossJoin(broadcast(cut)).filter(col("us") <= col("cut"))
+      val feats = pre.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        max(col("us")).as("last_us"),
+        sum(when(col("us") >= col("cut") - lit(14L * dayUs), 1L).otherwise(0L))
+          .as("freq_14d"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L))
+          .as("monetary_c"),
+        max(col("cut")).as("cut"))
+      val label = ev.crossJoin(broadcast(cut)).filter(col("us") > col("cut"))
+        .select("user_id").distinct().withColumn("active_after", lit(true))
+      feats.join(label, Seq("user_id"), "left")
+        .select(col("user_id"),
+          expr("(cut - last_us) DIV 86400000000").as("recency_days"),
+          col("n_events"), col("freq_14d"), col("monetary_c"),
+          coalesce(col("active_after"), lit(false)).as("label_active"))
+        .orderBy("user_id")
+    }),
+
+    // ATTRIBUTION-WINDOW sweep — the knob q241 fixes at 7 days, priced
+    // across {1, 3, 7, 14}: what share of purchases has ANY preceding
+    // touch within W days. ONE candidate pass at the widest window
+    // (the q233/q189 one-pass-prices-the-curve discipline): per
+    // purchase, the minimum touch gap from a (user, 14-day-bucket)
+    // equi-join with a 2-bucket explode; each W then reads the same
+    // per-purchase min-gap table. A purchase with no 14-day touch
+    // appears with gap = ∞-sentinel and counts attributed nowhere.
+    // Scale: the q224/q241 bucket discipline bounds candidate fan-out
+    // by per-user density in 28 days; per-W counts are one 4-row
+    // rollup over a |purchases|-row table.
+    "q270_attribution_window_sweep" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val maxW = 14L * dayUs
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("us").as("pus"), expr(s"us DIV ${maxW}L").as("b"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("us").as("tus"))
+        .withColumn("b", explode(array(expr(s"tus DIV ${maxW}L"),
+          expr(s"tus DIV ${maxW}L + 1"))))
+      val gaps = pur.join(touch, Seq("user_id", "b"), "left")
+        .withColumn("gap",
+          when(col("tus").isNotNull && col("tus") < col("pus"),
+            col("pus") - col("tus")).otherwise(lit(Long.MaxValue)))
+        .groupBy("pid").agg(min(col("gap")).as("min_gap"))
+      val nPur = gaps.agg(count(lit(1)).as("n_purchases"))
+      gaps.crossJoin(broadcast(nPur))
+        .select(col("n_purchases"),
+          explode(array(Seq(1, 3, 7, 14).map(lit(_)): _*)).as("window_days"),
+          col("min_gap"))
+        .groupBy("window_days", "n_purchases")
+        .agg(sum(when(col("min_gap") <= col("window_days") * dayUs, 1L)
+          .otherwise(0L)).as("n_attributed"))
+        .select(col("window_days"), col("n_purchases"), col("n_attributed"),
+          expr("(n_attributed * 10000) DIV n_purchases").as("attr_bp"))
+        .orderBy("window_days")
+    }),
+
     // DISTRIBUTION DRIFT between two snapshots — the monitoring op every
     // production pipeline runs before promoting a new data drop: split
     // events into two cohorts (even/odd epoch-day — balanced and
@@ -1844,6 +1951,85 @@ object EventQueries {
 
     "q260_trimmed_mean" -> trimmedMeanOracleSql,
     "q265_stream_trimmed_mean" -> trimmedMeanOracleSql,
+
+    "q266_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, value
+                     FROM events),
+          cohort AS (SELECT user_id,
+                            CAST(min(us) // 604800000000 AS BIGINT) AS cw
+                     FROM ev GROUP BY user_id),
+          sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+                    FROM cohort GROUP BY cw),
+          rev AS (SELECT c.cw, (e.us // 604800000000) - c.cw AS off,
+                         CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+                              AS BIGINT) AS week_cents
+                  FROM ev e JOIN cohort c USING (user_id)
+                  WHERE e.event_type = 'purchase'
+                  GROUP BY 1, 2),
+          cum AS (SELECT cw, off, week_cents,
+                         CAST(sum(week_cents) OVER (PARTITION BY cw
+                                                    ORDER BY off) AS BIGINT)
+                           AS cum_cents
+                  FROM rev)
+          SELECT cw AS cohort_week, off AS week_offset, n_users,
+                 week_cents, cum_cents,
+                 cum_cents // n_users AS ltv_per_user_c
+          FROM cum JOIN sizes USING (cw)
+          ORDER BY cohort_week, week_offset""",
+
+    "q268_pit_features" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type, value
+                     FROM events),
+          cut AS (SELECT max(us) - 604800000000 AS cut FROM ev),
+          pre AS (SELECT ev.*, cut FROM ev CROSS JOIN cut
+                  WHERE us <= cut),
+          feats AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                           max(us) AS last_us,
+                           CAST(sum(CASE WHEN us >= cut - 1209600000000
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS freq_14d,
+                           CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS monetary_c,
+                           max(cut) AS cut
+                    FROM pre GROUP BY user_id),
+          lab AS (SELECT DISTINCT user_id, TRUE AS active_after
+                  FROM ev CROSS JOIN cut WHERE us > cut)
+          SELECT f.user_id,
+                 (f.cut - f.last_us) // 86400000000 AS recency_days,
+                 f.n_events, f.freq_14d, f.monetary_c,
+                 coalesce(l.active_after, FALSE) AS label_active
+          FROM feats f LEFT JOIN lab l USING (user_id)
+          ORDER BY f.user_id""",
+
+    "q270_attribution_window_sweep" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                            epoch_us(ts) AS us FROM events),
+          pur AS (SELECT event_id AS pid, user_id, us AS pus FROM ev
+                  WHERE event_type = 'purchase'),
+          touch AS (SELECT user_id, us AS tus FROM ev
+                    WHERE event_type IN ('click', 'view')),
+          gaps AS (SELECT p.pid,
+                          CAST(coalesce(min(CASE WHEN t.tus < p.pus
+                                AND p.pus - t.tus <= 2419200000000
+                                THEN p.pus - t.tus END),
+                                9223372036854775807) AS BIGINT) AS min_gap
+                   FROM pur p LEFT JOIN touch t USING (user_id)
+                   GROUP BY p.pid),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases FROM gaps),
+          sweep AS (SELECT w.window_days, np.n_purchases,
+                           CAST(sum(CASE WHEN g.min_gap
+                                              <= w.window_days * 86400000000
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_attributed
+                    FROM gaps g
+                    CROSS JOIN (VALUES (1), (3), (7), (14)) w(window_days)
+                    CROSS JOIN np
+                    GROUP BY 1, 2)
+          SELECT CAST(window_days AS INTEGER) AS window_days, n_purchases,
+                 n_attributed,
+                 (n_attributed * 10000) // n_purchases AS attr_bp
+          FROM sweep ORDER BY window_days""",
 
     "q262_wilson_bound" ->
       """WITH u AS (SELECT user_id % 20 AS arm, user_id,

@@ -756,6 +756,38 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
+    // FUNCTIONAL-DEPENDENCY discovery — the data-profiling step (TANE's
+    // check, restricted to a declared candidate set) that tells a
+    // modeler which columns are safe join/normalization keys: for each
+    // candidate determinant → dependent pair, count determinant groups
+    // and groups carrying MORE than one dependent value (violations).
+    // The mix is deliberate: true keys (o_orderkey → o_custkey,
+    // c_custkey → c_nationkey, n_nationkey → n_regionkey) hold at 0
+    // violations, plausible-but-false FDs (an order's supplier, a
+    // nation's market segment) fail loudly — a profiler that can only
+    // confirm is not a profiler.
+    // Scale: each candidate is one (determinant)-keyed aggregate with a
+    // partial distinct on the dependent (both stages map-side combine),
+    // then a one-row rollup; candidates are independent branches.
+    "q267_fd_discovery" -> ((s, d) => {
+      def cand(df: DataFrame, det: String, dep: String, tbl: String): DataFrame =
+        df.groupBy(col(det)).agg(countDistinct(col(dep)).as("nd"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(s"$tbl.$det -> $tbl.$dep").as("candidate"),
+            col("n_groups"), col("n_violating"),
+            (col("n_violating") === 0L).as("fd_holds"))
+      Seq(
+        cand(Tables.orders(s, d), "o_orderkey", "o_custkey", "orders"),
+        cand(Tables.orders(s, d), "o_custkey", "o_orderpriority", "orders"),
+        cand(Tables.customer(s, d), "c_custkey", "c_nationkey", "customer"),
+        cand(Tables.customer(s, d), "c_nationkey", "c_mktsegment", "customer"),
+        cand(Tables.lineitem(s, d), "l_orderkey", "l_suppkey", "lineitem"),
+        cand(Tables.lineitem(s, d), "l_partkey", "l_suppkey", "lineitem"),
+        cand(Tables.nation(s, d), "n_nationkey", "n_regionkey", "nation"))
+        .reduce(_ unionByName _).orderBy("candidate")
+    }),
+
     // KMV SET-OPERATION estimates — the sketch algebra a federation
     // layer runs when only sketches travel: per event_type audience,
     // a K=64 minimum-values sketch over the md5-derived 32-bit user
@@ -1470,6 +1502,26 @@ object MiscQueries {
                         words[pos] || ' ' || words[pos+1] || ' ' || words[pos+2] AS shingle
                  FROM posn)
           SELECT source, $lanes FROM sh GROUP BY source ORDER BY source"""
+    },
+
+    "q267_fd_discovery" -> {
+      def cand(tbl: String, det: String, dep: String): String =
+        s"""SELECT '$tbl.$det -> $tbl.$dep' AS candidate,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violating,
+                   sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+            FROM (SELECT $det, count(DISTINCT $dep) AS nd
+                  FROM $tbl GROUP BY $det)"""
+      Seq(
+        cand("orders", "o_orderkey", "o_custkey"),
+        cand("orders", "o_custkey", "o_orderpriority"),
+        cand("customer", "c_custkey", "c_nationkey"),
+        cand("customer", "c_nationkey", "c_mktsegment"),
+        cand("lineitem", "l_orderkey", "l_suppkey"),
+        cand("lineitem", "l_partkey", "l_suppkey"),
+        cand("nation", "n_nationkey", "n_regionkey"))
+        .mkString("", "\nUNION ALL ", "\nORDER BY candidate")
     },
 
     "q261_kmv_set_ops" -> {

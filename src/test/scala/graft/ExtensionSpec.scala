@@ -3379,6 +3379,148 @@ class ExtensionSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("cohort LTV matches a brute-force cohort replay and cumulates exactly") {
+    val rows = ops.EventQueries.queries("q266_cohort_ltv")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val weekUs = 604800000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val cohort = ev.toSeq.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._3).min / weekUs }
+    val sizes = cohort.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val want = ev.filter(_._2 == "purchase").toSeq
+      .groupBy(e => (cohort(e._1), e._3 / weekUs - cohort(e._1)))
+      .view.mapValues(_.map(e => math.floor(e._4 * 100 + 0.5).toLong).sum).toMap
+    rows.foreach { case ((cw, off), (nUsers, weekC, cumC, ltv)) =>
+      assert(nUsers == sizes(cw) && weekC == want((cw, off)))
+      val cum = want.collect { case ((c, o), v) if c == cw && o <= off => v }.sum
+      assert(cumC == cum && ltv == cum / nUsers, s"cohort $cw offset $off")
+    }
+    assert(rows.keySet == want.keySet)
+  }
+
+  test("FD discovery confirms true keys and rejects planted-false candidates") {
+    val rows = ops.MiscQueries.queries("q267_fd_discovery")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.size == 7)
+    // genuine keys hold; plausible-but-false FDs must fail (a profiler
+    // that can only confirm is not a profiler)
+    assert(rows("orders.o_orderkey -> orders.o_custkey")._3)
+    assert(rows("customer.c_custkey -> customer.c_nationkey")._3)
+    assert(rows("nation.n_nationkey -> nation.n_regionkey")._3)
+    assert(!rows("lineitem.l_orderkey -> lineitem.l_suppkey")._3)
+    // replay one true and one false candidate exactly
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size).toMap
+    val got = rows("lineitem.l_orderkey -> lineitem.l_suppkey")
+    assert(got._1 == byOrder.size.toLong)
+    assert(got._2 == byOrder.values.count(_ > 1).toLong)
+    rows.values.foreach { case (g, v, holds) =>
+      assert(v <= g && holds == (v == 0))
+    }
+  }
+
+  test("point-in-time features leak nothing past the cutoff") {
+    val rows = ops.EventQueries.queries("q268_pit_features")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val cut = ev.map(_._2).max - 7L * dayUs
+    val pre = ev.filter(_._2 <= cut)
+    val want = pre.toSeq.groupBy(_._1).map { case (u, xs) =>
+      u -> ((
+        (cut - xs.map(_._2).max) / dayUs,
+        xs.size.toLong,
+        xs.count(_._2 >= cut - 14L * dayUs).toLong,
+        xs.filter(_._3 == "purchase")
+          .map(x => math.floor(x._4 * 100 + 0.5).toLong).sum,
+        ev.exists(e => e._1 == u && e._2 > cut)))
+    }
+    assert(rows == want)
+    // only users with pre-cutoff activity get feature rows (a user born
+    // after the cutoff has no point-in-time features by definition)
+    assert(rows.keySet == pre.map(_._1).toSet)
+  }
+
+  test("score deciles partition the corpus and lift decays to the base rate") {
+    val rows = ext.TextQueries.queries("q269_score_deciles")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (0 to 9))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val enSet = Set("the", "and", "of", "to", "a", "in", "is")
+    val scored = docs.map { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      val score = ws.count(enSet).toLong * 10000L / ws.length
+      val hv = "0123456789abcdef".indexOf(
+        md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0))
+      (score, hv < score / 312)
+    }
+    val n = scored.length.toLong
+    // deciles partition the corpus exactly
+    assert(rows.map(_._2).sum == n)
+    assert(rows.map(_._3).sum == scored.count(_._2).toLong)
+    // negatives-first tie order makes the histogram decile counts exact:
+    // replay via the same rank-interval overlap
+    val cells = scored.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((score, pos), c) => (score, pos, c) }
+      .sortBy { case (score, pos, _) => (-score, pos) }
+    var cum = 0L
+    val keptPer = Array.fill(10)((0L, 0L))
+    cells.foreach { case (_, pos, c) =>
+      cum += c
+      for (k <- 0 until 10) {
+        val (lo, hi) = (k * n / 10, (k + 1) * n / 10)
+        val kept = math.max(0L, math.min(cum, hi) - math.max(cum - c, lo))
+        val (kn, kp) = keptPer(k)
+        keptPer(k) = (kn + kept, kp + (if (pos) kept else 0L))
+      }
+    }
+    rows.foreach { case (k, nd, np, posBp, _) =>
+      assert((nd, np) == keptPer(k), s"decile $k")
+      assert(posBp == np * 10000L / nd)
+    }
+    // the planted calibrated coin must actually front-load lift
+    assert(rows.head._5 > 10000L && rows.last._5 == 10000L)
+  }
+
+  test("attribution window sweep is monotone and matches per-purchase min gaps") {
+    val rows = ops.EventQueries.queries("q270_attribution_window_sweep")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 3, 7, 14))
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val touchByUser = ev.filter(e => e._2 == "click" || e._2 == "view")
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    val minGaps = ev.filter(_._2 == "purchase").map { case (u, _, pus) =>
+      touchByUser.getOrElse(u, Array.empty[Long])
+        .filter(_ < pus).map(pus - _).minOption.getOrElse(Long.MaxValue)
+    }
+    rows.foreach { case (wd, np, na, bp) =>
+      assert(np == minGaps.length.toLong)
+      assert(na == minGaps.count(_ <= wd * dayUs).toLong, s"window $wd")
+      assert(bp == na * 10000L / np)
+    }
+    // wider windows can only attribute more
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+  }
+
   test("Benford audit digits partition each column and match a direct replay") {
     val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
