@@ -109,6 +109,8 @@ object Bench {
       "q258_degree_assortativity"   -> 3.4,
       "q259_tokenizer_fertility"    -> 2.0,
       "q265_stream_trimmed_mean"    -> 2.8,
+      "q271_inclusion_dependency"   -> 2.7,
+      "q275_trigram_search"         -> 3.8,
       "q231_rerank_cascade"         -> 6.6,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,

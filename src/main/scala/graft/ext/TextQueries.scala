@@ -636,6 +636,61 @@ object TextQueries {
         .orderBy(col("tot").desc, col("word")).limit(20)
     }),
 
+    // TRIGRAM-INDEX substring search — the pg_trgm pattern: a LIKE
+    // '%pat%' scan accelerated by a character-trigram inverted index.
+    // Candidates = docs containing EVERY trigram of the pattern
+    // (guaranteed superset of true matches for patterns ≥ 3 chars —
+    // recall is structural, which the n_verified = n_direct columns
+    // prove per pattern); verification = exact substring test on
+    // candidates only; the report prices index precision in bp (the
+    // decision input for whether the index pays for a given pattern
+    // length). Three patterns of different lengths sweep the knob.
+    // Scale: the doc-side trigram explode is map-side and immediately
+    // filtered to the ≤ 8 pattern-trigram literals, so the only
+    // shuffle carries docs × matched-trigrams, never the full trigram
+    // posting table; the direct-scan truth leg is one map-side pass.
+    "q275_trigram_search" -> ((s, d) => {
+      val patterns = Seq("par", "windo", "agg")
+      val patTris = patterns.flatMap(p =>
+        p.sliding(3).toSeq.distinct.map(t => (p, t)))
+      val allTris = patTris.map(_._2).distinct
+      val nTriOf = patterns.map(p =>
+        p -> p.sliding(3).toSeq.distinct.size).toMap
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val pt = s.range(1).select(explode(array(patTris.map { case (p, t) =>
+          struct(lit(p).as("pattern"), lit(t).as("tri")) }: _*)).as("x"))
+        .select(col("x.pattern").as("pattern"), col("x.tri").as("tri"))
+      val docTris = docs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+          .as("tri"))
+        .filter(col("tri").isin(allTris: _*))
+        .distinct()
+      val cand = docTris.join(broadcast(pt), "tri")
+        .groupBy("pattern", "doc_id")
+        .agg(countDistinct(col("tri")).as("nt"))
+        .withColumn("need", expr(
+          "CASE pattern " + patterns.map(p =>
+            s"WHEN '$p' THEN ${nTriOf(p)}").mkString(" ") + " END"))
+        .filter(col("nt") === col("need"))
+      val verified = cand.join(docs, "doc_id")
+        .filter(expr("locate(pattern, text) > 0"))
+        .groupBy("pattern").agg(count(lit(1)).as("n_verified"))
+      val candN = cand.groupBy("pattern").agg(count(lit(1)).as("n_candidates"))
+      val direct = docs.select(col("text"),
+          explode(array(patterns.map(lit(_)): _*)).as("pattern"))
+        .filter(expr("locate(pattern, text) > 0"))
+        .groupBy("pattern").agg(count(lit(1)).as("n_direct"))
+      candN.join(verified, Seq("pattern"), "left")
+        .join(direct, Seq("pattern"), "left")
+        .select(col("pattern"), col("n_candidates"),
+          coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+          coalesce(col("n_direct"), lit(0L)).as("n_direct"),
+          expr("(coalesce(n_verified, 0) * 10000) DIV n_candidates")
+            .as("precision_bp"))
+        .orderBy("pattern")
+    }),
+
     // SCORE-DECILE gains table — the classifier eval ROC curves hide
     // from a pipeline owner: rank the corpus by a score, cut into ten
     // EXACT rank deciles, and report each decile's positive share and
@@ -1121,6 +1176,49 @@ object TextQueries {
                  CAST((total_tokens * 10000) // base_tokens AS BIGINT)
                    AS compression_bp
           FROM tc, base ORDER BY n_merges"""
+    },
+
+    "q275_trigram_search" -> {
+      val patterns = Seq("par", "windo", "agg")
+      val patTris = patterns.flatMap(p =>
+        p.sliding(3).toSeq.distinct.map(t => (p, t)))
+      val ptValues = patTris.map { case (p, t) => s"('$p', '$t')" }.mkString(", ")
+      val needCase = patterns.map(p =>
+        s"WHEN '$p' THEN ${p.sliding(3).toSeq.distinct.size}").mkString(" ")
+      val patValues = patterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH pt AS (SELECT * FROM (VALUES $ptValues) v(pattern, tri)),
+          doctris AS (SELECT DISTINCT doc_id, tri FROM (
+                        SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, greatest(length(text) - 2, 0)),
+                                 i -> substr(text, i, 3))) AS tri
+                        FROM documents)
+                      WHERE tri IN (SELECT tri FROM pt)),
+          cand AS (SELECT pattern, doc_id FROM (
+                     SELECT pt.pattern, dt.doc_id,
+                            count(DISTINCT dt.tri) AS nt
+                     FROM doctris dt JOIN pt USING (tri)
+                     GROUP BY 1, 2)
+                   WHERE nt = CASE pattern $needCase END),
+          verified AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n_verified
+                       FROM cand JOIN documents USING (doc_id)
+                       WHERE strpos(text, pattern) > 0
+                       GROUP BY pattern),
+          candn AS (SELECT pattern, CAST(count(*) AS BIGINT) AS n_candidates
+                    FROM cand GROUP BY pattern),
+          direct AS (SELECT p.pattern, CAST(count(*) AS BIGINT) AS n_direct
+                     FROM documents
+                     CROSS JOIN (VALUES $patValues) p(pattern)
+                     WHERE strpos(text, p.pattern) > 0
+                     GROUP BY p.pattern)
+          SELECT c.pattern, c.n_candidates,
+                 CAST(coalesce(v.n_verified, 0) AS BIGINT) AS n_verified,
+                 CAST(coalesce(dr.n_direct, 0) AS BIGINT) AS n_direct,
+                 (coalesce(v.n_verified, 0) * 10000) // c.n_candidates
+                   AS precision_bp
+          FROM candn c LEFT JOIN verified v USING (pattern)
+          LEFT JOIN direct dr USING (pattern)
+          ORDER BY c.pattern"""
     },
 
     "q269_score_deciles" ->

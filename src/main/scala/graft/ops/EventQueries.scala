@@ -731,6 +731,91 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    // WATERMARK-SIZING sweep — the question every streaming deploy must
+    // answer before setting withWatermark: how much data would a delay
+    // of W lose? The fixture's events arrive PERFECTLY ordered
+    // (measured: zero out-of-order rows by event_id), so disorder is
+    // PLANTED in-query on both engine sides (the q240/q269 discipline):
+    // arrival = event time + a deterministic md5 jitter of 0..899s.
+    // An event is dropped at watermark W iff some event arriving
+    // earlier carries an event time more than W newer — and since
+    // jitter < 900s, any such witness lives within 900s of event time,
+    // so candidates come from a (900s-bucket) equi-join with a 2-bucket
+    // explode (the q224 discipline — never a global arrival sort, which
+    // is exactly what a real stream cannot do either). ONE candidate
+    // pass yields each event's worst lead; the {60, 300, 600, 900}s
+    // sweep reads the same table.
+    // Scale: fan-out is bounded by stream density in a 900s window —
+    // per-type sharding is the production knob if one window is dense.
+    "q272_watermark_sizing" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("m", md5(col("event_id").cast("string")))
+        .withColumn("jit", expr(s"(${md5Bits32("m")} % 900) * 1000000"))
+        .withColumn("arrival", col("us") + col("jit"))
+        .select(col("event_id"), col("us"), col("arrival"),
+          expr("us DIV 900000000").as("b0"))
+      val late = ev.select(col("us").as("us2"), col("arrival").as("arr2"),
+          explode(array(col("b0"), col("b0") - 1)).as("b"))
+      val lead = ev.withColumnRenamed("b0", "b")
+        .join(late, Seq("b"), "left")
+        .withColumn("gap",
+          when(col("arr2") < col("arrival") && col("us2") > col("us"),
+            col("us2") - col("us")).otherwise(lit(0L)))
+        .groupBy("event_id").agg(max(col("gap")).as("max_lead"))
+      val n = lead.agg(count(lit(1)).as("n_events"))
+      lead.crossJoin(broadcast(n))
+        .select(col("n_events"),
+          explode(array(Seq(60, 300, 600, 900).map(lit(_)): _*)).as("w_seconds"),
+          col("max_lead"))
+        .groupBy("w_seconds", "n_events")
+        .agg(sum(when(col("max_lead") > col("w_seconds") * 1000000L, 1L)
+          .otherwise(0L)).as("n_dropped"))
+        .select(col("w_seconds"), col("n_events"), col("n_dropped"),
+          expr("(n_dropped * 10000) DIV n_events").as("drop_bp"))
+        .orderBy("w_seconds")
+    }),
+
+    // SLO BURN report — the error-budget accounting an SRE runs over a
+    // latency stream: the SLO threshold is the metric's own global p95
+    // (exact ceil-rank over the bounded cent histogram — the q228
+    // machinery), a day breaches when MORE than 5% of its events exceed
+    // the threshold (integer cross-multiply, no float rates), and the
+    // report shows per type how many days breached, the worst day and
+    // its burn in bp. Self-calibrated: ~5% of ALL events exceed p95 by
+    // construction, so breaching days are exactly the days where the
+    // tail CONCENTRATES — the thing a burn report exists to find.
+    // Scale: one (type, day) rollup with conditional partial counts;
+    // the threshold is a one-row broadcast from the domain-bounded
+    // histogram; the report is a per-type aggregate over calendar rows.
+    "q274_slo_burn" -> ((s, d) => {
+      val cents = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cent"))
+      val hist = cents.groupBy("cent").agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy("cent")
+      val tot = hist.agg(sum(col("c")).as("n"))
+      val thr = hist.withColumn("cum", sum(col("c")).over(wc))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") * 100 >= col("n") * 95)
+        .agg(min(col("cent")).as("p95_cent"))
+      val daily = cents.crossJoin(broadcast(thr))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_day"),
+          sum(when(col("cent") > col("p95_cent"), 1L).otherwise(0L)).as("n_over"))
+        .withColumn("breach", col("n_over") * 100 > col("n_day") * 5)
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("breach"), 1L).otherwise(0L)).as("n_breach_days"),
+          max(struct(expr("(n_over * 10000) DIV n_day").as("burn_bp"),
+            col("day"))).as("worst"))
+        .select(col("event_type"), col("n_days"), col("n_breach_days"),
+          col("worst.day").as("worst_day"),
+          col("worst.burn_bp").as("worst_burn_bp"))
+        .orderBy("event_type")
+    }),
+
     // COHORT LTV curve — the revenue companion to q131's retention
     // counts: per signup cohort (epoch week of first event), weekly and
     // cumulative purchase revenue in exact cents, normalized per cohort
@@ -1951,6 +2036,70 @@ object EventQueries {
 
     "q260_trimmed_mean" -> trimmedMeanOracleSql,
     "q265_stream_trimmed_mean" -> trimmedMeanOracleSql,
+
+    "q272_watermark_sizing" -> {
+      val h32 = graft.ops.oMd5Bits32("m")
+      s"""WITH ev AS (SELECT event_id, us, arrival, us // 900000000 AS b0
+                      FROM (SELECT event_id, us,
+                                   us + ($h32 % 900) * 1000000 AS arrival
+                            FROM (SELECT event_id, epoch_us(ts) AS us,
+                                         md5(CAST(event_id AS VARCHAR)) AS m
+                                  FROM events))),
+          late AS (SELECT us AS us2, arrival AS arr2, b0 AS b FROM ev
+                   UNION ALL
+                   SELECT us, arrival, b0 - 1 FROM ev),
+          lead AS (SELECT e.event_id,
+                          CAST(max(CASE WHEN l.arr2 < e.arrival
+                                         AND l.us2 > e.us
+                                        THEN l.us2 - e.us ELSE 0 END)
+                               AS BIGINT) AS max_lead
+                   FROM ev e LEFT JOIN late l ON l.b = e.b0
+                   GROUP BY e.event_id),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM lead),
+          sweep AS (SELECT w.w_seconds, n.n_events,
+                           CAST(sum(CASE WHEN max_lead > w.w_seconds * 1000000
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_dropped
+                    FROM lead
+                    CROSS JOIN (VALUES (60), (300), (600), (900)) w(w_seconds)
+                    CROSS JOIN n
+                    GROUP BY 1, 2)
+          SELECT CAST(w_seconds AS INTEGER) AS w_seconds, n_events, n_dropped,
+                 (n_dropped * 10000) // n_events AS drop_bp
+          FROM sweep ORDER BY w_seconds"""
+    },
+
+    "q274_slo_burn" ->
+      """WITH cents AS (SELECT event_type,
+                               epoch_us(ts) // 86400000000 AS day,
+                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent
+                        FROM events),
+          hist AS (SELECT cent, count(*) AS c FROM cents GROUP BY cent),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+          thr AS (SELECT min(cent) AS p95_cent FROM (
+                    SELECT cent, CAST(sum(c) OVER (ORDER BY cent) AS BIGINT)
+                             AS cum
+                    FROM hist) CROSS JOIN tot
+                  WHERE cum * 100 >= n * 95),
+          daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_day,
+                           CAST(sum(CASE WHEN cent > p95_cent THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_over
+                    FROM cents CROSS JOIN thr
+                    GROUP BY 1, 2),
+          ranked AS (SELECT event_type, day, n_day, n_over,
+                            (n_over * 10000) // n_day AS burn_bp,
+                            n_over * 100 > n_day * 5 AS breach,
+                            row_number() OVER (PARTITION BY event_type
+                                               ORDER BY (n_over * 10000) // n_day DESC,
+                                                        day DESC) AS rn
+                     FROM daily)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(CASE WHEN breach THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_breach_days,
+                 max(CASE WHEN rn = 1 THEN day END) AS worst_day,
+                 CAST(max(CASE WHEN rn = 1 THEN burn_bp END) AS BIGINT)
+                   AS worst_burn_bp
+          FROM ranked GROUP BY event_type ORDER BY event_type""",
 
     "q266_cohort_ltv" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, value

@@ -788,6 +788,49 @@ object MiscQueries {
         .reduce(_ unionByName _).orderBy("candidate")
     }),
 
+    // INCLUSION-DEPENDENCY discovery — the cross-table companion to
+    // q267's FDs (together they ARE schema profiling): for each
+    // candidate foreign key, how many distinct child values have no
+    // parent. Genuine FKs (lineitem→orders, orders→customer,
+    // lineitem→supplier/part) hold at 0 orphans, and so does the
+    // reversed customer⊆orders on THIS fixture (every customer has
+    // ordered — measured, and itself a profiling finding). The
+    // must-fail row is the production failure mode instead: checking
+    // children against a PARTIAL parent snapshot (orders with status
+    // 'F' only — the archived-parent bug every retention policy
+    // eventually causes) strands most l_orderkeys as orphans.
+    // Scale: each candidate reduces the child side to DISTINCT keys
+    // before a left-anti join against the parent's distinct keys — two
+    // map-side-combined distincts and one key-sized join per candidate.
+    "q271_inclusion_dependency" -> ((s, d) => {
+      def cand(child: DataFrame, ck: String, parent: DataFrame, pk: String,
+               name: String): DataFrame = {
+        val c = child.select(col(ck).as("k")).distinct()
+        val p = parent.select(col(pk).as("k")).distinct()
+        val orphans = c.join(p, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        c.agg(count(lit(1)).as("n_child_keys"))
+          .crossJoin(orphans)
+          .select(lit(name).as("candidate"), col("n_child_keys"),
+            col("n_orphans"), (col("n_orphans") === 0L).as("ind_holds"))
+      }
+      Seq(
+        cand(Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", "lineitem.l_orderkey <= orders.o_orderkey"),
+        cand(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", "orders.o_custkey <= customer.c_custkey"),
+        cand(Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey", "lineitem.l_suppkey <= supplier.s_suppkey"),
+        cand(Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey", "lineitem.l_partkey <= part.p_partkey"),
+        cand(Tables.customer(s, d), "c_custkey",
+          Tables.orders(s, d), "o_custkey", "customer.c_custkey <= orders.o_custkey"),
+        cand(Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d).filter(col("o_orderstatus") === "F"), "o_orderkey",
+          "lineitem.l_orderkey <= orders[status=F].o_orderkey"))
+        .reduce(_ unionByName _).orderBy("candidate")
+    }),
+
     // KMV SET-OPERATION estimates — the sketch algebra a federation
     // layer runs when only sketches travel: per event_type audience,
     // a K=64 minimum-values sketch over the md5-derived 32-bit user
@@ -1502,6 +1545,38 @@ object MiscQueries {
                         words[pos] || ' ' || words[pos+1] || ' ' || words[pos+2] AS shingle
                  FROM posn)
           SELECT source, $lanes FROM sh GROUP BY source ORDER BY source"""
+    },
+
+    "q271_inclusion_dependency" -> {
+      def cand(childTbl: String, ck: String, parentTbl: String,
+               pk: String): String =
+        s"""SELECT '$childTbl.$ck <= $parentTbl.$pk' AS candidate,
+                   CAST((SELECT count(DISTINCT $ck) FROM $childTbl) AS BIGINT)
+                     AS n_child_keys,
+                   CAST((SELECT count(*) FROM
+                          (SELECT DISTINCT $ck AS k FROM $childTbl) c
+                          WHERE NOT EXISTS (SELECT 1 FROM $parentTbl p
+                                            WHERE p.$pk = c.k)) AS BIGINT)
+                     AS n_orphans"""
+      val archived =
+        s"""SELECT 'lineitem.l_orderkey <= orders[status=F].o_orderkey'
+                     AS candidate,
+                   CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                        AS BIGINT) AS n_child_keys,
+                   CAST((SELECT count(*) FROM
+                          (SELECT DISTINCT l_orderkey AS k FROM lineitem) c
+                          WHERE NOT EXISTS (SELECT 1 FROM orders p
+                                            WHERE p.o_orderkey = c.k
+                                              AND p.o_orderstatus = 'F'))
+                        AS BIGINT) AS n_orphans"""
+      (Seq(
+        cand("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        cand("orders", "o_custkey", "customer", "c_custkey"),
+        cand("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        cand("lineitem", "l_partkey", "part", "p_partkey"),
+        cand("customer", "c_custkey", "orders", "o_custkey")) :+ archived)
+        .map(q => s"SELECT candidate, n_child_keys, n_orphans, n_orphans = 0 AS ind_holds FROM ($q)")
+        .mkString("", "\nUNION ALL ", "\nORDER BY candidate")
     },
 
     "q267_fd_discovery" -> {

@@ -496,10 +496,93 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(50)
+    }),
+
+    // LEADERBOARD CHURN — the period-over-period top-k diff every ops
+    // dashboard renders (which suppliers entered/left the revenue
+    // top 10, who moved): the timeline splits at its integer midpoint
+    // day, each half ranks suppliers by exact revenue cents (count
+    // desc would hide price mix; cents are decimal-exact), and a full
+    // outer join of the two top-10s classifies entered / exited /
+    // stayed with the rank delta. Absent ranks report as -1, not NULL —
+    // the diff must be a total function of the two boards.
+    // Scale: revenue is one (half, supplier)-keyed aggregate with
+    // map-side combine; ranks ride a window over the supplier control
+    // plane; the diff joins two 10-row tables.
+    "q273_leaderboard_churn" -> ((s, d) => {
+      // the organic supplier mix is pure noise across halves (measured:
+      // complete top-10 churn at every scale — a 'stayed' branch that
+      // never fires), so three PERSISTENT LEADERS are planted in-query
+      // on both engine sides (suppliers 0-2 at 3x revenue, the
+      // q240/q269 discipline): they hold the board both halves and
+      // exercise rank deltas, while the tail keeps churning
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("""CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  * IF(l_suppkey < 3, 3, 1)""").as("cents"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("day")),
+          col("l_orderkey") === col("o_orderkey"))
+      val mid = li.agg(((min(col("day")) + max(col("day"))) / 2)
+        .cast("long").as("mid"))
+      val rev = li.crossJoin(broadcast(mid))
+        .withColumn("half", when(col("day") <= col("mid"), 1).otherwise(2))
+        .groupBy("half", "l_suppkey").agg(sum(col("cents")).as("rev"))
+      val w = Window.partitionBy("half")
+        .orderBy(col("rev").desc, col("l_suppkey"))
+      val top = rev.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+      val h1 = top.filter(col("half") === 1)
+        .select(col("l_suppkey").as("supplier"), col("rk").as("rank_h1"))
+      val h2 = top.filter(col("half") === 2)
+        .select(col("l_suppkey").as("supplier"), col("rk").as("rank_h2"))
+      h1.join(h2, Seq("supplier"), "full_outer")
+        .select(col("supplier"),
+          when(col("rank_h1").isNull, "entered")
+            .when(col("rank_h2").isNull, "exited")
+            .otherwise("stayed").as("status"),
+          coalesce(col("rank_h1"), lit(-1)).as("rank_h1"),
+          coalesce(col("rank_h2"), lit(-1)).as("rank_h2"),
+          when(col("rank_h1").isNotNull && col("rank_h2").isNotNull,
+            col("rank_h1") - col("rank_h2")).otherwise(lit(0)).as("rank_delta"))
+        .orderBy("supplier")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q273_leaderboard_churn" ->
+      """WITH li AS (SELECT l_suppkey,
+                            CAST(floor(l_extendedprice * 100) AS BIGINT)
+                              * CASE WHEN l_suppkey < 3 THEN 3 ELSE 1 END
+                              AS cents,
+                            epoch_us(o_orderdate) // 86400000000 AS day
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          mid AS (SELECT (min(day) + max(day)) // 2 AS mid FROM li),
+          rev AS (SELECT CASE WHEN day <= mid THEN 1 ELSE 2 END AS half,
+                         l_suppkey, CAST(sum(cents) AS BIGINT) AS rev
+                  FROM li CROSS JOIN mid GROUP BY 1, 2),
+          top AS (SELECT half, l_suppkey, rk FROM (
+                    SELECT half, l_suppkey,
+                           row_number() OVER (PARTITION BY half
+                                              ORDER BY rev DESC, l_suppkey)
+                             AS rk
+                    FROM rev) WHERE rk <= 10),
+          h1 AS (SELECT l_suppkey AS supplier, rk AS rank_h1 FROM top
+                 WHERE half = 1),
+          h2 AS (SELECT l_suppkey AS supplier, rk AS rank_h2 FROM top
+                 WHERE half = 2)
+          SELECT supplier,
+                 CASE WHEN rank_h1 IS NULL THEN 'entered'
+                      WHEN rank_h2 IS NULL THEN 'exited'
+                      ELSE 'stayed' END AS status,
+                 CAST(coalesce(rank_h1, -1) AS INTEGER) AS rank_h1,
+                 CAST(coalesce(rank_h2, -1) AS INTEGER) AS rank_h2,
+                 CAST(CASE WHEN rank_h1 IS NOT NULL AND rank_h2 IS NOT NULL
+                           THEN rank_h1 - rank_h2 ELSE 0 END AS INTEGER)
+                   AS rank_delta
+          FROM h1 FULL OUTER JOIN h2 USING (supplier)
+          ORDER BY supplier""",
+
     "q183_scalable_median" ->
       """WITH c AS (SELECT l_returnflag,
                            CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents

@@ -3521,6 +3521,150 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
   }
 
+  test("inclusion dependencies: genuine FKs hold, the archived-parent check fails") {
+    val rows = ops.MiscQueries.queries("q271_inclusion_dependency")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.size == 6)
+    Seq("lineitem.l_orderkey <= orders.o_orderkey",
+      "orders.o_custkey <= customer.c_custkey",
+      "lineitem.l_suppkey <= supplier.s_suppkey",
+      "lineitem.l_partkey <= part.p_partkey").foreach { c =>
+      assert(rows(c)._2 == 0L && rows(c)._3, c)
+    }
+    val arch = rows("lineitem.l_orderkey <= orders[status=F].o_orderkey")
+    assert(arch._2 > 0L && !arch._3, "partial parent snapshot must strand orphans")
+    // replay the archived-parent candidate exactly
+    val childKeys = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val fParents = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      .collect().map(_.getLong(0)).toSet
+    assert(arch._1 == childKeys.size.toLong)
+    assert(arch._2 == (childKeys -- fParents).size.toLong)
+  }
+
+  test("watermark sizing matches a brute-force arrival replay and decays to zero") {
+    val rows = ops.EventQueries.queries("q272_watermark_sizing")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(60, 300, 600, 900))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(key: String): Long = {
+      val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map { r =>
+        val (id, us) = (r.getLong(0), r.getLong(1))
+        (us, us + (h32(id.toString) % 900) * 1000000L)
+      }
+    // brute force: an event's max lead = newest event time among events
+    // arriving STRICTLY earlier (jitter < 900s bounds the window);
+    // equal-arrival groups must not see each other
+    val sorted = ev.sortBy(_._2)
+    var maxUs = Long.MinValue
+    val leads = scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._2 == sorted(i)._2) j += 1
+      (i until j).foreach { k =>
+        leads += (if (maxUs == Long.MinValue) 0L
+          else math.max(0L, maxUs - sorted(k)._1))
+      }
+      (i until j).foreach(k => maxUs = math.max(maxUs, sorted(k)._1))
+      i = j
+    }
+    rows.foreach { case (w, n, dropped, bp) =>
+      assert(n == ev.length.toLong)
+      assert(dropped == leads.count(_ > w * 1000000L).toLong, s"W=$w")
+      assert(bp == dropped * 10000L / n)
+    }
+    // the widest watermark covers the planted jitter entirely
+    assert(rows.last._3 == 0L)
+    assert(rows.map(_._3).reverse.toSeq == rows.map(_._3).reverse.sorted.toSeq)
+  }
+
+  test("leaderboard churn: planted leaders stay, tail churns, boards reconcile") {
+    val rows = ops.RelationalQueries.queries("q273_leaderboard_churn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    val byStatus = rows.groupBy(_._2)
+    // the three planted 3x suppliers hold the board in both halves
+    Seq(0L, 1L, 2L).foreach { sk =>
+      assert(rows.exists(r => r._1 == sk && r._2 == "stayed"), s"supplier $sk")
+    }
+    // each half's board holds exactly 10 ranks, each exactly once
+    val h1 = rows.filter(_._3 > 0).map(_._3).sorted
+    val h2 = rows.filter(_._4 > 0).map(_._4).sorted
+    assert(h1.toSeq == (1 to 10) && h2.toSeq == (1 to 10))
+    // status semantics are total
+    rows.foreach {
+      case (_, "stayed", r1, r2, dlt) =>
+        assert(r1 > 0 && r2 > 0 && dlt == r1 - r2)
+      case (_, "entered", r1, r2, dlt) => assert(r1 == -1 && r2 > 0 && dlt == 0)
+      case (_, "exited", r1, r2, dlt) => assert(r1 > 0 && r2 == -1 && dlt == 0)
+      case other => fail(s"unknown status row $other")
+    }
+    // at sf0.001 the whole 10-supplier universe fits both boards (all
+    // stayed); wherever churn exists, entries and exits must balance
+    assert(rows.count(_._2 == "entered") == rows.count(_._2 == "exited"),
+      "entries and exits must balance on fixed-size boards")
+  }
+
+  test("SLO burn report matches an exact p95-threshold replay") {
+    val rows = ops.EventQueries.queries("q274_slo_burn")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val cents = ev.map(_._3).sorted
+    val n = cents.length
+    // exact ceil-rank p95 over the histogram = smallest cent whose
+    // cumulative reaches 95%
+    var (cum, thr) = (0L, Long.MinValue)
+    cents.distinct.sorted.foreach { c =>
+      if (thr == Long.MinValue) {
+        cum += cents.count(_ == c)
+        if (cum * 100 >= n.toLong * 95) thr = c
+      }
+    }
+    val want = ev.toSeq.groupBy(_._1).map { case (t, xs) =>
+      val daily = xs.groupBy(_._2).map { case (day, ys) =>
+        (day, ys.size.toLong, ys.count(_._3 > thr).toLong)
+      }.toSeq
+      val breaches = daily.count { case (_, nd, no) => no * 100 > nd * 5 }.toLong
+      val worst = daily.map { case (day, nd, no) => (no * 10000L / nd, day) }.max
+      t -> ((daily.size.toLong, breaches, worst._2, worst._1))
+    }
+    assert(rows == want)
+  }
+
+  test("trigram search: structural recall holds and candidates verify") {
+    val rows = ext.TextQueries.queries("q275_trigram_search")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set("par", "windo", "agg"))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { case (p, (nCand, nVer, nDirect, precBp)) =>
+      val direct = docs.count(_._2.contains(p)).toLong
+      assert(nDirect == direct, s"$p direct")
+      // recall is STRUCTURAL: every true match is a candidate
+      assert(nVer == nDirect, s"$p recall")
+      val tris = p.sliding(3).toSeq.distinct
+      val cand = docs.count { case (_, t) =>
+        tris.forall(tr => t.contains(tr))
+      }.toLong
+      assert(nCand == cand, s"$p candidates")
+      assert(nVer <= nCand && precBp == nVer * 10000L / nCand)
+    }
+  }
+
   test("Benford audit digits partition each column and match a direct replay") {
     val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
