@@ -111,6 +111,7 @@ object Bench {
       "q265_stream_trimmed_mean"    -> 2.8,
       "q271_inclusion_dependency"   -> 2.7,
       "q275_trigram_search"         -> 3.8,
+      "q276_detector_agreement"     -> 2.2,
       "q231_rerank_cascade"         -> 6.6,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,

@@ -731,6 +731,88 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    // DETECTOR-AGREEMENT report — the meta-eval a monitoring team runs
+    // before picking an alerting stack: EWMA (q215's rule), two-sided
+    // CUSUM (q247's), and weekday-seasonal residual (q242's) all run
+    // over ONE shared series carrying all three planted anomaly shapes
+    // (×3 spike at d0+14, ×3+50 spike at d0+10, sustained ×2 at
+    // d0+20..27), and the report is the per-type agreement matrix:
+    // each detector's flagged days accumulate into a DAY BITMASK
+    // (day − d0 < 63, asserted by filter — the production version
+    // swaps in q226's BitmapAgg), so overlaps are bit_count(AND) —
+    // exact, orderless, one long per detector. The expected reading:
+    // spikes belong to EWMA/seasonal, the sustained shift to CUSUM —
+    // a stack missing CUSUM is blind to drift, which is the point.
+    // Scale: one (type, day) rollup; the folds and mask algebra run on
+    // retention-window-sized arrays per type (the q215/q247 contract).
+    "q276_detector_agreement" -> ((s, d) => {
+      val rolled = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val d0 = rolled.agg(min(col("day")).as("d0"))
+      val daily = rolled.crossJoin(broadcast(d0))
+        .filter(col("day") - col("d0") <= 62)
+        .select(col("event_type"), col("day"), col("d0"),
+          when(col("day") === col("d0") + 14, col("cnt") * 3)
+            .when(col("day") === col("d0") + 10, col("cnt") * 3 + 50)
+            .when(col("day").between(col("d0") + 20, col("d0") + 27),
+              col("cnt") * 2)
+            .otherwise(col("cnt")).as("cnt"))
+      // seasonal mask: flag when cnt·2 > weekday-baseline·3 (q242 rule)
+      val base = daily
+        .withColumn("wd", expr("day % 7"))
+        .groupBy("event_type", "wd")
+        .agg(expr("sum(cnt) DIV count(1)").as("base"))
+      val seasonal = daily.withColumn("wd", expr("day % 7"))
+        .join(base, Seq("event_type", "wd"))
+        .groupBy("event_type")
+        .agg(sum(when(col("cnt") * 2 > col("base") * 3,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(day - d0 AS INT))"))
+          .otherwise(0L)).as("m_seasonal"))
+      // EWMA + CUSUM masks: one combined sequential fold per type
+      val folded = daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt"), col("d0"))))
+          .as("sr"), sum(col("cnt")).as("tot"), count(lit(1)).as("n_days"))
+        .withColumn("mu", expr("tot DIV n_days"))
+        .withColumn("f", expr(
+          """aggregate(slice(sr, 2, size(sr) - 1),
+               named_struct('ewma', element_at(sr, 1).cnt,
+                 'spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),
+                 'em', CAST(0 AS BIGINT), 'cm', CAST(0 AS BIGINT)),
+               (acc, x) -> named_struct(
+                 'ewma', (x.cnt + 3 * acc.ewma) DIV 4,
+                 'spos', IF(greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10) > mu DIV 2
+                             OR greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10) > mu DIV 2,
+                   CAST(0 AS BIGINT),
+                   greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10)),
+                 'sneg', IF(greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10) > mu DIV 2
+                             OR greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10) > mu DIV 2,
+                   CAST(0 AS BIGINT),
+                   greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10)),
+                 'em', acc.em + IF(x.cnt > 2 * acc.ewma,
+                   shiftleft(CAST(1 AS BIGINT), CAST(x.day - x.d0 AS INT)), CAST(0 AS BIGINT)),
+                 'cm', acc.cm + IF(greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10) > mu DIV 2
+                             OR greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10) > mu DIV 2,
+                   shiftleft(CAST(1 AS BIGINT), CAST(x.day - x.d0 AS INT)), CAST(0 AS BIGINT))))"""))
+        .select(col("event_type"), col("f.em").as("m_ewma"),
+          col("f.cm").as("m_cusum"))
+      // the combined fold seeds EWMA with day 1 (the q215 contract) and
+      // therefore evaluates BOTH detectors from day 2 on — one honest
+      // day of difference vs q247's zero-seeded fold, immaterial here
+      // because every planted anomaly sits at day 10+
+      folded.join(seasonal, "event_type")
+        .select(col("event_type"),
+          expr("bit_count(m_ewma)").cast("long").as("n_ewma"),
+          expr("bit_count(m_cusum)").cast("long").as("n_cusum"),
+          expr("bit_count(m_seasonal)").cast("long").as("n_seasonal"),
+          expr("bit_count(m_ewma & m_cusum)").cast("long").as("n_ewma_cusum"),
+          expr("bit_count(m_ewma & m_seasonal)").cast("long").as("n_ewma_seasonal"),
+          expr("bit_count(m_cusum & m_seasonal)").cast("long").as("n_cusum_seasonal"),
+          expr("bit_count(m_ewma & m_cusum & m_seasonal)").cast("long").as("n_all3"))
+        .orderBy("event_type")
+    }),
+
     // WATERMARK-SIZING sweep — the question every streaming deploy must
     // answer before setting withWatermark: how much data would a delay
     // of W lose? The fixture's events arrive PERFECTLY ordered
@@ -2036,6 +2118,80 @@ object EventQueries {
 
     "q260_trimmed_mean" -> trimmedMeanOracleSql,
     "q265_stream_trimmed_mean" -> trimmedMeanOracleSql,
+
+    "q276_detector_agreement" ->
+      """WITH RECURSIVE rolled AS (SELECT event_type,
+                                          epoch_us(ts) // 86400000000 AS day,
+                                          count(*) AS cnt
+                                   FROM events GROUP BY 1, 2),
+          d0 AS (SELECT min(day) AS d0 FROM rolled),
+          daily AS (SELECT event_type, day, d0,
+                           CAST(CASE WHEN day = d0 + 14 THEN cnt * 3
+                                     WHEN day = d0 + 10 THEN cnt * 3 + 50
+                                     WHEN day BETWEEN d0 + 20 AND d0 + 27
+                                       THEN cnt * 2
+                                     ELSE cnt END AS BIGINT) AS cnt
+                    FROM rolled CROSS JOIN d0
+                    WHERE day - d0 <= 62),
+          base AS (SELECT event_type, day % 7 AS wd,
+                          CAST(sum(cnt) // count(*) AS BIGINT) AS base
+                   FROM daily GROUP BY 1, 2),
+          seas AS (SELECT d.event_type,
+                          CAST(sum(CASE WHEN d.cnt * 2 > b.base * 3
+                                   THEN 1::BIGINT << CAST(d.day - d.d0 AS INT)
+                                   ELSE 0 END) AS BIGINT) AS m_seasonal
+                   FROM daily d JOIN base b
+                     ON b.event_type = d.event_type AND b.wd = d.day % 7
+                   GROUP BY 1),
+          idx AS (SELECT event_type, day, d0, cnt,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY day) AS i
+                  FROM daily),
+          mm AS (SELECT event_type, count(*) AS n_days,
+                        CAST(sum(cnt) // count(*) AS BIGINT) AS mu
+                 FROM idx GROUP BY 1),
+          st AS (
+            SELECT event_type, i, cnt AS ewma,
+                   0::BIGINT AS spos, 0::BIGINT AS sneg,
+                   0::BIGINT AS em, 0::BIGINT AS cm
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT x.event_type, x.i,
+                   (x.cnt + 3 * e.ewma) // 4,
+                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
+                        THEN 0::BIGINT
+                        ELSE greatest(0, e.spos + x.cnt - mu - mu // 10) END,
+                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
+                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
+                        THEN 0::BIGINT
+                        ELSE greatest(0, e.sneg + mu - x.cnt - mu // 10) END,
+                   e.em + CASE WHEN x.cnt > 2 * e.ewma
+                               THEN 1::BIGINT << CAST(x.day - x.d0 AS INT)
+                               ELSE 0 END,
+                   e.cm + CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
+                                 OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
+                               THEN 1::BIGINT << CAST(x.day - x.d0 AS INT)
+                               ELSE 0 END
+            FROM st e
+            JOIN idx x ON x.event_type = e.event_type AND x.i = e.i + 1
+            JOIN mm ON mm.event_type = x.event_type),
+          fin AS (SELECT s.event_type, s.em AS m_ewma, s.cm AS m_cusum
+                  FROM st s JOIN mm ON mm.event_type = s.event_type
+                                    AND s.i = mm.n_days)
+          SELECT f.event_type,
+                 CAST(bit_count(m_ewma) AS BIGINT) AS n_ewma,
+                 CAST(bit_count(m_cusum) AS BIGINT) AS n_cusum,
+                 CAST(bit_count(m_seasonal) AS BIGINT) AS n_seasonal,
+                 CAST(bit_count(m_ewma & m_cusum) AS BIGINT) AS n_ewma_cusum,
+                 CAST(bit_count(m_ewma & m_seasonal) AS BIGINT)
+                   AS n_ewma_seasonal,
+                 CAST(bit_count(m_cusum & m_seasonal) AS BIGINT)
+                   AS n_cusum_seasonal,
+                 CAST(bit_count(m_ewma & m_cusum & m_seasonal) AS BIGINT)
+                   AS n_all3
+          FROM fin f JOIN seas ON seas.event_type = f.event_type
+          ORDER BY f.event_type""",
 
     "q272_watermark_sizing" -> {
       val h32 = graft.ops.oMd5Bits32("m")

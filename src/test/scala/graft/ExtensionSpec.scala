@@ -3665,6 +3665,55 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("detector agreement matches a three-detector mask replay") {
+    val rows = ops.EventQueries.queries("q276_detector_agreement")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val daily0 = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val d0 = daily0.map(_._2).min
+    val want = daily0.toSeq.groupBy(_._1).map { case (t, xs) =>
+      val counts = xs.groupBy(_._2).map { case (day, ys) =>
+        val c = ys.size.toLong
+        val planted =
+          if (day == d0 + 14) c * 3
+          else if (day == d0 + 10) c * 3 + 50
+          else if (day >= d0 + 20 && day <= d0 + 27) c * 2
+          else c
+        (day, planted)
+      }.toSeq.filter(_._1 - d0 <= 62).sortBy(_._1)
+      // seasonal
+      val base = counts.groupBy(_._1 % 7)
+        .map { case (wd, ys) => wd -> ys.map(_._2).sum / ys.length }
+      var mSeas = 0L
+      counts.foreach { case (day, c) =>
+        if (c * 2 > base(day % 7) * 3) mSeas |= 1L << (day - d0) }
+      // combined EWMA+CUSUM fold, seeded with day 1's count
+      val mu = counts.map(_._2).sum / counts.length
+      val (k, h) = (mu / 10, mu / 2)
+      var (ewma, sp, sn, mE, mC) = (counts.head._2, 0L, 0L, 0L, 0L)
+      counts.tail.foreach { case (day, c) =>
+        if (c > 2 * ewma) mE |= 1L << (day - d0)
+        val (p1, n1) = (math.max(0L, sp + c - mu - k), math.max(0L, sn + mu - c - k))
+        if (p1 > h || n1 > h) { mC |= 1L << (day - d0); sp = 0L; sn = 0L }
+        else { sp = p1; sn = n1 }
+        ewma = (c + 3 * ewma) / 4
+      }
+      def pc(x: Long) = java.lang.Long.bitCount(x).toLong
+      t -> ((pc(mE), pc(mC), pc(mSeas), pc(mE & mC), pc(mE & mSeas),
+        pc(mC & mSeas), pc(mE & mC & mSeas)))
+    }
+    assert(rows == want)
+    // the division of labor the report exists to show: CUSUM must see
+    // the sustained shift (more flags than EWMA), and every detector
+    // fires somewhere
+    rows.values.foreach { case (ne, nc, ns, _, _, _, _) =>
+      assert(ne > 0 && nc > ne && ns > 0)
+    }
+  }
+
   test("Benford audit digits partition each column and match a direct replay") {
     val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
