@@ -689,6 +689,46 @@ object DedupQueries {
         .orderBy("stage_no")
     }),
 
+    // CLUSTER SPAN census — the syndication detector: does a near-dup
+    // cluster live inside one source (a template scraped twice) or
+    // SPAN sources (the same article syndicated — the duplication a
+    // per-source dedup pass would miss entirely)? Per q54 cluster:
+    // distinct sources among members (attribution via doc_id % 1M,
+    // the q255 rule); census bands singleton / single-source /
+    // multi-source with member and source extremes, plus the bp of
+    // DOCS sitting in spanning clusters — the cross-source dedup
+    // pressure number a crawl planner reads.
+    // Scale: rides q54's machinery; the span rollup is one
+    // (cluster, source) distinct + a cluster-keyed aggregate, both
+    // map-side combined; the census is 3 rows.
+    "q277_cluster_span" -> ((s, d) => {
+      val c = corpus(s, d)
+      val pairs = candidatePairsOf(shinglesRaw(c))
+      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val ds = comp.withColumn("base_id", col("doc_id") % 1000000L)
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("base_id"), col("source")), "base_id")
+      val perCluster = ds.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("source")).as("n_sources"))
+      val tot = ds.agg(count(lit(1)).as("n_docs"))
+      perCluster
+        .withColumn("band",
+          when(col("n_members") === 1, "b1_singleton")
+            .when(col("n_sources") === 1, "b2_single_source")
+            .otherwise("b3_multi_source"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_clusters"), sum(col("n_members")).as("n_docs_in"),
+          max(col("n_members")).as("max_members"),
+          max(col("n_sources")).as("max_sources"))
+        .crossJoin(broadcast(tot))
+        .select(col("band"), col("n_clusters"), col("n_docs_in"),
+          col("max_members"), col("max_sources"),
+          expr("(n_docs_in * 10000) DIV n_docs").as("docs_share_bp"))
+        .orderBy("band")
+    }),
+
     // DEDUP IMPACT BY SOURCE — the composition-shift audit run before
     // shipping a deduped corpus: dedup is not composition-neutral (a
     // scrape-heavy source loses most of its mass; a clean source
@@ -1370,6 +1410,37 @@ object DedupQueries {
           SELECT id1, id2, jaccard_dist, CAST(1.0 AS DOUBLE) AS recall
           FROM mlpairs WHERE jaccard_dist < 0.05
           ORDER BY id1, id2""",
+
+    // q277: q54's recursive clustering + per-cluster source-span census.
+    "q277_cluster_span" ->
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach AS (
+            SELECT doc_id AS id, doc_id AS r FROM corpus
+            UNION
+            SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+          cc AS (SELECT id AS doc_id, min(r) AS cluster_id
+                 FROM reach GROUP BY id),
+          ds AS (SELECT c.doc_id, c.cluster_id, d.source
+                 FROM cc c JOIN documents d ON d.doc_id = c.doc_id % 1000000),
+          per AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+                         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+                  FROM ds GROUP BY cluster_id),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ds),
+          banded AS (SELECT CASE WHEN n_members = 1 THEN 'b1_singleton'
+                                 WHEN n_sources = 1 THEN 'b2_single_source'
+                                 ELSE 'b3_multi_source' END AS band,
+                            n_members, n_sources
+                     FROM per)
+          SELECT band, count(*) AS n_clusters,
+                 CAST(sum(n_members) AS BIGINT) AS n_docs_in,
+                 max(n_members) AS max_members,
+                 max(n_sources) AS max_sources,
+                 (CAST(sum(n_members) AS BIGINT) * 10000) // n_docs
+                   AS docs_share_bp
+          FROM banded CROSS JOIN tot
+          GROUP BY band, n_docs ORDER BY band""",
 
     // q255: q54's recursive clustering + per-source raw vs surviving shares.
     "q255_dedup_impact" ->

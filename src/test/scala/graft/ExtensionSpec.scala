@@ -3714,6 +3714,68 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("cluster span census reconciles with q54's clusters and source attribution") {
+    val rows = ext.DedupQueries.queries("q277_cluster_span")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val clusters = ext.DedupQueries.queries("q54_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val srcOf = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val per = clusters.toSeq.groupBy(_._2).values.toSeq.map { xs =>
+      (xs.size.toLong, xs.map(x => srcOf(x._1 % 1000000L)).distinct.size.toLong)
+    }
+    def band(m: Long, s: Long) = if (m == 1) "b1_singleton"
+      else if (s == 1) "b2_single_source" else "b3_multi_source"
+    val want = per.groupBy { case (m, s) => band(m, s) }
+      .map { case (b, xs) =>
+        b -> ((xs.size.toLong, xs.map(_._1).sum, xs.map(_._1).max,
+          xs.map(_._2).max, xs.map(_._1).sum * 10000L / clusters.length))
+      }
+    assert(rows == want)
+    // every corpus doc is accounted once and both duplication shapes
+    // exist (the corpus plants copies AND near-dups)
+    assert(rows.values.map(_._2).sum == clusters.length.toLong)
+    assert(rows.contains("b2_single_source") && rows.contains("b3_multi_source"))
+  }
+
+  test("tail trend equals an exact weekly-p95 least-squares replay") {
+    val rows = ops.EventQueries.queries("q278_tail_trend")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    val weekUs = 604800000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / weekUs,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val w0 = ev.map(_._2).min
+    val want = ev.toSeq.groupBy(_._1).map { case (t, xs) =>
+      val weekly = xs.groupBy(_._2).map { case (wk, ys) =>
+        val sorted = ys.map(_._3).sorted
+        val n = sorted.length
+        // exact ceil-rank p95: smallest cent with cum*100 >= n*95
+        var (cum, p95) = (0, Long.MinValue)
+        sorted.distinct.foreach { c =>
+          if (p95 == Long.MinValue) {
+            cum += sorted.count(_ == c)
+            if (cum * 100 >= n * 95) p95 = c
+          }
+        }
+        (wk - w0, p95)
+      }.toSeq.sortBy(_._1)
+      val nw = weekly.length.toLong
+      val (sx, sy) = (weekly.map(_._1).sum, weekly.map(_._2).sum)
+      val sxx = weekly.map(x => x._1 * x._1).sum
+      val sxy = weekly.map(x => x._1 * x._2).sum
+      val den = nw * sxx - sx * sx
+      val slope = if (den == 0) 0L else (nw * sxy - sx * sy) * 100L / den
+      val trend = if (slope > 500) "worsening"
+        else if (slope < -500) "improving" else "stable"
+      t -> ((nw, weekly.head._2, weekly.last._2, slope, trend))
+    }
+    assert(rows == want)
+  }
+
   test("Benford audit digits partition each column and match a direct replay") {
     val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
