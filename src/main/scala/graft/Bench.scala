@@ -113,6 +113,7 @@ object Bench {
       "q275_trigram_search"         -> 3.8,
       "q276_detector_agreement"     -> 2.2,
       "q277_cluster_span"           -> 8.8,
+      "q279_broadcast_advisor"      -> 2.1,
       "q231_rerank_cascade"         -> 6.6,
       "q197_bpe_compression"        -> 3.4,
       "q41_minhash_lsh"             -> 3.4,

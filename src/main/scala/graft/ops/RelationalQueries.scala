@@ -498,6 +498,91 @@ object RelationalQueries {
         .limit(50)
     }),
 
+    // BROADCAST ADVISOR — the join-strategy planning AQE does at
+    // runtime, surfaced as a queryable operator over MEASURED stats
+    // (never row-count guesses): per candidate join, the build side's
+    // exact rows and estimated bytes (8 bytes per numeric/timestamp
+    // column + the measured total string bytes), advice = broadcast
+    // iff est bytes ≤ a 100 KiB threshold — scaled to the fixture so
+    // BOTH branches are exercised at every fixture scale (production
+    // swaps in Spark's 10 MB autoBroadcastJoinThreshold; the threshold
+    // is the knob, the measured-stats machinery is the operator). The
+    // point of making it a query: the advisor's inputs are auditable —
+    // a plan reviewer sees WHY nation broadcasts and lineitem never
+    // will.
+    // Scale: one map-side stats aggregate per table (string lengths
+    // sum exactly); the advice table is |candidates| rows.
+    "q279_broadcast_advisor" -> ((s, d) => {
+      def stats(df: DataFrame, tbl: String): DataFrame = {
+        val strBytes = df.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.StringType)
+          .map(f => sum(length(col(f.name)).cast("long")))
+          .reduceOption(_ + _).getOrElse(lit(0L))
+        val fixedCols = df.schema.fields
+          .count(_.dataType != org.apache.spark.sql.types.StringType).toLong
+        df.agg(count(lit(1)).as("n_rows"), strBytes.as("str_bytes"))
+          .select(lit(tbl).as("table_name"), col("n_rows"),
+            (col("n_rows") * lit(8L * fixedCols) + col("str_bytes"))
+              .as("est_bytes"))
+      }
+      val all = Seq(
+        stats(Tables.nation(s, d), "nation"),
+        stats(Tables.region(s, d), "region"),
+        stats(Tables.customer(s, d), "customer"),
+        stats(Tables.supplier(s, d), "supplier"),
+        stats(Tables.part(s, d), "part"),
+        stats(Tables.orders(s, d), "orders"),
+        stats(Tables.lineitem(s, d), "lineitem"))
+        .reduce(_ unionByName _)
+      val joins = Seq(
+        ("lineitem_x_orders", "lineitem", "orders"),
+        ("lineitem_x_supplier", "lineitem", "supplier"),
+        ("lineitem_x_part", "lineitem", "part"),
+        ("orders_x_customer", "orders", "customer"),
+        ("customer_x_nation", "customer", "nation"),
+        ("nation_x_region", "nation", "region"))
+      val jdf = s.range(1).select(explode(array(joins.map { case (n, p, b) =>
+          struct(lit(n).as("join_name"), lit(p).as("probe"), lit(b).as("build"))
+        }: _*)).as("x"))
+        .select(col("x.join_name").as("join_name"), col("x.probe").as("probe"),
+          col("x.build").as("build"))
+      jdf.join(broadcast(all.withColumnRenamed("table_name", "build")
+          .withColumnsRenamed(Map("n_rows" -> "build_rows",
+            "est_bytes" -> "build_bytes"))), "build")
+        .join(broadcast(all.withColumnRenamed("table_name", "probe")
+          .select(col("probe"), col("n_rows").as("probe_rows"))), "probe")
+        .select(col("join_name"), col("probe_rows"), col("build_rows"),
+          col("build_bytes"),
+          when(col("build_bytes") <= 100L * 1024, "broadcast")
+            .otherwise("shuffle").as("advice"))
+        .orderBy("join_name")
+    }),
+
+    // RANGE-PARTITION WRITE PLANNER — the layout step before a big
+    // repartitionByRange(...).write: given a target of rows per output
+    // file, compute contiguous day ranges whose exact row counts fill
+    // each file — equi-depth on the WRITE axis, the q150 binpack idea
+    // applied to range layout. Exact: the day histogram cumulates and
+    // every day lands in file (cum − c) DIV target (its first row's
+    // file — days never split, so skewed days may overfill a file and
+    // the report SHOWS it rather than hiding it: max_file_rows is the
+    // skew diagnostic).
+    // Scale: one (day) rollup with map-side combine; the plan window
+    // runs over the calendar-sized histogram.
+    "q280_range_partition_plan" -> ((s, d) => {
+      val target = 2000L
+      val hist = Tables.events(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("day")
+      hist.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("file_id", expr(s"(cum - c) DIV ${target}L"))
+        .groupBy("file_id")
+        .agg(min(col("day")).as("day_lo"), max(col("day")).as("day_hi"),
+          sum(col("c")).as("n_rows"), count(lit(1)).as("n_days"))
+        .orderBy("file_id")
+    }),
+
     // LEADERBOARD CHURN — the period-over-period top-k diff every ops
     // dashboard renders (which suppliers entered/left the revenue
     // top 10, who moved): the timeline splits at its integer midpoint
@@ -550,6 +635,55 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q279_broadcast_advisor" -> {
+      // fixed (8-byte) column counts and string columns per table —
+      // mirrors the Spark side's schema walk as literals
+      val tbl = Map(
+        "nation" -> (2, Seq("n_name")),
+        "region" -> (1, Seq("r_name")),
+        "customer" -> (3, Seq("c_name", "c_mktsegment")),
+        "supplier" -> (3, Seq("s_name")),
+        "part" -> (3, Seq("p_name", "p_brand", "p_type")),
+        "orders" -> (4, Seq("o_orderstatus", "o_orderpriority")),
+        "lineitem" -> (9, Seq("l_returnflag", "l_linestatus")))
+      val stats = tbl.map { case (t, (fixed, strs)) =>
+        val sb = if (strs.isEmpty) "0"
+          else strs.map(c => s"CAST(sum(length($c)) AS BIGINT)").mkString(" + ")
+        s"""SELECT '$t' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) * ${8L * fixed} + $sb AS BIGINT) AS est_bytes
+            FROM $t"""
+      }.mkString("\nUNION ALL ")
+      s"""WITH stats AS ($stats),
+          joins AS (SELECT * FROM (VALUES
+            ('lineitem_x_orders', 'lineitem', 'orders'),
+            ('lineitem_x_supplier', 'lineitem', 'supplier'),
+            ('lineitem_x_part', 'lineitem', 'part'),
+            ('orders_x_customer', 'orders', 'customer'),
+            ('customer_x_nation', 'customer', 'nation'),
+            ('nation_x_region', 'nation', 'region'))
+            v(join_name, probe, build))
+          SELECT j.join_name, p.n_rows AS probe_rows,
+                 b.n_rows AS build_rows, b.est_bytes AS build_bytes,
+                 CASE WHEN b.est_bytes <= 102400 THEN 'broadcast'
+                      ELSE 'shuffle' END AS advice
+          FROM joins j
+          JOIN stats b ON b.table_name = j.build
+          JOIN stats p ON p.table_name = j.probe
+          ORDER BY j.join_name"""
+    },
+
+    "q280_range_partition_plan" ->
+      """WITH hist AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              count(*) AS c
+                       FROM events GROUP BY 1),
+          cum AS (SELECT day, c,
+                         CAST(sum(c) OVER (ORDER BY day) AS BIGINT) AS cum
+                  FROM hist)
+          SELECT (cum - c) // 2000 AS file_id, min(day) AS day_lo,
+                 max(day) AS day_hi, CAST(sum(c) AS BIGINT) AS n_rows,
+                 count(*) AS n_days
+          FROM cum GROUP BY 1 ORDER BY file_id""",
+
     "q273_leaderboard_churn" ->
       """WITH li AS (SELECT l_suppkey,
                             CAST(floor(l_extendedprice * 100) AS BIGINT)

@@ -3776,6 +3776,59 @@ class ExtensionSpec extends SparkSpec {
     assert(rows == want)
   }
 
+  test("broadcast advisor stats match a schema-walk replay and both advices fire somewhere") {
+    val rows = ops.RelationalQueries.queries("q279_broadcast_advisor")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(rows.size == 6)
+    // replay one small and one large build side from raw data
+    def est(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val rowsArr = df.collect()
+      val fixed = df.schema.fields
+        .count(_.dataType != org.apache.spark.sql.types.StringType).toLong
+      val strIdx = df.schema.fields.zipWithIndex
+        .filter(_._1.dataType == org.apache.spark.sql.types.StringType).map(_._2)
+      val sb = rowsArr.map(r => strIdx.map(i => r.getString(i).length.toLong).sum).sum
+      (rowsArr.length.toLong, rowsArr.length * 8L * fixed + sb)
+    }
+    val (nN, bN) = est(Tables.nation(spark, sf))
+    val (nO, bO) = est(Tables.orders(spark, sf))
+    assert(rows("customer_x_nation")._2 == nN && rows("customer_x_nation")._3 == bN)
+    assert(rows("lineitem_x_orders")._2 == nO && rows("lineitem_x_orders")._3 == bO)
+    // advice is the pure threshold function of the measured bytes
+    rows.values.foreach { case (_, _, bytes, advice) =>
+      assert(advice == (if (bytes <= 100L * 1024) "broadcast" else "shuffle"))
+    }
+  }
+
+  test("range partition plan covers every row, respects the target, and exposes skew") {
+    val rows = ops.RelationalQueries.queries("q280_range_partition_plan")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val days = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(_.getLong(0))
+    // the plan partitions the table exactly
+    assert(rows.map(_._4).sum == days.length.toLong)
+    assert(rows.map(_._5).sum == days.distinct.length.toLong)
+    // ranges are disjoint, ordered, and contiguous in file order
+    rows.toSeq.sortBy(_._1).sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 < b._2)
+      case _ =>
+    }
+    // replay: each day lands in file (cum - c) DIV target
+    val hist = days.toSeq.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (day, xs) => (day, xs.size.toLong) }
+    var cum = 0L
+    val want = hist.map { case (day, c) =>
+      cum += c
+      ((cum - c) / 2000L, day, c)
+    }.groupBy(_._1).map { case (f, xs) =>
+      (f, xs.map(_._2).min, xs.map(_._2).max, xs.map(_._3).sum, xs.length.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq.sortBy(_._1) == want)
+  }
+
   test("Benford audit digits partition each column and match a direct replay") {
     val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
