@@ -71,7 +71,8 @@ object ScaleProbe {
       "q235_weighted_sssp" -> "weighted SSSP (min-plus Bellman-Ford) decile census",
       // the heaviest round-10 continuation queries
       "q255_dedup_impact" -> "per-source dedup composition shift (LSH + CC + attribution)",
-      "q248_clustering_coefficient" -> "union-kNN backbone clustering coefficients")
+      "q248_clustering_coefficient" -> "union-kNN backbone clustering coefficients",
+      "q277_cluster_span" -> "per-cluster source-span census (LSH + CC + span rollup)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -134,7 +135,10 @@ object ScaleProbe {
         "degree at any scale, so wedge work grows with |V|, not |V|^2; " +
         "10x orders over SHARED suppliers keep |V| fixed and raise " +
         "co-occurrence counts — the probe measures the count aggregate " +
-        "plus a constant-size backbone's triangle work"))
+        "plus a constant-size backbone's triangle work"),
+      "q277_cluster_span" -> ("rides the same q54 LSH+CC machinery as " +
+        "q255 (grouped vocabulary keeps bucket sizes at 1x density); " +
+        "the span rollup adds one (cluster, source) distinct on top"))
 
     def timeQuery(name: String, dir: String): Double =
       (1 to 2).map { _ =>
