@@ -251,7 +251,10 @@ object PipelineQueries {
         .groupBy(col("source"), col("n_docs"), col("mean_chars"))
         .agg(sum(abs(col("n_chars") - col("mean_chars"))).as("sdev"))
         .withColumn("mad_chars", expr("sdev DIV n_docs"))
-        .withColumn("weight", col("n_docs") * col("mad_chars"))
+        // floor at 1: a zero-dispersion stratum (every doc the same
+        // length) must keep a seat, not zero the divisor W — the
+        // organic-zero-denominator checklist (docs/DETERMINISM.md)
+        .withColumn("weight", expr("greatest(n_docs * mad_chars, 1)"))
       val tot = mad.agg(sum(col("weight")).as("w"))
       val seats = mad.crossJoin(broadcast(tot))
         .withColumn("base", expr(s"($b * weight) DIV w"))
@@ -306,7 +309,7 @@ object PipelineQueries {
         .agg(max(struct(col("gap"), (lit(0L) - col("n_chars")).as("neg"))).as("m"),
           max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
         .select(lit(s"train_vs_$spB").as("pair"), col("n_a"), col("n_b"),
-          expr("(m.gap * 10000) DIV (n_a * n_b)").as("ks_bp"),
+          expr("(m.gap * 10000) DIV greatest(n_a * n_b, 1)").as("ks_bp"),
           (lit(0L) - col("m.neg")).as("at_chars"))
       ks("val").unionByName(ks("test")).orderBy("pair")
     })
@@ -472,7 +475,7 @@ object PipelineQueries {
                   FROM documents d JOIN mu ON mu.source = d.source
                   GROUP BY 1, 2, 3),
           wt AS (SELECT source, n_docs, mean_chars, mad_chars,
-                        n_docs * mad_chars AS weight
+                        greatest(n_docs * mad_chars, 1) AS weight
                  FROM mad),
           tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM wt),
           seats AS (SELECT wt.*, (10000 * weight) // w AS base,
@@ -525,7 +528,7 @@ object PipelineQueries {
                                              ORDER BY gap DESC, n_chars) AS rn
                    FROM ks)
           SELECT pair, n_a, n_b,
-                 (gap * 10000) // (n_a * n_b) AS ks_bp,
+                 (gap * 10000) // greatest(n_a * n_b, 1) AS ks_bp,
                  n_chars AS at_chars
           FROM best WHERE rn = 1 ORDER BY pair"""
   )

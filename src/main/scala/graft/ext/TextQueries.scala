@@ -744,7 +744,7 @@ object TextQueries {
       dec.withColumn("cum_n", sum(col("n_docs")).over(wd))
         .withColumn("cum_pos", sum(col("n_pos")).over(wd))
         .select(col("decile"), col("n_docs"), col("n_pos"),
-          expr("(n_pos * 10000) DIV n_docs").as("pos_bp"),
+          expr("(n_pos * 10000) DIV greatest(n_docs, 1)").as("pos_bp"),
           expr("(cum_pos * n * 10000) DIV (cum_n * greatest(npos, 1))").as("cum_lift_bp"))
         .orderBy("decile")
     }),
@@ -1262,7 +1262,7 @@ object TextQueries {
                            AS cum_pos
                   FROM per)
           SELECT CAST(decile AS INTEGER) AS decile, n_docs, n_pos,
-                 (n_pos * 10000) // n_docs AS pos_bp,
+                 (n_pos * 10000) // greatest(n_docs, 1) AS pos_bp,
                  (cum_pos * n * 10000) // (cum_n * greatest(npos, 1)) AS cum_lift_bp
           FROM fin ORDER BY decile""",
 

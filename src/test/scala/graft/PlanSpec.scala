@@ -437,6 +437,56 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q275: the trigram literal filter prunes the explode before any exchange") {
+    withAqeOff {
+      val p = plan("q275_trigram_search")
+      // the pattern-trigram IN filter must sit below the first shuffle:
+      // the posting exchange may only carry docs × matched trigrams,
+      // never the full 298-trigrams-per-doc stream
+      val exchangeAt = p.indexOf("Exchange")
+      val filterAt = p.indexOf("tri#")
+      assert(exchangeAt >= 0 && p.contains("Generate explode"))
+      val inFilterAt = p.indexOf(" IN (")
+      assert(inFilterAt > exchangeAt,
+        s"trigram IN-filter must run below (after, in plan text) the exchange:\n${p.take(1800)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q255/q277: cluster attribution joins shuffle, nothing goes cartesian") {
+    withAqeOff {
+      Seq("q255_dedup_impact", "q277_cluster_span").foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), q)
+        assert(!p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin"), q) // only the tiny report joins may nest
+      }
+    }
+  }
+
+  test("q279: the advisor itself broadcasts its control-plane joins") {
+    withAqeOff {
+      val p = plan("q279_broadcast_advisor")
+      assert(p.contains("BroadcastHashJoin"),
+        "the 6-row advice table must join by broadcast, not shuffle")
+      assert(!p.contains("SortMergeJoin"), s"no sort-merge for 7-row stats:\n${p.take(1200)}")
+    }
+  }
+
+  test("q248/q258: the kNN backbone ranks aggregated edges, not raw lineitem") {
+    // q248's graded plan hides the backbone inside its localCheckpoint,
+    // so pin the backbone subplan itself (shared with q258)
+    withAqeOff {
+      val p = ext.GraphQueries.knnBackbone(spark, sf)
+        .queryExecution.executedPlan.toString
+      val windowAt = p.indexOf("Window")
+      val aggAt = p.lastIndexOf("HashAggregate")
+      assert(windowAt >= 0 && aggAt > windowAt,
+        s"window must rank aggregated edges:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     // decimal value: double sums are accumulation-order-sensitive, which is
     // exactly why the engine aggregates doubles through decimals (dsl.scala)
