@@ -32,7 +32,9 @@ object Mutations {
     "q228_rank_off_by_one",     // quantile ceil-rank admits the previous row
     "q215_skip_first_fold_day", // EWMA fold starts one day late
     "q149_intersect_off_by_one", // PPJoin verify undercounts |A∩B| by 1
-    "q226_or_instead_of_and")   // bitmap overlap counts x|y, not x&y
+    "q226_or_instead_of_and",   // bitmap overlap counts x|y, not x&y
+    "q260_trim_off_by_one",     // trimmed mean readmits one low-trim row
+    "q247_reset_skipped")       // CUSUM forgets to reset after an alarm
 
   /** Test hook: run `body` with exactly one knob enabled. */
   private[graft] def withMutation[T](name: String)(body: => T): T = {

@@ -1724,8 +1724,11 @@ object EventQueries {
     h.withColumn("cum", sum(col("c")).over(w))
       .join(broadcast(tot), "event_type")
       .withColumn("t", expr("n DIV 100"))
-      .withColumn("kept", expr(
-        "greatest(CAST(0 AS BIGINT), least(cum, n - t) - greatest(cum - c, t))"))
+      .withColumn("kept", expr(// [[graft.Mutations]]: readmit one trimmed row
+        if (graft.Mutations.on("q260_trim_off_by_one"))
+          "greatest(CAST(0 AS BIGINT), least(cum, n - t) - greatest(cum - c, t - 1))"
+        else
+          "greatest(CAST(0 AS BIGINT), least(cum, n - t) - greatest(cum - c, t))"))
       .groupBy(col("event_type"), col("n"), col("sc"), col("t"))
       .agg(sum(col("kept")).as("kept_n"),
         sum(col("kept") * col("cent")).as("kept_sum"))
@@ -1760,8 +1763,16 @@ object EventQueries {
              (acc, x) -> CASE WHEN
                  greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10) > mu DIV 2
                  OR greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10) > mu DIV 2
-               THEN named_struct('spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),
-                 'n_alarms', acc.n_alarms + 1,
+               THEN named_struct(""" +
+          // [[graft.Mutations]]: the classic CUSUM bug — forget the
+          // post-alarm reset, so the statistic saturates and every
+          // subsequent day alarms
+          (if (graft.Mutations.on("q247_reset_skipped"))
+            """'spos', greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10),
+               'sneg', greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10),"""
+          else
+            """'spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),""") +
+          """  'n_alarms', acc.n_alarms + 1,
                  'first_alarm', IF(acc.first_alarm >= 0, acc.first_alarm, x.day))
                ELSE named_struct(
                  'spos', greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10),
