@@ -234,6 +234,43 @@ object Multimodal {
         .orderBy("band")
     }),
 
+    // PAYLOAD POOLING — the resize / feature-extract step of the
+    // multimodal brief, graded: the payload's first 256 bytes read as a
+    // 16×16 grid, box-filtered down to a 4×4 integer feature map (each
+    // cell the truncating mean of its 4×4 byte block) — exactly the
+    // average-pool a thumbnailer or a patch embedder runs, on the
+    // deterministic text-byte payload so the oracle can grade the
+    // arithmetic (the q71 stub-codec contract: real plumbing, engine-
+    // independent values; the ImageIo path reuses this shape on real
+    // pixels). Documents shorter than 256 bytes pad with spaces (byte
+    // 32 — NUL is not portable VARCHAR in DuckDB), and the pad mass is
+    // IN the mean, so short payloads converge visibly toward flat 32s.
+    // Scale: map-side only — one 16-way explode per doc, no shuffle
+    // until the per-doc 16-cell rollup (map-side combined).
+    "q281_payload_pooling" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, 15)")).as("cell"), col("text"))
+        .select(col("doc_id"), col("cell"),
+          expr("""aggregate(
+                    transform(sequence(0, 15), i ->
+                      ascii(substring(rpad(text, 256, ' '),
+                        (cell DIV 4) * 64 + (i DIV 4) * 16
+                          + (cell % 4) * 4 + (i % 4) + 1, 1))),
+                    CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("blk_sum"))
+        .withColumn("pooled", expr("blk_sum DIV 16"))
+        .groupBy("doc_id")
+        .agg(sum(col("blk_sum")).as("total_mass"),
+          min(col("pooled")).as("min_pool"), max(col("pooled")).as("max_pool"),
+          expr("array_sort(collect_list(struct(cell, pooled)))").as("cells"))
+        .select(col("doc_id"), col("total_mass"), col("min_pool"),
+          col("max_pool"),
+          expr("array_join(transform(cells, x -> CAST(x.pooled AS STRING)), ',')")
+            .as("feature_csv"))
+        .orderBy("doc_id")
+    }),
+
     "q72_frame_sample" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -327,6 +364,27 @@ object Multimodal {
                  CAST(sum(df) AS BIGINT) AS n_postings,
                  max(df) AS max_df
           FROM banded GROUP BY band ORDER BY band""",
+
+    "q281_payload_pooling" ->
+      """WITH cells AS (SELECT doc_id,
+                               unnest(generate_series(0, 15)) AS cell,
+                               rpad(text, 256, ' ') AS t
+                        FROM documents),
+          blocks AS (SELECT doc_id, cell,
+                            CAST(list_sum(list_transform(
+                              generate_series(0, 15), i ->
+                                ord(substr(t, (cell // 4) * 64
+                                  + (i // 4) * 16 + (cell % 4) * 4
+                                  + (i % 4) + 1, 1)))) AS BIGINT) AS blk_sum
+                     FROM cells),
+          pooled AS (SELECT doc_id, cell, blk_sum,
+                            blk_sum // 16 AS pooled
+                     FROM blocks)
+          SELECT doc_id, CAST(sum(blk_sum) AS BIGINT) AS total_mass,
+                 min(pooled) AS min_pool, max(pooled) AS max_pool,
+                 string_agg(CAST(pooled AS VARCHAR), ',' ORDER BY cell)
+                   AS feature_csv
+          FROM pooled GROUP BY doc_id ORDER BY doc_id""",
 
     "q70_media_metadata" ->
       """SELECT doc_id, lower(hex(encode(text))) AS payload_hex,

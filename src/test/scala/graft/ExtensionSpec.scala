@@ -3829,6 +3829,31 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.toSeq.sortBy(_._1) == want)
   }
 
+  test("payload pooling equals a byte-grid box-filter replay") {
+    val rows = ext.Multimodal.queries("q281_payload_pooling")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, t) =>
+      val grid = t.padTo(256, ' ').take(256).map(_.toLong)
+      val pooled = (0 until 16).map { c =>
+        (0 until 16).map { i =>
+          grid((c / 4) * 64 + (i / 4) * 16 + (c % 4) * 4 + (i % 4))
+        }.sum
+      }
+      val want = (pooled.sum, pooled.map(_ / 16).min, pooled.map(_ / 16).max,
+        pooled.map(_ / 16).mkString(","))
+      assert(rows(id) == want, s"doc $id")
+    }
+    assert(rows.keySet == docs.map(_._1).toSet)
+    // pooling conserves mass: cell sums partition the 256-byte window
+    docs.take(3).foreach { case (id, t) =>
+      val total = t.padTo(256, ' ').take(256).map(_.toLong).sum
+      assert(rows(id)._1 == total)
+    }
+  }
+
   test("Benford audit digits partition each column and match a direct replay") {
     val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
