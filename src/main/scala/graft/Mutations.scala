@@ -34,7 +34,12 @@ object Mutations {
     "q149_intersect_off_by_one", // PPJoin verify undercounts |A∩B| by 1
     "q226_or_instead_of_and",   // bitmap overlap counts x|y, not x&y
     "q260_trim_off_by_one",     // trimmed mean readmits one low-trim row
-    "q247_reset_skipped")       // CUSUM forgets to reset after an alarm
+    "q247_reset_skipped",       // CUSUM forgets to reset after an alarm
+    // round-11 additions (judge item 6): one knob per uncovered family
+    "q269_interval_lower_off_by_one", // rank-interval overlap loses a boundary row
+    "q272_missing_prev_bucket", // watermark join misses cross-bucket witnesses
+    "q236_lane_order_swapped",  // band hash concats interleaved, not blocked, lanes
+    "q230_peel_off_by_one")     // k-core peel keeps only degree > k (a (k+1)-core)
 
   /** Test hook: run `body` with exactly one knob enabled. */
   private[graft] def withMutation[T](name: String)(body: => T): T = {

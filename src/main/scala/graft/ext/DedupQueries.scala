@@ -653,11 +653,18 @@ object DedupQueries {
       }.reduce(_ unionByName _)
       val mh = minhash(shingles(base.unionByName(planted)))
       val layouts = Seq(("2x4", 2, 4), ("4x2", 4, 2), ("8x1", 8, 1))
+      // [[graft.Mutations]]: assign lanes to bands interleaved (j*b+i)
+      // instead of blocked (i*r+j) — the lane-order bug that silently
+      // rewires which signature lanes vote together, shifting every
+      // layout's recall/candidate tradeoff
+      def lane(i: Int, j: Int, b: Int, r: Int) =
+        if (graft.Mutations.on("q236_lane_order_swapped")) col(s"m${j * b + i}")
+        else col(s"m${i * r + j}")
       val bandsAll = layouts.map { case (lbl, b, r) =>
         mh.select(col("doc_id"), lit(lbl).as("layout"),
           explode(array((0 until b).map(i =>
             struct(lit(i).as("band"),
-              concat((0 until r).map(j => col(s"m${i * r + j}")): _*).as("bh"))): _*)).as("e"))
+              concat((0 until r).map(j => lane(i, j, b, r)): _*).as("bh"))): _*)).as("e"))
           .select(col("doc_id"), col("layout"),
             col("e.band").as("band"), col("e.bh").as("bh"))
       }.reduce(_ unionByName _)

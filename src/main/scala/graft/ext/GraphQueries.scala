@@ -429,7 +429,12 @@ object GraphQueries {
           val deg = e.select(col("u").as("n"))
             .unionByName(e.select(col("v").as("n")))
             .groupBy("n").agg(count(lit(1)).as("dg"))
-          val keep = deg.filter(col("dg") >= k).select("n")
+          // [[graft.Mutations]]: peel with > instead of >= — computes the
+          // (k+1)-core under the k label, the strictness off-by-one every
+          // peeling implementation risks
+          val keep = deg.filter(
+            if (graft.Mutations.on("q230_peel_off_by_one")) col("dg") > k
+            else col("dg") >= k).select("n")
           prevEdges = e
           val next = e
             .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")

@@ -733,10 +733,15 @@ object TextQueries {
         .crossJoin(broadcast(tot))
         .select(col("pos"), col("c"), col("cum"), col("n"), col("npos"),
           explode(expr("sequence(0, 9)")).as("decile"))
+        // [[graft.Mutations]]: shift the interval's lower bound up by one
+        // (the boundary-row loss that silently deflates every decile cut
+        // — the bug class the hash must catch at each decile edge)
         .withColumn("kept", expr(
-          """greatest(CAST(0 AS BIGINT),
+          s"""greatest(CAST(0 AS BIGINT),
                least(cum, ((decile + 1) * n) DIV 10)
-               - greatest(cum - c, (decile * n) DIV 10))"""))
+               - greatest(cum - c, (decile * n) DIV 10${
+            if (graft.Mutations.on("q269_interval_lower_off_by_one")) " + 1"
+            else ""}))"""))
         .groupBy(col("decile"), col("n"), col("npos"))
         .agg(sum(col("kept")).as("n_docs"),
           sum(when(col("pos"), col("kept")).otherwise(0L)).as("n_pos"))

@@ -885,8 +885,14 @@ object EventQueries {
         .withColumn("arrival", col("us") + col("jit"))
         .select(col("event_id"), col("us"), col("arrival"),
           expr("us DIV 900000000").as("b0"))
+      // [[graft.Mutations]]: drop the previous-bucket probe — witnesses
+      // that straddle a 900s bucket edge vanish and the drop curve
+      // silently shrinks (the bug class the hash must catch)
+      val lateBuckets =
+        if (graft.Mutations.on("q272_missing_prev_bucket")) array(col("b0"))
+        else array(col("b0"), col("b0") - 1)
       val late = ev.select(col("us").as("us2"), col("arrival").as("arr2"),
-          explode(array(col("b0"), col("b0") - 1)).as("b"))
+          explode(lateBuckets).as("b"))
       val lead = ev.withColumnRenamed("b0", "b")
         .join(late, Seq("b"), "left")
         .withColumn("gap",
