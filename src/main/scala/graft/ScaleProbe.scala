@@ -32,7 +32,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val genDir = args.lift(0).getOrElse("/tmp/graft_scale10x")
-    val outJson = args.lift(1).getOrElse("SCALE_r11.json")
+    val outJson = args.lift(1).getOrElse("SCALE_r12.json")
     // optional arg(2): comma-separated probe filter — iterate on one
     // probe without paying the full 25-probe run
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)

@@ -51,13 +51,19 @@ object DedupQueries {
   private def corpus(s: SparkSession, d: String): DataFrame =
     corpusFrom(Tables.documents(s, d).select("doc_id", "text"))
 
-  private val corpusSql =
-    """corpus AS (
-         SELECT doc_id, text FROM documents
-         UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  /** SQL twin of [[corpusFrom]], parameterized on the base relation —
+    * ONE builder for both the full-corpus CTE and q210's carved variant,
+    * so the two DuckDB constructions can no more drift apart than the
+    * two Scala ones can (they share [[corpusFrom]]). */
+  private def corpusSqlFrom(baseRel: String): String =
+    s"""corpus AS (
+         SELECT doc_id, text FROM $baseRel
+         UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM $baseRel
          UNION ALL SELECT doc_id + 2000000 AS doc_id,
                           array_to_string(str_split(text, ' ')[2:], ' ') AS text
-                   FROM documents WHERE len(str_split(text, ' ')) >= 10)"""
+                   FROM $baseRel WHERE len(str_split(text, ' ')) >= 10)"""
+
+  private val corpusSql = corpusSqlFrom("documents")
 
   /** q210's eval carve: a deterministic 25% md5 sample (16^5 / 4) of the
     * BASE documents, taken BEFORE the copy/near variants are built —
@@ -74,12 +80,7 @@ object DedupQueries {
   private def q210CorpusSql: String =
     s"""docs_s AS (SELECT doc_id, text FROM documents
                    WHERE ($q210DrawSql) < $Q210SampleThresh),
-        corpus AS (
-          SELECT doc_id, text FROM docs_s
-          UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM docs_s
-          UNION ALL SELECT doc_id + 2000000 AS doc_id,
-                           array_to_string(str_split(text, ' ')[2:], ' ') AS text
-                    FROM docs_s WHERE len(str_split(text, ' ')) >= 10)"""
+        ${corpusSqlFrom("docs_s")}"""
 
   /** Raw word-3-gram shingle stream per doc — duplicates included. MinHash
     * (a min over per-shingle hashes) is duplicate-insensitive, so the

@@ -42,6 +42,19 @@ object GraphQueries {
     * while keeping the oracle CTE chain readable. */
   private[ext] val PageRankRounds = 3
 
+  /** The damped integer fixed-point update shared by q120 (global,
+    * teleport = 0.15 everywhere) and q243 (personalized, teleport only
+    * on seeds): `teleport + (85·Σ contributions) DIV 100`. ONE seam so
+    * the two queries cannot drift, and so [[graft.Mutations]] can plant
+    * the classic damping off-by-one (85 → 86) once and cover the whole
+    * integer-fixed-point family — the oracle CTEs hardcode 85, so the
+    * mutated engine diverges and the harness goes red. Knob read at
+    * plan-construction time (compile-time constant when off). */
+  private def dampedUpdate(teleportExpr: String): String = {
+    val num = if (graft.Mutations.on("q120_damping_off_by_one")) 86 else 85
+    s"$teleportExpr + ($num * coalesce(cs, 0)) DIV 100"
+  }
+
   def queries: Map[String, Q] = Map(
     "q120_pagerank" -> ((s, d) => {
       // node ids stay LONG through every shuffle (parity-encoded:
@@ -70,7 +83,7 @@ object GraphQueries {
           .groupBy("dst").agg(sum(expr("r DIV outdeg")).as("cs"))
         ranks = nodes.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
-            expr("150000000 + (85 * coalesce(cs, 0)) DIV 100").as("r"))
+            expr(dampedUpdate("150000000")).as("r"))
       }
       ranks.select(
           concat(when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
@@ -119,7 +132,7 @@ object GraphQueries {
           .groupBy("dst").agg(sum(expr("r DIV outdeg")).as("cs"))
         ranks = nodes.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"), col("is_seed"),
-            expr("CAST(is_seed AS BIGINT) * 150000000 + (85 * coalesce(cs, 0)) DIV 100")
+            expr(dampedUpdate("CAST(is_seed AS BIGINT) * 150000000"))
               .as("r"))
       }
       ranks.select(

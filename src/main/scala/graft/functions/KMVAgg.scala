@@ -35,7 +35,17 @@ case class KMVAgg(
     hashExpr: Expression,
     kExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
+    override val inputAggBufferOffset: Int = 0,
+    // [[graft.Mutations]] "q170_kmv_merge_drops_other": when true, merge
+    // keeps only `buffer` and silently loses `other` — the classic
+    // partial-merge defect that per-partition unit tests never hit
+    // (single buffer, merge never called) and only multi-buffer paths
+    // expose: map-side partials in batch, the state-store union across
+    // micro-batches in streaming. Resolved ONCE at construction in
+    // [[KMVAgg.kmv]]; a plain field, so executor-serialized copies and
+    // `copy(...)` offset rewrites preserve it, and production plans
+    // carry a constant `false` with zero per-merge cost.
+    dropMergeOther: Boolean = false)
   extends TypedImperativeAggregate[KMVAgg.Sketch] with BinaryLike[Expression] {
 
   private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
@@ -67,7 +77,7 @@ case class KMVAgg(
   }
 
   override def merge(buffer: KMVAgg.Sketch, other: KMVAgg.Sketch): KMVAgg.Sketch = {
-    buffer.mergeFrom(other)
+    if (!dropMergeOther) buffer.mergeFrom(other)
     buffer
   }
 
@@ -117,10 +127,14 @@ object KMVAgg {
     StructField("kth", LongType, nullable = false),
     StructField("est", LongType, nullable = false)))
 
-  /** DataFrame-side entry: `kmv(hash, k)` aggregate column. */
+  /** DataFrame-side entry: `kmv(hash, k)` aggregate column. The mutation
+    * knob is read HERE, at plan-construction time (the [[graft.Mutations]]
+    * discipline), never inside merge. */
   def kmv(hash: Column, k: Int): Column =
     ColumnBridge.column(
-      KMVAgg(ColumnBridge.expression(hash), Literal(k)).toAggregateExpression())
+      KMVAgg(ColumnBridge.expression(hash), Literal(k),
+        dropMergeOther = graft.Mutations.on("q170_kmv_merge_drops_other"))
+        .toAggregateExpression())
 
   /** Sorted set of at most k DISTINCT hash values (java.util.TreeSet:
     * dedup and truncate-largest are both O(log k); k is sketch-sized,

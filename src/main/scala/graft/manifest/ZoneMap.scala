@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMap {
 
+  /** Zone-overlap test: [kmin, kmax] ∩ [lo, hi] ≠ ∅. ONE definition for
+    * the single-key ([[prunedRead]]) and box ([[boxFiles]]) planners.
+    * [[graft.Mutations]] "q109_prune_or_instead_of_and" plants the
+    * AND→OR typo here: the inverted test admits MORE files, so every
+    * downstream result stays hash-green behind the residual row filter —
+    * the one defect class the oracle comparison is structurally blind
+    * to. The red-case therefore asserts the planned file COUNT
+    * (MutationSpec), which is also the property this module exists to
+    * deliver at 100 TB: O(matching files) opens, not O(files). */
+  private def overlaps(minC: org.apache.spark.sql.Column,
+                       maxC: org.apache.spark.sql.Column,
+                       lo: Long, hi: Long): org.apache.spark.sql.Column =
+    if (graft.Mutations.on("q109_prune_or_instead_of_and"))
+      maxC >= lo || minC <= hi
+    else maxC >= lo && minC <= hi
+
   /** One row per parquet file under `dir`: (file, kmin, kmax) for `keyCol`.
     * Built by scanning ONLY the key column (columnar projection), grouped
     * on the file-constant `_metadata.file_path`, so the build reads one
@@ -40,7 +56,7 @@ object ZoneMap {
   def prunedRead(s: SparkSession, dir: String, keyCol: String,
                  lo: Long, hi: Long): DataFrame = {
     val files = statsManifest(s, dir, keyCol)
-      .filter(col("kmax") >= lo && col("kmin") <= hi)
+      .filter(overlaps(col("kmin"), col("kmax"), lo, hi))
       .select("file").collect().map(_.getString(0)).sorted
     if (files.isEmpty) s.read.parquet(dir).filter(lit(false))
     else s.read.parquet(files.toIndexedSeq: _*)
@@ -84,7 +100,7 @@ object ZoneMap {
   def boxFiles(s: SparkSession, dir: String,
                box: Seq[(String, Long, Long)]): Seq[String] = {
     val keep = box.map { case (c, lo, hi) =>
-      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+      overlaps(col(s"min_$c"), col(s"max_$c"), lo, hi)
     }.reduce(_ && _)
     statsManifestMulti(s, dir, box.map(_._1))
       .filter(keep).select("file")

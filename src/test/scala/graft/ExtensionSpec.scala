@@ -638,10 +638,16 @@ class ExtensionSpec extends SparkSpec {
     // sf0.001 the carved corpus is small enough that every surviving
     // candidate is a planted dup (precision = exactly 10000 bp); the
     // false-positive verification cost the metric prices appears at
-    // bench scale (sf0.1 measures precision < 10000). What must hold at
-    // EVERY scale: precision is a valid basis-point value and candidates
-    // can never out-hit the truth set.
-    assert(precision > 0 && precision <= 10000, s"precision $precision")
+    // bench scale (sf0.1 measures precision < 10000). At THIS scale the
+    // non-vacuous pin is the equality itself: every surviving candidate
+    // is a planted dup, so precision is exactly 10000 bp — a generator
+    // that started emitting junk pairs on the carved corpus (or stopped
+    // emitting candidates at all) breaks it. (The earlier `0 < precision
+    // <= 10000` range check was tautological: hits ⊆ candidates forces
+    // the upper bound, and recall >= 9900 already forces the lower.)
+    assert(nCand > 0, "generator surfaced no candidates")
+    assert(precision == 10000,
+      s"precision $precision: sf0.001's carved corpus admits no FPs")
     assert(nTruth > 100, "truth set too small to grade against")
   }
 

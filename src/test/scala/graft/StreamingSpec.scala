@@ -81,6 +81,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
   }
 
+  test("planted defect 'q170_kmv_merge_drops_other' loses whole batches " +
+      "across the state store — the multi-batch red-case") {
+    // The partial-merge defect class ONLY shows where merge() actually
+    // runs: map-side partials in batch, and — the case this test pins —
+    // the state-store set-union across micro-batches. Same 4-batch
+    // shape as the green test above, but with the knob on the final
+    // sketches must NOT equal the batch q169 truth (dropped `other`
+    // loses batches 2-4 and/or sibling partitions). A single-buffer
+    // unit test would pass the defect silently; this one cannot.
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_mut").toString
+    Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    def run(): Seq[Seq[Any]] = {
+      // construct INSIDE the knob scope: kmv() resolves the knob at
+      // plan-construction time, never per-merge
+      val stream = spark.readStream
+        .schema(Tables.events(spark, sf).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .select(col("event_type"), md5(col("user_id").cast("string")).as("m"))
+        .withColumn("h", expr(graft.ops.md5Bits32("m")))
+        .groupBy("event_type")
+        .agg(graft.functions.KMVAgg.kmv(col("h"), 64).as("sk"))
+      StreamingPipelines.runToCompletion(spark, stream)
+        .select(col("event_type"), col("sk.cnt"), col("sk.kth"), col("sk.est"))
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+    }
+    val want = run()
+    val mutated = Mutations.withMutation("q170_kmv_merge_drops_other")(run())
+    assert(mutated != want,
+      "dropping merge's `other` side did NOT change the multi-batch " +
+        "sketch — the cross-batch merge path is untested")
+    assert(run() == want, "knob leaked into later stream constructions")
+  }
+
   test("BitmapAgg bitmap state ORs across MULTIPLE micro-batches") {
     // the q143/q170 contract for the third TypedImperativeAggregate:
     // split the source 4 ways, one file per trigger — the final bitmap

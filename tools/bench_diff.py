@@ -15,17 +15,24 @@ to surface only if a human hand-diffed two artifacts.
 Exit code: 0 always (it reports; the gates decide). The table is meant to
 be pasted into the round notes next to the artifact.
 """
+import argparse
 import json
-import sys
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    ratio = 1.3
-    for a in sys.argv[1:]:
-        if a.startswith("--ratio"):
-            ratio = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    old_path, new_path = args[0], args[1]
+    # argparse (not hand-rolled filtering): the space-separated form
+    # `--ratio 1.5 old new` used to leak "1.5" into the positionals and
+    # crash on open("1.5"); argparse consumes the value token correctly
+    # in both `--ratio 1.5` and `--ratio=1.5` forms and rejects a
+    # trailing valueless `--ratio` with a usage error instead of an
+    # IndexError.
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("old_path")
+    p.add_argument("new_path")
+    p.add_argument("--ratio", type=float, default=1.3)
+    ns = p.parse_args()
+    ratio = ns.ratio
+    old_path, new_path = ns.old_path, ns.new_path
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     oq, nq = old["queries_min"], new["queries_min"]
