@@ -65,6 +65,59 @@ object DedupQueries {
 
   private val corpusSql = corpusSqlFrom("documents")
 
+  /** SQL twin of the exact→near dedup funnel ([[DedupPipeline.exactDedup]]
+    * then [[DedupPipeline.nearDedup]] at τ=0.9) as a reusable CTE chain
+    * over a `corpus(doc_id, text)` relation: `keep1` = exact survivors,
+    * `keep2(doc_id, n_tok)` = near survivors. ONE builder shared by q205
+    * (the per-stage census) and q282 (the end-to-end composition) — the
+    * corpusSqlFrom discipline applied to the funnel. */
+  private val funnelSqlCtes: String = {
+    val lanes = (0 until 8)
+      .map(i => s"min(substr(md5(shingle), ${1 + 4 * i}, 4)) AS m$i")
+      .mkString(", ")
+    val bandsU = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS bh FROM mhd")
+      .mkString(" UNION ALL ")
+    s"""ntok AS (SELECT doc_id, text,
+                        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM corpus),
+        keep1 AS (SELECT doc_id, text, n_tok FROM (
+                    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                                 ORDER BY doc_id) AS rn
+                    FROM ntok) WHERE rn = 1),
+        tokd AS (SELECT doc_id, str_split(text, ' ') AS words FROM keep1
+                 WHERE len(str_split(text, ' ')) >= 3),
+        posnd AS (SELECT doc_id, words,
+                         unnest(generate_series(1, len(words) - 2)) AS pos
+                  FROM tokd),
+        shd AS (SELECT DISTINCT doc_id,
+                       words[pos] || ' ' || words[pos+1] || ' ' ||
+                         words[pos+2] AS shingle
+                FROM posnd),
+        mhd AS (SELECT doc_id, $lanes FROM shd GROUP BY doc_id),
+        bandsd AS ($bandsU),
+        bands_cd AS (SELECT doc_id, band, bh FROM (
+                       SELECT b.*, count(*) OVER (PARTITION BY band, bh)
+                                AS bkt_n
+                       FROM bandsd b) WHERE bkt_n <= $DefaultMaxBucket),
+        cpairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                   FROM bands_cd a JOIN bands_cd b
+                     ON a.band = b.band AND a.bh = b.bh
+                    AND a.doc_id < b.doc_id),
+        szd AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+        ij AS (SELECT id1, id2, count(*) AS inter
+               FROM cpairs
+               JOIN shd ta ON ta.doc_id = id1
+               JOIN shd tb ON tb.doc_id = id2 AND tb.shingle = ta.shingle
+               GROUP BY id1, id2),
+        losers AS (SELECT DISTINCT ij.id2 FROM ij
+                   JOIN szd s1 ON s1.doc_id = ij.id1
+                   JOIN szd s2 ON s2.doc_id = ij.id2
+                   WHERE inter / (s1.sz + s2.sz - inter) >= 0.9),
+        keep2 AS (SELECT doc_id, n_tok FROM keep1
+                  WHERE doc_id NOT IN (SELECT id2 FROM losers))"""
+  }
+
   /** q210's eval carve: a deterministic 25% md5 sample (16^5 / 4) of the
     * BASE documents, taken BEFORE the copy/near variants are built —
     * cluster sampling by original doc, so every sampled doc brings its
@@ -812,6 +865,67 @@ object DedupQueries {
           expr("(kept_docs * 10000) DIV kn - (raw_docs * 10000) DIV rn")
             .as("delta_bp"))
         .orderBy("source")
+    }),
+
+    // END-TO-END corpus pipeline — the COMPOSITION grade (round-11
+    // verdict stretch 7): five public pipeline APIs chained the way a
+    // production curation run chains them, as one oracle-graded query.
+    //   raw corpus (planted dup families, the corpusFrom seam)
+    //     → [[DedupPipeline.exactDedup]]        (md5 keep-min-id)
+    //     → [[DedupPipeline.nearDedup]]         (LSH + exact verify, τ=0.9)
+    //     → [[SamplingPipeline.epochOrder]]     (seeded shuffle, seed 42)
+    //     → [[SamplingPipeline.mixtureSample]]  (q187's demo weights)
+    //     → [[SamplingPipeline.packSequences]]  (2048-token streams)
+    //     → per-source report card.
+    // q205 grades the funnel's stage counts and q192 the sampling
+    // stages; what THIS query pins is that the stages' working columns
+    // compose (survivor frames feed the sampler unchanged, `copy_idx`
+    // joins the pack key, the pack window keys on the mixture's source)
+    // and that the whole chain stays integer-deterministic end-to-end.
+    // Variants inherit their base doc's source via one base_id-keyed
+    // hash join (the q255 attribution pattern). Scale: each stage keeps
+    // its own bounded shape (banded LSH, map-only replication, one
+    // per-source prefix-sum window); the report is a |sources|-row
+    // rollup of broadcast-joined aggregates.
+    "q282_corpus_pipeline" -> ((s, d) => {
+      val c0 = corpus(s, d)
+      val c1 = DedupPipeline.exactDedup(c0, "doc_id", "text")
+      val c2 = DedupPipeline.nearDedup(c1, "doc_id", "text", 0.9)
+      val src = Tables.documents(s, d)
+        .select(col("doc_id").as("base_id"), col("source"))
+      def bySource(df: DataFrame): DataFrame =
+        df.withColumn("base_id", col("doc_id") % 1000000L).join(src, "base_id")
+      val surv = bySource(c2)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val mixed = SamplingPipeline.mixtureSample(
+        SamplingPipeline.epochOrder(surv, "doc_id", 42),
+        "doc_id", "source", CurationQueries.MixWeights.toMap,
+        CurationQueries.MixDefaultWeight)
+      val packed = SamplingPipeline.packSequences(
+        mixed.withColumn("pack_key",
+          concat_ws(":", col("epoch_order"), col("doc_id").cast("string"),
+            col("copy_idx").cast("string"))),
+        "pack_key", "source", "n_tok", CurationQueries.SeqPackLen)
+      val rawStats = bySource(c0).groupBy("source")
+        .agg(count(lit(1)).as("n_raw"))
+      val dedupStats = surv.groupBy("source")
+        .agg(count(lit(1)).as("n_dedup"), sum(col("n_tok")).as("dedup_tokens"))
+      val drawStats = mixed.groupBy("source")
+        .agg(count(lit(1)).as("n_draws"), sum(col("n_tok")).as("tokens_drawn"))
+      val seqStats = packed.groupBy("source")
+        .agg(countDistinct(col("seq_id")).as("n_seqs"))
+      rawStats
+        .join(broadcast(dedupStats), Seq("source"), "left")
+        .join(broadcast(drawStats), Seq("source"), "left")
+        .join(broadcast(seqStats), Seq("source"), "left")
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("dedup_tokens"), lit(0L)).as("dedup_tokens"),
+          coalesce(col("n_draws"), lit(0L)).as("n_draws"),
+          coalesce(col("tokens_drawn"), lit(0L)).as("tokens_drawn"),
+          coalesce(col("n_seqs"), lit(0L)).as("n_seqs"))
+        .orderBy("source")
     })
   )
 
@@ -1131,51 +1245,8 @@ object DedupQueries {
           FROM m""",
 
     "q205_dedup_funnel" -> {
-      val lanes = (0 until 8)
-        .map(i => s"min(substr(md5(shingle), ${1 + 4 * i}, 4)) AS m$i")
-        .mkString(", ")
-      val bandsU = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS bh FROM mhd")
-        .mkString(" UNION ALL ")
       s"""WITH $corpusSql,
-          ntok AS (SELECT doc_id, text,
-                          CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
-                   FROM corpus),
-          keep1 AS (SELECT doc_id, text, n_tok FROM (
-                      SELECT *, row_number() OVER (PARTITION BY md5(text)
-                                                   ORDER BY doc_id) AS rn
-                      FROM ntok) WHERE rn = 1),
-          tokd AS (SELECT doc_id, str_split(text, ' ') AS words FROM keep1
-                   WHERE len(str_split(text, ' ')) >= 3),
-          posnd AS (SELECT doc_id, words,
-                           unnest(generate_series(1, len(words) - 2)) AS pos
-                    FROM tokd),
-          shd AS (SELECT DISTINCT doc_id,
-                         words[pos] || ' ' || words[pos+1] || ' ' ||
-                           words[pos+2] AS shingle
-                  FROM posnd),
-          mhd AS (SELECT doc_id, $lanes FROM shd GROUP BY doc_id),
-          bandsd AS ($bandsU),
-          bands_cd AS (SELECT doc_id, band, bh FROM (
-                         SELECT b.*, count(*) OVER (PARTITION BY band, bh)
-                                  AS bkt_n
-                         FROM bandsd b) WHERE bkt_n <= $DefaultMaxBucket),
-          cpairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                     FROM bands_cd a JOIN bands_cd b
-                       ON a.band = b.band AND a.bh = b.bh
-                      AND a.doc_id < b.doc_id),
-          szd AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
-          ij AS (SELECT id1, id2, count(*) AS inter
-                 FROM cpairs
-                 JOIN shd ta ON ta.doc_id = id1
-                 JOIN shd tb ON tb.doc_id = id2 AND tb.shingle = ta.shingle
-                 GROUP BY id1, id2),
-          losers AS (SELECT DISTINCT ij.id2 FROM ij
-                     JOIN szd s1 ON s1.doc_id = ij.id1
-                     JOIN szd s2 ON s2.doc_id = ij.id2
-                     WHERE inter / (s1.sz + s2.sz - inter) >= 0.9),
-          keep2 AS (SELECT doc_id, n_tok FROM keep1
-                    WHERE doc_id NOT IN (SELECT id2 FROM losers)),
+          $funnelSqlCtes,
           stages AS (
             SELECT 0 AS stage_no, 'raw' AS stage, count(*) AS n_docs,
                    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM ntok
@@ -1512,6 +1583,66 @@ object DedupQueries {
                    - (r.raw_docs * 10000) // rn AS delta_bp
           FROM raw r LEFT JOIN kept k USING (source)
           CROSS JOIN rt CROSS JOIN kt
+          ORDER BY r.source""",
+
+    // q282: the funnel CTEs verbatim (funnelSqlCtes — shared with q205),
+    // then q192's mixture/pack arithmetic over the survivors, then the
+    // per-source rollup. Draw/weight expressions come from the SAME
+    // SamplingPipeline builders the Spark plan uses.
+    "q282_corpus_pipeline" -> {
+      val drawExpr = SamplingPipeline.drawExpr("doc_id", "mix")
+      s"""WITH $corpusSql,
+          $funnelSqlCtes,
+          src AS (SELECT doc_id AS base_id, source FROM documents),
+          raws AS (SELECT c.doc_id, s.source FROM corpus c
+                   JOIN src s ON c.doc_id % 1000000 = s.base_id),
+          raw_stats AS (SELECT source, count(*) AS n_raw
+                        FROM raws GROUP BY source),
+          surv AS (SELECT k.doc_id, s.source, k.n_tok FROM keep2 k
+                   JOIN src s ON k.doc_id % 1000000 = s.base_id),
+          dedup_stats AS (SELECT source, count(*) AS n_dedup,
+                                 CAST(sum(n_tok) AS BIGINT) AS dedup_tokens
+                          FROM surv GROUP BY source),
+          t AS (SELECT doc_id, source, n_tok,
+                       md5(CAST(doc_id AS VARCHAR) || ':42') AS epoch_order,
+                       ($drawExpr) AS u,
+                       ${CurationQueries.MixFloorCase} AS w_floor,
+                       ${CurationQueries.MixThreshCase} AS u_thresh
+                FROM surv),
+          c2 AS (SELECT *, w_floor + CASE WHEN u < u_thresh THEN 1 ELSE 0 END
+                             AS n_copies
+                 FROM t),
+          drawn AS (SELECT doc_id, source, n_tok, epoch_order,
+                           unnest(generate_series(1, CAST(n_copies AS BIGINT)))
+                             AS copy_idx
+                    FROM c2 WHERE n_copies > 0),
+          draw_stats AS (SELECT source, count(*) AS n_draws,
+                                CAST(sum(n_tok) AS BIGINT) AS tokens_drawn
+                         FROM drawn GROUP BY source),
+          k2 AS (SELECT *, epoch_order || ':' || CAST(doc_id AS VARCHAR)
+                             || ':' || CAST(copy_idx AS VARCHAR) AS pack_key
+                 FROM drawn),
+          p AS (SELECT source,
+                       COALESCE(sum(n_tok) OVER (PARTITION BY source
+                         ORDER BY pack_key
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum
+                FROM k2),
+          seq_stats AS (SELECT source,
+                               count(DISTINCT cum // ${CurationQueries.SeqPackLen})
+                                 AS n_seqs
+                        FROM p GROUP BY source)
+          SELECT r.source, r.n_raw,
+                 CAST(COALESCE(d.n_dedup, 0) AS BIGINT) AS n_dedup,
+                 CAST(COALESCE(d.dedup_tokens, 0) AS BIGINT) AS dedup_tokens,
+                 CAST(COALESCE(w.n_draws, 0) AS BIGINT) AS n_draws,
+                 CAST(COALESCE(w.tokens_drawn, 0) AS BIGINT) AS tokens_drawn,
+                 CAST(COALESCE(q.n_seqs, 0) AS BIGINT) AS n_seqs
+          FROM raw_stats r
+          LEFT JOIN dedup_stats d USING (source)
+          LEFT JOIN draw_stats w USING (source)
+          LEFT JOIN seq_stats q USING (source)
           ORDER BY r.source"""
+    }
   )
 }

@@ -3865,6 +3865,45 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("corpus pipeline: the five-API composition behaves per source") {
+    // q282 chains exactDedup → nearDedup → epochOrder → mixtureSample →
+    // packSequences; these assertions pin the BEHAVIORAL contract of the
+    // composition (the oracle pins the exact values): the funnel must
+    // actually drop the planted dup families, the weight-0 source must
+    // vanish after mixing, replication must respect each source's
+    // weight band, and packing must emit a sane sequence count.
+    val res = ext.DedupQueries.queries("q282_corpus_pipeline")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(res.nonEmpty)
+    assert(res.map(_._1).toSeq == res.map(_._1).sorted.toSeq)
+    res.foreach { case (src, nRaw, nDedup, dTok, nDraws, tokDrawn, nSeqs) =>
+      // corpusFrom plants an exact copy of EVERY doc, so the funnel must
+      // strictly shrink every source
+      assert(nDedup > 0 && nDedup < nRaw,
+        s"$src: funnel kept $nDedup of $nRaw — planted dups not removed")
+      assert(dTok > 0, s"$src: survivors carry no tokens")
+      src match {
+        case "src1" => // mixture weight 0.0: dropped entirely
+          assert(nDraws == 0 && tokDrawn == 0 && nSeqs == 0,
+            s"src1 has weight 0 but drew $nDraws copies")
+        case "src0" => // weight 2.5: 2 or 3 copies per doc
+          assert(nDraws >= 2 * nDedup && nDraws <= 3 * nDedup,
+            s"src0 weight 2.5: $nDraws draws of $nDedup docs")
+        case "src2" => // weight 1.5: 1 or 2 copies per doc
+          assert(nDraws >= nDedup && nDraws <= 2 * nDedup,
+            s"src2 weight 1.5: $nDraws draws of $nDedup docs")
+        case _ => // default weight 0.8: 0 or 1 copies per doc
+          assert(nDraws <= nDedup,
+            s"$src weight 0.8: $nDraws draws of $nDedup docs")
+      }
+      if (nDraws > 0) {
+        assert(tokDrawn > 0 && nSeqs > 0, s"$src drew rows but no tokens/seqs")
+        // distinct 2048-token stream positions can't exceed the token mass
+        assert(nSeqs <= tokDrawn / 2048 + 1, s"$src: $nSeqs seqs, $tokDrawn tokens")
+      }
+    }
+  }
+
   test("Benford audit digits partition each column and match a direct replay") {
     val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
