@@ -33,9 +33,12 @@ object SparkEntry {
       (ops.CoreQueries.queries, ops.CoreQueries.oracles),
       (ops.RelationalQueries.queries, ops.RelationalQueries.oracles),
       (ops.EventQueries.queries, ops.EventQueries.oracles),
+      (ops.MonitoringQueries.queries, ops.MonitoringQueries.oracles),
       (ops.ManifestFsQueries.queries, ops.ManifestFsQueries.oracles),
       (ops.MiscQueries.queries, ops.MiscQueries.oracles),
+      (ops.SketchQueries.queries, ops.SketchQueries.oracles),
       (ext.DedupQueries.queries, ext.DedupQueries.oracles),
+      (ext.DedupEvalQueries.queries, ext.DedupEvalQueries.oracles),
       (ext.SimilarityQueries.queries, ext.SimilarityQueries.oracles),
       (ext.GraphQueries.queries, ext.GraphQueries.oracles),
       (ext.TextQueries.queries, ext.TextQueries.oracles),

@@ -38,7 +38,7 @@ object DedupQueries {
     * over an arbitrary base — the seam q210's carved eval shares with the
     * full-corpus queries, so "sampled corpus" can never mean "different
     * corpus construction". */
-  private def corpusFrom(docs: DataFrame): DataFrame = {
+  private[ext] def corpusFrom(docs: DataFrame): DataFrame = {
     val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     val near = docs
       .withColumn("words", split(col("text"), " "))
@@ -48,14 +48,14 @@ object DedupQueries {
     docs.unionByName(copies).unionByName(near)
   }
 
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  private[ext] def corpus(s: SparkSession, d: String): DataFrame =
     corpusFrom(Tables.documents(s, d).select("doc_id", "text"))
 
   /** SQL twin of [[corpusFrom]], parameterized on the base relation —
     * ONE builder for both the full-corpus CTE and q210's carved variant,
     * so the two DuckDB constructions can no more drift apart than the
     * two Scala ones can (they share [[corpusFrom]]). */
-  private def corpusSqlFrom(baseRel: String): String =
+  private[ext] def corpusSqlFrom(baseRel: String): String =
     s"""corpus AS (
          SELECT doc_id, text FROM $baseRel
          UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM $baseRel
@@ -63,7 +63,7 @@ object DedupQueries {
                           array_to_string(str_split(text, ' ')[2:], ' ') AS text
                    FROM $baseRel WHERE len(str_split(text, ' ')) >= 10)"""
 
-  private val corpusSql = corpusSqlFrom("documents")
+  private[ext] val corpusSql = corpusSqlFrom("documents")
 
   /** SQL twin of the exact→near dedup funnel ([[DedupPipeline.exactDedup]]
     * then [[DedupPipeline.nearDedup]] at τ=0.9) as a reusable CTE chain
@@ -71,7 +71,7 @@ object DedupQueries {
     * `keep2(doc_id, n_tok)` = near survivors. ONE builder shared by q205
     * (the per-stage census) and q282 (the end-to-end composition) — the
     * corpusSqlFrom discipline applied to the funnel. */
-  private val funnelSqlCtes: String = {
+  private[ext] val funnelSqlCtes: String = {
     val lanes = (0 until 8)
       .map(i => s"min(substr(md5(shingle), ${1 + 4 * i}, 4)) AS m$i")
       .mkString(", ")
@@ -128,9 +128,9 @@ object DedupQueries {
     * the q187 [[SamplingPipeline.drawExpr]] discipline (one definition
     * feeds Spark and the DuckDB oracle, so the two sides cannot drift). */
   private[ext] val Q210SampleThresh = 262144L // of 16^5 = 1048576 → 25%
-  private def q210DrawSql: String = SamplingPipeline.drawExpr("doc_id", "q210")
+  private[ext] def q210DrawSql: String = SamplingPipeline.drawExpr("doc_id", "q210")
 
-  private def q210CorpusSql: String =
+  private[ext] def q210CorpusSql: String =
     s"""docs_s AS (SELECT doc_id, text FROM documents
                    WHERE ($q210DrawSql) < $Q210SampleThresh),
         ${corpusSqlFrom("docs_s")}"""
@@ -141,7 +141,7 @@ object DedupQueries {
     * map-side per partition and only 8 lanes per doc cross the wire —
     * cheaper than first materializing the distinct set (a full shuffle of
     * every shingle occurrence). */
-  private def shinglesRaw(c: DataFrame): DataFrame =
+  private[ext] def shinglesRaw(c: DataFrame): DataFrame =
     c.withColumn("words", split(col("text"), " "))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"),
@@ -151,9 +151,9 @@ object DedupQueries {
 
   /** Distinct shingle SET per doc — what Jaccard set arithmetic needs
     * (q43 reuses one distinct-shingle exchange across its branches). */
-  private def shingles(c: DataFrame): DataFrame = shinglesRaw(c).distinct()
+  private[ext] def shingles(c: DataFrame): DataFrame = shinglesRaw(c).distinct()
 
-  private val shinglesSql =
+  private[ext] val shinglesSql =
     """tok AS (SELECT doc_id, str_split(text, ' ') AS words FROM corpus
                WHERE len(str_split(text, ' ')) >= 3),
        posn AS (SELECT doc_id, words,
@@ -173,7 +173,7 @@ object DedupQueries {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  private val minhashSql = {
+  private[ext] val minhashSql = {
     val lanes = (0 until 8).map(i =>
       s"min(substr(md5(shingle), ${1 + 4 * i}, 4)) AS m$i").mkString(", ")
     s"mh AS (SELECT doc_id, $lanes FROM sh GROUP BY doc_id)"
@@ -186,13 +186,13 @@ object DedupQueries {
           concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bh"))): _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
 
-  private val bandSql = (0 until 4).map(b =>
+  private[ext] val bandSql = (0 until 4).map(b =>
     s"SELECT doc_id, $b AS band, m${2 * b} || m${2 * b + 1} AS bh FROM mh")
     .mkString("bands AS (", " UNION ALL ", ")")
 
   /** Oracle twin of the mega-bucket cap in [[candidatePairs]] — the cap is
     * part of the operator's semantics, so the oracle applies it too. */
-  private val cappedBandsSql =
+  private[ext] val cappedBandsSql =
     s"""bands_c AS (SELECT doc_id, band, bh FROM (
          SELECT b.*, count(*) OVER (PARTITION BY band, bh) AS bkt_n
          FROM bands b) WHERE bkt_n <= $DefaultMaxBucket)"""
@@ -219,7 +219,7 @@ object DedupQueries {
       .select("id1", "id2").distinct()
   }
 
-  private val pairsSql =
+  private[ext] val pairsSql =
     """pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
                  FROM bands_c a JOIN bands_c b
                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
@@ -476,87 +476,6 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // Canonical-document selection — the decision step AFTER clustering
-    // that every production dedup actually ships: within each q54
-    // near-dup cluster keep ONE representative (longest member in words,
-    // ties to the smallest doc_id — so a planted exact copy always loses
-    // to its original) and account for what was demoted. Emits only
-    // multi-member clusters: cluster id, the canonical doc, its length,
-    // and the total words dropped with the demoted members — the
-    // token-loss ledger a curation run reports.
-    // Scale: rides q54's components (pointer-jumping, O(log D) rounds);
-    // the argmax is a per-cluster row_number window over |docs| rows
-    // keyed by cluster — one shuffle, bounded state per key. All
-    // integer arithmetic, bit-exact cross-engine.
-    "q212_canonical_docs" -> ((s, d) => {
-      val c = corpus(s, d)
-      val pairs = candidatePairsOf(shinglesRaw(c))
-      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-      val sized = c.select(col("doc_id"),
-        size(split(col("text"), " ")).as("n_words"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster_id"))
-        .orderBy(col("n_words").desc, col("doc_id"))
-      comp.join(sized, "doc_id")
-        .withColumn("rn", row_number().over(w))
-        .groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_members"),
-          max(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
-          max(when(col("rn") === 1, col("n_words"))).as("kept_words"),
-          sum(when(col("rn") > 1, col("n_words")).otherwise(lit(0)))
-            .cast("long").as("dropped_words"))
-        .filter(col("n_members") > 1)
-        .orderBy("cluster_id")
-    }),
-
-    // Normalization-sensitivity ladder — how many exact duplicates each
-    // canonicalization level exposes, the audit every exact-dedup
-    // deployment runs before picking its fingerprint key (raw md5 vs
-    // casefold vs punctuation-strip vs whitespace-collapse; the q63
-    // chain, unbundled level by level). The corpus plants one mutation
-    // class per level: verbatim copies (raw catches), uppercased copies
-    // (casefold), punctuation-appended copies (punct-strip), and
-    // double-spaced copies (ws-collapse) — so the dup counts climb
-    // strictly down the ladder and each step's marginal catch is
-    // attributable to exactly one rule.
-    // Scale: ONE corpus pass computes all four fingerprints map-side
-    // (stack → (level, fp)); the only shuffle is the (level, fp) count
-    // with map-side partial aggregation — no joins, no pair work ever.
-    "q214_norm_sensitivity" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val c = docs
-        .unionByName(docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-        .unionByName(docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            upper(col("text")).as("text")))
-        .unionByName(docs.filter(col("doc_id") % 10 === 3)
-          .select((col("doc_id") + 3000000L).as("doc_id"),
-            concat(col("text"), lit("!!")).as("text")))
-        .unionByName(docs.filter(col("doc_id") % 10 === 7)
-          .select((col("doc_id") + 4000000L).as("doc_id"),
-            expr("replace(text, ' ', '  ')").as("text")))
-      val lvl = c.select(col("doc_id"), expr(
-        """stack(4,
-             0, md5(text),
-             1, md5(lower(text)),
-             2, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '')),
-             3, md5(trim(regexp_replace(regexp_replace(lower(text),
-                  '[^a-z0-9 ]', ''), ' +', ' ')))) AS (level, fp)"""))
-      lvl.groupBy("level", "fp").agg(count(lit(1)).as("n"))
-        .groupBy("level").agg(
-          count(lit(1)).as("n_groups"),
-          sum(when(col("n") > 1, lit(1)).otherwise(lit(0)))
-            .cast("long").as("n_dup_groups"),
-          sum(col("n") - 1).cast("long").as("n_dup_docs"))
-        .withColumn("level_name",
-          expr("""CASE level WHEN 0 THEN 'raw' WHEN 1 THEN 'casefold'
-                  WHEN 2 THEN 'nopunct' ELSE 'collapse' END"""))
-        .select("level", "level_name", "n_groups", "n_dup_groups", "n_dup_docs")
-        .orderBy("level")
-    }),
-
     // Exact substring dedup via winnowing-style content-defined
     // fingerprints: pairs of docs sharing verbatim character runs — the
     // exact-substring axis of dedup, complementary to word-gram Jaccard
@@ -592,341 +511,7 @@ object DedupQueries {
     "q44_embedding_neardup" -> ((s, d) =>
       signLshCosineCandidates(Tables.embeddings(s, d))
         .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
-        .limit(20)),
-
-    // Dedup threshold-sweep — the tuning curve every dedup deployment
-    // needs BEFORE committing a threshold: exact pair counts (and docs
-    // touched) at each candidate Jaccard cutoff, from ONE exact PPJoin
-    // pass at the lowest threshold in the sweep (τ=0.5 — pairs at every
-    // higher τ are a subset, so one pass prices the whole curve; below
-    // 0.5 the banded-LSH path is the right tool, see prefixJaccardPairs).
-    // Planted copies at three mutation strengths (drop 1 word / ~1/8 /
-    // ~1/3 of leading words → J ≈ .97/.88/.67) make the curve fall where
-    // it should; zero-pair thresholds still emit a row (left join against
-    // the literal τ table) so the curve's domain is fixed.
-    "q189_dedup_threshold_sweep" -> ((s, d) => {
-      val base = Tables.documents(s, d).select("doc_id", "text")
-      val ws = base.withColumn("ws", split(col("text"), " "))
-        .filter(col("doc_id") % 89 === 2 && size(col("ws")) >= 12)
-      val planted = Seq(
-        (7100000L, "2", "size(ws) - 1"),
-        (7200000L, "2 + size(ws) DIV 8", "size(ws)"),
-        (7300000L, "2 + size(ws) DIV 3", "size(ws)")).map { case (off, from, len) =>
-        ws.select((col("doc_id") + off).as("doc_id"),
-          concat_ws(" ", expr(s"slice(ws, $from, $len)")).as("text"))
-      }.reduce(_ unionByName _)
-      val pairs = prefixJaccardPairs(base.unionByName(planted), 1, 2)
-      val taus = Seq(5000, 6000, 7000, 8000, 9000, 9500)
-      val tausDf = pairs.sparkSession.range(1)
-        .select(explode(array(taus.map(lit(_)): _*)).as("tau_bp"))
-      val tagged = pairs
-        .withColumn("tau_bp", explode(array(taus.map(lit(_)): _*)))
-        .filter(col("jacc_bp") >= col("tau_bp"))
-      val nPairs = tagged.groupBy("tau_bp").agg(count(lit(1)).as("n_pairs"))
-      val nDocs = tagged
-        .select(col("tau_bp"), explode(array(col("id1"), col("id2"))).as("doc"))
-        .groupBy("tau_bp").agg(countDistinct(col("doc")).as("n_docs"))
-      tausDf.join(nPairs, Seq("tau_bp"), "left")
-        .join(nDocs, Seq("tau_bp"), "left")
-        .select(col("tau_bp"),
-          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
-        .orderBy("tau_bp")
-    }),
-
-    // LSH candidate-quality EVAL — the banded MinHash route (q41) scored
-    // against EXACT ground truth (the lossless PPJoin self-join at
-    // J >= 1/2, q149's machinery on the same corpus): recall = how much
-    // of the true >=τ pair set the bands surface; precision = what
-    // fraction of surfaced candidates are true — i.e. how much exact
-    // verification work each candidate costs. The dedup-side twin of
-    // q207's ANN probe sweep: q189 tunes the THRESHOLD, this grades the
-    // CANDIDATE GENERATOR itself. All-integer metrics; both sides are
-    // existing bounded machinery (banded buckets / prefix filtering) —
-    // nothing here is all-pairs.
-    "q210_lsh_eval" -> ((s, d) => {
-      // Round-11: the eval runs on a deterministic 25% md5 carve of the
-      // base docs ([[Q210SampleThresh]]) — sampling BEFORE the variant
-      // union keeps whole dup families together (pair-level recall and
-      // precision are estimated on intact clusters, not on pairs whose
-      // partner was carved away), and the exact-truth leg — the cost that
-      // breached this query's gate two rounds running — shrinks ~16x in
-      // candidate-pair volume. This is also the 100 TB shape: exact
-      // ground truth over the full corpus is never how a generator is
-      // graded in production; a carved sample is.
-      val sampled = Tables.documents(s, d).select("doc_id", "text")
-        .filter(expr(s"($q210DrawSql) < $Q210SampleThresh"))
-      val c = corpusFrom(sampled)
-      // ONE distinct-shingle subtree feeds BOTH legs (round-9 verdict:
-      // each leg re-tokenized + re-shuffled the same corpus). The PPJoin
-      // truth prefixes AND the MinHash lanes derive from the SAME
-      // distinct plan, so AQE stage reuse dedups the shuffle at runtime.
-      // MinHash over the DISTINCT set equals MinHash over the raw stream
-      // (min is duplicate-insensitive — and hashes strictly fewer rows),
-      // and the oracle's mh CTE already reads the distinct sh table, so
-      // the graded bytes are unchanged.
-      val sh = shingles(c)
-      val truth = prefixJaccardPairsFromToks(
-        sh.withColumnRenamed("shingle", "w"), 1, 2).select("id1", "id2")
-      val cand = candidatePairs(bandTable(minhash(sh)))
-      val hit = cand.join(truth, Seq("id1", "id2"))
-      cand.agg(count(lit(1)).as("n_cand"))
-        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .select(col("n_cand"), col("n_truth"), col("n_hit"),
-          expr("(n_hit * 10000) DIV n_truth").as("recall_bp"),
-          expr("(n_hit * 10000) DIV n_cand").as("precision_bp"))
-    }),
-
-    // BAND-LAYOUT sweep — the OTHER LSH tuning knob (q189 tunes the
-    // verify threshold, q210 grades the default generator; this prices
-    // the banding itself): from ONE 8-lane MinHash signature pass,
-    // derive candidate pairs under three band layouts — 2 bands × 4
-    // lanes, 4 × 2 (the production default), 8 × 1 — and score each
-    // against the KNOWN planted truth (q189's three mutation strengths,
-    // J ≈ .97/.88/.67 by construction, so no exact-join truth leg is
-    // needed). Theory says recall at J under (b, r) is 1−(1−J^r)^b:
-    // wide bands (4 lanes) should lose the weak J ≈ .67 family, 1-lane
-    // bands should catch nearly everything while paying in candidate
-    // volume — n_cand is the price column. Domain is fixed (layouts ×
-    // families via left joins), so zero-hit cells still emit rows.
-    // Scale: the signature pass is the q41 cost; the three layouts ride
-    // ONE (layout, band, bh)-keyed exchange (layout is part of the key,
-    // so the union costs one shuffle, not three) with the mega-bucket
-    // cap bounding every self-join bucket.
-    "q236_band_layout_sweep" -> ((s, d) => {
-      val base = Tables.documents(s, d).select("doc_id", "text")
-      val ws = base.withColumn("ws", split(col("text"), " "))
-        .filter(col("doc_id") % 89 === 2 && size(col("ws")) >= 12)
-      val planted = Seq(
-        (7100000L, "2", "size(ws) - 1"),
-        (7200000L, "2 + size(ws) DIV 8", "size(ws)"),
-        (7300000L, "2 + size(ws) DIV 3", "size(ws)")).map { case (off, from, len) =>
-        ws.select((col("doc_id") + off).as("doc_id"),
-          concat_ws(" ", expr(s"slice(ws, $from, $len)")).as("text"))
-      }.reduce(_ unionByName _)
-      val mh = minhash(shingles(base.unionByName(planted)))
-      val layouts = Seq(("2x4", 2, 4), ("4x2", 4, 2), ("8x1", 8, 1))
-      // [[graft.Mutations]]: assign lanes to bands interleaved (j*b+i)
-      // instead of blocked (i*r+j) — the lane-order bug that silently
-      // rewires which signature lanes vote together, shifting every
-      // layout's recall/candidate tradeoff
-      def lane(i: Int, j: Int, b: Int, r: Int) =
-        if (graft.Mutations.on("q236_lane_order_swapped")) col(s"m${j * b + i}")
-        else col(s"m${i * r + j}")
-      val bandsAll = layouts.map { case (lbl, b, r) =>
-        mh.select(col("doc_id"), lit(lbl).as("layout"),
-          explode(array((0 until b).map(i =>
-            struct(lit(i).as("band"),
-              concat((0 until r).map(j => lane(i, j, b, r)): _*).as("bh"))): _*)).as("e"))
-          .select(col("doc_id"), col("layout"),
-            col("e.band").as("band"), col("e.bh").as("bh"))
-      }.reduce(_ unionByName _)
-      val bw = org.apache.spark.sql.expressions.Window
-        .partitionBy("layout", "band", "bh")
-      val capped = bandsAll.withColumn("n", count(lit(1)).over(bw))
-        .filter(col("n") <= DefaultMaxBucket).drop("n")
-      val pairs = capped
-        .select(col("layout"), col("band"), col("bh"), col("doc_id").as("id1"))
-        .join(capped.select(col("layout"), col("band"), col("bh"),
-          col("doc_id").as("id2")), Seq("layout", "band", "bh"))
-        .filter(col("id1") < col("id2"))
-        .select("layout", "id1", "id2").distinct()
-      val nCand = pairs.groupBy("layout").agg(count(lit(1)).as("n_cand"))
-      val fams = Seq((7100000L, "drop_1"), (7200000L, "drop_8th"), (7300000L, "drop_3rd"))
-      val truth = fams.map { case (off, fam) =>
-        ws.select(col("doc_id").as("id1"), (col("doc_id") + off).as("id2"),
-          lit(fam).as("family"))
-      }.reduce(_ unionByName _)
-      val hits = pairs.join(truth, Seq("id1", "id2"))
-        .groupBy("layout", "family").agg(count(lit(1)).as("n_hit"))
-      val nP = truth.groupBy("family").agg(count(lit(1)).as("n_planted"))
-      val dom = s.range(1).select(explode(array(layouts.map { case (l, b, r) =>
-          struct(lit(l).as("layout"), lit(b).as("n_bands"), lit(r).as("rows_per_band"))
-        }: _*)).as("e"))
-        .select(col("e.layout").as("layout"), col("e.n_bands").as("n_bands"),
-          col("e.rows_per_band").as("rows_per_band"))
-        .crossJoin(s.range(1).select(
-          explode(array(fams.map(f => lit(f._2)): _*)).as("family")))
-      dom.join(broadcast(nP), Seq("family"))
-        .join(hits, Seq("layout", "family"), "left")
-        .join(broadcast(nCand), Seq("layout"), "left")
-        .select(col("layout"), col("n_bands"), col("rows_per_band"),
-          col("family"), col("n_planted"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          expr("(coalesce(n_hit, 0) * 10000) DIV n_planted").as("recall_bp"),
-          coalesce(col("n_cand"), lit(0L)).as("n_cand"))
-        .orderBy("layout", "family")
-    }),
-
-    // Dedup FUNNEL report — drives the [[DedupPipeline]] user API end to
-    // end over the planted corpus and reports per-stage survival (docs
-    // and tokens): raw → exactDedup → nearDedup(0.9). This is the
-    // number a curation run publishes after every stage ("dedup removed
-    // X% of tokens") and the composition test that the pipeline stages
-    // chain without column collisions. The planted corpus makes the
-    // funnel load-bearing: +1M ids are exact copies (all die at stage
-    // 1), +2M ids are drop-first-word near-dups (the long ones die at
-    // stage 2's 0.9 Jaccard, the short ones survive — the threshold is
-    // doing real work).
-    // Scale: stage aggregates are one-row; the stages themselves are
-    // the graded q40/q41 machinery (hash groupBy; banded LSH + verify).
-    "q205_dedup_funnel" -> ((s, d) => {
-      val c0 = corpus(s, d)
-      val c1 = DedupPipeline.exactDedup(c0, "doc_id", "text")
-      val c2 = DedupPipeline.nearDedup(c1, "doc_id", "text", 0.9)
-      def stat(df: DataFrame, no: Int, stage: String): DataFrame =
-        df.select(size(split(col("text"), " ")).cast("long").as("n_tok"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-          .select(lit(no).as("stage_no"), lit(stage).as("stage"),
-            col("n_docs"), col("n_tokens"))
-      stat(c0, 0, "raw")
-        .unionByName(stat(c1, 1, "exact"))
-        .unionByName(stat(c2, 2, "near"))
-        .orderBy("stage_no")
-    }),
-
-    // CLUSTER SPAN census — the syndication detector: does a near-dup
-    // cluster live inside one source (a template scraped twice) or
-    // SPAN sources (the same article syndicated — the duplication a
-    // per-source dedup pass would miss entirely)? Per q54 cluster:
-    // distinct sources among members (attribution via doc_id % 1M,
-    // the q255 rule); census bands singleton / single-source /
-    // multi-source with member and source extremes, plus the bp of
-    // DOCS sitting in spanning clusters — the cross-source dedup
-    // pressure number a crawl planner reads.
-    // Scale: rides q54's machinery; the span rollup is one
-    // (cluster, source) distinct + a cluster-keyed aggregate, both
-    // map-side combined; the census is 3 rows.
-    "q277_cluster_span" -> ((s, d) => {
-      val c = corpus(s, d)
-      val pairs = candidatePairsOf(shinglesRaw(c))
-      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-      val ds = comp.withColumn("base_id", col("doc_id") % 1000000L)
-        .join(Tables.documents(s, d)
-          .select(col("doc_id").as("base_id"), col("source")), "base_id")
-      val perCluster = ds.groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_members"),
-          countDistinct(col("source")).as("n_sources"))
-      val tot = ds.agg(count(lit(1)).as("n_docs"))
-      perCluster
-        .withColumn("band",
-          when(col("n_members") === 1, "b1_singleton")
-            .when(col("n_sources") === 1, "b2_single_source")
-            .otherwise("b3_multi_source"))
-        .groupBy("band")
-        .agg(count(lit(1)).as("n_clusters"), sum(col("n_members")).as("n_docs_in"),
-          max(col("n_members")).as("max_members"),
-          max(col("n_sources")).as("max_sources"))
-        .crossJoin(broadcast(tot))
-        .select(col("band"), col("n_clusters"), col("n_docs_in"),
-          col("max_members"), col("max_sources"),
-          expr("(n_docs_in * 10000) DIV n_docs").as("docs_share_bp"))
-        .orderBy("band")
-    }),
-
-    // DEDUP IMPACT BY SOURCE — the composition-shift audit run before
-    // shipping a deduped corpus: dedup is not composition-neutral (a
-    // scrape-heavy source loses most of its mass; a clean source
-    // gains relative share), and a mixture tuned on raw shares (q187/
-    // q196) silently retargets after dedup unless this delta is
-    // priced. Per source: raw corpus docs vs docs surviving cluster
-    // collapse (one representative per q54 cluster — the cluster's
-    // smallest id, which IS the component label, so survivorship is
-    // doc_id = cluster_id, no extra argmax pass), both as bp shares
-    // of their corpus, and the share delta. Synthetic corpus members
-    // (+1M copies, +2M near-dups) attribute to their base document's
-    // source via doc_id % 1M — copies charge the source that scraped
-    // them.
-    // Scale: rides q54's machinery unchanged (banded LSH candidates,
-    // pointer-jumping CC); the attribution join keys on doc id against
-    // the documents table and the report is a |sources|-row rollup.
-    "q255_dedup_impact" -> ((s, d) => {
-      val c = corpus(s, d)
-      val pairs = candidatePairsOf(shinglesRaw(c))
-      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-      val ds = comp
-        .withColumn("base_id", col("doc_id") % 1000000L)
-        .join(Tables.documents(s, d)
-          .select(col("doc_id").as("base_id"), col("source")), "base_id")
-      val raw = ds.groupBy("source").agg(count(lit(1)).as("raw_docs"))
-      val kept = ds.filter(col("doc_id") === col("cluster_id"))
-        .groupBy("source").agg(count(lit(1)).as("kept_docs"))
-      val rTot = raw.agg(sum(col("raw_docs")).as("rn"))
-      val kTot = kept.agg(sum(col("kept_docs")).as("kn"))
-      raw.join(kept, Seq("source"), "left")
-        .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
-        .crossJoin(broadcast(rTot)).crossJoin(broadcast(kTot))
-        .select(col("source"), col("raw_docs"), col("kept_docs"),
-          expr("(raw_docs * 10000) DIV rn").as("raw_share_bp"),
-          expr("(kept_docs * 10000) DIV kn").as("kept_share_bp"),
-          expr("(kept_docs * 10000) DIV kn - (raw_docs * 10000) DIV rn")
-            .as("delta_bp"))
-        .orderBy("source")
-    }),
-
-    // END-TO-END corpus pipeline — the COMPOSITION grade (round-11
-    // verdict stretch 7): five public pipeline APIs chained the way a
-    // production curation run chains them, as one oracle-graded query.
-    //   raw corpus (planted dup families, the corpusFrom seam)
-    //     → [[DedupPipeline.exactDedup]]        (md5 keep-min-id)
-    //     → [[DedupPipeline.nearDedup]]         (LSH + exact verify, τ=0.9)
-    //     → [[SamplingPipeline.epochOrder]]     (seeded shuffle, seed 42)
-    //     → [[SamplingPipeline.mixtureSample]]  (q187's demo weights)
-    //     → [[SamplingPipeline.packSequences]]  (2048-token streams)
-    //     → per-source report card.
-    // q205 grades the funnel's stage counts and q192 the sampling
-    // stages; what THIS query pins is that the stages' working columns
-    // compose (survivor frames feed the sampler unchanged, `copy_idx`
-    // joins the pack key, the pack window keys on the mixture's source)
-    // and that the whole chain stays integer-deterministic end-to-end.
-    // Variants inherit their base doc's source via one base_id-keyed
-    // hash join (the q255 attribution pattern). Scale: each stage keeps
-    // its own bounded shape (banded LSH, map-only replication, one
-    // per-source prefix-sum window); the report is a |sources|-row
-    // rollup of broadcast-joined aggregates.
-    "q282_corpus_pipeline" -> ((s, d) => {
-      val c0 = corpus(s, d)
-      val c1 = DedupPipeline.exactDedup(c0, "doc_id", "text")
-      val c2 = DedupPipeline.nearDedup(c1, "doc_id", "text", 0.9)
-      val src = Tables.documents(s, d)
-        .select(col("doc_id").as("base_id"), col("source"))
-      def bySource(df: DataFrame): DataFrame =
-        df.withColumn("base_id", col("doc_id") % 1000000L).join(src, "base_id")
-      val surv = bySource(c2)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val mixed = SamplingPipeline.mixtureSample(
-        SamplingPipeline.epochOrder(surv, "doc_id", 42),
-        "doc_id", "source", CurationQueries.MixWeights.toMap,
-        CurationQueries.MixDefaultWeight)
-      val packed = SamplingPipeline.packSequences(
-        mixed.withColumn("pack_key",
-          concat_ws(":", col("epoch_order"), col("doc_id").cast("string"),
-            col("copy_idx").cast("string"))),
-        "pack_key", "source", "n_tok", CurationQueries.SeqPackLen)
-      val rawStats = bySource(c0).groupBy("source")
-        .agg(count(lit(1)).as("n_raw"))
-      val dedupStats = surv.groupBy("source")
-        .agg(count(lit(1)).as("n_dedup"), sum(col("n_tok")).as("dedup_tokens"))
-      val drawStats = mixed.groupBy("source")
-        .agg(count(lit(1)).as("n_draws"), sum(col("n_tok")).as("tokens_drawn"))
-      val seqStats = packed.groupBy("source")
-        .agg(countDistinct(col("seq_id")).as("n_seqs"))
-      rawStats
-        .join(broadcast(dedupStats), Seq("source"), "left")
-        .join(broadcast(drawStats), Seq("source"), "left")
-        .join(broadcast(seqStats), Seq("source"), "left")
-        .select(col("source"), col("n_raw"),
-          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
-          coalesce(col("dedup_tokens"), lit(0L)).as("dedup_tokens"),
-          coalesce(col("n_draws"), lit(0L)).as("n_draws"),
-          coalesce(col("tokens_drawn"), lit(0L)).as("tokens_drawn"),
-          coalesce(col("n_seqs"), lit(0L)).as("n_seqs"))
-        .orderBy("source")
-    })
+        .limit(20))
   )
 
   /** Two-sided winnowing fingerprint pairs — q116's machinery, also
@@ -1139,189 +724,6 @@ object DedupQueries {
           FROM ij WHERE inter * 8 >= (sz1 + sz2) * 3
           ORDER BY id1, id2""",
 
-    "q236_band_layout_sweep" -> {
-      val lanes = (0 until 8)
-        .map(i => s"min(substr(md5(shingle), ${1 + 4 * i}, 4)) AS m$i")
-        .mkString(", ")
-      val layoutArms = Seq(("2x4", 2, 4), ("4x2", 4, 2), ("8x1", 8, 1))
-        .flatMap { case (lbl, b, r) =>
-          (0 until b).map { i =>
-            val bh = (0 until r).map(j => s"m${i * r + j}").mkString(" || ")
-            s"SELECT doc_id, '$lbl' AS layout, $i AS band, $bh AS bh FROM mh"
-          }
-        }.mkString("\n            UNION ALL ")
-      s"""WITH base AS (SELECT doc_id, text FROM documents),
-          seed AS (SELECT doc_id, str_split(text, ' ') AS ws FROM base
-                   WHERE doc_id % 89 = 2 AND len(str_split(text, ' ')) >= 12),
-          planted AS (
-            SELECT doc_id + 7100000 AS doc_id,
-                   array_to_string(ws[2:len(ws)], ' ') AS text FROM seed
-            UNION ALL
-            SELECT doc_id + 7200000,
-                   array_to_string(ws[(2 + len(ws) // 8):len(ws)], ' ')
-            FROM seed
-            UNION ALL
-            SELECT doc_id + 7300000,
-                   array_to_string(ws[(2 + len(ws) // 3):len(ws)], ' ')
-            FROM seed),
-          pcorpus AS (SELECT doc_id, text FROM base
-                      UNION ALL SELECT doc_id, text FROM planted),
-          ptok AS (SELECT doc_id, str_split(text, ' ') AS words FROM pcorpus
-                   WHERE len(str_split(text, ' ')) >= 3),
-          pposn AS (SELECT doc_id, words,
-                           unnest(generate_series(1, len(words) - 2)) AS pos
-                    FROM ptok),
-          sh AS (SELECT DISTINCT doc_id,
-                        words[pos] || ' ' || words[pos+1] || ' ' ||
-                          words[pos+2] AS shingle
-                 FROM pposn),
-          mh AS (SELECT doc_id, $lanes FROM sh GROUP BY doc_id),
-          bands AS (
-            $layoutArms),
-          capped AS (SELECT doc_id, layout, band, bh FROM (
-                       SELECT b.*, count(*) OVER (PARTITION BY layout, band, bh) AS n
-                       FROM bands b) WHERE n <= $DefaultMaxBucket),
-          pairs AS (SELECT DISTINCT a.layout, a.doc_id AS id1, b.doc_id AS id2
-                    FROM capped a JOIN capped b
-                      ON a.layout = b.layout AND a.band = b.band
-                     AND a.bh = b.bh AND a.doc_id < b.doc_id),
-          ncand AS (SELECT layout, count(*) AS n_cand FROM pairs GROUP BY layout),
-          truth AS (
-            SELECT doc_id AS id1, doc_id + 7100000 AS id2, 'drop_1' AS family FROM seed
-            UNION ALL SELECT doc_id, doc_id + 7200000, 'drop_8th' FROM seed
-            UNION ALL SELECT doc_id, doc_id + 7300000, 'drop_3rd' FROM seed),
-          np AS (SELECT family, count(*) AS n_planted FROM truth GROUP BY family),
-          hits AS (SELECT layout, family, count(*) AS n_hit
-                   FROM pairs JOIN truth
-                     ON pairs.id1 = truth.id1 AND pairs.id2 = truth.id2
-                   GROUP BY 1, 2),
-          dom AS (SELECT l.layout, l.n_bands, l.rows_per_band, f.family
-                  FROM (VALUES ('2x4', 2, 4), ('4x2', 4, 2), ('8x1', 8, 1))
-                         l(layout, n_bands, rows_per_band),
-                       (VALUES ('drop_1'), ('drop_8th'), ('drop_3rd')) f(family))
-          SELECT dom.layout, dom.n_bands, dom.rows_per_band, dom.family,
-                 np.n_planted,
-                 CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
-                 CAST(coalesce(hits.n_hit, 0) * 10000 // np.n_planted AS BIGINT)
-                   AS recall_bp,
-                 CAST(coalesce(ncand.n_cand, 0) AS BIGINT) AS n_cand
-          FROM dom JOIN np USING (family)
-          LEFT JOIN hits ON hits.layout = dom.layout AND hits.family = dom.family
-          LEFT JOIN ncand ON ncand.layout = dom.layout
-          ORDER BY dom.layout, dom.family""" },
-
-    "q210_lsh_eval" ->
-      s"""WITH $q210CorpusSql, $shinglesSql, $minhashSql, $bandSql,
-          $cappedBandsSql, $pairsSql,
-          dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-          pre AS (SELECT doc_id, shingle, sz FROM (
-                    SELECT t.doc_id, t.shingle, s.sz,
-                           row_number() OVER (PARTITION BY t.doc_id
-                                              ORDER BY df, t.shingle) AS pos
-                    FROM sh t JOIN dfreq USING (shingle)
-                    JOIN sizes s ON s.doc_id = t.doc_id)
-                  WHERE pos <= sz - (1 * sz + 1) // 2 + 1),
-          tcands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-                            a.sz AS sz1, b.sz AS sz2
-                     FROM pre a JOIN pre b
-                       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                      AND a.sz * 1 <= b.sz * 2 AND b.sz * 1 <= a.sz * 2),
-          tij AS (SELECT id1, id2, sz1, sz2, count(*) AS inter
-                  FROM tcands
-                  JOIN sh ta ON ta.doc_id = id1
-                  JOIN sh tb ON tb.doc_id = id2 AND tb.shingle = ta.shingle
-                  GROUP BY id1, id2, sz1, sz2),
-          truth AS (SELECT id1, id2 FROM tij
-                    WHERE inter * 3 >= (sz1 + sz2) * 1),
-          hit AS (SELECT p.id1 FROM pairs p JOIN truth
-                  ON truth.id1 = p.id1 AND truth.id2 = p.id2),
-          m AS (SELECT (SELECT count(*) FROM pairs) AS n_cand,
-                       (SELECT count(*) FROM truth) AS n_truth,
-                       (SELECT count(*) FROM hit) AS n_hit)
-          SELECT n_cand, n_truth, n_hit,
-                 CAST(n_hit * 10000 // n_truth AS BIGINT) AS recall_bp,
-                 CAST(n_hit * 10000 // n_cand AS BIGINT) AS precision_bp
-          FROM m""",
-
-    "q205_dedup_funnel" -> {
-      s"""WITH $corpusSql,
-          $funnelSqlCtes,
-          stages AS (
-            SELECT 0 AS stage_no, 'raw' AS stage, count(*) AS n_docs,
-                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM ntok
-            UNION ALL
-            SELECT 1, 'exact', count(*), CAST(SUM(n_tok) AS BIGINT) FROM keep1
-            UNION ALL
-            SELECT 2, 'near', count(*), CAST(SUM(n_tok) AS BIGINT) FROM keep2)
-          SELECT stage_no, stage, n_docs, n_tokens FROM stages
-          ORDER BY stage_no"""
-    },
-
-    "q189_dedup_threshold_sweep" ->
-      s"""WITH base AS (SELECT doc_id, text FROM documents),
-          seed AS (SELECT doc_id, str_split(text, ' ') AS ws FROM base
-                   WHERE doc_id % 89 = 2 AND len(str_split(text, ' ')) >= 12),
-          planted AS (
-            SELECT doc_id + 7100000 AS doc_id,
-                   array_to_string(ws[2:len(ws)], ' ') AS text FROM seed
-            UNION ALL
-            SELECT doc_id + 7200000,
-                   array_to_string(ws[(2 + len(ws) // 8):len(ws)], ' ')
-            FROM seed
-            UNION ALL
-            SELECT doc_id + 7300000,
-                   array_to_string(ws[(2 + len(ws) // 3):len(ws)], ' ')
-            FROM seed),
-          pcorpus AS (SELECT doc_id, text FROM base
-                      UNION ALL SELECT doc_id, text FROM planted),
-          ptok AS (SELECT doc_id, str_split(text, ' ') AS words FROM pcorpus
-                   WHERE len(str_split(text, ' ')) >= 3),
-          pposn AS (SELECT doc_id, words,
-                           unnest(generate_series(1, len(words) - 2)) AS pos
-                    FROM ptok),
-          toks AS (SELECT DISTINCT doc_id,
-                          words[pos] || ' ' || words[pos+1] || ' ' ||
-                            words[pos+2] AS w
-                   FROM pposn),
-          dfreq AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
-          sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-          pre AS (SELECT doc_id, w, sz FROM (
-                    SELECT t.doc_id, t.w, s.sz,
-                           row_number() OVER (PARTITION BY t.doc_id
-                                              ORDER BY df, t.w) AS pos
-                    FROM toks t JOIN dfreq USING (w)
-                    JOIN sizes s ON s.doc_id = t.doc_id)
-                  WHERE pos <= sz - (1 * sz + 1) // 2 + 1),
-          cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-                           a.sz AS sz1, b.sz AS sz2
-                    FROM pre a JOIN pre b
-                      ON a.w = b.w AND a.doc_id < b.doc_id
-                     AND a.sz * 1 <= b.sz * 2 AND b.sz * 1 <= a.sz * 2),
-          ij AS (SELECT id1, id2, sz1, sz2, count(*) AS inter
-                 FROM cands
-                 JOIN toks ta ON ta.doc_id = id1
-                 JOIN toks tb ON tb.doc_id = id2 AND tb.w = ta.w
-                 GROUP BY id1, id2, sz1, sz2),
-          pairs AS (SELECT id1, id2,
-                           CAST(inter * 10000 AS BIGINT)
-                             // CAST(sz1 + sz2 - inter AS BIGINT) AS jacc_bp
-                    FROM ij WHERE inter * 3 >= (sz1 + sz2) * 1),
-          taus AS (SELECT unnest([5000, 6000, 7000, 8000, 9000, 9500])
-                            AS tau_bp),
-          tagged AS (SELECT tau_bp, id1, id2 FROM taus
-                     JOIN pairs ON jacc_bp >= tau_bp),
-          np AS (SELECT tau_bp, count(*) AS n_pairs FROM tagged
-                 GROUP BY tau_bp),
-          nd AS (SELECT tau_bp, count(DISTINCT doc) AS n_docs
-                 FROM (SELECT tau_bp, unnest([id1, id2]) AS doc FROM tagged)
-                 GROUP BY tau_bp)
-          SELECT t.tau_bp,
-                 CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
-                 CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
-          FROM taus t LEFT JOIN np USING (tau_bp) LEFT JOIN nd USING (tau_bp)
-          ORDER BY t.tau_bp""",
-
     "q179_containment_join" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents),
           planted AS (SELECT doc_id + 8000000 AS doc_id,
@@ -1406,61 +808,6 @@ object DedupQueries {
           SELECT id AS doc_id, min(r) AS cluster_id
           FROM reach GROUP BY id ORDER BY doc_id""",
 
-    "q214_norm_sensitivity" ->
-      s"""WITH c AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL SELECT doc_id + 1000000, text FROM documents
-                      WHERE doc_id % 5 = 0
-            UNION ALL SELECT doc_id + 2000000, upper(text) FROM documents
-                      WHERE doc_id % 10 = 0
-            UNION ALL SELECT doc_id + 3000000, text || '!!' FROM documents
-                      WHERE doc_id % 10 = 3
-            UNION ALL SELECT doc_id + 4000000, replace(text, ' ', '  ')
-                      FROM documents WHERE doc_id % 10 = 7),
-          lv AS (
-            SELECT doc_id, 0 AS level, md5(text) AS fp FROM c
-            UNION ALL SELECT doc_id, 1, md5(lower(text)) FROM c
-            UNION ALL SELECT doc_id, 2,
-              md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) FROM c
-            UNION ALL SELECT doc_id, 3,
-              md5(trim(regexp_replace(regexp_replace(lower(text),
-                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) FROM c),
-          grp AS (SELECT level, fp, count(*) AS n FROM lv GROUP BY 1, 2)
-          SELECT level,
-                 CASE level WHEN 0 THEN 'raw' WHEN 1 THEN 'casefold'
-                      WHEN 2 THEN 'nopunct' ELSE 'collapse' END AS level_name,
-                 count(*) AS n_groups,
-                 CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dup_groups,
-                 CAST(sum(n - 1) AS BIGINT) AS n_dup_docs
-          FROM grp GROUP BY level ORDER BY level""",
-
-    // q212: q54's recursive clustering + per-cluster longest-member argmax.
-    "q212_canonical_docs" ->
-      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
-          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-                    UNION ALL SELECT id2, id1 FROM pairs),
-          reach AS (
-            SELECT doc_id AS id, doc_id AS r FROM corpus
-            UNION
-            SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst),
-          comp AS (SELECT id AS doc_id, min(r) AS cluster_id
-                   FROM reach GROUP BY id),
-          sized AS (SELECT doc_id,
-                      CAST(len(str_split(text, ' ')) AS INTEGER) AS n_words
-                    FROM corpus),
-          ranked AS (SELECT cluster_id, c.doc_id, n_words,
-                       row_number() OVER (PARTITION BY cluster_id
-                         ORDER BY n_words DESC, c.doc_id) AS rn
-                     FROM comp c JOIN sized s ON s.doc_id = c.doc_id)
-          SELECT cluster_id, count(*) AS n_members,
-                 max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
-                 max(CASE WHEN rn = 1 THEN n_words END) AS kept_words,
-                 CAST(sum(CASE WHEN rn > 1 THEN n_words ELSE 0 END) AS BIGINT)
-                   AS dropped_words
-          FROM ranked GROUP BY cluster_id HAVING count(*) > 1
-          ORDER BY cluster_id""",
-
     "q116_substring_dedup" ->
       s"""WITH $corpusSql,
           sub AS (SELECT doc_id, pos, substr(text, pos, 40) AS w
@@ -1524,125 +871,6 @@ object DedupQueries {
                       JOIN mlsizes s2 ON s2.doc_id = id2)
           SELECT id1, id2, jaccard_dist, CAST(1.0 AS DOUBLE) AS recall
           FROM mlpairs WHERE jaccard_dist < 0.05
-          ORDER BY id1, id2""",
-
-    // q277: q54's recursive clustering + per-cluster source-span census.
-    "q277_cluster_span" ->
-      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
-          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-                    UNION ALL SELECT id2, id1 FROM pairs),
-          reach AS (
-            SELECT doc_id AS id, doc_id AS r FROM corpus
-            UNION
-            SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst),
-          cc AS (SELECT id AS doc_id, min(r) AS cluster_id
-                 FROM reach GROUP BY id),
-          ds AS (SELECT c.doc_id, c.cluster_id, d.source
-                 FROM cc c JOIN documents d ON d.doc_id = c.doc_id % 1000000),
-          per AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-                         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-                  FROM ds GROUP BY cluster_id),
-          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ds),
-          banded AS (SELECT CASE WHEN n_members = 1 THEN 'b1_singleton'
-                                 WHEN n_sources = 1 THEN 'b2_single_source'
-                                 ELSE 'b3_multi_source' END AS band,
-                            n_members, n_sources
-                     FROM per)
-          SELECT band, count(*) AS n_clusters,
-                 CAST(sum(n_members) AS BIGINT) AS n_docs_in,
-                 max(n_members) AS max_members,
-                 max(n_sources) AS max_sources,
-                 (CAST(sum(n_members) AS BIGINT) * 10000) // n_docs
-                   AS docs_share_bp
-          FROM banded CROSS JOIN tot
-          GROUP BY band, n_docs ORDER BY band""",
-
-    // q255: q54's recursive clustering + per-source raw vs surviving shares.
-    "q255_dedup_impact" ->
-      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
-          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-                    UNION ALL SELECT id2, id1 FROM pairs),
-          reach AS (
-            SELECT doc_id AS id, doc_id AS r FROM corpus
-            UNION
-            SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst),
-          cc AS (SELECT id AS doc_id, min(r) AS cluster_id
-                 FROM reach GROUP BY id),
-          ds AS (SELECT c.doc_id, c.cluster_id, d.source
-                 FROM cc c JOIN documents d ON d.doc_id = c.doc_id % 1000000),
-          raw AS (SELECT source, count(*) AS raw_docs FROM ds GROUP BY source),
-          kept AS (SELECT source, count(*) AS kept_docs FROM ds
-                   WHERE doc_id = cluster_id GROUP BY source),
-          rt AS (SELECT CAST(sum(raw_docs) AS BIGINT) AS rn FROM raw),
-          kt AS (SELECT CAST(sum(kept_docs) AS BIGINT) AS kn FROM kept)
-          SELECT r.source, r.raw_docs,
-                 CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
-                 (r.raw_docs * 10000) // rn AS raw_share_bp,
-                 (coalesce(k.kept_docs, 0) * 10000) // kn AS kept_share_bp,
-                 (coalesce(k.kept_docs, 0) * 10000) // kn
-                   - (r.raw_docs * 10000) // rn AS delta_bp
-          FROM raw r LEFT JOIN kept k USING (source)
-          CROSS JOIN rt CROSS JOIN kt
-          ORDER BY r.source""",
-
-    // q282: the funnel CTEs verbatim (funnelSqlCtes — shared with q205),
-    // then q192's mixture/pack arithmetic over the survivors, then the
-    // per-source rollup. Draw/weight expressions come from the SAME
-    // SamplingPipeline builders the Spark plan uses.
-    "q282_corpus_pipeline" -> {
-      val drawExpr = SamplingPipeline.drawExpr("doc_id", "mix")
-      s"""WITH $corpusSql,
-          $funnelSqlCtes,
-          src AS (SELECT doc_id AS base_id, source FROM documents),
-          raws AS (SELECT c.doc_id, s.source FROM corpus c
-                   JOIN src s ON c.doc_id % 1000000 = s.base_id),
-          raw_stats AS (SELECT source, count(*) AS n_raw
-                        FROM raws GROUP BY source),
-          surv AS (SELECT k.doc_id, s.source, k.n_tok FROM keep2 k
-                   JOIN src s ON k.doc_id % 1000000 = s.base_id),
-          dedup_stats AS (SELECT source, count(*) AS n_dedup,
-                                 CAST(sum(n_tok) AS BIGINT) AS dedup_tokens
-                          FROM surv GROUP BY source),
-          t AS (SELECT doc_id, source, n_tok,
-                       md5(CAST(doc_id AS VARCHAR) || ':42') AS epoch_order,
-                       ($drawExpr) AS u,
-                       ${CurationQueries.MixFloorCase} AS w_floor,
-                       ${CurationQueries.MixThreshCase} AS u_thresh
-                FROM surv),
-          c2 AS (SELECT *, w_floor + CASE WHEN u < u_thresh THEN 1 ELSE 0 END
-                             AS n_copies
-                 FROM t),
-          drawn AS (SELECT doc_id, source, n_tok, epoch_order,
-                           unnest(generate_series(1, CAST(n_copies AS BIGINT)))
-                             AS copy_idx
-                    FROM c2 WHERE n_copies > 0),
-          draw_stats AS (SELECT source, count(*) AS n_draws,
-                                CAST(sum(n_tok) AS BIGINT) AS tokens_drawn
-                         FROM drawn GROUP BY source),
-          k2 AS (SELECT *, epoch_order || ':' || CAST(doc_id AS VARCHAR)
-                             || ':' || CAST(copy_idx AS VARCHAR) AS pack_key
-                 FROM drawn),
-          p AS (SELECT source,
-                       COALESCE(sum(n_tok) OVER (PARTITION BY source
-                         ORDER BY pack_key
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) AS cum
-                FROM k2),
-          seq_stats AS (SELECT source,
-                               count(DISTINCT cum // ${CurationQueries.SeqPackLen})
-                                 AS n_seqs
-                        FROM p GROUP BY source)
-          SELECT r.source, r.n_raw,
-                 CAST(COALESCE(d.n_dedup, 0) AS BIGINT) AS n_dedup,
-                 CAST(COALESCE(d.dedup_tokens, 0) AS BIGINT) AS dedup_tokens,
-                 CAST(COALESCE(w.n_draws, 0) AS BIGINT) AS n_draws,
-                 CAST(COALESCE(w.tokens_drawn, 0) AS BIGINT) AS tokens_drawn,
-                 CAST(COALESCE(q.n_seqs, 0) AS BIGINT) AS n_seqs
-          FROM raw_stats r
-          LEFT JOIN dedup_stats d USING (source)
-          LEFT JOIN draw_stats w USING (source)
-          LEFT JOIN seq_stats q USING (source)
-          ORDER BY r.source"""
-    }
+          ORDER BY id1, id2"""
   )
 }

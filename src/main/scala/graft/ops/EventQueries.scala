@@ -64,202 +64,6 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
-    // AUTOCORRELATION of an aggregated time series — the seasonality
-    // probe (does last hour predict this hour?) over per-type hourly
-    // value sums: raw lag products r_k = Σ x_t·x_{t+k} for k = 0..3,
-    // all in integer cents² (Σ bounded well inside BIGINT at any
-    // fixture scale: hours × (hourly cents)² ≈ 1e17 at sf10). The
-    // series is first reduced by one (type, hour) aggregate — the only
-    // full-data pass — and the lag products ride lead() windows over
-    // the hours-per-type table, which is calendar-sized, not
-    // event-sized; normalization (÷ r_0) is left to the reader because
-    // it needs no distributed work and stays float-free here.
-    "q177_autocorrelation" -> ((s, d) => {
-      val hourly = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) DIV 3600000000").as("h"))
-        .agg(sum(floor(col("value") * 100)).as("x"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-      val lagged = hourly
-        .withColumn("x1", lead(col("x"), 1).over(w))
-        .withColumn("x2", lead(col("x"), 2).over(w))
-        .withColumn("x3", lead(col("x"), 3).over(w))
-      def term(k: Int): DataFrame = {
-        val xc = if (k == 0) col("x") else col(s"x$k")
-        lagged.filter(xc.isNotNull)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_terms"),
-            sum(col("x") * xc).as("sxy"))
-          .select(col("event_type"), lit(k.toLong).as("lag"),
-            col("n_terms"), col("sxy"))
-      }
-      term(0).unionByName(term(1)).unionByName(term(2)).unionByName(term(3))
-        .orderBy("event_type", "lag")
-    }),
-
-    // DATA FRESHNESS report — the operational staleness monitor every
-    // ingestion pipeline dashboards: per event_type, its newest event
-    // and how many whole minutes it trails the globally newest event
-    // (integer epoch-µs arithmetic; the global max is a one-row
-    // broadcast). Map-side maxima, one tiny crossJoin — the query cost
-    // is one scan regardless of scale.
-    "q178_freshness_report" -> ((s, d) => {
-      val perType = Tables.events(s, d)
-        .groupBy("event_type")
-        .agg(max(unix_micros(col("ts"))).as("newest_us"),
-          count(lit(1)).as("n_events"))
-      val global = perType.agg(max(col("newest_us")).as("global_us"))
-      perType.crossJoin(broadcast(global))
-        .withColumn("minutes_behind",
-          expr("(global_us - newest_us) DIV 60000000"))
-        .select("event_type", "n_events", "newest_us", "minutes_behind")
-        .orderBy("event_type")
-    }),
-
-    // EWMA ANOMALY detection — the volume-spike monitor every ingestion
-    // pipeline runs per stream: a per-type exponentially-weighted moving
-    // average of the daily event count (α = 1/4, integer recursion
-    // s' = (x + 3s) DIV 4 seeded with day 1's count), flagging any day
-    // whose count exceeds 2× the running average of its HISTORY (the
-    // pre-update EWMA, so a spike can't mask itself). The recursion is
-    // genuinely sequential, so it runs as an ordered-array fold: per
-    // type, collect the (day, cnt) series sorted by day and aggregate()
-    // it with a struct accumulator — the DuckDB twin is the same fold
-    // via list_reduce, and every step is integer, so the whole
-    // trajectory is bit-exact cross-engine.
-    // Scale: the daily rollup is the only big aggregation (map-side
-    // partial count riding one (type, day) shuffle); the fold state is
-    // one struct and the folded array is |days in retention| per type —
-    // the q177 series contract (time dimension bounded by the retention
-    // window, never by corpus size). No window over the raw stream, no
-    // driver collect.
-    "q215_ewma_anomaly" -> ((s, d) => {
-      val dayUs = 86400L * 1000000L
-      val rolled = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          expr(s"unix_micros(ts) DIV ${dayUs}L").as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      ewmaAnomalies(rolled)
-    }),
-
-    // STREAMING twin of q215 — the same volume-spike monitor fed by the
-    // micro-batched events source: the daily census runs as a
-    // Complete-mode streaming aggregation (state = types × days rows,
-    // bounded by the retention window), and the sequential EWMA fold
-    // runs over the drained census exactly as in batch (the q208
-    // resumable-ingest guarantee, for monitoring: ingest the stream,
-    // get the batch answer). Graded against the SAME oracle as q215 —
-    // equality proves the streamed rollup lost nothing.
-    "q220_stream_ewma" -> ((s, d) => {
-      val dayUs = 86400L * 1000000L
-      val ev = graft.streaming.StreamingPipelines.eventsStream(s, d)
-        .groupBy(col("event_type"),
-          expr(s"unix_micros(ts) DIV ${dayUs}L").as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val census = graft.streaming.StreamingPipelines.runToCompletion(s, ev)
-      ewmaAnomalies(census)
-    }),
-
-    // ANONYMIZATION generalization curve — the enforcement companion to
-    // q219's census: how much coarsening the value dimension buys in
-    // k-anonymity, priced from ONE pass (the q189/q207/q213/q225
-    // discipline). For bucket widths {25, 50, 100, 200}, the
-    // quasi-identifier (type, weekday, floor(value/width)) is evaluated
-    // simultaneously by exploding each event into its 4 width rows;
-    // per width the report counts total combos, re-identifying k=1
-    // combos, and the bp share of USERS sitting in safe (k ≥ 5) crowds.
-    // The curve must trade combo count down and safety up as width
-    // grows — the release decision is where it crosses policy.
-    "q233_anonymization_curve" -> ((s, d) => {
-      val ws = Seq(25, 50, 100, 200)
-      val k = Tables.events(s, d)
-        .select(col("event_type"),
-          expr("(unix_micros(ts) DIV 86400000000) % 7").as("weekday"),
-          col("value"), col("user_id"))
-        .select(col("event_type"), col("weekday"), col("user_id"), col("value"),
-          explode(array(ws.map(lit(_)): _*)).as("width"))
-        .withColumn("vb", expr("CAST(floor(value / width) AS BIGINT)"))
-        .groupBy("width", "event_type", "weekday", "vb")
-        .agg(countDistinct(col("user_id")).as("k"))
-      k.groupBy("width").agg(
-          count(lit(1)).as("n_combos"),
-          sum(when(col("k") === 1, 1L).otherwise(0L)).as("n_k1"),
-          sum(col("k")).as("n_slots"),
-          sum(when(col("k") >= 5, col("k")).otherwise(0L)).as("safe_slots"))
-        .select(col("width"), col("n_combos"), col("n_k1"),
-          expr("(safe_slots * 10000) DIV n_slots").as("safe_bp"))
-        .orderBy("width")
-    }),
-
-    // SKEW diagnosis report — the pre-join audit that decides whether a
-    // key needs salting (q75's remedy; this is the detector): per
-    // supplier key, lineitem row counts reduce to an exact integer Gini
-    // concentration index (×1e6: Σ(2i−n−1)·x_i over sorted counts,
-    // divided by n·Σx — truncating DIV) plus the top-3 heaviest keys
-    // and their bp share. The rank window runs over |keys| rows — the
-    // CONTROL PLANE (suppliers), never the fact table; at 100 TB the
-    // per-key counts are one map-side-combined aggregate.
-    "q234_skew_report" -> ((s, d) => {
-      val cnts = Tables.lineitem(s, d)
-        .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("x"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"), col("k"))
-      val ranked = cnts.withColumn("i", row_number().over(w))
-      val tot = cnts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-      val gini = ranked.crossJoin(broadcast(tot))
-        .agg(sum((lit(2) * col("i") - col("n") - 1) * col("x")).as("num"),
-          max(col("n") * col("sx")).as("den"))
-        .select(expr("(num * 1000000) DIV den").as("gini_ppm"))
-      val top = ranked.crossJoin(broadcast(tot))
-        .withColumn("r", col("n") - col("i") + 1)
-        .filter(col("r") <= 3)
-        .select(col("r"), col("k"), col("x"),
-          expr("(x * 10000) DIV sx").as("share_bp"))
-      top.crossJoin(broadcast(gini))
-        .select(col("r").as("rank"), col("k").as("heavy_key"),
-          col("x").as("n_rows"), col("share_bp"), col("gini_ppm"))
-        .orderBy("rank")
-    }),
-
-    // EXACT per-group multi-quantile report (p50/p90/p99) WITHOUT
-    // sorting the stream — the latency-SLO table, by the q183/q185
-    // bounded-histogram discipline: quantize values to cents (floor of
-    // value·100 + 0.5 — floor is rounding-mode-free cross-engine, the
-    // q122 trick; HALF_UP round() is a documented landmine), build the
-    // per-(type, cent) histogram, cumulative-sum it, and pick each
-    // quantile as the smallest cent whose cumulative count reaches
-    // ⌈k%·n⌉ (integer comparison cum·100 ≥ n·k — no float rank).
-    // Scale: the histogram is domain-bounded (cents of a bounded-range
-    // metric), so the cumulative window runs over |domain| rows per
-    // group, never |events|; the raw stream is touched once, map-side
-    // partial counts.
-    "q228_latency_quantiles" -> ((s, d) =>
-      latencyQuantilesOf(Tables.events(s, d)
-        .select(col("event_type"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-        .groupBy("event_type", "cents").agg(count(lit(1)).as("c")))),
-
-    // STREAMING twin of q228 — the p50/p90/p99 latency monitor fed by
-    // the real engine: the bounded cent histogram is the streaming
-    // STATE (state size = types × distinct cents, never event count —
-    // exactly why the histogram formulation was chosen for the batch
-    // query), run to completion in Complete mode, then the SAME
-    // ceil-rank machinery reads the final census. Graded against q228's
-    // oracle verbatim (the q215/q220 discipline: streamed rollup ==
-    // batch answer proves the ingest lost nothing). localCheckpoint
-    // breaks the memory-sink lineage before the machinery's self-join
-    // (census feeds both the per-type total and the cumulative window —
-    // the q208 conflicting-refs landmine); the pinned copy is
-    // control-plane-sized.
-    "q239_stream_latency_quantiles" -> ((s, d) => {
-      val agg = graft.streaming.StreamingPipelines.eventsStream(s, d)
-        .select(col("event_type"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-        .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
-      latencyQuantilesOf(
-        graft.streaming.StreamingPipelines.runToCompletion(s, agg)
-          .localCheckpoint())
-    }),
-
     // NEAREST-tolerance join — the merge_asof(direction='nearest')
     // semantics q83's backward as-of can't express: align every error
     // event to its closest same-user purchase within ±6 hours (the
@@ -307,120 +111,6 @@ object EventQueries {
             .when(col("delta") <= 0, lit("backward"))
             .otherwise(lit("forward")).as("direction"))
         .orderBy("error_id")
-    }),
-
-    // TREND slope per stream — the least-squares daily-volume trend in
-    // EXACT integer arithmetic: slope = (n·Σxy − Σx·Σy) / (n·Σx² −
-    // (Σx)²) over (x = day − first day, y = daily count), emitted in
-    // ppm-of-events-per-day via one truncating DIV at the end — the
-    // complement to q215's spike detector (is the stream drifting, not
-    // just spiking). Classification thresholds are integer too, so the
-    // verdict column is bit-exact cross-engine.
-    // Scale: the daily rollup is the only corpus-sized work (map-side
-    // partial counts); the regression is one aggregate over types×days
-    // rows. x is re-based at day 1 so the moment sums stay far from
-    // bigint overflow at any calendar span.
-    "q222_trend_slope" -> ((s, d) => {
-      val rolled = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) DIV 86400000000").as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val d0 = rolled.agg(min(col("day")).as("d0"))
-      rolled.crossJoin(broadcast(d0))
-        .select(col("event_type"), (col("day") - col("d0")).as("x"), col("cnt").as("y"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-        // Denominator guard: a type active on a SINGLE day has
-        // n·Σx² = (Σx)² (one x value), so the OLS slope is undefined —
-        // Spark DIV would yield NULL ("flat" by accident) while DuckDB //
-        // raises division-by-zero, so without the guard the engines
-        // diverge on that fixture shape. Slope 0 is the honest answer:
-        // one day of data carries no trend.
-        .select(col("event_type"), col("n").as("n_days"),
-          expr("""CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
-                  ELSE ((n * sxy - sx * sy) * 1000000) DIV (n * sxx - sx * sx)
-                  END""").as("slope_ppm"))
-        .withColumn("trend",
-          when(col("slope_ppm") > 100000L, "rising")
-            .when(col("slope_ppm") < -100000L, "falling")
-            .otherwise("flat"))
-        .orderBy("event_type")
-    }),
-
-    // K-ANONYMITY census — the privacy audit run before events are
-    // released as training data: treat (event_type, weekday, value
-    // bucket) as the quasi-identifier an adversary could observe, count
-    // DISTINCT users per combination, and report the risk histogram —
-    // combinations identifying exactly one user (k=1, the
-    // re-identification risk), small cohorts (k 2-4), and safe crowds
-    // (k ≥ 5, the conventional release bar). n_user_slots sums k over a
-    // band's combos, so the three bands partition the (combo, user)
-    // incidence exactly.
-    // Scale: one shuffle keyed on the quasi-tuple with a partial
-    // distinct on user (Spark expands (tuple, user) then counts — both
-    // stages map-side combine); the band rollup is 3 rows. All integer.
-    "q219_k_anonymity" -> ((s, d) => {
-      val k = Tables.events(s, d)
-        .select(col("event_type"),
-          expr("(unix_micros(ts) DIV 86400000000) % 7").as("weekday"),
-          expr("CAST(floor(value / 50) AS BIGINT)").as("value_bucket"),
-          col("user_id"))
-        .groupBy("event_type", "weekday", "value_bucket")
-        .agg(countDistinct(col("user_id")).as("k"))
-      k.withColumn("risk_band",
-          when(col("k") === 1, "k1_unique")
-            .when(col("k") <= 4, "k2_4_small")
-            .otherwise("k5plus_safe"))
-        .groupBy("risk_band")
-        .agg(count(lit(1)).as("n_combos"), sum(col("k")).as("n_user_slots"))
-        .orderBy("risk_band")
-    }),
-
-    // L-DIVERSITY census — the attack k-anonymity misses: a combo can
-    // hold 50 users and still leak if they all share ONE sensitive
-    // value (homogeneity attack — the adversary learns the value
-    // without re-identifying anyone). Quasi-identifier = (event_type,
-    // weekday), deliberately coarser than q219's so combos are crowds;
-    // sensitive attribute = the $50 value bucket. Per combo: l =
-    // distinct sensitive values, dominant_bp = the largest bucket's
-    // share of the combo's rows. Banded rollup (l=1 homogeneous /
-    // 2-4 low / ≥5 diverse) + each band's worst dominant share — the
-    // release decision reads max_dominant_bp, not just l.
-    // The organic feed is uniformly diverse (every combo l ≥ 5 at every
-    // scale — the census would be one dead row), so the fixture PLANTS
-    // the two production failure modes the audit exists to catch, both
-    // in-query on both engine sides (the q215/q242 discipline): a STUCK
-    // field (signup × weekday 0 logs a constant — l = 1, the
-    // homogeneity leak) and a coarsely QUANTIZED feed (signup ×
-    // weekday 1 collapses to 3 buckets — l ∈ 2..4).
-    // Scale: one shuffle keyed on (type, weekday, bucket) — counts
-    // combine map-side — then two control-plane-sized rollups. Integer.
-    "q240_l_diversity" -> ((s, d) => {
-      val cells = Tables.events(s, d)
-        .select(col("event_type"),
-          expr("(unix_micros(ts) DIV 86400000000) % 7").as("weekday"),
-          expr("CAST(floor(value / 50) AS BIGINT)").as("sens0"))
-        .withColumn("sens", expr(
-          """CASE WHEN event_type = 'signup' AND weekday = 0 THEN CAST(0 AS BIGINT)
-                  WHEN event_type = 'signup' AND weekday = 1 THEN sens0 % 3
-                  ELSE sens0 END"""))
-        .groupBy("event_type", "weekday", "sens")
-        .agg(count(lit(1)).as("c"))
-      val combos = cells.groupBy("event_type", "weekday")
-        .agg(count(lit(1)).as("l"), sum(col("c")).as("n_rows"),
-          max(col("c")).as("dom"))
-        .withColumn("dominant_bp", expr("(dom * 10000) DIV n_rows"))
-      combos.withColumn("band",
-          when(col("l") === 1, "l1_homogeneous")
-            .when(col("l") <= 4, "l2_4_low")
-            .otherwise("l5plus_diverse"))
-        .groupBy("band")
-        .agg(count(lit(1)).as("n_combos"), min(col("l")).as("min_l"),
-          max(col("dominant_bp")).as("max_dominant_bp"))
-        .orderBy("band")
     }),
 
     // TOUCH ATTRIBUTION — the conversion-credit assignment every
@@ -473,44 +163,6 @@ object EventQueries {
         .orderBy("model", "channel")
     }),
 
-    // SEASONAL-RESIDUAL anomalies — the spike q215's EWMA can't see:
-    // a count that is normal for a Monday is anomalous for a Sunday.
-    // Per type, the day-of-week baseline is the truncating-integer mean
-    // of that weekday's daily counts; a day is flagged when its count
-    // exceeds 1.5× its weekday baseline (integer cross-multiply — no
-    // floats). A ×3+50 burst is planted on day d0+10 inside the query
-    // (the q215 discipline) — the additive term keeps the plant above
-    // its own baseline drag even at the smallest fixture, where a
-    // low-count day tripled can still sit under 1.5× a baseline set by
-    // larger weekday siblings (the first spec run caught exactly that).
-    // Baselines include the planted day; both engines agree because the
-    // oracle replays the identical transformation.
-    // Scale: the daily rollup is the only corpus-sized aggregate
-    // (map-side partials); baselines and flags live on the types×days
-    // control plane.
-    "q242_seasonal_residual" -> ((s, d) => {
-      val rolled = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) DIV 86400000000").as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val d0 = rolled.agg(min(col("day")).as("d0"))
-      val daily = rolled.crossJoin(broadcast(d0))
-        .select(col("event_type"), col("day"),
-          when(col("day") === col("d0") + 10, col("cnt") * 3 + 50)
-            .otherwise(col("cnt")).as("cnt"))
-        .withColumn("dow", expr("day % 7"))
-      val base = daily.groupBy("event_type", "dow")
-        .agg(expr("sum(cnt) DIV count(*)").as("baseline"))
-      daily.join(base, Seq("event_type", "dow"))
-        .withColumn("flagged", col("cnt") * 2 > col("baseline") * 3)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"),
-          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
-          min(when(col("flagged"), col("day"))).as("first_flagged_day"),
-          max(col("cnt") - col("baseline")).as("max_residual"))
-        .orderBy("event_type")
-    }),
-
     // FUNNEL TIME-TO-CONVERT quantiles — how LONG conversion takes, the
     // dimension q130's count funnel drops: per user, the first view and
     // the first purchase strictly after it; latency in whole minutes,
@@ -534,138 +186,9 @@ object EventQueries {
         .select(expr("CAST((vus DIV 86400000000) % 7 AS STRING)").as("start_weekday"),
           expr("(pus - vus) DIV 60000000").as("cents"))
         .groupBy("start_weekday", "cents").agg(count(lit(1)).as("c"))
-      latencyQuantilesOf(h, "start_weekday")
+      MonitoringQueries.latencyQuantilesOf(h, "start_weekday")
         .withColumnsRenamed(Map("p50" -> "p50_min", "p90" -> "p90_min",
           "p99" -> "p99_min", "n_events" -> "n_users"))
-    }),
-
-    // T-CLOSENESS census — the third rung of the privacy ladder (q219
-    // k-anonymity: crowd size; q240 l-diversity: value variety; this:
-    // value DISTRIBUTION). A combo can be k-large and l-diverse and
-    // still leak: if its sensitive-value distribution differs sharply
-    // from the global one, membership in the combo itself is
-    // informative (skewness attack). Per quasi-combo (event_type,
-    // weekday — q240's grain, SAME planted stuck/quantized fixture so
-    // the ladder audits one corpus), t = total-variation distance
-    // between the combo's $50-bucket distribution and the global
-    // distribution, in integer bp: both distributions are first fixed
-    // to bp (count·10000 DIV total — identical truncation both
-    // engines), then t_bp = Σ|p_bp − g_bp| DIV 2 over ALL global
-    // buckets (a bucket the combo never emits still contributes its
-    // global mass). Banded release report: t ≤ 1000 close / ≤ 3000
-    // moderate / else far.
-    // Scale: one (type, weekday, bucket) shuffle with map-side partial
-    // counts is the only full-data pass; the distance matrix is
-    // combos × global-buckets — both control-plane-sized (weekday
-    // grain × a domain-bounded bucket axis) — built from a broadcast
-    // cross join, never a per-event explode.
-    "q246_t_closeness" -> ((s, d) => {
-      val cells = Tables.events(s, d)
-        .select(col("event_type"),
-          expr("(unix_micros(ts) DIV 86400000000) % 7").as("weekday"),
-          expr("CAST(floor(value / 50) AS BIGINT)").as("sens0"))
-        .withColumn("sens", expr(
-          """CASE WHEN event_type = 'signup' AND weekday = 0 THEN CAST(0 AS BIGINT)
-                  WHEN event_type = 'signup' AND weekday = 1 THEN sens0 % 3
-                  ELSE sens0 END"""))
-        .groupBy("event_type", "weekday", "sens")
-        .agg(count(lit(1)).as("c"))
-      val combos = cells.groupBy("event_type", "weekday")
-        .agg(sum(col("c")).as("n_rows"))
-      val global = cells.groupBy("sens").agg(sum(col("c")).as("g"))
-      val totalN = global.agg(sum(col("g")).as("nn"))
-      val gBp = global.crossJoin(broadcast(totalN))
-        .select(col("sens"), expr("(g * 10000) DIV nn").as("g_bp"))
-      val t = combos.crossJoin(broadcast(gBp))
-        .join(cells, Seq("event_type", "weekday", "sens"), "left")
-        .select(col("event_type"), col("weekday"),
-          abs(expr("(coalesce(c, 0) * 10000) DIV n_rows - g_bp")).as("dev"))
-        .groupBy("event_type", "weekday")
-        .agg(expr("sum(dev) DIV 2").as("t_bp"))
-      t.withColumn("band",
-          when(col("t_bp") <= 1000, "t1_close")
-            .when(col("t_bp") <= 3000, "t2_moderate")
-            .otherwise("t3_far"))
-        .groupBy("band")
-        .agg(count(lit(1)).as("n_combos"), min(col("t_bp")).as("min_t_bp"),
-          max(col("t_bp")).as("max_t_bp"))
-        .orderBy("band")
-    }),
-
-    // CUSUM CHANGEPOINT detection — the sustained-shift monitor q215's
-    // EWMA structurally misses: EWMA adapts to a level shift within a
-    // few days and stops flagging, while the cumulative sum keeps
-    // integrating the drift until it alarms. Two-sided tabular CUSUM
-    // over per-type daily counts with a planted 8-day ×2 level shift
-    // (days d0+20..d0+27 — sustained, unlike q215's one-day ×3 spike):
-    // reference μ = truncating mean of the planted series, slack
-    // k = μ DIV 10, threshold h = μ DIV 2; S⁺ ← max(0, S⁺ + x − μ − k),
-    // S⁻ ← max(0, S⁻ + μ − x − k), alarm when either exceeds h, both
-    // reset on alarm (the classic restart so one shift yields a
-    // bounded alarm train, not a saturated statistic). Genuinely
-    // sequential → the q215 ordered-array fold, every step integer so
-    // the trajectory is bit-exact cross-engine.
-    // Scale: the daily rollup is the only big pass (map-side partial
-    // counts on one (type, day) shuffle); the folded array is
-    // retention-window-sized per type, the q177/q215 series contract.
-    "q247_cusum_changepoint" -> ((s, d) => {
-      cusumAlarms(Tables.events(s, d)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) DIV 86400000000").as("day"))
-        .agg(count(lit(1)).as("cnt")))
-    }),
-
-    // STREAMING twin of q247 — the sustained-shift monitor fed by the
-    // micro-batched events source, by exactly the q220 discipline: the
-    // daily census runs as a Complete-mode streaming aggregation
-    // (state = types × days, retention-bounded), and the sequential
-    // CUSUM fold runs over the drained census exactly as in batch.
-    // Graded against the SAME oracle as q247 — equality proves the
-    // streamed rollup lost nothing.
-    "q251_stream_cusum" -> ((s, d) => {
-      val ev = graft.streaming.StreamingPipelines.eventsStream(s, d)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) DIV 86400000000").as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      cusumAlarms(graft.streaming.StreamingPipelines.runToCompletion(s, ev))
-    }),
-
-    // TRIMMED MEAN — the robust-location companion to q159's MAD
-    // outlier flags: the mean with the top and bottom 1% of ranked
-    // values discarded, so a fat tail moves the raw mean but not the
-    // trimmed one (shift_c IS the tail-mass diagnostic). Rank-trimming
-    // without sorting the stream, by the q183/q228 bounded-histogram
-    // discipline: per (type, cent) counts, one cumulative window over
-    // the DOMAIN (cents, never events), and each histogram row keeps
-    // kept = max(0, min(cum, n−t) − max(cum−c, t)) of its mass — the
-    // exact overlap of its rank interval with the kept band, so ties
-    // straddling the trim boundary are split exactly, not dropped
-    // whole. All integer; trim count t = n DIV 100 per side.
-    // Scale: one map-side-combined (type, cent) rollup is the only
-    // full-data pass; windows and rollups run on the bounded histogram.
-    "q260_trimmed_mean" -> ((s, d) => {
-      trimmedMeanOf(Tables.events(s, d)
-        .select(col("event_type"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cent"))
-        .groupBy("event_type", "cent").agg(count(lit(1)).as("c")))
-    }),
-
-    // STREAMING twin of q260 — the robust-location monitor fed by the
-    // real engine: the bounded cent histogram IS the streaming state
-    // (the q239 discipline), run to completion in Complete mode, then
-    // the SAME shared trimmedMeanOf machinery reads the final census.
-    // Graded against q260's oracle verbatim; localCheckpoint breaks the
-    // memory-sink lineage before the machinery's self-join (census
-    // feeds both the totals and the cumulative window — the q208
-    // conflicting-refs landmine).
-    "q265_stream_trimmed_mean" -> ((s, d) => {
-      val agg = graft.streaming.StreamingPipelines.eventsStream(s, d)
-        .select(col("event_type"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cent"))
-        .groupBy("event_type", "cent").agg(count(lit(1)).as("c"))
-      trimmedMeanOf(
-        graft.streaming.StreamingPipelines.runToCompletion(s, agg)
-          .localCheckpoint())
     }),
 
     // WILSON LOWER-BOUND ranking — the experiment readout that never
@@ -729,227 +252,6 @@ object EventQueries {
         .select(col("day"), col("dau"), col("wau"),
           expr("(dau * 10000) DIV wau").as("stickiness_bp"))
         .orderBy("day")
-    }),
-
-    // TAIL-LATENCY TREND — the question q274's burn report can't
-    // answer: is the tail getting WORSE? Per type and week, the exact
-    // ceil-rank p95 (bounded cent histogram, the q228 machinery), then
-    // q222's exact integer least-squares over (week index, p95) —
-    // moments in BIGINT, one truncating DIV at the end, slope in
-    // centi-cents/week, the single-week zero-variance case pinned to
-    // slope 0 (the q222 ADVICE lesson, applied at authoring time
-    // instead of being found by the judge). A mean trend with a flat
-    // tail is load growth; a tail trend with a flat mean is the
-    // degradation this op exists to catch.
-    // Scale: one (type, week, cent) rollup with map-side combine; the
-    // quantile window and the moment fold run on the domain-bounded
-    // histogram and the |weeks|-per-type table.
-    "q278_tail_trend" -> ((s, d) => {
-      val weekUs = 604800000000L
-      val hist = Tables.events(s, d)
-        .select(col("event_type"),
-          expr(s"unix_micros(ts) DIV ${weekUs}L").as("wk"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cent"))
-        .groupBy("event_type", "wk", "cent").agg(count(lit(1)).as("c"))
-      val wq = Window.partitionBy("event_type", "wk").orderBy("cent")
-      val tot = hist.groupBy("event_type", "wk").agg(sum(col("c")).as("n"))
-      val p95 = hist.withColumn("cum", sum(col("c")).over(wq))
-        .join(tot, Seq("event_type", "wk"))
-        .filter(col("cum") * 100 >= col("n") * 95)
-        .groupBy("event_type", "wk").agg(min(col("cent")).as("p95_c"))
-      val w0 = p95.agg(min(col("wk")).as("w0"))
-      val xy = p95.crossJoin(broadcast(w0))
-        .withColumn("x", col("wk") - col("w0"))
-      xy.groupBy("event_type")
-        .agg(count(lit(1)).as("nw"), sum(col("x")).as("sx"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("p95_c")).as("sy"), sum(col("x") * col("p95_c")).as("sxy"),
-          min(struct(col("x"), col("p95_c"))).as("first"),
-          max(struct(col("x"), col("p95_c"))).as("last"))
-        .select(col("event_type"), col("nw").as("n_weeks"),
-          col("first.p95_c").as("first_p95_c"),
-          col("last.p95_c").as("last_p95_c"),
-          expr("""CASE WHEN nw * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
-                  ELSE ((nw * sxy - sx * sy) * 100) DIV (nw * sxx - sx * sx)
-                  END""").as("slope_cc_per_week"))
-        .withColumn("trend",
-          when(col("slope_cc_per_week") > 500L, "worsening")
-            .when(col("slope_cc_per_week") < -500L, "improving")
-            .otherwise("stable"))
-        .orderBy("event_type")
-    }),
-
-    // DETECTOR-AGREEMENT report — the meta-eval a monitoring team runs
-    // before picking an alerting stack: EWMA (q215's rule), two-sided
-    // CUSUM (q247's), and weekday-seasonal residual (q242's) all run
-    // over ONE shared series carrying all three planted anomaly shapes
-    // (×3 spike at d0+14, ×3+50 spike at d0+10, sustained ×2 at
-    // d0+20..27), and the report is the per-type agreement matrix:
-    // each detector's flagged days accumulate into a DAY BITMASK
-    // (day − d0 < 63, asserted by filter — the production version
-    // swaps in q226's BitmapAgg), so overlaps are bit_count(AND) —
-    // exact, orderless, one long per detector. The expected reading:
-    // spikes belong to EWMA/seasonal, the sustained shift to CUSUM —
-    // a stack missing CUSUM is blind to drift, which is the point.
-    // Scale: one (type, day) rollup; the folds and mask algebra run on
-    // retention-window-sized arrays per type (the q215/q247 contract).
-    "q276_detector_agreement" -> ((s, d) => {
-      val rolled = Tables.events(s, d)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) DIV 86400000000").as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val d0 = rolled.agg(min(col("day")).as("d0"))
-      val daily = rolled.crossJoin(broadcast(d0))
-        .filter(col("day") - col("d0") <= 62)
-        .select(col("event_type"), col("day"), col("d0"),
-          when(col("day") === col("d0") + 14, col("cnt") * 3)
-            .when(col("day") === col("d0") + 10, col("cnt") * 3 + 50)
-            .when(col("day").between(col("d0") + 20, col("d0") + 27),
-              col("cnt") * 2)
-            .otherwise(col("cnt")).as("cnt"))
-      // seasonal mask: flag when cnt·2 > weekday-baseline·3 (q242 rule)
-      val base = daily
-        .withColumn("wd", expr("day % 7"))
-        .groupBy("event_type", "wd")
-        .agg(expr("sum(cnt) DIV count(1)").as("base"))
-      val seasonal = daily.withColumn("wd", expr("day % 7"))
-        .join(base, Seq("event_type", "wd"))
-        .groupBy("event_type")
-        .agg(sum(when(col("cnt") * 2 > col("base") * 3,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(day - d0 AS INT))"))
-          .otherwise(0L)).as("m_seasonal"))
-      // EWMA + CUSUM masks: one combined sequential fold per type
-      val folded = daily.groupBy("event_type")
-        .agg(sort_array(collect_list(struct(col("day"), col("cnt"), col("d0"))))
-          .as("sr"), sum(col("cnt")).as("tot"), count(lit(1)).as("n_days"))
-        .withColumn("mu", expr("tot DIV n_days"))
-        .withColumn("f", expr(
-          """aggregate(slice(sr, 2, size(sr) - 1),
-               named_struct('ewma', element_at(sr, 1).cnt,
-                 'spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),
-                 'em', CAST(0 AS BIGINT), 'cm', CAST(0 AS BIGINT)),
-               (acc, x) -> named_struct(
-                 'ewma', (x.cnt + 3 * acc.ewma) DIV 4,
-                 'spos', IF(greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10) > mu DIV 2
-                             OR greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10) > mu DIV 2,
-                   CAST(0 AS BIGINT),
-                   greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10)),
-                 'sneg', IF(greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10) > mu DIV 2
-                             OR greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10) > mu DIV 2,
-                   CAST(0 AS BIGINT),
-                   greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10)),
-                 'em', acc.em + IF(x.cnt > 2 * acc.ewma,
-                   shiftleft(CAST(1 AS BIGINT), CAST(x.day - x.d0 AS INT)), CAST(0 AS BIGINT)),
-                 'cm', acc.cm + IF(greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10) > mu DIV 2
-                             OR greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10) > mu DIV 2,
-                   shiftleft(CAST(1 AS BIGINT), CAST(x.day - x.d0 AS INT)), CAST(0 AS BIGINT))))"""))
-        .select(col("event_type"), col("f.em").as("m_ewma"),
-          col("f.cm").as("m_cusum"))
-      // the combined fold seeds EWMA with day 1 (the q215 contract) and
-      // therefore evaluates BOTH detectors from day 2 on — one honest
-      // day of difference vs q247's zero-seeded fold, immaterial here
-      // because every planted anomaly sits at day 10+
-      folded.join(seasonal, "event_type")
-        .select(col("event_type"),
-          expr("bit_count(m_ewma)").cast("long").as("n_ewma"),
-          expr("bit_count(m_cusum)").cast("long").as("n_cusum"),
-          expr("bit_count(m_seasonal)").cast("long").as("n_seasonal"),
-          expr("bit_count(m_ewma & m_cusum)").cast("long").as("n_ewma_cusum"),
-          expr("bit_count(m_ewma & m_seasonal)").cast("long").as("n_ewma_seasonal"),
-          expr("bit_count(m_cusum & m_seasonal)").cast("long").as("n_cusum_seasonal"),
-          expr("bit_count(m_ewma & m_cusum & m_seasonal)").cast("long").as("n_all3"))
-        .orderBy("event_type")
-    }),
-
-    // WATERMARK-SIZING sweep — the question every streaming deploy must
-    // answer before setting withWatermark: how much data would a delay
-    // of W lose? The fixture's events arrive PERFECTLY ordered
-    // (measured: zero out-of-order rows by event_id), so disorder is
-    // PLANTED in-query on both engine sides (the q240/q269 discipline):
-    // arrival = event time + a deterministic md5 jitter of 0..899s.
-    // An event is dropped at watermark W iff some event arriving
-    // earlier carries an event time more than W newer — and since
-    // jitter < 900s, any such witness lives within 900s of event time,
-    // so candidates come from a (900s-bucket) equi-join with a 2-bucket
-    // explode (the q224 discipline — never a global arrival sort, which
-    // is exactly what a real stream cannot do either). ONE candidate
-    // pass yields each event's worst lead; the {60, 300, 600, 900}s
-    // sweep reads the same table.
-    // Scale: fan-out is bounded by stream density in a 900s window —
-    // per-type sharding is the production knob if one window is dense.
-    "q272_watermark_sizing" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), unix_micros(col("ts")).as("us"))
-        .withColumn("m", md5(col("event_id").cast("string")))
-        .withColumn("jit", expr(s"(${md5Bits32("m")} % 900) * 1000000"))
-        .withColumn("arrival", col("us") + col("jit"))
-        .select(col("event_id"), col("us"), col("arrival"),
-          expr("us DIV 900000000").as("b0"))
-      // [[graft.Mutations]]: drop the previous-bucket probe — witnesses
-      // that straddle a 900s bucket edge vanish and the drop curve
-      // silently shrinks (the bug class the hash must catch)
-      val lateBuckets =
-        if (graft.Mutations.on("q272_missing_prev_bucket")) array(col("b0"))
-        else array(col("b0"), col("b0") - 1)
-      val late = ev.select(col("us").as("us2"), col("arrival").as("arr2"),
-          explode(lateBuckets).as("b"))
-      val lead = ev.withColumnRenamed("b0", "b")
-        .join(late, Seq("b"), "left")
-        .withColumn("gap",
-          when(col("arr2") < col("arrival") && col("us2") > col("us"),
-            col("us2") - col("us")).otherwise(lit(0L)))
-        .groupBy("event_id").agg(max(col("gap")).as("max_lead"))
-      val n = lead.agg(count(lit(1)).as("n_events"))
-      lead.crossJoin(broadcast(n))
-        .select(col("n_events"),
-          explode(array(Seq(60, 300, 600, 900).map(lit(_)): _*)).as("w_seconds"),
-          col("max_lead"))
-        .groupBy("w_seconds", "n_events")
-        .agg(sum(when(col("max_lead") > col("w_seconds") * 1000000L, 1L)
-          .otherwise(0L)).as("n_dropped"))
-        .select(col("w_seconds"), col("n_events"), col("n_dropped"),
-          expr("(n_dropped * 10000) DIV n_events").as("drop_bp"))
-        .orderBy("w_seconds")
-    }),
-
-    // SLO BURN report — the error-budget accounting an SRE runs over a
-    // latency stream: the SLO threshold is the metric's own global p95
-    // (exact ceil-rank over the bounded cent histogram — the q228
-    // machinery), a day breaches when MORE than 5% of its events exceed
-    // the threshold (integer cross-multiply, no float rates), and the
-    // report shows per type how many days breached, the worst day and
-    // its burn in bp. Self-calibrated: ~5% of ALL events exceed p95 by
-    // construction, so breaching days are exactly the days where the
-    // tail CONCENTRATES — the thing a burn report exists to find.
-    // Scale: one (type, day) rollup with conditional partial counts;
-    // the threshold is a one-row broadcast from the domain-bounded
-    // histogram; the report is a per-type aggregate over calendar rows.
-    "q274_slo_burn" -> ((s, d) => {
-      val cents = Tables.events(s, d)
-        .select(col("event_type"),
-          expr("unix_micros(ts) DIV 86400000000").as("day"),
-          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cent"))
-      val hist = cents.groupBy("cent").agg(count(lit(1)).as("c"))
-      val wc = Window.orderBy("cent")
-      val tot = hist.agg(sum(col("c")).as("n"))
-      val thr = hist.withColumn("cum", sum(col("c")).over(wc))
-        .crossJoin(broadcast(tot))
-        .filter(col("cum") * 100 >= col("n") * 95)
-        .agg(min(col("cent")).as("p95_cent"))
-      val daily = cents.crossJoin(broadcast(thr))
-        .groupBy("event_type", "day")
-        .agg(count(lit(1)).as("n_day"),
-          sum(when(col("cent") > col("p95_cent"), 1L).otherwise(0L)).as("n_over"))
-        .withColumn("breach", col("n_over") * 100 > col("n_day") * 5)
-      daily.groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"),
-          sum(when(col("breach"), 1L).otherwise(0L)).as("n_breach_days"),
-          max(struct(expr("(n_over * 10000) DIV n_day").as("burn_bp"),
-            col("day"))).as("worst"))
-        .select(col("event_type"), col("n_days"), col("n_breach_days"),
-          col("worst.day").as("worst_day"),
-          col("worst.burn_bp").as("worst_burn_bp"))
-        .orderBy("event_type")
     }),
 
     // COHORT LTV curve — the revenue companion to q131's retention
@@ -1059,37 +361,6 @@ object EventQueries {
         .orderBy("window_days")
     }),
 
-    // DISTRIBUTION DRIFT between two snapshots — the monitoring op every
-    // production pipeline runs before promoting a new data drop: split
-    // events into two cohorts (even/odd epoch-day — balanced and
-    // deterministic), compare the event_type distributions in fixed-point
-    // basis points, and append a __TOTAL__ row carrying the L1 drift
-    // (= 2×TVD in bp). Integer DIV throughout — PSI's logarithm never
-    // enters, so the stat is cross-engine exact. One event_type-keyed
-    // aggregate with map-side partials over the full data; the totals are
-    // a one-row broadcast; the summary row folds over the control-plane-
-    // sized per-type table.
-    "q181_drift_report" -> ((s, d) => {
-      val counts = Tables.events(s, d)
-        .withColumn("is_a", (expr("unix_micros(ts) DIV 86400000000") % 2 === 0))
-        .groupBy("event_type")
-        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
-          sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
-      val totals = counts.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
-      val per = counts.crossJoin(broadcast(totals))
-        .select(col("event_type"), col("n_a"), col("n_b"),
-          expr("(n_a * 10000) DIV tot_a").as("rate_a_bp"),
-          expr("(n_b * 10000) DIV tot_b").as("rate_b_bp"),
-          abs(expr("(n_a * 10000) DIV tot_a - (n_b * 10000) DIV tot_b"))
-            .as("drift_bp"))
-      val summary = per.agg(sum("n_a").as("n_a"), sum("n_b").as("n_b"),
-          sum("rate_a_bp").as("rate_a_bp"), sum("rate_b_bp").as("rate_b_bp"),
-          sum("drift_bp").as("drift_bp"))
-        .select(lit("__TOTAL__").as("event_type"), col("n_a"), col("n_b"),
-          col("rate_a_bp"), col("rate_b_bp"), col("drift_bp"))
-      per.unionByName(summary).orderBy("event_type")
-    }),
-
     // LONGEST ACTIVITY STREAK — gaps-and-islands on the DATE axis (the
     // engagement metric every product dashboard carries): distinct
     // active days per user, then day − row_number is constant exactly
@@ -1186,43 +457,6 @@ object EventQueries {
           unix_micros(col("session_window.end")).as("end_us"),
           col("user_id"), col("n_events"), col("session_value"))
         .orderBy("user_id", "start_us")
-    }),
-
-    // Robust anomaly detection by MEDIAN + MAD — the outlier screen that
-    // survives the outliers themselves (mean/stddev do not): per
-    // event_type, the lower median of value-in-cents, the median
-    // absolute deviation from it, and the count of points beyond 5·MAD.
-    // Everything is integer: lower median = the value at ordered rank
-    // ⌈n/2⌉ under a TOTAL order (value, event_id), so ties can't make
-    // the rank ambiguous cross-engine, and the flag is d > 5·mad with
-    // no 1.4826 float scaling. Two ordered windows per group — the
-    // same per-key sweep shape as q82's sessionize, keyed on a
-    // high-cardinality-safe column set at scale (here the type).
-    "q159_mad_outliers" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), col("event_id"),
-          floor(col("value") * 100).as("v"))
-      val wv = Window.partitionBy(col("event_type"))
-        .orderBy(col("v"), col("event_id"))
-      val wt = Window.partitionBy(col("event_type"))
-      val med = ev
-        .withColumn("rn", row_number().over(wv))
-        .withColumn("n", count(lit(1)).over(wt))
-        .withColumn("med", max(when(col("rn") === expr("(n + 1) DIV 2"),
-          col("v"))).over(wt))
-        .withColumn("d", abs(col("v") - col("med")))
-      val wd = Window.partitionBy(col("event_type"))
-        .orderBy(col("d"), col("event_id"))
-      med
-        .withColumn("rd", row_number().over(wd))
-        .withColumn("mad", max(when(col("rd") === expr("(n + 1) DIV 2"),
-          col("d"))).over(wt))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
-          max(col("mad")).as("mad"),
-          sum(when(col("d") > col("mad") * 5, 1L).otherwise(0L))
-            .as("n_outliers"))
-        .orderBy("event_type")
     }),
 
     // Complex-event-processing by REGEX OVER ENCODED SEQUENCES (the
@@ -1568,96 +802,6 @@ object EventQueries {
     * user, state-change islands as versioned [valid_from, valid_to)
     * intervals, valid_to lead-closed, NULL = current. Three windows,
     * one user_id partitioning. */
-  /** q215/q220's shared fold: given the per-(event_type, day) count
-    * census, plant the ×3 burst on day 15 of the window (the fixture's
-    * daily volume is deliberately flat, so without a planted spike the
-    * detector's fire path would never be exercised by the oracle — the
-    * q214 planted-mutation discipline; one-row broadcast min), then run
-    * the integer EWMA recursion s' = (x + 3s) DIV 4 per type as an
-    * ordered-array fold with a struct accumulator, flagging days whose
-    * count exceeds 2× the PRE-update average. Bit-exact cross-engine:
-    * the struct sort key is the distinct day, every step is integer. */
-  /** q228/q239 shared oracle (identical semantics: the streamed census
-    * must equal the batch one). */
-  private val latencyQuantilesOracleSql: String =
-    """WITH h AS (SELECT event_type,
-                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-                         count(*) AS c
-                  FROM events GROUP BY 1, 2),
-        n AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
-              FROM h GROUP BY 1),
-        cum AS (SELECT h.event_type, cents,
-                       CAST(sum(c) OVER (PARTITION BY h.event_type
-                                         ORDER BY cents) AS BIGINT) AS cum,
-                       n
-                FROM h JOIN n USING (event_type))
-        SELECT event_type,
-               min(CASE WHEN cum * 100 >= n * 50 THEN cents END) AS p50,
-               min(CASE WHEN cum * 100 >= n * 90 THEN cents END) AS p90,
-               min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS p99,
-               max(n) AS n_events
-        FROM cum GROUP BY event_type ORDER BY event_type"""
-
-  /** q228/q239/q245 shared: a (key, cents, c) histogram → exact
-    * per-key p50/p90/p99 by ceil-rank over the cumulative census (ONE
-    * definition so the batch query, its streaming twin, and the funnel
-    * variant can never diverge — the ewmaAnomalies discipline). The
-    * histogram domain is bounded (distinct cent values), so no stream
-    * sort exists anywhere: quantiles read a window over the
-    * control-plane-sized census. */
-  private def latencyQuantilesOf(h: DataFrame,
-                                 key: String = "event_type"): DataFrame = {
-    val n = h.groupBy(key).agg(sum(col("c")).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(key).orderBy("cents")
-    val cum = h.withColumn("cum", sum(col("c")).over(w))
-      .join(broadcast(n), key)
-    // [[graft.Mutations]]: the off-by-one variant admits the PREVIOUS
-    // distinct cents row into each quantile's candidate set
-    val cumLhs = if (graft.Mutations.on("q228_rank_off_by_one"))
-      col("cum") * 100 + 100 else col("cum") * 100
-    def q(k: Int) =
-      min(when(cumLhs >= col("n") * k, col("cents"))).as(s"p$k")
-    cum.groupBy(key)
-      .agg(q(50), q(90), q(99), max(col("n")).as("n_events"))
-      .orderBy(key)
-  }
-
-  private def ewmaAnomalies(rolled: DataFrame): DataFrame = {
-    val d0 = rolled.agg(min(col("day")).as("d0"))
-    val daily = rolled.crossJoin(broadcast(d0))
-      .select(col("event_type"), col("day"),
-        when(col("day") === col("d0") + 14, col("cnt") * 3)
-          .otherwise(col("cnt")).as("cnt"))
-    daily.groupBy("event_type")
-      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("sr"),
-        count(lit(1)).as("n_days"))
-      .withColumn("a", expr(
-        """transform(sr, e -> named_struct(
-             'ewma', e.cnt, 'n_anom', CAST(0 AS BIGINT),
-             'first_anom', CAST(-1 AS BIGINT), 'day', e.day, 'cnt', e.cnt))"""))
-      .withColumn("f", expr(
-        // [[graft.Mutations]]: start the fold one day late (skip day 2)
-        (if (graft.Mutations.on("q215_skip_first_fold_day"))
-          """aggregate(slice(a, 3, greatest(size(a) - 2, 0)), element_at(a, 1),"""
-        else
-          """aggregate(slice(a, 2, size(a) - 1), element_at(a, 1),""") +
-        """  (acc, x) -> named_struct(
-               'ewma', (x.cnt + 3 * acc.ewma) DIV 4,
-               'n_anom', acc.n_anom +
-                 IF(x.cnt > 2 * acc.ewma, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
-               'first_anom', CASE
-                 WHEN acc.first_anom >= 0 THEN acc.first_anom
-                 WHEN x.cnt > 2 * acc.ewma THEN x.day
-                 ELSE CAST(-1 AS BIGINT) END,
-               'day', x.day, 'cnt', x.cnt))"""))
-      .select(col("event_type"), col("n_days"),
-        col("f.ewma").as("final_ewma"),
-        col("f.n_anom").as("n_anomalies"),
-        col("f.first_anom").as("first_anom_day"))
-      .orderBy("event_type")
-  }
-
   private def scd2Versions(s: SparkSession, d: String): DataFrame =
     scd2VersionsOf(Tables.events(s, d)
       .select("user_id", "event_id", "event_type", "ts"))
@@ -1715,282 +859,7 @@ object EventQueries {
         FROM sessions GROUP BY user_id, sid
         ORDER BY user_id, start_us"""
 
-  /** q215/q220 shared oracle (identical semantics: the streamed census
-    * must equal the batch rollup).
-    */
-  /** q260/q265's shared trimmed-mean machinery over a (event_type,
-    * cent, c) census — ONE definition so batch and streamed variants
-    * can never diverge. Each histogram row keeps the exact overlap of
-    * its rank interval with the kept band, so ties straddling a trim
-    * boundary split exactly. */
-  private def trimmedMeanOf(h: DataFrame): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("cent")
-    val tot = h.groupBy("event_type")
-      .agg(sum(col("c")).as("n"), sum(col("c") * col("cent")).as("sc"))
-    h.withColumn("cum", sum(col("c")).over(w))
-      .join(broadcast(tot), "event_type")
-      .withColumn("t", expr("n DIV 100"))
-      .withColumn("kept", expr(// [[graft.Mutations]]: readmit one trimmed row
-        if (graft.Mutations.on("q260_trim_off_by_one"))
-          "greatest(CAST(0 AS BIGINT), least(cum, n - t) - greatest(cum - c, t - 1))"
-        else
-          "greatest(CAST(0 AS BIGINT), least(cum, n - t) - greatest(cum - c, t))"))
-      .groupBy(col("event_type"), col("n"), col("sc"), col("t"))
-      .agg(sum(col("kept")).as("kept_n"),
-        sum(col("kept") * col("cent")).as("kept_sum"))
-      .select(col("event_type"), col("n").as("n_events"),
-        col("t").as("n_trim_each"),
-        expr("sc DIV n").as("raw_mean_c"),
-        expr("kept_sum DIV kept_n").as("trimmed_mean_c"),
-        expr("kept_sum DIV kept_n - sc DIV n").as("shift_c"))
-      .orderBy("event_type")
-  }
-
-  /** q247/q251's shared CUSUM machinery over a (event_type, day, cnt)
-    * census — ONE definition so the batch and streamed variants can
-    * never diverge (the ewmaAnomalies discipline). Plants the 8-day ×2
-    * level shift, derives μ/slack/threshold from the planted series,
-    * and runs the genuinely-sequential two-sided fold as an
-    * ordered-array aggregate — all integer, bit-exact cross-engine. */
-  private def cusumAlarms(rolled: DataFrame): DataFrame = {
-    val d0 = rolled.agg(min(col("day")).as("d0"))
-    val daily = rolled.crossJoin(broadcast(d0))
-      .select(col("event_type"), col("day"),
-        when(col("day").between(col("d0") + 20, col("d0") + 27),
-          col("cnt") * 2).otherwise(col("cnt")).as("cnt"))
-    daily.groupBy("event_type")
-      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("sr"),
-        count(lit(1)).as("n_days"), sum(col("cnt")).as("tot"))
-      .withColumn("mu", expr("tot DIV n_days"))
-      .withColumn("f", expr(
-        """aggregate(sr,
-             named_struct('spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),
-               'n_alarms', CAST(0 AS BIGINT), 'first_alarm', CAST(-1 AS BIGINT)),
-             (acc, x) -> CASE WHEN
-                 greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10) > mu DIV 2
-                 OR greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10) > mu DIV 2
-               THEN named_struct(""" +
-          // [[graft.Mutations]]: the classic CUSUM bug — forget the
-          // post-alarm reset, so the statistic saturates and every
-          // subsequent day alarms
-          (if (graft.Mutations.on("q247_reset_skipped"))
-            """'spos', greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10),
-               'sneg', greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10),"""
-          else
-            """'spos', CAST(0 AS BIGINT), 'sneg', CAST(0 AS BIGINT),""") +
-          """  'n_alarms', acc.n_alarms + 1,
-                 'first_alarm', IF(acc.first_alarm >= 0, acc.first_alarm, x.day))
-               ELSE named_struct(
-                 'spos', greatest(CAST(0 AS BIGINT), acc.spos + x.cnt - mu - mu DIV 10),
-                 'sneg', greatest(CAST(0 AS BIGINT), acc.sneg + mu - x.cnt - mu DIV 10),
-                 'n_alarms', acc.n_alarms, 'first_alarm', acc.first_alarm) END)"""))
-      .select(col("event_type"), col("n_days"), col("mu"),
-        col("f.n_alarms").as("n_alarms"),
-        col("f.first_alarm").as("first_alarm_day"),
-        col("f.spos").as("final_spos"), col("f.sneg").as("final_sneg"))
-      .orderBy("event_type")
-  }
-
-  private val trimmedMeanOracleSql: String =
-      """WITH h AS (SELECT event_type,
-                           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent,
-                           count(*) AS c
-                    FROM events GROUP BY 1, 2),
-          tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
-                         CAST(sum(c * cent) AS BIGINT) AS sc
-                  FROM h GROUP BY 1),
-          cum AS (SELECT h.event_type, cent, c,
-                         CAST(sum(c) OVER (PARTITION BY h.event_type
-                                           ORDER BY cent) AS BIGINT) AS cum,
-                         n, sc, n // 100 AS t
-                  FROM h JOIN tot ON tot.event_type = h.event_type),
-          kept AS (SELECT event_type, n, sc, t,
-                          greatest(0, least(cum, n - t) - greatest(cum - c, t))
-                            AS k, cent
-                   FROM cum)
-          SELECT event_type, max(n) AS n_events, max(t) AS n_trim_each,
-                 max(sc // n) AS raw_mean_c,
-                 CAST(sum(k * cent) // sum(k) AS BIGINT) AS trimmed_mean_c,
-                 CAST(sum(k * cent) // sum(k) - max(sc // n) AS BIGINT)
-                   AS shift_c
-          FROM kept GROUP BY event_type ORDER BY event_type"""
-
-  private val cusumOracleSql: String =
-      """WITH RECURSIVE rolled AS (SELECT event_type,
-                                          epoch_us(ts) // 86400000000 AS day,
-                                          count(*) AS cnt
-                                   FROM events GROUP BY 1, 2),
-          d0 AS (SELECT min(day) AS d0 FROM rolled),
-          daily AS (SELECT event_type, day,
-                           CAST(CASE WHEN day BETWEEN d0 + 20 AND d0 + 27
-                                     THEN cnt * 2 ELSE cnt END AS BIGINT) AS cnt
-                    FROM rolled CROSS JOIN d0),
-          idx AS (SELECT event_type, day, cnt,
-                         row_number() OVER (PARTITION BY event_type
-                                            ORDER BY day) AS i
-                  FROM daily),
-          mm AS (SELECT event_type, count(*) AS n_days,
-                        CAST(sum(cnt) // count(*) AS BIGINT) AS mu
-                 FROM idx GROUP BY 1),
-          cu AS (
-            SELECT x.event_type, x.i,
-                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
-                        THEN 0::BIGINT
-                        ELSE greatest(0, x.cnt - mu - mu // 10) END AS spos,
-                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
-                        THEN 0::BIGINT
-                        ELSE greatest(0, mu - x.cnt - mu // 10) END AS sneg,
-                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
-                        THEN 1::BIGINT ELSE 0::BIGINT END AS n_alarms,
-                   CASE WHEN greatest(0, x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, mu - x.cnt - mu // 10) > mu // 2
-                        THEN x.day ELSE -1::BIGINT END AS first_alarm
-            FROM idx x JOIN mm ON mm.event_type = x.event_type
-            WHERE x.i = 1
-            UNION ALL
-            SELECT x.event_type, x.i,
-                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
-                        THEN 0::BIGINT
-                        ELSE greatest(0, e.spos + x.cnt - mu - mu // 10) END,
-                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
-                        THEN 0::BIGINT
-                        ELSE greatest(0, e.sneg + mu - x.cnt - mu // 10) END,
-                   e.n_alarms +
-                     CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
-                            OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
-                          THEN 1 ELSE 0 END,
-                   CASE WHEN e.first_alarm >= 0 THEN e.first_alarm
-                        WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
-                        THEN x.day ELSE -1::BIGINT END
-            FROM cu e
-            JOIN idx x ON x.event_type = e.event_type AND x.i = e.i + 1
-            JOIN mm ON mm.event_type = x.event_type)
-          SELECT c.event_type, mm.n_days, mm.mu, c.n_alarms,
-                 c.first_alarm AS first_alarm_day,
-                 c.spos AS final_spos, c.sneg AS final_sneg
-          FROM cu c JOIN mm ON mm.event_type = c.event_type
-                            AND c.i = mm.n_days
-          ORDER BY c.event_type"""
-
-  private val ewmaOracleSql: String =
-      """WITH RECURSIVE rolled AS (SELECT event_type,
-                                    epoch_us(ts) // 86400000000 AS day,
-                              count(*) AS cnt
-                       FROM events GROUP BY 1, 2),
-          d0 AS (SELECT min(day) AS d0 FROM rolled),
-          daily AS (SELECT event_type, day,
-                           CASE WHEN day = d0 + 14 THEN cnt * 3
-                                ELSE cnt END AS cnt
-                    FROM rolled CROSS JOIN d0),
-          idx AS (SELECT event_type, day, cnt,
-                         row_number() OVER (PARTITION BY event_type
-                                            ORDER BY day) AS i
-                  FROM daily),
-          nn AS (SELECT event_type, count(*) AS n_days FROM idx GROUP BY 1),
-          ew AS (
-            SELECT event_type, i, cnt AS ewma,
-                   0::BIGINT AS n_anom, (-1)::BIGINT AS first_anom
-            FROM idx WHERE i = 1
-            UNION ALL
-            SELECT x.event_type, x.i, (x.cnt + 3 * e.ewma) // 4,
-                   e.n_anom +
-                     CASE WHEN x.cnt > 2 * e.ewma THEN 1 ELSE 0 END,
-                   CASE WHEN e.first_anom >= 0 THEN e.first_anom
-                        WHEN x.cnt > 2 * e.ewma THEN x.day
-                        ELSE -1::BIGINT END
-            FROM ew e JOIN idx x
-              ON x.event_type = e.event_type AND x.i = e.i + 1)
-          SELECT e.event_type, nn.n_days, ewma AS final_ewma,
-                 n_anom AS n_anomalies, first_anom AS first_anom_day
-          FROM ew e JOIN nn
-            ON nn.event_type = e.event_type AND e.i = nn.n_days
-          ORDER BY e.event_type"""
-
   def oracles: Map[String, String] = Map(
-    "q177_autocorrelation" ->
-      """WITH hourly AS (
-            SELECT event_type, epoch_us(ts) // 3600000000 AS h,
-                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-                     AS x
-            FROM events GROUP BY 1, 2),
-          lagged AS (
-            SELECT event_type, x,
-                   lead(x, 1) OVER w AS x1,
-                   lead(x, 2) OVER w AS x2,
-                   lead(x, 3) OVER w AS x3
-            FROM hourly
-            WINDOW w AS (PARTITION BY event_type ORDER BY h)),
-          terms AS (
-            SELECT event_type, 0 AS lag, count(*) AS n_terms,
-                   CAST(sum(x * x) AS BIGINT) AS sxy
-            FROM lagged GROUP BY event_type
-            UNION ALL
-            SELECT event_type, 1, count(*), CAST(sum(x * x1) AS BIGINT)
-            FROM lagged WHERE x1 IS NOT NULL GROUP BY event_type
-            UNION ALL
-            SELECT event_type, 2, count(*), CAST(sum(x * x2) AS BIGINT)
-            FROM lagged WHERE x2 IS NOT NULL GROUP BY event_type
-            UNION ALL
-            SELECT event_type, 3, count(*), CAST(sum(x * x3) AS BIGINT)
-            FROM lagged WHERE x3 IS NOT NULL GROUP BY event_type)
-          SELECT event_type, CAST(lag AS BIGINT) AS lag, n_terms, sxy
-          FROM terms ORDER BY event_type, lag""",
-
-    "q178_freshness_report" ->
-      """WITH pt AS (SELECT event_type,
-                            max(epoch_us(ts)) AS newest_us,
-                            count(*) AS n_events
-                     FROM events GROUP BY event_type),
-          g AS (SELECT max(newest_us) AS global_us FROM pt)
-          SELECT event_type, n_events, newest_us,
-                 CAST((global_us - newest_us) // 60000000 AS BIGINT)
-                   AS minutes_behind
-          FROM pt CROSS JOIN g ORDER BY event_type""",
-
-    "q233_anonymization_curve" ->
-      """WITH ex AS (SELECT event_type,
-                           (epoch_us(ts) // 86400000000) % 7 AS weekday,
-                           value, user_id, unnest([25, 50, 100, 200]) AS width
-                    FROM events),
-          k AS (SELECT width, event_type, weekday,
-                       CAST(floor(value / width) AS BIGINT) AS vb,
-                       count(DISTINCT user_id) AS k
-                FROM ex GROUP BY 1, 2, 3, 4)
-          SELECT width, count(*) AS n_combos,
-                 CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_k1,
-                 (CAST(sum(CASE WHEN k >= 5 THEN k ELSE 0 END) AS BIGINT)
-                   * 10000) // CAST(sum(k) AS BIGINT) AS safe_bp
-          FROM k GROUP BY width ORDER BY width""",
-
-    "q234_skew_report" ->
-      """WITH cnts AS (SELECT l_suppkey AS k, count(*) AS x
-                      FROM lineitem GROUP BY 1),
-          ranked AS (SELECT k, x,
-                            row_number() OVER (ORDER BY x, k) AS i
-                     FROM cnts),
-          tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx
-                  FROM cnts),
-          gini AS (SELECT (CAST(sum((2 * i - n - 1) * x) AS BIGINT)
-                            * 1000000) // max(n * sx) AS gini_ppm
-                   FROM ranked CROSS JOIN tot)
-          SELECT CAST(n - i + 1 AS BIGINT) AS rank, k AS heavy_key,
-                 x AS n_rows, (x * 10000) // sx AS share_bp, gini_ppm
-          FROM ranked CROSS JOIN tot CROSS JOIN gini
-          WHERE n - i + 1 <= 3
-          ORDER BY rank""",
-
-    "q228_latency_quantiles" -> latencyQuantilesOracleSql,
-
-    // the streamed census must equal the batch one — same oracle,
-    // verbatim (the q215/q220 discipline)
-    "q239_stream_latency_quantiles" -> latencyQuantilesOracleSql,
-
     "q224_nearest_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
                             epoch_us(ts) AS us FROM events),
@@ -2020,72 +889,6 @@ object EventQueries {
                       ELSE 'forward' END AS direction
           FROM err LEFT JOIN best USING (eid)
           ORDER BY error_id""",
-
-    "q222_trend_slope" ->
-      """WITH rolled AS (SELECT event_type,
-                              epoch_us(ts) // 86400000000 AS day,
-                              count(*) AS cnt
-                       FROM events GROUP BY 1, 2),
-          d0 AS (SELECT min(day) AS d0 FROM rolled),
-          xy AS (SELECT event_type, day - d0 AS x, cnt AS y
-                 FROM rolled CROSS JOIN d0),
-          mom AS (SELECT event_type, count(*) AS n,
-                         CAST(sum(x) AS BIGINT) AS sx,
-                         CAST(sum(y) AS BIGINT) AS sy,
-                         CAST(sum(x * y) AS BIGINT) AS sxy,
-                         CAST(sum(x * x) AS BIGINT) AS sxx
-                  FROM xy GROUP BY event_type),
-          sl AS (SELECT event_type, n,
-                        CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
-                             ELSE ((n * sxy - sx * sy) * 1000000)
-                                    // (n * sxx - sx * sx) END AS slope_ppm
-                 FROM mom)
-          SELECT event_type, n AS n_days, slope_ppm,
-                 CASE WHEN slope_ppm > 100000 THEN 'rising'
-                      WHEN slope_ppm < -100000 THEN 'falling'
-                      ELSE 'flat' END AS trend
-          FROM sl ORDER BY event_type""",
-
-    "q219_k_anonymity" ->
-      """WITH k AS (SELECT event_type,
-                           (epoch_us(ts) // 86400000000) % 7 AS weekday,
-                           CAST(floor(value / 50) AS BIGINT) AS value_bucket,
-                           count(DISTINCT user_id) AS k
-                    FROM events GROUP BY 1, 2, 3),
-          banded AS (SELECT CASE WHEN k = 1 THEN 'k1_unique'
-                                 WHEN k <= 4 THEN 'k2_4_small'
-                                 ELSE 'k5plus_safe' END AS risk_band, k
-                     FROM k)
-          SELECT risk_band, count(*) AS n_combos,
-                 CAST(sum(k) AS BIGINT) AS n_user_slots
-          FROM banded GROUP BY risk_band ORDER BY risk_band""",
-
-    "q240_l_diversity" ->
-      """WITH raw AS (SELECT event_type,
-                             (epoch_us(ts) // 86400000000) % 7 AS weekday,
-                             CAST(floor(value / 50) AS BIGINT) AS sens0
-                      FROM events),
-          cells AS (SELECT event_type, weekday,
-                           CASE WHEN event_type = 'signup' AND weekday = 0
-                                  THEN CAST(0 AS BIGINT)
-                                WHEN event_type = 'signup' AND weekday = 1
-                                  THEN sens0 % 3
-                                ELSE sens0 END AS sens,
-                           count(*) AS c
-                    FROM raw GROUP BY 1, 2, 3),
-          combos AS (SELECT event_type, weekday,
-                            CAST(count(*) AS BIGINT) AS l,
-                            CAST(sum(c) AS BIGINT) AS n_rows,
-                            CAST(max(c) AS BIGINT) AS dom
-                     FROM cells GROUP BY 1, 2),
-          banded AS (SELECT CASE WHEN l = 1 THEN 'l1_homogeneous'
-                                 WHEN l <= 4 THEN 'l2_4_low'
-                                 ELSE 'l5plus_diverse' END AS band,
-                            l, (dom * 10000) // n_rows AS dominant_bp
-                     FROM combos)
-          SELECT band, count(*) AS n_combos, min(l) AS min_l,
-                 CAST(max(dominant_bp) AS BIGINT) AS max_dominant_bp
-          FROM banded GROUP BY band ORDER BY band""",
 
     "q241_touch_attribution" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
@@ -2139,230 +942,6 @@ object EventQueries {
                  min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS p99_min,
                  max(n) AS n_users
           FROM cum GROUP BY start_weekday ORDER BY start_weekday""",
-
-    "q246_t_closeness" ->
-      """WITH raw AS (SELECT event_type,
-                             (epoch_us(ts) // 86400000000) % 7 AS weekday,
-                             CAST(floor(value / 50) AS BIGINT) AS sens0
-                      FROM events),
-          cells AS (SELECT event_type, weekday,
-                           CASE WHEN event_type = 'signup' AND weekday = 0
-                                  THEN CAST(0 AS BIGINT)
-                                WHEN event_type = 'signup' AND weekday = 1
-                                  THEN sens0 % 3
-                                ELSE sens0 END AS sens,
-                           count(*) AS c
-                    FROM raw GROUP BY 1, 2, 3),
-          combos AS (SELECT event_type, weekday,
-                            CAST(sum(c) AS BIGINT) AS n_rows
-                     FROM cells GROUP BY 1, 2),
-          gl AS (SELECT sens, CAST(sum(c) AS BIGINT) AS g FROM cells
-                 GROUP BY sens),
-          nn AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM gl),
-          gbp AS (SELECT sens, (g * 10000) // nn AS g_bp
-                  FROM gl CROSS JOIN nn),
-          t AS (SELECT combos.event_type, combos.weekday,
-                       CAST(sum(abs((coalesce(c, 0) * 10000) // n_rows - g_bp))
-                            // 2 AS BIGINT) AS t_bp
-                FROM combos CROSS JOIN gbp
-                LEFT JOIN cells
-                  ON cells.event_type = combos.event_type
-                 AND cells.weekday = combos.weekday
-                 AND cells.sens = gbp.sens
-                GROUP BY 1, 2),
-          banded AS (SELECT CASE WHEN t_bp <= 1000 THEN 't1_close'
-                                 WHEN t_bp <= 3000 THEN 't2_moderate'
-                                 ELSE 't3_far' END AS band, t_bp
-                     FROM t)
-          SELECT band, count(*) AS n_combos, min(t_bp) AS min_t_bp,
-                 max(t_bp) AS max_t_bp
-          FROM banded GROUP BY band ORDER BY band""",
-
-    "q247_cusum_changepoint" -> cusumOracleSql,
-    "q251_stream_cusum" -> cusumOracleSql,
-
-    "q260_trimmed_mean" -> trimmedMeanOracleSql,
-    "q265_stream_trimmed_mean" -> trimmedMeanOracleSql,
-
-    "q278_tail_trend" ->
-      """WITH hist AS (SELECT event_type,
-                              epoch_us(ts) // 604800000000 AS wk,
-                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent,
-                              count(*) AS c
-                       FROM events GROUP BY 1, 2, 3),
-          tot AS (SELECT event_type, wk, CAST(sum(c) AS BIGINT) AS n
-                  FROM hist GROUP BY 1, 2),
-          p95 AS (SELECT event_type, wk, min(cent) AS p95_c FROM (
-                    SELECT h.event_type, h.wk, h.cent, t.n,
-                           CAST(sum(c) OVER (PARTITION BY h.event_type, h.wk
-                                             ORDER BY h.cent) AS BIGINT) AS cum
-                    FROM hist h JOIN tot t
-                      ON t.event_type = h.event_type AND t.wk = h.wk)
-                  WHERE cum * 100 >= n * 95
-                  GROUP BY 1, 2),
-          w0 AS (SELECT min(wk) AS w0 FROM p95),
-          xy AS (SELECT event_type, wk - w0 AS x, p95_c
-                 FROM p95 CROSS JOIN w0),
-          mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nw,
-                         CAST(sum(x) AS BIGINT) AS sx,
-                         CAST(sum(x * x) AS BIGINT) AS sxx,
-                         CAST(sum(p95_c) AS BIGINT) AS sy,
-                         CAST(sum(x * p95_c) AS BIGINT) AS sxy,
-                         min(x) AS x0, max(x) AS x1
-                  FROM xy GROUP BY 1),
-          sl AS (SELECT m.event_type, m.nw AS n_weeks,
-                        f.p95_c AS first_p95_c, l.p95_c AS last_p95_c,
-                        CASE WHEN nw * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
-                             ELSE CAST(((nw * sxy - sx * sy) * 100)
-                                       // (nw * sxx - sx * sx) AS BIGINT)
-                        END AS slope_cc_per_week
-                 FROM mom m
-                 JOIN xy f ON f.event_type = m.event_type AND f.x = m.x0
-                 JOIN xy l ON l.event_type = m.event_type AND l.x = m.x1)
-          SELECT event_type, n_weeks, first_p95_c, last_p95_c,
-                 slope_cc_per_week,
-                 CASE WHEN slope_cc_per_week > 500 THEN 'worsening'
-                      WHEN slope_cc_per_week < -500 THEN 'improving'
-                      ELSE 'stable' END AS trend
-          FROM sl ORDER BY event_type""",
-
-    "q276_detector_agreement" ->
-      """WITH RECURSIVE rolled AS (SELECT event_type,
-                                          epoch_us(ts) // 86400000000 AS day,
-                                          count(*) AS cnt
-                                   FROM events GROUP BY 1, 2),
-          d0 AS (SELECT min(day) AS d0 FROM rolled),
-          daily AS (SELECT event_type, day, d0,
-                           CAST(CASE WHEN day = d0 + 14 THEN cnt * 3
-                                     WHEN day = d0 + 10 THEN cnt * 3 + 50
-                                     WHEN day BETWEEN d0 + 20 AND d0 + 27
-                                       THEN cnt * 2
-                                     ELSE cnt END AS BIGINT) AS cnt
-                    FROM rolled CROSS JOIN d0
-                    WHERE day - d0 <= 62),
-          base AS (SELECT event_type, day % 7 AS wd,
-                          CAST(sum(cnt) // count(*) AS BIGINT) AS base
-                   FROM daily GROUP BY 1, 2),
-          seas AS (SELECT d.event_type,
-                          CAST(sum(CASE WHEN d.cnt * 2 > b.base * 3
-                                   THEN 1::BIGINT << CAST(d.day - d.d0 AS INT)
-                                   ELSE 0 END) AS BIGINT) AS m_seasonal
-                   FROM daily d JOIN base b
-                     ON b.event_type = d.event_type AND b.wd = d.day % 7
-                   GROUP BY 1),
-          idx AS (SELECT event_type, day, d0, cnt,
-                         row_number() OVER (PARTITION BY event_type
-                                            ORDER BY day) AS i
-                  FROM daily),
-          mm AS (SELECT event_type, count(*) AS n_days,
-                        CAST(sum(cnt) // count(*) AS BIGINT) AS mu
-                 FROM idx GROUP BY 1),
-          st AS (
-            SELECT event_type, i, cnt AS ewma,
-                   0::BIGINT AS spos, 0::BIGINT AS sneg,
-                   0::BIGINT AS em, 0::BIGINT AS cm
-            FROM idx WHERE i = 1
-            UNION ALL
-            SELECT x.event_type, x.i,
-                   (x.cnt + 3 * e.ewma) // 4,
-                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
-                        THEN 0::BIGINT
-                        ELSE greatest(0, e.spos + x.cnt - mu - mu // 10) END,
-                   CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
-                          OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
-                        THEN 0::BIGINT
-                        ELSE greatest(0, e.sneg + mu - x.cnt - mu // 10) END,
-                   e.em + CASE WHEN x.cnt > 2 * e.ewma
-                               THEN 1::BIGINT << CAST(x.day - x.d0 AS INT)
-                               ELSE 0 END,
-                   e.cm + CASE WHEN greatest(0, e.spos + x.cnt - mu - mu // 10) > mu // 2
-                                 OR greatest(0, e.sneg + mu - x.cnt - mu // 10) > mu // 2
-                               THEN 1::BIGINT << CAST(x.day - x.d0 AS INT)
-                               ELSE 0 END
-            FROM st e
-            JOIN idx x ON x.event_type = e.event_type AND x.i = e.i + 1
-            JOIN mm ON mm.event_type = x.event_type),
-          fin AS (SELECT s.event_type, s.em AS m_ewma, s.cm AS m_cusum
-                  FROM st s JOIN mm ON mm.event_type = s.event_type
-                                    AND s.i = mm.n_days)
-          SELECT f.event_type,
-                 CAST(bit_count(m_ewma) AS BIGINT) AS n_ewma,
-                 CAST(bit_count(m_cusum) AS BIGINT) AS n_cusum,
-                 CAST(bit_count(m_seasonal) AS BIGINT) AS n_seasonal,
-                 CAST(bit_count(m_ewma & m_cusum) AS BIGINT) AS n_ewma_cusum,
-                 CAST(bit_count(m_ewma & m_seasonal) AS BIGINT)
-                   AS n_ewma_seasonal,
-                 CAST(bit_count(m_cusum & m_seasonal) AS BIGINT)
-                   AS n_cusum_seasonal,
-                 CAST(bit_count(m_ewma & m_cusum & m_seasonal) AS BIGINT)
-                   AS n_all3
-          FROM fin f JOIN seas ON seas.event_type = f.event_type
-          ORDER BY f.event_type""",
-
-    "q272_watermark_sizing" -> {
-      val h32 = graft.ops.oMd5Bits32("m")
-      s"""WITH ev AS (SELECT event_id, us, arrival, us // 900000000 AS b0
-                      FROM (SELECT event_id, us,
-                                   us + ($h32 % 900) * 1000000 AS arrival
-                            FROM (SELECT event_id, epoch_us(ts) AS us,
-                                         md5(CAST(event_id AS VARCHAR)) AS m
-                                  FROM events))),
-          late AS (SELECT us AS us2, arrival AS arr2, b0 AS b FROM ev
-                   UNION ALL
-                   SELECT us, arrival, b0 - 1 FROM ev),
-          lead AS (SELECT e.event_id,
-                          CAST(max(CASE WHEN l.arr2 < e.arrival
-                                         AND l.us2 > e.us
-                                        THEN l.us2 - e.us ELSE 0 END)
-                               AS BIGINT) AS max_lead
-                   FROM ev e LEFT JOIN late l ON l.b = e.b0
-                   GROUP BY e.event_id),
-          n AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM lead),
-          sweep AS (SELECT w.w_seconds, n.n_events,
-                           CAST(sum(CASE WHEN max_lead > w.w_seconds * 1000000
-                                         THEN 1 ELSE 0 END) AS BIGINT)
-                             AS n_dropped
-                    FROM lead
-                    CROSS JOIN (VALUES (60), (300), (600), (900)) w(w_seconds)
-                    CROSS JOIN n
-                    GROUP BY 1, 2)
-          SELECT CAST(w_seconds AS INTEGER) AS w_seconds, n_events, n_dropped,
-                 (n_dropped * 10000) // n_events AS drop_bp
-          FROM sweep ORDER BY w_seconds"""
-    },
-
-    "q274_slo_burn" ->
-      """WITH cents AS (SELECT event_type,
-                               epoch_us(ts) // 86400000000 AS day,
-                               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent
-                        FROM events),
-          hist AS (SELECT cent, count(*) AS c FROM cents GROUP BY cent),
-          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
-          thr AS (SELECT min(cent) AS p95_cent FROM (
-                    SELECT cent, CAST(sum(c) OVER (ORDER BY cent) AS BIGINT)
-                             AS cum
-                    FROM hist) CROSS JOIN tot
-                  WHERE cum * 100 >= n * 95),
-          daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_day,
-                           CAST(sum(CASE WHEN cent > p95_cent THEN 1 ELSE 0 END)
-                                AS BIGINT) AS n_over
-                    FROM cents CROSS JOIN thr
-                    GROUP BY 1, 2),
-          ranked AS (SELECT event_type, day, n_day, n_over,
-                            (n_over * 10000) // n_day AS burn_bp,
-                            n_over * 100 > n_day * 5 AS breach,
-                            row_number() OVER (PARTITION BY event_type
-                                               ORDER BY (n_over * 10000) // n_day DESC,
-                                                        day DESC) AS rn
-                     FROM daily)
-          SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-                 CAST(sum(CASE WHEN breach THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_breach_days,
-                 max(CASE WHEN rn = 1 THEN day END) AS worst_day,
-                 CAST(max(CASE WHEN rn = 1 THEN burn_bp END) AS BIGINT)
-                   AS worst_burn_bp
-          FROM ranked GROUP BY event_type ORDER BY event_type""",
 
     "q266_cohort_ltv" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, value
@@ -2480,67 +1059,6 @@ object EventQueries {
           WHERE day >= d0 + 6 AND day <= dmax
           ORDER BY day""",
 
-    "q242_seasonal_residual" ->
-      """WITH rolled AS (SELECT event_type,
-                                epoch_us(ts) // 86400000000 AS day,
-                                count(*) AS cnt
-                         FROM events GROUP BY 1, 2),
-          d0 AS (SELECT min(day) AS d0 FROM rolled),
-          daily AS (SELECT event_type, day,
-                           CAST(CASE WHEN day = d0 + 10 THEN cnt * 3 + 50
-                                     ELSE cnt END AS BIGINT) AS cnt,
-                           day % 7 AS dow
-                    FROM rolled CROSS JOIN d0),
-          base AS (SELECT event_type, dow,
-                          CAST(sum(cnt) // count(*) AS BIGINT) AS baseline
-                   FROM daily GROUP BY 1, 2)
-          SELECT event_type, count(*) AS n_days,
-                 CAST(sum(CASE WHEN cnt * 2 > baseline * 3 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_flagged,
-                 min(CASE WHEN cnt * 2 > baseline * 3 THEN day END)
-                   AS first_flagged_day,
-                 CAST(max(cnt - baseline) AS BIGINT) AS max_residual
-          FROM daily JOIN base USING (event_type, dow)
-          GROUP BY event_type ORDER BY event_type""",
-
-    // q215 oracle: the SAME integer recursion as the Spark array fold,
-    // unrolled as a recursive CTE over the per-type day index (the
-    // q120/q191 discipline). A list_reduce twin with a struct
-    // accumulator was tried first and is a LANDMINE in DuckDB 1.0: on a
-    // multi-group batch the fold silently mis-evaluates the comparison
-    // for some groups (click fired in a prefix-slice probe but not in
-    // the full-list fold, same data) — the recursion is the trustworthy
-    // sequential formulation.
-    "q215_ewma_anomaly" -> ewmaOracleSql,
-
-    "q220_stream_ewma" -> ewmaOracleSql,
-
-
-    "q181_drift_report" ->
-      """WITH counts AS (
-            SELECT event_type,
-                   count(*) FILTER (WHERE (epoch_us(ts) // 86400000000) % 2 = 0)
-                     AS n_a,
-                   count(*) FILTER (WHERE (epoch_us(ts) // 86400000000) % 2 != 0)
-                     AS n_b
-            FROM events GROUP BY event_type),
-          totals AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM counts),
-          per AS (
-            SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
-                   CAST(n_b AS BIGINT) AS n_b,
-                   CAST((n_a * 10000) // tot_a AS BIGINT) AS rate_a_bp,
-                   CAST((n_b * 10000) // tot_b AS BIGINT) AS rate_b_bp,
-                   CAST(abs((n_a * 10000) // tot_a - (n_b * 10000) // tot_b)
-                        AS BIGINT) AS drift_bp
-            FROM counts CROSS JOIN totals)
-          SELECT * FROM per
-          UNION ALL
-          SELECT '__TOTAL__', CAST(sum(n_a) AS BIGINT),
-                 CAST(sum(n_b) AS BIGINT), CAST(sum(rate_a_bp) AS BIGINT),
-                 CAST(sum(rate_b_bp) AS BIGINT), CAST(sum(drift_bp) AS BIGINT)
-          FROM per
-          ORDER BY event_type""",
-
     "q175_longest_streak" ->
       """WITH days AS (SELECT DISTINCT user_id,
                               epoch_us(ts) // 86400000000 AS day
@@ -2587,34 +1105,6 @@ object EventQueries {
           ORDER BY c.src, c.dst""",
 
     "q164_session_window" -> sessionWindowOracle,
-
-    "q159_mad_outliers" ->
-      """WITH ev AS (SELECT event_type, event_id,
-                            CAST(floor(value * 100) AS BIGINT) AS v
-                     FROM events),
-          r AS (SELECT event_type, event_id, v,
-                       row_number() OVER (PARTITION BY event_type
-                                          ORDER BY v, event_id) AS rn,
-                       count(*) OVER (PARTITION BY event_type) AS n
-                FROM ev),
-          m AS (SELECT event_type, event_id, v, n,
-                       max(CASE WHEN rn = (n + 1) // 2 THEN v END)
-                         OVER (PARTITION BY event_type) AS med
-                FROM r),
-          dd AS (SELECT event_type, event_id, n, med,
-                        abs(v - med) AS d FROM m),
-          r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
-                                              ORDER BY d, event_id) AS rd
-                 FROM dd),
-          m2 AS (SELECT event_type, n, med, d,
-                        max(CASE WHEN rd = (n + 1) // 2 THEN d END)
-                          OVER (PARTITION BY event_type) AS mad
-                 FROM r2)
-          SELECT event_type, count(*) AS n, max(med) AS med,
-                 max(mad) AS mad,
-                 CAST(sum(CASE WHEN d > mad * 5 THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_outliers
-          FROM m2 GROUP BY event_type ORDER BY event_type""",
 
     "q160_event_pattern" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,

@@ -502,7 +502,7 @@ object ManifestFsQueries {
       val bm = StreamingPipelines.runToCompletion(s, agg)
         .select(col("event_type"), col("b.cnt").as("n_users"), col("b.bits").as("bits"))
         .localCheckpoint()
-      MiscQueries.bitmapOverlapMatrix(bm)
+      SketchQueries.bitmapOverlapMatrix(bm)
     }),
 
     // Native session_window through the REAL streaming engine — q164's
@@ -910,7 +910,7 @@ object ManifestFsQueries {
     "q174_stream_session_window" -> EventQueries.sessionWindowOracle,
 
     // q227: the streamed bitmap must equal batch q226 — same oracle.
-    "q227_stream_bitmap" -> MiscQueries.bitmapOverlapOracleSql,
+    "q227_stream_bitmap" -> SketchQueries.bitmapOverlapOracleSql,
 
     "q170_stream_kmv" ->
       s"""WITH uu AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -626,7 +626,7 @@ class ExtensionSpec extends SparkSpec {
 
   test("LSH eval: near-perfect recall, verification cost visible in precision") {
     val Array((nCand, nTruth, nHit, recall, precision)) =
-      ext.DedupQueries.queries("q210_lsh_eval")(spark, sf)
+      ext.DedupEvalQueries.queries("q210_lsh_eval")(spark, sf)
         .as[(Long, Long, Long, Long, Long)].collect()
     assert(nHit <= math.min(nCand, nTruth))
     assert(recall == nHit * 10000 / nTruth)
@@ -695,7 +695,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("dedup funnel stages shrink monotonically and kill all planted copies") {
-    val res = ext.DedupQueries.queries("q205_dedup_funnel")(spark, sf)
+    val res = ext.DedupEvalQueries.queries("q205_dedup_funnel")(spark, sf)
       .as[(Int, String, Long, Long)].collect()
     assert(res.map(r => (r._1, r._2)).toSeq ==
       Seq((0, "raw"), (1, "exact"), (2, "near")))
@@ -824,7 +824,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("CMS estimates never underestimate and are tight on this fixture") {
-    val res = ops.MiscQueries.queries("q133_cms_heavy_hitters")(spark, sf)
+    val res = ops.SketchQueries.queries("q133_cms_heavy_hitters")(spark, sf)
       .as[(Long, Long, Long)].collect()
     assert(res.nonEmpty)
     // the one-sided CMS error bound: est >= exact, always
@@ -841,7 +841,7 @@ class ExtensionSpec extends SparkSpec {
   test("q37 sketch rows self-report within-tolerance against exact values") {
     // The graded dump drops the raw estimates (engine-specific bytes);
     // this pin reads the full frame so the estimates stay observable.
-    val res = ops.MiscQueries.approxSketchesFull(spark, sf).collect()
+    val res = ops.SketchQueries.approxSketchesFull(spark, sf).collect()
     assert(res.nonEmpty)
     res.foreach { r =>
       assert(r.getAs[Boolean]("parts_within_tol"),
@@ -849,7 +849,7 @@ class ExtensionSpec extends SparkSpec {
       assert(r.getAs[Boolean]("median_within_tol"),
         s"GK drift: ${r.getAs[Double]("approx_median")} vs ${r.getAs[Double]("exact_median")}")
     }
-    val dump = ops.MiscQueries.queries("q37_approx_sketches")(spark, sf)
+    val dump = ops.SketchQueries.queries("q37_approx_sketches")(spark, sf)
     assert(dump.columns.toSeq == Seq("l_returnflag", "exact_parts",
       "exact_median", "parts_within_tol", "median_within_tol"),
       "graded q37 dump must hold only deterministic columns")
@@ -897,7 +897,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("dedup threshold sweep: curve is monotone and catches planted strata") {
-    val res = ext.DedupQueries.queries("q189_dedup_threshold_sweep")(spark, sf)
+    val res = ext.DedupEvalQueries.queries("q189_dedup_threshold_sweep")(spark, sf)
       .as[(Int, Long, Long)].collect().sortBy(_._1)
     assert(res.map(_._1).toSeq == Seq(5000, 6000, 7000, 8000, 9000, 9500))
     // raising the threshold can only remove pairs/docs, never add
@@ -1009,14 +1009,14 @@ class ExtensionSpec extends SparkSpec {
       (1L, 5.0), (2L, 99.0),                            // qty out of domain
       (77L, 3.0))                                       // dangling orderkey
       .toDF("l_orderkey", "l_quantity")
-    val got = ops.MiscQueries.dqChecks(orders, customer, lineitem)
+    val got = ops.SketchQueries.dqChecks(orders, customer, lineitem)
       .as[(String, Long)].collect().toMap
     assert(got == Map(
       "1_orders_fk_customer" -> 1L, "2_lineitem_fk_orders" -> 1L,
       "3_orderkey_unique" -> 1L, "4_quantity_domain" -> 1L,
       "5_orderdate_not_null" -> 1L))
     // and the graded fixture is clean: all five checks report zero
-    val clean = ops.MiscQueries.queries("q138_dq_checks")(spark, sf)
+    val clean = ops.SketchQueries.queries("q138_dq_checks")(spark, sf)
       .as[(String, Long)].collect()
     assert(clean.length == 5 && clean.forall(_._2 == 0L))
   }
@@ -1543,7 +1543,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("equi-depth stats: buckets tile the domain and conserve rows and NDV") {
-    val res = ops.MiscQueries.queries("q155_analyze_stats")(spark, sf).collect()
+    val res = ops.SketchQueries.queries("q155_analyze_stats")(spark, sf).collect()
     val cents = Tables.lineitem(spark, sf)
       .select(floor(col("l_extendedprice") * 100)).as[Long].collect()
     assert(res.map(_.getLong(3)).sum == cents.length, "rows conserved")
@@ -1563,7 +1563,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("KMV sketch: exact below k, and the ALL row is the merged union sketch") {
-    val res = ops.MiscQueries.queries("q156_kmv_distinct")(spark, sf).collect()
+    val res = ops.SketchQueries.queries("q156_kmv_distinct")(spark, sf).collect()
     // sf0.001 has 15 users, far below k=64: every group takes the
     // exact branch (the >=k estimator branch is proven by the sf0.01 /
     // sf0.1 oracle hash-matches, where groups exceed k).
@@ -1620,7 +1620,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("MAD outlier screen matches a direct Scala recomputation") {
-    val got = ops.EventQueries.queries("q159_mad_outliers")(spark, sf)
+    val got = ops.MonitoringQueries.queries("q159_mad_outliers")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     val ev = Tables.events(spark, sf)
@@ -1655,7 +1655,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("join-cardinality estimates follow the containment formula; FK joins are exact") {
-    val rows = ops.MiscQueries.queries("q161_join_cardinality")(spark, sf)
+    val rows = ops.SketchQueries.queries("q161_join_cardinality")(spark, sf)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getLong(5), r.getLong(6))).toMap
@@ -1671,7 +1671,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("bitmap overlap equals the exact distinct-join overlap on every pair") {
-    val rows = ops.MiscQueries.queries("q162_bitmap_overlap")(spark, sf).collect()
+    val rows = ops.SketchQueries.queries("q162_bitmap_overlap")(spark, sf).collect()
     assert(rows.length == 10, "5 priorities -> 10 unordered pairs")
     rows.foreach(r => assert(r.getLong(2) == r.getLong(3),
       s"bitmap vs exact mismatch on ${r.getString(0)}/${r.getString(1)}"))
@@ -1745,7 +1745,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("column profile matches a direct recount on documents.lang") {
-    val row = ops.MiscQueries.queries("q167_column_profile")(spark, sf)
+    val row = ops.SketchQueries.queries("q167_column_profile")(spark, sf)
       .filter(col("col_name") === "lang").collect().head
     val langs = Tables.documents(spark, sf).select("lang").as[String].collect()
     val counts = langs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
@@ -1777,9 +1777,9 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("native graft_kmv equals the declarative q156 sketch per group, from SQL too") {
-    val native = ops.MiscQueries.queries("q169_kmv_aggregate")(spark, sf)
+    val native = ops.SketchQueries.queries("q169_kmv_aggregate")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val declarative = ops.MiscQueries.queries("q156_kmv_distinct")(spark, sf)
+    val declarative = ops.SketchQueries.queries("q156_kmv_distinct")(spark, sf)
       .filter(col("event_type") =!= "ALL")
       .select("event_type", "cnt", "kth", "est_distinct")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -2022,7 +2022,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("drift report: totals row is consistent and cohorts partition events") {
-    val rows = ops.EventQueries.queries("q181_drift_report")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q181_drift_report")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5)))
     val (tot, per) = rows.partition(_._1 == "__TOTAL__")
@@ -2037,7 +2037,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("autocorrelation lag products equal a Scala series replay") {
-    val got = ops.EventQueries.queries("q177_autocorrelation")(spark, sf)
+    val got = ops.MonitoringQueries.queries("q177_autocorrelation")(spark, sf)
       .collect().map(r => ((r.getString(0), r.getLong(1)),
         (r.getLong(2), r.getLong(3)))).toMap
     val hourly = Tables.events(spark, sf)
@@ -2058,7 +2058,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("freshness report: exactly one type is current, others trail it") {
-    val res = ops.EventQueries.queries("q178_freshness_report")(spark, sf)
+    val res = ops.MonitoringQueries.queries("q178_freshness_report")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(res.count(_._4 == 0L) >= 1, "the globally newest type trails by 0")
     val globalMax = res.map(_._3).max
@@ -2082,7 +2082,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("canonical selection: every canonical is an original, never a copy") {
-    val rows = ext.DedupQueries.queries("q212_canonical_docs")(spark, sf)
+    val rows = ext.DedupEvalQueries.queries("q212_canonical_docs")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
     assert(rows.nonEmpty)
@@ -2108,7 +2108,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("normalization ladder: each level catches exactly its mutation class") {
-    val rows = ext.DedupQueries.queries("q214_norm_sensitivity")(spark, sf)
+    val rows = ext.DedupEvalQueries.queries("q214_norm_sensitivity")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.map(_._2).toSeq == Seq("raw", "casefold", "nopunct", "collapse"))
     // planted: exact copies at every 5th doc, uppercased at %10=0,
@@ -2123,7 +2123,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("EWMA anomaly trajectory equals a Scala replay; the spike fires") {
-    val rows = ops.EventQueries.queries("q215_ewma_anomaly")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q215_ewma_anomaly")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
     // replay the integer recursion from the raw events (spike planting
@@ -2256,7 +2256,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("k-anonymity bands partition the quasi-identifier incidence exactly") {
-    val rows = ops.EventQueries.queries("q219_k_anonymity")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q219_k_anonymity")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val combos = Tables.events(spark, sf)
       .select(col("event_type"),
@@ -2286,7 +2286,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("trend slope equals exact integer OLS replay; labels match slopes") {
-    val rows = ops.EventQueries.queries("q222_trend_slope")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q222_trend_slope")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(rows.nonEmpty)
     val dayUs = 86400L * 1000000L
@@ -2358,7 +2358,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("CMS width sweep: error falls monotonically as the sketch widens") {
-    val rows = ops.MiscQueries.queries("q225_cms_width_sweep")(spark, sf)
+    val rows = ops.SketchQueries.queries("q225_cms_width_sweep")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.map(_._1).toSeq == Seq(16, 256, 4096))
     assert(rows.map(_._2).distinct.length == 1, "same probe set at every width")
@@ -2421,7 +2421,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("latency quantiles equal an exact sorted-rank replay") {
-    val rows = ops.EventQueries.queries("q228_latency_quantiles")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q228_latency_quantiles")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val cents = Tables.events(spark, sf)
       .select(col("event_type"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
@@ -2519,7 +2519,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("anonymization curve: coarsening only ever helps") {
-    val rows = ops.EventQueries.queries("q233_anonymization_curve")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q233_anonymization_curve")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.map(_._1).toSeq == Seq(25, 50, 100, 200))
     rows.sliding(2).foreach { case Array((_, c1, k1a, s1), (_, c2, k1b, s2)) =>
@@ -2531,7 +2531,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("skew report: Gini equals an exact replay and shares rank correctly") {
-    val rows = ops.EventQueries.queries("q234_skew_report")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q234_skew_report")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
     assert(rows.map(_._3).sliding(2).forall(p => p(0) >= p(1)),
@@ -2570,7 +2570,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("band layout sweep: recall climbs as bands narrow; candidates price it") {
-    val rows = ext.DedupQueries.queries("q236_band_layout_sweep")(spark, sf)
+    val rows = ext.DedupEvalQueries.queries("q236_band_layout_sweep")(spark, sf)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
     assert(rows.length == 9, "3 layouts x 3 families, zero-hit cells included")
@@ -2721,7 +2721,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("l-diversity census: planted stuck/quantized feeds land in their bands") {
-    val rows = ops.EventQueries.queries("q240_l_diversity")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q240_l_diversity")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .map(r => r._1 -> r).toMap
     assert(rows.keySet == Set("l1_homogeneous", "l2_4_low", "l5plus_diverse"),
@@ -2771,7 +2771,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("seasonal residual flags the planted burst against its weekday baseline") {
-    val rows = ops.EventQueries.queries("q242_seasonal_residual")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q242_seasonal_residual")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
@@ -2829,7 +2829,7 @@ class ExtensionSpec extends SparkSpec {
       .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val got = ops.EventQueries.queries("q222_trend_slope")(spark, dir)
+    val got = ops.MonitoringQueries.queries("q222_trend_slope")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(got.toSeq == Seq(("click", 1L, 0L, "flat"), ("view", 1L, 0L, "flat")))
   }
@@ -2902,7 +2902,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("t-closeness census equals an exact integer TVD replay") {
-    val rows = ops.EventQueries.queries("q246_t_closeness")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q246_t_closeness")(spark, sf)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val ev = Tables.events(spark, sf)
@@ -2936,7 +2936,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("CUSUM changepoint equals an exact sequential fold and alarms inside the planted shift") {
-    val rows = ops.EventQueries.queries("q247_cusum_changepoint")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q247_cusum_changepoint")(spark, sf)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getLong(5), r.getLong(6)))).toMap
@@ -3028,9 +3028,9 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("streamed CUSUM equals the batch CUSUM row for row") {
-    val batch = ops.EventQueries.queries("q247_cusum_changepoint")(spark, sf)
+    val batch = ops.MonitoringQueries.queries("q247_cusum_changepoint")(spark, sf)
       .collect().map(_.toSeq).toSeq
-    val streamed = ops.EventQueries.queries("q251_stream_cusum")(spark, sf)
+    val streamed = ops.MonitoringQueries.queries("q251_stream_cusum")(spark, sf)
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch,
       "the streamed census must lose nothing vs the batch rollup")
@@ -3107,7 +3107,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("dedup impact is consistent with q54's clusters and spends every doc once") {
-    val impact = ext.DedupQueries.queries("q255_dedup_impact")(spark, sf)
+    val impact = ext.DedupEvalQueries.queries("q255_dedup_impact")(spark, sf)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     val clusters = ext.DedupQueries.queries("q54_dedup_clusters")(spark, sf)
@@ -3250,7 +3250,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("trimmed mean equals a sort-and-slice replay") {
-    val rows = ops.EventQueries.queries("q260_trimmed_mean")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q260_trimmed_mean")(spark, sf)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
@@ -3273,7 +3273,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("KMV set-operation estimates match an exact sketch replay") {
-    val rows = ops.MiscQueries.queries("q261_kmv_set_ops")(spark, sf)
+    val rows = ops.SketchQueries.queries("q261_kmv_set_ops")(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -3383,9 +3383,9 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("streamed trimmed mean equals the batch trimmed mean row for row") {
-    val batch = ops.EventQueries.queries("q260_trimmed_mean")(spark, sf)
+    val batch = ops.MonitoringQueries.queries("q260_trimmed_mean")(spark, sf)
       .collect().map(_.toSeq).toSeq
-    val streamed = ops.EventQueries.queries("q265_stream_trimmed_mean")(spark, sf)
+    val streamed = ops.MonitoringQueries.queries("q265_stream_trimmed_mean")(spark, sf)
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
   }
@@ -3414,7 +3414,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("FD discovery confirms true keys and rejects planted-false candidates") {
-    val rows = ops.MiscQueries.queries("q267_fd_discovery")(spark, sf)
+    val rows = ops.SketchQueries.queries("q267_fd_discovery")(spark, sf)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     assert(rows.size == 7)
@@ -3533,7 +3533,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("inclusion dependencies: genuine FKs hold, the archived-parent check fails") {
-    val rows = ops.MiscQueries.queries("q271_inclusion_dependency")(spark, sf)
+    val rows = ops.SketchQueries.queries("q271_inclusion_dependency")(spark, sf)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     assert(rows.size == 6)
@@ -3556,7 +3556,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("watermark sizing matches a brute-force arrival replay and decays to zero") {
-    val rows = ops.EventQueries.queries("q272_watermark_sizing")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q272_watermark_sizing")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.map(_._1).toSeq == Seq(60, 300, 600, 900))
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -3625,7 +3625,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("SLO burn report matches an exact p95-threshold replay") {
-    val rows = ops.EventQueries.queries("q274_slo_burn")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q274_slo_burn")(spark, sf)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     val ev = Tables.events(spark, sf)
@@ -3677,7 +3677,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("detector agreement matches a three-detector mask replay") {
-    val rows = ops.EventQueries.queries("q276_detector_agreement")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q276_detector_agreement")(spark, sf)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
@@ -3726,7 +3726,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("cluster span census reconciles with q54's clusters and source attribution") {
-    val rows = ext.DedupQueries.queries("q277_cluster_span")(spark, sf)
+    val rows = ext.DedupEvalQueries.queries("q277_cluster_span")(spark, sf)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
     val clusters = ext.DedupQueries.queries("q54_dedup_clusters")(spark, sf)
@@ -3751,7 +3751,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("tail trend equals an exact weekly-p95 least-squares replay") {
-    val rows = ops.EventQueries.queries("q278_tail_trend")(spark, sf)
+    val rows = ops.MonitoringQueries.queries("q278_tail_trend")(spark, sf)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
     val weekUs = 604800000000L
@@ -3872,7 +3872,7 @@ class ExtensionSpec extends SparkSpec {
     // actually drop the planted dup families, the weight-0 source must
     // vanish after mixing, replication must respect each source's
     // weight band, and packing must emit a sane sequence count.
-    val res = ext.DedupQueries.queries("q282_corpus_pipeline")(spark, sf)
+    val res = ext.DedupEvalQueries.queries("q282_corpus_pipeline")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()
     assert(res.nonEmpty)
     assert(res.map(_._1).toSeq == res.map(_._1).sorted.toSeq)
@@ -3905,7 +3905,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("Benford audit digits partition each column and match a direct replay") {
-    val rows = ops.MiscQueries.queries("q250_benford_audit")(spark, sf)
+    val rows = ops.SketchQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(rows.forall(r => r._2 >= 1 && r._2 <= 9))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.EventQueries
+import graft.ops.{EventQueries, MonitoringQueries}
 import graft.streaming.StreamingPipelines
 import org.apache.spark.sql.functions._
 
@@ -76,7 +76,7 @@ class StreamingSpec extends SparkSpec {
     val got = StreamingPipelines.runToCompletion(spark, stream)
       .select(col("event_type"), col("sk.cnt"), col("sk.kth"), col("sk.est"))
       .orderBy("event_type").collect()
-    val want = ops.MiscQueries.queries("q169_kmv_aggregate")(spark, sf)
+    val want = ops.SketchQueries.queries("q169_kmv_aggregate")(spark, sf)
       .collect()
     assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
   }
@@ -554,9 +554,9 @@ class StreamingSpec extends SparkSpec {
     // the q239 contract: the cent histogram is the streaming state, so
     // the final Complete-mode census must reproduce q228's batch
     // quantiles bit-for-bit — resumable ingest loses nothing
-    val streamed = EventQueries.queries("q239_stream_latency_quantiles")(spark, sf)
+    val streamed = MonitoringQueries.queries("q239_stream_latency_quantiles")(spark, sf)
       .collect()
-    val batch = EventQueries.queries("q228_latency_quantiles")(spark, sf)
+    val batch = MonitoringQueries.queries("q228_latency_quantiles")(spark, sf)
       .collect()
     assert(streamed.toSeq == batch.toSeq)
   }
