@@ -116,8 +116,10 @@ object Bench {
       "q275_trigram_search"           -> 4.9,
       "q277_cluster_span"             -> 7.2,
       "q278_tail_trend"               -> 2.5,
-      // new this round; constant from its OneQuery quiet min-of-2 (1.48)
+      // new this round; constants from their OneQuery quiet min-of-2
+      // (q282: 1.48, q284: 2.14)
       "q282_corpus_pipeline"          -> 2.7,
+      "q284_kcenter_coreset"          -> 3.7,
       "q41_minhash_lsh"               -> 3.8,
       "q43_ngram_jaccard"             -> 4.8,
       "q49_ml_minhash"                -> 3.3,

@@ -770,8 +770,71 @@ object SimilarityQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           expr("(coalesce(n_hits, 0) * 10000) DIV n_truth").as("recall_bp"))
         .orderBy("bits")
+    }),
+
+    // Greedy k-CENTER coreset (Gonzalez 2-approximation) — DIVERSITY
+    // selection, the complement of dedup: dedup removes what is too
+    // close, this SELECTS the k docs that best spread over embedding
+    // space (coreset seeding, eval-set construction, diverse few-shot
+    // pools). Seed = min vec_id; each of the k−1 following rounds picks
+    // the point FARTHEST (max-min cosine distance, ties to min vec_id)
+    // from everything selected so far. Output: (rank, vec_id,
+    // maximin_dist) — rank r's distance is non-increasing in r and IS
+    // the coverage radius the (r−1)-center solution achieves, so the
+    // curve doubles as the "how many centers do I need" diagnostic.
+    // Determinism: distances ride the sequential-fold [[VectorOps]]
+    // kernels (bit-identical cross-engine), so raw-double argmax ties
+    // break identically; the seed row reports NULL (no prior set).
+    // Scale: the textbook distributed k-center — k passes, each a
+    // map-only min-against-≤k-broadcast-centers + one 1-row argmax
+    // (TakeOrdered, no global sort). The per-round 1-row collect is
+    // control-plane (the q183 exception); production caps k at
+    // coreset sizes (10²–10³) and runs over a pre-sketched corpus.
+    "q284_kcenter_coreset" -> ((s, d) => {
+      val k = 8
+      val n = normed(s, d)
+      var selected = Vector(0L)
+      var picked = Vector[(Int, Long, Option[Double])]((1, 0L, None))
+      for (r <- 2 to k) {
+        val sel = broadcast(n.filter(col("vec_id").isInCollection(selected))
+          .select(col("vec_id").as("sid"), col("embedding").as("se"),
+            col("nrm").as("sn")))
+        val Array(row) = n.filter(!col("vec_id").isInCollection(selected))
+          .crossJoin(sel)
+          .select(col("vec_id"),
+            (lit(1.0) - VectorOps.dotSeq(col("embedding"), col("se"))
+              / (col("nrm") * col("sn"))).as("dist"))
+          .groupBy("vec_id").agg(min(col("dist")).as("mind"))
+          .orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .collect()
+        selected :+= row.getLong(0)
+        picked :+= ((r, row.getLong(0), Some(row.getDouble(1))))
+      }
+      import s.implicits._
+      picked.toDF("rank", "vec_id", "maximin_dist")
+        .select(col("rank"), col("vec_id"),
+          col("maximin_dist").cast("double").as("maximin_dist"))
+        .orderBy("rank")
     })
   )
+
+  /** One greedy k-center round for the q284 oracle: min-distance of
+    * every unselected point against the ≤(k−1)-row selected set, then
+    * the deterministic farthest-point argmax (ties to min vec_id). */
+  private def kcenterRoundSql(k: Int): String = {
+    val p = k - 1
+    s"""r$k AS (SELECT n.vec_id,
+                min(1 - ${VectorOps.oDot("n.embedding", "s.se")} / (n.nrm * s.sn))
+                  AS mind
+           FROM n CROSS JOIN (SELECT s2.embedding AS se, s2.nrm AS sn
+                              FROM n s2 JOIN sel$p ON s2.vec_id = sel$p.vec_id) s
+           WHERE n.vec_id NOT IN (SELECT vec_id FROM sel$p)
+           GROUP BY n.vec_id),
+        pick$k AS (SELECT vec_id, mind FROM r$k
+                   ORDER BY mind DESC, vec_id LIMIT 1),
+        sel$k AS (SELECT vec_id FROM sel$p
+                  UNION ALL SELECT vec_id FROM pick$k)"""
+  }
 
   /** Power-iteration rounds for q114. Two is enough to demonstrate the
     * loop (the oracle unrolls the same count); production would iterate
@@ -1351,6 +1414,23 @@ object SimilarityQueries {
                    FROM s2) WHERE rn = 1)
           SELECT cluster, count(*) AS n_members, ${oAvg("nrm", 6)} AS avg_nrm
           FROM a2 GROUP BY cluster ORDER BY cluster""",
+
+    // q284: seed = vec_id 0, then 7 unrolled farthest-point rounds; the
+    // final SELECT stitches the seed row (NULL maximin — no prior set)
+    // to each round's pick.
+    "q284_kcenter_coreset" -> {
+      val rounds = (2 to 8).map(kcenterRoundSql).mkString(",\n")
+      val picks = (2 to 8).map(r =>
+        s"UNION ALL SELECT $r AS rank, vec_id, mind AS maximin_dist FROM pick$r")
+        .mkString("\n")
+      s"""WITH $normedSql,
+          sel1 AS (SELECT CAST(0 AS BIGINT) AS vec_id),
+          $rounds
+          SELECT 1 AS rank, CAST(0 AS BIGINT) AS vec_id,
+                 CAST(NULL AS DOUBLE) AS maximin_dist
+          $picks
+          ORDER BY rank"""
+    },
 
     "q256_sq_recall" -> {
       val bits = Seq(2, 4, 6, 8)

@@ -784,6 +784,38 @@ object TextQueries {
           expr("(n_tokens * 100) DIV n_words").as("fertility_c"),
           expr("(n_chars * 100) DIV n_tokens").as("chars_per_token_c"))
         .orderBy("lang")
+    }),
+
+    // Sliding-window CHUNKING with overlap — the RAG/pretraining prep
+    // step between curation and embedding: every doc splits into
+    // 32-token windows at stride 24 (8-token overlap carries context
+    // across boundaries), the last window short. Chunk count is pure
+    // integer (1 + ceil((n_tok − W)/S) via (x + S−1) DIV S — no float
+    // ceil, the q190 ladder discipline), and each chunk row carries the
+    // md5 of its EXACT token slice, so the oracle verifies the slicing
+    // itself, not just the bookkeeping: a one-off start or length
+    // produces a different fingerprint. Map-only: each doc explodes
+    // into its own chunks locally — no shuffle, no join; at 100 TB this
+    // is one codegen'd projection pass (the chunk table then feeds
+    // embedding/packing downstream).
+    "q283_chunk_overlap" -> ((s, d) => {
+      val W = 32; val S = 24
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n_tok", size(col("ws")).cast("long"))
+        .withColumn("n_chunks",
+          expr(s"1L + (greatest(0L, n_tok - $W) + ${S - 1}) DIV $S"))
+        .withColumn("chunk_idx",
+          explode(expr("sequence(0L, n_chunks - 1)")))
+        .withColumn("start_tok", col("chunk_idx") * S + 1)
+        .withColumn("chunk_len",
+          least(lit(W.toLong), col("n_tok") - col("start_tok") + 1))
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("chunk_len"),
+          md5(concat_ws(" ",
+            expr("slice(ws, CAST(start_tok AS INT), CAST(chunk_len AS INT))")))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
     })
   )
 
@@ -1306,7 +1338,30 @@ object TextQueries {
           SELECT word, df, tot,
                  ((n_docs * s2 - tot * tot) * 100) // (n_docs * tot) AS vmr_c
           FROM mom CROSS JOIN n
-          ORDER BY tot DESC, word LIMIT 20"""
+          ORDER BY tot DESC, word LIMIT 20""",
+
+    // q283: W=32 / S=24 mirrored as integers; the md5 fingerprints the
+    // token slice words[start .. start+len-1] exactly as the Spark side
+    // slices it.
+    "q283_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws,
+                           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+                    FROM documents),
+          c AS (SELECT doc_id, ws, n_tok,
+                       1 + (greatest(0, n_tok - 32) + 23) // 24 AS n_chunks
+                FROM t),
+          x AS (SELECT doc_id, ws, n_tok,
+                       unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+                FROM c)
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 CAST(chunk_idx * 24 + 1 AS BIGINT) AS start_tok,
+                 CAST(least(32, n_tok - (chunk_idx * 24 + 1) + 1) AS BIGINT)
+                   AS chunk_len,
+                 md5(array_to_string(
+                       ws[(chunk_idx * 24 + 1):
+                          (chunk_idx * 24 + least(32, n_tok - chunk_idx * 24))],
+                       ' ')) AS chunk_md5
+          FROM x ORDER BY doc_id, chunk_idx"""
   )
 
   /** The unrolled BPE training chain (w, s0, then p$i/t$i/s$i per round)

@@ -3904,6 +3904,69 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every token exactly, with the declared overlap") {
+    // q283's bookkeeping replayed from first principles: per doc the
+    // chunks must tile [1, n_tok] with stride 24 / window 32 (8-token
+    // overlap between consecutive chunks except a short tail), and the
+    // fingerprint must equal the md5 of exactly that token slice.
+    val rows = ext.TextQueries.queries("q283_chunk_overlap")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.map(_._1).toSet == docs.keySet, "every doc chunks")
+    rows.groupBy(_._1).foreach { case (id, ch) =>
+      val ws = docs(id).split(" ", -1)
+      val sorted = ch.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong),
+        s"doc $id: chunk_idx not dense")
+      sorted.foreach { case (_, idx, start, len, fp) =>
+        assert(start == idx * 24 + 1 && len >= 1 && len <= 32, s"doc $id c$idx")
+        assert(start + len - 1 <= ws.length, s"doc $id c$idx overruns")
+        val want = ws.slice(start.toInt - 1, (start + len - 1).toInt).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(want.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(fp == md, s"doc $id c$idx fingerprint")
+      }
+      // coverage: last chunk reaches the final token, every chunk but the
+      // last is full-width (the short tail is only ever the tail)
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 == ws.length, s"doc $id tail short of end")
+      sorted.init.foreach { c => assert(c._4 == 32, s"doc $id c${c._2} not full") }
+    }
+  }
+
+  test("k-center coreset: seed, distinct picks, non-increasing radius") {
+    val rows = ext.SimilarityQueries.queries("q284_kcenter_coreset")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.map(_._1).toSeq == (1 to 8))
+    assert(rows.head == ((1, 0L, None)), "seed must be vec_id 0 with NULL radius")
+    assert(rows.map(_._2).distinct.length == 8, "picks must be distinct")
+    val ds = rows.tail.map(_._3.get)
+    assert(ds.forall(d => d > 0 && d <= 2.0), "cosine distance domain")
+    // the greedy invariant: each round's maximin can only shrink
+    assert(ds.zip(ds.tail).forall(p => p._1 >= p._2),
+      s"maximin not non-increasing: $ds")
+    // replay round 2 by brute force: farthest point from the seed
+    val n = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      1.0 - dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seed = n.find(_._1 == 0L).get._2
+    val want = n.filter(_._1 != 0L).map { case (id, e) => (dist(e, seed), id) }
+      .sortBy { case (dd, id) => (-dd, id) }.head
+    assert(rows(1)._2 == want._2,
+      s"round-2 pick ${rows(1)._2} != brute-force farthest ${want._2}")
+  }
+
   test("Benford audit digits partition each column and match a direct replay") {
     val rows = ops.SketchQueries.queries("q250_benford_audit")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
