@@ -48,10 +48,14 @@ object Mutations {
                                 //   losing `other` — the defect class that
                                 //   only multi-buffer paths (map-side
                                 //   partials, streaming state store) hit
-    "q109_prune_or_instead_of_and") // zone overlap test ORs its bounds:
+    "q109_prune_or_instead_of_and", // zone overlap test ORs its bounds:
                                 //   reads MORE files, so results stay
                                 //   hash-green — the red-case must assert
                                 //   the planned file COUNT, not the hash
+    "q283_stride_off_by_one")   // chunker strides 25, not 24 — the window
+                                //   arithmetic typo; every fingerprint
+                                //   shifts, so q283 AND the q285 census
+                                //   built on the shared seam go red
 
   /** Test hook: run `body` with exactly one knob enabled. */
   private[graft] def withMutation[T](name: String)(body: => T): T = {

@@ -75,7 +75,10 @@ object ScaleProbe {
       // the heaviest round-10 continuation queries
       "q255_dedup_impact" -> "per-source dedup composition shift (LSH + CC + attribution)",
       "q248_clustering_coefficient" -> "union-kNN backbone clustering coefficients",
-      "q277_cluster_span" -> "per-cluster source-span census (LSH + CC + span rollup)")
+      "q277_cluster_span" -> "per-cluster source-span census (LSH + CC + span rollup)",
+      // round-12 additions: the new composition + selection operators
+      "q282_corpus_pipeline" -> "five-API pipeline composition (funnel + mixture + packing)",
+      "q284_kcenter_coreset" -> "greedy k-center diversity coreset (8 farthest-point rounds)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -144,7 +147,16 @@ object ScaleProbe {
         "plus a constant-size backbone's triangle work"),
       "q277_cluster_span" -> ("rides the same q54 LSH+CC machinery as " +
         "q255 (grouped vocabulary keeps bucket sizes at 1x density); " +
-        "the span rollup adds one (cluster, source) distinct on top"))
+        "the span rollup adds one (cluster, source) distinct on top"),
+      "q282_corpus_pipeline" -> ("the exact+near funnel dominates (same " +
+        "banded-LSH shape as q205); mixture replication and packing are " +
+        "map-only plus one per-source prefix-sum window; the report is " +
+        "a |sources|-row rollup"),
+      "q284_kcenter_coreset" -> ("k=8 fixed rounds, each a map-only " +
+        "min-against-8-broadcast-centers pass + a 1-row argmax — " +
+        "per-round cost is linear in corpus rows and the round count " +
+        "does not grow with data, so the probe measures 8x linear " +
+        "passes amortizing fixed per-job overhead"))
 
     def timeQuery(name: String, dir: String): Double =
       (1 to 2).map { _ =>

@@ -798,26 +798,96 @@ object TextQueries {
     // into its own chunks locally — no shuffle, no join; at 100 TB this
     // is one codegen'd projection pass (the chunk table then feeds
     // embedding/packing downstream).
-    "q283_chunk_overlap" -> ((s, d) => {
-      val W = 32; val S = 24
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .withColumn("n_tok", size(col("ws")).cast("long"))
-        .withColumn("n_chunks",
-          expr(s"1L + (greatest(0L, n_tok - $W) + ${S - 1}) DIV $S"))
-        .withColumn("chunk_idx",
-          explode(expr("sequence(0L, n_chunks - 1)")))
-        .withColumn("start_tok", col("chunk_idx") * S + 1)
-        .withColumn("chunk_len",
-          least(lit(W.toLong), col("n_tok") - col("start_tok") + 1))
-        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
-          col("chunk_len"),
-          md5(concat_ws(" ",
-            expr("slice(ws, CAST(start_tok AS INT), CAST(chunk_len AS INT))")))
-            .as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")
+    "q283_chunk_overlap" -> ((s, d) =>
+      chunked(Tables.documents(s, d).select("doc_id", "text"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Chunk-level BOILERPLATE census — exact dedup at q283's chunk
+    // granularity, the sub-document twin of q40: chunk the corpus, then
+    // census every fingerprint that recurs across documents. The
+    // planted structure tells the whole story of this method's power
+    // AND its blind spot: a 40-token header prepended to every 7th doc
+    // is stride-ALIGNED (every copy starts at token 1), so its first
+    // window fingerprints identically corpus-wide and the census
+    // catches the full span in one group; a 40-token footer appended to
+    // every 5th doc lands at a doc-dependent offset, so its windows
+    // only collide between docs sharing the same length residue mod
+    // stride — the census fragments it into small alignment classes
+    // (exactly why UNaligned boilerplate needs the shingle/winnowing
+    // machinery, q116). Scale: chunking is map-only; the census is one
+    // (chunk_md5)-keyed count with map-side partials; top-25 rides
+    // TakeOrdered, no global sort.
+    "q285_boilerplate_chunks" -> ((s, d) => {
+      val hdr = (0 until 40).map(i => s"b$i").mkString(" ")
+      val ftr = (0 until 40).map(i => s"f$i").mkString(" ")
+      val corpus = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 7 === 3, lit(hdr + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 5 === 2, lit(" " + ftr)).otherwise(lit("")))
+          .as("text"))
+      chunked(corpus)
+        .groupBy("chunk_md5", "chunk_len")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("chunk_md5"))
+        .limit(25)
     })
   )
+
+  /** q283/q285's shared sliding-window chunker over (doc_id, text):
+    * W-token windows at stride S (default 32/24 — 8-token overlap), the
+    * last window short; each chunk fingerprinted with the md5 of its
+    * EXACT token slice. Chunk count is pure integer ((x + S−1) DIV S —
+    * no float ceil, the q190 ladder discipline). ONE definition (with
+    * the [[chunkSqlCtes]] SQL twin) so the graded layout and the
+    * census built on it can never disagree about boundaries.
+    * [[graft.Mutations]] "q283_stride_off_by_one": stride 25 instead of
+    * 24 — the window-arithmetic typo class; every downstream
+    * fingerprint shifts, so both q283 and q285 go red. */
+  private[ext] def chunked(docs: DataFrame, w: Int = 32, s0: Int = 24): DataFrame = {
+    val s1 = if (graft.Mutations.on("q283_stride_off_by_one")) s0 + 1 else s0
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_tok", size(col("ws")).cast("long"))
+      .withColumn("n_chunks",
+        expr(s"1L + (greatest(0L, n_tok - $w) + ${s1 - 1}) DIV $s1"))
+      .withColumn("chunk_idx",
+        explode(expr("sequence(0L, n_chunks - 1)")))
+      .withColumn("start_tok", col("chunk_idx") * s1 + 1)
+      .withColumn("chunk_len",
+        least(lit(w.toLong), col("n_tok") - col("start_tok") + 1))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("chunk_len"),
+        md5(concat_ws(" ",
+          expr("slice(ws, CAST(start_tok AS INT), CAST(chunk_len AS INT))")))
+          .as("chunk_md5"))
+  }
+
+  /** SQL twin of [[chunked]] over a `corpus(doc_id, text)` relation:
+    * CTE chain ending in `chunks(doc_id, chunk_idx, start_tok,
+    * chunk_len, chunk_md5)`. */
+  private def chunkSqlCtes: String =
+    """t AS (SELECT doc_id, str_split(text, ' ') AS ws,
+                   CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM corpus),
+      c AS (SELECT doc_id, ws, n_tok,
+                   1 + (greatest(0, n_tok - 32) + 23) // 24 AS n_chunks
+            FROM t),
+      x AS (SELECT doc_id, ws, n_tok,
+                   unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+            FROM c),
+      chunks AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                        CAST(chunk_idx * 24 + 1 AS BIGINT) AS start_tok,
+                        CAST(least(32, n_tok - (chunk_idx * 24 + 1) + 1)
+                             AS BIGINT) AS chunk_len,
+                        md5(array_to_string(
+                              ws[(chunk_idx * 24 + 1):
+                                 (chunk_idx * 24 +
+                                  least(32, n_tok - chunk_idx * 24))],
+                              ' ')) AS chunk_md5
+                 FROM x)"""
 
   /** Multi-round BPE trainer: iterates q121's training round `nMerges`
     * times over the word-TYPE table and returns the ranked merge table
@@ -1340,28 +1410,36 @@ object TextQueries {
           FROM mom CROSS JOIN n
           ORDER BY tot DESC, word LIMIT 20""",
 
-    // q283: W=32 / S=24 mirrored as integers; the md5 fingerprints the
-    // token slice words[start .. start+len-1] exactly as the Spark side
-    // slices it.
+    // q283: W=32 / S=24 mirrored as integers via the shared chunk CTE
+    // chain; the md5 fingerprints the token slice exactly as the Spark
+    // side slices it.
     "q283_chunk_overlap" ->
-      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws,
-                           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
-                    FROM documents),
-          c AS (SELECT doc_id, ws, n_tok,
-                       1 + (greatest(0, n_tok - 32) + 23) // 24 AS n_chunks
-                FROM t),
-          x AS (SELECT doc_id, ws, n_tok,
-                       unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
-                FROM c)
-          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-                 CAST(chunk_idx * 24 + 1 AS BIGINT) AS start_tok,
-                 CAST(least(32, n_tok - (chunk_idx * 24 + 1) + 1) AS BIGINT)
-                   AS chunk_len,
-                 md5(array_to_string(
-                       ws[(chunk_idx * 24 + 1):
-                          (chunk_idx * 24 + least(32, n_tok - chunk_idx * 24))],
-                       ' ')) AS chunk_md5
-          FROM x ORDER BY doc_id, chunk_idx"""
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $chunkSqlCtes
+          SELECT doc_id, chunk_idx, start_tok, chunk_len, chunk_md5
+          FROM chunks ORDER BY doc_id, chunk_idx""",
+
+    // q285: planted header (aligned) + footer (unaligned) boilerplate,
+    // then the cross-doc fingerprint census over the shared chunk CTEs.
+    "q285_boilerplate_chunks" -> {
+      val hdr = (0 until 40).map(i => s"b$i").mkString(" ")
+      val ftr = (0 until 40).map(i => s"f$i").mkString(" ")
+      s"""WITH corpus AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 7 = 3 THEN '$hdr ' ELSE '' END)
+                     || text ||
+                   (CASE WHEN doc_id % 5 = 2 THEN ' $ftr' ELSE '' END)
+                     AS text
+            FROM documents),
+          $chunkSqlCtes
+          SELECT chunk_md5, chunk_len,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 count(*) AS n_chunks
+          FROM chunks
+          GROUP BY chunk_md5, chunk_len
+          HAVING count(DISTINCT doc_id) >= 2
+          ORDER BY n_docs DESC, chunk_md5 LIMIT 25"""
+    }
   )
 
   /** The unrolled BPE training chain (w, s0, then p$i/t$i/s$i per round)

@@ -3936,6 +3936,33 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate census: aligned header caught whole, unaligned footer fragments") {
+    // q285's planted story: the stride-ALIGNED header fingerprints
+    // identically in every planted doc, so its first window spans the
+    // full plant in one census group; the appended footer lands at
+    // doc-dependent offsets, so it only collides within length-residue
+    // classes — many small groups, none close to the header's span.
+    val rows = ext.TextQueries.queries("q285_boilerplate_chunks")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nHdrDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 3).count()
+    val hdrMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest((0 until 32).map(i => s"b$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val top = rows.head
+    assert(top._1 == hdrMd5 && top._2 == 32 && top._3 == nHdrDocs,
+      s"top group must be the header's first full window across all " +
+        s"$nHdrDocs planted docs, got $top")
+    // the blind spot, demonstrated: footer groups exist but fragment
+    val footer = rows.tail
+    assert(footer.nonEmpty, "unaligned footer produced no census groups")
+    assert(footer.forall(_._3 < nHdrDocs / 2),
+      "footer fragments must stay far below the aligned header's span")
+    // census sanity: n_chunks counts occurrences, one per doc here
+    rows.foreach { r => assert(r._4 >= r._3, s"group $r") }
+  }
+
   test("k-center coreset: seed, distinct picks, non-increasing radius") {
     val rows = ext.SimilarityQueries.queries("q284_kcenter_coreset")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1),
