@@ -501,6 +501,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q283: chunking is one map-only pass — pruned scan, no exchange") {
+    withAqeOff {
+      val p = plan("q283_chunk_overlap")
+      // the doc scan must read ONLY (doc_id, text) — a chunker that
+      // drags lang/source/n_chars through the explode multiplies the
+      // widest columns by chunks-per-doc
+      val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(read.contains("doc_id") && read.contains("text") &&
+        !read.contains("n_chars") && !read.contains("source"),
+        s"chunk scan must prune to (doc_id, text): $read")
+      // map-only up to the final presentation sort: the ONLY exchange
+      // allowed is the orderBy's range partitioning
+      val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= 1 && p.contains("rangepartitioning"),
+        s"chunking must not shuffle except the output order:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q285: census aggregates with map-side partials over the chunk pass") {
+    withAqeOff {
+      val p = plan("q285_boilerplate_chunks")
+      // partial_count before the exchange = map-side combine on the
+      // (chunk_md5)-keyed census; the chunk explode itself stays
+      // shuffle-free below it
+      assert(p.contains("partial_count") || p.contains("partial_"),
+        s"census must partial-aggregate map-side:\n${p.take(1500)}")
+      assert(p.contains("TakeOrdered"),
+        "top-25 must ride TakeOrdered, not a global sort")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     // decimal value: double sums are accumulation-order-sensitive, which is
     // exactly why the engine aggregates doubles through decimals (dsl.scala)
