@@ -846,7 +846,7 @@ object TextQueries {
     * [[graft.Mutations]] "q283_stride_off_by_one": stride 25 instead of
     * 24 — the window-arithmetic typo class; every downstream
     * fingerprint shifts, so both q283 and q285 go red. */
-  private[ext] def chunked(docs: DataFrame, w: Int = 32, s0: Int = 24): DataFrame = {
+  private[graft] def chunked(docs: DataFrame, w: Int = 32, s0: Int = 24): DataFrame = {
     val s1 = if (graft.Mutations.on("q283_stride_off_by_one")) s0 + 1 else s0
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))

@@ -143,4 +143,41 @@ class SamplingSpec extends SparkSpec {
     assert(cols.distinct == cols, s"duplicate columns after composition: $cols")
     assert(composed.count() > 0)
   }
+
+  test("chunked: windows tile every doc with exact stride, for arbitrary lengths") {
+    // the q283/q285 seam over generated token counts — including the
+    // boundary shapes the fixture can't guarantee (empty-ish docs,
+    // exact window multiples, stride-aligned lengths, giant docs)
+    val lens = (sampled(Gen.listOfN(60, Gen.chooseNum(1, 400)), 33L) ++
+      Seq(1, 31, 32, 33, 55, 56, 57, 24, 48, 2000)).distinct
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((w, s0) <- Seq((32, 24), (16, 16), (8, 3))) {
+      val ch = ext.TextQueries.chunked(df, w, s0)
+        .select("doc_id", "chunk_idx", "start_tok", "chunk_len")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.foreach { case (id, text) =>
+        val nTok = text.split(" ", -1).length
+        val got = ch(id)
+        val wantChunks = 1 + (math.max(0, nTok - w) + s0 - 1) / s0
+        assert(got.length == wantChunks, s"W=$w S=$s0 doc $id len $nTok")
+        got.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+          assert(idx == i && start == i.toLong * s0 + 1, s"W=$w S=$s0 doc $id c$i")
+          assert(len == math.min(w.toLong, nTok - start + 1), s"W=$w S=$s0 doc $id c$i")
+          assert(len >= 1, s"W=$w S=$s0 doc $id c$i empty window")
+        }
+        // tiling: last chunk reaches the last token; when S < W every
+        // token is covered (overlap >= 0); when S == W coverage is exact
+        val last = got.last
+        assert(last._3 + last._4 - 1 == nTok, s"W=$w S=$s0 doc $id tail")
+        if (s0 <= w) {
+          val covered = got.flatMap(c => c._3 to (c._3 + c._4 - 1)).toSet
+          assert(covered == (1L to nTok.toLong).toSet, s"W=$w S=$s0 doc $id gap")
+        }
+      }
+    }
+  }
 }
