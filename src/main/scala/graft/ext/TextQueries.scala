@@ -817,6 +817,39 @@ object TextQueries {
     // machinery, q116). Scale: chunking is map-only; the census is one
     // (chunk_md5)-keyed count with map-side partials; top-25 rides
     // TakeOrdered, no global sort.
+    // Skip-gram CO-OCCURRENCE counts — the (center, context) table
+    // word-embedding training (word2vec/GloVe) consumes: symmetric ±3
+    // window, integer distance weight 4−|offset| (the linear decay
+    // word2vec's dynamic window approximates in expectation — but
+    // deterministic, no sampled window sizes). q64/q152 count ADJACENT
+    // bigrams; this is the general windowed pair table, and its top-20
+    // by weighted mass is the graded head. Scale: map-side position ×
+    // offset explode (≤6 pairs per token, bounded fan-out) into ONE
+    // (center, context)-keyed count with map-side partials; top-20
+    // rides TakeOrdered. At 100 TB this is the standard one-shuffle
+    // co-occurrence build.
+    "q286_skipgram_counts" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ws)),
+               i -> filter(
+                      transform(array(-3, -2, -1, 1, 2, 3),
+                        o -> CASE WHEN i + o >= 1 AND i + o <= size(ws)
+                                  THEN struct(element_at(ws, i) AS c,
+                                              element_at(ws, i + o) AS x,
+                                              4 - abs(o) AS w)
+                             END),
+                      p -> p IS NOT NULL)))""")).as("p"))
+        .select(col("p.c").as("center"), col("p.x").as("context"),
+          col("p.w").as("w"))
+      pairs.groupBy("center", "context")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("w")).as("w_sum"))
+        .orderBy(col("w_sum").desc, col("center"), col("context"))
+        .limit(20)
+    }),
+
     "q285_boilerplate_chunks" -> ((s, d) => {
       val hdr = (0 until 40).map(i => s"b$i").mkString(" ")
       val ftr = (0 until 40).map(i => s"f$i").mkString(" ")
@@ -1418,6 +1451,22 @@ object TextQueries {
           $chunkSqlCtes
           SELECT doc_id, chunk_idx, start_tok, chunk_len, chunk_md5
           FROM chunks ORDER BY doc_id, chunk_idx""",
+
+    // q286: positions × the six offsets, bounds-filtered — the same
+    // pair stream the Spark explode emits.
+    "q286_skipgram_counts" ->
+      """WITH tok AS (SELECT str_split(text, ' ') AS ws FROM documents
+                      WHERE len(str_split(text, ' ')) >= 2),
+          pos AS (SELECT ws, unnest(generate_series(1, len(ws))) AS i FROM tok),
+          off AS (SELECT * FROM (VALUES (-3), (-2), (-1), (1), (2), (3)) AS t(o)),
+          pr AS (SELECT ws[i] AS center, ws[i + o] AS context,
+                        4 - abs(o) AS w
+                 FROM pos CROSS JOIN off
+                 WHERE i + o BETWEEN 1 AND len(ws))
+          SELECT center, context, count(*) AS n_pairs,
+                 CAST(sum(w) AS BIGINT) AS w_sum
+          FROM pr GROUP BY center, context
+          ORDER BY w_sum DESC, center, context LIMIT 20""",
 
     // q285: planted header (aligned) + footer (unaligned) boilerplate,
     // then the cross-doc fingerprint census over the shared chunk CTEs.

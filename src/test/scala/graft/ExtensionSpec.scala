@@ -3936,6 +3936,34 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("skip-gram counts equal a brute-force windowed replay") {
+    val rows = ext.TextQueries.queries("q286_skipgram_counts")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    // replay: every (center, context) pair within ±3, weight 4−|offset|
+    val agg = scala.collection.mutable.Map[(String, String), (Long, Long)]()
+    Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+      .foreach { ws =>
+        for (i <- ws.indices; o <- Seq(-3, -2, -1, 1, 2, 3)) {
+          val j = i + o
+          if (j >= 0 && j < ws.length) {
+            val k = (ws(i), ws(j))
+            val (n, w) = agg.getOrElse(k, (0L, 0L))
+            agg(k) = (n + 1, w + (4 - math.abs(o)))
+          }
+        }
+      }
+    val want = agg.toSeq.map { case ((c, x), (n, w)) => (c, x, n, w) }
+      .sortBy { case (c, x, _, w) => (-w, c, x) }.take(20)
+    assert(rows.toSeq == want, s"got ${rows.take(3).toSeq} want ${want.take(3)}")
+    // symmetric window ⇒ the pair table is symmetric in total mass
+    rows.foreach { case (c, x, n, w) =>
+      val rev = agg.get((x, c))
+      assert(rev.contains((n, w)), s"($c,$x) asymmetric: $rev vs ($n,$w)")
+    }
+  }
+
   test("boilerplate census: aligned header caught whole, unaligned footer fragments") {
     // q285's planted story: the stride-ALIGNED header fingerprints
     // identically in every planted doc, so its first window spans the
