@@ -52,10 +52,14 @@ object Mutations {
                                 //   reads MORE files, so results stay
                                 //   hash-green — the red-case must assert
                                 //   the planned file COUNT, not the hash
-    "q283_stride_off_by_one")   // chunker strides 25, not 24 — the window
+    "q283_stride_off_by_one",   // chunker strides 25, not 24 — the window
                                 //   arithmetic typo; every fingerprint
                                 //   shifts, so q283 AND the q285 census
                                 //   built on the shared seam go red
+    "q286_window_off_by_one")   // skip-gram window radius 4, not 3 — the
+                                //   symmetric-window bound typo; extra
+                                //   pairs shift the counts AND the q288
+                                //   TextRank mass on the shared seam
 
   /** Test hook: run `body` with exactly one knob enabled. */
   private[graft] def withMutation[T](name: String)(body: => T): T = {

@@ -78,7 +78,10 @@ object ScaleProbe {
       "q277_cluster_span" -> "per-cluster source-span census (LSH + CC + span rollup)",
       // round-12 additions: the new composition + selection operators
       "q282_corpus_pipeline" -> "five-API pipeline composition (funnel + mixture + packing)",
-      "q284_kcenter_coreset" -> "greedy k-center diversity coreset (8 farthest-point rounds)")
+      "q284_kcenter_coreset" -> "greedy k-center diversity coreset (8 farthest-point rounds)",
+      "q287_filtered_ann" -> "label-filtered ANN: pre-filter truth vs post-filter IVF",
+      "q288_textrank_keywords" -> "TextRank damped fixed-point over the skip-gram graph",
+      "q289_pack_budget_sweep" -> "MaxSeqLen budget sweep (one prefix-sum pass x 4 budgets)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job

@@ -617,6 +617,43 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // MaxSeqLen BUDGET SWEEP — q206's packing report priced at L ∈
+    // {512, 1024, 2048, 4096} simultaneously, the way q207 sweeps
+    // q51's probe count: the tuning curve behind the single most
+    // consequential dataloader constant. The tradeoff the table
+    // exposes: larger L → fewer boundaries → fewer documents CUT
+    // across sequences (context loss shrinks) but a fatter final
+    // partial sequence per shard (fill dips at small shards); smaller
+    // L inverts both. ONE pass prices the whole curve (the q189
+    // discipline): the per-source prefix sum is computed ONCE — doc
+    // placement depends only on cum_before, which is L-independent —
+    // then each row explodes into the 4 budgets and one (source,
+    // seq_len)-keyed aggregate scores every budget. All arithmetic
+    // integer (DIV/%); at 100 TB this is q188's per-shard window + a
+    // 4× bounded map-side fan-out, no extra shuffle.
+    "q289_pack_budget_sweep" -> ((s, d) => {
+      val ls = Seq(512L, 1024L, 2048L, 4096L)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("seq_len", explode(array(ls.map(lit(_)): _*)))
+        .groupBy("source", "seq_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tok"),
+          sum(when(expr("((cum_before + n_tok - 1) DIV seq_len)" +
+              " > (cum_before DIV seq_len)"), 1L).otherwise(0L)).as("cut_docs"))
+        .select(col("source"), col("seq_len"), col("n_docs"), col("total_tok"),
+          expr("(total_tok + seq_len - 1) DIV seq_len").as("n_seqs"),
+          expr("(total_tok * 10000) DIV (((total_tok + seq_len - 1) DIV seq_len) * seq_len)")
+            .as("fill_bp"),
+          col("cut_docs"),
+          expr("(cut_docs * 10000) DIV n_docs").as("cut_rate_bp"))
+        .orderBy("source", "seq_len")
+    }),
+
     // Length-bucketed batching — the padding-efficiency dual of q188's
     // packing (packing concatenates; bucketing groups LIKE lengths so a
     // padded batch wastes little): docs bin by next power-of-2 token
@@ -955,6 +992,36 @@ object CurationQueries {
                  cut_docs,
                  CAST(cut_docs * 10000 // n_docs AS BIGINT) AS cut_rate_bp
           FROM s ORDER BY source""",
+
+    // q289: q206's chain with the ONE L-independent prefix sum crossed
+    // into the 4 budgets before the aggregate.
+    "q289_pack_budget_sweep" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+          c AS (SELECT doc_id, source, n_tok,
+                       COALESCE(sum(n_tok) OVER (PARTITION BY source
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum_before
+                FROM t),
+          l AS (SELECT CAST(unnest([512, 1024, 2048, 4096]) AS BIGINT)
+                  AS seq_len),
+          s AS (SELECT source, seq_len, count(*) AS n_docs,
+                       CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+                       CAST(SUM(CASE WHEN ((cum_before + n_tok - 1) // seq_len)
+                                      > (cum_before // seq_len)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS cut_docs
+                FROM c CROSS JOIN l GROUP BY source, seq_len)
+          SELECT source, seq_len, n_docs, total_tok,
+                 CAST((total_tok + seq_len - 1) // seq_len AS BIGINT)
+                   AS n_seqs,
+                 CAST(total_tok * 10000
+                      // (((total_tok + seq_len - 1) // seq_len)
+                         * seq_len) AS BIGINT) AS fill_bp,
+                 cut_docs,
+                 CAST(cut_docs * 10000 // n_docs AS BIGINT) AS cut_rate_bp
+          FROM s ORDER BY source, seq_len""",
 
     "q190_length_buckets" ->
       s"""WITH t AS (SELECT CAST(len(str_split(text, ' ')) AS BIGINT)

@@ -43,14 +43,16 @@ object GraphQueries {
   private[ext] val PageRankRounds = 3
 
   /** The damped integer fixed-point update shared by q120 (global,
-    * teleport = 0.15 everywhere) and q243 (personalized, teleport only
-    * on seeds): `teleport + (85·Σ contributions) DIV 100`. ONE seam so
-    * the two queries cannot drift, and so [[graft.Mutations]] can plant
-    * the classic damping off-by-one (85 → 86) once and cover the whole
-    * integer-fixed-point family — the oracle CTEs hardcode 85, so the
-    * mutated engine diverges and the harness goes red. Knob read at
-    * plan-construction time (compile-time constant when off). */
-  private def dampedUpdate(teleportExpr: String): String = {
+    * teleport = 0.15 everywhere), q243 (personalized, teleport only
+    * on seeds), and q288 (TextRank over the word co-occurrence graph,
+    * micro-rank units): `teleport + (85·Σ contributions) DIV 100`.
+    * ONE seam so the three queries cannot drift, and so
+    * [[graft.Mutations]] can plant the classic damping off-by-one
+    * (85 → 86) once and cover the whole integer-fixed-point family —
+    * the oracle CTEs hardcode 85, so the mutated engine diverges and
+    * the harness goes red. Knob read at plan-construction time
+    * (compile-time constant when off). */
+  private[ext] def dampedUpdate(teleportExpr: String): String = {
     val num = if (graft.Mutations.on("q120_damping_off_by_one")) 86 else 85
     s"$teleportExpr + ($num * coalesce(cs, 0)) DIV 100"
   }

@@ -815,6 +815,78 @@ object SimilarityQueries {
         .select(col("rank"), col("vec_id"),
           col("maximin_dist").cast("double").as("maximin_dist"))
         .orderBy("rank")
+    }),
+
+    // FILTERED vector search — the production ANN question q51/q207
+    // don't answer: top-k under a metadata predicate (label = the
+    // query's own label here; "same tenant / same language / same
+    // license" in a real corpus). Two routes, graded against each
+    // other per query:
+    //   truth  = PRE-filter: exact cosine top-5 over the label subset
+    //            (the small-selectivity plan — filter first, brute
+    //            force the survivors);
+    //   system = POST-filter: q51's IVF probe route, label predicate
+    //            applied AFTER candidate generation (the big-
+    //            selectivity plan — the index knows nothing of the
+    //            filter).
+    // The output row is the tuning table: n_label (subset size),
+    // n_cand (how many label-matching candidates the 4 probed cells
+    // even contain), and recall_bp — post-filtering loses recall
+    // exactly when a selective filter leaves too few matching
+    // vectors inside the probed cells, which is why real systems
+    // pick pre- vs post-filter by estimated selectivity. Integer
+    // recall in bp over n_truth = least(5, n_label); ties broken by
+    // vec_id everywhere; cosine folds ride the shared [[VectorOps]]
+    // kernels so truth and system rank identically cross-engine.
+    // Scale: the label table joins the assignment co-keyed on vec_id
+    // (in production the label is CARRIED in the index rows — the
+    // q128 layout); the truth side hash-joins queries×corpus on the
+    // label key (10 broadcast queries, corpus streams map-only); no
+    // all-pairs path, windows bounded per qid.
+    "q287_filtered_ann" -> ((s, d) => {
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val n = normed(s, d)
+      val cent = seedCentroids(n)
+      val assign = cellAssign(n, cent).join(lab, "vec_id")
+      val ql = broadcast(lab.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel")))
+      // truth: exact top-5 within the label subset (pre-filter route)
+      val q = n.join(ql, col("vec_id") === col("qid"))
+        .select(col("qid"), col("qlabel"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val ts = n.join(lab, "vec_id")
+        .join(broadcast(q), col("label") === col("qlabel") &&
+          col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("cos_sim"))
+      val nlab = ts.groupBy("qid").agg(count(lit(1)).as("n_label"))
+      val tw = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      val truth = ts.withColumn("rk", row_number().over(tw))
+        .filter(col("rk") <= 5).select("qid", "vec_id")
+      // system: IVF probes, label filter applied post-candidate
+      val cs = probedCells(n, cent, 4).drop("prn")
+        .join(assign, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(ql.select(col("qid"), col("qlabel")), "qid")
+        .filter(col("label") === col("qlabel"))
+        .select(col("qid"), col("vec_id"),
+          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("cos_sim"))
+      val ncand = cs.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+      val sys5 = cs.withColumn("rk", row_number().over(tw))
+        .filter(col("rk") <= 5).select("qid", "vec_id")
+      val hits = sys5.join(truth, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      ql.join(nlab, "qid")
+        .join(ncand, Seq("qid"), "left")
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("qlabel"), col("n_label"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("(coalesce(n_hits, 0) * 10000) DIV least(5, n_label)")
+            .as("recall_bp"))
+        .orderBy("qid")
     })
   )
 
@@ -1476,6 +1548,66 @@ object SimilarityQueries {
                    AS recall_bp
           FROM dm LEFT JOIN hits ON hits.b = dm.b CROSS JOIN tn
           ORDER BY bits"""
-    }
+    },
+
+    // q287: the q51 probe chain with the label carried; truth = exact
+    // top-5 over the label subset, system = post-filtered IVF
+    // candidates, recall in integer bp over least(5, n_label).
+    "q287_filtered_ann" ->
+      s"""WITH $normedSql,
+          lab AS (SELECT vec_id, label FROM embeddings),
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+          ac AS (SELECT n.vec_id, n.embedding, n.nrm, cent.cent_id,
+                        ${VectorOps.oDot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) AS ccos
+                 FROM n CROSS JOIN cent),
+          assign AS (SELECT a.vec_id, a.embedding, a.nrm, a.cell, lab.label FROM (
+                       SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+                         SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                      ORDER BY ccos DESC, cent_id) AS arn
+                         FROM ac) WHERE arn = 1) a
+                     JOIN lab ON lab.vec_id = a.vec_id),
+          q AS (SELECT n.vec_id AS qid, lab.label AS qlabel,
+                       n.embedding AS qe, n.nrm AS qn
+                FROM n JOIN lab ON lab.vec_id = n.vec_id WHERE n.vec_id < 10),
+          ts AS (SELECT q.qid, nl.vec_id,
+                        ${VectorOps.oDot("q.qe", "nl.embedding")} / (q.qn * nl.nrm) AS cos_sim
+                 FROM q JOIN (SELECT n.vec_id, n.embedding, n.nrm, lab.label
+                              FROM n JOIN lab ON lab.vec_id = n.vec_id) nl
+                   ON nl.label = q.qlabel AND nl.vec_id <> q.qid),
+          nlab AS (SELECT qid, count(*) AS n_label FROM ts GROUP BY qid),
+          truth AS (SELECT qid, vec_id FROM (
+                      SELECT qid, vec_id,
+                             row_number() OVER (PARTITION BY qid
+                                                ORDER BY cos_sim DESC, vec_id) AS rk
+                      FROM ts) WHERE rk <= 5),
+          pc AS (SELECT q.qid, q.qlabel, q.qe, q.qn, cent.cent_id,
+                        ${VectorOps.oDot("q.qe", "cent.ce")} / (q.qn * cent.cn) AS pcos
+                 FROM q CROSS JOIN cent),
+          probes AS (SELECT qid, qlabel, qe, qn, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY qid
+                                                    ORDER BY pcos DESC, cent_id) AS prn
+                       FROM pc) WHERE prn <= 4),
+          cs AS (SELECT p.qid, a.vec_id,
+                        ${VectorOps.oDot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cos_sim
+                 FROM probes p JOIN assign a ON a.cell = p.cell
+                 WHERE a.vec_id <> p.qid AND a.label = p.qlabel),
+          ncand AS (SELECT qid, count(*) AS n_cand FROM cs GROUP BY qid),
+          sys5 AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            row_number() OVER (PARTITION BY qid
+                                               ORDER BY cos_sim DESC, vec_id) AS rk
+                     FROM cs) WHERE rk <= 5),
+          hits AS (SELECT s.qid, count(*) AS n_hits
+                   FROM sys5 s JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id
+                   GROUP BY s.qid)
+          SELECT q.qid, q.qlabel, nlab.n_label,
+                 coalesce(ncand.n_cand, 0) AS n_cand,
+                 coalesce(hits.n_hits, 0) AS n_hits,
+                 (coalesce(hits.n_hits, 0) * 10000) // least(5, nlab.n_label)
+                   AS recall_bp
+          FROM q JOIN nlab ON nlab.qid = q.qid
+          LEFT JOIN ncand ON ncand.qid = q.qid
+          LEFT JOIN hits ON hits.qid = q.qid
+          ORDER BY q.qid"""
   )
 }

@@ -828,26 +828,50 @@ object TextQueries {
     // (center, context)-keyed count with map-side partials; top-20
     // rides TakeOrdered. At 100 TB this is the standard one-shuffle
     // co-occurrence build.
-    "q286_skipgram_counts" -> ((s, d) => {
-      val pairs = Tables.documents(s, d)
-        .select(split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ws)),
-               i -> filter(
-                      transform(array(-3, -2, -1, 1, 2, 3),
-                        o -> CASE WHEN i + o >= 1 AND i + o <= size(ws)
-                                  THEN struct(element_at(ws, i) AS c,
-                                              element_at(ws, i + o) AS x,
-                                              4 - abs(o) AS w)
-                             END),
-                      p -> p IS NOT NULL)))""")).as("p"))
-        .select(col("p.c").as("center"), col("p.x").as("context"),
-          col("p.w").as("w"))
-      pairs.groupBy("center", "context")
+    "q286_skipgram_counts" -> ((s, d) =>
+      skipgramPairs(Tables.documents(s, d))
+        .groupBy("center", "context")
         .agg(count(lit(1)).as("n_pairs"), sum(col("w")).as("w_sum"))
         .orderBy(col("w_sum").desc, col("center"), col("context"))
-        .limit(20)
+        .limit(20)),
+
+    // TextRank KEYWORD extraction (Mihalcea & Tarau '04) — damped
+    // PageRank over q286's word co-occurrence graph: a word matters
+    // when it co-occurs with words that matter. The corpus-level
+    // keyword list is the labeling/topic-tag primitive a curation
+    // pipeline runs after counting (q286 builds the table, this ranks
+    // it). Composition is total seam reuse: the pair stream is
+    // [[skipgramPairs]] (ONE definition with q286 — the window knob
+    // red-cases both), the update is [[GraphQueries.dampedUpdate]]
+    // (ONE seam with q120/q243 — the damping knob now covers FOUR
+    // queries), rounds = [[GraphQueries.PageRankRounds]]. Weighted
+    // TextRank update in MICRO-rank fixed point (1e6 = rank 1.0, not
+    // q120's nano): per-edge contribution (r·w_ij) DIV wdeg_i needs
+    // the r×w product in range — micro units bound it ≤ ~1e17 at any
+    // plausible corpus scale (nano would overflow Long at ~10⁵ vocab
+    // × heavy hubs), and 1e-6 quantization is irrelevant to a top-20
+    // ranking. Scale: identical shape to q120 — the edge table
+    // (distinct word pairs) shuffles once on src per round carrying
+    // its weighted degree; the rank vector is vocab-sized; top-20
+    // rides TakeOrdered. Nothing collects to the driver.
+    "q288_textrank_keywords" -> ((s, d) => {
+      val e = skipgramPairs(Tables.documents(s, d))
+        .groupBy(col("center").as("src"), col("context").as("dst"))
+        .agg(sum(col("w")).as("wsum"))
+      val wd = e.groupBy("src").agg(sum(col("wsum")).as("wdeg"))
+      val ew = e.join(wd, "src")
+      val nodes = wd.select(col("src").as("node"))
+      var ranks = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to GraphQueries.PageRankRounds) {
+        val contrib = ew.join(ranks, col("src") === col("node"))
+          .groupBy("dst").agg(sum(expr("(r * wsum) DIV wdeg")).as("cs"))
+        ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            expr(GraphQueries.dampedUpdate("150000")).as("r"))
+      }
+      ranks.select(col("node").as("word"),
+          (col("r").cast("double") / lit(1e6)).as("tr"))
+        .orderBy(col("tr").desc, col("word")).limit(20)
     }),
 
     "q285_boilerplate_chunks" -> ((s, d) => {
@@ -896,6 +920,54 @@ object TextQueries {
         md5(concat_ws(" ",
           expr("slice(ws, CAST(start_tok AS INT), CAST(chunk_len AS INT))")))
           .as("chunk_md5"))
+  }
+
+  /** q286/q288's shared skip-gram pair stream over `documents`:
+    * symmetric ±[[SkipgramRadius]] window, integer distance weight
+    * (radius+1)−|offset|, bounds-filtered — ≤2·radius pairs per token,
+    * map-only bounded fan-out. ONE definition (with [[skipgramSqlCtes]])
+    * so the count table and the TextRank graph built on it can never
+    * disagree about the window. [[graft.Mutations]]
+    * "q286_window_off_by_one": radius 4 instead of 3 — the window-bound
+    * typo class; extra pairs shift both the counts and the rank mass,
+    * so q286 AND q288 go red. */
+  private[graft] def skipgramPairs(docs: DataFrame): DataFrame = {
+    val r = if (graft.Mutations.on("q286_window_off_by_one")) SkipgramRadius + 1
+            else SkipgramRadius
+    val offs = ((-r to -1) ++ (1 to r)).mkString(", ")
+    docs
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(ws)),
+             i -> filter(
+                    transform(array($offs),
+                      o -> CASE WHEN i + o >= 1 AND i + o <= size(ws)
+                                THEN struct(element_at(ws, i) AS c,
+                                            element_at(ws, i + o) AS x,
+                                            ${r + 1} - abs(o) AS w)
+                           END),
+                    p -> p IS NOT NULL)))""")).as("p"))
+      .select(col("p.c").as("center"), col("p.x").as("context"),
+        col("p.w").as("w"))
+  }
+
+  /** Symmetric skip-gram window radius for q286/q288. */
+  private val SkipgramRadius = 3
+
+  /** SQL twin of [[skipgramPairs]]: CTE chain ending in
+    * `pr(center, context, w)` over `documents`. */
+  private def skipgramSqlCtes: String = {
+    val offVals = ((-SkipgramRadius to -1) ++ (1 to SkipgramRadius))
+      .map(o => s"($o)").mkString(", ")
+    s"""tok AS (SELECT str_split(text, ' ') AS ws FROM documents
+                WHERE len(str_split(text, ' ')) >= 2),
+        pos AS (SELECT ws, unnest(generate_series(1, len(ws))) AS i FROM tok),
+        off AS (SELECT * FROM (VALUES $offVals) AS t(o)),
+        pr AS (SELECT ws[i] AS center, ws[i + o] AS context,
+                      ${SkipgramRadius + 1} - abs(o) AS w
+               FROM pos CROSS JOIN off
+               WHERE i + o BETWEEN 1 AND len(ws))"""
   }
 
   /** SQL twin of [[chunked]] over a `corpus(doc_id, text)` relation:
@@ -1453,20 +1525,39 @@ object TextQueries {
           FROM chunks ORDER BY doc_id, chunk_idx""",
 
     // q286: positions × the six offsets, bounds-filtered — the same
-    // pair stream the Spark explode emits.
+    // pair stream the Spark explode emits (shared CTE chain with q288).
     "q286_skipgram_counts" ->
-      """WITH tok AS (SELECT str_split(text, ' ') AS ws FROM documents
-                      WHERE len(str_split(text, ' ')) >= 2),
-          pos AS (SELECT ws, unnest(generate_series(1, len(ws))) AS i FROM tok),
-          off AS (SELECT * FROM (VALUES (-3), (-2), (-1), (1), (2), (3)) AS t(o)),
-          pr AS (SELECT ws[i] AS center, ws[i + o] AS context,
-                        4 - abs(o) AS w
-                 FROM pos CROSS JOIN off
-                 WHERE i + o BETWEEN 1 AND len(ws))
+      s"""WITH $skipgramSqlCtes
           SELECT center, context, count(*) AS n_pairs,
                  CAST(sum(w) AS BIGINT) AS w_sum
           FROM pr GROUP BY center, context
           ORDER BY w_sum DESC, center, context LIMIT 20""",
+
+    // q288: the shared pair CTEs aggregated to a weighted edge table,
+    // then PageRankRounds unrolled damped micro-rank rounds (85/100
+    // hardcoded — the knob's red side) mirroring q120's oracle shape.
+    "q288_textrank_keywords" -> {
+      def round(k: Int, prev: String): String =
+        s"""c$k AS (SELECT dst, sum((r * wsum) // wdeg) AS cs
+                    FROM ew JOIN $prev ON ew.src = $prev.node GROUP BY dst),
+            r$k AS (SELECT node, 150000 + (85 * coalesce(cs, 0)) // 100 AS r
+                    FROM nodes LEFT JOIN c$k ON c$k.dst = nodes.node)"""
+      val rounds = (1 to GraphQueries.PageRankRounds)
+        .map(k => round(k, if (k == 1) "r0" else s"r${k - 1}"))
+        .mkString(",\n")
+      s"""WITH $skipgramSqlCtes,
+          e AS (SELECT center AS src, context AS dst,
+                       CAST(sum(w) AS BIGINT) AS wsum
+                FROM pr GROUP BY center, context),
+          wd AS (SELECT src, sum(wsum) AS wdeg FROM e GROUP BY src),
+          ew AS (SELECT e.src, e.dst, e.wsum, wd.wdeg FROM e JOIN wd USING (src)),
+          nodes AS (SELECT src AS node FROM wd),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+          $rounds
+          SELECT node AS word, CAST(r AS DOUBLE) / 1e6 AS tr
+          FROM r${GraphQueries.PageRankRounds}
+          ORDER BY tr DESC, word LIMIT 20"""
+    },
 
     // q285: planted header (aligned) + footer (unaligned) boilerplate,
     // then the cross-doc fingerprint census over the shared chunk CTEs.

@@ -730,6 +730,43 @@ class ExtensionSpec extends SparkSpec {
     res.filter(_._4 == 1).foreach(r => assert(r._6 == 0, r._1))
   }
 
+  test("pack budget sweep: L-invariants hold and L=2048 equals q206's report") {
+    val res = ext.CurationQueries.queries("q289_pack_budget_sweep")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val budgets = Seq(512L, 1024L, 2048L, 4096L)
+    val bySrc = res.groupBy(_._1)
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_._2).toSeq == budgets, s"$src budget axis")
+      // doc placement is L-independent: counts/tokens identical per row
+      assert(rows.map(_._3).distinct.length == 1, s"$src n_docs varies with L")
+      assert(rows.map(_._4).distinct.length == 1, s"$src total_tok varies with L")
+      rows.foreach { case (_, l, nDocs, tok, nSeqs, fill, cut, cutBp) =>
+        assert(nSeqs == (tok + l - 1) / l, s"$src L=$l n_seqs")
+        assert(fill == tok * 10000 / (nSeqs * l), s"$src L=$l fill")
+        assert(cutBp == cut * 10000 / nDocs, s"$src L=$l cut_rate")
+      }
+      // the budgets divide each other (512 | 1024 | 2048 | 4096), so a
+      // doc cut at L is cut at every smaller L — cut_docs must be
+      // monotone non-increasing as the budget grows
+      val cuts = rows.map(_._7).toSeq
+      assert(cuts.zip(cuts.tail).forall(p => p._1 >= p._2),
+        s"$src cut_docs not monotone in L: $cuts")
+    }
+    // cross-query consistency: the sweep's L=2048 row must equal q206's
+    // report exactly — the boundary-crossing arithmetic here and the
+    // packSequences straddle flags there are two routes to one answer
+    val q206 = ext.CurationQueries.queries("q206_packing_report")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    bySrc.foreach { case (src, rows) =>
+      val r2048 = rows.find(_._2 == 2048L).get
+      val base = q206(src)
+      assert((r2048._3, r2048._4, r2048._5, r2048._6, r2048._7, r2048._8) ==
+        (base._2, base._3, base._4, base._5, base._6, base._7),
+        s"$src sweep@2048 != q206 report")
+    }
+  }
+
   test("DSIR importance enriches the English target slice in its top-k") {
     val res = ext.SelectionQueries.queries("q199_dsir_importance")(spark, sf)
       .as[(Long, String, Double)].collect()
@@ -4020,6 +4057,66 @@ class ExtensionSpec extends SparkSpec {
       .sortBy { case (dd, id) => (-dd, id) }.head
     assert(rows(1)._2 == want._2,
       s"round-2 pick ${rows(1)._2} != brute-force farthest ${want._2}")
+  }
+
+  test("filtered ANN: counts replay and post-filtering visibly loses recall") {
+    val rows = ext.SimilarityQueries.queries("q287_filtered_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byLabel = labels.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    rows.foreach { case (qid, ql, nl, nc, nh, rbp) =>
+      assert(labels.find(_._1 == qid).get._2 == ql, s"q$qid label")
+      // subset size replayed from the raw label table, self excluded
+      assert(nl == byLabel(ql) - 1L, s"q$qid n_label")
+      assert(nh <= math.min(5L, nc), s"q$qid hits exceed candidates/k")
+      assert(rbp == nh * 10000L / math.min(5L, nl), s"q$qid recall arithmetic")
+    }
+    // the phenomenon the operator prices: 4 of 16 probed cells see only
+    // a fraction of each label's subset — candidates are a strict
+    // subset for every query, and recall actually degrades somewhere
+    // (at sf0.001: six queries below 10000, three at 10000)
+    rows.foreach { case (qid, _, nl, nc, _, _) =>
+      assert(nc < nl, s"q$qid post-filter candidates not a strict subset") }
+    assert(rows.exists(_._6 < 10000L), "no query lost recall — vacuous eval")
+    assert(rows.exists(_._6 == 10000L), "no query kept full recall")
+  }
+
+  test("TextRank keywords equal a brute-force integer fixed-point replay") {
+    val rows = ext.TextQueries.queries("q288_textrank_keywords")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.length == 20)
+    // replay the whole damped micro-rank recurrence in the JVM from the
+    // raw pair stream (vocab at sf0.001 is ~31 words)
+    val edges = scala.collection.mutable.Map[(String, String), Long]()
+    Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+      .foreach { ws =>
+        for (i <- ws.indices; o <- Seq(-3, -2, -1, 1, 2, 3)) {
+          val j = i + o
+          if (j >= 0 && j < ws.length)
+            edges((ws(i), ws(j))) =
+              edges.getOrElse((ws(i), ws(j)), 0L) + (4L - math.abs(o))
+        }
+      }
+    val wdeg = edges.toSeq.groupBy(_._1._1)
+      .map { case (s0, xs) => s0 -> xs.map(_._2).sum }
+    var r = wdeg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val cs = scala.collection.mutable.Map[String, Long]()
+      edges.foreach { case ((s0, d0), w) =>
+        cs(d0) = cs.getOrElse(d0, 0L) + (r(s0) * w) / wdeg(s0)
+      }
+      r = r.keys.map(n => n -> (150000L + 85L * cs.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val want = r.toSeq.map { case (w, rv) => (w, rv.toDouble / 1e6) }
+      .sortBy { case (w, rv) => (-rv, w) }.take(20)
+    assert(rows.toSeq == want,
+      s"got ${rows.take(3).toSeq} want ${want.take(3)}")
+    // a hub word must outrank a tail word: ranks are not all equal
+    assert(rows.map(_._2).distinct.length > 1, "degenerate flat ranking")
   }
 
   test("Benford audit digits partition each column and match a direct replay") {

@@ -534,6 +534,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q287: filtered ANN stays keyed — broadcasts for dims/queries, no cartesian") {
+    withAqeOff {
+      val p = plan("q287_filtered_ann")
+      // the only nested-loop joins allowed are the broadcast 16-row
+      // centroid / 10-row query cross joins the IVF seams share; the
+      // corpus-sized truth and candidate joins must be hash joins
+      assert(!p.contains("CartesianProduct"),
+        s"filtered ANN went cartesian:\n${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"label/query joins must broadcast the small side:\n${p.take(1500)}")
+    }
+  }
+
+  test("q288: TextRank rounds reuse the skip-gram edge exchange") {
+    // Three unrolled rounds each reference the SAME weighted edge
+    // aggregate; if each round re-ran the corpus-sized pair explode the
+    // per-round cost would be 3× the build instead of |E|-sized joins.
+    // Pin that the executed (AQE-finalized) plan reuses the exchange —
+    // the q210 lesson applied at authoring time, not after a breach.
+    val df = SparkEntry.queries("q288_textrank_keywords")(spark, sf)
+    df.collect() // AQE finalizes during execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("reused"),
+      s"q288 rounds must share the edge-aggregate exchange:\n${p.take(2000)}")
+    assert(p.contains("TakeOrdered"),
+      "top-20 must ride TakeOrdered, not a global sort")
+  }
+
   test("salted aggregation equals plain aggregation") {
     // decimal value: double sums are accumulation-order-sensitive, which is
     // exactly why the engine aggregates doubles through decimals (dsl.scala)
