@@ -81,7 +81,8 @@ object ScaleProbe {
       "q284_kcenter_coreset" -> "greedy k-center diversity coreset (8 farthest-point rounds)",
       "q287_filtered_ann" -> "label-filtered ANN: pre-filter truth vs post-filter IVF",
       "q288_textrank_keywords" -> "TextRank damped fixed-point over the skip-gram graph",
-      "q289_pack_budget_sweep" -> "MaxSeqLen budget sweep (one prefix-sum pass x 4 budgets)")
+      "q289_pack_budget_sweep" -> "MaxSeqLen budget sweep (one prefix-sum pass x 4 budgets)",
+      "q290_label_partitioned_ivf" -> "label-partitioned IVF (the q287 pre-filter fix)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job

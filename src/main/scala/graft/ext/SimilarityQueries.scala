@@ -848,23 +848,8 @@ object SimilarityQueries {
       val n = normed(s, d)
       val cent = seedCentroids(n)
       val assign = cellAssign(n, cent).join(lab, "vec_id")
-      val ql = broadcast(lab.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("label").as("qlabel")))
-      // truth: exact top-5 within the label subset (pre-filter route)
-      val q = n.join(ql, col("vec_id") === col("qid"))
-        .select(col("qid"), col("qlabel"),
-          col("embedding").as("qe"), col("nrm").as("qn"))
-      val ts = n.join(lab, "vec_id")
-        .join(broadcast(q), col("label") === col("qlabel") &&
-          col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
-            .as("cos_sim"))
-      val nlab = ts.groupBy("qid").agg(count(lit(1)).as("n_label"))
-      val tw = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
-      val truth = ts.withColumn("rk", row_number().over(tw))
-        .filter(col("rk") <= 5).select("qid", "vec_id")
-      // system: IVF probes, label filter applied post-candidate
+      val (ql, _, nlab, truth) = labelTruth(s, d)
+      // system: GLOBAL IVF probes, label filter applied post-candidate
       val cs = probedCells(n, cent, 4).drop("prn")
         .join(assign, "cell")
         .filter(col("vec_id") =!= col("qid"))
@@ -873,22 +858,121 @@ object SimilarityQueries {
         .select(col("qid"), col("vec_id"),
           (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
             .as("cos_sim"))
-      val ncand = cs.groupBy("qid").agg(count(lit(1)).as("n_cand"))
-      val sys5 = cs.withColumn("rk", row_number().over(tw))
-        .filter(col("rk") <= 5).select("qid", "vec_id")
-      val hits = sys5.join(truth, Seq("qid", "vec_id"))
-        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-      ql.join(nlab, "qid")
-        .join(ncand, Seq("qid"), "left")
-        .join(hits, Seq("qid"), "left")
-        .select(col("qid"), col("qlabel"), col("n_label"),
-          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          expr("(coalesce(n_hits, 0) * 10000) DIV least(5, n_label)")
-            .as("recall_bp"))
-        .orderBy("qid")
+      filteredAnnReport(ql, nlab, truth, cs)
+    }),
+
+    // LABEL-PARTITIONED IVF — the production FIX for the recall loss
+    // q287 prices: instead of filtering candidates after probing a
+    // label-blind global index, the index itself is partitioned by the
+    // filter key (per-label centroids, per-label cells — the "one
+    // index per tenant/language/license" layout). The whole probe
+    // budget is then spent INSIDE the filtered subset: 4 probed cells
+    // out of each label's 8 cover half the subset by construction,
+    // where q287's 4-of-16 global probes cover whatever fraction of
+    // the subset happens to collide with them. Candidates are
+    // label-pure with no post-check (cells belong to exactly one
+    // label). Same output schema and the SAME truth stream as q287
+    // ([[labelTruth]] — one definition, so the two routes' recall
+    // columns compare line by line; the spec pins the improvement).
+    // Scale: centroid table is labels×8 rows broadcast both for
+    // assignment and probing; assignment joins label-keyed (never a
+    // corpus×all-centroids cross); per-query work is 4 label-local
+    // cells. The layout answer to a low-cardinality filter — for
+    // high-cardinality predicates the pre-filter brute-force route
+    // (q287's truth side) takes over below the selectivity cliff.
+    "q290_label_partitioned_ivf" -> ((s, d) => {
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val nl = normed(s, d).join(lab, "vec_id")
+      val (ql, q, nlab, truth) = labelTruth(s, d)
+      // per-label centroids: the 8 smallest vec_ids within each label
+      val cw = Window.partitionBy("label").orderBy("vec_id")
+      val cent = nl.withColumn("crn", row_number().over(cw))
+        .filter(col("crn") <= 8)
+        .select(col("label").as("clabel"), col("vec_id").as("cent_id"),
+          col("embedding").as("ce"), col("nrm").as("cn"))
+      // assignment: label-keyed join against the broadcast centroid
+      // table — every vector lands in a cell of its OWN label
+      val aw = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val assign = nl.join(broadcast(cent), col("label") === col("clabel"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+          (VectorOps.dotSeq(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+            .as("ccos"))
+        .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cent_id").as("cell"))
+      // probes: the 4 nearest same-label centroids per query
+      val pw = Window.partitionBy("qid")
+        .orderBy(col("pcos").desc, col("cent_id"))
+      val probes = q.join(broadcast(cent), col("qlabel") === col("clabel"))
+        .select(col("qid"), col("qe"), col("qn"), col("cent_id"),
+          (VectorOps.dotSeq(col("qe"), col("ce")) / (col("qn") * col("cn")))
+            .as("pcos"))
+        .withColumn("prn", row_number().over(pw)).filter(col("prn") <= 4)
+        .select(col("qid"), col("qe"), col("qn"), col("cent_id").as("cell"))
+      // candidates: label-pure by construction — no post-filter
+      val cs = probes.join(assign, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("cos_sim"))
+      filteredAnnReport(ql, nlab, truth, cs)
     })
   )
+
+  /** Shared pre-filter TRUTH machinery for the filtered-ANN family
+    * (q287 post-filter eval, q290 label-partitioned fix): the 10
+    * labeled queries `ql(qid, qlabel)` (broadcast) and
+    * `q(qid, qlabel, qe, qn)`, the per-query label-subset size
+    * `nlab(qid, n_label)` (self excluded), and the exact cosine top-5
+    * `truth(qid, vec_id)` over the subset. ONE definition so both
+    * routes grade against the identical truth stream and their
+    * recall_bp columns compare line by line. */
+  private def labelTruth(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val n = normed(s, d)
+    val ql = broadcast(lab.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel")))
+    val q = n.join(ql, col("vec_id") === col("qid"))
+      .select(col("qid"), col("qlabel"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val ts = n.join(lab, "vec_id")
+      .join(broadcast(q), col("label") === col("qlabel") &&
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+          .as("cos_sim"))
+    val nlab = ts.groupBy("qid").agg(count(lit(1)).as("n_label"))
+    val tw = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    val truth = ts.withColumn("rk", row_number().over(tw))
+      .filter(col("rk") <= 5).select("qid", "vec_id")
+    (ql, q, nlab, truth)
+  }
+
+  /** Assemble the filtered-ANN report from a candidate score stream
+    * `cs(qid, vec_id, cos_sim)`: candidate counts, system top-5 by
+    * (cos_sim desc, vec_id), hits vs truth, integer recall_bp over
+    * least(5, n_label). Zero-candidate queries still emit a row
+    * (left joins), so the report's domain is the full query set. */
+  private def filteredAnnReport(ql: DataFrame, nlab: DataFrame,
+      truth: DataFrame, cs: DataFrame): DataFrame = {
+    val tw = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    val ncand = cs.groupBy("qid").agg(count(lit(1)).as("n_cand"))
+    val sys5 = cs.withColumn("rk", row_number().over(tw))
+      .filter(col("rk") <= 5).select("qid", "vec_id")
+    val hits = sys5.join(truth, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    ql.join(nlab, "qid")
+      .join(ncand, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("qlabel"), col("n_label"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(coalesce(n_hits, 0) * 10000) DIV least(5, n_label)")
+          .as("recall_bp"))
+      .orderBy("qid")
+  }
 
   /** One greedy k-center round for the q284 oracle: min-distance of
     * every unselected point against the ≤(k−1)-row selected set, then
@@ -1551,35 +1635,19 @@ object SimilarityQueries {
     },
 
     // q287: the q51 probe chain with the label carried; truth = exact
-    // top-5 over the label subset, system = post-filtered IVF
-    // candidates, recall in integer bp over least(5, n_label).
+    // top-5 over the label subset (shared CTEs with q290), system =
+    // post-filtered IVF candidates, recall over least(5, n_label).
     "q287_filtered_ann" ->
-      s"""WITH $normedSql,
-          lab AS (SELECT vec_id, label FROM embeddings),
-          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
-          ac AS (SELECT n.vec_id, n.embedding, n.nrm, cent.cent_id,
-                        ${VectorOps.oDot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) AS ccos
-                 FROM n CROSS JOIN cent),
-          assign AS (SELECT a.vec_id, a.embedding, a.nrm, a.cell, lab.label FROM (
-                       SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
-                         SELECT *, row_number() OVER (PARTITION BY vec_id
-                                                      ORDER BY ccos DESC, cent_id) AS arn
-                         FROM ac) WHERE arn = 1) a
-                     JOIN lab ON lab.vec_id = a.vec_id),
-          q AS (SELECT n.vec_id AS qid, lab.label AS qlabel,
-                       n.embedding AS qe, n.nrm AS qn
-                FROM n JOIN lab ON lab.vec_id = n.vec_id WHERE n.vec_id < 10),
-          ts AS (SELECT q.qid, nl.vec_id,
-                        ${VectorOps.oDot("q.qe", "nl.embedding")} / (q.qn * nl.nrm) AS cos_sim
-                 FROM q JOIN (SELECT n.vec_id, n.embedding, n.nrm, lab.label
-                              FROM n JOIN lab ON lab.vec_id = n.vec_id) nl
-                   ON nl.label = q.qlabel AND nl.vec_id <> q.qid),
-          nlab AS (SELECT qid, count(*) AS n_label FROM ts GROUP BY qid),
-          truth AS (SELECT qid, vec_id FROM (
-                      SELECT qid, vec_id,
-                             row_number() OVER (PARTITION BY qid
-                                                ORDER BY cos_sim DESC, vec_id) AS rk
-                      FROM ts) WHERE rk <= 5),
+      s"""WITH $labelTruthSqlCtes,
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                   FROM n WHERE vec_id < 16),
+          ac AS (SELECT nl.vec_id, nl.embedding, nl.nrm, nl.label, cent.cent_id,
+                        ${VectorOps.oDot("nl.embedding", "cent.ce")} / (nl.nrm * cent.cn) AS ccos
+                 FROM nl CROSS JOIN cent),
+          assign AS (SELECT vec_id, embedding, nrm, label, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1),
           pc AS (SELECT q.qid, q.qlabel, q.qe, q.qn, cent.cent_id,
                         ${VectorOps.oDot("q.qe", "cent.ce")} / (q.qn * cent.cn) AS pcos
                  FROM q CROSS JOIN cent),
@@ -1591,23 +1659,81 @@ object SimilarityQueries {
                         ${VectorOps.oDot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cos_sim
                  FROM probes p JOIN assign a ON a.cell = p.cell
                  WHERE a.vec_id <> p.qid AND a.label = p.qlabel),
-          ncand AS (SELECT qid, count(*) AS n_cand FROM cs GROUP BY qid),
-          sys5 AS (SELECT qid, vec_id FROM (
-                     SELECT qid, vec_id,
-                            row_number() OVER (PARTITION BY qid
-                                               ORDER BY cos_sim DESC, vec_id) AS rk
-                     FROM cs) WHERE rk <= 5),
-          hits AS (SELECT s.qid, count(*) AS n_hits
-                   FROM sys5 s JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id
-                   GROUP BY s.qid)
-          SELECT q.qid, q.qlabel, nlab.n_label,
-                 coalesce(ncand.n_cand, 0) AS n_cand,
-                 coalesce(hits.n_hits, 0) AS n_hits,
-                 (coalesce(hits.n_hits, 0) * 10000) // least(5, nlab.n_label)
-                   AS recall_bp
-          FROM q JOIN nlab ON nlab.qid = q.qid
-          LEFT JOIN ncand ON ncand.qid = q.qid
-          LEFT JOIN hits ON hits.qid = q.qid
-          ORDER BY q.qid"""
+          $filteredAnnReportSql""",
+
+    // q290: per-label centroids (8 smallest vec_ids within each label),
+    // label-keyed assignment and probes — candidates label-pure, no
+    // post-filter; report and truth CTEs shared verbatim with q287.
+    "q290_label_partitioned_ivf" ->
+      s"""WITH $labelTruthSqlCtes,
+          cent AS (SELECT label AS clabel, vec_id AS cent_id,
+                          embedding AS ce, nrm AS cn FROM (
+                     SELECT nl.*, row_number() OVER (PARTITION BY label
+                                                     ORDER BY vec_id) AS crn
+                     FROM nl) WHERE crn <= 8),
+          ac AS (SELECT nl.vec_id, nl.embedding, nl.nrm, cent.cent_id,
+                        ${VectorOps.oDot("nl.embedding", "cent.ce")} / (nl.nrm * cent.cn) AS ccos
+                 FROM nl JOIN cent ON cent.clabel = nl.label),
+          assign AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1),
+          pc AS (SELECT q.qid, q.qe, q.qn, cent.cent_id,
+                        ${VectorOps.oDot("q.qe", "cent.ce")} / (q.qn * cent.cn) AS pcos
+                 FROM q JOIN cent ON cent.clabel = q.qlabel),
+          probes AS (SELECT qid, qe, qn, cent_id AS cell FROM (
+                       SELECT *, row_number() OVER (PARTITION BY qid
+                                                    ORDER BY pcos DESC, cent_id) AS prn
+                       FROM pc) WHERE prn <= 4),
+          cs AS (SELECT p.qid, a.vec_id,
+                        ${VectorOps.oDot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cos_sim
+                 FROM probes p JOIN assign a ON a.cell = p.cell
+                 WHERE a.vec_id <> p.qid),
+          $filteredAnnReportSql"""
   )
+
+  /** Shared oracle CTEs for the filtered-ANN family (q287/q290): the
+    * labeled normed corpus `nl`, queries `q`, exact label-subset scores
+    * `ts`, subset sizes `nlab`, and exact top-5 `truth` — the SQL twin
+    * of [[labelTruth]], one definition for both oracles. */
+  private def labelTruthSqlCtes: String =
+    s"""$normedSql,
+        lab AS (SELECT vec_id, label FROM embeddings),
+        nl AS (SELECT n.vec_id, n.embedding, n.nrm, lab.label
+               FROM n JOIN lab ON lab.vec_id = n.vec_id),
+        q AS (SELECT vec_id AS qid, label AS qlabel,
+                     embedding AS qe, nrm AS qn
+              FROM nl WHERE vec_id < 10),
+        ts AS (SELECT q.qid, nl.vec_id,
+                      ${VectorOps.oDot("q.qe", "nl.embedding")} / (q.qn * nl.nrm) AS cos_sim
+               FROM q JOIN nl ON nl.label = q.qlabel AND nl.vec_id <> q.qid),
+        nlab AS (SELECT qid, count(*) AS n_label FROM ts GROUP BY qid),
+        truth AS (SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id,
+                           row_number() OVER (PARTITION BY qid
+                                              ORDER BY cos_sim DESC, vec_id) AS rk
+                    FROM ts) WHERE rk <= 5)"""
+
+  /** SQL twin of [[filteredAnnReport]]: consumes `cs(qid, vec_id,
+    * cos_sim)` plus the [[labelTruthSqlCtes]] relations and emits the
+    * final 6-column report (ends with the SELECT). */
+  private def filteredAnnReportSql: String =
+    """ncand AS (SELECT qid, count(*) AS n_cand FROM cs GROUP BY qid),
+       sys5 AS (SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY cos_sim DESC, vec_id) AS rk
+                  FROM cs) WHERE rk <= 5),
+       hits AS (SELECT s.qid, count(*) AS n_hits
+                FROM sys5 s JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id
+                GROUP BY s.qid)
+       SELECT q.qid, q.qlabel, nlab.n_label,
+              coalesce(ncand.n_cand, 0) AS n_cand,
+              coalesce(hits.n_hits, 0) AS n_hits,
+              (coalesce(hits.n_hits, 0) * 10000) // least(5, nlab.n_label)
+                AS recall_bp
+       FROM q JOIN nlab ON nlab.qid = q.qid
+       LEFT JOIN ncand ON ncand.qid = q.qid
+       LEFT JOIN hits ON hits.qid = q.qid
+       ORDER BY q.qid"""
 }

@@ -4084,6 +4084,33 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.exists(_._6 == 10000L), "no query kept full recall")
   }
 
+  test("label-partitioned IVF repairs the recall q287's post-filter loses") {
+    def rows(name: String) =
+      ext.SimilarityQueries.queries(name)(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    val fix = rows("q290_label_partitioned_ivf")
+    val post = rows("q287_filtered_ann")
+    // shared truth: qid/qlabel/n_label columns identical line by line
+    assert(fix.map(t => (t._1, t._2, t._3)).toSeq ==
+      post.map(t => (t._1, t._2, t._3)).toSeq)
+    fix.foreach { case (qid, _, nl, nc, nh, rbp) =>
+      assert(nc > 0 && nc <= nl, s"q$qid candidates outside the subset")
+      assert(nh <= math.min(5L, nc), s"q$qid hits exceed candidates/k")
+      assert(rbp == nh * 10000L / math.min(5L, nl), s"q$qid recall arithmetic")
+    }
+    // the fix: label-local probes dominate post-filtering per query at
+    // this scale (measured: sf0.001 47 vs 38 hits, sf0.01 46 vs 31) and
+    // STRICTLY in aggregate — the layout must actually repair recall
+    fix.zip(post).foreach { case (f, p) =>
+      assert(f._5 >= p._5, s"q${f._1} fix ${f._5} < post-filter ${p._5}") }
+    assert(fix.map(_._5).sum > post.map(_._5).sum,
+      "label-partitioned index no better than post-filtering — vacuous fix")
+    // the price: the whole probe budget lands inside the subset, so the
+    // fix sees MORE candidates per query than the label-blind probes
+    assert(fix.map(_._4).sum > post.map(_._4).sum)
+  }
+
   test("TextRank keywords equal a brute-force integer fixed-point replay") {
     val rows = ext.TextQueries.queries("q288_textrank_keywords")(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1)))

@@ -547,6 +547,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q290: label-partitioned IVF joins label-keyed — no corpus-wide cross") {
+    withAqeOff {
+      val p = plan("q290_label_partitioned_ivf")
+      // assignment must join corpus-to-centroids on the label key with
+      // the centroid side broadcast — a cartesian here is the label-
+      // blind layout this operator exists to replace
+      assert(!p.contains("CartesianProduct"),
+        s"label-partitioned assignment went cartesian:\n${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"centroid/query sides must broadcast:\n${p.take(1500)}")
+    }
+  }
+
   test("q288: TextRank rounds reuse the skip-gram edge exchange") {
     // Three unrolled rounds each reference the SAME weighted edge
     // aggregate; if each round re-ran the corpus-sized pair explode the
