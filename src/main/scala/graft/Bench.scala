@@ -125,6 +125,7 @@ object Bench {
       "q287_filtered_ann"             -> 2.1,
       "q288_textrank_keywords"        -> 5.8,
       "q290_label_partitioned_ivf"    -> 2.3,
+      "q293_pack_coherence"           -> 2.6,
       "q41_minhash_lsh"               -> 3.8,
       "q43_ngram_jaccard"             -> 4.8,
       "q49_ml_minhash"                -> 3.3,

@@ -82,7 +82,8 @@ object ScaleProbe {
       "q287_filtered_ann" -> "label-filtered ANN: pre-filter truth vs post-filter IVF",
       "q288_textrank_keywords" -> "TextRank damped fixed-point over the skip-gram graph",
       "q289_pack_budget_sweep" -> "MaxSeqLen budget sweep (one prefix-sum pass x 4 budgets)",
-      "q290_label_partitioned_ivf" -> "label-partitioned IVF (the q287 pre-filter fix)")
+      "q290_label_partitioned_ivf" -> "label-partitioned IVF (the q287 pre-filter fix)",
+      "q293_pack_coherence" -> "adjacent-pair coherence of the semantic pack order vs doc-id")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job

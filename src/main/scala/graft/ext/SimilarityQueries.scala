@@ -917,8 +917,85 @@ object SimilarityQueries {
           (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
             .as("cos_sim"))
       filteredAnnReport(ql, nlab, truth, cs)
+    }),
+
+    // SEMANTIC PACK ORDER — in-context-pretraining-style corpus
+    // ordering (Shi et al. '23): feed the dataloader documents in an
+    // order where ADJACENT docs are topically related, so a packed
+    // context window (q188) holds coherent text instead of random
+    // shards. The order: group by IVF cell (the q51 index — seam
+    // reuse), inside each cell march from the centroid outward
+    // (cent_cos desc, vec_id tiebreak), cells concatenated in cell-id
+    // order. Scale: position is NEVER a global sort — per-cell
+    // windows (the cell is the shard) plus a 16-row broadcast prefix
+    // sum of cell sizes gives seq_pos = cell_offset + pos_in_cell,
+    // the q188/q289 two-level placement trick applied to ordering.
+    // q293 prices the coherence this buys.
+    "q292_semantic_pack_order" -> ((s, d) => semPackOrder(s, d)),
+
+    // PACK COHERENCE EVAL — what q292's ordering actually buys: the
+    // mean cosine between ADJACENT documents (the pairs that share a
+    // context window after packing) under the semantic order vs the
+    // naive doc-id order. Two rows, directly comparable; the semantic
+    // row must win (spec-pinned). The doc-id baseline exploits dense
+    // ids: adjacency is a key-shift join (vec_id ↔ vec_id + 1), no
+    // ordering state at all; the semantic side joins seq_pos ↔
+    // seq_pos + 1, co-keyed. Means are decimal-exact ([[graft.ops
+    // .davg]]) over per-pair cosines rounded to 6dp, so the two
+    // engines agree bit-for-bit regardless of accumulation order.
+    "q293_pack_coherence" -> ((s, d) => {
+      val n = normed(s, d)
+      def adjMean(pairs: DataFrame, name: String): DataFrame =
+        pairs
+          .join(n.select(col("vec_id").as("ida"),
+            col("embedding").as("ea"), col("nrm").as("na")), "ida")
+          .join(n.select(col("vec_id").as("idb"),
+            col("embedding").as("eb"), col("nrm").as("nb")), "idb")
+          .select(round(
+            VectorOps.dotSeq(col("ea"), col("eb")) / (col("na") * col("nb")),
+            6).as("cos"))
+          .agg(count(lit(1)).as("n_pairs"), davg(col("cos"), 6).as("mean_adj_cos"))
+          .select(lit(name).as("ordering"), col("n_pairs"), col("mean_adj_cos"))
+      val ord = semPackOrder(s, d).select("seq_pos", "doc_id")
+      val sem = adjMean(
+        ord.select(col("seq_pos"), col("doc_id").as("ida"))
+          .join(ord.select((col("seq_pos") - 1).as("seq_pos"),
+            col("doc_id").as("idb")), "seq_pos")
+          .select("ida", "idb"),
+        "semantic")
+      val naive = adjMean(
+        n.select(col("vec_id").as("ida"), (col("vec_id") + 1).as("idb"))
+          .join(n.select(col("vec_id").as("idb")), "idb")
+          .select("ida", "idb"),
+        "doc_id")
+      sem.unionByName(naive).orderBy("ordering")
     })
   )
+
+  /** q292's ordering, shared with its q293 eval: IVF cell grouping,
+    * centroid-outward within-cell order, two-level positions (per-cell
+    * window + broadcast cell-size prefix sum — no global sort). */
+  private def semPackOrder(s: SparkSession, d: String): DataFrame = {
+    val n = normed(s, d)
+    val cent = seedCentroids(n)
+    val scored = cellAssign(n, cent)
+      .join(broadcast(cent.withColumnRenamed("cent_id", "cell")), "cell")
+      .select(col("vec_id"), col("cell"),
+        (VectorOps.dotSeq(col("embedding"), col("ce")) / (col("nrm") * col("cn")))
+          .as("cent_cos"))
+    val pw = Window.partitionBy("cell").orderBy(col("cent_cos").desc, col("vec_id"))
+    val pos = scored.withColumn("pos_in_cell", row_number().over(pw))
+    val ow = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    // 16-row control plane: cell sizes + exclusive prefix sum
+    val offs = pos.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .withColumn("coff", coalesce(sum(col("csz")).over(ow), lit(0L)))
+      .select("cell", "coff")
+    pos.join(broadcast(offs), "cell")
+      .select((col("coff") + col("pos_in_cell")).as("seq_pos"),
+        col("vec_id").as("doc_id"), col("cell"),
+        round(col("cent_cos"), 6).as("cent_cos"))
+      .orderBy("seq_pos")
+  }
 
   /** Shared pre-filter TRUTH machinery for the filtered-ANN family
     * (q287 post-filter eval, q290 label-partitioned fix): the 10
@@ -1689,8 +1766,63 @@ object SimilarityQueries {
                         ${VectorOps.oDot("p.qe", "a.embedding")} / (p.qn * a.nrm) AS cos_sim
                  FROM probes p JOIN assign a ON a.cell = p.cell
                  WHERE a.vec_id <> p.qid),
-          $filteredAnnReportSql"""
+          $filteredAnnReportSql""",
+
+    // q292: the q51 assignment, per-cell centroid-outward positions,
+    // exclusive prefix-sum cell offsets.
+    "q292_semantic_pack_order" ->
+      s"""WITH $semPackOrderSqlCtes
+          SELECT CAST(coff + pic AS BIGINT) AS seq_pos, vec_id AS doc_id,
+                 CAST(cell AS BIGINT) AS cell, round(cent_cos, 6) AS cent_cos
+          FROM pos JOIN offs USING (cell) ORDER BY seq_pos""",
+
+    // q293: adjacent-pair mean cosine under q292's order (seq_pos
+    // key-shift) vs dense doc-id order (vec_id key-shift), decimal-
+    // exact means over 6dp-rounded pair cosines.
+    "q293_pack_coherence" ->
+      s"""WITH $semPackOrderSqlCtes,
+          ord AS (SELECT coff + pic AS seq_pos, vec_id FROM pos JOIN offs USING (cell)),
+          sp AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+                 FROM ord a JOIN ord b ON b.seq_pos = a.seq_pos + 1),
+          np AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+                 FROM n a JOIN n b ON b.vec_id = a.vec_id + 1),
+          sc AS (SELECT round(${VectorOps.oDot("na.embedding", "nb.embedding")}
+                              / (na.nrm * nb.nrm), 6) AS cos
+                 FROM sp JOIN n na ON na.vec_id = sp.ida
+                         JOIN n nb ON nb.vec_id = sp.idb),
+          nc AS (SELECT round(${VectorOps.oDot("na.embedding", "nb.embedding")}
+                              / (na.nrm * nb.nrm), 6) AS cos
+                 FROM np JOIN n na ON na.vec_id = np.ida
+                         JOIN n nb ON nb.vec_id = np.idb)
+          SELECT 'doc_id' AS ordering, CAST(count(*) AS BIGINT) AS n_pairs,
+                 ${oAvg("cos", 6)} AS mean_adj_cos FROM nc
+          UNION ALL
+          SELECT 'semantic' AS ordering, CAST(count(*) AS BIGINT) AS n_pairs,
+                 ${oAvg("cos", 6)} AS mean_adj_cos FROM sc
+          ORDER BY ordering"""
   )
+
+  /** Shared oracle CTEs for q292/q293: the q51 cell assignment with the
+    * winning centroid's cosine carried (`pos` adds the within-cell
+    * position, `offs` the exclusive cell-offset prefix sum). */
+  private def semPackOrderSqlCtes: String =
+    s"""$normedSql,
+        cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                 FROM n WHERE vec_id < 16),
+        ac AS (SELECT n.vec_id, cent.cent_id,
+                      ${VectorOps.oDot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) AS ccos
+               FROM n CROSS JOIN cent),
+        assign AS (SELECT vec_id, cent_id AS cell, ccos AS cent_cos FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY ccos DESC, cent_id) AS arn
+                     FROM ac) WHERE arn = 1),
+        pos AS (SELECT vec_id, cell, cent_cos,
+                       row_number() OVER (PARTITION BY cell
+                                          ORDER BY cent_cos DESC, vec_id) AS pic
+                FROM assign),
+        offs AS (SELECT cell, COALESCE(sum(csz) OVER (ORDER BY cell
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS coff
+                 FROM (SELECT cell, count(*) AS csz FROM pos GROUP BY cell))"""
 
   /** Shared oracle CTEs for the filtered-ANN family (q287/q290): the
     * labeled normed corpus `nl`, queries `q`, exact label-subset scores

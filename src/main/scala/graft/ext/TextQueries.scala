@@ -874,6 +874,45 @@ object TextQueries {
         .orderBy(col("tr").desc, col("word")).limit(20)
     }),
 
+    // VOCAB BUDGET SWEEP — the tuning curve behind q180's fixed
+    // 16-type vocabulary: corpus OOV token rate at vocab budgets
+    // N ∈ {8, 16, 32, 64}, all priced from ONE word-count pass (the
+    // q189/q207/q289 discipline). The vocab cut is the same total
+    // order q180 uses (count desc, word asc); where the oov_bp curve
+    // flattens is the budget a tokenizer team ships. Scale shape: one
+    // token-keyed count shuffle (map-side partials), then the global
+    // top-64 rides TakeOrderedAndProject — 64 rows, never a full
+    // sort; those 64 ranked rows explode into the budgets that can
+    // see them (rk <= N) and join the 1-row corpus totals. The curve
+    // SATURATES when the budget exceeds the type inventory
+    // (covered_types pins at n_types, oov at 0) — exercised at
+    // sf0.001 where the corpus holds ~31 types.
+    "q291_vocab_budget_sweep" -> ((s, d) => {
+      val budgets = Seq(8L, 16L, 32L, 64L)
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val totals = wc.agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"))
+      // bounded: the window ranks the 64 TakeOrdered survivors only
+      val top = wc.orderBy(col("c").desc, col("word")).limit(64)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("c").desc, col("word"))))
+      top.select(col("c"), col("rk"),
+          explode(array(budgets.map(lit(_)): _*)).as("vocab_budget"))
+        .filter(col("rk") <= col("vocab_budget"))
+        .groupBy("vocab_budget")
+        .agg(count(lit(1)).as("covered_types"),
+          sum(col("c")).as("covered_tokens"))
+        .crossJoin(broadcast(totals))
+        .select(col("vocab_budget"), col("covered_types"), col("n_types"),
+          col("n_tokens"), col("covered_tokens"),
+          (col("n_tokens") - col("covered_tokens")).as("oov_tokens"),
+          expr("((n_tokens - covered_tokens) * 10000) DIV n_tokens")
+            .as("oov_bp"))
+        .orderBy("vocab_budget")
+    }),
+
     "q285_boilerplate_chunks" -> ((s, d) => {
       val hdr = (0 until 40).map(i => s"b$i").mkString(" ")
       val ftr = (0 until 40).map(i => s"f$i").mkString(" ")
@@ -1558,6 +1597,28 @@ object TextQueries {
           FROM r${GraphQueries.PageRankRounds}
           ORDER BY tr DESC, word LIMIT 20"""
     },
+
+    // q291: one word-count pass; the ranked top-64 joins each budget
+    // it is visible to (rk <= N), totals cross-joined (1 row).
+    "q291_vocab_budget_sweep" ->
+      """WITH w AS (SELECT unnest(str_split(text, ' ')) AS word FROM documents),
+          wc AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+                         CAST(sum(c) AS BIGINT) AS n_tokens FROM wc),
+          top AS (SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rk
+                  FROM wc ORDER BY c DESC, word LIMIT 64),
+          b AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS vocab_budget),
+          cov AS (SELECT b.vocab_budget,
+                         CAST(count(*) AS BIGINT) AS covered_types,
+                         CAST(sum(top.c) AS BIGINT) AS covered_tokens
+                  FROM b JOIN top ON top.rk <= b.vocab_budget
+                  GROUP BY b.vocab_budget)
+          SELECT vocab_budget, covered_types, n_types, n_tokens,
+                 covered_tokens,
+                 n_tokens - covered_tokens AS oov_tokens,
+                 CAST((n_tokens - covered_tokens) * 10000 // n_tokens
+                      AS BIGINT) AS oov_bp
+          FROM cov CROSS JOIN tot ORDER BY vocab_budget""",
 
     // q285: planted header (aligned) + footer (unaligned) boilerplate,
     // then the cross-doc fingerprint census over the shared chunk CTEs.

@@ -4111,6 +4111,49 @@ class ExtensionSpec extends SparkSpec {
     assert(fix.map(_._4).sum > post.map(_._4).sum)
   }
 
+  test("semantic pack order is a permutation with contiguous centroid-outward cells") {
+    val rows = ext.SimilarityQueries.queries("q292_semantic_pack_order")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // permutation: every vector exactly once, positions 1..N
+    assert(rows.map(_._1).sorted.toSeq == (1L to emb.length))
+    assert(rows.map(_._2).sorted.toSeq == emb.map(_._1).sorted.toSeq)
+    // full replay: sequential-fold cosine to the 16 seed centroids,
+    // argmax assignment (ties to the smaller cell), centroid-outward
+    // order within each cell, cells concatenated in id order
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val nrm = emb.map { case (id, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    val byId = emb.toMap
+    val cents = emb.filter(_._1 < 16).sortBy(_._1)
+    val assigned = emb.map { case (id, e) =>
+      val best = cents.map { case (cid, ce) =>
+        (dot(e, ce) / (nrm(id) * nrm(cid)), cid) }
+        .maxBy { case (c, cid) => (c, -cid) }
+      (id, best._2, dot(e, byId(best._2)) / (nrm(id) * nrm(best._2)))
+    }
+    val want = assigned.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (cell, xs) =>
+      xs.sortBy { case (id, _, c) => (-c, id) }.map(t => (t._1, cell))
+    }.zipWithIndex.map { case ((id, cell), i) => (i + 1L, id, cell) }
+    assert(rows.map(t => (t._1, t._2, t._3)).sortBy(_._1).toSeq == want,
+      s"order mismatch: got ${rows.sortBy(_._1).take(5).toSeq} want ${want.take(5)}")
+  }
+
+  test("pack coherence: the semantic order strictly beats doc-id adjacency") {
+    val rows = ext.SimilarityQueries.queries("q293_pack_coherence")(spark, sf)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("doc_id", "semantic"))
+    val n = Tables.embeddings(spark, sf).count()
+    // both orderings pair every adjacent slot exactly once
+    assert(rows.forall(_._2 == n - 1), s"pair counts ${rows.map(_._2).toSeq}")
+    // the whole point: related docs end up adjacent
+    assert(rows(1)._3 > rows(0)._3,
+      s"semantic ${rows(1)._3} <= doc_id ${rows(0)._3} — ordering buys nothing")
+  }
+
   test("TextRank keywords equal a brute-force integer fixed-point replay") {
     val rows = ext.TextQueries.queries("q288_textrank_keywords")(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1)))
@@ -4144,6 +4187,35 @@ class ExtensionSpec extends SparkSpec {
       s"got ${rows.take(3).toSeq} want ${want.take(3)}")
     // a hub word must outrank a tail word: ranks are not all equal
     assert(rows.map(_._2).distinct.length > 1, "degenerate flat ranking")
+  }
+
+  test("vocab budget sweep equals a full-frequency replay and saturates") {
+    val rows = ext.TextQueries.queries("q291_vocab_budget_sweep")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(8L, 16L, 32L, 64L))
+    // replay: exact word frequencies from the raw corpus, the same
+    // (count desc, word asc) total order q180's vocabulary cut uses
+    val freq = scala.collection.mutable.Map[String, Long]()
+    Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
+    val ranked = freq.toSeq.sortBy { case (w, c) => (-c, w) }
+    val nTokens = ranked.map(_._2).sum
+    rows.foreach { case (n, cTypes, types, tokens, cTok, oovTok, oovBp) =>
+      assert(types == ranked.length && tokens == nTokens, s"N=$n totals")
+      assert(cTypes == math.min(n, ranked.length), s"N=$n covered types")
+      assert(cTok == ranked.take(n.toInt).map(_._2).sum, s"N=$n covered mass")
+      assert(oovTok == tokens - cTok && oovBp == oovTok * 10000 / tokens,
+        s"N=$n oov arithmetic")
+    }
+    // the curve is monotone, and SATURATES once the budget exceeds the
+    // type inventory (the sf0.001 corpus holds ~31 types, so the 32-
+    // and 64-budget rows must both sit at exactly zero OOV)
+    val bps = rows.map(_._7).toSeq
+    assert(bps.zip(bps.tail).forall(p => p._1 >= p._2), s"non-monotone: $bps")
+    rows.filter(r => r._1 >= r._3).foreach { r =>
+      assert(r._6 == 0L && r._2 == r._3, s"budget ${r._1} not saturated") }
+    assert(rows.exists(r => r._1 >= r._3), "no saturated rung at this scale")
   }
 
   test("Benford audit digits partition each column and match a direct replay") {
