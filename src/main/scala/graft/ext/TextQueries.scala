@@ -58,7 +58,8 @@ object TextQueries {
     * exactly once; query terms come from the already-aggregated tf table,
     * never a re-shuffle of the raw stream; corpus stats broadcast. */
   private[ext] def bm25TopK(corpus: DataFrame, queryPred: org.apache.spark.sql.Column,
-                            k: Int): DataFrame = {
+                            k: Int,
+                            candPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val toks = bigramTokens(corpus, "doc_id")
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
@@ -74,7 +75,7 @@ object TextQueries {
       .select(col("doc_id").as("qid"), col("w"))
     val term = qt.join(idf, "w").join(tf, "w")
       .join(dl, "doc_id")
-      .filter(col("doc_id") =!= col("qid"))
+      .filter(col("doc_id") =!= col("qid") && candPred)
       .select(col("qid"), col("doc_id"),
         round(col("idf") * ((col("tf").cast("double") * lit(2.2))
           / (col("tf").cast("double")
@@ -90,7 +91,8 @@ object TextQueries {
     * corpus source `$src` with query predicate `$qtWhere` (over tf's
     * doc_id). The caller selects from `ranked` (qid, doc_id, score,
     * rank). */
-  private[ext] def oBm25Ctes(src: String, qtWhere: String): String =
+  private[ext] def oBm25Ctes(src: String, qtWhere: String,
+                             candWhere: String = "TRUE"): String =
     s"""toks AS (${oBigramTokens(src, "doc_id")}),
         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
@@ -110,7 +112,7 @@ object TextQueries {
                           6) AS ts
                  FROM qt JOIN idf USING (w) JOIN tf USING (w)
                  JOIN dl ON dl.doc_id = tf.doc_id
-                 WHERE tf.doc_id <> qt.qid),
+                 WHERE tf.doc_id <> qt.qid AND $candWhere),
         scored AS (SELECT qid, doc_id, ${oSum("ts", 6)} AS score
                    FROM term GROUP BY qid, doc_id),
         ranked AS (SELECT qid, doc_id, score,
@@ -800,6 +802,7 @@ object TextQueries {
     // embedding/packing downstream).
     "q283_chunk_overlap" -> ((s, d) =>
       chunked(Tables.documents(s, d).select("doc_id", "text"))
+        .select("doc_id", "chunk_idx", "start_tok", "chunk_len", "chunk_md5")
         .orderBy("doc_id", "chunk_idx")),
 
     // Chunk-level BOILERPLATE census — exact dedup at q283's chunk
@@ -913,6 +916,48 @@ object TextQueries {
         .orderBy("vocab_budget")
     }),
 
+    // CHUNK-GRANULARITY RETRIEVAL — the RAG index-granularity question
+    // q221 (doc-level MRR) and q283 (the chunker) leave open: when the
+    // index holds 32-token CHUNKS instead of whole documents, can a
+    // known-item query still locate its source? Corpus = the docs
+    // PLUS their chunks (re-keyed doc*1000+idx, offset so ids never
+    // collide); queries = every 25th doc (q221's cadence) searching
+    // with its full text; candidates restricted to chunks via
+    // [[bm25TopK]]'s new candidate predicate (the query docs share
+    // the postings build but never compete with their own chunks).
+    // Output per query: its chunk count, the best rank any of its own
+    // chunks reaches, how many of its chunks crowd the top-10, and
+    // reciprocal rank in exact ppm — the fragmentation diagnostic
+    // (one strong chunk vs the doc's term mass diluted across many).
+    // Scale: one postings shuffle exactly like q125/q221 — the chunk
+    // explode is bounded (~n_tok/stride rows per doc) and map-side.
+    "q294_chunk_retrieval" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val ch = chunked(docs)
+      val chunkDocs = ch.select(
+        (col("doc_id") * 1000L + col("chunk_idx") + 1000000000L).as("doc_id"),
+        col("chunk_text").as("text"))
+      val ranked = bm25TopK(docs.unionByName(chunkDocs),
+        col("doc_id") % 25 === 0 && col("doc_id") < 1000000000L, 10,
+        col("doc_id") >= 1000000000L)
+      val expected = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("qid"))
+      val nch = ch.groupBy(col("doc_id").as("qid"))
+        .agg(count(lit(1)).as("n_chunks"))
+      val own = ranked
+        .filter(expr("(doc_id - 1000000000) DIV 1000") === col("qid"))
+        .groupBy("qid").agg(min(col("rank")).as("best_rank"),
+          count(lit(1)).as("n_own_top10"))
+      expected.join(nch, "qid")
+        .join(own, Seq("qid"), "left")
+        .select(col("qid"), col("n_chunks"),
+          coalesce(col("best_rank"), lit(0)).as("best_rank"),
+          coalesce(col("n_own_top10"), lit(0L)).as("n_own_top10"),
+          expr("IF(coalesce(best_rank, 0) >= 1, 1000000 DIV best_rank," +
+            " CAST(0 AS BIGINT))").as("rr_ppm"))
+        .orderBy("qid")
+    }),
+
     "q285_boilerplate_chunks" -> ((s, d) => {
       val hdr = (0 until 40).map(i => s"b$i").mkString(" ")
       val ftr = (0 until 40).map(i => s"f$i").mkString(" ")
@@ -956,9 +1001,10 @@ object TextQueries {
         least(lit(w.toLong), col("n_tok") - col("start_tok") + 1))
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
         col("chunk_len"),
-        md5(concat_ws(" ",
-          expr("slice(ws, CAST(start_tok AS INT), CAST(chunk_len AS INT))")))
-          .as("chunk_md5"))
+        concat_ws(" ",
+          expr("slice(ws, CAST(start_tok AS INT), CAST(chunk_len AS INT))"))
+          .as("chunk_text"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
   }
 
   /** q286/q288's shared skip-gram pair stream over `documents`:
@@ -1022,16 +1068,18 @@ object TextQueries {
       x AS (SELECT doc_id, ws, n_tok,
                    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
             FROM c),
-      chunks AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-                        CAST(chunk_idx * 24 + 1 AS BIGINT) AS start_tok,
-                        CAST(least(32, n_tok - (chunk_idx * 24 + 1) + 1)
-                             AS BIGINT) AS chunk_len,
-                        md5(array_to_string(
-                              ws[(chunk_idx * 24 + 1):
-                                 (chunk_idx * 24 +
-                                  least(32, n_tok - chunk_idx * 24))],
-                              ' ')) AS chunk_md5
-                 FROM x)"""
+      chunks AS (SELECT doc_id, chunk_idx, start_tok, chunk_len, chunk_text,
+                        md5(chunk_text) AS chunk_md5 FROM (
+                   SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                          CAST(chunk_idx * 24 + 1 AS BIGINT) AS start_tok,
+                          CAST(least(32, n_tok - (chunk_idx * 24 + 1) + 1)
+                               AS BIGINT) AS chunk_len,
+                          array_to_string(
+                            ws[(chunk_idx * 24 + 1):
+                               (chunk_idx * 24 +
+                                least(32, n_tok - chunk_idx * 24))],
+                            ' ') AS chunk_text
+                   FROM x))"""
 
   /** Multi-round BPE trainer: iterates q121's training round `nMerges`
     * times over the word-TYPE table and returns the ranked merge table
@@ -1619,6 +1667,36 @@ object TextQueries {
                  CAST((n_tokens - covered_tokens) * 10000 // n_tokens
                       AS BIGINT) AS oov_bp
           FROM cov CROSS JOIN tot ORDER BY vocab_budget""",
+
+    // q294: the shared chunk CTEs re-keyed into the BM25 corpus; the
+    // candidate predicate keeps query docs out of the ranking.
+    "q294_chunk_retrieval" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $chunkSqlCtes,
+          bmc AS (SELECT doc_id, text FROM corpus
+                  UNION ALL
+                  SELECT doc_id * 1000 + chunk_idx + 1000000000 AS doc_id,
+                         chunk_text AS text FROM chunks),
+          ${oBm25Ctes("bmc", "doc_id % 25 = 0 AND doc_id < 1000000000",
+                      "tf.doc_id >= 1000000000")},
+          expected AS (SELECT doc_id AS qid FROM corpus WHERE doc_id % 25 = 0),
+          nch AS (SELECT doc_id AS qid, count(*) AS n_chunks
+                  FROM chunks GROUP BY doc_id),
+          own AS (SELECT r.qid, min(r.rank) AS best_rank,
+                         count(*) AS n_own_top10
+                  FROM ranked r
+                  WHERE r.rank <= 10
+                    AND (r.doc_id - 1000000000) // 1000 = r.qid
+                  GROUP BY r.qid)
+          SELECT e.qid, CAST(nch.n_chunks AS BIGINT) AS n_chunks,
+                 CAST(coalesce(own.best_rank, 0) AS BIGINT) AS best_rank,
+                 CAST(coalesce(own.n_own_top10, 0) AS BIGINT) AS n_own_top10,
+                 CAST(CASE WHEN coalesce(own.best_rank, 0) >= 1
+                           THEN 1000000 // own.best_rank
+                           ELSE 0 END AS BIGINT) AS rr_ppm
+          FROM expected e JOIN nch ON nch.qid = e.qid
+          LEFT JOIN own ON own.qid = e.qid
+          ORDER BY e.qid""",
 
     // q285: planted header (aligned) + footer (unaligned) boilerplate,
     // then the cross-doc fingerprint census over the shared chunk CTEs.

@@ -4189,6 +4189,32 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length > 1, "degenerate flat ranking")
   }
 
+  test("chunk retrieval: chunk census replayed, hits bounded, fragmentation visible") {
+    val rows = ext.TextQueries.queries("q294_chunk_retrieval")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // query domain: every 25th doc, none dropped
+    assert(rows.map(_._1).toSeq == docs.map(_._1).filter(_ % 25 == 0).sorted.toSeq)
+    val byId = docs.toMap
+    rows.foreach { case (qid, nCh, best, own, rr) =>
+      // chunk count replays the shared chunker arithmetic
+      val nTok = byId(qid).split(" ", -1).length
+      assert(nCh == 1 + (math.max(0, nTok - 32) + 23) / 24, s"q$qid n_chunks")
+      assert(best >= 0 && best <= 10, s"q$qid rank domain")
+      assert(own <= math.min(10L, nCh), s"q$qid own-chunk count")
+      assert((best == 0) == (own == 0), s"q$qid hit consistency")
+      assert(rr == (if (best >= 1) 1000000 / best else 0L), s"q$qid rr")
+    }
+    // a doc's own chunks carry its exact term mass: every query finds
+    // SOME chunk of itself in the top-10 at this scale...
+    assert(rows.forall(_._3 >= 1), "a query lost its own chunks entirely")
+    // ...but fragmentation is visible — not every query holds rank 1
+    // (measured at sf0.001: two queries degrade to rank 2)
+    assert(rows.exists(_._3 > 1), "no degradation anywhere — vacuous eval")
+    assert(rows.count(_._3 == 1) * 2 > rows.length, "rank-1 not the majority")
+  }
+
   test("vocab budget sweep equals a full-frequency replay and saturates") {
     val rows = ext.TextQueries.queries("q291_vocab_budget_sweep")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
