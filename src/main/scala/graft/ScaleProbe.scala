@@ -83,7 +83,9 @@ object ScaleProbe {
       "q288_textrank_keywords" -> "TextRank damped fixed-point over the skip-gram graph",
       "q289_pack_budget_sweep" -> "MaxSeqLen budget sweep (one prefix-sum pass x 4 budgets)",
       "q290_label_partitioned_ivf" -> "label-partitioned IVF (the q287 pre-filter fix)",
-      "q293_pack_coherence" -> "adjacent-pair coherence of the semantic pack order vs doc-id")
+      "q293_pack_coherence" -> "adjacent-pair coherence of the semantic pack order vs doc-id",
+      "q292_semantic_pack_order" -> "IVF-cell semantic ordering with two-level positions",
+      "q294_chunk_retrieval" -> "BM25 known-item retrieval over the chunk-granularity index")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
