@@ -56,10 +56,21 @@ object Mutations {
                                 //   arithmetic typo; every fingerprint
                                 //   shifts, so q283 AND the q285 census
                                 //   built on the shared seam go red
-    "q286_window_off_by_one")   // skip-gram window radius 4, not 3 — the
+    "q286_window_off_by_one",   // skip-gram window radius 4, not 3 — the
                                 //   symmetric-window bound typo; extra
                                 //   pairs shift the counts AND the q288
                                 //   TextRank mass on the shared seam
+    "q51_seed_fencepost")       // IVF seeds vec_id < 17, not < 16 — the
+                                //   index-build fencepost in the ONE
+                                //   seedCentroids seam every IVF consumer
+                                //   rides. Red-cased on q287 (candidate
+                                //   counts are cell-sensitive) and q292
+                                //   (positions shift with any boundary);
+                                //   q51's own top-5 measurably ABSORBS the
+                                //   17th seed at sf0.001 — the ranked
+                                //   search surface is the least sensitive
+                                //   member, which is exactly why the
+                                //   red-cases pin the count/order surfaces
 
   /** Test hook: run `body` with exactly one knob enabled. */
   private[graft] def withMutation[T](name: String)(body: => T): T = {

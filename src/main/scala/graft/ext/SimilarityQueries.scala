@@ -75,10 +75,18 @@ object SimilarityQueries {
       .select("qid", "rank", "vec_id", "cos_sim")
   }
 
-  /** The 16 seed centroids over the normed corpus. */
-  private def seedCentroids(n: DataFrame): DataFrame =
-    n.filter(col("vec_id") < 16)
+  /** The 16 seed centroids over the normed corpus. ONE seam for every
+    * IVF consumer (q51/q128/q204/q207/q287/q292…), so [[graft
+    * .Mutations]] can plant the index-build fencepost
+    * ("q51_seed_fencepost": 17 seeds) once and red-case the family —
+    * the oracle CTEs hardcode `vec_id < 16`, so every cell boundary
+    * shifts and the harness goes red. Knob read at plan-construction
+    * time (compile-time constant when off). */
+  private def seedCentroids(n: DataFrame): DataFrame = {
+    val c = if (graft.Mutations.on("q51_seed_fencepost")) 17 else 16
+    n.filter(col("vec_id") < c)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+  }
 
   /** Per-query probed cells: the `maxProbes` nearest centroids per qid
     * (qid < 10), with the probe rank `prn` attached — map-only against
