@@ -838,6 +838,25 @@ object TextQueries {
         .orderBy(col("w_sum").desc, col("center"), col("context"))
         .limit(20)),
 
+    // q286 through the REAL streaming engine — the co-occurrence table
+    // is exactly the artifact a production pipeline maintains
+    // INCREMENTALLY as the corpus grows: the pair explode is stateless
+    // (the shared [[skipgramPairs]] seam runs unchanged on a streaming
+    // DataFrame), per-batch partial counts merge in the state store,
+    // and Complete mode makes the final table equal the batch
+    // aggregation — so the DuckDB oracle is q286's VERBATIM, the
+    // stream==batch discipline of q170/q143/q198. Top-20 is batch-side
+    // post-processing on the completed (vocab²-bounded) count table.
+    "q295_stream_skipgram" -> ((s, d) => {
+      val docs = graft.streaming.StreamingPipelines.documentsStream(s, d)
+      val agg = skipgramPairs(docs)
+        .groupBy("center", "context")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("w")).as("w_sum"))
+      graft.streaming.StreamingPipelines.runToCompletion(s, agg)
+        .orderBy(col("w_sum").desc, col("center"), col("context"))
+        .limit(20)
+    }),
+
     // TextRank KEYWORD extraction (Mihalcea & Tarau '04) — damped
     // PageRank over q286's word co-occurrence graph: a word matters
     // when it co-occurs with words that matter. The corpus-level
@@ -1039,6 +1058,15 @@ object TextQueries {
 
   /** Symmetric skip-gram window radius for q286/q288. */
   private val SkipgramRadius = 3
+
+  /** ONE oracle string for the skip-gram count table — q286 (batch) and
+    * q295 (streaming twin) must grade against the identical SQL. */
+  private def skipgramCountSql: String =
+    s"""WITH $skipgramSqlCtes
+        SELECT center, context, count(*) AS n_pairs,
+               CAST(sum(w) AS BIGINT) AS w_sum
+        FROM pr GROUP BY center, context
+        ORDER BY w_sum DESC, center, context LIMIT 20"""
 
   /** SQL twin of [[skipgramPairs]]: CTE chain ending in
     * `pr(center, context, w)` over `documents`. */
@@ -1613,12 +1641,11 @@ object TextQueries {
 
     // q286: positions × the six offsets, bounds-filtered — the same
     // pair stream the Spark explode emits (shared CTE chain with q288).
-    "q286_skipgram_counts" ->
-      s"""WITH $skipgramSqlCtes
-          SELECT center, context, count(*) AS n_pairs,
-                 CAST(sum(w) AS BIGINT) AS w_sum
-          FROM pr GROUP BY center, context
-          ORDER BY w_sum DESC, center, context LIMIT 20""",
+    "q286_skipgram_counts" -> skipgramCountSql,
+
+    // q295: the stream must equal the batch, so the oracle is q286's
+    // VERBATIM (the q170/q143/q198 stream==batch discipline).
+    "q295_stream_skipgram" -> skipgramCountSql,
 
     // q288: the shared pair CTEs aggregated to a weighted edge table,
     // then PageRankRounds unrolled damped micro-rank rounds (85/100

@@ -157,6 +157,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streamed skip-gram counts equal the batch co-occurrence table") {
+    // the shared skipgramPairs seam runs statelessly on the streaming
+    // DataFrame; Complete-mode counts must equal q286's batch table
+    val streamed = ext.TextQueries.queries("q295_stream_skipgram")(spark, sf)
+      .collect()
+    val batch = ext.TextQueries.queries("q286_skipgram_counts")(spark, sf)
+      .collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("foreachBatch sink lands per-batch parquet output") {
     val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
     val q = StreamingPipelines.eventsStream(spark, sf)
