@@ -85,7 +85,8 @@ object ScaleProbe {
       "q290_label_partitioned_ivf" -> "label-partitioned IVF (the q287 pre-filter fix)",
       "q293_pack_coherence" -> "adjacent-pair coherence of the semantic pack order vs doc-id",
       "q292_semantic_pack_order" -> "IVF-cell semantic ordering with two-level positions",
-      "q294_chunk_retrieval" -> "BM25 known-item retrieval over the chunk-granularity index")
+      "q294_chunk_retrieval" -> "BM25 known-item retrieval over the chunk-granularity index",
+      "q296_license_propagation" -> "license flow through LSH+CC dup clusters (q54 + rollup)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job

@@ -309,6 +309,44 @@ object DedupEvalQueries {
     // Scale: rides q54's machinery; the span rollup is one
     // (cluster, source) distinct + a cluster-keyed aggregate, both
     // map-side combined; the census is 3 rows.
+    // LICENSE PROPAGATION through dup clusters — the LEGAL view of
+    // dedup: when a cluster holds one restrictively-licensed member,
+    // every member inherits the restriction (a permissive copy of
+    // restricted text is still restricted text). Licenses are derived
+    // deterministically from the source id (src % 3 → permissive /
+    // attribution / restricted — 20 sources, so every tier is
+    // populated and clusters mix tiers); each member attributes to
+    // its base doc's source via doc_id % 1M (the q255 rule — copies
+    // charge the source that scraped them). Effective license = the
+    // cluster max. Output: the own→effective FLOW MATRIX (n_docs +
+    // n_clusters per cell) — the off-diagonal cells are exactly the
+    // docs whose usable license DEGRADED because they duplicate
+    // restricted content, the number a compliance review reads first.
+    // Scale: rides q54's machinery unchanged (banded LSH candidates,
+    // pointer-jumping CC); the license fold is one cluster-keyed max
+    // joined back member-side; the report is a ≤9-row rollup.
+    "q296_license_propagation" -> ((s, d) => {
+      val c = corpus(s, d)
+      val pairs = candidatePairsOf(shinglesRaw(c))
+      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val lic = comp.withColumn("base_id", col("doc_id") % 1000000L)
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("base_id"), col("source")), "base_id")
+        .withColumn("own_rank", expr("CAST(substring(source, 4) AS INT) % 3"))
+      val eff = lic.groupBy("cluster_id").agg(max(col("own_rank")).as("eff_rank"))
+      def tier(cn: String) =
+        s"CASE $cn WHEN 0 THEN 'permissive' WHEN 1 THEN 'attribution' ELSE 'restricted' END"
+      lic.join(eff, "cluster_id")
+        .groupBy("own_rank", "eff_rank")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .select(expr(tier("own_rank")).as("own_license"),
+          expr(tier("eff_rank")).as("eff_license"),
+          col("n_docs"), col("n_clusters"))
+        .orderBy("own_license", "eff_license")
+    }),
+
     "q277_cluster_span" -> ((s, d) => {
       val c = corpus(s, d)
       val pairs = candidatePairsOf(shinglesRaw(c))
@@ -656,14 +694,7 @@ object DedupEvalQueries {
     // q212: q54's recursive clustering + per-cluster longest-member argmax.
     "q212_canonical_docs" ->
       s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
-          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-                    UNION ALL SELECT id2, id1 FROM pairs),
-          reach AS (
-            SELECT doc_id AS id, doc_id AS r FROM corpus
-            UNION
-            SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst),
-          comp AS (SELECT id AS doc_id, min(r) AS cluster_id
-                   FROM reach GROUP BY id),
+          ${ccSqlCtes("comp")},
           sized AS (SELECT doc_id,
                       CAST(len(str_split(text, ' ')) AS INTEGER) AS n_words
                     FROM corpus),
@@ -680,16 +711,30 @@ object DedupEvalQueries {
           ORDER BY cluster_id""",
 
     // q277: q54's recursive clustering + per-cluster source-span census.
+    // q296: the shared CC chain + cluster-max license, own→effective flow.
+    "q296_license_propagation" ->
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
+          ${ccSqlCtes("cc")},
+          lr AS (SELECT c.doc_id, c.cluster_id,
+                        CAST(substring(d.source, 4) AS INT) % 3 AS own_rank
+                 FROM cc c JOIN documents d ON d.doc_id = c.doc_id % 1000000),
+          eff AS (SELECT cluster_id, max(own_rank) AS eff_rank
+                  FROM lr GROUP BY cluster_id)
+          SELECT CASE own_rank WHEN 0 THEN 'permissive'
+                               WHEN 1 THEN 'attribution'
+                               ELSE 'restricted' END AS own_license,
+                 CASE eff_rank WHEN 0 THEN 'permissive'
+                               WHEN 1 THEN 'attribution'
+                               ELSE 'restricted' END AS eff_license,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT lr.cluster_id) AS BIGINT) AS n_clusters
+          FROM lr JOIN eff ON eff.cluster_id = lr.cluster_id
+          GROUP BY own_rank, eff_rank
+          ORDER BY own_license, eff_license""",
+
     "q277_cluster_span" ->
       s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
-          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-                    UNION ALL SELECT id2, id1 FROM pairs),
-          reach AS (
-            SELECT doc_id AS id, doc_id AS r FROM corpus
-            UNION
-            SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst),
-          cc AS (SELECT id AS doc_id, min(r) AS cluster_id
-                 FROM reach GROUP BY id),
+          ${ccSqlCtes("cc")},
           ds AS (SELECT c.doc_id, c.cluster_id, d.source
                  FROM cc c JOIN documents d ON d.doc_id = c.doc_id % 1000000),
           per AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
@@ -713,14 +758,7 @@ object DedupEvalQueries {
     // q255: q54's recursive clustering + per-source raw vs surviving shares.
     "q255_dedup_impact" ->
       s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
-          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-                    UNION ALL SELECT id2, id1 FROM pairs),
-          reach AS (
-            SELECT doc_id AS id, doc_id AS r FROM corpus
-            UNION
-            SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst),
-          cc AS (SELECT id AS doc_id, min(r) AS cluster_id
-                 FROM reach GROUP BY id),
+          ${ccSqlCtes("cc")},
           ds AS (SELECT c.doc_id, c.cluster_id, d.source
                  FROM cc c JOIN documents d ON d.doc_id = c.doc_id % 1000000),
           raw AS (SELECT source, count(*) AS raw_docs FROM ds GROUP BY source),

@@ -224,6 +224,22 @@ object DedupQueries {
                  FROM bands_c a JOIN bands_c b
                    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
 
+  /** The recursive connected-components CTE chain every cluster-consuming
+    * oracle rides (q54/q212/q255/q277/q296): undirected `edges` from
+    * `pairs`, transitive `reach`, and the component table
+    * `ccName(doc_id, cluster_id)` — min reachable id as the label,
+    * matching [[GraphOps.connectedComponents]]. ONE builder (the
+    * corpusSqlFrom discipline) so the five oracles cannot drift. */
+  private[ext] def ccSqlCtes(ccName: String): String =
+    s"""edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                  UNION ALL SELECT id2, id1 FROM pairs),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS r FROM corpus
+          UNION
+          SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        $ccName AS (SELECT id AS doc_id, min(r) AS cluster_id
+                    FROM reach GROUP BY id)"""
+
   /** Building blocks reused by [[DedupPipeline]]. */
   private[ext] def shinglesOf(corpus: DataFrame): DataFrame = shingles(corpus)
   private[ext] def shinglesRawOf(corpus: DataFrame): DataFrame = shinglesRaw(corpus)
@@ -799,14 +815,8 @@ object DedupQueries {
 
     "q54_dedup_clusters" ->
       s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
-          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-                    UNION ALL SELECT id2, id1 FROM pairs),
-          reach AS (
-            SELECT doc_id AS id, doc_id AS r FROM corpus
-            UNION
-            SELECT e.src AS id, r.r FROM edges e JOIN reach r ON r.id = e.dst)
-          SELECT id AS doc_id, min(r) AS cluster_id
-          FROM reach GROUP BY id ORDER BY doc_id""",
+          ${ccSqlCtes("cc")}
+          SELECT doc_id, cluster_id FROM cc ORDER BY doc_id""",
 
     "q116_substring_dedup" ->
       s"""WITH $corpusSql,

@@ -3762,6 +3762,34 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("license propagation flow matrix equals a replay over q54's clusters") {
+    val rows = ext.DedupEvalQueries.queries("q296_license_propagation")(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    val rank = Map("permissive" -> 0, "attribution" -> 1, "restricted" -> 2)
+    // propagation only TIGHTENS: effective >= own on every populated cell
+    rows.foreach { case (own, eff, n, nc) =>
+      assert(rank(eff) >= rank(own), s"$own -> $eff loosened a license")
+      assert(n >= nc && nc >= 1, s"$own -> $eff counts") }
+    // the off-diagonal is the finding — some docs must degrade here
+    assert(rows.exists(r => r._1 != r._2), "no propagation observed — vacuous")
+    // full replay over q54's own clusters and the same license rule
+    val clusters = ext.DedupQueries.queries("q54_dedup_clusters")(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(rows.map(_._3).sum == clusters.length, "matrix must partition the corpus")
+    val srcOf = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val withRank = clusters.map { case (doc, cl) =>
+      (doc, cl, srcOf(doc % 1000000L).drop(3).toInt % 3) }
+    val effOf = withRank.groupBy(_._2).map { case (cl, xs) => cl -> xs.map(_._3).max }
+    val names = Seq("permissive", "attribution", "restricted")
+    val want = withRank.groupBy(t => (t._3, effOf(t._2)))
+      .map { case ((o, e), xs) =>
+        (names(o), names(e), xs.length.toLong, xs.map(_._2).distinct.length.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(rows.sortBy(t => (t._1, t._2)).toSeq == want,
+      s"matrix mismatch: got ${rows.toSeq} want $want")
+  }
+
   test("cluster span census reconciles with q54's clusters and source attribution") {
     val rows = ext.DedupEvalQueries.queries("q277_cluster_span")(spark, sf)
       .collect().map(r => r.getString(0) ->
