@@ -37,8 +37,14 @@ object VectorOps {
     dot / (na * nb)
 
   /** Squared L2 distance via the same sequential fold (PQ codebooks use
-    * L2 geometry; the square root is monotone and never needed). */
-  def l2sq(a: Column, b: Column): Column =
+    * L2 geometry; the square root is monotone and never needed).
+    * Backed by the codegen'd [[L2Sq]] expression — the interpreted HOF
+    * formulation is kept in [[l2sqHof]] for differential testing. */
+  def l2sq(a: Column, b: Column): Column = L2Sq.l2sq(a, b)
+
+  /** Reference formulation via built-in higher-order functions — same
+    * fold order, interpreted evaluation; kept for differential testing. */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val diff = x.cast("double") - y.cast("double")

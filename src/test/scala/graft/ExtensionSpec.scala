@@ -26,6 +26,16 @@ class ExtensionSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("codegen L2Sq is bit-identical to the higher-order fold on real data") {
+    val e = Tables.embeddings(spark, sf)
+    val mismatches = e.crossJoin(e.limit(20).select(col("embedding").as("e2")))
+      .select(VectorOps.l2sq(col("embedding"), col("e2")).as("fast"),
+        VectorOps.l2sqHof(col("embedding"), col("e2")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("DotProduct handles float×double (hyperplane literal) arrays") {
     val df = Seq(Tuple1(Array(1.5f, -2.0f))).toDF("a")
     val plane = array(lit(2.0), lit(0.5))
