@@ -118,15 +118,16 @@ object Bench {
       "q278_tail_trend"               -> 2.5,
       // new this round; constants from their OneQuery quiet min-of-2
       // (q282: 1.48, q284: 2.14, q286: 1.73, q287: 1.08, q288: 3.52,
-      //  q290: 1.19, q293: 1.39, q295: 2.83, q296: 5.89-at-load-3.9)
+      //  q290: 1.19, q293: 1.39, q296: 5.89-at-load-3.9; q286/q288/q295
+      //  re-derived after the generator-explode rewrite: 0.68/1.38/1.52)
       "q282_corpus_pipeline"          -> 2.7,
       "q284_kcenter_coreset"          -> 3.7,
-      "q286_skipgram_counts"          -> 3.1,
+      "q286_skipgram_counts"          -> 1.5,
       "q287_filtered_ann"             -> 2.1,
-      "q288_textrank_keywords"        -> 5.8,
+      "q288_textrank_keywords"        -> 2.6,
       "q290_label_partitioned_ivf"    -> 2.3,
       "q293_pack_coherence"           -> 2.6,
-      "q295_stream_skipgram"          -> 4.8,
+      "q295_stream_skipgram"          -> 2.8,
       "q296_license_propagation"      -> 9.3,
       "q41_minhash_lsh"               -> 3.8,
       "q43_ngram_jaccard"             -> 4.8,

@@ -1039,21 +1039,20 @@ object TextQueries {
     val r = if (graft.Mutations.on("q286_window_off_by_one")) SkipgramRadius + 1
             else SkipgramRadius
     val offs = ((-r to -1) ++ (1 to r)).mkString(", ")
+    // two codegen'd generators (position × offset) with plain projected
+    // expressions, instead of nested higher-order lambdas (transform/
+    // filter/flatten are INTERPRETED per element — this explode feeds
+    // q286/q288/q295, so the lambda dispatch was the hot path). The
+    // emitted pair stream is identical row-for-row.
     docs
       .select(split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        s"""flatten(transform(sequence(1, size(ws)),
-             i -> filter(
-                    transform(array($offs),
-                      o -> CASE WHEN i + o >= 1 AND i + o <= size(ws)
-                                THEN struct(element_at(ws, i) AS c,
-                                            element_at(ws, i + o) AS x,
-                                            ${r + 1} - abs(o) AS w)
-                           END),
-                    p -> p IS NOT NULL)))""")).as("p"))
-      .select(col("p.c").as("center"), col("p.x").as("context"),
-        col("p.w").as("w"))
+      .select(col("ws"), explode(expr("sequence(1, size(ws))")).as("i"))
+      .select(col("ws"), col("i"), explode(expr(s"array($offs)")).as("o"))
+      .filter(expr("i + o >= 1 AND i + o <= size(ws)"))
+      .select(expr("element_at(ws, i)").as("center"),
+        expr("element_at(ws, CAST(i + o AS INT))").as("context"),
+        expr(s"${r + 1} - abs(o)").as("w"))
   }
 
   /** Symmetric skip-gram window radius for q286/q288. */
