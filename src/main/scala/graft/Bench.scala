@@ -129,6 +129,7 @@ object Bench {
       "q293_pack_coherence"           -> 2.6,
       "q295_stream_skipgram"          -> 2.8,
       "q296_license_propagation"      -> 9.3,
+      "q297_band_cost_report"         -> 2.1,
       "q41_minhash_lsh"               -> 3.8,
       "q43_ngram_jaccard"             -> 4.8,
       "q49_ml_minhash"                -> 3.3,

@@ -309,6 +309,40 @@ object DedupEvalQueries {
     // Scale: rides q54's machinery; the span rollup is one
     // (cluster, source) distinct + a cluster-keyed aggregate, both
     // map-side combined; the census is 3 rows.
+    // LSH BAND COST REPORT — the capacity-planning readout behind the
+    // mega-bucket cap (DefaultMaxBucket = 1000): per band, how many
+    // buckets the corpus hashes into, how big the worst bucket is, the
+    // candidate-pair bill Σ n·(n−1)/2 BEFORE the cap vs AFTER it, and
+    // how many docs the cap silences. At 100 TB this is the number an
+    // operator reads before launching a dedup job — the pair bill is
+    // the join's output volume, and one boilerplate mega-bucket can
+    // dominate it quadratically (exactly what the cap exists to
+    // drop). Rides the SAME (band, bh) aggregate the production join
+    // shuffles on — one count per bucket, then a |bands|-row rollup;
+    // nothing here adds an exchange the dedup job doesn't already pay.
+    // On this organic fixture the cap drops nothing (max buckets ≪
+    // 1000) — pairs_before == pairs_after, which the spec pins along
+    // with the exact pair arithmetic; the q285-style planted-
+    // boilerplate corpora exercise the capped branch in the census
+    // specs.
+    "q297_band_cost_report" -> ((s, d) => {
+      val bands = bandTable(minhash(shinglesRaw(corpus(s, d))))
+      val buckets = bands.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      buckets.groupBy("band").agg(
+          sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_buckets"),
+          max(col("n")).as("max_bucket"),
+          sum(expr("n * (n - 1) DIV 2")).as("pairs_before"),
+          sum(when(col("n") <= DefaultMaxBucket,
+            expr("n * (n - 1) DIV 2")).otherwise(0L)).as("pairs_after"),
+          sum(when(col("n") > DefaultMaxBucket, col("n"))
+            .otherwise(0L)).as("docs_capped"))
+        .select(col("band").cast("long").as("band"), col("n_docs"),
+          col("n_buckets"), col("max_bucket"), col("pairs_before"),
+          col("pairs_after"), col("docs_capped"))
+        .orderBy("band")
+    }),
+
     // LICENSE PROPAGATION through dup clusters — the LEGAL view of
     // dedup: when a cluster holds one restrictively-licensed member,
     // every member inherits the restriction (a permissive copy of
@@ -711,6 +745,24 @@ object DedupEvalQueries {
           ORDER BY cluster_id""",
 
     // q277: q54's recursive clustering + per-cluster source-span census.
+    // q297: the shared band CTEs bucket-counted, pair bill before/after
+    // the cap per band.
+    "q297_band_cost_report" ->
+      s"""WITH $corpusSql, $shinglesSql, $minhashSql, $bandSql,
+          buckets AS (SELECT band, bh, count(*) AS n
+                      FROM bands GROUP BY band, bh)
+          SELECT CAST(band AS BIGINT) AS band,
+                 CAST(sum(n) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(max(n) AS BIGINT) AS max_bucket,
+                 CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_before,
+                 CAST(sum(CASE WHEN n <= $DefaultMaxBucket
+                               THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+                   AS pairs_after,
+                 CAST(sum(CASE WHEN n > $DefaultMaxBucket THEN n ELSE 0 END)
+                      AS BIGINT) AS docs_capped
+          FROM buckets GROUP BY band ORDER BY band""",
+
     // q296: the shared CC chain + cluster-max license, own→effective flow.
     "q296_license_propagation" ->
       s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,

@@ -3772,6 +3772,31 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("band cost report: every band signs every doc, pair bill exact, cap inert here") {
+    val rows = ext.DedupEvalQueries.queries("q297_band_cost_report")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // every band carries one signature per >=3-word corpus doc — the
+    // n_docs column pins that no band silently drops documents
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val nBase = docs.count(_._2 >= 3)            // originals
+    val nCopies = docs.count(_._2 >= 3)          // +1M exact copies
+    val nNear = docs.count(d => d._2 >= 10 && d._2 - 1 >= 3) // +2M drop-first
+    rows.foreach { case (b, nd, nb, mx, before, after, capped) =>
+      assert(nd == nBase + nCopies + nNear, s"band $b doc coverage")
+      assert(nb <= nd && mx >= 1 && mx <= nd, s"band $b bucket shape")
+      assert(after <= before, s"band $b cap raised the bill")
+      // organic fixture: max bucket is far below the 1000 cap, so the
+      // cap must be provably inert — the report shows the bill honestly
+      assert(mx <= 1000 && capped == 0 && before == after, s"band $b cap fired")
+    }
+    // near-dups share buckets with their originals: some bucket holds
+    // more than one doc in every band, so the pair bill is non-zero
+    assert(rows.forall(_._5 > 0), "no pair work anywhere — vacuous report")
+  }
+
   test("license propagation flow matrix equals a replay over q54's clusters") {
     val rows = ext.DedupEvalQueries.queries("q296_license_propagation")(spark, sf)
       .as[(String, String, Long, Long)].collect()
