@@ -935,6 +935,50 @@ object TextQueries {
         .orderBy("vocab_budget")
     }),
 
+    // STOP-GRAM CAP SWEEP — the eval behind [[BigramStopCap]] (= 10):
+    // BM25 drops every bigram appearing in more than 1/cap of the
+    // corpus (df · cap > n_docs — boilerplate grams carry no ranking
+    // signal and their postings dominate the index). This query prices
+    // the cap at ∈ {2, 5, 10, 20, 40} from ONE posting pass (the
+    // q189/q289 discipline): per cap, how many gram TYPES are stopped
+    // and how much posting MASS (total occurrences) the index sheds,
+    // both in exact counts + integer bp. Monotone by construction —
+    // a larger cap stops a superset of grams (spec-pinned). Scale:
+    // the same (gram)-keyed df/tf aggregate BM25 already pays; each
+    // gram-type row explodes into the 5 caps; totals are a 1-row
+    // broadcast. Zero per-cap corpus re-reads.
+    "q298_stopcap_sweep" -> ((s, d) => {
+      val caps = Seq(2L, 5L, 10L, 20L, 40L)
+      val g = bigramTokens(Tables.documents(s, d).select("doc_id", "text"), "doc_id")
+        .groupBy("w").agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf"))
+      val tot = g.agg(count(lit(1)).as("n_grams"), sum(col("tf")).as("n_postings"))
+      val nd = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 2)
+        .agg(count(lit(1)).as("n_docs"))
+      val stopped = g.crossJoin(broadcast(nd))
+        .select(col("df"), col("tf"), col("n_docs"),
+          explode(array(caps.map(lit(_)): _*)).as("cap"))
+        .filter(col("df") * col("cap") > col("n_docs"))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("stopped_grams"),
+          sum(col("tf")).as("stopped_postings"))
+      // zero-hit caps still emit rows: the curve's domain is fixed
+      s.range(1).select(explode(array(caps.map(lit(_)): _*)).as("cap"))
+        .crossJoin(broadcast(tot))
+        .join(stopped, Seq("cap"), "left")
+        .select(col("cap"),
+          coalesce(col("stopped_grams"), lit(0L)).as("stopped_grams"),
+          col("n_grams"),
+          expr("(coalesce(stopped_grams, 0) * 10000) DIV n_grams")
+            .as("stopped_grams_bp"),
+          coalesce(col("stopped_postings"), lit(0L)).as("stopped_postings"),
+          col("n_postings"),
+          expr("(coalesce(stopped_postings, 0) * 10000) DIV n_postings")
+            .as("stopped_mass_bp"))
+        .orderBy("cap")
+    }),
+
     // CHUNK-GRANULARITY RETRIEVAL — the RAG index-granularity question
     // q221 (doc-level MRR) and q283 (the chunker) leave open: when the
     // index holds 32-token CHUNKS instead of whole documents, can a
@@ -1693,6 +1737,33 @@ object TextQueries {
                  CAST((n_tokens - covered_tokens) * 10000 // n_tokens
                       AS BIGINT) AS oov_bp
           FROM cov CROSS JOIN tot ORDER BY vocab_budget""",
+
+    // q298: one gram df/tf pass crossed into the 5 caps; zero-hit caps
+    // still emit (left join against the literal cap table).
+    "q298_stopcap_sweep" ->
+      s"""WITH g AS (SELECT w, count(DISTINCT doc_id) AS df, count(*) AS tf
+                     FROM (${oBigramTokens("documents", "doc_id")}) GROUP BY w),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_grams,
+                         CAST(sum(tf) AS BIGINT) AS n_postings FROM g),
+          nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+                 WHERE len(str_split(text, ' ')) >= 2),
+          c AS (SELECT CAST(unnest([2, 5, 10, 20, 40]) AS BIGINT) AS cap),
+          st AS (SELECT cap, CAST(count(*) AS BIGINT) AS stopped_grams,
+                        CAST(sum(tf) AS BIGINT) AS stopped_postings
+                 FROM g CROSS JOIN nd CROSS JOIN c
+                 WHERE df * cap > n_docs GROUP BY cap)
+          SELECT c.cap,
+                 CAST(coalesce(st.stopped_grams, 0) AS BIGINT) AS stopped_grams,
+                 tot.n_grams,
+                 CAST((coalesce(st.stopped_grams, 0) * 10000) // tot.n_grams
+                      AS BIGINT) AS stopped_grams_bp,
+                 CAST(coalesce(st.stopped_postings, 0) AS BIGINT)
+                   AS stopped_postings,
+                 tot.n_postings,
+                 CAST((coalesce(st.stopped_postings, 0) * 10000) // tot.n_postings
+                      AS BIGINT) AS stopped_mass_bp
+          FROM c CROSS JOIN tot LEFT JOIN st ON st.cap = c.cap
+          ORDER BY c.cap""",
 
     // q294: the shared chunk CTEs re-keyed into the BM25 corpus; the
     // candidate predicate keeps query docs out of the ranking.

@@ -4252,6 +4252,42 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length > 1, "degenerate flat ranking")
   }
 
+  test("stop-cap sweep equals a bigram df/tf replay and climbs monotonically") {
+    val rows = ext.TextQueries.queries("q298_stopcap_sweep")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == Seq(2L, 5L, 10L, 20L, 40L))
+    // replay: exact bigram document frequencies and posting mass
+    val df = scala.collection.mutable.Map[String, Set[Long]]()
+    val tf = scala.collection.mutable.Map[String, Long]()
+    var nDocs = 0L
+    Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        val ws = r.getString(1).split(" ", -1)
+        if (ws.length >= 2) {
+          nDocs += 1
+          ws.sliding(2).map(_.mkString(" ")).foreach { g =>
+            tf(g) = tf.getOrElse(g, 0L) + 1L
+            df(g) = df.getOrElse(g, Set.empty) + r.getLong(0)
+          }
+        }
+      }
+    val nGrams = tf.size.toLong
+    val nPost = tf.values.sum
+    rows.foreach { case (cap, sg, ng, sgBp, sp, np, smBp) =>
+      val stopped = df.filter { case (_, ds) => ds.size.toLong * cap > nDocs }.keySet
+      assert(ng == nGrams && np == nPost, s"cap $cap totals")
+      assert(sg == stopped.size.toLong, s"cap $cap stopped types")
+      assert(sp == stopped.toSeq.map(tf).sum, s"cap $cap stopped mass")
+      assert(sgBp == sg * 10000 / nGrams && smBp == sp * 10000 / nPost,
+        s"cap $cap bp arithmetic")
+    }
+    // a larger cap stops a superset of grams — both curves monotone
+    val sgs = rows.map(_._2).toSeq
+    assert(sgs.zip(sgs.tail).forall(p => p._1 <= p._2), s"non-monotone: $sgs")
+    // the sweep must show a live region (top rung stops something)
+    assert(rows.last._2 > 0, "no cap stops anything — vacuous sweep")
+  }
+
   test("chunk retrieval: chunk census replayed, hits bounded, fragmentation visible") {
     val rows = ext.TextQueries.queries("q294_chunk_retrieval")(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
