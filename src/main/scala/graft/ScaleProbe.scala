@@ -86,12 +86,19 @@ object ScaleProbe {
       "q293_pack_coherence" -> "adjacent-pair coherence of the semantic pack order vs doc-id",
       "q292_semantic_pack_order" -> "IVF-cell semantic ordering with two-level positions",
       "q294_chunk_retrieval" -> "BM25 known-item retrieval over the chunk-granularity index",
-      "q296_license_propagation" -> "license flow through LSH+CC dup clusters (q54 + rollup)")
+      "q296_license_propagation" -> "license flow through LSH+CC dup clusters (q54 + rollup)",
+      "q295_stream_skipgram" -> "co-occurrence table through the streaming engine",
+      "q297_band_cost_report" -> "per-band LSH bucket census + pair bill")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
     // overheads amortized, not magic
     val notes: Map[String, String] = Map(
+      "q295_stream_skipgram" -> ("a streaming micro-batch run this short " +
+        "is dominated by per-query engine startup (state-store init, " +
+        "offset log), not data volume — both scales complete in ONE " +
+        "micro-batch, so a sub-2s reading carries no asymptotic signal; " +
+        "the data-path asymptote is q286's (same shared pair seam)"),
       "q119_hybrid_rrf" -> ("demo query set scales with the corpus " +
         "(doc_id % 50), so the brute-force semantic branch's asymptote " +
         "is quadratic in corpus growth; a production deployment holds " +
