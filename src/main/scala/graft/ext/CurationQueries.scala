@@ -617,6 +617,57 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // DATASET CARD — the one-page datasheet (Gebru et al. '18) a data
+    // team ships WITH a corpus: volume, composition, duplication, and
+    // licensing in one fixed-domain metric table. Every line reuses
+    // arithmetic another graded query owns (q62 token counts, q203's
+    // language mix, q40's md5 exact-dup rule, q296's source-derived
+    // license tiers), so the card can never disagree with the
+    // deep-dive queries it summarizes. All-integer values (counts or
+    // truncating-DIV basis points). Scale: three aggregates — one
+    // doc-level pass (tokens/lang/license flags), one md5-keyed dup
+    // count, one lang-keyed count for the entropy fold — every one
+    // map-side partial; the card itself is a 10-row union.
+    "q299_dataset_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(expr("CAST(substring(source, 4) AS INT) % 3 = 2"), 1L)
+          .otherwise(0L)).as("n_restricted"),
+        countDistinct(col("source")).as("n_sources"))
+      val dups = docs.groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") - 1), lit(0L)).as("n_exact_dups"))
+      // corpus language-mix Shannon entropy in micro-nats (q203's
+      // round-then-cast fixed-point rule, corpus-level): Σ -p·ln(p)
+      val ent = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .agg(coalesce(sum(expr(
+          """CAST(round(-(CAST(c AS DOUBLE) / n)
+                        * ln(CAST(c AS DOUBLE) / n) * 1000000)
+             AS BIGINT)""")),
+          lit(0L)).as("lang_entropy_unat"))
+      base.crossJoin(broadcast(dups)).crossJoin(broadcast(ent))
+        .select(expr(
+          """stack(10,
+               'n_docs', n_docs,
+               'n_tokens', n_tokens,
+               'mean_doc_tokens', n_tokens DIV n_docs,
+               'n_sources', n_sources,
+               'en_share_bp', (n_en * 10000) DIV n_docs,
+               'lang_entropy_unat', lang_entropy_unat,
+               'exact_dup_docs', n_exact_dups,
+               'exact_dup_bp', (n_exact_dups * 10000) DIV n_docs,
+               'restricted_docs', n_restricted,
+               'restricted_share_bp', (n_restricted * 10000) DIV n_docs
+             ) AS (metric, value)"""))
+        .orderBy("metric")
+    }),
+
     // MaxSeqLen BUDGET SWEEP — q206's packing report priced at L ∈
     // {512, 1024, 2048, 4096} simultaneously, the way q207 sweeps
     // q51's probe count: the tuning curve behind the single most
@@ -992,6 +1043,43 @@ object CurationQueries {
                  cut_docs,
                  CAST(cut_docs * 10000 // n_docs AS BIGINT) AS cut_rate_bp
           FROM s ORDER BY source""",
+
+    // q299: three scalar aggregates unioned into the fixed metric table.
+    "q299_dataset_card" ->
+      s"""WITH d AS (SELECT doc_id, text, lang, source,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+          base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                          CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+                          CAST(count(*) FILTER (
+                            WHERE CAST(substring(source, 4) AS INT) % 3 = 2)
+                            AS BIGINT) AS n_restricted,
+                          CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+                   FROM d),
+          dups AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS n_exact_dups
+                   FROM (SELECT md5(text) AS fp, count(*) AS n FROM d GROUP BY fp)),
+          ent AS (SELECT CAST(coalesce(sum(CAST(round(
+                            -(CAST(c AS DOUBLE) / n)
+                            * ln(CAST(c AS DOUBLE) / n) * 1000000)
+                            AS BIGINT)), 0) AS BIGINT)
+                    AS lang_entropy_unat
+                  FROM (SELECT lang, count(*) AS c FROM d GROUP BY lang)
+                  CROSS JOIN (SELECT count(*) AS n FROM d))
+          SELECT metric, value FROM (
+            SELECT 'n_docs' AS metric, n_docs AS value FROM base
+            UNION ALL SELECT 'n_tokens', n_tokens FROM base
+            UNION ALL SELECT 'mean_doc_tokens', n_tokens // n_docs FROM base
+            UNION ALL SELECT 'n_sources', n_sources FROM base
+            UNION ALL SELECT 'en_share_bp', (n_en * 10000) // n_docs FROM base
+            UNION ALL SELECT 'lang_entropy_unat', lang_entropy_unat FROM ent
+            UNION ALL SELECT 'exact_dup_docs', n_exact_dups FROM dups
+            UNION ALL SELECT 'exact_dup_bp', (n_exact_dups * 10000) // n_docs
+                      FROM dups CROSS JOIN base
+            UNION ALL SELECT 'restricted_docs', n_restricted FROM base
+            UNION ALL SELECT 'restricted_share_bp',
+                             (n_restricted * 10000) // n_docs FROM base)
+          ORDER BY metric""",
 
     // q289: q206's chain with the ONE L-independent prefix sum crossed
     // into the 4 budgets before the aggregate.

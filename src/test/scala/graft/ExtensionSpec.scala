@@ -740,6 +740,42 @@ class ExtensionSpec extends SparkSpec {
     res.filter(_._4 == 1).foreach(r => assert(r._6 == 0, r._1))
   }
 
+  test("dataset card metrics equal a raw-corpus replay and reconcile with q203") {
+    val card = ext.CurationQueries.queries("q299_dataset_card")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(card.size == 10)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val nDocs = docs.length.toLong
+    val nTok = docs.map(_._2.split(" ", -1).length.toLong).sum
+    assert(card("n_docs") == nDocs && card("n_tokens") == nTok)
+    assert(card("mean_doc_tokens") == nTok / nDocs)
+    assert(card("n_sources") == docs.map(_._4).distinct.length.toLong)
+    assert(card("en_share_bp") == docs.count(_._3 == "en") * 10000 / nDocs)
+    val nRestricted = docs.count(d => d._4.drop(3).toInt % 3 == 2).toLong
+    assert(card("restricted_docs") == nRestricted)
+    assert(card("restricted_share_bp") == nRestricted * 10000 / nDocs)
+    // the RAW corpus is organic — zero exact dups is the honest card
+    // line (the dedup deep-dives grade the PLANTED corpus, not this one)
+    val dupDocs = docs.groupBy(_._2).values.map(_.length - 1L).sum
+    assert(card("exact_dup_docs") == dupDocs && dupDocs == 0L)
+    // entropy replay: the q203 round-then-cast micro-nat rule
+    val byLang = docs.groupBy(_._3).view.mapValues(_.length.toLong)
+    val ent = byLang.values.map { c =>
+      val p = c.toDouble / nDocs
+      math.round(-p * math.log(p) * 1000000)
+    }.sum
+    assert(card("lang_entropy_unat") == ent,
+      s"entropy ${card("lang_entropy_unat")} != replay $ent")
+    // volume reconciliation with the per-source report card
+    val q203 = ext.SelectionQueries.queries("q203_corpus_report")(spark, sf)
+      .select(col("n_docs"), col("total_tokens"))
+      .as[(Long, Long)].collect()
+    assert(q203.map(_._1).sum == nDocs && q203.map(_._2).sum == nTok,
+      "card volume disagrees with q203's per-source rows")
+  }
+
   test("pack budget sweep: L-invariants hold and L=2048 equals q206's report") {
     val res = ext.CurationQueries.queries("q289_pack_budget_sweep")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
