@@ -506,14 +506,19 @@ object DedupQueries {
     // does); that frame's min is the run min itself, so BOTH documents
     // select the identical fingerprint. (A trailing-only rule has no such
     // guarantee: a lexicographically increasing stretch selects nothing.)
-    // Selection compares raw substrings (UTF-8 order, identical in both
-    // engines); md5 runs on the selected ~1/5 only. The fingerprint
-    // self-join is mega-bucket-capped and hash-keyed; n_shared counts
-    // distinct shared fingerprints. Wire cost, honestly: the winnow sorts
-    // the per-position window stream within doc partitions (one exchange
-    // of ~40× the corpus bytes); only fingerprints enter the distinct and
-    // the join. At 100 TB you bound that exchange by sharding the corpus
-    // and winnowing per shard with this same plan.
+    // Selection compares 64-bit md5-prefix keys (lowercase hex, identical
+    // in both engines) — winnowing's guarantee holds for ANY total order
+    // on windows, and a random key order is strictly better wire-wise
+    // than raw-substring order: the exchanged sort value is 16 chars
+    // instead of the 40-char window (r12's one gate breach was this
+    // exchange spilling under load), and random keys resolve in their
+    // radix prefix where natural-text windows share long prefixes and
+    // fall back to full string compares. The key doubles as the
+    // fingerprint, so the raw window never crosses the exchange at all.
+    // The fingerprint self-join is mega-bucket-capped and hash-keyed;
+    // n_shared counts distinct shared fingerprints. At 100 TB you bound
+    // the per-doc exchange by sharding the corpus and winnowing per
+    // shard with this same plan.
     "q116_substring_dedup" -> ((s, d) =>
       winnowedSubstringPairs(corpus(s, d)).orderBy("id1", "id2")),
 
@@ -538,29 +543,52 @@ object DedupQueries {
     * partition+sort — Spark fuses same-spec frames into one Window exec).
     * A map-only per-row formulation (array_min over the neighborhood
     * recomputed from text) was measured 5× SLOWER: the one doc_id
-    * exchange+sort beats 10× substring recompute per position. */
+    * exchange+sort beats 10× substring recompute per position. The md5
+    * keying happens in the pre-exchange Project, so the exchange carries
+    * (doc_id, pos, 16-char key) — never the raw window. */
   private[ext] def winnowedSubstringPairs(
       docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // Repartition the DOCS by doc_id before exploding: every doc's window
+    // stream is generated from one row, so HashPartitioning(doc_id) is
+    // already in place when the Window exec asks for it and Catalyst
+    // inserts only a LOCAL sort on (doc_id, pos) — numeric 8-byte
+    // prefixes — instead of shuffling the exploded window stream. The
+    // exchange cost drops from ~40× corpus bytes (r12's one confirmed
+    // gate breach: that shuffle spilling under box load) to ~1× (the
+    // texts themselves).
+    // Explicit partition count: a bare repartition(col) lets AQE coalesce
+    // the tiny doc shuffle (~1× corpus bytes) down to one partition,
+    // serializing the 40×-larger explode+sort that FOLLOWS it — the
+    // shuffle is sized by its input, but its job here is to spread the
+    // downstream window streams.
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     val sub = docs.filter(length(col("text")) >= 40)
+      .select(col("doc_id"), col("text"))
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"),
         explode(expr("sequence(1, length(text) - 39)")).as("pos"), col("text"))
       .select(col("doc_id"), col("pos"),
-        expr("substring(text, pos, 40)").as("w"))
+        expr("substring(md5(substring(text, pos, 40)), 1, 16)").as("k"))
     val base = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val fp = sub
-      .withColumn("tmin", min(col("w")).over(base.rowsBetween(-9, 0)))
-      .withColumn("lmin", min(col("w")).over(base.rowsBetween(0, 9)))
-      .filter(col("w") === col("tmin") || col("w") === col("lmin"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-      .distinct()
-    val bw = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val capped = fp.withColumn("n_docs", count(lit(1)).over(bw))
-      .filter(col("n_docs") <= maxBucket).drop("n_docs")
-    val l = capped.select(col("h"), col("doc_id").as("id1"))
-    val r = capped.select(col("h"), col("doc_id").as("id2"))
-    l.join(r, "h").filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .withColumn("tmin", min(col("k")).over(base.rowsBetween(-9, 0)))
+      .withColumn("lmin", min(col("k")).over(base.rowsBetween(0, 9)))
+      .filter(col("k") === col("tmin") || col("k") === col("lmin"))
+      .select(col("doc_id"), col("k").as("h"))
+    // One h-keyed shuffle replaces the r12 shape's distinct + cap-window
+    // + hash self-join (which recomputed the whole winnow subtree for
+    // the build side and broadcast it): collect_set dedups repeated
+    // selections of the same fingerprint within a doc, size() is the
+    // distinct-doc bucket cap, and the bounded per-bucket pair expansion
+    // happens inside the row. Pair semantics (and the oracle) unchanged.
+    val pairs = fp.groupBy("h").agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), " +
+          "b -> struct(a AS id1, b AS id2))))")).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    pairs.groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
   }
 
   /** Sign-LSH cosine candidate machinery shared by q44 and
@@ -820,17 +848,17 @@ object DedupQueries {
 
     "q116_substring_dedup" ->
       s"""WITH $corpusSql,
-          sub AS (SELECT doc_id, pos, substr(text, pos, 40) AS w
+          sub AS (SELECT doc_id, pos, substr(md5(substr(text, pos, 40)), 1, 16) AS k
                   FROM (SELECT doc_id, text,
                                unnest(generate_series(1, len(text) - 39)) AS pos
                         FROM corpus WHERE len(text) >= 40)),
-          fp AS (SELECT DISTINCT doc_id, md5(w) AS h FROM (
-                   SELECT doc_id, w,
-                          min(w) OVER (PARTITION BY doc_id ORDER BY pos
+          fp AS (SELECT DISTINCT doc_id, k AS h FROM (
+                   SELECT doc_id, k,
+                          min(k) OVER (PARTITION BY doc_id ORDER BY pos
                                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS tmin,
-                          min(w) OVER (PARTITION BY doc_id ORDER BY pos
+                          min(k) OVER (PARTITION BY doc_id ORDER BY pos
                                        ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS lmin
-                   FROM sub) WHERE w = tmin OR w = lmin),
+                   FROM sub) WHERE k = tmin OR k = lmin),
           capped AS (SELECT doc_id, h FROM (
                        SELECT f.*, count(*) OVER (PARTITION BY h) AS n_docs
                        FROM fp f) WHERE n_docs <= $DefaultMaxBucket)
