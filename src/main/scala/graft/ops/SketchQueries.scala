@@ -386,11 +386,8 @@ object SketchQueries {
           val expected = math.max(1000L, urgent.count())
           urgent.stat.bloomFilter("o_orderkey", expected, 0.01)
         } finally urgent.unpersist()
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((k: Long) => bfB.value.mightContain(k))
-        .withName("might_contain")
       Tables.lineitem(s, d)
-        .filter(mightContain(col("l_orderkey")))
+        .filter(graft.functions.BloomProbe.mightContain(bf, col("l_orderkey")))
         .join(urgent.select("o_orderkey"),
           col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy("l_returnflag")

@@ -47,13 +47,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q67: bloom pre-filter sits below the semi-join, after the scan") {
-    val p = plan("q67_bloom_prefilter")
-    // the UDF filter must run on the fact scan BEFORE the join's exchange:
+    val df = SparkEntry.queries("q67_bloom_prefilter")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the bloom probe must run on the fact scan BEFORE the join's exchange:
     // in the plan string the filter appears deeper (later) than the join
     val joinAt = p.indexOf("Join")
     val filterAt = p.indexOf("might_contain")
     assert(joinAt >= 0 && filterAt > joinAt,
       s"bloom filter must prune the scan below the join:\n${p.take(1500)}")
+    // r13: the probe is Spark's codegen BloomFilterMightContain expression
+    // (the runtime-filter machinery), NOT an interpreted ScalaUDF — pin
+    // the printed form: only the native expression carries the serialized
+    // filter as an inline 0x… binary literal (a udf() renders as
+    // might_contain(o_orderkey…) with no literal). The string check works
+    // through the AdaptiveSparkPlanExec leaf, which a tree walk cannot
+    // descend into.
+    assert(p.contains("might_contain(0x"),
+      "bloom probe must be the codegen BloomFilterMightContain")
+    assert(!p.contains("ScalaUDF"), "no interpreted UDF in the probe path")
   }
 
   test("q110 graded plan: the join consumes bucketing, no hash exchange") {
