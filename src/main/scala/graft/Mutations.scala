@@ -60,6 +60,27 @@ object Mutations {
                                 //   symmetric-window bound typo; extra
                                 //   pairs shift the counts AND the q288
                                 //   TextRank mass on the shared seam
+    // round-13 additions (judge item 5): the round-12 families
+    "q287_label_truth_dropped", // labelTruth's label-equality join
+                                //   predicate dropped — truth silently
+                                //   becomes the GLOBAL top-5 and n_label
+                                //   the whole corpus; both recall columns
+                                //   (q287 post-filter AND q290
+                                //   label-partitioned) ride the one seam
+                                //   and must go red together
+    "q292_offset_inclusive",    // the cell-offset prefix sum runs
+                                //   INCLUSIVE (frame end 0, not -1) — the
+                                //   two-level placement off-by-one: every
+                                //   cell's block shifts by its own size,
+                                //   blocks overlap, row COUNTS are
+                                //   untouched — only the position surface
+                                //   (q292) and the adjacency pairs built
+                                //   on it (q293) can catch it
+    "q296_tier_min_fold",       // license fold takes the cluster MIN tier
+                                //   instead of MAX — a permissive copy
+                                //   LAUNDERS restricted text instead of
+                                //   inheriting the restriction; flips the
+                                //   flow matrix off-diagonal
     "q51_seed_fencepost")       // IVF seeds vec_id < 17, not < 16 — the
                                 //   index-build fencepost in the ONE
                                 //   seedCentroids seam every IVF consumer

@@ -233,7 +233,7 @@ object ScaleProbe {
   /** Deterministic 10× fixture — idempotent (skips tables already
     * generated). All draws are Spark `hash()` (Murmur3, fixed seed)
     * over (id, lane): reproducible across runs and partitionings. */
-  private def generate(spark: SparkSession, base: String, genDir: String): Unit = {
+  private[graft] def generate(spark: SparkSession, base: String, genDir: String): Unit = {
     def done(t: String) =
       java.nio.file.Files.exists(java.nio.file.Paths.get(s"$genDir/$t.parquet/_SUCCESS"))
 

@@ -368,7 +368,13 @@ object DedupEvalQueries {
         .join(Tables.documents(s, d)
           .select(col("doc_id").as("base_id"), col("source")), "base_id")
         .withColumn("own_rank", expr("CAST(substring(source, 4) AS INT) % 3"))
-      val eff = lic.groupBy("cluster_id").agg(max(col("own_rank")).as("eff_rank"))
+      // mutation seam (knob OFF in every production plan): the min fold
+      // is the license-laundering bug — a permissive copy WASHES the
+      // cluster instead of inheriting its restriction
+      val effFold =
+        if (graft.Mutations.on("q296_tier_min_fold")) min(col("own_rank"))
+        else max(col("own_rank"))
+      val eff = lic.groupBy("cluster_id").agg(effFold.as("eff_rank"))
       def tier(cn: String) =
         s"CASE $cn WHEN 0 THEN 'permissive' WHEN 1 THEN 'attribution' ELSE 'restricted' END"
       lic.join(eff, "cluster_id")

@@ -993,7 +993,13 @@ object SimilarityQueries {
           .as("cent_cos"))
     val pw = Window.partitionBy("cell").orderBy(col("cent_cos").desc, col("vec_id"))
     val pos = scored.withColumn("pos_in_cell", row_number().over(pw))
-    val ow = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    // mutation seam (knob OFF in every production plan): an INCLUSIVE
+    // frame end is the two-level placement off-by-one — offsets include
+    // the cell's own size, blocks overlap, and no count surface notices
+    val frameEnd =
+      if (graft.Mutations.on("q292_offset_inclusive")) 0L else -1L
+    val ow = Window.orderBy("cell")
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
     // 16-row control plane: cell sizes + exclusive prefix sum
     val offs = pos.groupBy("cell").agg(count(lit(1)).as("csz"))
       .withColumn("coff", coalesce(sum(col("csz")).over(ow), lit(0L)))
@@ -1022,9 +1028,15 @@ object SimilarityQueries {
     val q = n.join(ql, col("vec_id") === col("qid"))
       .select(col("qid"), col("qlabel"),
         col("embedding").as("qe"), col("nrm").as("qn"))
+    // mutation seam (knob OFF in every production plan): dropping the
+    // label-equality predicate makes the truth the GLOBAL top-5 — the
+    // classic filtered-search bug where the filter is applied to the
+    // system side but not the ground truth
+    val labelPred =
+      if (graft.Mutations.on("q287_label_truth_dropped")) lit(true)
+      else col("label") === col("qlabel")
     val ts = n.join(lab, "vec_id")
-      .join(broadcast(q), col("label") === col("qlabel") &&
-        col("vec_id") =!= col("qid"))
+      .join(broadcast(q), labelPred && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
           .as("cos_sim"))
