@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Concurrent-workload bench (round-12 verdict stretch 8): every other
+  * bench artifact is serial per-query minima, but a 100 TB cluster
+  * serves concurrent queries — contention over executor memory, shuffle
+  * disk, and the AQE coordinator is invisible to serial timing. This
+  * mode runs S=4 streams over the 20 heaviest queries concurrently
+  * (each stream a deterministic seed-shuffled permutation of all 20, so
+  * every query executes once per stream), after one serial warm pass of
+  * the same set that doubles as the contention baseline.
+  *
+  * Reported per query: the serial reference, the concurrent median and
+  * max across the 4 executions, and the contention ratio
+  * (median_concurrent / serial). Headline: total concurrent wall vs the
+  * serial sum (the throughput win of overlap) and the worst per-query
+  * contention ratio (the fairness loss). FAIR scheduling keeps one
+  * stream's multi-stage query from starving the others — the same knob
+  * a shared production cluster sets.
+  *
+  * Usage: runMain graft.BenchConcurrent [outJson]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
+  *      SPARK_GRAFT_RUN_BY.
+  */
+object BenchConcurrent {
+  private val Streams = 4
+
+  /** The 20 heaviest queries by quiet-box minima (bench_quiet_r12f). */
+  val Workload: Seq[String] = Seq(
+    "q230_kcore", "q296_license_propagation", "q116_substring_dedup",
+    "q231_rerank_cascade", "q255_dedup_impact", "q125_bm25",
+    "q212_canonical_docs", "q243_personalized_pagerank", "q120_pagerank",
+    "q277_cluster_span", "q210_lsh_eval", "q202_hits", "q144_multisource_bfs",
+    "q54_dedup_clusters", "q235_weighted_sssp", "q248_clustering_coefficient",
+    "q149_prefix_jaccard_join", "q43_ngram_jaccard", "q119_hybrid_rrf",
+    "q194_hybrid_rrf_ivf")
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.lift(0).getOrElse("/root/repo/bench_concurrent_r13.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runBy = sys.env.getOrElse("SPARK_GRAFT_RUN_BY", "driver")
+    val boxLoad: Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+
+    def run1(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // serial reference pass (also the warm pass: codegen, broadcasts)
+    val serial: Map[String, Double] = Workload.map(q => q -> run1(q)).toMap
+    val serialSum = serial.values.filter(_ > 0).sum
+
+    // concurrent phase: S streams, each a seeded permutation of all 20
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(Streams)
+    val t0 = System.nanoTime()
+    val futures = (0 until Streams).map { s =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val order = new scala.util.Random(42L + s).shuffle(Workload)
+          for (q <- order) results.add(q -> run1(q))
+        }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    import scala.jdk.CollectionConverters._
+    val byQuery: Map[String, Seq[Double]] =
+      results.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def median(xs: Seq[Double]) = xs(xs.size / 2)
+
+    val perQuery = Workload.sorted.map { q =>
+      val xs = byQuery.getOrElse(q, Seq(-1.0))
+      val med = median(xs)
+      val ratio = if (serial(q) > 0) med / serial(q) else -1.0
+      s""""$q":{"serial_sec":${fmt(serial(q))},"concurrent_median_sec":${fmt(med)},""" +
+        s""""concurrent_max_sec":${fmt(xs.last)},"contention_ratio":${fmt(ratio)}}"""
+    }.mkString("{", ",", "}")
+    val ratios = Workload.flatMap { q =>
+      val xs = byQuery.getOrElse(q, Nil)
+      if (xs.nonEmpty && serial(q) > 0) Some(q -> median(xs) / serial(q)) else None
+    }
+    val worst = ratios.maxBy(_._2)
+    val methodology =
+      s"$Streams concurrent streams over the ${Workload.size} heaviest " +
+        "queries (each stream a seed-shuffled permutation of all of them, " +
+        "seeds 42+stream, so every query runs once per stream), after one " +
+        "serial warm/reference pass of the same set; FAIR scheduler; " +
+        "contention_ratio = concurrent median / serial reference on the " +
+        "same session; speedup = (serial sum x streams) / concurrent wall " +
+        "- the overlap win; worst_contention is the fairness loss serial " +
+        "minima cannot see"
+    val json = s"""{
+      |"schema":"graft-bench-concurrent/1",
+      |"run_by":"$runBy",
+      |"sf":"$sfDir",
+      |"cpus":$cpus,
+      |"streams":$Streams,
+      |"box_load_1m":${fmt(boxLoad)},
+      |"methodology":"$methodology",
+      |"serial_sum_sec":${fmt(serialSum)},
+      |"concurrent_wall_sec":${fmt(wall)},
+      |"throughput_speedup":${fmt(serialSum * Streams / wall)},
+      |"worst_contention":{"query":"${worst._1}","ratio":${fmt(worst._2)}},
+      |"per_query":$perQuery
+      |}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(s"""{"metric":"bench_concurrent","wall_sec":${fmt(wall)},"serial_sum_sec":${fmt(serialSum)},"speedup":${fmt(serialSum * Streams / wall)},"worst":"${worst._1}","worst_ratio":${fmt(worst._2)},"path":"$outJson"}""")
+    spark.stop()
+  }
+}

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import DedupQueries._
@@ -385,6 +386,58 @@ object DedupEvalQueries {
           expr(tier("eff_rank")).as("eff_license"),
           col("n_docs"), col("n_clusters"))
         .orderBy("own_license", "eff_license")
+    }),
+
+    // SHUFFLE-SPACING HAZARD REPORT — the dataloader-order eval dedup
+    // cannot replace: even a deduped-to-threshold corpus keeps
+    // same-cluster near-dups, and if the ORDER puts them within one
+    // context window the model sees them back to back (the gradient-
+    // correlation hazard of sorted corpora). Per ordering, the share of
+    // same-cluster same-shard pairs landing within 4 positions:
+    // content-sorted order (text asc — what a naive "sort for
+    // compression/coherence" dataloader ships) vs the q186-style seeded
+    // md5 shuffle. Positions are per-SOURCE shard (dataloaders shard
+    // then shuffle within shard), so the window never needs a global
+    // sort and shard count is the parallelism. n_pairs is order-
+    // independent by construction — equal rows across the two arms is
+    // the report's internal consistency witness. Pair billing is capped
+    // at 64 members per (source, cluster): spacing diagnoses SMALL dup
+    // families (mega boilerplate clusters are q54-dedup's job, and an
+    // uncapped self-join over one would be the O(n²) this suite never
+    // ships); positions are computed over the UNCAPPED shard, so the
+    // cap bounds cost without shifting anyone's seat.
+    "q302_shuffle_spacing" -> ((s, d) => {
+      val c = corpus(s, d)
+      val pairs = candidatePairsOf(shinglesRaw(c))
+      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val ds = comp.join(c, "doc_id")
+        .withColumn("base_id", col("doc_id") % 1000000L)
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("base_id"), col("source")), "base_id")
+        .select("doc_id", "cluster_id", "source", "text")
+      def spacing(orderKey: org.apache.spark.sql.Column, name: String): DataFrame = {
+        val w = Window.partitionBy("source").orderBy(orderKey, col("doc_id"))
+        val p = ds.withColumn("pos", row_number().over(w))
+          .select("source", "cluster_id", "doc_id", "pos")
+        val cw = Window.partitionBy("source", "cluster_id")
+        val pc = p.withColumn("nm", count(lit(1)).over(cw))
+          .filter(col("nm") <= 64).drop("nm")
+        val a = pc.select(col("source"), col("cluster_id"),
+          col("doc_id").as("ida"), col("pos").as("pa"))
+        val b = pc.select(col("source"), col("cluster_id"),
+          col("doc_id").as("idb"), col("pos").as("pb"))
+        a.join(b, Seq("source", "cluster_id")).filter(col("ida") < col("idb"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(abs(col("pa") - col("pb")) <= 4, 1L).otherwise(0L))
+              .as("n_close"))
+          .select(lit(name).as("ordering"), col("n_pairs"), col("n_close"),
+            expr("CASE WHEN n_pairs = 0 THEN 0 ELSE (n_close * 10000) DIV n_pairs END")
+              .as("close_bp"))
+      }
+      spacing(expr(SamplingPipeline.drawExpr("doc_id", "sp")), "a_md5_shuffle")
+        .unionByName(spacing(col("text"), "b_text_sorted"))
+        .orderBy("ordering")
     }),
 
     "q277_cluster_span" -> ((s, d) => {
@@ -789,6 +842,50 @@ object DedupEvalQueries {
           FROM lr JOIN eff ON eff.cluster_id = lr.cluster_id
           GROUP BY own_rank, eff_rank
           ORDER BY own_license, eff_license""",
+
+    // q302: the cc chain + per-source positions under each ordering;
+    // pair billing capped at 64 members per (source, cluster), positions
+    // computed pre-cap — mirrors the Spark arms exactly.
+    "q302_shuffle_spacing" -> {
+      val draw = SamplingPipeline.drawExpr("c.doc_id", "sp")
+      def arm(orderKey: String, name: String) =
+        s"""SELECT '$name' AS ordering,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum(CASE WHEN abs(a.pa - b.pb) <= 4
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_close,
+                   CASE WHEN count(*) = 0 THEN 0
+                        ELSE (CAST(coalesce(sum(CASE WHEN abs(a.pa - b.pb) <= 4
+                                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                              * 10000) // count(*) END AS close_bp
+            FROM (SELECT source, cluster_id, doc_id AS ida, pos AS pa
+                  FROM capped_$name) a
+            JOIN (SELECT source, cluster_id, doc_id AS idb, pos AS pb
+                  FROM capped_$name) b
+              ON a.source = b.source AND a.cluster_id = b.cluster_id
+                 AND a.ida < b.idb"""
+      def posCtes(orderKey: String, name: String) =
+        s"""pos_$name AS (SELECT source, cluster_id, doc_id,
+                                 row_number() OVER (PARTITION BY source
+                                                    ORDER BY $orderKey, doc_id)
+                                   AS pos
+                          FROM ds),
+            capped_$name AS (SELECT * FROM (
+                               SELECT p.*, count(*) OVER (PARTITION BY source,
+                                                          cluster_id) AS nm
+                               FROM pos_$name p) WHERE nm <= 64)"""
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
+          ${ccSqlCtes("cc")},
+          ds AS (SELECT c.doc_id, c.cluster_id, d.source, co.text, $draw AS draw
+                 FROM cc c JOIN corpus co ON co.doc_id = c.doc_id
+                 JOIN documents d ON d.doc_id = c.doc_id % 1000000),
+          ${posCtes("draw", "a_md5_shuffle")},
+          ${posCtes("text", "b_text_sorted")}
+          ${arm("draw", "a_md5_shuffle")}
+          UNION ALL
+          ${arm("text", "b_text_sorted")}
+          ORDER BY ordering"""
+    },
 
     "q277_cluster_span" ->
       s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,

@@ -977,6 +977,116 @@ object SimilarityQueries {
           .select("ida", "idb"),
         "doc_id")
       sem.unionByName(naive).orderBy("ordering")
+    }),
+
+    // HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    // labeled query, the most-similar vectors of a DIFFERENT label
+    // (high cosine + wrong label = exactly the pairs a contrastive loss
+    // learns the most from), with a near-dup ceiling (cos ≥ 0.98 means
+    // the "negative" is probably a mislabeled duplicate — a false
+    // negative that POISONS training, so it is excluded, the standard
+    // mining hygiene). Top-5 per query by (cos desc, vec_id). Scale:
+    // the 10-query table broadcasts; the corpus streams through one
+    // map-only score pass (label inequality rides the broadcast
+    // nested-loop's residual — never a corpus×corpus pair surface);
+    // per-query top-5 is a bounded window. A production miner routes
+    // candidates through the IVF cells (q51/q290) instead of streaming
+    // the corpus; the brute pass IS the recall-1.0 reference the index
+    // variants grade against, exactly the q287 truth discipline.
+    "q300_hard_negatives" -> ((s, d) => {
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val nl = normed(s, d).join(lab, "vec_id")
+      val q = nl.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val scored = nl.join(broadcast(q), col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id"),
+          (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("cos_sim"))
+        .filter(col("cos_sim") < 0.98)
+      val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos_sim")
+        .orderBy("qid", "rank")
+    }),
+
+    // MARGIN-BASED BITEXT MINING (Artetxe & Schwenk '19 ratio margin) —
+    // the parallel-pair miner of multilingual pipelines: raw cosine
+    // over-selects hubs (vectors close to EVERYTHING), so each pair is
+    // scored by its cosine RELATIVE to both endpoints' neighborhoods —
+    // margin = 2·cos(x,y) / (μ₄(x) + μ₄(y)), μ₄ the mean of the
+    // endpoint's top-4 candidate cosines — and a pair is mined only if
+    // each side is the other's best margin (mutual top-1). "Languages"
+    // here are the even/odd vec_id halves (the fixture carries no
+    // bilingual split; the operator is the real one). Scale: total
+    // seam reuse — candidates come from [[signLshCosineCandidates]]
+    // (banded, capped, never all-pairs), neighborhoods are per-endpoint
+    // top-4 over CANDIDATES (exactly how production miners take μ over
+    // the FAISS top-k, not the corpus); the fold over the top-4 runs on
+    // a sorted array (deterministic sequential sum, the q215
+    // discipline), so the double margin is bit-equal cross-engine.
+    "q301_margin_bitext" -> ((s, d) => {
+      val cand = DedupQueries.signLshCosineCandidates(Tables.embeddings(s, d))
+        .filter(!isnan(col("cos_sim")) &&
+          pmod(col("id1") + col("id2"), lit(2)) === 1)
+      val sym = cand.select(col("id1").as("src"), col("id2").as("dst"), col("cos_sim"))
+        .unionByName(
+          cand.select(col("id2").as("src"), col("id1").as("dst"), col("cos_sim")))
+      // negated-cos struct sort = (cos desc, dst asc) without a
+      // comparator lambda; slice+aggregate = ordered sequential mean
+      val nb = sym.groupBy("src")
+        .agg(collect_list(struct((-col("cos_sim")).as("nc"),
+          col("dst").as("dst"))).as("ns"))
+        .select(col("src"), expr("slice(array_sort(ns), 1, 4)").as("top"))
+        .select(col("src"),
+          expr("aggregate(top, CAST(0.0 AS DOUBLE), (acc, x) -> acc - x.nc)" +
+            " / size(top)").as("mtop"))
+      val scored = cand
+        .join(nb.select(col("src").as("id1"), col("mtop").as("m1")), "id1")
+        .join(nb.select(col("src").as("id2"), col("mtop").as("m2")), "id2")
+        .select(
+          when(pmod(col("id1"), lit(2)) === 0, col("id1")).otherwise(col("id2"))
+            .as("x_id"),
+          when(pmod(col("id1"), lit(2)) === 0, col("id2")).otherwise(col("id1"))
+            .as("y_id"),
+          (col("cos_sim") * 2 / (col("m1") + col("m2"))).as("margin"))
+      val xw = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
+      val yw = Window.partitionBy("y_id").orderBy(col("margin").desc, col("x_id"))
+      scored.withColumn("xr", row_number().over(xw))
+        .withColumn("yr", row_number().over(yw))
+        .filter(col("xr") === 1 && col("yr") === 1)
+        .select(col("x_id"), col("y_id"), round(col("margin"), 6).as("margin"))
+        .orderBy("x_id")
+    }),
+
+    // CLUSTER-BALANCED SAMPLING — density-equalizing downsampling: per
+    // IVF cell, keep the ⌊√size⌋ smallest seeded-md5 draws, so dense
+    // regions (many near-duplicate embeddings) are downweighted and
+    // sparse regions survive — the √-temperature between uniform
+    // sampling (which replicates density skew) and per-cell-constant
+    // quotas (which over-samples noise cells). Deterministic end to
+    // end: the draw is the shared [[SamplingPipeline.drawExpr]] md5
+    // integer, √ via floor(sqrt(double)) — exact for any count below
+    // 2^52, same bits in both engines. Scale: cell assignment is the
+    // one broadcast map-only pass every IVF consumer pays; then ONE
+    // cell-keyed exchange carries both windows (size + rank share the
+    // partition key); quotas never collect to the driver.
+    "q303_cluster_balanced_sample" -> ((s, d) => {
+      val n = normed(s, d)
+      val assign = cellAssign(n, seedCentroids(n)).select(col("vec_id"), col("cell"))
+      val cw = Window.partitionBy("cell")
+      val rw = Window.partitionBy("cell").orderBy(col("draw"), col("vec_id"))
+      assign
+        .withColumn("draw", expr(SamplingPipeline.drawExpr("vec_id", "cbs")))
+        .withColumn("cell_size", count(lit(1)).over(cw))
+        .withColumn("pos", row_number().over(rw))
+        .withColumn("quota",
+          expr("CAST(floor(sqrt(CAST(cell_size AS DOUBLE))) AS BIGINT)"))
+        .filter(col("pos") <= col("quota"))
+        .select(col("cell"), col("pos"), col("vec_id"), col("cell_size"),
+          col("quota"))
+        .orderBy("cell", "pos")
     })
   )
 
@@ -1819,7 +1929,88 @@ object SimilarityQueries {
           UNION ALL
           SELECT 'semantic' AS ordering, CAST(count(*) AS BIGINT) AS n_pairs,
                  ${oAvg("cos", 6)} AS mean_adj_cos FROM sc
-          ORDER BY ordering"""
+          ORDER BY ordering""",
+
+    // q300: cross-label cosine top-5 under the 0.98 near-dup ceiling —
+    // the n/nl/q relations are labelTruth's verbatim (shared CTEs).
+    "q300_hard_negatives" ->
+      s"""WITH $normedSql,
+          lab AS (SELECT vec_id, label FROM embeddings),
+          nl AS (SELECT n.vec_id, n.embedding, n.nrm, lab.label
+                 FROM n JOIN lab ON lab.vec_id = n.vec_id),
+          q AS (SELECT vec_id AS qid, label AS qlabel,
+                       embedding AS qe, nrm AS qn
+                FROM nl WHERE vec_id < 10),
+          scored AS (SELECT q.qid, nl.vec_id,
+                            ${VectorOps.oDot("q.qe", "nl.embedding")} / (q.qn * nl.nrm)
+                              AS cos_sim
+                     FROM q JOIN nl ON nl.label <> q.qlabel),
+          hard AS (SELECT * FROM scored WHERE cos_sim < 0.98)
+          SELECT qid, rank, vec_id, cos_sim FROM (
+            SELECT qid, vec_id, cos_sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM hard) WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // q301: the sign-LSH candidate seam, cross-parity pairs, negated-cos
+    // struct sort for the top-4 ordered fold, ratio margin, mutual top-1.
+    "q301_margin_bitext" ->
+      s"""WITH ${DedupQueries.oSignLshCandSql("embeddings")},
+          cp AS (SELECT id1, id2, cos_sim FROM cand
+                 WHERE NOT isnan(cos_sim) AND (id1 + id2) % 2 = 1),
+          sym AS (SELECT id1 AS src, id2 AS dst, cos_sim FROM cp
+                  UNION ALL SELECT id2, id1, cos_sim FROM cp),
+          nbl AS (SELECT src,
+                         list_sort(list({'nc': -cos_sim, 'dst': dst})) AS ns
+                  FROM sym GROUP BY src),
+          nb AS (SELECT src,
+                        list_reduce(
+                          list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(ns[1:least(4, len(ns))], x -> -x.nc)),
+                          (acc, v) -> acc + v) / least(4, len(ns)) AS mtop
+                 FROM nbl),
+          scored AS (SELECT CASE WHEN cp.id1 % 2 = 0 THEN cp.id1 ELSE cp.id2 END AS x_id,
+                            CASE WHEN cp.id1 % 2 = 0 THEN cp.id2 ELSE cp.id1 END AS y_id,
+                            cp.cos_sim * 2 / (a.mtop + b.mtop) AS margin
+                     FROM cp JOIN nb a ON a.src = cp.id1
+                             JOIN nb b ON b.src = cp.id2),
+          rk AS (SELECT x_id, y_id, margin,
+                        row_number() OVER (PARTITION BY x_id
+                                           ORDER BY margin DESC, y_id) AS xr,
+                        row_number() OVER (PARTITION BY y_id
+                                           ORDER BY margin DESC, x_id) AS yr
+                 FROM scored)
+          SELECT x_id, y_id, round(margin, 6) AS margin FROM rk
+          WHERE xr = 1 AND yr = 1 ORDER BY x_id""",
+
+    // q303: the q51 assignment CTEs, the shared md5 draw, √-quota keep.
+    "q303_cluster_balanced_sample" -> {
+      val draw = SamplingPipeline.drawExpr("vec_id", "cbs")
+      s"""WITH $normedSql,
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                   FROM n WHERE vec_id < 16),
+          ac AS (SELECT n.vec_id, cent.cent_id,
+                        ${VectorOps.oDot("n.embedding", "cent.ce")} / (n.nrm * cent.cn)
+                          AS ccos
+                 FROM n CROSS JOIN cent),
+          assign AS (SELECT vec_id, cent_id AS cell FROM (
+                       SELECT vec_id, cent_id,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1),
+          drawn AS (SELECT vec_id, cell, $draw AS draw FROM assign),
+          sized AS (SELECT vec_id, cell,
+                           CAST(count(*) OVER (PARTITION BY cell) AS BIGINT)
+                             AS cell_size,
+                           row_number() OVER (PARTITION BY cell
+                                              ORDER BY draw, vec_id) AS pos
+                    FROM drawn)
+          SELECT cell, pos, vec_id, cell_size,
+                 CAST(floor(sqrt(CAST(cell_size AS DOUBLE))) AS BIGINT) AS quota
+          FROM sized
+          WHERE pos <= CAST(floor(sqrt(CAST(cell_size AS DOUBLE))) AS BIGINT)
+          ORDER BY cell, pos"""
+    }
   )
 
   /** Shared oracle CTEs for q292/q293: the q51 cell assignment with the
