@@ -88,7 +88,13 @@ object ScaleProbe {
       "q294_chunk_retrieval" -> "BM25 known-item retrieval over the chunk-granularity index",
       "q296_license_propagation" -> "license flow through LSH+CC dup clusters (q54 + rollup)",
       "q295_stream_skipgram" -> "co-occurrence table through the streaming engine",
-      "q297_band_cost_report" -> "per-band LSH bucket census + pair bill")
+      "q297_band_cost_report" -> "per-band LSH bucket census + pair bill",
+      // round-13 additions
+      "q300_hard_negatives" -> "cross-label hard-negative mining (broadcast queries, map-only corpus pass)",
+      "q301_margin_bitext" -> "ratio-margin bitext mining over sign-LSH candidates",
+      "q302_shuffle_spacing" -> "dataloader-order spacing hazard (CC clusters + per-shard windows)",
+      "q303_cluster_balanced_sample" -> "sqrt-quota cluster-balanced sampling (one cell-keyed exchange)",
+      "q304_pack_attention" -> "packed-sequence cross-doc attention contamination")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -171,7 +177,29 @@ object ScaleProbe {
         "min-against-8-broadcast-centers pass + a 1-row argmax — " +
         "per-round cost is linear in corpus rows and the round count " +
         "does not grow with data, so the probe measures 8x linear " +
-        "passes amortizing fixed per-job overhead"))
+        "passes amortizing fixed per-job overhead"),
+      "q300_hard_negatives" -> ("the 10-query table broadcasts and the " +
+        "corpus streams through one scoring pass, so cost is linear in " +
+        "corpus rows times the FIXED query count; a production miner " +
+        "with a query set that grows with the corpus routes through " +
+        "the IVF cells (q290's layout) instead"),
+      "q301_margin_bitext" -> ("rides the capped sign-LSH candidate " +
+        "seam: pair volume is bucket-bounded, neighborhoods are top-4 " +
+        "over candidates, and the fresh-vector 10x fixture keeps " +
+        "bucket densities at 1x levels — the probe measures the " +
+        "banded path, never an all-pairs cross"),
+      "q302_shuffle_spacing" -> ("grouped vocabulary keeps LSH bucket " +
+        "and cluster sizes at 1x density; positions are per-source " +
+        "windows (20 fixed shards here, so per-shard volume grows 10x " +
+        "— production grows the shard count instead) and pair billing " +
+        "is capped at 64 members per (source, cluster)"),
+      "q303_cluster_balanced_sample" -> ("one broadcast assignment " +
+        "pass + one cell-keyed exchange for both windows; 16 fixed " +
+        "cells here, so per-cell volume grows 10x — the cell count is " +
+        "the production scale knob, the q201/q51 discipline"),
+      "q304_pack_attention" -> ("the q188 per-shard prefix-sum window " +
+        "plus bounded straddle fan-out and two map-side-combined " +
+        "aggregates — linear by construction"))
 
     def timeQuery(name: String, dir: String): Double =
       (1 to 2).map { _ =>

@@ -617,6 +617,51 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // PACK ATTENTION CONTAMINATION — the cost q206's cut-doc count
+    // does NOT price: under concat-and-chunk packing WITHOUT document-
+    // boundary attention masks, every token attends across doc seams,
+    // so a sequence holding several documents trains on cross-document
+    // token pairs — noise gradients a masked dataloader avoids. Per
+    // source: sequences, mixed sequences (>1 doc), cross-document
+    // within-sequence token pairs Σ_{i<j} tᵢ·tⱼ = (T² − Σtᵢ²)/2 (exact
+    // integers — T² − Σtᵢ² is always even), total within-sequence pairs
+    // T(T−1)/2, and the contamination share in bp — the number that
+    // decides whether the training stack needs boundary masks at its
+    // chosen MaxSeqLen. Rides [[SamplingPipeline.packSequences]]
+    // verbatim (the q188 seam — one placement definition for layout,
+    // efficiency report, and this), so the three views can never
+    // disagree about where a document sits.
+    // Scale: the one per-shard prefix-sum window q188 already pays;
+    // occupancy explodes each doc into its (≤ straddles+1) touched
+    // sequences — bounded fan-out; everything after is two map-side-
+    // combined aggregates keyed (source, seq) then source.
+    "q304_pack_attention" -> ((s, d) => {
+      val L = SeqPackLen
+      val packed = SamplingPipeline.packSequences(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "doc_id", "source", "n_tok", L)
+      val occ = packed.filter(col("n_tok") > 0)
+        .withColumn("cum", col("seq_id") * L + col("start_off"))
+        .select(col("source"), col("cum"), col("n_tok"),
+          explode(expr(s"sequence(seq_id, (cum + n_tok - 1) DIV $L)")).as("seq"))
+        .select(col("source"), col("seq"),
+          (least((col("seq") + 1) * L, col("cum") + col("n_tok")) -
+            greatest(col("seq") * L, col("cum"))).as("t"))
+      val per = occ.groupBy("source", "seq").agg(
+        sum(col("t")).as("tt"), sum(col("t") * col("t")).as("s2"),
+        count(lit(1)).as("n_docs_in"))
+      per.groupBy("source").agg(
+          count(lit(1)).as("n_seqs"),
+          sum(when(col("n_docs_in") > 1, 1L).otherwise(0L)).as("mixed_seqs"),
+          sum(expr("(tt * tt - s2) DIV 2")).as("cross_pairs"),
+          sum(expr("(tt * (tt - 1)) DIV 2")).as("total_pairs"))
+        .withColumn("contamination_bp", expr(
+          "CASE WHEN total_pairs = 0 THEN 0" +
+            " ELSE (cross_pairs * 10000) DIV total_pairs END"))
+        .orderBy("source")
+    }),
+
     // DATASET CARD — the one-page datasheet (Gebru et al. '18) a data
     // team ships WITH a corpus: volume, composition, duplication, and
     // licensing in one fixed-domain metric table. Every line reuses
@@ -1017,6 +1062,41 @@ object CurationQueries {
                  CAST(((cum_before + n_tok - 1) // $SeqPackLen)
                       - (cum_before // $SeqPackLen) AS BIGINT) AS n_straddles
           FROM c ORDER BY doc_id""",
+
+    // q304: the q188 prefix-sum CTEs, per-sequence occupancy via
+    // generate_series over touched sequences, exact integer pair sums.
+    "q304_pack_attention" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+          c AS (SELECT doc_id, source, n_tok,
+                       COALESCE(sum(n_tok) OVER (PARTITION BY source
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum
+                FROM t WHERE n_tok > 0),
+          occ AS (SELECT source,
+                         unnest(generate_series(CAST(cum // $SeqPackLen AS BIGINT),
+                           CAST((cum + n_tok - 1) // $SeqPackLen AS BIGINT))) AS seq,
+                         cum, n_tok
+                  FROM c),
+          tok AS (SELECT source, seq,
+                         least((seq + 1) * $SeqPackLen, cum + n_tok)
+                           - greatest(seq * $SeqPackLen, cum) AS t
+                  FROM occ),
+          per AS (SELECT source, seq, sum(t) AS tt, sum(t * t) AS s2,
+                         count(*) AS n_docs_in
+                  FROM tok GROUP BY source, seq)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+                 CAST(sum(CASE WHEN n_docs_in > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS mixed_seqs,
+                 CAST(sum((tt * tt - s2) // 2) AS BIGINT) AS cross_pairs,
+                 CAST(sum((tt * (tt - 1)) // 2) AS BIGINT) AS total_pairs,
+                 CAST(CASE WHEN sum((tt * (tt - 1)) // 2) = 0 THEN 0
+                      ELSE (sum((tt * tt - s2) // 2) * 10000)
+                           // sum((tt * (tt - 1)) // 2) END AS BIGINT)
+                   AS contamination_bp
+          FROM per GROUP BY source ORDER BY source""",
 
     "q206_packing_report" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -4457,6 +4457,27 @@ class ExtensionSpec extends SparkSpec {
       s"text-sorted close_bp ${ts._4} must dwarf shuffled ${sh._4}")
   }
 
+  test("pack attention contamination agrees with the packing report per source") {
+    import spark.implicits._
+    val att = ext.CurationQueries.queries("q304_pack_attention")(spark, sf)
+      .select("source", "n_seqs", "mixed_seqs", "cross_pairs", "total_pairs",
+        "contamination_bp")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(att.nonEmpty)
+    att.foreach { case (src, nSeqs, mixed, cross, total, bp) =>
+      assert(cross <= total && mixed <= nSeqs && bp <= 10000,
+        s"$src: impossible pair accounting ($cross/$total, $mixed/$nSeqs)")
+    }
+    // the two views of the SAME placement (q188 seam) must agree on how
+    // many sequences each source produces
+    val rep = ext.CurationQueries.queries("q206_packing_report")(spark, sf)
+      .select($"source".as[String], $"n_seqs".as[Long]).collect().toMap
+    att.foreach { case (src, nSeqs, _, _, _, _) =>
+      assert(rep(src) == nSeqs,
+        s"$src: q304 touches $nSeqs sequences, q206 reports ${rep(src)}")
+    }
+  }
+
   test("cluster-balanced sample hits every cell's sqrt quota exactly") {
     import spark.implicits._
     val rows = ext.SimilarityQueries
