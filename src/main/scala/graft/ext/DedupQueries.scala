@@ -506,14 +506,15 @@ object DedupQueries {
     // does); that frame's min is the run min itself, so BOTH documents
     // select the identical fingerprint. (A trailing-only rule has no such
     // guarantee: a lexicographically increasing stretch selects nothing.)
-    // Selection compares 64-bit md5-prefix keys (lowercase hex, identical
-    // in both engines) — winnowing's guarantee holds for ANY total order
-    // on windows, and a random key order is strictly better wire-wise
-    // than raw-substring order: the exchanged sort value is 16 chars
-    // instead of the 40-char window (r12's one gate breach was this
-    // exchange spilling under load), and random keys resolve in their
-    // radix prefix where natural-text windows share long prefixes and
-    // fall back to full string compares. The key doubles as the
+    // Selection compares 60-bit md5-prefix keys (graft's codegen
+    // Md5Prefix60 = DuckDB's ('0x' || substr(md5(w),1,15))::BIGINT, so
+    // both engines rank windows identically) — winnowing's guarantee
+    // holds for ANY total order on windows, and a random primitive-long
+    // key order is strictly better wire-wise than raw-substring order:
+    // the carried sort value is 8 bytes instead of the 40-char window
+    // (r12's one gate breach was that value stream spilling under
+    // load), frame mins are primitive long compares, and no hex string
+    // or substring is ever allocated per window. The key doubles as the
     // fingerprint, so the raw window never crosses the exchange at all.
     // The fingerprint self-join is mega-bucket-capped and hash-keyed;
     // n_shared counts distinct shared fingerprints. At 100 TB you bound
@@ -568,7 +569,8 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(expr("sequence(1, length(text) - 39)")).as("pos"), col("text"))
       .select(col("doc_id"), col("pos"),
-        expr("substring(md5(substring(text, pos, 40)), 1, 16)").as("k"))
+        graft.functions.FastMd5.md5Prefix60Col(
+          expr("substring(text, pos, 40)")).as("k"))
     val base = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val fp = sub
@@ -848,7 +850,8 @@ object DedupQueries {
 
     "q116_substring_dedup" ->
       s"""WITH $corpusSql,
-          sub AS (SELECT doc_id, pos, substr(md5(substr(text, pos, 40)), 1, 16) AS k
+          sub AS (SELECT doc_id, pos,
+                         ('0x' || substr(md5(substr(text, pos, 40)), 1, 15))::BIGINT AS k
                   FROM (SELECT doc_id, text,
                                unnest(generate_series(1, len(text) - 39)) AS pos
                         FROM corpus WHERE len(text) >= 40)),

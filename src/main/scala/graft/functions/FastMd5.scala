@@ -45,10 +45,30 @@ object FastMd5 {
   def md5HexString(s: String): String =
     md5Hex(UTF8String.fromString(s)).toString
 
+  /** First 60 bits of the MD5 as a non-negative Long — numerically equal
+    * to DuckDB's `('0x' || substr(md5(x), 1, 15))::BIGINT` (15 hex chars
+    * = digest bytes 0..6 plus byte 7's high nibble), so it can serve as
+    * a hash-graded key. Ordering by this Long IS lexicographic ordering
+    * by the 15-char hex prefix. Built for q116's winnow key: an 8-byte
+    * primitive key in the sorted/aggregated rows instead of a 16-char
+    * hex string, with no hex-encode or substring allocation per window. */
+  def md5Prefix60(input: UTF8String): Long = {
+    val md = localDigest.get()
+    val d = md.digest(input.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
   /** Column API: drop-in replacement for `functions.md5(e.cast(binary))`
     * on string inputs. */
   def fastMd5(c: Column): Column =
     ColumnBridge.column(FastMd5Expr(ColumnBridge.expression(c)))
+
+  /** Column API for [[md5Prefix60]]. */
+  def md5Prefix60Col(c: Column): Column =
+    ColumnBridge.column(Md5Prefix60Expr(ColumnBridge.expression(c)))
 }
 
 case class FastMd5Expr(child: Expression) extends UnaryExpression {
@@ -65,6 +85,26 @@ case class FastMd5Expr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.FastMd5.md5Hex($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen twin of [[FastMd5.md5Prefix60]] — LongType output. */
+case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix60 requires a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    FastMd5.md5Prefix60(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FastMd5.md5Prefix60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

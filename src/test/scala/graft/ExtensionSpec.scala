@@ -260,6 +260,17 @@ class ExtensionSpec extends SparkSpec {
       .filter(FastMd5.fastMd5(col("text")) =!= md5(col("text"))).count()
     assert(mismatches == 0)
     assert(FastMd5.md5HexString("") == "d41d8cd98f00b204e9800998ecf8427e")
+    // the 60-bit prefix long (q116's winnow key) must equal the value
+    // DuckDB computes as ('0x' || substr(md5(x),1,15))::BIGINT — i.e.
+    // parsing the first 15 hex chars of the same digest
+    val prefixMismatches = docs
+      .filter(FastMd5.md5Prefix60Col(col("text")) =!=
+        expr("conv(substring(md5(text), 1, 15), 16, 10)").cast("long"))
+      .count()
+    assert(prefixMismatches == 0, "md5Prefix60 must equal the 15-hex-char parse")
+    assert(FastMd5.md5Prefix60(
+      org.apache.spark.unsafe.types.UTF8String.fromString("")) ==
+      java.lang.Long.parseLong("d41d8cd98f00b20", 16))
   }
 
   test("LSH band-bucket cap bounds pair fan-out on a planted mega-cluster") {
