@@ -76,6 +76,15 @@ object Mutations {
                                 //   untouched — only the position surface
                                 //   (q292) and the adjacency pairs built
                                 //   on it (q293) can catch it
+    "q302_close_window_off_by_one", // spacing radius 3, not 4 (`< 4` for
+                                //   `<= 4`) — boundary pairs silently
+                                //   drop out of n_close in BOTH ordering
+                                //   arms while n_pairs stays fixed
+    "q304_total_includes_self_pairs", // the pair denominator uses
+                                //   tt² DIV 2 instead of tt·(tt−1) DIV 2
+                                //   — self-pairs counted, the classic
+                                //   C(n,2) vs n²/2 slip; deflates
+                                //   contamination_bp on every row
     "q296_tier_min_fold",       // license fold takes the cluster MIN tier
                                 //   instead of MAX — a permissive copy
                                 //   LAUNDERS restricted text instead of

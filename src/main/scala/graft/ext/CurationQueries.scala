@@ -651,11 +651,18 @@ object CurationQueries {
       val per = occ.groupBy("source", "seq").agg(
         sum(col("t")).as("tt"), sum(col("t") * col("t")).as("s2"),
         count(lit(1)).as("n_docs_in"))
+      // mutation seam (knob OFF in every production plan): tt² DIV 2 for
+      // tt·(tt−1) DIV 2 — self-pairs in the denominator, deflating the
+      // contamination share on every row
+      val totalExpr =
+        if (graft.Mutations.on("q304_total_includes_self_pairs"))
+          "(tt * tt) DIV 2"
+        else "(tt * (tt - 1)) DIV 2"
       per.groupBy("source").agg(
           count(lit(1)).as("n_seqs"),
           sum(when(col("n_docs_in") > 1, 1L).otherwise(0L)).as("mixed_seqs"),
           sum(expr("(tt * tt - s2) DIV 2")).as("cross_pairs"),
-          sum(expr("(tt * (tt - 1)) DIV 2")).as("total_pairs"))
+          sum(expr(totalExpr)).as("total_pairs"))
         .withColumn("contamination_bp", expr(
           "CASE WHEN total_pairs = 0 THEN 0" +
             " ELSE (cross_pairs * 10000) DIV total_pairs END"))

@@ -416,6 +416,10 @@ object DedupEvalQueries {
         .join(Tables.documents(s, d)
           .select(col("doc_id").as("base_id"), col("source")), "base_id")
         .select("doc_id", "cluster_id", "source", "text")
+      // mutation seam (knob OFF in every production plan): radius 3 for
+      // 4 — boundary pairs silently leave n_close in both arms
+      val closeWin =
+        if (graft.Mutations.on("q302_close_window_off_by_one")) 3 else 4
       def spacing(orderKey: org.apache.spark.sql.Column, name: String): DataFrame = {
         val w = Window.partitionBy("source").orderBy(orderKey, col("doc_id"))
         val p = ds.withColumn("pos", row_number().over(w))
@@ -429,7 +433,7 @@ object DedupEvalQueries {
           col("doc_id").as("idb"), col("pos").as("pb"))
         a.join(b, Seq("source", "cluster_id")).filter(col("ida") < col("idb"))
           .agg(count(lit(1)).as("n_pairs"),
-            sum(when(abs(col("pa") - col("pb")) <= 4, 1L).otherwise(0L))
+            sum(when(abs(col("pa") - col("pb")) <= closeWin, 1L).otherwise(0L))
               .as("n_close"))
           .select(lit(name).as("ordering"), col("n_pairs"), col("n_close"),
             expr("CASE WHEN n_pairs = 0 THEN 0 ELSE (n_close * 10000) DIV n_pairs END")
