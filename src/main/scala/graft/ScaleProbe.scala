@@ -94,7 +94,8 @@ object ScaleProbe {
       "q301_margin_bitext" -> "ratio-margin bitext mining over sign-LSH candidates",
       "q302_shuffle_spacing" -> "dataloader-order spacing hazard (CC clusters + per-shard windows)",
       "q303_cluster_balanced_sample" -> "sqrt-quota cluster-balanced sampling (one cell-keyed exchange)",
-      "q304_pack_attention" -> "packed-sequence cross-doc attention contamination")
+      "q304_pack_attention" -> "packed-sequence cross-doc attention contamination",
+      "q305_leakage_free_split" -> "cluster-keyed vs doc-keyed split leak witness (CC + edge join)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -199,7 +200,11 @@ object ScaleProbe {
         "the production scale knob, the q201/q51 discipline"),
       "q304_pack_attention" -> ("the q188 per-shard prefix-sum window " +
         "plus bounded straddle fan-out and two map-side-combined " +
-        "aggregates — linear by construction"))
+        "aggregates — linear by construction"),
+      "q305_leakage_free_split" -> ("rides q54's LSH+CC (grouped " +
+        "vocabulary keeps bucket and cluster sizes at 1x density); each " +
+        "arm adds a map-only split tag and one join of the candidate " +
+        "edges against it — edge-volume-linear"))
 
     def timeQuery(name: String, dir: String): Double =
       (1 to 2).map { _ =>

@@ -444,6 +444,65 @@ object DedupEvalQueries {
         .orderBy("ordering")
     }),
 
+    // LEAKAGE-FREE TRAIN/TEST SPLIT — the eval-integrity op q101's
+    // contamination check exists to audit AFTER the fact, done right at
+    // split time instead: a doc-keyed 80/20 split puts near-duplicates
+    // of training documents into the test set (the model is graded on
+    // text it effectively saw — inflated eval, the classic leak), while
+    // keying the SAME seeded draw by q54's cluster id sends every dup
+    // cluster to one side whole. Both arms report train/test counts and
+    // the leak witness: candidate near-dup pairs whose endpoints landed
+    // on opposite sides — structurally ZERO for the cluster-keyed arm
+    // (members share the key ⇒ share the draw ⇒ share the side;
+    // spec-pinned), strictly positive for the doc-keyed arm at any
+    // corpus with dups. The 80/20 rule is draw % 5 < 4 on the shared
+    // md5 draw — exact, uniform over residues, engine-identical.
+    // Scale: rides q54's machinery (banded LSH + pointer-jumping CC) —
+    // and pays it ONCE: the candidate edges and the doubly-tagged
+    // cluster table are localCheckpoint-materialized (both are tiny —
+    // edge- and doc-count-sized — and feed two consumers each; without
+    // the pin each report branch re-ran the whole LSH+CC chain,
+    // measured ~2× the query). Both arms' tags ride ONE map pass,
+    // both leak counts ONE edge join; the 2-row report explodes from a
+    // single 1-row aggregate pair.
+    "q305_leakage_free_split" -> ((s, d) => {
+      val c = corpus(s, d)
+      val pairs = candidatePairsOf(shinglesRaw(c)).localCheckpoint()
+      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      def tag(keyCol: String): org.apache.spark.sql.Column =
+        when(expr(SamplingPipeline.drawExpr(keyCol, "split")) % 5 < 4,
+          lit("train")).otherwise(lit("test"))
+      val tagged = comp
+        .select(col("doc_id"), tag("doc_id").as("sd"), tag("cluster_id").as("sc"))
+        .localCheckpoint()
+      val counts = tagged.agg(
+        sum(when(col("sd") === "train", 1L).otherwise(0L)).as("tr_d"),
+        sum(when(col("sd") === "test", 1L).otherwise(0L)).as("te_d"),
+        sum(when(col("sc") === "train", 1L).otherwise(0L)).as("tr_c"),
+        sum(when(col("sc") === "test", 1L).otherwise(0L)).as("te_c"))
+      val strad = pairs
+        .join(tagged.select(col("doc_id").as("id1"),
+          col("sd").as("sd1"), col("sc").as("sc1")), "id1")
+        .join(tagged.select(col("doc_id").as("id2"),
+          col("sd").as("sd2"), col("sc").as("sc2")), "id2")
+        .agg(
+          coalesce(sum(when(col("sd1") =!= col("sd2"), 1L).otherwise(0L)),
+            lit(0L)).as("lk_d"),
+          coalesce(sum(when(col("sc1") =!= col("sc2"), 1L).otherwise(0L)),
+            lit(0L)).as("lk_c"))
+      counts.crossJoin(strad).select(explode(array(
+          struct(lit("a_doc_keyed").as("arm"), col("tr_d").as("n_train"),
+            col("te_d").as("n_test"), col("lk_d").as("n_leaked_pairs")),
+          struct(lit("b_cluster_keyed").as("arm"), col("tr_c").as("n_train"),
+            col("te_c").as("n_test"), col("lk_c").as("n_leaked_pairs")))).as("r"))
+        .select(col("r.arm").as("arm"), col("r.n_train").as("n_train"),
+          col("r.n_test").as("n_test"),
+          expr("(r.n_train * 10000) DIV (r.n_train + r.n_test)").as("train_bp"),
+          col("r.n_leaked_pairs").as("n_leaked_pairs"))
+        .orderBy("arm")
+    }),
+
     "q277_cluster_span" -> ((s, d) => {
       val c = corpus(s, d)
       val pairs = candidatePairsOf(shinglesRaw(c))
@@ -846,6 +905,39 @@ object DedupEvalQueries {
           FROM lr JOIN eff ON eff.cluster_id = lr.cluster_id
           GROUP BY own_rank, eff_rank
           ORDER BY own_license, eff_license""",
+
+    // q305: the cc chain + a seeded 80/20 split keyed two ways; the
+    // leak witness joins the candidate edges against each tagging.
+    "q305_leakage_free_split" -> {
+      def armSql(name: String) =
+        s"""SELECT '$name' AS arm,
+                   (SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM tag_$name) AS n_train,
+                   (SELECT CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+                    FROM tag_$name) AS n_test,
+                   (SELECT (CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+                            * 10000) // count(*) FROM tag_$name) AS train_bp,
+                   (SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split
+                                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+                    FROM pairs p
+                    JOIN tag_$name a ON a.doc_id = p.id1
+                    JOIN tag_$name b ON b.doc_id = p.id2) AS n_leaked_pairs"""
+      def tagSql(keyCol: String, name: String) = {
+        val draw = SamplingPipeline.drawExpr(keyCol, "split")
+        s"""tag_$name AS (SELECT doc_id,
+                                 CASE WHEN ($draw) % 5 < 4 THEN 'train'
+                                      ELSE 'test' END AS split
+                          FROM cc)"""
+      }
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
+          ${ccSqlCtes("cc")},
+          ${tagSql("doc_id", "a_doc_keyed")},
+          ${tagSql("cluster_id", "b_cluster_keyed")}
+          ${armSql("a_doc_keyed")}
+          UNION ALL
+          ${armSql("b_cluster_keyed")}
+          ORDER BY arm"""
+    },
 
     // q302: the cc chain + per-source positions under each ordering;
     // pair billing capped at 64 members per (source, cluster), positions

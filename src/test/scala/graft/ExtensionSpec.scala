@@ -4489,6 +4489,27 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("cluster-keyed split leaks zero near-dup pairs; doc-keyed split leaks") {
+    import spark.implicits._
+    val rows = ext.DedupEvalQueries.queries("q305_leakage_free_split")(spark, sf)
+      .select("arm", "n_train", "n_test", "train_bp", "n_leaked_pairs")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val doc = rows("a_doc_keyed")
+    val clu = rows("b_cluster_keyed")
+    // structural guarantee: cluster members share the draw key, so a
+    // near-dup pair can never straddle the split
+    assert(clu._5 == 0L, s"cluster-keyed split leaked ${clu._5} pairs")
+    // the corpus plants dup families, so the doc-keyed arm MUST leak —
+    // if it doesn't, the witness join is not wired to the edges
+    assert(doc._5 > 0L, "doc-keyed split must exhibit the leak")
+    // both arms split the same corpus, and the seeded draw stays near
+    // the 80/20 target on each
+    assert(doc._2 + doc._3 == clu._2 + clu._3)
+    Seq(doc, clu).foreach { a =>
+      assert(a._4 > 7000 && a._4 < 9000, s"${a._1}: train_bp ${a._4} off 80/20")
+    }
+  }
+
   test("cluster-balanced sample hits every cell's sqrt quota exactly") {
     import spark.implicits._
     val rows = ext.SimilarityQueries
