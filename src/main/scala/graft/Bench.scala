@@ -58,7 +58,7 @@ object Bench {
     // fs-cache and load state, so the headroom absorbs box drift while
     // still flagging any >=2x slowdown. The constants are RE-DERIVED
     // each round from the latest quiet-box run (r13:
-    // bench_quiet_r13c_builder.json, box_load 0.74, full 303-query set,
+    // bench_quiet_r13e_builder.json, box_load 0.22, full 304-query set,
     // zero breaches) via tools/derive_gates.py, so queries that grew
     // past 1s gain a gate and queries whose minima improved lose their
     // stale headroom — no gate ever sits above 2x its current min
@@ -68,72 +68,69 @@ object Bench {
     // which box a query happened to cross 1s on (q110/q128/q251/q273/
     // q295/q67 all gained gates this way).
     val gates: Map[String, Double] = Map(
-      "q101_contamination"             -> 2.1,
       "q110_bucketed_join"             -> 1.1,
-      "q114_power_iteration"           -> 2.8,
-      "q116_substring_dedup"           -> 3.7,
-      "q118_stream_inventory_bounded"  -> 2.3,
-      "q119_hybrid_rrf"                -> 5.0,
-      "q120_pagerank"                  -> 7.0,
-      "q121_bpe_merge"                 -> 2.4,
-      "q122_pq_adc"                    -> 2.1,
-      "q125_bm25"                      -> 7.4,
-      "q128_incremental_ann"           -> 1.3,
-      "q132_triangle_count"            -> 5.8,
-      "q133_cms_heavy_hitters"         -> 3.5,
-      "q134_bpe_encode"                -> 2.0,
-      "q135_zorder_skipping"           -> 3.2,
-      "q141_novelty_score"             -> 2.8,
-      "q144_multisource_bfs"           -> 6.0,
-      "q149_prefix_jaccard_join"       -> 5.3,
-      "q155_analyze_stats"             -> 2.8,
-      "q163_frequent_pairs"            -> 4.2,
-      "q173_two_hop_reach"             -> 3.9,
-      "q174_stream_session_window"     -> 2.9,
-      "q179_containment_join"          -> 4.1,
-      "q191_bpe_train"                 -> 2.1,
-      "q194_hybrid_rrf_ivf"            -> 5.0,
+      "q114_power_iteration"           -> 3.0,
+      "q116_substring_dedup"           -> 3.1,
+      "q118_stream_inventory_bounded"  -> 2.0,
+      "q119_hybrid_rrf"                -> 4.6,
+      "q120_pagerank"                  -> 6.4,
+      "q121_bpe_merge"                 -> 2.1,
+      "q125_bm25"                      -> 6.3,
+      "q128_incremental_ann"           -> 1.4,
+      "q132_triangle_count"            -> 4.7,
+      "q133_cms_heavy_hitters"         -> 3.3,
+      "q134_bpe_encode"                -> 2.2,
+      "q135_zorder_skipping"           -> 2.9,
+      "q141_novelty_score"             -> 2.5,
+      "q144_multisource_bfs"           -> 5.2,
+      "q149_prefix_jaccard_join"       -> 5.2,
+      "q155_analyze_stats"             -> 2.2,
+      "q163_frequent_pairs"            -> 3.3,
+      "q173_two_hop_reach"             -> 3.6,
+      "q174_stream_session_window"     -> 2.6,
+      "q179_containment_join"          -> 3.6,
+      "q191_bpe_train"                 -> 1.8,
+      "q194_hybrid_rrf_ivf"            -> 4.7,
       "q197_bpe_compression"           -> 2.4,
-      "q199_dsir_importance"           -> 4.4,
-      "q202_hits"                      -> 7.0,
-      "q205_dedup_funnel"              -> 5.4,
-      "q210_lsh_eval"                  -> 6.2,
-      "q211_label_propagation"         -> 5.3,
+      "q199_dsir_importance"           -> 4.1,
+      "q202_hits"                      -> 5.9,
+      "q205_dedup_funnel"              -> 4.6,
+      "q210_lsh_eval"                  -> 6.4,
+      "q211_label_propagation"         -> 5.2,
       "q212_canonical_docs"            -> 6.0,
-      "q216_source_overlap"            -> 2.8,
-      "q225_cms_width_sweep"           -> 4.8,
-      "q230_kcore"                     -> 9.8,
-      "q231_rerank_cascade"            -> 7.5,
-      "q235_weighted_sssp"             -> 6.4,
-      "q239_stream_latency_quantiles"  -> 2.5,
-      "q241_touch_attribution"         -> 2.2,
-      "q243_personalized_pagerank"     -> 6.4,
-      "q248_clustering_coefficient"    -> 4.5,
-      "q251_stream_cusum"              -> 2.0,
-      "q255_dedup_impact"              -> 6.4,
-      "q258_degree_assortativity"      -> 4.4,
-      "q259_tokenizer_fertility"       -> 2.5,
-      "q265_stream_trimmed_mean"       -> 2.4,
-      "q271_inclusion_dependency"      -> 2.5,
-      "q273_leaderboard_churn"         -> 2.0,
-      "q275_trigram_search"            -> 4.5,
-      "q277_cluster_span"              -> 7.2,
-      "q278_tail_trend"                -> 2.2,
-      "q284_kcenter_coreset"           -> 3.6,
-      "q288_textrank_keywords"         -> 2.3,
-      "q295_stream_skipgram"           -> 2.0,
-      "q296_license_propagation"       -> 7.9,
-      "q301_margin_bitext"             -> 2.5,
-      "q302_shuffle_spacing"           -> 6.7,
-      "q41_minhash_lsh"                -> 3.9,
-      "q43_ngram_jaccard"              -> 4.5,
+      "q216_source_overlap"            -> 2.5,
+      "q225_cms_width_sweep"           -> 3.6,
+      "q230_kcore"                     -> 10.0,
+      "q231_rerank_cascade"            -> 7.6,
+      "q235_weighted_sssp"             -> 5.7,
+      "q239_stream_latency_quantiles"  -> 2.4,
+      "q241_touch_attribution"         -> 2.0,
+      "q243_personalized_pagerank"     -> 6.1,
+      "q248_clustering_coefficient"    -> 4.8,
+      "q251_stream_cusum"              -> 1.8,
+      "q255_dedup_impact"              -> 6.6,
+      "q258_degree_assortativity"      -> 4.3,
+      "q259_tokenizer_fertility"       -> 2.3,
+      "q265_stream_trimmed_mean"       -> 2.3,
+      "q271_inclusion_dependency"      -> 2.2,
+      "q273_leaderboard_churn"         -> 1.8,
+      "q275_trigram_search"            -> 4.4,
+      "q277_cluster_span"              -> 5.7,
+      "q278_tail_trend"                -> 2.1,
+      "q284_kcenter_coreset"           -> 3.2,
+      "q288_textrank_keywords"         -> 2.5,
+      "q295_stream_skipgram"           -> 1.9,
+      "q296_license_propagation"       -> 5.9,
+      "q301_margin_bitext"             -> 2.6,
+      "q302_shuffle_spacing"           -> 6.6,
+      "q305_leakage_free_split"        -> 6.8,
+      "q41_minhash_lsh"                -> 3.7,
+      "q43_ngram_jaccard"              -> 4.4,
       "q49_ml_minhash"                 -> 3.4,
-      "q54_dedup_clusters"             -> 6.0,
-      "q66_tfidf"                      -> 2.2,
+      "q54_dedup_clusters"             -> 5.7,
       "q67_bloom_prefilter"            -> 1.5,
-      "q73_lm_score"                   -> 2.1,
       "q87_stream_join"                -> 3.1,
-      "q89_stream_dedup"               -> 2.3)
+      "q89_stream_dedup"               -> 2.2)
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v)
@@ -317,7 +314,7 @@ object Bench {
         "local[" + cpus + "], shuffle.partitions=" + cpus + "; " +
         "gate = 1.5 x quiet-box min + 0.5s headroom, constants " +
         "re-derived each round from the latest quiet-box (load<=2) run " +
-        "(r13: bench_quiet_r13c_builder.json) over every query with min " +
+        "(r13: bench_quiet_r13e_builder.json) over every query with min " +
         "> 1s in EITHER the quiet or the of-record run, so no gate sits " +
         "above 2x its current min " +
         "(absorbs the measured 30-50% box drift, flags >=2x slowdowns); " +
