@@ -35,7 +35,10 @@ object PlanSnapshots {
     "q243_personalized_pagerank",
     "q120_pagerank",
     "q277_cluster_span",
-    "q110_bucketed_join")
+    "q110_bucketed_join",
+    // round-13 heavies: the two new LSH+CC consumers
+    "q302_shuffle_spacing",
+    "q305_leakage_free_split")
 
   private[graft] def normalize(plan: String): String =
     plan
@@ -43,6 +46,7 @@ object PlanSnapshots {
       .replaceAll("plan_id=\\d+", "plan_id=_")
       .replaceAll("0x[0-9A-Fa-f]{32,}", "0x_")  // inlined binary literals
       .replaceAll("_bkt_[0-9a-f]+", "_bkt_")    // memoized bucket-table hash
+      .replaceAll("RDD\\[\\d+\\]", "RDD[_]")    // session-scoped RDD ids
       .replaceAll("/tmp/[^\\s,\\]]+", "/tmp/_") // scratch paths
       .replaceAll("file:[^\\s,\\]]+", "file:_") // fixture locations
       .replaceAll("(?m) +$", "")                // trailing space churn
