@@ -35,20 +35,36 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    def loadNow(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     // Two full passes, per-query min: a single-shot timing is hostage to
     // whatever else the box is doing (round-3's recorded q43 was 2.7× a
     // clean local run purely from load). The min of two spaced runs is the
     // query's cost, not the box's worst moment; pass 1 also warms each
     // query's codegen/broadcasts for pass 2.
-    def onePass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Round-14 (r13 verdict stretch 8): the 1-minute load is sampled
+    // right after EVERY query and recorded per (pass, query), so drift
+    // adjudication can happen from the artifact of record alone — a
+    // pass-2 outlier with load_1m 5.4 next to it is box noise by
+    // inspection, no quiet re-run required.
+    def onePass(): Map[String, (Double, Double)] = SparkEntry.queries.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> ((System.nanoTime() - t0) / 1e9, loadNow())
     }
     val passes = 2 // drives BOTH the pass loop and the methodology metadata
-    val passResults: Seq[Map[String, Double]] = (1 to passes).map(_ => onePass())
+    val passFull: Seq[Map[String, (Double, Double)]] = (1 to passes).map(_ => onePass())
+    val passResults: Seq[Map[String, Double]] =
+      passFull.map(_.map { case (k, (sec, _)) => k -> sec })
     val results = passResults.head.map { case (name, _) =>
       name -> passResults.map(_(name)).min
+    }
+    // the load sample attached to the pass that PRODUCED each query's min
+    val resultLoads: Map[String, Double] = results.map { case (name, m) =>
+      name -> passFull.map(_(name)).find(_._1 == m).map(_._2).getOrElse(-1.0)
     }
     // Per-query wall-time budgets (seconds, sf0.1, 32 cpus): EVERY query
     // whose in-suite min-of-2 exceeds ~1s is gated, so a regression in
@@ -210,14 +226,24 @@ object Bench {
     // timing): without this, an erroring query fails fast, lands under
     // its gate, and gets published as "variance" — a failure mislabeled
     // as measurement noise in the artifact of record.
-    val breachReruns: Map[String, Double] = queryBreaches.flatMap { k =>
-      SparkEntry.queries.get(k).map { fn =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        k -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
-    }.toMap
+    // Round-14 (r13 advice): load is sampled immediately BEFORE and AFTER
+    // each individual re-run, not once after the batch — the 1-minute
+    // average lags, so a re-run executed under a burst followed by a
+    // quiet batch-end sample used to be wrongly "confirmed" (and one
+    // spike at sampling time demoted every genuine regression at once).
+    // A re-run's verdict now depends only on ITS OWN bracket: confirmed
+    // requires both samples quiet.
+    val breachReruns: Map[String, (Double, Double, Double)] =
+      queryBreaches.flatMap { k =>
+        SparkEntry.queries.get(k).map { fn =>
+          val pre = loadNow()
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          k -> (sec, pre, loadNow())
+        }
+      }.toMap
     // Round-13 (judge item 2): a TIMING breach can only be CONFIRMED on a
     // quiet box. r11 and r12 both shipped of-record artifacts captured at
     // load > 2.0 whose "confirmed" breaches the quiet records contradicted
@@ -230,16 +256,20 @@ object Bench {
     // committed quiet-box record instead. Hard failures stay confirmed
     // at any load (an exception is not a timing): rerun errors and
     // vanished gated queries.
-    val rerunLoad: Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    val rerunLoadOk = rerunLoad >= 0 && rerunLoad <= cpus.toInt / 16.0
+    val quietThr = cpus.toInt / 16.0
+    def rerunQuiet(pre: Double, post: Double): Boolean =
+      pre >= 0 && pre <= quietThr && post >= 0 && post <= quietThr
+    val rerunLoad: Double = loadNow()
+    val rerunLoadOk = rerunLoad >= 0 && rerunLoad <= quietThr
     val confirmedBreaches = queryBreaches.filter { k =>
-      breachReruns.get(k).forall(t => t < 0 || (t > gates(k) && rerunLoadOk))
+      breachReruns.get(k).forall { case (t, pre, post) =>
+        t < 0 || (t > gates(k) && rerunQuiet(pre, post))
+      }
     }
     val suspectLoadBreaches = queryBreaches.filter { k =>
-      breachReruns.get(k).exists(t => t >= 0 && t > gates(k) && !rerunLoadOk)
+      breachReruns.get(k).exists { case (t, pre, post) =>
+        t >= 0 && t > gates(k) && !rerunQuiet(pre, post)
+      }
     }
     // Listing-rate gate (round-9 verdict item 3): the headline
     // reference-beating number (436-546k obj/s across rounds vs the
@@ -251,12 +281,28 @@ object Bench {
     val allBreaches = queryBreaches ++
       (if (listingRate < ListingFloor) Seq("listing_rate") else Nil)
     val breached = allBreaches.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Round-14 (r13 verdict item 3): the ">1s in EITHER record ⇒ gated"
+    // rule is evaluated when gates are DERIVED, so a query that first
+    // crosses 1s on the subsequent of-record run escaped for a round
+    // (q214 in r13, six queries in r12). The artifact now names its own
+    // escapees: every query whose min crossed 1s THIS run without
+    // carrying a gate, consumed by tools/derive_gates.py next derivation.
+    val ungatedOver1s = results.collect {
+      case (k, v) if v > 1.0 && !gates.contains(k) => k
+    }.toSeq.sorted
+    val ungatedJson = ungatedOver1s.map("\"" + _ + "\"").mkString("[", ",", "]")
     // every individual pass, first line: the min hides contention; a judge
     // reading the artifact can see a loaded box directly in a pass spread
     // (e.g. pass1 4.5s / pass2 1.9s = external load, not a regression)
     val passJson = passResults.map(m =>
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
+    val passLoadJson = passFull.map(m =>
+      m.map { case (k, (_, ld)) => "\"" + k + "\":" + fmt(ld) }
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
+    val loadsJson = resultLoads.toSeq.sortBy(_._1)
+      .map { case (k, ld) => "\"" + k + "\":" + fmt(ld) }
+      .mkString("{", ",", "}")
     val listJson = listingTries.map(r => s"${r.round}").mkString("[", ",", "]")
     val flatJson = flatTries.map(r => s"${r.round}").mkString("[", ",", "]")
     // AdaptiveThrottle governor telemetry: throttle count + peak pacing
@@ -275,16 +321,18 @@ object Bench {
     // "driver" — the driver does not set the env var), and any
     // builder-labeled artifact is superseded by it. Rule also in README.
     val runBy = sys.env.getOrElse("SPARK_GRAFT_RUN_BY", "driver")
-    val rerunJson = breachReruns.toSeq.sortBy(_._1).map { case (k, t) =>
-      val cls =
-        if (t < 0) "error"
-        else if (t <= gates(k)) "variance"
-        else if (rerunLoadOk) "confirmed"
-        else "suspect_load"
-      "\"" + k + "\":{\"rerun_sec\":" + fmt(t) +
-        ",\"error\":" + (t < 0) +
-        ",\"confirmed\":" + (t < 0 || (t > gates(k) && rerunLoadOk)) +
-        ",\"classification\":\"" + cls + "\"}"
+    val rerunJson = breachReruns.toSeq.sortBy(_._1).map {
+      case (k, (t, pre, post)) =>
+        val cls =
+          if (t < 0) "error"
+          else if (t <= gates(k)) "variance"
+          else if (rerunQuiet(pre, post)) "confirmed"
+          else "suspect_load"
+        "\"" + k + "\":{\"rerun_sec\":" + fmt(t) +
+          ",\"error\":" + (t < 0) +
+          ",\"load_pre\":" + fmt(pre) + ",\"load_post\":" + fmt(post) +
+          ",\"confirmed\":" + (t < 0 || (t > gates(k) && rerunQuiet(pre, post))) +
+          ",\"classification\":\"" + cls + "\"}"
     }.mkString("{", ",", "}")
     val suspectJson = suspectLoadBreaches.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -298,7 +346,7 @@ object Bench {
         .sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"per_pass_detail","unit":"sec",$method,"per_pass_queries":$passJson,"listing_tries_objects_per_sec":$listJson,"listing_flat_tries_objects_per_sec":$flatJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total_per_query","value":$total,"unit":"sec",$method,"queries":$qs,"gates":$gatesJson,"gates_breached":$breached,"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,$boxJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$method,"n_queries":${results.size},"gates_breached":$breached,"gates_breached_confirmed":$confirmedJson,"gates_breached_suspect_load":$suspectJson,"breach_reruns":$rerunJson,$rerunBoxJson,"run_by":"$runBy","listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,$boxJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$method,"n_queries":${results.size},"gates_breached":$breached,"gates_breached_confirmed":$confirmedJson,"gates_breached_suspect_load":$suspectJson,"ungated_over_1s":$ungatedJson,"breach_reruns":$rerunJson,$rerunBoxJson,"run_by":"$runBy","listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,$boxJson,"sf":"$sfDir"}""")
     // Builder-owned COMPLETE artifact (round-9 verdict item 2): the
     // driver's tail-capture truncates the per-query map (r8 and r9 each
     // lost ~190 of the per-query timings), so cross-round regression
@@ -308,7 +356,7 @@ object Bench {
     // round, making every timing diffable against the previous round's
     // gates in one place. Path override: SPARK_GRAFT_BENCH_OUT.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full_r13.json")
+      "/root/repo/bench_full_r14.json")
     val methodology =
       "per query: min of " + passes + " full-suite passes at sf0.1, " +
         "local[" + cpus + "], shuffle.partitions=" + cpus + "; " +
@@ -318,13 +366,21 @@ object Bench {
         "> 1s in EITHER the quiet or the of-record run, so no gate sits " +
         "above 2x its current min " +
         "(absorbs the measured 30-50% box drift, flags >=2x slowdowns); " +
-        "every breached gate is re-run once at the end of the suite and " +
-        "the box load is re-sampled after the re-runs - breach_reruns " +
-        "classifies each as confirmed (re-run breaches on a quiet box), " +
-        "suspect_load (re-run breaches but rerun_load > cpus/16: excluded " +
-        "from gates_breached_confirmed, adjudicated against the latest " +
-        "committed quiet-box record), variance (re-run under gate), or " +
-        "error (re-run threw: confirmed at any load); listing = best of " +
+        "queries that crossed 1s THIS run without a gate are named in " +
+        "ungated_over_1s (consumed by the next derivation, closing the " +
+        "derivation-time loophole); " +
+        "every breached gate is re-run once at the end of the suite with " +
+        "the box load sampled immediately before AND after that " +
+        "individual re-run - breach_reruns classifies each as confirmed " +
+        "(re-run breaches with both its own load samples quiet), " +
+        "suspect_load (re-run breaches but either bracket sample > " +
+        "cpus/16: excluded from gates_breached_confirmed, adjudicated " +
+        "against the latest committed quiet-box record), variance " +
+        "(re-run under gate), or " +
+        "error (re-run threw: confirmed at any load); the 1m load is " +
+        "also sampled after every query of every pass " +
+        "(per_pass_load_1m / queries_load_1m), so drift adjudication " +
+        "can read box state from the artifact itself; listing = best of " +
         "3 timed counts over a 50k-file " +
         "tree (and a 50k-object flat dir), floor " + ListingFloor.round +
         " obj/s; box_load_1m is /proc/loadavg at start, quiet = " +
@@ -333,7 +389,7 @@ object Bench {
         "quiet box can issue"
     val fullJson =
       s"""{
-         |"schema":"graft-bench-full/3",
+         |"schema":"graft-bench-full/4",
          |"run_by":"$runBy",
          |"sf":"$sfDir",
          |$method,
@@ -342,11 +398,14 @@ object Bench {
          |"total_sec":${fmt(total)},
          |"n_queries":${results.size},
          |"queries_min":$qs,
+         |"queries_load_1m":$loadsJson,
          |"per_pass":$passJson,
+         |"per_pass_load_1m":$passLoadJson,
          |"gates":$gatesJson,
          |"gates_breached":$breached,
          |"gates_breached_confirmed":$confirmedJson,
          |"gates_breached_suspect_load":$suspectJson,
+         |"ungated_over_1s":$ungatedJson,
          |"breach_reruns":$rerunJson,
          |$rerunBoxJson,
          |"listing_objects_per_sec":${listingRate.round},

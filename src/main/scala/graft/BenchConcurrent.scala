@@ -15,9 +15,14 @@ import org.apache.spark.sql.SparkSession
   * max across the 4 executions, and the contention ratio
   * (median_concurrent / serial). Headline: total concurrent wall vs the
   * serial sum (the throughput win of overlap) and the worst per-query
-  * contention ratio (the fairness loss). FAIR scheduling keeps one
-  * stream's multi-stage query from starving the others — the same knob
-  * a shared production cluster sets.
+  * contention ratio (the fairness loss). Fairness needs BOTH knobs
+  * (r13 advice): spark.scheduler.mode=FAIR alone puts every job in the
+  * single default pool, whose INTERNAL mode is FIFO — one stream's
+  * multi-stage query could still starve the rest. Each stream thread
+  * therefore pins its jobs to its own pool via the
+  * spark.scheduler.pool local property; distinct pools (default weight
+  * 1, minShare 0) are what the FAIR scheduler arbitrates fairly — the
+  * same setup a shared production cluster ships in its allocation file.
   *
   * Usage: runMain graft.BenchConcurrent [outJson]
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
@@ -37,7 +42,7 @@ object BenchConcurrent {
     "q194_hybrid_rrf_ivf")
 
   def main(args: Array[String]): Unit = {
-    val outJson = args.lift(0).getOrElse("/root/repo/bench_concurrent_r13.json")
+    val outJson = args.lift(0).getOrElse("/root/repo/bench_concurrent_r14.json")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runBy = sys.env.getOrElse("SPARK_GRAFT_RUN_BY", "driver")
@@ -75,6 +80,10 @@ object BenchConcurrent {
     val futures = (0 until Streams).map { s =>
       pool.submit(new Runnable {
         override def run(): Unit = {
+          // local properties are inheritable-thread-local: set INSIDE the
+          // stream thread so this stream's jobs land in their own pool,
+          // scheduled fairly against the other streams' pools
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"stream$s")
           val order = new scala.util.Random(42L + s).shuffle(Workload)
           for (q <- order) results.add(q -> run1(q))
         }
@@ -106,7 +115,10 @@ object BenchConcurrent {
       s"$Streams concurrent streams over the ${Workload.size} heaviest " +
         "queries (each stream a seed-shuffled permutation of all of them, " +
         "seeds 42+stream, so every query runs once per stream), after one " +
-        "serial warm/reference pass of the same set; FAIR scheduler; " +
+        "serial warm/reference pass of the same set; FAIR scheduler " +
+        "with one pool per stream (spark.scheduler.pool local property " +
+        "set in each stream thread - mode=FAIR alone leaves all jobs in " +
+        "the single FIFO-internal default pool); " +
         "contention_ratio = concurrent median / serial reference on the " +
         "same session; speedup = (serial sum x streams) / concurrent wall " +
         "- the overlap win; worst_contention is the fairness loss serial " +

@@ -90,6 +90,23 @@ object Mutations {
                                 //   LAUNDERS restricted text instead of
                                 //   inheriting the restriction; flips the
                                 //   flow matrix off-diagonal
+    // round-14 additions (r13 verdict item 5): the round-13 families
+    "q300_neardup_ceiling_dropped", // hard-negative miner loses the 0.98
+                                //   near-dup ceiling — the planted
+                                //   mislabeled duplicates (exact copies
+                                //   of every query vector under another
+                                //   label) flood each query's top-5 with
+                                //   cos≈1.0 false negatives, the exact
+                                //   training poison the ceiling exists
+                                //   to exclude
+    "q301_mutual_top1_broken",  // bitext miner accepts a ONE-SIDED best
+                                //   (x's top-1 without being y's) — hub
+                                //   vectors flood the mined set, the
+                                //   failure mode the mutual check is for
+    "q303_quota_ceil",          // balanced-sample quota ⌈√n⌉ for ⌊√n⌋ —
+                                //   every non-perfect-square cell admits
+                                //   one extra row, the rounding-direction
+                                //   slip of quota arithmetic
     "q51_seed_fencepost")       // IVF seeds vec_id < 17, not < 16 — the
                                 //   index-build fencepost in the ONE
                                 //   seedCentroids seam every IVF consumer

@@ -39,9 +39,7 @@ object DedupEvalQueries {
     // integer arithmetic, bit-exact cross-engine.
     "q212_canonical_docs" -> ((s, d) => {
       val c = corpus(s, d)
-      val pairs = candidatePairsOf(shinglesRaw(c))
-      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val comp = sharedClusters(s, d)
       val sized = c.select(col("doc_id"),
         size(split(col("text"), " ")).as("n_words"))
       val w = org.apache.spark.sql.expressions.Window
@@ -361,14 +359,18 @@ object DedupEvalQueries {
     // pointer-jumping CC); the license fold is one cluster-keyed max
     // joined back member-side; the report is a ≤9-row rollup.
     "q296_license_propagation" -> ((s, d) => {
-      val c = corpus(s, d)
-      val pairs = candidatePairsOf(shinglesRaw(c))
-      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val comp = sharedClusters(s, d)
+      // lic feeds TWO consumers (the cluster-max fold and the final
+      // flow-matrix join) — localCheckpoint-pin it (q305's discipline,
+      // r13 verdict item 1) so the LSH+CC chain upstream runs once, not
+      // per branch. The pinned table is doc-count rows of 4 small
+      // columns; at 100 TB it is the (id, cluster, source) ledger a
+      // real run would land in a temp table anyway.
       val lic = comp.withColumn("base_id", col("doc_id") % 1000000L)
         .join(Tables.documents(s, d)
           .select(col("doc_id").as("base_id"), col("source")), "base_id")
         .withColumn("own_rank", expr("CAST(substring(source, 4) AS INT) % 3"))
+        .localCheckpoint()
       // mutation seam (knob OFF in every production plan): the min fold
       // is the license-laundering bug — a permissive copy WASHES the
       // cluster instead of inheriting its restriction
@@ -408,14 +410,18 @@ object DedupEvalQueries {
     // cap bounds cost without shifting anyone's seat.
     "q302_shuffle_spacing" -> ((s, d) => {
       val c = corpus(s, d)
-      val pairs = candidatePairsOf(shinglesRaw(c))
-      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val comp = sharedClusters(s, d)
+      // ds feeds BOTH ordering arms — localCheckpoint-pin it (q305's
+      // discipline, r13 verdict item 1) so the LSH+CC chain and the
+      // attribution join run once, not per arm. Pinned size is the
+      // corpus (text rides along as arm b's order key), disk-backed
+      // by the MEMORY_AND_DISK default at scale.
       val ds = comp.join(c, "doc_id")
         .withColumn("base_id", col("doc_id") % 1000000L)
         .join(Tables.documents(s, d)
           .select(col("doc_id").as("base_id"), col("source")), "base_id")
         .select("doc_id", "cluster_id", "source", "text")
+        .localCheckpoint()
       // mutation seam (knob OFF in every production plan): radius 3 for
       // 4 — boundary pairs silently leave n_close in both arms
       val closeWin =
@@ -466,10 +472,8 @@ object DedupEvalQueries {
     // both leak counts ONE edge join; the 2-row report explodes from a
     // single 1-row aggregate pair.
     "q305_leakage_free_split" -> ((s, d) => {
-      val c = corpus(s, d)
-      val pairs = candidatePairsOf(shinglesRaw(c)).localCheckpoint()
-      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val pairs = sharedCandidatePairs(s, d)
+      val comp = sharedClusters(s, d)
       def tag(keyCol: String): org.apache.spark.sql.Column =
         when(expr(SamplingPipeline.drawExpr(keyCol, "split")) % 5 < 4,
           lit("train")).otherwise(lit("test"))
@@ -504,13 +508,13 @@ object DedupEvalQueries {
     }),
 
     "q277_cluster_span" -> ((s, d) => {
-      val c = corpus(s, d)
-      val pairs = candidatePairsOf(shinglesRaw(c))
-      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val comp = sharedClusters(s, d)
+      // ds feeds the per-cluster rollup AND the total — pin it so the
+      // attribution join runs once (q305's discipline, r13 verdict item 1).
       val ds = comp.withColumn("base_id", col("doc_id") % 1000000L)
         .join(Tables.documents(s, d)
           .select(col("doc_id").as("base_id"), col("source")), "base_id")
+        .localCheckpoint()
       val perCluster = ds.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"),
           countDistinct(col("source")).as("n_sources"))
@@ -548,14 +552,15 @@ object DedupEvalQueries {
     // pointer-jumping CC); the attribution join keys on doc id against
     // the documents table and the report is a |sources|-row rollup.
     "q255_dedup_impact" -> ((s, d) => {
-      val c = corpus(s, d)
-      val pairs = candidatePairsOf(shinglesRaw(c))
-      val comp = GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val comp = sharedClusters(s, d)
+      // ds feeds raw AND kept (and each of those feeds its own total) —
+      // pin it so the attribution join runs once, not four times (q305's
+      // discipline, r13 verdict item 1).
       val ds = comp
         .withColumn("base_id", col("doc_id") % 1000000L)
         .join(Tables.documents(s, d)
           .select(col("doc_id").as("base_id"), col("source")), "base_id")
+        .localCheckpoint()
       val raw = ds.groupBy("source").agg(count(lit(1)).as("raw_docs"))
       val kept = ds.filter(col("doc_id") === col("cluster_id"))
         .groupBy("source").agg(count(lit(1)).as("kept_docs"))

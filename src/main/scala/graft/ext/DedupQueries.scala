@@ -247,6 +247,46 @@ object DedupQueries {
                                     maxBucket: Int = DefaultMaxBucket): DataFrame =
     candidatePairs(bandTable(minhash(sh)), maxBucket)
 
+  /** SHARED LSH+CC cluster ledger — the one (candidate edges, cluster
+    * table) pair every dedup-family eval consumes (q54, q212, q255,
+    * q277, q296, q302, q305), memoized per (session, dataset) like the
+    * q128 ANN index and the q101 guard cache (r13 verdict "What's
+    * missing" item 2: the seven heavies rebuilt this chain from scratch
+    * for ~12% of the suite). This is exactly what a production curation
+    * run does: the cluster assignment is computed ONCE and landed as a
+    * table; canonical selection, impact accounting, license propagation,
+    * split tagging, and ordering audits are all downstream reads of that
+    * ledger, not re-clusterings. Both frames are localCheckpoint-pinned
+    * (edge-count / doc-count rows of ids — MEMORY_AND_DISK, disk-backed
+    * at scale), deterministic (min-reachable-id labels), and knob-free:
+    * no [[graft.Mutations]] seam touches the chain, so a red-case run
+    * reuses the same ledger the production plan built. Entries live for
+    * the session; [[clearClusterCache]] drops them (fixtures are
+    * read-only, so in-place dataset rewrites are the only reason to). */
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  def clearClusterCache(): Unit = clusterCache.clear()
+
+  private def clusterLedger(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    clusterCache.computeIfAbsent((s, d), _ => {
+      val c = corpus(s, d)
+      val pairs = candidatePairsOf(shinglesRaw(c)).localCheckpoint()
+      val comp = GraphOps.connectedComponents(
+          pairs, c.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .localCheckpoint()
+      (pairs, comp)
+    })
+
+  /** Pinned candidate near-dup edges (id1 < id2) over [[corpus]]. */
+  private[ext] def sharedCandidatePairs(s: SparkSession, d: String): DataFrame =
+    clusterLedger(s, d)._1
+
+  /** Pinned (doc_id, cluster_id) table over [[corpus]] — q54's labels. */
+  private[ext] def sharedClusters(s: SparkSession, d: String): DataFrame =
+    clusterLedger(s, d)._2
+
   /** EXACT set-similarity self-join by PPJoin prefix filtering (the q149
     * operator, generalized to a rational threshold tNum/tDen): for
     * J ≥ t a qualifying pair must share a token among each side's
@@ -484,13 +524,8 @@ object DedupQueries {
     // Dedup clustering: LSH candidate pairs as edges → connected
     // components → every doc labeled with its cluster's smallest id
     // (the transitive-closure step edge-based dedup skips).
-    "q54_dedup_clusters" -> ((s, d) => {
-      val c = corpus(s, d)
-      val pairs = candidatePairsOf(shinglesRaw(c))
-      GraphOps.connectedComponents(pairs, c.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-        .orderBy("doc_id")
-    }),
+    "q54_dedup_clusters" -> ((s, d) =>
+      sharedClusters(s, d).orderBy("doc_id")),
 
     // Exact substring dedup via winnowing-style content-defined
     // fingerprints: pairs of docs sharing verbatim character runs — the
@@ -540,6 +575,17 @@ object DedupQueries {
     * behind [[DedupPipeline.substringDedup]]. Expects (doc_id, text);
     * returns (id1, id2, n_shared) with id1 < id2.
     *
+    * Collision budget of the 60-bit key doubling as the fingerprint
+    * (r13 advice): winnowing selects ~1/5 of windows, so 100 TB ≈ 1e12
+    * windows → n ≈ 2e11 selected fingerprints; the birthday bound gives
+    * n²/2^61 ≈ 1.7e4 spurious cross-doc key collisions — inflating
+    * n_shared by ≲1e-7 of the true shared-fingerprint mass, orders of
+    * magnitude below the ≥1-shared-window reporting threshold's own
+    * noise. Both engines hash identically, so the budget is a precision
+    * statement, not a correctness risk; a deployment that needs zero
+    * false merges re-keys the ~1/5 selected windows with the full
+    * 128-bit digest at the cost of one corpus-bytes join back to text.
+    *
     * Winnow selection via per-doc window mins (two rows frames over ONE
     * partition+sort — Spark fuses same-spec frames into one Window exec).
     * A map-only per-row formulation (array_min over the neighborhood
@@ -578,14 +624,25 @@ object DedupQueries {
       .withColumn("lmin", min(col("k")).over(base.rowsBetween(0, 9)))
       .filter(col("k") === col("tmin") || col("k") === col("lmin"))
       .select(col("doc_id"), col("k").as("h"))
-    // One h-keyed shuffle replaces the r12 shape's distinct + cap-window
+    // One h-keyed exchange replaces the r12 shape's distinct + cap-window
     // + hash self-join (which recomputed the whole winnow subtree for
-    // the build side and broadcast it): collect_set dedups repeated
-    // selections of the same fingerprint within a doc, size() is the
-    // distinct-doc bucket cap, and the bounded per-bucket pair expansion
-    // happens inside the row. Pair semantics (and the oracle) unchanged.
-    val pairs = fp.groupBy("h").agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+    // the build side and broadcast it). Ordering matters for memory:
+    // the mega-bucket cap is applied by a STREAMING window count BEFORE
+    // anything is collected — a boilerplate window shared by millions of
+    // docs must never reach a collect_* buffer, because an aggregation
+    // buffer cannot spill per-group while WindowExec's partition buffer
+    // can. Steps, all on the ONE h-partitioning: (1) per-doc dedup of
+    // repeated selections of the same fingerprint — doc-local, no new
+    // exchange, the winnow output is already hash-partitioned by doc_id;
+    // (2) exchange on h + window count = distinct-doc bucket size,
+    // spill-safe; (3) cap filter 2..maxBucket; (4) collect_list — now
+    // bounded by maxBucket — and in-row pair expansion. Pair semantics
+    // (and the oracle) unchanged.
+    val fpd = fp.dropDuplicates("doc_id", "h")
+    val hw = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val pairs = fpd.withColumn("nd", count(lit(1)).over(hw))
+      .filter(col("nd").between(2, maxBucket)).drop("nd")
+      .groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
       .select(explode(expr(
         "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), " +
           "b -> struct(a AS id1, b AS id2))))")).as("p"))

@@ -93,8 +93,16 @@ object GraphOps {
     // Self-loops make every node its own neighbor: the per-round min can
     // then be a plain join+aggregate over this one edge table, with no
     // union against the (checkpointed) label table inside the loop.
-    val sym = pin(edges.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst")))
+    // Symmetrization is an in-row explode, NOT a union of two selects
+    // over `edges`: a union evaluates the edge subtree twice, and for
+    // the dedup family that subtree is the whole LSH candidate chain
+    // (shingles → minhash → banding → capped self-join) — the explode
+    // halves the most expensive part of every CC consumer's plan.
+    val sym = pin(edges
+      .select(explode(array(
+        struct(col("id1").as("src"), col("id2").as("dst")),
+        struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .unionByName(nodes.select(col("id").as("src"), col("id").as("dst"))))
     var labels = pin(nodes.select(col("id"), col("id").as("comp")))
     var i = 0

@@ -312,8 +312,73 @@ object PipelineQueries {
           expr("(m.gap * 10000) DIV greatest(n_a * n_b, 1)").as("ks_bp"),
           (lit(0L) - col("m.neg")).as("at_chars"))
       ks("val").unionByName(ks("test")).orderBy("pair")
+    }),
+
+    // TRAINING-SHARD EXPORT → MANIFEST RECONCILIATION (r13 verdict item
+    // 4) — the loop back to the reference's actual job: manifest the
+    // corpus you just wrote (/root/reference/src/main.rs:361-390), here
+    // applied to the north star's actual product, packed training
+    // sequences. The q188 placement table is sharded size-targeted
+    // (ShardSeqs packed sequences per shard ≈ a fixed token budget),
+    // exported as one parquet file per shard (the shard key is the
+    // repartition key, so each shard's rows land in exactly one task →
+    // one file under its shard= directory), then the EXPORTED TREE is
+    // inventoried with the reference-semantics FsListSource manifest and
+    // read back — and all three views are reconciled per shard in one
+    // report: expected docs/seqs/tokens (recomputed from the source
+    // table), files the manifest lists (must be exactly 1), rows the
+    // read-back returns (must equal the expected docs), listed bytes
+    // nonzero, and the sequence budget respected. The oracle pins the
+    // CONTRACT (1 file, rows == docs, reconciled, within target): any
+    // export, listing, or read-back defect lands as a hash mismatch.
+    // Scale: one per-source prefix-sum window (the q188 seam), one
+    // shard-keyed exchange for the write, one executor-sharded listing,
+    // two map-side-combined aggregates; no driver-side rows beyond the
+    // |shards|-row report.
+    "q306_shard_export_manifest" -> ((s, d) => {
+      val L = CurationQueries.SeqPackLen
+      val K = ShardSeqs
+      val placed = SamplingPipeline.packSequences(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "doc_id", "source", "n_tok", L)
+        .withColumn("shard", concat(col("source"), lit("-"),
+          lpad(expr(s"CAST(seq_id DIV $K AS STRING)"), 4, "0")))
+      val out = graft.ops.Scratch.dir("graft_shard_export")
+      placed.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      val listed = s.read.format("graft.sources.FsListSource")
+        .option("path", out).load()
+        .filter(col("Key").endsWith(".parquet"))
+        .withColumn("shard", regexp_extract(col("Key"), "shard=([^/]+)", 1))
+        .groupBy("shard").agg(count(lit(1)).as("n_files"),
+          sum(col("Size")).as("shard_bytes"))
+      val readBack = s.read.parquet(out)
+        .groupBy("shard").agg(count(lit(1)).as("rows_read"))
+      placed.groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("seq_id")).as("n_seqs"),
+          sum(col("n_tok")).as("n_tok"))
+        .join(listed, Seq("shard"), "left")
+        .join(readBack, Seq("shard"), "left")
+        .select(col("shard"), col("n_docs"), col("n_seqs"), col("n_tok"),
+          coalesce(col("n_files"), lit(0L)).as("n_files"),
+          coalesce(col("rows_read"), lit(0L)).as("rows_read"),
+          when(coalesce(col("n_files"), lit(0L)) === 1 &&
+            coalesce(col("rows_read"), lit(0L)) === col("n_docs"), 1L)
+            .otherwise(0L).as("reconciled"),
+          when(coalesce(col("shard_bytes"), lit(0L)) > 0, 1L)
+            .otherwise(0L).as("bytes_nonzero"),
+          when(col("n_seqs") <= K, 1L).otherwise(0L).as("within_target"))
+        .orderBy("shard")
     })
   )
+
+  /** Packed sequences per exported training shard — the shard-size
+    * target in sequence units (ShardSeqs × SeqPackLen ≈ 128k tokens per
+    * shard at the demo constants; a production run sets this from its
+    * object-store sweet spot, e.g. ~256 MB per file). */
+  private[ext] val ShardSeqs = 64L
 
   def oracles: Map[String, String] = Map(
     "q137_weighted_sample" -> {
@@ -530,6 +595,43 @@ object PipelineQueries {
           SELECT pair, n_a, n_b,
                  (gap * 10000) // greatest(n_a * n_b, 1) AS ks_bp,
                  n_chars AS at_chars
-          FROM best WHERE rn = 1 ORDER BY pair"""
+          FROM best WHERE rn = 1 ORDER BY pair""",
+
+    // q306: the oracle recomputes the deterministic shard layout from
+    // `documents` (the q188 packing CTE + the ShardSeqs block key) and
+    // PINS the export/listing/read-back contract: exactly one listed
+    // file per shard, read-back rows equal to the expected docs,
+    // reconciled, nonzero listed bytes, sequence budget respected. The
+    // Spark side computes those columns from the REAL exported tree —
+    // a write, listing, or read-back defect is a hash mismatch here.
+    "q306_shard_export_manifest" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+          c AS (SELECT doc_id, source, n_tok,
+                       COALESCE(sum(n_tok) OVER (PARTITION BY source
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum_before
+                FROM t),
+          p AS (SELECT doc_id, source, n_tok,
+                       cum_before // ${CurationQueries.SeqPackLen} AS seq_id
+                FROM c),
+          sh AS (SELECT source || '-' ||
+                        lpad(CAST(seq_id // $ShardSeqs AS VARCHAR), 4, '0')
+                          AS shard,
+                        doc_id, seq_id, n_tok
+                 FROM p),
+          e AS (SELECT shard, count(*) AS n_docs,
+                       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+                       CAST(sum(n_tok) AS BIGINT) AS n_tok
+                FROM sh GROUP BY shard)
+          SELECT shard, n_docs, n_seqs, n_tok,
+                 CAST(1 AS BIGINT) AS n_files,
+                 n_docs AS rows_read,
+                 CAST(1 AS BIGINT) AS reconciled,
+                 CAST(1 AS BIGINT) AS bytes_nonzero,
+                 CAST(1 AS BIGINT) AS within_target
+          FROM e ORDER BY shard"""
   )
 }

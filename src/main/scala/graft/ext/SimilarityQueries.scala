@@ -993,17 +993,35 @@ object SimilarityQueries {
     // candidates through the IVF cells (q51/q290) instead of streaming
     // the corpus; the brute pass IS the recall-1.0 reference the index
     // variants grade against, exactly the q287 truth discipline.
+    // The corpus is embeddings ∪ PLANTED MISLABELED DUPLICATES (an exact
+    // copy of every query vector under a different label, vec_id + 1M —
+    // the q44-family planted-copy discipline): cos(query, its copy) ≈ 1.0
+    // with an unequal label, so each plant is precisely the false
+    // negative the ceiling exists to exclude — the production plan drops
+    // all ten, and the q300_neardup_ceiling_dropped red-case proves the
+    // harness notices when a build stops dropping them.
     "q300_hard_negatives" -> ((s, d) => {
-      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-      val nl = normed(s, d).join(lab, "vec_id")
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          (col("label") + 1).as("label"), col("embedding"))
+      val nl = base.unionByName(planted)
+        .withColumn("nrm", VectorOps.norm(col("embedding")))
       val q = nl.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("embedding").as("qe"), col("nrm").as("qn"))
+      // mutation seam (knob OFF in every production plan): no ceiling —
+      // the planted duplicates poison every query's top-5
+      val ceiling =
+        if (graft.Mutations.on("q300_neardup_ceiling_dropped"))
+          lit(Double.MaxValue)
+        else lit(0.98)
       val scored = nl.join(broadcast(q), col("label") =!= col("qlabel"))
         .select(col("qid"), col("vec_id"),
           (VectorOps.dotSeq(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
             .as("cos_sim"))
-        .filter(col("cos_sim") < 0.98)
+        .filter(col("cos_sim") < ceiling)
       val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
@@ -1053,9 +1071,15 @@ object SimilarityQueries {
           (col("cos_sim") * 2 / (col("m1") + col("m2"))).as("margin"))
       val xw = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
       val yw = Window.partitionBy("y_id").orderBy(col("margin").desc, col("x_id"))
+      // mutation seam (knob OFF in every production plan): one-sided
+      // best accepted — hub pairs flood the mined set
+      val mined =
+        if (graft.Mutations.on("q301_mutual_top1_broken"))
+          col("xr") === 1 || col("yr") === 1
+        else col("xr") === 1 && col("yr") === 1
       scored.withColumn("xr", row_number().over(xw))
         .withColumn("yr", row_number().over(yw))
-        .filter(col("xr") === 1 && col("yr") === 1)
+        .filter(mined)
         .select(col("x_id"), col("y_id"), round(col("margin"), 6).as("margin"))
         .orderBy("x_id")
     }),
@@ -1082,7 +1106,12 @@ object SimilarityQueries {
         .withColumn("cell_size", count(lit(1)).over(cw))
         .withColumn("pos", row_number().over(rw))
         .withColumn("quota",
-          expr("CAST(floor(sqrt(CAST(cell_size AS DOUBLE))) AS BIGINT)"))
+          // mutation seam (knob OFF in every production plan): ⌈√n⌉ for
+          // ⌊√n⌋ — every non-perfect-square cell admits one extra row
+          if (graft.Mutations.on("q303_quota_ceil"))
+            expr("CAST(ceil(sqrt(CAST(cell_size AS DOUBLE))) AS BIGINT)")
+          else
+            expr("CAST(floor(sqrt(CAST(cell_size AS DOUBLE))) AS BIGINT)"))
         .filter(col("pos") <= col("quota"))
         .select(col("cell"), col("pos"), col("vec_id"), col("cell_size"),
           col("quota"))
@@ -1934,10 +1963,14 @@ object SimilarityQueries {
     // q300: cross-label cosine top-5 under the 0.98 near-dup ceiling —
     // the n/nl/q relations are labelTruth's verbatim (shared CTEs).
     "q300_hard_negatives" ->
-      s"""WITH $normedSql,
-          lab AS (SELECT vec_id, label FROM embeddings),
-          nl AS (SELECT n.vec_id, n.embedding, n.nrm, lab.label
-                 FROM n JOIN lab ON lab.vec_id = n.vec_id),
+      s"""WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
+          plant AS (SELECT vec_id + 1000000 AS vec_id, label + 1 AS label,
+                           embedding
+                    FROM base WHERE vec_id < 10),
+          corp AS (SELECT * FROM base UNION ALL SELECT * FROM plant),
+          nl AS (SELECT vec_id, label, embedding,
+                        ${VectorOps.oNorm("embedding")} AS nrm
+                 FROM corp),
           q AS (SELECT vec_id AS qid, label AS qlabel,
                        embedding AS qe, nrm AS qn
                 FROM nl WHERE vec_id < 10),

@@ -469,8 +469,15 @@ class PlanSpec extends SparkSpec {
       Seq("q255_dedup_impact", "q277_cluster_span").foreach { q =>
         val p = plan(q)
         assert(!p.contains("CartesianProduct"), q)
+        // The attribution join runs UPSTREAM of the shared-ledger
+        // localCheckpoint (round 14), so the visible report stage reads
+        // the pinned table (Scan ExistingRDD) and its only nested-loop
+        // joins are the 1-row totals crosses. A DATA join regressing to
+        // a nested loop would surface as a non-Cross BNLJ — pin that.
+        assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
+          !p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), q)
         assert(!p.contains("BroadcastNestedLoopJoin") ||
-          p.contains("BroadcastHashJoin"), q) // only the tiny report joins may nest
+          p.contains("BroadcastHashJoin") || p.contains("ExistingRDD"), q)
       }
     }
   }
