@@ -38,7 +38,10 @@ object PlanSnapshots {
     "q110_bucketed_join",
     // round-13 heavies: the two new LSH+CC consumers
     "q302_shuffle_spacing",
-    "q305_leakage_free_split")
+    "q305_leakage_free_split",
+    // round-14 heavies: the NSW walk and the unigram-LM round
+    "q308_nsw_graph_ann",
+    "q307_unigram_lm")
 
   private[graft] def normalize(plan: String): String =
     plan

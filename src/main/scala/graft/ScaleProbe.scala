@@ -32,7 +32,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val genDir = args.lift(0).getOrElse("/tmp/graft_scale10x")
-    val outJson = args.lift(1).getOrElse("SCALE_r12.json")
+    val outJson = args.lift(1).getOrElse("SCALE_r14.json")
     // optional arg(2): comma-separated probe filter — iterate on one
     // probe without paying the full 25-probe run
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
@@ -95,12 +95,26 @@ object ScaleProbe {
       "q302_shuffle_spacing" -> "dataloader-order spacing hazard (CC clusters + per-shard windows)",
       "q303_cluster_balanced_sample" -> "sqrt-quota cluster-balanced sampling (one cell-keyed exchange)",
       "q304_pack_attention" -> "packed-sequence cross-doc attention contamination",
-      "q305_leakage_free_split" -> "cluster-keyed vs doc-keyed split leak witness (CC + edge join)")
+      "q305_leakage_free_split" -> "cluster-keyed vs doc-keyed split leak witness (CC + edge join)",
+      // round-14 additions
+      "q306_shard_export_manifest" -> "shard export + FsListSource manifest + read-back reconciliation",
+      "q307_unigram_lm" -> "unigram-LM tokenizer round (in-row Viterbi + EM re-cost)",
+      "q308_nsw_graph_ann" -> "NN-descent NSW graph build + greedy beam search ANN")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
     // overheads amortized, not magic
     val notes: Map[String, String] = Map(
+      "q307_unigram_lm" -> ("work is word-TYPE-table-sized, not corpus-" +
+        "sized: the 10x fixture's group-suffixed vocabulary grows types " +
+        "~10x (the worst case for this op — organic corpora grow " +
+        "vocabulary sublinearly), and the in-row Viterbi is a bounded " +
+        "constant per type"),
+      "q308_nsw_graph_ann" -> ("build is O(n*M^2) per NN-descent round " +
+        "(linear in vectors at fixed out-degree); the beam search is " +
+        "corpus-size-INDEPENDENT per query (beam-bounded lookups) — a " +
+        "flat exponent here means the bounded-probe design holds, not " +
+        "amortized overhead"),
       "q295_stream_skipgram" -> ("a streaming micro-batch run this short " +
         "is dominated by per-query engine startup (state-store init, " +
         "offset log), not data volume — both scales complete in ONE " +

@@ -1096,6 +1096,126 @@ object SimilarityQueries {
     // one broadcast map-only pass every IVF consumer pays; then ONE
     // cell-keyed exchange carries both windows (size + rank share the
     // partition key); quotas never collect to the driver.
+    // GRAPH-BASED ANN (single-layer NSW, the HNSW building block) — the
+    // one production index family the suite's IVF/PQ/SQ/Matryoshka
+    // variants don't cover (r13 verdict stretch 9). The k-NN GRAPH is
+    // built the scalable way (NN-descent, Dong et al. WWW'11): every
+    // vector seeds [[NswM]] deterministic md5-drawn random neighbors
+    // (∪ the banded sign-LSH candidates — free real-data quality),
+    // then [[NswDescentRounds]] refinement rounds replace each node's
+    // list with the top-[[NswM]] of {current ∪ reversed ∪
+    // neighbors-of-neighbors} by exact cosine — O(n·M²) per round,
+    // never an all-pairs surface. Search is greedy BEAM walking in the
+    // q144/q235 fixed-round discipline: [[NswRounds]] rounds, each
+    // expanding the current per-query beam's out-edges, scoring exact
+    // cosine, and keeping the [[NswBeam]] best (cos desc, vec_id) seen
+    // so far — monotone, deterministic, tie-broken identically in both
+    // engines. Entry set = the 16 seed vectors (the IVF seam's seed
+    // notion as multi-entry NSW). Graded: each query's top-5 walk
+    // result with per-hit truth membership and recall@5 bp against
+    // q50's brute-force truth — the recall a production HNSW tunes
+    // M/beam/rounds against.
+    // Scale: every build round is bounded fan-out (M² per node); each
+    // search round is one bounded probe join (|queries|·beam·M
+    // candidate rows) against the corpus — a 100 TB deployment serves
+    // the walk from an index store, and this plan IS that access
+    // pattern: beam-sized lookups, never a corpus×corpus surface.
+    // Rounds are lineage-pinned (GraphOps.pin).
+    "q308_nsw_graph_ann" -> ((s, d) => {
+      // the normed corpus is probed by every build and search round —
+      // pin it once instead of re-scanning parquet + recomputing norms
+      // ~10×. (Returned-result lineage keeps the pin alive; its blocks
+      // are reclaimed by the context cleaner once the result is GC'd —
+      // the CC labels discipline.)
+      val n = GraphOps.pin(normed(s, d)).df
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val cntDf = n.agg(count(lit(1)).as("cnt"))
+      val draw = SamplingPipeline.drawExpr(
+        "concat(cast(src AS STRING), '#', cast(k AS STRING))", "nsw")
+      val seedPairs = n.select(col("vec_id").as("src"))
+        .select(col("src"), explode(expr(s"sequence(1, $NswM)")).as("k"))
+        .crossJoin(broadcast(cntDf)) // 1-row total — control-plane
+        .select(col("src"), (expr(draw) % col("cnt")).as("dst"))
+        .filter(col("dst") =!= col("src"))
+      val lshPairs = DedupQueries
+        .signLshCosineCandidates(Tables.embeddings(s, d))
+        .filter(!isnan(col("cos_sim")))
+        .select(explode(array(
+          struct(col("id1").as("src"), col("id2").as("dst")),
+          struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      def scorePairs(p: DataFrame): DataFrame =
+        p.join(n.select(col("vec_id").as("src"), col("embedding").as("se"),
+            col("nrm").as("sn")), "src")
+          .join(n.select(col("vec_id").as("dst"), col("embedding").as("de"),
+            col("nrm").as("dn")), "dst")
+          .select(col("src"), col("dst"),
+            (VectorOps.dotSeq(col("se"), col("de")) / (col("sn") * col("dn")))
+              .as("ecos"))
+      val ew = Window.partitionBy("src").orderBy(col("ecos").desc, col("dst"))
+      def topM(adj: DataFrame): DataFrame =
+        adj.withColumn("rn", row_number().over(ew))
+          .filter(col("rn") <= NswM).drop("rn")
+      var adj = GraphOps.pin(topM(scorePairs(
+        seedPairs.unionByName(lshPairs).distinct())))
+      for (_ <- 1 to NswDescentRounds) {
+        val und = adj.df.unionByName(adj.df.select(col("dst").as("src"),
+          col("src").as("dst"), col("ecos")))
+        val twoHop = und.select(col("src"), col("dst").as("mid"))
+          .join(und.select(col("src").as("mid"), col("dst")), "mid")
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+        val next = GraphOps.pin(topM(
+          und.unionByName(scorePairs(twoHop))
+            .groupBy("src", "dst").agg(max(col("ecos")).as("ecos"))))
+        adj.free()
+        adj = next
+      }
+      val edges = GraphOps.pin(adj.df.select("src", "dst"))
+      adj.free()
+      // the cands side is ALWAYS bounded (≤ |queries|·beam·M rows), so
+      // broadcasting it and streaming the corpus is the scale-correct
+      // shape — the index-store lookup pattern
+      def scoreOf(cands: DataFrame): DataFrame =
+        n.join(broadcast(cands), "vec_id").join(broadcast(q), "qid")
+          .select(col("qid"), col("vec_id"),
+            (VectorOps.dotSeq(col("qe"), col("embedding")) /
+              (col("qn") * col("nrm"))).as("cos"))
+      val bw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      // 10 qids × 16 entry ids — a control-plane cross of two bounded sets
+      var beam = GraphOps.pin(scoreOf(q.select(col("qid"))
+          .crossJoin(n.filter(col("vec_id") < 16).select(col("vec_id"))))
+        .withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= NswBeam).drop("rn"))
+      for (_ <- 1 to NswRounds) {
+        val nbr = edges.df
+          .join(broadcast(beam.df.select(col("qid"), col("vec_id").as("src"))),
+            "src")
+          .select(col("qid"), col("dst").as("vec_id")).distinct()
+        val next = GraphOps.pin(beam.df.unionByName(scoreOf(nbr))
+          .groupBy("qid", "vec_id").agg(max(col("cos")).as("cos"))
+          .withColumn("rn", row_number().over(bw))
+          .filter(col("rn") <= NswBeam).drop("rn"))
+        beam.free()
+        beam = next
+      }
+      edges.free()
+      val truth = bruteTopK(s, d, 5)
+        .select(col("qid"), col("vec_id"), lit(1L).as("in_truth"))
+      beam.df.filter(col("vec_id") =!= col("qid"))
+        .withColumn("rank", row_number().over(bw)).filter(col("rank") <= 5)
+        .join(truth, Seq("qid", "vec_id"), "left")
+        .withColumn("in_truth", coalesce(col("in_truth"), lit(0L)))
+        .withColumn("recall_bp",
+          (sum(col("in_truth")).over(Window.partitionBy("qid")) * 2000)
+            .cast("long"))
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("cos"), 6).as("cos_sim"), col("in_truth"), col("recall_bp"))
+        .orderBy("qid", "rank")
+    }),
+
     "q303_cluster_balanced_sample" -> ((s, d) => {
       val n = normed(s, d)
       val assign = cellAssign(n, seedCentroids(n)).select(col("vec_id"), col("cell"))
@@ -1233,6 +1353,14 @@ object SimilarityQueries {
     * to a convergence tolerance. */
   private val PowerIterRounds = 2
   private val Dims = 64
+
+  /** q308's NSW shape: out-degree kept per node, NN-descent refinement
+    * rounds for the graph build, beam width per query, and fixed
+    * greedy-walk rounds for the search. */
+  private val NswM = 8
+  private val NswDescentRounds = 2
+  private val NswBeam = 8
+  private val NswRounds = 6
 
   /** PQ geometry for q122: M subspaces × SubDim dims (M·SubDim = Dims),
     * 16 codebook entries per subspace (vec_id < 16, the q51 convention). */
@@ -1475,6 +1603,124 @@ object SimilarityQueries {
           SELECT kb AS removed_id, ka AS keeper_id, cell,
                  round(cos, 6) AS cos_sim
           FROM sel WHERE rn = 1 ORDER BY removed_id""",
+
+    // q308: the NN-descent NSW build (md5-seeded random graph ∪ sign-
+    // LSH candidates, then bounded neighbor-of-neighbor refinement
+    // rounds a0..a[DescentRounds]), the multi-entry greedy beam walk
+    // unrolled round by round (b0..bR, each a union + (qid, vec_id)
+    // dedup + top-B window — the exact monotone iteration the Spark
+    // loop pins), and the q50 brute truth for per-hit membership and
+    // recall@5. Every adjacency/beam CTE is MATERIALIZED: each is
+    // referenced by the next round AND the dedup union, and the
+    // iteration would otherwise inline exponentially.
+    "q308_nsw_graph_ann" -> {
+      val draw = SamplingPipeline.drawExpr(
+        "concat(cast(src AS STRING), '#', cast(k AS STRING))", "nsw")
+      val descent = (1 to NswDescentRounds).map { r =>
+        s"""u$r AS (SELECT src, dst, ecos FROM a${r - 1}
+                    UNION ALL SELECT dst, src, ecos FROM a${r - 1}),
+            th$r AS (SELECT DISTINCT x.src, y.dst
+                     FROM u$r x JOIN u$r y ON y.src = x.dst
+                     WHERE x.src <> y.dst),
+            ts$r AS (SELECT p.src, p.dst,
+                            ${VectorOps.oDot("a.embedding", "b.embedding")} /
+                              (a.nrm * b.nrm) AS ecos
+                     FROM th$r p
+                     JOIN nvec a ON a.vec_id = p.src
+                     JOIN nvec b ON b.vec_id = p.dst),
+            a$r AS MATERIALIZED (SELECT src, dst, ecos FROM (
+                SELECT *, row_number() OVER (PARTITION BY src
+                            ORDER BY ecos DESC, dst) AS rn
+                FROM (SELECT src, dst, max(ecos) AS ecos FROM (
+                        SELECT * FROM u$r UNION ALL SELECT * FROM ts$r)
+                      GROUP BY src, dst))
+                WHERE rn <= $NswM)"""
+      }.mkString(",\n")
+      val rounds = (1 to NswRounds).map { r =>
+        s"""nr$r AS (SELECT DISTINCT b.qid, e.dst AS vec_id
+                     FROM b${r - 1} b JOIN nsw_e e ON e.src = b.vec_id),
+            sc$r AS (SELECT nr.qid, nr.vec_id,
+                            ${VectorOps.oDot("q.qe", "v.embedding")} /
+                              (q.qn * v.nrm) AS cos
+                     FROM nr$r nr
+                     JOIN nvec v ON v.vec_id = nr.vec_id
+                     JOIN qv q ON q.qid = nr.qid),
+            b$r AS MATERIALIZED (SELECT qid, vec_id, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id) AS rn
+                FROM (SELECT qid, vec_id, max(cos) AS cos FROM (
+                        SELECT * FROM b${r - 1}
+                        UNION ALL SELECT * FROM sc$r)
+                      GROUP BY qid, vec_id))
+                WHERE rn <= $NswBeam)"""
+      }.mkString(",\n")
+      s"""WITH ${DedupQueries.oSignLshCandSql("embeddings")},
+          nvec AS MATERIALIZED (SELECT vec_id, embedding,
+                   ${VectorOps.oNorm("embedding")} AS nrm FROM embeddings),
+          qv AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe,
+                   nrm AS qn FROM nvec WHERE vec_id < 10),
+          cntv AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nvec),
+          seedp AS (SELECT src, dst FROM (
+                      SELECT src, ($draw) % cnt AS dst FROM (
+                        SELECT v.vec_id AS src, kk.k AS k, c.cnt
+                        FROM nvec v
+                        CROSS JOIN (SELECT unnest(generate_series(1, $NswM))
+                                      AS k) kk
+                        CROSS JOIN cntv c))
+                    WHERE dst <> src),
+          cpn AS MATERIALIZED (SELECT id1, id2, cos_sim FROM cand
+                               WHERE NOT isnan(cos_sim)),
+          lshp AS (SELECT id1 AS src, id2 AS dst FROM cpn
+                   UNION ALL SELECT id2, id1 FROM cpn),
+          c0 AS (SELECT DISTINCT src, dst FROM (
+                   SELECT * FROM seedp UNION ALL SELECT * FROM lshp)),
+          s0 AS (SELECT p.src, p.dst,
+                        ${VectorOps.oDot("a.embedding", "b.embedding")} /
+                          (a.nrm * b.nrm) AS ecos
+                 FROM c0 p
+                 JOIN nvec a ON a.vec_id = p.src
+                 JOIN nvec b ON b.vec_id = p.dst),
+          a0 AS MATERIALIZED (SELECT src, dst, ecos FROM (
+                 SELECT *, row_number() OVER (PARTITION BY src
+                             ORDER BY ecos DESC, dst) AS rn
+                 FROM s0) WHERE rn <= $NswM),
+          $descent,
+          nsw_e AS MATERIALIZED (SELECT src, dst FROM a$NswDescentRounds),
+          b0 AS MATERIALIZED (SELECT qid, vec_id, cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, vec_id) AS rn
+              FROM (SELECT q.qid, v.vec_id,
+                           ${VectorOps.oDot("q.qe", "v.embedding")} /
+                             (q.qn * v.nrm) AS cos
+                    FROM qv q CROSS JOIN nvec v WHERE v.vec_id < 16))
+              WHERE rn <= $NswBeam),
+          $rounds,
+          tsc AS (SELECT q.qid, v.vec_id,
+                         ${VectorOps.oDot("q.qe", "v.embedding")} /
+                           (q.qn * v.nrm) AS cos
+                  FROM nvec v CROSS JOIN qv q WHERE v.vec_id <> q.qid),
+          truth AS MATERIALIZED (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, vec_id) AS r
+                     FROM tsc) WHERE r <= 5),
+          fnd AS (SELECT qid, vec_id, cos,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY cos DESC, vec_id) AS rank
+                  FROM b$NswRounds WHERE vec_id <> qid),
+          hits AS (SELECT f.qid, f.rank, f.vec_id,
+                          round(f.cos, 6) AS cos_sim,
+                          CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END
+                            AS in_truth
+                   FROM fnd f LEFT JOIN truth t
+                     ON t.qid = f.qid AND t.vec_id = f.vec_id
+                   WHERE f.rank <= 5)
+          SELECT qid, rank, vec_id, cos_sim,
+                 CAST(in_truth AS BIGINT) AS in_truth,
+                 CAST(sum(in_truth) OVER (PARTITION BY qid) * 2000
+                   AS BIGINT) AS recall_bp
+          FROM hits ORDER BY qid, rank"""
+    },
 
     "q50_knn_brute" ->
       s"""WITH $normedSql,

@@ -1037,8 +1037,137 @@ object TextQueries {
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("chunk_md5"))
         .limit(25)
+    }),
+
+    // UNIGRAM-LM TOKENIZER ROUND (SentencePiece-style) — the one
+    // tokenizer family the merge-based BPE suite (q121/q134/q191) does
+    // not cover: a vocabulary of substring PIECES with per-piece costs,
+    // Viterbi best-segmentation of every word type, then one EM round
+    // (usage-count M-step) grading vocabulary pruning by loss delta.
+    // All arithmetic is exact-integer (the q120 discipline): a piece's
+    // cost is its surprisal in WHOLE BITS — length(bin(total DIV cnt)),
+    // i.e. ⌊log₂(total/cnt)⌋+1, computed purely on BIGINTs (no float
+    // log whose last ulp could differ across engines) — and the Viterbi
+    // tie-break is (cost, path-string) lexicographic, identical to the
+    // oracle's ORDER BY cost, path. Seed vocabulary = every substring
+    // piece of length ≤ [[UniMaxPieceLen]] with weighted corpus count ≥
+    // [[UniMinPieceCnt]], plus ALL single characters (segmentability
+    // guarantee); word types longer than [[UniMaxWordLen]] chars sit
+    // outside the segmentable cohort (the operator's documented bound —
+    // production SentencePiece bounds candidate length the same way).
+    // The E-step DP runs IN-ROW: each word's vocab occurrences are
+    // collected once and a single `aggregate` HOF walks positions
+    // 1..len carrying the best (cost, path) per prefix — no per-round
+    // joins, no lineage growth, one shuffle to collect and one to count
+    // usage. Output: top-30 pieces by usage (corpus count, old/new bit
+    // costs) + a '__vocab__' summary row (vocab size, corpus loss
+    // before/after re-costing the same segmentation, pieces pruned) +
+    // a '__fertility__' row comparing unigram fertility against the
+    // BPE encode over the SAME word-type cohort (the q259 comparison,
+    // via the shared [[bpeEncodedTypes]] seam).
+    // Scale: occurrences are |types|·len·[[UniMaxPieceLen]] rows of
+    // small structs; everything downstream is piece- or word-keyed
+    // aggregation with map-side combine — no pair joins, no iteration.
+    "q307_unigram_lm" -> ((s, d) => {
+      val P = UniMaxPieceLen
+      val docs = Tables.documents(s, d)
+      val types = wordTypes(docs).filter(length(col("word")) <= UniMaxWordLen)
+      val occ = types.select(col("word"), col("n"), explode(expr(
+          s"flatten(transform(sequence(1, length(word)), i -> " +
+            s"transform(sequence(1, least($P, length(word) - i + 1)), " +
+            s"l -> named_struct('i', i, 'l', l, 'piece', substring(word, i, l)))))"))
+          .as("o"))
+        .select(col("word"), col("n"), col("o.i").as("i"),
+          col("o.l").as("l"), col("o.piece").as("piece"))
+      val cnts = occ.groupBy("piece").agg(sum(col("n")).as("cnt"))
+      val vocab = cnts.filter(
+        length(col("piece")) === 1 || col("cnt") >= UniMinPieceCnt)
+      val tot = vocab.agg(sum(col("cnt")).as("t"))
+      val costed = vocab.crossJoin(broadcast(tot))
+        .select(col("piece"), col("cnt"),
+          expr("CAST(length(bin(t DIV cnt)) AS BIGINT)").as("bits"))
+      val plist = occ.join(costed.select("piece", "bits"), "piece")
+        .groupBy("word", "n")
+        .agg(collect_list(struct(col("i"), col("l"), col("piece"),
+          col("bits"))).as("ps"))
+      val best = plist.withColumn("best", expr(s"""
+        element_at(
+          aggregate(
+            sequence(1, length(word)),
+            array(named_struct('cost', CAST(0 AS BIGINT), 'path', '')),
+            (acc, j) -> concat(acc, array(
+              array_min(filter(
+                transform(sequence(1, least($P, j)), l ->
+                  CASE WHEN size(filter(ps,
+                         p -> p.i = j - l + 1 AND p.l = l)) = 1
+                    THEN named_struct(
+                      'cost', element_at(acc, j - l + 1).cost +
+                        element_at(filter(ps,
+                          p -> p.i = j - l + 1 AND p.l = l), 1).bits,
+                      'path', concat(element_at(acc, j - l + 1).path, '|',
+                        element_at(filter(ps,
+                          p -> p.i = j - l + 1 AND p.l = l), 1).piece))
+                  END),
+                x -> x IS NOT NULL))))),
+          length(word) + 1)"""))
+        .select(col("word"), col("n"), col("best.cost").as("cost"),
+          col("best.path").as("path"))
+      val usage = best
+        .select(col("n"),
+          explode(split(expr("substring(path, 2)"), "\\|")).as("piece"))
+        .groupBy("piece").agg(sum(col("n")).as("used"))
+      val uTot = usage.agg(sum(col("used")).as("ut"))
+      val rep = costed.join(usage, Seq("piece"), "left")
+        .withColumn("used", coalesce(col("used"), lit(0L)))
+        .crossJoin(broadcast(uTot))
+        .withColumn("new_bits", when(col("used") > 0,
+          expr("CAST(length(bin(ut DIV used)) AS BIGINT)")).otherwise(lit(0L)))
+      val top = rep.filter(col("used") > 0)
+        .orderBy(col("used").desc, col("piece")).limit(30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("used").desc, col("piece"))).cast("long"))
+      val sm = rep.agg(
+          count(lit(1)).as("vocab_size"),
+          sum(when(col("used") === 0, 1L).otherwise(0L)).as("n_pruned"),
+          sum(col("used") * col("bits")).as("loss_before"),
+          sum(col("used") * col("new_bits")).as("loss_after"))
+        .select(lit(0L).as("rank"), lit("__vocab__").as("piece"),
+          col("vocab_size").cast("long").as("cnt"),
+          col("loss_before").as("bits"), col("n_pruned").as("used"),
+          col("loss_after").as("new_bits"))
+      // fertility comparison over the SAME cohort: unigram pieces/word
+      // vs the shared-seam BPE encode, both weighted by type count
+      val uniFert = best.agg(sum(col("n")).as("nw"),
+        sum(col("n") *
+          (size(split(expr("substring(path, 2)"), "\\|"))).cast("long"))
+          .as("np"))
+      val bpeFert = bpeEncodedTypes(docs)
+        .filter(length(col("word")) <= UniMaxWordLen)
+        .select(col("n"), expr(
+          "CAST(size(filter(transform(split(symstr, ';'), x -> trim(x)), " +
+            "x -> x <> '')) AS BIGINT)").as("n_syms"))
+        .agg(sum(col("n") * col("n_syms")).as("bp_np"))
+      val fert = uniFert.crossJoin(bpeFert)
+        .select(lit(-1L).as("rank"), lit("__fertility__").as("piece"),
+          col("nw").as("cnt"),
+          expr("(np * 10000) DIV nw").as("bits"),
+          expr("(bp_np * 10000) DIV nw").as("used"),
+          (col("bp_np") - col("np")).as("new_bits"))
+      top.select(col("rank"), col("piece"), col("cnt"), col("bits"),
+          col("used"), col("new_bits"))
+        .unionByName(sm).unionByName(fert)
+        .orderBy("rank", "piece")
     })
   )
+
+  /** q307's segmentable-cohort and seed-vocabulary bounds: word types
+    * longer than [[UniMaxWordLen]] chars are out of cohort, candidate
+    * pieces run to [[UniMaxPieceLen]] chars, and a multi-char piece
+    * needs weighted corpus count ≥ [[UniMinPieceCnt]] to enter the seed
+    * vocabulary (single chars always enter — segmentability). */
+  private[ext] val UniMaxWordLen = 12
+  private[ext] val UniMaxPieceLen = 4
+  private[ext] val UniMinPieceCnt = 3
 
   /** q283/q285's shared sliding-window chunker over (doc_id, text):
     * W-token windows at stride S (default 32/24 — 8-token overlap), the
@@ -1815,6 +1944,101 @@ object TextQueries {
           GROUP BY chunk_md5, chunk_len
           HAVING count(DISTINCT doc_id) >= 2
           ORDER BY n_docs DESC, chunk_md5 LIMIT 25"""
+    },
+
+    // q307: the unigram-LM round as one big unrolled CTE — whole-bit
+    // integer piece costs (length(bin(total // cnt)) — no float log),
+    // the Viterbi DP unrolled position by position (d1..d[MaxWordLen],
+    // each step a ≤[MaxPieceLen]-arm union with (cost, path) argmin by
+    // row_number — the exact tie-break Spark's array_min on
+    // struct(cost, path) applies), then usage counts, the M-step
+    // re-costing, and the same three report bands. BPE fertility rides
+    // the shared oEncodeCtes encode chain over the same cohort.
+    "q307_unigram_lm" -> {
+      val P = UniMaxPieceLen
+      val dpSteps = (1 to UniMaxWordLen).map { j =>
+        val arms = (1 to math.min(P, j)).map { l =>
+          s"""SELECT d.word, d.n, d.cost + p.bits AS cost,
+                     d.path || '|' || p.piece AS path
+              FROM d${j - l} d JOIN pv p
+                ON p.word = d.word AND p.l = $l AND p.i = ${j - l + 1}"""
+        }.mkString("\n UNION ALL\n")
+        s"""d$j AS MATERIALIZED (SELECT word, n, cost, path FROM (
+               SELECT *, row_number() OVER (PARTITION BY word
+                           ORDER BY cost, path) AS rn
+               FROM ($arms)) WHERE rn = 1)"""
+      }.mkString(",\n")
+      val finArms = (1 to UniMaxWordLen).map(j =>
+        s"SELECT word, n, cost, path FROM d$j WHERE len(word) = $j")
+        .mkString("\n UNION ALL\n")
+      s"""WITH $oEncodeCtes,
+          types AS MATERIALIZED (SELECT word, CAST(n AS BIGINT) AS n FROM w
+                    WHERE len(word) <= $UniMaxWordLen),
+          pos AS MATERIALIZED (SELECT word, n,
+                         unnest(generate_series(1, len(word))) AS i
+                  FROM types),
+          occ AS MATERIALIZED (SELECT word, n, i,
+                         unnest(generate_series(1,
+                           least($P, len(word) - i + 1))) AS l
+                  FROM pos),
+          occ2 AS MATERIALIZED (SELECT word, n, i, l, substr(word, i, l) AS piece
+                   FROM occ),
+          cnts AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+                   FROM occ2 GROUP BY piece),
+          vocab AS MATERIALIZED (SELECT piece, cnt FROM cnts
+                    WHERE len(piece) = 1 OR cnt >= $UniMinPieceCnt),
+          tt AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+          costed AS MATERIALIZED (SELECT piece, cnt,
+                            CAST(length(bin(t // cnt)) AS BIGINT) AS bits
+                     FROM vocab, tt),
+          pv AS MATERIALIZED (SELECT o.word, o.n, o.i, o.l, o.piece, c.bits
+                 FROM occ2 o JOIN costed c USING (piece)),
+          d0 AS MATERIALIZED (SELECT word, n, CAST(0 AS BIGINT) AS cost, '' AS path
+                 FROM types),
+          $dpSteps,
+          fin AS MATERIALIZED ($finArms),
+          usage AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS used FROM (
+                      SELECT n, unnest(str_split(substr(path, 2), '|'))
+                               AS piece
+                      FROM fin)
+                    GROUP BY piece),
+          ut AS MATERIALIZED (SELECT CAST(sum(used) AS BIGINT) AS u FROM usage),
+          rep AS MATERIALIZED (SELECT c.piece, c.cnt, c.bits,
+                         CAST(COALESCE(g.used, 0) AS BIGINT) AS used,
+                         CASE WHEN COALESCE(g.used, 0) > 0
+                              THEN CAST(length(bin(u // g.used)) AS BIGINT)
+                              ELSE CAST(0 AS BIGINT) END AS new_bits
+                  FROM costed c LEFT JOIN usage g USING (piece), ut),
+          top AS (SELECT CAST(row_number() OVER (ORDER BY used DESC, piece)
+                           AS BIGINT) AS rank,
+                         piece, cnt, bits, used, new_bits
+                  FROM rep WHERE used > 0
+                  ORDER BY used DESC, piece LIMIT 30),
+          sm AS (SELECT CAST(0 AS BIGINT) AS rank, '__vocab__' AS piece,
+                        CAST(count(*) AS BIGINT) AS cnt,
+                        CAST(sum(used * bits) AS BIGINT) AS bits,
+                        CAST(sum(CASE WHEN used = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS used,
+                        CAST(sum(used * new_bits) AS BIGINT) AS new_bits
+                 FROM rep),
+          uf AS (SELECT CAST(sum(n) AS BIGINT) AS nw,
+                        CAST(sum(n * len(str_split(substr(path, 2), '|')))
+                          AS BIGINT) AS np
+                 FROM fin),
+          bf AS (SELECT CAST(sum(n * len(list_filter(list_transform(
+                          str_split(symstr, ';'), x -> trim(x)),
+                          x -> x <> ''))) AS BIGINT) AS bp_np
+                 FROM e$EncodeMerges WHERE len(word) <= $UniMaxWordLen),
+          fert AS (SELECT CAST(-1 AS BIGINT) AS rank,
+                          '__fertility__' AS piece,
+                          nw AS cnt,
+                          (np * 10000) // nw AS bits,
+                          (bp_np * 10000) // nw AS used,
+                          bp_np - np AS new_bits
+                   FROM uf, bf)
+          SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM sm
+                         UNION ALL SELECT * FROM fert)
+          ORDER BY rank, piece"""
     }
   )
 
