@@ -31,15 +31,17 @@ import org.apache.spark.sql.SparkSession
 object BenchConcurrent {
   private val Streams = 4
 
-  /** The 20 heaviest queries by quiet-box minima (bench_quiet_r12f). */
+  /** The 20 heaviest queries by quiet-box minima (bench_quiet_r14a —
+    * re-ranked after the shared cluster ledger dropped the dedup-family
+    * heavies out of the top 20). */
   val Workload: Seq[String] = Seq(
-    "q230_kcore", "q296_license_propagation", "q116_substring_dedup",
-    "q231_rerank_cascade", "q255_dedup_impact", "q125_bm25",
-    "q212_canonical_docs", "q243_personalized_pagerank", "q120_pagerank",
-    "q277_cluster_span", "q210_lsh_eval", "q202_hits", "q144_multisource_bfs",
-    "q54_dedup_clusters", "q235_weighted_sssp", "q248_clustering_coefficient",
-    "q149_prefix_jaccard_join", "q43_ngram_jaccard", "q119_hybrid_rrf",
-    "q194_hybrid_rrf_ivf")
+    "q308_nsw_graph_ann", "q230_kcore", "q125_bm25", "q235_weighted_sssp",
+    "q231_rerank_cascade", "q120_pagerank", "q243_personalized_pagerank",
+    "q210_lsh_eval", "q202_hits", "q144_multisource_bfs",
+    "q149_prefix_jaccard_join", "q211_label_propagation", "q205_dedup_funnel",
+    "q119_hybrid_rrf", "q194_hybrid_rrf_ivf", "q248_clustering_coefficient",
+    "q132_triangle_count", "q258_degree_assortativity", "q43_ngram_jaccard",
+    "q199_dsir_importance")
 
   def main(args: Array[String]): Unit = {
     val outJson = args.lift(0).getOrElse("/root/repo/bench_concurrent_r14.json")

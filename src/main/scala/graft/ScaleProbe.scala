@@ -218,10 +218,23 @@ object ScaleProbe {
       "q305_leakage_free_split" -> ("rides q54's LSH+CC (grouped " +
         "vocabulary keeps bucket and cluster sizes at 1x density); each " +
         "arm adds a map-only split tag and one join of the candidate " +
-        "edges against it — edge-volume-linear"))
+        "edges against it — edge-volume-linear"),
+      "q54_dedup_clusters" -> ("the shared cluster LEDGER's build " +
+        "probe: the memo is cleared before every timed run, so this " +
+        "exponent is the LSH+CC chain itself (shingle hash -> minhash " +
+        "-> banded self-join -> pointer-jumping CC) at 1x bucket " +
+        "density; the family consumers below it measure post-ledger " +
+        "steady state, which is what the suite pays"))
 
     def timeQuery(name: String, dir: String): Double =
       (1 to 2).map { _ =>
+        // q54 is the shared cluster LEDGER's build probe: clear the
+        // memo before every timed run so its exponent measures the
+        // LSH+CC chain itself, not a cache hit. Consumers (q212, q255,
+        // q277, q296, q302, q305) run after q54 in probe order and
+        // measure their post-ledger steady state — the suite shape.
+        if (name == "q54_dedup_clusters")
+          graft.ext.DedupQueries.clearClusterCache()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
