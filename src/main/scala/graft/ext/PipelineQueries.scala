@@ -378,7 +378,7 @@ object PipelineQueries {
     * target in sequence units (ShardSeqs × SeqPackLen ≈ 128k tokens per
     * shard at the demo constants; a production run sets this from its
     * object-store sweet spot, e.g. ~256 MB per file). */
-  private[ext] val ShardSeqs = 64L
+  private[graft] val ShardSeqs = 64L
 
   def oracles: Map[String, String] = Map(
     "q137_weighted_sample" -> {

@@ -4527,4 +4527,84 @@ class ExtensionSpec extends SparkSpec {
       assert(rs.map(_._3).distinct.length == rs.length)
     }
   }
+
+  test("shard export reconciles: 1 file/shard, sized bounds, q206 totals") {
+    import spark.implicits._
+    val rows = ext.PipelineQueries
+      .queries("q306_shard_export_manifest")(spark, sf)
+      .select("shard", "n_docs", "n_seqs", "n_tok", "n_files", "rows_read",
+        "reconciled", "bytes_nonzero", "within_target")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sh, nd, ns, _, nf, rr, rec, bz, wt) =>
+      assert(nf == 1L, s"$sh: expected exactly one exported file, saw $nf")
+      assert(rr == nd, s"$sh: read-back rows $rr != expected docs $nd")
+      assert(rec == 1L && bz == 1L, s"$sh: reconciliation failed")
+      assert(wt == 1L && ns <= ext.PipelineQueries.ShardSeqs,
+        s"$sh: $ns sequences exceed the shard budget")
+    }
+    // manifest totals must reconcile with the packing report (the q188
+    // seam): per source, the shards' token sum equals q206's total and
+    // the per-source shard count covers exactly its sequence range
+    val bySource = rows.groupBy(_._1.takeWhile(_ != '-'))
+    val rep = ext.CurationQueries.queries("q206_packing_report")(spark, sf)
+      .select($"source".as[String], $"total_tok".as[Long], $"n_seqs".as[Long])
+      .collect().map(r => r._1 -> r).toMap
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_._4).sum == rep(src)._2,
+        s"$src: shard token sum != q206 total_tok")
+      val maxShardIdx = (rep(src)._3 - 1) / ext.PipelineQueries.ShardSeqs
+      assert(rs.length.toLong <= maxShardIdx + 1,
+        s"$src: ${rs.length} shards exceed the sequence range")
+    }
+  }
+
+  test("unigram-LM round: M-step cannot increase the corpus loss") {
+    import spark.implicits._
+    val rows = ext.TextQueries.queries("q307_unigram_lm")(spark, sf)
+      .select("rank", "piece", "cnt", "bits", "used", "new_bits")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    val sm = rows.find(_._2 == "__vocab__").get
+    val fert = rows.find(_._2 == "__fertility__").get
+    val top = rows.filter(_._1 > 0)
+    assert(top.nonEmpty && top.forall(r => r._5 > 0), "top pieces unused?")
+    // EM monotonicity in the re-cost: usage-derived costs cannot price
+    // the SAME segmentation above the seed costs' total
+    assert(sm._6 <= sm._4,
+      s"loss_after ${sm._6} > loss_before ${sm._4} — M-step regressed")
+    assert(sm._5 >= 0 && sm._5 < sm._3, "pruned count out of range")
+    // fertility: pieces per word ≥ 1 (in bp), and the BPE comparison is
+    // over the same cohort so both sit in [10000, maxWordLen*10000]
+    assert(fert._4 >= 10000 && fert._5 >= 10000,
+      s"fertility bp below 1 piece/word: ${fert._4} / ${fert._5}")
+    // every reported top piece carries consistent cost arithmetic:
+    // whole-bit surprisal is ≥ 1 and shrinks (or holds) when usage grows
+    top.foreach { r =>
+      assert(r._4 >= 1 && r._6 >= 1, s"${r._2}: zero-bit cost")
+    }
+  }
+
+  test("NSW beam walk finds real neighbors and reports exact recall") {
+    import spark.implicits._
+    val rows = ext.SimilarityQueries
+      .queries("q308_nsw_graph_ann")(spark, sf)
+      .select("qid", "rank", "vec_id", "cos_sim", "in_truth", "recall_bp")
+      .as[(Long, Int, Long, Double, Long, Long)].collect()
+    assert(rows.length == 50, s"10 queries x top-5, got ${rows.length}")
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 5), s"q$qid ranks not dense")
+      // ranks ordered by cosine desc (ties by vec_id — weak check here)
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"q$qid walk results not cosine-ordered")
+      assert(rs.forall(r => r._3 != qid), s"q$qid returned itself")
+      // recall_bp is exactly the per-hit membership sum
+      assert(rs.head._6 == rs.map(_._5).sum * 2000,
+        s"q$qid recall_bp inconsistent with in_truth flags")
+    }
+    // the graph walk must beat chance decisively: mean recall over the
+    // 10 queries ≥ 40% (brute truth is 5 of ~500 — chance is ~1%)
+    val mean = rows.groupBy(_._1).values.map(_.head._6).sum / 10
+    assert(mean >= 4000, s"mean recall@5 $mean bp — walk not navigating")
+  }
 }
