@@ -99,7 +99,8 @@ object ScaleProbe {
       // round-14 additions
       "q306_shard_export_manifest" -> "shard export + FsListSource manifest + read-back reconciliation",
       "q307_unigram_lm" -> "unigram-LM tokenizer round (in-row Viterbi + EM re-cost)",
-      "q308_nsw_graph_ann" -> "NN-descent NSW graph build + greedy beam search ANN")
+      "q308_nsw_graph_ann" -> "NN-descent NSW graph build + greedy beam search ANN",
+      "q309_bigram_perplexity" -> "bigram-LM perplexity filter (micro-nat model, self-calibrated bands)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job

@@ -4584,6 +4584,37 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("perplexity filter: plants land in their bands, organic text is fluent") {
+    import spark.implicits._
+    val rows = ext.SelectionQueries
+      .queries("q309_bigram_perplexity")(spark, sf)
+      .select("lang", "band", "n_docs", "avg_mnat_tok", "avg_gap_bp")
+      .as[(String, String, Long, Long, Long)].collect()
+    // every organic language is entirely b1: the self-calibrated cuts
+    // must not split in-distribution text across bands at any scale
+    val organic = rows.filter(!_._1.startsWith("xx_"))
+    assert(organic.nonEmpty && organic.forall(_._2 == "b1_fluent"),
+      s"organic rows outside b1: ${organic.filter(_._2 != "b1_fluent").toSeq}")
+    // each planted failure class lands whole in its own band
+    def only(lang: String, band: String): Long = {
+      val rs = rows.filter(_._1 == lang)
+      assert(rs.length == 1 && rs.head._2 == band,
+        s"$lang: expected all docs in $band, saw ${rs.toSeq}")
+      rs.head._5
+    }
+    val light = only("xx_light", "b2_light_contam")
+    val mix = only("xx_mix", "b3_heavy_contam")
+    val gib = only("xx_gib", "b4_gibberish")
+    // gibberish scores exactly the OOV ceiling (gap_bp 10000), and the
+    // contamination ladder is strictly ordered
+    assert(gib == 10000L, s"gibberish gap_bp $gib != ceiling")
+    assert(light < mix && mix < gib, s"ladder broken: $light, $mix, $gib")
+    // the trusted slice anchors the scale: en's mean sits within 5% of
+    // the fluent anchor (gap_bp ~ 0)
+    val en = rows.find(_._1 == "en").get
+    assert(en._5 < 500, s"en gap_bp ${en._5} — anchor drifted")
+  }
+
   test("NSW beam walk finds real neighbors and reports exact recall") {
     import spark.implicits._
     val rows = ext.SimilarityQueries
