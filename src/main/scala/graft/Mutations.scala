@@ -107,6 +107,29 @@ object Mutations {
                                 //   every non-perfect-square cell admits
                                 //   one extra row, the rounding-direction
                                 //   slip of quota arithmetic
+    // round-14 additions: knobs for the round's own new operators, so
+    // they never ship un-red-cased (the r12/r13 pattern, pre-empted)
+    "q306_shard_pad_too_narrow", // shard index zero-padded to 3 digits,
+                                //   not 4 — the key-width bug: shard
+                                //   NAMES (and with them the manifest
+                                //   keys, the partition dirs, and the
+                                //   lexicographic shard order past 999
+                                //   shards) all shift
+    "q307_piece_len_fencepost", // Viterbi admits pieces of length
+                                //   ≤ MaxPieceLen − 1 only — the DP
+                                //   frame fencepost: 4-char pieces
+                                //   silently unusable, segmentations
+                                //   and usage counts shift
+    "q308_reverse_edges_dropped", // NN-descent refines over out-edges
+                                //   only (no reversed pass) — the
+                                //   classic NN-descent bug: the
+                                //   neighbor-of-neighbor pool halves,
+                                //   the built graph differs
+    "q309_backoff_skips_context", // scoring coalesces (mnat, onat) —
+                                //   the backoff-ladder skip: an unseen
+                                //   bigram with a SEEN context is
+                                //   charged the OOV ceiling, planted
+                                //   contamination over-penalized
     "q51_seed_fencepost")       // IVF seeds vec_id < 17, not < 16 — the
                                 //   index-build fencepost in the ONE
                                 //   seedCentroids seam every IVF consumer

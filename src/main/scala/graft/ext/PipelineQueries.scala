@@ -338,12 +338,17 @@ object PipelineQueries {
     "q306_shard_export_manifest" -> ((s, d) => {
       val L = CurationQueries.SeqPackLen
       val K = ShardSeqs
+      // mutation seam (knob OFF in every production plan): the key-width
+      // bug — a 3-digit zero pad renames every shard (manifest keys,
+      // partition dirs) and breaks lexicographic shard order past 999
+      val padW =
+        if (graft.Mutations.on("q306_shard_pad_too_narrow")) 3 else 4
       val placed = SamplingPipeline.packSequences(
         Tables.documents(s, d).select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tok")),
         "doc_id", "source", "n_tok", L)
         .withColumn("shard", concat(col("source"), lit("-"),
-          lpad(expr(s"CAST(seq_id DIV $K AS STRING)"), 4, "0")))
+          lpad(expr(s"CAST(seq_id DIV $K AS STRING)"), padW, "0")))
       val out = graft.ops.Scratch.dir("graft_shard_export")
       placed.repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(out)

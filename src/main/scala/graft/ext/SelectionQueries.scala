@@ -310,12 +310,19 @@ object SelectionQueries {
             .as("bnat"))
       val oov = stats.select(
         expr("CAST(round(ln(1.0 / (tt + v)) * 1000000) AS BIGINT)").as("onat"))
+      // mutation seam (knob OFF in every production plan): the backoff-
+      // ladder skip — an unseen bigram with a SEEN context is charged
+      // the OOV ceiling instead of ln(1/(c1+V))
+      val ladder =
+        if (graft.Mutations.on("q309_backoff_skips_context"))
+          coalesce(col("mnat"), col("onat"))
+        else coalesce(col("mnat"), col("bnat"), col("onat"))
       val perDoc = bg
         .join(model, Seq("w1", "w2"), "left")
         .join(backoff, Seq("w1"), "left")
         .crossJoin(broadcast(oov))
         .select(col("doc_id"), col("lang"),
-          (lit(0L) - coalesce(col("mnat"), col("bnat"), col("onat"))).as("nat"),
+          (lit(0L) - ladder).as("nat"),
           (lit(0L) - col("onat")).as("ceil_nat"))
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_bg"), sum(col("nat")).as("sur"),

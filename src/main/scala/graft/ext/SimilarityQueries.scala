@@ -1160,9 +1160,17 @@ object SimilarityQueries {
           .filter(col("rn") <= NswM).drop("rn")
       var adj = GraphOps.pin(topM(scorePairs(
         seedPairs.unionByName(lshPairs).distinct())))
+      // mutation seam (knob OFF in every production plan): NN-descent
+      // refining over out-edges only — the reverse pass is what makes
+      // the neighbor-of-neighbor pool symmetric; dropping it is the
+      // classic NN-descent convergence bug
+      val withReverse = !graft.Mutations.on("q308_reverse_edges_dropped")
       for (_ <- 1 to NswDescentRounds) {
-        val und = adj.df.unionByName(adj.df.select(col("dst").as("src"),
-          col("src").as("dst"), col("ecos")))
+        val und =
+          if (withReverse)
+            adj.df.unionByName(adj.df.select(col("dst").as("src"),
+              col("src").as("dst"), col("ecos")))
+          else adj.df
         val twoHop = und.select(col("src"), col("dst").as("mid"))
           .join(und.select(col("src").as("mid"), col("dst")), "mid")
           .filter(col("src") =!= col("dst"))

@@ -1070,6 +1070,11 @@ object TextQueries {
     // aggregation with map-side combine — no pair joins, no iteration.
     "q307_unigram_lm" -> ((s, d) => {
       val P = UniMaxPieceLen
+      // mutation seam (knob OFF in every production plan): the DP frame
+      // fencepost — max-length pieces silently unusable in the Viterbi
+      // even though the vocabulary carries (and prices) them
+      val dpP =
+        if (graft.Mutations.on("q307_piece_len_fencepost")) P - 1 else P
       val docs = Tables.documents(s, d)
       val types = wordTypes(docs).filter(length(col("word")) <= UniMaxWordLen)
       val occ = types.select(col("word"), col("n"), explode(expr(
@@ -1097,7 +1102,7 @@ object TextQueries {
             array(named_struct('cost', CAST(0 AS BIGINT), 'path', '')),
             (acc, j) -> concat(acc, array(
               array_min(filter(
-                transform(sequence(1, least($P, j)), l ->
+                transform(sequence(1, least($dpP, j)), l ->
                   CASE WHEN size(filter(ps,
                          p -> p.i = j - l + 1 AND p.l = l)) = 1
                     THEN named_struct(
