@@ -146,9 +146,10 @@ object Bench {
       "q305_leakage_free_split"        -> 1.0,
       "q307_unigram_lm"                -> 3.3,
       "q308_nsw_graph_ann"             -> 9.1,
-      // added post-derivation with its landing commit (quiet min 2.62
-      // on the r14a box — same 1.5x + 0.5 formula)
+      // added post-derivation with their landing commits (quiet mins
+      // 2.62 / 3.30 on the r14a box — same 1.5x + 0.5 formula)
       "q309_bigram_perplexity"         -> 4.4,
+      "q310_stream_perplexity"         -> 5.4,
       "q41_minhash_lsh"                -> 3.7,
       "q43_ngram_jaccard"              -> 4.4,
       "q49_ml_minhash"                 -> 3.8,

@@ -4615,6 +4615,18 @@ class ExtensionSpec extends SparkSpec {
     assert(en._5 < 500, s"en gap_bp ${en._5} — anchor drifted")
   }
 
+  test("streamed perplexity census equals the batch census row-for-row") {
+    // the resumable-ingest guarantee, pinned directly: the ONE stateful
+    // step (per-doc aggregate) through the streaming state store must
+    // not change a single census cell vs the batch pass
+    val batch = ext.SelectionQueries
+      .queries("q309_bigram_perplexity")(spark, sf).collect().toSeq
+    val stream = ext.SelectionQueries
+      .queries("q310_stream_perplexity")(spark, sf).collect().toSeq
+    assert(stream == batch,
+      s"stream != batch:\n  batch=$batch\n  stream=$stream")
+  }
+
   test("NSW beam walk finds real neighbors and reports exact recall") {
     import spark.implicits._
     val rows = ext.SimilarityQueries
