@@ -130,6 +130,12 @@ object Mutations {
                                 //   bigram with a SEEN context is
                                 //   charged the OOV ceiling, planted
                                 //   contamination over-penalized
+    "q311_suffix_list_ignored", // eTLD+1 computed as last-two-labels,
+                                //   public-suffix list dropped — every
+                                //   .co.uk / .com.au publisher merges
+                                //   into ONE pseudo-domain: blocklist
+                                //   membership shifts and the per-domain
+                                //   cap throttles whole suffixes
     "q51_seed_fencepost")       // IVF seeds vec_id < 17, not < 16 — the
                                 //   index-build fencepost in the ONE
                                 //   seedCentroids seam every IVF consumer

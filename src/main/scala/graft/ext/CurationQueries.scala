@@ -39,6 +39,25 @@ object CurationQueries {
     * this many distinct common 8-grams is flagged as contaminated. */
   private[ext] val ContaminationMinOverlap = 3
 
+  /** q311's per-registered-domain document cap. */
+  private[graft] val DomainDocCap = 10
+
+  /** q311's deterministic URL synthesis from (source, doc_id) — ONE SQL
+    * fragment evaluated verbatim by BOTH engines (Spark `expr` and the
+    * DuckDB oracle), so the synthetic crawl can never drift between
+    * them: ~|sources| registered domains spread over four suffixes
+    * (two of them two-level public suffixes), three subdomain variants,
+    * and a two-segment path. */
+  private[ext] val UrlSynthSql: String =
+    """concat('https://',
+         CASE doc_id % 3 WHEN 1 THEN 'www.' WHEN 2 THEN 'blog.' ELSE '' END,
+         'd', substring(md5(concat('dom:', source)), 1, 6), '.',
+         CASE WHEN substring(md5(source), 1, 1) IN ('0','1','2','3') THEN 'com'
+              WHEN substring(md5(source), 1, 1) IN ('4','5','6','7') THEN 'org'
+              WHEN substring(md5(source), 1, 1) IN ('8','9','a','b') THEN 'co.uk'
+              ELSE 'com.au' END,
+         '/p/', CAST(doc_id % 100 AS STRING), '/', CAST(doc_id AS STRING))"""
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "555-[0-9]{4}"
 
@@ -107,6 +126,85 @@ object CurationQueries {
                     FROM tok8))"""
 
   def queries: Map[String, Q] = Map(
+    // URL / DOMAIN CURATION — the front door of every web-crawl corpus
+    // (CommonCrawl/C4/RefinedWeb all lead with it): parse each document's
+    // URL, reduce the host to its REGISTERED domain (eTLD+1 against a
+    // public-suffix list — 'a.blog.co.uk' and 'www.blog.co.uk' are the
+    // same publisher; naive last-two-labels would merge every .co.uk
+    // site into one), drop documents whose registered domain is on the
+    // ops blocklist, and cap the survivors at [[DomainDocCap]] docs per
+    // domain by a seeded md5 draw (the anti-SEO-farm measure: one domain
+    // must not dominate the corpus). The fixture has no URL column, so —
+    // the q238/q309 discipline — URLs derive deterministically from
+    // (source, doc_id) IN-QUERY on both engine sides ([[UrlSynthSql]]:
+    // ~20 registered domains over 4 suffixes incl. the two-level
+    // 'co.uk'/'com.au', 3 subdomain variants, so suffix-list handling,
+    // subdomain collapse, blocking, and capping all measurably bite at
+    // every scale). Census per suffix: hosts, registered domains, docs,
+    // blocked, kept, capped, and the kept doc_id sum — the last pins the
+    // EXACT kept set (draw order + tiebreak), not just its size.
+    // Scale: URL synthesis + parse + eTLD reduction are map-only string
+    // ops; the blocklist derives from a distinct aggregate whose output
+    // is |domains| rows (tiny) and joins back broadcast; the per-domain
+    // cap is ONE shuffle on reg_domain where the rank≤cap filter becomes
+    // a WindowGroupLimit (per-partition top-k BEFORE the exchange — a
+    // mega-domain ships cap-sized prefixes per map task, not its full
+    // row set); the census is a 4-row aggregate.
+    "q311_url_curation" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the public-
+      // suffix list ignored — registered domain = last two labels, so
+      // every .co.uk / .com.au publisher merges into ONE pseudo-domain
+      val regDomain =
+        if (graft.Mutations.on("q311_suffix_list_ignored"))
+          expr("concat_ws('.', slice(labels, size(labels) - 1, 2))")
+        else expr(
+          """CASE WHEN concat_ws('.', slice(labels, size(labels) - 1, 2))
+                       IN ('co.uk', 'com.au')
+                  THEN concat_ws('.', slice(labels, size(labels) - 2, 3))
+                  ELSE concat_ws('.', slice(labels, size(labels) - 1, 2))
+             END""")
+      val parsed = Tables.documents(s, d).select(col("doc_id"),
+          expr(UrlSynthSql).as("url"))
+        .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)/", 1))
+        .withColumn("labels", split(col("host"), "\\."))
+        .withColumn("reg_domain", regDomain)
+        .withColumn("suffix", expr(
+          """CASE WHEN concat_ws('.', slice(labels, size(labels) - 1, 2))
+                       IN ('co.uk', 'com.au')
+                  THEN concat_ws('.', slice(labels, size(labels) - 1, 2))
+                  ELSE element_at(labels, -1) END"""))
+        .select("doc_id", "host", "reg_domain", "suffix")
+      val blocklist = parsed.select("reg_domain").distinct()
+        .filter(expr(
+          "substring(md5(concat('blk:', reg_domain)), 1, 1) IN ('0','1','2','3')"))
+        .withColumn("blocked", lit(true))
+      val flagged = parsed.join(broadcast(blocklist), Seq("reg_domain"), "left")
+        .withColumn("blocked", coalesce(col("blocked"), lit(false)))
+      val totals = flagged.groupBy("suffix")
+        .agg(countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("reg_domain")).as("n_domains"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"))
+      // the kept branch filters rank ≤ cap — Catalyst plants a
+      // WindowGroupLimit, so each map task ships only a cap-sized prefix
+      // per domain into the one reg_domain exchange
+      val w = Window.partitionBy("reg_domain").orderBy(
+        expr("md5(concat(CAST(doc_id AS STRING), ':urlcap'))"), col("doc_id"))
+      val kept = flagged.filter(!col("blocked"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= DomainDocCap)
+        .groupBy("suffix")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+      totals.join(kept, Seq("suffix"), "left")
+        .select(col("suffix"), col("n_hosts"), col("n_domains"),
+          col("n_docs"), col("n_blocked"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_docs") - col("n_blocked") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_capped"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy("suffix")
+    }),
+
     // CORPUS SNAPSHOT DIFF — the crawl-over-crawl CDC a curation team
     // publishes between corpus drops: classify every doc across two
     // snapshots as added / removed / changed / unchanged (content
@@ -980,6 +1078,47 @@ object CurationQueries {
   private[ext] def MixThreshCase: String = mixThreshCase
 
   def oracles: Map[String, String] = Map(
+    "q311_url_curation" ->
+      s"""WITH u AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),
+          h AS (SELECT doc_id,
+                       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host
+                FROM u),
+          l AS (SELECT doc_id, host, str_split(host, '.') AS labels FROM h),
+          r AS (SELECT doc_id, host,
+                  CASE WHEN array_to_string(labels[len(labels)-1:], '.')
+                            IN ('co.uk', 'com.au')
+                       THEN array_to_string(labels[len(labels)-2:], '.')
+                       ELSE array_to_string(labels[len(labels)-1:], '.')
+                  END AS reg_domain,
+                  CASE WHEN array_to_string(labels[len(labels)-1:], '.')
+                            IN ('co.uk', 'com.au')
+                       THEN array_to_string(labels[len(labels)-1:], '.')
+                       ELSE labels[len(labels)] END AS suffix
+                FROM l),
+          b AS (SELECT DISTINCT reg_domain FROM r
+                WHERE substring(md5('blk:' || reg_domain), 1, 1)
+                      IN ('0','1','2','3')),
+          k AS (SELECT r.doc_id, r.host, r.suffix, r.reg_domain,
+                  (b.reg_domain IS NOT NULL) AS blocked,
+                  row_number() OVER (PARTITION BY r.reg_domain
+                    ORDER BY md5(CAST(r.doc_id AS STRING) || ':urlcap'),
+                             r.doc_id) AS rk
+                FROM r LEFT JOIN b USING (reg_domain))
+          SELECT suffix,
+                 count(DISTINCT host) AS n_hosts,
+                 count(DISTINCT reg_domain) AS n_domains,
+                 count(*) AS n_docs,
+                 CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_blocked,
+                 CAST(sum(CASE WHEN NOT blocked AND rk <= $DomainDocCap
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(sum(CASE WHEN NOT blocked AND rk > $DomainDocCap
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+                 CAST(sum(CASE WHEN NOT blocked AND rk <= $DomainDocCap
+                               THEN doc_id ELSE 0 END) AS BIGINT)
+                   AS kept_id_sum
+          FROM k GROUP BY suffix ORDER BY suffix""",
+
     "q238_corpus_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
           b AS (SELECT doc_id,

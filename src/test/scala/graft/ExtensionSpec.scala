@@ -4627,6 +4627,34 @@ class ExtensionSpec extends SparkSpec {
       s"stream != batch:\n  batch=$batch\n  stream=$stream")
   }
 
+  test("url curation: suffix census reconciles and the cap binds per domain") {
+    import spark.implicits._
+    val rows = ext.CurationQueries.queries("q311_url_curation")(spark, sf)
+      .select("suffix", "n_hosts", "n_domains", "n_docs", "n_blocked",
+        "n_kept", "n_capped", "kept_id_sum")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    // all four suffixes materialize — incl. BOTH two-level public
+    // suffixes, or the eTLD+1 path was never exercised
+    assert(rows.map(_._1).sorted.toSeq == Seq("co.uk", "com", "com.au", "org"),
+      s"suffix set wrong: ${rows.map(_._1).toSeq}")
+    rows.foreach { case (sfx, nh, ndom, nd, nb, nk, nc, ks) =>
+      // disposition is exhaustive and disjoint
+      assert(nb + nk + nc == nd, s"$sfx: census does not reconcile")
+      // subdomains collapse INTO registered domains (www/blog variants
+      // mean strictly more hosts than domains)
+      assert(nh > ndom, s"$sfx: expected subdomain variants, $nh hosts / $ndom domains")
+      // the cap binds: no suffix may keep more than cap x its domains,
+      // and any unblocked domain with >= cap docs must actually cap
+      assert(nk <= ndom * ext.CurationQueries.DomainDocCap,
+        s"$sfx: kept $nk exceeds cap x domains")
+      assert(nk == 0 || ks > 0, s"$sfx: kept docs but zero id-sum")
+    }
+    // blocking and capping must BOTH bite somewhere at every scale —
+    // a fixture drift that defeats either gate should fail loudly here
+    assert(rows.map(_._5).sum > 0, "blocklist never fired")
+    assert(rows.map(_._7).sum > 0, "per-domain cap never fired")
+  }
+
   test("NSW beam walk finds real neighbors and reports exact recall") {
     import spark.implicits._
     val rows = ext.SimilarityQueries

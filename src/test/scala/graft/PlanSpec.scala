@@ -364,6 +364,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q311: per-domain cap is a WindowGroupLimit; blocklist broadcasts") {
+    withAqeOff {
+      val p = plan("q311_url_curation")
+      // the rank<=cap filter must become a group-limit BEFORE the
+      // reg_domain exchange — a mega-domain ships cap-sized prefixes
+      // per map task, never its full row set
+      assert(p.contains("WindowGroupLimit"),
+        s"expected WindowGroupLimit under the cap filter, plan:\n${p.take(2000)}")
+      assert(p.contains("BroadcastHashJoin"),
+        "blocklist must broadcast, not shuffle the corpus")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("q199: bucket tables broadcast; DSIR scoring has no cartesian") {
     withAqeOff {
       val p = plan("q199_dsir_importance")
