@@ -130,6 +130,12 @@ object Mutations {
                                 //   bigram with a SEEN context is
                                 //   charged the OOV ceiling, planted
                                 //   contamination over-penalized
+    "q312_greedy_shortest_match", // WordPiece greedy picks the SHORTEST
+                                //   vocab match per position — the
+                                //   defining longest-match-first rule
+                                //   broken: every multi-char word
+                                //   char-segments, usage collapses onto
+                                //   single characters, fertility inflates
     "q311_suffix_list_ignored", // eTLD+1 computed as last-two-labels,
                                 //   public-suffix list dropped — every
                                 //   .co.uk / .com.au publisher merges

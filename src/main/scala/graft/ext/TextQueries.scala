@@ -1162,6 +1162,108 @@ object TextQueries {
           col("used"), col("new_bits"))
         .unionByName(sm).unionByName(fert)
         .orderBy("rank", "piece")
+    }),
+
+    // WORDPIECE ENCODE (BERT-style) — the THIRD tokenizer family next
+    // to merge-based BPE (q121/q134) and Viterbi unigram-LM (q307), and
+    // the one whose vocabulary is POSITIONAL: a piece is a word-initial
+    // entry or a '##'-continuation entry, never both implicitly, and
+    // encoding is greedy LONGEST-match-first from the left — no merges,
+    // no DP. Vocabulary: every single character (segmentability
+    // guarantee) plus multi-char pieces whose weighted corpus count AT
+    // THAT POSITION CLASS (initial vs continuation) reaches
+    // [[UniMinPieceCnt]]; cohort = word types ≤ [[UniMaxWordLen]] chars
+    // (q307's bounds, so the fertility rows compare like for like).
+    // The greedy walk is precomputed as a STEP TABLE — longest vocab
+    // match per (word, position) — and then executed IN-ROW by one
+    // `aggregate` HOF over at most [[UniMaxWordLen]] iterations (each
+    // step consumes ≥ 1 char), the q307 in-row discipline: no per-round
+    // joins, no recursion in the engine. Output: top-30 pieces by
+    // weighted usage (positional vocab count, usage, distinct types
+    // using) + a '__vocab__' row (initial/continuation vocab sizes,
+    // entries actually used, cohort size) + a '__fertility__' row
+    // (weighted words / chars / pieces and pieces-per-word bp — the
+    // compression number a tokenizer ships with).
+    // Scale: occurrence generation is |types|·len·[[UniMaxPieceLen]]
+    // in-row rows; vocab and step tables are piece-/word-keyed
+    // aggregates with map-side combine; the walk is one collect_list
+    // per word type + a constant-bound HOF — no pair joins, nothing
+    // corpus-sized leaves the type table.
+    "q312_wordpiece" -> ((s, d) => {
+      val P = UniMaxPieceLen
+      // mutation seam (knob OFF in every production plan): greedy takes
+      // the SHORTEST match — the defining longest-match rule broken;
+      // every multi-char word char-segments and usage collapses onto
+      // single characters
+      val pickL =
+        if (graft.Mutations.on("q312_greedy_shortest_match")) min(col("l"))
+        else max(col("l"))
+      val types = wordTypes(Tables.documents(s, d))
+        .filter(length(col("word")) <= UniMaxWordLen)
+      val occ = types.select(col("word"), col("n"), explode(expr(
+          s"flatten(transform(sequence(1, length(word)), i -> " +
+            s"transform(sequence(1, least($P, length(word) - i + 1)), " +
+            s"l -> named_struct('i', i, 'l', l, 'piece', substring(word, i, l)))))"))
+          .as("o"))
+        .select(col("word"), col("n"), col("o.i").as("i"),
+          col("o.l").as("l"), col("o.piece").as("piece"),
+          (col("o.i") === 1).as("ini"))
+      val pvoc = occ.groupBy("piece", "ini")
+        .agg(sum(col("n")).as("cnt"))
+        .filter(length(col("piece")) === 1 || col("cnt") >= UniMinPieceCnt)
+      val steps = occ.join(pvoc.select("piece", "ini"), Seq("piece", "ini"))
+        .groupBy("word", "i").agg(pickL.as("l"))
+        .withColumn("rp", expr(
+          "concat(IF(i > 1, '##', ''), substring(word, i, l))"))
+      val walked = steps.join(types, "word")
+        .groupBy("word", "n")
+        .agg(collect_list(struct(col("i"), col("l"), col("rp"))).as("ps"))
+        .withColumn("walk", expr(s"""
+          aggregate(sequence(1, $UniMaxWordLen),
+            named_struct('pos', 1, 'path', ''),
+            (acc, j) -> CASE WHEN acc.pos <= length(word)
+              THEN named_struct(
+                'pos', acc.pos +
+                  element_at(filter(ps, p -> p.i = acc.pos), 1).l,
+                'path', concat(acc.path, '|',
+                  element_at(filter(ps, p -> p.i = acc.pos), 1).rp))
+              ELSE acc END)"""))
+        .select(col("word"), col("n"),
+          expr("substring(walk.path, 2)").as("path"))
+      val usage = walked
+        .select(col("word"), col("n"), explode(split(col("path"), "\\|")).as("rp"))
+        .groupBy("rp").agg(sum(col("n")).as("used"),
+          countDistinct(col("word")).as("n_types"))
+      val rendered = pvoc.withColumn("rp", expr(
+          "concat(IF(ini, '', '##'), piece)"))
+        .select(col("rp"), col("ini"), col("cnt"))
+      val rep = rendered.join(usage, Seq("rp"), "left")
+        .withColumn("used", coalesce(col("used"), lit(0L)))
+        .withColumn("n_types", coalesce(col("n_types"), lit(0L)))
+      val top = rep.filter(col("used") > 0)
+        .orderBy(col("used").desc, col("rp")).limit(30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("used").desc, col("rp"))).cast("long"))
+        .select(col("rank"), col("rp").as("piece"),
+          col("ini").cast("long").as("ini"), col("cnt"), col("used"),
+          col("n_types"))
+      val vsum = rep.agg(
+          sum(when(col("ini"), 1L).otherwise(0L)).as("n_ini"),
+          sum(when(!col("ini"), 1L).otherwise(0L)).as("n_cont"),
+          sum(when(col("used") > 0, 1L).otherwise(0L)).as("n_used"))
+        .crossJoin(types.agg(count(lit(1)).as("n_cohort")))
+        .select(lit(0L).as("rank"), lit("__vocab__").as("piece"),
+          col("n_ini").as("ini"), col("n_cont").as("cnt"),
+          col("n_used").as("used"), col("n_cohort").as("n_types"))
+      val fert = walked.agg(
+          sum(col("n")).as("nw"),
+          sum(col("n") * length(col("word")).cast("long")).as("nc"),
+          sum(col("n") *
+            size(split(col("path"), "\\|")).cast("long")).as("np"))
+        .select(lit(-1L).as("rank"), lit("__fertility__").as("piece"),
+          col("nw").as("ini"), col("nc").as("cnt"), col("np").as("used"),
+          expr("(np * 10000) DIV nw").as("n_types"))
+      top.unionByName(vsum).unionByName(fert).orderBy("rank", "piece")
     })
   )
 
@@ -2042,6 +2144,95 @@ object TextQueries {
                           bp_np - np AS new_bits
                    FROM uf, bf)
           SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM sm
+                         UNION ALL SELECT * FROM fert)
+          ORDER BY rank, piece"""
+    },
+
+    "q312_wordpiece" -> {
+      val P = UniMaxPieceLen
+      // greedy walk unrolled: each step consumes >= 1 char, so
+      // UniMaxWordLen steps fully segment every cohort word
+      val gSteps = (1 to UniMaxWordLen).map { j =>
+        s"""g$j AS MATERIALIZED (SELECT g.word, g.n,
+               CASE WHEN g.pos <= len(g.word) THEN g.pos + s.l
+                    ELSE g.pos END AS pos,
+               CASE WHEN g.pos <= len(g.word) THEN g.path || '|' || s.rp
+                    ELSE g.path END AS path
+             FROM g${j - 1} g LEFT JOIN st2 s
+               ON s.word = g.word AND s.i = g.pos)"""
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT word, count(*) AS n
+                 FROM (SELECT unnest(str_split(text, ' ')) AS word
+                       FROM documents)
+                 WHERE word <> '' GROUP BY word),
+          types AS MATERIALIZED (SELECT word, CAST(n AS BIGINT) AS n FROM w
+                    WHERE len(word) <= $UniMaxWordLen),
+          pos AS MATERIALIZED (SELECT word, n,
+                         unnest(generate_series(1, len(word))) AS i
+                  FROM types),
+          occ AS MATERIALIZED (SELECT word, n, i,
+                         unnest(generate_series(1,
+                           least($P, len(word) - i + 1))) AS l
+                  FROM pos),
+          occ2 AS MATERIALIZED (SELECT word, n, i, l,
+                          substr(word, i, l) AS piece, (i = 1) AS ini
+                   FROM occ),
+          pvoc AS MATERIALIZED (SELECT piece, ini, CAST(sum(n) AS BIGINT) AS cnt
+                   FROM occ2 GROUP BY piece, ini
+                   HAVING len(piece) = 1 OR sum(n) >= $UniMinPieceCnt),
+          st AS MATERIALIZED (SELECT o.word, o.i, max(o.l) AS l
+                 FROM occ2 o JOIN pvoc v
+                   ON v.piece = o.piece AND v.ini = o.ini
+                 GROUP BY o.word, o.i),
+          st2 AS MATERIALIZED (SELECT word, i, l,
+                         (CASE WHEN i > 1 THEN '##' ELSE '' END ||
+                          substr(word, i, l)) AS rp
+                  FROM st),
+          g0 AS MATERIALIZED (SELECT word, n, 1 AS pos, '' AS path FROM types),
+          $gSteps,
+          fin AS MATERIALIZED (SELECT word, n, substr(path, 2) AS path
+                  FROM g$UniMaxWordLen),
+          usage AS MATERIALIZED (SELECT rp, CAST(sum(n) AS BIGINT) AS used,
+                           CAST(count(DISTINCT word) AS BIGINT) AS n_types
+                    FROM (SELECT word, n, unnest(str_split(path, '|')) AS rp
+                          FROM fin)
+                    GROUP BY rp),
+          rendered AS (SELECT (CASE WHEN ini THEN '' ELSE '##' END || piece)
+                                AS rp, ini, cnt
+                       FROM pvoc),
+          rep AS (SELECT r.rp, r.ini, r.cnt,
+                         CAST(COALESCE(u.used, 0) AS BIGINT) AS used,
+                         CAST(COALESCE(u.n_types, 0) AS BIGINT) AS n_types
+                  FROM rendered r LEFT JOIN usage u USING (rp)),
+          top AS (SELECT CAST(row_number() OVER (ORDER BY used DESC, rp)
+                           AS BIGINT) AS rank,
+                         rp AS piece,
+                         CAST(CASE WHEN ini THEN 1 ELSE 0 END AS BIGINT)
+                           AS ini,
+                         cnt, used, n_types
+                  FROM rep WHERE used > 0
+                  ORDER BY used DESC, rp LIMIT 30),
+          vs AS (SELECT CAST(0 AS BIGINT) AS rank, '__vocab__' AS piece,
+                        CAST(sum(CASE WHEN ini THEN 1 ELSE 0 END) AS BIGINT)
+                          AS ini,
+                        CAST(sum(CASE WHEN ini THEN 0 ELSE 1 END) AS BIGINT)
+                          AS cnt,
+                        CAST(sum(CASE WHEN used > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS used,
+                        (SELECT CAST(count(*) AS BIGINT) FROM types)
+                          AS n_types
+                 FROM rep),
+          fert AS (SELECT CAST(-1 AS BIGINT) AS rank,
+                          '__fertility__' AS piece,
+                          CAST(sum(n) AS BIGINT) AS ini,
+                          CAST(sum(n * len(word)) AS BIGINT) AS cnt,
+                          CAST(sum(n * len(str_split(path, '|')))
+                            AS BIGINT) AS used,
+                          (CAST(sum(n * len(str_split(path, '|')))
+                             AS BIGINT) * 10000)
+                            // CAST(sum(n) AS BIGINT) AS n_types
+                   FROM fin)
+          SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM vs
                          UNION ALL SELECT * FROM fert)
           ORDER BY rank, piece"""
     }

@@ -4655,6 +4655,37 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.map(_._7).sum > 0, "per-domain cap never fired")
   }
 
+  test("wordpiece: greedy segmentation is exhaustive and positional") {
+    import spark.implicits._
+    val rows = ext.TextQueries.queries("q312_wordpiece")(spark, sf)
+      .select("rank", "piece", "ini", "cnt", "used", "n_types")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    val fert = rows.find(_._2 == "__fertility__").get
+    val vsum = rows.find(_._2 == "__vocab__").get
+    val top = rows.filter(_._1 > 0)
+    assert(top.nonEmpty)
+    top.foreach { case (_, p, ini, cnt, used, nt) =>
+      // the '##' rendering IS the positional flag
+      assert((ini == 0L) == p.startsWith("##"), s"$p: ini flag vs rendering")
+      val bare = p.stripPrefix("##")
+      assert(bare.nonEmpty && bare.length <= 4, s"$p: piece length bound")
+      // greedy can never use a piece more often than it occurs at that
+      // position class
+      assert(used > 0 && used <= cnt, s"$p: used $used > occurrences $cnt")
+      assert(nt >= 1)
+    }
+    // the walk consumes every word exactly: >= 1 piece per word and
+    // >= 1 char per piece (weighted: nw <= np <= nc)
+    val (nw, nc, np, bp) = (fert._3, fert._4, fert._5, fert._6)
+    assert(nw <= np && np <= nc, s"walk accounting broken: $nw / $np / $nc")
+    assert(bp == np * 10000 / nw && bp >= 10000,
+      s"fertility bp $bp inconsistent")
+    // both vocab position classes are populated and nothing is used
+    // that was never admitted
+    assert(vsum._3 > 0 && vsum._4 > 0, "a vocab position class is empty")
+    assert(vsum._5 <= vsum._3 + vsum._4, "used entries exceed the vocab")
+  }
+
   test("NSW beam walk finds real neighbors and reports exact recall") {
     import spark.implicits._
     val rows = ext.SimilarityQueries
