@@ -130,6 +130,11 @@ object Mutations {
                                 //   bigram with a SEEN context is
                                 //   charged the OOV ceiling, planted
                                 //   contamination over-penalized
+    "q313_divisor_off_by_one",  // CDC boundary fires on h % 63, not
+                                //   h % 64 — the divisor/mask slip of
+                                //   rolling-hash chunkers: every cut
+                                //   moves, dedup mass and the resync
+                                //   fraction silently change
     "q312_greedy_shortest_match", // WordPiece greedy picks the SHORTEST
                                 //   vocab match per position — the
                                 //   defining longest-match-first rule

@@ -409,7 +409,100 @@ object DedupQueries {
         (col("i") / (col("ca") + col("cb") - col("i"))).as("jaccard"))
   }
 
+  /** q313's rolling-window content hash — an 8-char polynomial in base
+    * 31, UNROLLED so the one fragment parses identically in Spark and
+    * DuckDB (free variables: `text`, window end position `i`). Exact
+    * BIGINT arithmetic, position-local (no chain state), so boundary
+    * detection is embarrassingly parallel — the Rabin-Karp shape of
+    * content-defined chunking without a sequential scan. */
+  private[ext] val CdcWindow = 8
+  private[ext] val CdcDivisor = 64
+  private[ext] val FixedChunkLen = 64
+  private[ext] val CdcHashSql: String = (0 until CdcWindow).map { j =>
+    s"ascii(substring(text, i - $j, 1)) * CAST(${BigInt(31).pow(j)} AS BIGINT)"
+  }.mkString(" + ")
+
   def queries: Map[String, Q] = Map(
+    // CONTENT-DEFINED CHUNKING (CDC) — the storage-dedup primitive under
+    // every dedup filesystem / artifact store (LBFS/restic/borg shape):
+    // chunk boundaries are declared wherever a LOCAL rolling window
+    // hash ([[CdcHashSql]]) ≡ 0 mod [[CdcDivisor]], so an insertion
+    // shifts only the chunk it lands in and boundaries RESYNC right
+    // after — unlike fixed-size blocks, where one inserted byte shifts
+    // every downstream block and kills all sharing. Both arms are
+    // graded side by side over the same corpus, which plants a
+    // prefix-shifted near-duplicate of every doc_id ≡ 2 (mod 10)
+    // (the q40 planting discipline, oracle-mirrored): per arm, chunk
+    // counts, distinct counts, duplicate char mass, and — the number
+    // CDC exists for — the fraction of each planted copy's bytes
+    // recovered as chunks shared with its original (bp). CDC ≈ 79%,
+    // fixed = 0 at every scale: the resync property, graded not
+    // claimed. The window hash is position-local (no chain state), so
+    // boundary detection needs no sequential scan — the property that
+    // makes CDC distributable at all.
+    // Scale: chunking is wholly in-row (one transform over positions
+    // per doc — map-only, codegen'd); the census is one (arm, h)
+    // distinct aggregate; the copy↔original match is a semi join keyed
+    // (arm, orig_id, h) — doc-pair-local, no mega-bucket fan-out; the
+    // output is 2 rows.
+    "q313_cdc_chunks" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the divisor
+      // off-by-one — boundaries fire on h % 63, every cut moves, the
+      // dedup mass and resync fraction silently change
+      val div =
+        if (graft.Mutations.on("q313_divisor_off_by_one")) CdcDivisor - 1
+        else CdcDivisor
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 8000000L).as("doc_id"),
+            concat(lit("INSERTED PREAMBLE xyz "), col("text")).as("text")))
+      val cdc = corpus.withColumn("bounds", expr(s"""
+          concat(array(0),
+            IF(length(text) <= $CdcWindow, array(),
+              filter(transform(sequence($CdcWindow, length(text) - 1),
+                i -> CASE WHEN ($CdcHashSql) % $div = 0 THEN i END),
+                x -> x IS NOT NULL)),
+            array(length(text)))"""))
+        .select(col("doc_id"), lit("cdc").as("arm"), explode(expr(
+          """transform(sequence(1, size(bounds) - 1),
+             t -> substring(text, element_at(bounds, t) + 1,
+                    element_at(bounds, t + 1) - element_at(bounds, t)))"""))
+          .as("chunk"))
+      val fixed = corpus.select(col("doc_id"), lit("fixed").as("arm"),
+        explode(expr(s"""
+          transform(sequence(0, (length(text) - 1) DIV $FixedChunkLen),
+            t -> substring(text, t * $FixedChunkLen + 1,
+                   least($FixedChunkLen, length(text) - t * $FixedChunkLen)))"""))
+          .as("chunk"))
+      val ch = cdc.unionByName(fixed).filter(col("chunk") =!= "")
+        .select(col("doc_id"), col("arm"), md5(col("chunk")).as("h"),
+          length(col("chunk")).cast("long").as("clen"))
+      val tot = ch.groupBy("arm").agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("clen")).as("total_chars"))
+      val dis = ch.select("arm", "h", "clen").distinct()
+        .groupBy("arm").agg(sum(col("clen")).as("distinct_chars"))
+      val copych = ch.filter(col("doc_id") >= 8000000L)
+        .select(col("arm"), (col("doc_id") - 8000000L).as("orig_id"),
+          col("h"), col("clen"))
+      val matched = copych.join(
+          ch.select(col("arm"), col("doc_id").as("orig_id"), col("h")),
+          Seq("arm", "orig_id", "h"), "left_semi")
+        .groupBy("arm").agg(sum(col("clen")).as("m_chars"))
+      val copytot = copych.groupBy("arm")
+        .agg(sum(col("clen")).as("copy_chars"))
+      tot.join(dis, "arm").join(copytot, "arm")
+        .join(matched, Seq("arm"), "left")
+        .withColumn("m_chars", coalesce(col("m_chars"), lit(0L)))
+        .select(col("arm"), col("n_chunks"), col("n_distinct"),
+          col("total_chars"),
+          (col("total_chars") - col("distinct_chars")).as("dup_chars"),
+          col("m_chars").as("shift_matched_chars"), col("copy_chars"),
+          expr("(m_chars * 10000) DIV copy_chars").as("shift_recovered_bp"))
+        .orderBy("arm")
+    }),
+
     // EXACT set-similarity join by PREFIX FILTERING (the PPJoin family)
     // — the recall-1.0 counterpart to q41's probabilistic LSH bands:
     // for Jaccard ≥ t, any qualifying pair MUST share a token among
@@ -778,6 +871,71 @@ object DedupQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q313_cdc_chunks" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 8000000 AS doc_id,
+                   'INSERTED PREAMBLE xyz ' || text AS text
+            FROM documents WHERE doc_id % 10 = 2),
+          cdc_bounds AS (
+            SELECT doc_id, text,
+              ([0] ||
+               CASE WHEN length(text) <= $CdcWindow THEN []
+                    ELSE list_filter(list_transform(
+                      generate_series($CdcWindow, length(text) - 1),
+                      i -> CASE WHEN ($CdcHashSql) % $CdcDivisor = 0
+                                THEN i END),
+                      x -> x IS NOT NULL) END ||
+               [length(text)]) AS bounds
+            FROM corpus),
+          cdc_chunks AS (
+            SELECT doc_id, 'cdc' AS arm,
+              unnest(list_transform(generate_series(1, len(bounds) - 1),
+                t -> substring(text, bounds[t] + 1,
+                       bounds[t + 1] - bounds[t]))) AS chunk
+            FROM cdc_bounds),
+          fix_chunks AS (
+            SELECT doc_id, 'fixed' AS arm,
+              unnest(list_transform(
+                generate_series(0, (length(text) - 1) // $FixedChunkLen),
+                t -> substring(text, t * $FixedChunkLen + 1,
+                       least($FixedChunkLen,
+                             length(text) - t * $FixedChunkLen)))) AS chunk
+            FROM corpus),
+          ch AS (SELECT doc_id, arm, md5(chunk) AS h,
+                        CAST(length(chunk) AS BIGINT) AS clen
+                 FROM (SELECT * FROM cdc_chunks
+                       UNION ALL SELECT * FROM fix_chunks)
+                 WHERE chunk <> ''),
+          tot AS (SELECT arm, count(*) AS n_chunks,
+                         count(DISTINCT h) AS n_distinct,
+                         CAST(sum(clen) AS BIGINT) AS total_chars
+                  FROM ch GROUP BY arm),
+          dis AS (SELECT arm, CAST(sum(clen) AS BIGINT) AS distinct_chars
+                  FROM (SELECT DISTINCT arm, h, clen FROM ch) GROUP BY arm),
+          copych AS (SELECT arm, doc_id - 8000000 AS orig_id, h, clen
+                     FROM ch WHERE doc_id >= 8000000),
+          matched AS (SELECT c.arm, CAST(sum(c.clen) AS BIGINT) AS m_chars
+                      FROM copych c
+                      WHERE EXISTS (SELECT 1 FROM ch o
+                                    WHERE o.arm = c.arm
+                                      AND o.doc_id = c.orig_id
+                                      AND o.h = c.h)
+                      GROUP BY c.arm),
+          copytot AS (SELECT arm, CAST(sum(clen) AS BIGINT) AS copy_chars
+                      FROM copych GROUP BY arm)
+          SELECT t.arm, t.n_chunks, t.n_distinct, t.total_chars,
+                 t.total_chars - d.distinct_chars AS dup_chars,
+                 CAST(COALESCE(m.m_chars, 0) AS BIGINT)
+                   AS shift_matched_chars,
+                 ct.copy_chars,
+                 (CAST(COALESCE(m.m_chars, 0) AS BIGINT) * 10000)
+                   // ct.copy_chars AS shift_recovered_bp
+          FROM tot t JOIN dis d USING (arm) JOIN copytot ct USING (arm)
+          LEFT JOIN matched m USING (arm)
+          ORDER BY arm""",
+
     "q40_dedup_exact" ->
       s"""WITH $corpusSql
           SELECT min(doc_id) AS keep_id, count(*) AS n_copies

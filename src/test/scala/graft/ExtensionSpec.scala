@@ -4686,6 +4686,32 @@ class ExtensionSpec extends SparkSpec {
     assert(vsum._5 <= vsum._3 + vsum._4, "used entries exceed the vocab")
   }
 
+  test("cdc chunking: boundaries resync after an insertion; fixed blocks don't") {
+    import spark.implicits._
+    val rows = ext.DedupQueries.queries("q313_cdc_chunks")(spark, sf)
+      .select("arm", "n_chunks", "n_distinct", "total_chars", "dup_chars",
+        "shift_matched_chars", "copy_chars", "shift_recovered_bp")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("cdc", "fixed"))
+    val cdc = rows.find(_._1 == "cdc").get
+    val fix = rows.find(_._1 == "fixed").get
+    // both arms chunk the SAME corpus exhaustively — every char lands
+    // in exactly one chunk per arm
+    assert(cdc._4 == fix._4, "arms disagree on total char mass")
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._5 >= 0 && r._5 < r._4, s"${r._1}: census bounds")
+      assert(r._8 == r._6 * 10000 / r._7, s"${r._1}: bp arithmetic")
+    }
+    // THE property CDC exists for: a prefix insertion leaves most of the
+    // copy's bytes in chunks shared with its original (boundaries
+    // resync), while fixed-size blocks lose essentially everything
+    assert(cdc._8 >= 5000,
+      s"cdc recovered only ${cdc._8} bp of shifted-duplicate bytes")
+    assert(fix._8 <= 500,
+      s"fixed-size blocks recovered ${fix._8} bp — shift immunity?!")
+    assert(cdc._8 > fix._8 * 10, "cdc must dominate fixed decisively")
+  }
+
   test("NSW beam walk finds real neighbors and reports exact recall") {
     import spark.implicits._
     val rows = ext.SimilarityQueries
