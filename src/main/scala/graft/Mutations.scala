@@ -130,6 +130,11 @@ object Mutations {
                                 //   bigram with a SEEN context is
                                 //   charged the OOV ceiling, planted
                                 //   contamination over-penalized
+    "q314_rerank_dropped",      // binary-quant ANN returns the top-5 by
+                                //   HAMMING alone — the "quantized
+                                //   scores are enough" fallacy; the
+                                //   exact-cosine rerank exists because
+                                //   1-bit codes only bound the angle
     "q313_divisor_off_by_one",  // CDC boundary fires on h % 63, not
                                 //   h % 64 — the divisor/mask slip of
                                 //   rolling-hash chunkers: every cut

@@ -4712,6 +4712,32 @@ class ExtensionSpec extends SparkSpec {
     assert(cdc._8 > fix._8 * 10, "cdc must dominate fixed decisively")
   }
 
+  test("binary-quant ANN: hamming prefilter + exact rerank beat chance") {
+    import spark.implicits._
+    val rows = ext.SimilarityQueries
+      .queries("q314_binary_hamming_ann")(spark, sf)
+      .select("qid", "rank", "vec_id", "hamming", "cos_sim", "in_truth",
+        "recall_bp")
+      .as[(Long, Int, Long, Long, Double, Long, Long)].collect()
+    assert(rows.length == 50, s"10 queries x top-5, got ${rows.length}")
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 5), s"q$qid ranks not dense")
+      // the rerank orders by EXACT cosine, not hamming
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._5).zip(byRank.map(_._5).tail)
+          .forall { case (a, b) => a >= b },
+        s"q$qid top-5 not cosine-ordered — rerank missing?")
+      assert(rs.forall(_._3 != qid), s"q$qid returned itself")
+      assert(rs.forall(r => r._4 >= 0 && r._4 <= 64), s"q$qid hamming range")
+      assert(rs.head._7 == rs.map(_._6).sum * 2000,
+        s"q$qid recall_bp inconsistent with in_truth flags")
+    }
+    // sign codes must carry real signal: mean recall@5 over 10 queries
+    // >= 40% (chance from a 32-candidate draw of ~500 is ~6%)
+    val mean = rows.groupBy(_._1).values.map(_.head._7).sum / 10
+    assert(mean >= 4000, s"mean recall@5 $mean bp — codes carry no signal")
+  }
+
   test("NSW beam walk finds real neighbors and reports exact recall") {
     import spark.implicits._
     val rows = ext.SimilarityQueries
