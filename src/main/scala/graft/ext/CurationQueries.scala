@@ -58,6 +58,47 @@ object CurationQueries {
               ELSE 'com.au' END,
          '/p/', CAST(doc_id % 100 AS STRING), '/', CAST(doc_id AS STRING))"""
 
+  /** q311/q315's blocklist membership predicate over a registered
+    * domain — ONE definition feeding the batch blocklist TABLE, the
+    * streaming map-side flag, and (inlined) the oracle SQL. */
+  private[ext] val BlockedPredSql: String =
+    "substring(md5(concat('blk:', reg_domain)), 1, 1) IN ('0','1','2','3')"
+
+  /** q311/q315's shared STATELESS URL pipeline: synthesize
+    * ([[UrlSynthSql]]), parse the host, reduce to the registered domain
+    * (public-suffix aware), classify the suffix, flag blocklist
+    * membership, and attach the seeded cap draw. Every column is
+    * map-side computable — the same definition runs on the batch frame
+    * (q311) and the streaming one (q315), so the two graded dispositions
+    * can never drift. Carries the q311 mutation seam: with the knob on,
+    * the registered domain degrades to last-two-labels. */
+  private[ext] def urlParsed(docs: DataFrame): DataFrame = {
+    // mutation seam (knob OFF in every production plan): the public-
+    // suffix list ignored — registered domain = last two labels, so
+    // every .co.uk / .com.au publisher merges into ONE pseudo-domain
+    val regDomain =
+      if (graft.Mutations.on("q311_suffix_list_ignored"))
+        expr("concat_ws('.', slice(labels, size(labels) - 1, 2))")
+      else expr(
+        """CASE WHEN concat_ws('.', slice(labels, size(labels) - 1, 2))
+                     IN ('co.uk', 'com.au')
+                THEN concat_ws('.', slice(labels, size(labels) - 2, 3))
+                ELSE concat_ws('.', slice(labels, size(labels) - 1, 2))
+           END""")
+    docs.select(col("doc_id"), expr(UrlSynthSql).as("url"))
+      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)/", 1))
+      .withColumn("labels", split(col("host"), "\\."))
+      .withColumn("reg_domain", regDomain)
+      .withColumn("suffix", expr(
+        """CASE WHEN concat_ws('.', slice(labels, size(labels) - 1, 2))
+                     IN ('co.uk', 'com.au')
+                THEN concat_ws('.', slice(labels, size(labels) - 1, 2))
+                ELSE element_at(labels, -1) END"""))
+      .withColumn("draw",
+        expr(SamplingPipeline.drawExpr("doc_id", "urlcap")).cast("long"))
+      .select("doc_id", "host", "reg_domain", "suffix", "draw")
+  }
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhoneRe = "555-[0-9]{4}"
 
@@ -151,33 +192,13 @@ object CurationQueries {
     // mega-domain ships cap-sized prefixes per map task, not its full
     // row set); the census is a 4-row aggregate.
     "q311_url_curation" -> ((s, d) => {
-      // mutation seam (knob OFF in every production plan): the public-
-      // suffix list ignored — registered domain = last two labels, so
-      // every .co.uk / .com.au publisher merges into ONE pseudo-domain
-      val regDomain =
-        if (graft.Mutations.on("q311_suffix_list_ignored"))
-          expr("concat_ws('.', slice(labels, size(labels) - 1, 2))")
-        else expr(
-          """CASE WHEN concat_ws('.', slice(labels, size(labels) - 1, 2))
-                       IN ('co.uk', 'com.au')
-                  THEN concat_ws('.', slice(labels, size(labels) - 2, 3))
-                  ELSE concat_ws('.', slice(labels, size(labels) - 1, 2))
-             END""")
-      val parsed = Tables.documents(s, d).select(col("doc_id"),
-          expr(UrlSynthSql).as("url"))
-        .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)/", 1))
-        .withColumn("labels", split(col("host"), "\\."))
-        .withColumn("reg_domain", regDomain)
-        .withColumn("suffix", expr(
-          """CASE WHEN concat_ws('.', slice(labels, size(labels) - 1, 2))
-                       IN ('co.uk', 'com.au')
-                  THEN concat_ws('.', slice(labels, size(labels) - 1, 2))
-                  ELSE element_at(labels, -1) END"""))
-        .select("doc_id", "host", "reg_domain", "suffix")
+      val parsed = urlParsed(Tables.documents(s, d))
+      // the production shape: the ops blocklist is a TABLE (here derived
+      // from the domain set by the same predicate [[urlParsed]] exposes
+      // as a flag) joined broadcast — at 100 TB the list is thousands of
+      // rows against billions of documents
       val blocklist = parsed.select("reg_domain").distinct()
-        .filter(expr(
-          "substring(md5(concat('blk:', reg_domain)), 1, 1) IN ('0','1','2','3')"))
-        .withColumn("blocked", lit(true))
+        .filter(expr(BlockedPredSql)).withColumn("blocked", lit(true))
       val flagged = parsed.join(broadcast(blocklist), Seq("reg_domain"), "left")
         .withColumn("blocked", coalesce(col("blocked"), lit(false)))
       val totals = flagged.groupBy("suffix")
@@ -189,7 +210,7 @@ object CurationQueries {
       // WindowGroupLimit, so each map task ships only a cap-sized prefix
       // per domain into the one reg_domain exchange
       val w = Window.partitionBy("reg_domain").orderBy(
-        expr("md5(concat(CAST(doc_id AS STRING), ':urlcap'))"), col("doc_id"))
+        col("draw"), col("doc_id"))
       val kept = flagged.filter(!col("blocked"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= DomainDocCap)
@@ -202,6 +223,50 @@ object CurationQueries {
           (col("n_docs") - col("n_blocked") - coalesce(col("n_kept"), lit(0L)))
             .as("n_capped"),
           coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy("suffix")
+    }),
+
+    // q311's DOMAIN CAP THROUGH THE STREAMING ENGINE — the disposition
+    // applied where a crawl pipeline applies it: at INGEST. The whole
+    // URL pipeline ([[urlParsed]]: synthesize, parse, eTLD+1, suffix,
+    // draw) is stateless, the blocklist flag is map-side (in production
+    // a static broadcast table — [[BlockedPredSql]] stands in for it on
+    // the same seam the batch blocklist TABLE derives from), and the
+    // ONE stateful operator is a per-domain aggregate through the state
+    // store: a count plus a [[graft.functions.TopKAgg]] bounded heap of
+    // the [[DomainDocCap]] smallest draws — per-domain state is
+    // cap-bounded NO MATTER how many documents a domain ships, which is
+    // exactly why the heap aggregate (and not a rank window, which
+    // cannot run incrementally) is the streaming shape. The census
+    // reads the completed per-domain table (the q220/q310 discipline —
+    // a |domains|-row control plane). The draw is seeded md5, so the
+    // streamed disposition selects the IDENTICAL kept set as the batch
+    // pass: the oracle is q311's census minus the host column, and a
+    // spec pins stream == batch row-for-row.
+    "q315_stream_domain_cap" -> ((s, d) => {
+      val sdocs = graft.streaming.StreamingPipelines.documentsStream(s, d)
+        .select("doc_id", "source")
+      val parsed = urlParsed(sdocs).withColumn("blocked", expr(BlockedPredSql))
+      val perDomain = parsed.groupBy("suffix", "reg_domain", "blocked")
+        .agg(count(lit(1)).as("n_docs"),
+          graft.functions.TopKAgg.topk(
+            (lit(0L) - col("draw")).cast("double"), col("doc_id"),
+            DomainDocCap).as("kept"))
+      val done = graft.streaming.StreamingPipelines.runToCompletion(s, perDomain)
+      done.groupBy("suffix").agg(
+          countDistinct(col("reg_domain")).as("n_domains"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(when(col("blocked"), col("n_docs")).otherwise(0L))
+            .as("n_blocked"),
+          sum(when(!col("blocked"), size(col("kept")).cast("long"))
+            .otherwise(0L)).as("n_kept"),
+          sum(when(!col("blocked"),
+            expr("aggregate(kept, CAST(0 AS BIGINT), (a, x) -> a + x.id)"))
+            .otherwise(0L)).as("kept_id_sum"))
+        .select(col("suffix"), col("n_domains"), col("n_docs"),
+          col("n_blocked"), col("n_kept"),
+          (col("n_docs") - col("n_blocked") - col("n_kept")).as("n_capped"),
+          col("kept_id_sum"))
         .orderBy("suffix")
     }),
 
@@ -1077,35 +1142,59 @@ object CurationQueries {
   private[ext] def MixFloorCase: String = mixFloorCase
   private[ext] def MixThreshCase: String = mixThreshCase
 
+  /** Shared oracle CTEs for q311/q315: URL synthesis, host parse, eTLD+1
+    * reduction, blocklist, and the per-domain draw rank `k` — ONE copy so
+    * the batch census and its streaming twin grade the same disposition. */
+  private val urlOracleCtes: String =
+    s"""u AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),
+        h AS (SELECT doc_id,
+                     regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host
+              FROM u),
+        l AS (SELECT doc_id, host, str_split(host, '.') AS labels FROM h),
+        r AS (SELECT doc_id, host,
+                CASE WHEN array_to_string(labels[len(labels)-1:], '.')
+                          IN ('co.uk', 'com.au')
+                     THEN array_to_string(labels[len(labels)-2:], '.')
+                     ELSE array_to_string(labels[len(labels)-1:], '.')
+                END AS reg_domain,
+                CASE WHEN array_to_string(labels[len(labels)-1:], '.')
+                          IN ('co.uk', 'com.au')
+                     THEN array_to_string(labels[len(labels)-1:], '.')
+                     ELSE labels[len(labels)] END AS suffix
+              FROM l),
+        b AS (SELECT DISTINCT reg_domain FROM r
+              WHERE substring(md5('blk:' || reg_domain), 1, 1)
+                    IN ('0','1','2','3')),
+        k AS (SELECT r.doc_id, r.host, r.suffix, r.reg_domain,
+                (b.reg_domain IS NOT NULL) AS blocked,
+                row_number() OVER (PARTITION BY r.reg_domain
+                  ORDER BY ${SamplingPipeline.drawExpr("r.doc_id", "urlcap")},
+                           r.doc_id) AS rk
+              FROM r LEFT JOIN b USING (reg_domain))"""
+
   def oracles: Map[String, String] = Map(
     "q311_url_curation" ->
-      s"""WITH u AS (SELECT doc_id, $UrlSynthSql AS url FROM documents),
-          h AS (SELECT doc_id,
-                       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host
-                FROM u),
-          l AS (SELECT doc_id, host, str_split(host, '.') AS labels FROM h),
-          r AS (SELECT doc_id, host,
-                  CASE WHEN array_to_string(labels[len(labels)-1:], '.')
-                            IN ('co.uk', 'com.au')
-                       THEN array_to_string(labels[len(labels)-2:], '.')
-                       ELSE array_to_string(labels[len(labels)-1:], '.')
-                  END AS reg_domain,
-                  CASE WHEN array_to_string(labels[len(labels)-1:], '.')
-                            IN ('co.uk', 'com.au')
-                       THEN array_to_string(labels[len(labels)-1:], '.')
-                       ELSE labels[len(labels)] END AS suffix
-                FROM l),
-          b AS (SELECT DISTINCT reg_domain FROM r
-                WHERE substring(md5('blk:' || reg_domain), 1, 1)
-                      IN ('0','1','2','3')),
-          k AS (SELECT r.doc_id, r.host, r.suffix, r.reg_domain,
-                  (b.reg_domain IS NOT NULL) AS blocked,
-                  row_number() OVER (PARTITION BY r.reg_domain
-                    ORDER BY md5(CAST(r.doc_id AS STRING) || ':urlcap'),
-                             r.doc_id) AS rk
-                FROM r LEFT JOIN b USING (reg_domain))
+      s"""WITH $urlOracleCtes
           SELECT suffix,
                  count(DISTINCT host) AS n_hosts,
+                 count(DISTINCT reg_domain) AS n_domains,
+                 count(*) AS n_docs,
+                 CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_blocked,
+                 CAST(sum(CASE WHEN NOT blocked AND rk <= $DomainDocCap
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(sum(CASE WHEN NOT blocked AND rk > $DomainDocCap
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+                 CAST(sum(CASE WHEN NOT blocked AND rk <= $DomainDocCap
+                               THEN doc_id ELSE 0 END) AS BIGINT)
+                   AS kept_id_sum
+          FROM k GROUP BY suffix ORDER BY suffix""",
+
+    // q315: the identical disposition graded through the streaming
+    // engine — q311's census minus the host column
+    "q315_stream_domain_cap" ->
+      s"""WITH $urlOracleCtes
+          SELECT suffix,
                  count(DISTINCT reg_domain) AS n_domains,
                  count(*) AS n_docs,
                  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)

@@ -4712,6 +4712,19 @@ class ExtensionSpec extends SparkSpec {
     assert(cdc._8 > fix._8 * 10, "cdc must dominate fixed decisively")
   }
 
+  test("streamed domain cap equals the batch disposition row-for-row") {
+    // the ingest-time guarantee, pinned directly: the ONE stateful step
+    // (per-domain count + bounded top-k heap through the state store)
+    // must select the IDENTICAL kept set as q311's batch window —
+    // same seeded draw, same tiebreak, host column aside
+    val batch = ext.CurationQueries.queries("q311_url_curation")(spark, sf)
+      .drop("n_hosts").collect().toSeq
+    val stream = ext.CurationQueries
+      .queries("q315_stream_domain_cap")(spark, sf).collect().toSeq
+    assert(stream == batch,
+      s"stream != batch:\n  batch=$batch\n  stream=$stream")
+  }
+
   test("binary-quant ANN: hamming prefilter + exact rerank beat chance") {
     import spark.implicits._
     val rows = ext.SimilarityQueries
