@@ -130,6 +130,11 @@ object Mutations {
                                 //   bigram with a SEEN context is
                                 //   charged the OOV ceiling, planted
                                 //   contamination over-penalized
+    "q316_lcp_cap_off_by_one",  // exact-repeat suffixes truncated one
+                                //   char short of the cap — every
+                                //   at-cap repeat under-reports and the
+                                //   saturated plants shift; the
+                                //   truncation-bound fencepost
     "q314_rerank_dropped",      // binary-quant ANN returns the top-5 by
                                 //   HAMMING alone — the "quantized
                                 //   scores are enough" fallacy; the

@@ -100,12 +100,36 @@ object ScaleProbe {
       "q306_shard_export_manifest" -> "shard export + FsListSource manifest + read-back reconciliation",
       "q307_unigram_lm" -> "unigram-LM tokenizer round (in-row Viterbi + EM re-cost)",
       "q308_nsw_graph_ann" -> "NN-descent NSW graph build + greedy beam search ANN",
-      "q309_bigram_perplexity" -> "bigram-LM perplexity filter (micro-nat model, self-calibrated bands)")
+      "q309_bigram_perplexity" -> "bigram-LM perplexity filter (micro-nat model, self-calibrated bands)",
+      // late-round-14 additions (q315 is excluded like q310: a one-
+      // micro-batch streaming run carries no asymptotic signal — its
+      // data path is q311's, probed here)
+      "q311_url_curation" -> "eTLD+1 domain curation: parse + blocklist + capped per-domain window",
+      "q312_wordpiece" -> "WordPiece greedy longest-match encode (positional vocab + step table)",
+      "q313_cdc_chunks" -> "content-defined chunking vs fixed blocks (in-row rolling hash)",
+      "q314_binary_hamming_ann" -> "1-bit sign codes + popcount prefilter + exact rerank")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
     // overheads amortized, not magic
     val notes: Map[String, String] = Map(
+      "q311_url_curation" -> ("parse and eTLD reduction are map-only; " +
+        "the cap window exchanges cap-sized per-domain prefixes " +
+        "(WindowGroupLimit) — 10x docs over the same ~20 domains is the " +
+        "worst case for the window (10x rows per partition key) and the " +
+        "best case for the group limit (the same cap survives)"),
+      "q312_wordpiece" -> ("work is word-TYPE-table-sized like q307: the " +
+        "10x fixture's group-suffixed vocabulary grows types ~10x (worst " +
+        "case — organic corpora grow vocabulary sublinearly); the greedy " +
+        "walk is a bounded constant per type"),
+      "q313_cdc_chunks" -> ("chunking is in-row and map-only — linear in " +
+        "corpus bytes by construction; the census is one (arm, hash) " +
+        "aggregate and the copy-match semi join is doc-pair-local"),
+      "q314_binary_hamming_ann" -> ("the query set is FIXED (10 vectors), " +
+        "so the popcount scan is one linear map-only pass over codes and " +
+        "the rerank touches 32 candidates/query regardless of corpus " +
+        "size; the exchange under the prefilter is WindowGroupLimit-" +
+        "bounded"),
       "q307_unigram_lm" -> ("work is word-TYPE-table-sized, not corpus-" +
         "sized: the 10x fixture's group-suffixed vocabulary grows types " +
         "~10x (the worst case for this op — organic corpora grow " +

@@ -42,6 +42,10 @@ object CurationQueries {
   /** q311's per-registered-domain document cap. */
   private[graft] val DomainDocCap = 10
 
+  /** q316's suffix-truncation cap: the longest exact repeat the detector
+    * measures before saturating (a ≥-threshold gate, not a ruler). */
+  private[graft] val RepeatLcpCap = 64
+
   /** q311's deterministic URL synthesis from (source, doc_id) — ONE SQL
     * fragment evaluated verbatim by BOTH engines (Spark `expr` and the
     * DuckDB oracle), so the synthetic crawl can never drift between
@@ -268,6 +272,64 @@ object CurationQueries {
           (col("n_docs") - col("n_blocked") - col("n_kept")).as("n_capped"),
           col("kept_id_sum"))
         .orderBy("suffix")
+    }),
+
+    // EXACT-REPEAT DETECTOR (suffix-sorted max intra-document repeat) —
+    // the Gopher repetition rule done EXACTLY: q100 measures 3-gram
+    // duplication RATIOS, this measures the length of the longest
+    // substring occurring twice in a document — the classic suffix-array
+    // identity max_rep = max adjacent-LCP over the sorted suffix set,
+    // computed wholly IN-ROW: suffixes capped at [[RepeatLcpCap]] chars
+    // (a repeat longer than the cap reports as the cap — the detector is
+    // a ≥-threshold gate, not a measurement past it), `array_sort`, one
+    // early-stop fold per adjacent pair. The DuckDB twin exploits that
+    // prefix equality is MONOTONE in k: LCP = count of k with equal
+    // k-prefixes (no fold needed) — two formulations, one semantics,
+    // which is itself part of what the oracle grades. Planted rows
+    // (doc_id ≡ 4 mod 9, text ≥ cap chars: the doc's own 80-char prefix
+    // appended) saturate the cap while organic text tops out near 24 —
+    // the separation the production gate (max_rep ≥ 40) cuts on.
+    // Scale: entirely map-side (per-doc in-row work bounded by
+    // len·cap); the census is one (source, cls) aggregate; nothing
+    // corpus-sized is exchanged at all.
+    "q316_exact_repeats" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the cap
+      // fencepost — suffixes truncated one char short, every at-cap
+      // repeat under-reports and the saturated plants shift
+      val cap =
+        if (graft.Mutations.on("q316_lcp_cap_off_by_one")) RepeatLcpCap - 1
+        else RepeatLcpCap
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val corpus = docs.select(col("doc_id"), col("source"),
+          lit("organic").as("cls"), col("text"))
+        .unionByName(docs
+          .filter(col("doc_id") % 9 === 4 && length(col("text")) >= 80)
+          .select((col("doc_id") + 9000000L).as("doc_id"), col("source"),
+            lit("xx_rep").as("cls"),
+            concat(col("text"), lit(" "),
+              expr("substring(text, 1, 80)")).as("text")))
+      val perDoc = corpus.withColumn("sf", expr(
+          s"array_sort(transform(sequence(1, length(text)), " +
+            s"i -> substring(text, i, $cap)))"))
+        .withColumn("max_rep", expr("""
+          array_max(transform(sequence(1, size(sf) - 1), p ->
+            aggregate(
+              sequence(1, least(length(element_at(sf, p)),
+                               length(element_at(sf, p + 1)))),
+              named_struct('k', CAST(0 AS BIGINT), 'stop', false),
+              (acc, i) -> CASE WHEN NOT acc.stop AND
+                  substring(element_at(sf, p), i, 1) =
+                  substring(element_at(sf, p + 1), i, 1)
+                THEN named_struct('k', acc.k + 1L, 'stop', false)
+                ELSE named_struct('k', acc.k, 'stop', true) END).k))"""))
+        .select("doc_id", "source", "cls", "max_rep")
+      perDoc.groupBy("source", "cls")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("max_rep")).as("max_max_rep"),
+          expr("sum(max_rep) * 100 DIV count(1)").as("avg_rep_x100"),
+          sum(when(col("max_rep") >= 20, 1L).otherwise(0L)).as("n_over_20"),
+          sum(when(col("max_rep") >= 40, 1L).otherwise(0L)).as("n_over_40"))
+        .orderBy("source", "cls")
     }),
 
     // CORPUS SNAPSHOT DIFF — the crawl-over-crawl CDC a curation team
@@ -1207,6 +1269,40 @@ object CurationQueries {
                                THEN doc_id ELSE 0 END) AS BIGINT)
                    AS kept_id_sum
           FROM k GROUP BY suffix ORDER BY suffix""",
+
+    // q316: LCP via the monotone-prefix identity (count of k with equal
+    // k-prefixes) — fold-free, same semantics as the Spark early-stop fold
+    "q316_exact_repeats" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, source, 'organic' AS cls, text FROM documents
+            UNION ALL
+            SELECT doc_id + 9000000 AS doc_id, source, 'xx_rep' AS cls,
+                   text || ' ' || substring(text, 1, 80) AS text
+            FROM documents WHERE doc_id % 9 = 4 AND length(text) >= 80),
+          sfx AS (
+            SELECT doc_id, source, cls,
+              list_sort(list_transform(generate_series(1, length(text)),
+                i -> substring(text, i, $RepeatLcpCap))) AS sf
+            FROM corpus),
+          lcp AS (
+            SELECT doc_id, source, cls,
+              CAST(list_max(list_transform(generate_series(1, len(sf) - 1),
+                p -> len(list_filter(
+                       generate_series(1, least(length(sf[p]),
+                                                length(sf[p+1]))),
+                       k -> substring(sf[p], 1, k) =
+                            substring(sf[p+1], 1, k))))) AS BIGINT)
+                AS max_rep
+            FROM sfx)
+          SELECT source, cls, count(*) AS n_docs,
+                 max(max_rep) AS max_max_rep,
+                 CAST(sum(max_rep) AS BIGINT) * 100 // count(*)
+                   AS avg_rep_x100,
+                 CAST(sum(CASE WHEN max_rep >= 20 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_over_20,
+                 CAST(sum(CASE WHEN max_rep >= 40 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_over_40
+          FROM lcp GROUP BY source, cls ORDER BY source, cls""",
 
     "q238_corpus_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),

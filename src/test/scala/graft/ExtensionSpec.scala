@@ -4712,6 +4712,31 @@ class ExtensionSpec extends SparkSpec {
     assert(cdc._8 > fix._8 * 10, "cdc must dominate fixed decisively")
   }
 
+  test("exact repeats: plants saturate the cap, organic text stays under the gate") {
+    import spark.implicits._
+    val rows = ext.CurationQueries.queries("q316_exact_repeats")(spark, sf)
+      .select("source", "cls", "n_docs", "max_max_rep", "avg_rep_x100",
+        "n_over_20", "n_over_40")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    val (planted, organic) = rows.partition(_._2 == "xx_rep")
+    assert(planted.nonEmpty && organic.nonEmpty)
+    // every planted doc carries an 80-char exact repeat — it must
+    // saturate the cap and trip the >=40 production gate
+    planted.foreach { r =>
+      assert(r._4 == ext.CurationQueries.RepeatLcpCap,
+        s"${r._1}: planted repeat did not saturate the cap (${r._4})")
+      assert(r._7 == r._3, s"${r._1}: a planted doc escaped the >=40 gate")
+    }
+    // organic fixture text never reaches the gate — the separation the
+    // detector exists to provide
+    organic.foreach { r =>
+      assert(r._4 < 40, s"${r._1}: organic max_rep ${r._4} trips the gate")
+      assert(r._7 == 0, s"${r._1}: organic docs over the gate")
+      // a max repeat shorter than 1 char is impossible for non-empty text
+      assert(r._5 >= 100, s"${r._1}: avg repeat below 1 char?!")
+    }
+  }
+
   test("streamed domain cap equals the batch disposition row-for-row") {
     // the ingest-time guarantee, pinned directly: the ONE stateful step
     // (per-domain count + bounded top-k heap through the state store)
