@@ -130,6 +130,15 @@ object Mutations {
                                 //   bigram with a SEEN context is
                                 //   charged the OOV ceiling, planted
                                 //   contamination over-penalized
+    "q318_keep_shortest",       // canonical survivor rule inverted —
+                                //   keep the SHORTEST cluster member;
+                                //   the length-axis survivor bias flips
+                                //   sign and every multi-member
+                                //   cluster's kept doc changes
+    "q317_lane_denominator_slip", // MinHash Ĵ scaled by 4 lanes instead
+                                //   of the 8 the signature carries —
+                                //   every estimate doubles; the wrong-
+                                //   denominator class of sketch bugs
     "q316_lcp_cap_off_by_one",  // exact-repeat suffixes truncated one
                                 //   char short of the cap — every
                                 //   at-cap repeat under-reports and the

@@ -25,6 +25,110 @@ object DedupEvalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // SKETCH-ESTIMATOR ERROR AUDIT — the number every MinHash dedup
+    // decision silently rides: how far the 8-lane signature's Jaccard
+    // estimate Ĵ = equal_lanes/8 sits from the exact shingle Jaccard,
+    // measured ON THE CANDIDATE STREAM the production join emits (the
+    // only pairs a deployment ever scores). Per exact-J decile:
+    // pair count, avg exact/estimated bp, MAE bp, and the SIGNED bias
+    // sum (no signed integer division — Spark DIV truncates toward
+    // zero while DuckDB // floors, so the signed aggregate stays a
+    // sum). The readout at sf0.01: banding false positives (decile 0)
+    // carry ~25pp overestimate — they collided on 2 of 8 lanes by
+    // construction, the floor the band test imposes — while true
+    // near-dups (decile 9) measure at ~2.6pp MAE: the sketch is
+    // decision-grade exactly where decisions happen, and the audit
+    // prices the verify step's necessity everywhere else.
+    // Scale: rides the PINNED candidate-pair ledger (one exchange,
+    // shared with the 7 dedup heavies) + the minhash aggregate the
+    // production join already pays; the exact side is candidate-
+    // bounded (q43's discipline), the census is ≤10 rows.
+    "q317_sketch_error" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the
+      // denominator slip — Ĵ scaled by 4 lanes instead of 8, every
+      // estimate doubles
+      val den =
+        if (graft.Mutations.on("q317_lane_denominator_slip")) 4 else 8
+      val c = corpus(s, d)
+      val sh = shinglesOf(c)
+      val mh = minhash(sh)
+      val pairs = sharedCandidatePairs(s, d)
+      def side(n: Int) = mh.toDF(
+        ("doc_id" +: (0 until 8).map(i => s"${if (n == 1) "a" else "b"}$i")): _*)
+      val eqSql = (0 until 8).map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")
+      val est = pairs
+        .join(side(1).withColumnRenamed("doc_id", "id1"), "id1")
+        .join(side(2).withColumnRenamed("doc_id", "id2"), "id2")
+        .select(col("id1"), col("id2"),
+          expr(s"CAST((($eqSql) * 10000) DIV $den AS BIGINT)").as("est_bp"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = pairs
+        .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("shingle")),
+          Seq("id2", "shingle"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+      val per = est
+        .join(inter, Seq("id1", "id2"), "left")
+        .withColumn("i", coalesce(col("i"), lit(0L)))
+        .join(sz.toDF("id1", "sz1"), "id1")
+        .join(sz.toDF("id2", "sz2"), "id2")
+        .withColumn("exact_bp", expr("(i * 10000) DIV (sz1 + sz2 - i)"))
+      per.groupBy(expr("least(exact_bp DIV 1000, 9)").as("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(exact_bp) DIV count(1)").as("avg_exact_bp"),
+          expr("sum(est_bp) DIV count(1)").as("avg_est_bp"),
+          expr("sum(abs(est_bp - exact_bp)) DIV count(1)").as("mae_bp"),
+          sum(col("est_bp") - col("exact_bp")).as("bias_sum_bp"))
+        .orderBy("decile")
+    }),
+
+    // SURVIVOR BIAS — the distribution shift dedup itself injects: the
+    // canonical rule (keep the longest member, q212's) is explicitly
+    // biased on the LENGTH axis, so the post-dedup corpus is longer-doc-
+    // heavy than the raw one — a real, documented effect (near-dup
+    // clusters are length-varied; the keep-longest convention shifts
+    // mass upward) that a curation team must price before interpreting
+    // any length-sensitive metric on the deduped corpus. Measured as
+    // per-length-bucket (the q190 ladder) raw vs survivor shares in bp
+    // with the SIGNED delta (a subtraction of two non-negative integer
+    // divisions — no signed division, the q317 discipline). Singleton
+    // clusters keep their doc by construction, so the shift is exactly
+    // attributable to multi-member clusters' keep-longest choice.
+    // Scale: rides the PINNED cluster ledger + one window over
+    // cluster_id (cluster-sized partitions); the census is
+    // ladder-sized with a broadcast 1-row total.
+    "q318_survivor_bias" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the survivor
+      // rule inverted — keep the SHORTEST member; the bias flips sign
+      // and every multi-member cluster's kept doc changes
+      val ord =
+        if (graft.Mutations.on("q318_keep_shortest"))
+          Window.partitionBy("cluster_id")
+            .orderBy(col("n_words").asc, col("doc_id"))
+        else
+          Window.partitionBy("cluster_id")
+            .orderBy(col("n_words").desc, col("doc_id"))
+      val ladder = SamplingPipeline.ladderExpr("n_words",
+        SamplingPipeline.DefaultBucketBounds,
+        SamplingPipeline.DefaultOverflowCap)
+      val sized = corpus(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      val marked = sharedClusters(s, d).join(sized, "doc_id")
+        .withColumn("kept", (row_number().over(ord) === 1).cast("long"))
+        .withColumn("bucket", expr(ladder).cast("long"))
+      val tot = marked.agg(count(lit(1)).as("t_raw"),
+        sum(col("kept")).as("t_kept"))
+      marked.groupBy("bucket")
+        .agg(count(lit(1)).as("n_raw"), sum(col("kept")).as("n_kept"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_raw"),
+          expr("(n_raw * 10000) DIV t_raw").as("share_raw_bp"),
+          col("n_kept"),
+          expr("(n_kept * 10000) DIV t_kept").as("share_kept_bp"),
+          expr("(n_kept * 10000) DIV t_kept - (n_raw * 10000) DIV t_raw")
+            .as("delta_bp"))
+        .orderBy("bucket")
+    }),
     // Canonical-document selection — the decision step AFTER clustering
     // that every production dedup actually ships: within each q54
     // near-dup cluster keep ONE representative (longest member in words,
@@ -640,6 +744,75 @@ object DedupEvalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q317_sketch_error" -> {
+      val eq = (0 until 8)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ${corpusSqlFrom("documents")},
+          $shinglesSql,
+          $minhashSql,
+          $bandSql,
+          $cappedBandsSql,
+          $pairsSql,
+          sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+          ex AS (SELECT p.id1, p.id2, count(*) AS i
+                 FROM pairs p
+                 JOIN sh s1 ON s1.doc_id = p.id1
+                 JOIN sh s2 ON s2.doc_id = p.id2
+                          AND s2.shingle = s1.shingle
+                 GROUP BY p.id1, p.id2),
+          est AS (SELECT p.id1, p.id2, ($eq) AS eq
+                  FROM pairs p JOIN mh a ON a.doc_id = p.id1
+                               JOIN mh b ON b.doc_id = p.id2),
+          per AS (SELECT e.id1, e.id2,
+                    CAST(e.eq * 10000 // 8 AS BIGINT) AS est_bp,
+                    CAST(COALESCE(x.i, 0) * 10000 //
+                         (z1.sz + z2.sz - COALESCE(x.i, 0)) AS BIGINT)
+                      AS exact_bp
+                  FROM est e
+                  LEFT JOIN ex x ON x.id1 = e.id1 AND x.id2 = e.id2
+                  JOIN sz z1 ON z1.doc_id = e.id1
+                  JOIN sz z2 ON z2.doc_id = e.id2)
+          SELECT least(exact_bp // 1000, 9) AS decile,
+                 count(*) AS n_pairs,
+                 CAST(sum(exact_bp) AS BIGINT) // count(*) AS avg_exact_bp,
+                 CAST(sum(est_bp) AS BIGINT) // count(*) AS avg_est_bp,
+                 CAST(sum(abs(est_bp - exact_bp)) AS BIGINT) // count(*)
+                   AS mae_bp,
+                 CAST(sum(est_bp - exact_bp) AS BIGINT) AS bias_sum_bp
+          FROM per GROUP BY 1 ORDER BY 1"""
+    },
+
+    "q318_survivor_bias" -> {
+      val ladder = SamplingPipeline.ladderExpr("n_words",
+        SamplingPipeline.DefaultBucketBounds,
+        SamplingPipeline.DefaultOverflowCap)
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql,
+          $cappedBandsSql, $pairsSql,
+          ${ccSqlCtes("comp")},
+          sized AS (SELECT doc_id,
+                      CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words
+                    FROM corpus),
+          marked AS (SELECT CAST($ladder AS BIGINT) AS bucket,
+                       CASE WHEN row_number() OVER (
+                              PARTITION BY cluster_id
+                              ORDER BY n_words DESC, c.doc_id) = 1
+                            THEN 1 ELSE 0 END AS kept
+                     FROM comp c JOIN sized s ON s.doc_id = c.doc_id),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS t_raw,
+                         CAST(sum(kept) AS BIGINT) AS t_kept
+                  FROM marked)
+          SELECT bucket, count(*) AS n_raw,
+                 (count(*) * 10000) // t_raw AS share_raw_bp,
+                 CAST(sum(kept) AS BIGINT) AS n_kept,
+                 (CAST(sum(kept) AS BIGINT) * 10000) // t_kept
+                   AS share_kept_bp,
+                 (CAST(sum(kept) AS BIGINT) * 10000) // t_kept -
+                   (count(*) * 10000) // t_raw AS delta_bp
+          FROM marked, tot GROUP BY bucket, t_raw, t_kept
+          ORDER BY bucket"""
+    },
+
     "q236_band_layout_sweep" -> {
       val lanes = (0 until 8)
         .map(i => s"min(substr(md5(shingle), ${1 + 4 * i}, 4)) AS m$i")

@@ -410,17 +410,28 @@ object DedupQueries {
   }
 
   /** q313's rolling-window content hash — an 8-char polynomial in base
-    * 31, UNROLLED so the one fragment parses identically in Spark and
-    * DuckDB (free variables: `text`, window end position `i`). Exact
-    * BIGINT arithmetic, position-local (no chain state), so boundary
-    * detection is embarrassingly parallel — the Rabin-Karp shape of
-    * content-defined chunking without a sequential scan. */
+    * 31, UNROLLED term by term over a PRECOMPUTED per-row char-code
+    * array (free variables: `codes`, window end position `i`). The
+    * array matters: a draft hashed `substring(text, i - j, 1)` directly
+    * and measured 11.8s at sf0.1 — `substring` on a UTF8 string walks
+    * from the front, so the scan silently cost O(len²·window) per doc;
+    * one `transform(split(text, ''), ascii)` pass makes every term an
+    * O(1) array read. Exact BIGINT arithmetic, position-local (no chain
+    * state), so boundary detection is embarrassingly parallel — the
+    * Rabin-Karp shape of content-defined chunking without a sequential
+    * scan. Rendered per engine (Spark `element_at` is 1-based like
+    * DuckDB's subscript, but the syntaxes differ). */
   private[ext] val CdcWindow = 8
   private[ext] val CdcDivisor = 64
   private[ext] val FixedChunkLen = 64
-  private[ext] val CdcHashSql: String = (0 until CdcWindow).map { j =>
-    s"ascii(substring(text, i - $j, 1)) * CAST(${BigInt(31).pow(j)} AS BIGINT)"
-  }.mkString(" + ")
+  private[ext] def cdcHashFrom(elem: Int => String): String =
+    (0 until CdcWindow).map { j =>
+      s"${elem(j)} * CAST(${BigInt(31).pow(j)} AS BIGINT)"
+    }.mkString(" + ")
+  private[ext] val CdcHashSql: String =
+    cdcHashFrom(j => s"element_at(codes, i - $j)")
+  private[ext] val CdcHashDuck: String =
+    cdcHashFrom(j => s"codes[i - $j]")
 
   def queries: Map[String, Q] = Map(
     // CONTENT-DEFINED CHUNKING (CDC) — the storage-dedup primitive under
@@ -457,7 +468,9 @@ object DedupQueries {
         docs.filter(col("doc_id") % 10 === 2)
           .select((col("doc_id") + 8000000L).as("doc_id"),
             concat(lit("INSERTED PREAMBLE xyz "), col("text")).as("text")))
-      val cdc = corpus.withColumn("bounds", expr(s"""
+      val cdc = corpus
+        .withColumn("codes", expr("transform(split(text, ''), c -> ascii(c))"))
+        .withColumn("bounds", expr(s"""
           concat(array(0),
             IF(length(text) <= $CdcWindow, array(),
               filter(transform(sequence($CdcWindow, length(text) - 1),
@@ -878,17 +891,21 @@ object DedupQueries {
             SELECT doc_id + 8000000 AS doc_id,
                    'INSERTED PREAMBLE xyz ' || text AS text
             FROM documents WHERE doc_id % 10 = 2),
+          coded AS (
+            SELECT doc_id, text,
+              list_transform(str_split(text, ''), c -> ascii(c)) AS codes
+            FROM corpus),
           cdc_bounds AS (
             SELECT doc_id, text,
               ([0] ||
                CASE WHEN length(text) <= $CdcWindow THEN []
                     ELSE list_filter(list_transform(
                       generate_series($CdcWindow, length(text) - 1),
-                      i -> CASE WHEN ($CdcHashSql) % $CdcDivisor = 0
+                      i -> CASE WHEN ($CdcHashDuck) % $CdcDivisor = 0
                                 THEN i END),
                       x -> x IS NOT NULL) END ||
                [length(text)]) AS bounds
-            FROM corpus),
+            FROM coded),
           cdc_chunks AS (
             SELECT doc_id, 'cdc' AS arm,
               unnest(list_transform(generate_series(1, len(bounds) - 1),

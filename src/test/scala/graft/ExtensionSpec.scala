@@ -4737,6 +4737,63 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("sketch error: bounded where decisions happen, priced where they don't") {
+    import spark.implicits._
+    val rows = ext.DedupEvalQueries.queries("q317_sketch_error")(spark, sf)
+      .select("decile", "n_pairs", "avg_exact_bp", "avg_est_bp", "mae_bp",
+        "bias_sum_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (dec, n, ex, est, mae, bias) =>
+      assert(dec >= 0 && dec <= 9 && n > 0)
+      assert(ex >= dec * 1000 && (dec == 9 || ex < (dec + 1) * 1000),
+        s"decile $dec: avg exact $ex outside its band")
+      // the estimate is lane-quantized to multiples of 1250 bp on every
+      // pair, but averages are free — just range-check
+      assert(est >= 0 && est <= 10000)
+      // MAE bounds the |signed bias| mass by the triangle inequality —
+      // with up to n-1 slack because mae is a TRUNCATED integer mean
+      assert(math.abs(bias) <= mae * n + (n - 1),
+        s"decile $dec: bias exceeds MAE mass")
+    }
+    // the audit's two headline facts: true near-dups (top decile) are
+    // decision-grade, and banding false positives (bottom decile, if
+    // present) carry the 2-of-8-lane collision floor (>= 2500 bp est)
+    val top = rows.find(_._1 == 9).get
+    assert(top._5 <= 1000, s"top-decile MAE ${top._5} bp — sketch unusable?")
+    rows.find(_._1 == 0).foreach { low =>
+      assert(low._4 >= 2000,
+        s"decile-0 pairs estimated ${low._4} bp — how did they band-collide?")
+    }
+  }
+
+  test("survivor bias: keep-longest shifts mass upward, totals reconcile") {
+    import spark.implicits._
+    val rows = ext.DedupEvalQueries.queries("q318_survivor_bias")(spark, sf)
+      .select("bucket", "n_raw", "share_raw_bp", "n_kept", "share_kept_bp",
+        "delta_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._4 <= r._2, s"bucket ${r._1}: kept exceeds raw")
+      assert(r._6 == r._5 - r._3, s"bucket ${r._1}: delta arithmetic")
+    }
+    // shares are bp of their own totals (sum within rounding of 10000)
+    assert(math.abs(rows.map(_._3).sum - 10000) <= rows.length,
+      "raw shares don't sum to ~10000 bp")
+    assert(math.abs(rows.map(_._5).sum - 10000) <= rows.length,
+      "kept shares don't sum to ~10000 bp")
+    // THE effect: the corpus plants near-copies one word SHORTER than
+    // their originals, keep-longest drops them — so the kept share of
+    // the lightest populated bucket cannot rise, and mass moves upward
+    // (some bucket above the lightest gains)
+    val lightest = rows.minBy(_._1)
+    assert(lightest._6 <= 0,
+      s"lightest bucket GAINED share (${lightest._6} bp) under keep-longest")
+    assert(rows.exists(r => r._1 > lightest._1 && r._6 > 0),
+      "no upper bucket gained share — survivor bias invisible?")
+  }
+
   test("streamed domain cap equals the batch disposition row-for-row") {
     // the ingest-time guarantee, pinned directly: the ONE stateful step
     // (per-domain count + bounded top-k heap through the state store)
