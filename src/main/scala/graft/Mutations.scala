@@ -166,6 +166,24 @@ object Mutations {
                                 //   into ONE pseudo-domain: blocklist
                                 //   membership shifts and the per-domain
                                 //   cap throttles whole suffixes
+    "q319_identity_variant_dropped", // symmetric-delete neighborhood
+                                //   built from del-1 variants only, the
+                                //   IDENTITY member dropped — substitution
+                                //   pairs still match but every INDEL pair
+                                //   vanishes (their only shared member is
+                                //   the shorter string itself); the classic
+                                //   SymSpell implementation bug
+    "q320_instance_billing",    // incremental upload billed per new chunk
+                                //   INSTANCE, not per new DISTINCT chunk —
+                                //   within-snapshot duplicates (the shared
+                                //   novel-doc boilerplate) shipped once,
+                                //   billed n times; the dedup-ledger
+                                //   accounting slip
+    "q321_set_intersection",    // token-F1 overlap counted over DISTINCT
+                                //   shared tokens instead of the multiset
+                                //   min — repeated tokens overcredited /
+                                //   undercredited; the classic SQuAD-style
+                                //   scorer bug
     "q51_seed_fencepost")       // IVF seeds vec_id < 17, not < 16 — the
                                 //   index-build fencepost in the ONE
                                 //   seedCentroids seam every IVF consumer

@@ -107,7 +107,11 @@ object ScaleProbe {
       "q311_url_curation" -> "eTLD+1 domain curation: parse + blocklist + capped per-domain window",
       "q312_wordpiece" -> "WordPiece greedy longest-match encode (positional vocab + step table)",
       "q313_cdc_chunks" -> "content-defined chunking vs fixed blocks (in-row rolling hash)",
-      "q314_binary_hamming_ann" -> "1-bit sign codes + popcount prefilter + exact rerank")
+      "q314_binary_hamming_ann" -> "1-bit sign codes + popcount prefilter + exact rerank",
+      // post-landing round-14 additions
+      "q319_fuzzy_edit_join" -> "symmetric-delete ED<=1 self-join (variant block + levenshtein verify)",
+      "q320_cdc_delta_storage" -> "cross-snapshot chunk-store incremental billing (cdc vs fixed)",
+      "q321_eval_token_f1" -> "SQuAD-style token-F1/EM scoring (in-row multiset overlap)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -140,6 +144,17 @@ object ScaleProbe {
         "corpus-size-INDEPENDENT per query (beam-bounded lookups) — a " +
         "flat exponent here means the bounded-probe design holds, not " +
         "amortized overhead"),
+      "q319_fuzzy_edit_join" -> ("the variant exchange is linear in " +
+        "DISTINCT-name bytes (len+1 skinny rows per class) and a " +
+        "variant bucket is bounded by O(alphabet*len) classes, so pair " +
+        "fan-out cannot go quadratic; verification is candidate-bounded"),
+      "q320_cdc_delta_storage" -> ("chunking rides q313's in-row map-" +
+        "only seam over BOTH snapshots (linear in bytes); the store is " +
+        "one hash-keyed distinct and the incremental set one anti join " +
+        "— the 10x probe grows store and delta together"),
+      "q321_eval_token_f1" -> ("wholly map-only: per-doc scoring is an " +
+        "in-row O(k^2) fold at k=8 and the census a 3-group aggregate " +
+        "— the exponent is pure scan throughput"),
       "q295_stream_skipgram" -> ("a streaming micro-batch run this short " +
         "is dominated by per-query engine startup (state-store init, " +
         "offset log), not data volume — both scales complete in ONE " +

@@ -129,6 +129,61 @@ object TextQueries {
   private[ext] val BoilerplateDocCap = 10
 
   def queries: Map[String, Q] = Map(
+    // EVAL-HARNESS ANSWER SCORING (SQuAD-style token F1 + exact match)
+    // — the scoring pass every LLM eval pipeline runs over (prediction,
+    // gold) pairs, expressed as the corpus-scale operator it is: bag-of-
+    // tokens F1 uses the MULTISET intersection Σ_t min(cnt_pred(t),
+    // cnt_gold(t)) (repeated tokens credit once per occurrence — see the
+    // knob for the classic set-based miscount), EM is string equality.
+    // Three deterministic system arms derive from each gold (the first
+    // 8 words of every ≥12-word doc, oracle-mirrored): 'exact' (EM
+    // 100%), 'corrupt3' (every 3rd token replaced by an md5-derived
+    // token — F1 ≈ 7500 bp, EM 0), and 'reversed' (same multiset,
+    // reversed order — F1 exactly 10000 bp with EM 0: the bag-metric
+    // blind spot the arm exists to demonstrate). All arithmetic is
+    // integer bp; per-row work is an in-row O(k²) fold at k = 8.
+    // Scale: ONE corpus scan, the three arms exploded in-row (map-only;
+    // nothing per-pair is exchanged), census is a 3-group aggregate —
+    // the operator is embarrassingly parallel at any corpus size.
+    "q321_eval_token_f1" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): overlap
+      // counted over DISTINCT shared tokens instead of the multiset min
+      val interTerm =
+        if (graft.Mutations.on("q321_set_intersection"))
+          "CASE WHEN size(filter(pred, x -> x = w)) > 0 THEN 1L ELSE 0L END"
+        else
+          """CAST(least(size(filter(pred, x -> x = w)),
+                        size(filter(gold, x -> x = w))) AS BIGINT)"""
+      val scored = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 12)
+        .withColumn("gold", expr("slice(ws, 1, 8)"))
+        .withColumn("ap", explode(expr("""array(
+            named_struct('arm', 'exact', 'pred', gold),
+            named_struct('arm', 'corrupt3', 'pred',
+              transform(sequence(1, size(gold)),
+                j -> CASE WHEN j % 3 = 0
+                       THEN substring(md5(concat(CAST(doc_id AS STRING), ':',
+                                                 CAST(j AS STRING))), 1, 6)
+                       ELSE element_at(gold, j) END)),
+            named_struct('arm', 'reversed', 'pred', reverse(gold)))""")))
+        .select(col("doc_id"), col("gold"),
+          col("ap.arm").as("arm"), col("ap.pred").as("pred"))
+        .withColumn("inter", expr(
+          s"aggregate(array_distinct(gold), CAST(0 AS BIGINT), (a, w) -> a + $interTerm)"))
+        .withColumn("f1_bp", expr(
+          "(2 * inter * 10000) DIV (size(pred) + size(gold))"))
+        .withColumn("em", (concat_ws(" ", col("pred")) ===
+          concat_ws(" ", col("gold"))).cast("long"))
+      scored.groupBy("arm")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("em")).as("n_em"),
+          expr("sum(f1_bp) DIV count(1)").as("mean_f1_bp"),
+          sum(when(col("f1_bp") === 10000, 1L).otherwise(0L)).as("n_perfect"),
+          min(col("f1_bp")).as("min_f1_bp"))
+        .orderBy("arm")
+    }),
+
     // Vocabulary-growth curve (Heaps' law checkpoints) — how fast the
     // distinct BIGRAM-type vocabulary grows as the corpus is ingested
     // in doc_id order, measured at the 10/25/50/100% document
@@ -1489,6 +1544,44 @@ object TextQueries {
         GROUP BY pair)"""
 
   def oracles: Map[String, String] = Map(
+    "q321_eval_token_f1" ->
+      s"""WITH golds AS (
+            SELECT doc_id, ws[1:8] AS gold
+            FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+            WHERE len(ws) >= 12),
+          arms AS (
+            SELECT doc_id, gold, 'exact' AS arm, gold AS pred FROM golds
+            UNION ALL
+            SELECT doc_id, gold, 'corrupt3' AS arm,
+              list_transform(generate_series(1, len(gold)),
+                j -> CASE WHEN j % 3 = 0
+                       THEN substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                                          || CAST(j AS VARCHAR)), 1, 6)
+                       ELSE gold[j] END) AS pred
+            FROM golds
+            UNION ALL
+            SELECT doc_id, gold, 'reversed' AS arm,
+              list_reverse(gold) AS pred FROM golds),
+          scored AS (
+            SELECT arm,
+              CAST(list_sum(list_transform(list_distinct(gold),
+                w -> least(len(list_filter(pred, x -> x = w)),
+                           len(list_filter(gold, x -> x = w))))) AS BIGINT)
+                AS inter,
+              len(pred) AS np, len(gold) AS ng,
+              CASE WHEN array_to_string(pred, ' ') = array_to_string(gold, ' ')
+                   THEN 1 ELSE 0 END AS em
+            FROM arms)
+          SELECT arm, count(*) AS n_docs,
+                 CAST(sum(em) AS BIGINT) AS n_em,
+                 CAST(sum((2 * inter * 10000) // (np + ng)) AS BIGINT)
+                   // count(*) AS mean_f1_bp,
+                 CAST(sum(CASE WHEN (2 * inter * 10000) // (np + ng) = 10000
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect,
+                 CAST(min((2 * inter * 10000) // (np + ng)) AS BIGINT)
+                   AS min_f1_bp
+          FROM scored GROUP BY arm ORDER BY arm""",
+
     "q229_boilerplate_fraction" ->
       s"""WITH docs AS (SELECT doc_id, source,
               CASE WHEN doc_id % 3 = 0

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{DedupQueries, Multimodal, SimilarityQueries}
+import graft.ext.{DedupQueries, Multimodal, SimilarityQueries, TextQueries}
 import graft.functions.VectorOps
 import org.apache.spark.sql.functions._
 
@@ -4855,5 +4855,102 @@ class ExtensionSpec extends SparkSpec {
     // 10 queries ≥ 40% (brute truth is 5 of ~500 — chance is ~1%)
     val mean = rows.groupBy(_._1).values.map(_.head._6).sum / 10
     assert(mean >= 4000, s"mean recall@5 $mean bp — walk not navigating")
+  }
+
+  test("fuzzy edit join equals brute-force all-pairs levenshtein (lossless)") {
+    import spark.implicits._
+    val got = DedupQueries.queries("q319_fuzzy_edit_join")(spark, sf)
+      .select("kind", "n_pairs", "pair_id_sum")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // brute force, independently in Scala: rebuild the dictionary
+    // (base ∪ substitution twins at +500k ∪ deletion twins at +600k),
+    // collapse to name classes, ALL class pairs — candidates by
+    // deletion-neighborhood intersection, matches by a real DP
+    // levenshtein ≤ 1. Symmetric deletion claims exactness, so the
+    // census (counts AND id checksums) must be EQUAL.
+    val base = Tables.part(spark, sf)
+      .select(col("p_partkey").cast("long").as[Long], col("p_name").as[String])
+      .collect()
+    val dict = base ++
+      base.collect { case (id, n) if id % 7 == 3 && n.length >= 6 =>
+        (id + 500000L, n.substring(0, 2) + "q" + n.substring(3)) } ++
+      base.collect { case (id, n) if id % 7 == 5 && n.length >= 6 =>
+        (id + 600000L, n.substring(0, 3) + n.substring(4)) }
+    val classes = dict.groupBy(_._2).map { case (n, xs) =>
+      (xs.map(_._1).min, n) }.toArray.sortBy(_._1)
+    def nbhd(s: String): Set[String] =
+      (Set(s) ++ (0 until s.length).map(i => s.take(i) + s.drop(i + 1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val nb = classes.map { case (id, n) => (id, n, nbhd(n)) }
+    val cand = (for {
+      i <- nb.indices.iterator; j <- (i + 1) until nb.length
+      if nb(i)._3.exists(nb(j)._3.contains)
+    } yield (nb(i)._1, nb(i)._2, nb(j)._1, nb(j)._2)).toVector
+    val matched = cand.filter { case (_, n1, _, n2) => lev(n1, n2) <= 1 }
+    def census(ps: Seq[(Long, Long)]): (Long, Long) =
+      (ps.size.toLong, ps.map { case (a, b) => a * 3 + b }.sum)
+    val wantCand = census(cand.map(c => (c._1, c._3)))
+    val wantSub = census(matched.collect {
+      case (a, n1, b, n2) if n1.length == n2.length => (a, b) })
+    val wantInd = census(matched.collect {
+      case (a, n1, b, n2) if n1.length != n2.length => (a, b) })
+    assert(got("candidate_pairs") == wantCand, s"candidates: $got vs $wantCand")
+    assert(got("matched_subst") == wantSub, s"subst: $got vs $wantSub")
+    assert(got("matched_indel") == wantInd, s"indel: $got vs $wantInd")
+    assert(wantSub._1 > 0 && wantInd._1 > 0, "both planted classes must appear")
+  }
+
+  test("cdc delta storage: resync prices the incremental upload below fixed") {
+    import spark.implicits._
+    val rows = DedupQueries.queries("q320_cdc_delta_storage")(spark, sf)
+      .select("arm", "v1_stored_bytes", "changed_logical_bytes",
+        "incr_new_chunks", "incr_bytes", "incr_vs_changed_bp")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val cdc = rows("cdc"); val fixed = rows("fixed")
+    // the fixed arm re-ships nearly every edited/new byte (a 22-char
+    // prefix insertion shifts every 64-char block); CDC resyncs, so only
+    // boundary-straddling and genuinely novel chunks ship
+    assert(fixed._6 >= 8500, s"fixed arm bp ${fixed._6} — blocks resynced?")
+    assert(cdc._6 < fixed._6, s"cdc ${cdc._6} !< fixed ${fixed._6}")
+    assert(cdc._6 <= 7000, s"cdc arm bp ${cdc._6} — resync not pricing in")
+    assert(cdc._4 > 0 && cdc._5 > 0, "novel content must cost something")
+    assert(cdc._2 > 0 && fixed._2 > 0, "v1 store must be non-empty")
+  }
+
+  test("token F1: reversed arm is the bag-metric blind spot, exact arm is EM") {
+    import spark.implicits._
+    val rows = TextQueries.queries("q321_eval_token_f1")(spark, sf)
+      .select("arm", "n_docs", "n_em", "mean_f1_bp", "n_perfect", "min_f1_bp")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val ex = rows("exact"); val rev = rows("reversed"); val cor = rows("corrupt3")
+    // exact: EM everywhere, F1 exactly 10000
+    assert(ex._3 == ex._2 && ex._4 == 10000L && ex._5 == ex._2 &&
+      ex._6 == 10000L, s"exact arm: $ex")
+    // reversed: SAME multiset, different string — F1 exactly 10000 on
+    // every doc while EM stays below the doc count (the bag-metric
+    // blind spot this arm exists to demonstrate)
+    assert(rev._4 == 10000L && rev._5 == rev._2 && rev._6 == 10000L,
+      s"reversed arm not at the F1 ceiling: $rev")
+    assert(rev._3 < rev._2, s"reversed arm EM suspiciously high: $rev")
+    // corrupt3: positions 3 and 6 of 8 replaced by md5 tokens that can
+    // never equal a dictionary word — inter = 6, F1 = 2·6/16 = 7500 bp
+    // exactly, EM 0
+    assert(cor._3 == 0L && cor._4 == 7500L && cor._5 == 0L &&
+      cor._6 == 7500L, s"corrupt3 arm: $cor")
   }
 }
