@@ -184,6 +184,15 @@ object Mutations {
                                 //   min — repeated tokens overcredited /
                                 //   undercredited; the classic SQuAD-style
                                 //   scorer bug
+    "q322_mean_not_median",     // Theil-Sen computed as the MEAN of
+                                //   pairwise slopes — the robustness-
+                                //   defeating bug the median exists to
+                                //   avoid; the spiked arm's "robust"
+                                //   slope silently tracks the outlier
+    "q323_eval_on_train",       // calibration ECE measured on the split
+                                //   the histogram-binning map was FITTED
+                                //   on — the leakage that makes any
+                                //   calibrator look perfect
     "q51_seed_fencepost")       // IVF seeds vec_id < 17, not < 16 — the
                                 //   index-build fencepost in the ONE
                                 //   seedCentroids seam every IVF consumer

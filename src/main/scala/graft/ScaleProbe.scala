@@ -111,7 +111,9 @@ object ScaleProbe {
       // post-landing round-14 additions
       "q319_fuzzy_edit_join" -> "symmetric-delete ED<=1 self-join (variant block + levenshtein verify)",
       "q320_cdc_delta_storage" -> "cross-snapshot chunk-store incremental billing (cdc vs fixed)",
-      "q321_eval_token_f1" -> "SQuAD-style token-F1/EM scoring (in-row multiset overlap)")
+      "q321_eval_token_f1" -> "SQuAD-style token-F1/EM scoring (in-row multiset overlap)",
+      "q322_theil_sen" -> "Theil-Sen vs OLS under a planted spike (calendar-bounded pairs)",
+      "q323_calibration_ece" -> "histogram-binning calibration + ECE audit (map-only scoring)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -155,6 +157,14 @@ object ScaleProbe {
       "q321_eval_token_f1" -> ("wholly map-only: per-doc scoring is an " +
         "in-row O(k^2) fold at k=8 and the census a 3-group aggregate " +
         "— the exponent is pure scan throughput"),
+      "q322_theil_sen" -> ("the pair self-join is CALENDAR-bounded " +
+        "(span^2 pairs per type-arm, 435 here, independent of row " +
+        "volume); only the daily rollup sees corpus-sized data — the " +
+        "probe measures that rollup amortizing per-job overhead"),
+      "q323_calibration_ece" -> ("scoring is one in-row filter per doc " +
+        "(map-only); the train map is <=10 rows broadcast back and the " +
+        "census is (arm, bin)-sized — linear in corpus rows by " +
+        "construction"),
       "q295_stream_skipgram" -> ("a streaming micro-batch run this short " +
         "is dominated by per-query engine startup (state-store init, " +
         "offset log), not data volume — both scales complete in ONE " +
@@ -403,6 +413,24 @@ object ScaleProbe {
       // grows 10x, the honest construction for a frontier algorithm
       spark.read.parquet(s"$base/supplier.parquet")
         .write.mode("overwrite").parquet(s"$genDir/supplier.parquet")
+    }
+
+    if (!done("part")) {
+      // 10x parts with a GROUP-SUFFIXED name dictionary (the documents
+      // discipline): distinct names grow 10x — the honest worst case
+      // for q319, whose work is dictionary-sized — while the suffix
+      // " g11".." g99" keeps cross-group names at ED ≥ 2 (two digit
+      // substitutions), so no cross-group pairs exist that a 1x corpus
+      // wouldn't have
+      val pt = spark.read.parquet(s"$base/part.parquet")
+      val maxPk = pt.agg(max("p_partkey")).head().getLong(0) + 1
+      (0 until Factor).map { k =>
+        val renamed = if (k == 0) pt
+          else pt.withColumn("p_name",
+            concat(col("p_name"), lit(s" g$k$k")))
+        renamed.withColumn("p_partkey", col("p_partkey") + lit(k * maxPk))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$genDir/part.parquet")
     }
 
     if (!done("orders")) {

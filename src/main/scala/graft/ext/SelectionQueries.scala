@@ -51,6 +51,73 @@ object SelectionQueries {
   private[ext] val DsirKeep = 100
 
   def queries: Map[String, Q] = Map(
+    // CALIBRATION AUDIT + HISTOGRAM-BINNING RECALIBRATION (ECE) — the
+    // check a team runs before using a quality filter's scores as
+    // probabilities or sampling weights: a score can RANK perfectly and
+    // still be wildly miscalibrated. The fixture makes that concrete:
+    // planted gibberish docs (every k-th word md5-replaced, k = 2 +
+    // (doc_id DIV 2) % 4 — decoupled from the even/odd split parity, so
+    // BOTH splits see every density class; ids + 9100000, oracle-mirrored) are ALL bad, but the
+    // label-blind detector (share of ≥8-char all-hex words) predicts
+    // only 10000/k bp ≈ 2000..5000 — systematic underestimation. The
+    // audit bins eval-split docs by predicted bp (decile bins, capped),
+    // compares predicted vs empirical bad rates per bin, and rolls up
+    // the expected calibration error ECE = Σ n_b·|gap_b| DIV N. The fix
+    // is graded alongside: histogram-binning calibration LEARNS the
+    // per-bin empirical rate on the TRAIN split (even doc_ids) and
+    // re-scores the EVAL split (odd) — recalibrated ECE collapses
+    // (spec-pinned), and the split discipline is exactly what the
+    // mutation knob breaks (evaluating on the training split, the
+    // classic leakage that makes any calibrator look perfect).
+    // All arithmetic integer bp; no float probabilities anywhere.
+    // Scale: scoring is map-only (one in-row filter over words); the
+    // train map is ≤10 rows broadcast back; the census is (arm, bin)-
+    // sized. Nothing corpus-quadratic.
+    "q323_calibration_ece" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the ECE is
+      // measured on the split the calibrator was FITTED on
+      val evalParity =
+        if (graft.Mutations.on("q323_eval_on_train")) 0 else 1
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 13 === 6)
+        .select((col("doc_id") + 9100000L).as("doc_id"), expr("""
+          concat_ws(' ', transform(sequence(1, size(split(text, ' '))),
+            j -> IF(j % (2 + (doc_id DIV 2) % 4) = 0,
+              substring(md5(concat(CAST(doc_id AS STRING), ':',
+                                   CAST(j AS STRING))), 1, 10),
+              element_at(split(text, ' '), j))))""")
+          .as("text"))
+      val scored = docs.unionByName(planted)
+        .withColumn("ws", expr("filter(split(text, ' '), w -> w <> '')"))
+        .select(col("doc_id"),
+          (col("doc_id") >= 9100000L).cast("long").as("bad"),
+          expr("""size(filter(ws, w -> w rlike '^[0-9a-f]{8,}$')) * 10000
+                  DIV size(ws)""").as("pred_bp"))
+        .withColumn("bin", expr("least(pred_bp DIV 1000, 9)"))
+      val train = scored.filter(col("doc_id") % 2 === 0)
+        .groupBy("bin")
+        .agg(expr("sum(bad) * 10000 DIV count(1)").as("rate_bp"))
+      val ev = scored.filter(col("doc_id") % 2 === evalParity)
+        .join(broadcast(train), Seq("bin"), "left")
+        .select(col("doc_id"), col("bad"), explode(expr(
+          """array(named_struct('arm', 'raw', 'p', pred_bp),
+                   named_struct('arm', 'recalibrated',
+                     'p', coalesce(rate_bp, pred_bp)))""")).as("ap"))
+        .select(col("bad"), col("ap.arm").as("arm"), col("ap.p").as("p"),
+          expr("least(ap.p DIV 1000, 9)").as("pbin"))
+      val perBin = ev.groupBy("arm", "pbin")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(p) DIV count(1)").as("avg_pred_bp"),
+          expr("sum(bad) * 10000 DIV count(1)").as("actual_bad_bp"))
+        .withColumn("gap_bp", abs(col("avg_pred_bp") - col("actual_bad_bp")))
+      val ece = perBin.groupBy("arm")
+        .agg(expr("sum(n_docs * gap_bp) DIV sum(n_docs)").as("ece_bp"))
+      perBin.join(broadcast(ece), "arm")
+        .select(col("arm"), col("pbin"), col("n_docs"), col("avg_pred_bp"),
+          col("actual_bad_bp"), col("gap_bp"), col("ece_bp"))
+        .orderBy("arm", "pbin")
+    }),
+
     // DSIR importance weighting: target = the English slice, raw = the
     // whole corpus. Add-one smoothing over the bucket alphabet on both
     // profiles; the per-bucket log-ratio is quantized once (micro-nats,
@@ -490,6 +557,60 @@ object SelectionQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q323_calibration_ece" ->
+      """WITH planted AS (
+            SELECT documents.doc_id + 9100000 AS doc_id,
+              array_to_string(list_transform(
+                generate_series(1, len(str_split(text, ' '))),
+                j -> CASE WHEN j % (2 + (documents.doc_id // 2) % 4) = 0
+                     THEN substring(md5(CAST(documents.doc_id AS VARCHAR)
+                                        || ':' || CAST(j AS VARCHAR)), 1, 10)
+                     ELSE str_split(text, ' ')[j] END), ' ') AS text
+            FROM documents WHERE documents.doc_id % 13 = 6),
+          corpus AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id, text FROM planted),
+          scored AS (
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id >= 9100000 THEN 1 ELSE 0 END AS BIGINT)
+                AS bad,
+              CAST(len(list_filter(ws, w -> regexp_matches(w, '^[0-9a-f]{8,}$')))
+                     * 10000 // len(ws) AS BIGINT) AS pred_bp
+            FROM (SELECT doc_id,
+                    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+                  FROM corpus)),
+          binned AS (SELECT *, least(pred_bp // 1000, 9) AS bin FROM scored),
+          train AS (SELECT bin,
+                           CAST(sum(bad) * 10000 // count(*) AS BIGINT)
+                             AS rate_bp
+                    FROM binned WHERE doc_id % 2 = 0 GROUP BY bin),
+          ev AS (
+            SELECT bad, arm, p,
+                   least(p // 1000, 9) AS pbin
+            FROM (SELECT b.bad, u.arm,
+                         CASE WHEN u.arm = 'raw' THEN b.pred_bp
+                              ELSE COALESCE(t.rate_bp, b.pred_bp) END AS p
+                  FROM binned b
+                  LEFT JOIN train t ON t.bin = b.bin
+                  CROSS JOIN (SELECT 'raw' AS arm
+                              UNION ALL SELECT 'recalibrated') u
+                  WHERE b.doc_id % 2 = 1)),
+          per_bin AS (
+            SELECT arm, pbin, count(*) AS n_docs,
+                   CAST(sum(p) // count(*) AS BIGINT) AS avg_pred_bp,
+                   CAST(sum(bad) * 10000 // count(*) AS BIGINT)
+                     AS actual_bad_bp
+            FROM ev GROUP BY arm, pbin),
+          gaps AS (SELECT *, abs(avg_pred_bp - actual_bad_bp) AS gap_bp
+                   FROM per_bin),
+          ece AS (SELECT arm,
+                         CAST(sum(n_docs * gap_bp) // sum(n_docs) AS BIGINT)
+                           AS ece_bp
+                  FROM gaps GROUP BY arm)
+          SELECT g.arm, g.pbin, g.n_docs, g.avg_pred_bp, g.actual_bad_bp,
+                 g.gap_bp, e.ece_bp
+          FROM gaps g JOIN ece e USING (arm)
+          ORDER BY g.arm, g.pbin""",
+
     "q217_token_budget" ->
       """WITH per AS (SELECT source,
               CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS src_tokens,

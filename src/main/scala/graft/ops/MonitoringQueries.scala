@@ -271,6 +271,82 @@ object MonitoringQueries {
         .orderBy("event_type")
     }),
 
+    // THEIL-SEN robust trend — q222's OLS slope is hostage to a single
+    // corrupted day (a backfill, an outage, a bot burst); the median of
+    // all pairwise slopes ignores it. Both estimators are graded on the
+    // SAME data under two arms — 'raw' and 'spiked' (day x=3's count
+    // ×50, planted post-rollup in both engines) — so the robustness is
+    // measured, not claimed: OLS shifts by orders of magnitude more
+    // ppm than Theil-Sen under the spike (spec-pinned).
+    // Integer exactness across engines: pairwise and OLS slopes are
+    // signed, and Spark's DIV truncates toward zero while DuckDB's //
+    // floors — so every division adds a large positive offset C·den to
+    // the numerator first (numerator > 0 ⟹ trunc ≡ floor) and subtracts
+    // C after; C = 10^13 dominates any |dy|·10^6 this fixture (or any
+    // plausible SF) can produce. The median is the LOWER median at rank
+    // (n+1) DIV 2 under the total order (slope, x1, x2).
+    // Scale: the daily rollup is the only corpus-sized work; the pair
+    // self-join is CALENDAR-bounded (span² pairs per type-arm — 435
+    // here — independent of row volume), and the census is |types|
+    // rows. The q317 no-signed-division discipline throughout.
+    "q322_theil_sen" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the MEAN of
+      // pairwise slopes instead of the median — the robustness-defeating
+      // bug this estimator exists to avoid; the spiked arm's "robust"
+      // slope silently tracks the outlier
+      val theilExpr =
+        if (graft.Mutations.on("q322_mean_not_median"))
+          "sum(s) DIV count(1)"
+        else "max(CASE WHEN rn = (n_pairs + 1) DIV 2 THEN s END)"
+      val C = "10000000000000"
+      val rolled = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val d0 = rolled.agg(min(col("day")).as("d0"))
+      val xy = rolled.crossJoin(broadcast(d0))
+        .select(col("event_type"), (col("day") - col("d0")).as("x"), col("cnt"))
+        .select(col("event_type"), explode(expr(
+          """array(named_struct('arm', 'raw', 'y', cnt),
+                   named_struct('arm', 'spiked',
+                     'y', IF(x = 3, cnt * 50, cnt)))""")).as("ay"), col("x"))
+        .select(col("event_type"), col("ay.arm").as("arm"), col("x"),
+          col("ay.y").as("y"))
+      val pairs = xy.toDF("event_type", "arm", "x1", "y1")
+        .join(xy.toDF("event_type", "arm", "x2", "y2"),
+          Seq("event_type", "arm"))
+        .filter(col("x1") < col("x2"))
+        .withColumn("s", expr(
+          s"((y2 - y1) * 1000000 + $C * (x2 - x1)) DIV (x2 - x1) - $C"))
+      val w = Window.partitionBy("event_type", "arm")
+      val theil = pairs
+        .withColumn("rn", row_number().over(w.orderBy("s", "x1", "x2")))
+        .withColumn("n_pairs", count(lit(1)).over(w))
+        .groupBy("event_type", "arm")
+        .agg(max(col("n_pairs")).as("n_pairs"), expr(theilExpr).as("theil_ppm"))
+      val ols = xy.groupBy("event_type", "arm")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("arm"), col("n").as("n_days"),
+          expr(s"""CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+                   ELSE ((n * sxy - sx * sy) * 1000000 + $C * (n * sxx - sx * sx))
+                          DIV (n * sxx - sx * sx) - $C END""").as("ols_ppm"))
+      val both = theil.join(ols, Seq("event_type", "arm"))
+      def armCol(a: String, c: String) =
+        max(when(col("arm") === a, col(c))).as(s"${c.stripSuffix("_ppm")}_${a}_ppm")
+      both.groupBy("event_type")
+        .agg(max(col("n_days")).as("n_days"), max(col("n_pairs")).as("n_pairs"),
+          armCol("raw", "theil_ppm"), armCol("spiked", "theil_ppm"),
+          armCol("raw", "ols_ppm"), armCol("spiked", "ols_ppm"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("theil_raw_ppm"), col("theil_spiked_ppm"),
+          abs(col("theil_spiked_ppm") - col("theil_raw_ppm")).as("theil_shift_ppm"),
+          col("ols_raw_ppm"), col("ols_spiked_ppm"),
+          abs(col("ols_spiked_ppm") - col("ols_raw_ppm")).as("ols_shift_ppm"))
+        .orderBy("event_type")
+    }),
+
     // K-ANONYMITY census — the privacy audit run before events are
     // released as training data: treat (event_type, weekday, value
     // bucket) as the quasi-identifier an adversary could observe, count
@@ -1192,6 +1268,68 @@ object MonitoringQueries {
                       WHEN slope_ppm < -100000 THEN 'falling'
                       ELSE 'flat' END AS trend
           FROM sl ORDER BY event_type""",
+
+    "q322_theil_sen" ->
+      """WITH rolled AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS day,
+                              count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+          d0 AS (SELECT min(day) AS d0 FROM rolled),
+          xy0 AS (SELECT event_type, day - d0 AS x, cnt
+                  FROM rolled CROSS JOIN d0),
+          xy AS (SELECT event_type, 'raw' AS arm, x, cnt AS y FROM xy0
+                 UNION ALL
+                 SELECT event_type, 'spiked' AS arm, x,
+                        CASE WHEN x = 3 THEN cnt * 50 ELSE cnt END AS y
+                 FROM xy0),
+          pairs AS (SELECT a.event_type, a.arm, a.x AS x1, b.x AS x2,
+                           ((b.y - a.y) * 1000000
+                            + 10000000000000 * (b.x - a.x)) // (b.x - a.x)
+                           - 10000000000000 AS s
+                    FROM xy a JOIN xy b
+                      ON a.event_type = b.event_type AND a.arm = b.arm
+                     AND a.x < b.x),
+          ranked AS (SELECT event_type, arm, s,
+                       row_number() OVER (PARTITION BY event_type, arm
+                                          ORDER BY s, x1, x2) AS rn,
+                       count(*) OVER (PARTITION BY event_type, arm)
+                         AS n_pairs
+                     FROM pairs),
+          theil AS (SELECT event_type, arm,
+                           CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+                           max(CASE WHEN rn = (n_pairs + 1) // 2 THEN s END)
+                             AS theil_ppm
+                    FROM ranked GROUP BY 1, 2),
+          mom AS (SELECT event_type, arm, count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM xy GROUP BY 1, 2),
+          ols AS (SELECT event_type, arm, n AS n_days,
+                    CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+                         ELSE ((n * sxy - sx * sy) * 1000000
+                               + 10000000000000 * (n * sxx - sx * sx))
+                              // (n * sxx - sx * sx)
+                              - 10000000000000 END AS ols_ppm
+                  FROM mom),
+          joined AS (SELECT t.event_type, t.arm, t.n_pairs, t.theil_ppm,
+                            o.n_days, o.ols_ppm
+                     FROM theil t JOIN ols o USING (event_type, arm))
+          SELECT event_type, max(n_days) AS n_days, max(n_pairs) AS n_pairs,
+            max(CASE WHEN arm = 'raw' THEN theil_ppm END) AS theil_raw_ppm,
+            max(CASE WHEN arm = 'spiked' THEN theil_ppm END)
+              AS theil_spiked_ppm,
+            abs(max(CASE WHEN arm = 'spiked' THEN theil_ppm END)
+                - max(CASE WHEN arm = 'raw' THEN theil_ppm END))
+              AS theil_shift_ppm,
+            max(CASE WHEN arm = 'raw' THEN ols_ppm END) AS ols_raw_ppm,
+            max(CASE WHEN arm = 'spiked' THEN ols_ppm END)
+              AS ols_spiked_ppm,
+            abs(max(CASE WHEN arm = 'spiked' THEN ols_ppm END)
+                - max(CASE WHEN arm = 'raw' THEN ols_ppm END))
+              AS ols_shift_ppm
+          FROM joined GROUP BY event_type ORDER BY event_type""",
 
     "q219_k_anonymity" ->
       """WITH k AS (SELECT event_type,

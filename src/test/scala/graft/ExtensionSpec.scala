@@ -4953,4 +4953,44 @@ class ExtensionSpec extends SparkSpec {
     assert(cor._3 == 0L && cor._4 == 7500L && cor._5 == 0L &&
       cor._6 == 7500L, s"corrupt3 arm: $cor")
   }
+
+  test("Theil-Sen shrugs off the planted spike that blows up OLS") {
+    import spark.implicits._
+    val rows = graft.ops.MonitoringQueries.queries("q322_theil_sen")(spark, sf)
+      .select("event_type", "n_days", "n_pairs",
+        "theil_shift_ppm", "ols_shift_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length == 5, s"expected 5 event types, got ${rows.length}")
+    rows.foreach { case (t, nd, np, ts, os) =>
+      assert(nd == 30 && np == 435, s"$t: calendar shape $nd days / $np pairs")
+      // the ×50 day moves OLS by megappm; the pairwise median moves by
+      // at most the slope quantum between two mid-rank pairs — pin an
+      // order-of-magnitude separation, not the exact values (the oracle
+      // pins those)
+      // sf0.001's ~7-events/day counts give the noisiest separation
+      // (7.5x on 'purchase'); sf0.01+ measures 100x+
+      assert(os > 4 * math.max(ts, 1L),
+        s"$t: OLS shift $os not decisively above Theil-Sen shift $ts")
+    }
+  }
+
+  test("histogram-binning recalibration collapses the planted ECE") {
+    import spark.implicits._
+    val rows = graft.ext.SelectionQueries
+      .queries("q323_calibration_ece")(spark, sf)
+      .select("arm", "pbin", "n_docs", "actual_bad_bp", "ece_bp")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val eceRaw = rows.find(_._1 == "raw").get._5
+    val eceRecal = rows.find(_._1 == "recalibrated").get._5
+    // the detector underestimates every planted bin (all-bad bins
+    // predicted at 10000/k), so the raw ECE is material; the learned
+    // per-bin map sends them to ~10000 and the eval-split ECE collapses
+    assert(eceRaw >= 300, s"raw ECE $eceRaw — planted miscalibration gone?")
+    assert(eceRecal * 10 <= eceRaw,
+      s"recalibrated ECE $eceRecal not collapsed vs raw $eceRaw")
+    // every non-zero-pred raw bin is wholly planted (actual 10000) —
+    // the score ranks perfectly while calibrating terribly
+    rows.filter(r => r._1 == "raw" && r._2 > 0)
+      .foreach(r => assert(r._4 == 10000L, s"raw bin ${r._2}: $r"))
+  }
 }
