@@ -193,6 +193,11 @@ object Mutations {
                                 //   the histogram-binning map was FITTED
                                 //   on — the leakage that makes any
                                 //   calibrator look perfect
+    "q324_residual_sign_flipped", // RQ residual computed as c1 - v, not
+                                //   v - c1 — the sign slip: the level-2
+                                //   codebook trains on mirrored residuals
+                                //   and every two-level reconstruction
+                                //   degrades
     "q51_seed_fencepost")       // IVF seeds vec_id < 17, not < 16 — the
                                 //   index-build fencepost in the ONE
                                 //   seedCentroids seam every IVF consumer

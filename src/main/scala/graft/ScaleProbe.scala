@@ -113,7 +113,8 @@ object ScaleProbe {
       "q320_cdc_delta_storage" -> "cross-snapshot chunk-store incremental billing (cdc vs fixed)",
       "q321_eval_token_f1" -> "SQuAD-style token-F1/EM scoring (in-row multiset overlap)",
       "q322_theil_sen" -> "Theil-Sen vs OLS under a planted spike (calendar-bounded pairs)",
-      "q323_calibration_ece" -> "histogram-binning calibration + ECE audit (map-only scoring)")
+      "q323_calibration_ece" -> "histogram-binning calibration + ECE audit (map-only scoring)",
+      "q324_residual_quantize" -> "two-level residual quantization ADC (integer grid, zero code)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -165,6 +166,10 @@ object ScaleProbe {
         "(map-only); the train map is <=10 rows broadcast back and the " +
         "census is (arm, bin)-sized — linear in corpus rows by " +
         "construction"),
+      "q324_residual_quantize" -> ("both encode passes are map-only " +
+        "against broadcast 16-row codebooks and the ADC join carries " +
+        "codes against a broadcast 2560-row LUT — linear in vectors; " +
+        "the brute-truth census is the only corpus x 10-query term"),
       "q295_stream_skipgram" -> ("a streaming micro-batch run this short " +
         "is dominated by per-query engine startup (state-store init, " +
         "offset log), not data volume — both scales complete in ONE " +

@@ -1314,6 +1314,120 @@ object SimilarityQueries {
           round(col("cos"), 6).as("cos_sim"), col("in_truth"),
           col("recall_bp"))
         .orderBy("qid", "rank")
+    }),
+
+    // RESIDUAL (two-level) QUANTIZATION ANN — the fifth quantization
+    // family next to PQ (q122), SQ (q256), Matryoshka (q213) and binary
+    // (q314): a coarse full-vector codebook approximates each vector,
+    // a SECOND codebook trained on the residuals refines it, and
+    // queries score candidates against the 16×16 reconstruction table
+    // (c1 + c2) — the RQ/IVF-ADC shape production stores use when one
+    // codebook is too coarse and PQ's subspace independence is too
+    // lossy. Both levels are graded side by side as arms ('rq1' ranks
+    // by the level-1 reconstruction alone, 'rq2' by the two-level sum):
+    // the per-arm QUANTIZATION-ERROR census carries the refinement
+    // guarantee (err_rq2 ≤ err_rq1 per vector, structural via the zero
+    // code — spec pins the strict corpus-level drop), and per-hit
+    // recall vs the q314-style brute cosine truth reports how each arm
+    // ranks on this near-random fixture (where modest error gains move
+    // recall noisily — exactly why the error census, not recall, is
+    // the graded refinement claim).
+    // Bit-exactness by construction: vectors land on an integer grid
+    // FIRST (unit-normalized components × 4096, floored — the int8-ish
+    // pre-quantization production RQ runs on), so every codebook
+    // distance, residual, reconstruction and ADC score downstream is
+    // exact BIGINT arithmetic — no cross-engine float anywhere past
+    // the one floor(x/nrm·4096).
+    // Scale: encode passes are map-only against broadcast 16-row
+    // codebooks; the reconstruction table is 256 control-plane rows;
+    // the ADC join carries a 2-byte-per-vector codes table against a
+    // broadcast 2560-row LUT — raw vectors are never touched at search
+    // time (the q122 memory story, compounded by the second level).
+    "q324_residual_quantize" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the residual
+      // computed as c1 − v instead of v − c1 — the classic RQ sign slip:
+      // the level-2 codebook trains on mirrored residuals and every
+      // two-level reconstruction degrades
+      val residExpr =
+        if (graft.Mutations.on("q324_residual_sign_flipped"))
+          "zip_with(c1v, iv, (a, b) -> a - b)"
+        else "zip_with(iv, c1v, (a, b) -> a - b)"
+      def il2(a: String, b: String) =
+        s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+      val n = normed(s, d)
+      val g = n.select(col("vec_id"), expr(
+        """transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 4096) AS BIGINT))""")
+        .as("iv"))
+      // codebooks train on ranges DISJOINT from the query ids: a seed
+      // book containing the queries themselves degenerates the ADC (a
+      // query that IS a centroid puts every same-cell zero-code
+      // candidate at distance exactly 0)
+      val c1 = g.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+        .select(col("vec_id").as("k1"), col("iv").as("c1v"))
+      val w1 = Window.partitionBy("vec_id").orderBy(col("d1"), col("k1"))
+      val a1 = g.crossJoin(broadcast(c1))
+        .withColumn("d1", expr(il2("iv", "c1v")))
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("iv"), col("k1").as("code1"), col("c1v"),
+          col("d1"))
+      val resid = a1.withColumn("rv", expr(residExpr))
+        .select("vec_id", "code1", "d1", "rv")
+      // the ZERO code (k2 = −1) is load-bearing: with it in the book,
+      // argmin over level 2 can always "stay at c1", so per-vector
+      // two-level error is ≤ level-1 error STRUCTURALLY — the escape
+      // hatch production RQ books carry for vectors the residual book
+      // cannot improve
+      val c2 = resid.filter(col("vec_id") >= 116 && col("vec_id") < 132)
+        .select(col("vec_id").as("k2"), col("rv").as("c2v"))
+        .unionByName(c1.limit(1).select(lit(-1L).as("k2"),
+          expr("transform(c1v, x -> CAST(0 AS BIGINT))").as("c2v")))
+      val w2 = Window.partitionBy("vec_id").orderBy(col("d2"), col("k2"))
+      val codes = resid.crossJoin(broadcast(c2))
+        .withColumn("d2", expr(il2("rv", "c2v")))
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("code1"), col("k2").as("code2"),
+          col("d1"), col("d2"))
+      // corpus-level quantization-error census — the number RQ exists
+      // to lower; the zero code makes err2 ≤ err1 per vector, so the
+      // arm comparison is the graded refinement guarantee
+      val errs = codes.agg(
+          expr("sum(d1) DIV count(1)").as("e1"),
+          expr("sum(d2) DIV count(1)").as("e2"))
+        .select(explode(expr(
+          """array(named_struct('arm', 'rq1', 'err_mean_q', e1),
+                   named_struct('arm', 'rq2', 'err_mean_q', e2))""")).as("ee"))
+        .select(col("ee.arm").as("arm"), col("ee.err_mean_q").as("err_mean_q"))
+      val rec = c1.crossJoin(c2)   // 16×16 control-plane reconstruction table
+        .select(col("k1"), col("k2"), col("c1v").as("rec1"),
+          expr("zip_with(c1v, c2v, (a, b) -> a + b)").as("rec2"))
+      val q = g.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("iv").as("qv"))
+      val lut = q.crossJoin(broadcast(rec))
+        .select(col("qid"), col("k1"), col("k2"),
+          expr(il2("qv", "rec1")).as("dq1"), expr(il2("qv", "rec2")).as("dq2"))
+      val scored = codes.join(broadcast(lut),
+          col("code1") === col("k1") && col("code2") === col("k2"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), explode(expr(
+          """array(named_struct('arm', 'rq1', 'adc', dq1),
+                   named_struct('arm', 'rq2', 'adc', dq2))""")).as("aa"))
+        .select(col("qid"), col("vec_id"), col("aa.arm").as("arm"),
+          col("aa.adc").as("adc_l2q"))
+      val ow = Window.partitionBy("arm", "qid").orderBy(col("adc_l2q"), col("vec_id"))
+      val truth = bruteTopK(s, d, 5)
+        .select(col("qid"), col("vec_id"), lit(1L).as("in_truth"))
+      scored.withColumn("rank", row_number().over(ow)).filter(col("rank") <= 5)
+        .join(truth, Seq("qid", "vec_id"), "left")
+        .withColumn("in_truth", coalesce(col("in_truth"), lit(0L)))
+        .withColumn("recall_bp",
+          (sum(col("in_truth")).over(Window.partitionBy("arm", "qid")) * 2000L)
+            .cast("long"))
+        .join(broadcast(errs), "arm")
+        .select("arm", "qid", "rank", "vec_id", "adc_l2q", "in_truth",
+          "recall_bp", "err_mean_q")
+        .orderBy("arm", "qid", "rank")
     })
   )
 
@@ -2427,6 +2541,91 @@ object SimilarityQueries {
                  CAST(sum(in_truth) OVER (PARTITION BY qid) * 2000
                    AS BIGINT) AS recall_bp
           FROM fin ORDER BY qid, rank"""
+    },
+
+    "q324_residual_quantize" -> {
+      def oIl2(a: String, b: String): String =
+        s"""CAST(list_sum(list_transform(generate_series(1, len($a)),
+            i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"""
+      s"""WITH $normedSql,
+          g AS (SELECT vec_id, list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 4096) AS BIGINT))
+                  AS iv
+                FROM n),
+          c1 AS (SELECT vec_id AS k1, iv AS c1v FROM g
+                 WHERE vec_id >= 100 AND vec_id < 116),
+          a1 AS (SELECT vec_id, iv, k1 AS code1, c1v, d1 FROM (
+                   SELECT g.vec_id, g.iv, c1.k1, c1.c1v,
+                          ${oIl2("g.iv", "c1.c1v")} AS d1,
+                          row_number() OVER (PARTITION BY g.vec_id
+                            ORDER BY ${oIl2("g.iv", "c1.c1v")}, c1.k1) AS rn
+                   FROM g CROSS JOIN c1) WHERE rn = 1),
+          resid AS (SELECT vec_id, code1, d1,
+                           list_transform(generate_series(1, len(iv)),
+                             i -> iv[i] - c1v[i]) AS rv
+                    FROM a1),
+          c2 AS (SELECT vec_id AS k2, rv AS c2v FROM resid
+                 WHERE vec_id >= 116 AND vec_id < 132
+                 UNION ALL
+                 SELECT CAST(-1 AS BIGINT) AS k2,
+                        list_transform(c1v, x -> CAST(0 AS BIGINT)) AS c2v
+                 FROM (SELECT c1v FROM c1 LIMIT 1)),
+          codes AS (SELECT vec_id, code1, k2 AS code2, d1, d2 FROM (
+                      SELECT r.vec_id, r.code1, c2.k2, r.d1,
+                             ${oIl2("r.rv", "c2.c2v")} AS d2,
+                             row_number() OVER (PARTITION BY r.vec_id
+                               ORDER BY ${oIl2("r.rv", "c2.c2v")}, c2.k2) AS rn
+                      FROM resid r CROSS JOIN c2) WHERE rn = 1),
+          errs AS (SELECT arm, CASE WHEN arm = 'rq1' THEN e1 ELSE e2 END
+                            AS err_mean_q
+                   FROM (SELECT CAST(sum(d1) // count(*) AS BIGINT) AS e1,
+                                CAST(sum(d2) // count(*) AS BIGINT) AS e2
+                         FROM codes)
+                   CROSS JOIN (SELECT 'rq1' AS arm
+                               UNION ALL SELECT 'rq2') arms),
+          rec AS (SELECT k1, k2, c1v AS rec1,
+                         list_transform(generate_series(1, len(c1v)),
+                           i -> c1v[i] + c2v[i]) AS rec2
+                  FROM c1 CROSS JOIN c2),
+          qg AS (SELECT vec_id AS qid, iv AS qv FROM g WHERE vec_id < 10),
+          lut AS (SELECT qid, k1, k2,
+                         ${oIl2("qv", "rec1")} AS dq1,
+                         ${oIl2("qv", "rec2")} AS dq2
+                  FROM qg CROSS JOIN rec),
+          scored AS (SELECT qid, vec_id, arm,
+                            CASE WHEN arm = 'rq1' THEN dq1 ELSE dq2 END
+                              AS adc_l2q
+                     FROM codes
+                     JOIN lut ON lut.k1 = codes.code1
+                             AND lut.k2 = codes.code2
+                     CROSS JOIN (SELECT 'rq1' AS arm
+                                 UNION ALL SELECT 'rq2') arms
+                     WHERE vec_id <> qid),
+          t5 AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY arm, qid
+                     ORDER BY adc_l2q, vec_id) AS rank
+                   FROM scored) WHERE rank <= 5),
+          qv AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n
+                 WHERE vec_id < 10),
+          truth AS (SELECT qid, vec_id FROM (
+                      SELECT qv.qid, n2.vec_id,
+                             row_number() OVER (PARTITION BY qv.qid
+                               ORDER BY ${VectorOps.oDot("qv.qe", "n2.embedding")} /
+                                          (qv.qn * n2.nrm) DESC,
+                                        n2.vec_id) AS rk
+                      FROM n n2 CROSS JOIN qv
+                      WHERE n2.vec_id <> qv.qid) WHERE rk <= 5),
+          fin AS (SELECT t5.arm, t5.qid, t5.rank, t5.vec_id, t5.adc_l2q,
+                         CAST(CASE WHEN tr.vec_id IS NOT NULL
+                                   THEN 1 ELSE 0 END AS BIGINT) AS in_truth
+                  FROM t5 LEFT JOIN truth tr
+                    ON tr.qid = t5.qid AND tr.vec_id = t5.vec_id)
+          SELECT fin.arm, qid, rank, vec_id, adc_l2q, in_truth,
+                 CAST(sum(in_truth) OVER (PARTITION BY fin.arm, qid) * 2000
+                   AS BIGINT) AS recall_bp,
+                 errs.err_mean_q
+          FROM fin JOIN errs ON errs.arm = fin.arm
+          ORDER BY fin.arm, qid, rank"""
     }
   )
 

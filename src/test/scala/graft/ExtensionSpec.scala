@@ -4993,4 +4993,28 @@ class ExtensionSpec extends SparkSpec {
     rows.filter(r => r._1 == "raw" && r._2 > 0)
       .foreach(r => assert(r._4 == 10000L, s"raw bin ${r._2}: $r"))
   }
+
+  test("residual quantization: the second level strictly lowers the error") {
+    import spark.implicits._
+    val rows = SimilarityQueries.queries("q324_residual_quantize")(spark, sf)
+      .select("arm", "qid", "rank", "vec_id", "adc_l2q", "err_mean_q")
+      .as[(String, Long, Int, Long, Long, Long)].collect()
+    val byArm = rows.groupBy(_._1)
+    assert(byArm.keySet == Set("rq1", "rq2"), s"arms: ${byArm.keySet}")
+    byArm.foreach { case (arm, rs) =>
+      assert(rs.length == 50, s"$arm: 10 queries x top-5, got ${rs.length}")
+      rs.groupBy(_._2).foreach { case (qid, qr) =>
+        assert(qr.map(_._3).sorted.toSeq == (1 to 5), s"$arm q$qid ranks")
+        val byRank = qr.sortBy(_._3).map(_._5)
+        assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+          s"$arm q$qid not ADC-ordered")
+        assert(qr.forall(_._4 != qid), s"$arm q$qid returned itself")
+      }
+    }
+    // the graded refinement guarantee: the zero code makes per-vector
+    // err2 ≤ err1 structural, and a 16-entry residual book must help
+    // SOME vectors — the corpus-level mean drops strictly
+    val e1 = byArm("rq1").head._6; val e2 = byArm("rq2").head._6
+    assert(e2 < e1, s"two-level error $e2 not below level-1 error $e1")
+  }
 }
