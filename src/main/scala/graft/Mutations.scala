@@ -193,6 +193,11 @@ object Mutations {
                                 //   the histogram-binning map was FITTED
                                 //   on — the leakage that makes any
                                 //   calibrator look perfect
+    "q325_ties_as_losses",      // Mann-Whitney U with strict > only —
+                                //   ties scored as losses instead of the
+                                //   midrank half-credit; the planted
+                                //   equal-score good/bad classes lose
+                                //   their tie mass and AUC understates
     "q324_residual_sign_flipped", // RQ residual computed as c1 - v, not
                                 //   v - c1 — the sign slip: the level-2
                                 //   codebook trains on mirrored residuals

@@ -114,7 +114,8 @@ object ScaleProbe {
       "q321_eval_token_f1" -> "SQuAD-style token-F1/EM scoring (in-row multiset overlap)",
       "q322_theil_sen" -> "Theil-Sen vs OLS under a planted spike (calendar-bounded pairs)",
       "q323_calibration_ece" -> "histogram-binning calibration + ECE audit (map-only scoring)",
-      "q324_residual_quantize" -> "two-level residual quantization ADC (integer grid, zero code)")
+      "q324_residual_quantize" -> "two-level residual quantization ADC (integer grid, zero code)",
+      "q325_ranking_auc" -> "value-bucketed Mann-Whitney AUC (no global sort)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -166,6 +167,10 @@ object ScaleProbe {
         "(map-only); the train map is <=10 rows broadcast back and the " +
         "census is (arm, bin)-sized — linear in corpus rows by " +
         "construction"),
+      "q325_ranking_auc" -> ("scoring is map-only and the rank-sum " +
+        "rides a (split, score)-keyed census of at most 10001 rows per " +
+        "split — the prefix window is control-plane sized at any " +
+        "corpus scale"),
       "q324_residual_quantize" -> ("both encode passes are map-only " +
         "against broadcast 16-row codebooks and the ADC join carries " +
         "codes against a broadcast 2560-row LUT — linear in vectors; " +

@@ -50,6 +50,64 @@ object SelectionQueries {
   /** Documents kept by the q199 importance-resampling top-k. */
   private[ext] val DsirKeep = 100
 
+  /** The hex-share score expression over a `ws` word array — ONE string
+    * for the seam and q325's tie plants. Oracle twin: [[OHexPred]]. */
+  private[ext] val HexPredSql: String =
+    """size(filter(ws, w -> w rlike '^[0-9a-f]{8,}$')) * 10000
+       DIV size(ws)"""
+  private[ext] val OHexPred: String =
+    """CAST(len(list_filter(ws, w -> regexp_matches(w, '^[0-9a-f]{8,}$')))
+       * 10000 // len(ws) AS BIGINT)"""
+
+  /** The label-blind hex-gibberish scorer over the planted corpus — ONE
+    * seam behind q323 (calibration) AND q325 (discrimination), so the
+    * two audits can never grade different scorers. Planted docs (every
+    * k-th word md5-replaced, k = 2 + (doc_id DIV 2) % 4 — decoupled
+    * from the even/odd split parity) are all bad; the detector scores
+    * the share of ≥8-char all-hex words in bp. Returns
+    * (doc_id, bad, pred_bp, bin). Oracle twin: [[HexScoredSql]]. */
+  private[ext] def hexGibberishScored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 13 === 6)
+      .select((col("doc_id") + 9100000L).as("doc_id"), expr("""
+        concat_ws(' ', transform(sequence(1, size(split(text, ' '))),
+          j -> IF(j % (2 + (doc_id DIV 2) % 4) = 0,
+            substring(md5(concat(CAST(doc_id AS STRING), ':',
+                                 CAST(j AS STRING))), 1, 10),
+            element_at(split(text, ' '), j))))""")
+        .as("text"))
+    docs.unionByName(planted)
+      .withColumn("ws", expr("filter(split(text, ' '), w -> w <> '')"))
+      .select(col("doc_id"),
+        (col("doc_id") >= 9100000L).cast("long").as("bad"),
+        expr(HexPredSql).as("pred_bp"))
+      .withColumn("bin", expr("least(pred_bp DIV 1000, 9)"))
+  }
+
+  /** DuckDB twin of [[hexGibberishScored]] — CTEs ending in `binned`
+    * (doc_id, bad, pred_bp, bin). */
+  private[ext] val HexScoredSql: String =
+    s"""planted AS (
+          SELECT documents.doc_id + 9100000 AS doc_id,
+            array_to_string(list_transform(
+              generate_series(1, len(str_split(text, ' '))),
+              j -> CASE WHEN j % (2 + (documents.doc_id // 2) % 4) = 0
+                   THEN substring(md5(CAST(documents.doc_id AS VARCHAR)
+                                      || ':' || CAST(j AS VARCHAR)), 1, 10)
+                   ELSE str_split(text, ' ')[j] END), ' ') AS text
+          FROM documents WHERE documents.doc_id % 13 = 6),
+        corpus AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id, text FROM planted),
+        scored AS (
+          SELECT doc_id,
+            CAST(CASE WHEN doc_id >= 9100000 THEN 1 ELSE 0 END AS BIGINT)
+              AS bad,
+            $OHexPred AS pred_bp
+          FROM (SELECT doc_id,
+                  list_filter(str_split(text, ' '), w -> w <> '') AS ws
+                FROM corpus)),
+        binned AS (SELECT *, least(pred_bp // 1000, 9) AS bin FROM scored)"""
+
   def queries: Map[String, Q] = Map(
     // CALIBRATION AUDIT + HISTOGRAM-BINNING RECALIBRATION (ECE) — the
     // check a team runs before using a quality filter's scores as
@@ -78,22 +136,7 @@ object SelectionQueries {
       // measured on the split the calibrator was FITTED on
       val evalParity =
         if (graft.Mutations.on("q323_eval_on_train")) 0 else 1
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val planted = docs.filter(col("doc_id") % 13 === 6)
-        .select((col("doc_id") + 9100000L).as("doc_id"), expr("""
-          concat_ws(' ', transform(sequence(1, size(split(text, ' '))),
-            j -> IF(j % (2 + (doc_id DIV 2) % 4) = 0,
-              substring(md5(concat(CAST(doc_id AS STRING), ':',
-                                   CAST(j AS STRING))), 1, 10),
-              element_at(split(text, ' '), j))))""")
-          .as("text"))
-      val scored = docs.unionByName(planted)
-        .withColumn("ws", expr("filter(split(text, ' '), w -> w <> '')"))
-        .select(col("doc_id"),
-          (col("doc_id") >= 9100000L).cast("long").as("bad"),
-          expr("""size(filter(ws, w -> w rlike '^[0-9a-f]{8,}$')) * 10000
-                  DIV size(ws)""").as("pred_bp"))
-        .withColumn("bin", expr("least(pred_bp DIV 1000, 9)"))
+      val scored = hexGibberishScored(s, d)
       val train = scored.filter(col("doc_id") % 2 === 0)
         .groupBy("bin")
         .agg(expr("sum(bad) * 10000 DIV count(1)").as("rate_bp"))
@@ -116,6 +159,63 @@ object SelectionQueries {
         .select(col("arm"), col("pbin"), col("n_docs"), col("avg_pred_bp"),
           col("actual_bad_bp"), col("gap_bp"), col("ece_bp"))
         .orderBy("arm", "pbin")
+    }),
+
+    // RANKING AUC (Mann-Whitney U) — the discrimination audit next to
+    // q323's calibration audit, over the SAME scorer seam: does the
+    // quality score rank bad above good, independent of its calibration?
+    // AUC is computed by the VALUE-BUCKETED rank-sum formulation — group
+    // by exact score, prefix-sum the negative counts, U₂ = Σ_s n1(s)·
+    // (2·N0(<s) + n0(s)) in the ×2 integer scale (ties credit half, the
+    // midrank convention — see the knob) — so there is NO global sort:
+    // the bucket table is at most 10001 rows per split (scores are bp
+    // integers), control-plane sized at any corpus scale. Tie classes
+    // are PLANTED on both sides (19-word prefixes + one appended md5
+    // checksum word → pred exactly 500 bp for a good class at +8.8M and
+    // a bad class at +9.3M), so the tie term is load-bearing by
+    // construction, and AUC is reported for the all/even/odd splits
+    // (split stability — the q323 parity discipline read the other way).
+    // Scale: scoring is map-only; the census is (split, score)-keyed
+    // with map-side combine; the prefix window runs over ≤10001 rows.
+    "q325_ranking_auc" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): ties scored
+      // as LOSSES (strict > only) — the classic Mann-Whitney midrank
+      // bug; every planted tie pair loses its half-credit
+      val tieTerm =
+        if (graft.Mutations.on("q325_ties_as_losses")) "CAST(0 AS BIGINT)"
+        else "n1 * n0"
+      val base = hexGibberishScored(s, d).select("doc_id", "bad", "pred_bp")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      def tiePlant(m: Int, off: Long) =
+        docs.filter(col("doc_id") % 17 === m)
+          .withColumn("ws0", split(col("text"), " "))
+          .filter(size(col("ws0")) >= 19)
+          .select((col("doc_id") + off).as("doc_id"),
+            expr("""concat(concat_ws(' ', slice(ws0, 1, 19)), ' ',
+                    substring(md5(concat('tie:', CAST(doc_id AS STRING))),
+                              1, 10))""").as("text"))
+      val plants = tiePlant(9, 8800000L).unionByName(tiePlant(2, 9300000L))
+        .withColumn("ws", expr("filter(split(text, ' '), w -> w <> '')"))
+        .select(col("doc_id"),
+          (col("doc_id") >= 9100000L).cast("long").as("bad"),
+          expr(HexPredSql).as("pred_bp"))
+      val scored = base.unionByName(plants)
+        .select(col("bad"), col("pred_bp"), explode(expr(
+          "array('all', IF(doc_id % 2 = 0, 'even', 'odd'))")).as("split"))
+      val buckets = scored.groupBy("split", "pred_bp")
+        .agg(sum(col("bad")).as("n1"), sum(lit(1L) - col("bad")).as("n0"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("split").orderBy("pred_bp")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      buckets
+        .withColumn("n0_below", coalesce(sum(col("n0")).over(w), lit(0L)))
+        .withColumn("u2", col("n1") * 2L * col("n0_below") + expr(tieTerm))
+        .groupBy("split")
+        .agg(sum(col("n1")).as("n_pos"), sum(col("n0")).as("n_neg"),
+          count(lit(1)).as("n_scores"), sum(col("u2")).as("u2s"))
+        .select(col("split"), col("n_pos"), col("n_neg"), col("n_scores"),
+          expr("(u2s * 10000) DIV (2 * n_pos * n_neg)").as("auc_bp"))
+        .orderBy("split")
     }),
 
     // DSIR importance weighting: target = the English slice, raw = the
@@ -557,28 +657,58 @@ object SelectionQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q325_ranking_auc" ->
+      s"""WITH $HexScoredSql,
+          tie AS (
+            SELECT documents.doc_id + 8800000 AS doc_id,
+                   array_to_string(str_split(text, ' ')[1:19], ' ') || ' '
+                   || substring(md5('tie:' || CAST(documents.doc_id AS VARCHAR)),
+                                1, 10) AS text
+            FROM documents
+            WHERE documents.doc_id % 17 = 9
+              AND len(str_split(text, ' ')) >= 19
+            UNION ALL
+            SELECT documents.doc_id + 9300000 AS doc_id,
+                   array_to_string(str_split(text, ' ')[1:19], ' ') || ' '
+                   || substring(md5('tie:' || CAST(documents.doc_id AS VARCHAR)),
+                                1, 10) AS text
+            FROM documents
+            WHERE documents.doc_id % 17 = 2
+              AND len(str_split(text, ' ')) >= 19),
+          tsc AS (SELECT doc_id,
+                    CAST(CASE WHEN doc_id >= 9100000 THEN 1 ELSE 0 END
+                      AS BIGINT) AS bad,
+                    $OHexPred AS pred_bp
+                  FROM (SELECT doc_id,
+                          list_filter(str_split(text, ' '), w -> w <> '') AS ws
+                        FROM tie)),
+          allsc AS (SELECT doc_id, bad, pred_bp FROM binned
+                    UNION ALL SELECT doc_id, bad, pred_bp FROM tsc),
+          sp AS (SELECT bad, pred_bp,
+                   unnest(['all', CASE WHEN doc_id % 2 = 0
+                                       THEN 'even' ELSE 'odd' END]) AS split
+                 FROM allsc),
+          bu AS (SELECT split, pred_bp,
+                        CAST(sum(bad) AS BIGINT) AS n1,
+                        CAST(sum(1 - bad) AS BIGINT) AS n0
+                 FROM sp GROUP BY 1, 2),
+          cb AS (SELECT *, CAST(COALESCE(sum(n0) OVER (PARTITION BY split
+                   ORDER BY pred_bp ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n0_below
+                 FROM bu),
+          u AS (SELECT split, n1, n0,
+                       n1 * 2 * n0_below + n1 * n0 AS u2
+                FROM cb)
+          SELECT split, CAST(sum(n1) AS BIGINT) AS n_pos,
+                 CAST(sum(n0) AS BIGINT) AS n_neg,
+                 count(*) AS n_scores,
+                 CAST((CAST(sum(u2) AS BIGINT) * 10000)
+                   // (2 * CAST(sum(n1) AS BIGINT) * CAST(sum(n0) AS BIGINT))
+                   AS BIGINT) AS auc_bp
+          FROM u GROUP BY split ORDER BY split""",
+
     "q323_calibration_ece" ->
-      """WITH planted AS (
-            SELECT documents.doc_id + 9100000 AS doc_id,
-              array_to_string(list_transform(
-                generate_series(1, len(str_split(text, ' '))),
-                j -> CASE WHEN j % (2 + (documents.doc_id // 2) % 4) = 0
-                     THEN substring(md5(CAST(documents.doc_id AS VARCHAR)
-                                        || ':' || CAST(j AS VARCHAR)), 1, 10)
-                     ELSE str_split(text, ' ')[j] END), ' ') AS text
-            FROM documents WHERE documents.doc_id % 13 = 6),
-          corpus AS (SELECT doc_id, text FROM documents
-                     UNION ALL SELECT doc_id, text FROM planted),
-          scored AS (
-            SELECT doc_id,
-              CAST(CASE WHEN doc_id >= 9100000 THEN 1 ELSE 0 END AS BIGINT)
-                AS bad,
-              CAST(len(list_filter(ws, w -> regexp_matches(w, '^[0-9a-f]{8,}$')))
-                     * 10000 // len(ws) AS BIGINT) AS pred_bp
-            FROM (SELECT doc_id,
-                    list_filter(str_split(text, ' '), w -> w <> '') AS ws
-                  FROM corpus)),
-          binned AS (SELECT *, least(pred_bp // 1000, 9) AS bin FROM scored),
+      s"""WITH $HexScoredSql,
           train AS (SELECT bin,
                            CAST(sum(bad) * 10000 // count(*) AS BIGINT)
                              AS rate_bp

@@ -4994,6 +4994,28 @@ class ExtensionSpec extends SparkSpec {
       .foreach(r => assert(r._4 == 10000L, s"raw bin ${r._2}: $r"))
   }
 
+  test("ranking AUC: strong discrimination, split-stable, ties present") {
+    import spark.implicits._
+    val rows = graft.ext.SelectionQueries
+      .queries("q325_ranking_auc")(spark, sf)
+      .select("split", "n_pos", "n_neg", "n_scores", "auc_bp")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("all", "even", "odd"), s"splits: ${rows.keySet}")
+    rows.values.foreach { case (sp, np, nn, ns, auc) =>
+      assert(np > 0 && nn > 0, s"$sp degenerate: $np pos / $nn neg")
+      assert(ns > 5, s"$sp only $ns distinct scores — bucketing collapsed?")
+      // the scorer separates planted gibberish decisively but NOT
+      // perfectly: the tie classes sit at the same 500 bp on both
+      // sides, so AUC must be high yet strictly below 10000
+      assert(auc >= 9000 && auc < 10000, s"$sp auc $auc")
+    }
+    // the even/odd halves must agree closely — the parity split carries
+    // every density class by construction
+    val d = math.abs(rows("even")._5 - rows("odd")._5)
+    assert(d <= 300, s"even/odd AUC differ by $d bp")
+  }
+
   test("residual quantization: the second level strictly lowers the error") {
     import spark.implicits._
     val rows = SimilarityQueries.queries("q324_residual_quantize")(spark, sf)
