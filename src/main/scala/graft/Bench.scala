@@ -383,7 +383,7 @@ object Bench {
         "local[" + cpus + "], shuffle.partitions=" + cpus + "; " +
         "gate = 1.5 x quiet-box min + 0.5s headroom, constants " +
         "re-derived each round from the latest quiet-box (load<=2) run " +
-        "(r13: bench_quiet_r13e_builder.json) over every query with min " +
+        "(r14: bench_quiet_r14d_builder.json) over every query with min " +
         "> 1s in EITHER the quiet or the of-record run, so no gate sits " +
         "above 2x its current min " +
         "(absorbs the measured 30-50% box drift, flags >=2x slowdowns); " +

@@ -41,7 +41,11 @@ object PlanSnapshots {
     "q305_leakage_free_split",
     // round-14 heavies: the NSW walk and the unigram-LM round
     "q308_nsw_graph_ann",
-    "q307_unigram_lm")
+    "q307_unigram_lm",
+    // late-round-14 heavies: the snapshot storage accounting and the
+    // sketch-error audit (the two largest post-landing quiet minima)
+    "q320_cdc_delta_storage",
+    "q317_sketch_error")
 
   private[graft] def normalize(plan: String): String =
     plan
