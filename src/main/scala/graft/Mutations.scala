@@ -193,6 +193,16 @@ object Mutations {
                                 //   the histogram-binning map was FITTED
                                 //   on — the leakage that makes any
                                 //   calibrator look perfect
+    "q326_noise_reused",        // DP release draws ONE noise value and
+                                //   applies it to every bucket — the
+                                //   correlated-noise bug that voids the
+                                //   privacy guarantee while every
+                                //   marginal still "looks noisy"
+    "q327_fanout_off_by_one",   // Merkle leaf assignment by doc_id % 63
+                                //   instead of % 64 — the modulus slip:
+                                //   every leaf's membership shifts and
+                                //   corruption localizes to the WRONG
+                                //   leaf id
     "q325_ties_as_losses",      // Mann-Whitney U with strict > only —
                                 //   ties scored as losses instead of the
                                 //   midrank half-credit; the planted

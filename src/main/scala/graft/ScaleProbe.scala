@@ -115,7 +115,9 @@ object ScaleProbe {
       "q322_theil_sen" -> "Theil-Sen vs OLS under a planted spike (calendar-bounded pairs)",
       "q323_calibration_ece" -> "histogram-binning calibration + ECE audit (map-only scoring)",
       "q324_residual_quantize" -> "two-level residual quantization ADC (integer grid, zero code)",
-      "q325_ranking_auc" -> "value-bucketed Mann-Whitney AUC (no global sort)")
+      "q325_ranking_auc" -> "value-bucketed Mann-Whitney AUC (no global sort)",
+      "q326_dp_release" -> "DP histogram release (geometric mechanism, integer ladder)",
+      "q327_merkle_audit" -> "Merkle integrity tree + corruption localization (2 arms)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -167,6 +169,14 @@ object ScaleProbe {
         "(map-only); the train map is <=10 rows broadcast back and the " +
         "census is (arm, bin)-sized — linear in corpus rows by " +
         "construction"),
+      "q326_dp_release" -> ("one source-keyed count aggregate " +
+        "(map-side combine) + map-only noise arithmetic on the " +
+        "|sources|-row result — the probe measures the rollup alone"),
+      "q327_merkle_audit" -> ("per-doc md5s are map-only; each tree " +
+        "level aggregates 32-byte child digests (leaf-local ordered " +
+        "concat); production holds leaf SIZE fixed and grows leaf " +
+        "count, so depth is log n — the 64/8 fanout here is the " +
+        "fixture-sized instance"),
       "q325_ranking_auc" -> ("scoring is map-only and the rank-sum " +
         "rides a (split, score)-keyed census of at most 10001 rows per " +
         "split — the prefix window is control-plane sized at any " +

@@ -51,6 +51,70 @@ object ManifestFsQueries {
       .write.mode("overwrite").parquet(outDir)
 
   def queries: Map[String, Q] = Map(
+    // MERKLE INTEGRITY TREE + CORRUPTION LOCALIZATION — the hierarchical
+    // digest that turns q145's flat digest-reconcile into a log-probe
+    // SEARCH: 64 leaves (doc_id % 64) → 8 interior nodes (leaf DIV 8) →
+    // one root, each digest an md5 over its children's digests in child
+    // order, so any byte flip changes exactly ONE path to the root and
+    // a verifier walks log(n) digests instead of re-hashing the corpus.
+    // Graded as the audit, not a claim: a 'tampered' arm plants one
+    // appended byte on one deterministic doc, and the output counts
+    // clean-vs-tampered digest mismatches per level (exactly 1 at each)
+    // plus the mismatched ids — the oracle independently recomputes both
+    // trees and pins that the located leaf IS the tampered doc's leaf.
+    // Scale: the per-leaf digest aggregates per-doc md5s (32 bytes/doc,
+    // leaf-local, doc_id-ordered in-row); every level above works on
+    // 32-byte child digests only. Production holds leaf SIZE fixed and
+    // grows leaf count (tree depth log n) — the 64/8 fanout here is the
+    // fixture-sized instance of that shape.
+    "q327_merkle_audit" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the leaf
+      // fanout modulus slips to 63 — every leaf's membership shifts and
+      // the corruption localizes to the wrong leaf id
+      val fan =
+        if (graft.Mutations.on("q327_fanout_off_by_one")) 63 else 64
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val culprit = docs.select(min(when(col("doc_id") % 97 === 13,
+        col("doc_id"))).as("bad_id"))
+      val arms = docs.crossJoin(broadcast(culprit))
+        .select(col("doc_id"), col("bad_id"), explode(expr(
+          """array(named_struct('arm', 'clean', 't', text),
+                   named_struct('arm', 'tampered',
+                     't', IF(doc_id = bad_id, concat(text, 'X'), text)))"""))
+          .as("at"))
+        .select(col("at.arm").as("arm"), col("doc_id"),
+          (col("doc_id") % fan).as("leaf"), md5(col("at.t")).as("h"))
+      def up(df: org.apache.spark.sql.DataFrame, parent: String,
+             childOrd: String): org.apache.spark.sql.DataFrame =
+        df.groupBy(col("arm"), col(parent).as("node"))
+          .agg(md5(concat_ws("", expr(
+            s"""transform(array_sort(collect_list(named_struct(
+                'o', $childOrd, 'd', h))), x -> x.d)"""))).as("h"))
+      val leaves = up(arms.withColumnRenamed("leaf", "lf"), "lf", "doc_id")
+        .withColumnRenamed("node", "leaf")
+      val nodes = up(leaves.withColumn("grp", expr("leaf DIV 8")),
+        "grp", "leaf")
+      val root = up(nodes.withColumn("all", lit(0L)), "all", "node")
+      def diffed(df: org.apache.spark.sql.DataFrame, lvl: String,
+                 idc: String): org.apache.spark.sql.DataFrame = {
+        val c = df.filter(col("arm") === "clean")
+          .select(col(idc).as("id"), col("h").as("hc"))
+        val t = df.filter(col("arm") === "tampered")
+          .select(col(idc).as("id"), col("h").as("ht"))
+        c.join(t, "id")
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(when(col("hc") =!= col("ht"), 1L).otherwise(0L))
+              .as("n_mismatch"),
+            min(when(col("hc") =!= col("ht"), col("id"))).as("mismatched_id"))
+          .select(lit(lvl).as("level"), col("n_nodes"), col("n_mismatch"),
+            coalesce(col("mismatched_id"), lit(-1L)).as("mismatched_id"))
+      }
+      diffed(leaves, "1_leaf", "leaf")
+        .unionByName(diffed(nodes, "2_node", "node"))
+        .unionByName(diffed(root, "3_root", "node"))
+        .orderBy("level")
+    }),
+
     // Driver-side listing path (control-plane sized inventories).
     "q90_manifest_fs" -> ((s, d) => {
       ManifestGen.fromDir(s, d)
@@ -714,6 +778,54 @@ object ManifestFsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q327_merkle_audit" ->
+      """WITH culprit AS (SELECT min(CASE WHEN doc_id % 97 = 13
+                                          THEN doc_id END) AS bad_id
+                          FROM documents),
+          arms AS (SELECT a.arm, d.doc_id,
+                          CAST(d.doc_id % 64 AS BIGINT) AS leaf,
+                          md5(CASE WHEN a.arm = 'tampered'
+                                    AND d.doc_id = (SELECT bad_id FROM culprit)
+                                   THEN d.text || 'X' ELSE d.text END) AS h
+                   FROM documents d
+                   CROSS JOIN (SELECT 'clean' AS arm
+                               UNION ALL SELECT 'tampered') a),
+          leaves AS (SELECT arm, leaf,
+                            md5(string_agg(h, '' ORDER BY doc_id)) AS h
+                     FROM arms GROUP BY arm, leaf),
+          nodes AS (SELECT arm, CAST(leaf // 8 AS BIGINT) AS node,
+                           md5(string_agg(h, '' ORDER BY leaf)) AS h
+                    FROM leaves GROUP BY 1, 2),
+          root AS (SELECT arm, CAST(0 AS BIGINT) AS node,
+                          md5(string_agg(h, '' ORDER BY nodes.node)) AS h
+                   FROM nodes GROUP BY arm),
+          dl AS (SELECT '1_leaf' AS level, count(*) AS n_nodes,
+                   CAST(sum(CASE WHEN c.h <> t.h THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_mismatch,
+                   CAST(COALESCE(min(CASE WHEN c.h <> t.h THEN leaf END), -1)
+                     AS BIGINT) AS mismatched_id
+                 FROM (SELECT leaf, h FROM leaves WHERE arm = 'clean') c
+                 JOIN (SELECT leaf, h FROM leaves WHERE arm = 'tampered') t
+                   USING (leaf)),
+          dn AS (SELECT '2_node' AS level, count(*) AS n_nodes,
+                   CAST(sum(CASE WHEN c.h <> t.h THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_mismatch,
+                   CAST(COALESCE(min(CASE WHEN c.h <> t.h THEN node END), -1)
+                     AS BIGINT) AS mismatched_id
+                 FROM (SELECT node, h FROM nodes WHERE arm = 'clean') c
+                 JOIN (SELECT node, h FROM nodes WHERE arm = 'tampered') t
+                   USING (node)),
+          dr AS (SELECT '3_root' AS level, count(*) AS n_nodes,
+                   CAST(sum(CASE WHEN c.h <> t.h THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_mismatch,
+                   CAST(COALESCE(min(CASE WHEN c.h <> t.h THEN node END), -1)
+                     AS BIGINT) AS mismatched_id
+                 FROM (SELECT node, h FROM root WHERE arm = 'clean') c
+                 JOIN (SELECT node, h FROM root WHERE arm = 'tampered') t
+                   USING (node))
+          SELECT * FROM dl UNION ALL SELECT * FROM dn
+          UNION ALL SELECT * FROM dr ORDER BY level""",
+
     "q90_manifest_fs" ->
       s"""SELECT '$SfBucketToken' AS Bucket, filename AS Key,
             str_split(filename, '/')[-1] AS FileName,

@@ -347,6 +347,51 @@ object MonitoringQueries {
         .orderBy("event_type")
     }),
 
+    // DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE — the mechanism the
+    // anonymization family (q219/q233/q240/q246 audit what leaks; this
+    // op RELEASES): per-source document counts with two-sided geometric
+    // (discrete Laplace) noise, the geometric mechanism at ε = ln 2 for
+    // sensitivity Δ = 1 (one document moves one bucket by one). Noise =
+    // K_a − K_b, the difference of two independent truncated geometric
+    // draws (P(K ≥ k) = 2^-k, truncated at 12 — residual mass 2^-12,
+    // documented), each inverted from a 12-bit uniform by an unrolled
+    // integer threshold ladder — no float anywhere, and the md5-seeded
+    // draws stand in for the sampler (production swaps in a real RNG;
+    // the graded part is the release PIPELINE: per-bucket INDEPENDENT
+    // noise — see the knob — and the post-processing clamp at 0, which
+    // DP permits free). The audit columns (true, noise, abs_err) exist
+    // because this op is graded; a production release ships `released`
+    // alone.
+    // Scale: one source-keyed count aggregate (map-side combine) and
+    // map-only noise arithmetic on the |sources|-row result.
+    "q326_dp_release" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the noise
+      // draw REUSED across buckets — one seed for every source, the
+      // correlated-noise bug that silently voids the DP guarantee while
+      // every marginal still "looks noisy"
+      val seedTag =
+        if (graft.Mutations.on("q326_noise_reused")) "'dp:global'"
+        else "concat('dp:', source)"
+      def hex12(m: String): String =
+        (1 to 3).map(i =>
+          s"(instr('0123456789abcdef', substring($m, $i, 1)) - 1) * ${math.pow(16, 3 - i).toInt}")
+          .mkString(" + ")
+      def ladder(u: String): String =
+        (1 to 12).map(k =>
+          s"(CASE WHEN ($u) < ${1 << (12 - k)} THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("true_docs"))
+        .withColumn("ua", expr(hex12(s"md5(concat($seedTag, ':a'))")))
+        .withColumn("ub", expr(hex12(s"md5(concat($seedTag, ':b'))")))
+        .select(col("source"), col("true_docs"),
+          (expr(ladder("ua")) - expr(ladder("ub"))).cast("long").as("noise"))
+        .withColumn("released",
+          greatest(col("true_docs") + col("noise"), lit(0L)))
+        .withColumn("abs_err", abs(col("released") - col("true_docs")))
+        .orderBy("source")
+    }),
+
     // K-ANONYMITY census — the privacy audit run before events are
     // released as training data: treat (event_type, weekday, value
     // bucket) as the quasi-identifier an adversary could observe, count
@@ -1330,6 +1375,31 @@ object MonitoringQueries {
                 - max(CASE WHEN arm = 'raw' THEN ols_ppm END))
               AS ols_shift_ppm
           FROM joined GROUP BY event_type ORDER BY event_type""",
+
+    "q326_dp_release" -> {
+      def hex12(m: String): String =
+        (1 to 3).map(i =>
+          s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1) * ${math.pow(16, 3 - i).toInt}")
+          .mkString(" + ")
+      def ladder(u: String): String =
+        (1 to 12).map(k =>
+          s"(CASE WHEN ($u) < ${1 << (12 - k)} THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH hist AS (SELECT source, count(*) AS true_docs
+                        FROM documents GROUP BY source),
+          drawn AS (SELECT source, true_docs,
+                      ${hex12("md5('dp:' || source || ':a')")} AS ua,
+                      ${hex12("md5('dp:' || source || ':b')")} AS ub
+                    FROM hist),
+          noised AS (SELECT source, true_docs,
+                       CAST((${ladder("ua")}) - (${ladder("ub")})
+                         AS BIGINT) AS noise
+                     FROM drawn)
+          SELECT source, true_docs, noise,
+                 greatest(true_docs + noise, 0) AS released,
+                 abs(greatest(true_docs + noise, 0) - true_docs) AS abs_err
+          FROM noised ORDER BY source"""
+    },
 
     "q219_k_anonymity" ->
       """WITH k AS (SELECT event_type,

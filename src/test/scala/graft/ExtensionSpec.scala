@@ -5016,6 +5016,42 @@ class ExtensionSpec extends SparkSpec {
     assert(d <= 300, s"even/odd AUC differ by $d bp")
   }
 
+  test("DP release: independent per-bucket noise, clamped, mechanism-bounded") {
+    import spark.implicits._
+    val rows = graft.ops.MonitoringQueries.queries("q326_dp_release")(spark, sf)
+      .select("source", "true_docs", "noise", "released", "abs_err")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length >= 5, s"sources: ${rows.length}")
+    rows.foreach { case (src, t, n, r, e) =>
+      assert(math.abs(n) <= 12, s"$src noise $n beyond the truncation bound")
+      assert(r == math.max(t + n, 0L), s"$src clamp broken")
+      assert(e == math.abs(r - t), s"$src abs_err inconsistent")
+    }
+    // independence witness: the per-source draws must not collapse onto
+    // one value (the q326_noise_reused failure mode)
+    assert(rows.map(_._3).distinct.length > 1, "noise identical everywhere")
+  }
+
+  test("merkle audit localizes the single corruption at every level") {
+    import spark.implicits._
+    val rows = graft.ops.ManifestFsQueries.queries("q327_merkle_audit")(spark, sf)
+      .select("level", "n_nodes", "n_mismatch", "mismatched_id")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("1_leaf", "2_node", "3_root"))
+    assert(rows("1_leaf")._2 == 64 && rows("2_node")._2 == 8 &&
+      rows("3_root")._2 == 1, s"tree shape: $rows")
+    // exactly ONE path to the root differs
+    rows.values.foreach(r => assert(r._3 == 1, s"${r._1}: ${r._3} mismatches"))
+    // the located leaf IS the tampered doc's leaf, and the node is its
+    // parent — the log-probe localization property
+    val badId = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 13).agg(min("doc_id"))
+      .as[Long].head()
+    assert(rows("1_leaf")._4 == badId % 64, s"leaf ${rows("1_leaf")._4}")
+    assert(rows("2_node")._4 == (badId % 64) / 8, s"node ${rows("2_node")._4}")
+  }
+
   test("residual quantization: the second level strictly lowers the error") {
     import spark.implicits._
     val rows = SimilarityQueries.queries("q324_residual_quantize")(spark, sf)
