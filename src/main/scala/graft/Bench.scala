@@ -74,9 +74,8 @@ object Bench {
     // fs-cache and load state, so the headroom absorbs box drift while
     // still flagging any >=2x slowdown. The constants are RE-DERIVED
     // each round from the latest quiet-box run (r14:
-    // bench_quiet_r14d_builder.json, box_load 0.61, full 320-query set,
-    // one breach — q116 at 1.02x, rerun under gate, variance) via
-    // tools/derive_gates.py, so queries that grew
+    // bench_quiet_r14f_builder.json, box_load 0.51, full 326-query set,
+    // zero breaches) via tools/derive_gates.py, so queries that grew
     // past 1s gain a gate and queries whose minima improved lose their
     // stale headroom — no gate ever sits above 2x its current min
     // (1.5 + 0.5/min < 2 for min > 1s). Round-13 (judge item 3): the
@@ -89,85 +88,98 @@ object Bench {
     // (keeping the shared-cluster-ledger family's sub-second gates from
     // its r13 of-record >1s crossings — those pin the ledger reuse
     // itself: a regression to per-query chain rebuilds lands 3-10x
-    // above them) and bench_quiet_r14c_builder.json (whose
-    // ungated_over_1s gated q313/q317/q320/q88/q101/q147/q208/q295 at
-    // landing).
+    // above them) and bench_quiet_r14e_builder.json (a ~15%-hot confirm
+    // run whose ungated_over_1s named 13 borderline crossers — all
+    // gated here at their r14f quiet minima, q324/q66 foremost), plus
+    // two oscillators (q101/q88, quiet minima 0.91-1.09s across four
+    // r14 records) pinned at 2.1 to stop them flapping in and out of
+    // the gated set between runs.
     val gates: Map[String, Double] = Map(
       "q101_contamination"             -> 2.1,
-      "q105_manifest_compaction"       -> 1.9,
-      "q110_bucketed_join"             -> 1.1,
-      "q114_power_iteration"           -> 2.6,
-      "q116_substring_dedup"           -> 6.0,
-      "q119_hybrid_rrf"                -> 5.3,
-      "q120_pagerank"                  -> 6.3,
+      "q105_manifest_compaction"       -> 1.8,
+      "q108_stream_static_join"        -> 1.7,
+      "q114_power_iteration"           -> 2.7,
+      "q116_substring_dedup"           -> 4.0,
+      "q118_stream_inventory_bounded"  -> 1.9,
+      "q119_hybrid_rrf"                -> 4.8,
+      "q120_pagerank"                  -> 6.1,
       "q121_bpe_merge"                 -> 2.2,
+      "q122_pq_adc"                    -> 1.7,
+      "q123_stream_sessionize"         -> 1.9,
       "q125_bm25"                      -> 6.9,
-      "q129_adc_rerank"                -> 2.0,
-      "q132_triangle_count"            -> 5.1,
-      "q133_cms_heavy_hitters"         -> 3.5,
-      "q134_bpe_encode"                -> 2.1,
-      "q135_zorder_skipping"           -> 3.1,
-      "q141_novelty_score"             -> 2.7,
-      "q144_multisource_bfs"           -> 6.0,
-      "q147_scd2_incremental"          -> 2.1,
-      "q149_prefix_jaccard_join"       -> 5.2,
-      "q155_analyze_stats"             -> 2.4,
-      "q163_frequent_pairs"            -> 3.4,
-      "q173_two_hop_reach"             -> 4.0,
-      "q174_stream_session_window"     -> 2.6,
-      "q179_containment_join"          -> 3.9,
-      "q191_bpe_train"                 -> 2.1,
-      "q194_hybrid_rrf_ivf"            -> 5.3,
+      "q129_adc_rerank"                -> 1.9,
+      "q132_triangle_count"            -> 4.8,
+      "q133_cms_heavy_hitters"         -> 3.4,
+      "q134_bpe_encode"                -> 2.2,
+      "q135_zorder_skipping"           -> 3.3,
+      "q141_novelty_score"             -> 2.6,
+      "q144_multisource_bfs"           -> 5.7,
+      "q147_scd2_incremental"          -> 2.0,
+      "q149_prefix_jaccard_join"       -> 5.3,
+      "q155_analyze_stats"             -> 2.5,
+      "q163_frequent_pairs"            -> 3.6,
+      "q170_stream_kmv"                -> 1.8,
+      "q173_two_hop_reach"             -> 3.9,
+      "q174_stream_session_window"     -> 2.9,
+      "q179_containment_join"          -> 4.1,
+      "q191_bpe_train"                 -> 2.2,
+      "q194_hybrid_rrf_ivf"            -> 5.0,
       "q197_bpe_compression"           -> 2.5,
-      "q199_dsir_importance"           -> 4.2,
-      "q202_hits"                      -> 6.3,
-      "q205_dedup_funnel"              -> 4.8,
-      "q208_stream_corpus_report"      -> 2.3,
-      "q210_lsh_eval"                  -> 7.1,
-      "q211_label_propagation"         -> 5.3,
+      "q199_dsir_importance"           -> 4.3,
+      "q202_hits"                      -> 6.1,
+      "q205_dedup_funnel"              -> 4.4,
+      "q210_lsh_eval"                  -> 6.3,
+      "q211_label_propagation"         -> 5.2,
       "q212_canonical_docs"            -> 1.0,
-      "q214_norm_sensitivity"          -> 1.8,
-      "q216_source_overlap"            -> 2.9,
-      "q225_cms_width_sweep"           -> 4.3,
-      "q230_kcore"                     -> 9.6,
-      "q231_rerank_cascade"            -> 7.4,
-      "q235_weighted_sssp"             -> 5.9,
+      "q214_norm_sensitivity"          -> 1.7,
+      "q216_source_overlap"            -> 2.6,
+      "q220_stream_ewma"               -> 1.8,
+      "q223_clip_reuse"                -> 1.6,
+      "q225_cms_width_sweep"           -> 3.9,
+      "q229_boilerplate_fraction"      -> 1.6,
+      "q230_kcore"                     -> 9.5,
+      "q231_rerank_cascade"            -> 7.2,
+      "q235_weighted_sssp"             -> 5.7,
       "q239_stream_latency_quantiles"  -> 2.5,
-      "q241_touch_attribution"         -> 2.4,
-      "q243_personalized_pagerank"     -> 6.6,
+      "q241_touch_attribution"         -> 2.1,
+      "q243_personalized_pagerank"     -> 7.2,
       "q248_clustering_coefficient"    -> 5.0,
-      "q251_stream_cusum"              -> 2.0,
+      "q251_stream_cusum"              -> 2.2,
       "q255_dedup_impact"              -> 0.9,
-      "q258_degree_assortativity"      -> 5.9,
-      "q259_tokenizer_fertility"       -> 2.5,
+      "q258_degree_assortativity"      -> 4.4,
+      "q259_tokenizer_fertility"       -> 2.4,
       "q265_stream_trimmed_mean"       -> 2.5,
-      "q271_inclusion_dependency"      -> 2.4,
-      "q273_leaderboard_churn"         -> 2.2,
-      "q275_trigram_search"            -> 4.8,
-      "q277_cluster_span"              -> 1.2,
-      "q278_tail_trend"                -> 2.2,
-      "q284_kcenter_coreset"           -> 2.9,
+      "q271_inclusion_dependency"      -> 2.3,
+      "q273_leaderboard_churn"         -> 2.1,
+      "q275_trigram_search"            -> 4.3,
+      "q277_cluster_span"              -> 1.1,
+      "q278_tail_trend"                -> 2.1,
+      "q284_kcenter_coreset"           -> 2.7,
       "q288_textrank_keywords"         -> 2.5,
-      "q295_stream_skipgram"           -> 2.1,
-      "q296_license_propagation"       -> 1.1,
+      "q295_stream_skipgram"           -> 2.0,
+      "q296_license_propagation"       -> 1.0,
       "q301_margin_bitext"             -> 2.8,
-      "q302_shuffle_spacing"           -> 1.6,
-      "q305_leakage_free_split"        -> 1.1,
-      "q307_unigram_lm"                -> 3.4,
-      "q308_nsw_graph_ann"             -> 9.4,
-      "q309_bigram_perplexity"         -> 3.4,
-      "q310_stream_perplexity"         -> 4.8,
-      "q313_cdc_chunks"                -> 4.1,
-      "q317_sketch_error"              -> 5.3,
-      "q320_cdc_delta_storage"         -> 7.4,
-      "q41_minhash_lsh"                -> 3.7,
-      "q43_ngram_jaccard"              -> 4.6,
+      "q302_shuffle_spacing"           -> 1.5,
+      "q305_leakage_free_split"        -> 1.0,
+      "q306_shard_export_manifest"     -> 1.8,
+      "q307_unigram_lm"                -> 3.3,
+      "q308_nsw_graph_ann"             -> 8.7,
+      "q309_bigram_perplexity"         -> 3.5,
+      "q310_stream_perplexity"         -> 4.5,
+      "q313_cdc_chunks"                -> 4.0,
+      "q315_stream_domain_cap"         -> 1.7,
+      "q317_sketch_error"              -> 4.6,
+      "q320_cdc_delta_storage"         -> 6.9,
+      "q324_residual_quantize"         -> 3.0,
+      "q41_minhash_lsh"                -> 3.5,
+      "q43_ngram_jaccard"              -> 4.3,
       "q49_ml_minhash"                 -> 3.4,
       "q54_dedup_clusters"             -> 0.6,
-      "q67_bloom_prefilter"            -> 1.6,
-      "q87_stream_join"                -> 3.2,
-      "q88_kmeans_refine"              -> 2.0,
-      "q89_stream_dedup"               -> 2.2)
+      "q66_tfidf"                      -> 2.1,
+      "q86_stream_tumbling"            -> 1.9,
+      "q87_stream_join"                -> 3.0,
+      "q88_kmeans_refine"              -> 2.1,
+      "q89_stream_dedup"               -> 2.1)
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v)
@@ -383,7 +395,7 @@ object Bench {
         "local[" + cpus + "], shuffle.partitions=" + cpus + "; " +
         "gate = 1.5 x quiet-box min + 0.5s headroom, constants " +
         "re-derived each round from the latest quiet-box (load<=2) run " +
-        "(r14: bench_quiet_r14d_builder.json) over every query with min " +
+        "(r14: bench_quiet_r14f_builder.json) over every query with min " +
         "> 1s in EITHER the quiet or the of-record run, so no gate sits " +
         "above 2x its current min " +
         "(absorbs the measured 30-50% box drift, flags >=2x slowdowns); " +
