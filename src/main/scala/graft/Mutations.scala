@@ -198,6 +198,15 @@ object Mutations {
                                 //   correlated-noise bug that voids the
                                 //   privacy guarantee while every
                                 //   marginal still "looks noisy"
+    "q330_span_end_off_by_one", // excision span ends at pos + 6, not
+                                //   pos + 7 — every span's last word
+                                //   survives the surgery; removed_words
+                                //   and removed_bp shift on every doc
+    "q329_parents_not_recomputed", // incremental Merkle splices interior
+                                //   nodes wholesale from the OLD tree —
+                                //   the propagation bug: stale parent
+                                //   digests over recomputed leaves; the
+                                //   equality census reddens on node+root
     "q327_fanout_off_by_one",   // Merkle leaf assignment by doc_id % 63
                                 //   instead of % 64 — the modulus slip:
                                 //   every leaf's membership shifts and

@@ -117,7 +117,11 @@ object ScaleProbe {
       "q324_residual_quantize" -> "two-level residual quantization ADC (integer grid, zero code)",
       "q325_ranking_auc" -> "value-bucketed Mann-Whitney AUC (no global sort)",
       "q326_dp_release" -> "DP histogram release (geometric mechanism, integer ladder)",
-      "q327_merkle_audit" -> "Merkle integrity tree + corruption localization (2 arms)")
+      "q327_merkle_audit" -> "Merkle integrity tree + corruption localization (2 arms)",
+      // q328 is excluded like q310/q315: a one-micro-batch streaming run
+      // carries no asymptotic signal — its data path is q326's
+      "q329_incremental_merkle" -> "incremental Merkle maintenance vs full rebuild",
+      "q330_span_decontamination" -> "span-level decontamination (positional grams + islands)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -177,6 +181,14 @@ object ScaleProbe {
         "concat); production holds leaf SIZE fixed and grows leaf " +
         "count, so depth is log n — the 64/8 fanout here is the " +
         "fixture-sized instance"),
+      "q329_incremental_merkle" -> ("builds BOTH full trees plus the " +
+        "incremental splice, so the probe is bounded by q327's shape; " +
+        "the incremental path itself touches |dirty| leaves' docs + " +
+        "|dirty| nodes + the root — log-path work at fixed leaf size"),
+      "q330_span_decontamination" -> ("the gram scan is q101's map-only " +
+        "broadcast-join shape; positions per doc are doc-length-bounded " +
+        "and the island window partitions by doc_id — linear in corpus " +
+        "tokens with a 2-row census"),
       "q325_ranking_auc" -> ("scoring is map-only and the rank-sum " +
         "rides a (split, score)-keyed census of at most 10001 rows per " +
         "split — the prefix window is control-plane sized at any " +

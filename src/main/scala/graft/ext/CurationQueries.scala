@@ -122,6 +122,17 @@ object CurationQueries {
     * the stop-gram cap needs true per-gram doc counts). */
   private def eightGrams(df: DataFrame): DataFrame = eightGramsRaw(df).distinct()
 
+  /** [[eightGramsRaw]] with the 1-based word POSITION kept — the q330
+    * span-surgery variant of the q101 gram stream (same windowing, same
+    * ≥8-word floor; a construction change lands in both or neither). */
+  private def eightGramsPos(df: DataFrame): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 8)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("words")) - 7)).as("pos"), col("words"))
+      .select(col("doc_id"), col("pos"),
+        expr("concat_ws(' ', slice(words, pos, 8))").as("g"))
+
   /** Guard-mode (opt-in) cache of the capped benchmark 8-gram side: ONE
     * persisted instance per (session, data dir), reused across query
     * builds — without this every build stacked a fresh MEMORY_AND_DISK
@@ -495,6 +506,78 @@ object CurationQueries {
     // doc (first word dropped, doc_id + 3M) among the clean docs, so the
     // detector must flag exactly the planted leaks and none of the
     // organic text.
+    // SPAN-LEVEL DECONTAMINATION — the surgical upgrade to q101's
+    // doc-level verdict: production pipelines don't always drop a
+    // contaminated doc wholesale, they excise the overlapping SPAN and
+    // keep the rest. Matched 8-gram POSITIONS (the [[eightGramsPos]]
+    // twin of q101's gram stream, against the same stop-gram-capped
+    // bench side) merge into maximal spans by the gaps-and-islands
+    // window — a match at pos covers words [pos, pos+7], spans merge
+    // while the next match starts within prev+8 (overlap or adjacency;
+    // width is fixed so ends are monotone in pos and one lag suffices)
+    // — and the census accounts the removal per class: the planted
+    // contaminated docs (q101's +3M first-word-dropped bench copies)
+    // excise at ~10000 bp (the whole doc is one span) while organic
+    // docs lose only the coincidental-overlap tail. Doc-level drop
+    // (q101) vs span-level surgery (this) is exactly the
+    // recall-vs-yield tradeoff a curation team prices.
+    // Scale: the gram stream is the q101 scan (map-only into a
+    // broadcast join); positions per doc are doc-length-bounded, the
+    // island window partitions by doc_id, and the census is 2 rows.
+    "q330_span_decontamination" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the span end
+      // fencepost — a match at pos covers [pos, pos+6], every span's
+      // last word survives excision; removed_words shifts on EVERY span
+      val endOff =
+        if (graft.Mutations.on("q330_span_end_off_by_one")) 6 else 7
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val benchDocs = docs.filter(col("doc_id") % 97 === 0)
+      val planted = benchDocs
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", expr("slice(words, 2, size(words) - 1)")).as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0).unionByName(planted)
+      val bw = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val benchCapped = eightGrams(benchDocs)
+        .withColumn("bn", count(lit(1)).over(bw))
+        .filter(col("bn") <= BenchGramCap)
+        .select("g").distinct()
+      val hits = eightGramsPos(corpus)
+        .join(broadcast(benchCapped), "g")
+        .select("doc_id", "pos").distinct()
+      val iw = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val spans = hits
+        .withColumn("prev", coalesce(lag(col("pos"), 1).over(iw), lit(-100)))
+        .withColumn("newi",
+          when(col("pos") > col("prev") + 8, 1L).otherwise(0L))
+        .withColumn("island", sum(col("newi")).over(iw))
+        .groupBy("doc_id", "island")
+        .agg(min(col("pos")).as("sstart"),
+          (max(col("pos")) + endOff).as("send"))
+      val tot = corpus.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("send") - col("sstart") + 1).as("removed_words"))
+        .join(tot, Seq("doc_id"), "right")
+        .na.fill(0L, Seq("n_spans", "removed_words"))
+      perDoc
+        .select(when(col("doc_id") >= 3000000L, "planted")
+          .otherwise("organic").as("cls"),
+          col("n_spans"), col("removed_words"), col("n_words"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+          sum(col("n_spans")).as("n_spans"),
+          sum(col("removed_words")).as("removed_words"),
+          sum(col("n_words")).as("total_words"),
+          expr("sum(removed_words) * 10000 DIV sum(n_words)")
+            .as("removed_bp"))
+        .orderBy("cls")
+    }),
+
     "q101_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val benchDocs = docs.filter(col("doc_id") % 97 === 0)
@@ -1762,6 +1845,69 @@ object CurationQueries {
                  CASE WHEN round(1 - n_distinct / n_grams, 6) > 0.2
                       THEN 'repetitive' ELSE 'ok' END AS verdict
           FROM agg ORDER BY doc_id""",
+
+    "q330_span_decontamination" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+          planted AS (SELECT doc_id + 3000000 AS doc_id,
+                             array_to_string(str_split(text, ' ')[2:], ' ') AS text
+                      FROM bench WHERE len(str_split(text, ' ')) >= 10),
+          corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+                     UNION ALL SELECT doc_id, text FROM planted),
+          btok AS (SELECT doc_id, str_split(text, ' ') AS words FROM bench
+                   WHERE len(str_split(text, ' ')) >= 8),
+          b8 AS (SELECT DISTINCT doc_id,
+                        array_to_string(words[pos:pos+7], ' ') AS g
+                 FROM (SELECT doc_id, words,
+                              unnest(generate_series(1, len(words) - 7)) AS pos
+                       FROM btok)),
+          bg AS (SELECT DISTINCT g FROM (
+                   SELECT b.*, count(*) OVER (PARTITION BY g) AS bn FROM b8 b)
+                 WHERE bn <= $BenchGramCap),
+          ctok AS (SELECT doc_id, str_split(text, ' ') AS words FROM corpus
+                   WHERE len(str_split(text, ' ')) >= 8),
+          cpos AS (SELECT doc_id, pos,
+                          array_to_string(words[pos:pos+7], ' ') AS g
+                   FROM (SELECT doc_id, words,
+                           unnest(generate_series(1, len(words) - 7)) AS pos
+                         FROM ctok)),
+          hits AS (SELECT DISTINCT doc_id, pos FROM cpos JOIN bg USING (g)),
+          isl AS (SELECT doc_id, pos,
+                    CASE WHEN pos > COALESCE(lag(pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos), -100) + 8
+                         THEN 1 ELSE 0 END AS newi
+                  FROM hits),
+          isl2 AS (SELECT doc_id, pos,
+                     sum(newi) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS island
+                   FROM isl),
+          spans AS (SELECT doc_id, island, min(pos) AS sstart,
+                           max(pos) + 7 AS send
+                    FROM isl2 GROUP BY 1, 2),
+          tot AS (SELECT doc_id,
+                         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words
+                  FROM corpus),
+          per_doc AS (SELECT t.doc_id,
+                        CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+                        CAST(COALESCE(sp.removed, 0) AS BIGINT)
+                          AS removed_words,
+                        t.n_words
+                      FROM tot t
+                      LEFT JOIN (SELECT doc_id, count(*) AS n_spans,
+                                   CAST(sum(send - sstart + 1) AS BIGINT)
+                                     AS removed
+                                 FROM spans GROUP BY doc_id) sp
+                        USING (doc_id))
+          SELECT CASE WHEN doc_id >= 3000000 THEN 'planted'
+                      ELSE 'organic' END AS cls,
+                 count(*) AS n_docs,
+                 CAST(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_hit,
+                 CAST(sum(n_spans) AS BIGINT) AS n_spans,
+                 CAST(sum(removed_words) AS BIGINT) AS removed_words,
+                 CAST(sum(n_words) AS BIGINT) AS total_words,
+                 CAST(sum(removed_words) * 10000 // sum(n_words) AS BIGINT)
+                   AS removed_bp
+          FROM per_doc GROUP BY 1 ORDER BY 1""",
 
     "q101_contamination" ->
       s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),

@@ -33,6 +33,37 @@ import org.apache.spark.sql.functions._
 object MonitoringQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The geometric-mechanism release projection over a (source,
+    * true_docs) histogram — ONE seam behind q326 (batch) AND q328
+    * (streaming), so the released mechanism can never drift between
+    * ingest and batch paths. Noise = difference of two truncated
+    * geometric draws (P(K ≥ k) = 2^-k, truncation 12), each inverted
+    * from a 12-bit md5 uniform by an unrolled integer threshold ladder;
+    * clamp at 0 is free post-processing. The mutation knob plants the
+    * correlated-noise bug (one draw reused for every bucket). */
+  private def dpNoisedRelease(hist: DataFrame): DataFrame = {
+    val seedTag =
+      if (graft.Mutations.on("q326_noise_reused")) "'dp:global'"
+      else "concat('dp:', source)"
+    def hex12(m: String): String =
+      (1 to 3).map(i =>
+        s"(instr('0123456789abcdef', substring($m, $i, 1)) - 1) * ${math.pow(16, 3 - i).toInt}")
+        .mkString(" + ")
+    def ladder(u: String): String =
+      (1 to 12).map(k =>
+        s"(CASE WHEN ($u) < ${1 << (12 - k)} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+    hist
+      .withColumn("ua", expr(hex12(s"md5(concat($seedTag, ':a'))")))
+      .withColumn("ub", expr(hex12(s"md5(concat($seedTag, ':b'))")))
+      .select(col("source"), col("true_docs"),
+        (expr(ladder("ua")) - expr(ladder("ub"))).cast("long").as("noise"))
+      .withColumn("released",
+        greatest(col("true_docs") + col("noise"), lit(0L)))
+      .withColumn("abs_err", abs(col("released") - col("true_docs")))
+      .orderBy("source")
+  }
+
   def queries: Map[String, Q] = Map(
     // AUTOCORRELATION of an aggregated time series — the seasonality
     // probe (does last hour predict this hour?) over per-type hourly
@@ -364,32 +395,27 @@ object MonitoringQueries {
     // alone.
     // Scale: one source-keyed count aggregate (map-side combine) and
     // map-only noise arithmetic on the |sources|-row result.
-    "q326_dp_release" -> ((s, d) => {
-      // mutation seam (knob OFF in every production plan): the noise
-      // draw REUSED across buckets — one seed for every source, the
-      // correlated-noise bug that silently voids the DP guarantee while
-      // every marginal still "looks noisy"
-      val seedTag =
-        if (graft.Mutations.on("q326_noise_reused")) "'dp:global'"
-        else "concat('dp:', source)"
-      def hex12(m: String): String =
-        (1 to 3).map(i =>
-          s"(instr('0123456789abcdef', substring($m, $i, 1)) - 1) * ${math.pow(16, 3 - i).toInt}")
-          .mkString(" + ")
-      def ladder(u: String): String =
-        (1 to 12).map(k =>
-          s"(CASE WHEN ($u) < ${1 << (12 - k)} THEN 1 ELSE 0 END)")
-          .mkString(" + ")
-      Tables.documents(s, d)
-        .groupBy("source").agg(count(lit(1)).as("true_docs"))
-        .withColumn("ua", expr(hex12(s"md5(concat($seedTag, ':a'))")))
-        .withColumn("ub", expr(hex12(s"md5(concat($seedTag, ':b'))")))
-        .select(col("source"), col("true_docs"),
-          (expr(ladder("ua")) - expr(ladder("ub"))).cast("long").as("noise"))
-        .withColumn("released",
-          greatest(col("true_docs") + col("noise"), lit(0L)))
-        .withColumn("abs_err", abs(col("released") - col("true_docs")))
-        .orderBy("source")
+    "q326_dp_release" -> ((s, d) =>
+      dpNoisedRelease(Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("true_docs")))),
+
+    // The SAME release applied at INGEST (the q310/q315 discipline): the
+    // one stateful operator through the state store is the per-source
+    // count (bounded state — one row per source regardless of volume);
+    // the noise ladder is a pure projection over the COMPLETED
+    // |sources|-row table (chained streaming aggregations are
+    // unsupported, and noise must be added once at release time anyway
+    // — adding it per micro-batch would compose the privacy budget per
+    // batch, the accounting a streaming release must avoid). Oracle is
+    // q326's VERBATIM; a spec pins stream == batch row-for-row, and the
+    // q326_noise_reused knob red-cases BOTH queries through the one
+    // [[dpNoisedRelease]] seam.
+    "q328_stream_dp_release" -> ((s, d) => {
+      val sdocs = graft.streaming.StreamingPipelines.documentsStream(s, d)
+        .select("source")
+      val counts = sdocs.groupBy("source").agg(count(lit(1)).as("true_docs"))
+      dpNoisedRelease(
+        graft.streaming.StreamingPipelines.runToCompletion(s, counts))
     }),
 
     // K-ANONYMITY census — the privacy audit run before events are
@@ -1377,6 +1403,31 @@ object MonitoringQueries {
           FROM joined GROUP BY event_type ORDER BY event_type""",
 
     "q326_dp_release" -> {
+      def hex12(m: String): String =
+        (1 to 3).map(i =>
+          s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1) * ${math.pow(16, 3 - i).toInt}")
+          .mkString(" + ")
+      def ladder(u: String): String =
+        (1 to 12).map(k =>
+          s"(CASE WHEN ($u) < ${1 << (12 - k)} THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH hist AS (SELECT source, count(*) AS true_docs
+                        FROM documents GROUP BY source),
+          drawn AS (SELECT source, true_docs,
+                      ${hex12("md5('dp:' || source || ':a')")} AS ua,
+                      ${hex12("md5('dp:' || source || ':b')")} AS ub
+                    FROM hist),
+          noised AS (SELECT source, true_docs,
+                       CAST((${ladder("ua")}) - (${ladder("ub")})
+                         AS BIGINT) AS noise
+                     FROM drawn)
+          SELECT source, true_docs, noise,
+                 greatest(true_docs + noise, 0) AS released,
+                 abs(greatest(true_docs + noise, 0) - true_docs) AS abs_err
+          FROM noised ORDER BY source"""
+    },
+
+    "q328_stream_dp_release" -> {
       def hex12(m: String): String =
         (1 to 3).map(i =>
           s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1) * ${math.pow(16, 3 - i).toInt}")

@@ -5052,6 +5052,46 @@ class ExtensionSpec extends SparkSpec {
     assert(rows("2_node")._4 == (badId % 64) / 8, s"node ${rows("2_node")._4}")
   }
 
+  test("streaming DP release equals the batch release row-for-row") {
+    val batch = graft.ops.MonitoringQueries
+      .queries("q326_dp_release")(spark, sf).collect().map(_.toString).sorted
+    val stream = graft.ops.MonitoringQueries
+      .queries("q328_stream_dp_release")(spark, sf).collect().map(_.toString).sorted
+    assert(batch.sameElements(stream),
+      "stream and batch releases diverged — the dpNoisedRelease seam split")
+  }
+
+  test("incremental merkle equals the full rebuild while touching only dirty paths") {
+    import spark.implicits._
+    val rows = graft.ops.ManifestFsQueries
+      .queries("q329_incremental_merkle")(spark, sf)
+      .select("level", "n_total", "n_recomputed", "n_incr_equal_full")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    rows.values.foreach { case (lvl, t, _, eq) =>
+      assert(eq == t, s"$lvl: incremental != full ($eq of $t)")
+    }
+    val (_, lt, lr, _) = rows("1_leaf")
+    assert(lr < lt, s"leaf level recomputed $lr of $lt — no incremental saving")
+    assert(rows("3_root")._3 == 1L, "root recompute count")
+  }
+
+  test("span decontamination excises whole planted docs, grazes organics") {
+    import spark.implicits._
+    val rows = graft.ext.CurationQueries
+      .queries("q330_span_decontamination")(spark, sf)
+      .select("cls", "n_docs", "n_docs_hit", "removed_bp")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val p = rows("planted"); val o = rows("organic")
+    // a planted doc's every 8-gram is a bench 8-gram, so its matched
+    // positions tile the doc and merge into ONE span covering it wholly
+    assert(p._3 == p._2 && p._4 == 10000L, s"planted: $p")
+    // organic docs lose only the coincidental-overlap tail
+    assert(o._4 < 500L, s"organic removed_bp ${o._4} — overlap not surgical")
+    assert(o._3 < o._2, s"every organic doc hit: $o")
+  }
+
   test("residual quantization: the second level strictly lowers the error") {
     import spark.implicits._
     val rows = SimilarityQueries.queries("q324_residual_quantize")(spark, sf)
