@@ -93,7 +93,10 @@ object Bench {
     // gated here at their r14f quiet minima, q324/q66 foremost), plus
     // two oscillators (q101/q88, quiet minima 0.91-1.09s across four
     // r14 records) pinned at 2.1 to stop them flapping in and out of
-    // the gated set between runs.
+    // the gated set between runs, plus bench_quiet_r14h_builder.json's
+    // crossers (a hot run pushed 9 more borderliners over 1s — gated at
+    // their r14f quiet minima) and q329 (3.5, from its r14h record, the
+    // only one containing it).
     val gates: Map[String, Double] = Map(
       "q101_contamination"             -> 2.1,
       "q105_manifest_compaction"       -> 1.8,
@@ -106,6 +109,7 @@ object Bench {
       "q121_bpe_merge"                 -> 2.2,
       "q122_pq_adc"                    -> 1.7,
       "q123_stream_sessionize"         -> 1.9,
+      "q124_manifest_timetravel"         -> 1.6,
       "q125_bm25"                      -> 6.9,
       "q129_adc_rerank"                -> 1.9,
       "q132_triangle_count"            -> 4.8,
@@ -116,9 +120,12 @@ object Bench {
       "q144_multisource_bfs"           -> 5.7,
       "q147_scd2_incremental"          -> 2.0,
       "q149_prefix_jaccard_join"       -> 5.3,
+      "q152_pmi_collocations"            -> 1.7,
+      "q154_cdc_apply"                   -> 1.5,
       "q155_analyze_stats"             -> 2.5,
       "q163_frequent_pairs"            -> 3.6,
       "q170_stream_kmv"                -> 1.8,
+      "q172_rle_layout_advisor"          -> 1.9,
       "q173_two_hop_reach"             -> 3.9,
       "q174_stream_session_window"     -> 2.9,
       "q179_containment_join"          -> 4.1,
@@ -128,6 +135,7 @@ object Bench {
       "q199_dsir_importance"           -> 4.3,
       "q202_hits"                      -> 6.1,
       "q205_dedup_funnel"              -> 4.4,
+      "q208_stream_corpus_report"        -> 1.7,
       "q210_lsh_eval"                  -> 6.3,
       "q211_label_propagation"         -> 5.2,
       "q212_canonical_docs"            -> 1.0,
@@ -146,6 +154,7 @@ object Bench {
       "q248_clustering_coefficient"    -> 5.0,
       "q251_stream_cusum"              -> 2.2,
       "q255_dedup_impact"              -> 0.9,
+      "q256_sq_recall"                   -> 1.6,
       "q258_degree_assortativity"      -> 4.4,
       "q259_tokenizer_fertility"       -> 2.4,
       "q265_stream_trimmed_mean"       -> 2.5,
@@ -156,6 +165,7 @@ object Bench {
       "q278_tail_trend"                -> 2.1,
       "q284_kcenter_coreset"           -> 2.7,
       "q288_textrank_keywords"         -> 2.5,
+      "q293_pack_coherence"              -> 1.8,
       "q295_stream_skipgram"           -> 2.0,
       "q296_license_propagation"       -> 1.0,
       "q301_margin_bitext"             -> 2.8,
@@ -170,7 +180,9 @@ object Bench {
       "q315_stream_domain_cap"         -> 1.7,
       "q317_sketch_error"              -> 4.6,
       "q320_cdc_delta_storage"         -> 6.9,
+      "q323_calibration_ece"             -> 1.6,
       "q324_residual_quantize"         -> 3.0,
+      "q329_incremental_merkle"          -> 3.5,
       "q41_minhash_lsh"                -> 3.5,
       "q43_ngram_jaccard"              -> 4.3,
       "q49_ml_minhash"                 -> 3.4,
@@ -179,7 +191,8 @@ object Bench {
       "q86_stream_tumbling"            -> 1.9,
       "q87_stream_join"                -> 3.0,
       "q88_kmeans_refine"              -> 2.1,
-      "q89_stream_dedup"               -> 2.1)
+      "q89_stream_dedup"               -> 2.1,
+      "q94_json_roundtrip"               -> 1.7)
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v)

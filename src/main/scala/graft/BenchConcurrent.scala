@@ -31,17 +31,21 @@ import org.apache.spark.sql.SparkSession
 object BenchConcurrent {
   private val Streams = 4
 
-  /** The 20 heaviest queries by quiet-box minima (bench_quiet_r14a —
-    * re-ranked after the shared cluster ledger dropped the dedup-family
-    * heavies out of the top 20). */
+  /** The 20 heaviest NON-streaming queries by quiet-box minima
+    * (bench_quiet_r14f — re-ranked after the late-round landings put
+    * q320/q317 in the top tier). Streaming queries stay out: the
+    * memory-sink runs are not designed for concurrent same-session
+    * execution and the batch heavies are the contention surface the
+    * artifact exists to price. */
   val Workload: Seq[String] = Seq(
-    "q308_nsw_graph_ann", "q230_kcore", "q125_bm25", "q235_weighted_sssp",
-    "q231_rerank_cascade", "q120_pagerank", "q243_personalized_pagerank",
-    "q210_lsh_eval", "q202_hits", "q144_multisource_bfs",
-    "q149_prefix_jaccard_join", "q211_label_propagation", "q205_dedup_funnel",
-    "q119_hybrid_rrf", "q194_hybrid_rrf_ivf", "q248_clustering_coefficient",
-    "q132_triangle_count", "q258_degree_assortativity", "q43_ngram_jaccard",
-    "q199_dsir_importance")
+    "q230_kcore", "q308_nsw_graph_ann", "q243_personalized_pagerank",
+    "q231_rerank_cascade", "q320_cdc_delta_storage", "q125_bm25",
+    "q210_lsh_eval", "q202_hits", "q120_pagerank", "q235_weighted_sssp",
+    "q144_multisource_bfs", "q149_prefix_jaccard_join",
+    "q211_label_propagation", "q194_hybrid_rrf_ivf",
+    "q248_clustering_coefficient", "q119_hybrid_rrf",
+    "q132_triangle_count", "q317_sketch_error",
+    "q258_degree_assortativity", "q205_dedup_funnel")
 
   def main(args: Array[String]): Unit = {
     val outJson = args.lift(0).getOrElse("/root/repo/bench_concurrent_r14.json")
