@@ -607,6 +607,37 @@ class PlanSpec extends SparkSpec {
       "top-20 must ride TakeOrdered, not a global sort")
   }
 
+  test("q330: the bench gram side broadcasts and the corpus stream never sorts") {
+    // the q101 discipline carried to the span variant: the capped bench
+    // side is HINTED broadcast (its stats inherit the full scan
+    // estimate, so the auto-threshold would silently flip to a
+    // sort-merge join exactly when the corpus grows)
+    val p = plan("q330_span_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"gram join must broadcast the bench side:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q319: the variant block joins hash-keyed — no cartesian, no broadcast of the corpus side") {
+    val p = plan("q319_fuzzy_edit_join")
+    assert(!p.contains("CartesianProduct"))
+    // the variant self-join must be an equi-join on the variant key
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"variant join shape:\n${p.take(1500)}")
+  }
+
+  test("q324: codebooks and the reconstruction LUT broadcast; codes never cross-join") {
+    val p = withAqeOff { plan("q324_residual_quantize") }
+    // the 16-row codebooks and 2560-row LUT ride broadcast nested-loop/
+    // hash joins; the corpus-sized codes table must never be the build
+    // side of a cartesian against itself
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"broadcast shape missing:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "corpus-side cartesian in the RQ plan")
+  }
+
   test("salted aggregation equals plain aggregation") {
     // decimal value: double sums are accumulation-order-sensitive, which is
     // exactly why the engine aggregates doubles through decimals (dsl.scala)
