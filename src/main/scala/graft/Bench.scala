@@ -183,6 +183,10 @@ object Bench {
       "q323_calibration_ece"             -> 1.6,
       "q324_residual_quantize"         -> 3.0,
       "q329_incremental_merkle"          -> 3.5,
+      // q331 landed after the last quiet suite record; gated from its
+      // 10x-probe 1x timing (1.96s incl. per-run overhead) by the same
+      // 1.5x + 0.5 formula — re-derived next quiet run like the rest
+      "q331_bloom_decontamination"       -> 3.4,
       "q41_minhash_lsh"                -> 3.5,
       "q43_ngram_jaccard"              -> 4.3,
       "q49_ml_minhash"                 -> 3.4,

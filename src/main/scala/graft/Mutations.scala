@@ -198,6 +198,11 @@ object Mutations {
                                 //   correlated-noise bug that voids the
                                 //   privacy guarantee while every
                                 //   marginal still "looks noisy"
+    "q331_probe_key_mismatch",  // bloom probed with md5(g) while built
+                                //   over g — the build/probe key-domain
+                                //   mismatch: true matches fail the
+                                //   filter and real contamination
+                                //   silently vanishes from the verdict
     "q330_span_end_off_by_one", // excision span ends at pos + 6, not
                                 //   pos + 7 — every span's last word
                                 //   survives the surgery; removed_words

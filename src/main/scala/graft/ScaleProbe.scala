@@ -121,7 +121,8 @@ object ScaleProbe {
       // q328 is excluded like q310/q315: a one-micro-batch streaming run
       // carries no asymptotic signal — its data path is q326's
       "q329_incremental_merkle" -> "incremental Merkle maintenance vs full rebuild",
-      "q330_span_decontamination" -> "span-level decontamination (positional grams + islands)")
+      "q330_span_decontamination" -> "span-level decontamination (positional grams + islands)",
+      "q331_bloom_decontamination" -> "bloom-routed decontamination (codegen probe prune + exact verify)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -185,6 +186,11 @@ object ScaleProbe {
         "incremental splice, so the probe is bounded by q327's shape; " +
         "the incremental path itself touches |dirty| leaves' docs + " +
         "|dirty| nodes + the root — log-path work at fixed leaf size"),
+      "q331_bloom_decontamination" -> ("bloom build is two control-" +
+        "plane actions over the bench-suite-sized gram set; the corpus " +
+        "pass is map-only through the codegen probe and everything " +
+        "after is match-bounded — the probe measures the pruned-scan " +
+        "shape q101's raw broadcast cannot keep at bench-suite scale"),
       "q330_span_decontamination" -> ("the gram scan is q101's map-only " +
         "broadcast-join shape; positions per doc are doc-length-bounded " +
         "and the island window partitions by doc_id — linear in corpus " +

@@ -578,6 +578,71 @@ object CurationQueries {
         .orderBy("cls")
     }),
 
+    // BLOOM-ROUTED DECONTAMINATION — q101's verdict through the scale
+    // path: when the benchmark suite's gram set outgrows a raw
+    // broadcast, build a BLOOM FILTER over the capped bench grams
+    // (O(bits), ~1.2 bytes/gram at 1% FPP — megabytes where the raw
+    // set is gigabytes) and prune the corpus gram stream MAP-SIDE with
+    // the codegen BloomFilterMightContain probe (the q67 seam) BEFORE
+    // any join: grams failing the bloom never enter an exchange. The
+    // exact verify join then runs on the ~matching slice alone — false
+    // positives die there, false negatives cannot exist (bloom
+    // guarantee) — so the verdict is IDENTICAL to q101's (spec-pinned
+    // engine-side; the oracle is q101's verbatim). Here the pruned
+    // verify still broadcasts the bench side; at a scale where it
+    // cannot, the same plan shuffles only the pruned slice — which is
+    // the whole point of the bloom stage.
+    // Scale: bloom build is two control-plane actions over the
+    // bench-suite-sized capped gram set; the corpus pass is map-only
+    // through the codegen probe; everything after is match-bounded.
+    "q331_bloom_decontamination" -> ((s, d) => {
+      // mutation seam (knob OFF in every production plan): the probe
+      // keys a DIFFERENT domain than the build (xxhash64 of md5(g)
+      // instead of xxhash64(g)) — the classic build/probe serialization
+      // mismatch: true matches fail the bloom and real contamination
+      // silently vanishes
+      val probeCol =
+        if (graft.Mutations.on("q331_probe_key_mismatch"))
+          xxhash64(md5(col("g")))
+        else xxhash64(col("g"))
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val benchDocs = docs.filter(col("doc_id") % 97 === 0)
+      val planted = benchDocs
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", expr("slice(words, 2, size(words) - 1)")).as("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0).unionByName(planted)
+      val bw = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val benchCapped = eightGrams(benchDocs)
+        .withColumn("bn", count(lit(1)).over(bw))
+        .filter(col("bn") <= BenchGramCap)
+        .select(col("g"), col("doc_id").as("bench_id"))
+      // the q67 discipline: persist for the two eager build actions
+      // (count for sizing + filter build), released before returning —
+      // the verify join recomputes the small window aggregate at
+      // execution time instead of pinning executor storage
+      benchCapped.persist()
+      // both sides key on xxhash64(g): the native codegen probe takes a
+      // BIGINT, and a 64-bit key is the production shape regardless —
+      // the gram string never enters the filter
+      val bf =
+        try {
+          val gs = benchCapped.select(xxhash64(col("g")).as("gh")).distinct()
+          gs.stat.bloomFilter("gh", math.max(1000L, gs.count()), 0.01)
+        } finally benchCapped.unpersist()
+      eightGramsRaw(corpus)
+        .filter(graft.functions.BloomProbe.mightContain(bf, probeCol))
+        .join(broadcast(benchCapped), "g")
+        .select("doc_id", "bench_id", "g").distinct()
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= ContaminationMinOverlap)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+          max(col("overlap")).as("max_overlap"))
+        .orderBy("doc_id")
+    }),
+
     "q101_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val benchDocs = docs.filter(col("doc_id") % 97 === 0)
@@ -1317,6 +1382,35 @@ object CurationQueries {
                            r.doc_id) AS rk
               FROM r LEFT JOIN b USING (reg_domain))"""
 
+  /** q101's DuckDB verdict — shared VERBATIM with q331, whose bloom
+    * stage is recall-1 pruning only (FPs die at the exact verify), so
+    * the two paths must grade identically. */
+  private val OContaminationVerdict: String =
+    s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+          planted AS (SELECT doc_id + 3000000 AS doc_id,
+                             array_to_string(str_split(text, ' ')[2:], ' ') AS text
+                      FROM bench WHERE len(str_split(text, ' ')) >= 10),
+          corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+                     UNION ALL SELECT doc_id, text FROM planted),
+          $eightGramsSql,
+          btok AS (SELECT doc_id, str_split(text, ' ') AS words FROM bench
+                   WHERE len(str_split(text, ' ')) >= 8),
+          b8 AS (SELECT DISTINCT doc_id,
+                        array_to_string(words[pos:pos+7], ' ') AS g
+                 FROM (SELECT doc_id, words,
+                              unnest(generate_series(1, len(words) - 7)) AS pos
+                       FROM btok)),
+          bcap AS (SELECT g, doc_id AS bench_id FROM (
+                     SELECT b.*, count(*) OVER (PARTITION BY g) AS bn FROM b8 b)
+                   WHERE bn <= $BenchGramCap),
+          hits AS (SELECT c.doc_id, p.bench_id, count(*) AS overlap
+                   FROM g8 c JOIN bcap p USING (g)
+                   GROUP BY 1, 2
+                   HAVING count(*) >= $ContaminationMinOverlap)
+          SELECT doc_id, CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+                 CAST(max(overlap) AS BIGINT) AS max_overlap
+          FROM hits GROUP BY doc_id ORDER BY doc_id"""
+
   def oracles: Map[String, String] = Map(
     "q311_url_curation" ->
       s"""WITH $urlOracleCtes
@@ -1909,31 +2003,9 @@ object CurationQueries {
                    AS removed_bp
           FROM per_doc GROUP BY 1 ORDER BY 1""",
 
-    "q101_contamination" ->
-      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-          planted AS (SELECT doc_id + 3000000 AS doc_id,
-                             array_to_string(str_split(text, ' ')[2:], ' ') AS text
-                      FROM bench WHERE len(str_split(text, ' ')) >= 10),
-          corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
-                     UNION ALL SELECT doc_id, text FROM planted),
-          $eightGramsSql,
-          btok AS (SELECT doc_id, str_split(text, ' ') AS words FROM bench
-                   WHERE len(str_split(text, ' ')) >= 8),
-          b8 AS (SELECT DISTINCT doc_id,
-                        array_to_string(words[pos:pos+7], ' ') AS g
-                 FROM (SELECT doc_id, words,
-                              unnest(generate_series(1, len(words) - 7)) AS pos
-                       FROM btok)),
-          bcap AS (SELECT g, doc_id AS bench_id FROM (
-                     SELECT b.*, count(*) OVER (PARTITION BY g) AS bn FROM b8 b)
-                   WHERE bn <= $BenchGramCap),
-          hits AS (SELECT c.doc_id, p.bench_id, count(*) AS overlap
-                   FROM g8 c JOIN bcap p USING (g)
-                   GROUP BY 1, 2
-                   HAVING count(*) >= $ContaminationMinOverlap)
-          SELECT doc_id, CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
-                 CAST(max(overlap) AS BIGINT) AS max_overlap
-          FROM hits GROUP BY doc_id ORDER BY doc_id""",
+    "q101_contamination" -> OContaminationVerdict,
+
+    "q331_bloom_decontamination" -> OContaminationVerdict,
 
     "q216_source_overlap" ->
       s"""WITH sg AS (SELECT DISTINCT source,

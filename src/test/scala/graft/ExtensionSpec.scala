@@ -5092,6 +5092,19 @@ class ExtensionSpec extends SparkSpec {
     assert(o._3 < o._2, s"every organic doc hit: $o")
   }
 
+  test("bloom-routed decontamination equals the broadcast verdict row-for-row") {
+    val direct = graft.ext.CurationQueries
+      .queries("q101_contamination")(spark, sf).collect().map(_.toString).sorted
+    val bloomed = graft.ext.CurationQueries
+      .queries("q331_bloom_decontamination")(spark, sf).collect().map(_.toString).sorted
+    // the bloom stage is recall-1 pruning only; FPs die at the exact
+    // verify — a divergence means either a bloom FN (impossible by
+    // contract) or the verify drifted from q101's semantics
+    assert(direct.sameElements(bloomed),
+      s"verdicts diverged: direct=${direct.length} bloomed=${bloomed.length}")
+    assert(direct.nonEmpty, "planted contamination must be flagged")
+  }
+
   test("residual quantization: the second level strictly lowers the error") {
     import spark.implicits._
     val rows = SimilarityQueries.queries("q324_residual_quantize")(spark, sf)

@@ -638,6 +638,16 @@ class PlanSpec extends SparkSpec {
       "corpus-side cartesian in the RQ plan")
   }
 
+  test("q331: the corpus stream probes the codegen bloom before any join") {
+    val p = plan("q331_bloom_decontamination")
+    assert(p.contains("might_contain"),
+      s"bloom probe missing from the corpus path:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"), "no interpreted UDF in the probe path")
+    assert(p.contains("BroadcastHashJoin"),
+      "the pruned verify join must broadcast the bench side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("salted aggregation equals plain aggregation") {
     // decimal value: double sums are accumulation-order-sensitive, which is
     // exactly why the engine aggregates doubles through decimals (dsl.scala)
