@@ -45,7 +45,10 @@ object PlanSnapshots {
     // late-round-14 heavies: the snapshot storage accounting and the
     // sketch-error audit (the two largest post-landing quiet minima)
     "q320_cdc_delta_storage",
-    "q317_sketch_error")
+    "q317_sketch_error",
+    // round-15: the entry-strategy ablation (two walks over the shared
+    // NswEngine graph — the round's heaviest addition)
+    "q332_ann_entry_ablation")
 
   private[graft] def normalize(plan: String): String =
     plan

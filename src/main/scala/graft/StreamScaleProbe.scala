@@ -36,13 +36,46 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamScaleProbe {
   private val Factor = 10
-  private val Chunks = 8
-  private val StatePartitions = 4 // the graded-run discipline
+  private[graft] val Chunks = 8
+  private[graft] val StatePartitions = 4 // the graded-run discipline
 
-  private case class RunStats(
+  private[graft] case class RunStats(
       batches: Int, firstBatchSec: Double, steadySec: Double,
       steadyRows: Long, stateRows: Long, stateBytes: Long) {
     def rowsPerSec: Double = if (steadySec > 0) steadyRows / steadySec else -1
+  }
+
+  /** Split `table` into [[Chunks]] single-file parquet chunks so the
+    * file stream source sees exactly K data micro-batches — shared by
+    * this probe and [[StreamStateBackendProbe]]. */
+  private[graft] def chunkTable(spark: SparkSession, srcDir: String,
+                                table: String, idCol: String,
+                                tag: String): String = {
+    val dir = java.nio.file.Paths.get(ops.Scratch.dir(s"graft_stream_$tag"))
+    val df = if (table == "events") Tables.events(spark, srcDir)
+             else spark.read.parquet(s"$srcDir/$table.parquet")
+    val prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      for (i <- 0 until Chunks) {
+        val tmp = dir.resolve(s"tmp$i")
+        df.filter(pmod(col(idCol), lit(Chunks)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(p, dir.resolve(f"chunk$i%02d.parquet"))
+            moved = true
+          }
+        }
+        // drop the _SUCCESS/_committed noise so the source sees K files
+        java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+    dir.toString
   }
 
   def main(args: Array[String]): Unit = {
@@ -62,33 +95,8 @@ object StreamScaleProbe {
 
     // --- chunked stream inputs: K plain files, one micro-batch each ---
     def chunkTable(srcDir: String, table: String, idCol: String,
-                   tag: String): String = {
-      val dir = java.nio.file.Paths.get(ops.Scratch.dir(s"graft_stream_$tag"))
-      val df = if (table == "events") Tables.events(spark, srcDir)
-               else spark.read.parquet(s"$srcDir/$table.parquet")
-      val prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
-      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      try {
-        for (i <- 0 until Chunks) {
-          val tmp = dir.resolve(s"tmp$i")
-          df.filter(pmod(col(idCol), lit(Chunks)) === i)
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp).iterator()
-          var moved = false
-          while (part.hasNext && !moved) {
-            val p = part.next()
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              java.nio.file.Files.move(p, dir.resolve(f"chunk$i%02d.parquet"))
-              moved = true
-            }
-          }
-          // drop the _SUCCESS/_committed noise so the source sees K files
-          java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        }
-      } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
-      dir.toString
-    }
+                   tag: String): String =
+      StreamScaleProbe.chunkTable(spark, srcDir, table, idCol, tag)
 
     def runOnce(stream: DataFrame): RunStats = {
       val key = "spark.sql.shuffle.partitions"

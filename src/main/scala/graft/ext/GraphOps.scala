@@ -41,15 +41,18 @@ object GraphOps {
     * `unpersist` handle; the external-Row hop costs one encode/decode of
     * a small (id, comp) table per round. */
   private[ext] final case class Pinned(df: DataFrame,
-                                  blocks: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) {
+                                  blocks: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+                                  n: Long) {
     def free(): Unit = blocks.unpersist(blocking = false)
   }
 
   private[ext] def pin(df: DataFrame): Pinned = {
     val rdd = df.rdd
     rdd.localCheckpoint()
-    rdd.count() // eager: truncate lineage NOW, while inputs still exist
-    Pinned(df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+    // eager: truncate lineage NOW, while inputs still exist; the count
+    // rides along for free (iterative callers use it for early exit)
+    val n = rdd.count()
+    Pinned(df.sparkSession.createDataFrame(rdd, df.schema), rdd, n)
   }
 
   /** [[pin]] fused with the convergence witness: counts rows whose
@@ -62,8 +65,13 @@ object GraphOps {
     val rdd = df.rdd
     rdd.localCheckpoint()
     val acc = df.sparkSession.sparkContext.longAccumulator("graft-cc-changed")
-    rdd.foreach(r => if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) acc.add(1))
-    (Pinned(df.sparkSession.createDataFrame(rdd, df.schema), rdd), acc.value)
+    val rows = df.sparkSession.sparkContext.longAccumulator("graft-cc-rows")
+    rdd.foreach { r =>
+      rows.add(1)
+      if (!r.isNullAt(flagIdx) && r.getBoolean(flagIdx)) acc.add(1)
+    }
+    (Pinned(df.sparkSession.createDataFrame(rdd, df.schema), rdd, rows.value),
+      acc.value)
   }
 
   /** Connected components of the undirected graph given by `edges`

@@ -423,6 +423,17 @@ object GraphQueries {
     // set is pinned ([[GraphOps.pin]]) so the 3×R round plans never
     // stack lineage, and per-round blocks are freed as soon as the
     // next round materializes.
+    // Cores NEST (16-core ⊆ 8-core ⊆ 4-core) and the peel operator is
+    // MONOTONE (E ⊆ F ⟹ peelₖ(E) ⊆ peelₖ(F), and peelₖ(E) ⊇ k-core
+    // whenever E ⊇ k-core), so each k peels from the PREVIOUS k's
+    // converged core instead of the full graph: the chained round
+    // state is sandwiched between the k-core and the full-graph round
+    // state at every round, so the fixed point, the round budget, and
+    // the converged witness are all unchanged — while the later ks'
+    // degree aggregates and semi-joins run over the (much smaller)
+    // prior core instead of re-peeling the base edge set (r14 verdict
+    // item 1: the full-graph re-peel was a 2-3× constant-factor tax on
+    // the suite's most expensive query).
     "q230_kcore" -> ((s, d) => {
       val ebase = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
@@ -431,16 +442,32 @@ object GraphQueries {
           (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
       val bb = ebase.localCheckpoint()
+      // each k starts from the previous k's converged core (a pinned
+      // frame — its blocks stay alive with that k's `live` list)
+      var start: DataFrame = bb
+      var startN = -1L // base-graph edge count unknown; known once pinned
       val perK = Seq(4, 8, 16).map { k =>
-        var e = bb
+        var e = start
+        var eN = startN
         // the returned plan is LAZY and reads the final round's edges AND
         // the prior round's (for the converged witness) — only pins older
         // than two rounds may be freed here; the last two stay alive with
         // the query (the q54 discipline: free what the remaining plan can
         // no longer reach, nothing more)
         var live: List[GraphOps.Pinned] = Nil
-        var prevEdges: DataFrame = bb
-        for (_ <- 1 to KCoreRounds) {
+        var prevEdges: DataFrame = start
+        // EARLY EXIT (the real q230 cost fix — the fixture's trade graph
+        // is dense, so cores barely shrink and peeling settles in 1-2
+        // rounds): peel only REMOVES edges, so round-over-round COUNT
+        // equality is SET equality, and every later round is a no-op —
+        // skipping them changes nothing (the oracle still unrolls the
+        // full budget; its trailing rounds are the same no-ops). The
+        // count rides the pin's eager materialization, so detection is
+        // free.
+        var settled = false
+        var r = 0
+        while (r < KCoreRounds && !settled) {
+          r += 1
           val deg = e.select(col("u").as("n"))
             .unionByName(e.select(col("v").as("n")))
             .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -456,10 +483,14 @@ object GraphQueries {
             .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
             .select("u", "v")
           val p = GraphOps.pin(next)
+          settled = eN >= 0 && p.n == eN
+          eN = p.n
           live.drop(1).foreach(_.free())
           live = p :: live.take(1)
           e = p.df
         }
+        start = e // converged k-core: the next k's peel starts here
+        startN = eN
         val nodes = e.select(col("u").as("n"))
           .unionByName(e.select(col("v").as("n"))).distinct()
           .agg(count(lit(1)).as("n_core_nodes"))
@@ -857,9 +888,15 @@ object GraphQueries {
 
     "q230_kcore" -> {
       val ks = Seq(4, 8, 16)
+      // the CTE chain mirrors the engine's nested peel: k=4 peels from
+      // the base edge set, each later k from the previous k's converged
+      // core (same fixed point and witness — see the engine-side
+      // monotonicity note)
+      val baseOf = ks.zip("e0" +: ks.init.map(p => s"e${p}_$KCoreRounds")).toMap
       val chains = ks.map { k =>
         (1 to KCoreRounds)
-          .map(r => kcoreRoundSql(k, r, if (r == 1) "e0" else s"e${k}_${r - 1}"))
+          .map(r => kcoreRoundSql(k, r,
+            if (r == 1) baseOf(k) else s"e${k}_${r - 1}"))
           .mkString(",\n")
       }.mkString(",\n")
       val finals = ks.map { k =>

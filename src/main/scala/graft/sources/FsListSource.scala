@@ -43,15 +43,23 @@ class FsListSource extends TableProvider {
 
 class FsListTable(path: String, delimiter: String,
                   maxPerTrigger: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "fslist requires .option(\"path\", ...)")
   require(maxPerTrigger.forall(_ > 0), "maxObjectsPerTrigger must be positive")
   override def name(): String = s"fslist($path)"
   override def schema(): StructType = graft.manifest.ManifestGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FsListScanBuilder(path, delimiter, maxPerTrigger)
+  // the WRITE half ([[ManifestWriteBuilder]]): manifest-out through the
+  // DSv2 commit protocol, same connector both directions
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ManifestWriteBuilder(path, info)
 }
 
 class FsListScanBuilder(path: String, delimiter: String,
