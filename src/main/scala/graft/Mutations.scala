@@ -203,6 +203,12 @@ object Mutations {
                                 //   mismatch: true matches fail the
                                 //   filter and real contamination
                                 //   silently vanishes from the verdict
+                                //   (ONE seam: q331 and its streaming
+                                //   twin q333 both read it)
+    "q334_nonascii_threshold",  // foreign-script cut at >= 2 non-ASCII
+                                //   codepoints instead of >= 1 — the
+                                //   off-by-one that passes every
+                                //   single-homoglyph doc as clean
     "q330_span_end_off_by_one", // excision span ends at pos + 6, not
                                 //   pos + 7 — every span's last word
                                 //   survives the surgery; removed_words

@@ -643,6 +643,118 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING BLOOM-ROUTED DECONTAMINATION — q331's ingest twin, the
+    // gate production actually runs: the corpus arrives as a STREAM
+    // while the benchmark suite is an OFFLINE artifact (the bloom + the
+    // capped gram table are batch-built statics — the q310 model-table
+    // discipline). The gram explode, bloom probe, and bench join are
+    // STATELESS (the codegen probe prunes map-side BEFORE the
+    // stream-static broadcast join — the batch plan's shape, verbatim);
+    // the ONE stateful operator is the (doc, bench, gram) match count
+    // through the state store, so state is MATCH-bounded (bloom
+    // survivors only), never corpus-bounded — routing the probe in
+    // front of the state is the whole point. Chained streaming
+    // aggregations are unsupported, so the overlap filter and the
+    // per-doc verdict read the COMPLETED table (the q220 discipline).
+    // Organic docs pass through; bench docs arrive as their planted
+    // near-copies (drop-first-word, +3M ids) via one branchless
+    // map-only projection — no stream-batch union needed. Oracle is
+    // q101's VERBATIM (the verdict is identical across q101/q331/q333);
+    // StreamingSpec pins stream == batch row-for-row, and the
+    // q331_probe_key_mismatch knob red-cases this member through the
+    // same seam.
+    "q333_stream_decontamination" -> ((s, d) => {
+      val probeCol =
+        if (graft.Mutations.on("q331_probe_key_mismatch"))
+          xxhash64(md5(col("g")))
+        else xxhash64(col("g"))
+      // batch statics: the benchmark artifact (q331's build, verbatim)
+      val benchDocs = Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") % 97 === 0)
+      val bw = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val benchCapped = eightGrams(benchDocs)
+        .withColumn("bn", count(lit(1)).over(bw))
+        .filter(col("bn") <= BenchGramCap)
+        .select(col("g"), col("doc_id").as("bench_id"))
+      benchCapped.persist()
+      val bf =
+        try {
+          val gs = benchCapped.select(xxhash64(col("g")).as("gh")).distinct()
+          gs.stat.bloomFilter("gh", math.max(1000L, gs.count()), 0.01)
+        } finally benchCapped.unpersist()
+      val sdocs = graft.streaming.StreamingPipelines.documentsStream(s, d)
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
+        .filter(col("doc_id") % 97 =!= 0 || size(col("words")) >= 10)
+        .select(
+          when(col("doc_id") % 97 === 0, col("doc_id") + 3000000L)
+            .otherwise(col("doc_id")).as("doc_id"),
+          when(col("doc_id") % 97 === 0,
+            expr("concat_ws(' ', slice(words, 2, size(words) - 1))"))
+            .otherwise(col("text")).as("text"))
+      val matched = eightGramsRaw(sdocs)
+        .filter(graft.functions.BloomProbe.mightContain(bf, probeCol))
+        .join(broadcast(benchCapped), "g")
+        .groupBy("doc_id", "bench_id", "g").agg(count(lit(1)).as("n"))
+      val done = graft.streaming.StreamingPipelines.runToCompletion(s, matched)
+      // completed-table keys are already distinct (doc, bench, gram)
+      // triples, so the batch count per pair IS the distinct-gram overlap
+      done.groupBy("doc_id", "bench_id").agg(count(lit(1)).as("overlap"))
+        .filter(col("overlap") >= ContaminationMinOverlap)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+          max(col("overlap")).as("max_overlap"))
+        .orderBy("doc_id")
+    }),
+
+    // ENCODING-HYGIENE CENSUS — the curation gate that runs before any
+    // text op: per (source, class) counts of the three mojibake classes
+    // a crawl actually carries, with detectors that READ THE TEXT (the
+    // plant labels are never consulted): c1 = U+FFFD replacement chars
+    // (a decoder already lost bytes), c2 = C0 control characters other
+    // than tab/LF/CR (binary junk in a "text" field), c3 = non-ASCII
+    // codepoints in an ASCII corpus (the wrong-charset / homoglyph
+    // class — planted as ONE Cyrillic 'а' substituted for the first
+    // 'a', exactly the single-char case a byte-level heuristic misses).
+    // The fixture is verified ASCII-clean, so all three classes are
+    // planted in-query on BOTH engine sides (the q240 discipline) by
+    // doc_id residue mod 11; the census pins exact per-source counts
+    // and integer-bp shares. Scale: wholly map-only per row (two
+    // substring probes + one regex + one codepoint count); the census
+    // is a (source, cls) aggregate — nothing corpus-sized shuffles.
+    // [[graft.Mutations]] "q334_nonascii_threshold": the foreign-script
+    // cut at ≥2 codepoints instead of ≥1 — the off-by-one that passes
+    // every single-homoglyph doc as clean.
+    "q334_encoding_hygiene" -> ((s, d) => {
+      val thr = if (graft.Mutations.on("q334_nonascii_threshold")) 2 else 1
+      val planted = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 11 === 3, concat(col("text"), lit(" \uFFFD")))
+          .when(col("doc_id") % 11 === 5, concat(col("text"), lit("\u0007")))
+          .when(col("doc_id") % 11 === 7 && instr(col("text"), "a") > 0,
+            expr("concat(substring(text, 1, instr(text, 'a') - 1), 'а', " +
+              "substring(text, instr(text, 'a') + 1))"))
+          .otherwise(col("text")).as("text"))
+      val scored = planted.select(col("doc_id"), col("source"),
+        (instr(col("text"), "\uFFFD") > 0).as("has_repl"),
+        col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("has_ctl"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^\\x00-\\x7F]", "")))
+          .cast("long").as("n_nonascii"))
+      scored
+        .withColumn("cls",
+          when(col("has_repl"), "c1_replacement")
+            .when(col("has_ctl"), "c2_control")
+            .when(col("n_nonascii") >= thr, "c3_foreign_script")
+            .otherwise("c0_clean"))
+        .groupBy("source", "cls")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_nonascii")).as("n_nonascii_chars"))
+        .withColumn("src_total", sum(col("n_docs"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        .withColumn("share_bp", expr("n_docs * 10000 DIV src_total"))
+        .drop("src_total")
+        .orderBy("source", "cls")
+    }),
+
     "q101_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val benchDocs = docs.filter(col("doc_id") % 97 === 0)
@@ -2006,6 +2118,40 @@ object CurationQueries {
     "q101_contamination" -> OContaminationVerdict,
 
     "q331_bloom_decontamination" -> OContaminationVerdict,
+    // the streaming twin's verdict is the same table — one oracle, three
+    // routes (exact join / bloom-routed / bloom-routed at ingest)
+    "q333_stream_decontamination" -> OContaminationVerdict,
+
+    "q334_encoding_hygiene" ->
+      s"""WITH planted AS (SELECT doc_id, source,
+                 CASE WHEN doc_id % 11 = 3 THEN text || ' ' || chr(65533)
+                      WHEN doc_id % 11 = 5 THEN text || chr(7)
+                      WHEN doc_id % 11 = 7 AND instr(text, 'a') > 0
+                        THEN substring(text, 1, instr(text, 'a') - 1) ||
+                             chr(1072) ||
+                             substring(text, instr(text, 'a') + 1)
+                      ELSE text END AS text
+               FROM documents),
+          scored AS (SELECT doc_id, source,
+                 instr(text, chr(65533)) > 0 AS has_repl,
+                 regexp_matches(text,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]') AS has_ctl,
+                 CAST(length(text) - length(regexp_replace(text,
+                   '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_nonascii
+               FROM planted),
+          cls AS (SELECT *, CASE WHEN has_repl THEN 'c1_replacement'
+                                 WHEN has_ctl THEN 'c2_control'
+                                 WHEN n_nonascii >= 1 THEN 'c3_foreign_script'
+                                 ELSE 'c0_clean' END AS cls
+                  FROM scored),
+          agg AS (SELECT source, cls, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_nonascii) AS BIGINT) AS n_nonascii_chars
+                  FROM cls GROUP BY source, cls)
+          SELECT source, cls, n_docs, n_nonascii_chars,
+                 CAST(n_docs * 10000 //
+                      sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+                   AS share_bp
+          FROM agg ORDER BY source, cls""",
 
     "q216_source_overlap" ->
       s"""WITH sg AS (SELECT DISTINCT source,

@@ -4829,6 +4829,61 @@ class ExtensionSpec extends SparkSpec {
       s"stream != batch:\n  batch=$batch\n  stream=$stream")
   }
 
+  test("streaming decontamination == bloom-routed batch verdict, row for row") {
+    // the ingest-time guarantee, pinned directly: the bloom probe, the
+    // stream-static bench join, and the one stateful (doc, bench, gram)
+    // count must produce the IDENTICAL contamination verdict as q331's
+    // batch route (whose own spec pins it equal to q101's exact join)
+    val batch = ext.CurationQueries
+      .queries("q331_bloom_decontamination")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val stream = ext.CurationQueries
+      .queries("q333_stream_decontamination")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream.nonEmpty, "planted contamination must be detected")
+    assert(stream == batch,
+      s"stream != batch:\n  batch=$batch\n  stream=$stream")
+  }
+
+  test("encoding hygiene: every planted mojibake class is detected, " +
+      "exactly, and nothing organic is flagged") {
+    import spark.implicits._
+    val rows = ext.CurationQueries.queries("q334_encoding_hygiene")(spark, sf)
+      .select("source", "cls", "n_docs", "n_nonascii_chars", "share_bp")
+      .as[(String, String, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as[Long], col("source").as[String],
+        col("text").as[String]).collect()
+    // expected classes recomputed independently (plants keyed by residue;
+    // c3 requires an 'a' to substitute — a doc without one stays clean)
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      src -> ds.groupBy { case (id, _, text) =>
+        if (id % 11 == 3) "c1_replacement"
+        else if (id % 11 == 5) "c2_control"
+        else if (id % 11 == 7 && text.contains("a")) "c3_foreign_script"
+        else "c0_clean"
+      }.view.mapValues(_.length.toLong).toMap
+    }
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val got = rs.map(r => r._2 -> r._3).toMap
+      assert(got == expected(src), s"$src: $got vs ${expected(src)}")
+      // shares are per-source integer bp over the same totals
+      val total = rs.map(_._3).sum
+      rs.foreach { r =>
+        assert(r._5 == r._3 * 10000 / total, s"$src/${r._2} share_bp")
+      }
+      // non-ASCII codepoint mass: 1 per replacement doc (the U+FFFD),
+      // 1 per homoglyph doc, 0 for control/clean
+      rs.foreach { r =>
+        val want = r._2 match {
+          case "c1_replacement" | "c3_foreign_script" => r._3
+          case _ => 0L
+        }
+        assert(r._4 == want, s"$src/${r._2} n_nonascii_chars ${r._4}")
+      }
+    }
+  }
+
   test("binary-quant ANN: hamming prefilter + exact rerank beat chance") {
     import spark.implicits._
     val rows = ext.SimilarityQueries
