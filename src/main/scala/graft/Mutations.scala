@@ -209,6 +209,10 @@ object Mutations {
                                 //   codepoints instead of >= 1 — the
                                 //   off-by-one that passes every
                                 //   single-homoglyph doc as clean
+    "q335_cache_counts_first",  // a prefix group of n bills n*k cached
+                                //   tokens instead of (n-1)*k — the
+                                //   first occupant (who MISSES and pays
+                                //   the prefill) billed as a hit
     "q330_span_end_off_by_one", // excision span ends at pos + 6, not
                                 //   pos + 7 — every span's last word
                                 //   survives the surgery; removed_words

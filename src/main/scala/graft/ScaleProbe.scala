@@ -122,7 +122,13 @@ object ScaleProbe {
       // carries no asymptotic signal — its data path is q326's
       "q329_incremental_merkle" -> "incremental Merkle maintenance vs full rebuild",
       "q330_span_decontamination" -> "span-level decontamination (positional grams + islands)",
-      "q331_bloom_decontamination" -> "bloom-routed decontamination (codegen probe prune + exact verify)")
+      "q331_bloom_decontamination" -> "bloom-routed decontamination (codegen probe prune + exact verify)",
+      // round-15 additions (q333 is excluded like q310/q315: a one-
+      // micro-batch streaming run carries no asymptotic signal — its
+      // data path is q331's, probed above)
+      "q332_ann_entry_ablation" -> "entry-strategy ablation: one NSW graph, two walks (flat vs layered)",
+      "q334_encoding_hygiene" -> "mojibake census (map-only detectors + source/class aggregate)",
+      "q335_prefix_cache" -> "KV prefix-cache accounting sweep (3 prefix-keyed passes)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -191,6 +197,18 @@ object ScaleProbe {
         "pass is map-only through the codegen probe and everything " +
         "after is match-bounded — the probe measures the pruned-scan " +
         "shape q101's raw broadcast cannot keep at bench-suite scale"),
+      "q332_ann_entry_ablation" -> ("ONE NswEngine graph build (q308's " +
+        "O(n*M^2) rounds) walked twice with beam-bounded probes — the " +
+        "second arm adds corpus-size-independent work, so the exponent " +
+        "should track q308's build, not double it"),
+      "q334_encoding_hygiene" -> ("wholly map-only: two substring " +
+        "probes, one regex, one codepoint count per row; the census is " +
+        "a (source, cls) aggregate — the exponent is pure scan " +
+        "throughput"),
+      "q335_prefix_cache" -> ("per k one prefix-keyed exchange of " +
+        "skinny (pfx, n_toks) rows + a one-row census; prompts grow " +
+        "linearly and group sizes are traffic-shaped, so the sweep is " +
+        "three linear passes"),
       "q330_span_decontamination" -> ("the gram scan is q101's map-only " +
         "broadcast-join shape; positions per doc are doc-length-bounded " +
         "and the island window partitions by doc_id — linear in corpus " +

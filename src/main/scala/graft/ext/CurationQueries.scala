@@ -755,6 +755,65 @@ object CurationQueries {
         .orderBy("source", "cls")
     }),
 
+    // PREFIX-CACHE ACCOUNTING — the inference-serving question none of
+    // the packing ops answer: how many prompt tokens would a KV prefix
+    // cache absorb? The prompt log is built from the corpus the way
+    // serving traffic actually looks — a small set of instruction
+    // TEMPLATES (doc_id mod 3) prepended to per-doc payloads, plus
+    // exact RE-SUBMISSIONS (doc_id ≡ 2 mod 13, +5M ids — the
+    // retry/regenerate pattern). The census sweeps the cache key depth
+    // k ∈ {4, 8, 16} (the q289 budget-sweep shape): per k, prompts are
+    // grouped by their first-k tokens and a group of n prompts caches
+    // (n−1)·k tokens — so the sweep shows the knee at template length
+    // (shallow keys share across every templated prompt; deep keys only
+    // across true duplicates), exactly the table a serving deployment
+    // reads before sizing its radix cache.
+    // Scale: per k, ONE prefix-keyed exchange (skinny (pfx, n_toks)
+    // rows) and a one-row census; the sweep is 3 such passes — nothing
+    // quadratic, no driver collect.
+    // [[graft.Mutations]] "q335_cache_counts_first": a group of n bills
+    // n·k cached tokens instead of (n−1)·k — the first occupant (who
+    // MISSES and pays the prefill) billed as a hit; every shared group
+    // inflates.
+    "q335_prefix_cache" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val base = docs.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("please summarize the following document for me : "))
+            .when(col("doc_id") % 3 === 1,
+              lit("please translate the following text into french : "))
+            .otherwise(lit("")),
+          col("text")).as("prompt"))
+      val resubmits = base.filter(col("doc_id") % 13 === 2)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("prompt"))
+      val prompts = base.unionByName(resubmits)
+        .select(col("doc_id"), split(col("prompt"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n_toks"))
+      val hitTokens =
+        if (graft.Mutations.on("q335_cache_counts_first")) "n" else "n - 1"
+      val perK = Seq(4, 8, 16).map { k =>
+        prompts.filter(col("n_toks") >= k)
+          .select(col("n_toks"),
+            concat_ws(" ", expr(s"slice(toks, 1, $k)")).as("pfx"))
+          .groupBy("pfx")
+          .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("grp_toks"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum(col("n")).as("n_prompts"),
+            sum(when(col("n") >= 2, col("n")).otherwise(0L))
+              .as("n_shared_prompts"),
+            sum(when(col("n") >= 2, expr(s"($hitTokens) * $k"))
+              .otherwise(0L)).as("cacheable_tokens"),
+            sum(col("grp_toks")).as("total_tokens"))
+          .select(lit(k).as("k"), col("n_groups"), col("n_prompts"),
+            col("n_shared_prompts"), col("cacheable_tokens"),
+            expr("cacheable_tokens * 10000 DIV total_tokens").as("hit_bp"))
+      }
+      perK.reduce(_ unionByName _).orderBy("k")
+    }),
+
     "q101_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val benchDocs = docs.filter(col("doc_id") % 97 === 0)
@@ -2121,6 +2180,41 @@ object CurationQueries {
     // the streaming twin's verdict is the same table — one oracle, three
     // routes (exact join / bloom-routed / bloom-routed at ingest)
     "q333_stream_decontamination" -> OContaminationVerdict,
+
+    "q335_prefix_cache" -> {
+      def arm(k: Int): String =
+        s"""SELECT $k AS k,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(n) AS BIGINT) AS n_prompts,
+               CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+                 AS n_shared_prompts,
+               CAST(sum(CASE WHEN n >= 2 THEN (n - 1) * $k ELSE 0 END)
+                 AS BIGINT) AS cacheable_tokens,
+               CAST(sum(CASE WHEN n >= 2 THEN (n - 1) * $k ELSE 0 END)
+                 * 10000 // sum(grp_toks) AS BIGINT) AS hit_bp
+            FROM (SELECT array_to_string(toks[1:$k], ' ') AS pfx,
+                         count(*) AS n, sum(n_toks) AS grp_toks
+                  FROM ptoks WHERE n_toks >= $k GROUP BY 1)"""
+      s"""WITH base AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0
+                   THEN 'please summarize the following document for me : '
+                        || text
+                   WHEN doc_id % 3 = 1
+                   THEN 'please translate the following text into french : '
+                        || text
+                   ELSE text END AS prompt
+            FROM documents),
+          prompts AS (SELECT doc_id, prompt FROM base
+                      UNION ALL
+                      SELECT doc_id + 5000000 AS doc_id, prompt FROM base
+                      WHERE doc_id % 13 = 2),
+          ptoks AS (SELECT doc_id, str_split(prompt, ' ') AS toks,
+                           CAST(len(str_split(prompt, ' ')) AS BIGINT)
+                             AS n_toks
+                    FROM prompts)
+          ${arm(4)} UNION ALL ${arm(8)} UNION ALL ${arm(16)}
+          ORDER BY k"""
+    },
 
     "q334_encoding_hygiene" ->
       s"""WITH planted AS (SELECT doc_id, source,
