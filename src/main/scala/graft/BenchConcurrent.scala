@@ -31,14 +31,14 @@ import org.apache.spark.sql.SparkSession
 object BenchConcurrent {
   private val Streams = 4
 
-  /** The 20 heaviest NON-streaming queries by quiet-box minima
-    * (bench_quiet_r14f — re-ranked after the late-round landings put
-    * q320/q317 in the top tier). Streaming queries stay out: the
-    * memory-sink runs are not designed for concurrent same-session
-    * execution and the batch heavies are the contention surface the
-    * artifact exists to price. */
+  /** The heaviest NON-streaming queries by quiet-box minima (r15:
+    * q332 — the round's heaviest addition — joins the r14f-ranked 20).
+    * Streaming queries stay out: the memory-sink runs are not designed
+    * for concurrent same-session execution and the batch heavies are
+    * the contention surface the artifact exists to price. */
   val Workload: Seq[String] = Seq(
-    "q230_kcore", "q308_nsw_graph_ann", "q243_personalized_pagerank",
+    "q230_kcore", "q308_nsw_graph_ann", "q332_ann_entry_ablation",
+    "q243_personalized_pagerank",
     "q231_rerank_cascade", "q320_cdc_delta_storage", "q125_bm25",
     "q210_lsh_eval", "q202_hits", "q120_pagerank", "q235_weighted_sssp",
     "q144_multisource_bfs", "q149_prefix_jaccard_join",

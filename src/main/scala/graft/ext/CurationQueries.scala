@@ -33,6 +33,48 @@ object CurationQueries {
     * considered boilerplate and excluded from contamination matching.
     * Shared by the Spark operator AND the oracle SQL so the two can
     * never drift. */
+  /** q334/q336 shared seam: the mojibake plant (classes keyed by doc_id
+    * residue mod 11 — the fixture is verified ASCII-clean) and the
+    * text-reading detectors (U+FFFD probe, C0-control regex, non-ASCII
+    * codepoint count), classified by precedence. Wholly map-only. The
+    * [[graft.Mutations]] "q334_nonascii_threshold" knob (foreign-script
+    * cut at >= 2 instead of >= 1 — every single-homoglyph doc passes as
+    * clean) lives HERE, so the batch census and the streaming ingest
+    * gate red-case together. Expects (doc_id, source, text); returns
+    * (doc_id, source, n_nonascii, cls). */
+  private def encodingScored(docs: DataFrame): DataFrame = {
+    val thr = if (graft.Mutations.on("q334_nonascii_threshold")) 2 else 1
+    val planted = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 11 === 3, concat(col("text"), lit(" \uFFFD")))
+        .when(col("doc_id") % 11 === 5, concat(col("text"), lit("\u0007")))
+        .when(col("doc_id") % 11 === 7 && instr(col("text"), "a") > 0,
+          expr("concat(substring(text, 1, instr(text, 'a') - 1), 'а', " +
+            "substring(text, instr(text, 'a') + 1))"))
+        .otherwise(col("text")).as("text"))
+    planted.select(col("doc_id"), col("source"),
+        (instr(col("text"), "\uFFFD") > 0).as("has_repl"),
+        col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("has_ctl"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^\\x00-\\x7F]", "")))
+          .cast("long").as("n_nonascii"))
+      .select(col("doc_id"), col("source"), col("n_nonascii"),
+        when(col("has_repl"), "c1_replacement")
+          .when(col("has_ctl"), "c2_control")
+          .when(col("n_nonascii") >= thr, "c3_foreign_script")
+          .otherwise("c0_clean").as("cls"))
+  }
+
+  /** The per-source integer-bp share over a completed (source, cls,
+    * n_docs, n_nonascii_chars) census — shared by q334 (inline) and
+    * q336 (post-stream, over the completed table). */
+  private def encodingShare(census: DataFrame): DataFrame =
+    census
+      .withColumn("src_total", sum(col("n_docs"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .withColumn("share_bp", expr("n_docs * 10000 DIV src_total"))
+      .drop("src_total")
+      .orderBy("source", "cls")
+
   private[ext] val BenchGramCap = 100
 
   /** Shared-count threshold: a (corpus doc, bench doc) pair with at least
@@ -724,35 +766,32 @@ object CurationQueries {
     // [[graft.Mutations]] "q334_nonascii_threshold": the foreign-script
     // cut at ≥2 codepoints instead of ≥1 — the off-by-one that passes
     // every single-homoglyph doc as clean.
-    "q334_encoding_hygiene" -> ((s, d) => {
-      val thr = if (graft.Mutations.on("q334_nonascii_threshold")) 2 else 1
-      val planted = Tables.documents(s, d).select(col("doc_id"), col("source"),
-        when(col("doc_id") % 11 === 3, concat(col("text"), lit(" \uFFFD")))
-          .when(col("doc_id") % 11 === 5, concat(col("text"), lit("\u0007")))
-          .when(col("doc_id") % 11 === 7 && instr(col("text"), "a") > 0,
-            expr("concat(substring(text, 1, instr(text, 'a') - 1), 'а', " +
-              "substring(text, instr(text, 'a') + 1))"))
-          .otherwise(col("text")).as("text"))
-      val scored = planted.select(col("doc_id"), col("source"),
-        (instr(col("text"), "\uFFFD") > 0).as("has_repl"),
-        col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("has_ctl"),
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[^\\x00-\\x7F]", "")))
-          .cast("long").as("n_nonascii"))
-      scored
-        .withColumn("cls",
-          when(col("has_repl"), "c1_replacement")
-            .when(col("has_ctl"), "c2_control")
-            .when(col("n_nonascii") >= thr, "c3_foreign_script")
-            .otherwise("c0_clean"))
+    "q334_encoding_hygiene" -> ((s, d) =>
+      encodingShare(encodingScored(
+        Tables.documents(s, d).select("doc_id", "source", "text"))
+        .groupBy("source", "cls")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_nonascii")).as("n_nonascii_chars")))),
+
+    // q334 AT INGEST — the hygiene gate applied where production applies
+    // it, completing the ingest-gate set (quality q310 / domain cap q315
+    // / DP q328 / decontamination q333 / hygiene here): the plant +
+    // detectors are STATELESS map work on the stream (ONE shared seam
+    // with q334 — encodingScored — so the threshold knob red-cases
+    // both), the ONE stateful operator is the (source, cls) count/sum
+    // through the state store — state bounded at |sources|*4 rows
+    // regardless of volume — and the per-source share window reads the
+    // COMPLETED table (the q220 discipline). Oracle is q334's verbatim;
+    // a spec pins stream == batch row-for-row.
+    "q336_stream_encoding_hygiene" -> ((s, d) => {
+      val sdocs = graft.streaming.StreamingPipelines.documentsStream(s, d)
+        .select("doc_id", "source", "text")
+      val agg = encodingScored(sdocs)
         .groupBy("source", "cls")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_nonascii")).as("n_nonascii_chars"))
-        .withColumn("src_total", sum(col("n_docs"))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
-        .withColumn("share_bp", expr("n_docs * 10000 DIV src_total"))
-        .drop("src_total")
-        .orderBy("source", "cls")
+      encodingShare(
+        graft.streaming.StreamingPipelines.runToCompletion(s, agg))
     }),
 
     // PREFIX-CACHE ACCOUNTING — the inference-serving question none of
@@ -2217,6 +2256,38 @@ object CurationQueries {
     },
 
     "q334_encoding_hygiene" ->
+      s"""WITH planted AS (SELECT doc_id, source,
+                 CASE WHEN doc_id % 11 = 3 THEN text || ' ' || chr(65533)
+                      WHEN doc_id % 11 = 5 THEN text || chr(7)
+                      WHEN doc_id % 11 = 7 AND instr(text, 'a') > 0
+                        THEN substring(text, 1, instr(text, 'a') - 1) ||
+                             chr(1072) ||
+                             substring(text, instr(text, 'a') + 1)
+                      ELSE text END AS text
+               FROM documents),
+          scored AS (SELECT doc_id, source,
+                 instr(text, chr(65533)) > 0 AS has_repl,
+                 regexp_matches(text,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]') AS has_ctl,
+                 CAST(length(text) - length(regexp_replace(text,
+                   '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_nonascii
+               FROM planted),
+          cls AS (SELECT *, CASE WHEN has_repl THEN 'c1_replacement'
+                                 WHEN has_ctl THEN 'c2_control'
+                                 WHEN n_nonascii >= 1 THEN 'c3_foreign_script'
+                                 ELSE 'c0_clean' END AS cls
+                  FROM scored),
+          agg AS (SELECT source, cls, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_nonascii) AS BIGINT) AS n_nonascii_chars
+                  FROM cls GROUP BY source, cls)
+          SELECT source, cls, n_docs, n_nonascii_chars,
+                 CAST(n_docs * 10000 //
+                      sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+                   AS share_bp
+          FROM agg ORDER BY source, cls""",
+
+    // the ingest twin's census is the same table — one oracle, two routes
+    "q336_stream_encoding_hygiene" ->
       s"""WITH planted AS (SELECT doc_id, source,
                  CASE WHEN doc_id % 11 = 3 THEN text || ' ' || chr(65533)
                       WHEN doc_id % 11 = 5 THEN text || chr(7)

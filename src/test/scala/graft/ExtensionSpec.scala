@@ -4845,6 +4845,19 @@ class ExtensionSpec extends SparkSpec {
       s"stream != batch:\n  batch=$batch\n  stream=$stream")
   }
 
+  test("streaming encoding hygiene == batch census, row for row") {
+    // the ingest-time guarantee: the stateless detectors + one
+    // (source, cls) stateful count through the state store must produce
+    // the identical census as q334's batch aggregate
+    val batch = ext.CurationQueries.queries("q334_encoding_hygiene")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val stream = ext.CurationQueries
+      .queries("q336_stream_encoding_hygiene")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream.nonEmpty && stream == batch,
+      s"stream != batch:\n  batch=$batch\n  stream=$stream")
+  }
+
   test("encoding hygiene: every planted mojibake class is detected, " +
       "exactly, and nothing organic is flagged") {
     import spark.implicits._
