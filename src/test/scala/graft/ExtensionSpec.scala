@@ -4943,7 +4943,7 @@ class ExtensionSpec extends SparkSpec {
     }
     // the two-layer walk (r15: layer-1 entry + bidirectional expansion)
     // must hold its measured level, not merely beat chance: mean recall
-    // over the 10 queries ≥ 75% (sf0.01 measures 88%; the floor leaves
+    // over the 10 queries ≥ 75% (sf0.01 measures 90%, sf0.001 84%; the floor leaves
     // headroom for fixture-scale variation, and a regression to the r14
     // flat-entry/out-edges-only walk — 74% at sf0.01 — trips it)
     val mean = rows.groupBy(_._1).values.map(_.head._6).sum / 10
