@@ -89,16 +89,19 @@ object Bench {
     // 0.52, full 330-query set, zero breaches, zero ungated-over-1s;
     // q284/q87 moved off the r14 1.41× floor there), then re-derived
     // at round close. The closing set takes, per gated query, the MAX
-    // of the 1.5×min+0.5 derivation over the round's TWO closing quiet
+    // of the 1.5×min+0.5 derivation over the round's THREE closing
     // records — bench_quiet_r15b_builder.json (load 1.28, 335 queries,
     // zero breaches; its ungated_over_1s named exactly the two >1s
-    // round-15 additions, q332/q333, gated at their minima) and
+    // round-15 additions, q332/q333, gated at their minima),
     // bench_quiet_r15d_builder.json (load 0.31, zero breaches, zero
-    // ungated) — because single-record derivation left 8 gates at
-    // 1.32-1.46× headroom against the OTHER quiet record (quiet-to-
-    // quiet drift, q331 the extreme at 0.73s vs 1.21s); the max rule
-    // keeps every gate ≥1.56× BOTH records' minima while still
-    // tracking fresh minima (a gate is ≤2× the larger record's min).
+    // ungated), and bench_quiet_r15e_builder.json (load 2.43 — mildly
+    // warm, zero breaches; the record that carries q308/q332's
+    // post-recall-upgrade minima, 6.94s/8.60s) — because single-record
+    // derivation left gates at 1.32-1.46× headroom against the OTHER
+    // records (quiet-to-quiet drift, q331 the extreme at 0.73s vs
+    // 1.21s); the max rule keeps every gate ≥1.56× ALL three records'
+    // minima while still tracking fresh minima (a gate is ≤2× the
+    // largest record's min).
     // The 32 carried sub-second gates (the shared-cluster-ledger
     // family et al.) pin the ledger reuse itself: a regression to
     // per-query chain rebuilds lands 3-10× above them.
@@ -107,7 +110,7 @@ object Bench {
       "q105_manifest_compaction"       -> 1.8,
       "q108_stream_static_join"        -> 1.7,
       "q114_power_iteration"           -> 2.8,
-      "q116_substring_dedup"           -> 3.6,
+      "q116_substring_dedup"           -> 4.1,
       "q118_stream_inventory_bounded"  -> 2.1,
       "q119_hybrid_rrf"                -> 5.1,
       "q120_pagerank"                  -> 7.4,
@@ -123,7 +126,7 @@ object Bench {
       "q135_zorder_skipping"           -> 3.1,
       "q141_novelty_score"             -> 2.6,
       "q144_multisource_bfs"           -> 6.4,
-      "q147_scd2_incremental"          -> 2.0,
+      "q147_scd2_incremental"          -> 2.1,
       "q149_prefix_jaccard_join"       -> 5.7,
       "q152_pmi_collocations"          -> 1.8,
       "q154_cdc_apply"                 -> 1.5,
@@ -137,11 +140,11 @@ object Bench {
       "q191_bpe_train"                 -> 2.3,
       "q194_hybrid_rrf_ivf"            -> 5.0,
       "q197_bpe_compression"           -> 3.4,
-      "q199_dsir_importance"           -> 4.3,
+      "q199_dsir_importance"           -> 4.4,
       "q202_hits"                      -> 6.9,
       "q205_dedup_funnel"              -> 4.7,
       "q208_stream_corpus_report"      -> 1.7,
-      "q210_lsh_eval"                  -> 6.5,
+      "q210_lsh_eval"                  -> 6.7,
       "q211_label_propagation"         -> 5.4,
       "q212_canonical_docs"            -> 1.0,
       "q214_norm_sensitivity"          -> 1.7,
@@ -153,7 +156,7 @@ object Bench {
       "q230_kcore"                     -> 6.3,
       "q231_rerank_cascade"            -> 7.2,
       "q235_weighted_sssp"             -> 6.4,
-      "q239_stream_latency_quantiles"  -> 2.6,
+      "q239_stream_latency_quantiles"  -> 2.8,
       "q241_touch_attribution"         -> 2.2,
       "q243_personalized_pagerank"     -> 6.9,
       "q248_clustering_coefficient"    -> 5.0,
@@ -161,11 +164,11 @@ object Bench {
       "q255_dedup_impact"              -> 0.9,
       "q256_sq_recall"                 -> 1.6,
       "q258_degree_assortativity"      -> 4.9,
-      "q259_tokenizer_fertility"       -> 2.3,
+      "q259_tokenizer_fertility"       -> 2.4,
       "q265_stream_trimmed_mean"       -> 2.6,
       "q271_inclusion_dependency"      -> 2.5,
       "q273_leaderboard_churn"         -> 2.1,
-      "q275_trigram_search"            -> 4.2,
+      "q275_trigram_search"            -> 4.3,
       "q277_cluster_span"              -> 1.1,
       "q278_tail_trend"                -> 2.4,
       "q284_kcenter_coreset"           -> 3.0,
@@ -178,18 +181,18 @@ object Bench {
       "q305_leakage_free_split"        -> 1.0,
       "q306_shard_export_manifest"     -> 2.0,
       "q307_unigram_lm"                -> 3.4,
-      "q308_nsw_graph_ann"             -> 10.0,
+      "q308_nsw_graph_ann"             -> 10.9,
       "q309_bigram_perplexity"         -> 3.7,
       "q310_stream_perplexity"         -> 4.7,
       "q313_cdc_chunks"                -> 4.5,
       "q315_stream_domain_cap"         -> 1.7,
-      "q317_sketch_error"              -> 5.0,
-      "q320_cdc_delta_storage"         -> 6.8,
+      "q317_sketch_error"              -> 5.1,
+      "q320_cdc_delta_storage"         -> 7.0,
       "q323_calibration_ece"           -> 1.6,
-      "q324_residual_quantize"         -> 3.1,
+      "q324_residual_quantize"         -> 3.3,
       "q329_incremental_merkle"        -> 2.5,
       "q331_bloom_decontamination"     -> 3.8,
-      "q332_ann_entry_ablation"        -> 11.9,
+      "q332_ann_entry_ablation"        -> 13.4,
       "q333_stream_decontamination"    -> 4.3,
       "q41_minhash_lsh"                -> 3.7,
       "q43_ngram_jaccard"              -> 4.5,
