@@ -213,6 +213,11 @@ object Mutations {
                                 //   tokens instead of (n-1)*k — the
                                 //   first occupant (who MISSES and pays
                                 //   the prefill) billed as a hit
+    "q337_new_vs_prev_day_only", // is_new checked against the previous
+                                //   day's presence instead of all
+                                //   history — the flapping-alert bug: a
+                                //   periodic key re-reports as new on
+                                //   every cadence day
     "q330_span_end_off_by_one", // excision span ends at pos + 6, not
                                 //   pos + 7 — every span's last word
                                 //   survives the surgery; removed_words

@@ -272,6 +272,66 @@ object MonitoringQueries {
     // partial counts); the regression is one aggregate over types×days
     // rows. x is re-based at day 1 so the moment sums stay far from
     // bigint overflow at any calendar span.
+    // SEMI-STRUCTURED SCHEMA DRIFT — the monitor a pipeline ingesting
+    // JSON event payloads runs before anything downstream breaks: which
+    // payload KEYS exist, since when, and at what daily volume. The
+    // fixture's props column is schema-uniform ({"k": n}), so three
+    // production drift patterns are planted in-query on BOTH engine
+    // sides (the q240 discipline), each time-gated the way rollouts
+    // actually land: an ADDITIVE field (v2_flag, event_id ≡ 2 mod 7
+    // from relative day 10 — the feature-flag rollout), a RENAME
+    // (k → kk, ≡ 4 mod 7 from day 20 — the breaking change: the
+    // monitor must show kk arriving AND k's volume dropping), and a
+    // PERIODIC key (audit_tag, ≡ 3 mod 31 on every 5th day — the batch
+    // job that emits only on its cadence). Output per (day, key):
+    // event volume, first-seen day, and is_new — the first-appearance
+    // flag an alerting rule keys on.
+    // Scale: key extraction is map-only (json_object_keys per row); the
+    // census is a (day, key) aggregate and first-seen one more
+    // key-keyed aggregate — days×keys rows, never event-sized, shuffle
+    // keyed on what downstream reads.
+    // [[graft.Mutations]] "q337_new_vs_prev_day_only": is_new computed
+    // against the PREVIOUS DAY's presence instead of all history — the
+    // classic flapping-alert bug: every gap re-reports a known key as
+    // new (the periodic audit_tag alerts on every cadence day instead
+    // of once).
+    "q337_json_schema_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("aday"), col("props"))
+      val d0 = ev.agg(min(col("aday")).as("d0"))
+      val rel = ev.crossJoin(broadcast(d0)) // 1-row — control-plane
+        .select(col("event_id"), (col("aday") - col("d0")).as("day"),
+          col("props"))
+      val mutated = rel.select(col("day"),
+        when(col("event_id") % 7 === 2 && col("day") >= 10,
+          expr("concat(substring(props, 1, length(props) - 1), " +
+            "', \"v2_flag\": 1}')"))
+          .when(col("event_id") % 7 === 4 && col("day") >= 20,
+            regexp_replace(col("props"), "\"k\"", "\"kk\""))
+          .when(col("event_id") % 31 === 3 && col("day") % 5 === 0,
+            expr("concat(substring(props, 1, length(props) - 1), " +
+              "', \"audit_tag\": 1}')"))
+          .otherwise(col("props")).as("props"))
+      val perDayKey = mutated
+        .select(col("day"), explode(expr("json_object_keys(props)")).as("key"))
+        .groupBy("day", "key").agg(count(lit(1)).as("n_events"))
+      val firstSeen = perDayKey.groupBy("key")
+        .agg(min(col("day")).as("first_seen_day"))
+      val base = perDayKey.join(firstSeen, "key")
+      val out =
+        if (graft.Mutations.on("q337_new_vs_prev_day_only")) {
+          val prev = perDayKey.select(col("key"), (col("day") + 1).as("day"),
+            lit(1L).as("seen_prev"))
+          base.join(prev, Seq("key", "day"), "left")
+            .select(col("day"), col("key"), col("n_events"),
+              col("first_seen_day"), col("seen_prev").isNull.as("is_new"))
+        } else
+          base.select(col("day"), col("key"), col("n_events"),
+            col("first_seen_day"),
+            (col("day") === col("first_seen_day")).as("is_new"))
+      out.orderBy("day", "key")
+    }),
+
     "q222_trend_slope" -> ((s, d) => {
       val rolled = Tables.events(s, d)
         .groupBy(col("event_type"),
@@ -1237,6 +1297,32 @@ object MonitoringQueries {
           ORDER BY e.event_type"""
 
   def oracles: Map[String, String] = Map(
+    "q337_json_schema_drift" ->
+      """WITH ev AS (SELECT event_id,
+                 epoch_us(ts) // 86400000000 AS aday, props FROM events),
+          d0 AS (SELECT min(aday) AS d0 FROM ev),
+          rel AS (SELECT event_id, aday - d0.d0 AS day, props
+                  FROM ev CROSS JOIN d0),
+          mut AS (SELECT day,
+                 CASE WHEN event_id % 7 = 2 AND day >= 10
+                        THEN substring(props, 1, length(props) - 1)
+                             || ', "v2_flag": 1}'
+                      WHEN event_id % 7 = 4 AND day >= 20
+                        THEN replace(props, '"k"', '"kk"')
+                      WHEN event_id % 31 = 3 AND day % 5 = 0
+                        THEN substring(props, 1, length(props) - 1)
+                             || ', "audit_tag": 1}'
+                      ELSE props END AS props
+               FROM rel),
+          keyed AS (SELECT day, unnest(json_keys(props)) AS key FROM mut),
+          pdk AS (SELECT day, key, CAST(count(*) AS BIGINT) AS n_events
+                  FROM keyed GROUP BY day, key),
+          fs AS (SELECT key, min(day) AS first_seen_day FROM pdk GROUP BY key)
+          SELECT p.day, p.key, p.n_events, f.first_seen_day,
+                 p.day = f.first_seen_day AS is_new
+          FROM pdk p JOIN fs f ON f.key = p.key
+          ORDER BY p.day, p.key""",
+
     "q177_autocorrelation" ->
       """WITH hourly AS (
             SELECT event_type, epoch_us(ts) // 3600000000 AS h,
