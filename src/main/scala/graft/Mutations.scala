@@ -218,6 +218,11 @@ object Mutations {
                                 //   history — the flapping-alert bug: a
                                 //   periodic key re-reports as new on
                                 //   every cadence day
+    "q338_weight_ignores_key",  // rendezvous weight computed on the
+                                //   NODE alone — every key elects the
+                                //   same winner: moved_bp reads a
+                                //   flattering 0 while the whole corpus
+                                //   lands on one shard
     "q330_span_end_off_by_one", // excision span ends at pos + 6, not
                                 //   pos + 7 — every span's last word
                                 //   survives the surgery; removed_words

@@ -129,7 +129,8 @@ object ScaleProbe {
       "q332_ann_entry_ablation" -> "entry-strategy ablation: one NSW graph, two walks (flat vs layered)",
       "q334_encoding_hygiene" -> "mojibake census (map-only detectors + source/class aggregate)",
       "q335_prefix_cache" -> "KV prefix-cache accounting sweep (3 prefix-keyed passes)",
-      "q337_json_schema_drift" -> "JSON payload key census (map-only extraction + days x keys rollup)")
+      "q337_json_schema_drift" -> "JSON payload key census (map-only extraction + days x keys rollup)",
+      "q338_shard_rebalance" -> "rendezvous vs mod-hash shard movement on fleet growth (in-row argmax folds)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -213,6 +214,9 @@ object ScaleProbe {
       "q337_json_schema_drift" -> ("key extraction is one map-only " +
         "json_object_keys pass; everything after is days x keys sized " +
         "— the exponent is pure scan throughput"),
+      "q338_shard_rebalance" -> ("two fixed-size in-row transform+argmax " +
+        "folds per key, then an (arm, shard) aggregate — wholly " +
+        "map-only, the exponent is scan throughput"),
       "q330_span_decontamination" -> ("the gram scan is q101's map-only " +
         "broadcast-join shape; positions per doc are doc-length-bounded " +
         "and the island window partitions by doc_id — linear in corpus " +

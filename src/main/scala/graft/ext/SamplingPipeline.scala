@@ -29,7 +29,9 @@ object SamplingPipeline {
     * have md5/substring/instr). THE single definition: the graded queries'
     * oracles and this API both build from here, so the two sides cannot
     * drift (the four-hand-maintained-copies lesson in DETERMINISM.md). */
-  private[ext] def drawExpr(idCol: String, salt: String): String =
+  // private[graft]: q338's shard-rebalance arms (ops package) ride the
+  // same engine-neutral md5 draw
+  private[graft] def drawExpr(idCol: String, salt: String): String =
     (1 to 5).map(i =>
       s"(instr('0123456789abcdef', substring(md5(concat(cast($idCol as string), ':${sqlLit(salt)}')), $i, 1)) - 1) * ${math.pow(16, 5 - i).toLong}")
       .mkString(" + ")

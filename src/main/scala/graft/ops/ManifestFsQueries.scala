@@ -62,6 +62,56 @@ object ManifestFsQueries {
             'o', $childOrd, 'd', h))), x -> x.d)"""))).as("h"))
 
   def queries: Map[String, Q] = Map(
+    // SHARD REBALANCE AUDIT (consistent hashing) — the routing decision
+    // every sharded store makes before growing the fleet: when shard
+    // count goes 8 → 9, what fraction of keys MOVE? Two arms over the
+    // same md5 draws: RENDEZVOUS (HRW) hashing — each key goes to the
+    // node maximizing draw(key#node), so adding a node moves exactly
+    // the keys the NEW node now wins (~1/9) — vs naive MOD hashing
+    // (draw(key) % N), which reshuffles ~8/9 of all keys on the same
+    // event. The census prices both (moved_bp) and carries the balance
+    // witness (max_shard_share_bp ≈ 10000/9 when healthy). Wholly
+    // in-row and map-only: per key, two fixed-size transform+argmax
+    // folds; the census is an (arm, shard) aggregate.
+    // [[graft.Mutations]] "q338_weight_ignores_key": the HRW weight
+    // computed on the NODE alone — the classic rendezvous bug: every
+    // key elects the same winner, moved_bp reads a flattering 0 while
+    // max_shard_share_bp goes to 10000 (the whole corpus on one shard)
+    // — which is WHY the balance witness is in the output.
+    "q338_shard_rebalance" -> ((s, d) => {
+      val keyPart =
+        if (graft.Mutations.on("q338_weight_ignores_key")) "''"
+        else "cast(doc_id AS STRING)"
+      val draw = graft.ext.SamplingPipeline.drawExpr(
+        s"concat($keyPart, '#', cast(i AS STRING))", "hrw")
+      val modDraw = graft.ext.SamplingPipeline.drawExpr(
+        "cast(doc_id AS STRING)", "modhash")
+      val nodes8 = (0 until 8).mkString(", ")
+      val nodes9 = (0 until 9).mkString(", ")
+      val base = Tables.documents(s, d).select("doc_id")
+      val hrw = base
+        .withColumn("a8", expr(s"transform(array($nodes8), i -> $draw)"))
+        .withColumn("a9", expr(s"transform(array($nodes9), i -> $draw)"))
+        .select(lit("a_hrw").as("arm"),
+          expr("array_position(a8, array_max(a8))").as("shard_b"),
+          expr("array_position(a9, array_max(a9))").as("shard_a"))
+      val md = base.select(lit("b_mod").as("arm"),
+        (expr(modDraw) % 8 + 1).as("shard_b"),
+        (expr(modDraw) % 9 + 1).as("shard_a"))
+      hrw.unionByName(md)
+        .select(col("arm"), col("shard_a"),
+          (col("shard_b") =!= col("shard_a")).cast("long").as("moved"))
+        .groupBy("arm", "shard_a")
+        .agg(count(lit(1)).as("n"), sum(col("moved")).as("n_moved"))
+        .groupBy("arm")
+        .agg(sum(col("n")).as("n_keys"), sum(col("n_moved")).as("n_moved"),
+          max(col("n")).as("max_shard"))
+        .select(col("arm"), col("n_keys"), col("n_moved"),
+          expr("n_moved * 10000 DIV n_keys").as("moved_bp"),
+          expr("max_shard * 10000 DIV n_keys").as("max_shard_share_bp"))
+        .orderBy("arm")
+    }),
+
     // MERKLE INTEGRITY TREE + CORRUPTION LOCALIZATION — the hierarchical
     // digest that turns q145's flat digest-reconcile into a log-probe
     // SEARCH: 64 leaves (doc_id % 64) → 8 interior nodes (leaf DIV 8) →
@@ -872,6 +922,38 @@ object ManifestFsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q338_shard_rebalance" -> {
+      val draw = graft.ext.SamplingPipeline.drawExpr(
+        "concat(cast(doc_id AS STRING), '#', cast(i AS STRING))", "hrw")
+      val modDraw = graft.ext.SamplingPipeline.drawExpr(
+        "cast(doc_id AS STRING)", "modhash")
+      val nodes8 = (0 until 8).mkString(", ")
+      val nodes9 = (0 until 9).mkString(", ")
+      s"""WITH hrw AS (SELECT 'a_hrw' AS arm,
+                  list_position(a8, list_max(a8)) AS shard_b,
+                  list_position(a9, list_max(a9)) AS shard_a
+               FROM (SELECT
+                  list_transform([$nodes8], i -> $draw) AS a8,
+                  list_transform([$nodes9], i -> $draw) AS a9
+                  FROM documents)),
+          md AS (SELECT 'b_mod' AS arm,
+                  ($modDraw) % 8 + 1 AS shard_b,
+                  ($modDraw) % 9 + 1 AS shard_a
+               FROM documents),
+          both_arms AS (SELECT arm, shard_a,
+                  CASE WHEN shard_b <> shard_a THEN 1 ELSE 0 END AS moved
+               FROM (SELECT * FROM hrw UNION ALL SELECT * FROM md)),
+          per_shard AS (SELECT arm, shard_a, count(*) AS n,
+                  sum(moved) AS n_moved
+               FROM both_arms GROUP BY arm, shard_a)
+          SELECT arm, CAST(sum(n) AS BIGINT) AS n_keys,
+                 CAST(sum(n_moved) AS BIGINT) AS n_moved,
+                 CAST(sum(n_moved) * 10000 // sum(n) AS BIGINT) AS moved_bp,
+                 CAST(max(n) * 10000 // sum(n) AS BIGINT)
+                   AS max_shard_share_bp
+          FROM per_shard GROUP BY arm ORDER BY arm"""
+    },
+
     "q327_merkle_audit" ->
       """WITH culprit AS (SELECT min(CASE WHEN doc_id % 97 = 13
                                           THEN doc_id END) AS bad_id
