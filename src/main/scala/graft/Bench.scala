@@ -413,8 +413,16 @@ object Bench {
     // box load, methodology — to a file that gets committed with the
     // round, making every timing diffable against the previous round's
     // gates in one place. Path override: SPARK_GRAFT_BENCH_OUT.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full_r14.json")
+    // The default is ROUND-STAMPED (r15 verdict item 4: a hardcoded name
+    // clobbered the r14 archive): the current round is max(BENCH_rNN)+1,
+    // since the driver writes BENCH_r{N}.json only after this run.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val prev = Option(new java.io.File("/root/repo").list()).toSeq.flatten
+        .collect { case rx(n) => n.toInt }
+      val round = if (prev.isEmpty) 0 else prev.max + 1
+      s"/root/repo/bench_full_r$round.json"
+    })
     val methodology =
       "per query: min of " + passes + " full-suite passes at sf0.1, " +
         "local[" + cpus + "], shuffle.partitions=" + cpus + "; " +

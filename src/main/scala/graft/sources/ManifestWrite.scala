@@ -32,8 +32,12 @@ import org.apache.spark.sql.types.StructType
   * Schema is the manifest contract ([[graft.manifest.ManifestGen.schema]])
   * and nothing else — a mismatched frame fails loudly at planning, not
   * as a corrupt file at read-back. `SaveMode.Overwrite` maps to DSv2
-  * truncate: the commit first removes previously published part files,
-  * so read-after-commit sees exactly one generation.
+  * truncate, with publish-first/delete-last ordering: the commit renames
+  * the whole new generation in, THEN deletes the superseded part files —
+  * a crash mid-commit can leave extra files but never destroys the old
+  * generation before the new one is fully at the destination, and a
+  * failed commit's abort rolls back whatever it had already renamed.
+  * Read-after-successful-commit sees exactly one generation.
   */
 class ManifestWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -74,6 +78,10 @@ private[sources] class ManifestBatchWrite(path: String, truncate: Boolean,
 
   private def stagingDir = new Path(path, s"_staging-$queryId")
 
+  // destinations this commit has already renamed in — driver-side state so
+  // a failed commit's abort() can roll back the partial publish
+  private val published = scala.collection.mutable.ArrayBuffer.empty[Path]
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val fs = new Path(path).getFileSystem(FsListReader.confFor(fsProps))
     fs.mkdirs(stagingDir)
@@ -83,25 +91,42 @@ private[sources] class ManifestBatchWrite(path: String, truncate: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(FsListReader.confFor(fsProps))
-    if (truncate) {
-      // one generation visible after commit: drop previously PUBLISHED
-      // part files (never the staging we are about to publish)
-      val existing = fs.globStatus(new Path(root, "part-*.parquet"))
-      if (existing != null) existing.foreach(st => fs.delete(st.getPath, false))
-    }
+    // the new generation's file names are known up front from the task
+    // commit messages (UUID-suffixed, so they can't collide with an older
+    // generation's names — the filterNot is belt and braces)
+    val newNames = messages.map { case m: ManifestCommit =>
+      new Path(m.stagedFile).getName
+    }.toSet
+    // snapshot the SUPERSEDED generation before any mutation
+    val superseded =
+      if (truncate)
+        Option(fs.globStatus(new Path(root, "part-*.parquet"))).toSeq.flatten
+          .map(_.getPath).filterNot(p => newNames.contains(p.getName))
+      else Seq.empty
+    // publish FIRST: rename the whole new generation in. A rename failure
+    // here throws with the old generation untouched; Spark then calls
+    // abort(), which rolls back the files already renamed (`published`).
     messages.foreach { case m: ManifestCommit =>
       val src = new Path(m.stagedFile)
       val dst = new Path(root, src.getName)
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"manifest commit: rename $src -> $dst failed")
+      published += dst
     }
+    // delete LAST: only after the new generation is fully at the
+    // destination may the old one go (r15 advice: the previous
+    // delete-then-rename order could destroy both generations)
+    superseded.foreach(p => fs.delete(p, false))
     fs.create(new Path(root, "_SUCCESS"), true).close()
     fs.delete(stagingDir, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(FsListReader.confFor(fsProps))
-    fs.delete(stagingDir, true) // staged garbage only; published files stay
+    // roll back any partial publish from a failed commit, then drop the
+    // staged garbage; previously-published (old-generation) files stay
+    published.foreach(p => fs.delete(p, false))
+    fs.delete(stagingDir, true)
   }
 }
 

@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+
+/** Pins the truncate-commit ordering fixed after the r15 advice: the old
+  * delete-then-rename order could destroy BOTH generations when a rename
+  * failed mid-loop (old already deleted, new partially published, abort
+  * cleaning neither). Now commit publishes the whole new generation
+  * FIRST, deletes the superseded files LAST, and a failed commit's abort
+  * rolls back exactly the files it had already renamed in.
+  *
+  * The failure is injected for real: a commit message pointing at a
+  * staged file that does not exist makes the second rename return false
+  * mid-loop, exactly the crash point the advice describes.
+  */
+class ManifestWriteOrderSpec extends graft.SparkSpec {
+  import graft.manifest.ManifestGen
+
+  private def entries(n: Int, tag: String) = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      ManifestGen.ManifestEntry("b", s"/d/$tag$i.bin", s"$tag$i.bin",
+        10L + i, new java.sql.Timestamp(1700000000000L + i))).toDF()
+  }
+
+  test("failed truncate commit keeps the old generation intact and abort " +
+      "rolls back the partial publish") {
+    val dir = Files.createTempDirectory("mw-order").toFile
+    dir.deleteOnExit()
+    val dest = dir.getAbsolutePath
+
+    // generation 1 through the real DSv2 path
+    entries(4, "a").repartition(2)
+      .write.format("graft.sources.FsListSource")
+      .option("path", dest).mode(SaveMode.Append).save()
+    def partFiles: Set[String] =
+      Option(dir.listFiles()).toSeq.flatten.map(_.getName)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
+    val gen1 = partFiles
+    assert(gen1.size == 2, s"expected 2 gen-1 part files, got $gen1")
+
+    // hand-drive a truncate commit whose SECOND rename fails: one staged
+    // file is real, the other never existed
+    val write = new ManifestBatchWrite(dest, truncate = true, queryId = "order-test")
+    val staging = Paths.get(dest, "_staging-order-test")
+    Files.createDirectories(staging)
+    val realStaged = staging.resolve("part-00000-77-deadbeef.parquet")
+    Files.write(realStaged, Array[Byte](1, 2, 3))
+    val messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(
+        ManifestCommit(realStaged.toString, 1L),
+        ManifestCommit(staging.resolve("part-00001-78-cafebabe.parquet").toString, 1L))
+
+    val e = intercept[java.io.IOException] { write.commit(messages) }
+    // local FS throws FileNotFound from rename; MemFileSystem-style stores
+    // return false and hit our explicit IOException — both are mid-loop
+    assert(e.getMessage.contains("rename") || e.getMessage.contains("not exist"),
+      e.getMessage)
+    // the crash point: old generation must still be FULLY present — the
+    // pre-fix order had already deleted it here
+    assert(gen1.subsetOf(partFiles),
+      s"old generation lost on failed commit: had $gen1, now $partFiles")
+
+    // Spark calls abort after a failed commit: the one file the loop DID
+    // rename in must be rolled back, staging dropped, old generation kept
+    write.abort(messages)
+    assert(partFiles == gen1,
+      s"abort must remove the partially published file: $partFiles vs $gen1")
+    assert(!Files.exists(staging), "abort must drop the staging prefix")
+    assert(!Files.exists(Paths.get(dest, "part-00000-77-deadbeef.parquet")))
+
+    // and the data is still readable as generation 1
+    assert(ManifestGen.read(spark, dest).count() == 4)
+
+    // a clean truncate commit afterwards still leaves exactly one
+    // generation (the happy path the ordering change must not break)
+    entries(3, "b").coalesce(1)
+      .write.format("graft.sources.FsListSource")
+      .option("path", dest).mode(SaveMode.Overwrite).save()
+    assert(ManifestGen.read(spark, dest).count() == 3)
+    assert(partFiles.intersect(gen1).isEmpty,
+      "superseded generation must be deleted after a successful commit")
+  }
+}
