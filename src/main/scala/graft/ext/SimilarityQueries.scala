@@ -57,6 +57,39 @@ object SimilarityQueries {
     * exit.) */
   def clearIndexCache(): Unit = annIndexCache.clear()
 
+  /** SHARED NSW build — the converged layer-0 adjacency and the layer-1
+    * entry beam, memoized per (session, dataset, reverse-edges knob)
+    * in the [[DedupQueries.sharedCandidatePairs]] discipline (r15
+    * verdict item 2: q308 and q332 each ran the identical NN-descent
+    * build, the suite's most expensive machinery, twice per pass).
+    * This is exactly what a production ANN deployment does: the graph
+    * is BUILT once and SERVED many times; the graded queries are two
+    * reads of one index. The knob state is part of the KEY, not a
+    * cache clear: MutationSpec's red-case constructs the degraded
+    * graph in its own slot, so both q308 and q332 still go red while
+    * the production slot stays untouched. Values are GraphOps pins
+    * (id-tuple tables: n·M adjacency rows, |queries|·beam beam rows —
+    * MEMORY_AND_DISK, disk-backed at scale); entries live for the
+    * session; [[clearNswCache]] frees the blocks and drops them. */
+  private val nswCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Boolean), NswEngine]()
+
+  /** Free every memoized NSW engine's storage blocks (normed-corpus pin,
+    * adjacency, entry beam) and forget it — the next q308/q332 build
+    * re-descends. */
+  def clearNswCache(): Unit = {
+    nswCache.values().forEach(_.freeShared())
+    nswCache.clear()
+  }
+
+  /** The session's NSW engine for (dataset, knob) — the whole engine is
+    * the memo unit so the normed-corpus pin is shared too, not just the
+    * graph. */
+  private[graft] def nswEngine(s: SparkSession, d: String): NswEngine =
+    nswCache.computeIfAbsent(
+      (s, d, graft.Mutations.on("q308_reverse_edges_dropped")),
+      _ => new NswEngine(s, d))
+
   /** q50's brute-force cosine top-k per query (qid < 10, self excluded):
     * (qid, rank, vec_id, cos_sim), unordered. The query side broadcasts;
     * the corpus streams through once; the per-query top-k is a bounded
@@ -1130,12 +1163,11 @@ object SimilarityQueries {
     // plan IS that access pattern: beam-sized lookups, never a
     // corpus×corpus surface. Rounds are lineage-pinned (GraphOps.pin).
     "q308_nsw_graph_ann" -> ((s, d) => {
-      val e = new NswEngine(s, d)
-      val beam1 = e.layeredEntryBeam()
-      val edges0 = e.layer0Edges()
-      val beam = e.walk(beam1.df, edges0.df.select("src", "dst"), NswRounds)
-      beam1.free()
-      edges0.free()
+      val e = nswEngine(s, d)
+      // graph + entry beam come from the session memo (r15 verdict
+      // item 2): built once, served to q308 AND q332
+      val beam = e.walk(e.sharedLayeredBeam,
+        e.sharedLayer0Edges.select("src", "dst"), NswRounds)
       e.grade(beam.df)
         .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"),
           col("in_truth"), col("recall_bp"))
@@ -1153,22 +1185,20 @@ object SimilarityQueries {
     // never drift from the graded q308 plan; the q308 reverse-edges
     // knob red-cases this member too (shared descent seam).
     "q332_ann_entry_ablation" -> ((s, d) => {
-      val e = new NswEngine(s, d)
-      val edges0 = e.layer0Edges()
-      val layered = e.layeredEntryBeam()
+      val e = nswEngine(s, d)
+      val edges0 = e.sharedLayer0Edges
       def armRecall(tag: String, b0: DataFrame): DataFrame = {
-        val beam = e.walk(b0, edges0.df.select("src", "dst"), NswRounds)
+        val beam = e.walk(b0, edges0.select("src", "dst"), NswRounds)
         e.grade(beam.df)
           .groupBy(col("qid"))
           .agg(sum(col("in_truth")).as("n_hits"))
           .select(lit(tag).as("strategy"), col("qid"),
             col("n_hits"), (col("n_hits") * 2000).cast("long").as("recall_bp"))
       }
-      val arms = armRecall("b_layered", layered.df)
+      val arms = armRecall("b_layered", e.sharedLayeredBeam)
         .unionByName(armRecall("a_flat16", e.flatEntryBeam))
-      // layered/edges0 pins stay alive with the lazy arms; blocks are
-      // reclaimed by the context cleaner once the result is GC'd (the
-      // CC labels discipline)
+      // the layered-beam/edges0 pins belong to the session memo
+      // ([[nswCache]]) — alive for every later q308/q332 read
       arms
         .withColumn("strategy_mean_bp",
           expr("CAST(sum(recall_bp) OVER (PARTITION BY strategy) " +
@@ -1669,8 +1699,9 @@ object SimilarityQueries {
     * (Returned-result lineage keeps pins alive; blocks are reclaimed by
     * the context cleaner once results are GC'd — the CC labels
     * discipline.) */
-  private final class NswEngine(s: SparkSession, d: String) {
-    val n: DataFrame = GraphOps.pin(normed(s, d)).df
+  private[graft] final class NswEngine(s: SparkSession, d: String) {
+    private val nPin = GraphOps.pin(normed(s, d))
+    val n: DataFrame = nPin.df
     val q: DataFrame = n.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"))
@@ -1794,8 +1825,28 @@ object SimilarityQueries {
         ((expr(draw1) % col("cnt")) * NswLayerStride).as("dst"))
       .filter(col("dst") =!= col("src"))
 
-    def layer0Edges(): GraphOps.Pinned =
+    private def layer0Edges(): GraphOps.Pinned =
       descend(seedPairs.unionByName(lshPairs).distinct(), NswDescentRounds)
+
+    /** The (layer-0 adjacency, layer-1 entry beam) this engine serves —
+      * built on first touch, then REUSED by every q308/q332 evaluation
+      * in the session ([[nswCache]] holds the engine). Consumers never
+      * free these pins; [[clearNswCache]] releases them. */
+    private var sharedOpt: Option[(GraphOps.Pinned, GraphOps.Pinned)] = None
+    private def sharedBuild: (GraphOps.Pinned, GraphOps.Pinned) =
+      synchronized {
+        sharedOpt.getOrElse {
+          val b = (layer0Edges(), layeredEntryBeam())
+          sharedOpt = Some(b); b
+        }
+      }
+    def sharedLayer0Edges: DataFrame = sharedBuild._1.df
+    def sharedLayeredBeam: DataFrame = sharedBuild._2.df
+    def freeShared(): Unit = synchronized {
+      sharedOpt.foreach { case (e0, b1) => e0.free(); b1.free() }
+      sharedOpt = None
+      nPin.free()
+    }
 
     private def topEntry(cands: DataFrame): DataFrame =
       scoreOf(cands)
@@ -1813,7 +1864,7 @@ object SimilarityQueries {
       * rounds over the subsample graph — the query-adaptive entry set
       * (and its exact-cosine scores, unchanged between layers) that
       * seeds the layer-0 walk, HNSW's descent step. */
-    def layeredEntryBeam(): GraphOps.Pinned = {
+    private def layeredEntryBeam(): GraphOps.Pinned = {
       val edges1 = descend(seed1.distinct(), NswL1DescentRounds)
       val beam1 = walk(
         topEntry(q.select(col("qid")).crossJoin(

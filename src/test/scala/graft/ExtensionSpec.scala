@@ -4963,6 +4963,31 @@ class ExtensionSpec extends SparkSpec {
     assert(mean >= 7500, s"mean recall@5 $mean bp — hierarchy regressed")
   }
 
+  test("NSW build is memoized across q308/q332 and keyed by the descent knob") {
+    // r15 verdict item 2: the NN-descent build (the suite's most
+    // expensive machinery) must run ONCE per (session, dataset, knob)
+    // and be SERVED to both consumers. Pinned frames come back as the
+    // identical object on a memo hit, so object identity is the
+    // deterministic witness (no job counting, no timing).
+    val e1 = ext.SimilarityQueries.nswEngine(spark, sf)
+    val e2 = ext.SimilarityQueries.nswEngine(spark, sf)
+    assert(e1 eq e2, "same (session, dataset, knob) must reuse ONE engine")
+    assert(e1.sharedLayer0Edges eq e2.sharedLayer0Edges,
+      "layer-0 adjacency must come from the memo, not a rebuild")
+    assert(e1.sharedLayeredBeam eq e2.sharedLayeredBeam,
+      "layer-1 entry beam must come from the memo, not a rebuild")
+    // the reverse-edges knob keys a DIFFERENT slot: MutationSpec's
+    // red-case builds the degraded graph without touching (or being
+    // served) the production one
+    val mutated = graft.Mutations.withMutation("q308_reverse_edges_dropped") {
+      ext.SimilarityQueries.nswEngine(spark, sf)
+    }
+    assert(!(mutated eq e1),
+      "knob-on must not be served the production graph (red-case would go green)")
+    // and back off the knob, the production engine is still the memo hit
+    assert(ext.SimilarityQueries.nswEngine(spark, sf) eq e1)
+  }
+
   test("fuzzy edit join equals brute-force all-pairs levenshtein (lossless)") {
     import spark.implicits._
     val got = DedupQueries.queries("q319_fuzzy_edit_join")(spark, sf)
