@@ -871,47 +871,36 @@ object DedupQueries {
     * (doc_id, pos, 16-char key) — never the raw window. */
   private[ext] def winnowedSubstringPairs(
       docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    // Repartition the DOCS by doc_id before exploding: every doc's window
-    // stream is generated from one row, so HashPartitioning(doc_id) is
-    // already in place when the Window exec asks for it and Catalyst
-    // inserts only a LOCAL sort on (doc_id, pos) — numeric 8-byte
-    // prefixes — instead of shuffling the exploded window stream. The
-    // exchange cost drops from ~40× corpus bytes (r12's one confirmed
-    // gate breach: that shuffle spilling under box load) to ~1× (the
-    // texts themselves).
-    // Explicit partition count: a bare repartition(col) lets AQE coalesce
-    // the tiny doc shuffle (~1× corpus bytes) down to one partition,
-    // serializing the 40×-larger explode+sort that FOLLOWS it — the
-    // shuffle is sized by its input, but its job here is to spread the
-    // downstream window streams.
-    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // The whole winnow is IN-ROW (r16): a doc's window stream is a
+    // function of that doc alone, so key computation, both sliding-min
+    // frames, selection, and per-doc fingerprint dedup run as ONE
+    // native codegen expression over the text column
+    // ([[graft.functions.Winnow]]: O(n) monotonic-deque mins, MD5
+    // straight off the text bytes) — ZERO exchanges, no WindowExec
+    // sort, no exploded 40×-corpus row stream at all. (The r12→r15
+    // lineage: the exploded formulation first shuffled 40× corpus
+    // bytes, then r13 repartitioned docs to make the sort local; this
+    // removes the remaining explode+sort+dedup machinery entirely —
+    // under box load those extra stages were q116's variance
+    // amplifier.) Per-doc memory is one long per window (8 bytes/char
+    // of text), the same order as the text itself; a shard-sized doc
+    // bound at 100 TB keeps it flat.
     val fullDigest = docs.sparkSession.conf
       .get("spark.graft.substringDedup.fullDigest", "false").toBoolean
     val txt = docs.filter(length(col("text")) >= 40)
       .select(col("doc_id"), col("text"))
-      .repartition(nPart, col("doc_id"))
-    val sub = txt
-      .select(col("doc_id"),
-        explode(expr("sequence(1, length(text) - 39)")).as("pos"), col("text"))
-      .select(col("doc_id"), col("pos"),
-        graft.functions.FastMd5.md5Prefix60Col(
-          expr("substring(text, pos, 40)")).as("k"))
-    val base = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val sel = sub
-      .withColumn("tmin", min(col("k")).over(base.rowsBetween(-9, 0)))
-      .withColumn("lmin", min(col("k")).over(base.rowsBetween(0, 9)))
-      .filter(col("k") === col("tmin") || col("k") === col("lmin"))
     // the zero-false-merge escape path (scaladoc above): re-key ONLY the
     // selected windows with the full 128-bit digest; selection itself
-    // stays on the 60-bit key so both paths pick identical positions
-    val fp =
+    // stays on the 60-bit key (Winnow positions) so both paths pick
+    // identical positions. array_distinct/selectedKeys = the per-doc
+    // fingerprint dedup (formerly a dropDuplicates exchange).
+    val fpArr =
       if (fullDigest)
-        sel.select(col("doc_id"), col("pos"))
-          .join(txt, "doc_id")
-          .select(col("doc_id"),
-            md5(expr("substring(text, pos, 40)")).as("h"))
-      else sel.select(col("doc_id"), col("k").as("h"))
+        array_distinct(transform(
+          graft.functions.Winnow.selectedPositionsCol(col("text")),
+          p => md5(col("text").substr(p, lit(40)))))
+      else graft.functions.Winnow.selectedKeysCol(col("text"))
+    val fp = txt.select(col("doc_id"), explode(fpArr).as("h"))
     // One h-keyed exchange replaces the r12 shape's distinct + cap-window
     // + hash self-join (which recomputed the whole winnow subtree for
     // the build side and broadcast it). Ordering matters for memory:
@@ -919,16 +908,13 @@ object DedupQueries {
     // anything is collected — a boilerplate window shared by millions of
     // docs must never reach a collect_* buffer, because an aggregation
     // buffer cannot spill per-group while WindowExec's partition buffer
-    // can. Steps, all on the ONE h-partitioning: (1) per-doc dedup of
-    // repeated selections of the same fingerprint — doc-local, no new
-    // exchange, the winnow output is already hash-partitioned by doc_id;
-    // (2) exchange on h + window count = distinct-doc bucket size,
-    // spill-safe; (3) cap filter 2..maxBucket; (4) collect_list — now
-    // bounded by maxBucket — and in-row pair expansion. Pair semantics
-    // (and the oracle) unchanged.
-    val fpd = fp.dropDuplicates("doc_id", "h")
+    // can. Steps: per-doc fingerprint dedup already happened IN-ROW
+    // (array_distinct above); then (1) exchange on h + window count =
+    // distinct-doc bucket size, spill-safe; (2) cap filter
+    // 2..maxBucket; (3) collect_list — now bounded by maxBucket — and
+    // in-row pair expansion. Pair semantics (and the oracle) unchanged.
     val hw = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val pairs = fpd.withColumn("nd", count(lit(1)).over(hw))
+    val pairs = fp.withColumn("nd", count(lit(1)).over(hw))
       .filter(col("nd").between(2, maxBucket)).drop("nd")
       .groupBy("h").agg(collect_list(col("doc_id")).as("ids"))
       .select(explode(expr(

@@ -694,7 +694,7 @@ object TextQueries {
     }),
 
     // TRIGRAM-INDEX substring search — the pg_trgm pattern: a LIKE
-    // '%pat%' scan accelerated by a character-trigram inverted index.
+    // '%pat%' scan accelerated by character-trigram candidacy.
     // Candidates = docs containing EVERY trigram of the pattern
     // (guaranteed superset of true matches for patterns ≥ 3 chars —
     // recall is structural, which the n_verified = n_direct columns
@@ -702,49 +702,36 @@ object TextQueries {
     // candidates only; the report prices index precision in bp (the
     // decision input for whether the index pays for a given pattern
     // length). Three patterns of different lengths sweep the knob.
-    // Scale: the doc-side trigram explode is map-side and immediately
-    // filtered to the ≤ 8 pattern-trigram literals, so the only
-    // shuffle carries docs × matched-trigrams, never the full trigram
-    // posting table; the direct-scan truth leg is one map-side pass.
+    // Scale: the pattern set is a FIXED ≤ 8 trigram literals, so the
+    // index probe compiles to a handful of codegen'd substring scans —
+    // ONE map-side pass computing (candidate?, direct-hit?) per
+    // (doc, pattern) with zero joins and zero pre-aggregation
+    // exchanges; the only shuffle is the 3-row-per-partition partial
+    // rollup. (The r15 shape exploded every doc into its trigram
+    // stream and re-joined docs for verification — the allocation
+    // churn behind its 1.8× quiet-to-loaded swing. A posting-table
+    // plan only pays when patterns are ad-hoc; the oracle keeps that
+    // formulation, proving the two equivalent.)
     "q275_trigram_search" -> ((s, d) => {
       val patterns = Seq("par", "windo", "agg")
-      val patTris = patterns.flatMap(p =>
-        p.sliding(3).toSeq.distinct.map(t => (p, t)))
-      val allTris = patTris.map(_._2).distinct
-      val nTriOf = patterns.map(p =>
-        p -> p.sliding(3).toSeq.distinct.size).toMap
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val pt = s.range(1).select(explode(array(patTris.map { case (p, t) =>
-          struct(lit(p).as("pattern"), lit(t).as("tri")) }: _*)).as("x"))
-        .select(col("x.pattern").as("pattern"), col("x.tri").as("tri"))
-      val docTris = docs
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
-          .as("tri"))
-        .filter(col("tri").isin(allTris: _*))
-        .distinct()
-      val cand = docTris.join(broadcast(pt), "tri")
-        .groupBy("pattern", "doc_id")
-        .agg(countDistinct(col("tri")).as("nt"))
-        .withColumn("need", expr(
-          "CASE pattern " + patterns.map(p =>
-            s"WHEN '$p' THEN ${nTriOf(p)}").mkString(" ") + " END"))
-        .filter(col("nt") === col("need"))
-      val verified = cand.join(docs, "doc_id")
-        .filter(expr("locate(pattern, text) > 0"))
-        .groupBy("pattern").agg(count(lit(1)).as("n_verified"))
-      val candN = cand.groupBy("pattern").agg(count(lit(1)).as("n_candidates"))
-      val direct = docs.select(col("text"),
-          explode(array(patterns.map(lit(_)): _*)).as("pattern"))
-        .filter(expr("locate(pattern, text) > 0"))
-        .groupBy("pattern").agg(count(lit(1)).as("n_direct"))
-      candN.join(verified, Seq("pattern"), "left")
-        .join(direct, Seq("pattern"), "left")
-        .select(col("pattern"), col("n_candidates"),
-          coalesce(col("n_verified"), lit(0L)).as("n_verified"),
-          coalesce(col("n_direct"), lit(0L)).as("n_direct"),
-          expr("(coalesce(n_verified, 0) * 10000) DIV n_candidates")
-            .as("precision_bp"))
+      val arms = patterns.map { p =>
+        val tris = p.sliding(3).toSeq.distinct
+        val nt = tris.map(t =>
+          when(locate(t, col("text")) > 0, 1).otherwise(0)).reduce(_ + _)
+        struct(lit(p).as("pattern"),
+          (nt === lit(tris.size)).cast("long").as("is_cand"),
+          (locate(p, col("text")) > 0).cast("long").as("is_direct"))
+      }
+      docs.select(explode(array(arms: _*)).as("a"))
+        .groupBy(col("a.pattern").as("pattern"))
+        .agg(sum(col("a.is_cand")).as("n_candidates"),
+          sum(col("a.is_cand") * col("a.is_direct")).as("n_verified"),
+          sum(col("a.is_direct")).as("n_direct"))
+        .filter(col("n_candidates") > 0)
+        .select(col("pattern"), col("n_candidates"), col("n_verified"),
+          col("n_direct"),
+          expr("(n_verified * 10000) DIV n_candidates").as("precision_bp"))
         .orderBy("pattern")
     }),
 

@@ -61,6 +61,19 @@ object FastMd5 {
     (v << 4) | ((d(7) >> 4) & 0xfL)
   }
 
+  /** [[md5Prefix60]] over a byte RANGE — the allocation-free form for
+    * callers that hash many slices of one buffer (q116's winnow hashes
+    * every 40-char window of a document: [[graft.functions.Winnow]]). */
+  def md5Prefix60Bytes(b: Array[Byte], off: Int, len: Int): Long = {
+    val md = localDigest.get()
+    md.update(b, off, len)
+    val d = md.digest() // digest() resets the instance
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
   /** Column API: drop-in replacement for `functions.md5(e.cast(binary))`
     * on string inputs. */
   def fastMd5(c: Column): Column =

@@ -360,6 +360,54 @@ class ExtensionSpec extends SparkSpec {
       s"missed planted exact copies: ${expected.diff(pairs).take(5)}")
   }
 
+  test("native Winnow expression equals the declarative window formulation " +
+      "(selection, dedup, multibyte offsets)") {
+    import spark.implicits._
+    // mixed corpus: repetitive (forces frame ties), random-ish, short
+    // (< 1 window), exactly one window, and MULTIBYTE text (é/日 shift
+    // byte offsets off char offsets — the native path maps chars to
+    // bytes itself and must hash the same byte ranges substring() does)
+    val docs = Seq(
+      1L -> ("ab" * 60), 2L -> ("the quick brown fox " * 8),
+      3L -> "too short", 4L -> ("x" * 40),
+      5L -> ("héllo wörld 日本語テキスト " * 12),
+      6L -> (('a' to 'z').mkString * 5)
+    ).toDF("doc_id", "text")
+    val native = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.selectedKeysCol(col("text"))).as("h"))
+      .as[(Long, Long)].collect().toSet
+    // the pre-r16 formulation, verbatim: explode every window, two
+    // sliding mins over a Window spec, dropDuplicates
+    val base = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val declarative = docs.filter(length(col("text")) >= 40)
+      .select(col("doc_id"),
+        explode(expr("sequence(1, length(text) - 39)")).as("pos"), col("text"))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.FastMd5.md5Prefix60Col(
+          expr("substring(text, pos, 40)")).as("k"))
+      .withColumn("tmin", min(col("k")).over(base.rowsBetween(-9, 0)))
+      .withColumn("lmin", min(col("k")).over(base.rowsBetween(0, 9)))
+      .filter(col("k") === col("tmin") || col("k") === col("lmin"))
+      .select("doc_id", "k").dropDuplicates("doc_id", "k")
+      .as[(Long, Long)].collect().toSet
+    assert(native == declarative,
+      s"only-native=${(native -- declarative).take(3)} " +
+        s"only-declarative=${(declarative -- native).take(3)}")
+    assert(native.map(_._1) == Set(1L, 2L, 4L, 5L, 6L),
+      "every >= 40-char doc must select at least one fingerprint")
+    // positions variant selects the same windows: re-keying them with
+    // md5Prefix60 must reproduce selectedKeys exactly
+    val viaPositions = docs
+      .select(col("doc_id"), explode(array_distinct(transform(
+        graft.functions.Winnow.selectedPositionsCol(col("text")),
+        p => graft.functions.FastMd5.md5Prefix60Col(
+          col("text").substr(p, lit(40)))))).as("h"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaPositions == native)
+  }
+
   test("q116 full-digest re-key (spark.graft.substringDedup.fullDigest) " +
       "yields the identical graded result — the documented zero-false-" +
       "merge escape path is a selectable guarantee, not a claim") {
