@@ -51,20 +51,39 @@ object StreamScaleProbe {
   private[graft] def chunkTable(spark: SparkSession, srcDir: String,
                                 table: String, idCol: String,
                                 tag: String): String = {
-    val dir = java.nio.file.Paths.get(ops.Scratch.dir(s"graft_stream_$tag"))
     val df = if (table == "events") Tables.events(spark, srcDir)
              else spark.read.parquet(s"$srcDir/$table.parquet")
+    writeChunks(spark, tag,
+      i => df.filter(pmod(col(idCol), lit(Chunks)) === i))
+  }
+
+  /** [[chunkTable]] for EVENT-TIME pipelines: chunk i is the i-th ntile
+    * of the `ts` order, so the stream's watermark ADVANCES monotonically
+    * across micro-batches — the shape append-mode session eviction
+    * needs (id-modulo chunks all span the full time range, making every
+    * batch after the first fully late). */
+  private[graft] def chunkEventsByTime(spark: SparkSession, srcDir: String,
+                                       tag: String): String = {
+    val df = Tables.events(spark, srcDir)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val ranked = df.withColumn("__nt", ntile(Chunks).over(w))
+    writeChunks(spark, tag,
+      i => ranked.filter(col("__nt") === i + 1).drop("__nt"))
+  }
+
+  private def writeChunks(spark: SparkSession, tag: String,
+                          part: Int => DataFrame): String = {
+    val dir = java.nio.file.Paths.get(ops.Scratch.dir(s"graft_stream_$tag"))
     val prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try {
       for (i <- 0 until Chunks) {
         val tmp = dir.resolve(s"tmp$i")
-        df.filter(pmod(col(idCol), lit(Chunks)) === i)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator()
+        part(i).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val files = java.nio.file.Files.list(tmp).iterator()
         var moved = false
-        while (part.hasNext && !moved) {
-          val p = part.next()
+        while (files.hasNext && !moved) {
+          val p = files.next()
           if (p.getFileName.toString.endsWith(".parquet")) {
             java.nio.file.Files.move(p, dir.resolve(f"chunk$i%02d.parquet"))
             moved = true
@@ -77,6 +96,50 @@ object StreamScaleProbe {
     } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
     dir.toString
   }
+
+  /** Run ONE chunked stream to completion and score its steady state —
+    * the single scorer shared by this probe and
+    * [[StreamStateBackendProbe]] (r15 advice: the near-verbatim copy in
+    * the backend probe could drift). Conf overrides (state partitions
+    * always; provider class for the backend probe) are applied for the
+    * whole run and restored after. The triggerExecution lookup is
+    * GUARDED: a progress row without that entry scores 0 instead of
+    * NPEing. */
+  private[graft] def runOnce(spark: SparkSession, mk: => DataFrame,
+                             mode: OutputMode = OutputMode.Update(),
+                             confs: Seq[(String, String)] = Nil): RunStats = {
+    val all = ("spark.sql.shuffle.partitions" -> StatePartitions.toString) +: confs
+    val olds = all.map { case (k, _) => k -> spark.conf.getOption(k) }
+    all.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = mk.writeStream.outputMode(mode).format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+      val data = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .sortBy(_.batchId)
+      val secs = data.map(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong)
+          .getOrElse(0L) / 1e3)
+      val steady = data.drop(1)
+      val lastState = data.reverse.flatMap(_.stateOperators.headOption).headOption
+      RunStats(
+        batches = data.size,
+        firstBatchSec = secs.headOption.getOrElse(-1.0),
+        steadySec = secs.drop(1).sum,
+        steadyRows = steady.map(_.numInputRows).sum,
+        stateRows = lastState.map(_.numRowsTotal).getOrElse(-1L),
+        stateBytes = lastState.map(_.memoryUsedBytes).getOrElse(-1L))
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Best-of-2 [[runOnce]] — the JIT-warm discipline of [[Bench]]. */
+  private[graft] def bestOf2(spark: SparkSession, mk: => DataFrame,
+                             mode: OutputMode = OutputMode.Update(),
+                             confs: Seq[(String, String)] = Nil): RunStats =
+    (1 to 2).map(_ => runOnce(spark, mk, mode, confs))
+      .minBy(r => if (r.steadySec > 0) r.steadySec else Double.MaxValue)
 
   def main(args: Array[String]): Unit = {
     val genDir = args.lift(0).getOrElse("/tmp/graft_scale10x")
@@ -98,33 +161,7 @@ object StreamScaleProbe {
                    tag: String): String =
       StreamScaleProbe.chunkTable(spark, srcDir, table, idCol, tag)
 
-    def runOnce(stream: DataFrame): RunStats = {
-      val key = "spark.sql.shuffle.partitions"
-      val old = spark.conf.get(key)
-      spark.conf.set(key, StatePartitions.toString)
-      val q =
-        try stream.writeStream.outputMode(OutputMode.Update())
-          .format("noop").start()
-        finally spark.conf.set(key, old)
-      try q.processAllAvailable() finally q.stop()
-      val data = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-        .sortBy(_.batchId)
-      val secs = data.map(_.durationMs.get("triggerExecution").toLong / 1e3)
-      val steady = data.drop(1)
-      val lastState = data.reverse.flatMap(_.stateOperators.headOption).headOption
-      RunStats(
-        batches = data.size,
-        firstBatchSec = secs.headOption.getOrElse(-1.0),
-        steadySec = secs.drop(1).sum,
-        steadyRows = steady.map(_.numInputRows).sum,
-        stateRows = lastState.map(_.numRowsTotal).getOrElse(-1L),
-        stateBytes = lastState.map(_.memoryUsedBytes).getOrElse(-1L))
-    }
-
-    def best(mk: => DataFrame): RunStats = {
-      val runs = (1 to 2).map(_ => runOnce(mk))
-      runs.minBy(r => if (r.steadySec > 0) r.steadySec else Double.MaxValue)
-    }
+    def best(mk: => DataFrame): RunStats = bestOf2(spark, mk)
 
     val docSchema = spark.read.parquet(s"$base/documents.parquet").schema
 

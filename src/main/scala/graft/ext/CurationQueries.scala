@@ -77,6 +77,20 @@ object CurationQueries {
 
   private[ext] val BenchGramCap = 100
 
+  /** `idCol + offset` with the disjointness invariant guarded IN-PLAN
+    * (r15 advice): planted ids assume no organic doc_id ever reaches the
+    * offset. On a rescaled fixture that crossed it, planted rows would
+    * silently collide with organic ones IDENTICALLY on both engine
+    * sides, so the oracle comparison could not catch the corruption.
+    * assert_true makes the run fail loudly instead, costs one comparison
+    * per planted row, and keeps the build lazy (no driver-side max()
+    * job — the q101 guard spec counts build jobs). */
+  private def plantedId(idCol: Column, offset: Long): Column =
+    when(assert_true(idCol < offset,
+      lit(s"organic doc_id reached the planted-id offset $offset — " +
+        "planted rows would silently merge; rescale the offset")).isNull,
+      idCol + offset)
+
   /** Shared-count threshold: a (corpus doc, bench doc) pair with at least
     * this many distinct common 8-grams is flagged as contaminated. */
   private[ext] val ContaminationMinOverlap = 3
@@ -728,7 +742,7 @@ object CurationQueries {
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
         .filter(col("doc_id") % 97 =!= 0 || size(col("words")) >= 10)
         .select(
-          when(col("doc_id") % 97 === 0, col("doc_id") + 3000000L)
+          when(col("doc_id") % 97 === 0, plantedId(col("doc_id"), 3000000L))
             .otherwise(col("doc_id")).as("doc_id"),
           when(col("doc_id") % 97 === 0,
             expr("concat_ws(' ', slice(words, 2, size(words) - 1))"))
@@ -825,7 +839,7 @@ object CurationQueries {
             .otherwise(lit("")),
           col("text")).as("prompt"))
       val resubmits = base.filter(col("doc_id") % 13 === 2)
-        .select((col("doc_id") + 5000000L).as("doc_id"), col("prompt"))
+        .select(plantedId(col("doc_id"), 5000000L).as("doc_id"), col("prompt"))
       val prompts = base.unionByName(resubmits)
         .select(col("doc_id"), split(col("prompt"), " ").as("toks"))
         .select(col("doc_id"), col("toks"),
