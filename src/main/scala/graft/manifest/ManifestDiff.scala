@@ -28,6 +28,26 @@ object ManifestDiff {
       .join(deletes.select(col("Key")), Seq("Key"), "left_anti")
   }
 
+  /** [[merge]] carrying the FULL manifest row (Bucket, Key, FileName,
+    * Size, LastModified) instead of (Key, Size) — the variant the
+    * streaming [[graft.streaming.StreamingPipelines.ManifestMaintainer]]
+    * uses so each snapshot stays a complete manifest that commits
+    * through the DSv2 write path. Same join shape: an upserted Key takes
+    * the changeset's whole row, deleted Keys drop, everything else
+    * carries over; one Key-keyed full-outer plus one anti join. */
+  def mergeManifest(snapshot: DataFrame, upserts: DataFrame,
+                    deletes: DataFrame): DataFrame = {
+    def packed(df: DataFrame, as: String) = df.select(col("Key"),
+      struct(col("Bucket"), col("FileName"), col("Size"),
+        col("LastModified")).as(as))
+    packed(snapshot, "_old").join(packed(upserts, "_new"), Seq("Key"), "full_outer")
+      .select(col("Key"), coalesce(col("_new"), col("_old")).as("r"))
+      .select(col("r.Bucket").as("Bucket"), col("Key"),
+        col("r.FileName").as("FileName"), col("r.Size").as("Size"),
+        col("r.LastModified").as("LastModified"))
+      .join(deletes.select(col("Key")), Seq("Key"), "left_anti")
+  }
+
   /** Inputs need (Key, Size) columns; any extra columns are ignored. */
   def diff(oldM: DataFrame, newM: DataFrame): DataFrame = {
     val o = oldM.select(col("Key"), col("Size").as("old_size"))

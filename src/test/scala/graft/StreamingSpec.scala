@@ -241,16 +241,31 @@ class StreamingSpec extends SparkSpec {
       .writeStream.outputMode("append").foreachBatch(maintainer).start()
     try {
       q.processAllAvailable()
-      val s1 = maintainer.current().get.collect()
-        .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+      def snapMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+        df.select("Key", "Size").collect()
+          .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+      val s1 = snapMap(maintainer.current().get)
       assert(s1 == Map("obj0" -> 0L, "obj1" -> 1L, "obj2" -> 2L, "obj3" -> 3L))
+      // snapshots are FULL manifests committed through the DSv2 write
+      // half (r15 verdict stretch 7): manifest schema at read-back,
+      // _SUCCESS marker present, staging prefix cleaned
+      assert(maintainer.current().get.columns.toSeq ==
+        Seq("Bucket", "Key", "FileName", "Size", "LastModified"))
+      val vDirs = new java.io.File(snapRoot).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      assert(vDirs.nonEmpty)
+      vDirs.foreach { vd =>
+        val names = vd.list().toSeq
+        assert(names.contains("_SUCCESS"), s"$vd missing DSv2 _SUCCESS")
+        assert(!names.exists(_.startsWith("_staging")), s"$vd staging litter")
+        assert(names.exists(n => n.startsWith("part-") && n.endsWith(".parquet")))
+      }
       // second wave: two new objects AND an overwrite of obj1 (newer
       // mtime, bigger size) — the maintainer must upsert, not append
       put("obj4", 1700000001000L, bytes = 40)
       put("obj1", 1700000001000L, bytes = 11)
       q.processAllAvailable()
-      val s2 = maintainer.current().get.collect()
-        .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+      val s2 = snapMap(maintainer.current().get)
       assert(s2 == Map("obj0" -> 0L, "obj1" -> 11L, "obj2" -> 2L,
         "obj3" -> 3L, "obj4" -> 40L))
       // at most two snapshot versions on disk (older ones retired)
@@ -260,8 +275,7 @@ class StreamingSpec extends SparkSpec {
       // snapshot from the _CURRENT pointer instead of starting empty
       val resumed = new graft.streaming.StreamingPipelines
         .ManifestMaintainer(spark, snapRoot)
-      val s3 = resumed.current().get.collect()
-        .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+      val s3 = snapMap(resumed.current().get)
       assert(s3 == s2, "restarted maintainer must resume the committed snapshot")
       // time travel: both retained versions are readable (v1 = current,
       // v0 = previous); unwritten versions raise — the q124 read API
