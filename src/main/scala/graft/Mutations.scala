@@ -218,6 +218,16 @@ object Mutations {
                                 //   history — the flapping-alert bug: a
                                 //   periodic key re-reports as new on
                                 //   every cadence day
+    "q340_bootstrap_fixed_denominator", // each Poisson replica's weighted
+                                //   sum divided by the SOURCE SIZE N
+                                //   instead of the replica's Σw — every
+                                //   estimate biases toward (Σw/N)·point
+                                //   and the interval narrows
+    "q341_bcubed_self_excluded", // per-doc cluster∩gold overlap counted
+                                //   WITHOUT the doc itself — the classic
+                                //   B-cubed off-by-one: singletons score
+                                //   0 instead of perfect, every band's
+                                //   precision/recall drops
     "q338_weight_ignores_key",  // rendezvous weight computed on the
                                 //   NODE alone — every key elects the
                                 //   same winner: moved_bp reads a

@@ -91,6 +91,103 @@ object CurationQueries {
         "planted rows would silently merge; rescale the offset")).isNull,
       idCol + offset)
 
+  /** q335/q339's shared prompt log: instruction templates (doc_id mod 3)
+    * prepended to per-doc payloads, plus exact re-submissions
+    * (doc_id ≡ 2 mod 13, planted at +5M — the retry/regenerate
+    * pattern). Returns (doc_id, toks, n_toks). */
+  private def prefixCachePrompts(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0,
+          lit("please summarize the following document for me : "))
+          .when(col("doc_id") % 3 === 1,
+            lit("please translate the following text into french : "))
+          .otherwise(lit("")),
+        col("text")).as("prompt"))
+    val resubmits = base.filter(col("doc_id") % 13 === 2)
+      .select(plantedId(col("doc_id"), 5000000L).as("doc_id"), col("prompt"))
+    base.unionByName(resubmits)
+      .select(col("doc_id"), split(col("prompt"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_toks"))
+  }
+
+  private val PrefixCacheKs = Seq(4, 8, 16)
+
+  /** The (k, prefix) cache-group census — map-side explode over the
+    * swept depths, then ONE (k, pfx)-keyed aggregation. This is the
+    * stateless+stateful split q339 streams: the explode rides the
+    * micro-batch map, the groupBy is the state store. */
+  private def prefixGroups(prompts: DataFrame): DataFrame =
+    prompts.select(col("n_toks"),
+        explode(array(PrefixCacheKs.map(k =>
+          struct(lit(k).as("k"),
+            when(col("n_toks") >= k,
+              concat_ws(" ", expr(s"slice(toks, 1, $k)"))).as("pfx"))): _*))
+          .as("x"))
+      .select(col("x.k").as("k"), col("x.pfx").as("pfx"), col("n_toks"))
+      .filter(col("pfx").isNotNull)
+      .groupBy("k", "pfx")
+      .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("grp_toks"))
+
+  /** ONE DuckDB oracle for q335 AND its streaming twin q339 — the
+    * streamed census over the finite source must equal the batch
+    * report row for row. */
+  private val prefixCacheOracle: String = {
+    def arm(k: Int): String =
+      s"""SELECT $k AS k,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS n_prompts,
+             CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+               AS n_shared_prompts,
+             CAST(sum(CASE WHEN n >= 2 THEN (n - 1) * $k ELSE 0 END)
+               AS BIGINT) AS cacheable_tokens,
+             CAST(sum(CASE WHEN n >= 2 THEN (n - 1) * $k ELSE 0 END)
+               * 10000 // sum(grp_toks) AS BIGINT) AS hit_bp
+          FROM (SELECT array_to_string(toks[1:$k], ' ') AS pfx,
+                       count(*) AS n, sum(n_toks) AS grp_toks
+                FROM ptoks WHERE n_toks >= $k GROUP BY 1)"""
+    s"""WITH base AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0
+                 THEN 'please summarize the following document for me : '
+                      || text
+                 WHEN doc_id % 3 = 1
+                 THEN 'please translate the following text into french : '
+                      || text
+                 ELSE text END AS prompt
+          FROM documents),
+        prompts AS (SELECT doc_id, prompt FROM base
+                    UNION ALL
+                    SELECT doc_id + 5000000 AS doc_id, prompt FROM base
+                    WHERE doc_id % 13 = 2),
+        ptoks AS (SELECT doc_id, str_split(prompt, ' ') AS toks,
+                         CAST(len(str_split(prompt, ' ')) AS BIGINT)
+                           AS n_toks
+                  FROM prompts)
+        ${arm(4)} UNION ALL ${arm(8)} UNION ALL ${arm(16)}
+        ORDER BY k"""
+  }
+
+  /** Per-depth cache report over [[prefixGroups]] output — carries the
+    * q335 first-occupant knob (the ONE seam; q339 red-cases with it). */
+  private def prefixCacheReport(groups: DataFrame): DataFrame = {
+    val hitTokens =
+      if (graft.Mutations.on("q335_cache_counts_first")) "n" else "n - 1"
+    groups.groupBy("k")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("n")).as("n_prompts"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L))
+          .as("n_shared_prompts"),
+        sum(when(col("n") >= 2, expr(s"($hitTokens) * k"))
+          .otherwise(0L)).as("cacheable_tokens"),
+        sum(col("grp_toks")).as("total_tokens"))
+      .select(col("k").cast("int").as("k"), col("n_groups"), col("n_prompts"),
+        col("n_shared_prompts"), col("cacheable_tokens"),
+        expr("cacheable_tokens * 10000 DIV total_tokens").as("hit_bp"))
+      .orderBy("k")
+  }
+
   /** Shared-count threshold: a (corpus doc, bench doc) pair with at least
     * this many distinct common 8-grams is flagged as contaminated. */
   private[ext] val ContaminationMinOverlap = 3
@@ -828,43 +925,25 @@ object CurationQueries {
     // n·k cached tokens instead of (n−1)·k — the first occupant (who
     // MISSES and pays the prefill) billed as a hit; every shared group
     // inflates.
-    "q335_prefix_cache" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val base = docs.select(col("doc_id"),
-        concat(
-          when(col("doc_id") % 3 === 0,
-            lit("please summarize the following document for me : "))
-            .when(col("doc_id") % 3 === 1,
-              lit("please translate the following text into french : "))
-            .otherwise(lit("")),
-          col("text")).as("prompt"))
-      val resubmits = base.filter(col("doc_id") % 13 === 2)
-        .select(plantedId(col("doc_id"), 5000000L).as("doc_id"), col("prompt"))
-      val prompts = base.unionByName(resubmits)
-        .select(col("doc_id"), split(col("prompt"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("long").as("n_toks"))
-      val hitTokens =
-        if (graft.Mutations.on("q335_cache_counts_first")) "n" else "n - 1"
-      val perK = Seq(4, 8, 16).map { k =>
-        prompts.filter(col("n_toks") >= k)
-          .select(col("n_toks"),
-            concat_ws(" ", expr(s"slice(toks, 1, $k)")).as("pfx"))
-          .groupBy("pfx")
-          .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("grp_toks"))
-          .agg(
-            count(lit(1)).as("n_groups"),
-            sum(col("n")).as("n_prompts"),
-            sum(when(col("n") >= 2, col("n")).otherwise(0L))
-              .as("n_shared_prompts"),
-            sum(when(col("n") >= 2, expr(s"($hitTokens) * $k"))
-              .otherwise(0L)).as("cacheable_tokens"),
-            sum(col("grp_toks")).as("total_tokens"))
-          .select(lit(k).as("k"), col("n_groups"), col("n_prompts"),
-            col("n_shared_prompts"), col("cacheable_tokens"),
-            expr("cacheable_tokens * 10000 DIV total_tokens").as("hit_bp"))
-      }
-      perK.reduce(_ unionByName _).orderBy("k")
+    "q335_prefix_cache" -> ((s, d) =>
+      prefixCacheReport(prefixGroups(prefixCachePrompts(
+        Tables.documents(s, d).select("doc_id", "text"))))),
+
+    // q335 AT INGEST — prefix-cache accounting where serving actually
+    // meters it: the prompt construction and the (k, prefix) explode are
+    // STATELESS map work on the stream (ONE shared prompt/report seam
+    // with q335, so the first-occupant knob red-cases both), the ONE
+    // stateful operator is the (k, prefix) count/token-sum through the
+    // state store — state is key-spaced (distinct prefixes × 3 depths),
+    // never prompt-spaced — and the per-k rollup reads the COMPLETED
+    // table (the q220 discipline). Oracle is q335's verbatim; a spec
+    // pins stream == batch row-for-row.
+    "q339_stream_prefix_cache" -> ((s, d) => {
+      val sdocs = graft.streaming.StreamingPipelines.documentsStream(s, d)
+        .select("doc_id", "text")
+      val groups = prefixGroups(prefixCachePrompts(sdocs))
+      prefixCacheReport(
+        graft.streaming.StreamingPipelines.runToCompletion(s, groups))
     }),
 
     "q101_contamination" -> ((s, d) => {
@@ -2234,40 +2313,11 @@ object CurationQueries {
     // routes (exact join / bloom-routed / bloom-routed at ingest)
     "q333_stream_decontamination" -> OContaminationVerdict,
 
-    "q335_prefix_cache" -> {
-      def arm(k: Int): String =
-        s"""SELECT $k AS k,
-               CAST(count(*) AS BIGINT) AS n_groups,
-               CAST(sum(n) AS BIGINT) AS n_prompts,
-               CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
-                 AS n_shared_prompts,
-               CAST(sum(CASE WHEN n >= 2 THEN (n - 1) * $k ELSE 0 END)
-                 AS BIGINT) AS cacheable_tokens,
-               CAST(sum(CASE WHEN n >= 2 THEN (n - 1) * $k ELSE 0 END)
-                 * 10000 // sum(grp_toks) AS BIGINT) AS hit_bp
-            FROM (SELECT array_to_string(toks[1:$k], ' ') AS pfx,
-                         count(*) AS n, sum(n_toks) AS grp_toks
-                  FROM ptoks WHERE n_toks >= $k GROUP BY 1)"""
-      s"""WITH base AS (SELECT doc_id,
-              CASE WHEN doc_id % 3 = 0
-                   THEN 'please summarize the following document for me : '
-                        || text
-                   WHEN doc_id % 3 = 1
-                   THEN 'please translate the following text into french : '
-                        || text
-                   ELSE text END AS prompt
-            FROM documents),
-          prompts AS (SELECT doc_id, prompt FROM base
-                      UNION ALL
-                      SELECT doc_id + 5000000 AS doc_id, prompt FROM base
-                      WHERE doc_id % 13 = 2),
-          ptoks AS (SELECT doc_id, str_split(prompt, ' ') AS toks,
-                           CAST(len(str_split(prompt, ' ')) AS BIGINT)
-                             AS n_toks
-                    FROM prompts)
-          ${arm(4)} UNION ALL ${arm(8)} UNION ALL ${arm(16)}
-          ORDER BY k"""
-    },
+    "q335_prefix_cache" -> prefixCacheOracle,
+
+    // the streamed census over the finite source must equal the batch
+    // report exactly — ONE oracle for both engines' executions
+    "q339_stream_prefix_cache" -> prefixCacheOracle,
 
     "q334_encoding_hygiene" ->
       s"""WITH planted AS (SELECT doc_id, source,

@@ -25,6 +25,58 @@ object DedupEvalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    // B-CUBED CLUSTER-QUALITY EVAL — the per-ELEMENT clustering score
+    // (Bagga & Baldwin 1998) the pair-level evals (q210's candidate
+    // precision/recall, q255's composition shift) don't expose: for each
+    // doc, precision = |C(d) ∩ G(d)| / |C(d)| and recall = / |G(d)|,
+    // where C is the production LSH+CC cluster and G the PLANTED gold
+    // class (base doc ∪ its +1M exact copy ∪ its +2M near-dup — gold =
+    // doc_id mod 1M, free truth from the corpus construction). B-cubed
+    // punishes exactly what pair counting flatters: one mega-cluster
+    // scores near-zero precision per swallowed doc, a shattered class
+    // near-zero recall per fragment. Reported per cluster-size band
+    // (singleton / pair / multi) + 'all', in integer bp (per-doc DIV,
+    // band mean DIV, harmonic F1 from the band means — hash-exact).
+    // Scale: three aggregations over the MEMOIZED cluster ledger
+    // ([[DedupQueries.sharedClusters]]) keyed by (cluster, gold) — no
+    // new heavy machinery, the eval is a downstream read of the ledger
+    // like q212/q255/q277.
+    // Mutation seam (knob OFF in every production plan): the classic
+    // B-cubed off-by-one — the overlap counted WITHOUT the doc itself.
+    "q341_bcubed_cluster_eval" -> ((s, d) => {
+      val adj =
+        if (graft.Mutations.on("q341_bcubed_self_excluded")) -1L else 0L
+      val gold = sharedClusters(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") % 1000000L).as("gold"))
+      val cell = gold.groupBy("cluster_id", "gold")
+        .agg(count(lit(1)).as("ng"))
+      val csz = gold.groupBy("cluster_id").agg(count(lit(1)).as("nc"))
+      val gsz = gold.groupBy("gold").agg(count(lit(1)).as("ngold"))
+      val perDoc = gold.join(cell, Seq("cluster_id", "gold"))
+        .join(csz, "cluster_id").join(gsz, "gold")
+        .select(
+          expr("CASE WHEN nc = 1 THEN 'singleton' WHEN nc = 2 THEN 'pair' " +
+            "ELSE 'multi' END").as("cband"),
+          expr(s"((ng + $adj) * 10000) DIV nc").as("prec_bp"),
+          expr(s"((ng + $adj) * 10000) DIV ngold").as("rec_bp"))
+      perDoc
+        .select(explode(array(lit("all"), col("cband"))).as("band"),
+          col("prec_bp"), col("rec_bp"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("prec_bp")).as("ps"), sum(col("rec_bp")).as("rs"))
+        .select(col("band"), col("n_docs"),
+          expr("ps DIV n_docs").as("bcubed_precision_bp"),
+          expr("rs DIV n_docs").as("bcubed_recall_bp"))
+        .withColumn("f1_bp", expr(
+          "CASE WHEN bcubed_precision_bp + bcubed_recall_bp = 0 " +
+            "THEN CAST(0 AS BIGINT) " +
+            "ELSE (2 * bcubed_precision_bp * bcubed_recall_bp) DIV " +
+            "(bcubed_precision_bp + bcubed_recall_bp) END"))
+        .orderBy("band")
+    }),
+
     // SKETCH-ESTIMATOR ERROR AUDIT — the number every MinHash dedup
     // decision silently rides: how far the 8-lane signature's Jaccard
     // estimate Ĵ = equal_lanes/8 sits from the exact shingle Jaccard,
@@ -744,6 +796,43 @@ object DedupEvalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q341_bcubed_cluster_eval" ->
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql,
+          $cappedBandsSql, $pairsSql,
+          ${ccSqlCtes("cc")},
+          gold AS (SELECT doc_id, cluster_id, doc_id % 1000000 AS gold
+                   FROM cc),
+          cell AS (SELECT cluster_id, gold, CAST(count(*) AS BIGINT) AS ng
+                   FROM gold GROUP BY 1, 2),
+          csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS nc
+                  FROM gold GROUP BY 1),
+          gsz AS (SELECT gold, CAST(count(*) AS BIGINT) AS ngold
+                  FROM gold GROUP BY 1),
+          per AS (SELECT CASE WHEN nc = 1 THEN 'singleton'
+                              WHEN nc = 2 THEN 'pair'
+                              ELSE 'multi' END AS cband,
+                         (ng * 10000) // nc AS prec_bp,
+                         (ng * 10000) // ngold AS rec_bp
+                  FROM gold
+                  JOIN cell USING (cluster_id, gold)
+                  JOIN csz USING (cluster_id)
+                  JOIN gsz USING (gold)),
+          banded AS (SELECT unnest(['all', cband]) AS band, prec_bp, rec_bp
+                     FROM per),
+          agg AS (SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(prec_bp) // count(*) AS BIGINT)
+                           AS bcubed_precision_bp,
+                         CAST(sum(rec_bp) // count(*) AS BIGINT)
+                           AS bcubed_recall_bp
+                  FROM banded GROUP BY band)
+          SELECT band, n_docs, bcubed_precision_bp, bcubed_recall_bp,
+                 CASE WHEN bcubed_precision_bp + bcubed_recall_bp = 0
+                      THEN CAST(0 AS BIGINT)
+                      ELSE CAST((2 * bcubed_precision_bp * bcubed_recall_bp)
+                             // (bcubed_precision_bp + bcubed_recall_bp)
+                             AS BIGINT) END AS f1_bp
+          FROM agg ORDER BY band""",
+
     "q317_sketch_error" -> {
       val eq = (0 until 8)
         .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")

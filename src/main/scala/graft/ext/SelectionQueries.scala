@@ -108,7 +108,72 @@ object SelectionQueries {
                 FROM corpus)),
         binned AS (SELECT *, least(pred_bp // 1000, 9) AS bin FROM scored)"""
 
+  /** q340's replica count and the Poisson(1) inverse-CDF thresholds on
+    * the [[SamplingPipeline.drawExpr]] scale (16^5 = 2^20): threshold_k
+    * = ⌊CDF_Poisson(1)(k) · 2^20⌋, so draw < threshold_k ⟺ the replica
+    * weight is ≤ k. Integer constants, identical CASE in both engines. */
+  private val BootstrapReplicas = 32
+  private val PoissonCase: String = {
+    // CDF(0..5) of Poisson(1) scaled by 2^20; tail mass beyond 6 is
+    // < 6e-4 of 2^20 and maps to weight 6 (documented truncation)
+    val th = Seq(385749L, 771499L, 964374L, 1028665L, 1044738L, 1047952L)
+    th.zipWithIndex.map { case (t, k) => s"WHEN drw < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+  }
+
   def queries: Map[String, Q] = Map(
+    // POISSON-BOOTSTRAP CONFIDENCE INTERVALS — the uncertainty readout
+    // every per-source corpus stat (and every eval metric) should ship
+    // with, computed THE distributed way: a classical bootstrap
+    // resamples N rows with replacement per replica (a global shuffle
+    // per replica — unrunnable at 100 TB), while the Poisson bootstrap
+    // gives each row an independent Poisson(1) weight per replica, so
+    // ALL R replicas ride ONE map-side explode + ONE (source, replica)
+    // aggregation. Weights are deterministic md5 draws through the
+    // shared integer inverse-CDF ladder ([[PoissonCase]]), so both
+    // engines draw identical replicas. Metric: per-source mean doc
+    // length in ppm; the interval is the [2nd, 31st] order statistic
+    // of the 32 replica estimates (a ~93.75% central interval — rank
+    // positions, not interpolated percentiles, so integer-exact).
+    // Mutation seam (knob OFF in every production plan): the classic
+    // fixed-denominator slip — dividing each replica's weighted sum by
+    // the SOURCE SIZE N instead of the replica's Σw biases every
+    // estimate toward (Σw/N)·point and narrows the interval.
+    "q340_bootstrap_ci" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val reps = docs.select(col("source"), col("doc_id"), col("n_chars"),
+        explode(expr(s"sequence(0, ${BootstrapReplicas - 1})")).as("r"))
+      val draw = SamplingPipeline.drawExpr(
+        "concat(cast(doc_id as string), '#', cast(r as string))", "boot")
+      val denom =
+        if (graft.Mutations.on("q340_bootstrap_fixed_denominator")) "nr"
+        else "sw"
+      val est = reps
+        .withColumn("drw", expr(draw))
+        .withColumn("w", expr(PoissonCase).cast("long"))
+        .groupBy("source", "r")
+        .agg(sum(col("w") * col("n_chars")).as("swx"), sum(col("w")).as("sw"),
+          count(lit(1)).as("nr"))
+        .select(col("source"), col("r"),
+          expr(s"CASE WHEN sw = 0 THEN CAST(0 AS BIGINT) " +
+            s"ELSE (swx * 1000000) DIV ($denom) END").as("est_ppm"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("est_ppm"), col("r"))
+      val ci = est.withColumn("rn", row_number().over(rw))
+        .groupBy("source")
+        .agg(max(when(col("rn") === 2, col("est_ppm"))).as("lo_ppm"),
+          max(when(col("rn") === BootstrapReplicas - 1, col("est_ppm")))
+            .as("hi_ppm"))
+      val point = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("(sum(n_chars) * 1000000) DIV count(*)").as("point_ppm"))
+      point.join(ci, "source")
+        .select(col("source"), col("n_docs"), col("point_ppm"),
+          col("lo_ppm"), col("hi_ppm"),
+          (col("hi_ppm") - col("lo_ppm")).as("width_ppm"))
+        .orderBy("source")
+    }),
+
     // CALIBRATION AUDIT + HISTOGRAM-BINNING RECALIBRATION (ECE) — the
     // check a team runs before using a quality filter's scores as
     // probabilities or sampling weights: a score can RANK perfectly and
@@ -657,6 +722,39 @@ object SelectionQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q340_bootstrap_ci" -> {
+      val draw = SamplingPipeline.drawExpr(
+        "concat(cast(doc_id as string), '#', cast(r as string))", "boot")
+      s"""WITH reps AS (SELECT source, doc_id, n_chars, r
+                        FROM documents
+                        CROSS JOIN (SELECT unnest(generate_series(0,
+                          ${BootstrapReplicas - 1})) AS r)),
+          drawn AS (SELECT source, r, n_chars, $draw AS drw FROM reps),
+          wtab AS (SELECT source, r, n_chars, $PoissonCase AS w FROM drawn),
+          est AS (SELECT source, r,
+                    CASE WHEN sum(w) = 0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST((sum(w * n_chars) * 1000000) // sum(w)
+                                AS BIGINT) END AS est_ppm
+                  FROM wtab GROUP BY source, r),
+          ranked AS (SELECT source, est_ppm,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY est_ppm, r) AS rn
+                     FROM est),
+          ci AS (SELECT source,
+                   max(CASE WHEN rn = 2 THEN est_ppm END) AS lo_ppm,
+                   max(CASE WHEN rn = ${BootstrapReplicas - 1}
+                       THEN est_ppm END) AS hi_ppm
+                 FROM ranked GROUP BY source),
+          pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT)
+                     AS point_ppm
+                 FROM documents GROUP BY source)
+          SELECT pt.source, n_docs, point_ppm, lo_ppm, hi_ppm,
+                 hi_ppm - lo_ppm AS width_ppm
+          FROM pt JOIN ci ON ci.source = pt.source
+          ORDER BY pt.source"""
+    },
+
     "q325_ranking_auc" ->
       s"""WITH $HexScoredSql,
           tie AS (

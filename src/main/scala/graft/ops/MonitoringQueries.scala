@@ -64,6 +64,50 @@ object MonitoringQueries {
       .orderBy("source")
   }
 
+  /** q337/q342's shared drift plant + per-(day, key) census: day-relative
+    * rows (d0 = the corpus' min day, a broadcast 1-row cross — stream-
+    * static when the input streams), three planted drifts (a v2_flag
+    * rollout from day 10, a k→kk rename from day 20, a periodic
+    * audit_tag every 5th day), then the key explode and the ONE
+    * (day, key) aggregation — the stateful operator when streamed.
+    * Input needs (event_id, aday, props). */
+  private def schemaDriftPerDayKey(ev: DataFrame, d0: DataFrame): DataFrame = {
+    val rel = ev.crossJoin(broadcast(d0)) // 1-row — control-plane
+      .select(col("event_id"), (col("aday") - col("d0")).as("day"),
+        col("props"))
+    val mutated = rel.select(col("day"),
+      when(col("event_id") % 7 === 2 && col("day") >= 10,
+        expr("concat(substring(props, 1, length(props) - 1), " +
+          "', \"v2_flag\": 1}')"))
+        .when(col("event_id") % 7 === 4 && col("day") >= 20,
+          regexp_replace(col("props"), "\"k\"", "\"kk\""))
+        .when(col("event_id") % 31 === 3 && col("day") % 5 === 0,
+          expr("concat(substring(props, 1, length(props) - 1), " +
+            "', \"audit_tag\": 1}')"))
+        .otherwise(col("props")).as("props"))
+    mutated
+      .select(col("day"), explode(expr("json_object_keys(props)")).as("key"))
+      .groupBy("day", "key").agg(count(lit(1)).as("n_events"))
+  }
+
+  /** First-seen/newness flags over the census — carries the q337
+    * prev-day-only knob (the ONE seam; q342 red-cases with it). */
+  private def schemaDriftFlags(perDayKey: DataFrame): DataFrame = {
+    val firstSeen = perDayKey.groupBy("key")
+      .agg(min(col("day")).as("first_seen_day"))
+    val base = perDayKey.join(firstSeen, "key")
+    if (graft.Mutations.on("q337_new_vs_prev_day_only")) {
+      val prev = perDayKey.select(col("key"), (col("day") + 1).as("day"),
+        lit(1L).as("seen_prev"))
+      base.join(prev, Seq("key", "day"), "left")
+        .select(col("day"), col("key"), col("n_events"),
+          col("first_seen_day"), col("seen_prev").isNull.as("is_new"))
+    } else
+      base.select(col("day"), col("key"), col("n_events"),
+        col("first_seen_day"),
+        (col("day") === col("first_seen_day")).as("is_new"))
+  }
+
   def queries: Map[String, Q] = Map(
     // AUTOCORRELATION of an aggregated time series — the seasonality
     // probe (does last hour predict this hour?) over per-type hourly
@@ -299,37 +343,34 @@ object MonitoringQueries {
       val ev = Tables.events(s, d).select(col("event_id"),
         expr("unix_micros(ts) DIV 86400000000").as("aday"), col("props"))
       val d0 = ev.agg(min(col("aday")).as("d0"))
-      val rel = ev.crossJoin(broadcast(d0)) // 1-row — control-plane
-        .select(col("event_id"), (col("aday") - col("d0")).as("day"),
-          col("props"))
-      val mutated = rel.select(col("day"),
-        when(col("event_id") % 7 === 2 && col("day") >= 10,
-          expr("concat(substring(props, 1, length(props) - 1), " +
-            "', \"v2_flag\": 1}')"))
-          .when(col("event_id") % 7 === 4 && col("day") >= 20,
-            regexp_replace(col("props"), "\"k\"", "\"kk\""))
-          .when(col("event_id") % 31 === 3 && col("day") % 5 === 0,
-            expr("concat(substring(props, 1, length(props) - 1), " +
-              "', \"audit_tag\": 1}')"))
-          .otherwise(col("props")).as("props"))
-      val perDayKey = mutated
-        .select(col("day"), explode(expr("json_object_keys(props)")).as("key"))
-        .groupBy("day", "key").agg(count(lit(1)).as("n_events"))
-      val firstSeen = perDayKey.groupBy("key")
-        .agg(min(col("day")).as("first_seen_day"))
-      val base = perDayKey.join(firstSeen, "key")
-      val out =
-        if (graft.Mutations.on("q337_new_vs_prev_day_only")) {
-          val prev = perDayKey.select(col("key"), (col("day") + 1).as("day"),
-            lit(1L).as("seen_prev"))
-          base.join(prev, Seq("key", "day"), "left")
-            .select(col("day"), col("key"), col("n_events"),
-              col("first_seen_day"), col("seen_prev").isNull.as("is_new"))
-        } else
-          base.select(col("day"), col("key"), col("n_events"),
-            col("first_seen_day"),
-            (col("day") === col("first_seen_day")).as("is_new"))
-      out.orderBy("day", "key")
+      schemaDriftFlags(schemaDriftPerDayKey(ev, d0)).orderBy("day", "key")
+    }),
+
+    // q337 AT INGEST — schema-drift monitoring where a pipeline actually
+    // wants it (on the feed, not a day-later batch sweep): the plant and
+    // the key explode are STATELESS map work on the stream (ONE shared
+    // plant/census/flag seam with q337, so the prev-day knob red-cases
+    // both), the ONE stateful operator is the (day, key) count through
+    // the state store — state is days × distinct keys, never
+    // event-spaced — and first-seen/newness read the COMPLETED census
+    // (the q220 discipline). The stream-static cross is the 1-row day
+    // origin, broadcast. Oracle is q337's verbatim; a spec pins
+    // stream == batch row-for-row.
+    "q342_stream_schema_drift" -> ((s, d) => {
+      val bev = Tables.events(s, d)
+        .select(expr("unix_micros(ts) DIV 86400000000").as("aday"))
+      val d0 = bev.agg(min(col("aday")).as("d0"))
+      val sev = graft.streaming.StreamingPipelines.eventsStream(s, d)
+        .select(col("event_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("aday"), col("props"))
+      val census = schemaDriftPerDayKey(sev, d0)
+      // localCheckpoint breaks the memory-sink lineage BEFORE the flags'
+      // self-join (firstSeen joins the census against its own rollup) —
+      // the q227 conflicting-refs landmine; the checkpointed table is
+      // days × keys rows
+      val done = graft.streaming.StreamingPipelines.runToCompletion(s, census)
+        .localCheckpoint()
+      schemaDriftFlags(done).orderBy("day", "key")
     }),
 
     "q222_trend_slope" -> ((s, d) => {
@@ -1296,9 +1337,9 @@ object MonitoringQueries {
             ON nn.event_type = e.event_type AND e.i = nn.n_days
           ORDER BY e.event_type"""
 
-  def oracles: Map[String, String] = Map(
-    "q337_json_schema_drift" ->
-      """WITH ev AS (SELECT event_id,
+  /** ONE DuckDB oracle for q337 AND its streaming twin q342. */
+  private val schemaDriftOracle: String =
+    """WITH ev AS (SELECT event_id,
                  epoch_us(ts) // 86400000000 AS aday, props FROM events),
           d0 AS (SELECT min(aday) AS d0 FROM ev),
           rel AS (SELECT event_id, aday - d0.d0 AS day, props
@@ -1321,7 +1362,14 @@ object MonitoringQueries {
           SELECT p.day, p.key, p.n_events, f.first_seen_day,
                  p.day = f.first_seen_day AS is_new
           FROM pdk p JOIN fs f ON f.key = p.key
-          ORDER BY p.day, p.key""",
+          ORDER BY p.day, p.key"""
+
+  def oracles: Map[String, String] = Map(
+    "q337_json_schema_drift" -> schemaDriftOracle,
+
+    // the streamed census over the finite source must equal the batch
+    // report exactly — ONE oracle for both engines' executions
+    "q342_stream_schema_drift" -> schemaDriftOracle,
 
     "q177_autocorrelation" ->
       """WITH hourly AS (
