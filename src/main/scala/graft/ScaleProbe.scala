@@ -130,7 +130,12 @@ object ScaleProbe {
       "q334_encoding_hygiene" -> "mojibake census (map-only detectors + source/class aggregate)",
       "q335_prefix_cache" -> "KV prefix-cache accounting sweep (3 prefix-keyed passes)",
       "q337_json_schema_drift" -> "JSON payload key census (map-only extraction + days x keys rollup)",
-      "q338_shard_rebalance" -> "rendezvous vs mod-hash shard movement on fleet growth (in-row argmax folds)")
+      "q338_shard_rebalance" -> "rendezvous vs mod-hash shard movement on fleet growth (in-row argmax folds)",
+      // round-16 additions (q339/q342 are excluded like q310/q333: a
+      // one-micro-batch streaming run carries no asymptotic signal —
+      // their data paths are q335's/q337's, probed here)
+      "q340_bootstrap_ci" -> "Poisson-bootstrap CIs (32 replicas in one map-side explode + one aggregation)",
+      "q341_bcubed_cluster_eval" -> "B-cubed cluster quality vs planted gold (memoized-ledger reads)")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -217,6 +222,16 @@ object ScaleProbe {
       "q338_shard_rebalance" -> ("two fixed-size in-row transform+argmax " +
         "folds per key, then an (arm, shard) aggregate — wholly " +
         "map-only, the exponent is scan throughput"),
+      "q340_bootstrap_ci" -> ("the 32-way replica explode is map-side " +
+        "(constant fan-out, no shuffle growth); the only exchanges are " +
+        "the (source, replica) partial aggregation and a " +
+        "sources x 32-row rank window — the exponent is scan+explode " +
+        "throughput"),
+      "q341_bcubed_cluster_eval" -> ("downstream read of the memoized " +
+        "LSH+CC ledger (built once per session, shared with " +
+        "q54/q212/q255/q277/q296): three (cluster, gold)-keyed " +
+        "aggregations plus a band rollup — at a COLD 10x the ledger " +
+        "build dominates, which is q54's probed path"),
       "q330_span_decontamination" -> ("the gram scan is q101's map-only " +
         "broadcast-join shape; positions per doc are doc-length-bounded " +
         "and the island window partitions by doc_id — linear in corpus " +

@@ -588,9 +588,7 @@ object SimilarityQueries {
     // table — the whole point of cascading; the vector side joins on
     // its key, no scan of the embedding corpus beyond the join.
     "q231_rerank_cascade" -> ((s, d) => {
-      val cand = TextQueries.bm25TopK(
-        Tables.documents(s, d).select("doc_id", "text"),
-        col("doc_id") % 50 === 0, 20)
+      val cand = TextQueries.sharedDocBm25Top20(s, d)
       val n = normed(s, d)
       val qv = n.select(col("vec_id").as("qid"),
         col("embedding").as("qe"), col("nrm").as("qn"))
@@ -1204,6 +1202,44 @@ object SimilarityQueries {
           expr("CAST(sum(recall_bp) OVER (PARTITION BY strategy) " +
             "DIV count(*) OVER (PARTITION BY strategy) AS BIGINT)"))
         .orderBy("strategy", "qid")
+    }),
+
+    // STREAMING ANN INGEST — the index-maintenance half the batch IVF
+    // family (q51 build, q128 incremental, q237 rebalance plan) leaves
+    // to a scheduled job: route ARRIVING vectors to their nearest seed
+    // centroid AT INGEST and keep the per-cell census (count, id sum,
+    // min id) in the state store — the signal a deployment watches to
+    // trigger q237's rebalance. The centroid table is a BATCH static
+    // (the q333 discipline) collected once — 16 rows, a control-plane
+    // pick like the BPE merge table — and burned into a map-side
+    // argmax: per row, 16 codegen'd dot products against literal
+    // centroid arrays, array_max over (ccos, -cent_id) structs (ties to
+    // the SMALLER cell id, exactly cellAssign's window order). No
+    // per-vector window, no stream self-join; the ONE stateful operator
+    // is the |cells|-keyed census. Rides the q51 seedCentroids seam, so
+    // the fencepost knob red-cases this member too. Oracle recomputes
+    // the assignment relationally (q303's CTE chain) — streamed ingest
+    // over the finite source must equal the batch census row for row.
+    "q343_stream_ann_ingest" -> ((s, d) => {
+      val cents = seedCentroids(normed(s, d))
+        .select("cent_id", "ce", "cn").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1)
+      val nrm = VectorOps.norm(col("embedding"))
+      val scored = cents.map { case (id, ce, cn) =>
+        struct(
+          (VectorOps.dotSeq(col("embedding"), typedlit(ce)) / (nrm * lit(cn)))
+            .as("ccos"),
+          lit(-id).as("nid"))
+      }
+      val best = array_max(array(scored.toIndexedSeq: _*))
+      val agg = graft.streaming.StreamingPipelines.embeddingsStream(s, d)
+        .select(col("vec_id"), (-best.getField("nid")).as("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"),
+          min(col("vec_id")).as("id_min"))
+      graft.streaming.StreamingPipelines.runToCompletion(s, agg)
+        .orderBy("cell")
     }),
 
     "q303_cluster_balanced_sample" -> ((s, d) => {
@@ -2756,6 +2792,24 @@ object SimilarityQueries {
           WHERE xr = 1 AND yr = 1 ORDER BY x_id""",
 
     // q303: the q51 assignment CTEs, the shared md5 draw, √-quota keep.
+    "q343_stream_ann_ingest" ->
+      s"""WITH $normedSql,
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                   FROM n WHERE vec_id < 16),
+          ac AS (SELECT n.vec_id, cent.cent_id,
+                        ${VectorOps.oDot("n.embedding", "cent.ce")} / (n.nrm * cent.cn)
+                          AS ccos
+                 FROM n CROSS JOIN cent),
+          assign AS (SELECT vec_id, cent_id AS cell FROM (
+                       SELECT vec_id, cent_id,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1)
+          SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+                 CAST(sum(vec_id) AS BIGINT) AS id_sum,
+                 CAST(min(vec_id) AS BIGINT) AS id_min
+          FROM assign GROUP BY cell ORDER BY cell""",
+
     "q303_cluster_balanced_sample" -> {
       val draw = SamplingPipeline.drawExpr("vec_id", "cbs")
       s"""WITH $normedSql,

@@ -87,6 +87,23 @@ object TextQueries {
       .select("qid", "rank", "doc_id", "score")
   }
 
+  /** Session-memoized BM25 top-20 over the plain documents corpus with
+    * the mod-50 query set — q125 (top-10 = a rank filter of it) and
+    * q231 (stage-1 cascade candidates) are two reads of ONE lexical
+    * index build (r16: the cluster-ledger / NSW-memo discipline applied
+    * to BM25; the two queries each rebuilt the identical tf/idf/posting
+    * chain per pass). Knob-free path, so the memo needs no knob key;
+    * pinned via localCheckpoint — |queries|·20 rows. */
+  private val bm25Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def clearBm25Cache(): Unit = bm25Cache.clear()
+
+  private[ext] def sharedDocBm25Top20(s: SparkSession, d: String): DataFrame =
+    bm25Cache.computeIfAbsent((s, d), _ =>
+      bm25TopK(Tables.documents(s, d).select("doc_id", "text"),
+        col("doc_id") % 50 === 0, 20).localCheckpoint())
+
   /** DuckDB twin of [[bm25TopK]]: the CTE chain `toks … ranked` over
     * corpus source `$src` with query predicate `$qtWhere` (over tf's
     * doc_id). The caller selects from `ranked` (qid, doc_id, score,
@@ -448,7 +465,10 @@ object TextQueries {
     // before the decimal-exact per-document sum — order-independent and
     // engine-identical.
     "q125_bm25" -> ((s, d) =>
-      bm25TopK(Tables.documents(s, d), col("doc_id") % 50 === 0, 10)
+      // top-10 = a rank filter of the memoized top-20 (same scoring,
+      // same window order — the index is built once per session and
+      // shared with q231's cascade)
+      sharedDocBm25Top20(s, d).filter(col("rank") <= 10)
         .orderBy("qid", "rank")),
 
     // KNOWN-ITEM retrieval eval — the self-labeling quality gate for the

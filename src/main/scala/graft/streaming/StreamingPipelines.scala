@@ -45,6 +45,13 @@ object StreamingPipelines {
       .parquet(sfDir)
   }
 
+  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = graft.Tables.embeddings(spark, sfDir).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+  }
+
   /** Tumbling 1h windows with a 10-minute watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

@@ -462,19 +462,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q275: the trigram literal filter prunes the explode before any exchange") {
+  test("q275: one map-side scan — no joins, one rollup exchange") {
     withAqeOff {
       val p = plan("q275_trigram_search")
-      // the pattern-trigram IN filter must sit below the first shuffle:
-      // the posting exchange may only carry docs × matched trigrams,
-      // never the full 298-trigrams-per-doc stream
-      val exchangeAt = p.indexOf("Exchange")
-      val filterAt = p.indexOf("tri#")
-      assert(exchangeAt >= 0 && p.contains("Generate explode"))
-      val inFilterAt = p.indexOf(" IN (")
-      assert(inFilterAt > exchangeAt,
-        s"trigram IN-filter must run below (after, in plan text) the exchange:\n${p.take(1800)}")
+      // r16 shape: candidacy and direct hits are codegen'd locate()
+      // calls per (doc, pattern) — the plan must contain NO join of any
+      // kind (the r15 shape exploded a posting table and re-joined
+      // documents for verification) and exactly ONE exchange, the
+      // 3-rows-per-partition partial rollup
+      assert(!p.contains("Join"), s"q275 must be join-free:\n${p.take(1800)}")
       assert(!p.contains("CartesianProduct"))
+      // one hash rollup exchange (3 rows per partition) + the output
+      // orderBy's range exchange (3 rows total) — nothing else
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      val allEx = "Exchange".r.findAllIn(p).size
+      assert(hashEx == 1 && allEx <= 2,
+        s"q275 must have exactly one rollup exchange (+ the orderBy), " +
+          s"got $hashEx hash / $allEx total:\n${p.take(1800)}")
+      // the per-pattern arms ride one explode over the scanned text —
+      // still a single pass over documents
+      assert("Scan parquet".r.findAllIn(p).size == 1,
+        s"q275 must scan documents exactly once:\n${p.take(1800)}")
     }
   }
 
