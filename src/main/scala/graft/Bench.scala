@@ -201,6 +201,11 @@ object Bench {
       "q331_bloom_decontamination"     -> 3.5,
       "q332_ann_entry_ablation"        -> 5.0,
       "q333_stream_decontamination"    -> 4.1,
+      // round-16 additions, gated at landing from their first warm
+      // BenchOne minima (1.5x + 0.5; re-derived at round close)
+      "q339_stream_prefix_cache"       -> 2.4,
+      "q342_stream_schema_drift"       -> 3.3,
+      "q343_stream_ann_ingest"         -> 2.2,
       "q41_minhash_lsh"                -> 3.6,
       "q43_ngram_jaccard"              -> 4.3,
       "q44_embedding_neardup"          -> 1.4,

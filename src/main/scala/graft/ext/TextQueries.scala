@@ -99,7 +99,7 @@ object TextQueries {
 
   def clearBm25Cache(): Unit = bm25Cache.clear()
 
-  private[ext] def sharedDocBm25Top20(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedDocBm25Top20(s: SparkSession, d: String): DataFrame =
     bm25Cache.computeIfAbsent((s, d), _ =>
       bm25TopK(Tables.documents(s, d).select("doc_id", "text"),
         col("doc_id") % 50 === 0, 20).localCheckpoint())

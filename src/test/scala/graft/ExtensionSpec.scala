@@ -5011,6 +5011,24 @@ class ExtensionSpec extends SparkSpec {
     assert(mean >= 7500, s"mean recall@5 $mean bp — hierarchy regressed")
   }
 
+  test("BM25 index is memoized across q125/q231 and q125 is its rank filter") {
+    // r16: one lexical-index build per (session, dataset), two readers.
+    // Memo hit = identical DataFrame instance (the localCheckpoint pin).
+    val a = ext.TextQueries.sharedDocBm25Top20(spark, sf)
+    val b = ext.TextQueries.sharedDocBm25Top20(spark, sf)
+    assert(a eq b, "same (session, dataset) must reuse ONE BM25 index")
+    // q125's graded top-10 must be exactly the memo's rank<=10 slice —
+    // the filter reformulation cannot change the ranking
+    import spark.implicits._
+    val q125 = ext.TextQueries.queries("q125_bm25")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val sliced = a.filter(col("rank") <= 10)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(q125 == sliced)
+    // and q231's stage-1 candidates are the full top-20
+    assert(a.count() > sliced.size, "memo must carry the deeper top-20")
+  }
+
   test("NSW build is memoized across q308/q332 and keyed by the descent knob") {
     // r15 verdict item 2: the NN-descent build (the suite's most
     // expensive machinery) must run ONCE per (session, dataset, knob)
