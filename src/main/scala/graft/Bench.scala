@@ -206,6 +206,7 @@ object Bench {
       "q339_stream_prefix_cache"       -> 2.4,
       "q342_stream_schema_drift"       -> 3.3,
       "q343_stream_ann_ingest"         -> 2.2,
+      "q344_dedup_shard_routing"       -> 1.1,
       "q41_minhash_lsh"                -> 3.6,
       "q43_ngram_jaccard"              -> 4.3,
       "q44_embedding_neardup"          -> 1.4,

@@ -223,6 +223,12 @@ object Mutations {
                                 //   instead of the replica's Σw — every
                                 //   estimate biases toward (Σw/N)·point
                                 //   and the interval narrows
+    "q344_route_by_member_not_cluster", // the shard router keys on the
+                                //   member row's own id instead of its
+                                //   cluster id — the classic partitioner
+                                //   bug: arm b's structural zero
+                                //   cross-shard leakage becomes real
+                                //   skipped near-dup work
     "q341_bcubed_self_excluded", // per-doc cluster∩gold overlap counted
                                 //   WITHOUT the doc itself — the classic
                                 //   B-cubed off-by-one: singletons score

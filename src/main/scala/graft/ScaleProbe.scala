@@ -135,7 +135,8 @@ object ScaleProbe {
       // one-micro-batch streaming run carries no asymptotic signal —
       // their data paths are q335's/q337's, probed here)
       "q340_bootstrap_ci" -> "Poisson-bootstrap CIs (32 replicas in one map-side explode + one aggregation)",
-      "q341_bcubed_cluster_eval" -> "B-cubed cluster quality vs planted gold (memoized-ledger reads)")
+      "q341_bcubed_cluster_eval" -> "B-cubed cluster quality vs planted gold (memoized-ledger reads)",
+      "q344_dedup_shard_routing" -> "shard-key leakage plan: doc-hash vs cluster-routed over the candidate edges")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -227,6 +228,10 @@ object ScaleProbe {
         "the (source, replica) partial aggregation and a " +
         "sources x 32-row rank window — the exponent is scan+explode " +
         "throughput"),
+      "q344_dedup_shard_routing" -> ("two ledger reads + ONE pairs join " +
+        "(candidate-edge-sized); shard draws are map-side md5 — at a " +
+        "COLD 10x the ledger build dominates, which is q54's probed " +
+        "path"),
       "q341_bcubed_cluster_eval" -> ("downstream read of the memoized " +
         "LSH+CC ledger (built once per session, shared with " +
         "q54/q212/q255/q277/q296): three (cluster, gold)-keyed " +

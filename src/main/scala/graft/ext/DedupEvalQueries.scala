@@ -627,6 +627,72 @@ object DedupEvalQueries {
     // measured ~2× the query). Both arms' tags ride ONE map pass,
     // both leak counts ONE edge join; the 2-row report explodes from a
     // single 1-row aggregate pair.
+    // DEDUP SHARD-ROUTING PLAN — the operational question behind every
+    // "shard the corpus and dedup per shard" scale story (q116's own
+    // scaladoc included): which shard KEY? Hashing each doc
+    // independently strands candidate pairs across shard boundaries —
+    // every cross-shard pair is near-dup work a per-shard job silently
+    // SKIPS — while routing by cluster id (the ledger's min-reachable
+    // label) keeps every candidate pair intra-shard BY CONSTRUCTION
+    // (both endpoints of a candidate edge share a component). The
+    // report prices both arms over the production candidate edges:
+    // cross-shard pairs + leak bp (arm b must read 0 — structural, and
+    // the oracle agrees), and the BALANCE witness max_shard_share_bp —
+    // cluster routing's real risk is a mega-cluster skewing a shard,
+    // which is the number a deployment checks before switching keys
+    // (the q338 lesson: a flattering movement metric needs its balance
+    // dual). Shards are md5-draw % 8 so both engines route identically.
+    // Scale: two ledger reads + one pairs join — no new machinery.
+    // Mutation seam (knob OFF in every production plan): the classic
+    // partitioner bug — arm b routes by the MEMBER's own id instead of
+    // its cluster id; the structural 0 becomes real leakage.
+    "q344_dedup_shard_routing" -> ((s, d) => {
+      val S = 8
+      val clKey =
+        if (graft.Mutations.on("q344_route_by_member_not_cluster")) "doc_id"
+        else "cluster_id"
+      val pairs = sharedCandidatePairs(s, d)
+      def shard(keyCol: String) =
+        expr(SamplingPipeline.drawExpr(keyCol, "shardr")) % S
+      val routed = sharedClusters(s, d)
+        .select(col("doc_id"), shard("doc_id").as("sh_doc"),
+          shard(clKey).as("sh_cl"))
+        .localCheckpoint()
+      def balance(c: String, arm: String) = routed
+        .groupBy(col(c).as("shard")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("max_n"), sum(col("n")).as("tot"))
+        .select(lit(arm).as("arm"),
+          expr("(max_n * 10000) DIV tot").as("max_shard_share_bp"))
+      val bal = balance("sh_doc", "a_doc_hashed")
+        .unionByName(balance("sh_cl", "b_cluster_routed"))
+      val cross = pairs
+        .join(routed.select(col("doc_id").as("id1"), col("sh_doc").as("d1"),
+          col("sh_cl").as("c1")), "id1")
+        .join(routed.select(col("doc_id").as("id2"), col("sh_doc").as("d2"),
+          col("sh_cl").as("c2")), "id2")
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("d1") =!= col("d2"), 1L).otherwise(0L)),
+            lit(0L)).as("x_doc"),
+          coalesce(sum(when(col("c1") =!= col("c2"), 1L).otherwise(0L)),
+            lit(0L)).as("x_cl"))
+      cross.select(explode(array(
+          struct(lit("a_doc_hashed").as("arm"), col("n_pairs"),
+            col("x_doc").as("cross_shard_pairs")),
+          struct(lit("b_cluster_routed").as("arm"), col("n_pairs"),
+            col("x_cl").as("cross_shard_pairs")))).as("r"))
+        .select(col("r.arm").as("arm"), lit(S).cast("long").as("n_shards"),
+          col("r.n_pairs").as("n_pairs"),
+          col("r.cross_shard_pairs").as("cross_shard_pairs"))
+        .withColumn("leak_bp", expr(
+          "CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (cross_shard_pairs * 10000) DIV n_pairs END"))
+        .join(bal, "arm")
+        .select(col("arm"), col("n_shards"), col("n_pairs"),
+          col("cross_shard_pairs"), col("leak_bp"),
+          col("max_shard_share_bp"))
+        .orderBy("arm")
+    }),
+
     "q305_leakage_free_split" -> ((s, d) => {
       val pairs = sharedCandidatePairs(s, d)
       val comp = sharedClusters(s, d)
@@ -1175,6 +1241,40 @@ object DedupEvalQueries {
 
     // q305: the cc chain + a seeded 80/20 split keyed two ways; the
     // leak witness joins the candidate edges against each tagging.
+    "q344_dedup_shard_routing" -> {
+      def shardSql(keyCol: String) =
+        s"(${SamplingPipeline.drawExpr(keyCol, "shardr")}) % 8"
+      def armSql(name: String, c: String) =
+        s"""SELECT '$name' AS arm, CAST(8 AS BIGINT) AS n_shards,
+                   (SELECT CAST(count(*) AS BIGINT) FROM joined) AS n_pairs,
+                   (SELECT CAST(coalesce(sum(CASE WHEN ${c}1 <> ${c}2
+                                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+                    FROM joined) AS cross_shard_pairs,
+                   (SELECT CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+                           ELSE CAST((coalesce(sum(CASE WHEN ${c}1 <> ${c}2
+                                                   THEN 1 ELSE 0 END), 0)
+                                      * 10000) // count(*) AS BIGINT) END
+                    FROM joined) AS leak_bp,
+                   (SELECT CAST((max(n) * 10000) // sum(n) AS BIGINT)
+                    FROM (SELECT count(*) AS n FROM routed
+                          GROUP BY sh_$c)) AS max_shard_share_bp"""
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $minhashSql, $bandSql, $cappedBandsSql, $pairsSql,
+          ${ccSqlCtes("cc")},
+          routed AS (SELECT doc_id,
+                            ${shardSql("doc_id")} AS sh_d,
+                            ${shardSql("cluster_id")} AS sh_c
+                     FROM cc),
+          joined AS (SELECT a.sh_d AS d1, b.sh_d AS d2,
+                            a.sh_c AS c1, b.sh_c AS c2
+                     FROM pairs p
+                     JOIN routed a ON a.doc_id = p.id1
+                     JOIN routed b ON b.doc_id = p.id2)
+          ${armSql("a_doc_hashed", "d")}
+          UNION ALL
+          ${armSql("b_cluster_routed", "c")}
+          ORDER BY arm"""
+    },
+
     "q305_leakage_free_split" -> {
       def armSql(name: String) =
         s"""SELECT '$name' AS arm,
