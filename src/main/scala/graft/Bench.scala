@@ -112,112 +112,117 @@ object Bench {
     // q308 1.51s, q332 3.0s after the round's wins) — sub-second pins
     // with teeth, like the shared-cluster-ledger family's: a regression
     // to the pre-r16 shapes lands 2-10× above them.
+    // Closing derivation: re-derived from bench_quiet_r16b_builder.json
+    // (box_load 0.22, full 343-query set incl. the six r16 additions,
+    // zero breaches, zero ungated) over the union of >1s queries and
+    // every carried pin — 103 gates, 67 over-1s + 36 sub-second pins
+    // (q125's pin drops 7.1 → 0.6 after the BM25 memo; a regression to
+    // per-query index rebuilds lands ~7× above it).
     val gates: Map[String, Double] = Map(
-      "q101_contamination"             -> 2.0,
-      "q105_manifest_compaction"       -> 1.8,
-      "q108_stream_static_join"        -> 1.6,
-      "q114_power_iteration"           -> 2.6,
-      "q116_substring_dedup"           -> 2.5,
+      "q101_contamination"             -> 2.2,
+      "q105_manifest_compaction"       -> 1.7,
+      "q108_stream_static_join"        -> 1.7,
+      "q114_power_iteration"           -> 2.8,
+      "q116_substring_dedup"           -> 2.6,
       "q118_stream_inventory_bounded"  -> 2.0,
-      "q119_hybrid_rrf"                -> 5.1,
-      "q120_pagerank"                  -> 6.4,
-      "q121_bpe_merge"                 -> 2.3,
-      "q122_pq_adc"                    -> 1.8,
-      "q123_stream_sessionize"         -> 1.7,
+      "q119_hybrid_rrf"                -> 5.2,
+      "q120_pagerank"                  -> 6.7,
+      "q121_bpe_merge"                 -> 2.2,
+      "q122_pq_adc"                    -> 1.9,
+      "q123_stream_sessionize"         -> 1.8,
       "q124_manifest_timetravel"       -> 1.6,
-      "q125_bm25"                      -> 7.1,
-      "q129_adc_rerank"                -> 1.9,
-      "q132_triangle_count"            -> 5.1,
-      "q133_cms_heavy_hitters"         -> 3.6,
+      "q125_bm25"                      -> 0.6,
+      "q129_adc_rerank"                -> 2.1,
+      "q132_triangle_count"            -> 5.0,
+      "q133_cms_heavy_hitters"         -> 3.5,
       "q134_bpe_encode"                -> 2.1,
-      "q135_zorder_skipping"           -> 3.0,
+      "q135_zorder_skipping"           -> 3.2,
       "q141_novelty_score"             -> 2.7,
-      "q144_multisource_bfs"           -> 6.5,
+      "q144_multisource_bfs"           -> 6.1,
       "q147_scd2_incremental"          -> 2.0,
-      "q149_prefix_jaccard_join"       -> 5.2,
-      "q152_pmi_collocations"          -> 1.8,
-      "q154_cdc_apply"                 -> 1.4,
+      "q149_prefix_jaccard_join"       -> 5.1,
+      "q152_pmi_collocations"          -> 1.7,
+      "q154_cdc_apply"                 -> 1.7,
       "q155_analyze_stats"             -> 2.4,
       "q163_frequent_pairs"            -> 3.4,
       "q170_stream_kmv"                -> 1.7,
-      "q172_rle_layout_advisor"        -> 1.8,
-      "q173_two_hop_reach"             -> 3.7,
-      "q174_stream_session_window"     -> 2.7,
-      "q179_containment_join"          -> 4.2,
-      "q191_bpe_train"                 -> 2.0,
+      "q172_rle_layout_advisor"        -> 1.9,
+      "q173_two_hop_reach"             -> 3.9,
+      "q174_stream_session_window"     -> 2.9,
+      "q179_containment_join"          -> 4.0,
+      "q191_bpe_train"                 -> 2.2,
       "q194_hybrid_rrf_ivf"            -> 5.1,
-      "q197_bpe_compression"           -> 2.6,
-      "q199_dsir_importance"           -> 4.2,
-      "q202_hits"                      -> 6.6,
-      "q205_dedup_funnel"              -> 4.5,
+      "q197_bpe_compression"           -> 2.8,
+      "q199_dsir_importance"           -> 4.3,
+      "q202_hits"                      -> 6.5,
+      "q205_dedup_funnel"              -> 5.1,
       "q208_stream_corpus_report"      -> 1.7,
       "q210_lsh_eval"                  -> 6.4,
-      "q211_label_propagation"         -> 5.5,
+      "q211_label_propagation"         -> 5.4,
       "q212_canonical_docs"            -> 1.0,
       "q214_norm_sensitivity"          -> 1.8,
       "q216_source_overlap"            -> 2.7,
-      "q220_stream_ewma"               -> 2.1,
+      "q220_stream_ewma"               -> 1.7,
       "q223_clip_reuse"                -> 1.7,
-      "q225_cms_width_sweep"           -> 3.8,
-      "q229_boilerplate_fraction"      -> 1.7,
+      "q225_cms_width_sweep"           -> 4.2,
+      "q229_boilerplate_fraction"      -> 1.6,
       "q230_kcore"                     -> 6.0,
-      "q231_rerank_cascade"            -> 7.2,
-      "q235_weighted_sssp"             -> 5.8,
-      "q239_stream_latency_quantiles"  -> 2.4,
+      "q231_rerank_cascade"            -> 1.0,
+      "q235_weighted_sssp"             -> 6.3,
+      "q239_stream_latency_quantiles"  -> 2.5,
       "q241_touch_attribution"         -> 2.1,
-      "q243_personalized_pagerank"     -> 6.8,
-      "q248_clustering_coefficient"    -> 4.5,
-      "q251_stream_cusum"              -> 1.9,
+      "q243_personalized_pagerank"     -> 7.1,
+      "q248_clustering_coefficient"    -> 4.7,
+      "q251_stream_cusum"              -> 1.8,
       "q255_dedup_impact"              -> 0.9,
-      "q256_sq_recall"                 -> 1.9,
-      "q258_degree_assortativity"      -> 4.1,
-      "q259_tokenizer_fertility"       -> 2.3,
+      "q256_sq_recall"                 -> 1.5,
+      "q258_degree_assortativity"      -> 4.7,
+      "q259_tokenizer_fertility"       -> 2.5,
       "q265_stream_trimmed_mean"       -> 2.6,
       "q271_inclusion_dependency"      -> 2.5,
-      "q273_leaderboard_churn"         -> 2.0,
+      "q273_leaderboard_churn"         -> 2.1,
       "q275_trigram_search"            -> 0.9,
       "q277_cluster_span"              -> 1.1,
       "q278_tail_trend"                -> 2.3,
-      "q284_kcenter_coreset"           -> 3.4,
-      "q288_textrank_keywords"         -> 2.4,
-      "q293_pack_coherence"            -> 1.9,
+      "q284_kcenter_coreset"           -> 2.9,
+      "q288_textrank_keywords"         -> 2.6,
+      "q293_pack_coherence"            -> 1.8,
       "q295_stream_skipgram"           -> 2.0,
-      "q296_license_propagation"       -> 1.1,
-      "q301_margin_bitext"             -> 2.4,
+      "q296_license_propagation"       -> 1.2,
+      "q301_margin_bitext"             -> 2.1,
       "q302_shuffle_spacing"           -> 1.6,
       "q305_leakage_free_split"        -> 1.0,
-      "q306_shard_export_manifest"     -> 1.8,
-      "q307_unigram_lm"                -> 3.4,
-      "q308_nsw_graph_ann"             -> 2.8,
-      "q309_bigram_perplexity"         -> 3.4,
-      "q310_stream_perplexity"         -> 4.7,
-      "q313_cdc_chunks"                -> 3.8,
-      "q315_stream_domain_cap"         -> 1.6,
-      "q317_sketch_error"              -> 4.8,
-      "q320_cdc_delta_storage"         -> 6.7,
-      "q323_calibration_ece"           -> 1.5,
-      "q324_residual_quantize"         -> 2.9,
+      "q306_shard_export_manifest"     -> 2.0,
+      "q307_unigram_lm"                -> 4.2,
+      "q308_nsw_graph_ann"             -> 2.7,
+      "q309_bigram_perplexity"         -> 3.2,
+      "q310_stream_perplexity"         -> 4.8,
+      "q313_cdc_chunks"                -> 4.6,
+      "q315_stream_domain_cap"         -> 1.7,
+      "q317_sketch_error"              -> 5.1,
+      "q320_cdc_delta_storage"         -> 7.4,
+      "q323_calibration_ece"           -> 1.6,
+      "q324_residual_quantize"         -> 3.1,
       "q329_incremental_merkle"        -> 2.3,
-      "q331_bloom_decontamination"     -> 3.5,
-      "q332_ann_entry_ablation"        -> 5.0,
-      "q333_stream_decontamination"    -> 4.1,
-      // round-16 additions, gated at landing from their first warm
-      // BenchOne minima (1.5x + 0.5; re-derived at round close)
-      "q339_stream_prefix_cache"       -> 2.4,
-      "q342_stream_schema_drift"       -> 3.3,
-      "q343_stream_ann_ingest"         -> 2.2,
-      "q344_dedup_shard_routing"       -> 1.1,
+      "q331_bloom_decontamination"     -> 3.9,
+      "q332_ann_entry_ablation"        -> 5.1,
+      "q333_stream_decontamination"    -> 3.9,
+      "q339_stream_prefix_cache"       -> 2.1,
+      "q342_stream_schema_drift"       -> 2.2,
+      "q343_stream_ann_ingest"         -> 1.8,
+      "q344_dedup_shard_routing"       -> 1.0,
       "q41_minhash_lsh"                -> 3.6,
-      "q43_ngram_jaccard"              -> 4.3,
+      "q43_ngram_jaccard"              -> 4.5,
       "q44_embedding_neardup"          -> 1.4,
-      "q49_ml_minhash"                 -> 4.0,
+      "q49_ml_minhash"                 -> 4.2,
       "q54_dedup_clusters"             -> 0.6,
       "q66_tfidf"                      -> 2.1,
-      "q86_stream_tumbling"            -> 1.7,
-      "q87_stream_join"                -> 3.3,
+      "q86_stream_tumbling"            -> 1.8,
+      "q87_stream_join"                -> 3.2,
       "q88_kmeans_refine"              -> 1.8,
       "q89_stream_dedup"               -> 2.1,
-      "q94_json_roundtrip"             -> 1.3
+      "q94_json_roundtrip"             -> 1.4
+    
     )
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) =>
