@@ -211,6 +211,10 @@ object Bench {
       "q342_stream_schema_drift"       -> 2.2,
       "q343_stream_ann_ingest"         -> 1.8,
       "q344_dedup_shard_routing"       -> 1.0,
+      // landing gate from first warm BenchOne minima (the scoring chain
+      // over the merged corpus is q125's full cost — the equality
+      // witness is priced, not memoized away)
+      "q345_incremental_bm25"          -> 7.1,
       "q41_minhash_lsh"                -> 3.6,
       "q43_ngram_jaccard"              -> 4.5,
       "q44_embedding_neardup"          -> 1.4,

@@ -223,6 +223,12 @@ object Mutations {
                                 //   instead of the replica's Σw — every
                                 //   estimate biases toward (Σw/N)·point
                                 //   and the interval narrows
+    "q345_stats_not_refreshed", // the incremental index appends postings
+                                //   but skips the global-stats refresh —
+                                //   fresh docs lose their dl rows and
+                                //   every idf is computed over the stale
+                                //   base; rankings shift wherever a
+                                //   delta doc should have placed
     "q344_route_by_member_not_cluster", // the shard router keys on the
                                 //   member row's own id instead of its
                                 //   cluster id — the classic partitioner

@@ -136,7 +136,8 @@ object ScaleProbe {
       // their data paths are q335's/q337's, probed here)
       "q340_bootstrap_ci" -> "Poisson-bootstrap CIs (32 replicas in one map-side explode + one aggregation)",
       "q341_bcubed_cluster_eval" -> "B-cubed cluster quality vs planted gold (memoized-ledger reads)",
-      "q344_dedup_shard_routing" -> "shard-key leakage plan: doc-hash vs cluster-routed over the candidate edges")
+      "q344_dedup_shard_routing" -> "shard-key leakage plan: doc-hash vs cluster-routed over the candidate edges",
+      "q345_incremental_bm25" -> "incremental BM25: standing posting index + delta-only tokenize + merged-stats top-k")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -228,6 +229,11 @@ object ScaleProbe {
         "the (source, replica) partial aggregation and a " +
         "sources x 32-row rank window — the exponent is scan+explode " +
         "throughput"),
+      "q345_incremental_bm25" -> ("the base index is a one-time layout " +
+        "investment (memoized parquet, the q128 pattern); the probed " +
+        "steady state tokenizes ONLY the 10% delta and merges posting " +
+        "counts — stats rollups are the q125 shapes over the merged " +
+        "table"),
       "q344_dedup_shard_routing" -> ("two ledger reads + ONE pairs join " +
         "(candidate-edge-sized); shard draws are map-side md5 — at a " +
         "COLD 10x the ledger build dominates, which is q54's probed " +

@@ -62,9 +62,26 @@ object TextQueries {
                             candPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val toks = bigramTokens(corpus, "doc_id")
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    bm25TopKFromTf(tf, tf, queryPred, k, candPred)
+  }
+
+  /** The chain below the per-doc (doc_id, w, tf) table — the INDEX seam
+    * (r16): q345 feeds a STANDING on-disk base index unioned with the
+    * delta's freshly tokenized tf. tf is per-doc, so index ∪ delta is
+    * row-identical to a from-scratch build — the equality the oracle
+    * checks. `statsTf` is the table the corpus statistics (dl, N,
+    * avgdl, df/idf) derive from — always `tf` in production; q345's
+    * stats-not-refreshed knob passes the stale base index here (the
+    * classic incremental-index bug: postings appended, global stats
+    * not recomputed — fresh docs lose their dl rows and every idf is
+    * stale). */
+  private[ext] def bm25TopKFromTf(tf: DataFrame, statsTf: DataFrame,
+                                  queryPred: org.apache.spark.sql.Column,
+                                  k: Int,
+                                  candPred: org.apache.spark.sql.Column): DataFrame = {
+    val dl = statsTf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val na = dl.agg(count(lit(1)).as("n_docs"), davg(col("dl"), 6).as("avgdl"))
-    val idf = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = statsTf.groupBy("w").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(na))
       .filter(col("df") * BigramStopCap <= col("n_docs"))
       .select(col("w"),
@@ -103,6 +120,16 @@ object TextQueries {
     bm25Cache.computeIfAbsent((s, d), _ =>
       bm25TopK(Tables.documents(s, d).select("doc_id", "text"),
         col("doc_id") % 50 === 0, 20).localCheckpoint())
+
+  /** q345's STANDING base index: the (doc_id, w, tf) posting table of
+    * the base corpus (doc_id % 10 ≠ 7), written to parquet once per
+    * (session, dataset) — the q128 index-store precedent for the
+    * lexical route. The incremental query READS this and tokenizes
+    * only the delta. */
+  private val bm25BaseIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def clearBm25BaseIndex(): Unit = bm25BaseIdxCache.clear()
 
   /** DuckDB twin of [[bm25TopK]]: the CTE chain `toks … ranked` over
     * corpus source `$src` with query predicate `$qtWhere` (over tf's
@@ -470,6 +497,46 @@ object TextQueries {
       // shared with q231's cascade)
       sharedDocBm25Top20(s, d).filter(col("rank") <= 10)
         .orderBy("qid", "rank")),
+
+    // INCREMENTAL BM25 INDEX MAINTENANCE — the lexical member of the
+    // incremental family (IVF q128, Merkle q329, MV q157, manifest
+    // q124): a STANDING posting index on disk (the base corpus'
+    // (doc, term, tf) table — built once per session, the q128
+    // index-store precedent) absorbs a 10%-of-corpus delta by
+    // tokenizing ONLY the delta and unioning posting rows; dl/N/avgdl/
+    // idf are recomputed over the merged table (count merges — exact
+    // by construction). tf is per-doc, so index ∪ delta is ROW-
+    // IDENTICAL to a from-scratch build: the oracle computes BM25 from
+    // scratch over the full corpus, and equality IS the incremental ==
+    // rebuild witness (the q329 discipline). from_delta marks hits
+    // that came from the newly ingested docs — the freshness readout
+    // an index owner actually watches after a merge.
+    // Scale: the whole point — at 100 TB the base is never re-
+    // tokenized; the merge is one doc-disjoint union + the standard
+    // stats rollups over the merged postings.
+    // Mutation seam (knob OFF in every production plan): postings
+    // appended but global stats NOT recomputed — fresh docs lose their
+    // dl rows and every idf is stale; rankings shift wherever a delta
+    // doc should have placed.
+    "q345_incremental_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val idxPath = bm25BaseIdxCache.computeIfAbsent((s, d), _ => {
+        val p = graft.ops.Scratch.dir("graft_bm25_idx") + "/tf"
+        bigramTokens(docs.filter(col("doc_id") % 10 =!= 7), "doc_id")
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      val baseTf = s.read.parquet(idxPath)
+      val deltaTf = bigramTokens(docs.filter(col("doc_id") % 10 === 7), "doc_id")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val tf = baseTf.unionByName(deltaTf)
+      val statsTf =
+        if (graft.Mutations.on("q345_stats_not_refreshed")) baseTf else tf
+      bm25TopKFromTf(tf, statsTf, col("doc_id") % 50 === 0, 10, lit(true))
+        .withColumn("from_delta", (col("doc_id") % 10 === 7).cast("long"))
+        .orderBy("qid", "rank")
+    }),
 
     // KNOWN-ITEM retrieval eval — the self-labeling quality gate for the
     // lexical index: plant a near-copy (+2M, first word dropped — the
@@ -1678,6 +1745,16 @@ object TextQueries {
     "q125_bm25" ->
       s"""WITH ${oBm25Ctes("documents", "doc_id % 50 = 0")}
           SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score
+          FROM ranked WHERE rank <= 10 ORDER BY qid, rank""",
+
+    // from-scratch BM25 over the FULL corpus: equality against the
+    // Spark side's index ∪ delta plan IS the incremental == rebuild
+    // witness (the q329 discipline)
+    "q345_incremental_bm25" ->
+      s"""WITH ${oBm25Ctes("documents", "doc_id % 50 = 0")}
+          SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score,
+                 CAST(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS BIGINT)
+                   AS from_delta
           FROM ranked WHERE rank <= 10 ORDER BY qid, rank""",
 
     "q221_bm25_mrr" ->
