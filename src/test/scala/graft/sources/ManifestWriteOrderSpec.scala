@@ -83,4 +83,40 @@ class ManifestWriteOrderSpec extends graft.SparkSpec {
     assert(partFiles.intersect(gen1).isEmpty,
       "superseded generation must be deleted after a successful commit")
   }
+
+  test("abort past the point of no return keeps the published new generation") {
+    // once the new generation is fully renamed in and the superseded
+    // files are being deleted, a failure (e.g. the _SUCCESS create)
+    // still triggers Spark's abort — but rolling back the new files
+    // THEN would destroy both generations. The commit clears its
+    // rollback ledger at the point of no return, so a post-commit
+    // abort must be a staging-only cleanup.
+    val dir = Files.createTempDirectory("mw-ponr").toFile
+    dir.deleteOnExit()
+    val dest = dir.getAbsolutePath
+    entries(2, "a").coalesce(1)
+      .write.format("graft.sources.FsListSource")
+      .option("path", dest).mode(SaveMode.Append).save()
+    val write = new ManifestBatchWrite(dest, truncate = true, queryId = "ponr")
+    val staging = Paths.get(dest, "_staging-ponr")
+    Files.createDirectories(staging)
+    // stage a real parquet the commit can rename in: reuse gen-1's file
+    // bytes under a staged name
+    val gen1File = Option(dir.listFiles()).toSeq.flatten
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val stagedName = "part-00000-99-0badf00d.parquet"
+    Files.copy(gen1File.toPath, staging.resolve(stagedName))
+    val messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(ManifestCommit(staging.resolve(stagedName).toString, 2L))
+    write.commit(messages) // succeeds: new generation published, old deleted
+    def parts: Set[String] = Option(dir.listFiles()).toSeq.flatten
+      .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
+    assert(parts == Set(stagedName))
+    // Spark may still call abort if something AFTER commit's publish
+    // throws at the coordinator — it must not touch the published files
+    write.abort(messages)
+    assert(parts == Set(stagedName),
+      "post-publish abort must keep the new generation intact")
+    assert(ManifestGen.read(spark, dest).count() == 2)
+  }
 }
