@@ -55,6 +55,23 @@ object GraphOps {
     Pinned(df.sparkSession.createDataFrame(rdd, df.schema), rdd, n)
   }
 
+  /** Evict every memo entry whose session's SparkContext has stopped —
+    * the sweep each (SparkSession, …)-keyed cache runs before resolving
+    * (r16 advice: a long-lived multi-session JVM otherwise accumulates
+    * dead engines and their key references forever). A stopped context's
+    * storage blocks are already gone, so eviction is a plain drop — no
+    * unpersist call against a dead context. Entries for live sessions
+    * are untouched; ConcurrentHashMap iteration is weakly consistent,
+    * which is fine for an opportunistic sweep. */
+  private[ext] def sweepStopped[K, V](
+      map: java.util.concurrent.ConcurrentHashMap[K, V])(
+      session: K => org.apache.spark.sql.SparkSession): Unit = {
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      if (session(it.next().getKey).sparkContext.isStopped) it.remove()
+    }
+  }
+
   /** [[pin]] fused with the convergence witness: counts rows whose
     * `flagIdx` column is true DURING the materializing action, via an
     * accumulator, so each round runs ONE job instead of a count plus a

@@ -64,21 +64,18 @@ object GraphQueries {
       // spaces start at 0); the display string is rendered only on the
       // final 20 rows. String keys in the per-round joins measured ~20%
       // slower end-to-end.
+      // Edge table and degrees ride the shared [[tradeGraph]] ledger —
+      // built once per (session, dataset), read here; for a symmetrized
+      // edge set out-degree ≡ degree, so `od` IS the pinned degree table.
       // No checkpoint between rounds: AQE query-stage reuse already
-      // dedups the repeated edge-derivation exchanges (a localCheckpoint
-      // variant measured SLOWER — it pays an extra materialization per
-      // build and forfeits the reused exchange).
-      val ebase = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("cust"),
-          (col("l_suppkey") * 2 + 1).as("supp"))
-        .distinct()
+      // dedups the repeated per-round exchanges.
+      val g = tradeGraph(s, d)
+      val ebase = g.ebase
       val e = ebase.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(ebase.select(col("supp").as("src"), col("cust").as("dst")))
-      val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val od = g.deg.select(col("node").as("src"), col("dg").as("outdeg"))
       val ew = e.join(od, "src")
-      val nodes = od.select(col("src").as("node"))
+      val nodes = g.deg.select(col("node"))
       var ranks = nodes.withColumn("r", lit(1000000000L))
       for (_ <- 1 to PageRankRounds) {
         val contrib = ew.join(ranks, col("src") === col("node"))
@@ -111,20 +108,17 @@ object GraphQueries {
     // contribution shuffle + node-sized rank table; AQE stage reuse
     // dedups the repeated edge derivation (the q120 measurement).
     "q243_personalized_pagerank" -> ((s, d) => {
-      val ebase = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("cust"),
-          (col("l_suppkey") * 2 + 1).as("supp"))
-        .distinct()
+      // edges/degrees off the shared [[tradeGraph]] ledger (q120's note)
+      val g = tradeGraph(s, d)
+      val ebase = g.ebase
       val e = ebase.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(ebase.select(col("supp").as("src"), col("cust").as("dst")))
-      val od = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val od = g.deg.select(col("node").as("src"), col("dg").as("outdeg"))
       val ew = e.join(od, "src")
       val seeds = Tables.supplier(s, d)
         .filter(col("s_nationkey") % 5 === 3)
         .select((col("s_suppkey") * 2 + 1).as("node"), lit(1).as("is_seed"))
-      val nodes = od.select(col("src").as("node"))
+      val nodes = g.deg.select(col("node"))
         .join(seeds, Seq("node"), "left")
         .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
       var ranks = nodes.withColumn("r",
@@ -171,7 +165,7 @@ object GraphQueries {
     // never a full sort of the edge list. Wedge and closure joins then
     // shuffle only backbone-sized inputs.
     "q132_triangle_count" -> ((s, d) => {
-      triangleCounts(supplierBackbone(s, d))
+      triangleCounts(sharedSupplierBackbone(s, d))
         .withColumnRenamed("node", "supplier")
         .orderBy(col("n_triangles").desc, col("supplier")).limit(20)
     }),
@@ -187,9 +181,10 @@ object GraphQueries {
     // is what bounds Σdeg², exactly as it bounds the wedge count there.
     "q173_two_hop_reach" -> ((s, d) => {
       // the 5000-row backbone feeds FOUR plan branches (two adjacency
-      // directions × the x/y self-join) — localCheckpoint materializes
-      // the heavy co-occurrence aggregation once instead of per branch
-      val bb = supplierBackbone(s, d).localCheckpoint()
+      // directions × the x/y self-join) — the shared session pin
+      // materializes the heavy co-occurrence aggregation once per
+      // (session, dataset), not once per branch or per query
+      val bb = sharedSupplierBackbone(s, d)
       val adj = bb.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(bb.select(col("v").as("src"), col("u").as("dst")))
       val two = adj.as("x").join(adj.as("y"),
@@ -211,15 +206,14 @@ object GraphQueries {
     // pre-partitioned by src so all rounds reuse one exchange. Output
     // is the per-distance census with lexicographic witness nodes.
     "q144_multisource_bfs" -> ((s, d) => {
-      val ebase = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("cust"),
-          (col("l_suppkey") * 2 + 1).as("supp"))
-        .distinct()
+      // edges off the shared [[tradeGraph]] ledger; the node set is the
+      // pinned degree table's key column (every node appears as src in
+      // the symmetrized view — same set, no distinct shuffle)
+      val g = tradeGraph(s, d)
+      val ebase = g.ebase
       val e = ebase.select(col("cust").as("src"), col("supp").as("dst"))
         .unionByName(ebase.select(col("supp").as("src"), col("cust").as("dst")))
-      val nodes = e.select(col("src").as("node")).distinct()
+      val nodes = g.deg.select(col("node"))
       val sources = Tables.supplier(s, d)
         .filter(col("s_nationkey") % 5 === 3)
         .select((col("s_suppkey") * 2 + 1).as("node"))
@@ -263,16 +257,14 @@ object GraphQueries {
     // Pregel pass; the dist vector is |V| rows and edges carry their
     // cost, pre-partitionable on src so all rounds reuse one exchange.
     "q235_weighted_sssp" -> ((s, d) => {
-      val ebase = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("cust"),
-          (col("l_suppkey") * 2 + 1).as("supp"))
-        .groupBy("cust", "supp").agg(count(lit(1)).as("n_ord"))
-        .withColumn("cost", expr("1 + 100 DIV n_ord"))
+      // the shared [[tradeGraph]] ledger carries exactly the (cust,
+      // supp, n_ord) aggregate this query needs — cost is a map-side
+      // derivation of the pinned multiplicity
+      val g = tradeGraph(s, d)
+      val ebase = g.ebase.withColumn("cost", expr("1 + 100 DIV n_ord"))
       val e = ebase.select(col("cust").as("src"), col("supp").as("dst"), col("cost"))
         .unionByName(ebase.select(col("supp").as("src"), col("cust").as("dst"), col("cost")))
-      val nodes = e.select(col("src").as("node")).distinct()
+      val nodes = g.deg.select(col("node"))
       val sources = Tables.supplier(s, d)
         .filter(col("s_nationkey") % 5 === 3)
         .select((col("s_suppkey") * 2 + 1).as("node"))
@@ -312,17 +304,16 @@ object GraphQueries {
     // pre-partitioned once on cust (and a supp-keyed copy kept) so all
     // rounds reuse two exchanges.
     "q202_hits" -> ((s, d) => {
-      val e = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
-      // No localCheckpoint on the edge table: as with q120, AQE
-      // query-stage reuse already dedups the repeated edge-derivation
-      // exchanges across the 2x2 per-round joins, and a checkpoint
-      // variant measured SLOWER (4.1s vs 3.4s min-of-3 at sf0.1) — it
-      // pays a materialization and forfeits the reused exchange.
-      var h = e.select(col("cust")).distinct().withColumn("h", lit(1000000L))
+      // the shared [[tradeGraph]] ledger stores parity-encoded ids; the
+      // raw (cust, supp) keys this directed formulation ranks over are a
+      // map-side DIV 2 away (cust = 2k is even, supp = 2k+1 odd — the
+      // encoding is a bijection, so distinctness carries through), and
+      // the customer set is the even half of the pinned degree table.
+      val g = tradeGraph(s, d)
+      val e = g.ebase.select(expr("cust DIV 2").as("cust"),
+        expr("supp DIV 2").as("supp"))
+      var h = g.deg.filter(col("node") % 2 === 0)
+        .select(expr("node DIV 2").as("cust")).withColumn("h", lit(1000000L))
       var a: DataFrame = h // placeholder; HitsRounds >= 1 always reassigns
       for (_ <- 1 to HitsRounds) {
         val araw = e.join(h, "cust")
@@ -367,15 +358,15 @@ object GraphQueries {
     // its exchange. Synchronous (not async sweep) so rounds are
     // order-free and the result is partitioning-independent.
     "q211_label_propagation" -> ((s, d) => {
-      // backbone feeds 2 directions × LpaRounds plan branches —
-      // materialize the heavy co-occurrence aggregation once (q173's
-      // rationale). The OUTPUT is the per-round convergence census
+      // backbone feeds 2 directions × LpaRounds plan branches — read
+      // the shared session pin (q173's rationale, now cross-query).
+      // The OUTPUT is the per-round convergence census
       // (communities left, largest community, its label) rather than the
       // final labeling: on a dense backbone plurality labels coalesce
       // fast, and the trajectory — how fast structure collapses — is the
       // operator's production signal (it is how you pick the round
       // budget before communities merge past usefulness).
-      val bb = supplierBackbone(s, d).localCheckpoint()
+      val bb = sharedSupplierBackbone(s, d)
       val adj = bb.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(bb.select(col("v").as("src"), col("u").as("dst")))
       var lab = adj.select(col("src").as("node")).distinct()
@@ -435,17 +426,18 @@ object GraphQueries {
     // item 1: the full-graph re-peel was a 2-3× constant-factor tax on
     // the suite's most expensive query).
     "q230_kcore" -> ((s, d) => {
-      val ebase = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("u"),
-          (col("l_suppkey") * 2 + 1).as("v"))
-        .distinct()
-      val bb = ebase.localCheckpoint()
+      // base edges ride the shared [[tradeGraph]] ledger (no per-query
+      // checkpoint), and the k=4 round-1 degree aggregate — the one pass
+      // that runs over the FULL edge set, the suite's steepest scale
+      // probe in r16 — reads the ledger's pinned degree table instead of
+      // re-aggregating |E| rows (r16 verdict item 4). Exact, not a
+      // heuristic: round 1 peels on base-graph degrees by definition.
+      val g = tradeGraph(s, d)
+      val bb = g.ebase.select(col("cust").as("u"), col("supp").as("v"))
       // each k starts from the previous k's converged core (a pinned
       // frame — its blocks stay alive with that k's `live` list)
       var start: DataFrame = bb
-      var startN = -1L // base-graph edge count unknown; known once pinned
+      var startN = g.nEdges // base-graph edge count: free off the pin
       val perK = Seq(4, 8, 16).map { k =>
         var e = start
         var eN = startN
@@ -468,9 +460,13 @@ object GraphQueries {
         var r = 0
         while (r < KCoreRounds && !settled) {
           r += 1
-          val deg = e.select(col("u").as("n"))
-            .unionByName(e.select(col("v").as("n")))
-            .groupBy("n").agg(count(lit(1)).as("dg"))
+          // base-graph degrees come pre-aggregated off the ledger; every
+          // later round (and every later k's chained core) re-aggregates
+          // its own shrunken edge set
+          val deg = if (e eq bb) g.deg.select(col("node").as("n"), col("dg"))
+            else e.select(col("u").as("n"))
+              .unionByName(e.select(col("v").as("n")))
+              .groupBy("n").agg(count(lit(1)).as("dg"))
           // [[graft.Mutations]]: peel with > instead of >= — computes the
           // (k+1)-core under the k label, the strictness off-by-one every
           // peeling implementation risks
@@ -525,7 +521,7 @@ object GraphQueries {
     // rides the π-ordered triangleCounts machinery; the band rollup is
     // control-plane-sized.
     "q248_clustering_coefficient" -> ((s, d) => {
-      val bb = knnBackbone(s, d).localCheckpoint()
+      val bb = sharedKnnBackbone(s, d)
       val deg = bb.select(col("u").as("node"))
         .unionByName(bb.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -561,7 +557,7 @@ object GraphQueries {
     // Scale: two node-keyed joins decorate edges with endpoint degrees
     // (degree table is |V| rows), then ONE one-row moment aggregate.
     "q258_degree_assortativity" -> ((s, d) => {
-      val bb = knnBackbone(s, d).localCheckpoint()
+      val bb = sharedKnnBackbone(s, d)
       val deg = bb.select(col("u").as("node"))
         .unionByName(bb.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -584,6 +580,105 @@ object GraphQueries {
             .as("assortativity_r"))
     })
   )
+
+  /** SHARED bipartite trade-graph ledger — the ONE
+    * `orders ⋈ lineitem → parity-encoded (cust, supp)` derivation that
+    * six graph queries (q120/q243/q144/q202/q235/q230) each rebuilt per
+    * pass, every rebuild paying the same join + distinct exchange (r16
+    * verdict item 1: AQE reuses query stages WITHIN a query, never
+    * across them — the repeats were ~11% of the quiet suite). Memoized
+    * per (session, dataset) in the cluster-ledger / NSW / BM25 memo
+    * discipline ([[DedupQueries.sharedClusters]],
+    * [[SimilarityQueries.nswEngine]], [[TextQueries.sharedDocBm25Top20]]):
+    * a production graph service LANDS the edge list once and every
+    * analytics pass is a read of that table, not a re-derivation.
+    *
+    * The memo carries the co-order multiplicity `n_ord` (q235 derives
+    * its edge costs from it; everyone else drops the column — the
+    * groupBy already guarantees the distinctness the old per-query
+    * `.distinct()` bought), plus the pinned DEGREE table over the
+    * undirected view: q120/q243's out-degrees (for a symmetrized edge
+    * set out-degree ≡ degree), q144/q235's node set, q202's customer
+    * set, and q230's round-1 peel degrees all read it instead of
+    * re-aggregating the edge table. Both frames are [[GraphOps.pin]]ned
+    * (edge-count rows of three longs; MEMORY_AND_DISK, disk-backed at
+    * scale) and the pin's eager count seeds q230's early-exit witness.
+    *
+    * The derivation is KNOB-FREE: every [[graft.Mutations]] seam in the
+    * family (q120/q243 damping, q230 peel strictness) sits downstream
+    * of the edge table, so red-case runs share the production build —
+    * exactly the cluster-ledger situation, no knob key needed. Entries
+    * live for the session; [[clearTradeGraphCache]] frees the pinned
+    * blocks and drops them. */
+  private[ext] final case class TradeGraph(edges: GraphOps.Pinned,
+                                           degrees: GraphOps.Pinned) {
+    /** Distinct parity-encoded (cust, supp, n_ord): cust = o_custkey·2,
+      * supp = l_suppkey·2 + 1, n_ord = shared-order count. */
+    def ebase: DataFrame = edges.df
+    /** Edge count — known for free from the pin's eager materialization. */
+    def nEdges: Long = edges.n
+    /** (node, dg) over the undirected view — every node's degree. */
+    def deg: DataFrame = degrees.df
+    def free(): Unit = { edges.free(); degrees.free() }
+  }
+
+  private val tradeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), TradeGraph]()
+
+  /** Free every memoized trade-graph ledger's storage blocks and forget
+    * it — the next graph query re-derives. (Fixtures are read-only, so
+    * in-place dataset rewrites are the only production reason to.) */
+  def clearTradeGraphCache(): Unit = {
+    tradeCache.values().forEach(_.free())
+    tradeCache.clear()
+  }
+
+  private[graft] def tradeGraph(s: SparkSession, d: String): TradeGraph = {
+    GraphOps.sweepStopped(tradeCache)(_._1)
+    tradeCache.computeIfAbsent((s, d), _ => {
+      val eb = GraphOps.pin(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("cust"),
+            (col("l_suppkey") * 2 + 1).as("supp"))
+          .groupBy("cust", "supp").agg(count(lit(1)).as("n_ord")))
+      val dg = GraphOps.pin(
+        eb.df.select(col("cust").as("node"))
+          .unionByName(eb.df.select(col("supp").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg")))
+      TradeGraph(eb, dg)
+    })
+  }
+
+  /** Session-memoized pins of the two supplier co-occurrence backbones
+    * — the same cross-query rebuild as [[tradeGraph]] for the backbone
+    * families: q132/q173/q211 each re-ran the global-budget co-order
+    * aggregate (q173/q211 additionally each paying their own
+    * localCheckpoint of it), q248/q258 the union-kNN variant. The
+    * derivations stay in [[supplierBackbone]]/[[knnBackbone]] unmemoized
+    * (plan pins and specs exercise them directly); queries read the
+    * shared pins. Knob-free paths, like the trade ledger. */
+  private val backboneCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), GraphOps.Pinned]()
+
+  /** Free every memoized backbone pin and forget it. */
+  def clearBackboneCache(): Unit = {
+    backboneCache.values().forEach(_.free())
+    backboneCache.clear()
+  }
+
+  private[graft] def sharedSupplierBackbone(s: SparkSession, d: String): DataFrame = {
+    GraphOps.sweepStopped(backboneCache)(_._1)
+    backboneCache.computeIfAbsent((s, d, "global"),
+      _ => GraphOps.pin(supplierBackbone(s, d))).df
+  }
+
+  private[graft] def sharedKnnBackbone(s: SparkSession, d: String): DataFrame = {
+    GraphOps.sweepStopped(backboneCache)(_._1)
+    backboneCache.computeIfAbsent((s, d, "knn"),
+      _ => GraphOps.pin(knnBackbone(s, d))).df
+  }
 
   /** The q132 supplier co-occurrence backbone, shared with q173: the
     * [[TriangleEdgeBudget]] heaviest co-order edges (count desc,

@@ -5029,6 +5029,57 @@ class ExtensionSpec extends SparkSpec {
     assert(a.count() > sliced.size, "memo must carry the deeper top-20")
   }
 
+  test("trade-graph ledger is memoized across the six graph consumers") {
+    // r16 verdict item 1: the orders ⋈ lineitem parity-edge derivation
+    // must run ONCE per (session, dataset) and be served to q120/q243/
+    // q144/q202/q235/q230. Pinned frames come back as the identical
+    // object on a memo hit (the NSW-memo witness discipline).
+    val g1 = ext.GraphQueries.tradeGraph(spark, sf)
+    val g2 = ext.GraphQueries.tradeGraph(spark, sf)
+    assert(g1 eq g2, "same (session, dataset) must reuse ONE trade ledger")
+    assert(g1.ebase eq g2.ebase)
+    assert(g1.deg eq g2.deg)
+    // the pinned degree table IS the degree of the pinned edge set —
+    // the q120 out-degree / q230 round-1 peel contract
+    val fromEdges = g1.ebase.select(col("cust").as("node"))
+      .unionByName(g1.ebase.select(col("supp").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    assert(g1.deg.as("a").join(fromEdges.as("b"),
+        col("a.node") === col("b.node") && col("a.dg") =!= col("b.dg"))
+      .isEmpty, "pinned degrees must match a fresh aggregate exactly")
+    assert(g1.nEdges == g1.ebase.count(),
+      "the pin's eager count must be the edge count (q230's early-exit seed)")
+    // knob isolation: the family's mutation seams sit DOWNSTREAM of the
+    // ledger — a knob-on run shares the production build (nothing to
+    // rebuild), and the production output stays un-poisoned after a
+    // red-case run against the same memo
+    val before = ext.GraphQueries.queries("q230_kcore")(spark, sf)
+      .collect().map(_.toString).sorted.mkString("|")
+    val mutated = graft.Mutations.withMutation("q230_peel_off_by_one") {
+      val gm = ext.GraphQueries.tradeGraph(spark, sf)
+      assert(gm eq g1, "the knob-free ledger must be shared with red-case runs")
+      ext.GraphQueries.queries("q230_kcore")(spark, sf)
+        .collect().map(_.toString).sorted.mkString("|")
+    }
+    assert(mutated != before, "peel knob must still redden off the shared ledger")
+    val after = ext.GraphQueries.queries("q230_kcore")(spark, sf)
+      .collect().map(_.toString).sorted.mkString("|")
+    assert(after == before, "red-case run must not poison the shared ledger")
+  }
+
+  test("co-occurrence backbones are memoized across their consumers") {
+    val b1 = ext.GraphQueries.sharedSupplierBackbone(spark, sf)
+    assert(b1 eq ext.GraphQueries.sharedSupplierBackbone(spark, sf),
+      "q132/q173/q211 must share ONE global-budget backbone pin")
+    val k1 = ext.GraphQueries.sharedKnnBackbone(spark, sf)
+    assert(k1 eq ext.GraphQueries.sharedKnnBackbone(spark, sf),
+      "q248/q258 must share ONE union-kNN backbone pin")
+    assert(!(b1 eq k1))
+    // the pins carry exactly the unmemoized derivations
+    assert(b1.exceptAll(ext.GraphQueries.supplierBackbone(spark, sf)).isEmpty)
+    assert(k1.exceptAll(ext.GraphQueries.knnBackbone(spark, sf)).isEmpty)
+  }
+
   test("NSW build is memoized across q308/q332 and keyed by the descent knob") {
     // r15 verdict item 2: the NN-descent build (the suite's most
     // expensive machinery) must run ONCE per (session, dataset, knob)
