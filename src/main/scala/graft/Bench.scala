@@ -226,7 +226,6 @@ object Bench {
       "q88_kmeans_refine"              -> 1.8,
       "q89_stream_dedup"               -> 2.1,
       "q94_json_roundtrip"             -> 1.4
-    
     )
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) =>

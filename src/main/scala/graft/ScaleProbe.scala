@@ -271,7 +271,9 @@ object ScaleProbe {
         "corpus) and flatter-scaling — the cell count is the knob a " +
         "production index grows with sqrt(N)"),
       "q132_triangle_count" -> ("the 5000-edge backbone cap bounds wedge " +
-        "work at any scale by design — the probe measures the capped plan"),
+        "work at any scale by design — the probe measures the capped " +
+        "plan. r17: the global backbone memo's build probe (cleared per " +
+        "timed run); q211 below measures post-pin steady state"),
       "q164_session_window" -> ("10x events = 10x users over the same " +
         "window; per-user session state is constant by construction"),
       "q201_semdedup" -> ("the 16 seed cells are FIXED here, so 10x " +
@@ -282,7 +284,10 @@ object ScaleProbe {
       "q202_hits" -> ("orders replicate with fresh customers but SHARED " +
         "suppliers, so supplier in-degree grows 10x: the probe measures " +
         "linear edge-volume scaling with growing per-key aggregation " +
-        "fan-in — the skewed side a real web graph presents"),
+        "fan-in — the skewed side a real web graph presents. r17: this " +
+        "is the trade-graph LEDGER's build probe (memo cleared per " +
+        "timed run, the q54 discipline); q230/q235 below measure the " +
+        "post-ledger steady state the suite pays"),
       "q211_label_propagation" -> ("rounds run over the q132 " +
         "edge-budgeted backbone, so adjacency volume is capped by " +
         "design — the probe measures the capped plan plus the |V|-sized " +
@@ -303,7 +308,11 @@ object ScaleProbe {
         "volume grows 10x and supplier-side degree grows 10x; each peel " +
         "round is a degree aggregate + two semi-joins over the shrinking " +
         "edge set — the probe measures the pinned-round Pregel shape " +
-        "under growing per-key fan-in"),
+        "under growing per-key fan-in. r17: post-ledger steady state — " +
+        "the base edges and round-1 peel degrees read the shared pins " +
+        "built by q202's probe, the suite shape (r16's 0.707 exponent " +
+        "was dominated by the per-query base-edge rebuild + full-set " +
+        "round-1 aggregate)"),
       "q231_rerank_cascade" -> ("the query set scales with the corpus " +
         "(doc_id % 50) but group-suffixed vocabulary keeps per-query " +
         "posting matches at 1x density, so the BM25 leg grows linearly; " +
@@ -320,7 +329,8 @@ object ScaleProbe {
         "degree at any scale, so wedge work grows with |V|, not |V|^2; " +
         "10x orders over SHARED suppliers keep |V| fixed and raise " +
         "co-occurrence counts — the probe measures the count aggregate " +
-        "plus a constant-size backbone's triangle work"),
+        "plus a constant-size backbone's triangle work. r17: the kNN " +
+        "backbone memo's build probe (cleared per timed run)"),
       "q277_cluster_span" -> ("rides the same q54 LSH+CC machinery as " +
         "q255 (grouped vocabulary keeps bucket sizes at 1x density); " +
         "the span rollup adds one (cluster, source) distinct on top"),
@@ -375,6 +385,15 @@ object ScaleProbe {
         // measure their post-ledger steady state — the suite shape.
         if (name == "q54_dedup_clusters")
           graft.ext.DedupQueries.clearClusterCache()
+        // r17: the graph memos get the same build-probe/steady-state
+        // split — one family member clears its memo per timed run and
+        // measures the BUILD, the members after it in probe order
+        // measure the post-ledger steady state the suite pays
+        if (name == "q202_hits")
+          graft.ext.GraphQueries.clearTradeGraphCache()
+        if (name == "q132_triangle_count" ||
+            name == "q248_clustering_coefficient")
+          graft.ext.GraphQueries.clearBackboneCache()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9

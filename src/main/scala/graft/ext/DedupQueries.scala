@@ -264,28 +264,37 @@ object DedupQueries {
     * the session; [[clearClusterCache]] drops them (fixtures are
     * read-only, so in-place dataset rewrites are the only reason to). */
   private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+    (SparkSession, String), (GraphOps.Pinned, GraphOps.Pinned)]()
 
-  def clearClusterCache(): Unit = clusterCache.clear()
+  /** Free the ledger's pinned blocks and forget it (r16 advice: a bare
+    * clear() left the blocks to the context cleaner — and the scale
+    * probe clears this memo per timed q54 run, so the leak was paid
+    * four times per probe). */
+  def clearClusterCache(): Unit = {
+    clusterCache.values().forEach { case (p, c) => p.free(); c.free() }
+    clusterCache.clear()
+  }
 
-  private def clusterLedger(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private def clusterLedger(s: SparkSession,
+                            d: String): (GraphOps.Pinned, GraphOps.Pinned) = {
+    GraphOps.sweepStopped(clusterCache)(_._1)
     clusterCache.computeIfAbsent((s, d), _ => {
       val c = corpus(s, d)
-      val pairs = candidatePairsOf(shinglesRaw(c)).localCheckpoint()
-      val comp = GraphOps.connectedComponents(
-          pairs, c.select(col("doc_id").as("id")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-        .localCheckpoint()
+      val pairs = GraphOps.pin(candidatePairsOf(shinglesRaw(c)))
+      val comp = GraphOps.pin(GraphOps.connectedComponents(
+          pairs.df, c.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id")))
       (pairs, comp)
     })
+  }
 
   /** Pinned candidate near-dup edges (id1 < id2) over [[corpus]]. */
   private[ext] def sharedCandidatePairs(s: SparkSession, d: String): DataFrame =
-    clusterLedger(s, d)._1
+    clusterLedger(s, d)._1.df
 
   /** Pinned (doc_id, cluster_id) table over [[corpus]] — q54's labels. */
   private[ext] def sharedClusters(s: SparkSession, d: String): DataFrame =
-    clusterLedger(s, d)._2
+    clusterLedger(s, d)._2.df
 
   /** EXACT set-similarity self-join by PPJoin prefix filtering (the q149
     * operator, generalized to a rational threshold tNum/tDen): for

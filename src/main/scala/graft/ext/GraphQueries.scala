@@ -409,11 +409,24 @@ object GraphQueries {
     // two count aggregates, so the fixed round budget is honest: a
     // fixture where peeling hasn't settled shows converged=false and
     // fails the spec pin instead of silently reporting a non-core.
-    // Scale: a round is one degree aggregate + two semi-joins, all
-    // keyed on node/edge — the Pregel shape again; each round's edge
-    // set is pinned ([[GraphOps.pin]]) so the 3×R round plans never
-    // stack lineage, and per-round blocks are freed as soon as the
-    // next round materializes.
+    // Scale (r17, the incremental formulation): a synchronous peel
+    // round removes exactly the nodes currently below k — a FRONTIER
+    // that is |V|-bounded and usually tiny (tens of nodes here) — and
+    // only edges INCIDENT to that frontier change any surviving
+    // degree. So the round state is (degree table, cumulative removed
+    // set, edge count), all |V|-sized or smaller, and a round costs
+    // one map-scan of the pinned base edges under broadcast anti/semi
+    // joins (no |E|-sized shuffle, no |E|-row materialization — r16's
+    // 0.707 scale exponent, the suite's steepest, was exactly those
+    // per-round full-set degree aggregates + semi-joins + pins) plus
+    // a |V|-keyed degree update. The broadcast hint is honest for the
+    // frontier; at a scale where the CUMULATIVE removed set outgrows
+    // broadcast, the identical plan runs with the hint dropped and
+    // AQE picking the join side. The final census needs no edge
+    // materialization at all: node count = maintained degrees > 0,
+    // edge count = maintained counter, converged = counter unchanged
+    // over the last executed round — the same fixed point the oracle
+    // unrolls declaratively.
     // Cores NEST (16-core ⊆ 8-core ⊆ 4-core) and the peel operator is
     // MONOTONE (E ⊆ F ⟹ peelₖ(E) ⊆ peelₖ(F), and peelₖ(E) ⊇ k-core
     // whenever E ⊇ k-core), so each k peels from the PREVIOUS k's
@@ -426,77 +439,99 @@ object GraphQueries {
     // item 1: the full-graph re-peel was a 2-3× constant-factor tax on
     // the suite's most expensive query).
     "q230_kcore" -> ((s, d) => {
-      // base edges ride the shared [[tradeGraph]] ledger (no per-query
-      // checkpoint), and the k=4 round-1 degree aggregate — the one pass
-      // that runs over the FULL edge set, the suite's steepest scale
-      // probe in r16 — reads the ledger's pinned degree table instead of
-      // re-aggregating |E| rows (r16 verdict item 4). Exact, not a
-      // heuristic: round 1 peels on base-graph degrees by definition.
+      // INCREMENTAL peel off the shared [[tradeGraph]] ledger: degrees
+      // start as the ledger's pinned table (r16 verdict item 4 — the
+      // full-set round-1 aggregate is gone) and each round maintains
+      // them by subtracting only the edges the removed frontier takes
+      // with it. The chained-k state (degrees, removed set, edge count)
+      // carries across k ∈ {4, 8, 16} exactly like the old chained
+      // cores — same fixed point, same converged witness. Removing a
+      // node removes exactly its incident edges, so the maintained
+      // degree of a survivor is its degree within the surviving edge
+      // set BY INDUCTION — the invariant the memo-identity spec pins.
+      val peelOffByOne = graft.Mutations.on("q230_peel_off_by_one")
       val g = tradeGraph(s, d)
       val bb = g.ebase.select(col("cust").as("u"), col("supp").as("v"))
-      // each k starts from the previous k's converged core (a pinned
-      // frame — its blocks stay alive with that k's `live` list)
-      var start: DataFrame = bb
-      var startN = g.nEdges // base-graph edge count: free off the pin
-      val perK = Seq(4, 8, 16).map { k =>
-        var e = start
-        var eN = startN
-        // the returned plan is LAZY and reads the final round's edges AND
-        // the prior round's (for the converged witness) — only pins older
-        // than two rounds may be freed here; the last two stay alive with
-        // the query (the q54 discipline: free what the remaining plan can
-        // no longer reach, nothing more)
-        var live: List[GraphOps.Pinned] = Nil
-        var prevEdges: DataFrame = start
-        // EARLY EXIT (the real q230 cost fix — the fixture's trade graph
-        // is dense, so cores barely shrink and peeling settles in 1-2
-        // rounds): peel only REMOVES edges, so round-over-round COUNT
-        // equality is SET equality, and every later round is a no-op —
-        // skipping them changes nothing (the oracle still unrolls the
-        // full budget; its trailing rounds are the same no-ops). The
-        // count rides the pin's eager materialization, so detection is
-        // free.
+      var deg: GraphOps.Pinned = g.degrees // SHARED pin — never freed here
+      var degShared = true
+      var removedAll: Option[GraphOps.Pinned] = None
+      var eN = g.nEdges
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long, Boolean)]
+      for (k <- Seq(4, 8, 16)) {
         var settled = false
         var r = 0
+        var eNPrev = eN
         while (r < KCoreRounds && !settled) {
           r += 1
-          // base-graph degrees come pre-aggregated off the ledger; every
-          // later round (and every later k's chained core) re-aggregates
-          // its own shrunken edge set
-          val deg = if (e eq bb) g.deg.select(col("node").as("n"), col("dg"))
-            else e.select(col("u").as("n"))
-              .unionByName(e.select(col("v").as("n")))
-              .groupBy("n").agg(count(lit(1)).as("dg"))
-          // [[graft.Mutations]]: peel with > instead of >= — computes the
-          // (k+1)-core under the k label, the strictness off-by-one every
-          // peeling implementation risks
-          val keep = deg.filter(
-            if (graft.Mutations.on("q230_peel_off_by_one")) col("dg") > k
-            else col("dg") >= k).select("n")
-          prevEdges = e
-          val next = e
-            .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
-            .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
-            .select("u", "v")
-          val p = GraphOps.pin(next)
-          settled = eN >= 0 && p.n == eN
-          eN = p.n
-          live.drop(1).foreach(_.free())
-          live = p :: live.take(1)
-          e = p.df
+          eNPrev = eN
+          // [[graft.Mutations]]: peel with > instead of >= — in removal
+          // form, remove <= k instead of < k — computes the (k+1)-core
+          // under the k label, the strictness off-by-one every peeling
+          // implementation risks
+          val rem = GraphOps.pin(deg.df.filter(
+            if (peelOffByOne) col("dg") <= k else col("dg") < k)
+            .select("node"))
+          if (rem.n == 0) { settled = true; rem.free() }
+          else {
+            // surviving edge set = pinned base minus every node removed
+            // so far — a map-scan under broadcast anti joins, evaluated
+            // only to find the frontier's incident edges (never
+            // materialized as a new |E|-row pin)
+            val alive = removedAll match {
+              case None => bb
+              case Some(ra) => bb
+                .join(broadcast(ra.df.select(col("node").as("u"))),
+                  Seq("u"), "left_anti")
+                .join(broadcast(ra.df.select(col("node").as("v"))),
+                  Seq("v"), "left_anti")
+            }
+            // edges the frontier takes with it, flagged per endpoint
+            val re = GraphOps.pin(alive
+              .join(broadcast(rem.df.select(col("node").as("u"),
+                lit(1).as("ru"))), Seq("u"), "left")
+              .join(broadcast(rem.df.select(col("node").as("v"),
+                lit(1).as("rv"))), Seq("v"), "left")
+              .filter(col("ru").isNotNull || col("rv").isNotNull))
+            eN -= re.n
+            // each lost edge decrements its SURVIVING endpoint (an edge
+            // with both endpoints removed decrements nobody)
+            val loss = re.df.select(
+                when(col("ru").isNotNull && col("rv").isNull, col("v"))
+                  .when(col("rv").isNotNull && col("ru").isNull, col("u"))
+                  .as("node"))
+              .filter(col("node").isNotNull)
+              .groupBy("node").agg(count(lit(1)).as("l"))
+            val nd = GraphOps.pin(deg.df
+              .join(rem.df, Seq("node"), "left_anti")
+              .join(loss, Seq("node"), "left")
+              .select(col("node"),
+                (col("dg") - coalesce(col("l"), lit(0L))).as("dg")))
+            re.free()
+            val na = GraphOps.pin(removedAll match {
+              case None => rem.df
+              case Some(ra) => ra.df.unionByName(rem.df)
+            })
+            removedAll.foreach(_.free())
+            rem.free()
+            removedAll = Some(na)
+            if (!degShared) deg.free()
+            deg = nd
+            degShared = false
+          }
         }
-        start = e // converged k-core: the next k's peel starts here
-        startN = eN
-        val nodes = e.select(col("u").as("n"))
-          .unionByName(e.select(col("v").as("n"))).distinct()
-          .agg(count(lit(1)).as("n_core_nodes"))
-        val ec = e.agg(count(lit(1)).as("n_core_edges"))
-        val pc = prevEdges.agg(count(lit(1)).as("n_prev_edges"))
-        nodes.crossJoin(ec).crossJoin(pc)
-          .select(lit(k).as("k"), col("n_core_nodes"), col("n_core_edges"),
-            (col("n_core_edges") === col("n_prev_edges")).as("converged"))
+        // census off the maintained state: a surviving node is in the
+        // core iff it still has a live edge (dg > 0 — at settle all
+        // survivors are >= k anyway; the filter also covers a budget-
+        // exhausted fixture honestly)
+        val nNodes = deg.df.filter(col("dg") > 0).count()
+        out += ((k, nNodes, eN, eN == eNPrev))
       }
-      perK.reduce(_ unionByName _).orderBy("k")
+      if (!degShared) deg.free()
+      removedAll.foreach(_.free())
+      import s.implicits._
+      out.toSeq.toDF("k", "n_core_nodes", "n_core_edges", "converged")
+        .orderBy("k")
     }),
 
     // LOCAL CLUSTERING COEFFICIENT census — the cohesion metric the

@@ -85,10 +85,15 @@ object SimilarityQueries {
   /** The session's NSW engine for (dataset, knob) — the whole engine is
     * the memo unit so the normed-corpus pin is shared too, not just the
     * graph. */
-  private[graft] def nswEngine(s: SparkSession, d: String): NswEngine =
+  private[graft] def nswEngine(s: SparkSession, d: String): NswEngine = {
+    // stopped-session entries are dropped, not freed: a dead context's
+    // blocks are already gone (r16 advice — the sweep every session-
+    // keyed memo runs, see [[GraphOps.sweepStopped]])
+    GraphOps.sweepStopped(nswCache)(_._1)
     nswCache.computeIfAbsent(
       (s, d, graft.Mutations.on("q308_reverse_edges_dropped")),
       _ => new NswEngine(s, d))
+  }
 
   /** q50's brute-force cosine top-k per query (qid < 10, self excluded):
     * (qid, rank, vec_id, cos_sim), unordered. The query side broadcasts;
@@ -413,6 +418,7 @@ object SimilarityQueries {
       val n = normed(s, d)
       val cent = n.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      GraphOps.sweepStopped(annIndexCache)(_._1)
       val idxPath = annIndexCache.computeIfAbsent((s, d), _ => {
         val p = graft.ops.Scratch.dir("graft_ann_idx") + "/assign"
         cellAssign(n, cent).write.mode("overwrite").parquet(p)

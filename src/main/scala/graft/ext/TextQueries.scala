@@ -112,14 +112,23 @@ object TextQueries {
     * chain per pass). Knob-free path, so the memo needs no knob key;
     * pinned via localCheckpoint — |queries|·20 rows. */
   private val bm25Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      GraphOps.Pinned]()
 
-  def clearBm25Cache(): Unit = bm25Cache.clear()
+  /** Free the pinned blocks and forget the memo — the NSW cache's
+    * freeShared discipline (r16 advice: a bare clear() left the
+    * checkpointed blocks to the context cleaner's GC schedule). */
+  def clearBm25Cache(): Unit = {
+    bm25Cache.values().forEach(_.free())
+    bm25Cache.clear()
+  }
 
-  private[graft] def sharedDocBm25Top20(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedDocBm25Top20(s: SparkSession, d: String): DataFrame = {
+    GraphOps.sweepStopped(bm25Cache)(_._1)
     bm25Cache.computeIfAbsent((s, d), _ =>
-      bm25TopK(Tables.documents(s, d).select("doc_id", "text"),
-        col("doc_id") % 50 === 0, 20).localCheckpoint())
+      GraphOps.pin(bm25TopK(Tables.documents(s, d).select("doc_id", "text"),
+        col("doc_id") % 50 === 0, 20))).df
+  }
 
   /** q345's STANDING base index: the (doc_id, w, tf) posting table of
     * the base corpus (doc_id % 10 ≠ 7), written to parquet once per
@@ -520,6 +529,7 @@ object TextQueries {
     // doc should have placed.
     "q345_incremental_bm25" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
+      GraphOps.sweepStopped(bm25BaseIdxCache)(_._1)
       val idxPath = bm25BaseIdxCache.computeIfAbsent((s, d), _ => {
         val p = graft.ops.Scratch.dir("graft_bm25_idx") + "/tf"
         bigramTokens(docs.filter(col("doc_id") % 10 =!= 7), "doc_id")

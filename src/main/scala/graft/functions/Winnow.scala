@@ -82,13 +82,19 @@ object Winnow {
     val n = nChars - WindowLen + 1
     if (n <= 0) return Array.emptyLongArray
     val bytes = text.getBytes
-    // char -> byte offset map (one scan; equals identity for ASCII)
+    // char -> byte offset map (one scan; equals identity for ASCII).
+    // The per-char advance is CLAMPED to bytes.length: malformed UTF-8
+    // (a continuation sequence shorter than its lead byte declares)
+    // would otherwise walk past the buffer and throw in the executor —
+    // clamping degrades invalid input to truncated windows instead,
+    // like the old substring() path did.
     val off = new Array[Int](nChars + 1)
     var c = 0
     var b = 0
     while (c < nChars) {
       off(c) = b
-      b += UTF8String.numBytesForFirstByte(bytes(b))
+      if (b < bytes.length)
+        b = math.min(b + UTF8String.numBytesForFirstByte(bytes(b)), bytes.length)
       c += 1
     }
     off(nChars) = bytes.length

@@ -98,7 +98,7 @@ object ManifestGen {
     * LOUDLY instead of nulling out — a silent null would make sums and
     * filters undercount. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.parquet(path)
+    val df = fencedParquet(spark, path)
     val size = df.schema("Size").dataType match {
       case _: org.apache.spark.sql.types.DecimalType =>
         when(col("Size") > lit(Long.MaxValue).cast("decimal(20,0)"),
@@ -108,5 +108,44 @@ object ManifestGen {
       case _ => col("Size").cast(LongType)
     }
     df.withColumn("Size", size)
+  }
+
+  /** Generation-fenced parquet read: when the directory's `_SUCCESS`
+    * records a committed file set (the DSv2 manifest writer's truncate
+    * commit writes one — names, one per line), read EXACTLY those files.
+    * A crash between a truncate commit's publish and its superseded
+    * deletes leaves BOTH generations' part files at the destination; an
+    * unfenced glob would silently return duplicated rows (r16 advice —
+    * the scaladoc'd "extra files" state the read path previously could
+    * not detect). An absent or empty `_SUCCESS` (plain Spark writes,
+    * pre-fence manifests) falls back to the ordinary directory read; a
+    * fence naming a file that is GONE fails loudly in the parquet scan
+    * rather than silently shrinking the manifest. */
+  private def fencedParquet(spark: SparkSession, path: String): DataFrame = {
+    val fenced: Option[Seq[String]] =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p) && fs.getFileStatus(p).getLen > 0) {
+          val in = fs.open(p)
+          val bytes =
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val tmp = new Array[Byte](8192)
+              var n = in.read(tmp)
+              while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+              buf.toByteArray
+            } finally in.close()
+          val names = new String(bytes, "UTF-8").split("\n").toSeq
+            .map(_.trim).filter(_.nonEmpty)
+          if (names.nonEmpty)
+            Some(names.map(n => new org.apache.hadoop.fs.Path(path, n).toString))
+          else None
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    fenced match {
+      case Some(files) => spark.read.parquet(files: _*)
+      case None        => spark.read.parquet(path)
+    }
   }
 }

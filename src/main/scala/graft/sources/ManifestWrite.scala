@@ -121,11 +121,26 @@ private[sources] class ManifestBatchWrite(path: String, truncate: Boolean,
     // Clearing the rollback ledger makes abort a staging-only cleanup
     // past this line; the destination keeps the complete new generation.
     published.clear()
+    // FENCE before deleting: _SUCCESS records the committed
+    // generation's file names, and it lands BEFORE the superseded
+    // deletes — a crash mid-delete leaves both generations' part files
+    // on disk, but every fenced read (ManifestGen.read) filters to the
+    // recorded set instead of glob-reading duplicated rows (r16
+    // advice). A crash between publish and fence leaves the OLD
+    // generation's fence in place, so readers see the old snapshot —
+    // the correct not-yet-committed view; the fence write is the
+    // commit point.
+    val committed: Seq[String] =
+      if (truncate) newNames.toSeq.sorted
+      else Option(fs.globStatus(new Path(root, "part-*.parquet"))).toSeq.flatten
+        .map(_.getPath.getName).sorted // post-publish glob: old ∪ new
+    val succ = fs.create(new Path(root, "_SUCCESS"), true)
+    succ.write(committed.mkString("\n").getBytes("UTF-8"))
+    succ.close()
     // delete LAST: only after the new generation is fully at the
     // destination may the old one go (r15 advice: the previous
     // delete-then-rename order could destroy both generations)
     superseded.foreach(p => fs.delete(p, false))
-    fs.create(new Path(root, "_SUCCESS"), true).close()
     fs.delete(stagingDir, true)
   }
 

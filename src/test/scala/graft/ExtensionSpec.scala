@@ -408,6 +408,33 @@ class ExtensionSpec extends SparkSpec {
     assert(viaPositions == native)
   }
 
+  test("native Winnow degrades malformed UTF-8 to truncated windows " +
+      "instead of crashing the executor") {
+    // r16 advice: a lead byte declaring a longer continuation sequence
+    // than the buffer holds must not walk the char->byte offset map past
+    // the array (the old substring() path degraded; the native walk now
+    // clamps). 0xE4 declares a 3-byte char but the text ends after it.
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = ("ab" * 30).getBytes("UTF-8")
+    val malformed = UTF8String.fromBytes(ascii :+ 0xE4.toByte)
+    // direct kernel evaluation — the failure mode was
+    // ArrayIndexOutOfBounds inside the expression, no throw = the fix
+    val keys = graft.functions.Winnow.selectedKeys(malformed).toLongArray()
+    assert(keys.nonEmpty, "61-char malformed doc still selects fingerprints")
+    val positions = graft.functions.Winnow
+      .selectedPositions(malformed).toIntArray()
+    assert(positions.nonEmpty)
+    // well-formed input is untouched by the clamp (the min() never
+    // binds, so the equivalence test above still covers it); the
+    // malformed doc's windows BEFORE the bad tail hash the same byte
+    // ranges as the clean doc's — its selected keys overlap them
+    val clean = graft.functions.Winnow
+      .selectedKeys(UTF8String.fromBytes(ascii)).toLongArray()
+    assert(clean.nonEmpty)
+    assert(keys.toSet.intersect(clean.toSet).nonEmpty,
+      "pre-tail windows must hash identically to the clean doc")
+  }
+
   test("q116 full-digest re-key (spark.graft.substringDedup.fullDigest) " +
       "yields the identical graded result — the documented zero-false-" +
       "merge escape path is a selectable guarantee, not a claim") {

@@ -119,4 +119,47 @@ class ManifestWriteOrderSpec extends graft.SparkSpec {
       "post-publish abort must keep the new generation intact")
     assert(ManifestGen.read(spark, dest).count() == 2)
   }
+
+  test("mixed-generation destination (crash between fence and deletes) " +
+      "reads as the committed generation only") {
+    // r16 advice: a failure AFTER the point of no return used to leave
+    // both generations' part files visible to an unfenced glob —
+    // silently duplicated rows. The fence (_SUCCESS records the
+    // committed names, written BEFORE the superseded deletes) makes the
+    // read path filter to the new generation even with the old files
+    // still on disk.
+    val dir = Files.createTempDirectory("mw-fence").toFile
+    dir.deleteOnExit()
+    val dest = dir.getAbsolutePath
+    entries(4, "a").repartition(2)
+      .write.format("graft.sources.FsListSource")
+      .option("path", dest).mode(SaveMode.Append).save()
+    def parts: Set[String] = Option(dir.listFiles()).toSeq.flatten
+      .map(_.getName).filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
+    val gen1 = parts
+    assert(gen1.size == 2)
+    // stash gen-1's files, run a clean truncate commit (which deletes
+    // them), then RESTORE them — byte-identical to a crash that stopped
+    // between the fence write and the superseded deletes
+    val stash = Files.createTempDirectory("mw-fence-stash")
+    gen1.foreach(n => Files.copy(Paths.get(dest, n), stash.resolve(n)))
+    entries(3, "b").coalesce(1)
+      .write.format("graft.sources.FsListSource")
+      .option("path", dest).mode(SaveMode.Overwrite).save()
+    val gen2 = parts
+    assert(gen2.intersect(gen1).isEmpty && gen2.size == 1)
+    gen1.foreach(n => Files.copy(stash.resolve(n), Paths.get(dest, n)))
+    assert(parts == gen1 ++ gen2, "both generations on disk — the crash state")
+    // the fenced read returns ONLY the committed generation's rows
+    val got = ManifestGen.read(spark, dest)
+    assert(got.count() == 3,
+      s"fenced read must exclude the superseded generation (got ${got.count()})")
+    import spark.implicits._
+    assert(got.select("FileName").as[String].collect().toSet ==
+      Set("b0.bin", "b1.bin", "b2.bin"))
+    // and a directory with a LEGACY empty _SUCCESS still glob-reads
+    Files.write(Paths.get(dest, "_SUCCESS"), Array.emptyByteArray)
+    assert(ManifestGen.read(spark, dest).count() == 7,
+      "empty fence must fall back to the plain directory read")
+  }
 }
