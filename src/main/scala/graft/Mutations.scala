@@ -269,6 +269,15 @@ object Mutations {
                                 //   codebook trains on mirrored residuals
                                 //   and every two-level reconstruction
                                 //   degrades
+    // round-17 additions: knobs for the round's own new operators
+    "q346_cell_stats_not_refreshed", // incremental IVF maintenance
+                                //   appends delta postings but skips the
+                                //   cell-stats merge — the q345 bug class
+                                //   on the vector route: every delta-
+                                //   receiving cell's occupancy and Σqcos
+                                //   go stale (and the overfull rebalance
+                                //   signal reads the stale total) while
+                                //   n_from_delta still reports the ingest
     "q51_seed_fencepost")       // IVF seeds vec_id < 17, not < 16 — the
                                 //   index-build fencepost in the ONE
                                 //   seedCentroids seam every IVF consumer

@@ -137,7 +137,8 @@ object ScaleProbe {
       "q340_bootstrap_ci" -> "Poisson-bootstrap CIs (32 replicas in one map-side explode + one aggregation)",
       "q341_bcubed_cluster_eval" -> "B-cubed cluster quality vs planted gold (memoized-ledger reads)",
       "q344_dedup_shard_routing" -> "shard-key leakage plan: doc-hash vs cluster-routed over the candidate edges",
-      "q345_incremental_bm25" -> "incremental BM25: standing posting index + delta-only tokenize + merged-stats top-k")
+      "q345_incremental_bm25" -> "incremental BM25: standing posting index + delta-only tokenize + merged-stats top-k",
+      "q346_incremental_ivf_maintenance" -> "incremental IVF structure: delta-only re-route + stats merge + local hub repair")
 
     // per-probe caveats a reader of the artifact needs for honest
     // asymptotics — sub-linear exponents here mean fixed per-job
@@ -234,6 +235,13 @@ object ScaleProbe {
         "steady state tokenizes ONLY the 10% delta and merges posting " +
         "counts — stats rollups are the q125 shapes over the merged " +
         "table"),
+      "q346_incremental_ivf_maintenance" -> ("the structural index " +
+        "(assignments + cell stats + hub shortlists) is a one-time " +
+        "memoized layout (the q345/q128 pattern); the probed steady " +
+        "state assigns ONLY the 10% delta against 16 broadcast " +
+        "centroids and merges 16-cell integer stats — the shortlist " +
+        "repair re-ranks HubK + delta-in-cell rows per cell, never the " +
+        "cell population"),
       "q344_dedup_shard_routing" -> ("two ledger reads + ONE pairs join " +
         "(candidate-edge-sized); shard draws are map-side md5 — at a " +
         "COLD 10x the ledger build dominates, which is q54's probed " +

@@ -57,6 +57,34 @@ object SimilarityQueries {
     * exit.) */
   def clearIndexCache(): Unit = annIndexCache.clear()
 
+  /** q346's standing STRUCTURAL index (assignments + cell stats + hub
+    * shortlists), persisted once per (session, dataset) — the q128
+    * store precedent extended to the structure a cell-local search
+    * actually serves from. */
+  private val ivfStructCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Drop every memoized structural-index path — the next q346 build
+    * re-indexes. */
+  def clearIvfStructCache(): Unit = ivfStructCache.clear()
+
+  /** q346's per-cell hub-shortlist depth. */
+  private[graft] val HubK = 8
+
+  /** [[cellAssign]] variant that keeps the assigned-centroid cosine,
+    * floor-quantized to integer micro-units (exact downstream sums —
+    * the q122 discipline) instead of the embedding: (vec_id, cell,
+    * qcos). Map-only against the broadcast centroids. */
+  private def qcosAssign(nv: DataFrame, cent: DataFrame): DataFrame = {
+    val aw = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cent_id"))
+    nv.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        (VectorOps.dotSeq(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
+      .withColumn("arn", row_number().over(aw)).filter(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        floor(col("ccos") * lit(1e6)).as("qcos"))
+  }
+
   /** SHARED NSW build — the converged layer-0 adjacency and the layer-1
     * entry beam, memoized per (session, dataset, reverse-edges knob)
     * in the [[DedupQueries.sharedCandidatePairs]] discipline (r15
@@ -447,6 +475,87 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select("qid", "rank", "vec_id", "cos_sim")
         .orderBy("qid", "rank")
+    }),
+
+    // INCREMENTAL IVF INDEX MAINTENANCE — the vector twin of q345's
+    // incremental BM25 (r16 verdict item 3): q128 maintains the
+    // POSTINGS incrementally; this maintains the index STRUCTURE. The
+    // standing index (built once per session+dataset from the base
+    // corpus, persisted to parquet — the q128 store precedent) carries
+    // three tables: per-vector cell assignments with the centroid
+    // cosine floor-quantized to integer micro-units (the q122
+    // discipline — every downstream stat is exact integer arithmetic),
+    // per-cell occupancy stats (n, Σqcos), and the per-cell HUB
+    // SHORTLIST (the HubK vectors closest to the centroid — the entry
+    // points a cell-local search starts from). A 10% delta
+    // (vec_id % 10 = 7) is absorbed by: (1) re-route — assign ONLY the
+    // delta against the fixed centroids, map-only, delta-sized;
+    // (2) stats merge — count/sum adds, exact by construction;
+    // (3) LOCAL repair — the merged shortlist re-ranks base-top-HubK ∪
+    // delta-in-cell, which is LOSSLESS (a base vector outside its base
+    // shortlist is dominated by HubK still-present base vectors and
+    // can never enter the merged one) and touches HubK + |delta-in-
+    // cell| rows per cell, never the cell population. The oracle
+    // builds the same census FROM SCRATCH over the full corpus, so
+    // oracle equality IS the incremental == rebuild witness (the
+    // q345/q329 discipline). Output per cell: occupancy, delta share,
+    // Σqcos, shortlist floor, delta entrants, and an overfull flag
+    // (n > 1 + 125%·N/16 — the rebalance signal an index operator
+    // pages on).
+    // Scale: at 100 TB the base is never re-assigned or re-ranked; the
+    // round is one delta-sized broadcast pass + 16-cell-sized merges.
+    // Mutation seam (knob OFF in every production plan): postings
+    // appended but cell stats NOT refreshed — the q345 bug class on
+    // the vector route; every delta-receiving cell's occupancy and
+    // Σqcos go stale while n_from_delta still reports the ingest.
+    "q346_incremental_ivf_maintenance" -> ((s, d) => {
+      val n = normed(s, d)
+      val cent = seedCentroids(n)
+      GraphOps.sweepStopped(ivfStructCache)(_._1)
+      val idxPath = ivfStructCache.computeIfAbsent((s, d), _ => {
+        val p = graft.ops.Scratch.dir("graft_ivf_struct")
+        val assigned = qcosAssign(n.filter(col("vec_id") % 10 =!= 7), cent)
+        assigned.write.mode("overwrite").parquet(s"$p/assign")
+        val hw = Window.partitionBy(col("cell"))
+          .orderBy(col("qcos").desc, col("vec_id"))
+        s.read.parquet(s"$p/assign")
+          .withColumn("hr", row_number().over(hw)).filter(col("hr") <= HubK)
+          .select("cell", "vec_id", "qcos")
+          .write.mode("overwrite").parquet(s"$p/hubs")
+        s.read.parquet(s"$p/assign")
+          .groupBy("cell").agg(count(lit(1)).as("bn"), sum(col("qcos")).as("bsum"))
+          .write.mode("overwrite").parquet(s"$p/stats")
+        p
+      })
+      val baseHubs = s.read.parquet(s"$idxPath/hubs")
+      val baseStats = s.read.parquet(s"$idxPath/stats")
+      val delta = qcosAssign(n.filter(col("vec_id") % 10 === 7), cent)
+      val deltaStats = delta.groupBy("cell")
+        .agg(count(lit(1)).as("dn"), sum(col("qcos")).as("dsum"))
+      val stale = graft.Mutations.on("q346_cell_stats_not_refreshed")
+      val stats = baseStats.join(deltaStats, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          (if (stale) coalesce(col("bn"), lit(0L))
+           else coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_vectors"),
+          coalesce(col("dn"), lit(0L)).as("n_from_delta"),
+          (if (stale) coalesce(col("bsum"), lit(0L))
+           else coalesce(col("bsum"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
+            .as("sum_qcos"))
+      val hw = Window.partitionBy(col("cell"))
+        .orderBy(col("qcos").desc, col("vec_id"))
+      val hubs = baseHubs
+        .unionByName(delta.select("cell", "vec_id", "qcos"))
+        .withColumn("hr", row_number().over(hw)).filter(col("hr") <= HubK)
+        .groupBy("cell").agg(min(col("qcos")).as("hub_min_qcos"),
+          sum(when(col("vec_id") % 10 === 7, 1L).otherwise(0L)).as("n_delta_hubs"))
+      val total = stats.agg(sum(col("n_vectors")).as("nt"))
+      stats.join(hubs, Seq("cell"))
+        .crossJoin(broadcast(total))
+        .select(col("cell"), col("n_vectors"), col("n_from_delta"),
+          col("sum_qcos"), col("hub_min_qcos"), col("n_delta_hubs"),
+          (col("n_vectors") > lit(1L) + expr("(5 * nt) DIV 64")).as("overfull"))
+        .orderBy("cell")
     }),
 
     // Product-quantization ANN with asymmetric distance computation — the
@@ -2303,6 +2412,39 @@ object SimilarityQueries {
                      FROM cand)
           SELECT qid, rank, vec_id, cos_sim FROM ranked
           WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // from-scratch rebuild of the q346 structural census — equality with
+    // the engine's incremental maintenance IS the correctness claim
+    "q346_incremental_ivf_maintenance" ->
+      s"""WITH $normedSql,
+          cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+          ac AS (SELECT n.vec_id, cent.cent_id,
+                        ${VectorOps.oDot("n.embedding", "cent.ce")} / (n.nrm * cent.cn) AS ccos
+                 FROM n CROSS JOIN cent),
+          assign AS (SELECT vec_id, cent_id AS cell,
+                            CAST(floor(1e6 * ccos) AS BIGINT) AS qcos FROM (
+                       SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY ccos DESC, cent_id) AS arn
+                       FROM ac) WHERE arn = 1),
+          stats AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+                           CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_from_delta,
+                           CAST(sum(qcos) AS BIGINT) AS sum_qcos
+                    FROM assign GROUP BY cell),
+          tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS nt FROM stats),
+          hub AS (SELECT cell, vec_id, qcos,
+                         row_number() OVER (PARTITION BY cell
+                                            ORDER BY qcos DESC, vec_id) AS hr
+                  FROM assign),
+          hub8 AS (SELECT cell, min(qcos) AS hub_min_qcos,
+                          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_delta_hubs
+                   FROM hub WHERE hr <= $HubK GROUP BY cell)
+          SELECT s.cell, s.n_vectors, s.n_from_delta, s.sum_qcos,
+                 hub8.hub_min_qcos, hub8.n_delta_hubs,
+                 s.n_vectors > 1 + (5 * nt) // 64 AS overfull
+          FROM stats s JOIN hub8 USING (cell) CROSS JOIN tot
+          ORDER BY cell""",
 
     "q122_pq_adc" ->
       s"""WITH $oPqAdcCtes
