@@ -270,6 +270,17 @@ object Mutations {
                                 //   and every two-level reconstruction
                                 //   degrades
     // round-17 additions: knobs for the round's own new operators
+    "q347_band_mask_short",     // pHash LSH band value masked to 14 bits
+                                //   (& 16383 for & 32767) — the mask-width
+                                //   slip of banded hashing, planted in the
+                                //   ONE bandValueSql seam. q113's verified
+                                //   pairs ABSORB it (a narrower mask only
+                                //   MERGES buckets, so candidates are a
+                                //   superset and the hamming<=4 verify
+                                //   rescues the output — the fencepost
+                                //   situation); the q347 ingest CENSUS is
+                                //   the surface that shifts, so the
+                                //   red-case pins that member
     "q346_cell_stats_not_refreshed", // incremental IVF maintenance
                                 //   appends delta postings but skips the
                                 //   cell-stats merge — the q345 bug class

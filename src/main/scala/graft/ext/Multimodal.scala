@@ -112,6 +112,20 @@ object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** pHash LSH band value: the 15-bit slice `band` of the 60-bit hash.
+    * ONE seam for q113's batch near-dup join and q347's streamed ingest
+    * census, so [[graft.Mutations]] can plant the classic band-mask
+    * width slip (& 16383 — 14 bits instead of 15) once. q113's verified
+    * pairs ABSORB the slip (a narrower mask only MERGES buckets, so
+    * candidates are a superset and the hamming ≤ 4 verification rescues
+    * the output); the q347 census is the surface that shifts, so the
+    * red-case pins that member — the q51_seed_fencepost pattern. Knob
+    * read at plan-construction time (compile-time constant when off). */
+  private[ext] def bandValueSql: String = {
+    val mask = if (graft.Mutations.on("q347_band_mask_short")) 16383 else 32767
+    s"(phash >> (band * 15)) & $mask"
+  }
+
   def queries: Map[String, Q] = Map(
     // Media table convention: binary payload + SQL-side metadata. The
     // graded projection hex-encodes the payload (raw binary is kept for
@@ -153,7 +167,7 @@ object Multimodal {
       val corpus = base.unionByName(planted)
       val bands = corpus.select(col("doc_id"), col("phash"),
           explode(expr("array(0, 1, 2, 3)")).as("band"))
-        .withColumn("bv", expr("(phash >> (band * 15)) & 32767"))
+        .withColumn("bv", expr(bandValueSql))
       val bw = Window.partitionBy("band", "bv")
       val capped = bands.withColumn("bkt_n", count(lit(1)).over(bw))
         .filter(col("bkt_n") <= DedupQueries.DefaultMaxBucket).drop("bkt_n")
@@ -167,6 +181,50 @@ object Multimodal {
         .filter(col("hamming") <= 4)
         .distinct()
         .orderBy("id1", "id2")
+    }),
+
+    // STREAMED MULTIMODAL INGEST — the media member of the at-ingest
+    // family (q339 prefix-cache, q342 schema-drift, q343 ANN routing;
+    // r16 verdict item 6: multimodal was the one north-star family with
+    // no streaming twin): arriving media are pHashed and LSH-banded AT
+    // INGEST, and the ONE stateful operator keeps the (band, bucket)
+    // census — the standing structure q113's batch near-dup join later
+    // probes, and the saturation signal (collision buckets, max bucket
+    // occupancy) that tells an operator when a band's mega-bucket cap
+    // is about to bite. Planted near-copies ride the SAME map-side
+    // explode as the base rows (one pass, no stream union); the per-
+    // band rollup runs as a batch read of the completed census (the
+    // q342 discipline). Bands come from the [[bandValueSql]] seam; this
+    // census is the surface the band-mask knob can redden (q113's
+    // verified pairs absorb it — see the seam's scaladoc). The
+    // oracle computes the identical census relationally — streamed
+    // ingest over the finite source must equal it row for row.
+    // Scale: ingest work is map-side (hash + ≤8 rows per doc); state
+    // is bucket-keyed, bounded by 4·2¹⁵ live keys per band layout.
+    "q347_stream_phash_ingest" -> ((s, d) => {
+      val ph = expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+      val rows = graft.streaming.StreamingPipelines.documentsStream(s, d)
+        .select(col("doc_id"), ph.as("phash"))
+        .select(explode(when(col("doc_id") % 10 === 0,
+            array(struct(col("doc_id"), col("phash")),
+              struct((col("doc_id") + 200000L).as("doc_id"),
+                expr("phash ^ (CAST(1 AS BIGINT) << CAST(doc_id % 15 AS INT))")
+                  .as("phash"))))
+          .otherwise(array(struct(col("doc_id"), col("phash"))))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.phash").as("phash"))
+      val bands = rows.select(col("doc_id"), col("phash"),
+          explode(expr("array(0, 1, 2, 3)")).as("band"))
+        .withColumn("bv", expr(bandValueSql))
+      val census = bands.groupBy("band", "bv")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("id_min"))
+      graft.streaming.StreamingPipelines.runToCompletion(s, census)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("n")).as("n_docs"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_collision_buckets"),
+          max(col("n")).as("max_bucket_n"),
+          min(when(col("n") >= 2, col("id_min"))).as("first_collider"))
+        .orderBy("band")
     }),
 
     // Frame sampling: fixed-stride byte windows over the binary payload
@@ -422,6 +480,31 @@ object Multimodal {
               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
           SELECT id1, id2, hamming FROM cand
           WHERE hamming <= 4 ORDER BY id1, id2""",
+
+    // relational twin of the streamed ingest census — equality over the
+    // finite source is the stream==batch witness
+    "q347_stream_phash_ingest" ->
+      """WITH base AS (SELECT doc_id,
+                   ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash
+            FROM documents),
+          planted AS (SELECT doc_id + 200000 AS doc_id,
+                   xor(phash, (CAST(1 AS BIGINT) << CAST(doc_id % 15 AS INTEGER))) AS phash
+            FROM base WHERE doc_id % 10 = 0),
+          corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+          bands AS (SELECT doc_id, phash, band,
+                   (phash >> (band * 15)) & 32767 AS bv
+            FROM corpus, (SELECT unnest([0, 1, 2, 3]) AS band)),
+          buckets AS (SELECT band, bv, CAST(count(*) AS BIGINT) AS n,
+                             min(doc_id) AS id_min
+                      FROM bands GROUP BY 1, 2)
+          SELECT CAST(band AS INTEGER) AS band,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(n) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_collision_buckets,
+                 max(n) AS max_bucket_n,
+                 min(CASE WHEN n >= 2 THEN id_min END) AS first_collider
+          FROM buckets GROUP BY band ORDER BY band""",
 
     "q72_frame_sample" ->
       """SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
