@@ -74,6 +74,13 @@ class MemFileSystem extends FileSystem {
     if (MemFileSystem.failListings.getAndUpdate(n => math.max(0, n - 1)) > 0)
       throw new java.io.IOException("mem: 503 Slow Down (injected)")
     val p = f.toUri.getPath
+    // Hadoop contract: listStatus on a FILE returns that file's status
+    // (S3 ListObjects on an exact key behaves the same). Explicit-file
+    // parquet reads (the r17 generation-fenced manifest read) list each
+    // path and previously got an empty page here.
+    if (MemFileSystem.objects.contains(p))
+      return Array(fileStatus(p, MemFileSystem.objects(p)._1,
+        MemFileSystem.objects(p)._2))
     val prefix = if (p.endsWith("/")) p else p + "/"
     val kids = MemFileSystem.objects.keys
       .filter(_.startsWith(prefix))
