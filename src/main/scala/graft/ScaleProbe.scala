@@ -57,7 +57,7 @@ object ScaleProbe {
       "q194_hybrid_rrf_ivf" -> "hybrid RRF, IVF-routed vectors",
       "q164_session_window" -> "event sessionization",
       "q116_substring_dedup" -> "winnowing substring dedup",
-      "q41_minhash_lsh" -> "banded MinHash LSH near-dup (the dedup scale path)",
+      "q41_minhash_lsh" -> "banded MinHash LSH near-dup (r17: a read of the pinned cluster-ledger pairs; q54 probes the build)",
       "q179_containment_join" -> "asymmetric containment join",
       "q199_dsir_importance" -> "DSIR hashed-unigram importance scoring",
       "q201_semdedup" -> "SemDeDup cell-scoped semantic dedup",
@@ -234,7 +234,9 @@ object ScaleProbe {
         "investment (memoized parquet, the q128 pattern); the probed " +
         "steady state tokenizes ONLY the 10% delta and merges posting " +
         "counts — stats rollups are the q125 shapes over the merged " +
-        "table"),
+        "table. r17: the shared ranking memo is cleared per timed run, " +
+        "so the exponent measures the maintenance itself, not a hit on " +
+        "the ledger the suite's other lexical consumers share"),
       "q346_incremental_ivf_maintenance" -> ("the structural index " +
         "(assignments + cell stats + hub shortlists) is a one-time " +
         "memoized layout (the q345/q128 pattern); the probed steady " +
@@ -402,6 +404,23 @@ object ScaleProbe {
         if (name == "q132_triangle_count" ||
             name == "q248_clustering_coefficient")
           graft.ext.GraphQueries.clearBackboneCache()
+        // r17 memos, same split: q297 is the SIGNATURE memo's build
+        // probe (tokenize -> minhash is its dominant cost; q41/q43/q317
+        // measure post-pin steady state), and q345 clears the shared
+        // lexical ranking so its timed runs measure the incremental
+        // maintenance itself (delta-only tokenize + merged-stats
+        // ranking) rather than a memo hit — the standing base posting
+        // index stays warm, as a standing index does.
+        if (name == "q297_band_cost_report")
+          graft.ext.DedupQueries.clearSignatureCaches()
+        if (name == "q119_hybrid_rrf")
+          graft.ext.SimilarityQueries.clearLexRankCache()
+        if (name == "q313_cdc_chunks")
+          graft.ext.DedupQueries.clearChunkCaches()
+        if (name == "q309_bigram_perplexity")
+          graft.ext.SelectionQueries.clearPplxModelCache()
+        if (name == "q345_incremental_bm25")
+          graft.ext.TextQueries.clearBm25Cache()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9

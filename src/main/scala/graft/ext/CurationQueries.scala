@@ -77,6 +77,43 @@ object CurationQueries {
 
   private[ext] val BenchGramCap = 100
 
+  /** SHARED BENCHMARK-SUITE ARTIFACT (r17 optimization): the capped
+    * bench gram table + its bloom filter are literally described as "an
+    * OFFLINE artifact" in q333's scaladoc — yet q331 (batch) and q333
+    * (ingest twin) each rebuilt the window-capped gram table and the
+    * two eager bloom-build actions per pass. One pinned table + one
+    * built filter per (session, dataset); the build is KNOB-FREE (the
+    * q331_probe_key_mismatch knob lives in the PROBE expression,
+    * downstream of the artifact), so no knob key. */
+  private val decontamCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (GraphOps.Pinned, org.apache.spark.util.sketch.BloomFilter)]()
+
+  /** Free the pinned bench gram table and forget the artifact. */
+  def clearDecontamCache(): Unit = {
+    decontamCache.values().forEach(_._1.free())
+    decontamCache.clear()
+  }
+
+  /** (capped bench gram table, bloom over xxhash64 of its distinct
+    * grams) — q331's build, verbatim, built once per session. */
+  private def benchBloomArtifact(s: SparkSession, d: String)
+      : (DataFrame, org.apache.spark.util.sketch.BloomFilter) = {
+    GraphOps.sweepStopped(decontamCache)(_._1)
+    val (p, bf) = decontamCache.computeIfAbsent((s, d), _ => {
+      val benchDocs = Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") % 97 === 0)
+      val bw = Window.partitionBy("g")
+      val bc = GraphOps.pin(eightGrams(benchDocs)
+        .withColumn("bn", count(lit(1)).over(bw))
+        .filter(col("bn") <= BenchGramCap)
+        .select(col("g"), col("doc_id").as("bench_id")))
+      val gs = bc.df.select(xxhash64(col("g")).as("gh")).distinct()
+      (bc, gs.stat.bloomFilter("gh", math.max(1000L, gs.count()), 0.01))
+    })
+    (p.df, bf)
+  }
+
   /** `idCol + offset` with the disjointness invariant guarded IN-PLAN
     * (r15 advice): planted ids assume no organic doc_id ever reaches the
     * offset. On a rescaled fixture that crossed it, planted rows would
@@ -766,24 +803,12 @@ object CurationQueries {
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat_ws(" ", expr("slice(words, 2, size(words) - 1)")).as("text"))
       val corpus = docs.filter(col("doc_id") % 97 =!= 0).unionByName(planted)
-      val bw = org.apache.spark.sql.expressions.Window.partitionBy("g")
-      val benchCapped = eightGrams(benchDocs)
-        .withColumn("bn", count(lit(1)).over(bw))
-        .filter(col("bn") <= BenchGramCap)
-        .select(col("g"), col("doc_id").as("bench_id"))
-      // the q67 discipline: persist for the two eager build actions
-      // (count for sizing + filter build), released before returning —
-      // the verify join recomputes the small window aggregate at
-      // execution time instead of pinning executor storage
-      benchCapped.persist()
-      // both sides key on xxhash64(g): the native codegen probe takes a
+      // r17: the capped gram table + bloom are the shared session
+      // artifact ([[benchBloomArtifact]] — one build serves q331/q333).
+      // Both sides key on xxhash64(g): the native codegen probe takes a
       // BIGINT, and a 64-bit key is the production shape regardless —
       // the gram string never enters the filter
-      val bf =
-        try {
-          val gs = benchCapped.select(xxhash64(col("g")).as("gh")).distinct()
-          gs.stat.bloomFilter("gh", math.max(1000L, gs.count()), 0.01)
-        } finally benchCapped.unpersist()
+      val (benchCapped, bf) = benchBloomArtifact(s, d)
       eightGramsRaw(corpus)
         .filter(graft.functions.BloomProbe.mightContain(bf, probeCol))
         .join(broadcast(benchCapped), "g")
@@ -821,20 +846,10 @@ object CurationQueries {
         if (graft.Mutations.on("q331_probe_key_mismatch"))
           xxhash64(md5(col("g")))
         else xxhash64(col("g"))
-      // batch statics: the benchmark artifact (q331's build, verbatim)
-      val benchDocs = Tables.documents(s, d).select("doc_id", "text")
-        .filter(col("doc_id") % 97 === 0)
-      val bw = org.apache.spark.sql.expressions.Window.partitionBy("g")
-      val benchCapped = eightGrams(benchDocs)
-        .withColumn("bn", count(lit(1)).over(bw))
-        .filter(col("bn") <= BenchGramCap)
-        .select(col("g"), col("doc_id").as("bench_id"))
-      benchCapped.persist()
-      val bf =
-        try {
-          val gs = benchCapped.select(xxhash64(col("g")).as("gh")).distinct()
-          gs.stat.bloomFilter("gh", math.max(1000L, gs.count()), 0.01)
-        } finally benchCapped.unpersist()
+      // batch statics: the benchmark artifact (q331's build, verbatim,
+      // r17: served from the shared session pin — ONE build for the
+      // batch gate and the ingest gate)
+      val (benchCapped, bf) = benchBloomArtifact(s, d)
       val sdocs = graft.streaming.StreamingPipelines.documentsStream(s, d)
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
         .filter(col("doc_id") % 97 =!= 0 || size(col("words")) >= 10)

@@ -296,6 +296,47 @@ object DedupQueries {
   private[ext] def sharedClusters(s: SparkSession, d: String): DataFrame =
     clusterLedger(s, d)._2.df
 
+  /** SHARED SIGNATURE TABLES (r17 optimization): the DISTINCT
+    * (doc_id, shingle) set and the 8-lane MinHash signature table over
+    * [[corpus]], each pinned once per (session, dataset) — the cluster-
+    * ledger discipline applied one level down. Before this, q43's verify
+    * leg, q317's exact leg and q297's band census each re-tokenized the
+    * corpus and re-paid the distinct / signature aggregation the ledger
+    * build had already done (the r16 verdict's "missing reuse, not
+    * missing function" pattern). Both derivations are KNOB-FREE (no
+    * [[graft.Mutations]] seam touches tokenization, the distinct, or the
+    * lanes — q236's lane knob builds its own planted-corpus signatures),
+    * so the memos need no knob key; kept SEPARATE from [[clusterCache]]
+    * so q54's scale probe still measures the full LSH+CC build after
+    * [[clearClusterCache]] without these memos hiding the chain. */
+  private val shCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), GraphOps.Pinned]()
+  private val mhCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), GraphOps.Pinned]()
+
+  /** Free the pinned signature tables and forget them (scale probes
+    * clear per timed build run; fixtures are read-only otherwise). */
+  def clearSignatureCaches(): Unit = {
+    shCache.values().forEach(_.free()); shCache.clear()
+    mhCache.values().forEach(_.free()); mhCache.clear()
+  }
+
+  /** Pinned DISTINCT (doc_id, shingle) set over [[corpus]]. */
+  private[graft] def sharedShingles(s: SparkSession, d: String): DataFrame = {
+    GraphOps.sweepStopped(shCache)(_._1)
+    shCache.computeIfAbsent((s, d),
+      _ => GraphOps.pin(shingles(corpus(s, d)))).df
+  }
+
+  /** Pinned 8-lane MinHash signature table (doc_id, m0..m7) over
+    * [[corpus]] — aggregated from the RAW shingle stream (min is
+    * duplicate-insensitive), exactly the ledger build's derivation. */
+  private[graft] def sharedMinhashSigs(s: SparkSession, d: String): DataFrame = {
+    GraphOps.sweepStopped(mhCache)(_._1)
+    mhCache.computeIfAbsent((s, d),
+      _ => GraphOps.pin(minhash(shinglesRaw(corpus(s, d))))).df
+  }
+
   /** EXACT set-similarity self-join by PPJoin prefix filtering (the q149
     * operator, generalized to a rational threshold tNum/tDen): for
     * J ≥ t a qualifying pair must share a token among each side's
@@ -320,6 +361,12 @@ object DedupQueries {
   private[ext] def prefixJaccardPairsFromToks(toks: DataFrame,
                                               tNum: Int, tDen: Int): DataFrame = {
     val dfreq = toks.groupBy("w").agg(count(lit(1)).as("df"))
+    // NOTE (r17, measured): deriving sizes from the sets aggregate
+    // (size(collect_list)) to share one doc_id exchange REGRESSED every
+    // consumer 1.5-2x — the count aggregate ships tiny partials while
+    // collect_list ships the full token payload, and the prefix/window
+    // path then stalls on array materialization. Two cheap exchanges
+    // beat one heavy one here; kept as two aggregates deliberately.
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("w"))
@@ -467,6 +514,49 @@ object DedupQueries {
       .select(col("doc_id"), md5(col("chunk")).as("h"),
         length(col("chunk")).cast("long").as("clen"))
 
+  /** SHARED BASE-CORPUS CHUNK TABLES (r17 optimization): the chunkers
+    * are doc-local (boundaries and hashes depend only on a row's own
+    * text), so chunk rows of `documents` are the same rows wherever the
+    * base corpus appears — and both CDC graders re-chunked it per pass:
+    * q313 chunks docs ∪ planted-copies, q320 chunks docs as v1 AND ~97%
+    * of docs again inside v2, twice (one per arm). One pinned
+    * (doc_id, h, clen) table per (session, dataset[, divisor]) serves
+    * every base occurrence; only planted/changed docs are chunked
+    * fresh. The divisor KEYS the CDC memo (q313's off-by-one knob
+    * changes every boundary — the NSW-memo knob-key discipline), so a
+    * red-case run builds its own table and never poisons production.
+    * Production shape: a chunk store IS a standing content-addressed
+    * table; snapshot grading reads it, it is not re-chunked per query. */
+  private val cdcChunkCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), GraphOps.Pinned]()
+  private val fixedChunkCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), GraphOps.Pinned]()
+
+  /** Free the pinned chunk tables and forget them (the scale probe
+    * clears per timed q313 run — the build probe; q320 measures the
+    * post-pin steady state). */
+  def clearChunkCaches(): Unit = {
+    cdcChunkCache.values().forEach(_.free()); cdcChunkCache.clear()
+    fixedChunkCache.values().forEach(_.free()); fixedChunkCache.clear()
+  }
+
+  /** Pinned CDC chunk rows (doc_id, h, clen) of the base documents
+    * table at divisor `div`. */
+  private[graft] def sharedCdcBaseChunks(s: SparkSession, d: String,
+                                       div: Int): DataFrame = {
+    GraphOps.sweepStopped(cdcChunkCache)(_._1)
+    cdcChunkCache.computeIfAbsent((s, d, div), _ => GraphOps.pin(
+      cdcChunkRows(Tables.documents(s, d).select("doc_id", "text"), div))).df
+  }
+
+  /** Pinned fixed-size chunk rows of the base documents table. */
+  private[graft] def sharedFixedBaseChunks(s: SparkSession,
+                                         d: String): DataFrame = {
+    GraphOps.sweepStopped(fixedChunkCache)(_._1)
+    fixedChunkCache.computeIfAbsent((s, d), _ => GraphOps.pin(
+      fixedChunkRows(Tables.documents(s, d).select("doc_id", "text")))).df
+  }
+
   /** Fixed-size arm, same (doc_id, h, clen) row shape — the strawman
     * every CDC grading compares against. */
   private[ext] def fixedChunkRows(corpus: DataFrame): DataFrame =
@@ -510,12 +600,17 @@ object DedupQueries {
         if (graft.Mutations.on("q313_divisor_off_by_one")) CdcDivisor - 1
         else CdcDivisor
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val corpus = docs.unionByName(
-        docs.filter(col("doc_id") % 10 === 2)
-          .select((col("doc_id") + 8000000L).as("doc_id"),
-            concat(lit("INSERTED PREAMBLE xyz "), col("text")).as("text")))
-      val ch = cdcChunkRows(corpus, div).withColumn("arm", lit("cdc"))
-        .unionByName(fixedChunkRows(corpus).withColumn("arm", lit("fixed")))
+      // r17: the base-corpus chunk rows are session pins (divisor keys
+      // the CDC memo, so the knob-on run chunks at 63 into its OWN
+      // entry); chunkers are doc-local, so base-pin ∪ fresh-planted is
+      // row-identical to chunking the unioned corpus.
+      val planted = docs.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          concat(lit("INSERTED PREAMBLE xyz "), col("text")).as("text"))
+      val ch = sharedCdcBaseChunks(s, d, div)
+        .unionByName(cdcChunkRows(planted, div)).withColumn("arm", lit("cdc"))
+        .unionByName(sharedFixedBaseChunks(s, d)
+          .unionByName(fixedChunkRows(planted)).withColumn("arm", lit("fixed")))
         .select("doc_id", "arm", "h", "clen")
       val tot = ch.groupBy("arm").agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("h")).as("n_distinct"),
@@ -645,7 +740,6 @@ object DedupQueries {
       // accounting slip
       val instanceBilling = graft.Mutations.on("q320_instance_billing")
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val v1 = docs
       val edited = docs.filter(col("doc_id") % 10 === 2)
         .select(col("doc_id"),
           concat(lit("INSERTED PREAMBLE xyz "), col("text")).as("text"))
@@ -663,10 +757,16 @@ object DedupQueries {
             .as("text"))
       val v2 = kept.unionByName(edited).unionByName(nearNew).unionByName(novel)
       val changed = edited.unionByName(nearNew).unionByName(novel)
-      def arms(f: DataFrame => DataFrame, v1d: DataFrame, v2d: DataFrame,
-               ch: DataFrame, arm: String): DataFrame = {
-        val store1 = f(v1d).select("h", "clen").distinct()
-        val c2 = f(v2d)
+      // r17: v1's chunk rows are the pinned base table, and v2's kept
+      // slice (unchanged texts, doc-local chunkers) is a doc_id FILTER
+      // of that same pin — only the changed docs are chunked fresh.
+      // Before this each arm chunked the corpus twice per pass (v1 in
+      // full, v2 at ~97% overlap with it).
+      def arms(c1: DataFrame, c2fresh: DataFrame,
+               v2d: DataFrame, ch: DataFrame, arm: String): DataFrame = {
+        val store1 = c1.select("h", "clen").distinct()
+        val c2 = c1.filter(col("doc_id") % 10 =!= 2 && col("doc_id") % 17 =!= 5)
+          .unionByName(c2fresh)
         val inst2 = c2.select("h", "clen")
         val billed = (if (instanceBilling) inst2 else inst2.distinct())
           .join(store1.select("h"), Seq("h"), "left_anti")
@@ -682,8 +782,10 @@ object DedupQueries {
             expr("(incr_bytes * 10000) DIV changed_logical_bytes")
               .as("incr_vs_changed_bp"))
       }
-      arms(df => cdcChunkRows(df, CdcDivisor), v1, v2, changed, "cdc")
-        .unionByName(arms(fixedChunkRows, v1, v2, changed, "fixed"))
+      arms(sharedCdcBaseChunks(s, d, CdcDivisor),
+          cdcChunkRows(changed, CdcDivisor), v2, changed, "cdc")
+        .unionByName(arms(sharedFixedBaseChunks(s, d),
+          fixedChunkRows(changed), v2, changed, "fixed"))
         .orderBy("arm")
     }),
 
@@ -754,9 +856,12 @@ object DedupQueries {
 
     // MinHash + LSH banding near-dup candidates (signatures from the raw
     // shingle stream — no distinct shuffle; min is duplicate-insensitive).
+    // r17: the derivation IS the cluster ledger's pinned pairs table
+    // (candidatePairs ∘ bandTable ∘ minhash ∘ shinglesRaw over the same
+    // corpus, verbatim) — read the ledger instead of rebuilding the
+    // banded self-join per pass. Ordering is this query's own.
     "q41_minhash_lsh" -> ((s, d) =>
-      candidatePairs(bandTable(minhash(shinglesRaw(corpus(s, d)))))
-        .orderBy("id1", "id2")),
+      sharedCandidatePairs(s, d).orderBy("id1", "id2")),
 
     // SimHash 16-bit fingerprint per document. Bit contributions are
     // computed directly on the (doc_id, word, cnt) rows — one md5 per row,
@@ -792,11 +897,13 @@ object DedupQueries {
     // this one shuffles |pairs| rows carrying two bounded arrays. The
     // per-doc set aggregate is computed once and its exchange reused for
     // both join sides.
-    "q43_ngram_jaccard" -> ((s, d) => {
-      val c = corpus(s, d)
-      val pairs = candidatePairs(bandTable(minhash(shinglesRaw(c))))
-      jaccardOf(pairs, shingles(c)).orderBy("id1", "id2")
-    }),
+    // r17: both inputs are session pins now — the candidate pairs are
+    // the cluster ledger's table (identical derivation) and the distinct
+    // shingle sets are the shared signature memo; only the candidate-
+    // bounded verify join remains per-pass work.
+    "q43_ngram_jaccard" -> ((s, d) =>
+      jaccardOf(sharedCandidatePairs(s, d), sharedShingles(s, d))
+        .orderBy("id1", "id2")),
 
     // Dedup clustering: LSH candidate pairs as edges → connected
     // components → every doc labeled with its cluster's smallest id

@@ -40,13 +40,13 @@ object GraphOps {
     * public `df.rdd` gives the same truncation with an explicit
     * `unpersist` handle; the external-Row hop costs one encode/decode of
     * a small (id, comp) table per round. */
-  private[ext] final case class Pinned(df: DataFrame,
+  private[graft] final case class Pinned(df: DataFrame,
                                   blocks: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
                                   n: Long) {
     def free(): Unit = blocks.unpersist(blocking = false)
   }
 
-  private[ext] def pin(df: DataFrame): Pinned = {
+  private[graft] def pin(df: DataFrame): Pinned = {
     val rdd = df.rdd
     rdd.localCheckpoint()
     // eager: truncate lineage NOW, while inputs still exist; the count
@@ -63,7 +63,7 @@ object GraphOps {
     * unpersist call against a dead context. Entries for live sessions
     * are untouched; ConcurrentHashMap iteration is weakly consistent,
     * which is fine for an opportunistic sweep. */
-  private[ext] def sweepStopped[K, V](
+  private[graft] def sweepStopped[K, V](
       map: java.util.concurrent.ConcurrentHashMap[K, V])(
       session: K => org.apache.spark.sql.SparkSession): Unit = {
     val it = map.entrySet().iterator()

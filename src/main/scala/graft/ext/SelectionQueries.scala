@@ -565,9 +565,37 @@ object SelectionQueries {
     .select(col("doc_id"), col("lang"),
       col("b.w1").as("w1"), col("b.w2").as("w2"))
 
+  /** r17: the trained model IS an offline artifact — q309 (batch gate)
+    * and q310 (the same gate at ingest) both score against it, and each
+    * was re-training it per pass. One pinned (model, backoff, oov)
+    * triple per (session, dataset); the TRAINING chain is knob-free
+    * (q309's backoff knob sits in the scoring ladder, downstream), so
+    * no knob key. The scale probe clears per timed q309 run so the
+    * probed exponent still covers train + score. */
+  private val pplxModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (GraphOps.Pinned, GraphOps.Pinned, GraphOps.Pinned)]()
+
+  /** Free the pinned model tables and forget them. */
+  def clearPplxModelCache(): Unit = {
+    pplxModelCache.values().forEach { case (m, b, o) =>
+      m.free(); b.free(); o.free()
+    }
+    pplxModelCache.clear()
+  }
+
+  private[graft] def pplxModel(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    GraphOps.sweepStopped(pplxModelCache)(_._1)
+    val (m, b, o) = pplxModelCache.computeIfAbsent((s, d), _ => {
+      val (m0, b0, o0) = pplxModelBuild(s, d)
+      (GraphOps.pin(m0), GraphOps.pin(b0), GraphOps.pin(o0))
+    })
+    (m.df, b.df, o.df)
+  }
+
   /** The batch-trained model artifact: (bigram table, context-backoff
     * table, 1-row OOV ceiling), micro-nat quantized at the table grain. */
-  private def pplxModel(s: SparkSession, d: String)
+  private def pplxModelBuild(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val train = pplxBigrams(
       Tables.documents(s, d).select("doc_id", "lang", "text"))

@@ -125,9 +125,21 @@ object TextQueries {
 
   private[graft] def sharedDocBm25Top20(s: SparkSession, d: String): DataFrame = {
     GraphOps.sweepStopped(bm25Cache)(_._1)
-    bm25Cache.computeIfAbsent((s, d), _ =>
-      GraphOps.pin(bm25TopK(Tables.documents(s, d).select("doc_id", "text"),
-        col("doc_id") % 50 === 0, 20))).df
+    // r17: the ledger is built THROUGH the incremental path — standing
+    // base postings read off the q345 disk index, only the 10% delta
+    // tokenized fresh, stats over the merged table. tf is per-doc and
+    // base/delta are doc-disjoint, so the merged posting table is ROW-
+    // IDENTICAL to a from-scratch build and the ranking is bit-equal
+    // (per-term scores round at the same grain, dsum is decimal-exact,
+    // ties break on doc_id) — ExtensionSpec pins the equality. One
+    // index maintenance serves all three lexical consumers (q125, q231,
+    // q345), which is what an index owner actually operates: nobody
+    // re-tokenizes the corpus because a second query arrived.
+    bm25Cache.computeIfAbsent((s, d), _ => {
+      val (_, tf) = bm25MergedTf(s, d)
+      GraphOps.pin(bm25TopKFromTf(tf, tf, col("doc_id") % 50 === 0, 20,
+        lit(true)))
+    }).df
   }
 
   /** q345's STANDING base index: the (doc_id, w, tf) posting table of
@@ -139,6 +151,33 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   def clearBm25BaseIndex(): Unit = bm25BaseIdxCache.clear()
+
+  /** Build-once accessor for the standing base posting index (parquet
+    * path) — extracted from q345 so the shared top-20 ledger build can
+    * ride the same artifact. */
+  private def bm25BaseIdx(s: SparkSession, d: String): String = {
+    GraphOps.sweepStopped(bm25BaseIdxCache)(_._1)
+    bm25BaseIdxCache.computeIfAbsent((s, d), _ => {
+      val p = graft.ops.Scratch.dir("graft_bm25_idx") + "/tf"
+      bigramTokens(Tables.documents(s, d).select("doc_id", "text")
+          .filter(col("doc_id") % 10 =!= 7), "doc_id")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+  }
+
+  /** (base postings read from the standing index, base ∪ freshly
+    * tokenized delta) — the incremental-maintenance seam shared by the
+    * q345 red-case (stale stats = score against the base table) and the
+    * production ledger build. */
+  private def bm25MergedTf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val baseTf = s.read.parquet(bm25BaseIdx(s, d))
+    val deltaTf = bigramTokens(Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") % 10 === 7), "doc_id")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    (baseTf, baseTf.unionByName(deltaTf))
+  }
 
   /** DuckDB twin of [[bm25TopK]]: the CTE chain `toks … ranked` over
     * corpus source `$src` with query predicate `$qtWhere` (over tf's
@@ -528,22 +567,22 @@ object TextQueries {
     // dl rows and every idf is stale; rankings shift wherever a delta
     // doc should have placed.
     "q345_incremental_bm25" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      GraphOps.sweepStopped(bm25BaseIdxCache)(_._1)
-      val idxPath = bm25BaseIdxCache.computeIfAbsent((s, d), _ => {
-        val p = graft.ops.Scratch.dir("graft_bm25_idx") + "/tf"
-        bigramTokens(docs.filter(col("doc_id") % 10 =!= 7), "doc_id")
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-      val baseTf = s.read.parquet(idxPath)
-      val deltaTf = bigramTokens(docs.filter(col("doc_id") % 10 === 7), "doc_id")
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val tf = baseTf.unionByName(deltaTf)
-      val statsTf =
-        if (graft.Mutations.on("q345_stats_not_refreshed")) baseTf else tf
-      bm25TopKFromTf(tf, statsTf, col("doc_id") % 50 === 0, 10, lit(true))
+      // r17: the incremental build (standing index + delta-only
+      // tokenize + merged stats) IS the shared lexical ledger's build
+      // path now — sharedDocBm25Top20 performs the maintenance once per
+      // session and q125/q231/q345 all consume the merged index, so the
+      // graded top-10 is a rank filter of that ledger (row-identical to
+      // the old per-call build: same merged tf, same stats, same
+      // rounding, ties on doc_id). The stats-not-refreshed red-case
+      // must score against STALE base stats, so it bypasses the ledger
+      // and builds from the seam directly — knob isolation by
+      // construction (the knob-on path never touches the memo).
+      val ranked =
+        if (graft.Mutations.on("q345_stats_not_refreshed")) {
+          val (baseTf, tf) = bm25MergedTf(s, d)
+          bm25TopKFromTf(tf, baseTf, col("doc_id") % 50 === 0, 10, lit(true))
+        } else sharedDocBm25Top20(s, d).filter(col("rank") <= 10)
+      ranked
         .withColumn("from_delta", (col("doc_id") % 10 === 7).cast("long"))
         .orderBy("qid", "rank")
     }),
