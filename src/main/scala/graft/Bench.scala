@@ -131,115 +131,131 @@ object Bench {
     // zero breaches) named one fresh >1s crosser — q336 at 1.01s (0.91s
     // in r17a) — gated at 1.5×min+0.5 off its quieter minimum.
     // 108 gates: 83 over-1s + 25 sub-second pins.
+    // r17 OPTIMIZATION-phase closing derivation: per gated query, the
+    // MAX of the 1.5×min+0.5 rule over the round's TWO post-optimization
+    // quiet records (the r15 max-rule precedent for quiet-to-quiet
+    // drift) — bench_quiet_r17d_builder.json (load 0.43, 211.0s total,
+    // zero breaches) and bench_quiet_r17e_builder.json (load 0.97,
+    // 247.3s, zero breaches; the ~17% spread between the two IS the
+    // documented box drift the 1.5× headroom absorbs). Gated set = the
+    // >1s union over both records + every carried r17 pin + both
+    // records' ungated_over_1s entries (q46_multiset_ops from r17d,
+    // q346 from r17e). The session-memo wins drop 18 pins to their
+    // post-memo shapes (q41 2.1→0.1, q345 5.1→0.1, q133/q225 2.4→0.3,
+    // q320 4.7→1.2, q119/q194 3.8/3.6→~1.2, q191 1.5→0.1, …): a
+    // regression to per-pass rebuilds lands 2-20× above the new gates.
+    // 110 gates: 75 over-1s + 35 sub-second pins.
     val gates: Map[String, Double] = Map(
-      "q101_contamination"             -> 2.4,
-      "q105_manifest_compaction"       -> 1.9,
-      "q108_stream_static_join"        -> 2.3,
-      "q114_power_iteration"           -> 3.1,
-      "q116_substring_dedup"           -> 2.6,
-      "q118_stream_inventory_bounded"  -> 2.3,
-      "q119_hybrid_rrf"                -> 6.2,
-      "q120_pagerank"                  -> 4.2,
-      "q121_bpe_merge"                 -> 2.5,
-      "q122_pq_adc"                    -> 2.1,
-      "q123_stream_sessionize"         -> 2.2,
-      "q124_manifest_timetravel"       -> 2.0,
-      "q125_bm25"                      -> 0.6,
-      "q129_adc_rerank"                -> 2.3,
-      "q132_triangle_count"            -> 1.4,
-      "q133_cms_heavy_hitters"         -> 3.8,
-      "q134_bpe_encode"                -> 2.5,
-      "q135_zorder_skipping"           -> 3.9,
-      "q141_novelty_score"             -> 3.4,
-      "q144_multisource_bfs"           -> 3.3,
-      "q147_scd2_incremental"          -> 2.6,
-      "q149_prefix_jaccard_join"       -> 6.1,
-      "q152_pmi_collocations"          -> 2.1,
-      "q154_cdc_apply"                 -> 1.8,
-      "q155_analyze_stats"             -> 2.5,
-      "q163_frequent_pairs"            -> 4.2,
-      "q170_stream_kmv"                -> 2.3,
-      "q172_rle_layout_advisor"        -> 2.4,
-      "q173_two_hop_reach"             -> 1.5,
-      "q174_stream_session_window"     -> 3.0,
-      "q179_containment_join"          -> 4.7,
-      "q191_bpe_train"                 -> 2.6,
-      "q194_hybrid_rrf_ivf"            -> 6.3,
-      "q197_bpe_compression"           -> 3.2,
-      "q199_dsir_importance"           -> 4.8,
-      "q201_semdedup"                  -> 2.1,
-      "q202_hits"                      -> 4.9,
-      "q205_dedup_funnel"              -> 5.6,
-      "q208_stream_corpus_report"      -> 2.4,
-      "q210_lsh_eval"                  -> 7.5,
-      "q211_label_propagation"         -> 3.2,
-      "q212_canonical_docs"            -> 1.3,
-      "q214_norm_sensitivity"          -> 1.9,
-      "q216_source_overlap"            -> 3.0,
-      "q220_stream_ewma"               -> 2.2,
-      "q223_clip_reuse"                -> 2.0,
-      "q225_cms_width_sweep"           -> 4.3,
-      "q229_boilerplate_fraction"      -> 1.8,
-      "q230_kcore"                     -> 3.6,
-      "q231_rerank_cascade"            -> 1.1,
-      "q235_weighted_sssp"             -> 3.4,
-      "q239_stream_latency_quantiles"  -> 2.9,
-      "q241_touch_attribution"         -> 2.5,
-      "q243_personalized_pagerank"     -> 3.9,
-      "q248_clustering_coefficient"    -> 1.7,
-      "q251_stream_cusum"              -> 2.1,
-      "q255_dedup_impact"              -> 1.1,
-      "q256_sq_recall"                 -> 1.9,
-      "q258_degree_assortativity"      -> 1.1,
-      "q259_tokenizer_fertility"       -> 3.3,
-      "q265_stream_trimmed_mean"       -> 3.0,
-      "q271_inclusion_dependency"      -> 2.9,
-      "q273_leaderboard_churn"         -> 2.8,
-      "q275_trigram_search"            -> 1.0,
-      "q277_cluster_span"              -> 1.4,
-      "q278_tail_trend"                -> 2.7,
-      "q284_kcenter_coreset"           -> 3.5,
-      "q288_textrank_keywords"         -> 3.1,
-      "q293_pack_coherence"            -> 2.2,
-      "q295_stream_skipgram"           -> 2.2,
-      "q296_license_propagation"       -> 1.2,
-      "q301_margin_bitext"             -> 2.5,
-      "q302_shuffle_spacing"           -> 1.9,
-      "q305_leakage_free_split"        -> 1.2,
-      "q306_shard_export_manifest"     -> 2.4,
-      "q307_unigram_lm"                -> 4.1,
-      "q308_nsw_graph_ann"             -> 3.1,
-      "q309_bigram_perplexity"         -> 3.8,
-      "q310_stream_perplexity"         -> 5.6,
-      "q312_wordpiece"                 -> 2.3,
-      "q313_cdc_chunks"                -> 6.0,
-      "q315_stream_domain_cap"         -> 1.9,
-      "q317_sketch_error"              -> 5.6,
-      "q320_cdc_delta_storage"         -> 8.1,
-      "q323_calibration_ece"           -> 2.2,
-      "q324_residual_quantize"         -> 3.5,
-      "q329_incremental_merkle"        -> 2.8,
-      "q331_bloom_decontamination"     -> 4.0,
-      "q332_ann_entry_ablation"        -> 6.2,
-      "q333_stream_decontamination"    -> 4.6,
-      "q336_stream_encoding_hygiene"   -> 1.9,
-      "q339_stream_prefix_cache"       -> 2.2,
-      "q342_stream_schema_drift"       -> 2.4,
-      "q343_stream_ann_ingest"         -> 2.1,
-      "q344_dedup_shard_routing"       -> 1.1,
-      "q345_incremental_bm25"          -> 7.4,
-      "q347_stream_phash_ingest"       -> 2.3,
-      "q41_minhash_lsh"                -> 3.7,
-      "q43_ngram_jaccard"              -> 5.4,
-      "q44_embedding_neardup"          -> 1.4,
-      "q49_ml_minhash"                 -> 4.3,
-      "q54_dedup_clusters"             -> 0.6,
-      "q66_tfidf"                      -> 2.2,
-      "q86_stream_tumbling"            -> 2.0,
-      "q87_stream_join"                -> 3.7,
-      "q88_kmeans_refine"              -> 2.4,
-      "q89_stream_dedup"               -> 2.7,
-      "q94_json_roundtrip"             -> 1.6
+      "q101_contamination"                -> 2.5,
+      "q105_manifest_compaction"          -> 2.1,
+      "q108_stream_static_join"           -> 1.9,
+      "q114_power_iteration"              -> 3.1,
+      "q116_substring_dedup"              -> 3.0,
+      "q118_stream_inventory_bounded"     -> 2.2,
+      "q119_hybrid_rrf"                   -> 2.2,
+      "q120_pagerank"                     -> 3.6,
+      "q121_bpe_merge"                    -> 2.6,
+      "q122_pq_adc"                       -> 2.1,
+      "q123_stream_sessionize"            -> 2.0,
+      "q124_manifest_timetravel"          -> 1.8,
+      "q125_bm25"                         -> 0.6,
+      "q129_adc_rerank"                   -> 2.3,
+      "q132_triangle_count"               -> 1.3,
+      "q133_cms_heavy_hitters"            -> 0.9,
+      "q134_bpe_encode"                   -> 2.3,
+      "q135_zorder_skipping"              -> 3.7,
+      "q141_novelty_score"                -> 2.9,
+      "q144_multisource_bfs"              -> 3.5,
+      "q147_scd2_incremental"             -> 2.4,
+      "q149_prefix_jaccard_join"          -> 6.4,
+      "q152_pmi_collocations"             -> 1.9,
+      "q154_cdc_apply"                    -> 1.9,
+      "q155_analyze_stats"                -> 3.2,
+      "q163_frequent_pairs"               -> 4.1,
+      "q170_stream_kmv"                   -> 2.0,
+      "q172_rle_layout_advisor"           -> 2.0,
+      "q173_two_hop_reach"                -> 1.3,
+      "q174_stream_session_window"        -> 3.0,
+      "q179_containment_join"             -> 5.0,
+      "q191_bpe_train"                    -> 2.1,
+      "q194_hybrid_rrf_ivf"               -> 2.5,
+      "q197_bpe_compression"              -> 2.8,
+      "q199_dsir_importance"              -> 5.0,
+      "q201_semdedup"                     -> 1.9,
+      "q202_hits"                         -> 5.6,
+      "q205_dedup_funnel"                 -> 5.8,
+      "q208_stream_corpus_report"         -> 1.9,
+      "q210_lsh_eval"                     -> 7.6,
+      "q211_label_propagation"            -> 3.1,
+      "q212_canonical_docs"               -> 1.1,
+      "q214_norm_sensitivity"             -> 2.1,
+      "q216_source_overlap"               -> 2.8,
+      "q220_stream_ewma"                  -> 1.9,
+      "q223_clip_reuse"                   -> 1.9,
+      "q225_cms_width_sweep"              -> 1.1,
+      "q229_boilerplate_fraction"         -> 2.0,
+      "q230_kcore"                        -> 3.9,
+      "q231_rerank_cascade"               -> 1.1,
+      "q235_weighted_sssp"                -> 3.7,
+      "q239_stream_latency_quantiles"     -> 2.8,
+      "q241_touch_attribution"            -> 2.5,
+      "q243_personalized_pagerank"        -> 3.7,
+      "q248_clustering_coefficient"       -> 1.7,
+      "q251_stream_cusum"                 -> 3.6,
+      "q255_dedup_impact"                 -> 1.0,
+      "q256_sq_recall"                    -> 1.8,
+      "q258_degree_assortativity"         -> 1.0,
+      "q259_tokenizer_fertility"          -> 2.6,
+      "q265_stream_trimmed_mean"          -> 2.8,
+      "q271_inclusion_dependency"         -> 3.0,
+      "q273_leaderboard_churn"            -> 2.2,
+      "q275_trigram_search"               -> 1.0,
+      "q277_cluster_span"                 -> 1.3,
+      "q278_tail_trend"                   -> 2.9,
+      "q284_kcenter_coreset"              -> 3.7,
+      "q288_textrank_keywords"            -> 2.8,
+      "q293_pack_coherence"               -> 2.0,
+      "q295_stream_skipgram"              -> 2.4,
+      "q296_license_propagation"          -> 1.2,
+      "q301_margin_bitext"                -> 2.9,
+      "q302_shuffle_spacing"              -> 1.8,
+      "q305_leakage_free_split"           -> 1.1,
+      "q306_shard_export_manifest"        -> 2.3,
+      "q307_unigram_lm"                   -> 4.5,
+      "q308_nsw_graph_ann"                -> 2.9,
+      "q309_bigram_perplexity"            -> 2.5,
+      "q310_stream_perplexity"            -> 3.3,
+      "q312_wordpiece"                    -> 2.0,
+      "q313_cdc_chunks"                   -> 2.1,
+      "q315_stream_domain_cap"            -> 2.1,
+      "q317_sketch_error"                 -> 6.6,
+      "q320_cdc_delta_storage"            -> 2.0,
+      "q323_calibration_ece"              -> 1.8,
+      "q324_residual_quantize"            -> 3.8,
+      "q329_incremental_merkle"           -> 2.7,
+      "q331_bloom_decontamination"        -> 2.1,
+      "q332_ann_entry_ablation"           -> 6.7,
+      "q333_stream_decontamination"       -> 2.6,
+      "q336_stream_encoding_hygiene"      -> 1.9,
+      "q339_stream_prefix_cache"          -> 2.3,
+      "q342_stream_schema_drift"          -> 2.8,
+      "q343_stream_ann_ingest"            -> 2.2,
+      "q344_dedup_shard_routing"          -> 1.0,
+      "q345_incremental_bm25"             -> 0.6,
+      "q346_incremental_ivf_maintenance"  -> 2.0,
+      "q347_stream_phash_ingest"          -> 2.2,
+      "q41_minhash_lsh"                   -> 0.6,
+      "q43_ngram_jaccard"                 -> 1.6,
+      "q44_embedding_neardup"             -> 1.6,
+      "q46_multiset_ops"                  -> 2.4,
+      "q49_ml_minhash"                    -> 4.7,
+      "q54_dedup_clusters"                -> 0.6,
+      "q66_tfidf"                         -> 2.6,
+      "q86_stream_tumbling"               -> 2.3,
+      "q87_stream_join"                   -> 4.6,
+      "q88_kmeans_refine"                 -> 2.2,
+      "q89_stream_dedup"                  -> 2.8,
+      "q94_json_roundtrip"                -> 1.8
     )
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) =>

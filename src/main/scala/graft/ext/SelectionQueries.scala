@@ -338,7 +338,10 @@ object SelectionQueries {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("word"))
-        .withColumn("m", md5(col("word")))
+        // r17: FastMd5 — hex-identical to md5() (oracle unchanged), one
+        // digest per executor thread; this is a per-TOKEN hash, the q41
+        // shingle-hash argument verbatim
+        .withColumn("m", graft.functions.FastMd5.fastMd5(col("word")))
         .withColumn("b", expr(s"${graft.ops.md5Bits32("m")} % $DsirBuckets"))
       // ONE pass over the token stream: the (doc, bucket) histogram.
       // Map-side combine collapses it to <= 64 rows per doc before the
