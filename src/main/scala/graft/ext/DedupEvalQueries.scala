@@ -117,18 +117,22 @@ object DedupEvalQueries {
         .join(side(2).withColumnRenamed("doc_id", "id2"), "id2")
         .select(col("id1"), col("id2"),
           expr(s"CAST((($eqSql) * 10000) DIV $den AS BIGINT)").as("est_bp"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = pairs
-        .join(sh.select(col("doc_id").as("id1"), col("shingle")), "id1")
-        .join(sh.select(col("doc_id").as("id2"), col("shingle")),
-          Seq("id2", "shingle"))
-        .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+      // r17: the exact side follows q43's verify discipline — collected
+      // per-doc shingle ARRAYS joined candidate-bounded, intersection
+      // via array_intersect — instead of the exploded pairs ⋈ shingles
+      // ⋈ shingles formulation (which shuffles |pairs|·|shingles/doc|
+      // rows, exactly the shape q43's scaladoc rules out). Set sizes
+      // ride the already-joined arrays for free, the zero-overlap left
+      // join disappears (array_intersect of disjoint sets is just
+      // empty), and the values are identical: sh is DISTINCT per
+      // (doc_id, shingle), so the match count IS the intersection size.
+      val sets = sh.groupBy("doc_id").agg(collect_list(col("shingle")).as("ss"))
       val per = est
-        .join(inter, Seq("id1", "id2"), "left")
-        .withColumn("i", coalesce(col("i"), lit(0L)))
-        .join(sz.toDF("id1", "sz1"), "id1")
-        .join(sz.toDF("id2", "sz2"), "id2")
-        .withColumn("exact_bp", expr("(i * 10000) DIV (sz1 + sz2 - i)"))
+        .join(sets.select(col("doc_id").as("id1"), col("ss").as("sa")), "id1")
+        .join(sets.select(col("doc_id").as("id2"), col("ss").as("sb")), "id2")
+        .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("exact_bp",
+          expr("(i * 10000) DIV (size(sa) + size(sb) - i)"))
       per.groupBy(expr("least(exact_bp DIV 1000, 9)").as("decile"))
         .agg(count(lit(1)).as("n_pairs"),
           expr("sum(exact_bp) DIV count(1)").as("avg_exact_bp"),
