@@ -454,9 +454,51 @@ object Bench {
       (confirmedBreaches ++
         (if (listingRate < ListingFloor) Seq("listing_rate") else Nil))
         .sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // MEMO-BUILD VISIBILITY (r17 verdict item 3): with per-query min-of-2,
+    // a memoized query's published number prices the pinned-table READ;
+    // the shared-artifact build cost lands in pass 1 only. The per_pass
+    // arrays always carried that data — this surfaces it: per memoized
+    // query, (pass1, pass2) seconds, plus the one-line memo_build_sec
+    // summary Σ max(0, pass1 − pass2) over the memoized set (an upper
+    // bound — pass-1 also carries per-query JIT warmup). The set lists
+    // every query whose plan reads a session-pinned shared artifact
+    // (cluster ledger / signature pins / trade graph + backbone / NSW /
+    // IVF / BM25 ledger / CDC chunks / pplx model / CMS grid / bench
+    // bloom / BPE merges / guard cache). No timing behavior changes.
+    val memoizedQueries: Set[String] = Set(
+      "q41_minhash_lsh", "q43_ngram_jaccard", "q54_dedup_clusters",
+      "q101_contamination", "q119_hybrid_rrf", "q120_pagerank",
+      "q125_bm25", "q128_incremental_ann", "q132_triangle_count",
+      "q133_cms_heavy_hitters", "q144_multisource_bfs",
+      "q173_two_hop_reach", "q191_bpe_train", "q194_hybrid_rrf_ivf",
+      "q197_bpe_compression", "q202_hits", "q211_label_propagation",
+      "q212_canonical_docs", "q225_cms_width_sweep", "q230_kcore",
+      "q231_rerank_cascade", "q235_weighted_sssp",
+      "q243_personalized_pagerank", "q250_benford_audit",
+      "q255_dedup_impact", "q258_degree_assortativity",
+      "q277_cluster_span", "q296_license_propagation",
+      "q297_band_cost_report", "q302_shuffle_spacing",
+      "q305_leakage_free_split", "q308_nsw_graph_ann",
+      "q309_bigram_perplexity", "q310_stream_perplexity",
+      "q313_cdc_chunks", "q317_sketch_error", "q318_survivor_bias",
+      "q320_cdc_delta_storage",
+      "q331_bloom_decontamination", "q332_ann_entry_ablation",
+      "q333_stream_decontamination", "q341_bcubed_cluster_eval",
+      "q344_dedup_shard_routing", "q345_incremental_bm25",
+      "q346_incremental_ivf_maintenance")
+    val pass1 = passResults.head
+    val passN = passResults.last
+    val memoBuildSec = memoizedQueries.toSeq
+      .flatMap(k => for (a <- pass1.get(k); b <- passN.get(k))
+        yield math.max(0.0, a - b)).sum
+    val memoPassJson = memoizedQueries.toSeq.sorted
+      .flatMap(k => for (a <- pass1.get(k); b <- passN.get(k)) yield
+        "\"" + k + "\":{\"pass1\":" + fmt(a) + ",\"pass2\":" + fmt(b) + "}")
+      .mkString("{", ",", "}")
+    val passTotalsJson = passResults
+      .map(m => fmt(m.values.sum)).mkString("[", ",", "]")
     println(s"""{"metric":"per_pass_detail","unit":"sec",$method,"per_pass_queries":$passJson,"listing_tries_objects_per_sec":$listJson,"listing_flat_tries_objects_per_sec":$flatJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total_per_query","value":$total,"unit":"sec",$method,"queries":$qs,"gates":$gatesJson,"gates_breached":$breached,"listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,$boxJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$method,"n_queries":${results.size},"gates_breached":$breached,"gates_breached_confirmed":$confirmedJson,"gates_breached_suspect_load":$suspectJson,"ungated_over_1s":$ungatedJson,"breach_reruns":$rerunJson,$rerunBoxJson,"run_by":"$runBy","listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,$boxJson,"sf":"$sfDir"}""")
     // Builder-owned COMPLETE artifact (round-9 verdict item 2): the
     // driver's tail-capture truncates the per-query map (r8 and r9 each
     // lost ~190 of the per-query timings), so cross-round regression
@@ -531,7 +573,10 @@ object Bench {
          |"listing_floor_objects_per_sec":${ListingFloor.round},
          |"listing_tries":$listJson,
          |"listing_flat_tries":$flatJson,
-         |"throttle":$throttleJson
+         |"throttle":$throttleJson,
+         |"pass_totals_sec":$passTotalsJson,
+         |"memo_build_sec":${fmt(memoBuildSec)},
+         |"memo_pass_sec":$memoPassJson
          |}""".stripMargin
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
@@ -539,6 +584,12 @@ object Bench {
     } catch { case e: Throwable =>
       println(s"""{"metric":"bench_full_path","error":"${e.getClass.getSimpleName}"}""")
     }
+    // The headline line prints LAST (r17 verdict item 2 / PERF fix): the
+    // driver's last-JSON-line parse has returned null since r16 because
+    // the bench_full_path line used to print after it. Emission order is
+    // the only change — the line's content and the timing methodology
+    // are untouched.
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$method,"n_queries":${results.size},"gates_breached":$breached,"gates_breached_confirmed":$confirmedJson,"gates_breached_suspect_load":$suspectJson,"ungated_over_1s":$ungatedJson,"breach_reruns":$rerunJson,$rerunBoxJson,"run_by":"$runBy","listing_objects_per_sec":${listingRate.round},"listing_flat_objects_per_sec":${flatRate.round},"throttle":$throttleJson,$boxJson,"memo_build_sec":${fmt(memoBuildSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

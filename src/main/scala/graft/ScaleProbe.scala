@@ -386,6 +386,34 @@ object ScaleProbe {
         "density; the family consumers below it measure post-ledger " +
         "steady state, which is what the suite pays"))
 
+    // Probe-kind tags (r17 advice item 3): the artifact itself now says
+    // which exponents price a BUILD (the probe clears its family's memo
+    // before every timed run — see timeQuery), which price a MEMO-READ
+    // steady state (the probe rides a session pin built by an earlier
+    // family member or left warm across runs — q41's exponent is a read
+    // of the pinned cluster-ledger pairs, not the LSH chain; q54 probes
+    // that build), and which are plain DIRECT plans with no memo in the
+    // path. Downstream consumers must not compare read exponents against
+    // build exponents; the tag makes the distinction machine-readable
+    // instead of buried in the description strings.
+    val buildProbes: Set[String] = Set(
+      "q54_dedup_clusters", "q202_hits", "q132_triangle_count",
+      "q248_clustering_coefficient", "q297_band_cost_report",
+      "q119_hybrid_rrf", "q313_cdc_chunks", "q309_bigram_perplexity",
+      "q345_incremental_bm25")
+    val memoReadProbes: Set[String] = Set(
+      "q41_minhash_lsh", "q125_bm25", "q194_hybrid_rrf_ivf",
+      "q211_label_propagation", "q212_canonical_docs", "q230_kcore",
+      "q235_weighted_sssp", "q255_dedup_impact", "q277_cluster_span",
+      "q296_license_propagation", "q302_shuffle_spacing",
+      "q305_leakage_free_split", "q320_cdc_delta_storage",
+      "q332_ann_entry_ablation", "q341_bcubed_cluster_eval",
+      "q344_dedup_shard_routing")
+    def probeKind(name: String): String =
+      if (buildProbes(name)) "build"
+      else if (memoReadProbes(name)) "memo_read"
+      else "direct"
+
     def timeQuery(name: String, dir: String): Double =
       (1 to 2).map { _ =>
         // q54 is the shared cluster LEDGER's build probe: clear the
@@ -466,11 +494,11 @@ object ScaleProbe {
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val probeJson = (rows.map { case (n, w, t1, t10, e) =>
       val note = notes.get(n).map(s => s""","note":"$s"""").getOrElse("")
-      s"""{"probe":"$n","what":"$w","t_1x_sec":${fmt(t1)},"t_10x_sec":${fmt(t10)},"exponent":${fmt(e)}$note}"""
-    } :+ s"""{"probe":"tree_listing","what":"sharded DSv2 listing, 50k vs 500k objects","t_1x_sec":${fmt(l1)},"t_10x_sec":${fmt(l10)},"exponent":${fmt(lexp)}}""")
+      s"""{"probe":"$n","kind":"${probeKind(n)}","what":"$w","t_1x_sec":${fmt(t1)},"t_10x_sec":${fmt(t10)},"exponent":${fmt(e)}$note}"""
+    } :+ s"""{"probe":"tree_listing","kind":"direct","what":"sharded DSv2 listing, 50k vs 500k objects","t_1x_sec":${fmt(l1)},"t_10x_sec":${fmt(l10)},"exponent":${fmt(lexp)}}""")
       .mkString("[\n  ", ",\n  ", "\n]")
     val doc =
-      s"""{"factor":$Factor,"base":"$base","method":"min of 2 timed runs per scale; 10x fixture is shape-preserving (grouped vocabulary keeps per-key density constant)","reading":"exponent = ln(t10x/t1x)/ln(10); 1.0 = linear wall-clock in rows. Exponents below 1 mean the 1x runs are dominated by fixed per-job overhead (scheduling, stage setup) that the 10x runs amortize across 32 cores — the claim being proven is that wall-clock grows at-most-linearly with rows at constant parallelism, and no probe shows super-linear growth.","probes":$probeJson}"""
+      s"""{"factor":$Factor,"base":"$base","method":"min of 2 timed runs per scale; 10x fixture is shape-preserving (grouped vocabulary keeps per-key density constant)","reading":"exponent = ln(t10x/t1x)/ln(10); 1.0 = linear wall-clock in rows. Exponents below 1 mean the 1x runs are dominated by fixed per-job overhead (scheduling, stage setup) that the 10x runs amortize across 32 cores — the claim being proven is that wall-clock grows at-most-linearly with rows at constant parallelism, and no probe shows super-linear growth. kind: build = the probe clears its family memo per timed run and prices the artifact BUILD; memo_read = the probe rides a session pin (steady-state read — do not compare against build exponents); direct = no memo in the path.","probes":$probeJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), doc + "\n")
     println(s"[scale] wrote $outJson")
     spark.stop()
