@@ -1320,16 +1320,22 @@ object SimilarityQueries {
     "q332_ann_entry_ablation" -> ((s, d) => {
       val e = nswEngine(s, d)
       val edges0 = e.sharedLayer0Edges
-      def armRecall(tag: String, b0: DataFrame): DataFrame = {
-        val beam = e.walk(b0, edges0.select("src", "dst"), NswRounds)
-        e.grade(beam.df)
-          .groupBy(col("qid"))
-          .agg(sum(col("in_truth")).as("n_hits"))
-          .select(lit(tag).as("strategy"), col("qid"),
-            col("n_hits"), (col("n_hits") * 2000).cast("long").as("recall_bp"))
-      }
-      val arms = armRecall("b_layered", e.sharedLayeredBeam)
-        .unionByName(armRecall("a_flat16", e.flatEntryBeam))
+      // r18 (guide §2.4, verdict item 6): the two arms walk the SAME
+      // pinned graph with independent per-(strategy, qid) beams, so they
+      // are batched into ONE walk pass keyed by arm — one probe join /
+      // beam aggregate / pinned round per hop instead of two sequential
+      // walk chains. Per (strategy, qid) the recurrence is unchanged
+      // (every walk operator keys on the full prefix), so the graded
+      // rows are identical to the two-walk formulation.
+      val b0 = e.sharedLayeredBeam.withColumn("strategy", lit("b_layered"))
+        .unionByName(e.flatEntryBeam.withColumn("strategy", lit("a_flat16")))
+      val keys = Seq("strategy", "qid")
+      val beam = e.walk(b0, edges0.select("src", "dst"), NswRounds, keys)
+      val arms = e.grade(beam.df, keys)
+        .groupBy(col("strategy"), col("qid"))
+        .agg(sum(col("in_truth")).as("n_hits"))
+        .select(col("strategy"), col("qid"),
+          col("n_hits"), (col("n_hits") * 2000).cast("long").as("recall_bp"))
       // the layered-beam/edges0 pins belong to the session memo
       // ([[nswCache]]) — alive for every later q308/q332 read
       arms
@@ -1939,14 +1945,19 @@ object SimilarityQueries {
 
     /** The cands side is ALWAYS bounded (≤ |queries|·beam·M rows), so
       * broadcasting it and streaming the corpus is the scale-correct
-      * shape — the index-store lookup pattern. */
-    def scoreOf(cands: DataFrame): DataFrame =
+      * shape — the index-store lookup pattern. Extra key columns on
+      * `cands` (e.g. q332's strategy arm) ride through untouched. */
+    def scoreOf(cands: DataFrame, keyCols: Seq[String] = Seq("qid")): DataFrame =
       n.join(broadcast(cands), "vec_id").join(broadcast(q), "qid")
-        .select(col("qid"), col("vec_id"),
+        .select(keyCols.map(col) ++ Seq(col("vec_id"),
           (VectorOps.dotSeq(col("qe"), col("embedding")) /
-            (col("qn") * col("nrm"))).as("cos"))
-    val bw: org.apache.spark.sql.expressions.WindowSpec =
-      Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+            (col("qn") * col("nrm"))).as("cos")): _*)
+    /** Beam ranking window over an arbitrary key prefix — (qid) for the
+      * production walk, (strategy, qid) for q332's batched arms. */
+    def bwOver(keyCols: Seq[String]): org.apache.spark.sql.expressions.WindowSpec =
+      Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col("cos").desc, col("vec_id"))
+    val bw: org.apache.spark.sql.expressions.WindowSpec = bwOver(Seq("qid"))
 
     /** Fixed-round greedy beam walk over `edges`, continuing from the
       * given beam — the one walk both layers (and both q332 arms) run.
@@ -1960,19 +1971,30 @@ object SimilarityQueries {
       * stays UNPINNED: round 1 references it twice (union + probe
       * broadcast) — a one-time duplication of a beam-sized plan,
       * cheaper than a dedicated materialization job. */
-    def walk(b0: DataFrame, edges: DataFrame, rounds: Int): GraphOps.Pinned = {
+    def walk(b0: DataFrame, edges: DataFrame, rounds: Int,
+             keyCols: Seq[String] = Seq("qid")): GraphOps.Pinned = {
+      // r18 (q332): `keyCols` generalizes the per-query beam key so
+      // INDEPENDENT walks over the same graph can be batched into ONE
+      // pass — beams tagged by arm, every round's probe join / beam
+      // aggregate / rank window keyed (arm, qid). Per (arm, qid) the
+      // recurrence is unchanged (all operators key on the full prefix),
+      // so results are row-identical to two sequential walks; the win
+      // is one pinned round chain instead of one per arm (half the
+      // sequential materialization jobs — guide §2.4, one shuffle per
+      // hop instead of two).
       val und = edges.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       var beam: GraphOps.Pinned = null
       var cur: DataFrame = b0
       for (_ <- 1 to rounds) {
         val nbr = und
-          .join(broadcast(cur.select(col("qid"), col("vec_id").as("src"))),
-            "src")
-          .select(col("qid"), col("dst").as("vec_id")).distinct()
-        val next = GraphOps.pin(cur.unionByName(scoreOf(nbr))
-          .groupBy("qid", "vec_id").agg(max(col("cos")).as("cos"))
-          .withColumn("rn", row_number().over(bw))
+          .join(broadcast(cur.select(keyCols.map(col) :+
+            col("vec_id").as("src"): _*)), "src")
+          .select(keyCols.map(col) :+ col("dst").as("vec_id"): _*).distinct()
+        val next = GraphOps.pin(cur.unionByName(scoreOf(nbr, keyCols))
+          .groupBy((keyCols :+ "vec_id").map(col): _*)
+          .agg(max(col("cos")).as("cos"))
+          .withColumn("rn", row_number().over(bwOver(keyCols)))
           .filter(col("rn") <= NswBeam).drop("rn"))
         if (beam != null) beam.free()
         beam = next
@@ -2046,20 +2068,26 @@ object SimilarityQueries {
     }
 
     /** Per-hit truth grading vs q50's brute top-5: (qid, rank, vec_id,
-      * cos_sim, in_truth, recall_bp), unordered. */
-    def grade(beamDf: DataFrame): DataFrame = {
+      * cos_sim, in_truth, recall_bp), unordered. `keyCols` extends the
+      * ranking key for batched multi-arm beams (the walk's seam); extra
+      * key columns ride through into the output. */
+    def grade(beamDf: DataFrame,
+              keyCols: Seq[String] = Seq("qid")): DataFrame = {
       val truth = bruteTopK(s, d, 5)
         .select(col("qid"), col("vec_id"), lit(1L).as("in_truth"))
       beamDf.filter(col("vec_id") =!= col("qid"))
-        .withColumn("rank", row_number().over(bw)).filter(col("rank") <= 5)
+        .withColumn("rank", row_number().over(bwOver(keyCols)))
+        .filter(col("rank") <= 5)
         .join(truth, Seq("qid", "vec_id"), "left")
         .withColumn("in_truth", coalesce(col("in_truth"), lit(0L)))
         .withColumn("recall_bp",
-          (sum(col("in_truth")).over(Window.partitionBy("qid")) * 2000)
+          (sum(col("in_truth"))
+            .over(Window.partitionBy(keyCols.map(col): _*)) * 2000)
             .cast("long"))
-        .select(col("qid"), col("rank"), col("vec_id"),
-          round(col("cos"), 6).as("cos_sim"), col("in_truth"),
-          col("recall_bp"))
+        .select(keyCols.filterNot(_ == "qid").map(col) ++
+          Seq(col("qid"), col("rank"), col("vec_id"),
+            round(col("cos"), 6).as("cos_sim"), col("in_truth"),
+            col("recall_bp")): _*)
     }
   }
 
