@@ -315,17 +315,34 @@ object GraphQueries {
       var h = g.deg.filter(col("node") % 2 === 0)
         .select(expr("node DIV 2").as("cust")).withColumn("h", lit(1000000L))
       var a: DataFrame = h // placeholder; HitsRounds >= 1 always reassigns
-      for (_ <- 1 to HitsRounds) {
+      // r18 (guide §5, GraphOps header): h is referenced TWICE per round
+      // (next half-step + final hubs) and a likewise, so without lineage
+      // truncation the plan tree duplicates subtrees combinatorially —
+      // the unrolled 2-round plan was 576 Exchange/HashAggregate nodes
+      // and the warm pass spent ~1.3s of 3.2s in AQE replanning gaps.
+      // Pinning the loop-carried h each round (and a on the last round,
+      // where the final auths read it) keeps every round's plan
+      // constant-size: measured 2.45s -> 1.68s warm A/B on a quiet box.
+      // The mutual-reinforcement arithmetic is untouched (same exact
+      // integer sums, same broadcast one-row max normalization — still
+      // never a driver collect, never a single-partition window); each
+      // previous h pin is freed once its successor is materialized.
+      var prevH: GraphOps.Pinned = null
+      for (r <- 1 to HitsRounds) {
         val araw = e.join(h, "cust")
           .groupBy("supp").agg(sum(col("h")).as("ar"))
         val amax = araw.agg(max(col("ar")).as("am"))
         a = araw.crossJoin(broadcast(amax))
           .select(col("supp"), expr("(ar * 1000000) DIV am").as("a"))
+        if (r == HitsRounds) a = GraphOps.pin(a).df
         val hraw = e.join(a, "supp")
           .groupBy("cust").agg(sum(col("a")).as("hr"))
         val hmax = hraw.agg(max(col("hr")).as("hm"))
-        h = hraw.crossJoin(broadcast(hmax))
-          .select(col("cust"), expr("(hr * 1000000) DIV hm").as("h"))
+        val hp = GraphOps.pin(hraw.crossJoin(broadcast(hmax))
+          .select(col("cust"), expr("(hr * 1000000) DIV hm").as("h")))
+        if (prevH != null) prevH.free()
+        prevH = hp
+        h = hp.df
       }
       val hubs = h.select(
           concat(lit("c"), col("cust").cast("string")).as("node"),
