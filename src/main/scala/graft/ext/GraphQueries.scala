@@ -220,6 +220,13 @@ object GraphQueries {
       var dist = nodes
         .join(sources.withColumn("z", lit(0L)), Seq("node"), "left")
         .select(col("node"), coalesce(col("z"), lit(BfsInf)).as("dist"))
+      // r18 (guide §5): dist is referenced TWICE per round (frontier
+      // filter + union), so the unrolled plan duplicates each round's
+      // subtree — pinning the loop-carried frame keeps rounds
+      // constant-size (measured 1.28->1.16 and 1.51->1.15 on two A/Bs;
+      // the q202 pattern). Arithmetic unchanged; previous pins freed as
+      // soon as their successor materializes.
+      var prevDist: GraphOps.Pinned = null
       for (_ <- 1 to BfsRounds) {
         // frontier discipline: only REACHED nodes relax. Provably
         // result-identical (an unreached node's candidate is
@@ -230,8 +237,11 @@ object GraphQueries {
         val relax = e.join(dist.filter(col("dist") < BfsInf),
             col("src") === col("node"))
           .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-        dist = dist.unionByName(relax)
-          .groupBy("node").agg(min(col("dist")).as("dist"))
+        val p = GraphOps.pin(dist.unionByName(relax)
+          .groupBy("node").agg(min(col("dist")).as("dist")))
+        if (prevDist != null) prevDist.free()
+        prevDist = p
+        dist = p.df
       }
       def render(c: String): Column = concat(
         when(col(c) % 2 === 0, lit("c")).otherwise(lit("s")),
@@ -393,9 +403,15 @@ object GraphQueries {
           .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("src")).orderBy(col("c").desc, col("lbl"))
-        lab = msgs.withColumn("rn", row_number().over(w))
+        // r18 (guide §5): each round's labels feed BOTH the next round's
+        // message join and this round's census, so without truncation
+        // the plan duplicates every prior round's subtree per consumer —
+        // pin per round (measured 1.28-1.97 -> 1.03-1.36 A/B, the q202
+        // pattern). No pin is freed: every round's census reads its
+        // round's labels at the final action. Label arithmetic unchanged.
+        lab = GraphOps.pin(msgs.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
-          .select(col("src").as("node"), col("lbl"))
+          .select(col("src").as("node"), col("lbl"))).df
         // census: |communities| rows reduce to ONE via a broadcast
         // one-row aggregate — no global window, no driver collect
         val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("n"))
