@@ -1515,10 +1515,21 @@ object SimilarityQueries {
         s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
             CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
       val n = normed(s, d)
+      // r18 (guide §2.2/§4): the two encode passes below are zip_with/
+      // aggregate lambda loops (not whole-stage-codegen) over 17
+      // codebook candidates x 64 dims per vector — CPU-heavy on tiny
+      // bytes, so AQE's byte-based coalescing ran them as SINGLE-task
+      // stages (4 x ~0.5s serialized). An explicit vec_id repartition
+      // sized by defaultParallelism parallelizes the encode AND is the
+      // one exchange the argmin windows (partitionBy vec_id) needed
+      // anyway — exchange count is unchanged at any scale, the shuffle
+      // just moves BELOW the heavy compute. Measured 2.6s -> see
+      // OPTIMIZATION_r18.md; arithmetic untouched.
       val g = n.select(col("vec_id"), expr(
         """transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 4096) AS BIGINT))""")
         .as("iv"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       // codebooks train on ranges DISJOINT from the query ids: a seed
       // book containing the queries themselves degenerates the ADC (a
       // query that IS a centroid puts every same-cell zero-code

@@ -1255,6 +1255,10 @@ object TextQueries {
       // even though the vocabulary carries (and prices) them
       val dpP =
         if (graft.Mutations.on("q307_piece_len_fencepost")) P - 1 else P
+      // r18 NOTE (measured): widening the single-split tokenize scan
+      // (conditional repartition to defaultParallelism) moved nothing —
+      // the 0.5s map stage runs OFF the critical path while the DP
+      // chain below is the bottleneck; reverted per guide §1.3.
       val docs = Tables.documents(s, d)
       val types = wordTypes(docs).filter(length(col("word")) <= UniMaxWordLen)
       val occ = types.select(col("word"), col("n"), explode(expr(
@@ -1271,7 +1275,16 @@ object TextQueries {
       val costed = vocab.crossJoin(broadcast(tot))
         .select(col("piece"), col("cnt"),
           expr("CAST(length(bin(t DIV cnt)) AS BIGINT)").as("bits"))
+      // r18 (guide §2.2/§4): the Viterbi DP below is one giant aggregate
+      // HOF per word type (interpreted lambdas, CPU-heavy on tiny
+      // bytes), and AQE's byte-based coalescing ran it on a SINGLE
+      // task. Repartitioning the occurrence rows by word BEFORE the
+      // collect keeps exchange count identical (HashPartitioning(word)
+      // satisfies the (word, n) grouping — same co-location, explicit
+      // width AQE won't coalesce) and the DP then runs on
+      // defaultParallelism tasks. Arithmetic untouched.
       val plist = occ.join(costed.select("piece", "bits"), "piece")
+        .repartition(s.sparkContext.defaultParallelism, col("word"))
         .groupBy("word", "n")
         .agg(collect_list(struct(col("i"), col("l"), col("piece"),
           col("bits"))).as("ps"))
