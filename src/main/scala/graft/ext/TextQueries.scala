@@ -1653,6 +1653,17 @@ object TextQueries {
     docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
+      // r18 (guide §2.2/§4): every consumer runs CPU-heavy per-type
+      // passes (q134/q259's merge-fold encode, q307's piece explode +
+      // DP, q121's pair counts) whose bytes are tiny, so AQE coalesced
+      // the post-aggregate side to ONE task (~0.5-0.7s serialized per
+      // query). An explicit word-keyed exchange at defaultParallelism
+      // AFTER the aggregate keeps the map-side partial agg intact
+      // (repartitioning the raw token stream would kill it) and costs
+      // one vocabulary-sized shuffle; at cluster scale the width pins
+      // to the cluster's parallelism instead of a local constant.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("word"))
 
   /** q134/q259's shared encode stage: the corpus word-type table with
     * each type's symbol string after applying the [[EncodeMerges]]
